@@ -1,0 +1,117 @@
+package graft
+
+import graft.functions.SyslogLineParser
+
+/** Golden cases mirroring the reference's parser tests
+  * (`/root/reference/tests/unit/test_msgparse.c:220-302` semantics). */
+class SyslogParserSpec extends GraftSuite {
+
+  test("RFC3164 with pri, host, program[pid]") {
+    val p = SyslogLineParser.parse(
+      "<34>Oct 11 22:14:15 mymachine su[123]: 'su root' failed for lonvick", 2024)
+    assert(p.pri == 34)
+    assert(p.pri / 8 == 4)  // facility auth
+    assert(p.pri % 8 == 2)  // severity crit
+    assert(p.version == 0)
+    assert(p.host == "mymachine")
+    assert(p.program == "su")
+    assert(p.pid == "123")
+    assert(p.message == "'su root' failed for lonvick")
+    assert(p.tsMicros != Long.MinValue)
+  }
+
+  test("RFC3164 without pid") {
+    val p = SyslogLineParser.parse(
+      "<13>Feb  5 17:32:18 10.0.0.99 prg: Use the BFG!", 2024)
+    assert(p.host == "10.0.0.99")
+    assert(p.program == "prg")
+    assert(p.pid == null)
+    assert(p.message == "Use the BFG!")
+  }
+
+  test("RFC3164 tag without host") {
+    val p = SyslogLineParser.parse("<13>Feb  5 17:32:18 prg[9]: hi", 2024)
+    assert(p.host == null)
+    assert(p.program == "prg")
+    assert(p.pid == "9")
+    assert(p.message == "hi")
+  }
+
+  test("no pri defaults to 13") {
+    val p = SyslogLineParser.parse("Feb  5 17:32:18 h p: m", 2024)
+    assert(p.pri == 13)
+    assert(p.host == "h")
+  }
+
+  test("unparsable line becomes whole message") {
+    val p = SyslogLineParser.parse("not a syslog line at all", 2024)
+    assert(p.pri == 13)
+    assert(p.tsMicros == Long.MinValue)
+    assert(p.message == "not a syslog line at all")
+  }
+
+  test("RFC5424 full") {
+    val p = SyslogLineParser.parse(
+      """<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 1370 ID47 [exampleSDID@32473 iut="3" eventSource="Application"] An application event""",
+      2024)
+    assert(p.pri == 165)
+    assert(p.version == 1)
+    assert(p.host == "mymachine.example.com")
+    assert(p.program == "evntslog")
+    assert(p.pid == "1370")
+    assert(p.msgid == "ID47")
+    assert(p.sdataKeys.toSeq == Seq("exampleSDID@32473.iut", "exampleSDID@32473.eventSource"))
+    assert(p.sdataVals.toSeq == Seq("3", "Application"))
+    assert(p.message == "An application event")
+    // 2003-10-11T22:14:15.003Z = 1065910455.003
+    assert(p.tsMicros == 1065910455003000L)
+  }
+
+  test("RFC5424 nil fields") {
+    val p = SyslogLineParser.parse("<34>1 - - - - - - hi", 2024)
+    assert(p.version == 1)
+    assert(p.host == null)
+    assert(p.program == null)
+    assert(p.message.contains("hi"))
+  }
+
+  test("RFC5424 escaped sdata values") {
+    val p = SyslogLineParser.parse(
+      """<34>1 2024-01-01T00:00:00Z h a 1 m [x k="a\"b\\c\]d"] msg""", 2024)
+    assert(p.sdataVals.toSeq == Seq("""a"b\c]d"""))
+  }
+
+  test("ISO timestamp in RFC3164 position") {
+    val p = SyslogLineParser.parse(
+      "<13>2024-03-05T10:20:30+02:00 myhost app: hello", 2024)
+    assert(p.host == "myhost")
+    assert(p.program == "app")
+    // 10:20:30+02:00 == 08:20:30Z
+    assert(p.tsMicros == java.time.Instant.parse("2024-03-05T08:20:30Z").toEpochMilli * 1000L)
+  }
+
+  test("BSD timestamp year inference uses refYear") {
+    val p = SyslogLineParser.parse("<13>Jun 30 12:00:00 h p: m", 2023)
+    assert(p.tsMicros == java.time.Instant.parse("2023-06-30T12:00:00Z").toEpochMilli * 1000L)
+  }
+
+  test("expression integrates with DataFrame API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      "<34>Oct 11 22:14:15 mymachine su[123]: 'su root' failed",
+      "<165>1 2003-10-11T22:14:15.003Z host app 1 ID47 - msg").toDF("line")
+      .select(graft.functions.GraftFunctions.parse_syslog(col("line")).as("p"))
+      .select("p.facility", "p.severity", "p.host", "p.program", "p.message")
+    val rows = df.collect()
+    assert(rows(0).getInt(0) == 4 && rows(0).getString(2) == "mymachine")
+    assert(rows(1).getString(3) == "app")
+  }
+
+  test("expression works via SQL registration") {
+    import spark.implicits._
+    Seq("<13>Feb  5 17:32:18 h p: m").toDF("line").createOrReplaceTempView("raw")
+    val r = spark.sql("SELECT parse_syslog(line).program AS prg FROM raw").collect()
+    assert(r(0).getString(0) == "p")
+  }
+}
