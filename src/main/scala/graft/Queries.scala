@@ -1,5 +1,8 @@
 package graft
 
+import graft.functions.GraftFunctions
+import graft.operators.{Filters, Rewrites}
+import graft.template.Template
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -90,9 +93,190 @@ object Queries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // Filters (SURVEY §2.3): regex match, netmask, in-list semi-join
+  // ---------------------------------------------------------------------
+  private val filterMatch = Q("filter_match",
+    (s, d) => Tables.events(s, d)
+      .filter(Filters.matches("\"k\": 1[0-9]$", regexp_replace(col("props"), "[{}]", "")))
+      .select(col("event_id"), col("props"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id, props FROM events
+      WHERE regexp_matches(regexp_replace(props, '[{}]', '', 'g'), '"k": 1[0-9]$')
+      ORDER BY event_id"""))
+
+  private val filterNetmask = Q("filter_netmask",
+    (s, d) => {
+      // synthesize a source IP, then CIDR-filter it (filter-netmask.c)
+      val ev = Tables.events(s, d).withColumn("srcip",
+        concat(lit("10."), (col("user_id") % 256).cast("string"), lit("."),
+          (col("event_id") % 256).cast("string"), lit(".5")))
+      ev.filter(Filters.netmask("10.3.0.0/16", col("srcip")))
+        .select(col("event_id"), col("srcip"))
+        .orderBy(col("event_id"))
+    },
+    // oracle computes membership independently of the ip-int arithmetic
+    Some("""SELECT event_id, '10.' || (user_id % 256) || '.' || (event_id % 256) || '.5' AS srcip
+      FROM events WHERE user_id % 256 = 3 ORDER BY event_id"""))
+
+  private val filterInList = Q("filter_in_list",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val keys = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      Filters.inListJoin(ev, keys, col("user_id"))
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id FROM events
+      WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------------
+  // Rewrites (SURVEY §2.5): subst first/global, set-tag
+  // ---------------------------------------------------------------------
+  private val rewriteSubst = Q("rewrite_subst",
+    (s, d) => {
+      val docs = Tables.documents(s, d).withColumnRenamed("text", "message")
+      val g = Rewrites.subst(docs, "message", "spark", "SPARK", global = true)
+        .withColumnRenamed("message", "msg_global")
+      val f = Rewrites.subst(docs, "message", "spark", "SPARK")
+        .select(col("doc_id").as("fid"), col("message").as("msg_first"))
+      g.join(f, col("doc_id") === col("fid"))
+        .select(col("doc_id"), md5(col("msg_global")).as("h_global"),
+          md5(col("msg_first")).as("h_first"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, md5(regexp_replace(text, 'spark', 'SPARK', 'g')) AS h_global,
+      md5(regexp_replace(text, 'spark', 'SPARK')) AS h_first
+      FROM documents ORDER BY doc_id"""))
+
+  private val rewriteSetTag = Q("rewrite_set_tag",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("severity", (col("event_id") % 8).cast("int"))
+        .withColumn("tags", array(lit("base")))
+      val tagged = Rewrites.setTag(
+        Rewrites.setTag(ev, "alert", col("severity") <= 3),
+        "err", col("event_type") === "error")
+      tagged.filter(Filters.tags("alert", "err"))
+        .select(col("event_id"), array_join(col("tags"), ",").as("tags"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      'base' || CASE WHEN event_id % 8 <= 3 THEN ',alert' ELSE '' END
+             || CASE WHEN event_type = 'error' THEN ',err' ELSE '' END AS tags
+      FROM events WHERE event_id % 8 <= 3 OR event_type = 'error'
+      ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------------
+  // Template engine (SURVEY §2.8): macros + format line
+  // ---------------------------------------------------------------------
+  private def syslogishEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("host", concat(lit("h"), col("user_id")))
+      .withColumn("program", col("event_type"))
+      .withColumn("message", concat(lit("u="), col("user_id")))
+      .withColumn("facility", (col("user_id") % 24).cast("int"))
+      .withColumn("severity", (col("event_id") % 8).cast("int"))
+      .withColumn("tsn", col("ts")).drop("ts")
+      .withColumn("ts", Tables.tsMicros(col("tsn")))
+
+  private val templateFormat = Q("template_format",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+      ev.select(col("event_id"),
+        Template.column("<$PRI>$DATE $HOST $PROGRAM: $MESSAGE", ev.columns).as("line"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      '<' || ((user_id % 24) * 8 + event_id % 8) || '>' ||
+      strftime(ts, '%b %d %H:%M:%S') || ' h' || user_id || ' ' ||
+      event_type || ': u=' || user_id AS line
+      FROM events ORDER BY event_id"""),
+    bench = true)
+
+  private val templateFuncs = Q("template_funcs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+        Template.column("$(md5 $text)", docs.columns).as("h"),
+        Template.column("$(uppercase $(substr $text 0 10))", docs.columns).as("head10"),
+        Template.column("$(length $text)", docs.columns).as("len"),
+        Template.column("$(+ $n_chars 10)", docs.columns).as("plus10"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, md5(text) AS h, upper(substring(text, 1, 10)) AS head10,
+      CAST(length(text) AS STRING) AS len, CAST(n_chars + 10 AS STRING) AS plus10
+      FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // Syslog parsing (SURVEY §2.2): construct lines from events, parse back,
+  // verify against independently-computed fields
+  // ---------------------------------------------------------------------
+  private val parseSyslogRfc3164 = Q("parse_syslog_rfc3164",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+      val line = concat(
+        lit("<"), ((col("user_id") % 24) * 8 + col("event_id") % 8).cast("string"), lit(">"),
+        date_format(col("ts"), "MMM dd HH:mm:ss"), lit(" "),
+        col("host"), lit(" "), col("program"),
+        lit("["), (col("event_id") % 1000).cast("string"), lit("]: "),
+        col("message"))
+      val p = GraftFunctions.parse_syslog(line, 2024)
+      ev.select(col("event_id"), p.as("p"))
+        .select(col("event_id"),
+          col("p.facility").as("facility"), col("p.severity").as("severity"),
+          col("p.host").as("host"), col("p.program").as("program"),
+          col("p.pid").as("pid"), col("p.message").as("message"),
+          unix_timestamp(col("p.ts")).as("ts_sec"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CAST(user_id % 24 AS INT) AS facility, CAST(event_id % 8 AS INT) AS severity,
+      'h' || user_id AS host, event_type AS program,
+      CAST(event_id % 1000 AS STRING) AS pid, 'u=' || user_id AS message,
+      CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts_sec
+      FROM events ORDER BY event_id"""),
+    bench = true)
+
+  private val parseSyslogRfc5424 = Q("parse_syslog_rfc5424",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+      val kv = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+      val line = concat(
+        lit("<"), ((col("user_id") % 24) * 8 + col("event_id") % 8).cast("string"), lit(">1 "),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"), lit(" "),
+        col("host"), lit(" "), col("program"), lit(" "),
+        col("event_id").cast("string"), lit(" ID"), (col("event_id") % 100).cast("string"),
+        lit(" [ev k=\""), kv, lit("\"] "), col("message"))
+      val p = GraftFunctions.parse_syslog(line, 2024)
+      ev.select(col("event_id"), p.as("p"))
+        .select(col("event_id"),
+          col("p.version").as("version"), col("p.host").as("host"),
+          col("p.program").as("program"), col("p.pid").as("pid"),
+          col("p.msgid").as("msgid"),
+          element_at(col("p.sdata"), "ev.k").as("sd_k"),
+          col("p.message").as("message"),
+          unix_micros(col("p.ts")).as("ts_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, 1 AS version, 'h' || user_id AS host,
+      event_type AS program, CAST(event_id AS STRING) AS pid,
+      'ID' || (event_id % 100) AS msgid,
+      regexp_extract(props, '"k": (\d+)', 1) AS sd_k,
+      'u=' || user_id AS message,
+      CAST(epoch_ns(ts) // 1000 AS BIGINT) AS ts_us
+      FROM events ORDER BY event_id"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
   // All queries
   // ---------------------------------------------------------------------
-  val all: Seq[Q] = Seq(aggStats, filterSeverity, enrichLookup)
+  val all: Seq[Q] = Seq(aggStats, filterSeverity, enrichLookup,
+    filterMatch, filterNetmask, filterInList,
+    rewriteSubst, rewriteSetTag,
+    templateFormat, templateFuncs,
+    parseSyslogRfc3164, parseSyslogRfc5424)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -17,10 +17,13 @@ object Tables {
 
   /** events.ts arrives as nanos-since-epoch long; `tsMicros` gives a real
     * TimestampType column (truncation matches DuckDB ns->us floor for
-    * positive epochs). */
-  def tsMicros(nanos: Column): Column = timestamp_micros((nanos / 1000L).cast("long"))
+    * positive epochs). Division goes through decimal: long `/` long in
+    * Spark is DOUBLE division, which corrupts ns-scale epochs (> 2^53). */
+  def tsMicros(nanos: Column): Column =
+    timestamp_micros((nanos.cast("decimal(38,0)") / 1000).cast("long"))
   /** Epoch seconds from the nanos long — the oracle-safe egress form. */
-  def tsSeconds(nanos: Column): Column = (nanos / 1000000000L).cast("long")
+  def tsSeconds(nanos: Column): Column =
+    (nanos.cast("decimal(38,0)") / 1000000000).cast("long")
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")

@@ -44,7 +44,7 @@ case class Ipv4ToInt(child: Expression)
   override def prettyName: String = "ipv4_to_int"
 
   override protected def nullSafeEval(v: Any): Any = {
-    val r = Ipv4ToInt.eval(v.asInstanceOf[UTF8String])
+    val r = Ipv4ToInt.toLong(v.asInstanceOf[UTF8String])
     if (r < 0) null else java.lang.Long.valueOf(r)
   }
 
@@ -53,7 +53,7 @@ case class Ipv4ToInt(child: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
       s"""
-         |${ev.value} = graft.functions.Ipv4ToInt.eval($v);
+         |${ev.value} = graft.functions.Ipv4ToInt.toLong($v);
          |if (${ev.value} < 0) { ${ev.isNull} = true; }
        """.stripMargin)
 
@@ -61,8 +61,11 @@ case class Ipv4ToInt(child: Expression)
 }
 
 object Ipv4ToInt {
-  /** Returns -1 on malformed input (valid results are in [0, 2^32)). */
-  def eval(ip: UTF8String): Long = {
+  /** Returns -1 on malformed input (valid results are in [0, 2^32)).
+    * (Named `toLong`, not `eval`: a companion method named like the
+    * instance `eval(InternalRow)` gets no static forwarder, which breaks
+    * the generated java.) */
+  def toLong(ip: UTF8String): Long = {
     val s = ip.toString
     var acc = 0L; var octet = -1L; var parts = 0
     var i = 0

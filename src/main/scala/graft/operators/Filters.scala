@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.model.SyslogNames
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Filter algebra — Column builders mirroring the reference's filter
+  * expressions (`/root/reference/lib/filter/`).
+  *
+  * Everything compiles to plain Catalyst predicates so pushdown, boolean
+  * simplification and short-circuit codegen apply (the reference
+  * interprets a FilterExprNode tree per message, `lib/filter/
+  * filter-expr.h:36-47`; here Catalyst owns evaluation).
+  */
+object Filters {
+
+  /** `facility(f1, f2, ...)` — `lib/filter/filter-pri.c`. Accepts names or
+    * numeric codes. */
+  def facility(names: String*): Column =
+    col("facility").isin(names.map(n =>
+      SyslogNames.facilityToCode.getOrElse(n, n.toInt)): _*)
+
+  /** `severity(name)` / `level(name)` — single severity. */
+  def severity(names: String*): Column =
+    col("severity").isin(names.map(n =>
+      SyslogNames.severityToCode.getOrElse(n, n.toInt)): _*)
+
+  /** `severity(from..to)` range, inclusive, e.g. emerg..err. */
+  def severityRange(from: String, to: String): Column = {
+    val lo = SyslogNames.severityToCode(from)
+    val hi = SyslogNames.severityToCode(to)
+    col("severity") >= lo && col("severity") <= hi
+  }
+
+  /** `host("regex")` / `program()` / `message()` — `lib/filter/filter-re.c`. */
+  def host(re: String): Column = col("host").rlike(re)
+  def program(re: String): Column = col("program").rlike(re)
+  def message(re: String): Column = col("message").rlike(re)
+
+  /** `match(re value(field))` — regex match on any expression. */
+  def matches(re: String, value: Column): Column = value.rlike(re)
+
+  /** Literal string matcher backend (`lib/logmatcher.h` "string"). */
+  def matchesLiteral(s: String, value: Column): Column = value === lit(s)
+
+  /** Glob matcher backend (`lib/logmatcher.h` "glob"): `*`/`?` translated
+    * to SQL LIKE (escaping LIKE metachars). */
+  def matchesGlob(pattern: String, value: Column): Column = {
+    val likePat = pattern
+      .replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      .replace('*', '%').replace('?', '_')
+    value.like(likePat)
+  }
+
+  /** `netmask("a.b.c.d/len")` CIDR containment — `lib/filter/
+    * filter-netmask.c`. `ip` is a dotted-quad string column. */
+  def netmask(cidr: String, ip: Column): Column = {
+    val Array(base, lenS) = cidr.split("/")
+    val len = lenS.toInt
+    val baseInt = base.split("\\.").map(_.toLong).reduceLeft((a, b) => (a << 8) | b)
+    val mask = if (len == 0) 0L else (0xFFFFFFFFL << (32 - len)) & 0xFFFFFFFFL
+    val ipInt = graft.functions.GraftFunctions.ipv4_to_int(ip)
+    ipInt.isNotNull && (ipInt.bitwiseAND(lit(mask)) === lit(baseInt & mask))
+  }
+
+  /** `tags(t1, t2)` — any-of test on the tags array (`lib/filter/
+    * filter-tags.c`). */
+  def tags(ts: String*): Column =
+    arrays_overlap(col("tags"), array(ts.map(lit): _*))
+
+  /** `in-list("file", value(field))` for a small key list — plain `isin`
+    * (broadcast-free). */
+  def inList(keys: Seq[String], value: Column): Column =
+    value.isin(keys: _*)
+
+  /** `in-list` against a large key table — broadcast left-semi join
+    * (`lib/filter/filter-in-list.c` is a hash-set membership; at scale
+    * the set ships to executors once). */
+  def inListJoin(df: DataFrame, keys: DataFrame, value: Column): DataFrame =
+    df.join(broadcast(keys), value === keys.col(keys.columns.head), "left_semi")
+
+  /** Numeric comparison family (`lib/filter/filter-cmp.c:116-153`,
+    * `KW_NUM_*`): cast both sides before comparing. */
+  def numCmp(a: Column, op: String, b: Column): Column = {
+    val (x, y) = (a.cast("double"), b.cast("double"))
+    op match {
+      case "==" | "eq" => x === y
+      case "!=" | "ne" => x =!= y
+      case "<"  | "lt" => x < y
+      case ">"  | "gt" => x > y
+      case "<=" | "le" => x <= y
+      case ">=" | "ge" => x >= y
+    }
+  }
+
+  /** String comparison family (`filter-cmp.c:46-115`): byte-wise string
+    * compare like the reference's strcmp. */
+  def strCmp(a: Column, op: String, b: Column): Column = {
+    val (x, y) = (a.cast("string"), b.cast("string"))
+    op match {
+      case "==" | "eq" => x === y
+      case "!=" | "ne" => x =!= y
+      case "<"  | "lt" => x < y
+      case ">"  | "gt" => x > y
+      case "<=" | "le" => x <= y
+      case ">=" | "ge" => x >= y
+    }
+  }
+}

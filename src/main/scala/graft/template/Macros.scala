@@ -1,0 +1,104 @@
+package graft.template
+
+import graft.model.SyslogNames
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The macro library — derived virtual columns computed on reference
+  * (`/root/reference/lib/template/macros.h:35-102`, expansion
+  * `macros.c:423`). Catalyst prunes whatever a query doesn't use, so
+  * "~80 virtual columns" cost nothing until referenced.
+  *
+  * Date-part macros exist unprefixed (event time STAMP) and with the
+  * `R_` (received) / `P_` (processed) / `C_` (current) prefixes
+  * (`macros.h:99-102`); `S_` is an alias of unprefixed.
+  */
+object Macros {
+
+  private def severityName(code: Column): Column =
+    SyslogNames.severities.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (name, i)) => when(code === i, lit(name)).otherwise(acc)
+    }
+
+  private def facilityName(code: Column): Column =
+    SyslogNames.facilities.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (name, i)) => when(code === i, lit(name)).otherwise(acc)
+    }
+
+  /** Date-part family over one timestamp column (`macros.h:69-94`). */
+  private def dateMacro(part: String, ts: Column): Option[Column] = part match {
+    case "YEAR" => Some(date_format(ts, "yyyy"))
+    case "MONTH" => Some(date_format(ts, "MM"))
+    case "DAY" => Some(date_format(ts, "dd"))
+    case "HOUR" => Some(date_format(ts, "HH"))
+    case "MIN" => Some(date_format(ts, "mm"))
+    case "SEC" => Some(date_format(ts, "ss"))
+    case "MSEC" => Some(date_format(ts, "SSS"))
+    case "USEC" => Some(date_format(ts, "SSSSSS"))
+    case "WEEK" => Some(lpad(weekofyear(ts).cast("string"), 2, "0"))
+    case "ISOWEEK" => Some(lpad(weekofyear(ts).cast("string"), 2, "0"))
+    case "WEEK_DAY" => Some(dayofweek(ts).cast("string")) // 1=Sunday, like reference
+    case "WEEK_DAY_NAME" => Some(date_format(ts, "EEE"))
+    case "WEEK_DAY_ABBREV" => Some(date_format(ts, "EEE"))
+    case "MONTH_NAME" => Some(date_format(ts, "MMM"))
+    case "MONTH_ABBREV" => Some(date_format(ts, "MMM"))
+    case "UNIXTIME" => Some(unix_timestamp(ts).cast("string"))
+    case "ISODATE" => Some(date_format(ts, "yyyy-MM-dd'T'HH:mm:ssxxx"))
+    case "FULLDATE" => Some(date_format(ts, "yyyy MMM dd HH:mm:ss"))
+    case "DATE" | "STAMP" => Some(date_format(ts, "MMM dd HH:mm:ss"))
+    case "TZOFFSET" => Some(date_format(ts, "xxx"))
+    case "TZ" => Some(date_format(ts, "xxx"))
+    case _ => None
+  }
+
+  /** Resolver for template Refs over a LogRecord-shaped frame: builtin
+    * macros first, then real columns, then the dynamic `values` map, then
+    * `$1..$255` match groups. */
+  def resolver(columns: Set[String]): String => Column = {
+    val hasValues = columns.contains("values")
+    val hasMatches = columns.contains("matches")
+
+    name => name match {
+      case "HOST" => col("host")
+      case "HOST_FROM" => col("host_from")
+      case "MESSAGE" | "MSG" => col("message")
+      case "MSGHDR" =>
+        concat(coalesce(col("program"), lit("")),
+          when(col("pid").isNotNull, concat(lit("["), col("pid"), lit("]")))
+            .otherwise(lit("")),
+          lit(": "))
+      case "PROGRAM" => col("program")
+      case "PID" => col("pid")
+      case "MSGID" => col("msgid")
+      case "SOURCE" => col("source")
+      case "PRI" => (col("facility") * 8 + col("severity")).cast("string")
+      case "FACILITY" => facilityName(col("facility"))
+      case "FACILITY_NUM" => col("facility").cast("string")
+      case "SEVERITY" | "LEVEL" | "PRIORITY" => severityName(col("severity"))
+      case "SEVERITY_NUM" | "LEVEL_NUM" => col("severity").cast("string")
+      case "TAG" => lpad(hex(col("facility") * 8 + col("severity")), 2, "0")
+      case "TAGS" => array_join(col("tags"), ",")
+      case "SEQNUM" | "RCPTID" | "HOSTID" | "RUNID" | "UNIQID" | "CONTEXT_ID" =>
+        if (columns.contains(name.toLowerCase)) col(name.toLowerCase) else lit("")
+      case "LOGHOST" =>
+        lit(java.net.InetAddress.getLocalHost.getHostName)
+      case d if d.startsWith("R_") && dateMacro(d.drop(2), col("recvd_ts")).isDefined =>
+        dateMacro(d.drop(2), col("recvd_ts")).get
+      case d if d.startsWith("P_") && dateMacro(d.drop(2), col("proc_ts")).isDefined =>
+        dateMacro(d.drop(2), col("proc_ts")).get
+      case d if d.startsWith("C_") && dateMacro(d.drop(2), current_timestamp()).isDefined =>
+        dateMacro(d.drop(2), current_timestamp()).get
+      case d if d.startsWith("S_") && dateMacro(d.drop(2), col("ts")).isDefined =>
+        dateMacro(d.drop(2), col("ts")).get
+      case d if dateMacro(d, col("ts")).isDefined =>
+        dateMacro(d, col("ts")).get
+      case m if m.nonEmpty && m.forall(_.isDigit) && hasMatches =>
+        // $1..$255 regexp match groups -> matches array ($0 = whole match)
+        element_at(col("matches"), m.toInt + 1)
+      case other if columns.contains(other) => col(other)
+      case other if columns.contains(other.toLowerCase) => col(other.toLowerCase)
+      case other if hasValues => element_at(col("values"), other)
+      case _ => lit(null).cast("string")
+    }
+  }
+}

@@ -1,0 +1,171 @@
+package graft.template
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The `$(func ...)` scalar function library.
+  *
+  * Registration mirrors the reference's module plugins:
+  * string/cond/list/numeric/ip/misc funcs `/root/reference/modules/
+  * basicfuncs/basic-funcs.c:84-140`, crypto `/root/reference/modules/
+  * cryptofuncs/cryptofuncs.c:160-166`. Each entry takes already-compiled
+  * argument Columns (strings, per the reference's string-first typing) and
+  * returns one Column; everything stays inside Catalyst codegen.
+  *
+  * Template-level "lists" are comma-separated strings, exactly like the
+  * reference (`lib/scanner/list-scanner/`); array columns enter/leave via
+  * split/array_join at the edges.
+  *
+  * Spark 4 runs ANSI mode: string->number casts on garbage would throw,
+  * so numeric coercion is regex-guarded (returns null like the
+  * reference's "" on unparsable input).
+  */
+object TemplateFunctions {
+  /** A compiled template argument. `literal` is set when the argument was
+    * pure literal text — functions with structural args (widths,
+    * separators) require it. */
+  final case class TArg(col: Column, literal: Option[String]) {
+    def lit(fname: String): String = literal.getOrElse(
+      throw new IllegalArgumentException(
+        s"$$($fname): this argument must be a literal, not a computed value"))
+  }
+
+  /** ANSI-safe string->long: null (renders "") on non-numeric input. */
+  private def num(a: TArg): Column = {
+    val s = a.col.cast("string")
+    when(s.rlike("^-?[0-9]+$"), s.cast("long"))
+  }
+
+  private def dbl(a: TArg): Column = {
+    val s = a.col.cast("string")
+    when(s.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"), s.cast("double"))
+  }
+
+  private def listIn(a: TArg): Column = split(a.col, ",")
+  private def listOut(c: Column): Column = array_join(c, ",")
+
+  val registry: Map[String, Seq[TArg] => Column] = Map(
+    // ---- string (str-funcs.c) ------------------------------------------
+    "echo" -> (args => concat_ws(" ", args.map(_.col): _*)),
+    "length" -> (args => length(args.head.col)),
+    "substr" -> { args =>
+      val s = args.head.col
+      val start = num(args(1)).cast("int")
+      val from1 = when(start >= 0, start + 1).otherwise(length(s) + start + 1)
+      args.lift(2) match {
+        case Some(len) => s.substr(from1, num(len).cast("int"))
+        case None => s.substr(from1, length(s))
+      }
+    },
+    "strip" -> (args => trim(args.head.col)),
+    "sanitize" -> (args => translate(args.head.col, "/", "_")),
+    "lowercase" -> (args => lower(args.head.col)),
+    "uppercase" -> (args => upper(args.head.col)),
+    "replace-delimiter" -> { args =>
+      // $(replace-delimiter "from-chars" "to" msg)
+      val from = args.head.lit("replace-delimiter")
+      val to = args(1).lit("replace-delimiter")
+      translate(args(2).col, from, to.take(1).padTo(from.length, to.head).mkString)
+    },
+    "padding" -> { args =>
+      val width = args(1).lit("padding").toInt
+      val padChar = args.lift(2).map(_.lit("padding")).getOrElse(" ")
+      lpad(args.head.col, width, padChar)
+    },
+    "repeat" -> (args => repeat(args.head.col, args(1).lit("repeat").toInt)),
+    "implode" -> (args => array_join(listIn(args(1)), args.head.lit("implode"))),
+    "explode" -> { args =>
+      val sep = java.util.regex.Pattern.quote(args.head.lit("explode"))
+      listOut(split(args(1).col, sep))
+    },
+    // ---- filename (fname-funcs.c) --------------------------------------
+    "basename" -> (args => substring_index(args.head.col, "/", -1)),
+    "dirname" -> { args =>
+      val s = args.head.col
+      when(s.contains("/"), regexp_replace(s, "/[^/]*$", "")).otherwise(lit("."))
+    },
+    // ---- conditional (cond-funcs.c) -------------------------------------
+    "or" -> (args => coalesce(args.map(a => nullif(a.col, lit(""))) :+ lit(""): _*)),
+    "default" -> (args => coalesce(args.map(a => nullif(a.col, lit(""))) :+ lit(""): _*)),
+    // ---- list (list-funcs.c) --------------------------------------------
+    "list-concat" -> (args => listOut(flatten(array(args.map(listIn): _*)))),
+    "list-append" -> (args => listOut(concat(listIn(args.head), array(args.tail.map(_.col): _*)))),
+    "list-head" -> (args => element_at(listIn(args.head), 1)),
+    "list-nth" -> { args =>
+      // reference is 0-indexed (list-funcs.c)
+      element_at(listIn(args.head), num(args(1)).cast("int") + 1)
+    },
+    "list-tail" -> { args =>
+      listOut(slice(listIn(args.head), lit(2),
+        greatest(size(listIn(args.head)) - 1, lit(0))))
+    },
+    "list-count" -> { args =>
+      when(args.head.col === "", lit(0)).otherwise(size(listIn(args.head)))
+    },
+    "list-slice" -> { args =>
+      // $(list-slice from:to list) — 0-based, to exclusive
+      val Array(f, t) = args.head.lit("list-slice").split(":", -1)
+      val arr = listIn(args(1))
+      val from = if (f.isEmpty) 0 else f.toInt
+      val fromC = if (from >= 0) lit(from + 1) else greatest(size(arr) + from + 1, lit(1))
+      val untilC =
+        if (t.isEmpty) size(arr) + 1
+        else if (t.toInt >= 0) least(lit(t.toInt + 1), size(arr) + 1)
+        else size(arr) + t.toInt + 1
+      listOut(slice(arr, fromC, greatest(untilC - fromC, lit(0))))
+    },
+    "list-search" -> { args =>
+      val idx = array_position(listIn(args(1)), args.head.lit("list-search"))
+      when(idx > 0, (idx - 1).cast("string")).otherwise(lit(""))
+    },
+    // ---- numeric (numeric-funcs.c:149-466) -------------------------------
+    "+" -> (args => args.map(num).reduce(_ + _)),
+    "-" -> (args => args.map(num).reduce(_ - _)),
+    "*" -> (args => args.map(num).reduce(_ * _)),
+    "/" -> (args => args.map(num).reduce((a, b) => (a / nullif(b, lit(0))).cast("long"))),
+    "%" -> (args => args.map(num).reduce((a, b) => a % nullif(b, lit(0)))),
+    "sum" -> (args => args.map(num).reduce(_ + _)),
+    "min" -> (args => least(args.map(num): _*)),
+    "max" -> (args => greatest(args.map(num): _*)),
+    "average" -> (args => (args.map(num).reduce(_ + _) / args.size).cast("long")),
+    "round" -> { args =>
+      args.lift(1) match {
+        case Some(d) => round(dbl(args.head), d.lit("round").toInt)
+        case None => round(dbl(args.head), 0).cast("long")
+      }
+    },
+    "ceil" -> (args => ceil(dbl(args.head))),
+    "floor" -> (args => floor(dbl(args.head))),
+    // ---- ip / misc (ip-funcs.c, misc-funcs.c) ----------------------------
+    "ipv4-to-int" -> (args => graft.functions.GraftFunctions.ipv4_to_int(args.head.col)),
+    "indent-multi-line" -> (args => regexp_replace(args.head.col, "\n", "\n\t")),
+    "env" -> (args => lit(sys.env.getOrElse(args.head.lit("env"), ""))),
+    "url-encode" -> (args => call_function("url_encode", args.head.col)),
+    "url-decode" -> (args => call_function("url_decode", args.head.col)),
+    "base64-encode" -> (args => base64(args.head.col.cast("binary"))),
+    // ---- crypto (cryptofuncs.c:160-166) ----------------------------------
+    "uuid" -> (_ => call_function("uuid")),
+    "hash" -> (args => sha2(args.head.col, 256)),
+    "sha256" -> (args => sha2(args.head.col, 256)),
+    "sha512" -> (args => sha2(args.head.col, 512)),
+    "sha1" -> (args => sha1(args.head.col)),
+    "md5" -> (args => md5(args.head.col)),
+    // ---- misc -------------------------------------------------------------
+    "stardate" -> { args =>
+      // $(stardate $UNIXTIME) -> year.fraction
+      val ts = to_timestamp(num(args.head))
+      val startOfYear = date_trunc("year", ts)
+      val nextYear = add_months(startOfYear, 12)
+      val frac = (unix_timestamp(ts) - unix_timestamp(startOfYear)).cast("double") /
+        (unix_timestamp(nextYear) - unix_timestamp(startOfYear)).cast("double")
+      round(year(ts) + frac, 2)
+    },
+    "format-welf" -> { args =>
+      // $(format-welf k1 v1 k2 v2 ...)
+      val pairs = args.map(_.col).grouped(2).collect {
+        case Seq(k, v) => concat(k, lit("="), v)
+      }.toSeq
+      concat_ws(" ", pairs: _*)
+    }
+  )
+}

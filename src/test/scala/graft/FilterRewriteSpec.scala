@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Filters, Rewrites}
+import org.apache.spark.sql.functions._
+
+class FilterRewriteSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def logDf = Seq(
+    ("h1", "sshd", "login failed from 10.0.1.5", 4, 3, "10.0.1.5"),
+    ("h2", "cron", "job done", 9, 6, "192.168.1.1"),
+    ("web1", "nginx", "GET /index.html", 1, 4, "10.0.200.7")
+  ).toDF("host", "program", "message", "facility", "severity", "srcip")
+    .withColumn("tags", array(lit("base")))
+
+  test("facility/severity filters") {
+    assert(logDf.filter(Filters.facility("auth")).count() == 1)
+    assert(logDf.filter(Filters.severity("err", "warning")).count() == 2)
+    assert(logDf.filter(Filters.severityRange("emerg", "err")).count() == 1)
+  }
+
+  test("regex and glob matchers") {
+    assert(logDf.filter(Filters.program("^ssh")).count() == 1)
+    assert(logDf.filter(Filters.message("failed|done")).count() == 2)
+    assert(logDf.filter(Filters.matchesGlob("web*", col("host"))).count() == 1)
+    assert(logDf.filter(Filters.matchesGlob("h?", col("host"))).count() == 2)
+  }
+
+  test("netmask CIDR containment") {
+    assert(logDf.filter(Filters.netmask("10.0.0.0/16", col("srcip"))).count() == 2)
+    assert(logDf.filter(Filters.netmask("10.0.1.0/24", col("srcip"))).count() == 1)
+    assert(logDf.filter(Filters.netmask("0.0.0.0/0", col("srcip"))).count() == 3)
+  }
+
+  test("tags filter") {
+    val tagged = Rewrites.setTag(logDf, "alert", col("severity") <= 3)
+    assert(tagged.filter(Filters.tags("alert")).count() == 1)
+    assert(tagged.filter(Filters.tags("base")).count() == 3)
+  }
+
+  test("in-list membership and semi-join") {
+    assert(logDf.filter(Filters.inList(Seq("sshd", "nginx"), col("program"))).count() == 2)
+    val keys = Seq("sshd").toDF("k")
+    assert(Filters.inListJoin(logDf, keys, col("program")).count() == 1)
+  }
+
+  test("numeric vs string compare semantics") {
+    val df = Seq(("9", "10")).toDF("a", "b")
+    // string compare: "9" > "10"; numeric compare: 9 < 10 (filter-cmp.c)
+    assert(df.filter(Filters.strCmp(col("a"), ">", col("b"))).count() == 1)
+    assert(df.filter(Filters.numCmp(col("a"), "<", col("b"))).count() == 1)
+  }
+
+  test("rewrite set with condition") {
+    val out = Rewrites.set(logDf, "host", lit("REDACTED"), col("facility") === 4)
+    assert(out.filter(col("host") === "REDACTED").count() == 1)
+    assert(out.filter(col("host") === "h2").count() == 1)
+  }
+
+  test("subst first-only vs global") {
+    val df = Seq("a-b-c").toDF("message")
+    val first = Rewrites.subst(df, "message", "-", "_")
+    assert(first.head().getString(0) == "a_b-c")
+    val all = Rewrites.subst(df, "message", "-", "_", global = true)
+    assert(all.head().getString(0) == "a_b_c")
+  }
+
+  test("set-severity / set-pri") {
+    val out = Rewrites.setSeverity(logDf, lit("warning"), col("program") === "sshd")
+    assert(out.filter(col("severity") === 4).count() == 2)
+    val pri = Rewrites.setPri(logDf, lit(165))
+    val r = pri.select("facility", "severity").distinct().collect()
+    assert(r.forall(row => row.getInt(0) == 20 && row.getInt(1) == 5))
+  }
+
+  test("groupset applies to matching map keys only") {
+    val df = Seq(1).toDF("x").withColumn("values",
+      map(lit("a.x"), lit("1"), lit("a.y"), lit("2"), lit("b.z"), lit("3")))
+    val out = Rewrites.groupSet(df, lit("X"), "a.*")
+    val m = out.select("values").head().getMap[String, String](0)
+    assert(m("a.x") == "X" && m("a.y") == "X" && m("b.z") == "3")
+  }
+
+  test("unsetValue removes a dynamic key") {
+    val df = Seq(1).toDF("x").withColumn("values",
+      map(lit("keep"), lit("1"), lit("drop"), lit("2")))
+    val m = Rewrites.unsetValue(df, "drop").select("values")
+      .head().getMap[String, String](0)
+    assert(m.keySet == Set("keep"))
+  }
+}

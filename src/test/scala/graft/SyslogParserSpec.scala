@@ -43,6 +43,14 @@ class SyslogParserSpec extends GraftSuite {
     assert(p.host == "h")
   }
 
+  test("pathological truncated lines never throw") {
+    for (line <- Seq("<34>1 ", "<999>weird", "", "<", "<34>", "<34>1", "<13>Feb",
+        "<13>Feb 30 25:99:99 h p: m", "<34>1 - h", "<34>1 2024-01-01T00:00:00Z")) {
+      val p = SyslogLineParser.parse(line, 2024)
+      assert(p.pri >= 0, s"line: $line")
+    }
+  }
+
   test("unparsable line becomes whole message") {
     val p = SyslogLineParser.parse("not a syslog line at all", 2024)
     assert(p.pri == 13)

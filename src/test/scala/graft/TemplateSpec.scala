@@ -1,0 +1,98 @@
+package graft
+
+import graft.template.Template
+import org.apache.spark.sql.functions._
+
+class TemplateSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def logDf = {
+    Seq(
+      ("h1", "sshd", "1234", "login failed", 4, 3, "2024-03-05T10:20:30Z"),
+      ("h2", "cron", null, "job done", 9, 6, "2024-12-31T23:59:59Z")
+    ).toDF("host", "program", "pid", "message", "facility", "severity", "iso")
+      .withColumn("ts", to_timestamp(col("iso")))
+      .withColumn("tags", array(lit("t1"), lit("t2")))
+      .withColumn("values", map(lit("custom"), lit("cv")))
+  }
+
+  private def render(t: String): Seq[String] = {
+    val df = logDf
+    df.select(Template.column(t, df.columns).as("out"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("plain refs and literals") {
+    assert(render("$HOST $PROGRAM: $MESSAGE") ==
+      Seq("h1 sshd: login failed", "h2 cron: job done"))
+  }
+
+  test("missing value renders empty, default kicks in") {
+    assert(render("[$PID]") == Seq("[1234]", "[]"))
+    assert(render("${PID:-nopid}") == Seq("1234", "nopid"))
+  }
+
+  test("escape and braces") {
+    assert(render("$$HOST=${HOST}") == Seq("$HOST=h1", "$HOST=h2"))
+  }
+
+  test("severity/facility macros") {
+    assert(render("$FACILITY.$SEVERITY") == Seq("auth.err", "cron.info"))
+    assert(render("$PRI") == Seq("35", "78"))
+  }
+
+  test("date macros") {
+    assert(render("$YEAR-$MONTH-$DAY $HOUR:$MIN:$SEC") ==
+      Seq("2024-03-05 10:20:30", "2024-12-31 23:59:59"))
+    assert(render("$ISODATE") ==
+      Seq("2024-03-05T10:20:30+00:00", "2024-12-31T23:59:59+00:00"))
+    assert(render("$UNIXTIME") == Seq("1709634030", "1735689599"))
+  }
+
+  test("dynamic values map fallback") {
+    assert(render("$custom") == Seq("cv", "cv"))
+    assert(render("$nosuch") == Seq("", ""))
+  }
+
+  test("string functions") {
+    assert(render("$(uppercase $HOST)") == Seq("H1", "H2"))
+    assert(render("$(length $MESSAGE)") == Seq("12", "8"))
+    assert(render("$(substr $MESSAGE 0 5)") == Seq("login", "job d"))
+    assert(render("$(substr $MESSAGE -6)") == Seq("failed", "b done"))
+    assert(render("$(echo a b)") == Seq("a b", "a b"))
+    assert(render("$(padding $PID 6 0)") == Seq("001234", "000000"))
+  }
+
+  test("numeric functions") {
+    assert(render("$(+ $FACILITY_NUM $SEVERITY_NUM)") == Seq("7", "15"))
+    assert(render("$(* 3 $SEVERITY_NUM)") == Seq("9", "18"))
+    assert(render("$(max 5 $SEVERITY_NUM)") == Seq("5", "6"))
+    assert(render("$(% $PRI 8)") == Seq("3", "6"))
+  }
+
+  test("list functions (comma repr like the reference)") {
+    assert(render("$(list-head $TAGS)") == Seq("t1", "t1"))
+    assert(render("$(list-count $TAGS)") == Seq("2", "2"))
+    assert(render("$(list-nth $TAGS 1)") == Seq("t2", "t2"))
+    assert(render("$(list-append $TAGS t3)") == Seq("t1,t2,t3", "t1,t2,t3"))
+    assert(render("$(implode : $TAGS)") == Seq("t1:t2", "t1:t2"))
+  }
+
+  test("crypto functions") {
+    assert(render("$(md5 x)") == Seq.fill(2)("9dd4e461268c8034f5c8564e155c67a6"))
+    assert(render("$(sha256 x)").head.length == 64)
+  }
+
+  test("or/default picks first non-empty") {
+    assert(render("$(or $PID $HOST)") == Seq("1234", "h2"))
+  }
+
+  test("filename functions") {
+    assert(render("$(basename /var/log/syslog)") == Seq.fill(2)("syslog"))
+    assert(render("$(dirname /var/log/syslog)") == Seq.fill(2)("/var/log"))
+  }
+
+  test("nested functions and refs") {
+    assert(render("$(uppercase $(substr $MESSAGE 0 3))") == Seq("LOG", "JOB"))
+  }
+}
