@@ -1,7 +1,8 @@
 package graft
 
-import graft.functions.GraftFunctions
-import graft.operators.{Filters, Rewrites}
+import graft.functions.{GraftFunctions, RadixMatch}
+import graft.operators.{Enrich, Filters, Rewrites, Routing}
+import graft.operators.Routing.Branch
 import graft.template.Template
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -270,13 +271,99 @@ object Queries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // Routing (SURVEY §2.6): junction with final + fallback flags
+  // ---------------------------------------------------------------------
+  private val routeJunction = Q("route_junction",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      // final+final+catch-rest compiles to disjoint predicates (if/elif/else)
+      Routing.junction(ev, Seq(
+        Branch("err", col("event_type") === "error", isFinal = true),
+        Branch("big", col("value") > 100, isFinal = true),
+        Branch("other", lit(true))),
+        tagBranch = Some("branch"))
+        .select(col("event_id"), col("branch"))
+        .orderBy(col("event_id"), col("branch"))
+    },
+    Some("""SELECT event_id,
+      CASE WHEN event_type = 'error' THEN 'err'
+           WHEN value > 100 THEN 'big' ELSE 'other' END AS branch
+      FROM events ORDER BY event_id, branch"""))
+
+  // ---------------------------------------------------------------------
+  // patterndb (SURVEY §2.4 db-parser): radix classification with typed
+  // captures over synthesized auth log lines
+  // ---------------------------------------------------------------------
+  private val pdbRules = Seq(
+    ("ssh-fail", "security",
+      "Failed password for @ESTRING:username: @from @IPvANY:client_addr@ port @NUMBER:port@ ssh2"),
+    ("ssh-accept", "security",
+      "Accepted @ESTRING:auth_method: @for @ESTRING:username: @from @IPvANY:client_addr@ port @NUMBER:port@ ssh2"))
+
+  private val patterndbClassify = Q("patterndb_classify",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val addr = concat(lit("10.0."), (col("user_id") % 256).cast("string"),
+        lit("."), (col("event_id") % 256).cast("string"))
+      val port = (lit(1000) + col("event_id") % 1000).cast("string")
+      val line = when(col("event_type") === "error",
+        concat(lit("Failed password for u"), col("user_id"), lit(" from "),
+          addr, lit(" port "), port, lit(" ssh2")))
+        .otherwise(
+          concat(lit("Accepted password for u"), col("user_id"), lit(" from "),
+            addr, lit(" port "), port, lit(" ssh2")))
+      ev.select(col("event_id"), RadixMatch(line, pdbRules).as("m"))
+        .select(col("event_id"), col("m.rule_id").as("rule_id"),
+          col("m.rule_class").as("rule_class"),
+          element_at(col("m.captures"), "username").as("username"),
+          element_at(col("m.captures"), "client_addr").as("client_addr"),
+          element_at(col("m.captures"), "port").as("port"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CASE WHEN event_type = 'error' THEN 'ssh-fail' ELSE 'ssh-accept' END AS rule_id,
+      'security' AS rule_class,
+      'u' || user_id AS username,
+      '10.0.' || (user_id % 256) || '.' || (event_id % 256) AS client_addr,
+      CAST(1000 + event_id % 1000 AS STRING) AS port
+      FROM events ORDER BY event_id"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // geoip-style range enrichment (SURVEY §2.4 geoip2): /8 block per nation
+  // ---------------------------------------------------------------------
+  private val enrichRange = Q("enrich_range",
+    (s, d) => {
+      val ranges = Tables.nation(s, d)
+        .select((col("n_nationkey").cast("long") * 16777216L).as("lo"),
+          (col("n_nationkey").cast("long") * 16777216L + 16777215L).as("hi"),
+          col("n_name"))
+      val ev = Tables.events(s, d).withColumn("ip",
+        concat((col("user_id") % 25).cast("string"), lit("."),
+          (col("event_id") % 256).cast("string"), lit(".0.1")))
+      Enrich.ipRangeLookup(ev, ranges, col("ip"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n_name"))
+    },
+    Some("""WITH ranges AS (
+        SELECT n_nationkey * 16777216 AS lo, n_nationkey * 16777216 + 16777215 AS hi, n_name
+        FROM nation),
+      ev AS (
+        SELECT (user_id % 25) * 16777216 + (event_id % 256) * 65536 + 1 AS ipint
+        FROM events)
+      SELECT n_name, COUNT(*) AS n FROM ev JOIN ranges
+        ON ipint BETWEEN lo AND hi
+      GROUP BY n_name ORDER BY n_name"""))
+
+  // ---------------------------------------------------------------------
   // All queries
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(aggStats, filterSeverity, enrichLookup,
     filterMatch, filterNetmask, filterInList,
     rewriteSubst, rewriteSetTag,
     templateFormat, templateFuncs,
-    parseSyslogRfc3164, parseSyslogRfc5424)
+    parseSyslogRfc3164, parseSyslogRfc5424,
+    routeJunction, patterndbClassify, enrichRange)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

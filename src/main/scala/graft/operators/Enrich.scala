@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Enrichment joins.
+  *
+  * `add-contextual-data()` (`/root/reference/modules/add-contextual-data/
+  * add-contextual-data.c:31-80`, CSV db `context-info-db.c`): a lookup
+  * database of `(selector, name, value)` rows; each matching row adds one
+  * name-value pair to the message. The reference probes an in-memory hash
+  * per message; at Spark scale this is a **broadcast hash join** against
+  * the pivoted database (one row per selector, a map of added pairs).
+  *
+  * `geoip2()` (`modules/geoip2/geoip-parser.c:56-70`) is a range lookup
+  * (IP inside [lo, hi] blocks). A naive between-join is a broadcast
+  * nested loop — O(rows × blocks). `ipRangeLookup` instead explodes each
+  * block into the /16 prefixes it covers and equi-joins on the prefix,
+  * which keeps the probe O(1) per row and stays a broadcast *hash* join
+  * at 100 TB.
+  */
+object Enrich {
+
+  /** Pivot a (selector, name, value) db into (selector, pairs-map). */
+  def pivotDb(db: DataFrame, ignoreCase: Boolean = false): DataFrame = {
+    val sel = if (ignoreCase) lower(col("selector")) else col("selector")
+    db.groupBy(sel.as("selector"))
+      .agg(map_from_entries(collect_list(struct(col("name"), col("value"))))
+        .as("__ctx"))
+  }
+
+  /** `add-contextual-data(selector(...), database(csv), prefix(...),
+    * default-selector(...))`. Added pairs land in the `values` map column
+    * (created if absent), keys optionally prefixed. */
+  def addContextualData(
+      df: DataFrame,
+      db: DataFrame, // columns: selector, name, value
+      selector: Column,
+      prefix: String = "",
+      defaultSelector: Option[String] = None,
+      ignoreCase: Boolean = false): DataFrame = {
+    val pivoted = pivotDb(db, ignoreCase)
+    val withPrefix =
+      if (prefix.isEmpty) pivoted
+      else pivoted.withColumn("__ctx",
+        transform_keys(col("__ctx"), (k, _) => concat(lit(prefix), k)))
+
+    val key = if (ignoreCase) lower(selector) else selector
+    val joined = df.join(broadcast(withPrefix), key === col("selector"), "left")
+
+    val defaulted = defaultSelector match {
+      case None => joined
+      case Some(ds) =>
+        // rows with no selector hit fall back to the default selector's map
+        val dflt = withPrefix.filter(col("selector") === ds)
+          .select(col("__ctx").as("__ctx_default"))
+        joined.crossJoin(broadcast(dflt))
+          .withColumn("__ctx", coalesce(col("__ctx"), col("__ctx_default")))
+          .drop("__ctx_default")
+    }
+
+    val merged =
+      if (df.columns.contains("values"))
+        defaulted.withColumn("values",
+          map_concat(
+            map_filter(col("values"),
+              (k, _) => !array_contains(map_keys(coalesce(col("__ctx"),
+                map().cast("map<string,string>"))), k)),
+            coalesce(col("__ctx"), map().cast("map<string,string>"))))
+      else defaulted.withColumn("values",
+        coalesce(col("__ctx"), map().cast("map<string,string>")))
+    merged.drop("selector", "__ctx")
+  }
+
+  /** Range lookup (geoip-style): `ranges` has (lo, hi, attrs...) with
+    * lo/hi as uint32-as-long IPs. Equi-joins on /16 prefix (each block
+    * exploded to its covered prefixes), then range-filters — broadcast
+    * hash join instead of a nested-loop between-join. */
+  def ipRangeLookup(df: DataFrame, ranges: DataFrame, ip: Column,
+      joinType: String = "left"): DataFrame = {
+    // /16 prefix via floor-div (values < 2^32, exact in double)
+    val withPrefixes = ranges
+      .withColumn("__p16",
+        explode(sequence(floor(col("lo") / 65536).cast("long"),
+          floor(col("hi") / 65536).cast("long"))))
+    val ipInt = graft.functions.GraftFunctions.ipv4_to_int(ip)
+    df.withColumn("__ip_int", ipInt)
+      .withColumn("__ip_p16", floor(col("__ip_int") / 65536).cast("long"))
+      .join(broadcast(withPrefixes),
+        col("__ip_p16") === col("__p16") &&
+          col("__ip_int") >= col("lo") && col("__ip_int") <= col("hi"),
+        joinType)
+      .drop("__p16", "__ip_p16", "__ip_int")
+  }
+}

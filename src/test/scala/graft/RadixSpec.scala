@@ -1,0 +1,82 @@
+package graft
+
+import graft.patterndb.Radix
+import graft.functions.RadixMatch
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's radix/patterndb tests
+  * (`/root/reference/modules/dbparser/tests/test_radix.c`,
+  * `test_patterndb.c`) in spirit: typed parsers, prefix sharing,
+  * literal-over-parser preference, full-line anchoring. */
+class RadixSpec extends GraftSuite {
+
+  private val sshRules = Seq(
+    ("ssh-accept", "security",
+      "Accepted @ESTRING:auth_method: @for @ESTRING:username: @from @IPvANY:client_addr@ port @NUMBER:port@ ssh2"),
+    ("ssh-fail", "security",
+      "Failed password for @ESTRING:username: @from @IPvANY:client_addr@ port @NUMBER:port@ ssh2"),
+    ("cron-session", "system",
+      "pam_unix(cron:session): session @ESTRING:action: @for user @ANYSTRING:username@"))
+
+  test("typed parser primitives") {
+    assert(Radix.parserMatch("NUMBER", "", "12345 rest", 0) == 5)
+    assert(Radix.parserMatch("NUMBER", "", "0x1F rest", 0) == 4)
+    assert(Radix.parserMatch("NUMBER", "", "abc", 0) == -1)
+    assert(Radix.parserMatch("FLOAT", "", "3.14 x", 0) == 4)
+    assert(Radix.parserMatch("IPv4", "", "10.0.0.1 port", 0) == 8)
+    assert(Radix.parserMatch("IPv4", "", "999.0.0.1", 0) == -1)
+    assert(Radix.parserMatch("IPv6", "", "2001:db8::1 x", 0) == 11)
+    assert(Radix.parserMatch("MACADDR", "", "00:1a:2b:3c:4d:5e!", 0) == 17)
+    assert(Radix.parserMatch("QSTRING", "''", "'hello' x", 0) == 7)
+    assert(Radix.parserMatch("ESTRING", ":", "user: x", 0) == 4)
+    assert(Radix.parserMatch("SET", "alpha,beta,alphabet", "alphabet!", 0) == 8)
+    assert(Radix.parserMatch("EMAIL", "", "a.b@c.org rest", 0) == 9)
+    assert(Radix.parserMatch("PCRE", "[a-z]+", "abc123", 0) == 3)
+  }
+
+  test("radix match with captures") {
+    val tree = Radix.build(sshRules)
+    val r = tree.find("Accepted password for root from 10.0.0.5 port 22341 ssh2")
+    assert(r != null)
+    assert(r._1.ruleId == "ssh-accept")
+    assert(r._2.toMap == Map(
+      "auth_method" -> "password", "username" -> "root",
+      "client_addr" -> "10.0.0.5", "port" -> "22341"))
+  }
+
+  test("radix shares literal prefixes and anchors the full line") {
+    val tree = Radix.build(sshRules)
+    assert(tree.find("Failed password for root from 1.2.3.4 port 1 ssh2")._1.ruleId == "ssh-fail")
+    // partial line (missing trailing ssh2) must NOT match
+    assert(tree.find("Failed password for root from 1.2.3.4 port 1") == null)
+    assert(tree.find("totally unrelated") == null)
+  }
+
+  test("literal edge preferred over parser edge") {
+    val tree = Radix.build(Seq(
+      ("lit", "c1", "error 42 occurred"),
+      ("num", "c2", "error @NUMBER:code@ occurred")))
+    assert(tree.find("error 42 occurred")._1.ruleId == "lit")
+    assert(tree.find("error 7 occurred")._1.ruleId == "num")
+  }
+
+  test("@@ escapes a literal @") {
+    val tree = Radix.build(Seq(("at", "c", "user@@host logged in")))
+    assert(tree.find("user@host logged in") != null)
+  }
+
+  test("RadixMatch expression in a DataFrame plan") {
+    import spark.implicits._
+    val df = Seq(
+      "Accepted publickey for alice from 192.168.1.9 port 2222 ssh2",
+      "something else entirely").toDF("message")
+    val out = df.select(RadixMatch(col("message"), sshRules).as("m"))
+      .select(col("m.rule_id"), col("m.rule_class"),
+        element_at(col("m.captures"), "username").as("user"))
+      .collect()
+    assert(out(0).getString(0) == "ssh-accept")
+    assert(out(0).getString(2) == "alice")
+    assert(out(1).getString(0) == null)
+    assert(out(1).getString(1) == "unknown")
+  }
+}
