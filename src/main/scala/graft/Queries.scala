@@ -3,6 +3,7 @@ package graft
 import graft.functions.{GraftFunctions, RadixMatch}
 import graft.operators.{Enrich, Filters, Rewrites, Routing}
 import graft.operators.Routing.Branch
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.template.Template
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -356,6 +357,180 @@ object Queries {
       GROUP BY n_name ORDER BY n_name"""))
 
   // ---------------------------------------------------------------------
+  // Dedup family (training-pipeline ops)
+  // ---------------------------------------------------------------------
+  private val dedupExact = Q("dedup_exact",
+    (s, d) => Dedup.exactSurvivors(Tables.events(s, d),
+        concat_ws("|", col("user_id"), col("event_type")), col("event_id"))
+      .select(col("dup_key"), col("survivor_id"), col("n_dups"))
+      .orderBy(col("dup_key")),
+    Some("""SELECT user_id || '|' || event_type AS dup_key,
+      min(event_id) AS survivor_id, count(*) AS n_dups
+      FROM events GROUP BY 1 ORDER BY dup_key"""))
+
+  private val dedupNgramJaccard = Q("dedup_ngram_jaccard",
+    (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), shingleK = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(w) - 2, 1) + 1),
+          i -> array_to_string(w[i:i+2], ' '))) AS shingles FROM toks
+      ), sized AS (SELECT doc_id, len(shingles) AS n, shingles FROM sh
+      ), posting AS (SELECT doc_id, n, unnest(shingles) AS shingle FROM sized
+      ), capped AS (
+        SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df
+          FROM posting) WHERE df <= 1000
+      ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+          count(*) AS common
+        FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4)
+      SELECT id_a, id_b, CAST(common AS DOUBLE) / (n_a + n_b - common) AS jaccard
+      FROM pairs WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.5
+      ORDER BY id_a, id_b"""),
+    bench = true)
+
+  private val dedupMinhash = Q("dedup_minhash_lsh",
+    (s, d) => Dedup.minhashPairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), shingleK = 3, numHashes = 32, bands = 8, threshold = 0.7)
+      .orderBy(col("id_a"), col("id_b")),
+    None, // xxhash-family signatures have no SQL analog; rows-only check
+    bench = true)
+
+  private val dedupSimhash = Q("dedup_simhash",
+    (s, d) => Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  private val dedupEmbedding = Q("dedup_embedding",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
+          threshold = -1.0, planes = 4)
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    },
+    None)
+
+  // ---------------------------------------------------------------------
+  // Similarity search over embeddings
+  // ---------------------------------------------------------------------
+  private def queryVec(s: SparkSession, d: String): Seq[Float] =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+
+  private val annBruteForce = Q("ann_brute_force",
+    (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d),
+        col("embedding"), col("vec_id"), queryVec(s, d), 10),
+    Some("""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+          list_dot_product(CAST(embedding AS DOUBLE[]), qv) /
+          (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+           sqrt(list_dot_product(qv, qv))) AS cos
+        FROM embeddings, q)
+      SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10"""),
+    bench = true)
+
+  private val annLsh = Q("ann_lsh",
+    (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), col("embedding"),
+      col("vec_id"), queryVec(s, d), 10, planes = 4),
+    None)
+
+  private val annIvf = Q("ann_ivf",
+    (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), col("embedding"),
+      col("vec_id"), queryVec(s, d), 10, nCentroids = 16, nProbe = 4),
+    None)
+
+  // ---------------------------------------------------------------------
+  // Text analysis
+  // ---------------------------------------------------------------------
+  private val textStats = Q("text_stats",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityMetrics(col("text")).as("m"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("m.n_chars").as("n_chars"),
+          col("m.n_stopwords").as("n_stopwords"),
+          col("m.chars_per_word").as("chars_per_word"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+      CAST(len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS INT) AS n_tokens,
+      length(text) AS n_chars,
+      CAST(len(list_filter(string_split(trim(text), ' '),
+        t -> t IN ('the','a','of','and','is','to','in','that'))) AS INT) AS n_stopwords,
+      CAST(length(text) AS DOUBLE) /
+        CAST(len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS DOUBLE) AS chars_per_word
+      FROM documents ORDER BY doc_id"""))
+
+  private val textLangid = Q("text_langid",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+          TextAnalysis.langId(col("text")).getField("lang").as("lang_guess"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+      hits AS (SELECT doc_id,
+        ${TextAnalysis.markers.toSeq.sortBy(_._1).zipWithIndex.map { case ((l, ws), i) =>
+          val set = ws.map(w => s"'$w'").mkString(",")
+          // rank = hits*10 + priority (alphabetical tie-break), mirrors langId
+          s"len(list_filter(w, t -> t IN ($set))) * 10 + ${TextAnalysis.markers.size - 1 - i} AS r_$l"
+        }.mkString(", ")}
+        FROM toks)
+      SELECT doc_id, CASE
+        WHEN r_de >= r_en AND r_de >= r_es AND r_de >= r_fr THEN 'de'
+        WHEN r_en >= r_es AND r_en >= r_fr THEN 'en'
+        WHEN r_es >= r_fr THEN 'es' ELSE 'fr' END AS lang_guess
+      FROM hits ORDER BY doc_id"""))
+
+  private val textFingerprint = Q("text_fingerprint",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  private val textFingerprintRobust = Q("text_fingerprint_robust",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.robustFingerprint(col("text")).as("rfp"))
+      .orderBy(col("doc_id")),
+    None)
+
+  // ---------------------------------------------------------------------
+  // Multimodal plumbing (stubbed decode, real batch shape)
+  // ---------------------------------------------------------------------
+  private val multimodalFeatures = Q("multimodal_features",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d))
+        .select(col("media_id"), col("n_bytes"), col("first_byte"))
+        .orderBy(col("media_id"))
+    },
+    // oracle recomputes byte stats from the text the binary was built from
+    Some("""SELECT doc_id AS media_id, strlen(text) AS n_bytes,
+      ascii(substring(text, 1, 1)) AS first_byte
+      FROM documents ORDER BY media_id"""))
+
+  private val multimodalStub = Q("multimodal_stub",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d))
+        .select(col("media_id"), col("checksum"))
+        .orderBy(col("media_id"))
+    },
+    None)
+
+  // ---------------------------------------------------------------------
   // All queries
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(aggStats, filterSeverity, enrichLookup,
@@ -363,7 +538,11 @@ object Queries {
     rewriteSubst, rewriteSetTag,
     templateFormat, templateFuncs,
     parseSyslogRfc3164, parseSyslogRfc5424,
-    routeJunction, patterndbClassify, enrichRange)
+    routeJunction, patterndbClassify, enrichRange,
+    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    annBruteForce, annLsh, annIvf,
+    textStats, textLangid, textFingerprint, textFingerprintRobust,
+    multimodalFeatures, multimodalStub)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

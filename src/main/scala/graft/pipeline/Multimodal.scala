@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted in batched
+  * partition passes.
+  *
+  * The Spark-side architecture is real and tested — schema, partition
+  * sizing, batch iteration, feature schema. The actual codec call is a
+  * STUB (`decodeStub`): this container has no image/audio libraries, so
+  * the decoder is a deterministic fake over the bytes. Swapping in a real
+  * decoder is a one-function change; everything around it (the expensive
+  * part to get right at 100 TB) stays.
+  */
+object Multimodal {
+
+  /** One media row: bytes + typed metadata. */
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+      width: Int, height: Int)
+
+  /** Extracted features per media item. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      first_byte: Int, checksum: Long, feature: Array[Float])
+
+  /** === STUB BOUNDARY ===
+    * A real implementation decodes `bytes` with an image/audio codec and
+    * computes e.g. pixel stats or a mel spectrogram. Container has no
+    * codecs, so this produces deterministic fake features from the raw
+    * bytes (same signature, same batch shape). */
+  def decodeStub(row: MediaRow): MediaFeatures = {
+    var checksum = 0L
+    var i = 0
+    while (i < row.bytes.length) { checksum = checksum * 31 + (row.bytes(i) & 0xFF); i += 1 }
+    val feature = Array.tabulate(8) { j =>
+      // fake "embedding": byte histogram buckets, normalized
+      var c = 0
+      var k = j
+      while (k < row.bytes.length) { c += (row.bytes(k) & 0xFF); k += 8 }
+      if (row.bytes.length == 0) 0.0f else c.toFloat / row.bytes.length
+    }
+    MediaFeatures(row.media_id, row.kind, row.bytes.length,
+      if (row.bytes.isEmpty) -1 else row.bytes(0) & 0xFF, checksum, feature)
+  }
+
+  /** Batched decode pass: mapPartitions so a real decoder can amortize
+    * per-batch init (model load, codec context) across the partition —
+    * the same shape `mapInPandas` gives Python. Repartitioning by
+    * byte-size balances skew (one 4 GB video next to thumbnails). */
+  def extractFeatures(ds: Dataset[MediaRow],
+      targetPartitionBytes: Long = 128L << 20): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition init happens here (decoder/model handle)
+      it.map(decodeStub)
+    }
+  }
+
+  /** Build a media frame from the documents table (text bytes stand in
+    * for the opaque payload; the plumbing is identical). */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("media_id"), lit("text/fake").as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        lit(0).as("width"), lit(0).as("height"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different text with unique words here"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "der hund ist nicht zu haus und das ist gut")
+  ).toDF("doc_id", "text")
+
+  test("token counting") {
+    val out = docs.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0))
+    assert(out.take(2).toSeq == Seq(9, 9))
+    assert(Seq("", " ").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0)).toSeq == Seq(0, 0))
+  }
+
+  test("bpe-ish token estimate counts pieces") {
+    val n = Seq("hello world, 123 foo!").toDF("text")
+      .select(TextAnalysis.bpeishTokenCount(col("text"))).head.getInt(0)
+    assert(n == 6) // hello| world|,| 123| foo|!
+  }
+
+  test("language id picks marker-heavy language") {
+    val out = docs.select(TextAnalysis.langId(col("text")).getField("lang")).collect()
+    assert(out(0).getString(0) == "en")
+    assert(out(4).getString(0) == "de")
+  }
+
+  test("quality metrics and filter") {
+    val m = docs.select(TextAnalysis.qualityMetrics(col("text")).as("m"))
+      .select("m.n_words", "m.chars_per_word").head()
+    assert(m.getInt(0) == 9)
+    assert(docs.filter(TextAnalysis.qualityFilter(col("text"))).count() == 5)
+    assert(Seq("x").toDF("text").filter(TextAnalysis.qualityFilter(col("text"))).count() == 0)
+  }
+
+  test("fingerprints: exact matches dups, robust survives small edits") {
+    val fp = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(4L))
+    assert(fp(1L) != fp(2L))
+    val rfp = docs.select(col("doc_id"),
+      TextAnalysis.robustFingerprint(col("text"), k = 8, keep = 3).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rfp(1L) == rfp(4L))
+  }
+
+  test("exact dedup survivors") {
+    val surv = Dedup.exactSurvivors(docs, TextAnalysis.fingerprint(col("text")), col("doc_id"))
+    assert(surv.count() == 4)
+    assert(surv.filter(col("n_dups") === 2).select("survivor_id").head.getLong(0) == 1L)
+    assert(Dedup.exactDropped(docs, TextAnalysis.fingerprint(col("text")), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("word shingles") {
+    val sh = Seq("a b c d").toDF("text")
+      .select(Dedup.wordShingles(col("text"), 2)).head.getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+  }
+
+  test("minhash LSH finds the near-dup pair") {
+    val pairs = Dedup.minhashPairs(docs, col("doc_id"), col("text"),
+      shingleK = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 4L))) // exact dup always found
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash hamming pairs") {
+    val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard pairs exact values") {
+    val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      shingleK = 2, threshold = 0.2, maxDocFreq = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains((1L, 2L)))
+    val j12 = pairs((1L, 2L))
+    assert(j12 > 0.5 && j12 < 1.0) // 7 common shingles of 9 -> 7/(8+8-7)
+  }
+
+  test("embedding cosine + brute force topk") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, col("embedding"), col("vec_id"),
+      Seq(1.0f, 0.0f, 0.0f), 2).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(top(0).getDouble(1) == 1.0)
+  }
+
+  test("lsh topk returns the query's own bucket neighbors") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(emb, col("embedding"), col("vec_id"), q, 5)
+      .collect().map(_.getLong(0))
+    val lsh = Similarity.lshTopK(emb, col("embedding"), col("vec_id"), q, 5, planes = 4)
+      .collect().map(_.getLong(0))
+    assert(brute.head == 0L && lsh.head == 0L) // query finds itself
+    assert(lsh.nonEmpty)
+  }
+
+  test("ivf topk probes nearest lists and finds the query vector") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+    val ivf = Similarity.ivfTopK(emb, col("embedding"), col("vec_id"), q, 5,
+      nCentroids = 8, nProbe = 3).collect()
+    assert(ivf.head.getLong(0) == 0L)
+  }
+
+  test("multimodal stub decode keeps schema and determinism") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val feats = Multimodal.extractFeatures(media)
+    val r1 = feats.filter(col("media_id") === 0).head()
+    val r2 = feats.filter(col("media_id") === 0).head()
+    assert(r1.checksum == r2.checksum)
+    assert(r1.feature.length == 8)
+    assert(r1.n_bytes > 0)
+  }
+}
