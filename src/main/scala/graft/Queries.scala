@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{GraftFunctions, RadixMatch}
-import graft.operators.{Enrich, Filters, Rewrites, Routing}
+import graft.functions.{GraftFunctions, JsonFlatten, RadixMatch}
+import graft.operators.{Enrich, Filters, Parsers, Rewrites, Routing}
 import graft.operators.Routing.Branch
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.template.Template
@@ -357,6 +357,136 @@ object Queries {
       GROUP BY n_name ORDER BY n_name"""))
 
   // ---------------------------------------------------------------------
+  // Field-extraction parsers (SURVEY §2.4): csv, kv, audit, json, date,
+  // tags + map-value-pairs. Lines are synthesized from table columns so
+  // the oracle can recompute the expected fields independently.
+  // ---------------------------------------------------------------------
+  private val parseCsv = Q("parse_csv",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val line = concat(col("event_type"), lit(","), col("user_id"), lit(",\""),
+        regexp_replace(col("props"), "\"", "\"\""), lit("\""))
+      val p = Parsers.csvParse(line, Seq("etype", "uid", "props"))
+      ev.select(col("event_id"), p.getField("etype").as("etype"),
+          p.getField("uid").as("uid"), p.getField("props").as("props2"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, event_type AS etype, CAST(user_id AS STRING) AS uid,
+      props AS props2 FROM events ORDER BY event_id"""))
+
+  private val parseCsvGreedy = Q("parse_csv_greedy",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val line = concat(col("event_type"), lit(" "), col("user_id"), lit(" "), col("props"))
+      val p = Parsers.csvSplit(line, Seq("w1", "w2", "rest"), " ", greedy = true)
+      ev.select(col("event_id"), p.getField("w1").as("w1"),
+          p.getField("w2").as("w2"), p.getField("rest").as("rest"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, event_type AS w1, CAST(user_id AS STRING) AS w2,
+      props AS rest FROM events ORDER BY event_id"""))
+
+  private val parseKv = Q("parse_kv",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val line = concat(lit("session opened user=u"), col("user_id"),
+        lit(" type="), col("event_type"), lit(" note=\"v "), col("event_id"),
+        lit("\" end"))
+      val m = Parsers.kvParse(line, prefix = ".kv.")
+      ev.select(col("event_id"),
+          element_at(m, ".kv.user").as("user"),
+          element_at(m, ".kv.type").as("type"),
+          element_at(m, ".kv.note").as("note"),
+          Parsers.kvStrayWords(line).as("stray"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, 'u' || user_id AS user, event_type AS type,
+      'v ' || event_id AS note, 'session opened end' AS stray
+      FROM events ORDER BY event_id"""))
+
+  private val parseAudit = Q("parse_audit",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val line = concat(lit("audit: proctitle="),
+        hex(encode(concat(col("event_type"), lit(" "), col("user_id")), "UTF-8")),
+        lit(" exe=\"/usr/bin/app\" uid="), col("user_id"))
+      // scope decoding to the hex-carrying field: bare numerics like
+      // uid=46 are valid hex and must NOT be decoded
+      val m = Parsers.auditKvParse(line, hexFields = Set("proctitle"))
+      ev.select(col("event_id"),
+          element_at(m, "proctitle").as("proctitle"),
+          element_at(m, "exe").as("exe"),
+          element_at(m, "uid").as("uid"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, event_type || ' ' || user_id AS proctitle,
+      '/usr/bin/app' AS exe, CAST(user_id AS STRING) AS uid
+      FROM events ORDER BY event_id"""))
+
+  private val parseJsonFlat = Q("parse_json",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val m = JsonFlatten(col("props"), ".json.", "")
+      ev.select(col("event_id"), element_at(m, ".json.k").as("k"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, regexp_extract(props, '"k": (\d+)', 1) AS k
+      FROM events ORDER BY event_id"""))
+
+  private val parseJsonNested = Q("parse_json_nested",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val doc = concat(lit("{\"u\": {\"id\": "), col("user_id"),
+        lit(", \"type\": \""), col("event_type"),
+        lit("\", \"deep\": {\"q\": ["), col("event_id"),
+        lit("]}}, \"skip\": 1}"))
+      val m = JsonFlatten(doc, "", "u")
+      ev.select(col("event_id"), element_at(m, "id").as("id"),
+          element_at(m, "type").as("type"),
+          element_at(m, "deep.q[0]").as("q0"),
+          element_at(m, "skip").as("skip"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, CAST(user_id AS STRING) AS id, event_type AS type,
+      CAST(event_id AS STRING) AS q0, CAST(NULL AS VARCHAR) AS skip
+      FROM events ORDER BY event_id"""))
+
+  private val parseDate = Q("parse_date",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+      val line = date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss")
+      ev.select(col("event_id"),
+          unix_timestamp(Parsers.dateParse(line, "%d/%b/%Y:%H:%M:%S",
+            Some("America/New_York"))).as("ts_utc_sec"))
+        .orderBy(col("event_id"))
+    },
+    // the string is wall-clock NY time; +4h (EDT) or +5h (EST) to UTC
+    Some("""SELECT event_id,
+      CAST(epoch(timezone('America/New_York', make_timestamp(
+        year(ts), month(ts), day(ts), hour(ts), minute(ts),
+        CAST(date_part('second', ts) AS DOUBLE)))) AS BIGINT) AS ts_utc_sec
+      FROM events ORDER BY event_id"""))
+
+  private val parseTagsRekey = Q("parse_tags_rekey",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val tagLine = concat(lit("sys,"), col("event_type"), lit(",u"),
+        col("user_id") % 5, lit(","))
+      val kv = Parsers.kvParse(
+        concat(lit("foo.a="), col("event_id"), lit(" x="), col("user_id")))
+      val renamed = Parsers.mapValuePairs(kv, Seq(("foo.*", "bar."), ("x", "y")))
+      ev.select(col("event_id"),
+          array_join(Parsers.tagsParse(tagLine), "|").as("tags"),
+          element_at(renamed, "bar.a").as("bar_a"),
+          element_at(renamed, "y").as("y"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      'sys|' || event_type || '|u' || (user_id % 5) AS tags,
+      CAST(event_id AS STRING) AS bar_a, CAST(user_id AS STRING) AS y
+      FROM events ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------------
   // Dedup family (training-pipeline ops)
   // ---------------------------------------------------------------------
   private val dedupExact = Q("dedup_exact",
@@ -539,6 +669,8 @@ object Queries {
     templateFormat, templateFuncs,
     parseSyslogRfc3164, parseSyslogRfc5424,
     routeJunction, patterndbClassify, enrichRange,
+    parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
+    parseJsonNested, parseDate, parseTagsRekey,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf,
     textStats, textLangid, textFingerprint, textFingerprintRobust,

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Field-extraction parsers (SURVEY §2.4): csv, kv, linux-audit, date,
+  * tags, map-value-pairs. All compositional Column programs — they stay
+  * inside whole-stage codegen and fuse with the scan, so at 100 TB each
+  * is a narrow map stage with zero shuffle.
+  *
+  * Reference semantics:
+  *  - csv-parser: `modules/csvparser/` + `lib/scanner/csv-scanner/
+  *    csv-scanner.h:31-51` (dialects ESCAPE_NONE/BACKSLASH/DOUBLE_CHAR,
+  *    flags STRIP_WHITESPACE/GREEDY, null_value).
+  *  - kv-parser: `modules/kvformat/kv-parser.h:30-40` + `lib/scanner/
+  *    kv-scanner/kv-scanner.h` (value_separator, pair_separator, prefix,
+  *    stray words).
+  *  - linux-audit-parser: `modules/kvformat/linux-audit-parser.c`
+  *    (unquoted values of hex-encoded fields are hex-decoded).
+  *  - date-parser: `modules/timestamp/date-parser.c:56,129-215`
+  *    (strftime format, timezone).
+  *  - tags-parser: `modules/tagsparser/tags-parser.c:24-64`.
+  *  - map-value-pairs: `modules/map-value-pairs/map-value-pairs.c:38-61`.
+  */
+object Parsers {
+
+  sealed trait CsvDialect
+  case object EscapeNone extends CsvDialect
+  case object EscapeBackslash extends CsvDialect
+  case object EscapeDoubleChar extends CsvDialect
+
+  /** csv-parser() with a single-char delimiter and quoting: compiles to
+    * `from_csv` (codegen'd univocity parse). Returns a struct column with
+    * one string field per declared column. */
+  def csvParse(line: Column, columns: Seq[String], delimiter: String = ",",
+      quote: String = "\"", dialect: CsvDialect = EscapeDoubleChar,
+      nullValue: Option[String] = None): Column = {
+    val schema = StructType(columns.map(StructField(_, StringType)))
+    val esc = dialect match {
+      case EscapeBackslash => "\\"
+      case _ => quote // univocity models double-char as escape == quote
+    }
+    val opts = Map("sep" -> delimiter, "quote" -> quote, "escape" -> esc) ++
+      nullValue.map("nullValue" -> _)
+    from_csv(line, schema, opts)
+  }
+
+  /** csv-parser() with multi-char delimiter sets / greedy / whitespace
+    * stripping — the split-based plan for the dialect-free cases
+    * (`csv-scanner.h:40-41` CSV_SCANNER_GREEDY/STRIP_WHITESPACE).
+    * `greedy` makes the last column consume the rest of the line. */
+  def csvSplit(line: Column, columns: Seq[String], delimiters: String = ",",
+      greedy: Boolean = false, stripWhitespace: Boolean = false,
+      nullValue: Option[String] = None): Column = {
+    val cls = "[" + java.util.regex.Pattern.quote(delimiters) + "]"
+    val parts = if (greedy) split(line, cls, columns.size) else split(line, cls)
+    val fields = columns.zipWithIndex.map { case (name, i) =>
+      var c: Column = get(parts, lit(i))
+      if (stripWhitespace) c = trim(c)
+      nullValue.foreach(nv => c = when(c === nv, lit("")).otherwise(c))
+      c.as(name)
+    }
+    struct(fields: _*)
+  }
+
+  /** Key pattern of the kv-scanner: alnum + `_ - .` (kv-scanner.c
+    * key_is_valid_character). */
+  private val keyRe = "[a-zA-Z0-9][a-zA-Z0-9_.\\-]*"
+
+  private def kvPairRe(valueSeparator: Char): String = {
+    val vs = java.util.regex.Pattern.quote(valueSeparator.toString)
+    // value = double-quoted | single-quoted | bare (up to whitespace)
+    s"($keyRe)$vs(\"(?:\\\\.|[^\"])*\"|'(?:\\\\.|[^'])*'|[^\\s]*)"
+  }
+
+  /** kv-parser(): extract key=value pairs from free text into a
+    * `MapType(String,String)` column. Handles quoted values with
+    * backslash escapes and tolerates stray words between pairs (which
+    * `str_to_map` cannot). */
+  def kvParse(text: Column, valueSeparator: Char = '=',
+      prefix: String = ""): Column = {
+    val re = lit(kvPairRe(valueSeparator))
+    val keys = regexp_extract_all(text, re, lit(1))
+    val rawVals = regexp_extract_all(text, re, lit(2))
+    val vals = transform(rawVals, dequote(_))
+    val m = map_from_arrays(keys, vals)
+    if (prefix.isEmpty) m else transform_keys(m, (k, _) => concat(lit(prefix), k))
+  }
+
+  /** Words of the input that belong to no key=value pair
+    * (`kv_scanner_get_stray_words`), space-joined. */
+  def kvStrayWords(text: Column, valueSeparator: Char = '='): Column =
+    trim(regexp_replace(
+      regexp_replace(text, kvPairRe(valueSeparator), ""), "\\s+", " "))
+
+  private def dequote(v: Column): Column = {
+    def stripQ(q: String) =
+      regexp_replace(v.substr(lit(2), length(v) - 2), "\\\\(.)", "$1")
+    when(length(v) >= 2 && v.startsWith("\"") && v.endsWith("\""), stripQ("\""))
+      .when(length(v) >= 2 && v.startsWith("'") && v.endsWith("'"), stripQ("'"))
+      .otherwise(v)
+  }
+
+  /** linux-audit-parser(): auditd kv where unquoted values of the
+    * hex-encodable fields arrive hex-encoded (auditd hex-encodes any
+    * value with special chars and does NOT quote it; literal values are
+    * quoted). Decodes even-length pure-hex unquoted values. */
+  def auditKvParse(text: Column, hexFields: Set[String] = Set.empty): Column = {
+    val re = lit(kvPairRe('='))
+    val keys = regexp_extract_all(text, re, lit(1))
+    val rawVals = regexp_extract_all(text, re, lit(2))
+    val entries = zip_with(keys, rawVals, (k, v) => struct(k.as("k"), v.as("v")))
+    map_from_entries(transform(entries, e => {
+      val k = e.getField("k")
+      val v = e.getField("v")
+      val wasQuoted = v.startsWith("\"") || v.startsWith("'")
+      // decode only pairs in the ASCII-printable range (09/0A/20-7E):
+      // ANSI decode() raises on invalid UTF-8, and audit hex payloads
+      // beyond ASCII are left encoded in our string-first model
+      val isHex = v.rlike("^(?:0[9A]|[2-6][0-9A-F]|7[0-9A-E])+$")
+      val inScope =
+        if (hexFields.isEmpty) lit(true)
+        else k.isin(hexFields.toSeq.map(x => x: Any): _*)
+      val decoded = when(!wasQuoted && inScope && isHex,
+        decode(unhex(v), "UTF-8")).otherwise(dequote(v))
+      struct(k.as("key"), decoded.as("value"))
+    }))
+  }
+
+  /** strftime → java.time format conversion for date-parser()
+    * (`date-parser.c:129` uses strptime-style formats). Covers the
+    * directives the reference's tests exercise. */
+  private[graft] def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var literal = new StringBuilder
+    def flush(): Unit = if (literal.nonEmpty) {
+      val s = literal.toString
+      // quote anything that java.time would treat as a pattern letter
+      if (s.exists(c => c.isLetter)) sb.append("'").append(s.replace("'", "''")).append("'")
+      else sb.append(s)
+      literal = new StringBuilder
+    }
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        flush()
+        fmt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'e' => sb.append("d")
+          case 'H' => sb.append("HH")
+          case 'I' => sb.append("hh")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'f' => sb.append("SSSSSS")
+          case 'b' => sb.append("MMM")
+          case 'B' => sb.append("MMMM")
+          case 'a' => sb.append("EEE")
+          case 'p' => sb.append("a")
+          case 'z' => sb.append("XXX")
+          case 'Z' => sb.append("zzz")
+          case 'j' => sb.append("DDD")
+          case '%' => literal.append('%')
+          case other => literal.append('%').append(other)
+        }
+        i += 2
+      } else { literal.append(fmt(i)); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
+  /** date-parser(format(), timezone()): parse a string field with a
+    * strftime format into a TimestampType. `timezone` names the zone the
+    * wall-clock string is in when the format carries no offset. */
+  def dateParse(value: Column, strftimeFormat: String,
+      timezone: Option[String] = None): Column = {
+    val ts = to_timestamp(value, strftimeToJava(strftimeFormat))
+    timezone.fold(ts)(tz => to_utc_timestamp(ts, tz))
+  }
+
+  /** tags-parser(): serialized comma-joined tag list back to the tags
+    * array column. */
+  def tagsParse(value: Column): Column =
+    filter(split(value, ","), t => t =!= "")
+
+  /** map-value-pairs(): bulk rename of map keys via glob patterns, first
+    * matching glob wins (`map-value-pairs.c:38-61`). Renames like
+    * `("foo.*", "bar.")` rewrite the matched prefix. */
+  def mapValuePairs(m: Column, renames: Seq[(String, String)]): Column =
+    transform_keys(m, (k, _) =>
+      renames.foldRight(k) { case ((glob, replacement), acc) =>
+        if (glob.endsWith("*"))
+          when(k.startsWith(glob.dropRight(1)),
+            concat(lit(replacement), k.substr(lit(glob.length), length(k))))
+            .otherwise(acc)
+        else when(k === glob, lit(replacement)).otherwise(acc)
+      })
+}

@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.JsonFlatten
+import graft.operators.Parsers
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ParsersSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, input: String): Row =
+    Seq(input).toDF("s").select(c.as("r")).head
+
+  test("csvParse with double-char quoting") {
+    val r = one(Parsers.csvParse(col("s"), Seq("a", "b", "c")),
+      """x,"say ""hi"", ok",z""")
+    assert(r.getStruct(0).toSeq == Seq("x", """say "hi", ok""", "z"))
+  }
+
+  test("csvParse backslash dialect and null-value") {
+    // escape dialects govern quoting inside quoted fields (csv-scanner.h:33)
+    val r = one(Parsers.csvParse(col("s"), Seq("a", "b"), dialect = Parsers.EscapeBackslash,
+      nullValue = Some("-")), "\"a\\\"1\",-")
+    assert(r.getStruct(0).getString(0) == "a\"1")
+    assert(r.getStruct(0).isNullAt(1))
+  }
+
+  test("csvSplit greedy keeps the rest in the last column") {
+    val r = one(Parsers.csvSplit(col("s"), Seq("p1", "p2", "rest"), " ", greedy = true),
+      "alpha beta gamma delta")
+    assert(r.getStruct(0).toSeq == Seq("alpha", "beta", "gamma delta"))
+  }
+
+  test("csvSplit multi-delimiter + strip-whitespace") {
+    val r = one(Parsers.csvSplit(col("s"), Seq("a", "b", "c"), ",;",
+      stripWhitespace = true), "x ; y , z ")
+    assert(r.getStruct(0).toSeq == Seq("x", "y", "z"))
+  }
+
+  test("kvParse quoted values, stray words, prefix") {
+    val in = "connect user=joe ok pass='p w' dst=1.2.3.4 done"
+    val m = one(Parsers.kvParse(col("s"), prefix = ".kv."), in).getMap[String, String](0)
+    assert(m == Map(".kv.user" -> "joe", ".kv.pass" -> "p w", ".kv.dst" -> "1.2.3.4"))
+    val stray = one(Parsers.kvStrayWords(col("s")), in).getString(0)
+    assert(stray == "connect ok done")
+  }
+
+  test("kvParse escaped quote inside value") {
+    val m = one(Parsers.kvParse(col("s")), """k="a\"b" j=2""").getMap[String, String](0)
+    assert(m("k") == "a\"b" && m("j") == "2")
+  }
+
+  test("auditKvParse hex-decodes unquoted hex values only") {
+    // 666F6F20626172 = "foo bar"
+    val m = one(Parsers.auditKvParse(col("s")),
+      """proctitle=666F6F20626172 exe="/bin/EF" key=BEEF""").getMap[String, String](0)
+    assert(m("proctitle") == "foo bar")
+    assert(m("exe") == "/bin/EF") // quoted => literal
+    assert(m("key") == "BEEF") // non-ASCII hex stays encoded
+  }
+
+  test("strftime conversion") {
+    assert(Parsers.strftimeToJava("%Y-%m-%dT%H:%M:%S") == "yyyy-MM-dd'T'HH:mm:ss")
+    assert(Parsers.strftimeToJava("%b %d %H:%M:%S") == "MMM dd HH:mm:ss")
+    assert(Parsers.strftimeToJava("%d/%b/%Y:%H:%M:%S %z") == "dd/MMM/yyyy:HH:mm:ss XXX")
+    assert(Parsers.strftimeToJava("100%% %Y") == "100% yyyy")
+  }
+
+  test("dateParse with timezone") {
+    val r = one(unix_timestamp(
+      Parsers.dateParse(col("s"), "%Y-%m-%d %H:%M:%S", Some("Europe/Budapest"))),
+      "2024-06-01 12:00:00")
+    assert(r.getLong(0) == 1717236000L) // 12:00 CEST = 10:00 UTC
+  }
+
+  test("tagsParse and mapValuePairs") {
+    val tags = one(Parsers.tagsParse(col("s")), "a,b,,c").getSeq[String](0)
+    assert(tags == Seq("a", "b", "c"))
+    val m = one(Parsers.mapValuePairs(
+      Parsers.kvParse(col("s")), Seq(("foo.*", "bar."), ("x", "y"))),
+      "foo.a=1 x=2 z=3").getMap[String, String](0)
+    assert(m == Map("bar.a" -> "1", "y" -> "2", "z" -> "3"))
+  }
+
+  test("JsonFlatten dot-notation, arrays, scalars") {
+    val m = one(JsonFlatten(col("s")),
+      """{"a": {"b": 1, "c": "x"}, "arr": [10, {"z": true}], "n": null}""")
+      .getMap[String, String](0)
+    assert(m == Map("a.b" -> "1", "a.c" -> "x", "arr[0]" -> "10",
+      "arr[1].z" -> "true", "n" -> ""))
+  }
+
+  test("JsonFlatten prefix and extract-prefix") {
+    val in = """{"outer": {"k": 5, "deep": {"q": "v"}}, "skip": 1}"""
+    val m = one(JsonFlatten(col("s"), ".json.", ""), in).getMap[String, String](0)
+    assert(m.keySet == Set(".json.outer.k", ".json.outer.deep.q", ".json.skip"))
+    val ex = one(JsonFlatten(col("s"), "", "outer"), in).getMap[String, String](0)
+    assert(ex == Map("k" -> "5", "deep.q" -> "v"))
+  }
+
+  test("JsonFlatten malformed json -> null") {
+    val r = one(JsonFlatten(col("s")), "{nope")
+    assert(r.isNullAt(0))
+  }
+}
