@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftFunctions, JsonFlatten, RadixMatch}
-import graft.operators.{Enrich, Filters, Parsers, Rewrites, Routing}
+import graft.operators.{Enrich, Filters, Parsers, Rewrites, Routing, ValuePairs}
 import graft.operators.Routing.Branch
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.template.Template
@@ -487,6 +487,62 @@ object Queries {
       FROM events ORDER BY event_id"""))
 
   // ---------------------------------------------------------------------
+  // value-pairs + structured output formatters (SURVEY §2.8)
+  // ---------------------------------------------------------------------
+  private val formatJsonQ = Q("format_json",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val nv = map(
+        lit("u.id"), col("user_id").cast("string"),
+        lit("u.type"), col("event_type"),
+        lit("v"), col("event_id").cast("string"))
+      ev.select(col("event_id"),
+          ValuePairs.formatJson(nv).as("nested"),
+          ValuePairs.formatFlatJson(nv).as("flat"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      '{"u":{"id":"' || user_id || '","type":"' || event_type || '"},"v":"' || event_id || '"}' AS nested,
+      '{"u.id":"' || user_id || '","u.type":"' || event_type || '","v":"' || event_id || '"}' AS flat
+      FROM events ORDER BY event_id"""))
+
+  private val formatWelfCef = Q("format_welf_cef",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val nv = map(
+        lit("id"), concat(lit("fw"), col("user_id") % 10),
+        lit("msg"), concat(lit("v "), col("event_id")),
+        lit("act"), col("event_type"))
+      ev.select(col("event_id"),
+          ValuePairs.formatWelf(nv).as("welf"),
+          ValuePairs.formatCef(map(lit("eq"), concat(col("event_type"), lit("=x")),
+            lit("n"), col("user_id").cast("string"))).as("cef"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      'id=fw' || (user_id % 10) || ' act=' || event_type || ' msg="v ' || event_id || '"' AS welf,
+      'eq=' || event_type || '\=x n=' || user_id AS cef
+      FROM events ORDER BY event_id"""))
+
+  private val vpRekey = Q("vp_rekey",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val nv = map(
+        lit(".SDATA.meta.seq"), col("event_id").cast("string"),
+        lit(".SDATA.meta.user"), col("user_id").cast("string"),
+        lit("MESSAGE"), col("event_type"))
+      val out = ValuePairs.shiftLevels(
+        ValuePairs.replacePrefix(
+          ValuePairs.select(nv, include = Seq(".SDATA.*")), ".SDATA.", "sd."),
+        1)
+      ev.select(col("event_id"), ValuePairs.formatFlatJson(out).as("j"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      '{"meta.seq":"' || event_id || '","meta.user":"' || user_id || '"}' AS j
+      FROM events ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------------
   // Dedup family (training-pipeline ops)
   // ---------------------------------------------------------------------
   private val dedupExact = Q("dedup_exact",
@@ -671,6 +727,7 @@ object Queries {
     routeJunction, patterndbClassify, enrichRange,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
     parseJsonNested, parseDate, parseTagsRekey,
+    formatJsonQ, formatWelfCef, vpRekey,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf,
     textStats, textLangid, textFingerprint, textFingerprintRobust,

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.MapData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `format_json(map)` — $(format-json)'s nested-object reconstruction
+  * from dot-notation keys (`/root/reference/modules/json/format-json.c`,
+  * value-pairs walker `lib/value-pairs/value-pairs.c` vp_walker): key
+  * `a.b.c` nests as {"a":{"b":{"c":...}}}, keys emit sorted, values are
+  * JSON strings (string-first model). A key that is both a scalar and a
+  * prefix of deeper keys keeps the deeper object (the walker's
+  * object-wins rule). Inverse of [[JsonFlatten]].
+  */
+case class FormatJson(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "format_json"
+
+  override protected def nullSafeEval(v: Any): Any =
+    FormatJson.render(v.asInstanceOf[MapData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.FormatJson.render($v);")
+
+  override protected def withNewChildInternal(c: Expression): FormatJson =
+    copy(child = c)
+}
+
+object FormatJson {
+
+  def render(m: MapData): UTF8String = {
+    val n = m.numElements()
+    val pairs = new Array[(String, String)](n)
+    val ks = m.keyArray
+    val vs = m.valueArray
+    var i = 0
+    while (i < n) {
+      pairs(i) = (ks.getUTF8String(i).toString,
+        if (vs.isNullAt(i)) "" else vs.getUTF8String(i).toString)
+      i += 1
+    }
+    val sorted = pairs.sortBy(_._1)
+    val sb = new java.lang.StringBuilder(64)
+    sb.append('{')
+    // stack of currently-open object path segments
+    var open: List[String] = Nil
+    var first = true
+    var j = 0
+    while (j < sorted.length) {
+      val (key, value) = sorted(j)
+      val segs = key.split("\\.", -1).toList
+      // a scalar key shadowed by deeper keys (a, then a.b): object wins —
+      // skip the scalar when the next sorted key extends it
+      val shadowed = j + 1 < sorted.length &&
+        sorted(j + 1)._1.startsWith(key + ".")
+      if (!shadowed) {
+        val path = segs.dropRight(1)
+        val leaf = segs.last
+        // close levels not shared with this key's path
+        val keep = commonPrefixLen(open, path)
+        var toClose = open.length - keep
+        while (toClose > 0) { sb.append('}'); toClose -= 1 }
+        if (open.length != keep) first = false
+        open = open.take(keep)
+        if (!first) sb.append(',')
+        // open the new levels
+        var toOpen = path.drop(keep)
+        while (toOpen.nonEmpty) {
+          appendJsonString(sb, toOpen.head)
+          sb.append(":{")
+          open = open :+ toOpen.head
+          toOpen = toOpen.tail
+          first = true
+        }
+        appendJsonString(sb, leaf)
+        sb.append(':')
+        appendJsonString(sb, value)
+        first = false
+      }
+      j += 1
+    }
+    var c = open.length
+    while (c > 0) { sb.append('}'); c -= 1 }
+    sb.append('}')
+    UTF8String.fromString(sb.toString)
+  }
+
+  private def commonPrefixLen(a: List[String], b: List[String]): Int = {
+    var i = 0
+    val ai = a.iterator; val bi = b.iterator
+    while (ai.hasNext && bi.hasNext && ai.next() == bi.next()) i += 1
+    i
+  }
+
+  private def appendJsonString(sb: java.lang.StringBuilder, s: String): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  def apply(m: Column): Column =
+    ColumnBridge.column(new FormatJson(ColumnBridge.expression(m)))
+}

@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.functions.FormatJson
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** value-pairs scope selection + rekey transforms + the structured
+  * output formatters driven by them (SURVEY §2.8).
+  *
+  * Reference: scopes `lib/value-pairs/value-pairs.c:71-137`, rekey
+  * transforms `lib/value-pairs/transforms.h:33-42`, `$(format-json)`
+  * `modules/json/format-json.c`, `$(format-welf)` `modules/kvformat/
+  * format-welf.c:54-86`, `$(format-cef-extension)` `modules/cef/
+  * format-cef-extension.c:68-101`.
+  *
+  * The NV-set is a `MapType(String,String)` column; every transform is
+  * a builtin map HOF (codegen'd, no shuffle). Formatters sort keys so
+  * output is deterministic — the reference iterates a sorted GTree the
+  * same way (`value-pairs.c` vp_pairs ordered).
+  */
+object ValuePairs {
+
+  /** The rfc3164 scope: the classic syslog builtin columns as pairs. */
+  def rfc3164Scope(host: Column, program: Column, pid: Column, message: Column,
+      dateStr: Column, facility: Column, priority: Column): Column =
+    map(
+      lit("DATE"), dateStr, lit("FACILITY"), facility, lit("HOST"), host,
+      lit("MESSAGE"), message, lit("PID"), pid, lit("PRIORITY"), priority,
+      lit("PROGRAM"), program)
+
+  /** rfc5424 scope = rfc3164 + MSGID + SDATA pairs. */
+  def rfc5424Scope(base: Column, msgid: Column, sdata: Column): Column =
+    map_concat(base, map(lit("MSGID"), msgid),
+      transform_keys(sdata, (k, _) => concat(lit(".SDATA."), k)))
+
+  /** key-glob include/exclude selection (`value_pairs_add_glob_pattern`).
+    * Exclusions win over inclusions, as in the reference. */
+  def select(m: Column, include: Seq[String] = Seq("*"),
+      exclude: Seq[String] = Seq.empty): Column = {
+    def anyMatch(k: Column, globs: Seq[String]): Column =
+      if (globs.isEmpty) lit(false)
+      else globs.map(g => k.rlike("^" + Rewrites.globToRegex(g) + "$")).reduce(_ || _)
+    map_filter(m, (k, _) => anyMatch(k, include) && !anyMatch(k, exclude))
+  }
+
+  /** pair("key" "value"): explicit additional pairs. */
+  def withPair(m: Column, key: String, value: Column): Column =
+    map_concat(m, map(lit(key), value))
+
+  // --- rekey transforms (transforms.h:33-42) ---
+
+  def addPrefix(m: Column, prefix: String): Column =
+    transform_keys(m, (k, _) => concat(lit(prefix), k))
+
+  def replacePrefix(m: Column, from: String, to: String): Column =
+    transform_keys(m, (k, _) =>
+      when(k.startsWith(from), concat(lit(to), k.substr(lit(from.length + 1), length(k))))
+        .otherwise(k))
+
+  /** shift(n): drop the first n characters of every key. */
+  def shift(m: Column, n: Int): Column =
+    transform_keys(m, (k, _) => k.substr(lit(n + 1), length(k)))
+
+  /** shift-levels(n): drop the first n dot-separated levels. */
+  def shiftLevels(m: Column, n: Int): Column =
+    transform_keys(m, (k, _) => {
+      val parts = split(k, "\\.")
+      when(size(parts) > n, array_join(slice(parts, lit(n + 1), size(parts) - n), "."))
+        .otherwise(k)
+    })
+
+  private def sortedEntries(m: Column): Column = array_sort(map_entries(m))
+
+  /** $(format-flat-json): {"k":"v",...} with keys sorted, values as JSON
+    * strings (format-json.c flat mode). */
+  def formatFlatJson(m: Column): Column = {
+    val body = transform(sortedEntries(m), e =>
+      concat(jsonStr(e.getField("key")), lit(":"), jsonStr(e.getField("value"))))
+    concat(lit("{"), array_join(body, ","), lit("}"))
+  }
+
+  /** $(format-json): nested JSON reconstructed from dot-notation keys —
+    * the inverse of json-parser's flattening. Custom expression. */
+  def formatJson(m: Column): Column = FormatJson(m)
+
+  private def jsonStr(c: Column): Column = to_json(struct(c.as("x"))).substr(
+    lit(6), length(to_json(struct(c.as("x")))) - 6)
+
+  /** $(format-welf): space-joined k=v sorted by key ("id" sorts first,
+    * format-welf.c:80-86); values containing spaces are double-quoted
+    * with embedded quotes backslash-escaped (:67-74). */
+  def formatWelf(m: Column): Column = {
+    val entries = sortedEntries(m)
+    // "id" first: partition then concat
+    val idPart = filter(entries, e => e.getField("key") === "id")
+    val rest = filter(entries, e => e.getField("key") =!= "id")
+    val all = concat(idPart, rest)
+    val body = transform(all, e => {
+      val v = e.getField("value")
+      val quoted = concat(lit("\""), regexp_replace(v, "\"", "\\\\\""), lit("\""))
+      concat(e.getField("key"), lit("="),
+        when(v.contains(" "), quoted).otherwise(v))
+    })
+    array_join(body, " ")
+  }
+
+  /** $(format-cef-extension): space-joined k=v sorted by key with CEF
+    * escaping: \ = newline CR escaped (format-cef-extension.c:68-101). */
+  def formatCef(m: Column): Column = {
+    val body = transform(sortedEntries(m), e => {
+      val v = e.getField("value")
+      val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        v, "\\\\", "\\\\\\\\"), "=", "\\\\="), "\n", "\\\\n"), "\r", "\\\\r")
+      concat(e.getField("key"), lit("="), esc)
+    })
+    array_join(body, " ")
+  }
+}
