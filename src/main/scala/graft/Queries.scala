@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{GraftFunctions, JsonFlatten, RadixMatch}
-import graft.operators.{Enrich, Filters, Parsers, Rewrites, Routing, ValuePairs}
+import graft.operators.{Enrich, Filters, Parsers, Rewrites, Routing, Sessions, ValuePairs}
 import graft.operators.Routing.Branch
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.template.Template
@@ -543,6 +543,110 @@ object Queries {
       FROM events ORDER BY event_id"""))
 
   // ---------------------------------------------------------------------
+  // grouping-by session aggregation + suppress/throttle (SURVEY §2.4,
+  // §2.7). Oracle reconstructs sessions with lag + cumulative-sum;
+  // session boundary when the inactivity gap is >= timeout (Spark's
+  // session_window end is exclusive).
+  // ---------------------------------------------------------------------
+  private val groupingBySession = Q("grouping_by_session",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+      Sessions.groupingBy(ev, col("user_id"), col("ts"), 21600,
+        Seq(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"),
+          Sessions.sortedValues(col("event_type"),
+            struct(col("ts"), col("event_id"))).as("types")))
+        .select(col("key").as("user_id"), unix_micros(col("session_start")).as("start_us"),
+          col("n"), col("sum_value"), col("types"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some("""WITH x AS (
+        SELECT user_id, ts, event_id, event_type, value,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events),
+      sessed AS (
+        SELECT *, SUM(CASE WHEN pts IS NULL
+            OR epoch_ns(ts) - epoch_ns(pts) >= 21600::BIGINT * 1000000000 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+        FROM x)
+      SELECT user_id, CAST(epoch_ns(min(ts)) // 1000 AS BIGINT) AS start_us,
+        count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        string_agg(event_type, ',' ORDER BY ts, event_id) AS types
+      FROM sessed GROUP BY user_id, sess ORDER BY user_id, start_us"""),
+    bench = true)
+
+  private val groupingByHaving = Q("grouping_by_having",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+      Sessions.groupingBy(ev, concat_ws("|", col("user_id"), col("event_type")),
+        col("ts"), 86400,
+        Seq(count(lit(1)).as("n"), min(col("event_id")).as("first_ev"),
+          max(col("event_id")).as("last_ev")),
+        where = col("value") > 10, having = col("n") >= 4)
+        .select(col("key"), col("n"), col("first_ev"), col("last_ev"),
+          unix_micros(col("session_start")).as("start_us"))
+        .orderBy(col("key"), col("start_us"))
+    },
+    Some("""WITH f AS (SELECT * FROM events WHERE value > 10),
+      x AS (
+        SELECT user_id || '|' || event_type AS key, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pts
+        FROM f),
+      sessed AS (
+        SELECT *, SUM(CASE WHEN pts IS NULL
+            OR epoch_ns(ts) - epoch_ns(pts) >= 86400::BIGINT * 1000000000 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY key ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+        FROM x)
+      SELECT key, count(*) AS n, min(event_id) AS first_ev, max(event_id) AS last_ev,
+        CAST(epoch_ns(min(ts)) // 1000 AS BIGINT) AS start_us
+      FROM sessed GROUP BY key, sess HAVING count(*) >= 4
+      ORDER BY key, start_us"""))
+
+  private val suppressQ = Q("suppress",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+      Sessions.suppress(ev, concat_ws("|", col("user_id"), col("event_type")),
+        col("ts"), 86400, col("event_id"))
+        .orderBy(col("suppress_key"), col("first_ts_us"))
+    },
+    Some("""WITH x AS (
+        SELECT user_id || '|' || event_type AS suppress_key, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pts
+        FROM events),
+      sessed AS (
+        SELECT *, SUM(CASE WHEN pts IS NULL
+            OR epoch_ns(ts) - epoch_ns(pts) >= 86400::BIGINT * 1000000000 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY suppress_key ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+        FROM x)
+      SELECT suppress_key, first(event_id ORDER BY ts, event_id) AS first_id,
+        CAST(epoch_ns(min(ts)) // 1000 AS BIGINT) AS first_ts_us,
+        count(*) - 1 AS n_suppressed
+      FROM sessed GROUP BY suppress_key, sess
+      ORDER BY suppress_key, first_ts_us"""))
+
+  private val throttleQ = Q("throttle",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        // compress 30 days into per-day "seconds" so the cap is exercised
+        .withColumn("pseudo_ts",
+          timestamp_seconds(floor(Tables.tsSeconds(col("ts")) / 86400)))
+      Sessions.throttle(ev, col("event_type"), col("pseudo_ts"), 5, col("event_id"))
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH ranked AS (
+        SELECT event_id, event_type,
+          row_number() OVER (PARTITION BY event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                             ORDER BY event_id) AS rn
+        FROM events)
+      SELECT event_id, event_type FROM ranked WHERE rn <= 5
+      ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------------
   // Dedup family (training-pipeline ops)
   // ---------------------------------------------------------------------
   private val dedupExact = Q("dedup_exact",
@@ -728,6 +832,7 @@ object Queries {
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
     parseJsonNested, parseDate, parseTagsRekey,
     formatJsonQ, formatWelfCef, vpRekey,
+    groupingBySession, groupingByHaving, suppressQ, throttleQ,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf,
     textStats, textLangid, textFingerprint, textFingerprintRobust,

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Session-scoped stateful operators, batch form (SURVEY §2.4
+  * grouping-by, §2.7 suppress/throttle). The streaming forms share the
+  * same semantics via flatMapGroupsWithState (graft.streaming).
+  *
+  * Scale notes: groupingBy/suppress compile to a single hash aggregation
+  * over `(key, session_window)` — one shuffle on the grouping key, which
+  * is the minimum any session construction needs; AQE handles skewed
+  * keys. throttle uses a ranking window: one shuffle + in-partition sort,
+  * bounded state.
+  */
+object Sessions {
+
+  /** grouping-by() (`/root/reference/modules/dbparser/groupingby.c:
+    * 35-51,479-487`): sessionize rows per `key` with an inactivity gap
+    * of `timeoutSeconds` (`timeout()`), aggregate each session.
+    *
+    *  - `where` = the reference's where() pre-filter;
+    *  - `having` = having() post-filter on the aggregated row;
+    *  - `aggs` = aggregate() synthetic-message columns; context
+    *    functions map to Spark aggs ($(context-length) → count,
+    *    $(context-values $x) → sortedValues below, $(sum $x) → sum).
+    *
+    * The session window is Spark's builtin `session_window`; exposed
+    * columns `session_start`/`session_end` follow its [first-event,
+    * last-event + gap) frame.
+    */
+  def groupingBy(df: DataFrame, key: Column, ts: Column, timeoutSeconds: Int,
+      aggs: Seq[Column], where: Column = lit(true),
+      having: Column = lit(true)): DataFrame =
+    df.filter(where)
+      .groupBy(session_window(ts, s"$timeoutSeconds seconds").as("session"),
+        key.as("key"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(having)
+      .withColumn("session_start", col("session.start"))
+      .withColumn("session_end", col("session.end"))
+      .drop("session")
+
+  /** $(context-values $v) with sort-key() (`groupingby.c:327`): values
+    * of a context ordered by `sortKey`, comma-joined (the reference's
+    * list repr). Deterministic when sortKey is unique per row. */
+  def sortedValues(value: Column, sortKey: Column): Column =
+    array_join(transform(
+      array_sort(collect_list(struct(sortKey.as("k"), value.as("v")))),
+      e => e.getField("v")), ",")
+
+  /** suppress(N) (`lib/logwriter.c:565-640`): drop messages identical to
+    * the previous one (same `key` — host/program/message in the
+    * reference) arriving within `seconds` of it; the suppression window
+    * slides with every suppressed repeat, so a run of repeats each
+    * within `seconds` of the previous collapses to its first message.
+    * That run is exactly a session: emit the first row per session plus
+    * the reference's "last message repeated n times" count.
+    *
+    * `order` breaks arrival-order ties deterministically (§7.4 risk 4:
+    * micro-batches reorder; we define order by (ts, order)).
+    */
+  def suppress(df: DataFrame, key: Column, ts: Column, seconds: Int,
+      order: Column): DataFrame =
+    df.groupBy(session_window(ts, s"$seconds seconds").as("session"),
+        key.as("suppress_key"))
+      .agg(
+        min(struct(ts.as("ts"), order.as("o"))).getField("o").as("first_id"),
+        unix_micros(min(ts)).as("first_ts_us"),
+        (count(lit(1)) - 1).as("n_suppressed"))
+      .drop("session")
+
+  /** throttle(N) (`lib/driver.h:169`, token bucket in `lib/logqueue.c`):
+    * cap delivery at `n` rows per key per second; rows beyond the cap in
+    * any wall-clock second drop. Batch form uses a ranking window —
+    * the streaming form holds the token bucket in state. */
+  def throttle(df: DataFrame, key: Column, ts: Column, n: Int,
+      order: Column): DataFrame = {
+    val second = date_trunc("second", ts)
+    val w = Window.partitionBy(key, second).orderBy(ts, order)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

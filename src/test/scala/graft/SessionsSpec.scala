@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Sessions
+import org.apache.spark.sql.functions._
+
+class SessionsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+
+  // (key, t, id): k1 has events at 0,5,8,30s; k2 at 0s
+  private lazy val df = Seq(
+    ("k1", ts(0), 1L), ("k1", ts(5), 2L), ("k1", ts(8), 3L),
+    ("k1", ts(30), 4L), ("k2", ts(0), 5L))
+    .toDF("k", "t", "id")
+
+  test("groupingBy sessionizes with inactivity gap") {
+    val out = Sessions.groupingBy(df, col("k"), col("t"), 10,
+      Seq(count(lit(1)).as("n"), Sessions.sortedValues(col("id"), col("id")).as("ids")))
+      .orderBy(col("key"), col("session_start"))
+      .select(col("key"), col("n"), col("ids"),
+        unix_timestamp(col("session_start")).as("ss"),
+        unix_timestamp(col("session_end")).as("se"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // k1: [0,5,8] (gap 10 keeps chain; 30 is >= 8+10 away → new), [30]; k2: [0]
+    assert(out.toSeq == Seq(
+      ("k1", 3L, "1,2,3", 0L, 18L), ("k1", 1L, "4", 30L, 40L), ("k2", 1L, "5", 0L, 10L)))
+  }
+
+  test("groupingBy where/having filters") {
+    val out = Sessions.groupingBy(df, col("k"), col("t"), 10,
+      Seq(count(lit(1)).as("n")), where = col("id") =!= 2, having = col("n") >= 2)
+      .select(col("key"), col("n")).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("k1", 2L)))
+  }
+
+  test("suppress collapses repeat runs sliding with each repeat") {
+    // repeats at 0,5,8 chain (each within 6s of previous); 30 is fresh
+    val out = Sessions.suppress(df.filter(col("k") === "k1"), col("k"), col("t"), 6, col("id"))
+      .orderBy(col("first_ts_us"))
+      .select(col("first_id"), col("n_suppressed")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (4L, 0L)))
+  }
+
+  test("throttle caps rows per key per second") {
+    val dense = Seq(("a", ts(0), 1L), ("a", ts(0), 2L), ("a", ts(0), 3L),
+      ("a", ts(1), 4L), ("b", ts(0), 5L)).toDF("k", "t", "id")
+    val kept = Sessions.throttle(dense, col("k"), col("t"), 2, col("id"))
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 2L, 4L, 5L)) // id=3 dropped
+  }
+}
