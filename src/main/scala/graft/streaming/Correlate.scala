@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.streaming.Stateful.Msg
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** patterndb correlation (SURVEY §2.4, §3.3): rules open named contexts
+  * — key = the `context-id` template + `context-scope`
+  * (`/root/reference/lib/correlation-key.h:29-39`) — extended by each
+  * matching message and closed by `context-timeout`; actions fire
+  * on-match or on-timeout, guarded by a `condition()` on the context and
+  * a token-bucket rate limit (`modules/dbparser/patterndb.c:198-276`),
+  * emitting synthetic messages over the context
+  * (`synthetic-message.h:45-56`).
+  *
+  * Upstream, classify with [[graft.functions.RadixMatch]] and build the
+  * context key from its captures; `Msg.value` is the payload the
+  * synthetic message template reads.
+  */
+object Correlate {
+
+  /** Emitted synthetic message. `kind` = which trigger fired
+    * (match/timeout); `n` = context length; `values` = ordered context
+    * payloads (the template's view of the whole context). */
+  case class CorrOut(key: String, tsUs: Long, kind: String, n: Long,
+      values: String)
+
+  case class CorrState(startUs: Long, lastUs: Long, n: Long, buf: List[String],
+      bucketSec: Long, tokens: Long)
+
+  /** @param onMatchAtLength fire the on-match action when the context
+    *        reaches this length (condition() of the action); None = no
+    *        on-match action.
+    * @param rateLimit (tokens, perSeconds): at most `tokens` on-match
+    *        emissions per key per `perSeconds` window (`patterndb.c`
+    *        token bucket); timeout emissions are not rate-limited,
+    *        as in the reference.
+    */
+  def correlate(ds: Dataset[Msg], timeoutSeconds: Int,
+      onMatchAtLength: Option[Int] = None,
+      rateLimit: Option[(Int, Int)] = None,
+      maxBuffered: Int = 10000): Dataset[CorrOut] = {
+    implicit val outEnc = Encoders.product[CorrOut]
+    implicit val stEnc = Encoders.product[CorrState]
+    implicit val kEnc = Encoders.STRING
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[Msg], state: GroupState[CorrState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(CorrOut(key, s.lastUs, "timeout", s.n,
+              s.buf.reverse.mkString(",")))
+          } else {
+            val sorted = rows.toSeq.sortBy(m => (m.ts.getTime, m.value))
+            var s = state.getOption.getOrElse(
+              CorrState(Long.MaxValue, 0L, 0L, Nil, Long.MinValue, 0L))
+            var out = List.empty[CorrOut]
+            for (m <- sorted) {
+              val us = m.ts.getTime * 1000L
+              s = s.copy(startUs = math.min(s.startUs, us),
+                lastUs = math.max(s.lastUs, us), n = s.n + 1,
+                buf = if (s.n < maxBuffered) m.value :: s.buf else s.buf)
+              if (onMatchAtLength.exists(s.n >= _)) {
+                // refill the token bucket when the window rolls over
+                val allowed = rateLimit match {
+                  case None => true
+                  case Some((tokens, perSec)) =>
+                    val window = us / 1000000L / perSec
+                    if (window != s.bucketSec) s = s.copy(bucketSec = window, tokens = tokens.toLong)
+                    if (s.tokens > 0) { s = s.copy(tokens = s.tokens - 1); true }
+                    else false
+                }
+                if (allowed)
+                  out ::= CorrOut(key, us, "match", s.n, s.buf.reverse.mkString(","))
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000L + timeoutSeconds * 1000L)
+            out.reverse.iterator
+          }
+        })
+  }
+}

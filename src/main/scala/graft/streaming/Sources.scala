@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming scans (SURVEY §2.1). The reference tails files / listens on
+  * sockets; the Spark-native forms are the Structured Streaming file
+  * source (glob monitoring, position = checkpoint) and a Kafka topic for
+  * network ingest. Framing (logproto) maps to `lineSep` and per-file
+  * multi-line assembly.
+  */
+object Sources {
+
+  /** file() / wildcard-file() (`modules/affile/affile-source.c:134-179`,
+    * `wildcard-source.c:103-299`): glob-monitored line stream.
+    * `maxFilesPerTrigger` is the fetch-limit analog (backpressure,
+    * `lib/logreader.c:480`). Emits `value` (the raw line) plus
+    * `source_file` lineage (filter source() support, filter-re.c:35). */
+  def fileLines(spark: SparkSession, glob: String,
+      maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(glob)
+      .withColumn("source_file", input_file_name())
+
+  /** The syslog source pipeline: lines → ParseSyslog struct columns.
+    * Works on any lines DataFrame (streaming or batch) — the streaming
+    * equivalent of msg_format_parse at the reader (`lib/msg-format.c:147`). */
+  def parsedSyslog(lines: DataFrame, refYear: Int = 2024): DataFrame = {
+    val p = GraftFunctions.parse_syslog(col("value"), refYear)
+    lines.withColumn("p", p).select(col("source_file"), col("p.*"))
+  }
+
+  /** Multi-line framing (`lib/logproto/logproto-regexp-multiline-server
+    * .c`): records START at lines matching `startRe`; continuation lines
+    * append with `\n`. Operates per file (records never span files, as
+    * in the reference) via wholetext read — the batch form; streaming
+    * multi-line needs file-grain triggers anyway (§7.4 risk 5).
+    * Lines before the first start-match form one leading record. */
+  def multilineRecords(spark: SparkSession, glob: String, startRe: String): DataFrame = {
+    val whole = spark.read.option("wholetext", "true").text(glob)
+      .withColumn("source_file", input_file_name())
+    // split points = line starts matching startRe: prefix those lines
+    // with \u0000 then split on it
+    val marked = regexp_replace(col("value"),
+      "(?m)^(" + startRe + ")", "\u0000$1")
+    whole
+      .select(col("source_file"),
+        explode(filter(split(marked, "\u0000"), r => r =!= "")).as("record"))
+      .withColumn("record", regexp_replace(col("record"), "\n$", ""))
+  }
+
+  /** Indented multi-line (`logproto-indented-multiline-server.c`):
+    * continuation lines start with whitespace. */
+  def indentedMultilineRecords(spark: SparkSession, glob: String): DataFrame =
+    multilineRecords(spark, glob, "[^\\s]")
+}

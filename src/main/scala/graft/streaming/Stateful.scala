@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators (SURVEY §2.4 grouping-by + patterndb
+  * correlation, §2.7 suppress/throttle) on `flatMapGroupsWithState` —
+  * the Spark-native replacement for the reference's correlation state
+  * table + timer wheel (`modules/dbparser/correlation.c`,
+  * `timerwheel.c:33-39`).
+  *
+  * Divergence (documented, SURVEY §7.4 risk 3): the reference closes
+  * contexts on a wall-clock timer clamped to message time
+  * (`groupingby.c:200-221`); here event-time timeouts fire when the
+  * WATERMARK passes `last event + timeout`, so late data beyond the
+  * watermark delay is dropped rather than reopening state.
+  *
+  * Scale: state lives in the state store (RocksDB on a real cluster),
+  * partitioned by key — the shuffle on the grouping key is the same
+  * boundary the reference crosses into its correlation hash table, but
+  * distributed. Buffers are capped (`maxBuffered`) so a hot key cannot
+  * OOM an executor.
+  */
+object Stateful {
+
+  /** One keyed message: `key` = the compiled context-id/key() template
+    * output; `value` = the payload the aggregate template needs. */
+  case class Msg(key: String, ts: java.sql.Timestamp, value: String)
+
+  /** Closed-session synthetic message (grouping-by aggregate()):
+    * reference emits via synthetic-message templates over the context
+    * (`synthetic-message.h:45-56`) — `values` carries the ordered
+    * context values for them. */
+  case class SessionOut(key: String, startUs: Long, lastUs: Long, n: Long,
+      values: String, closedBy: String)
+
+  case class SessState(startUs: Long, lastUs: Long, n: Long,
+      buf: List[String])
+
+  /** grouping-by() streaming form: contexts keyed by `key`, closed by
+    * `timeoutSeconds` of event-time inactivity (context-timeout) or
+    * early by `trigger` messages (trigger()), emitting one synthetic
+    * session row. Caller must set a watermark on `ts` upstream. */
+  def groupingBy(ds: Dataset[Msg], timeoutSeconds: Int,
+      trigger: Option[Int] = None, maxBuffered: Int = 10000): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stEnc = Encoders.product[SessState]
+    implicit val kEnc = Encoders.STRING
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[Msg], state: GroupState[SessState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(key, s.startUs, s.lastUs, s.n,
+              s.buf.reverse.mkString(","), "timeout"))
+          } else {
+            val sorted = rows.toSeq.sortBy(m => (m.ts.getTime, m.value))
+            var s = state.getOption.getOrElse(SessState(Long.MaxValue, 0L, 0L, Nil))
+            var out = List.empty[SessionOut]
+            for (m <- sorted) {
+              val us = m.ts.getTime * 1000L
+              s = SessState(math.min(s.startUs, us), math.max(s.lastUs, us),
+                s.n + 1, if (s.n < maxBuffered) m.value :: s.buf else s.buf)
+              if (trigger.exists(s.n >= _)) {
+                out ::= SessionOut(key, s.startUs, s.lastUs, s.n,
+                  s.buf.reverse.mkString(","), "trigger")
+                s = SessState(Long.MaxValue, 0L, 0L, Nil)
+              }
+            }
+            if (s.n > 0) {
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + timeoutSeconds * 1000L)
+            } else state.remove()
+            out.reverse.iterator
+          }
+        })
+  }
+
+  /** Suppressed-run output: the first message passes through
+    * (`kind="msg"`), the collapsed repeats surface as the reference's
+    * "last message repeated n times" summary (`lib/logwriter.c:565-640`)
+    * when the run closes. */
+  case class SuppressOut(key: String, tsUs: Long, value: String, kind: String,
+      n: Long)
+
+  case class SuppState(lastUs: Long, firstValue: String, n: Long)
+
+  /** suppress(N) streaming form: emits each first-of-run immediately;
+    * repeats within `seconds` of the previous (window slides per repeat)
+    * are absorbed into state; timeout emits the summary row. */
+  def suppress(ds: Dataset[Msg], seconds: Int): Dataset[SuppressOut] = {
+    implicit val outEnc = Encoders.product[SuppressOut]
+    implicit val stEnc = Encoders.product[SuppState]
+    implicit val kEnc = Encoders.STRING
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[Msg], state: GroupState[SuppState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            if (s.n > 0)
+              Iterator.single(SuppressOut(key, s.lastUs, s.firstValue, "summary", s.n))
+            else Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(m => (m.ts.getTime, m.value))
+            var out = List.empty[SuppressOut]
+            var s = state.getOption.orNull
+            for (m <- sorted) {
+              val us = m.ts.getTime * 1000L
+              if (s == null || us - s.lastUs >= seconds * 1000000L) {
+                if (s != null && s.n > 0)
+                  out ::= SuppressOut(key, s.lastUs, s.firstValue, "summary", s.n)
+                out ::= SuppressOut(key, us, m.value, "msg", 0L)
+                s = SuppState(us, m.value, 0L)
+              } else {
+                s = SuppState(us, s.firstValue, s.n + 1)
+              }
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastUs / 1000L + seconds * 1000L)
+            out.reverse.iterator
+          }
+        })
+  }
+
+  case class ThrState(sec: Long, count: Long)
+
+  /** throttle(N) streaming form: the reference's per-destination token
+    * bucket (`lib/logqueue.c`) keyed by `key`, refilled each event-time
+    * second; rows beyond `n` in a second drop. */
+  def throttle(ds: Dataset[Msg], n: Int): Dataset[Msg] = {
+    implicit val msgEnc = Encoders.product[Msg]
+    implicit val stEnc = Encoders.product[ThrState]
+    implicit val kEnc = Encoders.STRING
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[Msg], state: GroupState[ThrState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(m => (m.ts.getTime, m.value))
+            var s = state.getOption.getOrElse(ThrState(-1L, 0L))
+            val out = sorted.flatMap { m =>
+              val sec = m.ts.getTime / 1000L
+              if (sec != s.sec) s = ThrState(sec, 0L)
+              if (s.count < n) { s = ThrState(s.sec, s.count + 1); Some(m) }
+              else None
+            }
+            state.update(s)
+            state.setTimeoutTimestamp((s.sec + 60) * 1000L)
+            out.iterator
+          }
+        })
+  }
+}

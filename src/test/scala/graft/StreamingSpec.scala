@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.Routing.Branch
+import graft.streaming.{Sinks, Sources, Stateful}
+import graft.streaming.Stateful.Msg
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+  private def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  test("groupingBy stream: trigger closes early, watermark timeout closes rest") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Msg]
+    val out = Stateful.groupingBy(
+      input.toDS().withWatermark("ts", "0 seconds"), timeoutSeconds = 60,
+      trigger = Some(3))
+    val q = out.writeStream.format("memory").queryName("gb_out")
+      .outputMode("append").start()
+    try {
+      // k1: 4 events → trigger at 3, 1 left in state; k2: 1 event
+      input.addData(Msg("k1", ts(100), "a"), Msg("k1", ts(101), "b"),
+        Msg("k1", ts(102), "c"), Msg("k1", ts(110), "d"), Msg("k2", ts(100), "x"))
+      q.processAllAvailable()
+      // advance watermark beyond 110+60, then one more batch to fire timeouts
+      input.addData(Msg("adv", ts(1000), "w1"))
+      q.processAllAvailable()
+      input.addData(Msg("adv2", ts(2000), "w2"))
+      q.processAllAvailable()
+      val rows = spark.table("gb_out")
+        .select("key", "n", "values", "closedBy").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      assert(rows.contains(("k1", 3L, "a,b,c", "trigger")))
+      assert(rows.contains(("k1", 1L, "d", "timeout")))
+      assert(rows.contains(("k2", 1L, "x", "timeout")))
+    } finally q.stop()
+  }
+
+  test("suppress stream: first passes, repeats summarized on timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Msg]
+    val out = Stateful.suppress(
+      input.toDS().withWatermark("ts", "0 seconds"), seconds = 10)
+    val q = out.writeStream.format("memory").queryName("sup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Msg("h1|prog|oom", ts(100), "oom"),
+        Msg("h1|prog|oom", ts(105), "oom"), Msg("h1|prog|oom", ts(109), "oom"),
+        Msg("h1|prog|oom", ts(150), "oom"))
+      q.processAllAvailable()
+      input.addData(Msg("adv", ts(1000), "w"))
+      q.processAllAvailable()
+      input.addData(Msg("adv2", ts(2000), "w"))
+      q.processAllAvailable()
+      val rows = spark.table("sup_out").select("kind", "tsUs", "n").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // 100 emits, 105+109 suppressed (chain), 150 emits fresh
+      assert(rows.contains(("msg", 100000000L, 0L)))
+      assert(rows.contains(("summary", 109000000L, 2L)))
+      assert(rows.contains(("msg", 150000000L, 0L)))
+    } finally q.stop()
+  }
+
+  test("throttle stream: caps per key per event-time second") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Msg]
+    val out = Stateful.throttle(
+      input.toDS().withWatermark("ts", "0 seconds"), n = 2)
+    val q = out.writeStream.format("memory").queryName("thr_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Msg("d1", ts(100), "1"), Msg("d1", ts(100), "2"),
+        Msg("d1", ts(100), "3"), Msg("d1", ts(101), "4"), Msg("d2", ts(100), "5"))
+      q.processAllAvailable()
+      val kept = spark.table("thr_out").select("value").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(kept == Seq("1", "2", "4", "5"))
+    } finally q.stop()
+  }
+
+  test("file source + parsedSyslog streaming end-to-end") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Path.of(dir, "a.log"),
+      "<13>Jun  1 12:00:00 web1 nginx[7]: GET /\n<11>Jun  1 12:00:01 db1 pg[8]: commit\n")
+    val parsed = Sources.parsedSyslog(Sources.fileLines(spark, dir + "/*.log"))
+    val q = parsed.writeStream.format("memory").queryName("src_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("src_out").select("host", "program", "severity")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      assert(rows == Set(("web1", "nginx", 5), ("db1", "pg", 3)))
+    } finally q.stop()
+  }
+
+  test("multiline framing: regexp start + indented") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Path.of(dir, "m.log"),
+      "ERROR boom\n  at Foo.scala:1\n  at Bar.scala:2\nINFO ok\nERROR again\n  cause\n")
+    val recs = Sources.multilineRecords(spark, dir + "/*.log", "(ERROR|INFO)")
+      .select("record").collect().map(_.getString(0)).toSeq
+    assert(recs == Seq("ERROR boom\n  at Foo.scala:1\n  at Bar.scala:2",
+      "INFO ok", "ERROR again\n  cause"))
+    val ind = Sources.indentedMultilineRecords(spark, dir + "/*.log")
+      .select("record").collect().map(_.getString(0)).toSeq
+    assert(ind.head == "ERROR boom\n  at Foo.scala:1\n  at Bar.scala:2")
+  }
+
+  test("correlate: on-match action with condition + rate limit, timeout summary") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Msg]
+    val out = graft.streaming.Correlate.correlate(
+      input.toDS().withWatermark("ts", "0 seconds"), timeoutSeconds = 60,
+      onMatchAtLength = Some(3), rateLimit = Some((1, 3600)))
+    val q = out.writeStream.format("memory").queryName("corr_out")
+      .outputMode("append").start()
+    try {
+      // 4 fails in one context: condition n>=3 satisfied at msg 3 AND 4,
+      // but the 1/hour token bucket lets only the first action fire
+      input.addData(Msg("host1|ssh-fail", ts(100), "f1"),
+        Msg("host1|ssh-fail", ts(101), "f2"), Msg("host1|ssh-fail", ts(102), "f3"),
+        Msg("host1|ssh-fail", ts(103), "f4"))
+      q.processAllAvailable()
+      input.addData(Msg("adv", ts(5000), "w"))
+      q.processAllAvailable()
+      input.addData(Msg("adv2", ts(9000), "w"))
+      q.processAllAvailable()
+      val rows = spark.table("corr_out").select("key", "kind", "n", "values")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+      val matches = rows.filter(r => r._1 == "host1|ssh-fail" && r._2 == "match")
+      assert(matches.toSeq == Seq(("host1|ssh-fail", "match", 3L, "f1,f2,f3")))
+      assert(rows.contains(("host1|ssh-fail", "timeout", 4L, "f1,f2,f3,f4")))
+    } finally q.stop()
+  }
+
+  test("fan-out sink: one batch, disjoint branch outputs with final semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Msg]
+    input.addData(Msg("err", ts(1), "e1"), Msg("err", ts(2), "e2"),
+      Msg("other", ts(3), "o1"))
+    val out = tmp(); val cp = tmp()
+    val q = Sinks.startFanOutParquet(input.toDS().toDF(), out, cp, Seq(
+      Branch("errors", col("key") === "err", isFinal = true),
+      Branch("rest", lit(true))))
+    try q.awaitTermination(60000) finally q.stop()
+    assert(spark.read.parquet(out + "/errors").count() == 2)
+    assert(spark.read.parquet(out + "/rest").count() == 1)
+  }
+}
