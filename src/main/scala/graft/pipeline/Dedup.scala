@@ -30,22 +30,23 @@ object Dedup {
   }
 
   // ---- shingles / n-grams ----------------------------------------------------
-  /** k-word shingles (distinct), the unit for Jaccard / MinHash. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val words = TextAnalysis.tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
-      i => array_join(slice(words, i, lit(k)), " ")))
-  }
+  /** k-word shingles (distinct), the unit for Jaccard / MinHash.
+    * The token array is let-bound via [[TextAnalysis.bindArray]]: naively
+    * inlining it into the transform lambda re-runs the tokenizing regex
+    * once per shingle (quadratic per document). */
+  def wordShingles(text: Column, k: Int): Column =
+    TextAnalysis.bindArray(TextAnalysis.tokens(text)) { words =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
+        i => array_join(slice(words, i, lit(k)), " ")))
+    }
 
   // ---- MinHash + LSH ----------------------------------------------------------
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the document's shingles. xxhash64(seed, shingle) is the
-    * family. */
+  /** MinHash signature — single-pass custom expression (one string hash
+    * per shingle + numHashes long-mixes; the HOF formulation would walk
+    * the array numHashes times). */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(shingles, s => xxhash64(lit(seed), s)))
-    }: _*)
+    graft.functions.MinHashSig(shingles, numHashes)
 
   /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`
     * hashes; each band hashed to one bucket key. Docs sharing any band key
@@ -65,34 +66,32 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
-    val withSig = df.select(id.as("id"), wordShingles(text, shingleK).as("sh"))
-      .withColumn("band", explode(lshBandKeys(
-        minhashSignature(col("sh"), numHashes), bands, rows)))
-    val a = withSig.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withSig.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
+    val docs = df.select(id.as("id"), wordShingles(text, shingleK).as("sh"))
+    // the band join shuffles only (band, id) — shingle arrays stay out
+    // of the wide join; a doc colliding in several bands dedups BEFORE
+    // the (expensive) exact-Jaccard verification
+    val banded = docs.select(col("id"), explode(lshBandKeys(
+      minhashSignature(col("sh"), numHashes), bands, rows)).as("band"))
+    val cand = banded.select(col("band"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
   // ---- SimHash -----------------------------------------------------------------
-  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes.
-    * Pure expressions: for each bit, sum(+1/-1) over tokens, sign -> bit.
-    * Near-dups then band on 16-bit chunks and verify hamming distance
-    * (bit_count(a XOR b)). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val bits: Seq[Column] = (0 until 64).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, c) => a.bitwiseOR(c))
-  }
+  /** 64-bit SimHash over tokens: per-bit majority vote of token hashes —
+    * single-pass custom expression. Near-dups then band on 16-bit chunks
+    * and verify hamming distance (bit_count(a XOR b)). */
+  def simhash(text: Column): Column =
+    graft.functions.SimHash64(TextAnalysis.tokens(text))
 
   /** SimHash near-dup pairs: band on the four 16-bit chunks (a pair within
     * hamming distance<=maxHamming in 64 bits must agree on >=1 chunk when
@@ -107,9 +106,10 @@ object Dedup {
     val b = banded.select(col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct() // dedupe multi-chunk collisions before anything else
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -145,14 +145,20 @@ object Dedup {
     * bucket only. */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
       threshold: Double = 0.95, planes: Int = 8, seed: Long = 42): DataFrame = {
+    // norms precomputed per vector (narrow pass) so each candidate pair
+    // costs ONE dot product, not dot + two norms
     val withBucket = df.select(id.as("id"), vec.as("v"))
       .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes, seed))
-    val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = withBucket.select(col("bucket"), col("id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = withBucket.select(col("bucket"), col("id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+        (Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

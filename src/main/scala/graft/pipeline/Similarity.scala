@@ -24,14 +24,20 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine against a constant query vector: the query's norm is folded
+    * driver-side (same sequential double accumulation → bit-identical),
+    * so each row pays one dot + one norm instead of three passes. */
+  private def cosineToQuery(vec: Column, query: Seq[Float]): Column = {
+    val qn = math.sqrt(query.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    dot(vec, typedLit(query)) / (norm(vec) * lit(qn))
+  }
+
   /** Exact top-k by cosine against one query vector. */
   def bruteForceTopK(df: DataFrame, vec: Column, id: Column,
-      query: Seq[Float], k: Int): DataFrame = {
-    val q = typedLit(query)
-    df.select(id.as("vec_id"), cosine(vec, q).as("cos"))
+      query: Seq[Float], k: Int): DataFrame =
+    df.select(id.as("vec_id"), cosineToQuery(vec, query).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
-  }
 
   /** Random-hyperplane LSH bucket: `planes` sign bits of dot products
     * with seeded pseudo-random hyperplanes. Deterministic in `seed`.
@@ -58,7 +64,7 @@ object Similarity {
     val qDf = bucketed.sparkSession.range(1)
       .select(hyperplaneBucket(typedLit(query), planes, seed).as("qbucket"))
     bucketed.join(broadcast(qDf), col("bucket") === col("qbucket"), "inner")
-      .select(col("vec_id"), cosine(col("v"), typedLit(query)).as("cos"))
+      .select(col("vec_id"), cosineToQuery(col("v"), query).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
@@ -80,7 +86,7 @@ object Similarity {
 
     def nearestCentroid(v: Column): Column = {
       val scored = cList.map { case (cid, cv) =>
-        struct(cosine(v, typedLit(cv.toSeq)).as("cos"), lit(cid).as("cid"))
+        struct(cosineToQuery(v, cv.toSeq).as("cos"), lit(cid).as("cid"))
       }
       array_max(array(scored: _*)).getField("cid")
     }
@@ -94,7 +100,7 @@ object Similarity {
 
     base.withColumn("cid", nearestCentroid(col("v")))
       .filter(col("cid").isin(probeSet: _*))
-      .select(col("vec_id"), cosine(col("v"), typedLit(query)).as("cos"))
+      .select(col("vec_id"), cosineToQuery(col("v"), query).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }

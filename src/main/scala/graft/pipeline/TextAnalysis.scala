@@ -14,6 +14,13 @@ object TextAnalysis {
     * handling is byte-oriented; a training pipeline wants tokens). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Let-binding for HOF programs: evaluates `arr` ONCE and exposes it
+    * as a lambda variable. An expression referenced inside a HOF lambda
+    * body is otherwise re-evaluated per element — an O(n) tokenizer
+    * inlined into an n-element transform goes quadratic per row. */
+  def bindArray(arr: Column)(body: Column => Column): Column =
+    element_at(transform(array(arr), body), 1)
+
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
@@ -90,12 +97,15 @@ object TextAnalysis {
   /** Winnowing-style robust fingerprint: min-hash over character k-gram
     * rolling hashes — survives small edits. No SQL analog (rows-only
     * check); stays a pure expression. */
-  def robustFingerprint(text: Column, k: Int = 8, keep: Int = 4): Column = {
-    val norm = lower(regexp_replace(trim(text), "\\s+", " "))
-    // char k-grams via substr over an index sequence, hashed; the `keep`
-    // smallest hashes form the fingerprint (winnowing/min-sampling)
-    val idx = sequence(lit(1), greatest(length(norm) - (k - 1), lit(1)))
-    val hashes = transform(idx, i => xxhash64(norm.substr(i, lit(k))))
-    array_join(slice(array_sort(hashes), 1, keep), "-")
-  }
+  def robustFingerprint(text: Column, k: Int = 8, keep: Int = 4): Column =
+    // norm is let-bound: substr(norm, i, k) inside the lambda would
+    // otherwise re-run the normalizing regex once per k-gram
+    bindArray(array(lower(regexp_replace(trim(text), "\\s+", " ")))) { a =>
+      val norm = element_at(a, 1)
+      // char k-grams via substr over an index sequence, hashed; the `keep`
+      // smallest hashes form the fingerprint (winnowing/min-sampling)
+      val idx = sequence(lit(1), greatest(length(norm) - (k - 1), lit(1)))
+      val hashes = transform(idx, i => xxhash64(norm.substr(i, lit(k))))
+      array_join(slice(array_sort(hashes), 1, keep), "-")
+    }
 }
