@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GraftFunctions, JsonFlatten, RadixMatch}
+import graft.functions.{GraftFunctions, JsonFlatten, RadixMatch, XmlFlatten}
 import graft.operators.{Enrich, Filters, Parsers, Rewrites, Routing, Sessions, ValuePairs}
 import graft.operators.Routing.Branch
 import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
@@ -451,6 +451,24 @@ object Queries {
       CAST(event_id AS STRING) AS q0, CAST(NULL AS VARCHAR) AS skip
       FROM events ORDER BY event_id"""))
 
+  private val parseXml = Q("parse_xml",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val doc = concat(lit("<event id=\""), col("event_id"),
+        lit("\"><user>u"), col("user_id"), lit("</user><type>"),
+        col("event_type"), lit("</type><tag>a</tag><tag>b</tag></event>"))
+      val m = XmlFlatten(doc)
+      ev.select(col("event_id"),
+          element_at(m, ".xml.event._id").as("id"),
+          element_at(m, ".xml.event.user").as("user"),
+          element_at(m, ".xml.event.type").as("type"),
+          element_at(m, ".xml.event.tag").as("tags"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, CAST(event_id AS STRING) AS id,
+      'u' || user_id AS user, event_type AS type, 'ab' AS tags
+      FROM events ORDER BY event_id"""))
+
   private val parseDate = Q("parse_date",
     (s, d) => {
       val ev = syslogishEvents(s, d)
@@ -830,7 +848,7 @@ object Queries {
     parseSyslogRfc3164, parseSyslogRfc5424,
     routeJunction, patterndbClassify, enrichRange,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
-    parseJsonNested, parseDate, parseTagsRekey,
+    parseJsonNested, parseXml, parseDate, parseTagsRekey,
     formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, suppressQ, throttleQ,
     dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,

@@ -87,6 +87,14 @@ object TemplateFunctions {
     // ---- conditional (cond-funcs.c) -------------------------------------
     "or" -> (args => coalesce(args.map(a => nullif(a.col, lit(""))) :+ lit(""): _*)),
     "default" -> (args => coalesce(args.map(a => nullif(a.col, lit(""))) :+ lit(""): _*)),
+    // $(if cond a b) — cond-funcs.c:148-177. The reference's cond is a
+    // filter expression; the engine-level equivalent is `when(Column)`,
+    // so the template form takes the already-evaluated truth string.
+    "if" -> { args =>
+      val c = args.head.col
+      when(c === "true" || c === "1" || c === "yes", args(1).col)
+        .otherwise(args(2).col)
+    },
     // ---- list (list-funcs.c) --------------------------------------------
     "list-concat" -> (args => listOut(flatten(array(args.map(listIn): _*)))),
     "list-append" -> (args => listOut(concat(listIn(args.head), array(args.tail.map(_.col): _*)))),
@@ -166,6 +174,24 @@ object TemplateFunctions {
         case Seq(k, v) => concat(k, lit("="), v)
       }.toSeq
       concat_ws(" ", pairs: _*)
-    }
+    },
+    // $(binary 0x41 66 ...) — str-funcs.c: bytes from numeric args
+    "binary" -> { args =>
+      val chars = args.map { a =>
+        val s = a.col.cast("string")
+        val n = when(s.rlike("^0[xX][0-9a-fA-F]+$"), conv(regexp_replace(s, "^0[xX]", ""), 16, 10).cast("long"))
+          .otherwise(num(a))
+        call_function("char", n)
+      }
+      concat(chars: _*)
+    },
+    // structured formatters over explicit k/v args (the value-pairs
+    // scope-driven forms live in graft.operators.ValuePairs)
+    "format-json" -> (args => graft.operators.ValuePairs.formatFlatJson(kvMap(args))),
+    "format-cef-extension" -> (args => graft.operators.ValuePairs.formatCef(kvMap(args)))
   )
+
+  private def kvMap(args: Seq[TArg]): Column =
+    map(args.map(_.col).grouped(2).collect { case Seq(k, v) => Seq(k, v) }
+      .toSeq.flatten: _*)
 }

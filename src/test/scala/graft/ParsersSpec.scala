@@ -102,4 +102,21 @@ class ParsersSpec extends GraftSuite {
     val r = one(JsonFlatten(col("s")), "{nope")
     assert(r.isNullAt(0))
   }
+
+  test("XmlFlatten tags, attrs, repeated-tag concat (reference default)") {
+    val m = one(graft.functions.XmlFlatten(col("s")),
+      """<ev id="7"><user role="a">joe</user><data>first</data><data>second</data></ev>""")
+      .getMap[String, String](0)
+    assert(m == Map(".xml.ev._id" -> "7", ".xml.ev.user._role" -> "a",
+      ".xml.ev.user" -> "joe", ".xml.ev.data" -> "firstsecond"))
+  }
+
+  test("XmlFlatten exclude-tags, strip-whitespaces, invalid -> null") {
+    val in = """<a><skipme><x>1</x></skipme><keep> v </keep></a>"""
+    val m = one(graft.functions.XmlFlatten(col("s"), ".xml.", Seq("skip*"), true), in)
+      .getMap[String, String](0)
+    assert(m == Map(".xml.a.keep" -> "v"))
+    assert(one(graft.functions.XmlFlatten(col("s")), "<tag></missingtag>").isNullAt(0))
+    assert(one(graft.functions.XmlFlatten(col("s")), "simple string").isNullAt(0))
+  }
 }

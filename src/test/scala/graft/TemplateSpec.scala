@@ -78,6 +78,16 @@ class TemplateSpec extends GraftSuite {
     assert(render("$(implode : $TAGS)") == Seq("t1:t2", "t1:t2"))
   }
 
+  test("if / binary / structured formatters") {
+    assert(render("$(if true yes no)") == Seq("yes", "yes"))
+    assert(render("$(if 0 yes no)") == Seq("no", "no"))
+    assert(render("$(binary 0x41 66 0x43)") == Seq("ABC", "ABC"))
+    assert(render("$(format-json host $HOST app $PROGRAM)") ==
+      Seq("""{"app":"sshd","host":"h1"}""", """{"app":"cron","host":"h2"}"""))
+    assert(render("$(format-cef-extension msg $MESSAGE)") ==
+      Seq("msg=login failed", "msg=job done"))
+  }
+
   test("crypto functions") {
     assert(render("$(md5 x)") == Seq.fill(2)("9dd4e461268c8034f5c8564e155c67a6"))
     assert(render("$(sha256 x)").head.length == 64)
