@@ -331,6 +331,28 @@ object Queries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // app-parser via the LogPath junction compiler (SURVEY §2.4 app-parser,
+  // §2.6 junction flags, §3.1 config compile)
+  // ---------------------------------------------------------------------
+  private val appParserQ = Q("app_parser",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.dsl.LogPath.appParser(ev, Seq(
+        ("errors", col("event_type") === "error",
+          _.withColumn("parsed", concat(lit("E"), col("event_id")))),
+        ("bigval", col("value") > 100,
+          _.withColumn("parsed", concat(lit("B"), col("user_id"))))))
+        .select(col("event_id"), col("__channel").as("app"), col("parsed"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CASE WHEN event_type = 'error' THEN 'errors'
+           WHEN value > 100 THEN 'bigval' ELSE 'unknown' END AS app,
+      CASE WHEN event_type = 'error' THEN 'E' || event_id
+           WHEN value > 100 THEN 'B' || user_id END AS parsed
+      FROM events ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------------
   // geoip-style range enrichment (SURVEY §2.4 geoip2): /8 block per nation
   // ---------------------------------------------------------------------
   private val enrichRange = Q("enrich_range",
@@ -846,7 +868,7 @@ object Queries {
     rewriteSubst, rewriteSetTag,
     templateFormat, templateFuncs,
     parseSyslogRfc3164, parseSyslogRfc5424,
-    routeJunction, patterndbClassify, enrichRange,
+    routeJunction, patterndbClassify, appParserQ, enrichRange,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
     parseJsonNested, parseXml, parseDate, parseTagsRekey,
     formatJsonQ, formatWelfCef, vpRekey,
