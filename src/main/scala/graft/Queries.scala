@@ -120,6 +120,19 @@ object Queries {
     Some("""SELECT event_id, '10.' || (user_id % 256) || '.' || (event_id % 256) || '.5' AS srcip
       FROM events WHERE user_id % 256 = 3 ORDER BY event_id"""))
 
+  private val filterNetmask6 = Q("filter_netmask6",
+    (s, d) => {
+      val ev = Tables.events(s, d).withColumn("srcip6",
+        concat(lit("2001:db8:0:"), lower(hex(col("user_id") % 16)), lit("::"),
+          (col("event_id") % 9 + 1).cast("string")))
+      ev.filter(Filters.netmask6("2001:db8:0:5::/64", col("srcip6")))
+        .select(col("event_id"), col("srcip6"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      '2001:db8:0:' || lower(to_hex(user_id % 16)) || '::' || (event_id % 9 + 1) AS srcip6
+      FROM events WHERE user_id % 16 = 5 ORDER BY event_id"""))
+
   private val filterInList = Q("filter_in_list",
     (s, d) => {
       val ev = Tables.events(s, d)
@@ -645,6 +658,43 @@ object Queries {
       FROM sessed GROUP BY key, sess HAVING count(*) >= 4
       ORDER BY key, start_us"""))
 
+  // context functions over a session: $(context-length), $(context-values),
+  // $(grep cond $v), $(sum) (SURVEY §2.8 context/aggregate family)
+  private val contextFuncs = Q("grouping_by_context_funcs",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+      Sessions.groupingBy(ev, col("user_id"), col("ts"), 86400,
+        Seq(
+          count(lit(1)).as("context_length"),
+          Sessions.sortedValues(col("event_id").cast("string"),
+            struct(col("ts"), col("event_id"))).as("context_values"),
+          // $(grep 'event_type == error' $event_id): filter context rows
+          Sessions.sortedValues(
+            when(col("event_type") === "error", col("event_id").cast("string")),
+            struct(col("ts"), col("event_id"))).as("grep_errors"),
+          sum(dec(col("value"))).cast("double").as("ctx_sum")))
+        .select(col("key").as("user_id"), unix_micros(col("session_start")).as("start_us"),
+          col("context_length"), col("context_values"), col("grep_errors"), col("ctx_sum"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some("""WITH x AS (
+        SELECT user_id, ts, event_id, event_type, value,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events),
+      sessed AS (
+        SELECT *, SUM(CASE WHEN pts IS NULL
+            OR epoch_ns(ts) - epoch_ns(pts) >= 86400::BIGINT * 1000000000 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+        FROM x)
+      SELECT user_id, CAST(epoch_ns(min(ts)) // 1000 AS BIGINT) AS start_us,
+        count(*) AS context_length,
+        string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS context_values,
+        coalesce(string_agg(CASE WHEN event_type = 'error' THEN CAST(event_id AS VARCHAR) END,
+          ',' ORDER BY ts, event_id), '') AS grep_errors,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ctx_sum
+      FROM sessed GROUP BY user_id, sess ORDER BY user_id, start_us"""))
+
   private val suppressQ = Q("suppress",
     (s, d) => {
       val ev = syslogishEvents(s, d)
@@ -697,6 +747,16 @@ object Queries {
     Some("""SELECT user_id || '|' || event_type AS dup_key,
       min(event_id) AS survivor_id, count(*) AS n_dups
       FROM events GROUP BY 1 ORDER BY dup_key"""))
+
+  private val dedupDropped = Q("dedup_dropped",
+    (s, d) => Dedup.exactDropped(Tables.events(s, d),
+        concat_ws("|", col("user_id"), col("event_type")), col("event_id"))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id")),
+    Some("""SELECT event_id, user_id, event_type FROM events
+      WHERE event_id NOT IN (
+        SELECT min(event_id) FROM events GROUP BY user_id, event_type)
+      ORDER BY event_id"""))
 
   private val dedupNgramJaccard = Q("dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d),
@@ -864,7 +924,7 @@ object Queries {
   // All queries
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(aggStats, filterSeverity, enrichLookup,
-    filterMatch, filterNetmask, filterInList,
+    filterMatch, filterNetmask, filterNetmask6, filterInList,
     rewriteSubst, rewriteSetTag,
     templateFormat, templateFuncs,
     parseSyslogRfc3164, parseSyslogRfc5424,
@@ -872,8 +932,8 @@ object Queries {
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
     parseJsonNested, parseXml, parseDate, parseTagsRekey,
     formatJsonQ, formatWelfCef, vpRekey,
-    groupingBySession, groupingByHaving, suppressQ, throttleQ,
-    dedupExact, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
+    dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf,
     textStats, textLangid, textFingerprint, textFingerprintRobust,
     multimodalFeatures, multimodalStub)

@@ -85,6 +85,75 @@ object Ipv4ToInt {
   }
 }
 
+/** `cidr_match(cidr, ip)` — netmask()/netmask6() CIDR containment
+  * (`/root/reference/lib/filter/filter-netmask.c`, `filter-netmask6.c`).
+  * The CIDR is config-time constant; the parsed network bytes + prefix
+  * length ship inside the expression. Handles IPv4 and IPv6 literals
+  * (no DNS — non-literal input is simply no-match). */
+case class CidrMatch(child: Expression, cidr: String) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "cidr_match"
+
+  @transient private lazy val compiled: (Array[Byte], Int) = CidrMatch.compile(cidr)
+
+  def matches(ip: UTF8String): Boolean =
+    CidrMatch.prefixMatch(CidrMatch.parseIp(ip.toString), compiled._1, compiled._2)
+
+  override protected def nullSafeEval(v: Any): Any =
+    matches(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cidrMatch", this, classOf[CidrMatch].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.matches($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CidrMatch = copy(child = c)
+}
+
+object CidrMatch {
+  private[functions] def compile(cidr: String): (Array[Byte], Int) = {
+    val Array(addr, bitsStr) = cidr.split("/", 2)
+    val bytes = parseIp(addr)
+    require(bytes != null, s"bad CIDR address: $cidr")
+    (bytes, bitsStr.toInt)
+  }
+
+  /** Literal IPv4/IPv6 parse, null on anything else. IPv4 yields 4
+    * bytes, IPv6 16 — families never cross-match (like the reference's
+    * separate netmask/netmask6 filters). */
+  private[functions] def parseIp(s: String): Array[Byte] = {
+    if (s == null || s.isEmpty) return null
+    val looksV4 = s.forall(c => (c >= '0' && c <= '9') || c == '.')
+    val looksV6 = s.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+      (c >= 'A' && c <= 'F') || c == ':' || c == '.')
+    if (!looksV4 && !looksV6) return null
+    if (looksV4) {
+      val v = Ipv4ToInt.toLong(UTF8String.fromString(s))
+      if (v < 0) return null
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    } else try {
+      // literal-only: getByName never resolves for valid v6 literals
+      java.net.InetAddress.getByName(s).getAddress
+    } catch { case _: Exception => null }
+  }
+
+  private[functions] def prefixMatch(ip: Array[Byte], net: Array[Byte], bits: Int): Boolean = {
+    if (ip == null || ip.length != net.length) return false
+    var remaining = bits
+    var i = 0
+    while (remaining >= 8) {
+      if (ip(i) != net(i)) return false
+      i += 1; remaining -= 8
+    }
+    if (remaining == 0) true
+    else {
+      val mask = (0xFF << (8 - remaining)) & 0xFF
+      (ip(i) & mask) == (net(i) & mask)
+    }
+  }
+}
+
 /** Column builders + SQL registration for graft's custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions.lit
@@ -96,6 +165,9 @@ object GraftFunctions {
 
   def ipv4_to_int(ip: Column): Column =
     ColumnBridge.column(Ipv4ToInt(ColumnBridge.expression(ip)))
+
+  def cidr_match(cidr: String, ip: Column): Column =
+    ColumnBridge.column(CidrMatch(ColumnBridge.expression(ip), cidr))
 
   /** Register SQL names (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -65,6 +65,11 @@ object Filters {
 
   /** `tags(t1, t2)` — any-of test on the tags array (`lib/filter/
     * filter-tags.c`). */
+  /** netmask6() — CIDR containment for IPv6 (filter-netmask6.c); also
+    * accepts IPv4 CIDRs (families never cross-match). */
+  def netmask6(cidr: String, ip: Column): Column =
+    graft.functions.GraftFunctions.cidr_match(cidr, ip)
+
   def tags(ts: String*): Column =
     arrays_overlap(col("tags"), array(ts.map(lit): _*))
 

