@@ -540,6 +540,44 @@ object Queries {
       FROM events ORDER BY event_id"""))
 
   // ---------------------------------------------------------------------
+  // The config front end (SURVEY §3.1): a syslog-ng-style config text
+  // parsed + compiled to the same DataFrame algebra, oracle-checked.
+  // ---------------------------------------------------------------------
+  private val configPipeline = Q("config_pipeline",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+        .withColumn("tags", array().cast("array<string>"))
+        .withColumn("message", concat(lit("u="), col("user_id"), lit(" k="),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)))
+      val conf = """
+        @version: 3.33
+        source s_ev { file("/var/log/events.log"); };
+        filter f_sev { severity(emerg..err) and not program("logout"); };
+        parser p_kv { kv-parser(prefix(".kv.")); };
+        rewrite r {
+          set-tag("hit");
+          set("$PROGRAM@$HOST", value("program"), condition(severity(crit..err)));
+        };
+        destination d_out { file("/out/events-$HOST.log"); };
+        log { source(s_ev); filter(f_sev); parser(p_kv); rewrite(r); destination(d_out); };
+      """
+      val out = graft.config.ConfigCompiler
+        .compile(graft.config.ConfigParser.parse(conf), Map("s_ev" -> ev)).head.df
+      out.select(col("event_id"), col("host"), col("program"),
+          element_at(col("values"), ".kv.k").as("k"),
+          array_join(col("tags"), ",").as("tags"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, 'h' || user_id AS host,
+      CASE WHEN event_id % 8 BETWEEN 2 AND 3
+           THEN event_type || '@h' || user_id ELSE event_type END AS program,
+      regexp_extract(props, '"k": (\d+)', 1) AS k,
+      'hit' AS tags
+      FROM events
+      WHERE event_id % 8 <= 3 AND NOT regexp_matches(event_type, 'logout')
+      ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------------
   // value-pairs + structured output formatters (SURVEY §2.8)
   // ---------------------------------------------------------------------
   private val formatJsonQ = Q("format_json",
@@ -931,7 +969,7 @@ object Queries {
     routeJunction, patterndbClassify, appParserQ, enrichRange,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
     parseJsonNested, parseXml, parseDate, parseTagsRekey,
-    formatJsonQ, formatWelfCef, vpRekey,
+    configPipeline, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
     dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf,

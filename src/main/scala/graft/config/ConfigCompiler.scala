@@ -1,0 +1,216 @@
+package graft.config
+
+import graft.config.ConfigParser._
+import graft.dsl.LogPath
+import graft.functions.{GraftFunctions, JsonFlatten, XmlFlatten}
+import graft.operators.{Filters, Parsers, Rewrites}
+import graft.template.Template
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Compile a parsed config into DataFrame programs — `cfg_init` →
+  * `cfg_tree_compile_rule` (`/root/reference/lib/cfg.c:330`,
+  * `lib/cfg-tree.c:1230`) with LogPipe graphs replaced by LogPath
+  * folds over DataFrames.
+  *
+  * Builtin macro names (HOST, PROGRAM, ...) resolve to the LogRecord
+  * columns; `value("NAME")` likewise. Each compiled log statement yields
+  * one DataFrame per referenced destination (the fan-out is N filtered
+  * views of one plan — Catalyst CSEs the shared prefix).
+  */
+object ConfigCompiler {
+
+  /** One sink-ready output: the destination block it feeds and the rows
+    * routed there. */
+  final case class Route(destination: String, dest: Block, df: DataFrame)
+
+  def compile(cfg: Config, sources: Map[String, DataFrame]): Seq[Route] =
+    cfg.logs.flatMap(compileLog(cfg, sources, _))
+
+  private def compileLog(cfg: Config, sources: Map[String, DataFrame],
+      log: LogDecl): Seq[Route] = {
+    val srcNames = log.path.collect { case Ref("source", n) => n }
+    val flags = log.path.collect { case Flags(f) => f }.flatten
+    val in =
+      if (flags.contains("catchall")) sources.values.reduce(_.unionByName(_, true))
+      else srcNames.map(n => sources.getOrElse(n,
+        throw new IllegalArgumentException(s"undeclared source $n")))
+        .reduceOption(_.unionByName(_, allowMissingColumns = true))
+        .getOrElse(throw new IllegalArgumentException("log path without source"))
+    val destNames = log.path.collect { case Ref("destination", n) => n }
+    val elements = log.path.flatMap(elem(cfg, _))
+    val out = LogPath.compile(in, elements)
+    destNames.map(n => Route(n, cfg.destinations.getOrElse(n,
+      throw new IllegalArgumentException(s"undeclared destination $n")), out))
+  }
+
+  private def elem(cfg: Config, e: LogElem): Seq[LogPath.Element] = e match {
+    case Ref("source", _) | Ref("destination", _) | Flags(_) => Nil
+    case Ref("filter", n) =>
+      Seq(LogPath.Filter(filterCol(cfg, cfg.filters(n).expr)))
+    case Ref("parser", n) =>
+      cfg.parsers(n).stmts.map(s => LogPath.Transform(parserFn(s)))
+    case Ref("rewrite", n) =>
+      cfg.rewrites(n).stmts.map(s => LogPath.Transform(rewriteFn(cfg, s)))
+    case Ref(k, n) => throw new IllegalArgumentException(s"unsupported ref $k($n)")
+    case InlineFilter(x) => Seq(LogPath.Filter(filterCol(cfg, x)))
+    case InlineStmt("parser", s) => Seq(LogPath.Transform(parserFn(s)))
+    case InlineStmt("rewrite", s) => Seq(LogPath.Transform(rewriteFn(cfg, s)))
+    case InlineStmt(k, s) => throw new IllegalArgumentException(s"unsupported inline $k ${s.name}")
+    case JunctionElem(chans) =>
+      Seq(LogPath.Junction(chans.zipWithIndex.map { case (c, i) =>
+        LogPath.Channel(s"ch$i", c.path.flatMap(elem(cfg, _)),
+          c.flags.flatMap {
+            case "final" => Some(LogPath.Final)
+            case "fallback" => Some(LogPath.Fallback)
+            case _ => None
+          }.toSet)
+      }))
+  }
+
+  // ---- filters --------------------------------------------------------------
+  private[config] def filterCol(cfg: Config, e: FilterExpr): Column = e match {
+    case FAnd(l, r) => filterCol(cfg, l) && filterCol(cfg, r)
+    case FOr(l, r) => filterCol(cfg, l) || filterCol(cfg, r)
+    case FNot(x) => !filterCol(cfg, x)
+    case FCmp(lhs, op, rhs) =>
+      Filters.strCmp(templateCol(lhs), cmpOp(op), templateCol(rhs))
+    case FCall(Stmt("filter", Seq(Lit(name)))) => filterCol(cfg, cfg.filters(name).expr)
+    case FCall(Stmt(name, args)) => primitive(name, args)
+  }
+
+  private def cmpOp(op: String): String = op match {
+    case "==" => "eq"; case "!=" => "ne"
+    case "<" => "lt"; case ">" => "gt"; case "<=" => "le"; case ">=" => "ge"
+  }
+
+  private def lits(args: Seq[Arg]): Seq[String] = args.collect { case Lit(v) => v }
+
+  private def primitive(name: String, args: Seq[Arg]): Column = name match {
+    case "severity" | "level" =>
+      val spec = lits(args)
+      if (spec.size == 1 && spec.head.contains("..")) {
+        val Array(a, b) = spec.head.split("\\.\\.", 2)
+        Filters.severityRange(a, b)
+      } else Filters.severity(spec: _*)
+    case "facility" => Filters.facility(lits(args): _*)
+    case "host" => Filters.host(lits(args).head)
+    case "program" => Filters.program(lits(args).head)
+    case "message" => Filters.message(lits(args).head)
+    case "match" =>
+      val re = lits(args).head
+      val target = args.collectFirst { case KV("value", vs) => lits(vs).head }
+        .map(valueCol).getOrElse(col("message"))
+      Filters.matches(re, target)
+    case "netmask" => Filters.netmask(lits(args).head, col("srcip"))
+    case "netmask6" => Filters.netmask6(lits(args).head, col("srcip"))
+    case "tags" => Filters.tags(lits(args): _*)
+    case "in-list" =>
+      Filters.inList(lits(args).tail, valueCol(
+        args.collectFirst { case KV("value", vs) => lits(vs).head }.getOrElse("MESSAGE")))
+    case other => throw new IllegalArgumentException(s"unsupported filter: $other")
+  }
+
+  // ---- parsers --------------------------------------------------------------
+  private def kvOf(args: Seq[Arg], key: String): Option[String] =
+    args.collectFirst { case KV(`key`, vs) => lits(vs).head }
+
+  private def parserFn(s: Stmt): DataFrame => DataFrame = {
+    val input = kvOf(s.args, "template").map(t => templateCol(t))
+      .getOrElse(col("message"))
+    s.name match {
+      case "kv-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse("")
+        val vsep = kvOf(s.args, "value-separator").map(_.head).getOrElse('=')
+        df => df.withColumn("values", map_concat(
+          mapOrEmpty(df), Parsers.kvParse(input, vsep, prefix)))
+      case "csv-parser" =>
+        val cols = s.args.collectFirst { case KV("columns", vs) => lits(vs) }.get
+        val delim = kvOf(s.args, "delimiters").getOrElse(",")
+        df => {
+          val parsed = if (delim.length == 1)
+            Parsers.csvParse(input, cols, delim)
+          else Parsers.csvSplit(input, cols, delim)
+          cols.foldLeft(df)((d, c) => d.withColumn(c, parsed.getField(c)))
+        }
+      case "json-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse("")
+        val xp = kvOf(s.args, "extract-prefix").getOrElse("")
+        df => df.withColumn("values", map_concat(
+          mapOrEmpty(df), coalesce(JsonFlatten(input, prefix, xp), map())))
+      case "xml-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse(".xml.")
+        df => df.withColumn("values", map_concat(
+          mapOrEmpty(df), coalesce(XmlFlatten(input, prefix, Nil, false), map())))
+      case "date-parser" =>
+        val fmt = kvOf(s.args, "format").getOrElse("%Y-%m-%dT%H:%M:%S")
+        val tz = kvOf(s.args, "timezone")
+        df => df.withColumn("ts", Parsers.dateParse(input, fmt, tz))
+      case "syslog-parser" =>
+        df => {
+          val p = GraftFunctions.parse_syslog(input)
+          df.withColumn("__p", p)
+            .withColumn("host", col("__p.host"))
+            .withColumn("program", col("__p.program"))
+            .withColumn("message", col("__p.message"))
+            .withColumn("facility", col("__p.facility"))
+            .withColumn("severity", col("__p.severity"))
+            .drop("__p")
+        }
+      case "tags-parser" =>
+        df => df.withColumn("tags", Parsers.tagsParse(input))
+      case other => throw new IllegalArgumentException(s"unsupported parser: $other")
+    }
+  }
+
+  private def mapOrEmpty(df: DataFrame): Column =
+    if (df.columns.contains("values")) col("values")
+    else map().cast("map<string,string>")
+
+  // ---- rewrites -------------------------------------------------------------
+  private def rewriteFn(cfg: Config, s: Stmt): DataFrame => DataFrame = {
+    // condition(primitive(...)) arrives as a nested KV from the arg
+    // grammar; compound conditions use a named filter: condition(filter(f))
+    val cond: Column = s.args.collectFirst { case KV("condition", Seq(kv: KV)) =>
+      filterCol(cfg, FCall(Stmt(kv.key, kv.args))) }.getOrElse(lit(true))
+    s.name match {
+      case "set" =>
+        val tmpl = lits(s.args).head
+        val field = kvOf(s.args, "value").getOrElse("MESSAGE")
+        df => Rewrites.set(df, colName(field), Template.column(tmpl, df.columns), cond)
+      case "subst" =>
+        val Seq(re, repl) = lits(s.args).take(2)
+        val field = kvOf(s.args, "value").getOrElse("MESSAGE")
+        val global = s.args.exists { case KV("flags", vs) => lits(vs).contains("global"); case _ => false }
+        df => Rewrites.subst(df, colName(field), re, repl, global, cond)
+      case "unset" =>
+        val field = kvOf(s.args, "value").getOrElse("MESSAGE")
+        df => Rewrites.unset(df, colName(field))
+      case "set-tag" => df => Rewrites.setTag(df, lits(s.args).head, cond)
+      case "clear-tag" => df => Rewrites.clearTag(df, lits(s.args).head, cond)
+      case "set-severity" =>
+        df => Rewrites.setSeverity(df, Template.column(lits(s.args).head, df.columns), cond)
+      case "set-facility" =>
+        df => Rewrites.setFacility(df, Template.column(lits(s.args).head, df.columns), cond)
+      case other => throw new IllegalArgumentException(s"unsupported rewrite: $other")
+    }
+  }
+
+  // ---- name resolution -------------------------------------------------------
+  /** Builtin macro names → LogRecord columns (SURVEY §1.6). */
+  private def colName(macroName: String): String = macroName match {
+    case "HOST" => "host"; case "PROGRAM" => "program"; case "MESSAGE" | "MSG" => "message"
+    case "PID" => "pid"; case "MSGID" => "msgid"
+    case "FACILITY" => "facility"; case "SEVERITY" | "PRIORITY" => "severity"
+    case other => other
+  }
+
+  private def valueCol(macroName: String): Column = col(colName(macroName))
+
+  /** "$HOST-x" style operand: template-compile if it contains '$',
+    * else literal. */
+  private def templateCol(s: String): Column =
+    if (s.contains("$")) Template.column(s, Seq("host", "program", "message",
+      "pid", "msgid", "facility", "severity", "ts", "tags", "values"))
+    else lit(s)
+}

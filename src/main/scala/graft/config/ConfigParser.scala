@@ -1,0 +1,264 @@
+package graft.config
+
+import scala.collection.mutable
+
+/** The config-language front end (SURVEY §3.1): a subset of the
+  * reference's grammar (`/root/reference/lib/cfg-grammar.y`, lexer
+  * `lib/cfg-lex.l`) covering the operator surface this engine
+  * implements. `@version`/`@include` pragmas and comments are skipped
+  * like the reference lexer does; block structure is
+  * `kind name { statements; };` plus `log { ... };` paths with
+  * junction/channel and flags.
+  */
+object ConfigParser {
+
+  // ---- AST -----------------------------------------------------------------
+  /** One driver/operator statement: `name(arg, key(value), ...)`. */
+  final case class Stmt(name: String, args: Seq[Arg])
+  sealed trait Arg
+  final case class Lit(value: String) extends Arg        // "str" | 123 | bareword
+  final case class KV(key: String, args: Seq[Arg]) extends Arg // key(args)
+  final case class FilterArg(expr: FilterExpr) extends Arg
+
+  /** Filter expression tree (filter-expr-grammar.ym). */
+  sealed trait FilterExpr
+  final case class FAnd(l: FilterExpr, r: FilterExpr) extends FilterExpr
+  final case class FOr(l: FilterExpr, r: FilterExpr) extends FilterExpr
+  final case class FNot(e: FilterExpr) extends FilterExpr
+  final case class FCall(stmt: Stmt) extends FilterExpr  // severity(..), host(..)
+  final case class FCmp(lhs: String, op: String, rhs: String) extends FilterExpr
+
+  sealed trait Decl
+  final case class Block(kind: String, name: String, stmts: Seq[Stmt]) extends Decl
+  final case class FilterDecl(name: String, expr: FilterExpr) extends Decl
+  final case class LogDecl(path: Seq[LogElem]) extends Decl
+
+  sealed trait LogElem
+  final case class Ref(kind: String, name: String) extends LogElem  // source(s_x)
+  final case class InlineFilter(expr: FilterExpr) extends LogElem
+  final case class InlineStmt(kind: String, stmt: Stmt) extends LogElem
+  final case class Flags(flags: Seq[String]) extends LogElem
+  final case class JunctionElem(channels: Seq[ChannelElem]) extends LogElem
+  final case class ChannelElem(path: Seq[LogElem], flags: Seq[String])
+
+  final case class Config(decls: Seq[Decl]) {
+    def sources: Map[String, Block] = blocks("source")
+    def destinations: Map[String, Block] = blocks("destination")
+    def parsers: Map[String, Block] = blocks("parser")
+    def rewrites: Map[String, Block] = blocks("rewrite")
+    def filters: Map[String, FilterDecl] =
+      decls.collect { case f: FilterDecl => f.name -> f }.toMap
+    def logs: Seq[LogDecl] = decls.collect { case l: LogDecl => l }
+    private def blocks(kind: String) =
+      decls.collect { case b: Block if b.kind == kind => b.name -> b }.toMap
+  }
+
+  // ---- lexer ---------------------------------------------------------------
+  private final case class Tok(kind: String, text: String, pos: Int)
+
+  private def lex(src: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = src.length
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c == '#') { while (i < n && src.charAt(i) != '\n') i += 1 }
+      else if (c == '@') { while (i < n && src.charAt(i) != '\n') i += 1 } // pragmas
+      else if (c.isWhitespace) i += 1
+      else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && src.charAt(i) != quote) {
+          if (src.charAt(i) == '\\' && i + 1 < n) {
+            sb.append(src.charAt(i + 1) match {
+              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+              case other => other
+            })
+            i += 2
+          } else { sb.append(src.charAt(i)); i += 1 }
+        }
+        i += 1
+        out += Tok("str", sb.toString, i)
+      }
+      else if (c.isLetter || c == '_' || c == '$' || c == '.') {
+        val st = i
+        while (i < n && (src.charAt(i).isLetterOrDigit ||
+          "_-.$".contains(src.charAt(i)))) i += 1
+        out += Tok("word", src.substring(st, i), st)
+      }
+      else if (c.isDigit || (c == '-' && i + 1 < n && src.charAt(i + 1).isDigit)) {
+        val st = i
+        i += 1
+        while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.')) i += 1
+        out += Tok("num", src.substring(st, i), st)
+      }
+      else if ("{}();,".indexOf(c) >= 0) { out += Tok(c.toString, c.toString, i); i += 1 }
+      else if (c == '=' || c == '!' || c == '<' || c == '>') {
+        val st = i
+        i += 1
+        if (i < n && src.charAt(i) == '=') i += 1
+        out += Tok("op", src.substring(st, i), st)
+      }
+      else i += 1 // tolerate unknown chars like the reference's lax lexer
+    }
+    out.result()
+  }
+
+  // ---- parser ---------------------------------------------------------------
+  final class ParseError(msg: String) extends RuntimeException(msg)
+
+  def parse(src: String): Config = new P(lex(src)).config()
+
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    private def peek: Tok = if (pos < toks.length) toks(pos) else Tok("eof", "", -1)
+    private def next(): Tok = { val t = peek; pos += 1; t }
+    private def expect(kind: String): Tok = {
+      val t = next()
+      if (t.kind != kind) throw new ParseError(s"expected $kind, got ${t.kind}:'${t.text}'")
+      t
+    }
+    private def accept(kind: String, text: String = null): Boolean =
+      if (peek.kind == kind && (text == null || peek.text == text)) { pos += 1; true }
+      else false
+
+    def config(): Config = {
+      val decls = mutable.ArrayBuffer.empty[Decl]
+      while (peek.kind != "eof") {
+        val kw = expect("word").text
+        kw match {
+          case "log" => decls += LogDecl(logPath())
+          case "filter" =>
+            val name = expect("word").text
+            expect("{")
+            val e = filterExpr()
+            accept(";")
+            expect("}"); expect(";")
+            decls += FilterDecl(name, e)
+          case "options" | "template" =>
+            val _ = if (peek.kind == "word") next() else peek
+            skipBlock()
+          case kind @ ("source" | "destination" | "parser" | "rewrite") =>
+            val name = expect("word").text
+            expect("{")
+            val stmts = mutable.ArrayBuffer.empty[Stmt]
+            while (!accept("}")) {
+              stmts += stmt()
+              expect(";")
+            }
+            expect(";")
+            decls += Block(kind, name, stmts.toSeq)
+          case other => throw new ParseError(s"unknown top-level block: $other")
+        }
+      }
+      Config(decls.toSeq)
+    }
+
+    private def skipBlock(): Unit = {
+      expect("{")
+      var depth = 1
+      while (depth > 0) next().kind match {
+        case "{" => depth += 1
+        case "}" => depth -= 1
+        case "eof" => throw new ParseError("unterminated block")
+        case _ =>
+      }
+      expect(";")
+      ()
+    }
+
+    private def stmt(): Stmt = {
+      val name = expect("word").text
+      Stmt(name, argList())
+    }
+
+    private def argList(): Seq[Arg] = {
+      if (!accept("(")) return Nil
+      val args = mutable.ArrayBuffer.empty[Arg]
+      while (!accept(")")) {
+        accept(",")
+        peek.kind match {
+          case "str" | "num" => args += Lit(next().text)
+          case "word" =>
+            val w = next().text
+            if (peek.kind == "(") args += KV(w, argList())
+            else args += Lit(w)
+          case other => throw new ParseError(s"bad arg token: $other")
+        }
+      }
+      args.toSeq
+    }
+
+    /** or-level */
+    private def filterExpr(): FilterExpr = {
+      var l = filterAnd()
+      while (accept("word", "or")) l = FOr(l, filterAnd())
+      l
+    }
+    private def filterAnd(): FilterExpr = {
+      var l = filterUnary()
+      while (accept("word", "and")) l = FAnd(l, filterUnary())
+      l
+    }
+    private def filterUnary(): FilterExpr = {
+      if (accept("word", "not")) FNot(filterUnary())
+      else if (accept("(")) {
+        val e = filterExpr(); expect(")"); e
+      }
+      else if (peek.kind == "str" || peek.text.startsWith("$")) {
+        // "$TEMPLATE" op "value" comparison (filter-cmp.c)
+        val lhs = next().text
+        val op = expect("op").text
+        val rhs = next().text
+        FCmp(lhs, op, rhs)
+      }
+      else FCall(stmt())
+    }
+
+    private def logPath(): Seq[LogElem] = {
+      expect("{")
+      val elems = mutable.ArrayBuffer.empty[LogElem]
+      while (!accept("}")) {
+        val w = expect("word").text
+        w match {
+          case "junction" =>
+            expect("{")
+            val chans = mutable.ArrayBuffer.empty[ChannelElem]
+            while (!accept("}")) {
+              expect("word") // 'channel'
+              val body = logPath()
+              val fl = body.collect { case Flags(f) => f }.flatten
+              chans += ChannelElem(body.filterNot(_.isInstanceOf[Flags]), fl)
+            }
+            expect(";")
+            elems += JunctionElem(chans.toSeq)
+          case "flags" =>
+            elems += Flags(argList().collect { case Lit(v) => v })
+            expect(";")
+          case kind @ ("source" | "filter" | "parser" | "rewrite" | "destination") =>
+            expect("(")
+            val isRef = peek.kind == "word" &&
+              pos + 1 < toks.length && toks(pos + 1).kind == ")"
+            if (isRef) {
+              val inner = next().text
+              expect(")"); expect(";")
+              elems += Ref(kind, inner)
+            } else if (kind == "filter") {
+              val e = filterExpr(); expect(")"); expect(";")
+              elems += InlineFilter(e)
+            } else {
+              // inline driver: parser(kv-parser(...)) style
+              val inner = expect("word").text
+              val s = Stmt(inner, argList())
+              expect(")"); expect(";")
+              elems += InlineStmt(kind, s)
+            }
+          case other => throw new ParseError(s"unknown log element: $other")
+        }
+      }
+      expect(";")
+      elems.toSeq
+    }
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import graft.config.{ConfigCompiler, ConfigParser}
+import org.apache.spark.sql.functions._
+
+class ConfigSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val logs = Seq(
+    ("web1", "nginx", "GET /index k=1", 3, 4),
+    ("web1", "nginx", "GET /admin k=2", 3, 3),
+    ("db1", "postgres", "commit ok", 3, 6),
+    ("db1", "kernel", "oom killer invoked", 0, 2))
+    .toDF("host", "program", "message", "facility", "severity")
+    .withColumn("tags", array().cast("array<string>"))
+
+  private val conf = """
+    @version: 3.33
+    # a config exercising filters, parsers, rewrites, routing
+    options { keep_hostname(yes); };
+
+    source s_logs { file("/var/log/app.log"); };
+
+    filter f_warn { severity(emerg..warning) and not program("postgres"); };
+    filter f_web { program("nginx") or host("web.*"); };
+
+    parser p_kv { kv-parser(prefix(".kv.")); };
+
+    rewrite r_tag { set-tag("checked"); };
+    rewrite r_host { set("$HOST-edge", value("HOST"), condition(program("nginx"))); };
+
+    destination d_all { file("/out/all.log"); };
+    destination d_err { file("/out/err-$HOST.log"); };
+
+    log {
+      source(s_logs);
+      filter(f_warn);
+      parser(p_kv);
+      rewrite(r_tag);
+      rewrite(r_host);
+      destination(d_err);
+      destination(d_all);
+    };
+  """
+
+  test("parse: blocks, filters, log paths") {
+    val cfg = ConfigParser.parse(conf)
+    assert(cfg.sources.keySet == Set("s_logs"))
+    assert(cfg.filters.keySet == Set("f_warn", "f_web"))
+    assert(cfg.parsers.keySet == Set("p_kv"))
+    assert(cfg.rewrites.keySet == Set("r_tag", "r_host"))
+    assert(cfg.destinations.keySet == Set("d_all", "d_err"))
+    assert(cfg.logs.size == 1)
+  }
+
+  test("compile: filter + parser + conditional rewrite, two destinations") {
+    val cfg = ConfigParser.parse(conf)
+    val routes = ConfigCompiler.compile(cfg, Map("s_logs" -> logs))
+    assert(routes.map(_.destination).sorted == Seq("d_all", "d_err"))
+    val out = routes.head.df.cache()
+    // f_warn: severity <= 4 (warning) and not postgres → the two nginx
+    // rows (sev 4, 3) + kernel oom (sev 2)
+    val hosts = out.select("host").collect().map(_.getString(0)).toSeq
+    // nginx rows got host rewritten by the conditional set()
+    assert(hosts.count(_ == "web1-edge") == 2)
+    assert(hosts.contains("db1"))
+    assert(out.count() == 3)
+    // kv-parser put k into .kv.
+    val ks = out.select(element_at(col("values"), ".kv.k")).collect()
+      .flatMap(r => Option(r.getString(0))).sorted.toSeq
+    assert(ks == Seq("1", "2"))
+    // set-tag applied everywhere
+    assert(out.filter(array_contains(col("tags"), "checked")).count() == 3)
+    out.unpersist()
+  }
+
+  test("compile: junction with final + fallback channels") {
+    val cfg = ConfigParser.parse("""
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      log {
+        source(s);
+        junction {
+          channel { filter(program("nginx")); rewrite(set-tag("web")); flags(final); };
+          channel { flags(fallback); };
+        };
+        destination(d);
+      };
+    """)
+    val routes = ConfigCompiler.compile(cfg, Map("s" -> logs))
+    val out = routes.head.df
+    val tagged = out.filter(array_contains(col("tags"), "web"))
+      .select("program").collect().map(_.getString(0)).toSet
+    assert(tagged == Set("nginx"))
+    assert(out.count() == 4) // final + fallback partition the stream
+  }
+
+  test("inline filter comparison and severity range") {
+    val cfg = ConfigParser.parse("""
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      log { source(s); filter("$PROGRAM" == "kernel"); destination(d); };
+    """)
+    val out = ConfigCompiler.compile(cfg, Map("s" -> logs)).head.df
+    assert(out.select("message").head.getString(0).contains("oom"))
+  }
+}
