@@ -110,6 +110,19 @@ class StreamingSpec extends GraftSuite {
     assert(ind.head == "ERROR boom\n  at Foo.scala:1\n  at Bar.scala:2")
   }
 
+  test("templated-path sink: partitionBy = file(\"$HOST/...\") dynamic paths") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Msg]
+    input.addData(Msg("web1", ts(1), "a"), Msg("web1", ts(2), "b"), Msg("db1", ts(3), "c"))
+    val out = tmp(); val cp = tmp()
+    val q = Sinks.foreachBatchPartitioned(input.toDS().toDF(), out, Seq("key"), cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    // one directory per host, like the reference's templated file paths
+    assert(spark.read.parquet(out).where(col("key") === "web1").count() == 2)
+    assert(new java.io.File(out).listFiles().map(_.getName).count(_.startsWith("key=")) == 2)
+  }
+
   test("correlate: on-match action with condition + rate limit, timeout summary") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Msg]
