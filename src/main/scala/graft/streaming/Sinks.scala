@@ -46,6 +46,30 @@ object Sinks {
         finally { cached.unpersist(); () }
       }
 
+  /** sql() destination (`modules/afsql/afsql.h:62-117`): INSERT each
+    * micro-batch over JDBC. `table` may be computed per batch for the
+    * reference's templated table() — pass a constant for the common case.
+    * Exactly-once = checkpoint + idempotent/transactional target, the
+    * Spark replacement for the reference's txn + disk-buffer pair. */
+  def jdbcSink(ds: Dataset[Row], url: String, table: String,
+      props: java.util.Properties, checkpoint: String): DataStreamWriter[Row] =
+    ds.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").jdbc(url, table, props)
+      }
+
+  /** kafka() destination (`modules/kafka/`): native Structured Streaming
+    * sink. Requires the spark-sql-kafka package on the cluster (absent in
+    * this dev container — compile-checked only). */
+  def kafkaSink(ds: Dataset[Row], bootstrapServers: String, topic: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    ds.writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+
   /** Start a fan-out writing parquet per branch under `outDir/<branch>`. */
   def startFanOutParquet(ds: Dataset[Row], outDir: String, checkpoint: String,
       branches: Seq[Branch]): StreamingQuery =

@@ -123,6 +123,22 @@ class StreamingSpec extends GraftSuite {
     assert(new java.io.File(out).listFiles().map(_.getName).count(_.startsWith("key=")) == 2)
   }
 
+  test("jdbc sink: sql() destination into embedded Derby") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Msg]
+    input.addData(Msg("k1", ts(1), "v1"), Msg("k2", ts(2), "v2"))
+    val db = tmp() + "/derbydb"
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val q = Sinks.jdbcSink(input.toDS().toDF(), url, "logs", props, tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val back = spark.read.jdbc(url, "logs", props)
+    assert(back.count() == 2)
+    assert(back.select("value").collect().map(_.getString(0)).sorted.toSeq == Seq("v1", "v2"))
+  }
+
   test("correlate: on-match action with condition + rate limit, timeout summary") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Msg]
