@@ -37,6 +37,58 @@ class SyslogParserSpec extends GraftSuite {
     assert(p.message == "hi")
   }
 
+  test("no timestamp: header parse continues (test_msgparse.c:266)") {
+    // "<15> openvpn[2499]: PTHREAD support initialized"
+    val p = SyslogLineParser.parse("<15> openvpn[2499]: PTHREAD support initialized", 2024)
+    assert(p.pri == 15)
+    assert(p.tsMicros == Long.MinValue)
+    assert(p.host == null)
+    assert(p.program == "openvpn")
+    assert(p.pid == "2499")
+    assert(p.message == "PTHREAD support initialized")
+  }
+
+  test("spaces between PRI and timestamp (test_msgparse.c:512-539)") {
+    val p = SyslogLineParser.parse(
+      "<7> Aug 29 02:00:00.156789 ctld snmpd[2499]: PTHREAD support initialized", 2006)
+    assert(p.host == "ctld")
+    assert(p.program == "snmpd")
+    assert(p.tsMicros ==
+      java.time.Instant.parse("2006-08-29T02:00:00.156789Z").toEpochMilli * 1000L + 789)
+    // bare trailing dot form also accepted
+    val q = SyslogLineParser.parse("<7> Aug 29 02:00:00. ctld snmpd[2499]: m", 2006)
+    assert(q.host == "ctld" && q.program == "snmpd")
+  }
+
+  test("Cisco year-before-time + %PIX tag (test_msgparse.c:557)") {
+    val p = SyslogLineParser.parse(
+      "<190>Apr 15 2007 21:28:13: %PIX-6-302014: Teardown TCP connection 1688438", 2024)
+    assert(p.tsMicros == java.time.Instant.parse("2007-04-15T21:28:13Z").toEpochMilli * 1000L)
+    assert(p.program == "%PIX-6-302014")
+    assert(p.message == "Teardown TCP connection 1688438")
+  }
+
+  test("linksys year-after-time (test_msgparse.c:611)") {
+    val p = SyslogLineParser.parse("<190>Apr 15 21:28:13 2007 linksys app: msg", 2024)
+    assert(p.tsMicros == java.time.Instant.parse("2007-04-15T21:28:13Z").toEpochMilli * 1000L)
+    assert(p.host == "linksys")
+    assert(p.program == "app")
+    assert(p.message == "msg")
+  }
+
+  test("program with slash (test_msgparse.c:548)") {
+    val p = SyslogLineParser.parse(
+      "<7>Aug 29 02:00:00 bzorp ctld/snmpd[2499]: PTHREAD support initialized", 2006)
+    assert(p.host == "bzorp" && p.program == "ctld/snmpd" && p.pid == "2499")
+  }
+
+  test("RFC5424 nil timestamp (test_msgparse.c:392)") {
+    val p = SyslogLineParser.parse("<7>1 - bzorp openvpn 2499 - - PTHREAD support initialized", 2024)
+    assert(p.version == 1 && p.tsMicros == Long.MinValue)
+    assert(p.host == "bzorp" && p.program == "openvpn" && p.pid == "2499")
+    assert(p.message == "PTHREAD support initialized")
+  }
+
   test("no pri defaults to 13") {
     val p = SyslogLineParser.parse("Feb  5 17:32:18 h p: m", 2024)
     assert(p.pri == 13)
