@@ -111,9 +111,14 @@ object Radix {
         }
         if (octets == 3 && digits > 0) j - pos else -1
       case "IPv6" =>
+        // hex groups + ':' with an optional embedded IPv4 suffix
+        // (::13.1.68.3); trailing dots are not part of the address
+        // (reference test_radix.c "::." → "::")
         var j = pos
-        while (j < n && (Character.digit(s.charAt(j), 16) >= 0 || s.charAt(j) == ':')) j += 1
-        if (j - pos >= 3 && s.substring(pos, j).contains(":")) j - pos else -1
+        while (j < n && (Character.digit(s.charAt(j), 16) >= 0 ||
+          s.charAt(j) == ':' || s.charAt(j) == '.')) j += 1
+        while (j > pos && s.charAt(j - 1) == '.') j -= 1
+        if (j - pos >= 2 && s.substring(pos, j).contains(":")) j - pos else -1
       case "IPvANY" =>
         val v4 = parserMatch("IPv4", param, s, pos)
         if (v4 > 0) v4 else parserMatch("IPv6", param, s, pos)

@@ -65,6 +65,43 @@ class RadixSpec extends GraftSuite {
     assert(tree.find("user@host logged in") != null)
   }
 
+  test("IP capture goldens (reference test_radix.c:285-520)") {
+    def ip(pattern: String, input: String): Option[String] = {
+      val tree = Radix.build(Seq(("r", "c", pattern)))
+      Option(tree.find(input)).flatMap(_._2.toMap.get("ip"))
+    }
+    // IPv4: consume exactly the address, leave trailing dots/text
+    assert(ip("@IPvANY:ip@ huhuhu", "192.168.1.1 huhuhu").contains("192.168.1.1"))
+    assert(ip("@IPvANY:ip@. huhuhu", "192.168.1.1. huhuhu").contains("192.168.1.1"))
+    assert(ip("@IPv4:ip@huhuhu", "192.168.1.1huhuhu").contains("192.168.1.1"))
+    assert(ip("@IPv4:ip@huhuhu", "192.168.1huhuhu").isEmpty) // 3 octets: no match
+    assert(ip("@IPv4:ip@ huhuhu", "192.168.1 huhuhu").isEmpty)
+    // IPv6 incl. compressed, embedded v4, trailing-dot trim
+    assert(ip("@IPvANY:ip@ huhuhu", "abcd:ef01:2345:6789:abcd:ef01:2345:6789 huhuhu")
+      .contains("abcd:ef01:2345:6789:abcd:ef01:2345:6789"))
+    assert(ip("@IPvANY:ip@ huhuhu", ":: huhuhu").contains("::"))
+    assert(ip("@IPvANY:ip@ huhuhu", "0:0:0:0:0:0:13.1.68.3 huhuhu")
+      .contains("0:0:0:0:0:0:13.1.68.3"))
+    assert(ip("@IPvANY:ip@ huhuhu", "::202.1.68.3 huhuhu").contains("::202.1.68.3"))
+    assert(ip("@IPvANY:ip@.huhuhu", "2001:0DB8:0:CD30::.huhuhu")
+      .contains("2001:0DB8:0:CD30::"))
+  }
+
+  test("NUMBER/SET/QSTRING goldens (test_radix.c:227-278)") {
+    def caps(pattern: String, input: String): Option[Map[String, String]] = {
+      val tree = Radix.build(Seq(("r", "c", pattern)))
+      Option(tree.find(input)).map(_._2.toMap)
+    }
+    assert(caps("a@NUMBER:szamx@aaa", "a15555aaa")
+      .contains(Map("szamx" -> "15555")))
+    assert(caps("AAA@SET:set:alma,korte@AAA", "AAAkorteAAA")
+      .contains(Map("set" -> "korte")))
+    assert(caps("xxx@QSTRING:q:\"@x", "xxx\"quoted\"x")
+      .contains(Map("q" -> "quoted")))
+    // literal @@ escape
+    assert(caps("a@@b@NUMBER:n@", "a@b77").contains(Map("n" -> "77")))
+  }
+
   test("RadixMatch expression in a DataFrame plan") {
     import spark.implicits._
     val df = Seq(
