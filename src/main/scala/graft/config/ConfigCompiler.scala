@@ -27,6 +27,42 @@ object ConfigCompiler {
   def compile(cfg: Config, sources: Map[String, DataFrame]): Seq[Route] =
     cfg.logs.flatMap(compileLog(cfg, sources, _))
 
+  /** Streaming compile: source blocks with `file("glob")` become
+    * Structured Streaming scans (lines → ParseSyslog → LogRecord
+    * columns), the log paths apply unchanged (same Column algebra on a
+    * streaming frame), and `Route.df` is a streaming DataFrame ready for
+    * [[startFileRoute]]. The full reference loop: config text in,
+    * running pipeline out. */
+  def compileStreaming(cfg: Config,
+      spark: org.apache.spark.sql.SparkSession): Seq[Route] = {
+    val sources = cfg.sources.map { case (name, blk) =>
+      val fileStmt = blk.stmts.find(_.name == "file").getOrElse(
+        throw new IllegalArgumentException(
+          s"source $name: only file() sources stream in this environment"))
+      val path = fileStmt.args.collectFirst { case Lit(p) => p }.get
+      val lines = graft.streaming.Sources.fileLines(spark, path)
+      name -> graft.streaming.Sources.parsedSyslog(lines)
+        .withColumn("tags", array().cast("array<string>"))
+        .withColumn("values", map().cast("map<string,string>"))
+    }
+    compile(cfg, sources)
+  }
+
+  /** Start one route against its `file()` destination: the `$MACRO`
+    * references in the destination path template become partition
+    * columns (templated path = dynamic partitioning, SURVEY §2.9). */
+  def startFileRoute(route: Route, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val path = route.dest.stmts.find(_.name == "file")
+      .flatMap(_.args.collectFirst { case Lit(p) => p }).getOrElse("")
+    val refs = "\\$([A-Z_]+)".r.findAllMatchIn(path).map(_.group(1)).toSeq
+    val pathCols = refs.map(colName).filter(route.df.columns.contains)
+    graft.streaming.Sinks.foreachBatchPartitioned(
+        route.df.toDF(), outDir, pathCols, checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   private def compileLog(cfg: Config, sources: Map[String, DataFrame],
       log: LogDecl): Seq[Route] = {
     val srcNames = log.path.collect { case Ref("source", n) => n }

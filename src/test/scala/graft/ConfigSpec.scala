@@ -95,6 +95,33 @@ class ConfigSpec extends GraftSuite {
     assert(out.count() == 4) // final + fallback partition the stream
   }
 
+  test("streaming compile: config text -> running pipeline -> partitioned files") {
+    val inDir = java.nio.file.Files.createTempDirectory("graft-cfg-in").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "a.log"),
+      "<13>Jun  1 12:00:00 web1 nginx[7]: GET /\n" +
+      "<11>Jun  1 12:00:01 db1 postgres[8]: commit\n" +
+      "<30>Jun  1 12:00:02 web2 nginx[9]: GET /x\n")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cfg-out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-cfg-cp").toString
+    val cfg = ConfigParser.parse(s"""
+      source s_app { file("$inDir/*.log"); };
+      filter f_nginx { program("nginx"); };
+      rewrite r { set-tag("web"); };
+      destination d_by_host { file("/var/out/$$HOST/app.log"); };
+      log { source(s_app); filter(f_nginx); rewrite(r); destination(d_by_host); };
+    """)
+    val routes = ConfigCompiler.compileStreaming(cfg, spark)
+    assert(routes.size == 1 && routes.head.df.isStreaming)
+    val q = ConfigCompiler.startFileRoute(routes.head, outDir, cp)
+    try q.awaitTermination(60000) finally q.stop()
+    val written = spark.read.parquet(outDir)
+    assert(written.count() == 2) // postgres filtered out
+    val hosts = new java.io.File(outDir).listFiles().map(_.getName)
+      .filter(_.startsWith("host=")).sorted.toSeq
+    assert(hosts == Seq("host=web1", "host=web2"))
+    assert(written.filter(array_contains(col("tags"), "web")).count() == 2)
+  }
+
   test("inline filter comparison and severity range") {
     val cfg = ConfigParser.parse("""
       source s { file("/x"); };
