@@ -919,6 +919,46 @@ object Queries {
         WHEN r_es >= r_fr THEN 'es' ELSE 'fr' END AS lang_guess
       FROM hits ORDER BY doc_id"""))
 
+  private val textTokensBpe = Q("text_tokens_bpe",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("int").as("bpe_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS INT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text,
+        '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS INT) AS bpe_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  private val textQualityFilter = Q("text_quality_filter",
+    (s, d) => Tables.documents(s, d)
+      .filter(TextAnalysis.qualityFilter(col("text"), minWords = 20,
+        maxCharsPerWord = 10, maxPunctRatio = 0.05))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id")),
+    Some("""WITH m AS (
+        SELECT doc_id, n_chars,
+          len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS n_words,
+          length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS n_punct,
+          length(text) AS nc
+        FROM documents)
+      SELECT doc_id, n_chars FROM m
+      WHERE n_words >= 20
+        AND CAST(nc AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10
+        AND CAST(n_punct AS DOUBLE) / CAST(greatest(nc, 1) AS DOUBLE) <= 0.05
+      ORDER BY doc_id"""))
+
+  private val sampleHash = Q("sample_hash",
+    (s, d) => Tables.events(s, d)
+      .filter(TextAnalysis.hashSample(col("event_id").cast("string"), 0.25, "seed1"))
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id")),
+    Some(s"""SELECT event_id, event_type FROM events
+      WHERE CAST(('0x' || substring(md5('seed1' || event_id), 1, 6)) AS BIGINT)
+            < ${(0.25 * (1 << 24)).toLong}
+      ORDER BY event_id"""))
+
   private val textFingerprint = Q("text_fingerprint",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -973,7 +1013,8 @@ object Queries {
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
     dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf,
-    textStats, textLangid, textFingerprint, textFingerprintRobust,
+    textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
+    textFingerprint, textFingerprintRobust,
     multimodalFeatures, multimodalStub)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =

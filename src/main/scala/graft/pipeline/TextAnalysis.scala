@@ -89,6 +89,16 @@ object TextAnalysis {
         greatest(m.getField("n_chars"), lit(1)).cast("double")) <= maxPunctRatio
   }
 
+  /** Deterministic hash sampling: keep ~`rate` of rows, decided by an
+    * md5 prefix of `key` — reproducible on any engine/cluster and
+    * stable across reruns (the 100 TB subsampling primitive; a seed
+    * string mixes into the key for independent samples). */
+  def hashSample(key: Column, rate: Double, seed: String = ""): Column = {
+    val bucket = conv(substring(md5(concat(lit(seed), key)), 1, 6), 16, 10)
+      .cast("long") // 24 bits: 0 .. 16_777_215
+    bucket < (rate * (1 << 24)).toLong
+  }
+
   /** Exact document fingerprint: hash of whitespace-normalized lowercase
     * text (the cheap dedup key). */
   def fingerprint(text: Column): Column =
