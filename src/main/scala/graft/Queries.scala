@@ -365,6 +365,28 @@ object Queries {
            WHEN value > 100 THEN 'B' || user_id END AS parsed
       FROM events ORDER BY event_id"""))
 
+  private val enrichGlob = Q("enrich_glob",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      // glob db: event_type patterns → app class (first match wins)
+      val db = Seq(
+        ("error*", "class", "alert"), ("error*", "page", "oncall"),
+        ("p*", "class", "engagement"), ("*", "class", "other"))
+        .toDF("selector", "name", "value")
+      Enrich.addContextualDataGlob(ev, db, col("event_type"), prefix = ".ctx.")
+        .select(col("event_id"),
+          element_at(col("values"), ".ctx.class").as("cls"),
+          element_at(col("values"), ".ctx.page").as("page"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CASE WHEN event_type LIKE 'error%' THEN 'alert'
+           WHEN event_type LIKE 'p%' THEN 'engagement'
+           ELSE 'other' END AS cls,
+      CASE WHEN event_type LIKE 'error%' THEN 'oncall' END AS page
+      FROM events ORDER BY event_id"""))
+
   // ---------------------------------------------------------------------
   // geoip-style range enrichment (SURVEY §2.4 geoip2): /8 block per nation
   // ---------------------------------------------------------------------
@@ -1006,7 +1028,7 @@ object Queries {
     rewriteSubst, rewriteSetTag,
     templateFormat, templateFuncs,
     parseSyslogRfc3164, parseSyslogRfc5424,
-    routeJunction, patterndbClassify, appParserQ, enrichRange,
+    routeJunction, patterndbClassify, appParserQ, enrichRange, enrichGlob,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
     parseJsonNested, parseXml, parseDate, parseTagsRekey,
     configPipeline, formatJsonQ, formatWelfCef, vpRekey,

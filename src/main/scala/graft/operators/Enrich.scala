@@ -72,6 +72,40 @@ object Enrich {
     merged.drop("selector", "__ctx")
   }
 
+  /** Glob-selector form (`add-contextual-data-glob-selector.c`): db
+    * selectors are glob patterns matched against `target`; the FIRST
+    * matching db row (db order) wins. The db is config-scale (the
+    * reference holds it in memory), so it compiles to a `when()` cascade
+    * of map literals — a pure map-side expression, no join at all. */
+  def addContextualDataGlob(df: DataFrame, db: DataFrame, target: Column,
+      prefix: String = ""): DataFrame = {
+    val entries: Array[(String, Map[String, String])] = pivotDbOrdered(db)
+    val cascade = entries.foldRight(
+      lit(null).cast("map<string,string>")) { case ((glob, m), acc) =>
+      val prefixed = m.map { case (k, v) => (prefix + k, v) }
+      when(target.rlike("^" + Rewrites.globToRegex(glob) + "$"), typedLit(prefixed))
+        .otherwise(acc)
+    }
+    val merged = coalesce(cascade, map().cast("map<string,string>"))
+    if (df.columns.contains("values"))
+      df.withColumn("values", map_concat(
+        map_filter(col("values"), (k, _) => !array_contains(map_keys(merged), k)),
+        merged))
+    else df.withColumn("values", merged)
+  }
+
+  /** Collect the (selector → pairs) db preserving db order. */
+  private def pivotDbOrdered(db: DataFrame): Array[(String, Map[String, String])] = {
+    val rows = db.select("selector", "name", "value").collect()
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
+    rows.foreach { r =>
+      order.getOrElseUpdate(r.getString(0),
+        scala.collection.mutable.LinkedHashMap.empty) += (r.getString(1) -> r.getString(2))
+    }
+    order.map { case (s, m) => (s, m.toMap) }.toArray
+  }
+
   /** Range lookup (geoip-style): `ranges` has (lo, hi, attrs...) with
     * lo/hi as uint32-as-long IPs. Equi-joins on /16 prefix (each block
     * exploded to its covered prefixes), then range-filters — broadcast
