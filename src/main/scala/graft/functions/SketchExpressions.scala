@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Sketch expressions for the dedup pipeline ops. Both exist because the
   * HOF formulations (`transform`/`aggregate` per hash function) walk the
@@ -36,6 +37,53 @@ object Sketches {
     new GenericArrayData(mins)
   }
 
+  /** Polynomial rolling hash over char k-grams, keeping the `keep`
+    * smallest (unsigned order), dash-joined. */
+  def rollingFingerprint(s: UTF8String, k: Int, keep: Int): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val mins = new Array[Long](keep)
+    java.util.Arrays.fill(mins, -1L) // unsigned max
+    def offer(h: Long): Unit = {
+      // keep is tiny (4): insertion into a sorted array
+      var i = keep - 1
+      if (java.lang.Long.compareUnsigned(h, mins(i)) >= 0) return
+      while (i > 0 && java.lang.Long.compareUnsigned(h, mins(i - 1)) < 0) {
+        mins(i) = mins(i - 1); i -= 1
+      }
+      mins(i) = h
+    }
+    val B = 1000003L
+    if (n < k) {
+      var h = 0L
+      var i = 0
+      while (i < n) { h = h * B + str.charAt(i); i += 1 }
+      offer(XXH64.hashLong(h, 42L))
+    } else {
+      var bk = 1L // B^(k-1)
+      var i = 1
+      while (i < k) { bk *= B; i += 1 }
+      var h = 0L
+      i = 0
+      while (i < k) { h = h * B + str.charAt(i); i += 1 }
+      offer(XXH64.hashLong(h, 42L))
+      i = k
+      while (i < n) {
+        h = (h - str.charAt(i - k) * bk) * B + str.charAt(i)
+        offer(XXH64.hashLong(h, 42L))
+        i += 1
+      }
+    }
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < keep && mins(j) != -1L) {
+      if (j > 0) sb.append('-')
+      sb.append(mins(j))
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** One pass over `tokens`: 64-bit SimHash, per-bit majority vote of
     * xxh64 token hashes. */
   def simhash64(tokens: ArrayData): Long = {
@@ -59,6 +107,33 @@ object Sketches {
     }
     sig
   }
+}
+
+/** `rolling_fingerprint(text, k, keep)` — winnowing-style robust
+  * fingerprint: polynomial rolling hash over every char k-gram (one pass,
+  * O(len) — substring hashing would be O(len·k)), keeping the `keep`
+  * smallest hashes joined with "-". Survives small edits: an edit only
+  * perturbs the k windows covering it. */
+case class RollingFingerprint(child: Expression, k: Int, keep: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "rolling_fingerprint"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Sketches.rollingFingerprint(v.asInstanceOf[UTF8String], k, keep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Sketches.rollingFingerprint($v, $k, $keep);")
+
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+}
+
+object RollingFingerprint {
+  def apply(text: Column, k: Int, keep: Int): Column =
+    ColumnBridge.column(
+      new RollingFingerprint(ColumnBridge.expression(text), k, keep))
 }
 
 /** `minhash_sig(shingles, n)` — MinHash signature as array<bigint>. */

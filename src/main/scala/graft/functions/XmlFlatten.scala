@@ -61,6 +61,13 @@ case class XmlFlatten(child: Expression, prefix: String = ".xml.",
 
 object XmlFlatten {
 
+  private val threadParser = ThreadLocal.withInitial[javax.xml.parsers.SAXParser] { () =>
+    val factory = SAXParserFactory.newInstance()
+    factory.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    factory.newSAXParser()
+  }
+
   def flatten(xml: String, prefix: String,
       exclude: Seq[java.util.regex.Pattern], strip: Boolean): ArrayBasedMapData = {
     // insertion-ordered accumulation; repeated keys concatenate
@@ -109,10 +116,9 @@ object XmlFlatten {
       }
     }
     try {
-      val factory = SAXParserFactory.newInstance()
-      factory.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
-      factory.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
-      val parser = factory.newSAXParser()
+      // SAXParser creation costs ~100µs — reuse one per executor thread
+      val parser = threadParser.get()
+      parser.reset()
       parser.parse(new InputSource(new StringReader(xml)), handler)
     } catch {
       case _: SAXException => return null

@@ -77,15 +77,18 @@ object Parsers {
   /** kv-parser(): extract key=value pairs from free text into a
     * `MapType(String,String)` column. Handles quoted values with
     * backslash escapes and tolerates stray words between pairs (which
-    * `str_to_map` cannot). */
+    * `str_to_map` cannot). One regex pass: full matches split at the
+    * first separator (keys can't contain it, values can). */
   def kvParse(text: Column, valueSeparator: Char = '=',
       prefix: String = ""): Column = {
-    val re = lit(kvPairRe(valueSeparator))
-    val keys = regexp_extract_all(text, re, lit(1))
-    val rawVals = regexp_extract_all(text, re, lit(2))
-    val vals = transform(rawVals, dequote(_))
-    val m = map_from_arrays(keys, vals)
-    if (prefix.isEmpty) m else transform_keys(m, (k, _) => concat(lit(prefix), k))
+    val ms = regexp_extract_all(text, lit(kvPairRe(valueSeparator)), lit(0))
+    map_from_entries(transform(ms, m => {
+      val k = substring_index(m, valueSeparator.toString, 1)
+      val v = m.substr(length(k) + 2, length(m))
+      struct(
+        (if (prefix.isEmpty) k else concat(lit(prefix), k)).as("key"),
+        dequote(v).as("value"))
+    }))
   }
 
   /** Words of the input that belong to no key=value pair
@@ -107,13 +110,10 @@ object Parsers {
     * value with special chars and does NOT quote it; literal values are
     * quoted). Decodes even-length pure-hex unquoted values. */
   def auditKvParse(text: Column, hexFields: Set[String] = Set.empty): Column = {
-    val re = lit(kvPairRe('='))
-    val keys = regexp_extract_all(text, re, lit(1))
-    val rawVals = regexp_extract_all(text, re, lit(2))
-    val entries = zip_with(keys, rawVals, (k, v) => struct(k.as("k"), v.as("v")))
-    map_from_entries(transform(entries, e => {
-      val k = e.getField("k")
-      val v = e.getField("v")
+    val ms = regexp_extract_all(text, lit(kvPairRe('=')), lit(0))
+    map_from_entries(transform(ms, m => {
+      val k = substring_index(m, "=", 1)
+      val v = m.substr(length(k) + 2, length(m))
       val wasQuoted = v.startsWith("\"") || v.startsWith("'")
       // decode only pairs in the ASCII-printable range (09/0A/20-7E):
       // ANSI decode() raises on invalid UTF-8, and audit hex payloads

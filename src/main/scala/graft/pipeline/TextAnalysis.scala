@@ -108,14 +108,6 @@ object TextAnalysis {
     * rolling hashes — survives small edits. No SQL analog (rows-only
     * check); stays a pure expression. */
   def robustFingerprint(text: Column, k: Int = 8, keep: Int = 4): Column =
-    // norm is let-bound: substr(norm, i, k) inside the lambda would
-    // otherwise re-run the normalizing regex once per k-gram
-    bindArray(array(lower(regexp_replace(trim(text), "\\s+", " ")))) { a =>
-      val norm = element_at(a, 1)
-      // char k-grams via substr over an index sequence, hashed; the `keep`
-      // smallest hashes form the fingerprint (winnowing/min-sampling)
-      val idx = sequence(lit(1), greatest(length(norm) - (k - 1), lit(1)))
-      val hashes = transform(idx, i => xxhash64(norm.substr(i, lit(k))))
-      array_join(slice(array_sort(hashes), 1, keep), "-")
-    }
+    graft.functions.RollingFingerprint(
+      lower(regexp_replace(trim(text), "\\s+", " ")), k, keep)
 }
