@@ -77,25 +77,18 @@ object Parsers {
   /** kv-parser(): extract key=value pairs from free text into a
     * `MapType(String,String)` column. Handles quoted values with
     * backslash escapes and tolerates stray words between pairs (which
-    * `str_to_map` cannot). One regex pass: full matches split at the
-    * first separator (keys can't contain it, values can). */
+    * `str_to_map` cannot). One hand-rolled scan ([[graft.functions.KvScan]]
+    * — the regex formulation backtracks at ~30µs/row). */
   def kvParse(text: Column, valueSeparator: Char = '=',
-      prefix: String = ""): Column = {
-    val ms = regexp_extract_all(text, lit(kvPairRe(valueSeparator)), lit(0))
-    map_from_entries(transform(ms, m => {
-      val k = substring_index(m, valueSeparator.toString, 1)
-      val v = m.substr(length(k) + 2, length(m))
-      struct(
-        (if (prefix.isEmpty) k else concat(lit(prefix), k)).as("key"),
-        dequote(v).as("value"))
-    }))
-  }
+      prefix: String = ""): Column =
+    graft.functions.KvScan(text, valueSeparator, prefix, rawValues = false)
+      .getField("pairs")
 
   /** Words of the input that belong to no key=value pair
     * (`kv_scanner_get_stray_words`), space-joined. */
   def kvStrayWords(text: Column, valueSeparator: Char = '='): Column =
-    trim(regexp_replace(
-      regexp_replace(text, kvPairRe(valueSeparator), ""), "\\s+", " "))
+    graft.functions.KvScan(text, valueSeparator, "", rawValues = false)
+      .getField("stray")
 
   private def dequote(v: Column): Column = {
     def stripQ(q: String) =
@@ -110,10 +103,11 @@ object Parsers {
     * value with special chars and does NOT quote it; literal values are
     * quoted). Decodes even-length pure-hex unquoted values. */
   def auditKvParse(text: Column, hexFields: Set[String] = Set.empty): Column = {
-    val ms = regexp_extract_all(text, lit(kvPairRe('=')), lit(0))
-    map_from_entries(transform(ms, m => {
-      val k = substring_index(m, "=", 1)
-      val v = m.substr(length(k) + 2, length(m))
+    val entries = map_entries(
+      graft.functions.KvScan(text, '=', "", rawValues = true).getField("pairs"))
+    map_from_entries(transform(entries, e => {
+      val k = e.getField("key")
+      val v = e.getField("value")
       val wasQuoted = v.startsWith("\"") || v.startsWith("'")
       // decode only pairs in the ASCII-printable range (09/0A/20-7E):
       // ANSI decode() raises on invalid UTF-8, and audit hex payloads
