@@ -16,23 +16,54 @@ import org.apache.spark.unsafe.types.UTF8String
   * prefix of deeper keys keeps the deeper object (the walker's
   * object-wins rule). Inverse of [[JsonFlatten]].
   */
-case class FormatJson(child: Expression) extends UnaryExpression {
+case class FormatJson(child: Expression, flat: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = StringType
-  override def prettyName: String = "format_json"
+  override def prettyName: String = if (flat) "format_flat_json" else "format_json"
 
   override protected def nullSafeEval(v: Any): Any =
-    FormatJson.render(v.asInstanceOf[MapData])
+    if (flat) FormatJson.renderFlat(v.asInstanceOf[MapData])
+    else FormatJson.render(v.asInstanceOf[MapData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (flat) "renderFlat" else "render"
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.FormatJson.render($v);")
+      s"${ev.value} = graft.functions.FormatJson.$fn($v);")
+  }
 
   override protected def withNewChildInternal(c: Expression): FormatJson =
     copy(child = c)
 }
 
 object FormatJson {
+
+  /** $(format-flat-json): keys stay literal (no dot-nesting), sorted. */
+  def renderFlat(m: MapData): UTF8String = {
+    val n = m.numElements()
+    val pairs = new Array[(String, String)](n)
+    val ks = m.keyArray
+    val vs = m.valueArray
+    var i = 0
+    while (i < n) {
+      pairs(i) = (ks.getUTF8String(i).toString,
+        if (vs.isNullAt(i)) "" else vs.getUTF8String(i).toString)
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(64)
+    sb.append('{')
+    val sorted = pairs.sortBy(_._1)
+    var j = 0
+    while (j < sorted.length) {
+      if (j > 0) sb.append(',')
+      appendJsonString(sb, sorted(j)._1)
+      sb.append(':')
+      appendJsonString(sb, sorted(j)._2)
+      j += 1
+    }
+    sb.append('}')
+    UTF8String.fromString(sb.toString)
+  }
 
   def render(m: MapData): UTF8String = {
     val n = m.numElements()
@@ -116,6 +147,7 @@ object FormatJson {
     sb.append('"')
   }
 
-  def apply(m: Column): Column =
-    ColumnBridge.column(new FormatJson(ColumnBridge.expression(m)))
+  def apply(m: Column): Column = apply(m, flat = false)
+  def apply(m: Column, flat: Boolean): Column =
+    ColumnBridge.column(new FormatJson(ColumnBridge.expression(m), flat))
 }

@@ -72,19 +72,13 @@ object ValuePairs {
   private def sortedEntries(m: Column): Column = array_sort(map_entries(m))
 
   /** $(format-flat-json): {"k":"v",...} with keys sorted, values as JSON
-    * strings (format-json.c flat mode). */
-  def formatFlatJson(m: Column): Column = {
-    val body = transform(sortedEntries(m), e =>
-      concat(jsonStr(e.getField("key")), lit(":"), jsonStr(e.getField("value"))))
-    concat(lit("{"), array_join(body, ","), lit("}"))
-  }
+    * strings (format-json.c flat mode). Custom expression — the HOF
+    * formulation paid a per-element to_json(struct(...)) round trip. */
+  def formatFlatJson(m: Column): Column = FormatJson(m, flat = true)
 
   /** $(format-json): nested JSON reconstructed from dot-notation keys —
     * the inverse of json-parser's flattening. Custom expression. */
   def formatJson(m: Column): Column = FormatJson(m)
-
-  private def jsonStr(c: Column): Column = to_json(struct(c.as("x"))).substr(
-    lit(6), length(to_json(struct(c.as("x")))) - 6)
 
   /** $(format-welf): space-joined k=v sorted by key ("id" sorts first,
     * format-welf.c:80-86); values containing spaces are double-quoted
