@@ -39,7 +39,8 @@ object ConfigCompiler {
       val fileStmt = blk.stmts.find(_.name == "file").getOrElse(
         throw new IllegalArgumentException(
           s"source $name: only file() sources stream in this environment"))
-      val path = fileStmt.args.collectFirst { case Lit(p) => p }.get
+      val path = fileStmt.args.collectFirst { case Lit(p) => p }.getOrElse(
+        throw new IllegalArgumentException(s"source $name: file() needs a path"))
       val lines = graft.streaming.Sources.fileLines(spark, path)
       name -> graft.streaming.Sources.parsedSyslog(lines)
         .withColumn("tags", array().cast("array<string>"))
