@@ -46,12 +46,26 @@ object Multimodal {
 
   /** Batched decode pass: mapPartitions so a real decoder can amortize
     * per-batch init (model load, codec context) across the partition —
-    * the same shape `mapInPandas` gives Python. Repartitioning by
-    * byte-size balances skew (one 4 GB video next to thumbnails). */
+    * the same shape `mapInPandas` gives Python. The partition count is
+    * sized from total payload bytes / `targetPartitionBytes` (one cheap
+    * binary-length pre-pass) so one 4 GB video next to thumbnails does
+    * not serialize a whole partition behind it; hash-spread on media_id.
+    * Pass `targetPartitionBytes = 0` to skip the sizing pre-pass and
+    * decode in place. */
   def extractFeatures(ds: Dataset[MediaRow],
       targetPartitionBytes: Long = 128L << 20): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions { it =>
+    val shaped =
+      if (targetPartitionBytes <= 0) ds
+      else {
+        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
+        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+        val minParts = ds.sparkSession.sparkContext.defaultParallelism
+        val parts = math.max(minParts,
+          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
+        ds.repartition(parts, col("media_id"))
+      }
+    shaped.mapPartitions { it =>
       // per-partition init happens here (decoder/model handle)
       it.map(decodeStub)
     }
