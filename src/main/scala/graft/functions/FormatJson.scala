@@ -86,10 +86,19 @@ object FormatJson {
     while (j < sorted.length) {
       val (key, value) = sorted(j)
       val segs = key.split("\\.", -1).toList
-      // a scalar key shadowed by deeper keys (a, then a.b): object wins —
-      // skip the scalar when the next sorted key extends it
-      val shadowed = j + 1 < sorted.length &&
-        sorted(j + 1)._1.startsWith(key + ".")
+      // a scalar key shadowed by deeper keys (a, then a.b): object wins.
+      // Keys can sort between the scalar and its children ("a-x" lands
+      // between "a" and "a.b"), so probe the whole tail: the first key
+      // >= key+"." is found by binary search; shadowed iff it extends it.
+      val shadowed = {
+        val probe = key + "."
+        var lo = j + 1; var hi = sorted.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (sorted(mid)._1 < probe) lo = mid + 1 else hi = mid
+        }
+        lo < sorted.length && sorted(lo)._1.startsWith(probe)
+      }
       if (!shadowed) {
         val path = segs.dropRight(1)
         val leaf = segs.last

@@ -60,6 +60,7 @@ object KvScan {
     val n = s.length
     val keys = new ArrayBuffer[Any]
     val vals = new ArrayBuffer[Any]
+    val keyPos = scala.collection.mutable.HashMap.empty[String, Int]
     val stray = new java.lang.StringBuilder
     var strayNeedsSpace = false
     var strayHasChars = false
@@ -112,8 +113,17 @@ object KvScan {
               sb.append(s.charAt(v)); v += 1
             }
           }
-          keys += UTF8String.fromString(prefix + key)
-          vals += UTF8String.fromString(sb.toString)
+          // repeated key: last occurrence wins, value overwritten in place
+          // (reference kv-parser sets the NV entry, never duplicates it)
+          val fullKey = prefix + key
+          val at = keyPos.getOrElse(fullKey, -1)
+          if (at >= 0) {
+            vals(at) = UTF8String.fromString(sb.toString)
+          } else {
+            keyPos(fullKey) = keys.length
+            keys += UTF8String.fromString(fullKey)
+            vals += UTF8String.fromString(sb.toString)
+          }
           i = v
           consumed = true
         }

@@ -45,6 +45,13 @@ class ParsersSpec extends GraftSuite {
     assert(stray == "connect ok done")
   }
 
+  test("kvParse repeated key: last occurrence wins, no duplicate map keys") {
+    // reference kv-parser overwrites the NV entry (set-value semantics);
+    // duplicate MapData keys would also break map_concat under ANSI dedup
+    val m = one(Parsers.kvParse(col("s")), "k=1 mid=x k=2").getMap[String, String](0)
+    assert(m == Map("k" -> "2", "mid" -> "x"))
+  }
+
   test("kvParse escaped quote inside value") {
     val m = one(Parsers.kvParse(col("s")), """k="a\"b" j=2""").getMap[String, String](0)
     assert(m("k") == "a\"b" && m("j") == "2")

@@ -43,6 +43,14 @@ class ValuePairsSpec extends GraftSuite {
     assert(r.getString(0) == """{"a":{"b":"1","c":{"d":"x"}},"top":"t"}""")
   }
 
+  test("formatJson shadow check sees past keys sorting between scalar and children") {
+    // '-' (45) sorts before '.' (46): "a-x" lands between "a" and "a.b";
+    // the scalar "a" must still be shadowed by the object "a"
+    val r = run(ValuePairs.formatJson(
+      m("a" -> "shadowed", "a-x" -> "1", "a.b" -> "2")))
+    assert(r.getString(0) == """{"a-x":"1","a":{"b":"2"}}""")
+  }
+
   test("formatJson round-trips with JsonFlatten") {
     val json = run(ValuePairs.formatJson(
       m("h.q" -> "1", "h.w" -> "2", "z" -> "3"))).getString(0)
