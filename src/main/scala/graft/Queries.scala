@@ -843,28 +843,117 @@ object Queries {
       ORDER BY id_a, id_b"""),
     bench = true)
 
+  /** MinHash/LSH with the oracle-replicable hash family (md5p31) and
+    * verbatim band keys: DuckDB recomputes signatures, band keys,
+    * candidate set, and exact-Jaccard verification — the full algorithm
+    * is externally verified, not just row counts. */
   private val dedupMinhash = Q("dedup_minhash_lsh",
     (s, d) => Dedup.minhashPairs(Tables.documents(s, d), col("doc_id"),
-        col("text"), shingleK = 3, numHashes = 32, bands = 8, threshold = 0.7)
+        col("text"), shingleK = 3, numHashes = 32, bands = 8, threshold = 0.7,
+        algo = "md5p31", hashBandKeys = false)
       .orderBy(col("id_a"), col("id_b")),
-    None, // xxhash-family signatures have no SQL analog; rows-only check
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(w) - 2, 1) + 1),
+          i -> array_to_string(w[i:i+2], ' '))) AS shingles FROM toks
+      ), post AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+      ), ab AS (
+        SELECT k, (md5_number_lower('mh_a_' || k) >> 33) | 1 AS a,
+               md5_number_lower('mh_b_' || k) >> 33 AS b
+        FROM (SELECT unnest(range(0, 32)) AS k)
+      ), hashed AS (
+        SELECT doc_id, k,
+          min((a * (md5_number_lower(s) >> 33) + b) % 2147483647) AS hk
+        FROM post, ab GROUP BY doc_id, k
+      ), sigs AS (
+        SELECT doc_id, list(hk ORDER BY k) AS sig FROM hashed GROUP BY doc_id
+      ), bands AS (
+        SELECT doc_id, bi, array_to_string(sig[bi*4+1 : bi*4+4], ',') AS bkey
+        FROM sigs, (SELECT unnest(range(0, 8)) AS bi)
+      ), cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.bi = b.bi AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      ), j AS (
+        SELECT c.id_a, c.id_b,
+          CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+          CAST(len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b)
+      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.7
+      ORDER BY id_a, id_b"""),
     bench = true)
 
+  /** SimHash near-dup pairs. Banding into maxHamming+1 chunks makes the
+    * banded+verified result provably EQUAL to brute force (pigeonhole),
+    * so the all-pairs DuckDB recompute below is a strict oracle. The
+    * md5 token-hash mode is bit-identical to `md5_number_lower`. */
   private val dedupSimhash = Q("dedup_simhash",
     (s, d) => Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"),
-        col("text"), maxHamming = 8)
+        col("text"), maxHamming = 8, algo = "md5")
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+      ), th AS (
+        SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+      ), bits AS (
+        SELECT doc_id, i,
+          CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+            THEN 1 ELSE 0 END AS v
+        FROM th, (SELECT unnest(range(0, 64)) AS i) b
+        GROUP BY doc_id, i
+      ), sigs AS (
+        SELECT doc_id,
+          sum(CASE WHEN i < 32 THEN v * (1::BIGINT << i) ELSE 0 END) AS lo,
+          sum(CASE WHEN i >= 32 THEN v * (1::BIGINT << (i - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 8
+      ORDER BY id_a, id_b"""))
 
+  /** Hyperplane components are md5-derived constants, so the oracle
+    * recomputes bucket assignment, the bucket join, and exact cosines. */
   private val dedupEmbedding = Q("dedup_embedding",
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
-          threshold = -1.0, planes = 4)
+          threshold = -1.0, planes = 4, seed = 42, dim = 64, tables = 1)
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(20)
     },
-    None)
+    Some("""WITH planes AS (
+        SELECT p, list_transform(range(0, 64), i ->
+          (md5_number_lower('hp_42_' || p || '_' || i) >> 11)
+            / 9007199254740992.0 * 2 - 1) AS hp
+        FROM (SELECT unnest(range(0, 4)) AS p)
+      ), v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), bucketed AS (
+        SELECT vec_id,
+          sum(CASE WHEN list_dot_product(v.e, pl.hp) >= 0
+            THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM v, planes pl GROUP BY vec_id
+      ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ), sc AS (
+        SELECT p.id_a, p.id_b,
+          list_dot_product(va.e, vb.e) /
+            (sqrt(list_dot_product(va.e, va.e)) *
+             sqrt(list_dot_product(vb.e, vb.e))) AS cosine
+        FROM pairs p
+        JOIN v va ON va.vec_id = p.id_a
+        JOIN v vb ON vb.vec_id = p.id_b)
+      SELECT id_a, id_b, cosine FROM sc
+      ORDER BY cosine DESC, id_a, id_b LIMIT 20"""))
 
   // ---------------------------------------------------------------------
   // Similarity search over embeddings
@@ -886,15 +975,66 @@ object Queries {
       SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT 10"""),
     bench = true)
 
+  /** Single-probe LSH top-k: the oracle recomputes every vector's bucket
+    * and the query's bucket from the same md5-derived hyperplanes and
+    * replicates the probe + ranking exactly. */
   private val annLsh = Q("ann_lsh",
     (s, d) => Similarity.lshTopK(Tables.embeddings(s, d), col("embedding"),
-      col("vec_id"), queryVec(s, d), 10, planes = 4),
-    None)
+      col("vec_id"), queryVec(s, d), 10, planes = 4, seed = 42, tables = 1),
+    Some("""WITH planes AS (
+        SELECT p, list_transform(range(0, 64), i ->
+          (md5_number_lower('hp_42_' || p || '_' || i) >> 11)
+            / 9007199254740992.0 * 2 - 1) AS hp
+        FROM (SELECT unnest(range(0, 4)) AS p)
+      ), v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), bk AS (
+        SELECT vec_id,
+          sum(CASE WHEN list_dot_product(v.e, pl.hp) >= 0
+            THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+        FROM v, planes pl GROUP BY vec_id
+      ), q AS (
+        SELECT v.e AS qe, bk.bucket AS qb
+        FROM v JOIN bk ON v.vec_id = bk.vec_id WHERE v.vec_id = 0)
+      SELECT v.vec_id,
+        list_dot_product(v.e, q.qe) /
+          (sqrt(list_dot_product(v.e, v.e)) *
+           sqrt(list_dot_product(q.qe, q.qe))) AS cos
+      FROM v JOIN bk ON v.vec_id = bk.vec_id, q
+      WHERE bk.bucket = q.qb
+      ORDER BY cos DESC, v.vec_id LIMIT 10"""))
 
+  /** IVF with md5-hash-sampled centroids: the oracle replicates centroid
+    * choice, nearest-centroid assignment (ties -> max cid, matching the
+    * struct array_max order), the probe set, and final ranking. */
   private val annIvf = Q("ann_ivf",
     (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), col("embedding"),
       col("vec_id"), queryVec(s, d), 10, nCentroids = 16, nProbe = 4),
-    None)
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), c AS (
+        SELECT vec_id AS cid, e AS ce FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+      ), q AS (SELECT e AS qe FROM v WHERE vec_id = 0
+      ), probe AS (
+        SELECT cid FROM c, q
+        ORDER BY list_dot_product(ce, qe) /
+          (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(qe, qe))) DESC,
+          cid
+        LIMIT 4
+      ), assigned AS (
+        SELECT vec_id, cid FROM (
+          SELECT v.vec_id, c.cid,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, c.ce) /
+                (sqrt(list_dot_product(v.e, v.e)) *
+                 sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid DESC) AS rn
+          FROM v, c) WHERE rn = 1)
+      SELECT v.vec_id,
+        list_dot_product(v.e, q.qe) /
+          (sqrt(list_dot_product(v.e, v.e)) *
+           sqrt(list_dot_product(q.qe, q.qe))) AS cos
+      FROM v JOIN assigned a ON a.vec_id = v.vec_id, q
+      WHERE a.cid IN (SELECT cid FROM probe)
+      ORDER BY cos DESC, v.vec_id LIMIT 10"""))
 
   // ---------------------------------------------------------------------
   // Text analysis

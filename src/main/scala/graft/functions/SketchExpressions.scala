@@ -18,21 +18,51 @@ import org.apache.spark.unsafe.types.UTF8String
 object Sketches {
 
   /** One pass over `shingles`: per element, h0 = xxh64(bytes, 42), then
-    * the k-th hash is xxh64_long(h0, k); result = per-seed minimum. */
-  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    * the k-th hash is xxh64_long(h0, k); result = per-seed minimum.
+    *
+    * `algo = "md5p31"` swaps in a SQL-replicable family for oracle
+    * verification: h0 = md5_lower64(shingle) >>> 33 (31 bits), k-th hash
+    * = (a_k * h0 + b_k) mod (2^31 - 1) with a_k/b_k md5-derived 31-bit
+    * constants — every step reproducible in DuckDB (`md5_number_lower`,
+    * 64-bit products < 2^62 never overflow). Production default stays
+    * the xxh64 chain (one string hash + cheap long mixes per element). */
+  def minhashSig(shingles: ArrayData, numHashes: Int, algo: String): ArrayData = {
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val n = shingles.numElements()
-    var i = 0
-    while (i < n) {
-      val h0 = XXH64.hashUTF8String(shingles.getUTF8String(i), 42L)
+    if (algo == "md5p31") {
+      val P = 2147483647L // 2^31 - 1
+      val as = new Array[Long](numHashes)
+      val bs = new Array[Long](numHashes)
       var k = 0
       while (k < numHashes) {
-        val hk = XXH64.hashLong(h0, k)
-        if (hk < mins(k)) mins(k) = hk
+        as(k) = (md5Lower64(UTF8String.fromString("mh_a_" + k)) >>> 33) | 1L
+        bs(k) = md5Lower64(UTF8String.fromString("mh_b_" + k)) >>> 33
         k += 1
       }
-      i += 1
+      var i = 0
+      while (i < n) {
+        val h0 = md5Lower64(shingles.getUTF8String(i)) >>> 33
+        k = 0
+        while (k < numHashes) {
+          val hk = (as(k) * h0 + bs(k)) % P
+          if (hk < mins(k)) mins(k) = hk
+          k += 1
+        }
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) {
+        val h0 = XXH64.hashUTF8String(shingles.getUTF8String(i), 42L)
+        var k = 0
+        while (k < numHashes) {
+          val hk = XXH64.hashLong(h0, k)
+          if (hk < mins(k)) mins(k) = hk
+          k += 1
+        }
+        i += 1
+      }
     }
     new GenericArrayData(mins)
   }
@@ -84,14 +114,38 @@ object Sketches {
     UTF8String.fromString(sb.toString)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 64-bit token hash with a SQL-replicable definition: little-endian
+    * long of md5 digest bytes 8..15 — bit-identical to DuckDB's
+    * `md5_number_lower`, which is what makes the simhash pipeline
+    * verifiable by an external oracle end-to-end. */
+  def md5Lower64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xFFL); i -= 1 }
+    h
+  }
+
   /** One pass over `tokens`: 64-bit SimHash, per-bit majority vote of
-    * xxh64 token hashes. */
-  def simhash64(tokens: ArrayData): Long = {
+    * token hashes. `algo` picks the per-token hash: "xxh64" (fastest,
+    * production default) or "md5" (oracle-replicable: DuckDB
+    * `md5_number_lower` computes the identical value). Banding and
+    * verification are hash-agnostic. */
+  def simhash64(tokens: ArrayData, algo: String): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
+    val useMd5 = algo == "md5"
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+      val t = tokens.getUTF8String(i)
+      val h = if (useMd5) md5Lower64(t) else XXH64.hashUTF8String(t, 42L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
@@ -136,42 +190,50 @@ object RollingFingerprint {
       new RollingFingerprint(ColumnBridge.expression(text), k, keep))
 }
 
-/** `minhash_sig(shingles, n)` — MinHash signature as array<bigint>. */
-case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+/** `minhash_sig(shingles, n, algo)` — MinHash signature as array<bigint>. */
+case class MinHashSig(child: Expression, numHashes: Int,
+    algo: String = "xxh64") extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
   override protected def nullSafeEval(v: Any): Any =
-    Sketches.minhashSig(v.asInstanceOf[ArrayData], numHashes)
+    Sketches.minhashSig(v.asInstanceOf[ArrayData], numHashes, algo)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("minhashAlgo", algo, "java.lang.String")
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.Sketches.minhashSig($v, $numHashes);")
+      s"${ev.value} = graft.functions.Sketches.minhashSig($v, $numHashes, $a);")
+  }
 
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
 object MinHashSig {
-  def apply(shingles: Column, numHashes: Int): Column =
-    ColumnBridge.column(new MinHashSig(ColumnBridge.expression(shingles), numHashes))
+  def apply(shingles: Column, numHashes: Int): Column = apply(shingles, numHashes, "xxh64")
+  def apply(shingles: Column, numHashes: Int, algo: String): Column =
+    ColumnBridge.column(new MinHashSig(ColumnBridge.expression(shingles), numHashes, algo))
 }
 
-/** `simhash64(tokens)` — 64-bit SimHash as bigint. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+/** `simhash64(tokens, algo)` — 64-bit SimHash as bigint. */
+case class SimHash64(child: Expression, algo: String = "xxh64")
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
   override protected def nullSafeEval(v: Any): Any =
-    Sketches.simhash64(v.asInstanceOf[ArrayData])
+    Sketches.simhash64(v.asInstanceOf[ArrayData], algo)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("simhashAlgo", algo, "java.lang.String")
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.Sketches.simhash64($v);")
+      s"${ev.value} = graft.functions.Sketches.simhash64($v, $a);")
+  }
 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
 object SimHash64 {
-  def apply(tokens: Column): Column =
-    ColumnBridge.column(new SimHash64(ColumnBridge.expression(tokens)))
+  def apply(tokens: Column): Column = apply(tokens, "xxh64")
+  def apply(tokens: Column, algo: String): Column =
+    ColumnBridge.column(new SimHash64(ColumnBridge.expression(tokens), algo))
 }

@@ -44,34 +44,50 @@ object Dedup {
   // ---- MinHash + LSH ----------------------------------------------------------
   /** MinHash signature — single-pass custom expression (one string hash
     * per shingle + numHashes long-mixes; the HOF formulation would walk
-    * the array numHashes times). */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    graft.functions.MinHashSig(shingles, numHashes)
+    * the array numHashes times). `algo` = "xxh64" (production) or
+    * "md5p31" (oracle-replicable, see [[graft.functions.Sketches.minhashSig]]). */
+  def minhashSignature(shingles: Column, numHashes: Int,
+      algo: String = "xxh64"): Column =
+    graft.functions.MinHashSig(shingles, numHashes, algo)
 
   /** LSH band keys: the signature split into `bands` bands of `rowsPerBand`
     * hashes; each band hashed to one bucket key. Docs sharing any band key
-    * become candidates. */
-  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    * become candidates. `hashBandKeys=false` keeps the joined band values
+    * verbatim (collision-free, SQL-replicable) instead of hashing them —
+    * slightly wider shuffle keys, exact candidate-set parity with an
+    * external oracle. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int,
+      hashBandKeys: Boolean = true): Column =
     array((0 until bands).map { b =>
-      concat_ws("_", lit(b),
-        hash(array_join(slice(signature, b * rowsPerBand + 1, rowsPerBand), ",")))
+      val bandVal = array_join(slice(signature, b * rowsPerBand + 1, rowsPerBand), ",")
+      concat_ws("_", lit(b), if (hashBandKeys) hash(bandVal) else bandVal)
     }: _*)
 
   /** MinHash/LSH near-dup candidate pairs with exact-Jaccard verification.
+    *
+    * One tokenization pass: the (id, shingles, signature) projection is
+    * computed once and persisted for the band pass + the two
+    * verification joins (the lazy-DAG alternative recomputes the
+    * shingling three times; at 100 TB this materialization is the
+    * standard "write the signed corpus once" step — swap the persist
+    * for a table write there).
     *
     * @param df (id, text)
     * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold
     */
   def minhashPairs(df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, algo: String = "xxh64",
+      hashBandKeys: Boolean = true): DataFrame = {
     val rows = numHashes / bands
     val docs = df.select(id.as("id"), wordShingles(text, shingleK).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the band join shuffles only (band, id) — shingle arrays stay out
     // of the wide join; a doc colliding in several bands dedups BEFORE
     // the (expensive) exact-Jaccard verification
     val banded = docs.select(col("id"), explode(lshBandKeys(
-      minhashSignature(col("sh"), numHashes), bands, rows)).as("band"))
+      minhashSignature(col("sh"), numHashes, algo), bands, rows,
+      hashBandKeys)).as("band"))
     val cand = banded.select(col("band"), col("id").as("id_a"))
       .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
       .filter(col("id_a") < col("id_b"))
@@ -88,20 +104,34 @@ object Dedup {
 
   // ---- SimHash -----------------------------------------------------------------
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes —
-    * single-pass custom expression. Near-dups then band on 16-bit chunks
-    * and verify hamming distance (bit_count(a XOR b)). */
-  def simhash(text: Column): Column =
-    graft.functions.SimHash64(TextAnalysis.tokens(text))
+    * single-pass custom expression. `algo` = "xxh64" (production) or
+    * "md5" (oracle-replicable, see [[graft.functions.Sketches.md5Lower64]]). */
+  def simhash(text: Column, algo: String = "xxh64"): Column =
+    graft.functions.SimHash64(TextAnalysis.tokens(text), algo)
 
-  /** SimHash near-dup pairs: band on the four 16-bit chunks (a pair within
-    * hamming distance<=maxHamming in 64 bits must agree on >=1 chunk when
-    * maxHamming<=3 per pigeonhole with 4 chunks). */
+  /** SimHash near-dup pairs with GUARANTEED recall: the signature is
+    * banded into `maxHamming + 1` chunks, so any pair within
+    * `maxHamming` differing bits has at least one chunk with zero
+    * differences (pigeonhole: maxHamming differences cannot touch all
+    * maxHamming+1 chunks) and becomes a candidate. Candidates are then
+    * verified with exact hamming distance — the output is therefore
+    * EXACTLY the brute-force all-pairs result, computed with an
+    * equi-join instead of a cross product. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3): DataFrame = {
-    val withSig = df.select(id.as("id"), simhash(text).as("sig"))
-    val banded = withSig.withColumn("chunk", explode(array(
-      (0 until 4).map(c => concat_ws("_", lit(c),
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL)))): _*)))
+      maxHamming: Int = 3, algo: String = "xxh64"): DataFrame = {
+    val numChunks = math.min(64, maxHamming + 1)
+    val baseW = 64 / numChunks
+    val rem = 64 % numChunks
+    // chunk c covers [start_c, start_c + width_c); first `rem` chunks one wider
+    val chunks = (0 until numChunks).map { c =>
+      val start = c * baseW + math.min(c, rem)
+      val width = baseW + (if (c < rem) 1 else 0)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      concat_ws("_", lit(c),
+        shiftrightunsigned(col("sig"), start).bitwiseAND(lit(mask)))
+    }
+    val withSig = df.select(id.as("id"), simhash(text, algo).as("sig"))
+    val banded = withSig.withColumn("chunk", explode(array(chunks: _*)))
     val a = banded.select(col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk"))
@@ -123,10 +153,17 @@ object Dedup {
     val docs = df.select(id.as("id"), wordShingles(text, shingleK).as("sh"))
       .withColumn("n", size(col("sh")))
     val posting = docs.select(col("id"), col("n"), explode(col("sh")).as("shingle"))
-    val capped = posting.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDocFreq)
-      .drop("df")
+    // The cap must not shuffle the skew it removes: groupBy(shingle).count
+    // partial-aggregates map-side, so a stop-shingle contributes one count
+    // per task, not its whole posting list, to the exchange. The over-cap
+    // set is tiny by construction (only stop-shingles exceed maxDocFreq)
+    // -> broadcast anti-join drops their postings without any re-shuffle
+    // of the posting list. (A Window.partitionBy(shingle) count here would
+    // land the hottest shingle's entire posting list on ONE task first.)
+    val hot = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("shingle"))
+    val capped = posting.join(broadcast(hot), Seq("shingle"), "left_anti")
     val a = capped.select(col("shingle"), col("id").as("id_a"), col("n").as("n_a"))
     val b = capped.select(col("shingle"), col("id").as("id_b"), col("n").as("n_b"))
     a.join(b, Seq("shingle"))
@@ -140,22 +177,32 @@ object Dedup {
   }
 
   // ---- embedding near-dup ------------------------------------------------------
-  /** Embedding-cosine near-dup pairs via LSH bucketing (see
-    * [[Similarity.hyperplaneBucket]]); exact cosine verified inside each
-    * bucket only. */
+  /** Embedding-cosine near-dup pairs via hyperplane-LSH bucketing (see
+    * [[Similarity.hyperplaneBucket]]); `tables` independent bucketings
+    * OR-amplify recall. Candidate (id_a, id_b) pairs are deduped on the
+    * slim bucket join FIRST, then the vectors are fetched back by id —
+    * the bucket shuffle carries (bucket, id), never the vectors. Exact
+    * cosine is verified per candidate with precomputed norms (one dot
+    * per pair). */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
-      threshold: Double = 0.95, planes: Int = 8, seed: Long = 42): DataFrame = {
-    // norms precomputed per vector (narrow pass) so each candidate pair
-    // costs ONE dot product, not dot + two norms
-    val withBucket = df.select(id.as("id"), vec.as("v"))
-      .withColumn("bucket", Similarity.hyperplaneBucket(col("v"), planes, seed))
-      .withColumn("nrm", Similarity.norm(col("v")))
-    val a = withBucket.select(col("bucket"), col("id").as("id_a"),
-      col("v").as("v_a"), col("nrm").as("nrm_a"))
-    val b = withBucket.select(col("bucket"), col("id").as("id_b"),
-      col("v").as("v_b"), col("nrm").as("nrm_b"))
-    a.join(b, Seq("bucket"))
+      threshold: Double = 0.95, planes: Int = 8, seed: Long = 42,
+      dim: Int = 64, tables: Int = 1): DataFrame = {
+    val base = df.select(id.as("id"), vec.as("v"))
+    val keyed = base.select(col("id"), explode(array((0 until tables).map(t =>
+      concat_ws("_", lit(t),
+        Similarity.hyperplaneBucket(col("v"), planes, seed + t, dim))): _*))
+      .as("bkey"))
+    val cand = keyed.select(col("bkey"), col("id").as("id_a"))
+      .join(keyed.select(col("bkey"), col("id").as("id_b")), Seq("bkey"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val withNorm = base.withColumn("nrm", Similarity.norm(col("v")))
+    cand
+      .join(withNorm.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(withNorm.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
           .as("cosine"))

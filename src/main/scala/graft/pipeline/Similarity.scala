@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -9,8 +10,14 @@ import org.apache.spark.sql.functions._
   * (cosine per row, codegen'd HOFs) + a top-k, which Spark executes as
   * per-partition TakeOrdered then a driver merge — no shuffle of the
   * full table. The scale path is `hyperplaneBucket` LSH (probe only
-  * matching buckets) or `ivfTopK` (probe only the nearest partitions'
+  * matching buckets) or `ivfTopK` (probe only the nearest centroids'
   * lists) — both turn the scan into a pruned fraction of the corpus.
+  *
+  * Every pseudo-random choice (hyperplane components, centroid sample)
+  * derives from md5 so an external SQL engine can replicate the exact
+  * algorithm — bucket assignment, probe set, ranking — for end-to-end
+  * correctness oracles (DuckDB `md5_number_lower` computes the same
+  * 64-bit value as [[graft.functions.Sketches.md5Lower64]]).
   */
 object Similarity {
 
@@ -39,66 +46,121 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
 
+  /** Deterministic hyperplane: component i of plane p is
+    * `(md5_lower64("hp_<seed>_<p>_<i>") >>> 11) / 2^53 * 2 - 1`.
+    * Only the top 53 bits are used so the integer→double conversion is
+    * exact on every engine; division by 2^53 and the affine map are
+    * exact/one-rounding IEEE ops — an external oracle reproduces the
+    * component bit-for-bit. */
+  private[pipeline] def hyperplane(seed: Long, p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { i =>
+      val h = graft.functions.Sketches.md5Lower64(
+        UTF8String.fromString(s"hp_${seed}_${p}_${i}"))
+      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
   /** Random-hyperplane LSH bucket: `planes` sign bits of dot products
-    * with seeded pseudo-random hyperplanes. Deterministic in `seed`.
-    * Hyperplane components come from xxhash64(seed, plane, dim) mapped to
-    * [-1, 1) — no stored model, reproducible on any executor. */
-  def hyperplaneBucket(vec: Column, planes: Int, seed: Long): Column = {
+    * with md5-seeded hyperplanes (driver-side constants — no stored
+    * model, reproducible on any executor or engine). */
+  def hyperplaneBucket(vec: Column, planes: Int, seed: Long, dim: Int): Column = {
     val bits: Seq[Column] = (0 until planes).map { p =>
-      val prods = zip_with(vec,
-        sequence(lit(0), size(vec) - 1),
-        (x, i) => x.cast("double") *
-          (xxhash64(lit(seed), lit(p), i).cast("double") / lit(Long.MaxValue.toDouble)))
-      val d = aggregate(prods, lit(0.0), (acc, v) => acc + v)
+      val d = dot(vec, typedLit(hyperplane(seed, p, dim).toSeq))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** LSH ANN: probe only rows whose bucket matches the query's bucket
-    * (single-probe). Recall/speed trades by `planes`. */
+  /** Driver-side bucket of a constant vector — the same sequential
+    * double accumulation as the Column form, so the bits agree. */
+  private[pipeline] def bucketLocal(v: Seq[Float], planes: Int, seed: Long): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val hp = hyperplane(seed, p, v.length)
+      var d = 0.0
+      var i = 0
+      while (i < v.length) { d += v(i).toDouble * hp(i); i += 1 }
+      if (d >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  /** LSH ANN: probe only rows whose bucket matches the query's bucket in
+    * at least one of `tables` independent bucketings (OR-amplification:
+    * recall 1-(1-p^planes)^tables). The query's bucket per table is a
+    * driver-side constant, so probing is a pushed-down `bkey IN (...)`
+    * filter on the scan — no join at all. */
   def lshTopK(df: DataFrame, vec: Column, id: Column,
-      query: Seq[Float], k: Int, planes: Int = 8, seed: Long = 42): DataFrame = {
-    val bucketed = df.select(id.as("vec_id"), vec.as("v"),
-      hyperplaneBucket(vec, planes, seed).as("bucket"))
-    val qDf = bucketed.sparkSession.range(1)
-      .select(hyperplaneBucket(typedLit(query), planes, seed).as("qbucket"))
-    bucketed.join(broadcast(qDf), col("bucket") === col("qbucket"), "inner")
+      query: Seq[Float], k: Int, planes: Int = 8, seed: Long = 42,
+      tables: Int = 1): DataFrame = {
+    val keys = (0 until tables).map(t =>
+      concat_ws("_", lit(t), hyperplaneBucket(vec, planes, seed + t, query.length)))
+    val qKeys = (0 until tables).map(t =>
+      s"${t}_${bucketLocal(query, planes, seed + t)}")
+    df.select(id.as("vec_id"), vec.as("v"),
+        explode(array(keys: _*)).as("bkey"))
+      .filter(col("bkey").isin(qKeys: _*))
+      .select(col("vec_id"), col("v")).distinct()
       .select(col("vec_id"), cosineToQuery(col("v"), query).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
 
-  /** IVF-lite ANN: cluster the corpus on `nCentroids` seed vectors (rows
-    * sampled deterministically by id), assign every vector to its nearest
-    * centroid (broadcast argmax — one narrow pass), then probe only the
-    * `nProbe` centroids nearest the query. At scale the assignment is
-    * done once offline and the probe reads `nProbe/nCentroids` of the
+  /** IVF-lite ANN: `nCentroids` seed vectors chosen by a deterministic
+    * md5 hash-sample of the corpus (NOT first-N-by-id: on any corpus
+    * where id correlates with content the first N rows are one corner
+    * of the space), optionally refined with `kmeansIters` distributed
+    * k-means passes; every vector is assigned to its nearest centroid
+    * (broadcast argmax — one narrow pass), then only the `nProbe`
+    * centroids nearest the query are probed. At scale the assignment is
+    * done once offline and the probe reads nProbe/nCentroids of the
     * corpus; here both steps run inline. */
   def ivfTopK(df: DataFrame, vec: Column, id: Column,
-      query: Seq[Float], k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = df.sparkSession
+      query: Seq[Float], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+      kmeansIters: Int = 0): DataFrame = {
     val base = df.select(id.as("vec_id"), vec.as("v"))
-    val centroids = base.orderBy(col("vec_id")).limit(nCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val cList = centroids.collect().map(r =>
-      (r.getLong(0), r.getSeq[Float](1)))
+    // deterministic hash-sample: order by md5 of the id — uncorrelated
+    // with both ingest order and vector content
+    var cList: Array[(Long, Seq[Float])] = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCentroids)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
 
-    def nearestCentroid(v: Column): Column = {
-      val scored = cList.map { case (cid, cv) =>
-        struct(cosineToQuery(v, cv.toSeq).as("cos"), lit(cid).as("cid"))
+    def nearestCentroid(v: Column, cs: Array[(Long, Seq[Float])]): Column = {
+      val scored = cs.map { case (cid, cv) =>
+        struct(cosineToQuery(v, cv).as("cos"), lit(cid).as("cid"))
       }
       array_max(array(scored: _*)).getField("cid")
     }
 
-    val probeSet: Seq[Long] = cList
-      .map { case (cid, cv) =>
-        val qd = Similarity.cosineLocal(query, cv)
-        (cid, qd)
-      }
-      .sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    // optional k-means refinement: assign (narrow map) + per-dimension
+    // mean (one partial-agg shuffle of (cid, dim) sums); centroid count
+    // stays driver-bounded
+    var it = 0
+    while (it < kmeansIters) {
+      val dim = cList.head._2.length
+      val assigned = base.withColumn("cid", nearestCentroid(col("v"), cList))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy(col("cid"))
+        .agg(map_from_arrays(collect_list(col("dim")), collect_list(col("m"))).as("ms"))
+        .collect()
+      cList = means.map { r =>
+        val m = r.getMap[Int, Double](1)
+        (r.getLong(0), (0 until dim).map(i => m(i).toFloat): Seq[Float])
+      }.sortBy(_._1)
+      it += 1
+    }
 
-    base.withColumn("cid", nearestCentroid(col("v")))
+    val probeSet: Seq[Long] = cList
+      .map { case (cid, cv) => (cid, cosineLocal(query, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(nProbe).map(_._1).toSeq
+
+    base.withColumn("cid", nearestCentroid(col("v"), cList))
       .filter(col("cid").isin(probeSet: _*))
       .select(col("vec_id"), cosineToQuery(col("v"), query).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))

@@ -82,6 +82,28 @@ class PipelineSpec extends GraftSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simhash banded pairs equal brute force at maxHamming=8 (pigeonhole recall)") {
+    val docsT = Tables.documents(spark, sf)
+    for (algo <- Seq("xxh64", "md5")) {
+      val sigs = docsT.select(col("doc_id").as("id"),
+        Dedup.simhash(col("text"), algo).as("sig"))
+      val brute = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+        .crossJoin(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        .filter(col("hamming") <= 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val banded = Dedup.simhashPairs(docsT, col("doc_id"), col("text"),
+          maxHamming = 8, algo = algo)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute, s"recall/precision mismatch for $algo")
+      // the corpus must actually exercise the 4..8 range the old 4-chunk
+      // banding missed, or this test proves nothing
+      assert(brute.exists(_._3 >= 4), s"corpus has no hamming 4-8 pairs ($algo)")
+    }
+  }
+
   test("ngram jaccard pairs exact values") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       shingleK = 2, threshold = 0.2, maxDocFreq = 100)
@@ -90,6 +112,18 @@ class PipelineSpec extends GraftSuite {
     assert(pairs.contains((1L, 2L)))
     val j12 = pairs((1L, 2L))
     assert(j12 > 0.5 && j12 < 1.0) // 7 common shingles of 9 -> 7/(8+8-7)
+  }
+
+  test("ngram jaccard DF cap plan: partial agg + broadcast anti-join, no Window") {
+    val plan = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
+      shingleK = 2, threshold = 0.2, maxDocFreq = 100)
+      .queryExecution.executedPlan.toString
+    // skew safety at scale: the cap computes per-shingle counts with a
+    // map-side-combinable aggregate and removes over-cap shingles via a
+    // broadcast anti-join -- never a Window over the raw posting list
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+    assert(plan.toLowerCase.contains("partial_count") || plan.contains("partial"), plan)
   }
 
   test("embedding cosine + brute force topk") {
@@ -121,6 +155,30 @@ class PipelineSpec extends GraftSuite {
     val q = emb.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
     val ivf = Similarity.ivfTopK(emb, col("embedding"), col("vec_id"), q, 5,
       nCentroids = 8, nProbe = 3).collect()
+    assert(ivf.head.getLong(0) == 0L)
+  }
+
+  test("ann recall@10 >= 0.9 vs brute force at sf0.1 (lsh multi-table, ivf probes)") {
+    val dir = "/root/testdata/sf0.1"
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+    val brute = Similarity.bruteForceTopK(emb, col("embedding"), col("vec_id"), q, 10)
+      .collect().map(_.getLong(0)).toSet
+    // near-random 64-dim embeddings are LSH's worst case (top-10 cosines
+    // ~0.4-0.5): recall comes from OR-amplification across tables
+    val lsh = Similarity.lshTopK(emb, col("embedding"), col("vec_id"), q, 10,
+      planes = 4, seed = 42, tables = 16).collect().map(_.getLong(0)).toSet
+    assert((brute & lsh).size >= 9, s"lsh recall ${(brute & lsh).size}/10")
+    val ivf = Similarity.ivfTopK(emb, col("embedding"), col("vec_id"), q, 10,
+      nCentroids = 16, nProbe = 12).collect().map(_.getLong(0)).toSet
+    assert((brute & ivf).size >= 9, s"ivf recall ${(brute & ivf).size}/10")
+  }
+
+  test("ivf kmeans refinement yields valid centroids and finds the query") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).select("embedding").head.getSeq[Float](0)
+    val ivf = Similarity.ivfTopK(emb, col("embedding"), col("vec_id"), q, 5,
+      nCentroids = 4, nProbe = 2, kmeansIters = 2).collect()
     assert(ivf.head.getLong(0) == 0L)
   }
 
