@@ -1129,12 +1129,31 @@ object Queries {
       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
       FROM documents ORDER BY doc_id"""))
 
+  /** The winnowing fingerprint is small-word modular arithmetic end to
+    * end, so the oracle recomputes k-gram hashes, mix, and min-keep. */
   private val textFingerprintRobust = Q("text_fingerprint_robust",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
         TextAnalysis.robustFingerprint(col("text")).as("rfp"))
       .orderBy(col("doc_id")),
-    None)
+    Some("""WITH norm AS (
+        SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        FROM documents
+      ), pos AS (
+        SELECT doc_id, t, unnest(range(1, greatest(length(t) - 8 + 1, 1) + 1)) AS i
+        FROM norm
+      ), h AS (
+        SELECT doc_id,
+          CASE WHEN length(t) = 0 THEN 0 ELSE
+            list_reduce(list_transform(range(0, least(8, length(t))),
+              j -> CAST(unicode(substring(t, i + j, 1)) AS BIGINT)),
+              (a, b) -> (a * 1000003 + b) % 2147483647) END AS ph
+        FROM pos
+      ), fp AS (
+        SELECT doc_id,
+          array_to_string(list_sort(list((ph * 2654435761) % 4294967296))[1:4], '-') AS rfp
+        FROM h GROUP BY doc_id)
+      SELECT doc_id, rfp FROM fp ORDER BY doc_id"""))
 
   // ---------------------------------------------------------------------
   // Multimodal plumbing (stubbed decode, real batch shape)
@@ -1158,7 +1177,14 @@ object Queries {
         .select(col("media_id"), col("checksum"))
         .orderBy(col("media_id"))
     },
-    None)
+    // the stub checksum is mod-2^31-1 polynomial over the payload bytes;
+    // the payload is the UTF-8 text, so the oracle refolds the characters
+    Some("""SELECT doc_id AS media_id,
+      CASE WHEN length(text) = 0 THEN 0 ELSE
+        list_reduce(list_transform(range(1, length(text) + 1),
+          i -> CAST(unicode(substring(text, i, 1)) AS BIGINT)),
+          (a, b) -> (a * 31 + b) % 2147483647) END AS checksum
+      FROM documents ORDER BY media_id"""))
 
   // ---------------------------------------------------------------------
   // All queries

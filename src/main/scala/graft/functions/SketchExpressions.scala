@@ -67,18 +67,26 @@ object Sketches {
     new GenericArrayData(mins)
   }
 
-  /** Polynomial rolling hash over char k-grams, keeping the `keep`
-    * smallest (unsigned order), dash-joined. */
+  /** Polynomial rolling hash over char k-grams mod 2^31-1, decorrelated
+    * with a Knuth multiplicative mix mod 2^32, keeping the `keep`
+    * smallest, dash-joined. Every step is small-word modular arithmetic
+    * (products < 2^62 — no silent wraparound anywhere), so an external
+    * SQL engine can recompute the identical fingerprint:
+    * `list_reduce(chars, (a,b) -> (a*1000003+b) % 2147483647)` per
+    * k-gram, `(h*2654435761) % 4294967296` mix, sort, slice, join. */
   def rollingFingerprint(s: UTF8String, k: Int, keep: Int): UTF8String = {
     val str = s.toString
     val n = str.length
+    val P = 2147483647L // 2^31 - 1
+    val MIX = 2654435761L // Knuth multiplicative constant
     val mins = new Array[Long](keep)
-    java.util.Arrays.fill(mins, -1L) // unsigned max
-    def offer(h: Long): Unit = {
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    def offer(raw: Long): Unit = {
+      val h = (raw * MIX) % 4294967296L
       // keep is tiny (4): insertion into a sorted array
       var i = keep - 1
-      if (java.lang.Long.compareUnsigned(h, mins(i)) >= 0) return
-      while (i > 0 && java.lang.Long.compareUnsigned(h, mins(i - 1)) < 0) {
+      if (h >= mins(i)) return
+      while (i > 0 && h < mins(i - 1)) {
         mins(i) = mins(i - 1); i -= 1
       }
       mins(i) = h
@@ -87,26 +95,28 @@ object Sketches {
     if (n < k) {
       var h = 0L
       var i = 0
-      while (i < n) { h = h * B + str.charAt(i); i += 1 }
-      offer(XXH64.hashLong(h, 42L))
+      while (i < n) { h = (h * B + str.charAt(i)) % P; i += 1 }
+      offer(h)
     } else {
-      var bk = 1L // B^(k-1)
+      var bk = 1L // B^(k-1) mod P
       var i = 1
-      while (i < k) { bk *= B; i += 1 }
+      while (i < k) { bk = (bk * B) % P; i += 1 }
       var h = 0L
       i = 0
-      while (i < k) { h = h * B + str.charAt(i); i += 1 }
-      offer(XXH64.hashLong(h, 42L))
+      while (i < k) { h = (h * B + str.charAt(i)) % P; i += 1 }
+      offer(h)
       i = k
       while (i < n) {
-        h = (h - str.charAt(i - k) * bk) * B + str.charAt(i)
-        offer(XXH64.hashLong(h, 42L))
+        var x = (h - (str.charAt(i - k) * bk) % P) % P
+        if (x < 0) x += P
+        h = (x * B + str.charAt(i)) % P
+        offer(h)
         i += 1
       }
     }
     val sb = new java.lang.StringBuilder
     var j = 0
-    while (j < keep && mins(j) != -1L) {
+    while (j < keep && mins(j) != Long.MaxValue) {
       if (j > 0) sb.append('-')
       sb.append(mins(j))
       j += 1

@@ -30,9 +30,13 @@ object Multimodal {
     * codecs, so this produces deterministic fake features from the raw
     * bytes (same signature, same batch shape). */
   def decodeStub(row: MediaRow): MediaFeatures = {
+    // polynomial checksum mod 2^31-1: no silent 64-bit wraparound, so an
+    // external engine can recompute it from the payload bytes
     var checksum = 0L
     var i = 0
-    while (i < row.bytes.length) { checksum = checksum * 31 + (row.bytes(i) & 0xFF); i += 1 }
+    while (i < row.bytes.length) {
+      checksum = (checksum * 31 + (row.bytes(i) & 0xFF)) % 2147483647L; i += 1
+    }
     val feature = Array.tabulate(8) { j =>
       // fake "embedding": byte histogram buckets, normalized
       var c = 0

@@ -104,9 +104,10 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
-  /** Winnowing-style robust fingerprint: min-hash over character k-gram
-    * rolling hashes — survives small edits. No SQL analog (rows-only
-    * check); stays a pure expression. */
+  /** Winnowing-style robust fingerprint: min-keep over character k-gram
+    * rolling hashes — survives small edits. Small-word modular
+    * arithmetic throughout, so an external SQL oracle recomputes it
+    * exactly (see the text_fingerprint_robust oracle). */
   def robustFingerprint(text: Column, k: Int = 8, keep: Int = 4): Column =
     graft.functions.RollingFingerprint(
       lower(regexp_replace(trim(text), "\\s+", " ")), k, keep)
