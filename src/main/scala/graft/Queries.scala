@@ -224,6 +224,37 @@ object Queries {
       CAST(length(text) AS STRING) AS len, CAST(n_chars + 10 AS STRING) AS plus10
       FROM documents ORDER BY doc_id"""))
 
+  /** Template HOFs $(map)/$(filter)/$(iterate) — tf-map.c / tf-filter.c /
+    * tf-iterate.c (registered basic-funcs.c:138-140): comma-lists in and
+    * out, element bound as $_, filter takes a filter expression. */
+  private val templateHofs = Q("template_hofs",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("list", concat_ws(",",
+          col("event_id") % 5, col("event_id") % 7, col("event_id") % 11))
+        .withColumn("start", (col("event_id") % 3).cast("string"))
+      val cols = Seq("event_id", "list", "start")
+      ev.select(col("event_id"),
+          Template.column("$(map \"$(+ 1 $_)\" $list)", cols).as("mapped"),
+          Template.column("$(filter ('$_' < '5') $list)", cols).as("filtered"),
+          Template.column("$(iterate \"$(+ 2 $_)\" $start 3)", cols).as("iterated"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH base AS (
+        SELECT event_id,
+          CAST(event_id % 5 AS VARCHAR) || ',' || CAST(event_id % 7 AS VARCHAR)
+            || ',' || CAST(event_id % 11 AS VARCHAR) AS lst,
+          event_id % 3 AS st
+        FROM events)
+      SELECT event_id,
+        array_to_string(list_transform(string_split(lst, ','),
+          x -> CAST(CAST(x AS BIGINT) + 1 AS VARCHAR)), ',') AS mapped,
+        array_to_string(list_filter(string_split(lst, ','),
+          x -> CAST(x AS BIGINT) < 5), ',') AS filtered,
+        CAST(st AS VARCHAR) || ',' || CAST(st + 2 AS VARCHAR) || ',' ||
+          CAST(st + 4 AS VARCHAR) AS iterated
+      FROM base ORDER BY event_id"""))
+
   // ---------------------------------------------------------------------
   // Syslog parsing (SURVEY §2.2): construct lines from events, parse back,
   // verify against independently-computed fields
@@ -1192,7 +1223,7 @@ object Queries {
   val all: Seq[Q] = Seq(aggStats, filterSeverity, enrichLookup,
     filterMatch, filterNetmask, filterNetmask6, filterInList,
     rewriteSubst, rewriteSetTag,
-    templateFormat, templateFuncs,
+    templateFormat, templateFuncs, templateHofs,
     parseSyslogRfc3164, parseSyslogRfc5424,
     routeJunction, patterndbClassify, appParserQ, enrichRange, enrichGlob,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,

@@ -106,19 +106,29 @@ object ConfigCompiler {
   }
 
   // ---- filters --------------------------------------------------------------
-  private[config] def filterCol(cfg: Config, e: FilterExpr): Column = e match {
-    case FAnd(l, r) => filterCol(cfg, l) && filterCol(cfg, r)
-    case FOr(l, r) => filterCol(cfg, l) || filterCol(cfg, r)
-    case FNot(x) => !filterCol(cfg, x)
-    case FCmp(lhs, op, rhs) =>
-      Filters.strCmp(templateCol(lhs), cmpOp(op), templateCol(rhs))
-    case FCall(Stmt("filter", Seq(Lit(name)))) => filterCol(cfg, cfg.filters(name).expr)
-    case FCall(Stmt(name, args)) => primitive(name, args)
-  }
+  private[config] def filterCol(cfg: Config, e: FilterExpr): Column =
+    filterColTemplated(e, templateCol,
+      name => filterCol(cfg, cfg.filters(name).expr))
 
-  private def cmpOp(op: String): String = op match {
-    case "==" => "eq"; case "!=" => "ne"
-    case "<" => "lt"; case ">" => "gt"; case "<=" => "le"; case ">=" => "ge"
+  /** Filter-expr compile with a pluggable template compiler — the same
+    * grammar backs config `filter {}` blocks and template-level
+    * `$(filter)` / `$(if)` conditions (which bind `$_`). */
+  private[graft] def filterColTemplated(e: FilterExpr,
+      tcol: String => Column,
+      named: String => Column = n => throw new IllegalArgumentException(
+        s"named filter $n not available in this context")): Column = e match {
+    case FAnd(l, r) => filterColTemplated(l, tcol, named) && filterColTemplated(r, tcol, named)
+    case FOr(l, r) => filterColTemplated(l, tcol, named) || filterColTemplated(r, tcol, named)
+    case FNot(x) => !filterColTemplated(x, tcol, named)
+    case FCmp(lhs, op, rhs) =>
+      // symbolic ops = numeric family (atoi both sides, filter-cmp.c:46-60);
+      // word ops (eq/lt/...) = byte-wise string compare
+      if (ConfigParser.wordCmpOps(op))
+        Filters.strCmp(tcol(lhs), op, tcol(rhs))
+      else
+        Filters.numCmp(Filters.atoi(tcol(lhs)), op, Filters.atoi(tcol(rhs)))
+    case FCall(Stmt("filter", Seq(Lit(name)))) => named(name)
+    case FCall(Stmt(name, args)) => primitive(name, args)
   }
 
   private def lits(args: Seq[Arg]): Seq[String] = args.collect { case Lit(v) => v }

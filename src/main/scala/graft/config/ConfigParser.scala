@@ -110,6 +110,15 @@ object ConfigParser {
 
   def parse(src: String): Config = new P(lex(src)).config()
 
+  private[graft] val wordCmpOps = Set("eq", "ne", "lt", "gt", "le", "ge")
+
+  /** Parse one bare filter expression (the form template-level `$(filter
+    * cond list)` / `$(if (cond) a b)` conditions take —
+    * `modules/basicfuncs/cond-funcs.c:148-177` compiles its argument with
+    * the same filter-expr grammar). */
+  def parseFilterExpr(src: String): FilterExpr =
+    new P(lex(src)).standaloneFilter()
+
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
     private def peek: Tok = if (pos < toks.length) toks(pos) else Tok("eof", "", -1)
@@ -206,14 +215,30 @@ object ConfigParser {
       else if (accept("(")) {
         val e = filterExpr(); expect(")"); e
       }
-      else if (peek.kind == "str" || peek.text.startsWith("$")) {
-        // "$TEMPLATE" op "value" comparison (filter-cmp.c)
+      else if (peek.kind == "str" || peek.kind == "num" || peek.text.startsWith("$")) {
+        // "$TEMPLATE" op "value" comparison (filter-cmp.c). Symbolic ops
+        // (== < ...) are the NUMERIC family (KW_NUM_*, atoi compare);
+        // the word forms (eq lt ...) are byte-wise string compares
+        // (filter-expr-parser.c:37-49).
         val lhs = next().text
-        val op = expect("op").text
+        val opTok = next()
+        val op = opTok.kind match {
+          case "op" => opTok.text
+          case "word" if ConfigParser.wordCmpOps(opTok.text) => opTok.text
+          case k => throw new ParseError(s"expected comparison op, got $k:'${opTok.text}'")
+        }
         val rhs = next().text
         FCmp(lhs, op, rhs)
       }
       else FCall(stmt())
+    }
+
+    /** Entry for standalone filter expressions (template $(filter)/$(if)). */
+    def standaloneFilter(): FilterExpr = {
+      val e = filterExpr()
+      if (peek.kind != "eof") throw new ParseError(
+        s"trailing input after filter expression: '${peek.text}'")
+      e
     }
 
     private def logPath(): Seq[LogElem] = {

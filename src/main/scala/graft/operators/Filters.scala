@@ -84,6 +84,14 @@ object Filters {
   def inListJoin(df: DataFrame, keys: DataFrame, value: Column): DataFrame =
     df.join(broadcast(keys), value === keys.col(keys.columns.head), "left_semi")
 
+  /** atoi semantics for the numeric comparison family
+    * (`filter-cmp.c:46-60`): leading optional-sign integer prefix, 0 when
+    * no digits — NOT an ANSI cast (which would null out garbage). */
+  def atoi(c: Column): Column = {
+    val digits = regexp_extract(c.cast("string"), "^\\s*([+-]?[0-9]+)", 1)
+    when(digits === "", lit(0L)).otherwise(digits.cast("long"))
+  }
+
   /** Numeric comparison family (`lib/filter/filter-cmp.c:116-153`,
     * `KW_NUM_*`): cast both sides before comparing. */
   def numCmp(a: Column, op: String, b: Column): Column = {

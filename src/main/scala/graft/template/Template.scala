@@ -20,7 +20,10 @@ object Template {
   sealed trait Node
   final case class Lit(text: String) extends Node
   final case class Ref(name: String, default: Option[Parsed]) extends Node
-  final case class Func(name: String, args: Seq[Parsed]) extends Node
+  /** `rawArgs` keeps the unquoted argument text — the HOFs ($(map),
+    * $(filter), $(iterate), filter-expression $(if)) re-compile it lazily
+    * with `$_` bound or through the filter-expr grammar. */
+  final case class Func(name: String, args: Seq[Parsed], rawArgs: Seq[String]) extends Node
   final case class Parsed(nodes: Seq[Node])
 
   // ---- parser ------------------------------------------------------------
@@ -49,9 +52,10 @@ object Template {
           flushLit()
           val close = findClose(s, i + 1, '(', ')')
           val inner = s.substring(i + 2, close)
-          val parts = splitArgs(inner)
+          val parts = splitArgs2(inner)
           require(parts.nonEmpty, s"empty template function in: $s")
-          nodes += Func(parts.head, parts.tail.map(parse))
+          nodes += Func(parts.head._1, parts.tail.map(p => parse(p._1)),
+            parts.tail.map(_._2))
           i = close + 1
         } else if (n.isLetterOrDigit || n == '_' || n == '.') {
           flushLit()
@@ -84,27 +88,33 @@ object Template {
   }
 
   /** Split `$(fn a "b c" $(g x))` args on spaces, honoring quotes and
-    * nested parens. Quotes are stripped; their content is still a
-    * template. */
-  private[template] def splitArgs(s: String): Seq[String] = {
-    val out = Vector.newBuilder[String]
+    * nested parens. Returns (stripped, original) per arg: `stripped` has
+    * the delimiting quotes removed (still a template); `original` keeps
+    * them verbatim so filter-expression arguments can be re-lexed with
+    * string operands intact. */
+  private[template] def splitArgs2(s: String): Seq[(String, String)] = {
+    val out = Vector.newBuilder[(String, String)]
     val cur = new StringBuilder
+    val raw = new StringBuilder
     var i = 0
     var depth = 0
     var quote: Char = 0
-    def flush(): Unit = if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+    def flush(): Unit =
+      if (raw.nonEmpty) { out += ((cur.toString, raw.toString)); cur.clear(); raw.clear() }
     while (i < s.length) {
       val c = s.charAt(i)
       if (quote != 0) {
-        if (c == quote) quote = 0
-        else if (c == '\\' && i + 1 < s.length) { cur.append(s.charAt(i + 1)); i += 1 }
-        else cur.append(c)
+        if (c == quote) { quote = 0; raw.append(c) }
+        else if (c == '\\' && i + 1 < s.length) {
+          cur.append(s.charAt(i + 1)); raw.append(c).append(s.charAt(i + 1)); i += 1
+        }
+        else { cur.append(c); raw.append(c) }
       } else c match {
-        case '"' | '\'' => quote = c
-        case '(' => depth += 1; cur.append(c)
-        case ')' => depth -= 1; cur.append(c)
+        case '"' | '\'' => quote = c; raw.append(c)
+        case '(' => depth += 1; cur.append(c); raw.append(c)
+        case ')' => depth -= 1; cur.append(c); raw.append(c)
         case ' ' if depth == 0 => flush()
-        case _ => cur.append(c)
+        case _ => cur.append(c); raw.append(c)
       }
       i += 1
     }
@@ -112,10 +122,22 @@ object Template {
     out.result()
   }
 
+  private[template] def splitArgs(s: String): Seq[String] = splitArgs2(s).map(_._1)
+
   // ---- compiler ----------------------------------------------------------
   /** Compile to a single string Column. `resolve` maps a macro/field name
     * to its Column (see [[Macros.resolver]]). */
   def compile(t: Parsed, resolve: String => Column): Column = {
+    // binds $_ to the HOF lambda element on top of the outer resolver
+    // (tf-map.c sets context_id to the current element the same way)
+    def bindElem(e: Column): String => Column =
+      name => if (name == "_") e else resolve(name)
+    // a filter-expression condition argument compiled against `res`
+    def condCol(raw: String, res: String => Column): Column =
+      graft.config.ConfigCompiler.filterColTemplated(
+        graft.config.ConfigParser.parseFilterExpr(raw),
+        s => compile(parse(s), res))
+
     def nodeCol(n: Node): Column = n match {
       case Lit(s) => lit(s)
       case Ref(name, None) =>
@@ -123,7 +145,45 @@ object Template {
       case Ref(name, Some(d)) =>
         val v = coalesce(resolve(name).cast("string"), lit(""))
         when(v === "", compile(d, resolve)).otherwise(v)
-      case Func(name, args) =>
+
+      // ---- higher-order functions (tf-map.c / tf-filter.c / tf-iterate.c,
+      // registered basic-funcs.c:138-140). Comma-lists in and out; the
+      // element is $_ inside the template / condition argument.
+      case Func("map", args, _) =>
+        require(args.size == 2, "usage: $(map template list)")
+        val listC = compile(args(1), resolve).cast("string")
+        val mapped = transform(split(listC, ","),
+          e => compile(args(0), bindElem(e)).cast("string"))
+        when(listC === "", lit("")).otherwise(array_join(mapped, ","))
+      case Func("filter", args, raw) =>
+        require(args.size == 2, "usage: $(filter condition list)")
+        val listC = compile(args(1), resolve).cast("string")
+        val kept = filter(split(listC, ","), e => condCol(raw.head, bindElem(e)))
+        when(listC === "", lit("")).otherwise(array_join(kept, ","))
+      case Func("iterate", args, _) =>
+        // The reference form is per-message mutable state (tf-iterate.c
+        // keeps `current` across invocations) — inherently sequential.
+        // The batch reinterpretation: $(iterate template init count)
+        // emits the first `count` iterates as a comma-list.
+        require(args.size == 3, "usage: $(iterate template init count)")
+        val init = compile(args(1), resolve).cast("string")
+        val n = compile(args(2), resolve).cast("int")
+        val stepped = aggregate(
+          sequence(lit(2), greatest(n, lit(2))), array(init),
+          (acc, _) => concat(acc,
+            array(compile(args(0), bindElem(element_at(acc, -1))).cast("string"))),
+          acc => array_join(acc, ","))
+        when(n <= 0, lit("")).when(n === 1, init).otherwise(stepped)
+
+      // $(if cond a b) with a filter-expression condition
+      // (cond-funcs.c:148-177 compiles argv[1] with the filter grammar)
+      case Func("if", args, raw) if raw.headOption.exists(_.trim.startsWith("(")) =>
+        require(args.size == 3, "usage: $(if (condition) a b)")
+        when(condCol(raw.head, resolve),
+          compile(args(1), resolve).cast("string"))
+          .otherwise(compile(args(2), resolve).cast("string"))
+
+      case Func(name, args, _) =>
         val f = TemplateFunctions.registry.getOrElse(name,
           throw new IllegalArgumentException(s"unknown template function $$($name)"))
         val targs = args.map { a =>

@@ -123,12 +123,24 @@ class ConfigSpec extends GraftSuite {
   }
 
   test("inline filter comparison and severity range") {
+    // word-form `eq` = string compare; symbolic `==` is the NUMERIC
+    // family (atoi both sides) per filter-expr-parser.c:37-49
     val cfg = ConfigParser.parse("""
       source s { file("/x"); };
       destination d { file("/out"); };
-      log { source(s); filter("$PROGRAM" == "kernel"); destination(d); };
+      log { source(s); filter("$PROGRAM" eq "kernel"); destination(d); };
     """)
     val out = ConfigCompiler.compile(cfg, Map("s" -> logs)).head.df
     assert(out.select("message").head.getString(0).contains("oom"))
+  }
+
+  test("symbolic comparison is numeric with atoi semantics") {
+    val cfg = ConfigParser.parse("""
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      log { source(s); filter("$LEVEL_NUM" <= "4"); destination(d); };
+    """)
+    val out = ConfigCompiler.compile(cfg, Map("s" -> logs)).head.df
+    assert(out.select("severity").collect().forall(_.getInt(0) <= 4))
   }
 }

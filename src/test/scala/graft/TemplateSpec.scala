@@ -102,6 +102,49 @@ class TemplateSpec extends GraftSuite {
     assert(render("$(dirname /var/log/syslog)") == Seq.fill(2)("/var/log"))
   }
 
+  test("higher-order $(map): reference test_basicfuncs.c fixtures") {
+    assert(render("Some prefix $(map \"$(+ 1 $_)\" 0,1,2)") ==
+      Seq("Some prefix 1,2,3", "Some prefix 1,2,3"))
+    assert(render("Some prefix $(map \"$(+ 1 $_)\" $(+ 1 1))") ==
+      Seq("Some prefix 3", "Some prefix 3"))
+    assert(render("Some prefix $(map \"$(+ 1 $_)\" '')") ==
+      Seq("Some prefix ", "Some prefix "))
+    // embedded map
+    assert(render("$(map $(+ 1 $_) $(map $(+ 1 $_) 0,1,2))") ==
+      Seq("2,3,4", "2,3,4"))
+    // template condition inside the mapped template
+    assert(render("$(map \"$(if ('$_' eq '1') 'same' 'different')\" 0,1,2)") ==
+      Seq("different,same,different", "different,same,different"))
+    assert(render("$(map \"$(if ('$_' le '1') 'smaller' 'larger')\" 0,1,2)") ==
+      Seq("smaller,smaller,larger", "smaller,smaller,larger"))
+  }
+
+  test("higher-order $(filter): filter-expression conditions over lists") {
+    assert(render("Some prefix $(filter ('1' eq '1') 0,1,2)") ==
+      Seq("Some prefix 0,1,2", "Some prefix 0,1,2"))
+    assert(render("$(filter ('$_' le '1') 0,1,2)") == Seq("0,1", "0,1"))
+    assert(render("$(filter ('$(% $_ 2)' eq '0') 0,1,2,3)") == Seq("0,2", "0,2"))
+    assert(render("Something $(filter ('$_' eq '0') '')") ==
+      Seq("Something ", "Something "))
+    // message() primitive as the condition, like the reference fixtures
+    assert(render("$(filter (message('login')) keep,me)") == Seq("keep,me", ""))
+  }
+
+  test("higher-order $(iterate): batch form emits the first N iterates") {
+    assert(render("$(iterate \"$(+ 2 $_)\" 0 4)") == Seq("0,2,4,6", "0,2,4,6"))
+    assert(render("$(iterate \"$(+ 1 $_)\" 5 1)") == Seq("5", "5"))
+    assert(render("$(iterate \"$(+ 1 $_)\" 5 0)") == Seq("", ""))
+  }
+
+  test("$(if) accepts a filter expression condition") {
+    assert(render("$(if ('$PROGRAM' eq 'sshd') secure other)") ==
+      Seq("secure", "other"))
+    // symbolic < is the numeric family: $LEVEL_NUM renders the number
+    assert(render("$(if ('$LEVEL_NUM' < '5') high low)") == Seq("high", "low"))
+    assert(render("$(if (severity(emerg..err) and message('failed')) y n)") ==
+      Seq("y", "n"))
+  }
+
   test("nested functions and refs") {
     assert(render("$(uppercase $(substr $MESSAGE 0 3))") == Seq("LOG", "JOB"))
   }
