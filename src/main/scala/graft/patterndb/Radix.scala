@@ -150,7 +150,14 @@ object Radix {
         val m = java.util.regex.Pattern.compile(param).matcher(s)
         m.region(pos, n)
         if (m.lookingAt()) m.end() - pos else -1
-      case "ANYSTRING" | "NLSTRING" => n - pos
+      case "ANYSTRING" => n - pos
+      case "NLSTRING" =>
+        // up to the next LF, CR dropped; FAILS with no newline ahead
+        // (radix.c:94-109 r_parser_nlstring)
+        val nl = s.indexOf('\n', pos)
+        if (nl < 0) -1
+        else if (nl > pos && s.charAt(nl - 1) == '\r') nl - 1 - pos
+        else nl - pos
       case other =>
         throw new IllegalArgumentException(s"unknown @$other@ parser")
     }
