@@ -630,6 +630,69 @@ object Queries {
       WHERE event_id % 8 <= 3 AND NOT regexp_matches(event_type, 'logout')
       ORDER BY event_id"""))
 
+  /** Config front end driving the three stateful/enrich blocks the
+    * reference's real configs lean on: add-contextual-data() (broadcast
+    * lookup), db-parser() (patterndb XML -> RadixMatch), grouping-by()
+    * (session aggregate with where/having). */
+  private val configPipelineV2 = Q("config_pipeline_v2",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+        .withColumn("message", concat(lit("u="), col("user_id"), lit(" k="),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)))
+        .withColumn("tags", array().cast("array<string>"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_cfg_v2")
+      val csv = dir.resolve("ctx.csv")
+      java.nio.file.Files.write(csv, java.util.Arrays.asList(
+        "click,team,web", "view,team,web", "error,team,ops",
+        "purchase,team,commerce", "signup,team,auth"))
+      val pdb = dir.resolve("app.pdb")
+      java.nio.file.Files.write(pdb, java.util.Arrays.asList(
+        "<patterndb version='4' pub_date='2024-01-01'>",
+        " <ruleset name='app' id='rs1'>",
+        "  <patterns><pattern>app</pattern></patterns>",
+        "  <rules><rule provider='t' id='ev-ok' class='app'>",
+        "   <patterns><pattern>u=@NUMBER:uid@ k=@NUMBER:kv@</pattern></patterns>",
+        "  </rule></rules>",
+        " </ruleset>",
+        "</patterndb>"))
+      val conf = s"""
+        @version: 3.33
+        source s_ev { file("/var/log/events.log"); };
+        parser p_ctx { add-contextual-data(selector("$$PROGRAM"),
+          database("$csv"), prefix(".ctx.")); };
+        parser p_db { db-parser(file("$pdb")); };
+        parser p_grp { grouping-by(key("$$HOST") timeout(999999999)
+          where(severity(emerg..err))
+          aggregate(value("n" "$$(context-length)")
+                    value("kmax" "$$(max $$kv)")
+                    value("team" "$$.ctx.team"))
+          having("$$n" > "1")); };
+        destination d_out { file("/out/sessions.log"); };
+        log { source(s_ev); parser(p_ctx); parser(p_db); parser(p_grp);
+              destination(d_out); };
+      """
+      val out = graft.config.ConfigCompiler
+        .compile(graft.config.ConfigParser.parse(conf), Map("s_ev" -> ev)).head.df
+      out.select(col("key").as("host"), col("n"), col("kmax"), col("team"))
+        .orderBy(col("host"))
+    },
+    Some("""WITH ev AS (
+        SELECT 'h' || user_id AS host, event_type AS program,
+          event_id % 8 AS severity,
+          regexp_extract(props, '"k": (\d+)', 1) AS k
+        FROM events
+      ), flt AS (SELECT * FROM ev WHERE severity <= 3
+      ), agg AS (
+        SELECT host,
+          CAST(count(*) AS VARCHAR) AS n,
+          CAST(max(CASE WHEN k <> '' THEN CAST(k AS BIGINT) END) AS VARCHAR) AS kmax,
+          min(CASE program WHEN 'click' THEN 'web' WHEN 'view' THEN 'web'
+            WHEN 'error' THEN 'ops' WHEN 'purchase' THEN 'commerce'
+            WHEN 'signup' THEN 'auth' END) AS team
+        FROM flt GROUP BY host)
+      SELECT host, n, kmax, team FROM agg
+      WHERE CAST(n AS BIGINT) > 1 ORDER BY host"""))
+
   // ---------------------------------------------------------------------
   // value-pairs + structured output formatters (SURVEY §2.8)
   // ---------------------------------------------------------------------
@@ -1228,7 +1291,7 @@ object Queries {
     routeJunction, patterndbClassify, appParserQ, enrichRange, enrichGlob,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
     parseJsonNested, parseXml, parseDate, parseTagsRekey,
-    configPipeline, formatJsonQ, formatWelfCef, vpRekey,
+    configPipeline, configPipelineV2, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
     dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
     annBruteForce, annLsh, annIvf,

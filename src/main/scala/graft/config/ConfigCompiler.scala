@@ -206,8 +206,114 @@ object ConfigCompiler {
         }
       case "tags-parser" =>
         df => df.withColumn("tags", Parsers.tagsParse(input))
+
+      case "add-contextual-data" =>
+        // add-contextual-data(selector("$T"), database("f.csv"),
+        // prefix(...), default-selector(...)) — broadcast lookup join
+        val dbPath = kvOf(s.args, "database").getOrElse(
+          throw new IllegalArgumentException("add-contextual-data needs database()"))
+        val sel = kvOf(s.args, "selector").getOrElse(
+          throw new IllegalArgumentException("add-contextual-data needs selector()"))
+        val prefix = kvOf(s.args, "prefix").getOrElse("")
+        val dflt = kvOf(s.args, "default-selector")
+        df => {
+          val db = df.sparkSession.read
+            .schema("selector string, name string, value string").csv(dbPath)
+          graft.operators.Enrich.addContextualData(df, db,
+            Template.column(sel, df.columns.toSeq), prefix, dflt)
+        }
+
+      case "db-parser" =>
+        // db-parser(file("x.pdb")) — patterndb XML compiled into the
+        // codegen'd RadixMatch automaton; captures land in `values`
+        // with the reference's .classifier.* entries alongside
+        val path = kvOf(s.args, "file").getOrElse(
+          throw new IllegalArgumentException("db-parser needs file()"))
+        val rules = graft.patterndb.PdbLoader.radixRules(
+          graft.patterndb.PdbLoader.loadFile(path))
+        df => {
+          val d2 = df.withColumn("__r", graft.functions.RadixMatch(input, rules))
+          val add = map_concat(col("__r.captures"),
+            map(lit(".classifier.class"), col("__r.rule_class"),
+              lit(".classifier.rule_id"), coalesce(col("__r.rule_id"), lit(""))))
+          d2.withColumn("values", mergedValues(d2, add)).drop("__r")
+        }
+
+      case "grouping-by" =>
+        // grouping-by(key() timeout() where() aggregate(value(n t)...)
+        // having(...)) — groupingby.c:35-51 — sessionize per key with the
+        // timeout gap, aggregate-value templates become Spark aggregates
+        val keyT = kvOf(s.args, "key").getOrElse(
+          throw new IllegalArgumentException("grouping-by needs key()"))
+        val timeout = kvOf(s.args, "timeout").map(_.toInt).getOrElse(60)
+        val aggSpecs = s.args.collectFirst { case KV("aggregate", vs) =>
+          vs.collect { case KV("value", as) =>
+            val l = lits(as); (l.head, l(1)) }
+        }.getOrElse(Seq(("n", "$(context-length)")))
+        val whereCol = s.args.collectFirst {
+          case KV("where", Seq(kv: KV)) => primitive(kv.key, kv.args)
+          case KV("where", Seq(FilterArg(e))) =>
+            filterColTemplated(e, t => templateCol(t))
+        }.getOrElse(lit(true))
+        val havingExpr = s.args.collectFirst { case KV("having", Seq(FilterArg(e))) => e }
+        df => {
+          val resolve = graft.template.Macros.resolver(df.columns.toSet)
+          val aggs = aggSpecs.map { case (name, t) =>
+            aggTemplate(t, resolve).as(name) }
+          val out = graft.operators.Sessions.groupingBy(df,
+            Template.column(keyT, df.columns.toSeq), col("ts"), timeout,
+            aggs, whereCol)
+          havingExpr match {
+            case None => out
+            case Some(e) => out.filter(filterColTemplated(e,
+              t => Template.compile(Template.parse(t),
+                graft.template.Macros.resolver(out.columns.toSet))))
+          }
+        }
+
       case other => throw new IllegalArgumentException(s"unsupported parser: $other")
     }
+  }
+
+  /** Compile an aggregate-value template (grouping-by aggregate(value())):
+    * context functions become Spark aggregates — $(context-length) →
+    * count, $(sum/min/max/average $x) → the numeric aggs; field refs
+    * become min(field) (a deterministic representative); literal text
+    * concatenates. Everything egresses as string (reference values are
+    * strings). */
+  private def aggTemplate(t: String, resolve: String => Column): Column = {
+    import graft.template.Template.{Func, Lit => TLit, Parsed, Ref}
+    def guardNum(c: Column): Column = {
+      val s = c.cast("string")
+      when(s.rlike("^-?[0-9]+$"), s.cast("long"))
+    }
+    def nodeAgg(n: graft.template.Template.Node): Column = n match {
+      case TLit(s) => lit(s)
+      case Ref(name, _) => min(resolve(name)).cast("string")
+      case Func("context-length", _, _) => count(lit(1)).cast("string")
+      case Func("sum", args, _) => sum(guardNum(argCol(args))).cast("string")
+      case Func("min", args, _) => min(guardNum(argCol(args))).cast("string")
+      case Func("max", args, _) => max(guardNum(argCol(args))).cast("string")
+      case Func("average", args, _) =>
+        avg(guardNum(argCol(args))).cast("long").cast("string")
+      case Func(name, _, _) => throw new IllegalArgumentException(
+        s"unsupported aggregate template function $$($name)")
+    }
+    def argCol(args: Seq[Parsed]): Column =
+      Template.compile(args.head, resolve)
+    graft.template.Template.parse(t).nodes match {
+      case Seq(one) => nodeAgg(one)
+      case many => concat(many.map(nodeAgg): _*)
+    }
+  }
+
+  /** Merge `add` into the values map, new keys win (set-value
+    * semantics; also keeps map_concat safe under ANSI key dedup). */
+  private def mergedValues(df: DataFrame, add: Column): Column = {
+    val addM = coalesce(add, map().cast("map<string,string>"))
+    map_concat(
+      map_filter(mapOrEmpty(df), (k, _) => !array_contains(map_keys(addM), k)),
+      addM)
   }
 
   private def mapOrEmpty(df: DataFrame): Column =

@@ -188,7 +188,14 @@ object ConfigParser {
       while (!accept(")")) {
         accept(",")
         peek.kind match {
-          case "str" | "num" => args += Lit(next().text)
+          case "str" | "num" =>
+            val t = next()
+            // comparison argument: having("$n" > "2") — a bare FCmp
+            if (peek.kind == "op" ||
+                (peek.kind == "word" && ConfigParser.wordCmpOps(peek.text))) {
+              val op = next().text
+              args += FilterArg(FCmp(t.text, op, next().text))
+            } else args += Lit(t.text)
           case "word" =>
             val w = next().text
             if (peek.kind == "(") args += KV(w, argList())
