@@ -55,4 +55,16 @@ object Sources {
     * continuation lines start with whitespace. */
   def indentedMultilineRecords(spark: SparkSession, glob: String): DataFrame =
     multilineRecords(spark, glob, "[^\\s]")
+
+  /** RFC6587 octet-counted framing (`logproto-framed-server.c`): whole
+    * payload files (the shape TCP relay capture or a Kafka value takes)
+    * split into `NNN <bytes>` frames — see
+    * [[graft.functions.FramedRecords]] for the edge semantics. */
+  def framedRecords(spark: SparkSession, glob: String,
+      maxMsgSize: Int = 65536, trimLargeMessages: Boolean = true): DataFrame =
+    spark.read.option("wholetext", "true").text(glob)
+      .withColumn("source_file", input_file_name())
+      .select(col("source_file"),
+        explode(graft.functions.FramedRecords(col("value"), maxMsgSize,
+          trimLargeMessages)).as("record"))
 }
