@@ -35,12 +35,26 @@ object Macros {
     case "SEC" => Some(date_format(ts, "ss"))
     case "MSEC" => Some(date_format(ts, "SSS"))
     case "USEC" => Some(date_format(ts, "SSSSSS"))
-    case "WEEK" => Some(lpad(weekofyear(ts).cast("string"), 2, "0"))
+    case "WEEK" =>
+      // macros.c:338: Monday-started weeks counted from Jan 1; the week
+      // holding Jan 1 is week 00 when partial. NOT ISO 8601 — that is
+      // $ISOWEEK. The two differ every January (a $YEAR$WEEK-partitioned
+      // path written with ISO weeks lands December data in week 52/53).
+      val yday = dayofyear(ts) - 1
+      val sinceMonday = (dayofweek(ts) + lit(5)) % 7
+      Some(lpad(((yday - sinceMonday + 7) / 7).cast("int").cast("string"), 2, "0"))
     case "ISOWEEK" => Some(lpad(weekofyear(ts).cast("string"), 2, "0"))
+    case "MONTH_WEEK" =>
+      // macros.c:352-355: Sunday-started week-of-month, Jan 1 partial = 0
+      val mday = dayofmonth(ts)
+      val wday = dayofweek(ts) - 1
+      Some(((mday / 7).cast("int") +
+        when(wday > 0 && (mday % 7) >= wday, 1).otherwise(0)).cast("string"))
+    case "YEAR_DAY" => Some(lpad(dayofyear(ts).cast("string"), 3, "0"))
     case "WEEK_DAY" => Some(dayofweek(ts).cast("string")) // 1=Sunday, like reference
-    case "WEEK_DAY_NAME" => Some(date_format(ts, "EEE"))
-    case "WEEK_DAY_ABBREV" => Some(date_format(ts, "EEE"))
-    case "MONTH_NAME" => Some(date_format(ts, "MMM"))
+    case "WEEK_DAY_NAME" => Some(date_format(ts, "EEEE"))
+    case "WEEKDAY" | "WEEK_DAY_ABBREV" => Some(date_format(ts, "EEE"))
+    case "MONTH_NAME" => Some(date_format(ts, "MMMM"))
     case "MONTH_ABBREV" => Some(date_format(ts, "MMM"))
     case "UNIXTIME" => Some(unix_timestamp(ts).cast("string"))
     case "ISODATE" => Some(date_format(ts, "yyyy-MM-dd'T'HH:mm:ssxxx"))

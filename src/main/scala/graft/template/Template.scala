@@ -132,11 +132,28 @@ object Template {
     // (tf-map.c sets context_id to the current element the same way)
     def bindElem(e: Column): String => Column =
       name => if (name == "_") e else resolve(name)
-    // a filter-expression condition argument compiled against `res`
-    def condCol(raw: String, res: String => Column): Column =
-      graft.config.ConfigCompiler.filterColTemplated(
-        graft.config.ConfigParser.parseFilterExpr(raw),
-        s => compile(parse(s), res))
+    // a filter-expression condition argument compiled against `res`.
+    // The whole condition may arrive quoted ($(if '"$X" eq "y"' a b) —
+    // the reference passes argv[1] to the filter grammar after its own
+    // unquoting), so retry with the outer quotes stripped.
+    def condCol(raw: String, res: String => Column): Column = {
+      def once(text: String): Column =
+        graft.config.ConfigCompiler.filterColTemplated(
+          graft.config.ConfigParser.parseFilterExpr(text),
+          s => compile(parse(s), res))
+      val t = raw.trim
+      val stripped =
+        if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
+          Some(t.substring(1, t.length - 1))
+        else None
+      try once(t)
+      catch {
+        case e: Exception => stripped match {
+          case Some(s) => once(s)
+          case None => throw e
+        }
+      }
+    }
 
     def nodeCol(n: Node): Column = n match {
       case Lit(s) => lit(s)
@@ -175,13 +192,25 @@ object Template {
           acc => array_join(acc, ","))
         when(n <= 0, lit("")).when(n === 1, init).otherwise(stepped)
 
-      // $(if cond a b) with a filter-expression condition
-      // (cond-funcs.c:148-177 compiles argv[1] with the filter grammar)
-      case Func("if", args, raw) if raw.headOption.exists(_.trim.startsWith("(")) =>
-        require(args.size == 3, "usage: $(if (condition) a b)")
-        when(condCol(raw.head, resolve),
-          compile(args(1), resolve).cast("string"))
-          .otherwise(compile(args(2), resolve).cast("string"))
+      // $(if cond a b): the reference compiles the condition with the
+      // filter-expr grammar (cond-funcs.c:148-177) — both the
+      // parenthesized and the quoted '"$X" eq "y"' forms. Conditions
+      // that don't parse/compile as filter expressions fall back to the
+      // evaluated-truth-string form ("true"/"1"/"yes").
+      case Func("if", args, raw) if args.size == 3 =>
+        val cond =
+          try Some(condCol(raw.head, resolve))
+          catch { case _: Exception => None }
+        cond match {
+          case Some(c) =>
+            when(c, compile(args(1), resolve).cast("string"))
+              .otherwise(compile(args(2), resolve).cast("string"))
+          case None =>
+            val c = compile(args(0), resolve)
+            when(c === "true" || c === "1" || c === "yes",
+              compile(args(1), resolve).cast("string"))
+              .otherwise(compile(args(2), resolve).cast("string"))
+        }
 
       case Func(name, args, _) =>
         val f = TemplateFunctions.registry.getOrElse(name,

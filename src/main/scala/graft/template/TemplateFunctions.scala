@@ -58,7 +58,32 @@ object TemplateFunctions {
       }
     },
     "strip" -> (args => trim(args.head.col)),
-    "sanitize" -> (args => translate(args.head.col, "/", "_")),
+    // $(sanitize [-c|-C] [-i chars] [-r repl] args...) — str-funcs.c:209-284:
+    // control chars (<0x20, default on) and invalid chars (default "/")
+    // become the replacement char (default '_'); args join with '/'
+    "sanitize" -> { args =>
+      var ctrl = true
+      var invalid = "/"
+      var repl = "_"
+      val rest = scala.collection.mutable.ArrayBuffer.empty[TArg]
+      var i = 0
+      while (i < args.length) {
+        args(i).literal match {
+          case Some("-c") | Some("--ctrl-chars") => ctrl = true
+          case Some("-C") | Some("--no-ctrl-chars") => ctrl = false
+          case Some("-i") | Some("--invalid-chars") =>
+            invalid = args(i + 1).lit("sanitize"); i += 1
+          case Some("-r") | Some("--replacement") =>
+            repl = args(i + 1).lit("sanitize"); i += 1
+          case _ => rest += args(i)
+        }
+        i += 1
+      }
+      val cls = "[" + java.util.regex.Pattern.quote(invalid) +
+        (if (ctrl) "\\x00-\\x1f" else "") + "]"
+      val r = java.util.regex.Matcher.quoteReplacement(repl.take(1))
+      concat_ws("/", rest.toSeq.map(a => regexp_replace(a.col, cls, r)): _*)
+    },
     "lowercase" -> (args => lower(args.head.col)),
     "uppercase" -> (args => upper(args.head.col)),
     "replace-delimiter" -> { args =>

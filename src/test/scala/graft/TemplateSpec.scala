@@ -145,6 +145,60 @@ class TemplateSpec extends GraftSuite {
       Seq("y", "n"))
   }
 
+  private def renderAt(ts: String, t: String): String = {
+    val df = Seq(1).toDF("x").withColumn("ts", to_timestamp(lit(ts)))
+    df.select(Template.column(t, Seq("ts")).as("out")).head.getString(0)
+  }
+
+  test("date-part macro golden battery (lib/template/tests/test_template.c:161-182)") {
+    val ts = "2006-02-11 10:34:56"
+    assert(renderAt(ts, "$YEAR") == "2006")
+    assert(renderAt(ts, "$YEAR_DAY") == "042")
+    assert(renderAt(ts, "$MONTH") == "02")
+    assert(renderAt(ts, "$MONTH_WEEK") == "1")
+    assert(renderAt(ts, "$MONTH_ABBREV") == "Feb")
+    assert(renderAt(ts, "$MONTH_NAME") == "February")
+    assert(renderAt(ts, "$DAY") == "11")
+    assert(renderAt(ts, "$WEEK") == "06")
+    assert(renderAt(ts, "$WEEK_DAY") == "7")
+    assert(renderAt(ts, "$WEEK_DAY_NAME") == "Saturday")
+    assert(renderAt(ts, "$WEEK_DAY_ABBREV") == "Sat")
+    assert(renderAt(ts, "$WEEKDAY") == "Sat")
+  }
+
+  test("WEEK counts Monday-weeks from Jan 1 (macros.c:338); ISOWEEK is ISO 8601") {
+    // Jan 1 2022 is a Saturday: week-of-year 00, but ISO week 52 of 2021 —
+    // the January divergence that breaks $YEAR$WEEK-partitioned paths
+    assert(renderAt("2022-01-01 00:00:00", "$WEEK") == "00")
+    assert(renderAt("2022-01-01 00:00:00", "$ISOWEEK") == "52")
+    // Jan 3 opens week 01, Jan 10 week 02 ((yday - daysSinceMonday + 7)/7)
+    assert(renderAt("2022-01-10 00:00:00", "$WEEK") == "02")
+    assert(renderAt("2022-01-10 00:00:00", "$ISOWEEK") == "02")
+  }
+
+  test("$(sanitize) option flags (test_basicfuncs.c:221-228)") {
+    assert(render("$(sanitize alma/bela)") == Seq("alma_bela", "alma_bela"))
+    assert(render("$(sanitize -r @ alma/bela)") == Seq("alma@bela", "alma@bela"))
+    assert(render("$(sanitize -i @ alma@bela)") == Seq("alma_bela", "alma_bela"))
+    assert(render("$(sanitize -i '@/l ' alma@/bela)") == Seq("a_ma__be_a", "a_ma__be_a"))
+    assert(render("$(sanitize alma_bela)") == Seq("alma__bela", "alma__bela"))
+    assert(render("$(sanitize -C alma_bela)") == Seq("alma_bela", "alma_bela"))
+    assert(render("$(sanitize $HOST $PROGRAM)") == Seq("h1/sshd", "h2/cron"))
+  }
+
+  test("$(if) quoted filter-expression form (test_basicfuncs.c:144-156)") {
+    assert(render("$(if '\"$FACILITY_NUM\" == \"4\"' alma korte)") ==
+      Seq("alma", "korte"))
+    assert(render("$(if '\"$FACILITY_NUM\" >= \"4\"' alma korte)") ==
+      Seq("alma", "alma"))
+    assert(render("$(if '\"$PROGRAM\" eq \"cron\"' alma korte)") ==
+      Seq("korte", "alma"))
+    assert(render("$(if '\"$FACILITY_NUM\" >= \"4\" and \"kicsi\" eq \"nagy\"' alma korte)") ==
+      Seq("korte", "korte"))
+    assert(render("$(if '\"$FACILITY_NUM\" >= \"4\" or \"kicsi\" eq \"nagy\"' alma korte)") ==
+      Seq("alma", "alma"))
+  }
+
   test("nested functions and refs") {
     assert(render("$(uppercase $(substr $MESSAGE 0 3))") == Seq("LOG", "JOB"))
   }
