@@ -153,8 +153,15 @@ object ConfigCompiler {
     case "netmask6" => Filters.netmask6(lits(args).head, col("srcip"))
     case "tags" => Filters.tags(lits(args): _*)
     case "in-list" =>
-      Filters.inList(lits(args).tail, valueCol(
-        args.collectFirst { case KV("value", vs) => lits(vs).head }.getOrElse("MESSAGE")))
+      val target = valueCol(
+        args.collectFirst { case KV("value", vs) => lits(vs).head }.getOrElse("MESSAGE"))
+      val keys = lits(args)
+      // documented form: in-list("/path/to/file", value($f)) loads one
+      // key per line (filter-in-list.c:100); inline keys otherwise
+      if (keys.size == 1 && java.nio.file.Files.isRegularFile(
+          java.nio.file.Paths.get(keys.head)))
+        Filters.inListFile(keys.head, target)
+      else Filters.inList(keys, target)
     case other => throw new IllegalArgumentException(s"unsupported filter: $other")
   }
 

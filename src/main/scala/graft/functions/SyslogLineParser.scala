@@ -235,7 +235,33 @@ object SyslogLineParser {
   /** Main entry: parse one raw line. Never throws; unparsable parts
     * degrade exactly like the reference (whole line becomes MESSAGE,
     * pri defaults to 13). */
-  def parse(line: String, refYear: Int): Parsed = {
+  def parse(line: String, refYear: Int): Parsed =
+    parse(line, refYear, noParse = false, expectHostname = false,
+      noHostname = false, noParseDate = false)
+
+  /** flags() form (`lib/msg-format.h:37-60`, dispatch `msg-format.c:113`):
+    *  - no-parse (LP_NOPARSE): the entire line becomes MESSAGE, nothing
+    *    else is extracted (pri stays the default);
+    *  - expect-hostname / no-hostname (LP_EXPECT_HOSTNAME /
+    *    LP_CHECK_HOSTNAME absence): force / suppress the RFC3164
+    *    hostname heuristic;
+    *  - no-parse-date (LP_NO_PARSE_DATE): header parses normally but the
+    *    stamp is left unset (STAMP=RECVD downstream);
+    *  - assume-utf8 / validate-utf8 / sanitize-utf8 are no-ops here: the
+    *    engine's strings are already decoded/valid UTF-8 at ingest. */
+  def parse(line: String, refYear: Int, noParse: Boolean,
+      expectHostname: Boolean, noHostname: Boolean,
+      noParseDate: Boolean): Parsed = {
+    if (noParse)
+      return Parsed(DefaultPri, 0, Long.MinValue, null, null, null, null,
+        null, null, line)
+    val p = parseImpl(line, refYear, expectHostname, noHostname)
+    if (noParseDate && p.tsMicros != Long.MinValue) p.copy(tsMicros = Long.MinValue)
+    else p
+  }
+
+  private def parseImpl(line: String, refYear: Int,
+      expectHostname: Boolean, noHostname: Boolean): Parsed = {
     val c = new Cursor(line)
     var pri = DefaultPri
     // <PRI>
@@ -297,11 +323,14 @@ object SyslogLineParser {
       // it looks like the tag (`prog[pid]:` / `prog:`). Without a
       // timestamp the header parse continues too (STAMP=RECVD,
       // syslog-format.c:732) but no hostname is expected.
-      if (!noTs) {
+      if (!noTs && !noHostname) {
         val t1Start = c.pos
         while (!c.atEnd && c.peek != ' ') c.pos += 1
         val t1 = c.s.substring(t1Start, c.pos)
-        val looksLikeTag = t1.indexOf(':') >= 0 || t1.indexOf('[') >= 0
+        // expect-hostname forces the first token to be HOST even when it
+        // looks like a tag (LP_EXPECT_HOSTNAME)
+        val looksLikeTag = !expectHostname &&
+          (t1.indexOf(':') >= 0 || t1.indexOf('[') >= 0)
         if (looksLikeTag) { c.pos = t1Start } else { host = t1; c.skipSpaces() }
       }
       // TAG: program[pid]: message   (syslog-format.c:319,732 — tag <=32 chars)
@@ -339,8 +368,15 @@ object SyslogLineParser {
   }
 
   /** Codegen entry point: returns the struct as an InternalRow. */
-  def parseRow(line: UTF8String, refYear: Int): InternalRow = {
-    val p = parse(line.toString, refYear)
+  def parseRow(line: UTF8String, refYear: Int): InternalRow =
+    parseRow(line, refYear, noParse = false, expectHostname = false,
+      noHostname = false, noParseDate = false)
+
+  def parseRow(line: UTF8String, refYear: Int, noParse: Boolean,
+      expectHostname: Boolean, noHostname: Boolean,
+      noParseDate: Boolean): InternalRow = {
+    val p = parse(line.toString, refYear, noParse, expectHostname,
+      noHostname, noParseDate)
     val r = new GenericInternalRow(11)
     r.setInt(0, p.pri)
     r.setInt(1, p.pri / 8)

@@ -14,20 +14,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * Codegen emits one static call so the expression stays inside
   * whole-stage codegen (no interpreted fallback on the hot path).
   */
-case class ParseSyslog(line: Expression, refYear: Expression)
-    extends BinaryExpression {
+case class ParseSyslog(line: Expression, refYear: Expression,
+    flags: Seq[String] = Nil) extends BinaryExpression {
   override def left: Expression = line
   override def right: Expression = refYear
   override def dataType: DataType = graft.model.LogSchema.parsedSchema
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "parse_syslog"
 
+  // flags(...) parse options (msg-format.h:37-60); utf8 flags are no-ops
+  // on already-decoded strings
+  private val noParse = flags.contains("no-parse")
+  private val expectHostname = flags.contains("expect-hostname")
+  private val noHostname = flags.contains("no-hostname")
+  private val noParseDate = flags.contains("no-parse-date")
+
   override protected def nullSafeEval(l: Any, y: Any): Any =
-    SyslogLineParser.parseRow(l.asInstanceOf[UTF8String], y.asInstanceOf[Int])
+    SyslogLineParser.parseRow(l.asInstanceOf[UTF8String], y.asInstanceOf[Int],
+      noParse, expectHostname, noHostname, noParseDate)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, y) =>
-      s"${ev.value} = graft.functions.SyslogLineParser.parseRow($l, $y);")
+      s"${ev.value} = graft.functions.SyslogLineParser.parseRow($l, $y, " +
+        s"$noParse, $expectHostname, $noHostname, $noParseDate);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ParseSyslog =
@@ -159,9 +168,12 @@ object GraftFunctions {
   import org.apache.spark.sql.functions.lit
 
   def parse_syslog(line: Column, refYear: Int = 2024): Column =
+    parse_syslog(line, refYear, Nil)
+
+  def parse_syslog(line: Column, refYear: Int, flags: Seq[String]): Column =
     ColumnBridge.column(ParseSyslog(
       ColumnBridge.expression(line),
-      ColumnBridge.expression(lit(refYear))))
+      ColumnBridge.expression(lit(refYear)), flags))
 
   def ipv4_to_int(ip: Column): Column =
     ColumnBridge.column(Ipv4ToInt(ColumnBridge.expression(ip)))

@@ -84,6 +84,17 @@ object Filters {
   def inListJoin(df: DataFrame, keys: DataFrame, value: Column): DataFrame =
     df.join(broadcast(keys), value === keys.col(keys.columns.head), "left_semi")
 
+  /** The documented `in-list("/path/to/file", value($f))` form
+    * (`filter-in-list.c:100`): one key per line, loaded driver-side at
+    * compile time (the reference loads at config init). Key files are
+    * config-scale; a huge list belongs in `inListJoin`. */
+  def inListFile(path: String, value: Column): Column = {
+    val keys = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)))
+      .asScala.toSeq.filter(_.nonEmpty)
+    inList(keys, value)
+  }
+
   /** atoi semantics for the numeric comparison family
     * (`filter-cmp.c:46-60`): leading optional-sign integer prefix, 0 when
     * no digits — NOT an ANSI cast (which would null out garbage). */

@@ -98,6 +98,17 @@ object ValuePairs {
     array_join(body, " ")
   }
 
+  /** $(graphite-output): the graphite plaintext protocol — one
+    * `name value timestamp\n` line per metric pair, name-sorted
+    * (`/root/reference/modules/graphite/graphite-output.c:128-141`). */
+  def formatGraphite(m: Column, unixtime: Column): Column = {
+    val lines = transform(sortedEntries(m), e =>
+      concat(e.getField("key"), lit(" "), e.getField("value"), lit(" "),
+        unixtime.cast("string")))
+    when(size(lines) === 0, lit(""))
+      .otherwise(concat(array_join(lines, "\n"), lit("\n")))
+  }
+
   /** $(format-cef-extension): space-joined k=v sorted by key with CEF
     * escaping: \ = newline CR escaped (format-cef-extension.c:68-101). */
   def formatCef(m: Column): Column = {

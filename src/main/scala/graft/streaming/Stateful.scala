@@ -27,6 +27,17 @@ object Stateful {
     * output; `value` = the payload the aggregate template needs. */
   case class Msg(key: String, ts: java.sql.Timestamp, value: String)
 
+  /** Event-time-order a per-key micro-batch with BOUNDED memory: only
+    * the first `cap` rows are materialized and sorted; overflow streams
+    * through in arrival order (the reference never sorts at all — it
+    * processes arrival order — so a hot key degrades to reference
+    * behavior instead of buffering the whole batch). */
+  private def boundedSorted(rows: Iterator[Msg], cap: Int): Iterator[Msg] = {
+    val head = rows.take(cap).toArray
+    java.util.Arrays.sort(head, Ordering.by((m: Msg) => (m.ts.getTime, m.value)))
+    head.iterator ++ rows
+  }
+
   /** Closed-session synthetic message (grouping-by aggregate()):
     * reference emits via synthetic-message templates over the context
     * (`synthetic-message.h:45-56`) — `values` carries the ordered
@@ -42,7 +53,8 @@ object Stateful {
     * early by `trigger` messages (trigger()), emitting one synthetic
     * session row. Caller must set a watermark on `ts` upstream. */
   def groupingBy(ds: Dataset[Msg], timeoutSeconds: Int,
-      trigger: Option[Int] = None, maxBuffered: Int = 10000): Dataset[SessionOut] = {
+      trigger: Option[Int] = None, maxBuffered: Int = 10000,
+      maxSortBuffer: Int = 10000): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val stEnc = Encoders.product[SessState]
     implicit val kEnc = Encoders.STRING
@@ -55,7 +67,7 @@ object Stateful {
             Iterator.single(SessionOut(key, s.startUs, s.lastUs, s.n,
               s.buf.reverse.mkString(","), "timeout"))
           } else {
-            val sorted = rows.toSeq.sortBy(m => (m.ts.getTime, m.value))
+            val sorted = boundedSorted(rows, maxSortBuffer)
             var s = state.getOption.getOrElse(SessState(Long.MaxValue, 0L, 0L, Nil))
             var out = List.empty[SessionOut]
             for (m <- sorted) {
@@ -89,7 +101,8 @@ object Stateful {
   /** suppress(N) streaming form: emits each first-of-run immediately;
     * repeats within `seconds` of the previous (window slides per repeat)
     * are absorbed into state; timeout emits the summary row. */
-  def suppress(ds: Dataset[Msg], seconds: Int): Dataset[SuppressOut] = {
+  def suppress(ds: Dataset[Msg], seconds: Int,
+      maxSortBuffer: Int = 10000): Dataset[SuppressOut] = {
     implicit val outEnc = Encoders.product[SuppressOut]
     implicit val stEnc = Encoders.product[SuppState]
     implicit val kEnc = Encoders.STRING
@@ -103,7 +116,7 @@ object Stateful {
               Iterator.single(SuppressOut(key, s.lastUs, s.firstValue, "summary", s.n))
             else Iterator.empty
           } else {
-            val sorted = rows.toSeq.sortBy(m => (m.ts.getTime, m.value))
+            val sorted = boundedSorted(rows, maxSortBuffer)
             var out = List.empty[SuppressOut]
             var s = state.getOption.orNull
             for (m <- sorted) {
@@ -129,7 +142,8 @@ object Stateful {
   /** throttle(N) streaming form: the reference's per-destination token
     * bucket (`lib/logqueue.c`) keyed by `key`, refilled each event-time
     * second; rows beyond `n` in a second drop. */
-  def throttle(ds: Dataset[Msg], n: Int): Dataset[Msg] = {
+  def throttle(ds: Dataset[Msg], n: Int,
+      maxSortBuffer: Int = 10000): Dataset[Msg] = {
     implicit val msgEnc = Encoders.product[Msg]
     implicit val stEnc = Encoders.product[ThrState]
     implicit val kEnc = Encoders.STRING
@@ -138,7 +152,7 @@ object Stateful {
         (key: String, rows: Iterator[Msg], state: GroupState[ThrState]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            val sorted = rows.toSeq.sortBy(m => (m.ts.getTime, m.value))
+            val sorted = boundedSorted(rows, maxSortBuffer)
             var s = state.getOption.getOrElse(ThrState(-1L, 0L))
             val out = sorted.flatMap { m =>
               val sec = m.ts.getTime / 1000L

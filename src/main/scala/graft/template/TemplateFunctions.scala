@@ -213,7 +213,11 @@ object TemplateFunctions {
     // structured formatters over explicit k/v args (the value-pairs
     // scope-driven forms live in graft.operators.ValuePairs)
     "format-json" -> (args => graft.operators.ValuePairs.formatFlatJson(kvMap(args))),
-    "format-cef-extension" -> (args => graft.operators.ValuePairs.formatCef(kvMap(args)))
+    "format-cef-extension" -> (args => graft.operators.ValuePairs.formatCef(kvMap(args))),
+    // $(graphite-output ts k1 v1 ...) — graphite-output.c:144-170; the
+    // value-pairs scope-driven form is ValuePairs.formatGraphite
+    "graphite-output" -> (args =>
+      graft.operators.ValuePairs.formatGraphite(kvMap(args.tail), args.head.col))
   )
 
   private def kvMap(args: Seq[TArg]): Column =

@@ -91,4 +91,25 @@ class RoutingEnrichSpec extends GraftSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(got == Map("10.0.3.7" -> "net-a", "192.168.0.9" -> "net-b", "8.8.8.8" -> null))
   }
+
+  test("unmatched-drop accounting rides the action via observe") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3, 4, 5).toDF("n")
+    val obs = org.apache.spark.sql.Observation("route")
+    val kept = graft.operators.Routing.filterCountingUnmatched(
+      df, col("n") % 2 === 0, obs)
+    assert(kept.count() == 2)
+    assert(obs.get("unmatched_dropped") == 3L)
+    assert(obs.get("total") == 5L)
+  }
+
+  test("in-list file form loads one key per line") {
+    import spark.implicits._
+    val f = java.nio.file.Files.createTempFile("inlist", ".txt")
+    java.nio.file.Files.write(f, java.util.Arrays.asList("alpha", "beta", ""))
+    val out = Seq("alpha", "gamma", "beta").toDF("v")
+      .filter(graft.operators.Filters.inListFile(f.toString, col("v")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("alpha", "beta"))
+  }
 }

@@ -20,6 +20,32 @@ class SyslogParserSpec extends GraftSuite {
     assert(p.tsMicros != Long.MinValue)
   }
 
+  test("flags(): no-parse, expect-hostname, no-hostname, no-parse-date") {
+    val line = "<34>Oct 11 22:14:15 su[123]: hello"
+    // no-parse: whole line is MESSAGE, default pri, nothing extracted
+    val np = SyslogLineParser.parse(line, 2024, noParse = true,
+      expectHostname = false, noHostname = false, noParseDate = false)
+    assert(np.message == line && np.pri == 13 && np.host == null)
+    // default heuristics: "su[123]:" looks like a tag -> no host
+    val dflt = SyslogLineParser.parse(line, 2024)
+    assert(dflt.host == null && dflt.program == "su")
+    // expect-hostname forces the first token to be HOST
+    val eh = SyslogLineParser.parse(line, 2024, noParse = false,
+      expectHostname = true, noHostname = false, noParseDate = false)
+    assert(eh.host == "su[123]:")
+    // no-hostname suppresses the heuristic even for host-looking tokens
+    val nh = SyslogLineParser.parse(
+      "<34>Oct 11 22:14:15 mymachine su: x", 2024, noParse = false,
+      expectHostname = false, noHostname = true, noParseDate = false)
+    assert(nh.host == null && nh.program == null &&
+      nh.message == "mymachine su: x")
+    // no-parse-date: header parses, stamp left unset
+    val nd = SyslogLineParser.parse(
+      "<34>Oct 11 22:14:15 mymachine su[1]: x", 2024, noParse = false,
+      expectHostname = false, noHostname = false, noParseDate = true)
+    assert(nd.tsMicros == Long.MinValue && nd.host == "mymachine" && nd.program == "su")
+  }
+
   test("RFC3164 without pid") {
     val p = SyslogLineParser.parse(
       "<13>Feb  5 17:32:18 10.0.0.99 prg: Use the BFG!", 2024)

@@ -59,6 +59,15 @@ class ValuePairsSpec extends GraftSuite {
     assert(back == Map("h.q" -> "1", "h.w" -> "2", "z" -> "3"))
   }
 
+  test("formatGraphite: name value timestamp lines, sorted, trailing newline") {
+    val r = run(ValuePairs.formatGraphite(
+      m("cpu.user" -> "42", "mem.free" -> "1024"), lit(1700000000L)))
+    assert(r.getString(0) ==
+      "cpu.user 42 1700000000\nmem.free 1024 1700000000\n")
+    assert(run(ValuePairs.formatGraphite(
+      map().cast("map<string,string>"), lit(1L))).getString(0) == "")
+  }
+
   test("formatWelf: id first, sorted, space-valued quoted") {
     val r = run(ValuePairs.formatWelf(
       m("src" -> "1.2.3.4", "id" -> "fw1", "msg" -> "two words")))
