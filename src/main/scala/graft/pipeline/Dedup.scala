@@ -122,22 +122,35 @@ object Dedup {
     val numChunks = math.min(64, maxHamming + 1)
     val baseW = 64 / numChunks
     val rem = 64 % numChunks
-    // chunk c covers [start_c, start_c + width_c); first `rem` chunks one wider
-    val chunks = (0 until numChunks).map { c =>
+    // chunk value of `sig` for chunk index c; chunk widths <= 58 bits
+    // whenever numChunks >= 2, so (index, value) packs into ONE long join
+    // key — fixed-width keys keep the candidate exchange small and the
+    // hash-join probe a single comparison
+    def chunkVal(sig: Column, c: Int): Column = {
       val start = c * baseW + math.min(c, rem)
       val width = baseW + (if (c < rem) 1 else 0)
       val mask = if (width == 64) -1L else (1L << width) - 1
-      concat_ws("_", lit(c),
-        shiftrightunsigned(col("sig"), start).bitwiseAND(lit(mask)))
+      shiftrightunsigned(sig, start).bitwiseAND(lit(mask))
     }
+    def chunkKey(sig: Column, c: Int): Column =
+      if (numChunks == 1) chunkVal(sig, c)
+      else lit(c.toLong << 58).bitwiseOR(chunkVal(sig, c))
     val withSig = df.select(id.as("id"), simhash(text, algo).as("sig"))
-    val banded = withSig.withColumn("chunk", explode(array(chunks: _*)))
-    val a = banded.select(col("chunk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val banded = withSig.select(col("id"), col("sig"),
+      posexplode(array((0 until numChunks).map(chunkKey(col("sig"), _)): _*))
+        .as(Seq("ci", "chunk")))
+    val a = banded.select(col("chunk"), col("ci"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-      .distinct() // dedupe multi-chunk collisions before anything else
+      // first-match dedup: emit a pair only from its FIRST agreeing chunk
+      // (all earlier chunks must differ) — a pure filter over columns we
+      // already have, replacing a distinct() that would shuffle the whole
+      // candidate set a second time
+      .filter((0 until numChunks).map { c =>
+        col("ci") > c && chunkVal(col("sig_a"), c) === chunkVal(col("sig_b"), c)
+      }.reduceOption(_ || _).map(!_).getOrElse(lit(true)))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -152,7 +165,13 @@ object Dedup {
       maxDocFreq: Long = 1000): DataFrame = {
     val docs = df.select(id.as("id"), wordShingles(text, shingleK).as("sh"))
       .withColumn("n", size(col("sh")))
-    val posting = docs.select(col("id"), col("n"), explode(col("sh")).as("shingle"))
+    // join/shuffle on the 64-bit shingle hash, not the string: fixed-width
+    // keys shrink the exchange and compare in one instruction. A collision
+    // would need ~2^32 distinct shingles per join key-space to matter
+    // (birthday bound) and only perturbs `common` by 1 — the DuckDB oracle
+    // cross-checks exact string semantics at test scale.
+    val posting = docs.select(col("id"), col("n"), explode(col("sh")).as("sh_str"))
+      .select(col("id"), col("n"), xxhash64(col("sh_str")).as("shingle"))
     // The cap must not shuffle the skew it removes: groupBy(shingle).count
     // partial-aggregates map-side, so a stop-shingle contributes one count
     // per task, not its whole posting list, to the exchange. The over-cap
