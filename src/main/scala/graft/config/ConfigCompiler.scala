@@ -181,10 +181,24 @@ object ConfigCompiler {
       case "csv-parser" =>
         val cols = s.args.collectFirst { case KV("columns", vs) => lits(vs) }.get
         val delim = kvOf(s.args, "delimiters").getOrElse(",")
+        val nullV = kvOf(s.args, "null-value")
+        val quote = kvOf(s.args, "quote-pairs").map(_.take(1)).getOrElse("\"")
+        val flags = s.args.collectFirst { case KV("flags", vs) => lits(vs) }
+          .getOrElse(Nil)
+        val dialect = kvOf(s.args, "dialect") match {
+          case Some("escape-backslash") => Parsers.EscapeBackslash
+          case Some("escape-none") => Parsers.EscapeNone
+          case _ => Parsers.EscapeDoubleChar
+        }
         df => {
-          val parsed = if (delim.length == 1)
-            Parsers.csvParse(input, cols, delim)
-          else Parsers.csvSplit(input, cols, delim)
+          val parsed =
+            if (delim.length == 1 && !flags.contains("greedy") &&
+              !flags.contains("strip-whitespace"))
+              Parsers.csvParse(input, cols, delim, quote, dialect, nullV)
+            else Parsers.csvSplit(input, cols, delim,
+              greedy = flags.contains("greedy"),
+              stripWhitespace = flags.contains("strip-whitespace"),
+              nullValue = nullV)
           cols.foldLeft(df)((d, c) => d.withColumn(c, parsed.getField(c)))
         }
       case "json-parser" =>
@@ -263,10 +277,13 @@ object ConfigCompiler {
             filterColTemplated(e, t => templateCol(t))
         }.getOrElse(lit(true))
         val havingExpr = s.args.collectFirst { case KV("having", Seq(FilterArg(e))) => e }
+        val sortKeyT = kvOf(s.args, "sort-key")
         df => {
           val resolve = graft.template.Macros.resolver(df.columns.toSet)
+          val sortKey = sortKeyT.map(t => Template.column(t, df.columns.toSeq))
+            .getOrElse(col("ts"))
           val aggs = aggSpecs.map { case (name, t) =>
-            aggTemplate(t, resolve).as(name) }
+            aggTemplate(t, resolve, sortKey).as(name) }
           val out = graft.operators.Sessions.groupingBy(df,
             Template.column(keyT, df.columns.toSeq), col("ts"), timeout,
             aggs, whereCol)
@@ -288,7 +305,8 @@ object ConfigCompiler {
     * become min(field) (a deterministic representative); literal text
     * concatenates. Everything egresses as string (reference values are
     * strings). */
-  private def aggTemplate(t: String, resolve: String => Column): Column = {
+  private def aggTemplate(t: String, resolve: String => Column,
+      sortKey: Column = col("ts")): Column = {
     import graft.template.Template.{Func, Lit => TLit, Parsed, Ref}
     def guardNum(c: Column): Column = {
       val s = c.cast("string")
@@ -298,6 +316,11 @@ object ConfigCompiler {
       case TLit(s) => lit(s)
       case Ref(name, _) => min(resolve(name)).cast("string")
       case Func("context-length", _, _) => count(lit(1)).cast("string")
+      case Func("context-values", args, _) =>
+        // $(context-values $x) with sort-key() (groupingby.c:327) —
+        // values of the context ordered by the sort key, comma-joined
+        graft.operators.Sessions.sortedValues(argCol(args).cast("string"),
+          sortKey.cast("string"))
       case Func("sum", args, _) => sum(guardNum(argCol(args))).cast("string")
       case Func("min", args, _) => min(guardNum(argCol(args))).cast("string")
       case Func("max", args, _) => max(guardNum(argCol(args))).cast("string")

@@ -134,6 +134,30 @@ class ConfigSpec extends GraftSuite {
     assert(out.select("message").head.getString(0).contains("oom"))
   }
 
+  test("grouping-by with context-values + sort-key and csv options") {
+    val ev = Seq(
+      ("h1", "b;2", 100L), ("h1", "a;1", 200L), ("h2", "c;9", 300L))
+      .toDF("host", "message", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("tags", array().cast("array<string>"))
+    val cfg = ConfigParser.parse("""
+      source s { file("/x"); };
+      parser p_csv { csv-parser(columns(val, num), delimiters(";"),
+        flags(strip-whitespace)); };
+      parser p_grp { grouping-by(key("$HOST") timeout(3600)
+        sort-key("$val")
+        aggregate(value("vals" "$(context-values $val)")
+                  value("n" "$(context-length)"))); };
+      destination d { file("/out"); };
+      log { source(s); parser(p_csv); parser(p_grp); destination(d); };
+    """)
+    val out = ConfigCompiler.compile(cfg, Map("s" -> ev)).head.df
+      .orderBy("key")
+    val rows = out.select("key", "vals", "n").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("h1", "a,b", "2"), ("h2", "c", "1")))
+  }
+
   test("symbolic comparison is numeric with atoi semantics") {
     val cfg = ConfigParser.parse("""
       source s { file("/x"); };
