@@ -92,4 +92,21 @@ class PropertiesSpec extends GraftSuite {
       full && !nomatch
     })
   }
+
+  test("framed_records ∘ octet-encode = id (RFC6587 round trip)") {
+    val frameGen: Gen[String] = Gen.listOf(
+      Gen.frequency(6 -> Gen.alphaNumChar, 1 -> Gen.const(' '),
+        1 -> Gen.numChar, 1 -> Gen.const('\u00e9')))
+      .map(_.mkString.take(40))
+    val gen = Gen.listOf(frameGen).map(_.take(8))
+    check(Prop.forAll(gen) { frames =>
+      val payload = frames.map { f =>
+        s"${f.getBytes("UTF-8").length} $f"
+      }.mkString
+      val out = Seq(payload).toDF("s")
+        .select(graft.functions.FramedRecords(col("s"), 65536, true).as("r"))
+        .head.getSeq[String](0)
+      out == frames
+    })
+  }
 }
