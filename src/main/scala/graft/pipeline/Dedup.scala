@@ -93,9 +93,14 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // exact-Jaccard verification on xxhash64'd shingle sets: set sizes
+    // and intersections are identical modulo 2^-64-scale collisions, and
+    // the joins shuffle fixed-width long arrays instead of strings
+    val hashed = docs.select(col("id"),
+      transform(col("sh"), s => xxhash64(s)).as("shh"))
     cand
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
