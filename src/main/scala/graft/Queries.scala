@@ -1130,6 +1130,40 @@ object Queries {
       WHERE a.cid IN (SELECT cid FROM probe)
       ORDER BY cos DESC, v.vec_id LIMIT 10"""))
 
+  /** patternize (patternize.c — pattern MINING): cluster messages by
+    * (token count, first token), generalize disagreeing positions to a
+    * wildcard, emit template + support. Two map-side-combinable
+    * aggregations, no driver iteration. */
+  private val patternizeQ = Q("patternize",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("message", concat(
+          col("event_type"), lit(" user u"), col("user_id"),
+          lit(" from 10.0."), col("user_id") % 200, lit(".7")))
+      graft.patterndb.Patternize.mine(ev, col("message"))
+        .orderBy(col("template"))
+    },
+    Some("""WITH toks AS (
+        SELECT string_split(event_type || ' user u' || user_id ||
+          ' from 10.0.' || (user_id % 200) || '.7', ' ') AS w
+        FROM events
+      ), keyed AS (
+        SELECT w, len(w) AS n, w[1] AS t0 FROM toks
+      ), pos AS (
+        SELECT n, t0, i AS pos, w[i] AS tok
+        FROM keyed, unnest(range(1, len(w) + 1)) AS u(i)
+      ), per_pos AS (
+        SELECT n, t0, pos, count(DISTINCT tok) AS nd, min(tok) AS tok1,
+          count(*) AS sup
+        FROM pos GROUP BY n, t0, pos
+      ), tmpl AS (
+        SELECT n, t0,
+          string_agg(CASE WHEN nd = 1 THEN tok1 ELSE '@ANYSTRING@' END,
+            ' ' ORDER BY pos) AS template,
+          max(sup) AS support
+        FROM per_pos GROUP BY n, t0)
+      SELECT template, support FROM tmpl ORDER BY template"""))
+
   // ---------------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------------
@@ -1294,6 +1328,7 @@ object Queries {
     configPipeline, configPipelineV2, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
     dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash, dedupEmbedding,
+    patternizeQ,
     annBruteForce, annLsh, annIvf,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     textFingerprint, textFingerprintRobust,

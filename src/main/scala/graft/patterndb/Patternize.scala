@@ -1,0 +1,56 @@
+package graft.patterndb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** patternize — offline pattern mining (`/root/reference/modules/
+  * dbparser/patternize.c`): cluster raw messages into patterndb-style
+  * templates. The reference clusters interactively over samples; the
+  * Spark-native redesign is a two-aggregation batch job that runs over
+  * the full corpus:
+  *
+  *  1. cluster key = (token count, first token) — the cheap structural
+  *     signature (Drain-style log template mining uses the same seed);
+  *  2. per (cluster, position): if every message in the cluster agrees
+  *     on the token it is a literal, else it generalizes to a wildcard;
+  *  3. reassemble positions into the template + support count.
+  *
+  * Both aggregations are map-side combinable (count-distinct per
+  * position partial-aggregates; `approxDistinct` swaps in HLL when an
+  * exact answer is not required at 100 TB). No collect, no iteration.
+  */
+object Patternize {
+
+  /** Mine templates. Returns (template, support) rows.
+    *
+    * @param wildcard token emitted where the cluster disagrees
+    * @param approxDistinct use approx_count_distinct (HLL sketch,
+    *        bounded shuffle per position — the 100 TB path) instead of
+    *        exact countDistinct; only the literal/wildcard decision at
+    *        distinct-count 1 consumes the estimate, so collisions can
+    *        at worst turn a literal into a wildcard. Keep exact for
+    *        correctness gates.
+    */
+  def mine(df: DataFrame, message: Column,
+      wildcard: String = "@ANYSTRING@",
+      approxDistinct: Boolean = false): DataFrame = {
+    val toks = df.select(split(message, " ").as("toks"))
+      .select(col("toks"), size(col("toks")).as("n"),
+        element_at(col("toks"), 1).as("t0"))
+    val pos = toks.select(col("n"), col("t0"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val nd = if (approxDistinct) approx_count_distinct(col("tok"))
+             else countDistinct(col("tok"))
+    val perPos = pos.groupBy(col("n"), col("t0"), col("pos"))
+      .agg(nd.as("nd"), min(col("tok")).as("tok1"),
+        count(lit(1)).as("sup"))
+    perPos.groupBy(col("n"), col("t0"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"),
+            when(col("nd") === 1, col("tok1")).otherwise(lit(wildcard)).as("t")))),
+          e => e.getField("t")), " ").as("template"),
+        max(col("sup")).as("support"))
+      .select(col("template"), col("support"))
+  }
+}

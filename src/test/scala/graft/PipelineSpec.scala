@@ -182,6 +182,23 @@ class PipelineSpec extends GraftSuite {
     assert(ivf.head.getLong(0) == 0L)
   }
 
+  test("patternize mines literal/wildcard templates with support") {
+    val logs = Seq(
+      "login ok user alice", "login ok user bob", "login ok user carol",
+      "disk full on sda1", "disk full on sdb2",
+      "single unique line here").toDF("message")
+    val mined = graft.patterndb.Patternize.mine(logs, col("message"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mined("login ok user @ANYSTRING@") == 3L)
+    assert(mined("disk full on @ANYSTRING@") == 2L)
+    assert(mined("single unique line here") == 1L)
+    // HLL path only decides literal-vs-wildcard; same templates here
+    val approx = graft.patterndb.Patternize.mine(logs, col("message"),
+      approxDistinct = true)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx == mined)
+  }
+
   test("multimodal stub decode keeps schema and determinism") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.extractFeatures(media)
