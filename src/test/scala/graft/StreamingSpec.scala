@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Routing.Branch
-import graft.streaming.{Sinks, Sources, Stateful}
+import graft.streaming.{Internal, Sinks, Sources, Stateful}
 import graft.streaming.Stateful.Msg
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -178,5 +178,24 @@ class StreamingSpec extends GraftSuite {
     try q.awaitTermination(60000) finally q.stop()
     assert(spark.read.parquet(out + "/errors").count() == 2)
     assert(spark.read.parquet(out + "/rest").count() == 1)
+  }
+
+  test("internal() surfaces scheduler events as LogRecord rows") {
+    val l = Internal.attach(spark)
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect() // provoke a job
+      // listener bus is async: poll until events land
+      val deadline = System.currentTimeMillis() + 30000
+      while (Internal.snapshot(spark, l).isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val snap = Internal.snapshot(spark, l)
+      val msgs = snap.select("message").collect().map(_.getString(0))
+      assert(msgs.exists(_.contains("job")), msgs.mkString("; "))
+      assert(snap.select("program").head.getString(0) == "spark")
+      assert(snap.select("facility").head.getInt(0) == 5)
+      // internal rows are pipeline-compatible: filter like any message
+      val errors = snap.filter(graft.operators.Filters.severityRange("emerg", "err"))
+      assert(errors.count() == 0) // healthy run: no error-severity events
+    } finally Internal.detach(spark, l)
   }
 }
