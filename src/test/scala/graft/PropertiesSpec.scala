@@ -109,4 +109,19 @@ class PropertiesSpec extends GraftSuite {
       out == frames
     })
   }
+
+  test("hot-path scanners never throw on arbitrary input") {
+    val junk: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.choose(' ', '~'),
+      2 -> Gen.choose(0.toChar, 0x1F.toChar),
+      1 -> Gen.oneOf('\u00e9', '\u4e2d', '<', '>', '[', ']', '@', '"'),
+      1 -> Gen.numChar)).map(_.mkString.take(300))
+    check(Prop.forAll(junk) { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      graft.functions.SyslogLineParser.parse(s, 2024) != null &&
+      graft.functions.KvScan.scan(u, '=', "", false) != null &&
+      graft.functions.FramedRecords.split(u, 1024, true) != null &&
+      graft.functions.Sketches.rollingFingerprint(u, 8, 4) != null
+    })
+  }
 }

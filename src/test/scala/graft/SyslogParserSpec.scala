@@ -167,6 +167,40 @@ class SyslogParserSpec extends GraftSuite {
     assert(p.sdataVals.toSeq == Seq("""a"b\c]d"""))
   }
 
+  test("RFC5424 multiple SDATA blocks (test_msgparse.c:220)") {
+    val p = SyslogLineParser.parse(
+      """<5>1 2006-10-29T01:59:59.156+01:00 mymachine evntslog - - [timeQuality isSynced="0"][origin ip="127.0.0.1"] msg""",
+      2024)
+    assert(p.sdataKeys.toSeq == Seq("timeQuality.isSynced", "origin.ip"))
+    assert(p.sdataVals.toSeq == Seq("0", "127.0.0.1"))
+    assert(p.host == "mymachine" && p.message == "msg")
+  }
+
+  test("pathologically long fractional seconds still parse (test_msgparse.c:320)") {
+    val p = SyslogLineParser.parse(
+      "<7>2006-11-10T10:43:21.15600000000000000000000000000000000000000000000000000000000000+01:00 bzorp openvpn[2499]: x",
+      2024)
+    assert(p.host == "bzorp" && p.program == "openvpn")
+    // 10:43:21.156+01:00 == 09:43:21.156Z
+    assert(p.tsMicros ==
+      java.time.Instant.parse("2006-11-10T09:43:21.156Z").toEpochMilli * 1000L)
+  }
+
+  test("RFC5424 Zulu with microsecond fraction (test_msgparse.c:672)") {
+    val p = SyslogLineParser.parse(
+      """<7>1 2006-10-29T01:59:59.156123Z myhost app - ID47 - m""", 2024)
+    assert(p.tsMicros ==
+      java.time.Instant.parse("2006-10-29T01:59:59.156123Z").toEpochMilli * 1000L + 123)
+  }
+
+  test("host token with dashes and dots (test_msgparse.c:568)") {
+    val p = SyslogLineParser.parse(
+      "<190>Nov 22 00:00:33 192.168.33.8-1 CMDLOGGER[165319912]: cmd done", 2024)
+    assert(p.host == "192.168.33.8-1")
+    assert(p.program == "CMDLOGGER" && p.pid == "165319912")
+    assert(p.message == "cmd done")
+  }
+
   test("ISO timestamp in RFC3164 position") {
     val p = SyslogLineParser.parse(
       "<13>2024-03-05T10:20:30+02:00 myhost app: hello", 2024)
