@@ -321,6 +321,20 @@ object ConfigCompiler {
         // values of the context ordered by the sort key, comma-joined
         graft.operators.Sessions.sortedValues(argCol(args).cast("string"),
           sortKey.cast("string"))
+      case Func("grep", args, raw) =>
+        // $(grep condition $v) (cond-funcs.c:75-145): values of context
+        // rows matching the filter expression, sort-key ordered.
+        // collect_list drops the nulls the unmet condition produces.
+        val condText = {
+          val t = raw.head.trim
+          if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
+            t.substring(1, t.length - 1) else t
+        }
+        val cond = filterColTemplated(ConfigParser.parseFilterExpr(condText),
+          s2 => Template.compile(Template.parse(s2), resolve))
+        graft.operators.Sessions.sortedValues(
+          when(cond, argCol(args.tail).cast("string")),
+          sortKey.cast("string"))
       case Func("sum", args, _) => sum(guardNum(argCol(args))).cast("string")
       case Func("min", args, _) => min(guardNum(argCol(args))).cast("string")
       case Func("max", args, _) => max(guardNum(argCol(args))).cast("string")

@@ -147,15 +147,16 @@ class ConfigSpec extends GraftSuite {
       parser p_grp { grouping-by(key("$HOST") timeout(3600)
         sort-key("$val")
         aggregate(value("vals" "$(context-values $val)")
-                  value("n" "$(context-length)"))); };
+                  value("n" "$(context-length)")
+                  value("ones" "$(grep ('$num' == '1') $val)"))); };
       destination d { file("/out"); };
       log { source(s); parser(p_csv); parser(p_grp); destination(d); };
     """)
     val out = ConfigCompiler.compile(cfg, Map("s" -> ev)).head.df
       .orderBy("key")
-    val rows = out.select("key", "vals", "n").collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
-    assert(rows.toSeq == Seq(("h1", "a,b", "2"), ("h2", "c", "1")))
+    val rows = out.select("key", "vals", "n", "ones").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(rows.toSeq == Seq(("h1", "a,b", "2", "a"), ("h2", "c", "1", "")))
   }
 
   test("symbolic comparison is numeric with atoi semantics") {
