@@ -7,8 +7,19 @@ import scala.xml.{Elem, XML}
 final case class PdbExample(program: String, message: String,
     expectedValues: Seq[(String, String)])
 
+/** One `<action>` block (`modules/dbparser/pdb-action.c`): fires on
+  * `trigger` (match/timeout), guarded by `condition` (a filter
+  * expression) and `rate` ("N/SEC" token bucket); `messageValues` /
+  * `messageTags` describe the synthetic message. Drives
+  * [[graft.streaming.Correlate]]'s onMatch/rateLimit knobs. */
+final case class PdbAction(trigger: String, condition: Option[String],
+    rate: Option[(Int, Int)], messageValues: Seq[(String, String)],
+    messageTags: Seq[String])
+
 final case class PdbRule(id: String, ruleClass: String, patterns: Seq[String],
-    tags: Seq[String], values: Seq[(String, String)], examples: Seq[PdbExample])
+    tags: Seq[String], values: Seq[(String, String)], examples: Seq[PdbExample],
+    contextScope: Option[String] = None, contextId: Option[String] = None,
+    contextTimeout: Option[Int] = None, actions: Seq[PdbAction] = Nil)
 
 /** `programPatterns` are the ruleset-level selectors: a message is only
   * matched against rulesets whose program pattern matches its PROGRAM
@@ -51,6 +62,24 @@ object PdbLoader {
               message = (ex \ "test_message").text,
               expectedValues = (ex \ "test_values" \ "test_value")
                 .map(tv => (tv \@ "name", tv.text)))
+          },
+          contextScope = Option(r \@ "context-scope").filter(_.nonEmpty),
+          contextId = Option(r \@ "context-id").filter(_.nonEmpty),
+          contextTimeout = Option(r \@ "context-timeout").filter(_.nonEmpty)
+            .map(_.toInt),
+          actions = (r \ "actions" \ "action").map { a =>
+            // rate='N/SEC' (pdb-action.c token bucket)
+            val rate = Option(a \@ "rate").filter(_.nonEmpty).map { rv =>
+              val Array(n, per) = rv.split("/", 2)
+              (n.toInt, per.toInt)
+            }
+            PdbAction(
+              trigger = Option(a \@ "trigger").filter(_.nonEmpty).getOrElse("match"),
+              condition = Option(a \@ "condition").filter(_.nonEmpty),
+              rate = rate,
+              messageValues = (a \ "message" \ "values" \ "value")
+                .map(v => (v \@ "name", v.text)),
+              messageTags = (a \ "message" \ "tags" \ "tag").map(_.text))
           })
       }
       PdbRuleset(rs \@ "name", progs, rules)

@@ -39,7 +39,8 @@ object Correlate {
   def correlate(ds: Dataset[Msg], timeoutSeconds: Int,
       onMatchAtLength: Option[Int] = None,
       rateLimit: Option[(Int, Int)] = None,
-      maxBuffered: Int = 10000): Dataset[CorrOut] = {
+      maxBuffered: Int = 10000,
+      maxSortBuffer: Int = 10000): Dataset[CorrOut] = {
     implicit val outEnc = Encoders.product[CorrOut]
     implicit val stEnc = Encoders.product[CorrState]
     implicit val kEnc = Encoders.STRING
@@ -52,7 +53,7 @@ object Correlate {
             Iterator.single(CorrOut(key, s.lastUs, "timeout", s.n,
               s.buf.reverse.mkString(",")))
           } else {
-            val sorted = rows.toSeq.sortBy(m => (m.ts.getTime, m.value))
+            val sorted = Stateful.boundedSorted(rows, maxSortBuffer)
             var s = state.getOption.getOrElse(
               CorrState(Long.MaxValue, 0L, 0L, Nil, Long.MinValue, 0L))
             var out = List.empty[CorrOut]

@@ -32,7 +32,7 @@ object Stateful {
     * through in arrival order (the reference never sorts at all — it
     * processes arrival order — so a hot key degrades to reference
     * behavior instead of buffering the whole batch). */
-  private def boundedSorted(rows: Iterator[Msg], cap: Int): Iterator[Msg] = {
+  private[streaming] def boundedSorted(rows: Iterator[Msg], cap: Int): Iterator[Msg] = {
     val head = rows.take(cap).toArray
     java.util.Arrays.sort(head, Ordering.by((m: Msg) => (m.ts.getTime, m.value)))
     head.iterator ++ rows

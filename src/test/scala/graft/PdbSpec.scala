@@ -29,6 +29,44 @@ class PdbSpec extends GraftSuite {
     }
   }
 
+  test("pdb v5 loader: correlation attributes and action blocks") {
+    // shape from modules/dbparser/tests/test_patterndb.h (ruletest skeleton)
+    val xml = """<patterndb version='5' pub_date='2010-02-22'>
+      <ruleset name='testset' id='1'>
+        <patterns><pattern>prog1</pattern></patterns>
+        <rules>
+          <rule provider='test' id='10e' class='violation'
+                context-scope='program' context-id='$PID' context-timeout='60'>
+            <patterns><pattern>correlated-message-with-rate-limited-action</pattern></patterns>
+            <actions>
+              <action trigger='match' rate='1/60' condition='"${PID}" eq "999"'>
+                <message>
+                  <values><value name='MESSAGE'>generated-message-rate-limit</value></values>
+                  <tags><tag>correlated-msg-tag</tag></tags>
+                </message>
+              </action>
+              <action trigger='timeout'>
+                <message>
+                  <values><value name='MESSAGE'>generated-on-timeout</value></values>
+                </message>
+              </action>
+            </actions>
+          </rule>
+        </rules>
+      </ruleset>
+    </patterndb>"""
+    val rule = PdbLoader.loadString(xml).head.rules.head
+    assert(rule.contextScope.contains("program"))
+    assert(rule.contextId.contains("$PID"))
+    assert(rule.contextTimeout.contains(60))
+    val Seq(onMatch, onTimeout) = rule.actions
+    assert(onMatch.trigger == "match" && onMatch.rate.contains((1, 60)))
+    assert(onMatch.condition.contains("\"${PID}\" eq \"999\""))
+    assert(onMatch.messageValues == Seq("MESSAGE" -> "generated-message-rate-limit"))
+    assert(onMatch.messageTags == Seq("correlated-msg-tag"))
+    assert(onTimeout.trigger == "timeout" && onTimeout.rate.isEmpty)
+  }
+
   test("pdb v4 loader: rules, tags, values, program scoping") {
     val xml = """<patterndb version='4' pub_date='2010-02-22'>
       <ruleset name='testset' id='1'>
