@@ -19,6 +19,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Correlate {
 
+  /** Build the correlation key from a rule's context-scope + context-id
+    * (`lib/correlation-key.h:29-39`): GLOBAL = id only, HOST = host+id,
+    * PROGRAM = host+program+id, PROCESS (default) = host+program+pid+id;
+    * the id is a template over the classified row (RadixMatch captures
+    * land in `values`, so `$capture` names resolve). Feed the result as
+    * [[Stateful.Msg]]`.key` — this is the bridge from a loaded
+    * [[graft.patterndb.PdbRule]] to [[correlate]]. */
+  def contextKey(contextScope: Option[String], contextId: Option[String],
+      columns: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val id = contextId.map(t => graft.template.Template.column(t, columns))
+      .getOrElse(lit(""))
+    val scopeCols = contextScope.getOrElse("process") match {
+      case "global" => Seq.empty[org.apache.spark.sql.Column]
+      case "host" => Seq(col("host"))
+      case "program" => Seq(col("host"), col("program"))
+      case _ => Seq(col("host"), col("program"), col("pid"))
+    }
+    concat_ws("\u001f",
+      (scopeCols :+ id).map(c => coalesce(c.cast("string"), lit(""))): _*)
+  }
+
   /** Emitted synthetic message. `kind` = which trigger fired
     * (match/timeout); `n` = context length; `values` = ordered context
     * payloads (the template's view of the whole context). */

@@ -180,6 +180,37 @@ class StreamingSpec extends GraftSuite {
     assert(spark.read.parquet(out + "/rest").count() == 1)
   }
 
+  test("pdb rule drives correlation: contextKey from scope + context-id template") {
+    // load a correlation rule (scope program, id = $PID-like capture)
+    val xml = """<patterndb version='5' pub_date='2010-01-01'>
+      <ruleset name='rs' id='1'><patterns><pattern>appd</pattern></patterns>
+        <rules><rule provider='t' id='corr-1' class='violation'
+            context-scope='program' context-id='$sess' context-timeout='60'>
+          <patterns><pattern>fail sess=@NUMBER:sess@</pattern></patterns>
+        </rule></rules>
+      </ruleset></patterndb>"""
+    val rule = graft.patterndb.PdbLoader.loadString(xml).head.rules.head
+    import spark.implicits._
+    val classified = Seq(
+      ("h1", "appd", "fail sess=7", 100L), ("h1", "appd", "fail sess=7", 101L),
+      ("h1", "appd", "fail sess=9", 102L), ("h2", "appd", "fail sess=7", 103L))
+      .toDF("host", "program", "message", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("r", graft.functions.RadixMatch(col("message"),
+        graft.patterndb.PdbLoader.radixRules(Seq(
+          graft.patterndb.PdbLoader.loadString(xml).head))))
+      .withColumn("values", col("r.captures"))
+    val keyed = classified.select(
+      graft.streaming.Correlate.contextKey(rule.contextScope, rule.contextId,
+        Seq("host", "program", "message", "values")).as("key"),
+      col("ts"), col("message").as("value")).as[Msg]
+    // same (host, program, sess) -> same context; sess/host changes split it
+    val keys = keyed.collect().map(_.key)
+    assert(keys(0) == keys(1))
+    assert(keys(0) != keys(2) && keys(0) != keys(3))
+    assert(keys(0).endsWith("7"))
+  }
+
   test("internal() surfaces scheduler events as LogRecord rows") {
     val l = Internal.attach(spark)
     try {
