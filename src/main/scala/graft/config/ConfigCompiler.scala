@@ -321,10 +321,11 @@ object ConfigCompiler {
         // values of the context ordered by the sort key, comma-joined
         graft.operators.Sessions.sortedValues(argCol(args).cast("string"),
           sortKey.cast("string"))
-      case Func("grep", args, raw) =>
-        // $(grep condition $v) (cond-funcs.c:75-145): values of context
-        // rows matching the filter expression, sort-key ordered.
-        // collect_list drops the nulls the unmet condition produces.
+      case Func("grep" | "context-lookup", args, raw) =>
+        // $(grep condition $v) / $(context-lookup condition $v)
+        // (cond-funcs.c:75-145, context-funcs.c:25-120): values of
+        // context rows matching the filter expression, sort-key
+        // ordered; null-skipping array_join drops the unmet rows.
         val condText = {
           val t = raw.head.trim
           if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)

@@ -54,12 +54,14 @@ object Mmdb {
       new Decoder(bytes, dataSectionStart).decode(off)._1
     }
 
-    /** Depth-first enumeration of every network: (bitPrefix, depth,
+    /** Depth-first enumeration of every IPv4 network: (bitPrefix, depth,
       * decoded data). `bitPrefix` holds the prefix bits left-aligned in
-      * a Long (max depth 32 exported for v4 use). */
+      * the low 32 bits. The walk starts AFTER the v6 v4-mapped descent
+      * (see [[startNode]]), so the remaining meaningful depth is always
+      * 32 regardless of database ip_version. */
     def networks(): Seq[(Long, Int, Map[String, String])] = {
       val out = Seq.newBuilder[(Long, Int, Map[String, String])]
-      val maxDepth = if (ipVersion == 4) 32 else 128
+      val maxDepth = 32
       def walk(node: Int, prefix: Long, depth: Int): Unit = {
         if (node >= nodeCount) {
           if (node > nodeCount)

@@ -31,11 +31,11 @@ class MmdbSpec extends GraftSuite {
 
   private class TrieWriter {
     val nodes = ArrayBuffer[(Array[Slot])](Array[Slot](Empty, Empty))
-    def insert(net: Long, prefixLen: Int, dataOff: Int): Unit = {
+    def insertBits(bits: Seq[Int], dataOff: Int): Unit = {
       var cur = 0
-      for (i <- 0 until prefixLen) {
-        val bit = ((net >>> (31 - i)) & 1L).toInt
-        if (i == prefixLen - 1) nodes(cur)(bit) = Data(dataOff)
+      for (i <- bits.indices) {
+        val bit = bits(i)
+        if (i == bits.length - 1) nodes(cur)(bit) = Data(dataOff)
         else nodes(cur)(bit) match {
           case Child(idx) => cur = idx
           case Empty =>
@@ -46,6 +46,9 @@ class MmdbSpec extends GraftSuite {
         }
       }
     }
+    def insert(net: Long, prefixLen: Int, dataOff: Int): Unit =
+      insertBits((0 until prefixLen).map(i => ((net >>> (31 - i)) & 1L).toInt),
+        dataOff)
     def serialize(): Array[Byte] = {
       val nc = nodes.length
       val out = new ArrayBuffer[Byte]()
@@ -98,6 +101,33 @@ class MmdbSpec extends GraftSuite {
       Some(Map("country.iso_code" -> "AA", "asn" -> "64512")))
     assert(db.lookup(ip("192.168.77.1")) == Some(Map("country.iso_code" -> "BB")))
     assert(db.lookup(ip("8.8.8.8")).isEmpty)
+  }
+
+  test("ip_version 6 database: v4-mapped subtree descent") {
+    // ::ffff:10.0.0.0/104 — 80 zero bits, 16 one bits, then 10/8
+    val rec = mapHdr(1) ++ encStr("cc") ++ encStr("XX")
+    val trie = new TrieWriter
+    val mapped = Seq.fill(80)(0) ++ Seq.fill(16)(1) ++
+      (0 until 8).map(i => ((ip("10.0.0.0") >>> (31 - i)) & 1L).toInt)
+    trie.insertBits(mapped, 0)
+    val tree = trie.serialize()
+    val marker = Array(0xAB.toByte, 0xCD.toByte, 0xEF.toByte) ++
+      "MaxMind.com".getBytes("US-ASCII")
+    val meta = mapHdr(5) ++
+      encStr("node_count") ++ encUint(trie.nodes.length) ++
+      encStr("record_size") ++ encUint(24) ++
+      encStr("ip_version") ++ encUint(6) ++
+      encStr("binary_format_major_version") ++ encUint(2) ++
+      encStr("binary_format_minor_version") ++ encUint(0)
+    val f = java.nio.file.Files.createTempFile("test6", ".mmdb")
+    java.nio.file.Files.write(f,
+      tree ++ Array.fill[Byte](16)(0) ++ rec ++ marker ++ meta)
+    val db = Mmdb.open(f.toString)
+    assert(db.ipVersion == 6)
+    assert(db.lookup(ip("10.9.9.9")) == Some(Map("cc" -> "XX")))
+    assert(db.lookup(ip("11.0.0.1")).isEmpty)
+    val nets = db.networks()
+    assert(nets.map(n => (n._1, n._2)) == Seq((ip("10.0.0.0"), 8)))
   }
 
   test("mmdb networks export as a broadcast range table for geoip2()") {
