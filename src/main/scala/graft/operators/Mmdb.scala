@@ -24,33 +24,34 @@ object Mmdb {
 
     private val nodeBytes = recordSizeBits * 2 / 8
 
-    /** One record of node `n` (side 0 = left/bit 0, 1 = right/bit 1). */
-    def record(n: Int, side: Int): Int = {
-      val base = n * nodeBytes
+    /** One record of node `n` (side 0 = left/bit 0, 1 = right/bit 1).
+      * Returned as Long: with record_size 32 the spec allows values up
+      * to 2^32-1, which would go negative as Int and silently corrupt
+      * the node/nodeCount comparisons below. */
+    def record(n: Long, side: Int): Long = {
+      val base = (n * nodeBytes).toInt
+      def b(o: Int): Long = bytes(o) & 0xFFL
       recordSizeBits match {
         case 24 =>
           val o = base + side * 3
-          ((bytes(o) & 0xFF) << 16) | ((bytes(o + 1) & 0xFF) << 8) | (bytes(o + 2) & 0xFF)
+          (b(o) << 16) | (b(o + 1) << 8) | b(o + 2)
         case 28 =>
           // middle byte holds the high nibbles of both records
-          val mid = bytes(base + 3) & 0xFF
+          val mid = b(base + 3)
           if (side == 0)
-            ((mid >> 4) << 24) | ((bytes(base) & 0xFF) << 16) |
-              ((bytes(base + 1) & 0xFF) << 8) | (bytes(base + 2) & 0xFF)
+            ((mid >> 4) << 24) | (b(base) << 16) | (b(base + 1) << 8) | b(base + 2)
           else
-            ((mid & 0xF) << 24) | ((bytes(base + 4) & 0xFF) << 16) |
-              ((bytes(base + 5) & 0xFF) << 8) | (bytes(base + 6) & 0xFF)
+            ((mid & 0xF) << 24) | (b(base + 4) << 16) | (b(base + 5) << 8) | b(base + 6)
         case 32 =>
           val o = base + side * 4
-          ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
-            ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+          (b(o) << 24) | (b(o + 1) << 16) | (b(o + 2) << 8) | b(o + 3)
         case other => throw new IllegalArgumentException(s"record_size $other")
       }
     }
 
     /** Decode the data record a search-tree pointer refers to. */
-    def dataAt(treePointer: Int): Any = {
-      val off = dataSectionStart + (treePointer - nodeCount - 16)
+    def dataAt(treePointer: Long): Any = {
+      val off = (dataSectionStart + (treePointer - nodeCount - 16)).toInt
       new Decoder(bytes, dataSectionStart).decode(off)._1
     }
 
@@ -62,7 +63,7 @@ object Mmdb {
     def networks(): Seq[(Long, Int, Map[String, String])] = {
       val out = Seq.newBuilder[(Long, Int, Map[String, String])]
       val maxDepth = 32
-      def walk(node: Int, prefix: Long, depth: Int): Unit = {
+      def walk(node: Long, prefix: Long, depth: Int): Unit = {
         if (node >= nodeCount) {
           if (node > nodeCount)
             out += ((prefix, depth, flatten(dataAt(node))))
@@ -79,8 +80,8 @@ object Mmdb {
 
     /** For IPv6 databases, descend to the ::ffff:0:0/96 IPv4-mapped
       * subtree start; v4 databases start at the root. */
-    private def startNode(): Int = {
-      var node = 0
+    private def startNode(): Long = {
+      var node = 0L
       if (ipVersion == 6) {
         var i = 0
         while (i < 96 && node < nodeCount) {
@@ -95,7 +96,7 @@ object Mmdb {
 
     /** Single IPv4 lookup (tests / driver-side probes). */
     def lookup(ipv4: Long): Option[Map[String, String]] = {
-      var node = startNode()
+      var node: Long = startNode()
       var depth = 0
       while (node < nodeCount && depth < 32) {
         val bit = ((ipv4 >> (31 - depth)) & 1L).toInt

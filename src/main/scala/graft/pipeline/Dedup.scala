@@ -82,29 +82,37 @@ object Dedup {
     val rows = numHashes / bands
     val docs = df.select(id.as("id"), wordShingles(text, shingleK).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the band join shuffles only (band, id) — shingle arrays stay out
-    // of the wide join; a doc colliding in several bands dedups BEFORE
-    // the (expensive) exact-Jaccard verification
-    val banded = docs.select(col("id"), explode(lshBandKeys(
-      minhashSignature(col("sh"), numHashes, algo), bands, rows,
-      hashBandKeys)).as("band"))
-    val cand = banded.select(col("band"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    // exact-Jaccard verification on xxhash64'd shingle sets: set sizes
-    // and intersections are identical modulo 2^-64-scale collisions, and
-    // the joins shuffle fixed-width long arrays instead of strings
-    val hashed = docs.select(col("id"),
-      transform(col("sh"), s => xxhash64(s)).as("shh"))
-    cand
-      .join(hashed.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
-      .join(hashed.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    try {
+      // the band join shuffles only (band, id) — shingle arrays stay out
+      // of the wide join; a doc colliding in several bands dedups BEFORE
+      // the (expensive) exact-Jaccard verification
+      val banded = docs.select(col("id"), explode(lshBandKeys(
+        minhashSignature(col("sh"), numHashes, algo), bands, rows,
+        hashBandKeys)).as("band"))
+      val cand = banded.select(col("band"), col("id").as("id_a"))
+        .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .distinct()
+      // exact-Jaccard verification on xxhash64'd shingle sets: set sizes
+      // and intersections are identical modulo 2^-64-scale collisions, and
+      // the joins shuffle fixed-width long arrays instead of strings
+      val hashed = docs.select(col("id"),
+        transform(col("sh"), s => xxhash64(s)).as("shh"))
+      val pairs = cand
+        .join(hashed.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
+        .join(hashed.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+      // the near-dup pair set is tiny relative to the corpus: materialize
+      // it eagerly (localCheckpoint truncates lineage off the cache) so
+      // the signed-corpus cache can be RELEASED before returning — the
+      // checkpoint blocks themselves are GC-tracked by the ContextCleaner,
+      // unlike Dataset.persist entries which pin the CacheManager forever
+      pairs.localCheckpoint(true)
+    } finally docs.unpersist(false)
   }
 
   // ---- SimHash -----------------------------------------------------------------

@@ -67,7 +67,13 @@ object Similarity {
       val d = dot(vec, typedLit(hyperplane(seed, p, dim).toSeq))
       when(d >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    // a dim shorter than the vector silently zero-pads the dot (null
+    // products from zip_with) and collapses every vector into one bucket
+    // — a quadratic candidate join instead of an error; fail loudly
+    val dimCheck = when(size(vec) === dim, lit(0L)).otherwise(raise_error(
+      concat(lit(s"hyperplaneBucket: dim=$dim but vector has "),
+        size(vec).cast("string"), lit(" components"))).cast("long"))
+    bits.reduce((a, b) => a.bitwiseOR(b)).bitwiseOR(dimCheck)
   }
 
   /** Driver-side bucket of a constant vector — the same sequential

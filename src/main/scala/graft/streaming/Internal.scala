@@ -25,12 +25,17 @@ object Internal {
 
   final class Listener(maxEvents: Int = 10000) extends SparkListener {
     private[Internal] val buf = new ConcurrentLinkedDeque[InternalEvent]()
+    // ConcurrentLinkedDeque.size() is O(n); at steady state (buf full)
+    // that would traverse 10k nodes per scheduler event on the
+    // listener-bus thread — count separately in O(1)
+    private val count = new java.util.concurrent.atomic.AtomicInteger(0)
 
     private def add(severity: Int, message: String): Unit = {
       buf.addLast(InternalEvent(
         new java.sql.Timestamp(System.currentTimeMillis()),
         "driver", "spark", 5, severity, message))
-      while (buf.size() > maxEvents) buf.pollFirst()
+      if (count.incrementAndGet() > maxEvents && buf.pollFirst() != null)
+        count.decrementAndGet()
     }
 
     override def onJobStart(e: SparkListenerJobStart): Unit =

@@ -33,9 +33,14 @@ object Stateful {
     * processes arrival order — so a hot key degrades to reference
     * behavior instead of buffering the whole batch). */
   private[streaming] def boundedSorted(rows: Iterator[Msg], cap: Int): Iterator[Msg] = {
-    val head = rows.take(cap).toArray
-    java.util.Arrays.sort(head, Ordering.by((m: Msg) => (m.ts.getTime, m.value)))
-    head.iterator ++ rows
+    // explicit drain: Iterator.take() leaves the source in an undefined
+    // state for further iteration, so the overflow tail must come from
+    // the SAME iterator advanced by hand
+    val head = scala.collection.mutable.ArrayBuffer.empty[Msg]
+    while (head.length < cap && rows.hasNext) head += rows.next()
+    val arr = head.toArray
+    java.util.Arrays.sort(arr, Ordering.by((m: Msg) => (m.ts.getTime, m.value)))
+    arr.iterator ++ rows
   }
 
   /** Closed-session synthetic message (grouping-by aggregate()):
