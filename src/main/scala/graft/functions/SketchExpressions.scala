@@ -143,6 +143,19 @@ object Sketches {
     h
   }
 
+  /** Little-endian long of md5 digest bytes 0..7 — bit-identical to
+    * DuckDB's `md5_number_upper` (verified against duckdb 1.x), the
+    * companion of [[md5Lower64]] for 128-bit oracle-replicable hashing. */
+  def md5Upper64(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var h = 0L
+    var i = 7
+    while (i >= 0) { h = (h << 8) | (d(i) & 0xFFL); i -= 1 }
+    h
+  }
+
   /** One pass over `tokens`: 64-bit SimHash, per-bit majority vote of
     * token hashes. `algo` picks the per-token hash: "xxh64" (fastest,
     * production default) or "md5" (oracle-replicable: DuckDB
@@ -170,6 +183,54 @@ object Sketches {
       b += 1
     }
     sig
+  }
+
+  /** 128-bit SimHash as [lo, hi] (bits 0..63, 64..127). The wider
+    * signature exists for the banding key space: at maxHamming=8 the
+    * pigeonhole banding needs 9 chunks, which over 64 bits are only ~7
+    * bits wide (≤256 values — near-quadratic bucket pairing at corpus
+    * scale) but over 128 bits are ~14 bits (16k values per chunk).
+    * `algo` = "xxh64" (lo/hi = seeds 42/77) or "md5" (lo/hi bit-identical
+    * to DuckDB `md5_number_lower`/`md5_number_upper` — one digest, both
+    * halves). */
+  def simhash128(tokens: ArrayData, algo: String): ArrayData = {
+    val votes = new Array[Int](128)
+    val n = tokens.numElements()
+    val useMd5 = algo == "md5"
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      var hLo = 0L
+      var hHi = 0L
+      if (useMd5) {
+        val md = md5Local.get()
+        md.reset()
+        val d = md.digest(t.getBytes)
+        var j = 15
+        while (j >= 8) { hLo = (hLo << 8) | (d(j) & 0xFFL); j -= 1 }
+        j = 7
+        while (j >= 0) { hHi = (hHi << 8) | (d(j) & 0xFFL); j -= 1 }
+      } else {
+        hLo = XXH64.hashUTF8String(t, 42L)
+        hHi = XXH64.hashUTF8String(t, 77L)
+      }
+      var b = 0
+      while (b < 64) {
+        if (((hLo >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        if (((hHi >>> b) & 1L) != 0L) votes(64 + b) += 1 else votes(64 + b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) lo |= (1L << b)
+      if (votes(64 + b) > 0) hi |= (1L << b)
+      b += 1
+    }
+    new GenericArrayData(Array(lo, hi))
   }
 }
 
@@ -246,4 +307,28 @@ object SimHash64 {
   def apply(tokens: Column): Column = apply(tokens, "xxh64")
   def apply(tokens: Column, algo: String): Column =
     ColumnBridge.column(new SimHash64(ColumnBridge.expression(tokens), algo))
+}
+
+/** `simhash128(tokens, algo)` — 128-bit SimHash as array<bigint> [lo, hi]. */
+case class SimHash128(child: Expression, algo: String = "xxh64")
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash128"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Sketches.simhash128(v.asInstanceOf[ArrayData], algo)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = ctx.addReferenceObj("simhashAlgo", algo, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Sketches.simhash128($v, $a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SimHash128 = copy(child = c)
+}
+
+object SimHash128 {
+  def apply(tokens: Column): Column = apply(tokens, "xxh64")
+  def apply(tokens: Column, algo: String): Column =
+    ColumnBridge.column(new SimHash128(ColumnBridge.expression(tokens), algo))
 }

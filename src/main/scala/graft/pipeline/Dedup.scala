@@ -129,7 +129,17 @@ object Dedup {
     * maxHamming+1 chunks) and becomes a candidate. Candidates are then
     * verified with exact hamming distance — the output is therefore
     * EXACTLY the brute-force all-pairs result, computed with an
-    * equi-join instead of a cross product. */
+    * equi-join instead of a cross product.
+    *
+    * RADIUS / KEY-SPACE TRADEOFF: chunk width is 64/(maxHamming+1)
+    * bits, so the candidate join's key space is (maxHamming+1) *
+    * 2^width values. At the default r=3 chunks are 16 bits (65k values
+    * per chunk — the classic 64-bit simhash operating point; bucket
+    * sizes stay ~N/65k). At r=8 chunks shrink to ~7 bits (≤256 values):
+    * every bucket holds ~N/256 docs and in-bucket pairing degenerates
+    * toward quadratic as the corpus grows. For radii above 3 use
+    * [[simhashPairs128]] — same pigeonhole guarantee over a 128-bit
+    * signature, whose 9 chunks at r=8 are ~14 bits wide. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, algo: String = "xxh64"): DataFrame = {
     val numChunks = math.min(64, maxHamming + 1)
@@ -166,6 +176,69 @@ object Dedup {
       }.reduceOption(_ || _).map(!_).getOrElse(lit(true)))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 128-bit SimHash over tokens as [lo, hi] (see
+    * [[graft.functions.Sketches.simhash128]]). `algo` = "xxh64"
+    * (production) or "md5" (oracle-replicable: lo/hi bit-identical to
+    * DuckDB `md5_number_lower`/`md5_number_upper`). */
+  def simhash128(text: Column, algo: String = "xxh64"): Column =
+    graft.functions.SimHash128(TextAnalysis.tokens(text), algo)
+
+  /** [[simhashPairs]] over a 128-bit signature — the scale-safe form for
+    * radii above 3: the maxHamming+1 pigeonhole chunks are twice as wide
+    * (r=8 → 9 chunks × ~14 bits → 16k-value chunks instead of the
+    * 64-bit form's ≤256), so bucket sizes stay ~N/16k and the candidate
+    * equi-join never degenerates toward an in-bucket cross product.
+    * Output is provably EQUAL to brute force (verified hamming ≤ r). */
+  def simhashPairs128(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 8, algo: String = "xxh64"): DataFrame = {
+    require(maxHamming >= 2 && maxHamming <= 63,
+      s"simhashPairs128: maxHamming $maxHamming outside [2, 63]")
+    val numChunks = maxHamming + 1
+    val baseW = 128 / numChunks
+    val rem = 128 % numChunks
+    // chunk c covers bits [start, start+width) of the 128-bit signature
+    // held as (lo = bits 0..63, hi = bits 64..127); width <= 42 for
+    // numChunks >= 3, so (index << 58) | value packs into ONE long key
+    def chunkVal(lo: Column, hi: Column, c: Int): Column = {
+      val start = c * baseW + math.min(c, rem)
+      val width = baseW + (if (c < rem) 1 else 0)
+      val mask = (1L << width) - 1
+      if (start + width <= 64)
+        shiftrightunsigned(lo, start).bitwiseAND(lit(mask))
+      else if (start >= 64)
+        shiftrightunsigned(hi, start - 64).bitwiseAND(lit(mask))
+      else {
+        // chunk spans the lo/hi boundary
+        val loBits = 64 - start
+        shiftrightunsigned(lo, start).bitwiseOR(
+          shiftleft(hi.bitwiseAND(lit((1L << (width - loBits)) - 1)), loBits))
+      }
+    }
+    def chunkKey(lo: Column, hi: Column, c: Int): Column =
+      lit(c.toLong << 58).bitwiseOR(chunkVal(lo, hi, c))
+    val withSig = df.select(id.as("id"), simhash128(text, algo).as("sig"))
+      .select(col("id"), col("sig").getItem(0).as("lo"), col("sig").getItem(1).as("hi"))
+    val banded = withSig.select(col("id"), col("lo"), col("hi"),
+      posexplode(array((0 until numChunks).map(c =>
+        chunkKey(col("lo"), col("hi"), c)): _*)).as(Seq("ci", "chunk")))
+    val a = banded.select(col("chunk"), col("ci"), col("id").as("id_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = banded.select(col("chunk"), col("id").as("id_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    a.join(b, Seq("chunk"))
+      .filter(col("id_a") < col("id_b"))
+      // first-match dedup, as in simhashPairs: emit only from the FIRST
+      // agreeing chunk — a pure filter, no distinct() shuffle
+      .filter((0 until numChunks).map { c =>
+        col("ci") > c &&
+          chunkVal(col("lo_a"), col("hi_a"), c) === chunkVal(col("lo_b"), col("hi_b"), c)
+      }.reduce(_ || _).unary_!)
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

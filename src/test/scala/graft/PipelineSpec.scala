@@ -104,6 +104,74 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("simhash128 banded pairs equal brute force at maxHamming=8 (14-bit chunks)") {
+    val docsT = Tables.documents(spark, sf)
+    for (algo <- Seq("xxh64", "md5")) {
+      val sigs = docsT.select(col("doc_id").as("id"),
+        Dedup.simhash128(col("text"), algo).as("sig"))
+        .select(col("id"), col("sig").getItem(0).as("lo"), col("sig").getItem(1).as("hi"))
+      val brute = sigs.select(col("id").as("id_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+        .crossJoin(sigs.select(col("id").as("id_b"), col("lo").as("lo_b"), col("hi").as("hi_b")))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+            bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val banded = Dedup.simhashPairs128(docsT, col("doc_id"), col("text"),
+          maxHamming = 8, algo = algo)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded == brute, s"recall/precision mismatch for $algo (128-bit)")
+    }
+  }
+
+  test("production xxh64 simhash r=3 banded equals brute force") {
+    val docsT = Tables.documents(spark, sf)
+    val sigs = docsT.select(col("doc_id").as("id"),
+      Dedup.simhash(col("text"), "xxh64").as("sig"))
+    val brute = sigs.select(col("id").as("id_a"), col("sig").as("sig_a"))
+      .crossJoin(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.simhashPairs(docsT, col("doc_id"), col("text"),
+        maxHamming = 3, algo = "xxh64")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+  }
+
+  test("production xxh64 minhash: exact precision, full recall at high jaccard") {
+    val docsT = Tables.documents(spark, sf)
+    // exact all-pairs jaccard over 3-shingles (test scale only)
+    val sh = docsT.select(col("doc_id").as("id"),
+      Dedup.wordShingles(col("text"), 3).as("sh"))
+    val exact = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("id").as("id_b"), col("sh").as("sh_b")))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.7)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val prod = Dedup.minhashPairs(docsT, col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.7,
+        algo = "xxh64", hashBandKeys = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // precision is exact by construction (candidates are verified with
+    // exact jaccard): every reported pair must be a true >=0.7 pair
+    prod.foreach { case (p, j) =>
+      assert(exact.contains(p) && math.abs(exact(p) - j) < 1e-9, s"false positive $p")
+    }
+    // recall: at 8 bands x 4 rows, P[miss | j=0.9] = (1-0.9^4)^8 ~ 2e-5;
+    // deterministic hashes + fixed corpus make this a regression test,
+    // not a flaky probabilistic one
+    val high = exact.filter(_._2 >= 0.9).keySet
+    assert(high.nonEmpty, "corpus has no >=0.9 jaccard pairs")
+    assert(high.forall(prod.contains), s"missed high-jaccard pairs: ${high -- prod.keySet}")
+  }
+
   test("ngram jaccard pairs exact values") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       shingleK = 2, threshold = 0.2, maxDocFreq = 100)
