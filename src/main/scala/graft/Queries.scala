@@ -1371,6 +1371,31 @@ object Queries {
       ascii(substring(text, 1, 1)) AS first_byte
       FROM documents ORDER BY media_id"""))
 
+  /** The REAL multimodal decode: spec-built PNG/JPEG/GIF/WAV container
+    * bytes (MediaFixtures — correct magics, chunk CRCs, deflate) are
+    * parsed back by MediaHeaders.decode, and the oracle recomputes the
+    * ground-truth metadata independently from doc_id arithmetic. A
+    * hash match proves the decoder recovers dimensions/sample rates
+    * from the bytes alone. */
+  private val multimodalDecode = Q("multimodal_decode",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.extractHeaders(Multimodal.mediaFixtures(s, d))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("sample_rate"), col("channels"), col("bits_per_sample"))
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id,
+      CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        WHEN 2 THEN 'gif' ELSE 'wav' END AS format,
+      CAST(CASE WHEN doc_id % 4 = 3 THEN -1 ELSE 16 + doc_id % 97 END AS INT) AS width,
+      CAST(CASE WHEN doc_id % 4 = 3 THEN -1 ELSE 16 + doc_id % 53 END AS INT) AS height,
+      CAST(CASE WHEN doc_id % 4 = 3 THEN 8000 + (doc_id % 6) * 8000 ELSE -1 END AS INT) AS sample_rate,
+      CAST(CASE WHEN doc_id % 4 = 3 THEN 1 + doc_id % 2 ELSE -1 END AS INT) AS channels,
+      CAST(CASE WHEN doc_id % 4 = 3 THEN 16 ELSE -1 END AS INT) AS bits_per_sample
+      FROM documents ORDER BY media_id"""),
+    bench = true)
+
   private val multimodalStub = Q("multimodal_stub",
     (s, d) => {
       import s.implicits._
@@ -1406,7 +1431,7 @@ object Queries {
     annBruteForce, annLsh, annIvf,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     textFingerprint, textFingerprintRobust,
-    multimodalFeatures, multimodalStub)
+    multimodalFeatures, multimodalStub, multimodalDecode)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

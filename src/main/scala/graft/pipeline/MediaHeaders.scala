@@ -1,0 +1,191 @@
+package graft.pipeline
+
+/** Pure-JVM media container header decoders — the real (non-stub) part
+  * of the multimodal decode path. The container has no native codecs,
+  * so pixel/sample decoding stays out of scope, but container METADATA
+  * (dimensions, sample rate, channel count) needs none: it is parsed
+  * directly from the header bytes per the public specs —
+  *  - PNG: W3C PNG spec §11.2.2 (IHDR is the first chunk: width/height
+  *    as big-endian u32 at offsets 16/20),
+  *  - JPEG: ITU T.81 §B.2.2 (scan the marker stream to the first SOFn
+  *    frame header; height/width as big-endian u16 in its payload),
+  *  - GIF: GIF89a spec §18 (logical screen width/height, little-endian
+  *    u16 at offsets 6/8),
+  *  - WAV: RIFF/WAVE — walk chunks to "fmt " (channels, sample rate,
+  *    bits per sample, little-endian).
+  *
+  * Decoding is total: malformed or truncated bytes yield format
+  * "unknown" with -1 fields, never an exception (a poison payload must
+  * not kill a 100 TB scan).
+  */
+object MediaHeaders {
+
+  /** Parsed container metadata. Image fields are -1 for audio and vice
+    * versa; everything is -1 for "unknown". */
+  final case class MediaInfo(format: String, width: Int, height: Int,
+      sample_rate: Int, channels: Int, bits_per_sample: Int)
+
+  private val Unknown = MediaInfo("unknown", -1, -1, -1, -1, -1)
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def beU16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def beU32(b: Array[Byte], i: Int): Long =
+    (beU16(b, i).toLong << 16) | beU16(b, i + 2)
+  private def leU16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    leU16(b, i).toLong | (leU16(b, i + 2).toLong << 16)
+
+  def decode(b: Array[Byte]): MediaInfo = {
+    if (b == null || b.length < 12) return Unknown
+    try {
+      if (u8(b, 0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+          u8(b, 4) == 0x0D && u8(b, 5) == 0x0A && u8(b, 6) == 0x1A && u8(b, 7) == 0x0A)
+        png(b)
+      else if (u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) jpeg(b)
+      else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a')
+        MediaInfo("gif", leU16(b, 6), leU16(b, 8), -1, -1, -1)
+      else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+        wav(b)
+      else Unknown
+    } catch { case _: ArrayIndexOutOfBoundsException => Unknown }
+  }
+
+  private def png(b: Array[Byte]): MediaInfo = {
+    // first chunk MUST be IHDR (length 13): width u32, height u32 follow
+    if (b.length < 24 || beU32(b, 8) != 13L ||
+        !(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return Unknown
+    val w = beU32(b, 16)
+    val h = beU32(b, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) Unknown
+    else MediaInfo("png", w.toInt, h.toInt, -1, -1, -1)
+  }
+
+  private def jpeg(b: Array[Byte]): MediaInfo = {
+    // marker scan: FF xx [len_hi len_lo payload...]; SOFn (C0..CF except
+    // C4 DHT / C8 JPG / CC DAC) carries precision u8, height u16, width u16
+    var i = 2
+    while (i + 3 < b.length) {
+      if (u8(b, i) != 0xFF) return Unknown
+      val marker = u8(b, i + 1)
+      if (marker == 0xFF) { i += 1 } // fill byte
+      else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7) || marker == 0x01) {
+        i += 2 // standalone markers, no length
+      } else if (marker == 0xD9 || marker == 0xDA) {
+        return Unknown // EOI / SOS before any SOF: no frame header
+      } else {
+        val len = beU16(b, i + 2)
+        if (len < 2) return Unknown
+        if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          if (i + 9 >= b.length) return Unknown
+          val h = beU16(b, i + 5)
+          val w = beU16(b, i + 7)
+          return if (w > 0 && h > 0) MediaInfo("jpeg", w, h, -1, -1, -1) else Unknown
+        }
+        i += 2 + len
+      }
+    }
+    Unknown
+  }
+
+  private def wav(b: Array[Byte]): MediaInfo = {
+    // RIFF chunk walk from offset 12: [id u32][size u32 LE][payload],
+    // payloads padded to even length; "fmt " holds the format fields
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = leU32(b, i + 4)
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (size < 16 || i + 8 + 16 > b.length) return Unknown
+        val channels = leU16(b, i + 10)
+        val rate = leU32(b, i + 12)
+        val bps = leU16(b, i + 22)
+        return if (channels > 0 && rate > 0 && rate <= Int.MaxValue)
+          MediaInfo("wav", -1, -1, rate.toInt, channels, bps)
+        else Unknown
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+      if (size > Int.MaxValue - 16) return Unknown
+    }
+    Unknown
+  }
+}
+
+/** Spec-built container fixtures: REAL headers (correct magics, chunk
+  * layout, CRCs, deflate streams) around minimal payloads — the same
+  * build-from-the-spec approach as MmdbSpec's byte-by-byte .mmdb files.
+  * Used by tests and by the multimodal fixture queries, where an
+  * external oracle recomputes the ground-truth metadata independently
+  * and the decoder must recover it from the bytes alone. */
+object MediaFixtures {
+
+  private def beU32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def beU16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+  private def leU32(v: Long): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def leU16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+
+  private def pngChunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32
+    val tb = tag.getBytes("US-ASCII")
+    crc.update(tb); crc.update(payload)
+    beU32(payload.length.toLong) ++ tb ++ payload ++ beU32(crc.getValue)
+  }
+
+  /** Minimal grayscale PNG: signature, IHDR, zero-filled IDAT (real
+    * zlib deflate; scanline payload capped at 4 rows to keep fixtures
+    * tiny — header metadata is what the decoder reads), IEND. */
+  def png(width: Int, height: Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = beU32(width.toLong) ++ beU32(height.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0) // bit depth 8, grayscale, deflate, none, none
+    // raw image data: height rows of (filter byte + width zero samples)
+    val raw = new Array[Byte]((width + 1) * math.min(height, 4)) // cap payload size
+    val bos = new java.io.ByteArrayOutputStream
+    val dos = new java.util.zip.DeflaterOutputStream(bos)
+    dos.write(raw); dos.close()
+    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", bos.toByteArray) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  /** Minimal JPEG marker stream: SOI, JFIF APP0, DQT, baseline SOF0
+    * (1 grayscale component), DHT-free SOS stub, EOI. */
+  def jpeg(width: Int, height: Int): Array[Byte] = {
+    val soi = Array(0xFF, 0xD8).map(_.toByte)
+    val app0payload = "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0) ++ beU16(1) ++ beU16(1) ++ Array[Byte](0, 0)
+    val app0 = Array(0xFF, 0xE0).map(_.toByte) ++
+      beU16(app0payload.length + 2) ++ app0payload
+    val dqtPayload = Array[Byte](0) ++ Array.fill[Byte](64)(16)
+    val dqt = Array(0xFF, 0xDB).map(_.toByte) ++ beU16(dqtPayload.length + 2) ++ dqtPayload
+    val sofPayload = Array[Byte](8) ++ beU16(height) ++ beU16(width) ++
+      Array[Byte](1, 1, 0x11, 0)
+    val sof0 = Array(0xFF, 0xC0).map(_.toByte) ++ beU16(sofPayload.length + 2) ++ sofPayload
+    val eoi = Array(0xFF, 0xD9).map(_.toByte)
+    soi ++ app0 ++ dqt ++ sof0 ++ eoi
+  }
+
+  /** Minimal GIF89a: header + logical screen descriptor + trailer. */
+  def gif(width: Int, height: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ leU16(width) ++ leU16(height) ++
+      Array[Byte](0, 0, 0) ++ Array(0x3B.toByte)
+
+  /** Minimal PCM WAV: RIFF/WAVE, fmt chunk, `nSamples` zero samples. */
+  def wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      nSamples: Int = 4): Array[Byte] = {
+    val blockAlign = channels * bitsPerSample / 8
+    val fmt = "fmt ".getBytes("US-ASCII") ++ leU32(16) ++
+      leU16(1) ++ leU16(channels) ++ leU32(sampleRate.toLong) ++
+      leU32(sampleRate.toLong * blockAlign) ++ leU16(blockAlign) ++ leU16(bitsPerSample)
+    val data = "data".getBytes("US-ASCII") ++ leU32(nSamples.toLong * blockAlign) ++
+      new Array[Byte](nSamples * blockAlign)
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ leU32(body.length.toLong) ++ body
+  }
+}

@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decoded/feature-extracted in batched
   * partition passes.
   *
-  * The Spark-side architecture is real and tested — schema, partition
-  * sizing, batch iteration, feature schema. The actual codec call is a
-  * STUB (`decodeStub`): this container has no image/audio libraries, so
-  * the decoder is a deterministic fake over the bytes. Swapping in a real
-  * decoder is a one-function change; everything around it (the expensive
-  * part to get right at 100 TB) stays.
+  * Two decode paths:
+  *  - [[extractHeaders]] — REAL container-header decoding, pure JVM
+  *    ([[MediaHeaders]]: PNG IHDR, JPEG SOFn, GIF screen descriptor,
+  *    WAV fmt) — dimensions, sample rate, channels from the bytes;
+  *  - [[extractFeatures]] — payload byte statistics plus the one
+  *    remaining STUB boundary (`decodeStub`): pixel/sample decoding
+  *    needs codec libraries this container lacks, so it produces
+  *    deterministic features from the raw bytes with the same batch
+  *    shape a real codec call would have.
   */
 object Multimodal {
 
@@ -84,5 +87,63 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("bytes"),
         lit(0).as("width"), lit(0).as("height"))
       .as[MediaRow]
+  }
+
+  /** Parsed header metadata per media item (the REAL decode path — see
+    * [[MediaHeaders]]; only pixel/sample decoding remains codec-bound). */
+  case class MediaMeta(media_id: Long, format: String, width: Int,
+      height: Int, sample_rate: Int, channels: Int, bits_per_sample: Int)
+
+  /** Batched header decode: same partition-sizing/mapPartitions shape as
+    * [[extractFeatures]], but the decoder is the real container-header
+    * parser — dimensions and sample rates come from the bytes. */
+  def extractHeaders(ds: Dataset[MediaRow],
+      targetPartitionBytes: Long = 128L << 20): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    val shaped =
+      if (targetPartitionBytes <= 0) ds
+      else {
+        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
+        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+        val minParts = ds.sparkSession.sparkContext.defaultParallelism
+        val parts = math.max(minParts,
+          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
+        ds.repartition(parts, col("media_id"))
+      }
+    shaped.mapPartitions { it =>
+      it.map { row =>
+        val m = MediaHeaders.decode(row.bytes)
+        MediaMeta(row.media_id, m.format, m.width, m.height,
+          m.sample_rate, m.channels, m.bits_per_sample)
+      }
+    }
+  }
+
+  /** Spec-built fixture corpus over the documents table: each doc_id
+    * deterministically picks a container format and ground-truth
+    * metadata, then [[MediaFixtures]] renders REAL container bytes. An
+    * external oracle recomputes the same metadata from doc_id arithmetic
+    * — matching it proves [[MediaHeaders.decode]] recovers the values
+    * from the bytes alone. */
+  def mediaFixtures(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (16 + id % 97).toInt
+        val h = (16 + id % 53).toInt
+        val bytes = (id % 4) match {
+          case 0 => MediaFixtures.png(w, h)
+          case 1 => MediaFixtures.jpeg(w, h)
+          case 2 => MediaFixtures.gif(w, h)
+          case _ => MediaFixtures.wav((8000 + (id % 6) * 8000).toInt,
+            (1 + id % 2).toInt, 16)
+        }
+        val kind = (id % 4) match {
+          case 0 => "image/png"; case 1 => "image/jpeg"
+          case 2 => "image/gif"; case _ => "audio/wav"
+        }
+        MediaRow(id, kind, bytes, 0, 0)
+      }
   }
 }

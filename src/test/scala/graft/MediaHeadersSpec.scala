@@ -1,0 +1,98 @@
+package graft
+
+import graft.pipeline.{MediaFixtures, MediaHeaders}
+
+/** Header decoders vs spec-built fixtures, plus hostile-input totality.
+  * Fixture bytes are constructed from the public container specs (like
+  * MmdbSpec's byte-by-byte .mmdb files), never shipped binaries. */
+class MediaHeadersSpec extends GraftSuite {
+
+  test("png round trip incl. large dimensions") {
+    for ((w, h) <- Seq((1, 1), (640, 480), (16384, 9000))) {
+      val m = MediaHeaders.decode(MediaFixtures.png(w, h))
+      assert((m.format, m.width, m.height) == ("png", w, h))
+      assert(m.sample_rate == -1 && m.channels == -1)
+    }
+  }
+
+  test("png fixture is a fully valid stream (zlib inflates, CRCs check)") {
+    val b = MediaFixtures.png(5, 3)
+    // IHDR CRC: recompute over tag+payload
+    val crc = new java.util.zip.CRC32
+    crc.update(b, 12, 4 + 13)
+    val stored = ((b(29) & 0xFFL) << 24) | ((b(30) & 0xFFL) << 16) |
+      ((b(31) & 0xFFL) << 8) | (b(32) & 0xFFL)
+    assert(crc.getValue == stored)
+    // IDAT payload inflates without error
+    val idatLen = ((b(33) & 0xFF) << 24) | ((b(34) & 0xFF) << 16) |
+      ((b(35) & 0xFF) << 8) | (b(36) & 0xFF)
+    val inf = new java.util.zip.Inflater
+    inf.setInput(b, 41, idatLen)
+    val out = new Array[Byte](1024)
+    assert(inf.inflate(out) > 0)
+  }
+
+  test("jpeg round trip: SOF0 after APP0/DQT markers") {
+    for ((w, h) <- Seq((1, 1), (800, 600), (65535, 65535))) {
+      val m = MediaHeaders.decode(MediaFixtures.jpeg(w, h))
+      assert((m.format, m.width, m.height) == ("jpeg", w, h))
+    }
+  }
+
+  test("jpeg progressive SOF2 and padded fill bytes") {
+    // hand-build: SOI, fill FFs, APP1, SOF2
+    val sof2payload = Array[Byte](8) ++ Array(((300 >> 8) & 0xFF).toByte,
+      (300 & 0xFF).toByte, ((500 >> 8) & 0xFF).toByte, (500 & 0xFF).toByte) ++
+      Array[Byte](1, 1, 0x11, 0)
+    val b = Array(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xE1, 0x00, 0x04, 0x00, 0x00)
+      .map(_.toByte) ++
+      Array(0xFF, 0xC2).map(_.toByte) ++
+      Array((((sof2payload.length + 2) >> 8) & 0xFF).toByte,
+        ((sof2payload.length + 2) & 0xFF).toByte) ++ sof2payload
+    val m = MediaHeaders.decode(b)
+    assert((m.format, m.width, m.height) == ("jpeg", 500, 300))
+  }
+
+  test("gif round trip") {
+    val m = MediaHeaders.decode(MediaFixtures.gif(320, 200))
+    assert((m.format, m.width, m.height) == ("gif", 320, 200))
+  }
+
+  test("wav round trip incl. preceding junk chunk") {
+    val m = MediaHeaders.decode(MediaFixtures.wav(44100, 2, 16))
+    assert((m.format, m.sample_rate, m.channels, m.bits_per_sample) ==
+      ("wav", 44100, 2, 16))
+    assert(m.width == -1 && m.height == -1)
+    // splice a LIST chunk before fmt : walker must skip it (odd size padded)
+    val wavB = MediaFixtures.wav(8000, 1, 8)
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0) ++ Array[Byte](1, 2, 3, 0)
+    val spliced = wavB.take(12) ++ junk ++ wavB.drop(12)
+    val m2 = MediaHeaders.decode(spliced)
+    assert((m2.format, m2.sample_rate, m2.channels) == ("wav", 8000, 1))
+  }
+
+  test("hostile inputs decode to unknown, never throw") {
+    val cases = Seq(
+      null,
+      Array.empty[Byte],
+      Array[Byte](1, 2, 3),
+      "not a media file at all".getBytes,
+      MediaFixtures.png(10, 10).take(20),          // truncated IHDR
+      MediaFixtures.jpeg(10, 10).take(3),          // truncated marker
+      Array(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x02, 0x00, 0x00, 0x00, 0x00,
+        0x00, 0x00).map(_.toByte),                 // SOS before SOF
+      "RIFF....WAVE".getBytes,                     // RIFF with no fmt
+      "RIFF....WAVEfmt ".getBytes ++ Array[Byte](-1, -1, -1, 0x7F), // huge size
+      MediaFixtures.gif(1, 1).take(7))
+    for (c <- cases) assert(MediaHeaders.decode(c).format == "unknown",
+      s"case ${if (c == null) "null" else c.length.toString}")
+  }
+
+  test("spark fixture corpus decodes end to end") {
+    val meta = graft.pipeline.Multimodal.extractHeaders(
+      graft.pipeline.Multimodal.mediaFixtures(spark, "/root/testdata/sf0.001"),
+      targetPartitionBytes = 0)
+    assert(meta.filter(meta("format") === "unknown").count() == 0)
+  }
+}
