@@ -3,6 +3,8 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -163,6 +165,56 @@ object CidrMatch {
   }
 }
 
+/** `ipv6_to_longs(ip)` — IPv6 literal as array<bigint> [hi, lo] (network
+  * byte order: hi = bytes 0..7). IPv4 literals are lifted to their
+  * ::ffff:0:0/96 v4-mapped form, mirroring libmaxminddb's probe behavior
+  * for v4 addresses against ip_version 6 databases
+  * (`/root/reference/modules/geoip2/geoip-parser.c:56-70` semantics).
+  * Null for non-literal input. */
+case class Ipv6ToLongs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ipv6_to_longs"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(v: Any): Any =
+    Ipv6ToLongs.toLongs(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val out = ctx.freshName("v6")
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = true;
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${c.isNull}) {
+        org.apache.spark.sql.catalyst.util.ArrayData $out =
+          graft.functions.Ipv6ToLongs.toLongs(${c.value});
+        if ($out != null) { ${ev.isNull} = false; ${ev.value} = $out; }
+      }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Ipv6ToLongs = copy(child = c)
+}
+
+object Ipv6ToLongs {
+  def toLongs(s: UTF8String): ArrayData = {
+    val b0 = CidrMatch.parseIp(s.toString)
+    if (b0 == null) return null
+    val b = if (b0.length == 16) b0 else {
+      val m = new Array[Byte](16)
+      m(10) = -1; m(11) = -1
+      System.arraycopy(b0, 0, m, 12, 4)
+      m
+    }
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < 8) { hi = (hi << 8) | (b(i) & 0xFFL); i += 1 }
+    while (i < 16) { lo = (lo << 8) | (b(i) & 0xFFL); i += 1 }
+    new GenericArrayData(Array(hi, lo))
+  }
+}
+
 /** Column builders + SQL registration for graft's custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions.lit
@@ -180,6 +232,9 @@ object GraftFunctions {
 
   def cidr_match(cidr: String, ip: Column): Column =
     ColumnBridge.column(CidrMatch(ColumnBridge.expression(ip), cidr))
+
+  def ipv6_to_longs(ip: Column): Column =
+    ColumnBridge.column(Ipv6ToLongs(ColumnBridge.expression(ip)))
 
   /** Register SQL names (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -106,6 +106,39 @@ object Enrich {
     order.map { case (s, m) => (s, m.toMap) }.toArray
   }
 
+  /** IPv6 range lookup (geoip2() on ip_version 6 databases,
+    * `/root/reference/modules/geoip2/geoip-parser.c:56-70` semantics):
+    * `ranges` is [[Mmdb.toRangeTableV6]]'s (lo_hi, lo_lo, hi_hi, hi_lo,
+    * attrs...) table of inclusive u128 ranges. Same shape as the v4
+    * path: equi-join on the address's top-32-bit prefix (each range
+    * exploded over the /32 prefixes it covers), then an unsigned-128
+    * range filter — broadcast HASH join, never a nested-loop between.
+    * Sign-bit biasing maps unsigned long order onto signed comparisons.
+    * Explosion bound: a /d network yields 2^(32-d) prefix rows for
+    * d < 32 and exactly 1 otherwise — real GeoIP v6 allocations are
+    * /16..​/64, i.e. ≤ 65k rows each, config-scale either way. */
+  def ip6RangeLookup(df: DataFrame, ranges: DataFrame, ip: Column,
+      joinType: String = "left"): DataFrame = {
+    val bias = lit(Long.MinValue)
+    def b(c: Column): Column = c.bitwiseXOR(bias)
+    val withPrefixes = ranges
+      .withColumn("__p32",
+        explode(sequence(shiftrightunsigned(col("lo_hi"), 32),
+          shiftrightunsigned(col("hi_hi"), 32))))
+    val v6 = graft.functions.GraftFunctions.ipv6_to_longs(ip)
+    val geCond = b(col("__ip_hi")) > b(col("lo_hi")) ||
+      (col("__ip_hi") === col("lo_hi") && b(col("__ip_lo")) >= b(col("lo_lo")))
+    val leCond = b(col("__ip_hi")) < b(col("hi_hi")) ||
+      (col("__ip_hi") === col("hi_hi") && b(col("__ip_lo")) <= b(col("hi_lo")))
+    df.withColumn("__v6", v6)
+      .withColumn("__ip_hi", col("__v6").getItem(0))
+      .withColumn("__ip_lo", col("__v6").getItem(1))
+      .withColumn("__ip_p32", shiftrightunsigned(col("__ip_hi"), 32))
+      .join(broadcast(withPrefixes),
+        col("__ip_p32") === col("__p32") && geCond && leCond, joinType)
+      .drop("__p32", "__ip_p32", "__ip_hi", "__ip_lo", "__v6")
+  }
+
   /** Range lookup (geoip-style): `ranges` has (lo, hi, attrs...) with
     * lo/hi as uint32-as-long IPs. Equi-joins on /16 prefix (each block
     * exploded to its covered prefixes), then range-filters — broadcast

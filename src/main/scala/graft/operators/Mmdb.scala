@@ -105,6 +105,56 @@ object Mmdb {
       }
       if (node > nodeCount) Some(flatten(dataAt(node))) else None
     }
+
+    /** Full-width enumeration of an IPv6 database: every network as
+      * (prefixHi, prefixLo, depth, data), prefix bits left-aligned
+      * across the two longs (bits 0..63 in `hi`, 64..127 in `lo` of the
+      * 128-bit address). Covers the NATIVE v6 space the reference's
+      * libmaxminddb path serves (geoip-parser.c:56-70) — including the
+      * ::ffff:0:0/96 v4-mapped subtree, which [[networks]] exports
+      * separately as uint32 ranges. */
+    def networksV6(): Seq[(Long, Long, Int, Map[String, String])] = {
+      require(ipVersion == 6, s"networksV6 on ip_version $ipVersion database")
+      val out = Seq.newBuilder[(Long, Long, Int, Map[String, String])]
+      def walk(node: Long, pHi: Long, pLo: Long, depth: Int): Unit = {
+        if (node >= nodeCount) {
+          if (node > nodeCount) out += ((pHi, pLo, depth, flatten(dataAt(node))))
+        } else if (depth >= 128) ()
+        else {
+          val (oneHi, oneLo) =
+            if (depth < 64) (pHi | (1L << (63 - depth)), pLo)
+            else (pHi, pLo | (1L << (127 - depth)))
+          walk(record(node, 0), pHi, pLo, depth + 1)
+          walk(record(node, 1), oneHi, oneLo, depth + 1)
+        }
+      }
+      walk(0L, 0L, 0L, 0)
+      out.result()
+    }
+
+    /** Single IPv6 lookup from a 16-byte address (tests / driver-side
+      * probes); 4-byte input is lifted to its ::ffff:0:0/96 v4-mapped
+      * form, as libmaxminddb does for v4 probes of v6 databases. v4
+      * databases cannot serve v6 probes (spec). */
+    def lookup6(addr0: Array[Byte]): Option[Map[String, String]] = {
+      require(addr0.length == 16 || addr0.length == 4,
+        "lookup6 needs a 16- or 4-byte address")
+      if (ipVersion != 6) return None
+      val addr = if (addr0.length == 16) addr0 else {
+        val m = new Array[Byte](16)
+        m(10) = -1; m(11) = -1
+        System.arraycopy(addr0, 0, m, 12, 4)
+        m
+      }
+      var node = 0L
+      var depth = 0
+      while (node < nodeCount && depth < 128) {
+        val bit = (addr(depth >> 3) >> (7 - (depth & 7))) & 1
+        node = record(node, bit)
+        depth += 1
+      }
+      if (node > nodeCount) Some(flatten(dataAt(node))) else None
+    }
   }
 
   /** Decode one data field at `off`; returns (value, nextOffset). */
@@ -228,6 +278,31 @@ object Mmdb {
     }
     val schema = StructType(
       StructField("lo", LongType) :: StructField("hi", LongType) ::
+        fields.map(f => StructField(f.replace('.', '_'), StringType)).toList)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1), schema)
+  }
+
+  /** Export an IPv6 database's networks as the 128-bit range table
+    * [[Enrich.ip6RangeLookup]] broadcasts: each network as an inclusive
+    * [lo, hi] u128 range split into (lo_hi, lo_lo, hi_hi, hi_lo) longs
+    * (unsigned bit patterns — the join biases them for ordering). */
+  def toRangeTableV6(spark: SparkSession, path: String,
+      fields: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val db = open(path)
+    val rows = db.networksV6().map { case (pHi, pLo, depth, data) =>
+      val (hiHi, hiLo) =
+        if (depth <= 64)
+          (pHi | (if (depth == 64) 0L else -1L >>> depth), -1L)
+        else
+          (pHi, pLo | (-1L >>> (depth - 64)))
+      Row.fromSeq(Seq(pHi, pLo, hiHi, hiLo) ++ fields.map(f => data.getOrElse(f, null)))
+    }
+    val schema = StructType(
+      StructField("lo_hi", LongType) :: StructField("lo_lo", LongType) ::
+        StructField("hi_hi", LongType) :: StructField("hi_lo", LongType) ::
         fields.map(f => StructField(f.replace('.', '_'), StringType)).toList)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toList, 1), schema)
