@@ -46,6 +46,75 @@ class FramingSpec extends GraftSuite {
     assert(frames("3 abc10 0123456789", maxMsgSize = 4, trim = false) == Seq("abc"))
   }
 
+  test("proxy protocol v1 header: reference test battery") {
+    import graft.functions.ProxyProtoHeader
+    // (line, expectedValid) pairs ported verbatim from
+    // /root/reference/lib/logproto/tests/test-proxy-proto.c:42-85
+    val battery = Seq(
+      ("PROXY UNKNOWN\r\n", true),
+      ("PROXY UNKNOWN extra ignored parameters\r\n", true),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2 3333 4444\r\n", true),
+      ("PROXY TCP6 ::1 ::2 3333 4444\r\n", true),
+      ("PROXY UNKNOWN\n", true),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2 3333 4444\n", true),
+      ("PROXY UNKNOWN\r", true),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2 3333 4444\r", true),
+      ("PROXY\r\n", false),
+      ("PROXY TCP4\r\n", false),
+      ("PROXY TCP4 1.1.1.1\r\n", false),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2\r\n", false),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2 3333\r\n", false),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2 3333 4444 extra param\r\n", true),
+      ("PROXY TCP4  1.1.1.1 2.2.2.2 3333 4444\r\n", true),
+      ("PROXY TCP4 1.1.1.1  2.2.2.2 3333 4444\r\n", true),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2  3333 4444\r\n", true),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2 3333  4444\r\n", true),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2 3333 4444 \r\n", true),
+      ("PROXY  TCP4 1.1.1.1 2.2.2.2 3333 4444\r\n", false),
+      ("PROXY TCP6 1.1.1.1 2.2.2.2 3333 4444\r\n", true),
+      ("PROXY TCP4 ::1 ::2 3333 4444\r\n", true),
+      ("PROXY TCP4 1.1.1 2.2.2.2 3333 4444\r\n", true),
+      ("PROXY TCP4 1.1.1.1.1 2.2.2.2 3333 4444\r\n", true),
+      ("PROXY TCP6 ::1::0 ::1 3333 4444\r\n", true),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2 33333 0\r\n", true),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2 33333 -1\r\n", true),
+      ("PROXY TCP4 1.1.1.1 2.2.2.2 33333 65536\r\n", true),
+      ("PROXY TCP3 1.1.1.1 2.2.2.2 3333 4444\r\n", false),
+      ("PROXY TCP4 " + "pad" * 51, false)) // > 216 bytes
+    val out = battery.map(_._1).toDF("line")
+      .select(ProxyProtoHeader(col("line")).as("h"))
+      .select("h.valid").collect().map(_.getBoolean(0)).toSeq
+    battery.zip(out).foreach { case ((line, expected), got) =>
+      assert(got == expected, s"'${line.trim}' expected valid=$expected")
+    }
+  }
+
+  test("proxy protocol v1 field capture and payload strip") {
+    import graft.functions.ProxyProtoHeader
+    val h = Seq("PROXY TCP4 192.168.0.1 10.0.0.1 33333  443\r")
+      .toDF("line").select(ProxyProtoHeader(col("line")).as("h")).head.getStruct(0)
+    assert((h.getBoolean(0), h.getBoolean(1), h.getInt(2), h.getString(3),
+      h.getString(4), h.getInt(5), h.getInt(6)) ==
+      (true, false, 4, "192.168.0.1", "10.0.0.1", 33333, 443))
+    // whole-payload strip: handshake line off, body lines keep aux pairs
+    val payload = "PROXY TCP6 ::1 ::2 10 20\nline one\nline two"
+    val row = Seq(payload).toDF("p")
+      .select(ProxyProtoHeader.stripPayload(col("p")).as("s"))
+      .select(col("s.body"),
+        ProxyProtoHeader.nvPairs(col("s.info")).as("nv"))
+      .head
+    assert(row.getString(0) == "line one\nline two")
+    val nv = row.getMap[String, String](1)
+    assert(nv("PROXIED_SRCIP") == "::1" && nv("PROXIED_DSTPORT") == "20" &&
+      nv("PROXIED_IP_VERSION") == "6")
+    // PROXY UNKNOWN: valid handshake, but no aux pairs (early return)
+    val unk = Seq("PROXY UNKNOWN\nmsg").toDF("p")
+      .select(ProxyProtoHeader.stripPayload(col("p")).as("s"))
+      .select(col("s.info.valid"), ProxyProtoHeader.nvPairs(col("s.info")).as("nv"))
+      .head
+    assert(unk.getBoolean(0) && unk.getMap[String, String](1).isEmpty)
+  }
+
   test("file-based framed source emits records with lineage") {
     val dir = java.nio.file.Files.createTempDirectory("framed")
     java.nio.file.Files.write(dir.resolve("a.log"),
