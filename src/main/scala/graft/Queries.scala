@@ -693,6 +693,49 @@ object Queries {
       SELECT host, n, kmax, team FROM agg
       WHERE CAST(n AS BIGINT) > 1 ORDER BY host"""))
 
+  /** Config front end: reusable block{} definition (backtick parameter
+    * substitution, cfg-block-generator.c) + if/elif/else in the log
+    * path (desugared to a junction of FINAL channels exactly as
+    * lib/cfg-tree.c:391-431 describes). */
+  private val configPipelineV3 = Q("config_pipeline_v3",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+        .withColumn("message", concat(lit("u="), col("user_id"), lit(" k="),
+          regexp_extract(col("props"), "\"k\": (\\d+)", 1)))
+        .withColumn("tags", array().cast("array<string>"))
+      val conf = """
+        @version: 3.33
+        block parser kv_with_prefix(prefix(".kv.")) {
+          kv-parser(prefix("`prefix`"));
+        };
+        source s_ev { file("/var/log/events.log"); };
+        destination d_out { file("/out/banded.log"); };
+        log {
+          source(s_ev);
+          parser(kv_with_prefix(prefix(".p3.")));
+          if (severity(emerg..err)) {
+            rewrite(set("urgent", value("band")));
+          } elif (program("click") or program("view")) {
+            rewrite(set("web", value("band")));
+          } else {
+            rewrite(set("other", value("band")));
+          };
+          destination(d_out);
+        };
+      """
+      val out = graft.config.ConfigCompiler
+        .compile(graft.config.ConfigParser.parse(conf), Map("s_ev" -> ev)).head.df
+      out.select(col("event_id"), col("band"),
+          element_at(col("values"), ".p3.k").as("k"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CASE WHEN event_id % 8 <= 3 THEN 'urgent'
+           WHEN event_type IN ('click', 'view') THEN 'web'
+           ELSE 'other' END AS band,
+      regexp_extract(props, '"k": (\d+)', 1) AS k
+      FROM events ORDER BY event_id"""))
+
   // ---------------------------------------------------------------------
   // value-pairs + structured output formatters (SURVEY §2.8)
   // ---------------------------------------------------------------------
@@ -1423,7 +1466,7 @@ object Queries {
     routeJunction, patterndbClassify, appParserQ, enrichRange, enrichGlob,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
     parseJsonNested, parseXml, parseDate, parseTagsRekey,
-    configPipeline, configPipelineV2, formatJsonQ, formatWelfCef, vpRekey,
+    configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
     dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash,
     dedupSimhashR3, dedupSimhash128, dedupEmbedding,

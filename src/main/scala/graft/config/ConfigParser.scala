@@ -108,7 +108,24 @@ object ConfigParser {
   // ---- parser ---------------------------------------------------------------
   final class ParseError(msg: String) extends RuntimeException(msg)
 
-  def parse(src: String): Config = new P(lex(src)).config()
+  /** A reusable `block kind name(params) { body }` definition
+    * (`/root/reference/lib/cfg-block-generator.c`): the body is raw
+    * config text; at use, backtick-quoted \`param\` references are
+    * substituted (use-site args override declared defaults) and the
+    * result is re-parsed in place — the reference's lexer-level macro
+    * expansion. */
+  private final case class BlockDef(kind: String, name: String,
+      params: Seq[(String, String)], body: String) {
+    def expand(args: Seq[Arg]): String = {
+      val supplied = args.collect { case KV(k, vs) =>
+        k -> vs.collect { case Lit(v) => v }.mkString(" ") }.toMap
+      params.foldLeft(body) { case (b, (k, dflt)) =>
+        b.replace("`" + k + "`", supplied.getOrElse(k, dflt))
+      }
+    }
+  }
+
+  def parse(src: String): Config = new P(lex(src), src).config()
 
   private[graft] val wordCmpOps = Set("eq", "ne", "lt", "gt", "le", "ge")
 
@@ -117,9 +134,11 @@ object ConfigParser {
     * `modules/basicfuncs/cond-funcs.c:148-177` compiles its argument with
     * the same filter-expr grammar). */
   def parseFilterExpr(src: String): FilterExpr =
-    new P(lex(src)).standaloneFilter()
+    new P(lex(src), src).standaloneFilter()
 
-  private final class P(toks: Vector[Tok]) {
+  private final class P(toks: Vector[Tok], src: String,
+      blockDefs: mutable.Map[(String, String), BlockDef] =
+        mutable.Map.empty) {
     private var pos = 0
     private def peek: Tok = if (pos < toks.length) toks(pos) else Tok("eof", "", -1)
     private def next(): Tok = { val t = peek; pos += 1; t }
@@ -148,12 +167,25 @@ object ConfigParser {
           case "options" | "template" =>
             val _ = if (peek.kind == "word") next() else peek
             skipBlock()
+          case "block" =>
+            // block kind name(param(default) ...) { raw body };
+            // (cfg-block-generator.c) — must precede its uses, like the
+            // reference's lexer-level expansion
+            val bkind = expect("word").text
+            val bname = expect("word").text
+            val params = argList().collect {
+              case KV(k, vs) => k -> vs.collect { case Lit(v) => v }.mkString(" ")
+              case Lit(k) => k -> ""
+            }
+            val body = sliceBracedBody()
+            expect(";")
+            blockDefs((bkind, bname)) = BlockDef(bkind, bname, params, body)
           case kind @ ("source" | "destination" | "parser" | "rewrite") =>
             val name = expect("word").text
             expect("{")
             val stmts = mutable.ArrayBuffer.empty[Stmt]
             while (!accept("}")) {
-              stmts += stmt()
+              stmts ++= stmtExpanded(kind)
               expect(";")
             }
             expect(";")
@@ -180,6 +212,49 @@ object ConfigParser {
     private def stmt(): Stmt = {
       val name = expect("word").text
       Stmt(name, argList())
+    }
+
+    /** Raw source between a `{` and its matching `}` (both consumed) —
+      * token-aware, so braces inside quoted strings don't count. */
+    private def sliceBracedBody(): String = {
+      val open = expect("{")
+      var depth = 1
+      var close = open
+      while (depth > 0) {
+        val t = next()
+        t.kind match {
+          case "{" => depth += 1
+          case "}" => depth -= 1; if (depth == 0) close = t
+          case "eof" => throw new ParseError("unterminated block body")
+          case _ =>
+        }
+      }
+      src.substring(open.pos + 1, close.pos)
+    }
+
+    /** Parse one statement, expanding it if it names a block definition
+      * of this kind: substitute args into the stored body and re-parse
+      * the result as a statement list (recursive — blocks may use
+      * earlier blocks). */
+    private def stmtExpanded(kind: String): Seq[Stmt] = {
+      val s = stmt()
+      blockDefs.get((kind, s.name)) match {
+        case None => Seq(s)
+        case Some(bd) =>
+          val expanded = bd.expand(s.args)
+          new P(lex(expanded), expanded, blockDefs).stmtList(kind)
+      }
+    }
+
+    /** `stmt; stmt; ...` to eof — the shape of an expanded block body;
+      * nested block uses expand recursively. */
+    def stmtList(kind: String): Seq[Stmt] = {
+      val out = mutable.ArrayBuffer.empty[Stmt]
+      while (peek.kind != "eof") {
+        out ++= stmtExpanded(kind)
+        expect(";")
+      }
+      out.toSeq
     }
 
     private def argList(): Seq[Arg] = {
@@ -250,10 +325,41 @@ object ConfigParser {
 
     private def logPath(): Seq[LogElem] = {
       expect("{")
+      val elems = logContent()
+      expect(";")
+      elems
+    }
+
+    /** `if (EXPR) { ... } elif (EXPR) { ... } else { ... }` — compiled
+      * exactly as the reference does (`lib/cfg-tree.c:391-431`): a
+      * junction of two FINAL channels, the TRUE branch carrying the
+      * filter expression, the FALSE branch holding the else content (or
+      * the next conditional of the chain, or nothing). The leading `if`
+      * is already consumed; the chain's trailing `;` is not. */
+    private def ifChain(): LogElem = {
+      expect("(")
+      val cond = filterExpr()
+      expect(")")
+      expect("{")
+      val tBranch = logContent()
+      val fBranch: Seq[LogElem] =
+        if (accept("word", "elif")) Seq(ifChain())
+        else if (accept("word", "else")) { expect("{"); logContent() }
+        else Nil
+      JunctionElem(Seq(
+        ChannelElem(InlineFilter(cond) +: tBranch, Seq("final")),
+        ChannelElem(fBranch, Seq("final"))))
+    }
+
+    /** Log-path elements until the closing `}` (consumed). */
+    private def logContent(): Seq[LogElem] = {
       val elems = mutable.ArrayBuffer.empty[LogElem]
       while (!accept("}")) {
         val w = expect("word").text
         w match {
+          case "if" =>
+            elems += ifChain()
+            expect(";")
           case "junction" =>
             expect("{")
             val chans = mutable.ArrayBuffer.empty[ChannelElem]
@@ -280,16 +386,22 @@ object ConfigParser {
               val e = filterExpr(); expect(")"); expect(";")
               elems += InlineFilter(e)
             } else {
-              // inline driver: parser(kv-parser(...)) style
+              // inline driver: parser(kv-parser(...)) style; a name
+              // matching a block definition expands in place
               val inner = expect("word").text
               val s = Stmt(inner, argList())
               expect(")"); expect(";")
-              elems += InlineStmt(kind, s)
+              blockDefs.get((kind, inner)) match {
+                case None => elems += InlineStmt(kind, s)
+                case Some(bd) =>
+                  val expanded = bd.expand(s.args)
+                  elems ++= new P(lex(expanded), expanded, blockDefs)
+                    .stmtList(kind).map(InlineStmt(kind, _))
+              }
             }
           case other => throw new ParseError(s"unknown log element: $other")
         }
       }
-      expect(";")
       elems.toSeq
     }
   }

@@ -95,6 +95,77 @@ class ConfigSpec extends GraftSuite {
     assert(out.count() == 4) // final + fallback partition the stream
   }
 
+  test("if/elif/else desugars to final-channel junctions (cfg-tree.c:391-431)") {
+    val cfg = ConfigParser.parse("""
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      log {
+        source(s);
+        if (severity(emerg..crit)) {
+          rewrite(set("page", value("action")));
+        } elif (program("nginx")) {
+          rewrite(set("route", value("action")));
+          rewrite(set-tag("web"));
+        } else {
+          rewrite(set("archive", value("action")));
+        };
+        destination(d);
+      };
+    """)
+    val out = ConfigCompiler.compile(cfg, Map("s" -> logs)).head.df
+    val acts = out.select("host", "program", "severity", "action").collect()
+      .map(r => (r.getString(1), r.getInt(2), r.getString(3))).toSet
+    // kernel oom sev 2 -> page; nginx sev 4,3 -> route; postgres sev 6 -> archive
+    assert(acts == Set(("kernel", 2, "page"),
+      ("nginx", 4, "route"), ("nginx", 3, "route"), ("postgres", 6, "archive")))
+    assert(out.count() == 4) // chain partitions the stream, no dup/loss
+    assert(out.filter(array_contains(col("tags"), "web")).count() == 2)
+  }
+
+  test("if without else: non-matching rows pass through unchanged") {
+    val cfg = ConfigParser.parse("""
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      log {
+        source(s);
+        if (program("nginx")) { rewrite(set-tag("web")); };
+        destination(d);
+      };
+    """)
+    val out = ConfigCompiler.compile(cfg, Map("s" -> logs)).head.df
+    assert(out.count() == 4)
+    assert(out.filter(array_contains(col("tags"), "web")).count() == 2)
+  }
+
+  test("block definitions expand with backtick params and defaults") {
+    val cfg = ConfigParser.parse("""
+      block parser tagged_kv(prefix(".kv.") vsep("=")) {
+        kv-parser(prefix("`prefix`") value-separator("`vsep`"));
+      };
+      block rewrite audit() {
+        set-tag("audited");
+        set("seen", value("state"));
+      };
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      parser p_use { tagged_kv(prefix(".custom.")); };
+      log {
+        source(s);
+        parser(p_use);
+        rewrite(audit());
+        destination(d);
+      };
+    """)
+    val out = ConfigCompiler.compile(cfg, Map("s" -> logs)).head.df
+    // block param override: keys land under .custom., default vsep used
+    val ks = out.select(element_at(col("values"), ".custom.k")).collect()
+      .flatMap(r => Option(r.getString(0))).sorted.toSeq
+    assert(ks == Seq("1", "2"))
+    // multi-statement rewrite block expanded inline in the log path
+    assert(out.filter(array_contains(col("tags"), "audited")).count() == 4)
+    assert(out.filter(col("state") === "seen").count() == 4)
+  }
+
   test("streaming compile: config text -> running pipeline -> partitioned files") {
     val inDir = java.nio.file.Files.createTempDirectory("graft-cfg-in").toString
     java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "a.log"),
