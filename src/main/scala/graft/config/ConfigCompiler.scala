@@ -295,6 +295,19 @@ object ConfigCompiler {
           }
         }
 
+      // vendor scl parsers (scl/cisco, scl/checkpoint, scl/paloalto):
+      // the reference composes these from csv/kv/date blocks in config
+      // text; here each is one narrow codegen'd pipeline
+      case "cisco-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse(".cisco.")
+        df => graft.operators.VendorParsers.cisco(df, prefix)
+      case "checkpoint-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse(".checkpoint.")
+        df => graft.operators.VendorParsers.checkpoint(df, prefix)
+      case "panos-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse(".panos.")
+        df => graft.operators.VendorParsers.panos(df, prefix)
+
       case other => throw new IllegalArgumentException(s"unsupported parser: $other")
     }
   }

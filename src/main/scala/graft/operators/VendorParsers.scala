@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vendor device-log parsers — the reference ships these as scl config
+  * blocks composed from csv/kv/date/match primitives
+  * (`/root/reference/scl/cisco/plugin.conf`,
+  * `scl/checkpoint/plugin.conf`, `scl/paloalto/panos.conf`); here each
+  * is the same composition expressed as ONE narrow Column pipeline (no
+  * try-and-reparse channels — the format branches are `when()` arms on
+  * cheap structural predicates, so a 100 TB scan stays single-pass and
+  * codegen'd).
+  *
+  * Extracted fields land in the `values` map under the vendor prefix
+  * (the reference's NV names: `.cisco.facility`, `.panos.type`, ...);
+  * HOST/PROGRAM/MSG rewrites hit the corresponding columns.
+  */
+object VendorParsers {
+
+  private def valuesOrEmpty(df: DataFrame): Column =
+    if (df.columns.contains("values")) col("values")
+    else map().cast("map<string,string>")
+
+  /** Merge non-null entries of `add` into values (new keys win). */
+  private def merged(df: DataFrame, add: Column): Column = {
+    val clean = map_filter(add, (_, v) => v.isNotNull)
+    map_concat(
+      map_filter(valuesOrEmpty(df), (k, _) => !array_contains(map_keys(clean), k)),
+      clean)
+  }
+
+  // ---- cisco ---------------------------------------------------------------
+  /** cisco-parser() (`scl/cisco/plugin.conf`): `<pri>(seq: )?(host: )?
+    * (*timestamp: )?%FAC-SEV-MNEMONIC: text`. The %-triplet classifies
+    * the message; host and timestamp are optional header pieces. */
+  def cisco(df: DataFrame, prefix: String = ".cisco.",
+      refYear: Int = 2024): DataFrame = {
+    val msg = col("message")
+    val pri = regexp_extract(msg, "^<(\\d+)>", 1)
+    val rest = regexp_replace(msg, "^<\\d+>", "")
+    // split at the FIRST ": %" — header left, cisco message right
+    // (csv-parser(delimiters(strings(': %')) greedy) in the reference)
+    val header = substring_index(rest, ": %", 1)
+    val body = rest.substr(length(header) + lit(4), length(rest))
+    // %FAC-SEV-MNEMONIC triplet; STANDBY-style 4-part forms fold the
+    // extra token into the facility (cisco-triplet-parser else-branch)
+    val triplet = substring_index(substring_index(body, ":", 1), " ", 1)
+    val parts = split(triplet, "-")
+    val isQuad = size(parts) >= 4
+    val facility = when(isQuad, concat_ws("-", element_at(parts, 1), element_at(parts, 2)))
+      .otherwise(element_at(parts, 1))
+    val sevPos = when(isQuad, lit(3)).otherwise(lit(2))
+    val severity = element_at(parts, sevPos)
+    val mnemonic = element_at(parts, sevPos + 1)
+    // header after dropping "seqno: " (subst "^([0-9]+)?(: )?")
+    val h2 = regexp_replace(header, "^([0-9]+)?(: )?", "")
+    val tsRe = "\\*?[A-Za-z]{3} [0-9 ]?\\d{1,2} (\\d{4} )?\\d{2}:\\d{2}:\\d{2}(\\.\\d{3})?( (AM|PM))?"
+    val hostThenTs = regexp_extract(h2, s"^([^:]+): ($tsRe)$$", 1)
+    val tsText = when(h2.rlike(s"^$tsRe$$"), h2)
+      .when(hostThenTs =!= "", regexp_extract(h2, s"^([^:]+): ($tsRe)$$", 2))
+    val host = when(hostThenTs =!= "", hostThenTs)
+      .when(!h2.rlike(s"^$tsRe$$") && h2.rlike("^[^:]+$") && h2 =!= "", h2)
+    // year-less cisco timestamp: strip the '*' (unsynced-clock marker),
+    // prepend the reference year, try the sub-second form first
+    val cleanTs = concat(lit(s"$refYear "), regexp_replace(tsText, "^\\*", ""))
+    val ts = coalesce(
+      try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss.SSS")),
+      try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss")))
+    val isCisco = msg.rlike("^<\\d+>.*: %") && size(parts) >= 3
+    val add = map(
+      lit(prefix + "facility"), when(isCisco, facility),
+      lit(prefix + "severity"), when(isCisco, severity),
+      lit(prefix + "mnemonic"), when(isCisco, mnemonic))
+    // every derived Column reads the ORIGINAL message — stage them all
+    // before the message rewrite (the when(isCisco) guard also keeps
+    // ANSI casts off non-matching rows, whose pri extract is "")
+    val priL = when(isCisco, pri.cast("long"))
+    df.withColumn("values", merged(df, add))
+      .withColumn("__cisco", isCisco)
+      .withColumn("__host", when(isCisco, host))
+      .withColumn("__ts", when(isCisco, ts))
+      .withColumn("__fac", when(isCisco, floor(priL / 8).cast("int")))
+      .withColumn("__sev", when(isCisco, (priL % 8).cast("int")))
+      .withColumn("__msg", when(isCisco, concat(lit("%"), body)).otherwise(msg))
+      .withColumn("message", col("__msg"))
+      .withColumn("facility", col("__fac"))
+      .withColumn("severity", col("__sev"))
+      .withColumn("host", coalesce(col("__host"),
+        if (df.columns.contains("host")) col("host") else lit(null).cast("string")))
+      .withColumn("ts", coalesce(col("__ts"),
+        if (df.columns.contains("ts")) col("ts").cast("timestamp")
+        else lit(null).cast("timestamp")))
+      .drop("__cisco", "__host", "__ts", "__fac", "__sev", "__msg")
+  }
+
+  // ---- checkpoint ----------------------------------------------------------
+  /** checkpoint-parser() (`scl/checkpoint/plugin.conf`): the syslog
+    * form (`<pri>1 DATE HOST CheckPoint PID - [k:"v"; ...]`, date
+    * either ISO-T or `date time` split across two fields) and the
+    * splunk form (`time=...|hostname=...|product=Firewall`). */
+  def checkpoint(df: DataFrame, prefix: String = ".checkpoint."): DataFrame = {
+    val msg = col("message")
+    val isSyslog = msg.startsWith("<")
+    val f = split(msg, " ")
+    val tForm = element_at(f, 2).rlike("^\\d{4}-\\d{2}-\\d{2}T")
+    // columns 1,2,HOST,PROGRAM,PID,MSGID,MSG(greedy) — or 1,2,3,... when
+    // the timestamp occupies two space-separated fields
+    def tailFrom(k: Int): Column =
+      array_join(slice(f, lit(k), greatest(size(f) - (k - 1), lit(0))), " ")
+    val host = when(tForm, element_at(f, 3)).otherwise(element_at(f, 4))
+    val program = when(tForm, element_at(f, 4)).otherwise(element_at(f, 5))
+    val pid = when(tForm, element_at(f, 5)).otherwise(element_at(f, 6))
+    val kvBody = when(tForm, tailFrom(7)).otherwise(tailFrom(8))
+    val tsRaw = when(tForm, element_at(f, 2)).otherwise(
+      concat_ws(" ", element_at(f, 2), element_at(f, 3)))
+    val ts = coalesce(
+      try_to_timestamp(tsRaw, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(tsRaw, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(tsRaw, lit("yyyy-MM-dd HH:mm:ss")))
+    // syslog form: [action:"Update"; flags:"150784"; ...] — quoted kv
+    // pairs, ':'-separated; quotes guard embedded ';' so the whitespace
+    // scanner needs no explicit pair separator. splunk form: k=v pairs
+    // '|'-separated, no quoting (the reference accepts that limitation,
+    // plugin.conf "not handling value escaping properly")
+    val kvs = when(isSyslog, Parsers.kvParse(kvBody, ':', prefix))
+      .otherwise(Parsers.kvParse(translate(msg, "|", " "), '=', prefix))
+    // stage every derived Column before the message rewrite — they all
+    // read the ORIGINAL message
+    df.withColumn("values", merged(df, kvs))
+      .withColumn("__cp_host", when(isSyslog, host))
+      .withColumn("__cp_prog", when(isSyslog, program).otherwise(
+        if (df.columns.contains("program")) col("program") else lit(null).cast("string")))
+      .withColumn("__cp_pid", when(isSyslog, pid))
+      .withColumn("__cp_ts", when(isSyslog, ts).otherwise(
+        if (df.columns.contains("ts")) col("ts").cast("timestamp")
+        else lit(null).cast("timestamp")))
+      .withColumn("__cp_msg", when(isSyslog, kvBody).otherwise(msg))
+      .withColumn("host", coalesce(col("__cp_host"),
+        if (df.columns.contains("host")) col("host") else lit(null).cast("string")))
+      .withColumn("program", col("__cp_prog"))
+      .withColumn("pid", col("__cp_pid"))
+      .withColumn("ts", col("__cp_ts"))
+      .withColumn("message", col("__cp_msg"))
+      .drop("__cp_host", "__cp_prog", "__cp_pid", "__cp_ts", "__cp_msg")
+  }
+
+  // ---- palo alto panos -----------------------------------------------------
+  /** panos-parser() (`scl/paloalto/panos.conf`): syslog header, then a
+    * comma CSV whose layout depends on the `type` field (SYSTEM /
+    * CONFIG with its 15- and 17-column variants / other). */
+  def panos(df: DataFrame, prefix: String = ".panos."): DataFrame = {
+    val msg = col("message")
+    // strip "<pri>Mmm dd hh:mm:ss host " — the LEGACY_MSGHDR+MESSAGE
+    // the reference's csv-parser consumes starts after the RFC3164 header
+    val headRe = "^(?:<\\d+>)?[A-Za-z]{3} +\\d{1,2} \\d{2}:\\d{2}:\\d{2} (\\S+) "
+    val host = regexp_extract(msg, headRe, 1)
+    val csv = regexp_replace(msg, headRe, "")
+    val f = split(csv, ",")
+    def fld(i: Int): Column = element_at(f, i)
+    val typ = fld(4)
+    val head = map(
+      lit(prefix + "receive_time"), fld(2),
+      lit(prefix + "serial"), fld(3),
+      lit(prefix + "type"), typ,
+      lit(prefix + "subtype"), fld(5),
+      lit(prefix + "time_generated"), fld(7))
+    val nTail = size(f) - 7 // fields after the fixed 7-column prefix
+    def tail(i: Int): Column = element_at(f, i + 7) // 1-based into tmp
+    val system = map(
+      lit(prefix + "vsys"), tail(1), lit(prefix + "eventid"), tail(2),
+      lit(prefix + "object"), tail(3), lit(prefix + "module"), tail(6),
+      lit(prefix + "severity"), tail(7), lit(prefix + "opaque"), tail(8),
+      lit(prefix + "seqno"), tail(9), lit(prefix + "actionflags"), tail(10),
+      lit(prefix + "vsys_name"), tail(15), lit(prefix + "device_name"), tail(16))
+    // CONFIG: host,vsys,cmd,admin,client,result,path[,before,after],
+    // seqno,actionflags,dg1..4,vsys_name,device_name — the custom form
+    // inserts 2 columns after path (panos.conf tries the 15-column
+    // layout first, falls back to 17)
+    val custom = nTail >= 17
+    def cfgTail(i: Int): Column = // index in the 15-col layout
+      when(custom && lit(i >= 8), element_at(f, i + 9)).otherwise(element_at(f, i + 7))
+    val config = map_concat(map(
+      lit(prefix + "host"), cfgTail(1), lit(prefix + "vsys"), cfgTail(2),
+      lit(prefix + "cmd"), cfgTail(3), lit(prefix + "admin"), cfgTail(4),
+      lit(prefix + "client"), cfgTail(5), lit(prefix + "result"), cfgTail(6),
+      lit(prefix + "path"), cfgTail(7), lit(prefix + "seqno"), cfgTail(8),
+      lit(prefix + "actionflags"), cfgTail(9), lit(prefix + "vsys_name"), cfgTail(14),
+      lit(prefix + "device_name"), cfgTail(15)),
+      when(custom, map(
+        lit(prefix + "before_change_detail"), element_at(f, 15),
+        lit(prefix + "after_change_detail"), element_at(f, 16)))
+        .otherwise(map().cast("map<string,string>")))
+    val isPanos = host =!= "" && size(f) >= 7
+    val add = when(!isPanos, map().cast("map<string,string>"))
+      .when(typ === "SYSTEM", map_concat(head, system))
+      .when(typ === "CONFIG", map_concat(head, config))
+      .otherwise(head)
+    val out = df.withColumn("values", merged(df, add))
+    out
+      .withColumn("__po_host", when(isPanos, host))
+      .withColumn("host", coalesce(col("__po_host"),
+        if (df.columns.contains("host")) col("host") else lit(null).cast("string")))
+      .withColumn("program",
+        when(isPanos, lit("paloalto_panos")).otherwise(
+          if (df.columns.contains("program")) col("program") else lit(null).cast("string")))
+      .drop("__po_host")
+  }
+}

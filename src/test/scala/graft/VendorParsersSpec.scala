@@ -1,0 +1,113 @@
+package graft
+
+import graft.config.{ConfigCompiler, ConfigParser}
+import org.apache.spark.sql.functions._
+
+/** Vendor scl parsers against the reference's own golden inputs —
+  * cisco examples from `/root/reference/scl/cisco/plugin.conf`,
+  * checkpoint/panos lines from the reference python functional tests
+  * (`tests/python_functional/functional_tests/parsers/{checkpoint,panos}`).
+  * Each vendor is driven end-to-end from CONFIG TEXT, like the scl. */
+class VendorParsersSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def viaConfig(parserStmt: String, lines: Seq[String]) = {
+    val df = lines.toDF("message")
+      .withColumn("tags", array().cast("array<string>"))
+    val conf = s"""
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      parser p { $parserStmt; };
+      log { source(s); parser(p); destination(d); };
+    """
+    ConfigCompiler.compile(ConfigParser.parse(conf), Map("s" -> df)).head.df
+  }
+
+  test("cisco-parser: scl plugin.conf example lines") {
+    val out = viaConfig("cisco-parser()", Seq(
+      "<189>29: foo: *Apr 29 13:58:40.411: %SYS-5-CONFIG_I: Configured from console by console",
+      "<190>30: foo: *Apr 29 13:58:46.411: %SYS-6-LOGGINGHOST_STARTSTOP: Logging to host 192.168.1.239 stopped - CLI initiated",
+      "<189>35: *Apr 29 14:00:16.059: %SYS-5-CONFIG_I: Configured from console by console",
+      "<190>32: foo: *Apr 29 13:58:46.411: %SYSMGR-STANDBY-3-SHUTDOWN_START: The System Manager has started the shutdown procedure."))
+    val rows = out.select(col("host"), col("message"), col("facility"), col("severity"),
+        element_at(col("values"), ".cisco.facility").as("cf"),
+        element_at(col("values"), ".cisco.severity").as("cs"),
+        element_at(col("values"), ".cisco.mnemonic").as("cm"),
+        date_format(col("ts"), "MMM dd HH:mm:ss.SSS").as("t"))
+      .collect()
+    // <189> = facility 23, severity 5
+    assert(rows(0).getString(0) == "foo")
+    assert(rows(0).getString(1) == "%SYS-5-CONFIG_I: Configured from console by console")
+    assert(rows(0).getInt(2) == 23 && rows(0).getInt(3) == 5)
+    assert((rows(0).getString(4), rows(0).getString(5), rows(0).getString(6)) ==
+      ("SYS", "5", "CONFIG_I"))
+    assert(rows(0).getString(7) == "Apr 29 13:58:40.411")
+    assert((rows(1).getString(4), rows(1).getString(6)) == ("SYS", "LOGGINGHOST_STARTSTOP"))
+    // no-host form: timestamp right after seqno
+    assert(rows(2).getString(0) == null)
+    assert(rows(2).getString(7) == "Apr 29 14:00:16.059")
+    // 4-part triplet folds STANDBY into the facility
+    assert((rows(3).getString(4), rows(3).getString(5), rows(3).getString(6)) ==
+      ("SYSMGR-STANDBY", "3", "SHUTDOWN_START"))
+  }
+
+  test("checkpoint-parser: functional-test golden lines, both date forms") {
+    val syslogT = """<134>1 2018-03-21T17:25:25 MDS-72 CheckPoint 13752 - [action:"Update"; flags:"150784"; ifdir:"inbound"; origin:"192.168.32.91"; auth_method:"Machine Authentication (Active Directory)"; src:"192.168.32.69";]"""
+    val syslogSpace = syslogT.replace("2018-03-21T17:25:25", "2018-03-21 17:25:25")
+    val syslogZ = """<134>1 2019-11-27T02:58:25Z ABDP-CPLOG01 CheckPoint 22103 - [action:"Accept"; __policy_id_tag:"product=VPN-1 & FireWall-1[db_tag={12D7A082};mgmt=ABDP-MGT01;date=1573204576;policy_name=Cutover_Final_V3_20161031]"; proto:"6"; src:"10.7.79.7";]"""
+    val splunk = """time=1521645925|hostname=gw-da58d3|product=Firewall|action=Drop|src=10.1.1.1"""
+    val out = viaConfig("checkpoint-parser()",
+      Seq(syslogT, syslogSpace, syslogZ, splunk))
+    val rows = out.select(col("host"), col("program"),
+        date_format(col("ts"), "MMM d HH:mm:ss").as("sdate"),
+        element_at(col("values"), ".checkpoint.action").as("action"),
+        element_at(col("values"), ".checkpoint.src").as("src"),
+        element_at(col("values"), ".checkpoint.auth_method").as("auth"),
+        element_at(col("values"), ".checkpoint.hostname").as("spl_host"))
+      .collect()
+    // golden: <CheckPoint><MDS-72><Mar 21 17:25:25> for BOTH date forms
+    assert((rows(0).getString(0), rows(0).getString(1), rows(0).getString(2)) ==
+      ("MDS-72", "CheckPoint", "Mar 21 17:25:25"))
+    assert((rows(1).getString(0), rows(1).getString(1), rows(1).getString(2)) ==
+      ("MDS-72", "CheckPoint", "Mar 21 17:25:25"))
+    assert(rows(0).getString(3) == "Update")
+    assert(rows(0).getString(4) == "192.168.32.69")
+    // quoted values keep spaces and embedded semicolons
+    assert(rows(0).getString(5) == "Machine Authentication (Active Directory)")
+    assert((rows(2).getString(0), rows(2).getString(2)) ==
+      ("ABDP-CPLOG01", "Nov 27 02:58:25"))
+    assert(rows(2).getString(3) == "Accept")
+    // splunk form: kv over |-separated pairs
+    assert(rows(3).getString(3) == "Drop" && rows(3).getString(6) == "gw-da58d3")
+  }
+
+  test("panos-parser: functional-test golden lines, SYSTEM and CONFIG branches") {
+    val system = """<12>Apr 14 16:48:54 paloalto.test.net 1,2020/04/14 16:48:54,unknown,SYSTEM,auth,0,2020/04/14 16:48:54,,auth-fail,,0,0,general,medium,failed authentication for user 'admin'. Reason: Invalid username/password. From: 10.0.10.55.,1718,0x0,0,0,0,0,,paloalto"""
+    val systemExtra = system + ",foo,bar"
+    val config = """<14>Apr 14 16:54:18 paloalto.test.net 1,2020/04/14 16:54:18,unknown,CONFIG,0,0,2020/04/14 16:54:18,10.0.10.55,,set,admin,Web,Succeeded,deviceconfig system,127,0x0,0,0,0,0,,paloalto"""
+    val configCustom = config.replace("deviceconfig system,127",
+      "deviceconfig system,before,after,127")
+    val out = viaConfig("panos-parser()", Seq(system, systemExtra, config, configCustom))
+    val rows = out.select(col("program"), col("host"),
+        element_at(col("values"), ".panos.type").as("type"),
+        element_at(col("values"), ".panos.eventid").as("eventid"),
+        element_at(col("values"), ".panos.path").as("path"),
+        element_at(col("values"), ".panos.device_name").as("dev"),
+        element_at(col("values"), ".panos.before_change_detail").as("before"))
+      .collect()
+    // golden: <paloalto_panos><SYSTEM><auth-fail><paloalto>
+    for (i <- 0 to 1) {
+      assert(rows(i).getString(0) == "paloalto_panos")
+      assert((rows(i).getString(2), rows(i).getString(3), rows(i).getString(5)) ==
+        ("SYSTEM", "auth-fail", "paloalto"), s"row $i")
+    }
+    assert(rows(0).getString(1) == "paloalto.test.net")
+    // golden: <paloalto_panos><CONFIG><deviceconfig system><paloalto>
+    for (i <- 2 to 3) {
+      assert((rows(i).getString(2), rows(i).getString(4), rows(i).getString(5)) ==
+        ("CONFIG", "deviceconfig system", "paloalto"), s"row $i")
+    }
+    assert(rows(2).getString(6) == null)
+    assert(rows(3).getString(6) == "before")
+  }
+}
