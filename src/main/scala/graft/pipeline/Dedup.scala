@@ -282,13 +282,32 @@ object Dedup {
   }
 
   // ---- embedding near-dup ------------------------------------------------------
+  /** Plane count for a corpus of `n` vectors targeting `targetBucket`
+    * expected vectors per bucket: planes = ceil(log2(n / targetBucket)),
+    * clamped to [4, 62]. SIZING RULE: 2^planes is the bucket count per
+    * table; with p planes the expected bucket holds n/2^p vectors and
+    * in-bucket candidate pairing costs ~n²/2^p per table — the default
+    * 8 planes (256 buckets) is a TEST-SCALE setting; at 10^9 vectors
+    * targeting 1k-vector buckets you want ~20 planes. Recall shrinks as
+    * planes grow (P[same bucket] = (1-θ/π)^planes); compensate with
+    * `tables` (OR-amplification), not fewer planes. */
+  def planesFor(n: Long, targetBucket: Long = 1024): Int = {
+    require(n > 0 && targetBucket > 0)
+    val p = math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt
+    math.min(62, math.max(4, p))
+  }
+
   /** Embedding-cosine near-dup pairs via hyperplane-LSH bucketing (see
     * [[Similarity.hyperplaneBucket]]); `tables` independent bucketings
     * OR-amplify recall. Candidate (id_a, id_b) pairs are deduped on the
     * slim bucket join FIRST, then the vectors are fetched back by id —
     * the bucket shuffle carries (bucket, id), never the vectors. Exact
     * cosine is verified per candidate with precomputed norms (one dot
-    * per pair). */
+    * per pair).
+    *
+    * `planes` must scale with the corpus — see [[planesFor]] for the
+    * log2(N/bucket) rule; a too-small plane count silently degenerates
+    * the bucket join toward an all-pairs product. */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
       threshold: Double = 0.95, planes: Int = 8, seed: Long = 42,
       dim: Int = 64, tables: Int = 1): DataFrame = {

@@ -172,6 +172,23 @@ class PipelineSpec extends GraftSuite {
     assert(high.forall(prod.contains), s"missed high-jaccard pairs: ${high -- prod.keySet}")
   }
 
+  test("embedding LSH planes sizing and bucket occupancy sanity") {
+    // the log2(N/bucket) rule
+    assert(Dedup.planesFor(1L << 30, 1024) == 20)
+    assert(Dedup.planesFor(256, 1024) == 4)   // clamp low
+    assert(Dedup.planesFor(Long.MaxValue, 1) == 62) // clamp high
+    // occupancy: with planes sized for the corpus, no bucket may hold a
+    // degenerate share of vectors (the silent-collapse failure mode the
+    // dim check + this assertion guard against)
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val planes = Dedup.planesFor(n, targetBucket = math.max(8, n / 32))
+    val occ = emb.select(Similarity.hyperplaneBucket(
+        col("embedding"), planes, seed = 42, dim = 64).as("b"))
+      .groupBy("b").count().agg(max("count")).head.getLong(0)
+    assert(occ < n / 2, s"degenerate bucket: $occ of $n in one bucket")
+  }
+
   test("ngram jaccard pairs exact values") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
       shingleK = 2, threshold = 0.2, maxDocFreq = 100)
