@@ -1129,6 +1129,49 @@ object Queries {
       ORDER BY id_a, id_b"""),
     bench = true)
 
+  /** Near-dup CLUSTERS: connected components over the r=3 simhash
+    * pairs — the step between pairwise output and dropping documents.
+    * The oracle recomputes the pairs (same md5 machinery as
+    * dedup_simhash_r3) and closes them transitively with a recursive
+    * CTE; component = min doc id, the survivor convention. */
+  private val dedupCc = Q("dedup_cc",
+    (s, d) => {
+      val pairs = Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"),
+        col("text"), maxHamming = 3, algo = "md5")
+      Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b")))
+        .orderBy(col("id"))
+    },
+    Some("""WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+      ), th AS (
+        SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+      ), bits AS (
+        SELECT doc_id, i,
+          CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+            THEN 1 ELSE 0 END AS v
+        FROM th, (SELECT unnest(range(0, 64)) AS i) b
+        GROUP BY doc_id, i
+      ), sigs AS (
+        SELECT doc_id,
+          sum(CASE WHEN i < 32 THEN v * (1::BIGINT << i) ELSE 0 END) AS lo,
+          sum(CASE WHEN i >= 32 THEN v * (1::BIGINT << (i - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id
+      ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+      ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+      ), r(id, l) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.l = e.src
+      )
+      SELECT id, min(l) AS component FROM r GROUP BY id ORDER BY id"""),
+    bench = true)
+
   /** Hyperplane components are md5-derived constants, so the oracle
     * recomputes bucket assignment, the bucket join, and exact cosines. */
   private val dedupEmbedding = Q("dedup_embedding",
@@ -1469,7 +1512,7 @@ object Queries {
     configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
     dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash,
-    dedupSimhashR3, dedupSimhash128, dedupEmbedding,
+    dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc,
     patternizeQ,
     annBruteForce, annLsh, annIvf,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,

@@ -281,6 +281,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- near-dup clustering -----------------------------------------------------
+  /** Connected components over near-dup pairs — the step between
+    * pairwise similarity output and actually DROPPING documents: docs
+    * linked through chains of pairs form one cluster with one survivor.
+    *
+    * Distributed min-label propagation: label(v) starts at v, each
+    * round takes the min label across neighbors, stop when no label
+    * changes. Rounds = cluster diameter, which for near-dup graphs is
+    * tiny (LSH pairs form near-cliques); the O(log n) large-star/
+    * small-star scheme only wins on long-chain graphs that dedup does
+    * not produce. Every round localCheckpoints the label table:
+    * iterative self-joins otherwise stack lineage into an
+    * exponentially-replanning DAG — at cluster scale swap for
+    * `checkpoint` on a reliable store.
+    *
+    * @param pairs (id_a, id_b) near-dup pairs (any direction)
+    * @return (id, component) — component = min doc id in the cluster,
+    *         i.e. the exact-dedup survivor convention
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // undirected: propagate both ways each round
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(true)
+      var converged = false
+      var it = 0
+      while (!converged && it < maxIters) {
+        val prop = edges.join(labels, edges("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"))
+        val next = labels.union(prop)
+          .groupBy("id").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        // convergence: any label strictly decreased this round?
+        val changed = next.as("n").join(labels.as("o"), "id")
+          .filter(col("n.label") < col("o.label")).limit(1).count()
+        labels = next
+        converged = changed == 0
+        it += 1
+      }
+      labels.select(col("id"), col("label").as("component"))
+    } finally edges.unpersist(false)
+  }
+
+  /** One row per cluster: survivor (min id), member count, members. */
+  def clusterSurvivors(clusters: DataFrame): DataFrame =
+    clusters.groupBy(col("component").as("survivor_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("id"))).as("members"))
+
   // ---- embedding near-dup ------------------------------------------------------
   /** Plane count for a corpus of `n` vectors targeting `targetBucket`
     * expected vectors per bucket: planes = ceil(log2(n / targetBucket)),
