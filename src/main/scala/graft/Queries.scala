@@ -1546,7 +1546,16 @@ object Queries {
     "dedup_simhash_xxh64_128" -> ((s: SparkSession, d: String) =>
       Dedup.simhashPairs128(Tables.documents(s, d), col("doc_id"), col("text"),
           maxHamming = 8, algo = "xxh64")
-        .orderBy(col("id_a"), col("id_b"))))
+        .orderBy(col("id_a"), col("id_b"))),
+    "dedup_embedding_prod" -> ((s: SparkSession, d: String) => {
+      // production shape: corpus-sized plane count (planesFor) with
+      // 4-table OR-amplification, vs the oracle query's fixed planes=4
+      val emb = Tables.embeddings(s, d)
+      val planes = Dedup.planesFor(emb.count(), targetBucket = 64)
+      Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
+          threshold = 0.95, planes = planes, seed = 42, dim = 64, tables = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }))
 
   /** Oracle-only queries excluded from the bench: dedup_simhash is the
     * r=8 64-bit pigeonhole form kept purely for oracle parity — its

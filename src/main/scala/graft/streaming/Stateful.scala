@@ -142,6 +142,62 @@ object Stateful {
         })
   }
 
+  /** A MARK row: the reference's `log_msg_new_mark()` ("-- MARK --",
+    * pri = syslog.info — logmsg.c:1396-1403). */
+  case class MarkOut(key: String, tsUs: Long, message: String,
+      facility: Int, severity: Int)
+
+  case class MarkState(lastUs: Long)
+
+  /** mark-freq() / mark-mode(dst-idle): emit "-- MARK --" after every
+    * `seconds` of inactivity on the key (the writer's mark timer,
+    * logwriter.c:779-824 — traffic postpones it, each firing re-arms
+    * it). Event-time form: when the watermark passes `last + seconds`
+    * the timer fires and catch-up marks are emitted at every elapsed
+    * `seconds` boundary up to the watermark (the repeated re-arms,
+    * compressed into one batch), capped at `maxMarksPerBatch` so a
+    * year-long gap cannot flood the sink. Same watermark-vs-wall-clock
+    * divergence as groupingBy: a stream with no traffic anywhere holds
+    * the watermark, so marks need SOME upstream liveness — on a real
+    * cluster feed the source keeps ticking and this matches the
+    * reference's behavior. */
+  def markFreq(ds: Dataset[Msg], seconds: Int,
+      maxMarksPerBatch: Int = 1000): Dataset[MarkOut] = {
+    implicit val outEnc = Encoders.product[MarkOut]
+    implicit val stEnc = Encoders.product[MarkState]
+    implicit val kEnc = Encoders.STRING
+    val freqUs = seconds * 1000000L
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: String, rows: Iterator[Msg], state: GroupState[MarkState]) => {
+          if (state.hasTimedOut) {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            var last = state.get.lastUs
+            var out = List.empty[MarkOut]
+            var emitted = 0
+            while (last + freqUs <= wmUs && emitted < maxMarksPerBatch) {
+              last += freqUs
+              out ::= MarkOut(key, last, "-- MARK --", 5, 6)
+              emitted += 1
+            }
+            state.update(MarkState(last))
+            // next mark boundary is beyond the watermark by construction
+            state.setTimeoutTimestamp(last / 1000L + seconds * 1000L)
+            out.reverse.iterator
+          } else {
+            var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
+            for (m <- rows) last = math.max(last, m.ts.getTime * 1000L)
+            state.update(MarkState(last))
+            // traffic postpones the timer (dst-idle semantics); clamp
+            // above the watermark for late stragglers
+            val wmMs = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(
+              math.max(last / 1000L + seconds * 1000L, wmMs + 1L))
+            Iterator.empty
+          }
+        })
+  }
+
   case class ThrState(sec: Long, count: Long)
 
   /** throttle(N) streaming form: the reference's per-destination token

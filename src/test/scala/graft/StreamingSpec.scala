@@ -82,6 +82,57 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("mark-freq: idle keys emit catch-up MARKs at freq boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Msg]
+    val out = Stateful.markFreq(
+      input.toDS().withWatermark("ts", "0 seconds"), seconds = 60)
+    val q = out.writeStream.format("memory").queryName("mark_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Msg("dst1", ts(100), "a"))
+      q.processAllAvailable()
+      // watermark to 310: boundaries 160, 220, 280 elapsed idle
+      input.addData(Msg("other", ts(310), "w"))
+      q.processAllAvailable()
+      input.addData(Msg("other2", ts(5000), "w"))
+      q.processAllAvailable()
+      val marks = spark.table("mark_out")
+        .filter(col("key") === "dst1").select("tsUs", "message", "facility", "severity")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      assert(marks.take(3).toSeq == Seq(
+        (160000000L, "-- MARK --", 5, 6),
+        (220000000L, "-- MARK --", 5, 6),
+        (280000000L, "-- MARK --", 5, 6)), marks.toSeq.toString)
+      // marks keep coming while idle (timer re-arms each firing)
+      assert(marks.length > 3)
+    } finally q.stop()
+  }
+
+  test("mark-freq: traffic postpones the mark timer (dst-idle)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Msg]
+    val out = Stateful.markFreq(
+      input.toDS().withWatermark("ts", "0 seconds"), seconds = 60)
+    val q = out.writeStream.format("memory").queryName("mark_idle_out")
+      .outputMode("append").start()
+    try {
+      // steady traffic every 30s < freq: no mark may fire in 100..250
+      input.addData(Msg("d", ts(100), "a"), Msg("d", ts(130), "b"),
+        Msg("d", ts(160), "c"), Msg("d", ts(190), "d"), Msg("d", ts(220), "e"),
+        Msg("d", ts(250), "f"))
+      q.processAllAvailable()
+      input.addData(Msg("adv", ts(320), "w"))
+      q.processAllAvailable()
+      input.addData(Msg("adv2", ts(1000), "w"))
+      q.processAllAvailable()
+      val marks = spark.table("mark_idle_out").filter(col("key") === "d")
+        .select("tsUs").collect().map(_.getLong(0)).sorted
+      // first mark only after the last message + freq
+      assert(marks.nonEmpty && marks.head == 310000000L, marks.toSeq.toString)
+    } finally q.stop()
+  }
+
   test("checkpoint restart: grouping-by sessions survive a stream restart") {
     // the reference persists open grouping-by contexts across config
     // reloads (modules/dbparser/groupingby.c:489-566); the Spark analog
