@@ -296,38 +296,89 @@ object Dedup {
     * exponentially-replanning DAG — at cluster scale swap for
     * `checkpoint` on a reliable store.
     *
+    * Small graphs short-circuit to a driver-side union-find: the
+    * verified pair set is orders of magnitude smaller than the corpus
+    * (it IS the dedup signal, not the data), so below `maxLocalEdges`
+    * (default 10M ≈ 160 MB) a path-compressed union-find beats rounds
+    * of near-empty distributed jobs; anything larger takes the
+    * propagation path. This is the one deliberately-bounded collect in
+    * the pipeline ops, same contract as the IVF centroid collect.
+    *
     * @param pairs (id_a, id_b) near-dup pairs (any direction)
     * @return (id, component) — component = min doc id in the cluster,
     *         i.e. the exact-dedup survivor convention
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20,
+      maxLocalEdges: Long = 10000000L): DataFrame = {
     val spark = pairs.sparkSession
     // undirected: propagate both ways each round
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edgesAll = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // size the per-round partitioning to the PAIR GRAPH, not the
+      // corpus: near-dup edges are orders of magnitude fewer than
+      // documents, and every round launches a join+agg job — a small
+      // graph in one partition skips rounds of near-empty shuffles, a
+      // large one gets ~1M edges per partition (capped at 4× the
+      // cluster parallelism)
+      val eCount = edgesAll.count()
+      if (eCount <= maxLocalEdges) return localUnionFind(spark, edgesAll)
+      val parts = math.max(1L, math.min(eCount / 1000000L + 1,
+        spark.sparkContext.defaultParallelism * 4L)).toInt
+      val edges = edgesAll.coalesce(parts)
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
         .localCheckpoint(true)
       var converged = false
       var it = 0
       while (!converged && it < maxIters) {
-        val prop = edges.join(labels, edges("src") === labels("id"))
-          .select(col("dst").as("id"), col("label"))
-        val next = labels.union(prop)
-          .groupBy("id").agg(min("label").as("label"))
+        // one join + one agg per round; the change flag rides the same
+        // materialization, so the convergence probe is a cheap scan of
+        // the checkpointed result, not a second join
+        val minNbr = edges.join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst")).agg(min("label").as("nbr"))
+        val next = labels.join(minNbr, labels("id") === minNbr("dst"), "left")
+          .select(labels("id"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
           .localCheckpoint(true)
-        // convergence: any label strictly decreased this round?
-        val changed = next.as("n").join(labels.as("o"), "id")
-          .filter(col("n.label") < col("o.label")).limit(1).count()
-        labels = next
-        converged = changed == 0
+        converged = next.filter(col("chg")).limit(1).count() == 0
+        labels = next.drop("chg")
         it += 1
       }
       labels.select(col("id"), col("label").as("component"))
-    } finally edges.unpersist(false)
+    } finally edgesAll.unpersist(false)
+  }
+
+  /** Driver-side union-find with path compression + union-by-min for
+    * pair graphs under the [[dedupClusters]] threshold. */
+  private def localUnionFind(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+      // path compression
+      var y = x0
+      while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+      x
+    }
+    val ids = mutable.ArrayBuffer.empty[Long]
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (!parent.contains(a)) { parent(a) = a; ids += a }
+        if (!parent.contains(b)) { parent(b) = b; ids += b }
+        val (ra, rb) = (find(a), find(b))
+        // union-by-min keeps the root the smallest id — the component
+        // label IS the root, no second pass needed
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    import spark.implicits._
+    ids.toSeq.map(id => (id, find(id))).toDF("id", "component")
   }
 
   /** One row per cluster: survivor (min id), member count, members. */

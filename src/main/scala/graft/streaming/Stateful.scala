@@ -181,8 +181,13 @@ object Stateful {
               emitted += 1
             }
             state.update(MarkState(last))
-            // next mark boundary is beyond the watermark by construction
-            state.setTimeoutTimestamp(last / 1000L + seconds * 1000L)
+            // next boundary is beyond the watermark by construction —
+            // EXCEPT when the per-batch cap truncated the catch-up run;
+            // clamp (Spark rejects timeouts at/under the watermark) and
+            // the remaining boundaries emit next batch
+            state.setTimeoutTimestamp(
+              math.max(last / 1000L + seconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
             out.reverse.iterator
           } else {
             var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)

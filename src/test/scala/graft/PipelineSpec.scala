@@ -177,17 +177,23 @@ class PipelineSpec extends GraftSuite {
     // triangle 20-21-22 with redundant edges
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L),
       (20L, 22L)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // both paths must agree: driver union-find (default) and the
+    // distributed propagation (forced via maxLocalEdges = 0)
     val cc = Dedup.dedupClusters(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    assert(cc == expected)
+    val ccDist = Dedup.dedupClusters(pairs, maxLocalEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDist == expected)
     val surv = Dedup.clusterSurvivors(Dedup.dedupClusters(pairs))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
     assert(surv == Set((1L, 3L, Seq(1L, 2L, 3L)), (10L, 2L, Seq(10L, 11L)),
       (20L, 3L, Seq(20L, 21L, 22L))))
-    // a long chain exercises convergence well past diameter 2
+    // a long chain exercises distributed convergence well past diameter 2
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val chainCc = Dedup.dedupClusters(chain).collect()
+    val chainCc = Dedup.dedupClusters(chain, maxLocalEdges = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chainCc.values.toSet == Set(1L) && chainCc.size == 12)
   }
