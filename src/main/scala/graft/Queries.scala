@@ -1551,7 +1551,7 @@ object Queries {
       // production shape: corpus-sized plane count (planesFor) with
       // 4-table OR-amplification, vs the oracle query's fixed planes=4
       val emb = Tables.embeddings(s, d)
-      val planes = Dedup.planesFor(emb.count(), targetBucket = 64)
+      val planes = Dedup.planesFor(emb.count(), targetBucket = 32)
       Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
           threshold = 0.95, planes = planes, seed = 42, dim = 64, tables = 4)
         .orderBy(col("id_a"), col("id_b"))

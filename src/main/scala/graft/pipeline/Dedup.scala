@@ -417,16 +417,32 @@ object Dedup {
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
       threshold: Double = 0.95, planes: Int = 8, seed: Long = 42,
       dim: Int = 64, tables: Int = 1): DataFrame = {
+    require(planes <= 57, s"embeddingPairs: planes $planes > 57 (packed key)")
     val base = df.select(id.as("id"), vec.as("v"))
-    val keyed = base.select(col("id"), explode(array((0 until tables).map(t =>
-      concat_ws("_", lit(t),
-        Similarity.hyperplaneBucket(col("v"), planes, seed + t, dim))): _*))
-      .as("bkey"))
-    val cand = keyed.select(col("bkey"), col("id").as("id_a"))
-      .join(keyed.select(col("bkey"), col("id").as("id_b")), Seq("bkey"))
+    // per-table buckets packed with the table index into ONE long join
+    // key (string keys are the silent shuffle killer); a vector's
+    // buckets for ALL tables ride along as a small array so multi-table
+    // duplicates dedup with a first-agreeing-table FILTER instead of a
+    // distinct() shuffle over the candidate set — and a single table
+    // produces no duplicates at all (one bucket per vector per table)
+    val bucketArr = array((0 until tables).map(t =>
+      Similarity.hyperplaneBucket(col("v"), planes, seed + t, dim)): _*)
+    val keyed = base.select(col("id"), bucketArr.as("bs"))
+      .select(col("id"), col("bs"), posexplode(col("bs")).as(Seq("t", "b")))
+      .select(col("id"), col("t"),
+        shiftleft(col("t").cast("long"), 58).bitwiseOR(col("b")).as("bkey"),
+        col("bs"))
+    val joined = keyed.select(col("bkey"), col("t"), col("id").as("id_a"),
+        col("bs").as("bs_a"))
+      .join(keyed.select(col("bkey"), col("id").as("id_b"), col("bs").as("bs_b")),
+        Seq("bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val deduped =
+      if (tables == 1) joined
+      else joined.filter((0 until tables).map { tp =>
+        col("t") > tp && element_at(col("bs_a"), tp + 1) === element_at(col("bs_b"), tp + 1)
+      }.reduce(_ || _).unary_!)
+    val cand = deduped.select(col("id_a"), col("id_b"))
     val withNorm = base.withColumn("nrm", Similarity.norm(col("v")))
     cand
       .join(withNorm.select(col("id").as("id_a"), col("v").as("v_a"),
