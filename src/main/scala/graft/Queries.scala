@@ -1408,6 +1408,56 @@ object Queries {
             < ${(0.25 * (1 << 24)).toLong}
       ORDER BY event_id"""))
 
+  /** Stratified deterministic sampling: per-stratum md5-bucket rates
+    * (language/source-balanced subcorpora with reproducible
+    * membership); the oracle recomputes every decision. */
+  private val sampleStratified = Q("sample_stratified",
+    (s, d) => Tables.events(s, d)
+      .filter(TextAnalysis.stratifiedHashSample(col("event_id").cast("string"),
+        col("event_type"),
+        Map("click" -> 0.5, "view" -> 0.1, "error" -> 1.0),
+        defaultRate = 0.05, seed = "s2"))
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id")),
+    Some(s"""SELECT event_id, event_type FROM events
+      WHERE CAST(('0x' || substring(md5('s2' || event_id), 1, 6)) AS BIGINT)
+        < CASE event_type
+            WHEN 'click' THEN ${(0.5 * (1 << 24)).toLong}
+            WHEN 'view' THEN ${(0.1 * (1 << 24)).toLong}
+            WHEN 'error' THEN ${(1.0 * (1 << 24)).toLong}
+            ELSE ${(0.05 * (1 << 24)).toLong} END
+      ORDER BY event_id"""))
+
+  /** Benchmark decontamination: distinct word-3-gram overlap between
+    * the training split and a held-out "benchmark" split (doc_id % 37)
+    * — the standard eval-leakage check. Spark joins on xxhash64'd
+    * grams (fixed-width, benchmark side broadcast); the oracle joins
+    * the gram strings directly — identical counts barring 2^-64
+    * collisions. */
+  private val decontaminate = Q("decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFlags(
+          docs.filter(col("doc_id") % 37 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 37 === 0), col("text"), k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      ), g AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(w) - 2, 1) + 1),
+          i -> array_to_string(w[i:i+2], ' '))) AS gs FROM toks
+      ), bg AS (
+        SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 37 = 0
+      ), dg AS (
+        SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 37 <> 0
+      )
+      SELECT doc_id, count(*) AS n_contaminated
+      FROM dg JOIN bg USING (gram)
+      GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
   private val textFingerprint = Q("text_fingerprint",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1516,6 +1566,7 @@ object Queries {
     patternizeQ,
     annBruteForce, annLsh, annIvf,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
+    sampleStratified, decontaminate,
     textFingerprint, textFingerprintRobust,
     multimodalFeatures, multimodalStub, multimodalDecode)
 

@@ -281,6 +281,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  // ---- test-set decontamination --------------------------------------------------
+  /** Benchmark decontamination: training docs sharing any word `k`-gram
+    * with the benchmark corpus, with the count of DISTINCT overlapping
+    * k-grams (the standard "13-gram overlap" eval-leakage check).
+    *
+    * Shape at 100 TB: both sides explode to (id, gramHash) postings on
+    * fixed-width xxhash64 keys; the benchmark side is k-gram-distinct
+    * and typically small enough to BROADCAST (eval suites are MBs, the
+    * training corpus is the big side), so the probe is a broadcast
+    * semi-join + partial-agg count — no shuffle of the corpus postings.
+    * Collisions at 2^-64 can only merge two distinct grams' counts,
+    * never invent a match pair... a gram matches only if some benchmark
+    * gram hashed identically.
+    *
+    * @return (doc_id, n_contaminated) — docs with >= 1 overlapping gram
+    */
+  def contaminationFlags(docs: DataFrame, docId: Column, docText: Column,
+      bench: DataFrame, benchText: Column, k: Int = 13,
+      broadcastBench: Boolean = true): DataFrame = {
+    val bGrams = bench.select(explode(wordShingles(benchText, k)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    val dGrams = docs
+      .select(docId.as("doc_id"), explode(wordShingles(docText, k)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .distinct() // count DISTINCT overlapping grams per doc
+    dGrams
+      .join(if (broadcastBench) broadcast(bGrams) else bGrams, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+  }
+
   // ---- near-dup clustering -----------------------------------------------------
   /** Connected components over near-dup pairs — the step between
     * pairwise similarity output and actually DROPPING documents: docs

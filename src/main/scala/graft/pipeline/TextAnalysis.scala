@@ -99,6 +99,23 @@ object TextAnalysis {
     bucket < (rate * (1 << 24)).toLong
   }
 
+  /** Stratified deterministic sampling: per-stratum rates over the same
+    * md5-bucket machinery as [[hashSample]] — language-balanced /
+    * source-balanced subcorpora with reproducible membership (no RNG
+    * state, any engine recomputes the decision). Strata not in
+    * `rates` fall back to `defaultRate`. Pure Column expression:
+    * narrow, codegen'd, no shuffle. */
+  def stratifiedHashSample(key: Column, stratum: Column,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      seed: String = ""): Column = {
+    val bucket = conv(substring(md5(concat(lit(seed), key)), 1, 6), 16, 10)
+      .cast("long")
+    val threshold = rates.foldLeft(lit((defaultRate * (1 << 24)).toLong)) {
+      case (acc, (s, r)) => when(stratum === s, lit((r * (1 << 24)).toLong)).otherwise(acc)
+    }
+    bucket < threshold
+  }
+
   /** Exact document fingerprint: hash of whitespace-normalized lowercase
     * text (the cheap dedup key). */
   def fingerprint(text: Column): Column =

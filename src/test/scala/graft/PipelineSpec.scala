@@ -172,6 +172,48 @@ class PipelineSpec extends GraftSuite {
     assert(high.forall(prod.contains), s"missed high-jaccard pairs: ${high -- prod.keySet}")
   }
 
+  test("contamination flags: distinct gram overlap, benchmark broadcast") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely novel content with no overlap at all here"),
+      (3L, "the quick brown fox jumps elsewhere and the lazy dog sleeps")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "watch the quick brown fox jumps over everything"),
+      (101L, "beware the lazy dog sleeps")).toDF("doc_id", "text")
+    val out = Dedup.contaminationFlags(train, col("doc_id"), col("text"),
+        bench, col("text"), k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares "the quick brown fox", "quick brown fox jumps",
+    // "brown fox jumps over" with b100
+    assert(out(1L) == 3L, out.toString)
+    assert(!out.contains(2L))
+    assert(out.contains(3L)) // "the lazy dog sleeps" via b101
+    val plan = Dedup.contaminationFlags(train, col("doc_id"), col("text"),
+      bench, col("text"), k = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
+  test("stratified hash sample: per-stratum rates, deterministic membership") {
+    val df = (1 to 4000).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val picked = df.filter(TextAnalysis.stratifiedHashSample(
+        col("id").cast("string"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.0, seed = "x"))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(picked("en") - 1000L) < 150, picked.toString) // 2000 * 0.5
+    assert(math.abs(picked("de") - 200L) < 80, picked.toString)   // 2000 * 0.1
+    // deterministic: same seed, same membership
+    val again = df.filter(TextAnalysis.stratifiedHashSample(
+        col("id").cast("string"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.0, seed = "x"))
+      .agg(sum("id")).head.getLong(0)
+    val first = df.filter(TextAnalysis.stratifiedHashSample(
+        col("id").cast("string"), col("lang"),
+        Map("en" -> 0.5, "de" -> 0.1), defaultRate = 0.0, seed = "x"))
+      .agg(sum("id")).head.getLong(0)
+    assert(again == first)
+  }
+
   test("dedup clusters: chains close transitively, survivors are minima") {
     // chain 1-2-3 (diameter 2 — needs >1 propagation round), pair 10-11,
     // triangle 20-21-22 with redundant edges
