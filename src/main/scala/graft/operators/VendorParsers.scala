@@ -37,8 +37,10 @@ object VendorParsers {
   def cisco(df: DataFrame, prefix: String = ".cisco.",
       refYear: Int = 2024): DataFrame = {
     val msg = col("message")
-    val pri = regexp_extract(msg, "^<(\\d+)>", 1)
-    val rest = regexp_replace(msg, "^<\\d+>", "")
+    // pri is 0..191 (3 digits); bounding the capture keeps the ANSI
+    // cast below from overflowing on a hostile <999...9> line
+    val pri = regexp_extract(msg, "^<(\\d{1,3})>", 1)
+    val rest = regexp_replace(msg, "^<\\d{1,3}>", "")
     // split at the FIRST ": %" — header left, cisco message right
     // (csv-parser(delimiters(strings(': %')) greedy) in the reference)
     val header = substring_index(rest, ": %", 1)
@@ -48,11 +50,12 @@ object VendorParsers {
     val triplet = substring_index(substring_index(body, ":", 1), " ", 1)
     val parts = split(triplet, "-")
     val isQuad = size(parts) >= 4
-    val facility = when(isQuad, concat_ws("-", element_at(parts, 1), element_at(parts, 2)))
-      .otherwise(element_at(parts, 1))
+    val facility = when(isQuad, concat_ws("-",
+        try_element_at(parts, lit(1)), try_element_at(parts, lit(2))))
+      .otherwise(try_element_at(parts, lit(1)))
     val sevPos = when(isQuad, lit(3)).otherwise(lit(2))
-    val severity = element_at(parts, sevPos)
-    val mnemonic = element_at(parts, sevPos + 1)
+    val severity = try_element_at(parts, sevPos)
+    val mnemonic = try_element_at(parts, sevPos + 1)
     // header after dropping "seqno: " (subst "^([0-9]+)?(: )?")
     val h2 = regexp_replace(header, "^([0-9]+)?(: )?", "")
     val tsRe = "\\*?[A-Za-z]{3} [0-9 ]?\\d{1,2} (\\d{4} )?\\d{2}:\\d{2}:\\d{2}(\\.\\d{3})?( (AM|PM))?"
@@ -67,7 +70,7 @@ object VendorParsers {
     val ts = coalesce(
       try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss.SSS")),
       try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss")))
-    val isCisco = msg.rlike("^<\\d+>.*: %") && size(parts) >= 3
+    val isCisco = msg.rlike("^<\\d{1,3}>.*: %") && size(parts) >= 3
     val add = map(
       lit(prefix + "facility"), when(isCisco, facility),
       lit(prefix + "severity"), when(isCisco, severity),
@@ -103,17 +106,17 @@ object VendorParsers {
     val msg = col("message")
     val isSyslog = msg.startsWith("<")
     val f = split(msg, " ")
-    val tForm = element_at(f, 2).rlike("^\\d{4}-\\d{2}-\\d{2}T")
+    val tForm = try_element_at(f, lit(2)).rlike("^\\d{4}-\\d{2}-\\d{2}T")
     // columns 1,2,HOST,PROGRAM,PID,MSGID,MSG(greedy) — or 1,2,3,... when
     // the timestamp occupies two space-separated fields
     def tailFrom(k: Int): Column =
       array_join(slice(f, lit(k), greatest(size(f) - (k - 1), lit(0))), " ")
-    val host = when(tForm, element_at(f, 3)).otherwise(element_at(f, 4))
-    val program = when(tForm, element_at(f, 4)).otherwise(element_at(f, 5))
-    val pid = when(tForm, element_at(f, 5)).otherwise(element_at(f, 6))
+    val host = when(tForm, try_element_at(f, lit(3))).otherwise(try_element_at(f, lit(4)))
+    val program = when(tForm, try_element_at(f, lit(4))).otherwise(try_element_at(f, lit(5)))
+    val pid = when(tForm, try_element_at(f, lit(5))).otherwise(try_element_at(f, lit(6)))
     val kvBody = when(tForm, tailFrom(7)).otherwise(tailFrom(8))
-    val tsRaw = when(tForm, element_at(f, 2)).otherwise(
-      concat_ws(" ", element_at(f, 2), element_at(f, 3)))
+    val tsRaw = when(tForm, try_element_at(f, lit(2))).otherwise(
+      concat_ws(" ", try_element_at(f, lit(2)), try_element_at(f, lit(3))))
     val ts = coalesce(
       try_to_timestamp(tsRaw, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
       try_to_timestamp(tsRaw, lit("yyyy-MM-dd'T'HH:mm:ss")),
@@ -157,7 +160,7 @@ object VendorParsers {
     val host = regexp_extract(msg, headRe, 1)
     val csv = regexp_replace(msg, headRe, "")
     val f = split(csv, ",")
-    def fld(i: Int): Column = element_at(f, i)
+    def fld(i: Int): Column = try_element_at(f, lit(i))
     val typ = fld(4)
     val head = map(
       lit(prefix + "receive_time"), fld(2),
@@ -166,7 +169,7 @@ object VendorParsers {
       lit(prefix + "subtype"), fld(5),
       lit(prefix + "time_generated"), fld(7))
     val nTail = size(f) - 7 // fields after the fixed 7-column prefix
-    def tail(i: Int): Column = element_at(f, i + 7) // 1-based into tmp
+    def tail(i: Int): Column = try_element_at(f, lit(i + 7)) // 1-based into tmp
     val system = map(
       lit(prefix + "vsys"), tail(1), lit(prefix + "eventid"), tail(2),
       lit(prefix + "object"), tail(3), lit(prefix + "module"), tail(6),
@@ -179,7 +182,7 @@ object VendorParsers {
     // layout first, falls back to 17)
     val custom = nTail >= 17
     def cfgTail(i: Int): Column = // index in the 15-col layout
-      when(custom && lit(i >= 8), element_at(f, i + 9)).otherwise(element_at(f, i + 7))
+      when(custom && lit(i >= 8), try_element_at(f, lit(i + 9))).otherwise(try_element_at(f, lit(i + 7)))
     val config = map_concat(map(
       lit(prefix + "host"), cfgTail(1), lit(prefix + "vsys"), cfgTail(2),
       lit(prefix + "cmd"), cfgTail(3), lit(prefix + "admin"), cfgTail(4),
@@ -188,8 +191,8 @@ object VendorParsers {
       lit(prefix + "actionflags"), cfgTail(9), lit(prefix + "vsys_name"), cfgTail(14),
       lit(prefix + "device_name"), cfgTail(15)),
       when(custom, map(
-        lit(prefix + "before_change_detail"), element_at(f, 15),
-        lit(prefix + "after_change_detail"), element_at(f, 16)))
+        lit(prefix + "before_change_detail"), try_element_at(f, lit(15)),
+        lit(prefix + "after_change_detail"), try_element_at(f, lit(16))))
         .otherwise(map().cast("map<string,string>")))
     val isPanos = host =!= "" && size(f) >= 7
     val add = when(!isPanos, map().cast("map<string,string>"))

@@ -121,7 +121,30 @@ class PropertiesSpec extends GraftSuite {
       graft.functions.SyslogLineParser.parse(s, 2024) != null &&
       graft.functions.KvScan.scan(u, '=', "", false) != null &&
       graft.functions.FramedRecords.split(u, 1024, true) != null &&
-      graft.functions.Sketches.rollingFingerprint(u, 8, 4) != null
+      graft.functions.Sketches.rollingFingerprint(u, 8, 4) != null &&
+      graft.functions.ProxyProtoHeader.parse(u) != null &&
+      graft.pipeline.MediaHeaders.decode(s.getBytes("UTF-8")) != null
+    })
+  }
+
+  test("vendor parsers never throw on arbitrary lines (incl. hostile pri)") {
+    // a poison line must not fail a 100 TB scan: ANSI casts are guarded
+    // (e.g. an oversized <999...9> pri would overflow an unbounded cast)
+    val junk: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.choose(' ', '~'),
+      1 -> Gen.oneOf('<', '>', ':', '%', ',', '|', '='),
+      1 -> Gen.numChar)).map(_.mkString.take(200))
+    val hostile = Gen.oneOf(
+      junk,
+      junk.map(s => "<99999999999999999999>" + s),
+      junk.map(s => "<189>" + s + ": %"),
+      junk.map(s => "PROXY TCP4 " + s),
+      junk.map(s => "RIFF1234WAVE" + s))
+    check(Prop.forAll(Gen.listOf(hostile).map(_.take(5))) { lines =>
+      val df = lines.toDF("message")
+      graft.operators.VendorParsers.cisco(df).count() == lines.size &&
+      graft.operators.VendorParsers.checkpoint(df).count() == lines.size &&
+      graft.operators.VendorParsers.panos(df).count() == lines.size
     })
   }
 }
