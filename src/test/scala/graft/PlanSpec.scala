@@ -37,6 +37,38 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("vendor parsers are one narrow codegen'd projection, no UDFs") {
+    import spark.implicits._
+    val df = Seq("<189>29: foo: *Apr 29 13:58:40.411: %SYS-5-CONFIG_I: x")
+      .toDF("message")
+    for (f <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        graft.operators.VendorParsers.cisco(_),
+        graft.operators.VendorParsers.checkpoint(_),
+        graft.operators.VendorParsers.panos(_))) {
+      val p = f(df).queryExecution.executedPlan.toString
+      // narrow: no exchange, no driver-side eval, no python/scala UDF
+      assert(!p.contains("Exchange"), p)
+      assert(!p.toLowerCase.contains("batchevalpython") &&
+        !p.contains("UDF"), p)
+    }
+  }
+
+  test("simhash128 candidate join keys are packed longs, not strings") {
+    val p = plan("dedup_simhash_128")
+    // the banded join must key on the packed bigint chunk — never a
+    // string band key (the silent shuffle killer); at test scale the
+    // join may broadcast, so inspect the join keys, not the exchange
+    val join = p.linesIterator.filter(_.contains("Join [chunk#")).toSeq
+    assert(join.nonEmpty, p)
+    // exprId suffix L = LongType key
+    assert(join.exists(_.matches(".*Join \\[chunk#\\d+L\\].*")), join.mkString("\n"))
+  }
+
+  test("decontamination broadcasts the benchmark gram set") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // custom expressions (ParseSyslog here) must not force interpreted
     // fallback: the generated whole-stage code contains the static call
