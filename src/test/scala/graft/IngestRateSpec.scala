@@ -44,4 +44,27 @@ class IngestRateSpec extends GraftSuite {
     assert(bytes > 0)
     assert(rate > 10000, f"rate $rate%.0f msg/s below the reference floor")
   }
+
+  test("cisco vendor parse sustains the same ingest floor") {
+    // the scl path is config-level re-parsing in the reference; here it
+    // must hold the same single-node floor as the plain syslog pipeline
+    val n = 100000L
+    val lines = spark.range(n).select(concat(
+      lit("<18"), (col("id") % 10).cast("string"), lit(">"),
+      (col("id") % 100).cast("string"), lit(": host-"),
+      (col("id") % 50).cast("string"),
+      lit(": *Apr 29 13:58:40.411: %SYS-5-CONFIG_I: Configured "),
+      col("id").cast("string")).as("message"))
+      .cache()
+    assert(lines.count() == n)
+    val t0 = System.nanoTime()
+    val out = graft.operators.VendorParsers.cisco(lines)
+    val parsed = out.filter(element_at(col("values"), ".cisco.mnemonic").isNotNull)
+      .agg(count(lit(1))).head.getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = n / secs
+    info(f"cisco parse: $rate%,.0f msg/s over $n msgs (${secs}%.2f s)")
+    assert(parsed == n, s"$parsed of $n classified")
+    assert(rate > 10000, f"rate $rate%.0f msg/s below the reference floor")
+  }
 }
