@@ -69,6 +69,31 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
   }
 
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    // the 100 TB join strategy for repeated joins on the same key
+    // (e.g. doc_id across dedup stages): bucket both sides once, every
+    // later join skips its shuffle entirely
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS bkt_docs")
+      spark.sql("DROP TABLE IF EXISTS bkt_meta")
+      val docs = Tables.documents(spark, sf)
+      docs.select("doc_id", "text").write
+        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("bkt_docs")
+      docs.select(col("doc_id"), length(col("text")).as("len")).write
+        .bucketBy(8, "doc_id").sortBy("doc_id").saveAsTable("bkt_meta")
+      val p = spark.table("bkt_docs").join(spark.table("bkt_meta"), "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SortMergeJoin"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS bkt_docs")
+      spark.sql("DROP TABLE IF EXISTS bkt_meta")
+    }
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // custom expressions (ParseSyslog here) must not force interpreted
     // fallback: the generated whole-stage code contains the static call
