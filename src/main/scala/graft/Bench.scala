@@ -13,8 +13,13 @@ object Bench {
     // registry minus oracle-only forms, plus the production-hash-path
     // variants: the bench measures what would run at 100 TB, while the
     // oracle modes stay in Verify for external correctness
-    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (n, _) => Queries.benchExcluded(n) } ++ Queries.benchOnly
+    // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local iteration
+    // aid; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benched = (SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => Queries.benchExcluded(n) } ++ Queries.benchOnly)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warm codegen/scan paths at the smallest SF so timed numbers
     // measure the queries, not first-query JVM warmup
     benched.foreach { case (_, fn) =>

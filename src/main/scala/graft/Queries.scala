@@ -1458,6 +1458,188 @@ object Queries {
       GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  /** Gopher-style repetition signals over word n-grams: top-bigram char
+    * coverage, duplicated-trigram occurrence fraction, type-token
+    * ratio. Spark computes them as narrow codegen'd HOFs; the oracle
+    * recomputes each via unnest + group-by with the same tie-break
+    * (count desc, gram string desc). */
+  private val textRepetition = Q("text_repetition",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.repetitionMetrics(col("text")).as("m"))
+      .select(col("doc_id"),
+        col("m.top_bigram_frac").as("top_bigram_frac"),
+        col("m.dup_trigram_frac").as("dup_trigram_frac"),
+        col("m.distinct_ratio").as("distinct_ratio"))
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, length(text) AS nc,
+          list_filter(string_split(trim(text), ' '), t -> t <> '') AS w
+        FROM documents
+      ), big AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1 + 1),
+          i -> w[i] || ' ' || w[i + 1])) AS g
+        FROM toks WHERE len(w) >= 2
+      ), bc AS (
+        SELECT doc_id, g, count(*) AS cnt FROM big GROUP BY doc_id, g
+      ), topb AS (
+        SELECT doc_id, cnt, g FROM (
+          SELECT doc_id, cnt, g,
+            row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+          FROM bc) WHERE rn = 1
+      ), tri AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 2 + 1),
+          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+        FROM toks WHERE len(w) >= 3
+      ), tc AS (
+        SELECT doc_id, g, count(*) AS cnt FROM tri GROUP BY doc_id, g
+      ), dup AS (
+        SELECT doc_id,
+          CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+            / sum(cnt) AS dup_frac
+        FROM tc GROUP BY doc_id
+      )
+      SELECT t.doc_id,
+        coalesce(CAST(topb.cnt AS DOUBLE) * length(topb.g)
+          / greatest(t.nc, 1), 0.0) AS top_bigram_frac,
+        coalesce(dup.dup_frac, 0.0) AS dup_trigram_frac,
+        CASE WHEN len(t.w) = 0 THEN 0.0
+          ELSE CAST(len(list_distinct(t.w)) AS DOUBLE) / len(t.w) END
+          AS distinct_ratio
+      FROM toks t
+      LEFT JOIN topb ON t.doc_id = topb.doc_id
+      LEFT JOIN dup ON t.doc_id = dup.doc_id
+      ORDER BY t.doc_id"""),
+    bench = true)
+
+  /** PII redaction over synthesized PII-bearing text (the events table
+    * carries no real PII, so the query constructs emails / IPs / card
+    * numbers deterministically from event fields — the redaction
+    * regexes run against REAL pattern instances, and the oracle
+    * rebuilds the same text and replays the same RE2-subset regexes). */
+  private val textPiiRedact = Q("text_pii_redact",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val raw = concat(
+        col("event_type"), lit(" by "),
+        when(col("event_id") % 3 === 0,
+          concat(lit("user"), col("user_id"), lit("@example.com")))
+          .otherwise(lit("anon")),
+        lit(" from 10."), col("user_id") % 256, lit("."),
+        col("event_id") % 256, lit(".9 ref "),
+        (lit(4000000000000000L) + col("event_id")).cast("string"))
+      ev.select(col("event_id"), TextAnalysis.piiRedact(raw).as("p"))
+        .select(col("event_id"),
+          col("p.redacted").as("redacted"),
+          col("p.n_emails").as("n_emails"),
+          col("p.n_ips").as("n_ips"),
+          col("p.n_digit_runs").as("n_digit_runs"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH raw AS (
+        SELECT event_id,
+          event_type || ' by ' ||
+          CASE WHEN event_id % 3 = 0
+            THEN 'user' || user_id || '@example.com' ELSE 'anon' END ||
+          ' from 10.' || (user_id % 256) || '.' || (event_id % 256) ||
+          '.9 ref ' || (4000000000000000 + event_id) AS t
+        FROM events
+      ), st AS (
+        SELECT event_id, t,
+          regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g') AS t1
+        FROM raw
+      ), st2 AS (
+        SELECT event_id, t, t1,
+          regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+            '<IP>', 'g') AS t2
+        FROM st
+      )
+      SELECT event_id,
+        regexp_replace(t2, '\d{9,}', '<NUM>', 'g') AS redacted,
+        CAST(len(regexp_extract_all(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(t1,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        CAST(len(regexp_extract_all(t2, '\d{9,}')) AS INT) AS n_digit_runs
+      FROM st2 ORDER BY event_id"""))
+
+  /** Per-document salient terms: tf × N / df with a rational idf (no
+    * log — exact on every engine), deterministic (score desc, term asc)
+    * top-3. Exercises the distributed explode → partial-agg → term-join
+    * → windowed-top-k shape a 100 TB keyword-extraction pass uses. */
+  private val textSalientTerms = Q("text_salient_terms",
+    (s, d) => TextAnalysis.salientTerms(
+        Tables.documents(s, d), col("doc_id"), col("text"), topK = 3)
+      .orderBy(col("doc_id"), col("rank")),
+    Some("""WITH tok AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS term
+        FROM documents
+      ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+      ), dfq AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+      ), n AS (SELECT count(*) AS n_docs FROM documents),
+      s AS (
+        SELECT doc_id, term, tf, df,
+          CAST(tf AS DOUBLE) * n_docs / df AS score,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY CAST(tf AS DOUBLE) * n_docs / df DESC, term ASC) AS rank
+        FROM tf JOIN dfq USING (term) CROSS JOIN n
+      )
+      SELECT doc_id, term, tf, df, score, rank
+      FROM s WHERE rank <= 3 ORDER BY doc_id, rank"""),
+    bench = true)
+
+  /** Training-shard packing: id-ordered documents fill ~2000-token
+    * shards via a distributed two-level prefix sum (bucketed partial
+    * sums + broadcast offsets — no global single-partition window).
+    * The oracle recomputes the exclusive running total with a plain
+    * window, proving the distributed decomposition exact. */
+  private val shardPack = Q("shard_pack",
+    (s, d) => TextAnalysis.packShards(Tables.documents(s, d),
+        col("doc_id"), col("text"), budgetTokens = 2000L, bucketWidth = 1024L)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+            AS BIGINT) AS n_tokens
+        FROM documents
+      )
+      SELECT doc_id, n_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tokens,
+        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS BIGINT) AS shard
+      FROM t ORDER BY doc_id"""),
+    bench = true)
+
+  /** Cross-document duplicated k-token spans (window-level exact-dup
+    * signal). Spark probes xxhash64'd window postings against the
+    * min(doc)≠max(doc) cross-doc gram set; the oracle replays the same
+    * logic on the gram STRINGS — identical counts barring 2^-64
+    * collisions. */
+  private val dedupSpans = Q("dedup_spans",
+    (s, d) => Dedup.duplicatedSpans(Tables.documents(s, d),
+        col("doc_id"), col("text"), k = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split(trim(text), ' '), t -> t <> '') AS w
+        FROM documents
+      ), g AS (
+        SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 7, 0) + 1),
+          i -> array_to_string(w[i:i+7], ' '))) AS gram
+        FROM toks
+      ), d AS (
+        SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+      )
+      SELECT doc_id, count(*) AS n_dup_spans
+      FROM g JOIN d USING (gram)
+      GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
   private val textFingerprint = Q("text_fingerprint",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1567,6 +1749,7 @@ object Queries {
     annBruteForce, annLsh, annIvf,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     sampleStratified, decontaminate,
+    textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust,
     multimodalFeatures, multimodalStub, multimodalDecode)
 

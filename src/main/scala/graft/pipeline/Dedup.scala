@@ -89,22 +89,27 @@ object Dedup {
       val banded = docs.select(col("id"), explode(lshBandKeys(
         minhashSignature(col("sh"), numHashes, algo), bands, rows,
         hashBandKeys)).as("band"))
-      val cand = banded.select(col("band"), col("id").as("id_a"))
-        .join(banded.select(col("band"), col("id").as("id_b")), Seq("band"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
+      // self-join via alias, renames AFTER the join: both sides are the
+      // identical physical plan, so Spark shuffles the banded postings
+      // ONCE and reuses the exchange (rename-before-join plans two)
+      val cand = banded.as("ba").join(banded.as("bb"),
+          col("ba.band") === col("bb.band") && col("ba.id") < col("bb.id"))
+        .select(col("ba.id").as("id_a"), col("bb.id").as("id_b"))
         .distinct()
       // exact-Jaccard verification on xxhash64'd shingle sets: set sizes
       // and intersections are identical modulo 2^-64-scale collisions, and
       // the joins shuffle fixed-width long arrays instead of strings
       val hashed = docs.select(col("id"),
         transform(col("sh"), s => xxhash64(s)).as("shh"))
+      // both fetches shuffle `hashed` by its id with the identical plan
+      // (aliases, not pre-renamed projections) — the second join reuses
+      // the first's exchange instead of re-shingling the corpus
       val pairs = cand
-        .join(hashed.select(col("id").as("id_a"), col("shh").as("sh_a")), Seq("id_a"))
-        .join(hashed.select(col("id").as("id_b"), col("shh").as("sh_b")), Seq("id_b"))
+        .join(hashed.as("ha"), col("id_a") === col("ha.id"))
+        .join(hashed.as("hb"), col("id_b") === col("hb.id"))
         .select(col("id_a"), col("id_b"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jaccard"))
+          (size(array_intersect(col("ha.shh"), col("hb.shh"))).cast("double") /
+            size(array_union(col("ha.shh"), col("hb.shh"))).cast("double")).as("jaccard"))
         .filter(col("jaccard") >= threshold)
       // the near-dup pair set is tiny relative to the corpus: materialize
       // it eagerly (localCheckpoint truncates lineage off the cache) so
@@ -159,23 +164,29 @@ object Dedup {
       if (numChunks == 1) chunkVal(sig, c)
       else lit(c.toLong << 58).bitwiseOR(chunkVal(sig, c))
     val withSig = df.select(id.as("id"), simhash(text, algo).as("sig"))
+    // no separate chunk-index column: the index rides the key's high
+    // bits (extracted below), so BOTH join sides project exactly
+    // (id, sig, chunk) — if one side carried an extra column, column
+    // pruning would make the plans differ and kill exchange reuse
     val banded = withSig.select(col("id"), col("sig"),
-      posexplode(array((0 until numChunks).map(chunkKey(col("sig"), _)): _*))
-        .as(Seq("ci", "chunk")))
-    val a = banded.select(col("chunk"), col("ci"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("chunk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk"))
-      .filter(col("id_a") < col("id_b"))
+      explode(array((0 until numChunks).map(chunkKey(col("sig"), _)): _*))
+        .as("chunk"))
+    // alias self-join (renames AFTER): both sides are the identical plan,
+    // so the banded postings shuffle ONCE and the probe reuses the exchange
+    val j = banded.as("sa").join(banded.as("sb"),
+        col("sa.chunk") === col("sb.chunk") && col("sa.id") < col("sb.id"))
+    val ci = if (numChunks == 1) lit(0)
+      else shiftrightunsigned(col("sa.chunk"), 58).cast("int")
+    j
       // first-match dedup: emit a pair only from its FIRST agreeing chunk
       // (all earlier chunks must differ) — a pure filter over columns we
       // already have, replacing a distinct() that would shuffle the whole
       // candidate set a second time
       .filter((0 until numChunks).map { c =>
-        col("ci") > c && chunkVal(col("sig_a"), c) === chunkVal(col("sig_b"), c)
+        ci > c && chunkVal(col("sa.sig"), c) === chunkVal(col("sb.sig"), c)
       }.reduceOption(_ || _).map(!_).getOrElse(lit(true)))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .select(col("sa.id").as("id_a"), col("sb.id").as("id_b"),
+        bit_count(col("sa.sig").bitwiseXOR(col("sb.sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -221,24 +232,24 @@ object Dedup {
       lit(c.toLong << 58).bitwiseOR(chunkVal(lo, hi, c))
     val withSig = df.select(id.as("id"), simhash128(text, algo).as("sig"))
       .select(col("id"), col("sig").getItem(0).as("lo"), col("sig").getItem(1).as("hi"))
+    // chunk index extracted from the key's high bits — both sides
+    // project exactly (id, lo, hi, chunk) so the exchange is reused
     val banded = withSig.select(col("id"), col("lo"), col("hi"),
-      posexplode(array((0 until numChunks).map(c =>
-        chunkKey(col("lo"), col("hi"), c)): _*)).as(Seq("ci", "chunk")))
-    val a = banded.select(col("chunk"), col("ci"), col("id").as("id_a"),
-      col("lo").as("lo_a"), col("hi").as("hi_a"))
-    val b = banded.select(col("chunk"), col("id").as("id_b"),
-      col("lo").as("lo_b"), col("hi").as("hi_b"))
-    a.join(b, Seq("chunk"))
-      .filter(col("id_a") < col("id_b"))
+      explode(array((0 until numChunks).map(c =>
+        chunkKey(col("lo"), col("hi"), c)): _*)).as("chunk"))
+    // alias self-join for exchange reuse, as in simhashPairs
+    banded.as("sa").join(banded.as("sb"),
+        col("sa.chunk") === col("sb.chunk") && col("sa.id") < col("sb.id"))
       // first-match dedup, as in simhashPairs: emit only from the FIRST
       // agreeing chunk — a pure filter, no distinct() shuffle
       .filter((0 until numChunks).map { c =>
-        col("ci") > c &&
-          chunkVal(col("lo_a"), col("hi_a"), c) === chunkVal(col("lo_b"), col("hi_b"), c)
+        shiftrightunsigned(col("sa.chunk"), 58).cast("int") > c &&
+          chunkVal(col("sa.lo"), col("sa.hi"), c) ===
+            chunkVal(col("sb.lo"), col("sb.hi"), c)
       }.reduce(_ || _).unary_!)
-      .select(col("id_a"), col("id_b"),
-        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
-          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int").as("hamming"))
+      .select(col("sa.id").as("id_a"), col("sb.id").as("id_b"),
+        (bit_count(col("sa.lo").bitwiseXOR(col("sb.lo"))) +
+          bit_count(col("sa.hi").bitwiseXOR(col("sb.hi")))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -269,11 +280,13 @@ object Dedup {
       .filter(col("df") > maxDocFreq)
       .select(col("shingle"))
     val capped = posting.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val a = capped.select(col("shingle"), col("id").as("id_a"), col("n").as("n_a"))
-    val b = capped.select(col("shingle"), col("id").as("id_b"), col("n").as("n_b"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+    // alias self-join (renames AFTER the join): both sides are the same
+    // physical plan, so the capped postings shuffle ONCE and the probe
+    // side reuses the exchange instead of re-scanning + re-shingling
+    capped.as("pa").join(capped.as("pb"),
+        col("pa.shingle") === col("pb.shingle") && col("pa.id") < col("pb.id"))
+      .groupBy(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
+        col("pa.n").as("n_a"), col("pb.n").as("n_b"))
       .agg(count(lit(1)).as("common"))
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") /
@@ -309,6 +322,40 @@ object Dedup {
     dGrams
       .join(if (broadcastBench) broadcast(bGrams) else bGrams, Seq("gh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+  }
+
+  // ---- cross-document duplicated spans -----------------------------------------
+  /** Span-level exact duplication: for each document, how many of its
+    * k-token windows (ALL positions, not distinct — a window repeated
+    * inside one doc still counts each occurrence) also occur in some
+    * OTHER document. The window-level signal behind "train-data
+    * duplicated substring removal": a long boilerplate block shared by
+    * thousands of pages lights up every window it spans.
+    *
+    * Shape at 100 TB: windows explode to (doc_id, gramHash) postings on
+    * fixed-width xxhash64 keys; cross-doc grams are found with a
+    * min(doc)≠max(doc) aggregate — TWO longs of agg buffer per gram,
+    * fully map-side-combinable, instead of a countDistinct sketch — and
+    * the postings probe that set with a semi-join on the same key. Both
+    * shuffles carry only (long, long) rows. Collisions at 2^-64 can
+    * only over-count a window as duplicated, never lose one.
+    *
+    * @return (doc_id, n_dup_spans) for docs with >= 1 duplicated window
+    */
+  def duplicatedSpans(df: DataFrame, id: Column, text: Column,
+      k: Int = 8): DataFrame = {
+    val grams = df.select(id.as("doc_id"),
+        explode(TextAnalysis.bindArray(
+          filter(TextAnalysis.tokens(text), t => t =!= "")) { toks =>
+          TextAnalysis.wordNgrams(toks, k)
+        }).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val crossDoc = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("gh"))
+    grams.join(crossDoc, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
   }
 
   // ---- near-dup clustering -----------------------------------------------------
@@ -457,30 +504,31 @@ object Dedup {
     // produces no duplicates at all (one bucket per vector per table)
     val bucketArr = array((0 until tables).map(t =>
       Similarity.hyperplaneBucket(col("v"), planes, seed + t, dim)): _*)
+    // no separate table-index column: the index rides bkey's high bits
+    // (extracted in the dedup filter), so BOTH join sides project
+    // exactly (id, bs, bkey) — identical plans are what lets the
+    // bucket-key exchange be planned once and REUSED by the probe side
     val keyed = base.select(col("id"), bucketArr.as("bs"))
       .select(col("id"), col("bs"), posexplode(col("bs")).as(Seq("t", "b")))
-      .select(col("id"), col("t"),
-        shiftleft(col("t").cast("long"), 58).bitwiseOR(col("b")).as("bkey"),
-        col("bs"))
-    val joined = keyed.select(col("bkey"), col("t"), col("id").as("id_a"),
-        col("bs").as("bs_a"))
-      .join(keyed.select(col("bkey"), col("id").as("id_b"), col("bs").as("bs_b")),
-        Seq("bkey"))
-      .filter(col("id_a") < col("id_b"))
+      .select(col("id"), col("bs"),
+        shiftleft(col("t").cast("long"), 58).bitwiseOR(col("b")).as("bkey"))
+    val joined = keyed.as("ka").join(keyed.as("kb"),
+      col("ka.bkey") === col("kb.bkey") && col("ka.id") < col("kb.id"))
     val deduped =
       if (tables == 1) joined
       else joined.filter((0 until tables).map { tp =>
-        col("t") > tp && element_at(col("bs_a"), tp + 1) === element_at(col("bs_b"), tp + 1)
+        shiftrightunsigned(col("ka.bkey"), 58).cast("int") > tp &&
+          element_at(col("ka.bs"), tp + 1) === element_at(col("kb.bs"), tp + 1)
       }.reduce(_ || _).unary_!)
-    val cand = deduped.select(col("id_a"), col("id_b"))
+    val cand = deduped.select(col("ka.id").as("id_a"), col("kb.id").as("id_b"))
     val withNorm = base.withColumn("nrm", Similarity.norm(col("v")))
+    // vector fetches likewise alias the same plan so the second join
+    // reuses the first's exchange of `withNorm`
     cand
-      .join(withNorm.select(col("id").as("id_a"), col("v").as("v_a"),
-        col("nrm").as("nrm_a")), Seq("id_a"))
-      .join(withNorm.select(col("id").as("id_b"), col("v").as("v_b"),
-        col("nrm").as("nrm_b")), Seq("id_b"))
+      .join(withNorm.as("wa"), col("id_a") === col("wa.id"))
+      .join(withNorm.as("wb"), col("id_b") === col("wb.id"))
       .select(col("id_a"), col("id_b"),
-        (Similarity.dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+        (Similarity.dot(col("wa.v"), col("wb.v")) / (col("wa.nrm") * col("wb.nrm")))
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }

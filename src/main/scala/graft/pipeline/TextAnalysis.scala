@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language ID, quality
@@ -116,10 +117,177 @@ object TextAnalysis {
     bucket < threshold
   }
 
+  /** Word n-grams as strings: ["a","b","c"] with n=2 → ["a b","b c"].
+    * Pure HOF over an already-bound token array (pass through
+    * [[bindArray]] so the tokenizer runs once, not once per element). */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+
+  /** Repetition metrics over word n-grams (the Gopher-style repetition
+    * signals, adapted to n-grams because pretraining dedup text is often
+    * single-line):
+    *  - `top_bigram_frac`: chars covered by the most frequent word
+    *    2-gram (count × gram length) / total chars; ties break toward
+    *    the lexicographically LARGER gram (array_max struct order).
+    *  - `dup_trigram_frac`: fraction of word-3-gram occurrences whose
+    *    gram appears more than once in the document.
+    *  - `distinct_ratio`: type-token ratio (distinct words / words).
+    * All narrow codegen'd HOFs — O(G²) in per-doc gram count, zero
+    * shuffle, so cost is bounded by document length, not corpus size:
+    * safe as a map stage over 100 TB. */
+  /** Longest run in a SORTED gram array as struct(best, gram); ties
+    * break toward the lexicographically larger gram (matching what a
+    * (count, gram) struct max would pick). Single O(G) fold — equal
+    * grams are adjacent after the sort, so run lengths are counts. */
+  private def topRunOfSorted(sortedGrams: Column): Column =
+    aggregate(sortedGrams,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best"), lit("").as("gram")),
+      (acc, x) => {
+        val newRun = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        val better = newRun > acc.getField("best") ||
+          (newRun === acc.getField("best") && x > acc.getField("gram"))
+        struct(x.as("prev"), newRun.as("run"),
+          when(better, newRun).otherwise(acc.getField("best")).as("best"),
+          when(better, x).otherwise(acc.getField("gram")).as("gram"))
+      })
+
+  /** Occurrences belonging to runs of length ≥ 2 in a SORTED array:
+    * the first repeat of a run retro-credits both occurrences, later
+    * repeats add one. Single O(G) fold. */
+  private def dupOccurrencesOfSorted(sortedGrams: Column): Column =
+    aggregate(sortedGrams,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("dups")),
+      (acc, x) => {
+        val newRun = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        val add = when(newRun === 2, lit(2)).when(newRun > 2, lit(1)).otherwise(lit(0))
+        struct(x.as("prev"), newRun.as("run"),
+          (acc.getField("dups") + add).as("dups"))
+      }).getField("dups")
+
+  def repetitionMetrics(text: Column): Column =
+    bindArray(filter(tokens(text), t => t =!= "")) { toks =>
+      bindArray(array_sort(wordNgrams(toks, 2))) { bigrams =>
+        bindArray(array_sort(wordNgrams(toks, 3))) { trigrams =>
+          // sort-then-run-length: O(G log G) per document instead of the
+          // naive O(G²) count-per-distinct-gram — what keeps long
+          // documents cheap when this runs as a 100 TB map stage
+          val topBigram = topRunOfSorted(bigrams)
+          val topFrac = when(size(bigrams) === 0, lit(0.0)).otherwise(
+            topBigram.getField("best").cast("double") *
+              length(topBigram.getField("gram")).cast("double") /
+              greatest(length(text), lit(1)).cast("double"))
+          val dupFrac = when(size(trigrams) === 0, lit(0.0))
+            .otherwise(dupOccurrencesOfSorted(trigrams).cast("double") /
+              size(trigrams).cast("double"))
+          val ttr = when(size(toks) === 0, lit(0.0)).otherwise(
+            size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+          struct(topFrac.as("top_bigram_frac"), dupFrac.as("dup_trigram_frac"),
+            ttr.as("distinct_ratio"))
+        }
+      }
+    }
+
+  /** PII redaction: emails, then dotted-quad IPs, then long digit runs
+    * (card/phone-shaped), each replaced by a stable token. The regexes
+    * stay inside the RE2-compatible subset so external engines replay
+    * them identically. Counts are measured stage-by-stage on the
+    * partially-redacted text so an email's domain dots are never
+    * double-counted as an IP. Narrow codegen'd map — no shuffle. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val digitRunPattern = "\\d{9,}"
+
+  def piiRedact(text: Column): Column = {
+    // '@' prefilter: the email pattern can't match without one, and most
+    // rows in a real corpus have none — skip the costliest regex there
+    val hasAt = instr(text, "@") > 0
+    val afterEmail = when(hasAt, regexp_replace(text, emailPattern, "<EMAIL>"))
+      .otherwise(text)
+    val afterIp = regexp_replace(afterEmail, ipv4Pattern, "<IP>")
+    val afterDigits = regexp_replace(afterIp, digitRunPattern, "<NUM>")
+    struct(
+      afterDigits.as("redacted"),
+      when(hasAt, regexp_count(text, lit(emailPattern)).cast("int"))
+        .otherwise(lit(0)).as("n_emails"),
+      regexp_count(afterEmail, lit(ipv4Pattern)).cast("int").as("n_ips"),
+      regexp_count(afterIp, lit(digitRunPattern)).cast("int").as("n_digit_runs"))
+  }
+
   /** Exact document fingerprint: hash of whitespace-normalized lowercase
     * text (the cheap dedup key). */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Per-document salient terms by tf × N / df (tf-idf with a rational
+    * idf — no logarithm, so every engine computes the identical score).
+    * Three map-side-combinable aggregations and one windowed top-k:
+    *   explode(tokens) → (doc, term) counts → term doc-frequency →
+    *   score join → row_number ≤ topK per doc.
+    * The (doc, term) aggregation partially aggregates before its
+    * shuffle; the df table shuffles on term (AQE picks broadcast when
+    * the vocabulary is small — at 100 TB vocabulary it degrades to a
+    * sort-merge join on term, which is the right plan there); the
+    * window repartitions on doc_id, which is the natural output
+    * partitioning. Corpus size N rides in as a broadcast scalar. */
+  def salientTerms(docs: DataFrame, id: Column, text: Column,
+      topK: Int = 3): DataFrame = {
+    val tok = docs.select(id.as("doc_id"),
+      explode(filter(tokens(text), t => t =!= "")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
+  /** Pack documents into training shards of ~`budgetTokens` tokens each,
+    * preserving id order (the "fill shard 0, then shard 1, …" packing a
+    * tokenized-corpus writer needs). A document lands in the shard its
+    * EXCLUSIVE running token total falls in: shard = start_tokens div
+    * budget — so shards overflow by at most one document and every
+    * engine recomputes the same assignment.
+    *
+    * The running total is a distributed two-level prefix sum, not a
+    * global window: ids are coarsened order-preservingly into buckets
+    * (floor(id / bucketWidth)), per-bucket token sums get an exclusive
+    * prefix via a window over the SMALL bucket-totals table (N /
+    * bucketWidth rows — at 10^11 docs and width 2^20 that is ~10^5
+    * rows; recurse the same trick if that ever gets big), and each
+    * bucket's offset is broadcast back so the in-bucket window only
+    * sorts within its bucket partition. No single-partition pass ever
+    * sees more than bucketWidth rows. */
+  def packShards(docs: DataFrame, id: Column, text: Column,
+      budgetTokens: Long, bucketWidth: Long = 1L << 20): DataFrame = {
+    val base = docs.select(id.cast("long").as("doc_id"),
+      tokenCount(text).cast("long").as("n_tokens"))
+    val bucketed = base.withColumn("bucket", floor(col("doc_id") / bucketWidth).cast("long"))
+    val totals = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    val wBuckets = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_tokens")).over(wBuckets), lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    val wInBucket = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), "bucket")
+      .withColumn("start_tokens",
+        col("bucket_offset") + coalesce(sum(col("n_tokens")).over(wInBucket), lit(0L)))
+      .withColumn("shard", expr(s"start_tokens div $budgetTokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tokens"), col("shard"))
+  }
 
   /** Winnowing-style robust fingerprint: min-keep over character k-gram
     * rolling hashes — survives small edits. Small-word modular

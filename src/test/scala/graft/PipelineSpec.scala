@@ -361,4 +361,99 @@ class PipelineSpec extends GraftSuite {
     assert(r1.feature.length == 8)
     assert(r1.n_bytes > 0)
   }
+
+  test("repetition metrics: top bigram coverage, dup trigrams, type-token ratio") {
+    // "a b a b a b": bigrams = [a b, b a, a b, b a, a b] → top "b a"? no:
+    // "a b" ×3, "b a" ×2 → top = ("a b", 3); chars = 3*3/11
+    // trigrams = [a b a, b a b, a b a, b a b] → all duplicated → 1.0
+    // distinct ratio = 2/6
+    val m = Seq("a b a b a b").toDF("text")
+      .select(TextAnalysis.repetitionMetrics(col("text")).as("m"))
+      .select("m.top_bigram_frac", "m.dup_trigram_frac", "m.distinct_ratio")
+      .head()
+    assert(math.abs(m.getDouble(0) - 3.0 * 3 / 11) < 1e-12)
+    assert(m.getDouble(1) == 1.0)
+    assert(math.abs(m.getDouble(2) - 2.0 / 6) < 1e-12)
+    // no repetition: unique words → dup fraction 0, ttr 1
+    val u = Seq("one two three four").toDF("text")
+      .select(TextAnalysis.repetitionMetrics(col("text")).as("m"))
+      .select("m.dup_trigram_frac", "m.distinct_ratio").head()
+    assert(u.getDouble(0) == 0.0 && u.getDouble(1) == 1.0)
+    // degenerate inputs never throw and yield zeros
+    val z = Seq("", "solo", "two words").toDF("text")
+      .select(TextAnalysis.repetitionMetrics(col("text")).as("m"))
+      .select("m.top_bigram_frac", "m.dup_trigram_frac").collect()
+    assert(z.forall(r => r.getDouble(0) >= 0.0 && r.getDouble(1) == 0.0))
+  }
+
+  test("pii redaction: emails, ips, digit runs, stage-ordered counts") {
+    val r = Seq("mail bob.smith+x@corp.example.org from 192.168.1.200 card 4111111111111111 ok")
+      .toDF("text").select(TextAnalysis.piiRedact(col("text")).as("p"))
+      .select("p.redacted", "p.n_emails", "p.n_ips", "p.n_digit_runs").head()
+    assert(r.getString(0) == "mail <EMAIL> from <IP> card <NUM> ok")
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1 && r.getInt(3) == 1)
+    // an email's dotted domain is not double-counted as an IP, and an
+    // IP's digits are not counted as a digit run
+    val r2 = Seq("a1.2.3.4@h5.6.7.example then 10.0.0.1")
+      .toDF("text").select(TextAnalysis.piiRedact(col("text")).as("p"))
+      .select("p.n_emails", "p.n_ips", "p.n_digit_runs").head()
+    assert(r2.getInt(0) == 1 && r2.getInt(1) == 1 && r2.getInt(2) == 0)
+    // clean text untouched
+    val clean = Seq("no pii here at all").toDF("text")
+      .select(TextAnalysis.piiRedact(col("text")).getField("redacted")).head.getString(0)
+    assert(clean == "no pii here at all")
+  }
+
+  test("duplicated spans: cross-doc windows counted per occurrence") {
+    val corpus = Seq(
+      (1L, "a b c d e x y z"),     // "a b c" shared with doc 2
+      (2L, "q a b c r s t u"),
+      (3L, "n o p n o p n o"),     // internal repeats only — no cross-doc
+      (4L, "totally unique words here none shared")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(corpus, col("doc_id"), col("text"), k = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc1 windows: [a b c, b c d, c d e, d e x, e x y, x y z] → 1 dup
+    // doc2 windows: [q a b, a b c, b c r, …] → 1 dup; docs 3,4 none
+    assert(out == Seq((1L, 1L), (2L, 1L)))
+    // a window duplicated WITHIN one doc only does not count, but if it
+    // also appears in another doc, every occurrence counts
+    val corpus2 = Seq(
+      (1L, "a b c a b c"),          // "a b c" twice + bridging windows
+      (2L, "z a b c z")).toDF("doc_id", "text")
+    val out2 = Dedup.duplicatedSpans(corpus2, col("doc_id"), col("text"), k = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc1 windows: [a b c, b c a, c a b, a b c] → "a b c" ×2 cross-doc
+    // doc2 windows: [z a b, a b c, b c z] → 1
+    assert(out2 == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("shard packing: distributed prefix sum matches sequential fill") {
+    // token counts 3,4,5,2,6 with budget 8: exclusive cums 0,3,7,12,14
+    // → shards 0,0,0,1,1
+    val corpus = Seq(
+      (10L, "a b c"), (20L, "a b c d"), (30L, "a b c d e"),
+      (40L, "a b"), (50L, "a b c d e f")).toDF("doc_id", "text")
+    // bucketWidth=25 splits ids {10,20} | {30,40} | {50} across buckets,
+    // so the bucket-offset path is genuinely exercised
+    val out = TextAnalysis.packShards(corpus, col("doc_id"), col("text"),
+        budgetTokens = 8L, bucketWidth = 25L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((10L, 0L, 0L), (20L, 3L, 0L), (30L, 7L, 0L),
+      (40L, 12L, 1L), (50L, 14L, 1L)))
+  }
+
+  test("salient terms: rational tf-idf, deterministic top-k") {
+    val corpus = Seq(
+      (1L, "apple apple banana common common"),
+      (2L, "banana cherry common common common"),
+      (3L, "common words only common words")).toDF("doc_id", "text")
+    val out = TextAnalysis.salientTerms(corpus, col("doc_id"), col("text"), topK = 2)
+      .orderBy(col("doc_id"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(5)))
+    // doc 1: apple tf=2 df=1 → score 6; banana tf=1 df=2 → 1.5; common 2/3 → 2
+    assert(out.toSeq.take(2) == Seq((1L, "apple", 1), (1L, "common", 2)))
+    // doc 2: cherry 1/1 → 3; common 3/3 → 3 — tie broken by term asc
+    assert(out.toSeq.slice(2, 4) == Seq((2L, "cherry", 1), (2L, "common", 2)))
+  }
 }

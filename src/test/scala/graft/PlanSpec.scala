@@ -94,6 +94,36 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("pair-generation self-joins reuse one exchange per side") {
+    // candidate self-joins alias the SAME plan on both sides (renames
+    // happen after the join), so the postings shuffle once and the
+    // probe side is a ReusedExchange — at 100 TB this halves the most
+    // expensive stage of every near-dup operator. AQE plans lazily and
+    // broadcast would hide the exchange, so pin both off for the check.
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (name <- Seq("dedup_ngram_jaccard", "dedup_simhash_r3",
+          "dedup_simhash_128", "dedup_embedding")) {
+        val p = plan(name)
+        assert(p.contains("ReusedExchange"), s"$name\n$p")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
+  test("duplicated spans: map-side-combinable agg + semi-join on long keys") {
+    val p = plan("dedup_spans")
+    // cross-doc gram detection must partially aggregate before its
+    // exchange (min/max buffers), and the probe must be a semi-join
+    assert(p.contains("partial_min") || p.contains("partial min"), p)
+    assert(p.contains("LeftSemi"), p)
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // custom expressions (ParseSyslog here) must not force interpreted
     // fallback: the generated whole-stage code contains the static call
