@@ -147,4 +147,20 @@ class PropertiesSpec extends GraftSuite {
       graft.operators.VendorParsers.panos(df).count() == lines.size
     })
   }
+
+  test("text-analysis ops never throw on arbitrary text") {
+    import org.apache.spark.sql.functions.col
+    val junk: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.choose(' ', '~'),
+      2 -> Gen.oneOf(' ', '\t', '\n', '@', '.', '<', '>'),
+      1 -> Gen.oneOf('é', '中'),
+      1 -> Gen.numChar)).map(_.mkString.take(200))
+    check(Prop.forAll(Gen.listOf(junk).map(_.take(5))) { texts =>
+      val df = texts.toDF("text")
+      df.select(graft.pipeline.TextAnalysis.repetitionMetrics(col("text")))
+        .count() == texts.size &&
+      df.select(graft.pipeline.TextAnalysis.piiRedact(col("text")))
+        .count() == texts.size
+    })
+  }
 }
