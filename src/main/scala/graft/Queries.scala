@@ -1458,6 +1458,45 @@ object Queries {
       GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  /** Apache access-log parsing end-to-end: combined-format lines are
+    * synthesized deterministically from event fields, parsed back by
+    * apache-accesslog-parser (scl/apache semantics), and the oracle
+    * recomputes every extracted field directly from the construction —
+    * a hash match proves the parse recovers them from the text alone. */
+  private val parseApache = Q("parse_apache",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val raw = concat(
+        lit("10."), col("user_id") % 256, lit("."), col("event_id") % 256,
+        lit(".7 - u"), col("user_id"),
+        lit(" [10/Oct/2000:13:55:36 -0700] \"GET /"),
+        col("event_type"), lit("/"), col("event_id"), lit(" HTTP/1.1\" "),
+        lit(200) + col("event_id") % 5, lit(" "), col("event_id") % 10000)
+      graft.operators.VendorParsers.apacheAccesslog(
+          ev.select(col("event_id"), raw.as("message")))
+        .select(col("event_id"),
+          element_at(col("values"), ".apache.clientip").as("clientip"),
+          element_at(col("values"), ".apache.auth").as("auth"),
+          element_at(col("values"), ".apache.verb").as("verb"),
+          element_at(col("values"), ".apache.request").as("request"),
+          element_at(col("values"), ".apache.httpversion").as("httpversion"),
+          element_at(col("values"), ".apache.response").as("response"),
+          element_at(col("values"), ".apache.bytes").as("bytes"),
+          col("ts").cast("long").as("ts_epoch"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      '10.' || (user_id % 256) || '.' || (event_id % 256) || '.7' AS clientip,
+      'u' || user_id AS auth,
+      'GET' AS verb,
+      '/' || event_type || '/' || event_id AS request,
+      '1.1' AS httpversion,
+      CAST(200 + event_id % 5 AS VARCHAR) AS response,
+      CAST(event_id % 10000 AS VARCHAR) AS bytes,
+      971211336 AS ts_epoch
+      FROM events ORDER BY event_id"""),
+    bench = true)
+
   /** Gopher-style repetition signals over word n-grams: top-bigram char
     * coverage, duplicated-trigram occurrence fraction, type-token
     * ratio. Spark computes them as narrow codegen'd HOFs; the oracle
@@ -1740,7 +1779,7 @@ object Queries {
     parseSyslogRfc3164, parseSyslogRfc5424,
     routeJunction, patterndbClassify, appParserQ, enrichRange, enrichGlob,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
-    parseJsonNested, parseXml, parseDate, parseTagsRekey,
+    parseJsonNested, parseXml, parseDate, parseTagsRekey, parseApache,
     configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
     dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash,

@@ -307,6 +307,18 @@ object ConfigCompiler {
       case "panos-parser" =>
         val prefix = kvOf(s.args, "prefix").getOrElse(".panos.")
         df => graft.operators.VendorParsers.panos(df, prefix)
+      case "iptables-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse(".iptables.")
+        df => graft.operators.VendorParsers.iptables(df, prefix)
+      case "sudo-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse(".sudo.")
+        df => graft.operators.VendorParsers.sudo(df, prefix)
+      case "fortigate-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse(".fortigate.")
+        df => graft.operators.VendorParsers.fortigate(df, prefix)
+      case "apache-accesslog-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse(".apache.")
+        df => graft.operators.VendorParsers.apacheAccesslog(df, prefix)
 
       case other => throw new IllegalArgumentException(s"unsupported parser: $other")
     }

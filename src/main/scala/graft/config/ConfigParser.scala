@@ -53,6 +53,59 @@ object ConfigParser {
       decls.collect { case b: Block if b.kind == kind => b.name -> b }.toMap
   }
 
+  // ---- @include expansion --------------------------------------------------
+  /** Textual `@include "path"` expansion, matching the reference lexer's
+    * include handling (`lib/cfg-lex.l` include states + `cfg-parser.c`
+    * process_file_inclusion): the operand may be a single file, a glob
+    * (expanded in NAME order), or a directory (all regular files,
+    * sorted). Relative operands resolve against the INCLUDING file's
+    * directory; cycles and nesting beyond 16 levels are errors, like
+    * the reference's include-depth check. Other pragmas pass through to
+    * the lexer, which skips them. */
+  def resolveIncludes(src: String, dir: java.nio.file.Path,
+      seen: Set[java.nio.file.Path] = Set.empty, depth: Int = 0): String = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    require(depth <= 16, s"@include nesting deeper than 16 at $dir")
+    val inc = "^@include\\s+[\"']([^\"']+)[\"']\\s*;?\\s*$".r
+    src.split("\n", -1).map { line =>
+      line.trim match {
+        case inc(operand) =>
+          val files: Seq[Path] = {
+            val p = dir.resolve(operand)
+            if (Files.isDirectory(p))
+              Files.list(p).iterator.asScala.filter(Files.isRegularFile(_))
+                .toSeq.sortBy(_.getFileName.toString)
+            else if (operand.exists("*?[".contains(_))) {
+              val parent = Option(p.getParent).getOrElse(dir)
+              val glob = p.getFileName.toString
+              if (!Files.isDirectory(parent)) Seq.empty
+              else Files.newDirectoryStream(parent, glob).iterator.asScala
+                .filter(Files.isRegularFile(_)).toSeq
+                .sortBy(_.getFileName.toString)
+            } else Seq(p)
+          }
+          files.map { f =>
+            val abs = f.toAbsolutePath.normalize
+            require(!seen(abs), s"@include cycle via $abs")
+            require(Files.isRegularFile(abs), s"@include: no such file $abs")
+            resolveIncludes(
+              new String(Files.readAllBytes(abs), java.nio.charset.StandardCharsets.UTF_8),
+              abs.getParent, seen + abs, depth + 1)
+          }.mkString("\n")
+        case _ => line
+      }
+    }.mkString("\n")
+  }
+
+  /** Parse a config FILE, expanding `@include` relative to its dir. */
+  def parseFile(path: String): Config = {
+    val p = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    val src = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    parse(resolveIncludes(src, p.getParent, Set(p)))
+  }
+
   // ---- lexer ---------------------------------------------------------------
   private final case class Tok(kind: String, text: String, pos: Int)
 

@@ -148,6 +148,130 @@ object VendorParsers {
       .drop("__cp_host", "__cp_prog", "__cp_pid", "__cp_ts", "__cp_msg")
   }
 
+  // ---- iptables ------------------------------------------------------------
+  /** iptables-parser() (`scl/iptables/iptables.conf`): the kernel's
+    * netfilter log line is pure kv (`IN=eth0 OUT= SRC=1.2.3.4 ...`);
+    * flag words without '=' (`DF`, `SYN`) are stray words, exactly the
+    * reference's kv-parser behavior. The application filter
+    * (facility(kern) + program(kernel) + "PROTO=" substring) guards at
+    * the app-parser level; here any row containing `PROTO=` parses. */
+  def iptables(df: DataFrame, prefix: String = ".iptables."): DataFrame = {
+    val msg = col("message")
+    val isIpt = msg.contains("PROTO=")
+    val add = when(isIpt, Parsers.kvParse(msg, '=', prefix))
+      .otherwise(map().cast("map<string,string>"))
+    df.withColumn("values", merged(df, add))
+  }
+
+  // ---- sudo ----------------------------------------------------------------
+  /** sudo-parser() (`scl/sudo/sudo.conf`): `SUBJECT : TTY=pts/0 ;
+    * PWD=/home ; USER=root ; COMMAND=/bin/ls -la`. Pairs are
+    * ';'-separated so values keep embedded spaces (kv-parser
+    * pair-separator(';')); the leading stray word is the acting user
+    * (extract-stray-words-into('0') + list-head). Rows without a
+    * COMMAND pair (pam noise) are flagged via the presence of the key —
+    * the application-level filter drops them. */
+  def sudo(df: DataFrame, prefix: String = ".sudo."): DataFrame = {
+    val msg = col("message")
+    val isSudo = msg.contains(" : ") && msg.contains("=")
+    val subject = trim(substring_index(msg, " : ", 1))
+    val body = msg.substr(length(substring_index(msg, " : ", 1)) + lit(4), length(msg))
+    // ';'-separated K=V pairs; V is greedy to the pair end, so embedded
+    // spaces survive (COMMAND=/bin/ls -la) — the pair-separator(';')
+    // semantics a space-scanning kv parser cannot give
+    val entries = transform(
+      filter(transform(split(body, " ; "), p => trim(p)), p => instr(p, "=") > 0),
+      t => struct(
+        concat(lit(prefix), substring_index(t, "=", 1)).as("key"),
+        t.substr(instr(t, "=") + 1, length(t)).as("value")))
+    // last-wins on duplicate keys (kv-parser semantics) without
+    // map_from_entries' duplicate-key exception: reverse + first-wins fold
+    val kvs = aggregate(reverse(entries), map().cast("map<string,string>"),
+      (acc, e) => when(array_contains(map_keys(acc), e.getField("key")), acc)
+        .otherwise(map_concat(acc, map(e.getField("key"), e.getField("value")))))
+    val add = when(isSudo, map_concat(
+        // a hostile "SUBJECT=..." pair must not collide with the
+        // extracted subject (duplicate map keys throw under ANSI)
+        map_filter(kvs, (k, _) => k =!= lit(prefix + "SUBJECT")),
+        map(lit(prefix + "SUBJECT"), subject)))
+      .otherwise(map().cast("map<string,string>"))
+    df.withColumn("values", merged(df, add))
+  }
+
+  // ---- fortigate -----------------------------------------------------------
+  /** fortigate-parser() (`scl/fortigate/fortigate.conf`): the body after
+    * the raw `<pri>` is pure kv (`date=2023-01-02 time=03:04:05
+    * devname="fw1" ...`), then date+time fields combine into the
+    * timestamp (the reference's date-parser(format("%Y-%m-%d %H:%M:%S"))
+    * over "${.fortigate.date} ${.fortigate.time}"). */
+  def fortigate(df: DataFrame, prefix: String = ".fortigate."): DataFrame = {
+    val msg = col("message")
+    val isFgt = msg.rlike("^(<\\d{1,3}>)?date=")
+    val body = regexp_replace(msg, "^<\\d{1,3}>", "")
+    val kvs = Parsers.kvParse(body, '=', prefix)
+    val ts = try_to_timestamp(
+      concat_ws(" ",
+        try_element_at(kvs, lit(prefix + "date")),
+        try_element_at(kvs, lit(prefix + "time"))),
+      lit("yyyy-MM-dd HH:mm:ss"))
+    df.withColumn("values",
+        merged(df, when(isFgt, kvs).otherwise(map().cast("map<string,string>"))))
+      .withColumn("__fg_ts", when(isFgt, ts))
+      .withColumn("ts", coalesce(col("__fg_ts"),
+        if (df.columns.contains("ts")) col("ts").cast("timestamp")
+        else lit(null).cast("timestamp")))
+      .drop("__fg_ts")
+  }
+
+  // ---- apache access log ---------------------------------------------------
+  /** apache-accesslog-parser() (`scl/apache/apache.conf`): the four
+    * LogFormat shapes — common / combined, each with an optional
+    * `vhost:port ` prefix — parsed into the reference's logstash-like
+    * field names. Quoted fields use the csv-parser's escape-double-char
+    * dialect (`""` → `"`); response/bytes may be `-`; rawrequest splits
+    * into verb/request/httpversion with `HTTP/` stripped
+    * (the reference's trailing subst). One narrow codegen'd projection. */
+  def apacheAccesslog(df: DataFrame, prefix: String = ".apache."): DataFrame = {
+    val msg = col("message")
+    val vhostRe = "^([A-Za-z0-9\\-\\._]+):([0-9]+) "
+    val vhost = regexp_extract(msg, vhostRe, 1)
+    val port = regexp_extract(msg, vhostRe, 2)
+    val rest = regexp_replace(msg, vhostRe, "")
+    val dq = "((?:[^\"]|\"\")*)" // escape-double-char quoted field body
+    val re = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]*)\\] \"" + dq +
+      "\" (\\S+) (\\S+)(?: \"" + dq + "\" \"" + dq + "\")?\\s*$"
+    def g(i: Int): Column = regexp_extract(rest, re, i)
+    val unq = (c: Column) => regexp_replace(c, "\"\"", "\"")
+    val raw = unq(g(5))
+    val reqParts = split(raw, " ")
+    val isApache = rest.rlike(re)
+    val ts = try_to_timestamp(g(4), lit("dd/MMM/yyyy:HH:mm:ss Z"))
+    val add = map(
+      lit(prefix + "clientip"), g(1),
+      lit(prefix + "ident"), g(2),
+      lit(prefix + "auth"), g(3),
+      lit(prefix + "timestamp"), g(4),
+      lit(prefix + "rawrequest"), raw,
+      lit(prefix + "response"), g(6),
+      lit(prefix + "bytes"), g(7),
+      lit(prefix + "referrer"), unq(g(8)),
+      lit(prefix + "agent"), unq(g(9)),
+      lit(prefix + "vhost"), vhost,
+      lit(prefix + "port"), port,
+      lit(prefix + "verb"), try_element_at(reqParts, lit(1)),
+      lit(prefix + "request"), try_element_at(reqParts, lit(2)),
+      lit(prefix + "httpversion"),
+        regexp_replace(try_element_at(reqParts, lit(3)), "^HTTP/", ""))
+    val cleaned = map_filter(add, (_, v) => v.isNotNull && v =!= "")
+    df.withColumn("values", merged(df,
+        when(isApache, cleaned).otherwise(map().cast("map<string,string>"))))
+      .withColumn("__ap_ts", when(isApache, ts))
+      .withColumn("ts", coalesce(col("__ap_ts"),
+        if (df.columns.contains("ts")) col("ts").cast("timestamp")
+        else lit(null).cast("timestamp")))
+      .drop("__ap_ts")
+  }
+
   // ---- palo alto panos -----------------------------------------------------
   /** panos-parser() (`scl/paloalto/panos.conf`): syslog header, then a
     * comma CSV whose layout depends on the `type` field (SYSTEM /

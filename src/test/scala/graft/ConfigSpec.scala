@@ -239,4 +239,35 @@ class ConfigSpec extends GraftSuite {
     val out = ConfigCompiler.compile(cfg, Map("s" -> logs)).head.df
     assert(out.select("severity").collect().forall(_.getInt(0) <= 4))
   }
+
+  test("@include expands files, globs, and directories with cycle guard") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-inc")
+    val sub = Files.createDirectory(dir.resolve("conf.d"))
+    def write(p: java.nio.file.Path, s: String) =
+      Files.write(p, s.getBytes("UTF-8"))
+    write(dir.resolve("main.conf"),
+      """@version: 3.33
+        |@include "common.conf"
+        |@include "conf.d/*.conf"
+        |log { source(s); parser(p1); parser(p2); destination(d); };
+        |""".stripMargin)
+    write(dir.resolve("common.conf"),
+      "source s { file(\"/x\"); };\ndestination d { file(\"/out\"); };\n")
+    write(sub.resolve("10-a.conf"), "parser p1 { kv-parser(prefix(\".kv.\")); };\n")
+    write(sub.resolve("20-b.conf"), "parser p2 { json-parser(prefix(\".j.\")); };\n")
+    val cfg = ConfigParser.parseFile(dir.resolve("main.conf").toString)
+    assert(cfg.sources.contains("s") && cfg.parsers.keySet == Set("p1", "p2"))
+    assert(cfg.logs.size == 1)
+    // directory form includes every file in it
+    val cfg2 = ConfigParser.parse(ConfigParser.resolveIncludes(
+      "@include \"conf.d\"", dir))
+    assert(cfg2.parsers.keySet == Set("p1", "p2"))
+    // a self-including file is an error, not a hang
+    write(dir.resolve("loop.conf"), "@include \"loop.conf\"\n")
+    val e = intercept[IllegalArgumentException] {
+      ConfigParser.parseFile(dir.resolve("loop.conf").toString)
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
 }

@@ -110,4 +110,86 @@ class VendorParsersSpec extends GraftSuite {
     assert(rows(2).getString(6) == null)
     assert(rows(3).getString(6) == "before")
   }
+
+  test("iptables-parser: netfilter kv from the reference's snmptrap fixture") {
+    // the kv payload inside tests/python_functional .../test_topic_syslog.py:27
+    val line = "IN=eth0 OUT= MAC=08:00:27:d5:33:1e:34:e6:d7:1f:04:58:08:00 " +
+      "SRC=10.30.0.35 DST=10.30.35.100 LEN=60 TOS=0x00 PREC=0x00 TTL=1 " +
+      "ID=62309 DF PROTO=TCP SPT=52988 DPT=5355 WINDOW=29200 RES=0x00 SYN URGP=0"
+    val out = viaConfig("iptables-parser()", Seq(line, "no netfilter here"))
+      .select(element_at(col("values"), ".iptables.SRC").as("src"),
+        element_at(col("values"), ".iptables.PROTO").as("proto"),
+        element_at(col("values"), ".iptables.DPT").as("dpt"),
+        element_at(col("values"), ".iptables.OUT").as("out"))
+      .collect()
+    assert((out(0).getString(0), out(0).getString(1), out(0).getString(2)) ==
+      ("10.30.0.35", "TCP", "5355"))
+    assert(out(0).getString(3) == "") // OUT= present but empty
+    assert(out(1).getString(1) == null) // non-matching line untouched
+  }
+
+  test("sudo-parser: functional-test golden line, greedy command value") {
+    // MESSAGE part of tests/python_functional .../test_topic_syslog.py:29
+    val out = viaConfig("sudo-parser()", Seq(
+        "  nobody : TTY=pts/13 ; PWD=/home/nobody ; USER=root ; COMMAND=/bin/ls",
+        "jdoe : TTY=pts/0 ; PWD=/tmp ; USER=root ; COMMAND=/usr/bin/find / -name x y",
+        "pam_unix(sudo:session): session closed for user root"))
+      .select(element_at(col("values"), ".sudo.SUBJECT").as("subj"),
+        element_at(col("values"), ".sudo.USER").as("user"),
+        element_at(col("values"), ".sudo.COMMAND").as("cmd"))
+      .collect()
+    assert((out(0).getString(0), out(0).getString(1), out(0).getString(2)) ==
+      ("nobody", "root", "/bin/ls"))
+    // pair-separator(';') semantics: the command keeps its spaces
+    assert(out(1).getString(2) == "/usr/bin/find / -name x y")
+    // pam noise has no COMMAND pair — the app-level filter's signal
+    assert(out(2).getString(2) == null)
+  }
+
+  test("fortigate-parser: functional-test golden line, date+time -> ts") {
+    val line = """<189>date=2021-01-15 time=12:58:59 devname="FORTI_111" """ +
+      """devid="FG100D3G12801312" logid="0001000014" type="traffic" """ +
+      """subtype="local" level="notice" vd="root" srcip=91.234.154.139 """ +
+      """srcport=45295 proto=17 action="deny" policyid=0 duration=0"""
+    val out = viaConfig("fortigate-parser()", Seq(line))
+      .select(element_at(col("values"), ".fortigate.devname").as("devname"),
+        element_at(col("values"), ".fortigate.action").as("action"),
+        element_at(col("values"), ".fortigate.srcip").as("srcip"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .collect()
+    assert((out(0).getString(0), out(0).getString(1), out(0).getString(2)) ==
+      ("FORTI_111", "deny", "91.234.154.139"))
+    assert(out(0).getString(3) == "2021-01-15 12:58:59")
+  }
+
+  test("apache-accesslog-parser: all four scl LogFormat examples") {
+    // the exact example lines from scl/apache/apache.conf's comments
+    val vhostCombined = """virtualhost:443 127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326 "http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)""""
+    val vhostCommon = """virtualhost:443 127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326"""
+    val combined = """127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326 "http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)""""
+    val common = """127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326"""
+    val out = viaConfig("apache-accesslog-parser()",
+        Seq(vhostCombined, vhostCommon, combined, common))
+      .select(element_at(col("values"), ".apache.clientip").as("ip"),
+        element_at(col("values"), ".apache.verb").as("verb"),
+        element_at(col("values"), ".apache.request").as("req"),
+        element_at(col("values"), ".apache.httpversion").as("http"),
+        element_at(col("values"), ".apache.response").as("resp"),
+        element_at(col("values"), ".apache.agent").as("agent"),
+        element_at(col("values"), ".apache.vhost").as("vhost"),
+        element_at(col("values"), ".apache.port").as("port"),
+        unix_timestamp(col("ts")).as("ts"))
+      .collect()
+    for (i <- 0 to 3) {
+      val r = out(i)
+      assert((r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getString(4)) == ("127.0.0.1", "GET", "/apache_pb.gif", "1.0", "200"), s"row $i")
+      // 10/Oct/2000:13:55:36 -0700 = 2000-10-10T20:55:36Z
+      assert(r.getLong(8) == 971211336L, s"row $i ts")
+    }
+    assert(out(0).getString(6) == "virtualhost" && out(0).getString(7) == "443")
+    assert(out(0).getString(5) == "Mozilla/4.08 [en] (Win98; I ;Nav)")
+    assert(out(2).getString(6) == null) // no vhost on the bare forms
+    assert(out(3).getString(5) == null) // common: no agent captured
+  }
 }
