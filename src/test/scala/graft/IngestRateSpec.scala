@@ -67,4 +67,28 @@ class IngestRateSpec extends GraftSuite {
     assert(parsed == n, s"$parsed of $n classified")
     assert(rate > 10000, f"rate $rate%.0f msg/s below the reference floor")
   }
+
+  test("apache access-log parse sustains the same ingest floor") {
+    // access logs are the classic high-volume input; the combined-format
+    // regex path must hold the reference floor like the syslog path
+    val n = 100000L
+    val lines = spark.range(n).select(concat(
+      lit("10."), (col("id") % 256).cast("string"), lit(".0.1 - u"),
+      (col("id") % 5000).cast("string"),
+      lit(" [10/Oct/2000:13:55:36 -0700] \"GET /page/"),
+      col("id").cast("string"), lit(" HTTP/1.1\" 200 "),
+      (col("id") % 10000).cast("string"),
+      lit(" \"http://ref.example.com/\" \"Mozilla/5.0 (X11; Linux)\"")).as("message"))
+      .cache()
+    assert(lines.count() == n)
+    val t0 = System.nanoTime()
+    val out = graft.operators.VendorParsers.apacheAccesslog(lines)
+    val parsed = out.filter(element_at(col("values"), ".apache.verb") === "GET")
+      .agg(count(lit(1))).head.getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val rate = n / secs
+    info(f"apache parse: $rate%,.0f msg/s over $n msgs (${secs}%.2f s)")
+    assert(parsed == n, s"$parsed of $n parsed")
+    assert(rate > 10000, f"rate $rate%.0f msg/s below the reference floor")
+  }
 }
