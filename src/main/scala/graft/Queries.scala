@@ -1172,6 +1172,57 @@ object Queries {
       SELECT id, min(l) AS component FROM r GROUP BY id ORDER BY id"""),
     bench = true)
 
+  /** Quality-aware dedup survivor selection: same clusters as dedup_cc,
+    * then keep the longest member per cluster (ties → min id). The
+    * oracle re-derives the clusters via the recursive transitive
+    * closure and replays the same window. */
+  private val dedupKeepBest = Q("dedup_keep_best",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashPairs(docs, col("doc_id"),
+        col("text"), maxHamming = 3, algo = "md5")
+      Dedup.bestPerCluster(
+          Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b"))),
+          docs.select(col("doc_id").as("id"), col("n_chars").as("score")))
+        .orderBy(col("id"))
+    },
+    Some("""WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+      ), th AS (
+        SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+      ), bits AS (
+        SELECT doc_id, i,
+          CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+            THEN 1 ELSE 0 END AS v
+        FROM th, (SELECT unnest(range(0, 64)) AS i) b
+        GROUP BY doc_id, i
+      ), sigs AS (
+        SELECT doc_id,
+          sum(CASE WHEN i < 32 THEN v * (1::BIGINT << i) ELSE 0 END) AS lo,
+          sum(CASE WHEN i >= 32 THEN v * (1::BIGINT << (i - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id
+      ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+      ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+      ), r(id, l) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.l = e.src
+      ), comp AS (
+        SELECT id, min(l) AS component FROM r GROUP BY id
+      ), ranked AS (
+        SELECT c.id, c.component, d.n_chars AS score,
+          row_number() OVER (PARTITION BY c.component
+            ORDER BY d.n_chars DESC, c.id ASC) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.id)
+      SELECT id, component, score, rn = 1 AS keep
+      FROM ranked ORDER BY id"""))
+
   /** Hyperplane components are md5-derived constants, so the oracle
     * recomputes bucket assignment, the bucket join, and exact cosines. */
   private val dedupEmbedding = Q("dedup_embedding",
@@ -1783,7 +1834,7 @@ object Queries {
     configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
     dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash,
-    dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc,
+    dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,
     patternizeQ,
     annBruteForce, annLsh, annIvf,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,

@@ -464,6 +464,26 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"),
         sort_array(collect_list(col("id"))).as("members"))
 
+  /** Quality-aware survivor selection — the last step of a dedup
+    * pipeline: within each near-dup cluster keep the BEST-scoring
+    * member (longest / highest-quality / most recent — any score),
+    * ties broken toward the smallest id. `scores` is (id, score);
+    * the window repartitions by component, whose cardinality is the
+    * cluster count — well-distributed, and each partition's sort is
+    * bounded by the largest cluster, not the corpus.
+    *
+    * @return (id, component, score, keep) — every member, keep=true
+    *         on exactly one row per cluster
+    */
+  def bestPerCluster(clusters: DataFrame, scores: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("score").desc, col("id").asc)
+    clusters.join(scores, "id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("id"), col("component"), col("score"), col("keep"))
+  }
+
   // ---- embedding near-dup ------------------------------------------------------
   /** Plane count for a corpus of `n` vectors targeting `targetBucket`
     * expected vectors per bucket: planes = ceil(log2(n / targetBucket)),

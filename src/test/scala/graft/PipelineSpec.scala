@@ -404,6 +404,20 @@ class PipelineSpec extends GraftSuite {
     assert(clean == "no pii here at all")
   }
 
+  test("best-per-cluster: quality survivor with min-id tie-break") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "component")
+    val scores = Seq((1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (9L, 5L))
+      .toDF("id", "score")
+    val out = Dedup.bestPerCluster(clusters, scores)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toSeq
+    // cluster 1: ids 2 and 3 tie at 30 → min id 2 survives
+    // cluster 7: ids 7 and 9 tie at 5 → 7 survives
+    assert(out == Seq((1L, false), (2L, true), (3L, false),
+      (7L, true), (9L, false)))
+  }
+
   test("duplicated spans: cross-doc windows counted per occurrence") {
     val corpus = Seq(
       (1L, "a b c d e x y z"),     // "a b c" shared with doc 2
