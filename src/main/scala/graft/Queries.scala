@@ -1509,6 +1509,46 @@ object Queries {
       GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  /** As-of join: each non-signup event picks up the latest signup of
+    * the same user at or before its timestamp (the "dimension value in
+    * force at event time" join). Spark computes it with ONE key shuffle
+    * + a running last() — no range join; the oracle is DuckDB's native
+    * ASOF LEFT JOIN on the same nanosecond epochs. */
+  private val joinAsof = Q("join_asof",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      // micros on both sides: DuckDB reads parquet ns-timestamps at µs
+      // precision, so the oracle can only see µs epochs
+      val tsUs = (col("ts").cast("decimal(38,0)") / 1000).cast("long")
+      val clicks = ev.filter(col("event_type") =!= "signup")
+        .select(col("event_id"), col("user_id"), tsUs.as("t_us"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), tsUs.as("t_us"))
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(min(col("event_id")).as("signup_event_id"))
+      Enrich.asofJoin(clicks, col("user_id"), col("t_us"),
+          signups, col("user_id"), col("t_us"),
+          struct(col("signup_event_id"), col("t_us").as("signup_ts")))
+        .select(col("event_id"), col("user_id"), col("t_us").as("ts_us"),
+          col("asof.signup_event_id").as("signup_event_id"),
+          col("asof.signup_ts").as("signup_ts_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH l AS (
+        SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+        WHERE event_type <> 'signup'
+      ), r AS (
+        SELECT user_id, epoch_us(ts) AS rt, min(event_id) AS sid
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id, epoch_us(ts)
+      )
+      SELECT l.event_id, l.user_id, l.t AS ts_us,
+        r.sid AS signup_event_id, r.rt AS signup_ts_us
+      FROM l ASOF LEFT JOIN r
+        ON l.user_id = r.user_id AND l.t >= r.rt
+      ORDER BY l.event_id"""),
+    bench = true)
+
   /** Apache access-log parsing end-to-end: combined-format lines are
     * synthesized deterministically from event fields, parsed back by
     * apache-accesslog-parser (scl/apache semantics), and the oracle
@@ -1823,7 +1863,7 @@ object Queries {
   // ---------------------------------------------------------------------
   // All queries
   // ---------------------------------------------------------------------
-  val all: Seq[Q] = Seq(aggStats, filterSeverity, enrichLookup,
+  val all: Seq[Q] = Seq(aggStats, filterSeverity, enrichLookup, joinAsof,
     filterMatch, filterNetmask, filterNetmask6, filterInList,
     rewriteSubst, rewriteSetTag,
     templateFormat, templateFuncs, templateHofs,

@@ -159,4 +159,46 @@ object Enrich {
         joinType)
       .drop("__p16", "__ip_p16", "__ip_int")
   }
+
+  /** As-of join (left outer): for each left row, attach the right row
+    * with the same key and the GREATEST rightTs <= leftTs — "the
+    * dimension value in force at event time" (slowly-changing lookups,
+    * config/price snapshots, user-profile history).
+    *
+    * Shape: no per-key loop and no range join — both sides union into
+    * one stream, shuffle ONCE on the key, and a running `last(payload,
+    * ignoreNulls)` over (ts, side) picks the newest right payload at or
+    * before each left row (right rows sort before left rows at equal
+    * ts, so ties match). Cost is one hash exchange + an in-partition
+    * sort bounded by each key's row count — the same plan a sessionize
+    * pays, with none of the O(left × right-per-key) blowup a
+    * between-join would plan at 100 TB.
+    *
+    * Right rows must be unique per (key, ts) for deterministic output —
+    * pre-aggregate if they are not.
+    *
+    * @param rightPayload struct of the right columns to carry
+    * @return left rows + `asof` payload column (null when no right row
+    *         at or before the left timestamp)
+    */
+  def asofJoin(left: DataFrame, leftKey: Column, leftTs: Column,
+      right: DataFrame, rightKey: Column, rightTs: Column,
+      rightPayload: Column): DataFrame = {
+    val pType = right.select(rightPayload.as("__p")).schema("__p").dataType
+    val lSide = left
+      .withColumn("__k", leftKey).withColumn("__t", leftTs)
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(pType))
+    val rSide = right.select(
+      rightKey.as("__k"), rightTs.as("__t"), lit(0).as("__side"),
+      rightPayload.cast(pType).as("__p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    lSide.unionByName(rSide, allowMissingColumns = true)
+      .withColumn("asof", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__k", "__t", "__side", "__p")
+  }
 }

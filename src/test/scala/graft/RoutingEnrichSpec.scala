@@ -103,6 +103,24 @@ class RoutingEnrichSpec extends GraftSuite {
     assert(obs.get("total") == 5L)
   }
 
+  test("asof join: latest right row at or before each left timestamp") {
+    import spark.implicits._
+    val left = Seq((1L, "k1", 10L), (2L, "k1", 25L), (3L, "k1", 5L),
+      (4L, "k2", 50L), (5L, "k3", 7L))
+      .toDF("eid", "key", "t")
+    val right = Seq(("k1", 10L, "a"), ("k1", 20L, "b"), ("k2", 60L, "c"))
+      .toDF("key", "t", "v")
+    val out = graft.operators.Enrich.asofJoin(
+        left, col("key"), col("t"), right, col("key"), col("t"),
+        struct(col("v"), col("t").as("rt")))
+      .select(col("eid"), col("asof.v").as("v"))
+      .orderBy("eid").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // eid1 t=10: right k1@10 matches (ties hit); eid2 t=25: k1@20 -> b;
+    // eid3 t=5: nothing yet -> null; eid4 t=50: k2@60 is later -> null;
+    // eid5: no k3 rows -> null
+    assert(out == Seq((1L, "a"), (2L, "b"), (3L, null), (4L, null), (5L, null)))
+  }
+
   test("in-list file form loads one key per line") {
     import spark.implicits._
     val f = java.nio.file.Files.createTempFile("inlist", ".txt")
