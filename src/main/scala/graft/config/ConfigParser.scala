@@ -73,16 +73,21 @@ object ConfigParser {
         case inc(operand) =>
           val files: Seq[Path] = {
             val p = dir.resolve(operand)
-            if (Files.isDirectory(p))
-              Files.list(p).iterator.asScala.filter(Files.isRegularFile(_))
+            if (Files.isDirectory(p)) {
+              val s = Files.list(p)
+              try s.iterator.asScala.filter(Files.isRegularFile(_))
                 .toSeq.sortBy(_.getFileName.toString)
-            else if (operand.exists("*?[".contains(_))) {
+              finally s.close()
+            } else if (operand.exists("*?[".contains(_))) {
               val parent = Option(p.getParent).getOrElse(dir)
               val glob = p.getFileName.toString
               if (!Files.isDirectory(parent)) Seq.empty
-              else Files.newDirectoryStream(parent, glob).iterator.asScala
-                .filter(Files.isRegularFile(_)).toSeq
-                .sortBy(_.getFileName.toString)
+              else {
+                val ds = Files.newDirectoryStream(parent, glob)
+                try ds.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
+                  .sortBy(_.getFileName.toString)
+                finally ds.close()
+              }
             } else Seq(p)
           }
           files.map { f =>

@@ -233,43 +233,60 @@ object VendorParsers {
     * (the reference's trailing subst). One narrow codegen'd projection. */
   def apacheAccesslog(df: DataFrame, prefix: String = ".apache."): DataFrame = {
     val msg = col("message")
-    val vhostRe = "^([A-Za-z0-9\\-\\._]+):([0-9]+) "
-    val vhost = regexp_extract(msg, vhostRe, 1)
-    val port = regexp_extract(msg, vhostRe, 2)
-    val rest = regexp_replace(msg, vhostRe, "")
-    val dq = "((?:[^\"]|\"\")*)" // escape-double-char quoted field body
-    val re = "^(\\S+) (\\S+) (\\S+) \\[([^\\]]*)\\] \"" + dq +
+    // escape-double-char quoted body as an UNROLLED-LOOP pattern
+    // ([^"]* then ("" [^"]*)* ) -- linear-time in both Java and RE2,
+    // unlike the per-character alternation ((?:[^"]|"")*)
+    val dq = "([^\"]*(?:\"\"[^\"]*)*)"
+    // one anchored pattern covers all four LogFormat shapes: optional
+    // vhost:port prefix (groups 1-2), then the common/combined fields
+    val re = "^(?:([A-Za-z0-9\\-\\._]+):([0-9]+) )?" +
+      "(\\S+) (\\S+) (\\S+) \\[([^\\]]*)\\] \"" + dq +
       "\" (\\S+) (\\S+)(?: \"" + dq + "\" \"" + dq + "\")?\\s*$"
-    def g(i: Int): Column = regexp_extract(rest, re, i)
-    val unq = (c: Column) => regexp_replace(c, "\"\"", "\"")
-    val raw = unq(g(5))
-    val reqParts = split(raw, " ")
-    val isApache = rest.rlike(re)
-    val ts = try_to_timestamp(g(4), lit("dd/MMM/yyyy:HH:mm:ss Z"))
+    // ONE regex pass extracts every group: the match rewrites the line
+    // to its \u0001-packed groups. The split array is STAGED as a real
+    // column before the map build: map_filter is a higher-order function
+    // that takes its projection down the interpreted (no-CSE) path, and
+    // an inlined `f` would re-run the regex once per field read -- the
+    // difference between ~12 us and ~90 us a row
+    val sep = "\u0001"
+    val packed = regexp_replace(msg, re,
+      (1 to 11).map("$" + _).mkString(sep))
+    def g(i: Int): Column = try_element_at(col("__ap_f"), lit(i))
+    // "" unescape only when an escape is present -- instr beats a regex
+    val unq = (c: Column) =>
+      when(c.contains("\"\""), regexp_replace(c, "\"\"", "\"")).otherwise(c)
+    val httpTok = try_element_at(col("__ap_rq"), lit(3))
+    val isApache = size(col("__ap_f")) === 11
     val add = map(
-      lit(prefix + "clientip"), g(1),
-      lit(prefix + "ident"), g(2),
-      lit(prefix + "auth"), g(3),
-      lit(prefix + "timestamp"), g(4),
-      lit(prefix + "rawrequest"), raw,
-      lit(prefix + "response"), g(6),
-      lit(prefix + "bytes"), g(7),
-      lit(prefix + "referrer"), unq(g(8)),
-      lit(prefix + "agent"), unq(g(9)),
-      lit(prefix + "vhost"), vhost,
-      lit(prefix + "port"), port,
-      lit(prefix + "verb"), try_element_at(reqParts, lit(1)),
-      lit(prefix + "request"), try_element_at(reqParts, lit(2)),
+      lit(prefix + "clientip"), g(3),
+      lit(prefix + "ident"), g(4),
+      lit(prefix + "auth"), g(5),
+      lit(prefix + "timestamp"), g(6),
+      lit(prefix + "rawrequest"), col("__ap_raw"),
+      lit(prefix + "response"), g(8),
+      lit(prefix + "bytes"), g(9),
+      lit(prefix + "referrer"), unq(g(10)),
+      lit(prefix + "agent"), unq(g(11)),
+      lit(prefix + "vhost"), g(1),
+      lit(prefix + "port"), g(2),
+      lit(prefix + "verb"), try_element_at(col("__ap_rq"), lit(1)),
+      lit(prefix + "request"), try_element_at(col("__ap_rq"), lit(2)),
       lit(prefix + "httpversion"),
-        regexp_replace(try_element_at(reqParts, lit(3)), "^HTTP/", ""))
+        when(httpTok.startsWith("HTTP/"), httpTok.substr(lit(6), length(httpTok)))
+          .otherwise(httpTok))
     val cleaned = map_filter(add, (_, v) => v.isNotNull && v =!= "")
-    df.withColumn("values", merged(df,
+    val ts = try_to_timestamp(g(6), lit("dd/MMM/yyyy:HH:mm:ss Z"))
+    val staged = df
+      .withColumn("__ap_f", split(packed, sep))
+      .withColumn("__ap_raw", unq(try_element_at(col("__ap_f"), lit(7))))
+      .withColumn("__ap_rq", split(col("__ap_raw"), " "))
+    staged.withColumn("values", merged(staged,
         when(isApache, cleaned).otherwise(map().cast("map<string,string>"))))
       .withColumn("__ap_ts", when(isApache, ts))
       .withColumn("ts", coalesce(col("__ap_ts"),
         if (df.columns.contains("ts")) col("ts").cast("timestamp")
         else lit(null).cast("timestamp")))
-      .drop("__ap_ts")
+      .drop("__ap_ts", "__ap_f", "__ap_raw", "__ap_rq")
   }
 
   // ---- palo alto panos -----------------------------------------------------

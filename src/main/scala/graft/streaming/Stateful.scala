@@ -103,6 +103,27 @@ object Stateful {
 
   case class SuppState(lastUs: Long, firstValue: String, n: Long)
 
+  /** Streaming exact dedup: the first row with a given (key, payload
+    * fingerprint) passes; identical payloads arriving within the
+    * upstream watermark delay are dropped. Built on Spark's
+    * dropDuplicatesWithinWatermark keyed state, so entries EXPIRE once
+    * the watermark passes them — state is bounded by the dedup window,
+    * not the stream's lifetime (the property that lets an exact-dedup
+    * gate run on an unbounded 100 TB/day feed; the batch-side
+    * [[graft.pipeline.Dedup.exactSurvivors]] is the offline analog).
+    * Caller must set a watermark on `ts` upstream; a payload recurring
+    * AFTER the delay is admitted again — re-dedup offline if the window
+    * must be global. */
+  def dedupExact(ds: Dataset[Msg]): Dataset[Msg] = {
+    import org.apache.spark.sql.functions.col
+    implicit val enc = Encoders.product[Msg]
+    ds.withColumn("__fp",
+        graft.pipeline.TextAnalysis.fingerprint(col("value")))
+      .dropDuplicatesWithinWatermark("key", "__fp")
+      .drop("__fp")
+      .as[Msg]
+  }
+
   /** suppress(N) streaming form: emits each first-of-run immediately;
     * repeats within `seconds` of the previous (window slides per repeat)
     * are absorbed into state; timeout emits the summary row. */

@@ -40,6 +40,29 @@ class StreamingSpec extends GraftSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: fingerprint state expires with the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Msg]
+    val out = Stateful.dedupExact(
+      input.toDS().withWatermark("ts", "0 seconds"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: payload "a" twice (different ts), "b" once → "a" deduped
+      input.addData(Msg("k1", ts(100), "a"), Msg("k1", ts(101), "a"),
+        Msg("k1", ts(102), "b"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+      // watermark has passed ts(102); the "a" state entry expired, so a
+      // LATE-window recurrence of "a" is admitted again (bounded state)
+      input.addData(Msg("k1", ts(500), "a"))
+      q.processAllAvailable()
+      val vals = spark.table("dedup_out").select("value").collect()
+        .map(_.getString(0)).toSeq.sorted
+      assert(vals == Seq("a", "a", "b"))
+    } finally q.stop()
+  }
+
   test("suppress stream: first passes, repeats summarized on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Msg]
