@@ -184,6 +184,9 @@ object Enrich {
   def asofJoin(left: DataFrame, leftKey: Column, leftTs: Column,
       right: DataFrame, rightKey: Column, rightTs: Column,
       rightPayload: Column): DataFrame = {
+    val reserved = Seq("__k", "__t", "__side", "__p", "asof")
+    require(!left.columns.exists(reserved.contains),
+      s"asofJoin: left columns may not include ${reserved.mkString("/")}")
     val pType = right.select(rightPayload.as("__p")).schema("__p").dataType
     val lSide = left
       .withColumn("__k", leftKey).withColumn("__t", leftTs)

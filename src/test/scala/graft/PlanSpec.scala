@@ -116,6 +116,30 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("asof join is ONE key shuffle, not a range join") {
+    // the docstring's scale claim, asserted: both sides union into one
+    // stream and hash-exchange once on the key; the only other exchange
+    // is the query's final ORDER BY (a range partitioning)
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val l = Seq((1L, "k", 5L)).toDF("eid", "key", "t")
+      val r = Seq(("k", 3L, "v")).toDF("key", "t", "v")
+      val p = graft.operators.Enrich.asofJoin(l, col("key"), col("t"),
+          r, col("key"), col("t"), struct(col("v")))
+        .queryExecution.executedPlan.toString
+      val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx\n$p")
+      assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    }
+  }
+
   test("duplicated spans: map-side-combinable agg + semi-join on long keys") {
     val p = plan("dedup_spans")
     // cross-doc gram detection must partially aggregate before its

@@ -148,6 +148,27 @@ class PropertiesSpec extends GraftSuite {
     })
   }
 
+  test("round-3 vendor parsers never throw on arbitrary lines") {
+    val junk: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.choose(' ', '~'),
+      1 -> Gen.oneOf('=', ';', ':', '"', '[', ']', ''),
+      1 -> Gen.numChar)).map(_.mkString.take(200))
+    val hostile = Gen.oneOf(
+      junk,
+      junk.map(s => "PROTO=" + s),
+      junk.map(s => s + " : TTY=a ; SUBJECT=spoof ; COMMAND=" + s),
+      junk.map(s => "<189>date=2021-01-15 time=" + s),
+      junk.map(s => "vhost:99999999999999999999 " + s),
+      junk.map(s => "1.2.3.4 - - [" + s + "] \"" + s + "\" 200 -"))
+    check(Prop.forAll(Gen.listOf(hostile).map(_.take(5))) { lines =>
+      val df = lines.toDF("message")
+      graft.operators.VendorParsers.iptables(df).count() == lines.size &&
+      graft.operators.VendorParsers.sudo(df).count() == lines.size &&
+      graft.operators.VendorParsers.fortigate(df).count() == lines.size &&
+      graft.operators.VendorParsers.apacheAccesslog(df).count() == lines.size
+    })
+  }
+
   test("text-analysis ops never throw on arbitrary text") {
     import org.apache.spark.sql.functions.col
     val junk: Gen[String] = Gen.listOf(Gen.frequency(
