@@ -17,6 +17,7 @@ object Bench {
     // aid; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // an exported-but-empty var means "all"
     val benched = (SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => Queries.benchExcluded(n) } ++ Queries.benchOnly)
       .filter { case (n, _) => only.forall(_.contains(n)) }

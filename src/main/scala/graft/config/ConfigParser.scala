@@ -81,6 +81,11 @@ object ConfigParser {
             } else if (operand.exists("*?[".contains(_))) {
               val parent = Option(p.getParent).getOrElse(dir)
               val glob = p.getFileName.toString
+              // globs are filename-only: a pattern in a directory
+              // component would resolve the parent as a literal path and
+              // silently include nothing — error instead
+              require(!operand.dropRight(glob.length).exists("*?[".contains(_)),
+                s"@include: glob only supported in the filename component: $operand")
               if (!Files.isDirectory(parent)) Seq.empty
               else {
                 val ds = Files.newDirectoryStream(parent, glob)

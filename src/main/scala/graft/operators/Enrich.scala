@@ -192,9 +192,15 @@ object Enrich {
       .withColumn("__k", leftKey).withColumn("__t", leftTs)
       .withColumn("__side", lit(1))
       .withColumn("__p", lit(null).cast(pType))
-    val rSide = right.select(
-      rightKey.as("__k"), rightTs.as("__t"), lit(0).as("__side"),
-      rightPayload.cast(pType).as("__p"))
+    // SQL equality semantics: a NULL key never matches, and a NULL
+    // right timestamp can never satisfy leftTs >= rightTs — drop such
+    // right rows instead of letting the window group NULL keys together
+    // (left rows with a NULL key then see no right rows and get a null
+    // payload, exactly like an ASOF LEFT JOIN)
+    val rSide = right
+      .filter(rightKey.isNotNull && rightTs.isNotNull)
+      .select(rightKey.as("__k"), rightTs.as("__t"), lit(0).as("__side"),
+        rightPayload.cast(pType).as("__p"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"))

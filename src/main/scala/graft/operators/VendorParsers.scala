@@ -256,7 +256,10 @@ object VendorParsers {
     val unq = (c: Column) =>
       when(c.contains("\"\""), regexp_replace(c, "\"\"", "\"")).otherwise(c)
     val httpTok = try_element_at(col("__ap_rq"), lit(3))
-    val isApache = size(col("__ap_f")) === 11
+    // a message already containing the \u0001 packing byte is declared
+    // unparseable rather than risking shifted garbage fields (a valid
+    // line would unpack wrong; a hostile one could fake 11 segments)
+    val isApache = size(col("__ap_f")) === 11 && !msg.contains("\u0001")
     val add = map(
       lit(prefix + "clientip"), g(3),
       lit(prefix + "ident"), g(4),

@@ -344,18 +344,28 @@ object Dedup {
     */
   def duplicatedSpans(df: DataFrame, id: Column, text: Column,
       k: Int = 8): DataFrame = {
+    // the posting projection feeds BOTH the cross-doc aggregate and the
+    // probe with different shuffle payloads (no exchange reuse applies),
+    // so persist it — tokenize+ngram+hash the corpus ONCE, not twice
+    // (at 100 TB this is the "write the postings table once" step, as
+    // in minhashPairs); localCheckpoint truncates lineage off the cache
+    // so it can be released before returning
     val grams = df.select(id.as("doc_id"),
         explode(TextAnalysis.bindArray(
           filter(TextAnalysis.tokens(text), t => t =!= "")) { toks =>
           TextAnalysis.wordNgrams(toks, k)
         }).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    val crossDoc = grams.groupBy(col("gh"))
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      .filter(col("mn") =!= col("mx"))
-      .select(col("gh"))
-    grams.join(crossDoc, Seq("gh"), "left_semi")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val crossDoc = grams.groupBy(col("gh"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select(col("gh"))
+      grams.join(crossDoc, Seq("gh"), "left_semi")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_spans"))
+        .localCheckpoint(true)
+    } finally grams.unpersist(false)
   }
 
   // ---- near-dup clustering -----------------------------------------------------
@@ -478,8 +488,11 @@ object Dedup {
   def bestPerCluster(clusters: DataFrame, scores: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
-      .orderBy(col("score").desc, col("id").asc)
-    clusters.join(scores, "id")
+      .orderBy(col("score").desc_nulls_last, col("id").asc)
+    // LEFT join: a member missing from `scores` must still appear (with
+    // keep=false unless the whole cluster is unscored) — an inner join
+    // would silently drop documents from the dedup decision
+    clusters.join(scores, Seq("id"), "left")
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("id"), col("component"), col("score"), col("keep"))
   }

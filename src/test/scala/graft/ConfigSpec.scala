@@ -269,5 +269,11 @@ class ConfigSpec extends GraftSuite {
       ConfigParser.parseFile(dir.resolve("loop.conf").toString)
     }
     assert(e.getMessage.contains("cycle"))
+    // a glob in a directory component errors instead of silently
+    // including nothing
+    val e2 = intercept[IllegalArgumentException] {
+      ConfigParser.resolveIncludes("@include \"conf.*/x.conf\"", dir)
+    }
+    assert(e2.getMessage.contains("filename component"))
   }
 }

@@ -416,6 +416,13 @@ class PipelineSpec extends GraftSuite {
     // cluster 7: ids 7 and 9 tie at 5 → 7 survives
     assert(out == Seq((1L, false), (2L, true), (3L, false),
       (7L, true), (9L, false)))
+    // unscored members still appear (left join) and sort last
+    val partial = Dedup.bestPerCluster(clusters,
+        Seq((1L, 10L)).toDF("id", "score"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toSeq
+    assert(partial == Seq((1L, true), (2L, false), (3L, false),
+      (7L, true), (9L, false)))
   }
 
   test("duplicated spans: cross-doc windows counted per occurrence") {

@@ -141,7 +141,18 @@ class PlanSpec extends GraftSuite {
   }
 
   test("duplicated spans: map-side-combinable agg + semi-join on long keys") {
-    val p = plan("dedup_spans")
+    // duplicatedSpans localCheckpoints its (small) result, so inspect
+    // the pre-checkpoint shape: same postings + min/max agg + semi-join
+    val grams = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(graft.pipeline.Dedup.wordShingles(
+        col("text"), 8)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val crossDoc = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select(col("gh"))
+    val p = grams.join(crossDoc, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
     // cross-doc gram detection must partially aggregate before its
     // exchange (min/max buffers), and the probe must be a semi-join
     assert(p.contains("partial_min") || p.contains("partial min"), p)

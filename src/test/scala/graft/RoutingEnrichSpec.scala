@@ -119,6 +119,17 @@ class RoutingEnrichSpec extends GraftSuite {
     // eid3 t=5: nothing yet -> null; eid4 t=50: k2@60 is later -> null;
     // eid5: no k3 rows -> null
     assert(out == Seq((1L, "a"), (2L, "b"), (3L, null), (4L, null), (5L, null)))
+    // SQL equality semantics: NULL keys never match (either side)
+    val lNull = Seq((1L, null.asInstanceOf[String], 10L), (2L, "k1", 10L))
+      .toDF("eid", "key", "t")
+    val rNull = Seq((null.asInstanceOf[String], 5L, "x"), ("k1", 5L, "y"))
+      .toDF("key", "t", "v")
+    val outN = graft.operators.Enrich.asofJoin(
+        lNull, col("key"), col("t"), rNull, col("key"), col("t"),
+        struct(col("v")))
+      .select(col("eid"), col("asof.v").as("v"))
+      .orderBy("eid").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(outN == Seq((1L, null), (2L, "y")))
   }
 
   test("in-list file form loads one key per line") {
