@@ -59,16 +59,22 @@ object LogPath {
     * (missing columns null-filled), preserving the reference's
     * "branches may produce different NV sets" behavior. */
   def compileJunction(df: DataFrame, channels: Seq[Channel]): DataFrame = {
+    // null-safe match: a filter over a NULL column (e.g. program on an
+    // unparsed line) evaluates to SQL NULL, and a raw NULL in the
+    // `match && !blocked` / `!anyMatch` chains would drop the row from
+    // EVERY channel including the fallback — the reference's filters
+    // simply don't match on unset values, so NULL coerces to false
+    def pred(ch: Channel): Column = coalesce(ch.matchPred, lit(false))
     val nonFallback = channels.filterNot(_.flags.contains(Fallback))
-    val anyMatch = nonFallback.map(_.matchPred)
+    val anyMatch = nonFallback.map(pred)
       .reduceOption(_ || _).getOrElse(lit(false))
     var blocked: Option[Column] = None
     val outs = channels.map { ch =>
       val deliver =
         if (ch.flags.contains(Fallback)) !anyMatch
-        else blocked.fold(ch.matchPred)(b => ch.matchPred && !b)
+        else blocked.fold(pred(ch))(b => pred(ch) && !b)
       if (ch.flags.contains(Final) && !ch.flags.contains(Fallback))
-        blocked = Some(blocked.fold(ch.matchPred)(_ || ch.matchPred))
+        blocked = Some(blocked.fold(pred(ch))(_ || pred(ch)))
       // the channel's own filters already folded into `deliver`
       val body = ch.elements.filterNot(_.isInstanceOf[Filter])
       compile(df.filter(deliver), body)

@@ -41,8 +41,13 @@ object Routing {
     * - a fallback branch sees rows matched by no normal branch.
     */
   def effectivePredicates(branches: Seq[Branch]): Seq[(Branch, Column)] = {
+    // NULL-safe composition: a predicate over an unset column yields SQL
+    // NULL, and a raw NULL inside `!anyNormal` would drop the row from
+    // the FALLBACK branch too (black-holed). Reference filters simply
+    // don't match on unset values — coerce NULL to false everywhere.
+    def p(b: Branch): Column = coalesce(b.predicate, lit(false))
     val normal = branches.filterNot(_.isFallback)
-    val anyNormal = normal.map(_.predicate) match {
+    val anyNormal = normal.map(p) match {
       case Seq() => lit(false)
       case ps => ps.reduce(_ || _)
     }
@@ -50,7 +55,7 @@ object Routing {
     branches.map { b =>
       val eff =
         if (b.isFallback) !anyNormal
-        else b.predicate && !priorFinals
+        else p(b) && !priorFinals
       // delivered-by-final == pred && !prior, so prior' = prior || pred
       if (b.isFinal && !b.isFallback)
         priorFinals = priorFinals || coalesce(b.predicate, lit(false))

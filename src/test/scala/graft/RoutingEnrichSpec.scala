@@ -37,6 +37,18 @@ class RoutingEnrichSpec extends GraftSuite {
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
   }
 
+  test("NULL predicates route to fallback, not a black hole") {
+    import spark.implicits._
+    // col("k") === "x" is SQL NULL for the null-valued row; it must land
+    // in the fallback branch, not vanish from every branch
+    val df = Seq(("a", null.asInstanceOf[String]), ("b", "x")).toDF("id", "k")
+    val out = Routing.junction(df, Seq(
+      Branch("hit", col("k") === "x", identity, isFinal = true),
+      Branch("rest", lit(true), isFallback = true)), tagBranch = Some("ch"))
+      .select("id", "ch").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("a", "rest"), ("b", "hit")))
+  }
+
   test("ifElse routes disjointly") {
     val out = Routing.ifElse(logs, col("severity") <= 4,
       _.withColumn("route", lit("low")),

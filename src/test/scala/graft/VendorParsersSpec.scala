@@ -111,6 +111,33 @@ class VendorParsersSpec extends GraftSuite {
     assert(rows(3).getString(6) == "before")
   }
 
+  test("application registry: app-parser auto-detects vendor and parses") {
+    // the scl application blocks' detection predicates, end-to-end
+    // through the junction-of-final-channels app-parser
+    val rows = Seq(
+      // (message, program, facility)
+      ("IN=eth0 OUT= SRC=10.0.0.1 DST=10.0.0.2 PROTO=TCP SPT=1 DPT=2",
+        "kernel", 0),
+      ("  nobody : TTY=pts/13 ; PWD=/home/nobody ; USER=root ; COMMAND=/bin/ls",
+        "sudo", 10),
+      ("""<189>date=2021-01-15 time=12:58:59 devname="FORTI_111" action="deny"""",
+        null, 5),
+      ("just some message", "other", 1))
+      .toDF("message", "program", "facility")
+    val out = graft.dsl.LogPath.appParser(rows,
+        graft.operators.VendorParsers.applications)
+      .select(col("__channel"), col("program"),
+        element_at(col("values"), ".iptables.PROTO").as("proto"),
+        element_at(col("values"), ".sudo.COMMAND").as("cmd"),
+        element_at(col("values"), ".fortigate.devname").as("dev"))
+      .collect().map(r => (r.getString(0), r.getString(2), r.getString(3),
+        r.getString(4))).toSet
+    assert(out.contains(("iptables", "TCP", null, null)))
+    assert(out.contains(("sudo", null, "/bin/ls", null)))
+    assert(out.contains(("fortigate", null, null, "FORTI_111")))
+    assert(out.exists(t => t._1 == "unknown" && t._2 == null && t._3 == null))
+  }
+
   test("iptables-parser: netfilter kv from the reference's snmptrap fixture") {
     // the kv payload inside tests/python_functional .../test_topic_syslog.py:27
     val line = "IN=eth0 OUT= MAC=08:00:27:d5:33:1e:34:e6:d7:1f:04:58:08:00 " +
