@@ -27,6 +27,19 @@ class PlanSpec extends GraftSuite {
     assert(!read.contains("lang") && !read.contains("source"), read)
   }
 
+  test("column pruning holds for the round-3 document queries") {
+    // each touches only doc_id + text; lang/source must not reach the
+    // scan (dedup_spans is excluded: it localCheckpoints, so its final
+    // plan is an RDD scan — its shape has a dedicated gate above)
+    for (name <- Seq("text_salient_terms", "text_repetition")) {
+      val p = plan(name)
+      val reads = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(reads.nonEmpty, s"$name: no ReadSchema\n$p")
+      assert(reads.forall(r => !r.contains("lang") && !r.contains("source")),
+        s"$name reads pruned columns:\n${reads.mkString("\n")}")
+    }
+  }
+
   test("in-list semi-join broadcasts the key side") {
     val p = plan("filter_in_list")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
