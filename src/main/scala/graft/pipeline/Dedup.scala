@@ -267,8 +267,10 @@ object Dedup {
     // would need ~2^32 distinct shingles per join key-space to matter
     // (birthday bound) and only perturbs `common` by 1 — the DuckDB oracle
     // cross-checks exact string semantics at test scale.
-    val posting = docs.select(col("id"), col("n"), explode(col("sh")).as("sh_str"))
-      .select(col("id"), col("n"), xxhash64(col("sh_str")).as("shingle"))
+    // postings carry (id, shingleHash) ONLY — set sizes stay out of the
+    // widest exchange and rejoin after the pair aggregation
+    val posting = docs.select(col("id"), explode(col("sh")).as("sh_str"))
+      .select(col("id"), xxhash64(col("sh_str")).as("shingle"))
     // The cap must not shuffle the skew it removes: groupBy(shingle).count
     // partial-aggregates map-side, so a stop-shingle contributes one count
     // per task, not its whole posting list, to the exchange. The over-cap
@@ -282,15 +284,22 @@ object Dedup {
     val capped = posting.join(broadcast(hot), Seq("shingle"), "left_anti")
     // alias self-join (renames AFTER the join): both sides are the same
     // physical plan, so the capped postings shuffle ONCE and the probe
-    // side reuses the exchange instead of re-scanning + re-shingling
-    capped.as("pa").join(capped.as("pb"),
+    // side reuses the exchange instead of re-scanning + re-shingling.
+    // The pair aggregation keys on the two ids ONLY — set sizes rejoin
+    // AFTER the count, so the candidate exchange carries 2 longs per
+    // occurrence instead of 4 and the (much smaller) post-agg pair set
+    // pays the size lookups
+    val common = capped.as("pa").join(capped.as("pb"),
         col("pa.shingle") === col("pb.shingle") && col("pa.id") < col("pb.id"))
-      .groupBy(col("pa.id").as("id_a"), col("pb.id").as("id_b"),
-        col("pa.n").as("n_a"), col("pb.n").as("n_b"))
+      .groupBy(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
+    val sizes = docs.select(col("id"), col("n"))
+    common
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
       .select(col("id_a"), col("id_b"),
         (col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common")).cast("double")).as("jaccard"))
+          (col("sa.n") + col("sb.n") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
