@@ -382,13 +382,20 @@ object Dedup {
     * pairwise similarity output and actually DROPPING documents: docs
     * linked through chains of pairs form one cluster with one survivor.
     *
-    * Distributed min-label propagation: label(v) starts at v, each
-    * round takes the min label across neighbors, stop when no label
-    * changes. Rounds = cluster diameter, which for near-dup graphs is
-    * tiny (LSH pairs form near-cliques); the O(log n) large-star/
-    * small-star scheme only wins on long-chain graphs that dedup does
-    * not produce. Every round localCheckpoints the label table:
-    * iterative self-joins otherwise stack lineage into an
+    * Distributed path: Shiloach–Vishkin-style hook + shortcut. Each
+    * round (a) hooks every vertex to the min label among its neighbors
+    * (hash-min), then (b) pointer-jumps: label(v) ← label(label(v)).
+    * Labels are monotone non-increasing and always ids inside the same
+    * component, so at the no-change fixpoint the label is constant per
+    * component and equals the component's min id. The shortcut step
+    * halves label-tree depth each round, so convergence is
+    * O(log diameter) — a 2^50-hop chain converges inside the default
+    * maxIters = 50, unlike plain one-hop hash-min which needs
+    * O(diameter) rounds and silently under-merges chain-shaped clusters
+    * (serially edited boilerplate) at corpus scale. If the round budget
+    * is ever exhausted anyway, this FAILS LOUDLY (`require`) rather
+    * than return wrong components. Every round localCheckpoints the
+    * label table: iterative self-joins otherwise stack lineage into an
     * exponentially-replanning DAG — at cluster scale swap for
     * `checkpoint` on a reliable store.
     *
@@ -404,7 +411,7 @@ object Dedup {
     * @return (id, component) — component = min doc id in the cluster,
     *         i.e. the exact-dedup survivor convention
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20,
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 50,
       maxLocalEdges: Long = 10000000L): DataFrame = {
     val spark = pairs.sparkSession
     // undirected: propagate both ways each round
@@ -415,7 +422,7 @@ object Dedup {
     try {
       // size the per-round partitioning to the PAIR GRAPH, not the
       // corpus: near-dup edges are orders of magnitude fewer than
-      // documents, and every round launches a join+agg job — a small
+      // documents, and every round launches join+agg jobs — a small
       // graph in one partition skips rounds of near-empty shuffles, a
       // large one gets ~1M edges per partition (capped at 4× the
       // cluster parallelism)
@@ -430,20 +437,31 @@ object Dedup {
       var converged = false
       var it = 0
       while (!converged && it < maxIters) {
-        // one join + one agg per round; the change flag rides the same
-        // materialization, so the convergence probe is a cheap scan of
-        // the checkpointed result, not a second join
+        // hook: pull the min label across neighbors (hash-min step)
         val minNbr = edges.join(labels, edges("src") === labels("id"))
           .groupBy(col("dst")).agg(min("label").as("nbr"))
-        val next = labels.join(minNbr, labels("id") === minNbr("dst"), "left")
-          .select(labels("id"),
-            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-            (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
+        val hooked = labels.join(minNbr, labels("id") === minNbr("dst"), "left")
+          .select(labels("id"), col("label").as("prev"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        // shortcut: label(v) ← label(label(v)). label values are vertex
+        // ids of the same component, so the parent lookup is a self-join
+        // on the hooked table; labels only decrease, making the change
+        // flag a simple end-vs-start compare riding the same
+        // materialization as the round's checkpoint.
+        val parents = hooked.select(col("id").as("pid"), col("label").as("plabel"))
+        val next = hooked.join(parents, hooked("label") === parents("pid"), "left")
+          .select(hooked("id"),
+            coalesce(col("plabel"), hooked("label")).as("label"),
+            (coalesce(col("plabel"), hooked("label")) < col("prev")).as("chg"))
           .localCheckpoint(true)
         converged = next.filter(col("chg")).limit(1).count() == 0
         labels = next.drop("chg")
         it += 1
       }
+      // never return silently-unmerged components: under-merged labels
+      // mean duplicates survive dedup with no signal at all
+      require(converged,
+        s"dedupClusters: hook+shortcut did not converge after $maxIters rounds")
       labels.select(col("id"), col("label").as("component"))
     } finally edgesAll.unpersist(false)
   }

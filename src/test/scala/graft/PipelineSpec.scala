@@ -240,6 +240,28 @@ class PipelineSpec extends GraftSuite {
     assert(chainCc.values.toSet == Set(1L) && chainCc.size == 12)
   }
 
+  test("dedup clusters: distributed path converges on diameter >> round budget") {
+    // a 120-hop path: one-hop hash-min would need 120 rounds — the old
+    // maxIters=20 silently returned under-merged components here. The
+    // hook+shortcut scheme must close it in O(log d) rounds, well
+    // inside the default budget; include a second component to prove
+    // labels don't bleed across clusters while jumping.
+    val path = (1L until 121L).map(i => (i, i + 1)) ++
+      Seq((500L, 501L), (501L, 502L))
+    val cc = Dedup.dedupClusters(path.toDF("id_a", "id_b"), maxLocalEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 124)
+    assert((1L to 121L).forall(cc(_) == 1L), cc.filter(_._2 != 1L).toString)
+    assert(Seq(500L, 501L, 502L).forall(cc(_) == 500L))
+    // and when the budget genuinely runs out, it must fail LOUDLY, not
+    // return wrong components
+    val err = intercept[IllegalArgumentException] {
+      Dedup.dedupClusters(path.toDF("id_a", "id_b"), maxIters = 1,
+        maxLocalEdges = 0).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
   test("embedding LSH planes sizing and bucket occupancy sanity") {
     // the log2(N/bucket) rule
     assert(Dedup.planesFor(1L << 30, 1024) == 20)
