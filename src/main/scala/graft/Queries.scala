@@ -396,6 +396,79 @@ object Queries {
            WHEN value > 100 THEN 'B' || user_id END AS parsed
       FROM events ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------------
+  // default-network-drivers() — the reference's flagship composite
+  // (scl/default-network-drivers/plugin.conf): mixed-vendor raw lines
+  // auto-route through raw-topic apps / syslog parse / ewmm / syslog-
+  // topic apps / plain fallback, via the config front end. Eight line
+  // shapes from the events table; the oracle recomputes the expected
+  // route and one extracted field per vendor.
+  // ---------------------------------------------------------------------
+  private val defaultNetwork = Q("default_network",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val uid = col("user_id").cast("string")
+      val eid = col("event_id").cast("string")
+      val m = col("event_id") % 8
+      val line = when(m === 0, concat(lit("<189>"), eid,
+          lit(": Jan 12 03:04:05: %SYS-5-CONFIG_I: Configured from console by u"), uid))
+        .when(m === 1, concat(lit("<134>1 2024-01-12T03:04:05Z gw-"), uid,
+          lit(" CheckPoint 1930 - [action:\"Accept\"; src:\"10.0.0."), uid, lit("\";]")))
+        .when(m === 2, concat(lit("<189>date=2024-01-12 time=03:04:05 devname=fw"), uid,
+          lit(" devid=FGT60 logid=0100032003 type=event subtype=system level=notice")))
+        .when(m === 3, concat(lit("<85>Jan 12 03:04:05 h"), uid, lit(" sudo: u"), uid,
+          lit(" : TTY=pts/0 ; PWD=/home/u"), uid,
+          lit(" ; USER=root ; COMMAND=/bin/ls -la /tmp/f"), eid))
+        .when(m === 4, concat(lit("<6>Jan 12 03:04:05 h"), uid,
+          lit(" kernel: IN=eth0 OUT= SRC=10.0.0."), uid,
+          lit(" DST=10.0.1.2 LEN=60 PROTO=TCP SPT=1042 DPT=22")))
+        .when(m === 5, concat(lit("<13>Jan 12 03:04:05 h"), uid,
+          lit(" app: @cee:{\"event\":\"login\",\"user\":\"u"), uid, lit("\"}")))
+        .when(m === 6, concat(lit("<13>1 2024-01-12T03:04:05Z h"), uid,
+          lit(" @syslog-ng - - - {\"MESSAGE\":\"inner "), eid,
+          lit("\",\"PROGRAM\":\"app"), uid,
+          lit("\",\"._TAGS\":\"t1,t2\",\"wire\":\"w"), eid, lit("\"}")))
+        .otherwise(concat(lit("<13>Jan 12 03:04:05 h"), uid,
+          lit(" app"), uid, lit(": hello "), eid))
+      val in = ev.select(col("event_id"), line.as("message"))
+      val conf = """
+        @version: 3.33
+        source s_net { file("/var/log/net.log"); };
+        destination d_all { file("/out/all.log"); };
+        log { source(s_net); parser(default-network-drivers()); destination(d_all); };
+      """
+      val out = graft.config.ConfigCompiler
+        .compile(graft.config.ConfigParser.parse(conf), Map("s_net" -> in)).head.df
+      out.select(col("event_id"),
+          coalesce(element_at(col("values"), ".app.name"), col("__channel")).as("app"),
+          col("host"), col("program"),
+          coalesce(
+            element_at(col("values"), ".cisco.mnemonic"),
+            element_at(col("values"), ".checkpoint.action"),
+            element_at(col("values"), ".fortigate.devname"),
+            element_at(col("values"), ".sudo.COMMAND"),
+            element_at(col("values"), ".iptables.PROTO"),
+            element_at(col("values"), ".cee.user"),
+            element_at(col("values"), "wire")).as("evidence"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CASE event_id % 8 WHEN 0 THEN 'cisco' WHEN 1 THEN 'checkpoint'
+        WHEN 2 THEN 'fortigate' WHEN 3 THEN 'sudo' WHEN 4 THEN 'iptables'
+        WHEN 5 THEN 'cee' WHEN 6 THEN 'ewmm' ELSE 'unknown' END AS app,
+      CASE event_id % 8 WHEN 0 THEN NULL WHEN 1 THEN 'gw-' || user_id
+        WHEN 2 THEN NULL ELSE 'h' || user_id END AS host,
+      CASE event_id % 8 WHEN 0 THEN NULL WHEN 1 THEN 'CheckPoint'
+        WHEN 2 THEN NULL WHEN 3 THEN 'sudo' WHEN 4 THEN 'kernel'
+        WHEN 5 THEN 'app' WHEN 6 THEN 'app' || user_id
+        ELSE 'app' || user_id END AS program,
+      CASE event_id % 8 WHEN 0 THEN 'CONFIG_I' WHEN 1 THEN 'Accept'
+        WHEN 2 THEN 'fw' || user_id WHEN 3 THEN '/bin/ls -la /tmp/f' || event_id
+        WHEN 4 THEN 'TCP' WHEN 5 THEN 'u' || user_id WHEN 6 THEN 'w' || event_id
+        ELSE NULL END AS evidence
+      FROM events ORDER BY event_id"""),
+    bench = true)
+
   private val enrichGlob = Q("enrich_glob",
     (s, d) => {
       import s.implicits._
@@ -1868,7 +1941,8 @@ object Queries {
     rewriteSubst, rewriteSetTag,
     templateFormat, templateFuncs, templateHofs,
     parseSyslogRfc3164, parseSyslogRfc5424,
-    routeJunction, patterndbClassify, appParserQ, enrichRange, enrichGlob,
+    routeJunction, patterndbClassify, appParserQ, defaultNetwork,
+    enrichRange, enrichGlob,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
     parseJsonNested, parseXml, parseDate, parseTagsRekey, parseApache,
     configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,

@@ -204,8 +204,13 @@ object ConfigCompiler {
       case "json-parser" =>
         val prefix = kvOf(s.args, "prefix").getOrElse("")
         val xp = kvOf(s.args, "extract-prefix").getOrElse("")
-        df => df.withColumn("values", map_concat(
-          mapOrEmpty(df), coalesce(JsonFlatten(input, prefix, xp), map())))
+        kvOf(s.args, "marker") match {
+          // marker('@cee:') — strict message-prefix gate before the
+          // JSON body (json-parser.c:223-233)
+          case Some(m) => df => graft.operators.Scl.jsonWithMarker(df, m, prefix)
+          case None => df => df.withColumn("values", map_concat(
+            mapOrEmpty(df), coalesce(JsonFlatten(input, prefix, xp), map())))
+        }
       case "xml-parser" =>
         val prefix = kvOf(s.args, "prefix").getOrElse(".xml.")
         df => df.withColumn("values", map_concat(
@@ -319,6 +324,19 @@ object ConfigCompiler {
       case "apache-accesslog-parser" =>
         val prefix = kvOf(s.args, "prefix").getOrElse(".apache.")
         df => graft.operators.VendorParsers.apacheAccesslog(df, prefix)
+
+      // scl composites (Scl.scala): the application-registry junction,
+      // the ewmm/cee adapters and the flagship default-network-drivers
+      case "app-parser" =>
+        val topic = kvOf(s.args, "topic").getOrElse("syslog")
+        df => graft.operators.Scl.appParser(df, topic)
+      case "ewmm-parser" =>
+        df => graft.operators.Scl.ewmmParser(df)
+      case "cee-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse(".cee.")
+        df => graft.operators.Scl.ceeParser(df, prefix)
+      case "default-network-drivers" =>
+        df => graft.operators.Scl.defaultNetworkDrivers(df)
 
       case other => throw new IllegalArgumentException(s"unsupported parser: $other")
     }

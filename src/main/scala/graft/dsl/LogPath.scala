@@ -77,8 +77,12 @@ object LogPath {
         blocked = Some(blocked.fold(pred(ch))(_ || pred(ch)))
       // the channel's own filters already folded into `deliver`
       val body = ch.elements.filterNot(_.isInstanceOf[Filter])
-      compile(df.filter(deliver), body)
-        .withColumn("__channel", lit(ch.name))
+      val out = compile(df.filter(deliver), body)
+      // a nested junction already labeled its rows — keep the LEAF
+      // channel name (the actual route), only label unlabeled rows
+      if (out.columns.contains("__channel"))
+        out.withColumn("__channel", coalesce(col("__channel"), lit(ch.name)))
+      else out.withColumn("__channel", lit(ch.name))
     }
     outs.reduce(_.unionByName(_, allowMissingColumns = true))
   }

@@ -1,0 +1,297 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, JsonFlatten}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** scl composites: the reference's configuration-library blocks that
+  * wire the primitive parsers into turnkey entries —
+  * `default-network-drivers()`
+  * (`/root/reference/scl/default-network-drivers/plugin.conf:25-82`),
+  * `ewmm-parser()` (`scl/ewmm/ewmm.conf:40-57`) and the `cee`
+  * adapter (`scl/cee/adapter.conf:37-39`) — plus the application
+  * registry that backs `app-parser(topic(...))`
+  * (`modules/appmodel/appmodel-context.c`,
+  * `app-parser-generator.c:60-140`).
+  *
+  * The reference expresses "does this parser apply?" as try-and-branch
+  * channels. A literal junction compile (union of filtered branches)
+  * re-scans the source once per application — 8 scans at 100 TB, and
+  * Catalyst pushes the branch filters below any pinned exchange, so
+  * exchange reuse cannot save it. Instead the app-parser compiles
+  * FUSED: one `__route` when-chain decides the application per row
+  * (first match wins = the junction's final-flag order), and every
+  * vendor parser then runs in sequence guarded by its route — rows
+  * not routed to it pass through untouched. One scan, zero shuffles,
+  * one whole-stage-codegen projection chain; delivery semantics are
+  * identical to the junction (`lib/logmpx.c:88-109`) because the
+  * routes partition the rows.
+  */
+object Scl {
+
+  private def valuesOrEmpty(df: DataFrame): Column =
+    if (df.columns.contains("values")) col("values")
+    else map().cast("map<string,string>")
+
+  private def colOr(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) col(name) else lit(null).cast("string")
+
+  /** Merge non-null entries of `add` into values (new keys win). */
+  private def merged(df: DataFrame, add: Column): Column = {
+    val clean = map_filter(coalesce(add, map().cast("map<string,string>")),
+      (_, v) => v.isNotNull)
+    map_concat(
+      map_filter(valuesOrEmpty(df), (k, _) => !array_contains(map_keys(clean), k)),
+      clean)
+  }
+
+  /** One registered application: name, detect predicate, and the
+    * guarded parse — the transform receives the route predicate and
+    * must leave non-matching rows untouched (every vendor parser
+    * takes `guard` for exactly this). */
+  final case class App(name: String, detect: Column,
+      parse: (DataFrame, Column) => DataFrame)
+
+  // ---- application registry -------------------------------------------------
+  /** `topic(syslog-raw)` applications — detection on the RAW line
+    * before any syslog parsing (the no-parse channel of
+    * default-network-drivers). Detect filters are the reference's own
+    * `application x[syslog-raw] { filter }` predicates:
+    * checkpoint `scl/checkpoint/plugin.conf:79-87`, fortigate
+    * `scl/fortigate/fortigate.conf:43-46`, cisco
+    * `scl/cisco/plugin.conf:113-116`. cisco's substring filter
+    * (": %") is the loosest, so it runs LAST among the raw apps. */
+  def rawApplications: Seq[App] = Seq(
+    App("checkpoint",
+      col("message").rlike("^(<[0-9]{1,3}>)1 .* CheckPoint ") ||
+        col("message").rlike("^time=[0-9]+\\|hostname=[a-zA-Z0-9-]+\\|product=Firewall"),
+      (df, g) => VendorParsers.checkpoint(df, guard = g)),
+    App("fortigate", col("message").rlike("^<[0-9]+>date="),
+      (df, g) => VendorParsers.fortigate(df, guard = g)),
+    App("cisco", col("message").contains(": %"),
+      (df, g) => VendorParsers.cisco(df, guard = g)))
+
+  /** `topic(syslog)` applications — detection on the post-syslog-parse
+    * columns: iptables `scl/iptables/iptables.conf:27-32`, sudo
+    * `scl/sudo/sudo.conf:35-38`, cee `scl/cee/adapter.conf:37-39`
+    * (the cee application has no filter upstream — the json-parser's
+    * marker IS the detection; here the marker check is the predicate).
+    * panos is deliberately absent: its upstream detection rides the
+    * LEGACY_MSGHDR program split (`scl/paloalto/panos.conf:271-274`,
+    * program prefix "1,"), which only exists in the reference's
+    * header model — panos-parser() stays available as an explicit
+    * statement. */
+  def syslogApplications: Seq[App] = Seq(
+    App("iptables",
+      col("facility") === 0 && col("program") === "kernel" &&
+        col("message").contains("PROTO="),
+      (df, g) => VendorParsers.iptables(df, guard = g)),
+    App("sudo", col("program") === "sudo",
+      (df, g) => VendorParsers.sudo(df, guard = g)),
+    App("cee", col("message").startsWith("@cee:"),
+      (df, g) => ceeParser(df, guard = g)))
+
+  private def applications(topic: String): Seq[App] = topic match {
+    case "syslog-raw" => rawApplications
+    case "syslog" => syslogApplications
+    case other => throw new IllegalArgumentException(
+      s"app-parser: unknown topic $other (expected syslog or syslog-raw)")
+  }
+
+  /** First-match route: NULL when no application matches (detects are
+    * evaluated null-safe — an unset column never matches, like the
+    * reference's filters). */
+  private def routeOf(apps: Seq[App]): Column =
+    apps.foldLeft(lit(null).cast("string")) { (acc, app) =>
+      coalesce(acc, when(coalesce(app.detect, lit(false)), lit(app.name)))
+    }
+
+  /** The `.app.name` NV + `.app.<name>` tag every generated application
+    * channel sets (`app-parser-generator.c:79-80`), applied once from
+    * the route column. */
+  private def tagApps(df: DataFrame, route: Column): DataFrame = {
+    val tagged = df.withColumn("values",
+      merged(df, when(route.isNotNull, map(lit(".app.name"), route))
+        .otherwise(map().cast("map<string,string>"))))
+    if (tagged.columns.contains("tags"))
+      tagged.withColumn("tags",
+        when(route.isNotNull,
+          array_union(coalesce(col("tags"), array().cast("array<string>")),
+            array(concat(lit(".app."), route))))
+          .otherwise(col("tags")))
+    else tagged
+  }
+
+  /** app-parser(topic(...)) as a standalone transform — the fused
+    * form: route once, run each registered parser guarded by its
+    * route, tag matches, label `__channel` (the doesnotexist fallback
+    * of `app-parser-generator.c:137` = route NULL → "unknown",
+    * passed through untouched). */
+  def appParser(df: DataFrame, topic: String): DataFrame = {
+    val apps = applications(topic)
+    val routed = df.withColumn("__route", routeOf(apps))
+    val parsed = apps.foldLeft(routed: DataFrame) { (d, app) =>
+      app.parse(d, col("__route") === app.name)
+    }
+    tagApps(parsed, col("__route"))
+      .withColumn("__channel", coalesce(col("__route"), lit("unknown")))
+      .drop("__route")
+  }
+
+  // ---- ewmm -----------------------------------------------------------------
+  /** ewmm-parser() (`scl/ewmm/ewmm.conf:40-57`): the
+    * enterprise-wide-message-model wire format — PROGRAM is
+    * "@syslog-ng", the MSG field is a JSON object of name-value pairs.
+    * Parsing = unset PROGRAM/RAWMSG, json-parse the message (builtin
+    * NV names overwrite their columns), read `._TAGS` into tags, then
+    * drop the hop-by-hop `._*` fields. Non-matching rows pass through
+    * unchanged (the reference expresses the guard as the block's
+    * `filter { program("@syslog-ng") }`). */
+  def ewmmParser(df: DataFrame, guard: Column = lit(true)): DataFrame = {
+    val isEwmm = colOr(df, "program") === "@syslog-ng" && guard
+    val staged = df.withColumn("__ewmm",
+      when(isEwmm, coalesce(JsonFlatten(col("message")),
+        map().cast("map<string,string>")))
+        .otherwise(map().cast("map<string,string>")))
+    def k(name: String): Column = try_element_at(col("__ewmm"), lit(name))
+    val builtins = Seq("MESSAGE", "MSG", "HOST", "PROGRAM", "PID", "MSGID")
+    val carried = map_filter(col("__ewmm"), (key, _) =>
+      !key.isin(builtins.map(lit(_)): _*) && !key.startsWith("._"))
+    staged
+      .withColumn("tags",
+        when(isEwmm && k("._TAGS").isNotNull, Parsers.tagsParse(k("._TAGS")))
+          .otherwise(if (df.columns.contains("tags")) col("tags")
+            else array().cast("array<string>")))
+      .withColumn("values", when(isEwmm, merged(staged, carried))
+        .otherwise(valuesOrEmpty(staged)))
+      .withColumn("__e_host", when(isEwmm, coalesce(k("HOST"), colOr(df, "host")))
+        .otherwise(colOr(df, "host")))
+      .withColumn("__e_prog", when(isEwmm, k("PROGRAM"))
+        .otherwise(colOr(df, "program")))
+      .withColumn("__e_pid", when(isEwmm, coalesce(k("PID"), colOr(df, "pid")))
+        .otherwise(colOr(df, "pid")))
+      .withColumn("__e_msg",
+        when(isEwmm, coalesce(k("MESSAGE"), k("MSG"), col("message")))
+          .otherwise(col("message")))
+      .withColumn("host", col("__e_host"))
+      .withColumn("program", col("__e_prog"))
+      .withColumn("pid", col("__e_pid"))
+      .withColumn("message", col("__e_msg"))
+      .drop("__ewmm", "__e_host", "__e_prog", "__e_pid", "__e_msg")
+  }
+
+  // ---- cee ------------------------------------------------------------------
+  /** The cee adapter (`scl/cee/adapter.conf:37-39`):
+    * `json-parser(prefix('.cee.') marker('@cee:'))`. The marker is a
+    * strict prefix match on the message (`modules/json/json-parser.c:
+    * 223-233`); whitespace after the marker is skipped before the JSON
+    * body. Non-matching rows pass through unchanged. */
+  def ceeParser(df: DataFrame, prefix: String = ".cee.",
+      guard: Column = lit(true)): DataFrame =
+    jsonWithMarker(df, "@cee:", prefix, guard)
+
+  /** json-parser(marker(...)) core shared by cee. */
+  def jsonWithMarker(df: DataFrame, marker: String, prefix: String,
+      guard: Column = lit(true)): DataFrame = {
+    val msg = col("message")
+    val hit = msg.startsWith(marker) && guard
+    val body = ltrim(msg.substr(lit(marker.length + 1), length(msg)))
+    df.withColumn("values", merged(df,
+      when(hit, coalesce(JsonFlatten(body, prefix, ""),
+        map().cast("map<string,string>")))
+        .otherwise(map().cast("map<string,string>"))))
+  }
+
+  // ---- syslog parse step ----------------------------------------------------
+  /** Promote a staged `parse_syslog` struct column (named `__syslog`)
+    * into the LogRecord columns where `cond` holds, SDATA params
+    * landing in values under `.SDATA.` (the reference's NV names,
+    * `lib/logmsg/logmsg.c` sdata naming). Rows failing `cond` keep
+    * their existing columns. */
+  private def promoteParsed(df: DataFrame, cond: Column): DataFrame = {
+    val sdata = transform_keys(
+      coalesce(col("__syslog.sdata"), map().cast("map<string,string>")),
+      (k, _) => concat(lit(".SDATA."), k))
+    def pick(field: String, fallback: Column): Column =
+      when(cond, col(s"__syslog.$field")).otherwise(fallback)
+    df.withColumn("values", merged(df,
+        when(cond, sdata).otherwise(map().cast("map<string,string>"))))
+      .withColumn("host", pick("host", colOr(df, "host")))
+      .withColumn("program", pick("program", colOr(df, "program")))
+      .withColumn("pid", pick("pid", colOr(df, "pid")))
+      .withColumn("msgid", pick("msgid", colOr(df, "msgid")))
+      .withColumn("facility", pick("facility",
+        if (df.columns.contains("facility")) col("facility")
+        else lit(null).cast("int")))
+      .withColumn("severity", pick("severity",
+        if (df.columns.contains("severity")) col("severity")
+        else lit(null).cast("int")))
+      .withColumn("ts", pick("ts",
+        if (df.columns.contains("ts")) col("ts").cast("timestamp")
+        else lit(null).cast("timestamp")))
+      .withColumn("message", pick("message", col("message")))
+  }
+
+  /** The fallback branch's `syslog-parser(flags(syslog-protocol))` as a
+    * standalone transform; parse_syslog auto-detects RFC3164 vs
+    * RFC5424 like msg-format.c does. */
+  def parseSyslogMessage(df: DataFrame, refYear: Int = 2024): DataFrame =
+    promoteParsed(
+      df.withColumn("__syslog",
+        GraftFunctions.parse_syslog(col("message"), refYear)),
+      lit(true))
+      .drop("__syslog")
+
+  // ---- default-network-drivers ---------------------------------------------
+  /** default-network-drivers() — the reference's flagship composite
+    * (`scl/default-network-drivers/plugin.conf:36-60`, the no-parse
+    * channel): raw-topic applications try first on the unparsed line;
+    * everything else syslog-parses and then branches to ewmm-parser /
+    * syslog-topic applications / plain passthrough, exactly the
+    * plugin.conf if/elif order.
+    *
+    * Fused single-pass compile (see the object doc): the raw route is
+    * decided on the raw line, the syslog parse is computed once as a
+    * staged struct, promotion + the syslog-side route apply only to
+    * rows no raw application claimed, and every parser runs guarded
+    * by its route. One scan, zero shuffles, no union — the plan gate
+    * in PlanSpec asserts it.
+    *
+    * The listener sockets themselves (tcp/udp 514, 601, 6514) are the
+    * declared transport non-goal; any line source (file, kafka, the
+    * dev TCP listener spool) feeds this with the raw line in
+    * `message`. Output `__channel` carries the detected route;
+    * matched applications additionally set `.app.name` in values and
+    * the `.app.<name>` tag, as upstream does.
+    */
+  def defaultNetworkDrivers(df: DataFrame, refYear: Int = 2024): DataFrame = {
+    val rawRoute = routeOf(rawApplications)
+    val staged = df
+      .withColumn("__syslog",
+        GraftFunctions.parse_syslog(col("message"), refYear))
+      .withColumn("__rawroute", rawRoute)
+    // non-raw rows see their parsed columns; raw rows keep the raw line
+    val promoted = promoteParsed(staged, col("__rawroute").isNull)
+    // plugin.conf:47-56: ewmm first, then the syslog-topic apps, else
+    // plain parsed passthrough
+    val sysRoute = when(col("__rawroute").isNull,
+      coalesce(
+        when(col("program") === "@syslog-ng", lit("ewmm")),
+        routeOf(syslogApplications)))
+    val routed = promoted.withColumn("__route",
+      coalesce(col("__rawroute"), sysRoute))
+    val allParsers: Seq[App] =
+      rawApplications ++
+        Seq(App("ewmm", lit(false), (d, g) => ewmmParser(d, guard = g))) ++
+        syslogApplications
+    val parsed = allParsers.foldLeft(routed: DataFrame) { (d, app) =>
+      app.parse(d, col("__route") === app.name)
+    }
+    // applications get .app.name/.app.<name>; ewmm + passthrough don't
+    val appNames = (rawApplications ++ syslogApplications).map(_.name)
+    tagApps(parsed,
+      when(col("__route").isin(appNames.map(lit(_)): _*), col("__route")))
+      .withColumn("__channel", coalesce(col("__route"), lit("unknown")))
+      .drop("__syslog", "__rawroute", "__route")
+  }
+}

@@ -33,9 +33,12 @@ object VendorParsers {
   // ---- cisco ---------------------------------------------------------------
   /** cisco-parser() (`scl/cisco/plugin.conf`): `<pri>(seq: )?(host: )?
     * (*timestamp: )?%FAC-SEV-MNEMONIC: text`. The %-triplet classifies
-    * the message; host and timestamp are optional header pieces. */
+    * the message; host and timestamp are optional header pieces.
+    * `guard` narrows applicability beyond the structural check — the
+    * fused app-parser compile passes its route predicate so one
+    * projection chain hosts every vendor without cross-talk. */
   def cisco(df: DataFrame, prefix: String = ".cisco.",
-      refYear: Int = 2024): DataFrame = {
+      refYear: Int = 2024, guard: Column = lit(true)): DataFrame = {
     val msg = col("message")
     // pri is 0..191 (3 digits); bounding the capture keeps the ANSI
     // cast below from overflowing on a hostile <999...9> line
@@ -70,7 +73,7 @@ object VendorParsers {
     val ts = coalesce(
       try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss.SSS")),
       try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss")))
-    val isCisco = msg.rlike("^<\\d{1,3}>.*: %") && size(parts) >= 3
+    val isCisco = msg.rlike("^<\\d{1,3}>.*: %") && size(parts) >= 3 && guard
     val add = map(
       lit(prefix + "facility"), when(isCisco, facility),
       lit(prefix + "severity"), when(isCisco, severity),
@@ -102,9 +105,10 @@ object VendorParsers {
     * form (`<pri>1 DATE HOST CheckPoint PID - [k:"v"; ...]`, date
     * either ISO-T or `date time` split across two fields) and the
     * splunk form (`time=...|hostname=...|product=Firewall`). */
-  def checkpoint(df: DataFrame, prefix: String = ".checkpoint."): DataFrame = {
+  def checkpoint(df: DataFrame, prefix: String = ".checkpoint.",
+      guard: Column = lit(true)): DataFrame = {
     val msg = col("message")
-    val isSyslog = msg.startsWith("<")
+    val isSyslog = msg.startsWith("<") && guard
     val f = split(msg, " ")
     val tForm = try_element_at(f, lit(2)).rlike("^\\d{4}-\\d{2}-\\d{2}T")
     // columns 1,2,HOST,PROGRAM,PID,MSGID,MSG(greedy) — or 1,2,3,... when
@@ -127,14 +131,16 @@ object VendorParsers {
     // '|'-separated, no quoting (the reference accepts that limitation,
     // plugin.conf "not handling value escaping properly")
     val kvs = when(isSyslog, Parsers.kvParse(kvBody, ':', prefix))
-      .otherwise(Parsers.kvParse(translate(msg, "|", " "), '=', prefix))
+      .when(guard, Parsers.kvParse(translate(msg, "|", " "), '=', prefix))
+      .otherwise(map().cast("map<string,string>"))
     // stage every derived Column before the message rewrite — they all
     // read the ORIGINAL message
     df.withColumn("values", merged(df, kvs))
       .withColumn("__cp_host", when(isSyslog, host))
       .withColumn("__cp_prog", when(isSyslog, program).otherwise(
         if (df.columns.contains("program")) col("program") else lit(null).cast("string")))
-      .withColumn("__cp_pid", when(isSyslog, pid))
+      .withColumn("__cp_pid", when(isSyslog, pid).otherwise(
+        if (df.columns.contains("pid")) col("pid") else lit(null).cast("string")))
       .withColumn("__cp_ts", when(isSyslog, ts).otherwise(
         if (df.columns.contains("ts")) col("ts").cast("timestamp")
         else lit(null).cast("timestamp")))
@@ -155,9 +161,10 @@ object VendorParsers {
     * reference's kv-parser behavior. The application filter
     * (facility(kern) + program(kernel) + "PROTO=" substring) guards at
     * the app-parser level; here any row containing `PROTO=` parses. */
-  def iptables(df: DataFrame, prefix: String = ".iptables."): DataFrame = {
+  def iptables(df: DataFrame, prefix: String = ".iptables.",
+      guard: Column = lit(true)): DataFrame = {
     val msg = col("message")
-    val isIpt = msg.contains("PROTO=")
+    val isIpt = msg.contains("PROTO=") && guard
     val add = when(isIpt, Parsers.kvParse(msg, '=', prefix))
       .otherwise(map().cast("map<string,string>"))
     df.withColumn("values", merged(df, add))
@@ -171,9 +178,10 @@ object VendorParsers {
     * (extract-stray-words-into('0') + list-head). Rows without a
     * COMMAND pair (pam noise) are flagged via the presence of the key —
     * the application-level filter drops them. */
-  def sudo(df: DataFrame, prefix: String = ".sudo."): DataFrame = {
+  def sudo(df: DataFrame, prefix: String = ".sudo.",
+      guard: Column = lit(true)): DataFrame = {
     val msg = col("message")
-    val isSudo = msg.contains(" : ") && msg.contains("=")
+    val isSudo = msg.contains(" : ") && msg.contains("=") && guard
     val subject = trim(substring_index(msg, " : ", 1))
     val body = msg.substr(length(substring_index(msg, " : ", 1)) + lit(4), length(msg))
     // ';'-separated K=V pairs; V is greedy to the pair end, so embedded
@@ -204,9 +212,10 @@ object VendorParsers {
     * devname="fw1" ...`), then date+time fields combine into the
     * timestamp (the reference's date-parser(format("%Y-%m-%d %H:%M:%S"))
     * over "${.fortigate.date} ${.fortigate.time}"). */
-  def fortigate(df: DataFrame, prefix: String = ".fortigate."): DataFrame = {
+  def fortigate(df: DataFrame, prefix: String = ".fortigate.",
+      guard: Column = lit(true)): DataFrame = {
     val msg = col("message")
-    val isFgt = msg.rlike("^(<\\d{1,3}>)?date=")
+    val isFgt = msg.rlike("^(<\\d{1,3}>)?date=") && guard
     val body = regexp_replace(msg, "^<\\d{1,3}>", "")
     val kvs = Parsers.kvParse(body, '=', prefix)
     val ts = try_to_timestamp(

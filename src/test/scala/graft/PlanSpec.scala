@@ -152,6 +152,37 @@ class PlanSpec extends GraftSuite {
       l.contains("REPARTITION_BY_COL")), p)
   }
 
+  test("default-network-drivers fuses to one scan, no union, no shuffle") {
+    // a literal junction compile would union 8 filtered branches and
+    // re-scan the source once per application (Catalyst pushes the
+    // branch filters below any pinned exchange, so exchange reuse
+    // cannot save it). The fused compile routes once and guards every
+    // parser: the whole composite is ONE projection chain — a single
+    // events scan, no Union, and the only exchange is the query's
+    // final ORDER BY.
+    val df = Queries.registry("default_network")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    val scans = fin.count(l => l.contains("FileScan parquet") &&
+      l.contains("events.parquet"))
+    assert(scans == 1, s"expected 1 events scan in final plan, got $scans\n$p")
+    assert(!fin.exists(_.contains("Union")), p)
+    val exchanges = fin.count(l => l.trim.startsWith("+- Exchange") ||
+      l.trim.startsWith(":- Exchange") || l.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"expected only the ORDER BY exchange, got $exchanges\n$p")
+  }
+
+  test("bestPerCluster is two salted max_by aggregates, no window sort") {
+    // a row_number window would sort each component in one task — the
+    // boilerplate mega-cluster straggler. The salted form is two hash
+    // aggregates (map-side combinable) + a winner join-back.
+    val df = Queries.registry("dedup_keep_best")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.contains("max_by"), p)
+  }
+
   test("asof join is ONE key shuffle, not a range join") {
     // the docstring's scale claim, asserted: both sides union into one
     // stream and hash-exchange once on the key; the only other exchange

@@ -1,0 +1,147 @@
+package graft
+
+import graft.config.{ConfigCompiler, ConfigParser}
+import graft.operators.Scl
+import org.apache.spark.sql.functions._
+
+/** scl composites: default-network-drivers() auto-routing
+  * (`/root/reference/scl/default-network-drivers/plugin.conf`),
+  * ewmm-parser() (`scl/ewmm/ewmm.conf`), the cee adapter
+  * (`scl/cee/adapter.conf`) — semantics driven from config text like
+  * the scl itself. */
+class SclSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def route(lines: Seq[String]) = {
+    val df = lines.toDF("message")
+      .withColumn("tags", array().cast("array<string>"))
+    val conf = """
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      parser p { default-network-drivers(); };
+      log { source(s); parser(p); destination(d); };
+    """
+    ConfigCompiler.compile(ConfigParser.parse(conf), Map("s" -> df)).head.df
+  }
+
+  test("default-network-drivers routes mixed vendors, final beats fallback") {
+    val out = route(Seq(
+      // raw topic: detected BEFORE syslog parsing
+      "<189>29: Jan 12 03:58:40: %SYS-5-CONFIG_I: Configured from console by console",
+      "<134>1 2024-01-12T03:04:05Z gw1 CheckPoint 22103 - [action:\"Accept\"; src:\"10.7.79.7\";]",
+      "<189>date=2024-01-12 time=03:04:05 devname=fw1 logid=0100032003",
+      // syslog topic: detected on the parsed columns
+      "<85>Jan 12 03:04:05 h1 sudo: root : TTY=pts/0 ; PWD=/ ; USER=root ; COMMAND=/bin/ls -la",
+      "<6>Jan 12 03:04:05 h1 kernel: IN=eth0 OUT= SRC=1.2.3.4 PROTO=TCP DPT=22",
+      "<13>Jan 12 03:04:05 h1 app: @cee:{\"event\":\"login\"}",
+      // nothing matches -> the doesnotexist fallback passes it through
+      "<13>Jan 12 03:04:05 h1 app: plain message"))
+      .select(col("__channel"),
+        element_at(col("values"), ".app.name").as("app"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("cisco", "cisco"), ("checkpoint", "checkpoint"),
+      ("fortigate", "fortigate"), ("sudo", "sudo"),
+      ("iptables", "iptables"), ("cee", "cee"), ("unknown", null)))
+  }
+
+  test("default-network-drivers tags matched applications like app-parser") {
+    // app-parser-generator.c:79-80: set-tag('.app.<name>') +
+    // set('<name>' value('.app.name'))
+    val out = route(Seq(
+      "<6>Jan 12 03:04:05 h1 kernel: IN=eth0 OUT= PROTO=UDP DPT=53"))
+      .select(array_join(col("tags"), ",").as("tags")).head()
+    assert(out.getString(0).contains(".app.iptables"))
+  }
+
+  test("ewmm round-trip: builtin NVs restored, hop-by-hop fields dropped") {
+    // scl/ewmm/ewmm.conf:40-57 — PROGRAM @syslog-ng, MSG is the JSON
+    // encoding of the original message's name-value pairs
+    val out = route(Seq(
+      "<13>1 2024-01-12T03:04:05Z relay1 @syslog-ng - - - " +
+        "{\"MESSAGE\":\"original body\",\"PROGRAM\":\"nginx\",\"HOST\":\"web7\"," +
+        "\"._TAGS\":\"prod,edge\",\".classifier.class\":\"system\",\"custom\":\"v1\"}"))
+    val r = out.select(col("__channel"), col("host"), col("program"),
+      col("message"), array_join(col("tags"), ",").as("tags"),
+      element_at(col("values"), "custom").as("custom"),
+      element_at(col("values"), ".classifier.class").as("cls"),
+      element_at(col("values"), "._TAGS").as("hop")).head()
+    assert(r.getString(0) == "ewmm")
+    assert(r.getString(1) == "web7")       // HOST from the JSON wins
+    assert(r.getString(2) == "nginx")      // PROGRAM restored after unset
+    assert(r.getString(3) == "original body")
+    assert(r.getString(4) == "prod,edge")  // ._TAGS -> tags
+    assert(r.getString(5) == "v1")
+    assert(r.getString(6) == "system")     // leading-dot NVs carried
+    assert(r.getString(7) == null)         // hop-by-hop ._* dropped
+  }
+
+  test("ewmm-parser leaves non-ewmm rows untouched") {
+    val df = Seq(("nginx", "GET /"), ("@syslog-ng", "{\"MESSAGE\":\"m\"}"))
+      .toDF("program", "message")
+    val out = Scl.ewmmParser(df).orderBy(col("program"))
+      .select(col("program"), col("message")).collect()
+    assert(out(0).getString(0) == null && out(0).getString(1) == "m")
+    assert(out(1).getString(0) == "nginx" && out(1).getString(1) == "GET /")
+  }
+
+  test("cee adapter: marker gates the json parse, prefix .cee.") {
+    val df = Seq(
+      "@cee:{\"event\":\"login\",\"user\":\"jdoe\"}",
+      "@cee: {\"event\":\"spaced\"}",     // whitespace after marker ok
+      "not cee {\"event\":\"x\"}")
+      .toDF("message")
+    val conf = """
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      parser p { cee-parser(); };
+      log { source(s); parser(p); destination(d); };
+    """
+    val out = ConfigCompiler.compile(ConfigParser.parse(conf), Map("s" -> df))
+      .head.df
+      .select(element_at(col("values"), ".cee.event").as("e"),
+        element_at(col("values"), ".cee.user").as("u"))
+      .collect()
+    assert(out(0).getString(0) == "login" && out(0).getString(1) == "jdoe")
+    assert(out(1).getString(0) == "spaced")
+    assert(out(2).getString(0) == null)
+  }
+
+  test("json-parser(marker()) config form matches the cee adapter") {
+    val df = Seq("@cee:{\"k\":\"v\"}").toDF("message")
+    val conf = """
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      parser p { json-parser(prefix(".cee.") marker("@cee:")); };
+      log { source(s); parser(p); destination(d); };
+    """
+    val out = ConfigCompiler.compile(ConfigParser.parse(conf), Map("s" -> df))
+      .head.df.select(element_at(col("values"), ".cee.k")).head()
+    assert(out.getString(0) == "v")
+  }
+
+  test("app-parser(topic()) statement: raw topic skips syslog-topic apps") {
+    val df = Seq("<189>date=2024-01-12 time=03:04:05 devname=fw9 logid=1")
+      .toDF("message")
+    val out = Scl.appParser(df, "syslog-raw")
+      .select(col("__channel"),
+        element_at(col("values"), ".fortigate.devname").as("dev")).head()
+    assert(out.getString(0) == "fortigate" && out.getString(1) == "fw9")
+    // the same line on the syslog topic matches nothing
+    val miss = Scl.appParser(
+      df.withColumn("program", lit("x")).withColumn("facility", lit(3)),
+      "syslog").select(col("__channel")).head()
+    assert(miss.getString(0) == "unknown")
+  }
+
+  test("nested junctions keep the leaf channel label") {
+    import graft.dsl.LogPath._
+    val df = Seq(1, 2).toDF("n")
+    val inner = Junction(Seq(
+      Channel("leaf1", Seq(Filter(col("n") === 1)), Set(Final)),
+      Channel("leaf2", Nil, Set(Fallback))))
+    val out = compileJunction(df, Seq(Channel("outer", Seq(inner))))
+      .orderBy("n").select("__channel").collect()
+    assert(out(0).getString(0) == "leaf1" && out(1).getString(0) == "leaf2")
+  }
+}
