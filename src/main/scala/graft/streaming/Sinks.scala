@@ -59,6 +59,121 @@ object Sinks {
         batch.write.mode("append").jdbc(url, table, props)
       }
 
+  /** http() destination options (`modules/http/http.c:28-90`,
+    * `http-grammar.ym`): url/method/headers/user-agent plus the
+    * batching triple. Batching follows `http-worker.c`: the request
+    * body is `body-prefix` + messages joined by `delimiter` +
+    * `body-suffix`; a flush fires when `batch-lines` messages are
+    * buffered or appending would reach `batch-bytes`
+    * (`http-worker.c:708-726`). `batch-timeout` bounds how long a
+    * partial batch may wait — in micro-batch execution the trigger
+    * interval is the primary analog (a batch always flushes at
+    * micro-batch end), so the timeout only splits batches inside a
+    * very slow partition iterator. */
+  final case class HttpConfig(
+      url: String,
+      method: String = "POST",
+      headers: Seq[(String, String)] = Nil,
+      userAgent: String = "graft-http/1.0",
+      batchLines: Int = 1,
+      batchBytes: Int = 0,
+      batchTimeoutMs: Long = 0L,
+      bodyPrefix: String = "",
+      bodySuffix: String = "",
+      delimiter: String = "\n",
+      connectTimeoutMs: Int = 10000,
+      readTimeoutMs: Int = 30000,
+      retries: Int = 3,
+      retryBackoffMs: Long = 200L)
+
+  /** One HTTP request with bounded retry. Non-2xx and transport errors
+    * retry `retries` times with linear backoff, then throw — failing
+    * the micro-batch, which Structured Streaming replays from the
+    * checkpoint: the at-least-once contract the reference gets from
+    * retry_max + disk-buffer (`http-worker.c` default_url_failure →
+    * LTR_NOT_CONNECTED requeues the whole batch). */
+  private[graft] def httpPost(cfg: HttpConfig, body: Array[Byte]): Int = {
+    var attempt = 0
+    while (true) {
+      try {
+        val conn = new java.net.URI(cfg.url).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        try {
+          conn.setRequestMethod(cfg.method)
+          conn.setConnectTimeout(cfg.connectTimeoutMs)
+          conn.setReadTimeout(cfg.readTimeoutMs)
+          conn.setRequestProperty("User-Agent", cfg.userAgent)
+          cfg.headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+          conn.setDoOutput(true)
+          conn.setFixedLengthStreamingMode(body.length)
+          val os = conn.getOutputStream
+          try { os.write(body); os.flush() } finally os.close()
+          val code = conn.getResponseCode
+          if (code >= 200 && code < 300) return code
+          if (attempt >= cfg.retries)
+            throw new java.io.IOException(s"http(${cfg.url}): HTTP $code after ${attempt + 1} attempts")
+        } finally conn.disconnect()
+      } catch {
+        case e: java.io.IOException if attempt < cfg.retries => ()
+      }
+      attempt += 1
+      Thread.sleep(cfg.retryBackoffMs * attempt)
+    }
+    -1 // unreachable
+  }
+
+  /** Assemble+send one partition's messages under the batching rules —
+    * the per-worker accumulate/flush loop of `http-worker.c:695-739`
+    * on a partition iterator. Returns the number of requests made. */
+  private[graft] def httpSendPartition(cfg: HttpConfig,
+      messages: Iterator[String]): Int = {
+    val buf = new java.lang.StringBuilder
+    var lines = 0
+    var requests = 0
+    var lastFlush = System.nanoTime()
+    def flush(): Unit = if (lines > 0) {
+      buf.append(cfg.bodySuffix)
+      httpPost(cfg, buf.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      requests += 1
+      buf.setLength(0)
+      lines = 0
+      lastFlush = System.nanoTime()
+    }
+    messages.foreach { m =>
+      if (lines == 0) buf.append(cfg.bodyPrefix) else buf.append(cfg.delimiter)
+      buf.append(m)
+      lines += 1
+      val timedOut = cfg.batchTimeoutMs > 0 &&
+        (System.nanoTime() - lastFlush) / 1000000L >= cfg.batchTimeoutMs
+      if ((cfg.batchLines > 0 && lines >= cfg.batchLines) ||
+          (cfg.batchBytes > 0 && buf.length + cfg.bodySuffix.length >= cfg.batchBytes) ||
+          timedOut)
+        flush()
+    }
+    flush()
+    requests
+  }
+
+  /** http() destination: each micro-batch renders `bodyCol` (the
+    * body() template output) and POSTs it batched. Executors post
+    * their partitions in parallel — the reference's workers() knob
+    * maps to partition count. */
+  def httpSink(ds: Dataset[Row], bodyCol: String, cfg: HttpConfig,
+      checkpoint: String): DataStreamWriter[Row] =
+    ds.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        httpWriteBatch(batch.toDF(), bodyCol, cfg)
+      }
+
+  /** Batch form of [[httpSink]] — also what each micro-batch runs. */
+  def httpWriteBatch(df: DataFrame, bodyCol: String, cfg: HttpConfig): Unit =
+    df.select(col(bodyCol).cast("string")).foreachPartition {
+      (rows: Iterator[Row]) =>
+        httpSendPartition(cfg, rows.map(_.getString(0)))
+        ()
+    }
+
   /** kafka() destination (`modules/kafka/`): native Structured Streaming
     * sink. Requires the spark-sql-kafka package on the cluster (absent in
     * this dev container — compile-checked only). */

@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.Sinks
+import graft.streaming.Sinks.HttpConfig
+import org.apache.spark.sql.functions._
+
+/** http() destination against an in-process HTTP stub — batch
+  * assembly and flush boundaries per `/root/reference/modules/http/
+  * http-worker.c` (body-prefix + delimiter-joined messages +
+  * body-suffix; flush on batch-lines / batch-bytes), bounded retry,
+  * and the streaming foreachBatch path. */
+class HttpSinkSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def withServer(failFirst: Int = 0)(
+      f: (String, java.util.List[String]) => Unit): Unit = {
+    val bodies = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val failures = new java.util.concurrent.atomic.AtomicInteger(failFirst)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (failures.getAndDecrement() > 0) ex.sendResponseHeaders(500, -1)
+      else { bodies.add(body); ex.sendResponseHeaders(200, -1) }
+      ex.close()
+    })
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.getAddress.getPort}/ingest", bodies)
+    finally srv.stop(0)
+  }
+
+  test("batch-lines flush boundaries with prefix/suffix/delimiter") {
+    withServer() { (url, bodies) =>
+      val cfg = HttpConfig(url, batchLines = 3,
+        bodyPrefix = "[", bodySuffix = "]", delimiter = ",")
+      val n = Sinks.httpSendPartition(cfg, Iterator("m1", "m2", "m3", "m4", "m5", "m6", "m7"))
+      assert(n == 3)
+      assert(bodies.toArray.toSeq == Seq("[m1,m2,m3]", "[m4,m5,m6]", "[m7]"))
+    }
+  }
+
+  test("batch-bytes flush: appending past the byte budget flushes") {
+    withServer() { (url, bodies) =>
+      // suffix len counts toward the budget (http-worker.c:712)
+      val cfg = HttpConfig(url, batchLines = 0, batchBytes = 10,
+        bodySuffix = "!", delimiter = "\n")
+      Sinks.httpSendPartition(cfg, Iterator("aaaa", "bbbb", "cccc"))
+      // "aaaa\nbbbb" + "!" = 10 >= 10 -> flush; then "cccc!"
+      assert(bodies.toArray.toSeq == Seq("aaaa\nbbbb!", "cccc!"))
+    }
+  }
+
+  test("transient 5xx retries then delivers; exhausted retries throw") {
+    withServer(failFirst = 2) { (url, bodies) =>
+      val cfg = HttpConfig(url, retries = 3, retryBackoffMs = 10)
+      Sinks.httpSendPartition(cfg, Iterator("hello"))
+      assert(bodies.toArray.toSeq == Seq("hello"))
+    }
+    withServer(failFirst = 5) { (url, _) =>
+      val cfg = HttpConfig(url, retries = 1, retryBackoffMs = 10)
+      intercept[java.io.IOException] {
+        Sinks.httpSendPartition(cfg, Iterator("nope"))
+      }
+    }
+  }
+
+  test("empty partition posts nothing") {
+    withServer() { (url, bodies) =>
+      val n = Sinks.httpSendPartition(HttpConfig(url), Iterator.empty)
+      assert(n == 0 && bodies.isEmpty)
+    }
+  }
+
+  test("streaming foreachBatch http sink delivers every line") {
+    withServer() { (url, bodies) =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[String]
+      input.addData("a", "b", "c", "d")
+      val dir = java.nio.file.Files.createTempDirectory("graft_http").toString
+      val rendered = input.toDF()
+        .withColumn("line", concat(lit("msg="), col("value")))
+      val q = Sinks.httpSink(rendered, "line",
+          HttpConfig(url, batchLines = 2), s"$dir/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val got = bodies.toArray.toSeq.asInstanceOf[Seq[String]]
+        .flatMap(_.split("\n")).sorted
+      assert(got == Seq("msg=a", "msg=b", "msg=c", "msg=d"))
+    }
+  }
+}
