@@ -1,0 +1,196 @@
+package graft.streaming
+
+import java.io.{BufferedInputStream, InputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Dev-mode TCP text listener — the `network(transport(tcp))` source
+  * (`/root/reference/modules/afsocket/afinet-source.c`,
+  * `afsocket-source.c:237-318`) for a single-node deployment: accepts
+  * connections, reads newline-delimited or RFC6587 octet-counted
+  * frames (`lib/logproto/logproto-framed-server.c`,
+  * `logproto-text-server.c`), optionally strips a proxy-protocol v1
+  * header line (`logproto-proxied-text-server.c` — full field parsing
+  * lives in [[graft.functions.ProxyProto]]), and spools frames into
+  * atomically-renamed files that the Structured Streaming file source
+  * ([[Sources.fileLines]]) tails. The spool is the single-node
+  * disk-buffer analog: arrival→durability is a local fsync'd rename,
+  * and position tracking is the stream checkpoint.
+  *
+  * This is deliberately a DEV-SCALE front door: one JVM accepting on
+  * one port, like the reference process itself. At cluster scale the
+  * same wire format lands in Kafka (partitioned, replicated) and the
+  * identical downstream chain — framing expressions, ParseSyslog,
+  * app-parser — consumes the topic; nothing downstream knows which
+  * carrier delivered the line.
+  *
+  * `log-msg-size()` maps to `maxMsgSize` (oversize frames truncate,
+  * like trim-large-messages); `flushLines`/`flushMs` bound
+  * arrival→visibility latency like flush-lines()/flush-timeout() on
+  * the reference's writer side.
+  */
+object TcpSource {
+
+  final class Listener(port: Int, spoolDir: String,
+      octetCounted: Boolean = false, proxyProtocol: Boolean = false,
+      maxMsgSize: Int = 65536, flushLines: Int = 1000, flushMs: Long = 200L) {
+
+    private val server = new ServerSocket()
+    private val running = new AtomicBoolean(false)
+    private val pending = new ConcurrentLinkedQueue[String]()
+    private val pendingCount = new AtomicLong(0)
+    private val received = new AtomicLong(0)
+    private val fileSeq = new AtomicLong(0)
+    private var threads: List[Thread] = Nil
+
+    def boundPort: Int = server.getLocalPort
+    /** Frames accepted so far (for tests/metrics — the reference's
+      * `processed` counter). */
+    def receivedCount: Long = received.get()
+
+    def start(): Listener = {
+      Files.createDirectories(Paths.get(spoolDir))
+      server.bind(new InetSocketAddress("127.0.0.1", port))
+      running.set(true)
+      val acceptor = daemon("graft-tcp-acceptor") {
+        while (running.get()) {
+          try {
+            val sock = server.accept()
+            val h = daemon(s"graft-tcp-conn-${sock.getPort}")(handle(sock))
+            synchronized { threads = h :: threads }
+          } catch { case _: java.io.IOException => () /* closed */ }
+        }
+      }
+      val flusher = daemon("graft-tcp-flusher") {
+        while (running.get() || pendingCount.get() > 0) {
+          flush(force = false)
+          Thread.sleep(flushMs)
+        }
+      }
+      synchronized { threads = acceptor :: flusher :: threads }
+      this
+    }
+
+    /** Stop accepting, drain connections, flush the spool. */
+    def stop(): Unit = {
+      running.set(false)
+      server.close()
+      synchronized(threads).foreach(_.join(5000))
+      flush(force = true)
+    }
+
+    private def daemon(name: String)(body: => Unit): Thread = {
+      val t = new Thread(() => body, name)
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+
+    private def handle(sock: Socket): Unit = {
+      try {
+        val in = new BufferedInputStream(sock.getInputStream, 1 << 16)
+        // proxy-protocol v1: the header is the connection's first
+        // NEWLINE-terminated line regardless of the record framing
+        // (logproto-proxied-text-server.c consumes it before framing
+        // begins); strip it here, field parsing lives in ProxyProto.
+        // A first line without the PROXY prefix is a regular frame in
+        // newline mode and a protocol violation in octet mode (drop).
+        if (proxyProtocol) {
+          val header = readLine(in)
+          if (header != null && !header.startsWith("PROXY ") && !octetCounted)
+            accept(header)
+        }
+        var frame = readFrame(in)
+        while (frame != null) {
+          accept(frame)
+          frame = readFrame(in)
+        }
+      } catch { case _: java.io.IOException => () }
+      finally sock.close()
+    }
+
+    private def accept(frame: String): Unit = {
+      pending.add(frame)
+      pendingCount.incrementAndGet()
+      received.incrementAndGet()
+      if (pendingCount.get() >= flushLines) flush(force = false)
+    }
+
+    /** One newline-terminated line (CR-tolerant), or null at EOF. */
+    private def readLine(in: InputStream): String = {
+      val sb = new java.lang.StringBuilder
+      var c = in.read()
+      if (c < 0) return null
+      while (c >= 0 && c != '\n') {
+        if (sb.length < maxMsgSize) sb.append(c.toChar)
+        c = in.read()
+      }
+      if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
+        sb.setLength(sb.length - 1)
+      sb.toString
+    }
+
+    /** One frame, or null at EOF. Newline framing truncates lines past
+      * maxMsgSize (trim-large-messages); octet framing reads `NNN SP
+      * payload` (logproto-framed-server.c states). */
+    private def readFrame(in: InputStream): String =
+      if (octetCounted) {
+        var n = 0
+        var c = in.read()
+        if (c < 0) return null
+        while (c >= '0' && c <= '9') { n = n * 10 + (c - '0'); c = in.read() }
+        if (c < 0) return null
+        val take = math.min(n, maxMsgSize)
+        val buf = in.readNBytes(take)
+        in.skipNBytes((n - take).toLong.max(0))
+        if (buf.length < take) null
+        else new String(buf, StandardCharsets.UTF_8)
+      } else readLine(in)
+
+    /** Drain the queue into one atomically-visible spool file: write
+      * tmp outside the glob, fsync, rename in — the file source never
+      * sees partial files. */
+    private def flush(force: Boolean): Unit = synchronized {
+      if (pendingCount.get() == 0) return
+      val sb = new java.lang.StringBuilder
+      var drained = 0
+      var m = pending.poll()
+      while (m != null) {
+        sb.append(m).append('\n')
+        drained += 1
+        m = pending.poll()
+      }
+      if (drained == 0) return
+      pendingCount.addAndGet(-drained.toLong)
+      val seq = fileSeq.incrementAndGet()
+      val tmp = Paths.get(spoolDir, s".in-$seq.tmp")
+      val dst = Paths.get(spoolDir, f"spool-$seq%08d.log")
+      val ch = java.nio.channels.FileChannel.open(tmp,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        ch.write(java.nio.ByteBuffer.wrap(
+          sb.toString.getBytes(StandardCharsets.UTF_8)))
+        ch.force(true)
+      } finally ch.close()
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Start a listener and return it with the streaming frame source
+    * over its spool — `source { network(transport(tcp) port(N)); }`
+    * for one node: push lines at the socket, read them as a streaming
+    * DataFrame of raw lines (`value`, `source_file`). */
+  def listen(spark: SparkSession, spoolDir: String, port: Int = 0,
+      octetCounted: Boolean = false, proxyProtocol: Boolean = false,
+      maxMsgSize: Int = 65536): (Listener, DataFrame) = {
+    val l = new Listener(port, spoolDir, octetCounted, proxyProtocol,
+      maxMsgSize).start()
+    (l, Sources.fileLines(spark, s"$spoolDir/spool-*.log"))
+  }
+}
