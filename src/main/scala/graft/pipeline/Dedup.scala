@@ -519,23 +519,39 @@ object Dedup {
   /** Quality-aware survivor selection — the last step of a dedup
     * pipeline: within each near-dup cluster keep the BEST-scoring
     * member (longest / highest-quality / most recent — any score),
-    * ties broken toward the smallest id. `scores` is (id, score);
-    * the window repartitions by component, whose cardinality is the
-    * cluster count — well-distributed, and each partition's sort is
-    * bounded by the largest cluster, not the corpus.
+    * ties broken toward the smallest id. `scores` is (id, score).
+    *
+    * Shape: two-level salted max_by instead of a per-component
+    * row_number window. A window must SORT each component inside one
+    * task, so one boilerplate mega-cluster (every row of a crawl
+    * sharing a template) becomes the straggler of the whole job. The
+    * salted form is two partial-aggregatable hash aggregates: level 1
+    * picks a champion per (component, salt-of-id) — at most `salt`
+    * rows per component survive, whatever its size — level 2 picks
+    * the champion of champions; membership then joins the winner back.
+    * No sort anywhere, map-side combine on both levels.
     *
     * @return (id, component, score, keep) — every member, keep=true
     *         on exactly one row per cluster
     */
-  def bestPerCluster(clusters: DataFrame, scores: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("component"))
-      .orderBy(col("score").desc_nulls_last, col("id").asc)
+  def bestPerCluster(clusters: DataFrame, scores: DataFrame,
+      salt: Int = 64): DataFrame = {
     // LEFT join: a member missing from `scores` must still appear (with
     // keep=false unless the whole cluster is unscored) — an inner join
     // would silently drop documents from the dedup decision
-    clusters.join(scores, Seq("id"), "left")
-      .withColumn("keep", row_number().over(w) === 1)
+    val scored = clusters.join(scores, Seq("id"), "left")
+    // max over (score, -id): higher score wins, ties -> smaller id;
+    // null scores sink (desc_nulls_last semantics)
+    val ord = struct(
+      coalesce(col("score").cast("double"), lit(Double.MinValue)).as("s"),
+      (-col("id")).as("tie"))
+    val lvl1 = scored
+      .groupBy(col("component"), pmod(xxhash64(col("id")), lit(salt)).as("__salt"))
+      .agg(max_by(col("id"), ord).as("cand"), max(ord).as("cand_ord"))
+    val winners = lvl1.groupBy(col("component"))
+      .agg(max_by(col("cand"), col("cand_ord")).as("keep_id"))
+    scored.join(winners, Seq("component"))
+      .withColumn("keep", col("id") === col("keep_id"))
       .select(col("id"), col("component"), col("score"), col("keep"))
   }
 
