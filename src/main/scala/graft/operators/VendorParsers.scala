@@ -242,33 +242,19 @@ object VendorParsers {
     * (the reference's trailing subst). One narrow codegen'd projection. */
   def apacheAccesslog(df: DataFrame, prefix: String = ".apache."): DataFrame = {
     val msg = col("message")
-    // escape-double-char quoted body as an UNROLLED-LOOP pattern
-    // ([^"]* then ("" [^"]*)* ) -- linear-time in both Java and RE2,
-    // unlike the per-character alternation ((?:[^"]|"")*)
-    val dq = "([^\"]*(?:\"\"[^\"]*)*)"
-    // one anchored pattern covers all four LogFormat shapes: optional
-    // vhost:port prefix (groups 1-2), then the common/combined fields
-    val re = "^(?:([A-Za-z0-9\\-\\._]+):([0-9]+) )?" +
-      "(\\S+) (\\S+) (\\S+) \\[([^\\]]*)\\] \"" + dq +
-      "\" (\\S+) (\\S+)(?: \"" + dq + "\" \"" + dq + "\")?\\s*$"
-    // ONE regex pass extracts every group: the match rewrites the line
-    // to its \u0001-packed groups. The split array is STAGED as a real
-    // column before the map build: map_filter is a higher-order function
-    // that takes its projection down the interpreted (no-CSE) path, and
-    // an inlined `f` would re-run the regex once per field read -- the
-    // difference between ~12 us and ~90 us a row
-    val sep = "\u0001"
-    val packed = regexp_replace(msg, re,
-      (1 to 11).map("$" + _).mkString(sep))
+    // ONE linear scan extracts every group (functions.ApacheScan -- the
+    // kv_scan treatment applied to the former 11-group packing regex,
+    // whose optional-group backtracking cost ~100+ us/row). The group
+    // array is STAGED as a real column before the map build: map_filter
+    // is a higher-order function that takes its projection down the
+    // interpreted (no-CSE) path, and an inlined scan would re-run once
+    // per field read
     def g(i: Int): Column = try_element_at(col("__ap_f"), lit(i))
     // "" unescape only when an escape is present -- instr beats a regex
     val unq = (c: Column) =>
       when(c.contains("\"\""), regexp_replace(c, "\"\"", "\"")).otherwise(c)
     val httpTok = try_element_at(col("__ap_rq"), lit(3))
-    // a message already containing the \u0001 packing byte is declared
-    // unparseable rather than risking shifted garbage fields (a valid
-    // line would unpack wrong; a hostile one could fake 11 segments)
-    val isApache = size(col("__ap_f")) === 11 && !msg.contains("\u0001")
+    val isApache = col("__ap_f").isNotNull
     val add = map(
       lit(prefix + "clientip"), g(3),
       lit(prefix + "ident"), g(4),
@@ -289,7 +275,7 @@ object VendorParsers {
     val cleaned = map_filter(add, (_, v) => v.isNotNull && v =!= "")
     val ts = try_to_timestamp(g(6), lit("dd/MMM/yyyy:HH:mm:ss Z"))
     val staged = df
-      .withColumn("__ap_f", split(packed, sep))
+      .withColumn("__ap_f", graft.functions.ApacheScan(msg))
       .withColumn("__ap_raw", unq(try_element_at(col("__ap_f"), lit(7))))
       .withColumn("__ap_rq", split(col("__ap_raw"), " "))
     staged.withColumn("values", merged(staged,
