@@ -180,6 +180,72 @@ object Scl {
       .drop("__ewmm", "__e_host", "__e_prog", "__e_pid", "__e_msg")
   }
 
+  /** `$(format-ewmm)` — the destination side of the EWMM pair
+    * (`scl/ewmm/ewmm.conf`, the template-function line):
+    * `<PRI>1 ISODATE HOST @syslog-ng - - SDATA JSON` where the JSON
+    * carries every NV pair (builtins + values, leading dots kept,
+    * digit-start and SOURCE keys excluded) plus `._TAGS`, and
+    * `.SDATA.elem.param` entries render as real RFC5424 SD blocks in
+    * the SDATA field instead (the `--exclude .SDATA.*` of the
+    * reference template). [[ewmmParser]] inverts this exactly — the
+    * round trip is SclSpec-tested. */
+  def formatEwmm(df: DataFrame): Column = {
+    val values = valuesOrEmpty(df)
+    val pri = coalesce(col("facility").cast("int"), lit(13)) * 8 +
+      coalesce(col("severity").cast("int"), lit(5))
+    val isodate = coalesce(
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssxxx"), lit("-"))
+    val hostField = coalesce(nullif(colOr(df, "host"), lit("")), lit("-"))
+    // RFC5424 SD-PARAM value escapes: \ " ] (rfc5424 §6.3.3)
+    def sdEscape(v: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(v,
+        "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\\]", "\\\\]")
+    // fold the sorted .SDATA.elem.param entries into [elem p="v"...]
+    // blocks; "-" when none (the template's ${SDATA:--})
+    val sdEntries = sort_array(filter(map_entries(values),
+      e => e.getField("key").startsWith(".SDATA.")))
+    val sdata = aggregate(sdEntries,
+      struct(lit("").as("out"), lit("").as("elem")),
+      (acc, e) => {
+        val k = e.getField("key").substr(lit(8), length(e.getField("key")))
+        val elem = substring_index(k, ".", 1)
+        val param = k.substr(length(elem) + lit(2), length(k))
+        val opened = when(acc.getField("elem") === elem, acc.getField("out"))
+          .otherwise(concat(acc.getField("out"),
+            when(acc.getField("elem") =!= "", lit("]")).otherwise(lit("")),
+            lit("["), elem))
+        struct(
+          concat(opened, lit(" "), param, lit("=\""),
+            sdEscape(e.getField("value")), lit("\"")).as("out"),
+          elem.as("elem"))
+      },
+      acc => when(acc.getField("elem") === "", lit("-"))
+        .otherwise(concat(acc.getField("out"), lit("]"))))
+    // all-nv-pairs scope: builtins under their macro names + values
+    // minus SDATA (rides the SDATA field) minus digit-start/SOURCE
+    // (--exclude 0*..9* --exclude SOURCE), plus the hop-by-hop tag list
+    def opt(name: String, c: Column): Column =
+      when(c.isNotNull && c =!= "", map(lit(name), c))
+        .otherwise(map().cast("map<string,string>"))
+    val carried = map_filter(values, (k, _) =>
+      !k.startsWith(".SDATA.") && !k.rlike("^[0-9]") && k =!= "SOURCE")
+    val nv = map_concat(
+      opt("MESSAGE", colOr(df, "message")),
+      opt("HOST", colOr(df, "host")),
+      opt("PROGRAM", colOr(df, "program")),
+      opt("PID", colOr(df, "pid")),
+      opt("MSGID", colOr(df, "msgid")),
+      map_filter(carried, (k, _) =>
+        !k.isin(lit("MESSAGE"), lit("MSG"), lit("HOST"), lit("PROGRAM"),
+          lit("PID"), lit("MSGID"), lit("._TAGS"))),
+      opt("._TAGS",
+        if (df.columns.contains("tags")) array_join(col("tags"), ",")
+        else lit(null).cast("string")))
+    concat(lit("<"), pri.cast("string"), lit(">1 "), isodate, lit(" "),
+      hostField, lit(" @syslog-ng - - "), sdata, lit(" "),
+      ValuePairs.formatFlatJson(nv))
+  }
+
   // ---- cee ------------------------------------------------------------------
   /** The cee adapter (`scl/cee/adapter.conf:37-39`):
     * `json-parser(prefix('.cee.') marker('@cee:'))`. The marker is a

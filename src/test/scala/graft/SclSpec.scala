@@ -134,6 +134,49 @@ class SclSpec extends GraftSuite {
     assert(miss.getString(0) == "unknown")
   }
 
+  test("format-ewmm -> parse -> ewmm-parser round-trips every field") {
+    // the EWMM pair: formatEwmm is the destination template
+    // (scl/ewmm/ewmm.conf format-ewmm), ewmmParser the source block;
+    // a relay hop must be lossless — including SDATA, which rides the
+    // RFC5424 SD field (not the JSON) and comes back via the parser's
+    // .SDATA. promotion
+    val df = Seq(1).toDF("i")
+      .withColumn("host", lit("web7"))
+      .withColumn("program", lit("nginx"))
+      .withColumn("pid", lit("4242"))
+      .withColumn("msgid", lit("ID47"))
+      .withColumn("message", lit("GET / 200 \"quoted\" and \\slash"))
+      .withColumn("facility", lit(4))
+      .withColumn("severity", lit(6))
+      .withColumn("ts", to_timestamp(lit("2024-01-12 03:04:05")))
+      .withColumn("tags", array(lit("prod"), lit("edge")))
+      .withColumn("values", map(
+        lit(".classifier.class"), lit("system"),
+        lit("custom"), lit("v1"),
+        lit(".SDATA.meta.seq"), lit("9"),
+        lit(".SDATA.meta.sys"), lit("az\"1]"),
+        lit(".SDATA.origin.ip"), lit("10.0.0.7")))
+    val wire = df.select(Scl.formatEwmm(df).as("message"))
+    val line = wire.head().getString(0)
+    assert(line.startsWith("<38>1 2024-01-12T03:04:05+00:00 web7 @syslog-ng - - ["))
+    assert(line.contains("[meta seq=\"9\" sys=\"az\\\"1\\]\"]"))
+    assert(line.contains("[origin ip=\"10.0.0.7\"]"))
+    val back = Scl.ewmmParser(Scl.parseSyslogMessage(wire))
+    val r = back.select(col("host"), col("program"), col("pid"),
+      col("message"), array_join(col("tags"), ",").as("tags"),
+      element_at(col("values"), "custom").as("custom"),
+      element_at(col("values"), ".classifier.class").as("cls"),
+      element_at(col("values"), ".SDATA.meta.sys").as("sd"),
+      element_at(col("values"), ".SDATA.origin.ip").as("sdip")).head()
+    assert(r.getString(0) == "web7")
+    assert(r.getString(1) == "nginx")
+    assert(r.getString(2) == "4242")
+    assert(r.getString(3) == "GET / 200 \"quoted\" and \\slash")
+    assert(r.getString(4) == "prod,edge")
+    assert(r.getString(5) == "v1" && r.getString(6) == "system")
+    assert(r.getString(7) == "az\"1]" && r.getString(8) == "10.0.0.7")
+  }
+
   test("nested junctions keep the leaf channel label") {
     import graft.dsl.LogPath._
     val df = Seq(1, 2).toDF("n")
