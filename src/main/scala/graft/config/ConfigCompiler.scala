@@ -31,23 +31,86 @@ object ConfigCompiler {
     * Structured Streaming scans (lines → ParseSyslog → LogRecord
     * columns), the log paths apply unchanged (same Column algebra on a
     * streaming frame), and `Route.df` is a streaming DataFrame ready for
-    * [[startFileRoute]]. The full reference loop: config text in,
+    * [[startRoute]]. The full reference loop: config text in,
     * running pipeline out. */
   def compileStreaming(cfg: Config,
-      spark: org.apache.spark.sql.SparkSession): Seq[Route] = {
+      spark: org.apache.spark.sql.SparkSession): Seq[Route] =
+    compileStreamingPipeline(cfg, spark,
+      java.nio.file.Files.createTempDirectory("graft_net").toString)._1
+
+  /** [[compileStreaming]] plus the live TCP listeners it started —
+    * `network(transport(tcp) port(N))` / `syslog(transport(tcp))`
+    * source statements (`modules/afsocket/afinet-source.c`) bind a
+    * dev-mode [[graft.streaming.TcpSource]] each: newline framing for
+    * network(), RFC6587 octet-counted for syslog() (the reference's
+    * framed transport), `flags(no-parse)` leaving the raw line in
+    * `message` (the default-network-drivers front door). Callers get
+    * the listener map keyed by source name (boundPort for port(0)),
+    * and own stop(). */
+  def compileStreamingPipeline(cfg: Config,
+      spark: org.apache.spark.sql.SparkSession, spoolBase: String)
+      : (Seq[Route], Map[String, graft.streaming.TcpSource.Listener]) = {
+    var listeners = Map.empty[String, graft.streaming.TcpSource.Listener]
     val sources = cfg.sources.map { case (name, blk) =>
-      val fileStmt = blk.stmts.find(_.name == "file").getOrElse(
-        throw new IllegalArgumentException(
-          s"source $name: only file() sources stream in this environment"))
-      val path = fileStmt.args.collectFirst { case Lit(p) => p }.getOrElse(
-        throw new IllegalArgumentException(s"source $name: file() needs a path"))
-      val lines = graft.streaming.Sources.fileLines(spark, path)
-      name -> graft.streaming.Sources.parsedSyslog(lines)
+      val stmt = blk.stmts.find(s =>
+        s.name == "file" || s.name == "network" || s.name == "syslog")
+        .getOrElse(throw new IllegalArgumentException(
+          s"source $name: only file()/network()/syslog() sources stream here"))
+      val lines = stmt.name match {
+        case "file" =>
+          val path = stmt.args.collectFirst { case Lit(p) => p }.getOrElse(
+            throw new IllegalArgumentException(s"source $name: file() needs a path"))
+          graft.streaming.Sources.fileLines(spark, path)
+        case proto =>
+          val port = kvOf(stmt.args, "port").map(_.toInt).getOrElse(0)
+          val maxSize = kvOf(stmt.args, "log-msg-size").map(_.toInt)
+            .getOrElse(65536)
+          val (l, src) = graft.streaming.TcpSource.listen(spark,
+            s"$spoolBase/$name", port, octetCounted = proto == "syslog",
+            maxMsgSize = maxSize)
+          listeners += name -> l
+          src
+      }
+      val flags = stmt.args.collectFirst { case KV("flags", vs) => lits(vs) }
+        .getOrElse(Nil)
+      val parsed =
+        if (flags.contains("no-parse"))
+          lines.select(col("source_file"), col("value").as("message"))
+        else graft.streaming.Sources.parsedSyslog(lines)
+      name -> parsed
         .withColumn("tags", array().cast("array<string>"))
         .withColumn("values", map().cast("map<string,string>"))
     }
-    compile(cfg, sources)
+    (compile(cfg, sources), listeners)
   }
+
+  /** Start one route against its destination block: `file()` →
+    * templated-path partitioned files, `http()` → the batched HTTP
+    * writer ([[graft.streaming.Sinks.httpSink]]) with the reference's
+    * url/body/batch-lines/batch-bytes/batch-timeout options
+    * (`modules/http/http.c:28-90`; body default = the http driver's
+    * `$ISODATE $HOST $MSGHDR$MESSAGE`). */
+  def startRoute(route: Route, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    route.dest.stmts.find(_.name == "http") match {
+      case Some(s) =>
+        val url = s.args.collectFirst { case Lit(u) => u }
+          .orElse(kvOf(s.args, "url")).getOrElse(
+            throw new IllegalArgumentException("http() destination needs url()"))
+        val bodyT = kvOf(s.args, "body").getOrElse("$ISODATE $HOST $MSGHDR$MESSAGE")
+        val http = graft.streaming.Sinks.HttpConfig(url,
+          method = kvOf(s.args, "method").getOrElse("POST"),
+          batchLines = kvOf(s.args, "batch-lines").map(_.toInt).getOrElse(1),
+          batchBytes = kvOf(s.args, "batch-bytes").map(_.toInt).getOrElse(0),
+          batchTimeoutMs = kvOf(s.args, "batch-timeout").map(_.toLong * 1000)
+            .getOrElse(0L))
+        val df = route.df.withColumn("__body",
+          Template.column(bodyT, route.df.columns))
+        graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      case None => startFileRoute(route, outDir, checkpoint)
+    }
 
   /** Start one route against its `file()` destination: the `$MACRO`
     * references in the destination path template become partition

@@ -71,6 +71,50 @@ class TcpSourceSpec extends GraftSuite {
     } finally listener.stop()
   }
 
+  test("config text: network() source -> filter -> http() destination") {
+    // the first-time-user loop: loggen-shaped lines at a socket, a
+    // config-text pipeline, batched HTTP egress — all from config
+    val bodies = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/collect", (ex: com.sun.net.httpserver.HttpExchange) => {
+      bodies.add(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    srv.start()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfge2e").toString
+    try {
+      val conf = s"""
+        @version: 3.33
+        source s_net { network(transport(tcp) port(0)); };
+        filter f_err { severity(emerg..err); };
+        destination d_http { http(url("http://127.0.0.1:${srv.getAddress.getPort}/collect")
+          batch-lines(2)); };
+        log { source(s_net); filter(f_err); destination(d_http); };
+      """
+      val (routes, ls) = graft.config.ConfigCompiler.compileStreamingPipeline(
+        graft.config.ConfigParser.parse(conf), spark, s"$dir/spool")
+      val listener = ls("s_net")
+      // severities: <11> err (kept), <14> info (filtered out)
+      send(listener.boundPort,
+        "<11>Jan 12 03:04:05 h1 app[7]: disk failing\n" +
+          "<14>Jan 12 03:04:05 h2 app[8]: all fine\n" +
+          "<9>Jan 12 03:04:06 h3 cron[9]: oom\n")
+      awaitCount(listener, 3)
+      listener.stop()
+      val q = graft.config.ConfigCompiler.startRoute(routes.head,
+        s"$dir/out", s"$dir/cp")
+      q.awaitTermination(60000)
+      val lines = bodies.toArray.toSeq.asInstanceOf[Seq[String]]
+        .flatMap(_.split("\n")).sorted
+      assert(lines == Seq(
+        "2024-01-12T03:04:05+00:00 h1 app[7]: disk failing",
+        "2024-01-12T03:04:06+00:00 h3 cron[9]: oom"))
+    } finally srv.stop(0)
+  }
+
   test("socket ingest sustains the reference floor (>10k msg/s)") {
     // the reference's only executable perf number: sustained TCP
     // ingest >10k msg/s of ~160 B lines (test_performance.py:41-53).
