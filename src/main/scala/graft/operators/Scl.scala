@@ -76,11 +76,12 @@ object Scl {
     * `scl/sudo/sudo.conf:35-38`, cee `scl/cee/adapter.conf:37-39`
     * (the cee application has no filter upstream — the json-parser's
     * marker IS the detection; here the marker check is the predicate).
-    * panos is deliberately absent: its upstream detection rides the
-    * LEGACY_MSGHDR program split (`scl/paloalto/panos.conf:271-274`,
-    * program prefix "1,"), which only exists in the reference's
-    * header model — panos-parser() stays available as an explicit
-    * statement. */
+    * panos (`scl/paloalto/panos.conf:271-274`) detects upstream as
+    * PROGRAM prefix "1," — an artifact of the reference's
+    * LEGACY_MSGHDR split, where the un-tagged CSV body starts at the
+    * program position; in this engine's header model the same line
+    * parses to a NULL program with the CSV in `message`, so the
+    * faithful translation of that signal is a "1," message prefix. */
   def syslogApplications: Seq[App] = Seq(
     App("iptables",
       col("facility") === 0 && col("program") === "kernel" &&
@@ -88,6 +89,8 @@ object Scl {
       (df, g) => VendorParsers.iptables(df, guard = g)),
     App("sudo", col("program") === "sudo",
       (df, g) => VendorParsers.sudo(df, guard = g)),
+    App("panos", col("message").startsWith("1,"),
+      (df, g) => VendorParsers.panos(df, guard = g)),
     App("cee", col("message").startsWith("@cee:"),
       (df, g) => ceeParser(df, guard = g)))
 

@@ -290,8 +290,15 @@ object VendorParsers {
   // ---- palo alto panos -----------------------------------------------------
   /** panos-parser() (`scl/paloalto/panos.conf`): syslog header, then a
     * comma CSV whose layout depends on the `type` field (SYSTEM /
-    * CONFIG with its 15- and 17-column variants / other). */
-  def panos(df: DataFrame, prefix: String = ".panos."): DataFrame = {
+    * CONFIG with its 15- and 17-column variants / other).
+    *
+    * Two input shapes: the RAW headered line (standalone statement —
+    * applicability gated on the embedded-header host, as before), or
+    * a post-syslog-parse message starting at the CSV (the application
+    * registry path — pass `guard` = the route predicate; the header
+    * regex simply won't match and the CSV is the whole message). */
+  def panos(df: DataFrame, prefix: String = ".panos.",
+      guard: Column = null): DataFrame = {
     val msg = col("message")
     // strip "<pri>Mmm dd hh:mm:ss host " — the LEGACY_MSGHDR+MESSAGE
     // the reference's csv-parser consumes starts after the RFC3164 header
@@ -333,14 +340,17 @@ object VendorParsers {
         lit(prefix + "before_change_detail"), try_element_at(f, lit(15)),
         lit(prefix + "after_change_detail"), try_element_at(f, lit(16))))
         .otherwise(map().cast("map<string,string>")))
-    val isPanos = host =!= "" && size(f) >= 7
+    val isPanos =
+      (if (guard == null) host =!= "" else guard) && size(f) >= 7
     val add = when(!isPanos, map().cast("map<string,string>"))
       .when(typ === "SYSTEM", map_concat(head, system))
       .when(typ === "CONFIG", map_concat(head, config))
       .otherwise(head)
     val out = df.withColumn("values", merged(df, add))
     out
-      .withColumn("__po_host", when(isPanos, host))
+      // only an embedded-header host may rewrite the host column — the
+      // registry path's stripped messages have none
+      .withColumn("__po_host", when(isPanos && host =!= "", host))
       .withColumn("host", coalesce(col("__po_host"),
         if (df.columns.contains("host")) col("host") else lit(null).cast("string")))
       .withColumn("program",

@@ -134,6 +134,24 @@ class SclSpec extends GraftSuite {
     assert(miss.getString(0) == "unknown")
   }
 
+  test("panos auto-detects via the registry on the parsed message") {
+    // the reference detects panos[syslog] as PROGRAM prefix "1,"
+    // (LEGACY_MSGHDR split); our header model parses the same line to
+    // NULL program + CSV message — same signal, translated
+    val out = route(Seq(
+      "<14>Jan 12 03:04:05 fw01 1,2024/01/12 03:04:05,001122,SYSTEM,general,1," +
+        "2024/01/12 03:04:05,vsys1,eventid1,object1,,,general,informational," +
+        "desc,112233,0x0,vsys_name,device_name"))
+      .select(col("__channel"), col("host"), col("program"),
+        element_at(col("values"), ".panos.type").as("typ"),
+        element_at(col("values"), ".panos.eventid").as("eventid"))
+      .head()
+    assert(out.getString(0) == "panos")
+    assert(out.getString(1) == "fw01")            // host from the syslog header
+    assert(out.getString(2) == "paloalto_panos")  // PROGRAM rewrite, panos.conf:265
+    assert(out.getString(3) == "SYSTEM" && out.getString(4) == "eventid1")
+  }
+
   test("format-ewmm -> parse -> ewmm-parser round-trips every field") {
     // the EWMM pair: formatEwmm is the destination template
     // (scl/ewmm/ewmm.conf format-ewmm), ewmmParser the source block;
