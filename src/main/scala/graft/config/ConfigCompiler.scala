@@ -388,6 +388,13 @@ object ConfigCompiler {
         val prefix = kvOf(s.args, "prefix").getOrElse(".apache.")
         df => graft.operators.VendorParsers.apacheAccesslog(df, prefix)
 
+      case "netskope-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse(".netskope.")
+        df => graft.operators.VendorParsers.netskope(df, prefix)
+      case "websense-parser" =>
+        val prefix = kvOf(s.args, "prefix").getOrElse(".websense.")
+        df => graft.operators.VendorParsers.websense(df, prefix)
+
       // scl composites (Scl.scala): the application-registry junction,
       // the ewmm/cee adapters and the flagship default-network-drivers
       case "app-parser" =>

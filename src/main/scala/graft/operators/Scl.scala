@@ -66,6 +66,14 @@ object Scl {
       col("message").rlike("^(<[0-9]{1,3}>)1 .* CheckPoint ") ||
         col("message").rlike("^time=[0-9]+\\|hostname=[a-zA-Z0-9-]+\\|product=Firewall"),
       (df, g) => VendorParsers.checkpoint(df, guard = g)),
+    App("netskope",
+      // scl/netskope/plugin.conf:40-43: the "<134>{" prefix plus the
+      // insertion-timestamp marker field
+      col("message").startsWith("<134>{") &&
+        col("message").contains("_insertion_epoch_timestamp"),
+      (df, g) => VendorParsers.netskope(df, guard = g)),
+    App("websense", col("message").contains("vendor=Websense"),
+      (df, g) => VendorParsers.websense(df, guard = g)),
     App("fortigate", col("message").rlike("^<[0-9]+>date="),
       (df, g) => VendorParsers.fortigate(df, guard = g)),
     App("cisco", col("message").contains(": %"),
@@ -92,7 +100,18 @@ object Scl {
     App("panos", col("message").startsWith("1,"),
       (df, g) => VendorParsers.panos(df, guard = g)),
     App("cee", col("message").startsWith("@cee:"),
-      (df, g) => ceeParser(df, guard = g)))
+      (df, g) => ceeParser(df, guard = g)),
+    // scl/cim/adapter.conf:26-28 — the Mitre CEE/Lumberjack twin with
+    // the @cim: marker
+    App("cim", col("message").startsWith("@cim:"),
+      (df, g) => jsonWithMarker(df, "@cim:", ".cim.", g)),
+    // scl/junos/plugin.conf:26-28 — pure SDATA-based classification:
+    // the RFC5424 parse already extracted the fields, the application
+    // block only tags rows where the junos SD element is present
+    App("junos",
+      coalesce(try_element_at(col("values"),
+        lit(".SDATA.junos@2636.1.1.1.2.129.reason")) =!= "", lit(false)),
+      (df, _) => df))
 
   private def applications(topic: String): Seq[App] = topic match {
     case "syslog-raw" => rawApplications
@@ -132,7 +151,12 @@ object Scl {
     * passed through untouched). */
   def appParser(df: DataFrame, topic: String): DataFrame = {
     val apps = applications(topic)
-    val routed = df.withColumn("__route", routeOf(apps))
+    // detects may read the NV surface (junos classifies on SDATA) —
+    // guarantee it exists like the post-parse frames do
+    val base =
+      if (df.columns.contains("values")) df
+      else df.withColumn("values", map().cast("map<string,string>"))
+    val routed = base.withColumn("__route", routeOf(apps))
     val parsed = apps.foldLeft(routed: DataFrame) { (d, app) =>
       app.parse(d, col("__route") === app.name)
     }

@@ -359,6 +359,63 @@ object VendorParsers {
       .drop("__po_host")
   }
 
+  // ---- netskope ------------------------------------------------------------
+  /** netskope-parser() (`scl/netskope/plugin.conf:30-38`): the whole
+    * no-parse line is `<pri>{json}` — strip the pri, json-parse under
+    * the prefix. */
+  def netskope(df: DataFrame, prefix: String = ".netskope.",
+      guard: Column = lit(true)): DataFrame = {
+    val msg = col("message")
+    val isNs = msg.rlike("^<[0-9]+>\\{") && guard
+    val body = regexp_replace(msg, "^<[0-9]+>", "")
+    val add = when(isNs,
+      coalesce(graft.functions.JsonFlatten(body, prefix, ""),
+        map().cast("map<string,string>")))
+      .otherwise(map().cast("map<string,string>"))
+    df.withColumn("values", merged(df, add))
+  }
+
+  // ---- websense ------------------------------------------------------------
+  /** websense-parser() (`scl/websense/plugin.conf:26-47`): the raw
+    * line is BSD-timestamp + timezone code + host + `vendor=Websense
+    * k=v ...` with no program tag. The reference substs away the
+    * timezone and injects a `Websense: ` program so syslog-parser()
+    * accepts it, then kv-parses; same composition here on one staged
+    * parse. */
+  def websense(df: DataFrame, prefix: String = ".websense.",
+      guard: Column = lit(true)): DataFrame = {
+    val msg = col("message")
+    val isWs = msg.contains("vendor=Websense") && guard
+    val fixed = regexp_replace(
+      regexp_replace(msg,
+        "([A-Za-z]{3} [0-9 ]\\d \\d{2}:\\d{2}:\\d{2}) [A-Z]{3,4}", "$1 "),
+      "vendor=Websense", "Websense: vendor=Websense")
+    val staged = df.withColumn("__ws",
+      when(isWs, graft.functions.GraftFunctions.parse_syslog(fixed)))
+    val kvs = when(isWs,
+        Parsers.kvParse(col("__ws.message"), '=', prefix))
+      .otherwise(map().cast("map<string,string>"))
+    def pick(field: String): Column =
+      when(isWs, col(s"__ws.$field")).otherwise(colOrNull(staged, field))
+    staged.withColumn("values", merged(staged, kvs))
+      .withColumn("host", pick("host"))
+      .withColumn("program", pick("program"))
+      .withColumn("facility", when(isWs, col("__ws.facility")).otherwise(
+        if (df.columns.contains("facility")) col("facility")
+        else lit(null).cast("int")))
+      .withColumn("severity", when(isWs, col("__ws.severity")).otherwise(
+        if (df.columns.contains("severity")) col("severity")
+        else lit(null).cast("int")))
+      .withColumn("ts", when(isWs, col("__ws.ts")).otherwise(
+        if (df.columns.contains("ts")) col("ts").cast("timestamp")
+        else lit(null).cast("timestamp")))
+      .withColumn("message", when(isWs, col("__ws.message")).otherwise(msg))
+      .drop("__ws")
+  }
+
+  private def colOrNull(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) col(name) else lit(null).cast("string")
+
   // ---- application registry ------------------------------------------------
   /** The reference's scl `application name[topic] { filter; parser }`
     * blocks for the implemented vendor parsers, as (name, detect,

@@ -159,13 +159,19 @@ class PropertiesSpec extends GraftSuite {
       junk.map(s => s + " : TTY=a ; SUBJECT=spoof ; COMMAND=" + s),
       junk.map(s => "<189>date=2021-01-15 time=" + s),
       junk.map(s => "vhost:99999999999999999999 " + s),
-      junk.map(s => "1.2.3.4 - - [" + s + "] \"" + s + "\" 200 -"))
+      junk.map(s => "1.2.3.4 - - [" + s + "] \"" + s + "\" 200 -"),
+      junk.map(s => "<134>{" + s),
+      junk.map(s => s + " vendor=Websense " + s),
+      junk.map(s => "@cee:" + s))
     check(Prop.forAll(Gen.listOf(hostile).map(_.take(5))) { lines =>
       val df = lines.toDF("message")
       graft.operators.VendorParsers.iptables(df).count() == lines.size &&
       graft.operators.VendorParsers.sudo(df).count() == lines.size &&
       graft.operators.VendorParsers.fortigate(df).count() == lines.size &&
-      graft.operators.VendorParsers.apacheAccesslog(df).count() == lines.size
+      graft.operators.VendorParsers.apacheAccesslog(df).count() == lines.size &&
+      graft.operators.VendorParsers.netskope(df).count() == lines.size &&
+      graft.operators.VendorParsers.websense(df).count() == lines.size &&
+      graft.operators.Scl.ceeParser(df).count() == lines.size
     })
   }
 

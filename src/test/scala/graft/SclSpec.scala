@@ -134,6 +134,30 @@ class SclSpec extends GraftSuite {
     assert(miss.getString(0) == "unknown")
   }
 
+  test("netskope/websense/cim/junos route and parse via the registry") {
+    // sample lines from the reference's own scl comments
+    // (scl/netskope/plugin.conf:26, scl/websense/plugin.conf:24,
+    // scl/junos/plugin.conf:23)
+    val out = route(Seq(
+      """<134>{"count": 1, "severity_level": 2, "timestamp": 1547421943, "_insertion_epoch_timestamp": 1547421943, "user": "user@domain.com", "audit_log_event": "Login Successful", "type": "admin_audit_logs"}""",
+      "<159>Dec 19 10:48:57 EST 10.203.28.21 vendor=Websense product=Security action=permitted dst_host=mail.google.com http_response=200",
+      "<13>Jan 12 03:04:05 h1 app: @cim:{\"event\":\"login\"}",
+      """<14>1 2019-04-12T14:29:06Z - RT_FLOW - RT_FLOW_SESSION_CLOSE [junos@2636.1.1.1.2.129 reason="TCP FIN" source-address="10.3.255.203" destination-port="80"] session closed"""))
+      .select(col("__channel"),
+        element_at(col("values"), ".netskope.user").as("ns"),
+        element_at(col("values"), ".websense.dst_host").as("ws"),
+        col("host").as("wshost"), col("program").as("wsprog"),
+        element_at(col("values"), ".cim.event").as("cim"),
+        element_at(col("values"), ".SDATA.junos@2636.1.1.1.2.129.reason").as("jr"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5), r.getString(6))).toSet
+    assert(out.exists(r => r._1 == "netskope" && r._2 == "user@domain.com"))
+    assert(out.exists(r => r._1 == "websense" && r._3 == "mail.google.com" &&
+      r._4 == "10.203.28.21" && r._5 == "Websense"))
+    assert(out.exists(r => r._1 == "cim" && r._6 == "login"))
+    assert(out.exists(r => r._1 == "junos" && r._7 == "TCP FIN"))
+  }
+
   test("panos auto-detects via the registry on the parsed message") {
     // the reference detects panos[syslog] as PROGRAM prefix "1,"
     // (LEGACY_MSGHDR split); our header model parses the same line to
