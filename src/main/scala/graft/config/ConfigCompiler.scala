@@ -102,7 +102,8 @@ object ConfigCompiler {
           method = kvOf(s.args, "method").getOrElse("POST"),
           batchLines = kvOf(s.args, "batch-lines").map(_.toInt).getOrElse(1),
           batchBytes = kvOf(s.args, "batch-bytes").map(_.toInt).getOrElse(0),
-          batchTimeoutMs = kvOf(s.args, "batch-timeout").map(_.toLong * 1000)
+          // batch-timeout() is milliseconds upstream (http-grammar.ym)
+          batchTimeoutMs = kvOf(s.args, "batch-timeout").map(_.toLong)
             .getOrElse(0L))
         val df = route.df.withColumn("__body",
           Template.column(bodyT, route.df.columns))
