@@ -115,6 +115,42 @@ class TcpSourceSpec extends GraftSuite {
     } finally srv.stop(0)
   }
 
+  test("flagship loop: socket -> default-network-drivers auto-route, streaming") {
+    // the reference's headline deployment as config text on a LIVE
+    // stream: a no-parse network source feeding the auto-routing
+    // composite — mixed vendors on one socket, routed rows out
+    val dir = java.nio.file.Files.createTempDirectory("graft_dnd").toString
+    val conf = """
+      @version: 3.33
+      source s_net { network(transport(tcp) port(0) flags(no-parse)); };
+      parser p_route { default-network-drivers(); };
+      destination d_all { file("/out/all.log"); };
+      log { source(s_net); parser(p_route); destination(d_all); };
+    """
+    val (routes, ls) = graft.config.ConfigCompiler.compileStreamingPipeline(
+      graft.config.ConfigParser.parse(conf), spark, s"$dir/spool")
+    val listener = ls("s_net")
+    try {
+      send(listener.boundPort,
+        "<189>42: Jan 12 03:04:05: %SYS-5-CONFIG_I: Configured by console\n" +
+          "<85>Jan 12 03:04:05 h1 sudo: root : TTY=pts/0 ; PWD=/ ; USER=root ; COMMAND=/bin/id\n" +
+          "<13>Jan 12 03:04:05 h9 app9: nothing special\n")
+      awaitCount(listener, 3)
+      listener.stop()
+      val q = routes.head.df
+        .writeStream.format("memory").queryName("dnd_stream")
+        .option("checkpointLocation", s"$dir/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val got = spark.table("dnd_stream")
+        .select(col("__channel"),
+          element_at(col("values"), ".app.name").as("app"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("cisco", "cisco"), ("sudo", "sudo"), ("unknown", null)))
+    } finally listener.stop()
+  }
+
   test("socket ingest sustains the reference floor (>10k msg/s)") {
     // the reference's only executable perf number: sustained TCP
     // ingest >10k msg/s of ~160 B lines (test_performance.py:41-53).
