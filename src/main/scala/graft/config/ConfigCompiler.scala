@@ -92,7 +92,48 @@ object ConfigCompiler {
     * `$ISODATE $HOST $MSGHDR$MESSAGE`). */
   def startRoute(route: Route, outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    route.dest.stmts.find(_.name == "http") match {
+    route.dest.stmts.find(s => s.name == "http" || s.name == "elasticsearch-http") match {
+      case Some(s) if s.name == "elasticsearch-http" =>
+        // scl/elasticsearch/elastic-http.conf: http() with an ndjson
+        // _bulk body — per message an action line
+        // {"index":{"_index":..,"_type":..,"_id":..}} (empty fields
+        // omitted) + the rfc5424-scope JSON doc with @timestamp, both
+        // newline-framed (body_suffix "\n", Content-Type x-ndjson,
+        // batch_lines 100 default)
+        val url = kvOf(s.args, "url").orElse(
+          s.args.collectFirst { case Lit(u) => u }).getOrElse(
+            throw new IllegalArgumentException("elasticsearch-http needs url()"))
+        val cols = route.df.columns.toSeq
+        def t(tmpl: String): Column = Template.column(tmpl, cols)
+        def nonEmpty(m: Column): Column =
+          map_filter(m, (_, v) => v.isNotNull && v =!= "")
+        val action = graft.operators.ValuePairs.formatJson(nonEmpty(map(
+          lit("index._index"), t(kvOf(s.args, "index").getOrElse("syslog")),
+          lit("index._type"), t(kvOf(s.args, "type").getOrElse("")),
+          lit("index._id"), t(kvOf(s.args, "custom-id").getOrElse("")))))
+        val doc = kvOf(s.args, "template").map(t) .getOrElse {
+          val sdata =
+            if (cols.contains("values"))
+              map_filter(col("values"), (k, _) => k.startsWith(".SDATA."))
+            else map().cast("map<string,string>")
+          graft.operators.ValuePairs.formatFlatJson(map_concat(
+            nonEmpty(map(
+              lit("FACILITY"), t("$FACILITY"), lit("HOST"), t("$HOST"),
+              lit("ISODATE"), t("$ISODATE"), lit("MESSAGE"), t("$MESSAGE"),
+              lit("MSGID"), t("$MSGID"), lit("PID"), t("$PID"),
+              lit("PRIORITY"), t("$PRIORITY"), lit("PROGRAM"), t("$PROGRAM"),
+              lit("@timestamp"), t("$ISODATE"))),
+            sdata))
+        }
+        val http = graft.streaming.Sinks.HttpConfig(url,
+          headers = Seq("Content-Type" -> "application/x-ndjson"),
+          batchLines = kvOf(s.args, "batch-lines").map(_.toInt).getOrElse(100),
+          batchTimeoutMs = kvOf(s.args, "batch-timeout").map(_.toLong).getOrElse(0L),
+          bodySuffix = "\n")
+        val df = route.df.withColumn("__body", concat(action, lit("\n"), doc))
+        graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
       case Some(s) =>
         val url = s.args.collectFirst { case Lit(u) => u }
           .orElse(kvOf(s.args, "url")).getOrElse(

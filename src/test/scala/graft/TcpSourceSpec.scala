@@ -151,6 +151,52 @@ class TcpSourceSpec extends GraftSuite {
     } finally listener.stop()
   }
 
+  test("elasticsearch-http destination emits _bulk ndjson action+doc pairs") {
+    val bodies = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/_bulk", (ex: com.sun.net.httpserver.HttpExchange) => {
+      bodies.add(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    srv.start()
+    val dir = java.nio.file.Files.createTempDirectory("graft_es").toString
+    try {
+      val conf = s"""
+        @version: 3.33
+        source s_net { network(transport(tcp) port(0)); };
+        destination d_es { elasticsearch-http(
+          url("http://127.0.0.1:${srv.getAddress.getPort}/_bulk")
+          index("logs-$$HOST") type("_doc") batch-lines(2)); };
+        log { source(s_net); destination(d_es); };
+      """
+      val (routes, ls) = graft.config.ConfigCompiler.compileStreamingPipeline(
+        graft.config.ConfigParser.parse(conf), spark, s"$dir/spool")
+      val listener = ls("s_net")
+      send(listener.boundPort,
+        "<13>Jan 12 03:04:05 h1 app[7]: hello es\n" +
+          "<13>Jan 12 03:04:05 h2 app[8]: second doc\n")
+      awaitCount(listener, 2)
+      listener.stop()
+      val q = graft.config.ConfigCompiler.startRoute(routes.head,
+        s"$dir/out", s"$dir/cp")
+      q.awaitTermination(60000)
+      val lines = bodies.toArray.toSeq.asInstanceOf[Seq[String]]
+        .flatMap(_.split("\n")).filter(_.nonEmpty)
+      val actions = lines.filter(_.startsWith("{\"index\""))
+      val docs = lines.filterNot(_.startsWith("{\"index\""))
+      assert(actions.toSet == Set(
+        "{\"index\":{\"_index\":\"logs-h1\",\"_type\":\"_doc\"}}",
+        "{\"index\":{\"_index\":\"logs-h2\",\"_type\":\"_doc\"}}"))
+      assert(docs.size == 2)
+      assert(docs.exists(d => d.contains("\"MESSAGE\":\"hello es\"") &&
+        d.contains("\"HOST\":\"h1\"") && d.contains("\"PID\":\"7\"") &&
+        d.contains("\"@timestamp\":\"2024-01-12T03:04:05+00:00\"")))
+    } finally srv.stop(0)
+  }
+
   test("socket ingest sustains the reference floor (>10k msg/s)") {
     // the reference's only executable perf number: sustained TCP
     // ingest >10k msg/s of ~160 B lines (test_performance.py:41-53).
