@@ -273,6 +273,43 @@ object Scl {
       ValuePairs.formatFlatJson(nv))
   }
 
+  /** `$(format-gelf)` (`scl/graylog2/plugin.conf`): the Graylog GELF
+    * 1.1 payload — typed JSON (level/timestamp/_pid are numbers, via
+    * to_json over a struct; format-json's int()/int64() hints), host
+    * and short_message defaulting to "-", `_facility` as the facility
+    * name, `_class` from the patterndb classifier, every `.`/`_`
+    * values key spliced as additional fields (`--key .* --key _*`),
+    * and the trailing NUL of GELF TCP framing (`$(binary 0x00)`).
+    * Empty/null fields are omitted (--omit-empty-values). */
+  def formatGelf(df: DataFrame): Column = {
+    val values = valuesOrEmpty(df)
+    def ne(c: Column): Column = nullif(c, lit(""))
+    val fixed = to_json(struct(
+      lit("1.1").as("version"),
+      coalesce(ne(colOr(df, "host")), lit("-")).as("host"),
+      coalesce(ne(col("message")), lit("-")).as("short_message"),
+      (if (df.columns.contains("severity")) col("severity").cast("int")
+       else lit(null).cast("int")).as("level"),
+      (if (df.columns.contains("ts")) col("ts").cast("long")
+       else lit(null).cast("long")).as("timestamp"),
+      ne(colOr(df, "program")).as("_program"),
+      ne(colOr(df, "pid")).cast("int").as("_pid"),
+      ne(graft.template.Template.column("$FACILITY", df.columns.toSeq))
+        .as("_facility"),
+      ne(try_element_at(values, lit(".classifier.class"))).as("_class")))
+    val extras = map_filter(values, (k, v) =>
+      (k.startsWith(".") || k.startsWith("_")) && v.isNotNull && v =!= "" &&
+        k =!= ".classifier.class")
+    val extraJson = ValuePairs.formatFlatJson(extras)
+    // splice the two JSON objects: drop fixed's closing brace, append
+    // the extras body after a comma
+    val spliced = when(size(map_keys(extras)) > 0,
+      concat(fixed.substr(lit(1), length(fixed) - 1), lit(","),
+        extraJson.substr(lit(2), length(extraJson))))
+      .otherwise(fixed)
+    concat(spliced, lit("\u0000"))
+  }
+
   // ---- cee ------------------------------------------------------------------
   /** The cee adapter (`scl/cee/adapter.conf:37-39`):
     * `json-parser(prefix('.cee.') marker('@cee:'))`. The marker is a

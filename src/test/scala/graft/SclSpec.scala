@@ -219,6 +219,33 @@ class SclSpec extends GraftSuite {
     assert(r.getString(7) == "az\"1]" && r.getString(8) == "10.0.0.7")
   }
 
+  test("format-gelf: typed GELF 1.1 payload with extras and NUL framing") {
+    val df = Seq(1).toDF("i")
+      .withColumn("host", lit("h1"))
+      .withColumn("program", lit("app"))
+      .withColumn("pid", lit("7"))
+      .withColumn("message", lit("boom"))
+      .withColumn("severity", lit(3))
+      .withColumn("facility", lit(4))
+      .withColumn("ts", to_timestamp(lit("2024-01-12 03:04:05")))
+      .withColumn("values", map(
+        lit(".classifier.class"), lit("violation"),
+        lit("_team"), lit("ops"),
+        lit(".kv.x"), lit("1"),
+        lit("plain"), lit("excluded")))
+    val line = df.select(Scl.formatGelf(df).as("g")).head().getString(0)
+    assert(line.endsWith("\u0000"))
+    val json = line.dropRight(1)
+    // typed fields: level/timestamp/_pid are JSON numbers
+    assert(json.startsWith(
+      "{\"version\":\"1.1\",\"host\":\"h1\",\"short_message\":\"boom\"," +
+        "\"level\":3,\"timestamp\":1705028645,\"_program\":\"app\",\"_pid\":7," +
+        "\"_facility\":\"auth\",\"_class\":\"violation\""), json)
+    // --key .* --key _* extras spliced; other keys excluded
+    assert(json.contains("\"_team\":\"ops\"") && json.contains("\".kv.x\":\"1\""))
+    assert(!json.contains("excluded"))
+  }
+
   test("nested junctions keep the leaf channel label") {
     import graft.dsl.LogPath._
     val df = Seq(1, 2).toDF("n")
