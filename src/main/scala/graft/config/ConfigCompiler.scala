@@ -52,10 +52,25 @@ object ConfigCompiler {
       : (Seq[Route], Map[String, graft.streaming.TcpSource.Listener]) = {
     var listeners = Map.empty[String, graft.streaming.TcpSource.Listener]
     val sources = cfg.sources.map { case (name, blk) =>
-      val stmt = blk.stmts.find(s =>
-        s.name == "file" || s.name == "network" || s.name == "syslog")
+      val stmt = blk.stmts.find(s => s.name == "file" || s.name == "network" ||
+          s.name == "syslog" || s.name == "osquery")
         .getOrElse(throw new IllegalArgumentException(
-          s"source $name: only file()/network()/syslog() sources stream here"))
+          s"source $name: only file()/network()/syslog()/osquery() sources stream here"))
+      // scl/osquery/plugin.conf:3-8: file source with no-parse +
+      // program-override("osquery") + json-parser(prefix(".osquery."))
+      if (stmt.name == "osquery") {
+        val path = kvOf(stmt.args, "file")
+          .orElse(stmt.args.collectFirst { case Lit(p) => p })
+          .getOrElse("/var/log/osquery/osqueryd.results.log")
+        val prefix = kvOf(stmt.args, "prefix").getOrElse(".osquery.")
+        name -> graft.streaming.Sources.fileLines(spark, path)
+          .select(col("source_file"), col("value").as("message"))
+          .withColumn("program", lit("osquery"))
+          .withColumn("values",
+            coalesce(JsonFlatten(col("message"), prefix, ""),
+              map().cast("map<string,string>")))
+          .withColumn("tags", array().cast("array<string>"))
+      } else {
       val lines = stmt.name match {
         case "file" =>
           val path = stmt.args.collectFirst { case Lit(p) => p }.getOrElse(
@@ -80,6 +95,7 @@ object ConfigCompiler {
       name -> parsed
         .withColumn("tags", array().cast("array<string>"))
         .withColumn("values", map().cast("map<string,string>"))
+      }
     }
     (compile(cfg, sources), listeners)
   }

@@ -193,6 +193,30 @@ class ConfigSpec extends GraftSuite {
     assert(written.filter(array_contains(col("tags"), "web")).count() == 2)
   }
 
+  test("osquery() source: no-parse file + program override + json NVs") {
+    // scl/osquery/plugin.conf:3-8
+    val inDir = java.nio.file.Files.createTempDirectory("graft-osq-in").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "results.log"),
+      """{"name":"pack_osquery-monitoring_osquery_info","hostIdentifier":"host7","action":"added","columns":{"pid":"755","version":"2.3.2"}}""" + "\n")
+    val cfg = ConfigParser.parse(s"""
+      source s_osq { osquery(file("$inDir/*.log")); };
+      destination d { file("/out/osq.log"); };
+      log { source(s_osq); destination(d); };
+    """)
+    val (routes, _) = ConfigCompiler.compileStreamingPipeline(cfg, spark,
+      java.nio.file.Files.createTempDirectory("graft-osq-sp").toString)
+    val cp = java.nio.file.Files.createTempDirectory("graft-osq-cp").toString
+    val q = routes.head.df.writeStream.format("memory").queryName("osq_out")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val r = spark.table("osq_out").select(col("program"),
+      element_at(col("values"), ".osquery.hostIdentifier").as("h"),
+      element_at(col("values"), ".osquery.columns.pid").as("pid")).head()
+    assert(r.getString(0) == "osquery")
+    assert(r.getString(1) == "host7" && r.getString(2) == "755")
+  }
+
   test("inline filter comparison and severity range") {
     // word-form `eq` = string compare; symbolic `==` is the NUMERIC
     // family (atoi both sides) per filter-expr-parser.c:37-49
