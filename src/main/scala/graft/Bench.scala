@@ -21,11 +21,17 @@ object Bench {
     val benched = (SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => Queries.benchExcluded(n) } ++ Queries.benchOnly)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // warm codegen/scan paths at the smallest SF so timed numbers
-    // measure the queries, not first-query JVM warmup
-    benched.foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count() }
-      catch { case _: Throwable => () }
+    // warm codegen/scan paths so timed numbers measure the queries,
+    // not first-query JVM warmup: sf0.001 compiles the generated code,
+    // sf0.01 (~10x rows) pushes the hot generated methods over the C2
+    // JIT threshold — without it the timed run at sf0.1 pays seconds of
+    // interpreter/C1 execution on the widest projection chains and the
+    // number measures JIT, not the query (SURVEY §8)
+    for (warmSf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      benched.foreach { case (_, fn) =>
+        try { fn(spark, warmSf).queryExecution.toRdd.count() }
+        catch { case _: Throwable => () }
+      }
     }
     val results = benched.map { case (name, fn) =>
       val t0 = System.nanoTime()

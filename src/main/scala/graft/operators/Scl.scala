@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{GraftFunctions, JsonFlatten}
+import graft.operators.VendorParsers.Fx
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -21,36 +22,38 @@ import org.apache.spark.sql.functions._
   * exchange reuse cannot save it. Instead the app-parser compiles
   * FUSED: one `__route` when-chain decides the application per row
   * (first match wins = the junction's final-flag order), and every
-  * vendor parser then runs in sequence guarded by its route — rows
-  * not routed to it pass through untouched. One scan, zero shuffles,
-  * one whole-stage-codegen projection chain; delivery semantics are
+  * vendor parser contributes its EFFECT ([[VendorParsers.Fx]]) to one
+  * shared application step — a route-keyed coalesce picks exactly one
+  * add map per row and ONE values-map rebuild applies it, instead of
+  * each parser re-filtering + re-concatenating the whole map (~14
+  * rebuilds per row before round 6). One scan, zero shuffles, one
+  * whole-stage-codegen projection chain; delivery semantics are
   * identical to the junction (`lib/logmpx.c:88-109`) because the
   * routes partition the rows.
   */
 object Scl {
 
+  private def emptyMap: Column = map().cast("map<string,string>")
+
   private def valuesOrEmpty(df: DataFrame): Column =
-    if (df.columns.contains("values")) col("values")
-    else map().cast("map<string,string>")
+    if (df.columns.contains("values")) col("values") else emptyMap
 
   private def colOr(df: DataFrame, name: String): Column =
     if (df.columns.contains(name)) col(name) else lit(null).cast("string")
 
   /** Merge non-null entries of `add` into values (new keys win). */
   private def merged(df: DataFrame, add: Column): Column = {
-    val clean = map_filter(coalesce(add, map().cast("map<string,string>")),
-      (_, v) => v.isNotNull)
+    val clean = map_filter(coalesce(add, emptyMap), (_, v) => v.isNotNull)
     map_concat(
       map_filter(valuesOrEmpty(df), (k, _) => !array_contains(map_keys(clean), k)),
       clean)
   }
 
   /** One registered application: name, detect predicate, and the
-    * guarded parse — the transform receives the route predicate and
-    * must leave non-matching rows untouched (every vendor parser
-    * takes `guard` for exactly this). */
+    * parser's effect builder — receives the frame and the route
+    * predicate, returns the guarded [[Fx]] the fused compile merges. */
   final case class App(name: String, detect: Column,
-      parse: (DataFrame, Column) => DataFrame)
+      fx: (DataFrame, Column) => Fx)
 
   // ---- application registry -------------------------------------------------
   /** `topic(syslog-raw)` applications — detection on the RAW line
@@ -65,19 +68,19 @@ object Scl {
     App("checkpoint",
       col("message").rlike("^(<[0-9]{1,3}>)1 .* CheckPoint ") ||
         col("message").rlike("^time=[0-9]+\\|hostname=[a-zA-Z0-9-]+\\|product=Firewall"),
-      (df, g) => VendorParsers.checkpoint(df, guard = g)),
+      (df, g) => VendorParsers.checkpointFx(df, guard = g)),
     App("netskope",
       // scl/netskope/plugin.conf:40-43: the "<134>{" prefix plus the
       // insertion-timestamp marker field
       col("message").startsWith("<134>{") &&
         col("message").contains("_insertion_epoch_timestamp"),
-      (df, g) => VendorParsers.netskope(df, guard = g)),
+      (df, g) => VendorParsers.netskopeFx(df, guard = g)),
     App("websense", col("message").contains("vendor=Websense"),
-      (df, g) => VendorParsers.websense(df, guard = g)),
+      (df, g) => VendorParsers.websenseFx(df, guard = g)),
     App("fortigate", col("message").rlike("^<[0-9]+>date="),
-      (df, g) => VendorParsers.fortigate(df, guard = g)),
+      (df, g) => VendorParsers.fortigateFx(df, guard = g)),
     App("cisco", col("message").contains(": %"),
-      (df, g) => VendorParsers.cisco(df, guard = g)))
+      (df, g) => VendorParsers.ciscoFx(df, guard = g)))
 
   /** `topic(syslog)` applications — detection on the post-syslog-parse
     * columns: iptables `scl/iptables/iptables.conf:27-32`, sudo
@@ -94,24 +97,24 @@ object Scl {
     App("iptables",
       col("facility") === 0 && col("program") === "kernel" &&
         col("message").contains("PROTO="),
-      (df, g) => VendorParsers.iptables(df, guard = g)),
+      (df, g) => VendorParsers.iptablesFx(df, guard = g)),
     App("sudo", col("program") === "sudo",
-      (df, g) => VendorParsers.sudo(df, guard = g)),
+      (df, g) => VendorParsers.sudoFx(df, guard = g)),
     App("panos", col("message").startsWith("1,"),
-      (df, g) => VendorParsers.panos(df, guard = g)),
+      (df, g) => VendorParsers.panosFx(df, guard = g)),
     App("cee", col("message").startsWith("@cee:"),
-      (df, g) => ceeParser(df, guard = g)),
+      (df, g) => jsonWithMarkerFx(df, "@cee:", ".cee.", g)),
     // scl/cim/adapter.conf:26-28 — the Mitre CEE/Lumberjack twin with
     // the @cim: marker
     App("cim", col("message").startsWith("@cim:"),
-      (df, g) => jsonWithMarker(df, "@cim:", ".cim.", g)),
+      (df, g) => jsonWithMarkerFx(df, "@cim:", ".cim.", g)),
     // scl/junos/plugin.conf:26-28 — pure SDATA-based classification:
     // the RFC5424 parse already extracted the fields, the application
     // block only tags rows where the junos SD element is present
     App("junos",
       coalesce(try_element_at(col("values"),
         lit(".SDATA.junos@2636.1.1.1.2.129.reason")) =!= "", lit(false)),
-      (df, _) => df))
+      (_, _) => Fx(guard = lit(false), adds = map().cast("map<string,string>"))))
 
   private def applications(topic: String): Seq[App] = topic match {
     case "syslog-raw" => rawApplications
@@ -123,44 +126,53 @@ object Scl {
   /** First-match route: NULL when no application matches (detects are
     * evaluated null-safe — an unset column never matches, like the
     * reference's filters). */
-  private def routeOf(apps: Seq[App]): Column =
+  private[graft] def routeOf(apps: Seq[App]): Column =
     apps.foldLeft(lit(null).cast("string")) { (acc, app) =>
       coalesce(acc, when(coalesce(app.detect, lit(false)), lit(app.name)))
     }
 
   /** The `.app.name` NV + `.app.<name>` tag every generated application
-    * channel sets (`app-parser-generator.c:79-80`), applied once from
-    * the route column. */
-  private def tagApps(df: DataFrame, route: Column): DataFrame = {
-    val tagged = df.withColumn("values",
-      merged(df, when(route.isNotNull, map(lit(".app.name"), route))
-        .otherwise(map().cast("map<string,string>"))))
-    if (tagged.columns.contains("tags"))
-      tagged.withColumn("tags",
-        when(route.isNotNull,
-          array_union(coalesce(col("tags"), array().cast("array<string>")),
-            array(concat(lit(".app."), route))))
-          .otherwise(col("tags")))
-    else tagged
-  }
+    * channel sets (`app-parser-generator.c:79-80`) — expressed as one
+    * post-add map plus a tags effect so the fused apply folds it into
+    * the SAME single values merge as the parsers. */
+  private[graft] def tagAddOf(appRoute: Column): Column =
+    when(appRoute.isNotNull, map(lit(".app.name"), appRoute)).otherwise(emptyMap)
+
+  private[graft] def tagFxOf(df: DataFrame, appRoute: Column): Fx =
+    Fx(guard = appRoute.isNotNull,
+      // a null literal never satisfies the adds coalesce, so this
+      // pseudo-effect cannot mask a parser's add map
+      adds = lit(null).cast("map<string,string>"),
+      sets = Seq("tags" -> array_union(
+        coalesce(
+          if (df.columns.contains("tags")) col("tags")
+          else array().cast("array<string>"),
+          array().cast("array<string>")),
+        array(concat(lit(".app."), appRoute)))))
 
   /** app-parser(topic(...)) as a standalone transform — the fused
-    * form: route once, run each registered parser guarded by its
-    * route, tag matches, label `__channel` (the doesnotexist fallback
-    * of `app-parser-generator.c:137` = route NULL → "unknown",
-    * passed through untouched). */
+    * form: route once, merge every registered parser's effect in one
+    * application step, tag matches, label `__channel` (the
+    * doesnotexist fallback of `app-parser-generator.c:137` = route
+    * NULL → "unknown", passed through untouched). */
   def appParser(df: DataFrame, topic: String): DataFrame = {
     val apps = applications(topic)
     // detects may read the NV surface (junos classifies on SDATA) —
     // guarantee it exists like the post-parse frames do
     val base =
       if (df.columns.contains("values")) df
-      else df.withColumn("values", map().cast("map<string,string>"))
+      else df.withColumn("values", emptyMap)
     val routed = base.withColumn("__route", routeOf(apps))
-    val parsed = apps.foldLeft(routed: DataFrame) { (d, app) =>
-      app.parse(d, col("__route") === app.name)
-    }
-    tagApps(parsed, col("__route"))
+    val fxs = apps.map(a => a.fx(routed, col("__route") === a.name))
+    // tags update only when the frame carries tags (the reference sets
+    // the tag unconditionally; a tag-less frame here has no tag surface)
+    val tagFx =
+      if (routed.columns.contains("tags"))
+        Seq(tagFxOf(routed, col("__route"))) else Nil
+    // vendor adds are all `.vendor.`-prefixed, so the `.app.name` tag
+    // map is key-disjoint from every routed add — plain concat
+    VendorParsers.applyFx(routed, fxs ++ tagFx,
+        concatAdds = Seq(tagAddOf(col("__route"))))
       .withColumn("__channel", coalesce(col("__route"), lit("unknown")))
       .drop("__route")
   }
@@ -174,38 +186,33 @@ object Scl {
     * drop the hop-by-hop `._*` fields. Non-matching rows pass through
     * unchanged (the reference expresses the guard as the block's
     * `filter { program("@syslog-ng") }`). */
-  def ewmmParser(df: DataFrame, guard: Column = lit(true)): DataFrame = {
+  private[graft] def ewmmFx(df: DataFrame, guard: Column = lit(true)): Fx = {
     val isEwmm = colOr(df, "program") === "@syslog-ng" && guard
-    val staged = df.withColumn("__ewmm",
-      when(isEwmm, coalesce(JsonFlatten(col("message")),
-        map().cast("map<string,string>")))
-        .otherwise(map().cast("map<string,string>")))
     def k(name: String): Column = try_element_at(col("__ewmm"), lit(name))
     val builtins = Seq("MESSAGE", "MSG", "HOST", "PROGRAM", "PID", "MSGID")
     val carried = map_filter(col("__ewmm"), (key, _) =>
       !key.isin(builtins.map(lit(_)): _*) && !key.startsWith("._"))
-    staged
-      .withColumn("tags",
-        when(isEwmm && k("._TAGS").isNotNull, Parsers.tagsParse(k("._TAGS")))
-          .otherwise(if (df.columns.contains("tags")) col("tags")
-            else array().cast("array<string>")))
-      .withColumn("values", when(isEwmm, merged(staged, carried))
-        .otherwise(valuesOrEmpty(staged)))
-      .withColumn("__e_host", when(isEwmm, coalesce(k("HOST"), colOr(df, "host")))
-        .otherwise(colOr(df, "host")))
-      .withColumn("__e_prog", when(isEwmm, k("PROGRAM"))
-        .otherwise(colOr(df, "program")))
-      .withColumn("__e_pid", when(isEwmm, coalesce(k("PID"), colOr(df, "pid")))
-        .otherwise(colOr(df, "pid")))
-      .withColumn("__e_msg",
-        when(isEwmm, coalesce(k("MESSAGE"), k("MSG"), col("message")))
-          .otherwise(col("message")))
-      .withColumn("host", col("__e_host"))
-      .withColumn("program", col("__e_prog"))
-      .withColumn("pid", col("__e_pid"))
-      .withColumn("message", col("__e_msg"))
-      .drop("__ewmm", "__e_host", "__e_prog", "__e_pid", "__e_msg")
+    val existingTags =
+      if (df.columns.contains("tags")) col("tags")
+      else array().cast("array<string>")
+    Fx(
+      guard = isEwmm,
+      adds = carried,
+      sets = Seq(
+        "tags" -> when(k("._TAGS").isNotNull, Parsers.tagsParse(k("._TAGS")))
+          .otherwise(existingTags),
+        "host" -> coalesce(k("HOST"), colOr(df, "host")),
+        "program" -> k("PROGRAM"),
+        "pid" -> coalesce(k("PID"), colOr(df, "pid")),
+        "message" -> coalesce(k("MESSAGE"), k("MSG"), col("message"))),
+      stage = d => d.withColumn("__ewmm",
+        when(isEwmm, coalesce(JsonFlatten(col("message")), emptyMap))
+          .otherwise(emptyMap)),
+      drops = Seq("__ewmm"))
   }
+
+  def ewmmParser(df: DataFrame, guard: Column = lit(true)): DataFrame =
+    VendorParsers.applyFx(df, Seq(ewmmFx(df, guard)))
 
   /** `$(format-ewmm)` — the destination side of the EWMM pair
     * (`scl/ewmm/ewmm.conf`, the template-function line):
@@ -218,10 +225,15 @@ object Scl {
     * round trip is SclSpec-tested. */
   def formatEwmm(df: DataFrame): Column = {
     val values = valuesOrEmpty(df)
-    val pri = coalesce(col("facility").cast("int"), lit(13)) * 8 +
-      coalesce(col("severity").cast("int"), lit(5))
+    def colOrT(name: String, tpe: String): Column =
+      if (df.columns.contains(name)) col(name) else lit(null).cast(tpe)
+    // default PRI is 13 = facility 1 (user) * 8 + severity 5 (notice),
+    // syslog-format.c DefaultPri — NOT facility 13
+    val pri = coalesce(colOrT("facility", "int").cast("int"), lit(1)) * 8 +
+      coalesce(colOrT("severity", "int").cast("int"), lit(5))
     val isodate = coalesce(
-      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ssxxx"), lit("-"))
+      date_format(colOrT("ts", "timestamp"), "yyyy-MM-dd'T'HH:mm:ssxxx"),
+      lit("-"))
     val hostField = coalesce(nullif(colOr(df, "host"), lit("")), lit("-"))
     // RFC5424 SD-PARAM value escapes: \ " ] (rfc5424 §6.3.3)
     def sdEscape(v: Column): Column =
@@ -235,8 +247,12 @@ object Scl {
       struct(lit("").as("out"), lit("").as("elem")),
       (acc, e) => {
         val k = e.getField("key").substr(lit(8), length(e.getField("key")))
-        val elem = substring_index(k, ".", 1)
-        val param = k.substr(length(elem) + lit(2), length(k))
+        // split SD-ID/param at the LAST dot (logmsg.c
+        // log_msg_append_format_sdata uses memrchr): enterprise SD-IDs
+        // contain dots — .SDATA.junos@2636.1.1.1.2.129.reason must
+        // render as [junos@2636.1.1.1.2.129 reason="..."]
+        val param = substring_index(k, ".", -1)
+        val elem = k.substr(lit(1), length(k) - length(param) - 1)
         val opened = when(acc.getField("elem") === elem, acc.getField("out"))
           .otherwise(concat(acc.getField("out"),
             when(acc.getField("elem") =!= "", lit("]")).otherwise(lit("")),
@@ -253,7 +269,7 @@ object Scl {
     // (--exclude 0*..9* --exclude SOURCE), plus the hop-by-hop tag list
     def opt(name: String, c: Column): Column =
       when(c.isNotNull && c =!= "", map(lit(name), c))
-        .otherwise(map().cast("map<string,string>"))
+        .otherwise(emptyMap)
     val carried = map_filter(values, (k, _) =>
       !k.startsWith(".SDATA.") && !k.rlike("^[0-9]") && k =!= "SOURCE")
     val nv = map_concat(
@@ -321,31 +337,37 @@ object Scl {
     jsonWithMarker(df, "@cee:", prefix, guard)
 
   /** json-parser(marker(...)) core shared by cee. */
-  def jsonWithMarker(df: DataFrame, marker: String, prefix: String,
-      guard: Column = lit(true)): DataFrame = {
+  private[graft] def jsonWithMarkerFx(df: DataFrame, marker: String,
+      prefix: String, guard: Column = lit(true)): Fx = {
     val msg = col("message")
     val hit = msg.startsWith(marker) && guard
     val body = ltrim(msg.substr(lit(marker.length + 1), length(msg)))
-    df.withColumn("values", merged(df,
-      when(hit, coalesce(JsonFlatten(body, prefix, ""),
-        map().cast("map<string,string>")))
-        .otherwise(map().cast("map<string,string>"))))
+    Fx(guard = hit,
+      adds = coalesce(JsonFlatten(body, prefix, ""), emptyMap))
   }
+
+  def jsonWithMarker(df: DataFrame, marker: String, prefix: String,
+      guard: Column = lit(true)): DataFrame =
+    VendorParsers.applyFx(df, Seq(jsonWithMarkerFx(df, marker, prefix, guard)))
 
   // ---- syslog parse step ----------------------------------------------------
   /** Promote a staged `parse_syslog` struct column (named `__syslog`)
     * into the LogRecord columns where `cond` holds, SDATA params
     * landing in values under `.SDATA.` (the reference's NV names,
     * `lib/logmsg/logmsg.c` sdata naming). Rows failing `cond` keep
-    * their existing columns. */
-  private def promoteParsed(df: DataFrame, cond: Column): DataFrame = {
+    * their existing columns. The values merge here runs BEFORE any
+    * application routing (junos detects on `.SDATA.` keys), against a
+    * values map that is empty or tiny at this point in every pipeline
+    * — the expensive per-parser merges are what the fused apply
+    * eliminates. */
+  private[graft] def promoteParsed(df: DataFrame, cond: Column): DataFrame = {
     val sdata = transform_keys(
-      coalesce(col("__syslog.sdata"), map().cast("map<string,string>")),
+      coalesce(col("__syslog.sdata"), emptyMap),
       (k, _) => concat(lit(".SDATA."), k))
     def pick(field: String, fallback: Column): Column =
       when(cond, col(s"__syslog.$field")).otherwise(fallback)
     df.withColumn("values", merged(df,
-        when(cond, sdata).otherwise(map().cast("map<string,string>"))))
+        when(cond, sdata).otherwise(emptyMap)))
       .withColumn("host", pick("host", colOr(df, "host")))
       .withColumn("program", pick("program", colOr(df, "program")))
       .withColumn("pid", pick("pid", colOr(df, "pid")))
@@ -383,8 +405,11 @@ object Scl {
     * Fused single-pass compile (see the object doc): the raw route is
     * decided on the raw line, the syslog parse is computed once as a
     * staged struct, promotion + the syslog-side route apply only to
-    * rows no raw application claimed, and every parser runs guarded
-    * by its route. One scan, zero shuffles, no union — the plan gate
+    * rows no raw application claimed, and every parser contributes its
+    * effect to ONE application step — a route-keyed coalesce picks the
+    * single add map each row pays for, and the whole composite
+    * rebuilds the values map exactly once (plus the cheap pre-routing
+    * SDATA promote). One scan, zero shuffles, no union — the plan gate
     * in PlanSpec asserts it.
     *
     * The listener sockets themselves (tcp/udp 514, 601, 6514) are the
@@ -410,17 +435,19 @@ object Scl {
         routeOf(syslogApplications)))
     val routed = promoted.withColumn("__route",
       coalesce(col("__rawroute"), sysRoute))
-    val allParsers: Seq[App] =
+    val allApps: Seq[App] =
       rawApplications ++
-        Seq(App("ewmm", lit(false), (d, g) => ewmmParser(d, guard = g))) ++
+        Seq(App("ewmm", lit(false), (d, g) => ewmmFx(d, g))) ++
         syslogApplications
-    val parsed = allParsers.foldLeft(routed: DataFrame) { (d, app) =>
-      app.parse(d, col("__route") === app.name)
-    }
+    val fxs = allApps.map(a => a.fx(routed, col("__route") === a.name))
     // applications get .app.name/.app.<name>; ewmm + passthrough don't
     val appNames = (rawApplications ++ syslogApplications).map(_.name)
-    tagApps(parsed,
-      when(col("__route").isin(appNames.map(lit(_)): _*), col("__route")))
+    val appRoute =
+      when(col("__route").isin(appNames.map(lit(_)): _*), col("__route"))
+    // ewmm's effect creates the tags column, so the tag update is
+    // unconditional here (unlike appParser on a tag-less frame)
+    VendorParsers.applyFx(routed, fxs :+ tagFxOf(routed, appRoute),
+        concatAdds = Seq(tagAddOf(appRoute)))
       .withColumn("__channel", coalesce(col("__route"), lit("unknown")))
       .drop("__syslog", "__rawroute", "__route")
   }

@@ -15,20 +15,110 @@ import org.apache.spark.sql.functions._
   * Extracted fields land in the `values` map under the vendor prefix
   * (the reference's NV names: `.cisco.facility`, `.panos.type`, ...);
   * HOST/PROGRAM/MSG rewrites hit the corresponding columns.
+  *
+  * Each parser is written as an [[Fx]] — the staged EFFECT of the
+  * parser on a frame (the values entries to add, the column
+  * assignments) rather than an applied transform. The fused composites
+  * ([[Scl.appParser]], [[Scl.defaultNetworkDrivers]]) combine many
+  * effects into ONE values-map rebuild per row: the reference delivers
+  * each message to exactly one application channel (`lib/logmpx.c:
+  * 88-109`), so the route predicates partition the rows and a
+  * route-keyed `coalesce(when(route===a, add_a), ...)` picks exactly
+  * one add map per row — instead of each parser re-filtering and
+  * re-concatenating the whole values map (~14 full map rebuilds per
+  * row in default-network-drivers, the round-5 profile's dominant
+  * cost).
   */
 object VendorParsers {
 
-  private def valuesOrEmpty(df: DataFrame): Column =
-    if (df.columns.contains("values")) col("values")
-    else map().cast("map<string,string>")
+  /** The effect of one guarded parser on a frame.
+    *
+    * @param guard rows the parser claims; effects apply only there, and
+    *              guards across a composite's parsers must be mutually
+    *              exclusive (routes partition rows)
+    * @param adds  map<string,string> values entries for guarded rows
+    *              (null-valued entries are dropped at merge time)
+    * @param sets  column assignments for guarded rows; the value
+    *              expression reads the PRE-assignment frame, so
+    *              fallbacks like coalesce(parsed, col("host")) see the
+    *              original column
+    * @param stage helper columns the effect's expressions read more
+    *              than once (kept as real columns so CollapseProject
+    *              doesn't duplicate the expensive expression)
+    * @param drops staged helper columns to drop after application
+    */
+  private[graft] final case class Fx(
+      guard: Column,
+      adds: Column,
+      sets: Seq[(String, Column)] = Nil,
+      stage: DataFrame => DataFrame = identity[DataFrame],
+      drops: Seq[String] = Nil)
 
-  /** Merge non-null entries of `add` into values (new keys win). */
+  private def emptyMap: Column = map().cast("map<string,string>")
+
+  private def valuesOrEmpty(df: DataFrame): Column =
+    if (df.columns.contains("values")) col("values") else emptyMap
+
+  /** The existing value of a LogRecord column, typed correctly when the
+    * frame lacks it (the un-matched fallback of every set chain). */
+  private def existingCol(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) name match {
+      case "ts" => col("ts").cast("timestamp")
+      case _ => col(name)
+    } else name match {
+      case "facility" | "severity" => lit(null).cast("int")
+      case "ts" => lit(null).cast("timestamp")
+      case "tags" => array().cast("array<string>")
+      case _ => lit(null).cast("string")
+    }
+
+  /** Merge non-null entries of `add` into values (new keys win) — the
+    * ONE full values rebuild a fused composite performs. */
   private def merged(df: DataFrame, add: Column): Column = {
     val clean = map_filter(add, (_, v) => v.isNotNull)
     map_concat(
       map_filter(valuesOrEmpty(df), (k, _) => !array_contains(map_keys(clean), k)),
       clean)
   }
+
+  /** Apply a set of route-partitioned effects with ONE values merge.
+    *
+    * `preAdds` lose to the routed parser adds, `postAdds` win over them
+    * (all three groups combine small maps — only the final merge into
+    * `values` walks the full map); `concatAdds` must be KEY-DISJOINT
+    * from the routed adds per row (vendor adds are all
+    * `.vendor.`-prefixed, so e.g. the `.app.name` tag map qualifies)
+    * and skip the membership-filter walk entirely. Set chains are
+    * built per column: `when(g1, v1).when(g2, v2)...otherwise(
+    * existing)` — exclusive guards make the arm order irrelevant.
+    */
+  private[graft] def applyFx(df0: DataFrame, fxs: Seq[Fx],
+      preAdds: Seq[Column] = Nil, postAdds: Seq[Column] = Nil,
+      concatAdds: Seq[Column] = Nil): DataFrame = {
+    val staged = fxs.foldLeft(df0)((d, fx) => fx.stage(d))
+    val routedAdd =
+      coalesce(fxs.map(fx => when(fx.guard, fx.adds)) :+ emptyMap: _*)
+    val chained = (preAdds ++ (routedAdd +: postAdds)).reduceLeft { (a, b) =>
+      map_concat(map_filter(a, (k, _) => !array_contains(map_keys(b), k)), b)
+    }
+    val add = (chained +: concatAdds).reduceLeft(map_concat(_, _))
+    val names = fxs.flatMap(_.sets.map(_._1)).distinct
+    val assigns = names.map { name =>
+      val arms = fxs.flatMap(fx =>
+        fx.sets.collect { case (`name`, v) => (fx.guard, v) })
+      val expr = arms.tail
+        .foldLeft(when(arms.head._1, arms.head._2))((acc, a) => acc.when(a._1, a._2))
+        .otherwise(existingCol(df0, name))
+      name -> expr
+    }.toMap + ("values" -> merged(staged, add))
+    val out = staged.withColumns(assigns)
+    val drops = fxs.flatMap(_.drops)
+    if (drops.isEmpty) out else out.drop(drops: _*)
+  }
+
+  /** Apply one effect standalone (the single-parser config statements —
+    * same path as the composites, with a one-entry chain). */
+  private def applyOne(df: DataFrame, fx: Fx): DataFrame = applyFx(df, Seq(fx))
 
   // ---- cisco ---------------------------------------------------------------
   /** cisco-parser() (`scl/cisco/plugin.conf`): `<pri>(seq: )?(host: )?
@@ -37,8 +127,8 @@ object VendorParsers {
     * `guard` narrows applicability beyond the structural check — the
     * fused app-parser compile passes its route predicate so one
     * projection chain hosts every vendor without cross-talk. */
-  def cisco(df: DataFrame, prefix: String = ".cisco.",
-      refYear: Int = 2024, guard: Column = lit(true)): DataFrame = {
+  private[graft] def ciscoFx(df: DataFrame, prefix: String = ".cisco.",
+      refYear: Int = 2024, guard: Column = lit(true)): Fx = {
     val msg = col("message")
     // pri is 0..191 (3 digits); bounding the capture keeps the ANSI
     // cast below from overflowing on a hostile <999...9> line
@@ -73,42 +163,56 @@ object VendorParsers {
     val ts = coalesce(
       try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss.SSS")),
       try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss")))
-    val isCisco = msg.rlike("^<\\d{1,3}>.*: %") && size(parts) >= 3 && guard
-    val add = map(
-      lit(prefix + "facility"), when(isCisco, facility),
-      lit(prefix + "severity"), when(isCisco, severity),
-      lit(prefix + "mnemonic"), when(isCisco, mnemonic))
-    // every derived Column reads the ORIGINAL message — stage them all
-    // before the message rewrite (the when(isCisco) guard also keeps
-    // ANSI casts off non-matching rows, whose pri extract is "")
-    val priL = when(isCisco, pri.cast("long"))
-    df.withColumn("values", merged(df, add))
-      .withColumn("__cisco", isCisco)
-      .withColumn("__host", when(isCisco, host))
-      .withColumn("__ts", when(isCisco, ts))
-      .withColumn("__fac", when(isCisco, floor(priL / 8).cast("int")))
-      .withColumn("__sev", when(isCisco, (priL % 8).cast("int")))
-      .withColumn("__msg", when(isCisco, concat(lit("%"), body)).otherwise(msg))
-      .withColumn("message", col("__msg"))
-      .withColumn("facility", col("__fac"))
-      .withColumn("severity", col("__sev"))
-      .withColumn("host", coalesce(col("__host"),
-        if (df.columns.contains("host")) col("host") else lit(null).cast("string")))
-      .withColumn("ts", coalesce(col("__ts"),
-        if (df.columns.contains("ts")) col("ts").cast("timestamp")
-        else lit(null).cast("timestamp")))
-      .drop("__cisco", "__host", "__ts", "__fac", "__sev", "__msg")
+    val structural = msg.rlike("^<\\d{1,3}>.*: %") && size(parts) >= 3
+    // route guard FIRST so the structural regex+split short-circuits to
+    // non-matching rows; the result is staged as a boolean column so
+    // the six when-chain arms read a bit instead of re-running it
+    val isCisco = col("__cisco_ok")
+    // the structural when() keeps the ANSI cast off non-matching rows,
+    // whose pri extract is ""
+    val priL = when(structural, pri.cast("long"))
+    // every derived expression is staged ONCE in a guarded struct — the
+    // adds map and five set chains read struct fields, so the header
+    // regexes run once per matched row instead of once per consumer
+    // (CollapseProject keeps a multiply-referenced non-trivial alias
+    // as a real column)
+    def g(f: String): Column = col("__cisco").getField(f)
+    Fx(
+      guard = isCisco,
+      adds = map(
+        lit(prefix + "facility"), g("facs"),
+        lit(prefix + "severity"), g("sevs"),
+        lit(prefix + "mnemonic"), g("mnem")),
+      sets = Seq(
+        "message" -> g("msg"),
+        "facility" -> g("fac"),
+        "severity" -> g("sev"),
+        "host" -> coalesce(g("host"), existingCol(df, "host")),
+        "ts" -> coalesce(g("ts"), existingCol(df, "ts"))),
+      stage = d => d
+        .withColumn("__cisco_ok", graft.functions.Fence(guard && structural))
+        .withColumn("__cisco", graft.functions.Fence(when(isCisco, struct(
+        facility.as("facs"), severity.as("sevs"), mnemonic.as("mnem"),
+        host.as("host"), ts.as("ts"),
+        concat(lit("%"), body).as("msg"),
+        floor(priL / 8).cast("int").as("fac"),
+        (priL % 8).cast("int").as("sev"))))),
+      drops = Seq("__cisco_ok", "__cisco"))
   }
+
+  def cisco(df: DataFrame, prefix: String = ".cisco.",
+      refYear: Int = 2024, guard: Column = lit(true)): DataFrame =
+    applyOne(df, ciscoFx(df, prefix, refYear, guard))
 
   // ---- checkpoint ----------------------------------------------------------
   /** checkpoint-parser() (`scl/checkpoint/plugin.conf`): the syslog
     * form (`<pri>1 DATE HOST CheckPoint PID - [k:"v"; ...]`, date
     * either ISO-T or `date time` split across two fields) and the
     * splunk form (`time=...|hostname=...|product=Firewall`). */
-  def checkpoint(df: DataFrame, prefix: String = ".checkpoint.",
-      guard: Column = lit(true)): DataFrame = {
+  private[graft] def checkpointFx(df: DataFrame, prefix: String = ".checkpoint.",
+      guard: Column = lit(true)): Fx = {
     val msg = col("message")
-    val isSyslog = msg.startsWith("<") && guard
+    val isSyslog = msg.startsWith("<")
     val f = split(msg, " ")
     val tForm = try_element_at(f, lit(2)).rlike("^\\d{4}-\\d{2}-\\d{2}T")
     // columns 1,2,HOST,PROGRAM,PID,MSGID,MSG(greedy) — or 1,2,3,... when
@@ -130,29 +234,28 @@ object VendorParsers {
     // scanner needs no explicit pair separator. splunk form: k=v pairs
     // '|'-separated, no quoting (the reference accepts that limitation,
     // plugin.conf "not handling value escaping properly")
-    val kvs = when(isSyslog, Parsers.kvParse(kvBody, ':', prefix))
-      .when(guard, Parsers.kvParse(translate(msg, "|", " "), '=', prefix))
-      .otherwise(map().cast("map<string,string>"))
-    // stage every derived Column before the message rewrite — they all
-    // read the ORIGINAL message
-    df.withColumn("values", merged(df, kvs))
-      .withColumn("__cp_host", when(isSyslog, host))
-      .withColumn("__cp_prog", when(isSyslog, program).otherwise(
-        if (df.columns.contains("program")) col("program") else lit(null).cast("string")))
-      .withColumn("__cp_pid", when(isSyslog, pid).otherwise(
-        if (df.columns.contains("pid")) col("pid") else lit(null).cast("string")))
-      .withColumn("__cp_ts", when(isSyslog, ts).otherwise(
-        if (df.columns.contains("ts")) col("ts").cast("timestamp")
-        else lit(null).cast("timestamp")))
-      .withColumn("__cp_msg", when(isSyslog, kvBody).otherwise(msg))
-      .withColumn("host", coalesce(col("__cp_host"),
-        if (df.columns.contains("host")) col("host") else lit(null).cast("string")))
-      .withColumn("program", col("__cp_prog"))
-      .withColumn("pid", col("__cp_pid"))
-      .withColumn("ts", col("__cp_ts"))
-      .withColumn("message", col("__cp_msg"))
-      .drop("__cp_host", "__cp_prog", "__cp_pid", "__cp_ts", "__cp_msg")
+    // the header split is staged ONCE per matched row (see ciscoFx)
+    def g(f: String): Column = col("__cp").getField(f)
+    Fx(
+      guard = guard,
+      adds = when(isSyslog, Parsers.kvParse(g("kvb"), ':', prefix))
+        .otherwise(Parsers.kvParse(translate(msg, "|", " "), '=', prefix)),
+      sets = Seq(
+        "host" -> coalesce(g("host"), existingCol(df, "host")),
+        "program" -> when(isSyslog, g("prog")).otherwise(existingCol(df, "program")),
+        "pid" -> when(isSyslog, g("pid")).otherwise(existingCol(df, "pid")),
+        "ts" -> when(isSyslog, g("ts")).otherwise(existingCol(df, "ts")),
+        "message" -> when(isSyslog, g("kvb")).otherwise(msg)),
+      stage = d => d.withColumn("__cp", graft.functions.Fence(
+        when(guard && isSyslog, struct(
+          host.as("host"), program.as("prog"), pid.as("pid"),
+          ts.as("ts"), kvBody.as("kvb"))))),
+      drops = Seq("__cp"))
   }
+
+  def checkpoint(df: DataFrame, prefix: String = ".checkpoint.",
+      guard: Column = lit(true)): DataFrame =
+    applyOne(df, checkpointFx(df, prefix, guard))
 
   // ---- iptables ------------------------------------------------------------
   /** iptables-parser() (`scl/iptables/iptables.conf`): the kernel's
@@ -161,14 +264,16 @@ object VendorParsers {
     * reference's kv-parser behavior. The application filter
     * (facility(kern) + program(kernel) + "PROTO=" substring) guards at
     * the app-parser level; here any row containing `PROTO=` parses. */
-  def iptables(df: DataFrame, prefix: String = ".iptables.",
-      guard: Column = lit(true)): DataFrame = {
+  private[graft] def iptablesFx(df: DataFrame, prefix: String = ".iptables.",
+      guard: Column = lit(true)): Fx = {
     val msg = col("message")
-    val isIpt = msg.contains("PROTO=") && guard
-    val add = when(isIpt, Parsers.kvParse(msg, '=', prefix))
-      .otherwise(map().cast("map<string,string>"))
-    df.withColumn("values", merged(df, add))
+    Fx(guard = guard && msg.contains("PROTO="),
+      adds = Parsers.kvParse(msg, '=', prefix))
   }
+
+  def iptables(df: DataFrame, prefix: String = ".iptables.",
+      guard: Column = lit(true)): DataFrame =
+    applyOne(df, iptablesFx(df, prefix, guard))
 
   // ---- sudo ----------------------------------------------------------------
   /** sudo-parser() (`scl/sudo/sudo.conf`): `SUBJECT : TTY=pts/0 ;
@@ -178,10 +283,10 @@ object VendorParsers {
     * (extract-stray-words-into('0') + list-head). Rows without a
     * COMMAND pair (pam noise) are flagged via the presence of the key —
     * the application-level filter drops them. */
-  def sudo(df: DataFrame, prefix: String = ".sudo.",
-      guard: Column = lit(true)): DataFrame = {
+  private[graft] def sudoFx(df: DataFrame, prefix: String = ".sudo.",
+      guard: Column = lit(true)): Fx = {
     val msg = col("message")
-    val isSudo = msg.contains(" : ") && msg.contains("=") && guard
+    val isSudo = guard && msg.contains(" : ") && msg.contains("=")
     val subject = trim(substring_index(msg, " : ", 1))
     val body = msg.substr(length(substring_index(msg, " : ", 1)) + lit(4), length(msg))
     // ';'-separated K=V pairs; V is greedy to the pair end, so embedded
@@ -194,17 +299,20 @@ object VendorParsers {
         t.substr(instr(t, "=") + 1, length(t)).as("value")))
     // last-wins on duplicate keys (kv-parser semantics) without
     // map_from_entries' duplicate-key exception: reverse + first-wins fold
-    val kvs = aggregate(reverse(entries), map().cast("map<string,string>"),
+    val kvs = aggregate(reverse(entries), emptyMap,
       (acc, e) => when(array_contains(map_keys(acc), e.getField("key")), acc)
         .otherwise(map_concat(acc, map(e.getField("key"), e.getField("value")))))
-    val add = when(isSudo, map_concat(
+    Fx(guard = isSudo,
+      adds = map_concat(
         // a hostile "SUBJECT=..." pair must not collide with the
         // extracted subject (duplicate map keys throw under ANSI)
         map_filter(kvs, (k, _) => k =!= lit(prefix + "SUBJECT")),
         map(lit(prefix + "SUBJECT"), subject)))
-      .otherwise(map().cast("map<string,string>"))
-    df.withColumn("values", merged(df, add))
   }
+
+  def sudo(df: DataFrame, prefix: String = ".sudo.",
+      guard: Column = lit(true)): DataFrame =
+    applyOne(df, sudoFx(df, prefix, guard))
 
   // ---- fortigate -----------------------------------------------------------
   /** fortigate-parser() (`scl/fortigate/fortigate.conf`): the body after
@@ -212,25 +320,29 @@ object VendorParsers {
     * devname="fw1" ...`), then date+time fields combine into the
     * timestamp (the reference's date-parser(format("%Y-%m-%d %H:%M:%S"))
     * over "${.fortigate.date} ${.fortigate.time}"). */
-  def fortigate(df: DataFrame, prefix: String = ".fortigate.",
-      guard: Column = lit(true)): DataFrame = {
+  private[graft] def fortigateFx(df: DataFrame, prefix: String = ".fortigate.",
+      guard: Column = lit(true)): Fx = {
     val msg = col("message")
-    val isFgt = msg.rlike("^(<\\d{1,3}>)?date=") && guard
+    val isFgt = guard && msg.rlike("^(<\\d{1,3}>)?date=")
     val body = regexp_replace(msg, "^<\\d{1,3}>", "")
-    val kvs = Parsers.kvParse(body, '=', prefix)
+    // the kv scan is staged ONCE per matched row — both the adds map
+    // and the ts set read it
+    val kvs = coalesce(col("__fgt"), emptyMap)
     val ts = try_to_timestamp(
       concat_ws(" ",
         try_element_at(kvs, lit(prefix + "date")),
         try_element_at(kvs, lit(prefix + "time"))),
       lit("yyyy-MM-dd HH:mm:ss"))
-    df.withColumn("values",
-        merged(df, when(isFgt, kvs).otherwise(map().cast("map<string,string>"))))
-      .withColumn("__fg_ts", when(isFgt, ts))
-      .withColumn("ts", coalesce(col("__fg_ts"),
-        if (df.columns.contains("ts")) col("ts").cast("timestamp")
-        else lit(null).cast("timestamp")))
-      .drop("__fg_ts")
+    Fx(guard = isFgt, adds = kvs,
+      sets = Seq("ts" -> coalesce(ts, existingCol(df, "ts"))),
+      stage = d => d.withColumn("__fgt",
+        when(isFgt, Parsers.kvParse(body, '=', prefix))),
+      drops = Seq("__fgt"))
   }
+
+  def fortigate(df: DataFrame, prefix: String = ".fortigate.",
+      guard: Column = lit(true)): DataFrame =
+    applyOne(df, fortigateFx(df, prefix, guard))
 
   // ---- apache access log ---------------------------------------------------
   /** apache-accesslog-parser() (`scl/apache/apache.conf`): the four
@@ -240,7 +352,8 @@ object VendorParsers {
     * dialect (`""` → `"`); response/bytes may be `-`; rawrequest splits
     * into verb/request/httpversion with `HTTP/` stripped
     * (the reference's trailing subst). One narrow codegen'd projection. */
-  def apacheAccesslog(df: DataFrame, prefix: String = ".apache."): DataFrame = {
+  private[graft] def apacheFx(df: DataFrame, prefix: String = ".apache.",
+      guard: Column = lit(true)): Fx = {
     val msg = col("message")
     // ONE linear scan extracts every group (functions.ApacheScan -- the
     // kv_scan treatment applied to the former 11-group packing regex,
@@ -254,7 +367,7 @@ object VendorParsers {
     val unq = (c: Column) =>
       when(c.contains("\"\""), regexp_replace(c, "\"\"", "\"")).otherwise(c)
     val httpTok = try_element_at(col("__ap_rq"), lit(3))
-    val isApache = col("__ap_f").isNotNull
+    val isApache = guard && col("__ap_f").isNotNull
     val add = map(
       lit(prefix + "clientip"), g(3),
       lit(prefix + "ident"), g(4),
@@ -272,20 +385,20 @@ object VendorParsers {
       lit(prefix + "httpversion"),
         when(httpTok.startsWith("HTTP/"), httpTok.substr(lit(6), length(httpTok)))
           .otherwise(httpTok))
-    val cleaned = map_filter(add, (_, v) => v.isNotNull && v =!= "")
     val ts = try_to_timestamp(g(6), lit("dd/MMM/yyyy:HH:mm:ss Z"))
-    val staged = df
-      .withColumn("__ap_f", graft.functions.ApacheScan(msg))
-      .withColumn("__ap_raw", unq(try_element_at(col("__ap_f"), lit(7))))
-      .withColumn("__ap_rq", split(col("__ap_raw"), " "))
-    staged.withColumn("values", merged(staged,
-        when(isApache, cleaned).otherwise(map().cast("map<string,string>"))))
-      .withColumn("__ap_ts", when(isApache, ts))
-      .withColumn("ts", coalesce(col("__ap_ts"),
-        if (df.columns.contains("ts")) col("ts").cast("timestamp")
-        else lit(null).cast("timestamp")))
-      .drop("__ap_ts", "__ap_f", "__ap_raw", "__ap_rq")
+    Fx(
+      guard = isApache,
+      adds = map_filter(add, (_, v) => v.isNotNull && v =!= ""),
+      sets = Seq("ts" -> coalesce(ts, existingCol(df, "ts"))),
+      stage = d => d
+        .withColumn("__ap_f", graft.functions.ApacheScan(msg))
+        .withColumn("__ap_raw", unq(try_element_at(col("__ap_f"), lit(7))))
+        .withColumn("__ap_rq", split(col("__ap_raw"), " ")),
+      drops = Seq("__ap_f", "__ap_raw", "__ap_rq"))
   }
+
+  def apacheAccesslog(df: DataFrame, prefix: String = ".apache."): DataFrame =
+    applyOne(df, apacheFx(df, prefix))
 
   // ---- palo alto panos -----------------------------------------------------
   /** panos-parser() (`scl/paloalto/panos.conf`): syslog header, then a
@@ -297,8 +410,8 @@ object VendorParsers {
     * a post-syslog-parse message starting at the CSV (the application
     * registry path — pass `guard` = the route predicate; the header
     * regex simply won't match and the CSV is the whole message). */
-  def panos(df: DataFrame, prefix: String = ".panos.",
-      guard: Column = null): DataFrame = {
+  private[graft] def panosFx(df: DataFrame, prefix: String = ".panos.",
+      guard: Column = null): Fx = {
     val msg = col("message")
     // strip "<pri>Mmm dd hh:mm:ss host " — the LEGACY_MSGHDR+MESSAGE
     // the reference's csv-parser consumes starts after the RFC3164 header
@@ -339,41 +452,41 @@ object VendorParsers {
       when(custom, map(
         lit(prefix + "before_change_detail"), try_element_at(f, lit(15)),
         lit(prefix + "after_change_detail"), try_element_at(f, lit(16))))
-        .otherwise(map().cast("map<string,string>")))
+        .otherwise(emptyMap))
     val isPanos =
       (if (guard == null) host =!= "" else guard) && size(f) >= 7
-    val add = when(!isPanos, map().cast("map<string,string>"))
-      .when(typ === "SYSTEM", map_concat(head, system))
-      .when(typ === "CONFIG", map_concat(head, config))
-      .otherwise(head)
-    val out = df.withColumn("values", merged(df, add))
-    out
-      // only an embedded-header host may rewrite the host column — the
-      // registry path's stripped messages have none
-      .withColumn("__po_host", when(isPanos && host =!= "", host))
-      .withColumn("host", coalesce(col("__po_host"),
-        if (df.columns.contains("host")) col("host") else lit(null).cast("string")))
-      .withColumn("program",
-        when(isPanos, lit("paloalto_panos")).otherwise(
-          if (df.columns.contains("program")) col("program") else lit(null).cast("string")))
-      .drop("__po_host")
+    Fx(
+      guard = isPanos,
+      adds = when(typ === "SYSTEM", map_concat(head, system))
+        .when(typ === "CONFIG", map_concat(head, config))
+        .otherwise(head),
+      sets = Seq(
+        // only an embedded-header host may rewrite the host column — the
+        // registry path's stripped messages have none
+        "host" -> coalesce(when(host =!= "", host), existingCol(df, "host")),
+        "program" -> lit("paloalto_panos")))
   }
+
+  def panos(df: DataFrame, prefix: String = ".panos.",
+      guard: Column = null): DataFrame =
+    applyOne(df, panosFx(df, prefix, guard))
 
   // ---- netskope ------------------------------------------------------------
   /** netskope-parser() (`scl/netskope/plugin.conf:30-38`): the whole
     * no-parse line is `<pri>{json}` — strip the pri, json-parse under
     * the prefix. */
-  def netskope(df: DataFrame, prefix: String = ".netskope.",
-      guard: Column = lit(true)): DataFrame = {
+  private[graft] def netskopeFx(df: DataFrame, prefix: String = ".netskope.",
+      guard: Column = lit(true)): Fx = {
     val msg = col("message")
-    val isNs = msg.rlike("^<[0-9]+>\\{") && guard
+    val isNs = guard && msg.rlike("^<[0-9]+>\\{")
     val body = regexp_replace(msg, "^<[0-9]+>", "")
-    val add = when(isNs,
-      coalesce(graft.functions.JsonFlatten(body, prefix, ""),
-        map().cast("map<string,string>")))
-      .otherwise(map().cast("map<string,string>"))
-    df.withColumn("values", merged(df, add))
+    Fx(guard = isNs,
+      adds = coalesce(graft.functions.JsonFlatten(body, prefix, ""), emptyMap))
   }
+
+  def netskope(df: DataFrame, prefix: String = ".netskope.",
+      guard: Column = lit(true)): DataFrame =
+    applyOne(df, netskopeFx(df, prefix, guard))
 
   // ---- websense ------------------------------------------------------------
   /** websense-parser() (`scl/websense/plugin.conf:26-47`): the raw
@@ -382,39 +495,32 @@ object VendorParsers {
     * timezone and injects a `Websense: ` program so syslog-parser()
     * accepts it, then kv-parses; same composition here on one staged
     * parse. */
-  def websense(df: DataFrame, prefix: String = ".websense.",
-      guard: Column = lit(true)): DataFrame = {
+  private[graft] def websenseFx(df: DataFrame, prefix: String = ".websense.",
+      guard: Column = lit(true)): Fx = {
     val msg = col("message")
-    val isWs = msg.contains("vendor=Websense") && guard
+    val isWs = guard && msg.contains("vendor=Websense")
     val fixed = regexp_replace(
       regexp_replace(msg,
         "([A-Za-z]{3} [0-9 ]\\d \\d{2}:\\d{2}:\\d{2}) [A-Z]{3,4}", "$1 "),
       "vendor=Websense", "Websense: vendor=Websense")
-    val staged = df.withColumn("__ws",
-      when(isWs, graft.functions.GraftFunctions.parse_syslog(fixed)))
-    val kvs = when(isWs,
-        Parsers.kvParse(col("__ws.message"), '=', prefix))
-      .otherwise(map().cast("map<string,string>"))
-    def pick(field: String): Column =
-      when(isWs, col(s"__ws.$field")).otherwise(colOrNull(staged, field))
-    staged.withColumn("values", merged(staged, kvs))
-      .withColumn("host", pick("host"))
-      .withColumn("program", pick("program"))
-      .withColumn("facility", when(isWs, col("__ws.facility")).otherwise(
-        if (df.columns.contains("facility")) col("facility")
-        else lit(null).cast("int")))
-      .withColumn("severity", when(isWs, col("__ws.severity")).otherwise(
-        if (df.columns.contains("severity")) col("severity")
-        else lit(null).cast("int")))
-      .withColumn("ts", when(isWs, col("__ws.ts")).otherwise(
-        if (df.columns.contains("ts")) col("ts").cast("timestamp")
-        else lit(null).cast("timestamp")))
-      .withColumn("message", when(isWs, col("__ws.message")).otherwise(msg))
-      .drop("__ws")
+    Fx(
+      guard = isWs,
+      adds = Parsers.kvParse(col("__ws.message"), '=', prefix),
+      sets = Seq(
+        "host" -> col("__ws.host"),
+        "program" -> col("__ws.program"),
+        "facility" -> col("__ws.facility"),
+        "severity" -> col("__ws.severity"),
+        "ts" -> col("__ws.ts"),
+        "message" -> col("__ws.message")),
+      stage = d => d.withColumn("__ws",
+        when(isWs, graft.functions.GraftFunctions.parse_syslog(fixed))),
+      drops = Seq("__ws"))
   }
 
-  private def colOrNull(df: DataFrame, name: String): Column =
-    if (df.columns.contains(name)) col(name) else lit(null).cast("string")
+  def websense(df: DataFrame, prefix: String = ".websense.",
+      guard: Column = lit(true)): DataFrame =
+    applyOne(df, websenseFx(df, prefix, guard))
 
   // ---- application registry ------------------------------------------------
   /** The reference's scl `application name[topic] { filter; parser }`
