@@ -531,27 +531,48 @@ object Dedup {
     * the champion of champions; membership then joins the winner back.
     * No sort anywhere, map-side combine on both levels.
     *
+    * Edge semantics: ids must be NUMERIC (the smallest-id tie-break
+    * negates them; enforced); scores compare as double, so integral
+    * scores beyond 2^53 lose tie precision; a NULL score loses to any
+    * non-null score — including a legitimate Double.MinValue (the
+    * has-score flag leads the ordering struct, not a sentinel); a NULL
+    * component means "never clustered", and such rows keep=true (each
+    * is its own survivor) rather than being dropped or silently
+    * all-false.
+    *
     * @return (id, component, score, keep) — every member, keep=true
     *         on exactly one row per cluster
     */
   def bestPerCluster(clusters: DataFrame, scores: DataFrame,
       salt: Int = 64): DataFrame = {
+    val idType = clusters.schema("id").dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"bestPerCluster: id must be numeric for the smallest-id tie-break, got $idType")
     // LEFT join: a member missing from `scores` must still appear (with
     // keep=false unless the whole cluster is unscored) — an inner join
     // would silently drop documents from the dedup decision
     val scored = clusters.join(scores, Seq("id"), "left")
-    // max over (score, -id): higher score wins, ties -> smaller id;
-    // null scores sink (desc_nulls_last semantics)
+    // max over (has-score, score, -id): higher score wins, ties ->
+    // smaller id, null scores lose to every real score via the leading
+    // flag (a MinValue sentinel would collide with a legitimate
+    // MinValue score); the null-score group ties on a constant so its
+    // winner is still the smallest id
+    val s = col("score").cast("double")
     val ord = struct(
-      coalesce(col("score").cast("double"), lit(Double.MinValue)).as("s"),
+      s.isNotNull.as("has"),
+      coalesce(s, lit(0.0)).as("s"),
       (-col("id")).as("tie"))
     val lvl1 = scored
       .groupBy(col("component"), pmod(xxhash64(col("id")), lit(salt)).as("__salt"))
       .agg(max_by(col("id"), ord).as("cand"), max(ord).as("cand_ord"))
     val winners = lvl1.groupBy(col("component"))
       .agg(max_by(col("cand"), col("cand_ord")).as("keep_id"))
-    scored.join(winners, Seq("component"))
-      .withColumn("keep", col("id") === col("keep_id"))
+    // LEFT: a null-component row cannot equi-join and must survive
+    scored.join(winners, Seq("component"), "left")
+      .withColumn("keep",
+        when(col("component").isNotNull,
+          coalesce(col("id") === col("keep_id"), lit(false)))
+          .otherwise(lit(true)))
       .select(col("id"), col("component"), col("score"), col("keep"))
   }
 

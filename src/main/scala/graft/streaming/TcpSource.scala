@@ -110,8 +110,12 @@ object TcpSource {
           accept(frame)
           frame = readFrame(in)
         }
-      } catch { case _: java.io.IOException => () }
-      finally sock.close()
+      } catch {
+        case _: java.io.IOException => ()
+        // a non-IO failure must drop the connection, not silently kill
+        // the handler thread mid-stream
+        case scala.util.control.NonFatal(_) => ()
+      } finally sock.close()
     }
 
     private def accept(frame: String): Unit = {
@@ -137,17 +141,30 @@ object TcpSource {
 
     /** One frame, or null at EOF. Newline framing truncates lines past
       * maxMsgSize (trim-large-messages); octet framing reads `NNN SP
-      * payload` (logproto-framed-server.c states). */
+      * payload` (logproto-framed-server.c states). A malformed frame
+      * header — no digits, a non-space separator, or an absurd length —
+      * is a protocol violation and drops the CONNECTION (the
+      * reference's "Invalid frame header" path), never a garbage or
+      * empty message: after a framing error nothing later on the
+      * stream can be trusted. */
     private def readFrame(in: InputStream): String =
       if (octetCounted) {
-        var n = 0
+        var n = 0L
+        var digits = 0
         var c = in.read()
         if (c < 0) return null
-        while (c >= '0' && c <= '9') { n = n * 10 + (c - '0'); c = in.read() }
+        while (c >= '0' && c <= '9' && digits < 11) {
+          n = n * 10 + (c - '0'); digits += 1; c = in.read()
+        }
         if (c < 0) return null
-        val take = math.min(n, maxMsgSize)
+        // 11+ digits would overflow an int payload size anyway; counts
+        // far beyond log-msg-size are bounded so the truncation skip
+        // can't be handed a hostile multi-GB length
+        if (digits == 0 || digits >= 11 || c != ' ' ||
+            n > maxMsgSize.toLong * 16) return null
+        val take = math.min(n, maxMsgSize.toLong).toInt
         val buf = in.readNBytes(take)
-        in.skipNBytes((n - take).toLong.max(0))
+        in.skipNBytes(n - take)
         if (buf.length < take) null
         else new String(buf, StandardCharsets.UTF_8)
       } else readLine(in)

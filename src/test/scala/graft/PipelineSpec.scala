@@ -447,6 +447,27 @@ class PipelineSpec extends GraftSuite {
       (7L, true), (9L, false)))
   }
 
+  test("best-per-cluster edge cases: MinValue scores, null components") {
+    // a legitimate Double.MinValue score must BEAT a null score (the
+    // old sentinel encoding collided them), and a null-component
+    // member is its own survivor instead of being dropped by the
+    // winner join
+    val clusters = Seq((1L, Some(1L)), (2L, Some(1L)), (5L, None))
+      .toDF("id", "component")
+    val scores = Seq((1L, Some(Double.MinValue)), (2L, None), (5L, None))
+      .toDF("id", "score")
+    val out = Dedup.bestPerCluster(clusters, scores)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3))).toSeq
+    assert(out == Seq((1L, true), (2L, false), (5L, true)))
+    // string ids are rejected loudly (the tie-break negates ids)
+    intercept[IllegalArgumentException] {
+      Dedup.bestPerCluster(
+        Seq(("a", 1L)).toDF("id", "component"),
+        Seq(("a", 1.0)).toDF("id", "score"))
+    }
+  }
+
   test("duplicated spans: cross-doc windows counted per occurrence") {
     val corpus = Seq(
       (1L, "a b c d e x y z"),     // "a b c" shared with doc 2

@@ -219,6 +219,35 @@ class SclSpec extends GraftSuite {
     assert(r.getString(7) == "az\"1]" && r.getString(8) == "10.0.0.7")
   }
 
+  test("format-ewmm: dotted enterprise SD-IDs split at the LAST dot") {
+    // logmsg.c log_msg_append_format_sdata splits elem/param with
+    // memrchr — .SDATA.junos@2636.1.1.1.2.129.reason must serialize as
+    // [junos@2636.1.1.1.2.129 reason="..."], not [junos@2636 1.1....]
+    val df = Seq(1).toDF("i")
+      .withColumn("message", lit("session closed"))
+      .withColumn("values", map(
+        lit(".SDATA.junos@2636.1.1.1.2.129.reason"), lit("TCP FIN"),
+        lit(".SDATA.junos@2636.1.1.1.2.129.source-address"), lit("10.3.255.203")))
+    val line = df.select(Scl.formatEwmm(df).as("m")).head().getString(0)
+    assert(line.contains(
+      "[junos@2636.1.1.1.2.129 reason=\"TCP FIN\" source-address=\"10.3.255.203\"]"),
+      line)
+    // and the round trip recovers the dotted NV names losslessly
+    val back = Scl.ewmmParser(Scl.parseSyslogMessage(
+      df.select(Scl.formatEwmm(df).as("message"))))
+    val r = back.select(
+      element_at(col("values"), ".SDATA.junos@2636.1.1.1.2.129.reason")).head()
+    assert(r.getString(0) == "TCP FIN")
+  }
+
+  test("format-ewmm: default PRI is 13 (facility user, severity notice)") {
+    // syslog-format.c DefaultPri — a frame with no facility/severity
+    // must emit <13>, not facility-13's <109>
+    val df = Seq(1).toDF("i").withColumn("message", lit("m"))
+    val line = df.select(Scl.formatEwmm(df).as("m")).head().getString(0)
+    assert(line.startsWith("<13>1 - - @syslog-ng - - - "), line)
+  }
+
   test("format-gelf: typed GELF 1.1 payload with extras and NUL framing") {
     val df = Seq(1).toDF("i")
       .withColumn("host", lit("h1"))

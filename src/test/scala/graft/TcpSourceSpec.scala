@@ -71,6 +71,30 @@ class TcpSourceSpec extends GraftSuite {
     } finally listener.stop()
   }
 
+  test("malformed octet frames drop the connection, not the listener") {
+    // logproto-framed-server.c "Invalid frame header": garbage lead
+    // byte, non-space separator, and an int-overflowing count must not
+    // emit empty/garbage frames or kill the handler thread — and the
+    // next CONNECTION must still be served
+    val dir = java.nio.file.Files.createTempDirectory("graft_tcp3").toString
+    val (listener, _) = TcpSource.listen(spark, s"$dir/spool",
+      octetCounted = true)
+    try {
+      val before = listener.receivedCount
+      send(listener.boundPort, "garbage no digits")        // no count
+      send(listener.boundPort, "12:twelve bytes!!")        // bad separator
+      send(listener.boundPort, "99999999999999999999 x")   // overflow count
+      send(listener.boundPort, "99999999 x")               // absurd length
+      Thread.sleep(300)
+      assert(listener.receivedCount == before,
+        s"malformed frames were accepted: ${listener.receivedCount - before}")
+      // a fresh connection with a valid frame still works
+      val ok = "<13>1 2024-01-12T00:00:00Z h1 app - - - still alive"
+      send(listener.boundPort, s"${ok.length} $ok")
+      awaitCount(listener, before + 1)
+    } finally listener.stop()
+  }
+
   test("config text: network() source -> filter -> http() destination") {
     // the first-time-user loop: loggen-shaped lines at a socket, a
     // config-text pipeline, batched HTTP egress — all from config
