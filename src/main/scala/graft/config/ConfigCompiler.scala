@@ -38,19 +38,22 @@ object ConfigCompiler {
     compileStreamingPipeline(cfg, spark,
       java.nio.file.Files.createTempDirectory("graft_net").toString)._1
 
-  /** [[compileStreaming]] plus the live TCP listeners it started —
-    * `network(transport(tcp) port(N))` / `syslog(transport(tcp))`
+  /** [[compileStreaming]] plus the live socket listeners it started —
+    * `network(transport(tcp|udp) port(N))` / `syslog(transport(...))`
     * source statements (`modules/afsocket/afinet-source.c`) bind a
-    * dev-mode [[graft.streaming.TcpSource]] each: newline framing for
-    * network(), RFC6587 octet-counted for syslog() (the reference's
-    * framed transport), `flags(no-parse)` leaving the raw line in
-    * `message` (the default-network-drivers front door). Callers get
-    * the listener map keyed by source name (boundPort for port(0)),
-    * and own stop(). */
+    * dev-mode listener each: [[graft.streaming.TcpSource]] with
+    * newline framing for network(), RFC6587 octet-counted for
+    * syslog() (the reference's framed transport), or
+    * [[graft.streaming.UdpSource]] for `transport(udp)` (one datagram
+    * = one message, `logproto-dgram-server.c` — syslog() over UDP is
+    * RFC5426, never octet-counted). `flags(no-parse)` leaves the raw
+    * line in `message` (the default-network-drivers front door).
+    * Callers get the listener map keyed by source name (boundPort for
+    * port(0)), and own stop(). */
   def compileStreamingPipeline(cfg: Config,
       spark: org.apache.spark.sql.SparkSession, spoolBase: String)
-      : (Seq[Route], Map[String, graft.streaming.TcpSource.Listener]) = {
-    var listeners = Map.empty[String, graft.streaming.TcpSource.Listener]
+      : (Seq[Route], Map[String, graft.streaming.SocketListener]) = {
+    var listeners = Map.empty[String, graft.streaming.SocketListener]
     val sources = cfg.sources.map { case (name, blk) =>
       val stmt = blk.stmts.find(s => s.name == "file" || s.name == "network" ||
           s.name == "syslog" || s.name == "osquery")
@@ -80,11 +83,19 @@ object ConfigCompiler {
           val port = kvOf(stmt.args, "port").map(_.toInt).getOrElse(0)
           val maxSize = kvOf(stmt.args, "log-msg-size").map(_.toInt)
             .getOrElse(65536)
-          val (l, src) = graft.streaming.TcpSource.listen(spark,
-            s"$spoolBase/$name", port, octetCounted = proto == "syslog",
-            maxMsgSize = maxSize)
-          listeners += name -> l
-          src
+          val transport = kvOf(stmt.args, "transport").getOrElse("tcp")
+          if (transport == "udp") {
+            val (l, src) = graft.streaming.UdpSource.listen(spark,
+              s"$spoolBase/$name", port, maxMsgSize = maxSize)
+            listeners += name -> l
+            src
+          } else {
+            val (l, src) = graft.streaming.TcpSource.listen(spark,
+              s"$spoolBase/$name", port, octetCounted = proto == "syslog",
+              maxMsgSize = maxSize)
+            listeners += name -> l
+            src
+          }
       }
       val flags = stmt.args.collectFirst { case KV("flags", vs) => lits(vs) }
         .getOrElse(Nil)
@@ -105,10 +116,100 @@ object ConfigCompiler {
     * writer ([[graft.streaming.Sinks.httpSink]]) with the reference's
     * url/body/batch-lines/batch-bytes/batch-timeout options
     * (`modules/http/http.c:28-90`; body default = the http driver's
-    * `$ISODATE $HOST $MSGHDR$MESSAGE`). */
+    * `$ISODATE $HOST $MSGHDR$MESSAGE`); `network()`/`syslog()` → the
+    * TCP egress ([[graft.streaming.TcpSink]], `modules/afsocket/
+    * afinet-dest.c`) with `failover()` servers, newline vs RFC6587
+    * octet framing, and the RFC5424 default wire format for syslog();
+    * plus the http/network scl composites: `loggly()`
+    * (`scl/loggly/loggly.conf`), `sumologic-http()`/
+    * `sumologic-syslog()` (`scl/sumologic/sumologic.conf`), `slack()`
+    * (`scl/slack/slack.conf`) and `telegram()`
+    * (`scl/telegram/telegram.conf`) — each a thin body over those two
+    * drivers, exactly like the reference's block definitions. */
   def startRoute(route: Route, outDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    route.dest.stmts.find(s => s.name == "http" || s.name == "elasticsearch-http") match {
+    route.dest.stmts.find(s => destDrivers.contains(s.name)) match {
+      case Some(s) if s.name == "slack" =>
+        // scl/slack/slack.conf:35-120: http POST of a JSON attachment
+        // array; one attachment per message, ','-delimited inside
+        // {"attachments":[...]}; color picked from the colors() list by
+        // color-chooser() (default $LEVEL_NUM)
+        val url = kvOf(s.args, "hook-url").getOrElse(
+          throw new IllegalArgumentException("slack() needs hook-url()"))
+        val cols = route.df.columns.toSeq
+        def t(tmpl: String): Column = Template.column(tmpl, cols)
+        val colors = kvOf(s.args, "colors").getOrElse(
+          "#512E5F,#B03A2E,#E74C3C,#F39C12,#F8C471,#7DCEA0,#5DADE2,#85929E")
+        val chooser = t(kvOf(s.args, "color-chooser").getOrElse("${LEVEL_NUM}"))
+        val color = coalesce(
+          try_element_at(split(lit(colors), ","),
+            coalesce(chooser.cast("int"), lit(0)) + 1),
+          lit(""))
+        val attachment = graft.operators.ValuePairs.formatFlatJson(map(
+          lit("fallback"), t(kvOf(s.args, "fallback").getOrElse(
+            "${MSG} - host: ${HOST} | program: ${PROGRAM}(${PID}) | severity: ${PRIORITY}")),
+          lit("color"), color,
+          lit("author_name"), t(kvOf(s.args, "author-name").getOrElse(
+            "host: ${HOST} | program: ${PROGRAM}(${PID}) | severity: ${PRIORITY}")),
+          lit("text"), t(kvOf(s.args, "template").getOrElse("${MSG}")),
+          lit("ts"), t("${UNIXTIME}")))
+        val http = graft.streaming.Sinks.HttpConfig(url,
+          headers = Seq("Content-type" -> "application/json"),
+          batchLines = kvOf(s.args, "batch-lines").map(_.toInt).getOrElse(1),
+          bodyPrefix = "{\"attachments\":[", bodySuffix = "]}",
+          delimiter = ",")
+        val df = route.df.withColumn("__body", attachment)
+        graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      case Some(s) if s.name == "telegram" =>
+        // scl/telegram/telegram.conf: form-urlencoded sendMessage call;
+        // text is url-encoded and truncated at max-size()
+        val botId = kvOf(s.args, "bot-id").getOrElse("")
+        val url = kvOf(s.args, "url").getOrElse(
+          s"https://api.telegram.org/bot$botId/sendMessage")
+        val cols = route.df.columns.toSeq
+        def t(tmpl: String): Column = Template.column(tmpl, cols)
+        val maxSize = kvOf(s.args, "max-size").map(_.toInt).getOrElse(4096)
+        val body = concat(
+          lit("disable_web_page_preview=" +
+            kvOf(s.args, "disable-web-page-preview").getOrElse("true")),
+          lit("&disable_notification=" +
+            kvOf(s.args, "disable-notification").getOrElse("false")),
+          lit("&parse_mode=" + kvOf(s.args, "parse-mode").getOrElse("none")),
+          lit("&chat_id=" + kvOf(s.args, "chat-id").getOrElse("")),
+          lit("&" + kvOf(s.args, "extra-parameters").getOrElse("")),
+          lit("&text="),
+          url_encode(t(kvOf(s.args, "template").getOrElse("${MSG}"))
+            .substr(lit(1), lit(maxSize))))
+        val http = graft.streaming.Sinks.HttpConfig(url,
+          headers = Seq("Content-Type" -> "application/x-www-form-urlencoded"))
+        val df = route.df.withColumn("__body", body)
+        graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      case Some(s) if s.name == "sumologic-http" =>
+        // scl/sumologic/sumologic.conf sumologic-http(): http() POST to
+        // the collector endpoint composed from deployment()+collector();
+        // url() overrides for dev-mode stubs
+        val url = kvOf(s.args, "url").getOrElse {
+          val dep = kvOf(s.args, "deployment").getOrElse(
+            throw new IllegalArgumentException(
+              "sumologic-http() needs deployment() (or url())"))
+          val collector = kvOf(s.args, "collector").getOrElse("")
+          s"https://collectors.$dep.sumologic.com/receiver/v1/http/$collector"
+        }
+        val bodyT = kvOf(s.args, "body").getOrElse("$ISODATE $HOST $MSGHDR$MESSAGE")
+        val http = graft.streaming.Sinks.HttpConfig(url,
+          batchLines = kvOf(s.args, "batch-lines").map(_.toInt).getOrElse(1))
+        val df = route.df.withColumn("__body",
+          Template.column(bodyT, route.df.columns))
+        graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      case Some(s) if s.name == "network" || s.name == "syslog" ||
+          s.name == "loggly" || s.name == "sumologic-syslog" =>
+        startTcpRoute(route, s, checkpoint)
       case Some(s) if s.name == "elasticsearch-http" =>
         // scl/elasticsearch/elastic-http.conf: http() with an ndjson
         // _bulk body — per message an action line
@@ -151,11 +252,16 @@ object ConfigCompiler {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
       case Some(s) =>
-        val url = s.args.collectFirst { case Lit(u) => u }
-          .orElse(kvOf(s.args, "url")).getOrElse(
-            throw new IllegalArgumentException("http() destination needs url()"))
+        // url("a" "b" ...) — multiple literals round-robin across
+        // sending workers and fail over (http-loadbalancer.c,
+        // scl/loadbalancer)
+        val urlList = s.args.collectFirst { case KV("url", vs) => lits(vs) }
+          .getOrElse(s.args.collect { case Lit(u) => u })
+        val url = urlList.headOption.getOrElse(
+          throw new IllegalArgumentException("http() destination needs url()"))
         val bodyT = kvOf(s.args, "body").getOrElse("$ISODATE $HOST $MSGHDR$MESSAGE")
         val http = graft.streaming.Sinks.HttpConfig(url,
+          urls = urlList,
           method = kvOf(s.args, "method").getOrElse("POST"),
           batchLines = kvOf(s.args, "batch-lines").map(_.toInt).getOrElse(1),
           batchBytes = kvOf(s.args, "batch-bytes").map(_.toInt).getOrElse(0),
@@ -169,6 +275,81 @@ object ConfigCompiler {
           .start()
       case None => startFileRoute(route, outDir, checkpoint)
     }
+
+  private val destDrivers = Set("http", "elasticsearch-http", "network",
+    "syslog", "loggly", "sumologic-http", "sumologic-syslog", "slack",
+    "telegram")
+
+  /** network()/syslog() destinations and the scl composites over them
+    * (`loggly()`, `sumologic-syslog()`): resolve the target list
+    * (primary + `failover()` servers, `afinet-dest-failover.c`), the
+    * wire template, and the framing — newline for network(), RFC6587
+    * octet-counted for syslog() (`logproto-framed-client.c`). The
+    * syslog() default wire format is RFC5424 with the SDATA field from
+    * values ([[graft.operators.Scl.sdataBlocks]]); network() defaults
+    * to the legacy `<PRI>DATE HOST MSGHDR MSG` line. */
+  private def startTcpRoute(route: Route, s: Stmt, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cols = route.df.columns.toSeq
+    def t(tmpl: String): Column = Template.column(tmpl, cols)
+    val userTemplate = kvOf(s.args, "template")
+    val (targets, octet, body) = s.name match {
+      case "loggly" =>
+        // scl/loggly/loggly.conf: network() with the token SD block
+        val token = kvOf(s.args, "token").getOrElse(
+          throw new IllegalArgumentException("loggly() needs token()"))
+        val tag = kvOf(s.args, "tag").getOrElse("tag")
+        val host = kvOf(s.args, "host").getOrElse("logs-01.loggly.com")
+        val port = kvOf(s.args, "port").map(_.toInt).getOrElse(514)
+        val line = concat(
+          t("<$PRI>1 $ISODATE $HOST $PROGRAM $PID $MSGID "),
+          lit(s"[$token@41058 tag=\"$tag\"] "),
+          t(userTemplate.getOrElse("$MSG")))
+        (Seq(host -> port), false, line)
+      case "sumologic-syslog" =>
+        // scl/sumologic/sumologic.conf sumologic-syslog()
+        val token = kvOf(s.args, "token").getOrElse(
+          throw new IllegalArgumentException("sumologic-syslog() needs token()"))
+        val tag = kvOf(s.args, "tag").getOrElse("tag")
+        val host = kvOf(s.args, "host").getOrElse {
+          val dep = kvOf(s.args, "deployment").getOrElse(
+            throw new IllegalArgumentException(
+              "sumologic-syslog() needs deployment() (or host())"))
+          s"syslog.collection.$dep.sumologic.com"
+        }
+        val port = kvOf(s.args, "port").map(_.toInt).getOrElse(6514)
+        val line = concat(
+          t("<$PRI>1 $ISODATE $HOST ${PROGRAM:--} ${PID:--} ${MSGID:--} "),
+          lit(s"[$token tag=\"$tag\"] "),
+          t(userTemplate.getOrElse("$MSG")))
+        (Seq(host -> port), false, line)
+      case proto =>
+        val host = s.args.collectFirst { case Lit(h) => h }
+          .orElse(kvOf(s.args, "host")).getOrElse(
+            throw new IllegalArgumentException(s"$proto destination needs a host"))
+        val port = kvOf(s.args, "port").map(_.toInt)
+          .getOrElse(if (proto == "syslog") 601 else 514)
+        val failover = s.args.collectFirst {
+          case KV("failover", vs) => lits(vs)
+        }.getOrElse(Nil)
+        val body = userTemplate.map(t).getOrElse {
+          if (proto == "syslog")
+            // RFC5424 with real SDATA from values — the EWMM relay's
+            // lossless wire format
+            concat(
+              t("<$PRI>1 $ISODATE $HOST ${PROGRAM:--} ${PID:--} ${MSGID:--} "),
+              graft.operators.Scl.sdataBlocks(route.df.toDF()),
+              lit(" "), t("$MSG"))
+          else t("<$PRI>$DATE $HOST $MSGHDR$MESSAGE")
+        }
+        (((host -> port) +: failover.map(_ -> port)), proto == "syslog", body)
+    }
+    val cfg = graft.streaming.TcpSink.Config(targets, octetCounted = octet)
+    val df = route.df.withColumn("__body", body)
+    graft.streaming.TcpSink.tcpSink(df, "__body", cfg, checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 
   /** Start one route against its `file()` destination: the `$MACRO`
     * references in the destination path template become partition

@@ -214,6 +214,42 @@ object Scl {
   def ewmmParser(df: DataFrame, guard: Column = lit(true)): DataFrame =
     VendorParsers.applyFx(df, Seq(ewmmFx(df, guard)))
 
+  /** The RFC5424 SDATA field from the `.SDATA.elem.param` entries of
+    * `values` — sorted entries folded into `[elem p="v"...]` blocks,
+    * `-` when none (the reference template's `${SDATA:--}`). SD-ID and
+    * param split at the LAST dot (`logmsg.c
+    * log_msg_append_format_sdata` uses memrchr): enterprise SD-IDs
+    * contain dots — `.SDATA.junos@2636.1.1.1.2.129.reason` renders as
+    * `[junos@2636.1.1.1.2.129 reason="..."]`. Shared by
+    * [[formatEwmm]] and the `syslog()` network destination's RFC5424
+    * wire format. */
+  def sdataBlocks(df: DataFrame): Column = {
+    val values = valuesOrEmpty(df)
+    // RFC5424 SD-PARAM value escapes: \\ " ] (rfc5424 §6.3.3)
+    def sdEscape(v: Column): Column =
+      regexp_replace(regexp_replace(regexp_replace(v,
+        "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\\]", "\\\\]")
+    val sdEntries = sort_array(filter(map_entries(values),
+      e => e.getField("key").startsWith(".SDATA.")))
+    aggregate(sdEntries,
+      struct(lit("").as("out"), lit("").as("elem")),
+      (acc, e) => {
+        val k = e.getField("key").substr(lit(8), length(e.getField("key")))
+        val param = substring_index(k, ".", -1)
+        val elem = k.substr(lit(1), length(k) - length(param) - 1)
+        val opened = when(acc.getField("elem") === elem, acc.getField("out"))
+          .otherwise(concat(acc.getField("out"),
+            when(acc.getField("elem") =!= "", lit("]")).otherwise(lit("")),
+            lit("["), elem))
+        struct(
+          concat(opened, lit(" "), param, lit("=\""),
+            sdEscape(e.getField("value")), lit("\"")).as("out"),
+          elem.as("elem"))
+      },
+      acc => when(acc.getField("elem") === "", lit("-"))
+        .otherwise(concat(acc.getField("out"), lit("]"))))
+  }
+
   /** `$(format-ewmm)` — the destination side of the EWMM pair
     * (`scl/ewmm/ewmm.conf`, the template-function line):
     * `<PRI>1 ISODATE HOST @syslog-ng - - SDATA JSON` where the JSON
@@ -235,35 +271,7 @@ object Scl {
       date_format(colOrT("ts", "timestamp"), "yyyy-MM-dd'T'HH:mm:ssxxx"),
       lit("-"))
     val hostField = coalesce(nullif(colOr(df, "host"), lit("")), lit("-"))
-    // RFC5424 SD-PARAM value escapes: \ " ] (rfc5424 §6.3.3)
-    def sdEscape(v: Column): Column =
-      regexp_replace(regexp_replace(regexp_replace(v,
-        "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\\]", "\\\\]")
-    // fold the sorted .SDATA.elem.param entries into [elem p="v"...]
-    // blocks; "-" when none (the template's ${SDATA:--})
-    val sdEntries = sort_array(filter(map_entries(values),
-      e => e.getField("key").startsWith(".SDATA.")))
-    val sdata = aggregate(sdEntries,
-      struct(lit("").as("out"), lit("").as("elem")),
-      (acc, e) => {
-        val k = e.getField("key").substr(lit(8), length(e.getField("key")))
-        // split SD-ID/param at the LAST dot (logmsg.c
-        // log_msg_append_format_sdata uses memrchr): enterprise SD-IDs
-        // contain dots — .SDATA.junos@2636.1.1.1.2.129.reason must
-        // render as [junos@2636.1.1.1.2.129 reason="..."]
-        val param = substring_index(k, ".", -1)
-        val elem = k.substr(lit(1), length(k) - length(param) - 1)
-        val opened = when(acc.getField("elem") === elem, acc.getField("out"))
-          .otherwise(concat(acc.getField("out"),
-            when(acc.getField("elem") =!= "", lit("]")).otherwise(lit("")),
-            lit("["), elem))
-        struct(
-          concat(opened, lit(" "), param, lit("=\""),
-            sdEscape(e.getField("value")), lit("\"")).as("out"),
-          elem.as("elem"))
-      },
-      acc => when(acc.getField("elem") === "", lit("-"))
-        .otherwise(concat(acc.getField("out"), lit("]"))))
+    val sdata = sdataBlocks(df)
     // all-nv-pairs scope: builtins under their macro names + values
     // minus SDATA (rides the SDATA field) minus digit-start/SOURCE
     // (--exclude 0*..9* --exclude SOURCE), plus the hop-by-hop tag list

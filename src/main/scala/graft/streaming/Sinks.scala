@@ -84,19 +84,49 @@ object Sinks {
       connectTimeoutMs: Int = 10000,
       readTimeoutMs: Int = 30000,
       retries: Int = 3,
-      retryBackoffMs: Long = 200L)
+      retryBackoffMs: Long = 200L,
+      /** additional urls — `url("a" "b")` / the loadbalancer scl
+        * (`modules/http/http-loadbalancer.c`): workers spread over all
+        * targets round-robin and FAIL OVER to the next on error */
+      urls: Seq[String] = Nil) {
+    def targets: Seq[String] = if (urls.nonEmpty) urls else Seq(url)
+  }
 
-  /** One HTTP request with bounded retry. Non-2xx and transport errors
-    * retry `retries` times with linear backoff, then throw — failing
-    * the micro-batch, which Structured Streaming replays from the
-    * checkpoint: the at-least-once contract the reference gets from
-    * retry_max + disk-buffer (`http-worker.c` default_url_failure →
-    * LTR_NOT_CONNECTED requeues the whole batch). */
+  /** Worker start-target rotation — each sending partition begins at
+    * the next target, the `lb_worker_assign` spread of
+    * `http-loadbalancer.c:60-120`. */
+  private val roundRobin = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `http-worker.c default_map_http_status_to_worker_status`:
+    * LTR_DROP — the payload can never succeed, drop it without retry;
+    * LTR_ERROR — bounded retry, then drop; everything else non-2xx is
+    * LTR_NOT_CONNECTED — reconnect and retry. */
+  private val dropCodes = Set(410, 416, 422, 424, 425, 451, 508)
+  private val errorCodes = Set(102, 103, 304, 428, 504)
+
+  /** One HTTP request against the target list with bounded retry and
+    * round-robin failover. Status handling follows the reference's
+    * default_url_failure classification (`http-worker.c:294-372`):
+    * permanent client errors (410/416/422/424/425/451 and 508) DROP
+    * the request immediately — a replayed micro-batch must not re-POST
+    * a payload the server says can never succeed; the LTR_ERROR codes
+    * retry `retries` times then drop; transport errors and the
+    * remaining non-2xx codes retry with linear backoff across the
+    * target list (failover), then throw — failing the micro-batch,
+    * which Structured Streaming replays from the checkpoint: the
+    * at-least-once contract the reference gets from retry_max +
+    * disk-buffer (LTR_NOT_CONNECTED requeues the whole batch).
+    * Returns the last HTTP status (negative for dropped requests). */
   private[graft] def httpPost(cfg: HttpConfig, body: Array[Byte]): Int = {
+    val targets = cfg.targets
+    var idx =
+      if (targets.size > 1) math.floorMod(roundRobin.getAndIncrement(), targets.size)
+      else 0
     var attempt = 0
     while (true) {
+      val url = targets(idx)
       try {
-        val conn = new java.net.URI(cfg.url).toURL.openConnection()
+        val conn = new java.net.URI(url).toURL.openConnection()
           .asInstanceOf[java.net.HttpURLConnection]
         try {
           conn.setRequestMethod(cfg.method)
@@ -110,13 +140,17 @@ object Sinks {
           try { os.write(body); os.flush() } finally os.close()
           val code = conn.getResponseCode
           if (code >= 200 && code < 300) return code
+          if (dropCodes.contains(code)) return -code
+          if (errorCodes.contains(code) && attempt >= cfg.retries) return -code
           if (attempt >= cfg.retries)
-            throw new java.io.IOException(s"http(${cfg.url}): HTTP $code after ${attempt + 1} attempts")
+            throw new java.io.IOException(
+              s"http($url): HTTP $code after ${attempt + 1} attempts")
         } finally conn.disconnect()
       } catch {
         case e: java.io.IOException if attempt < cfg.retries => ()
       }
       attempt += 1
+      idx = (idx + 1) % targets.size // fail over to the next target
       Thread.sleep(cfg.retryBackoffMs * attempt)
     }
     -1 // unreachable

@@ -3,9 +3,7 @@ package graft.streaming
 import java.io.{BufferedInputStream, InputStream}
 import java.net.{InetSocketAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.concurrent.ConcurrentLinkedQueue
-import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import java.util.concurrent.atomic.AtomicBoolean
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -38,23 +36,20 @@ object TcpSource {
 
   final class Listener(port: Int, spoolDir: String,
       octetCounted: Boolean = false, proxyProtocol: Boolean = false,
-      maxMsgSize: Int = 65536, flushLines: Int = 1000, flushMs: Long = 200L) {
+      maxMsgSize: Int = 65536, flushLines: Int = 1000, flushMs: Long = 200L)
+      extends SocketListener {
 
     private val server = new ServerSocket()
     private val running = new AtomicBoolean(false)
-    private val pending = new ConcurrentLinkedQueue[String]()
-    private val pendingCount = new AtomicLong(0)
-    private val received = new AtomicLong(0)
-    private val fileSeq = new AtomicLong(0)
+    private val spool = new Spool(spoolDir, flushLines, flushMs)
     private var threads: List[Thread] = Nil
 
     def boundPort: Int = server.getLocalPort
     /** Frames accepted so far (for tests/metrics — the reference's
       * `processed` counter). */
-    def receivedCount: Long = received.get()
+    def receivedCount: Long = spool.receivedCount
 
     def start(): Listener = {
-      Files.createDirectories(Paths.get(spoolDir))
       server.bind(new InetSocketAddress("127.0.0.1", port))
       running.set(true)
       val acceptor = daemon("graft-tcp-acceptor") {
@@ -67,10 +62,7 @@ object TcpSource {
         }
       }
       val flusher = daemon("graft-tcp-flusher") {
-        while (running.get() || pendingCount.get() > 0) {
-          flush(force = false)
-          Thread.sleep(flushMs)
-        }
+        spool.flusherLoop(() => running.get())
       }
       synchronized { threads = acceptor :: flusher :: threads }
       this
@@ -81,7 +73,7 @@ object TcpSource {
       running.set(false)
       server.close()
       synchronized(threads).foreach(_.join(5000))
-      flush(force = true)
+      spool.flush(force = true)
     }
 
     private def daemon(name: String)(body: => Unit): Thread = {
@@ -118,12 +110,7 @@ object TcpSource {
       } finally sock.close()
     }
 
-    private def accept(frame: String): Unit = {
-      pending.add(frame)
-      pendingCount.incrementAndGet()
-      received.incrementAndGet()
-      if (pendingCount.get() >= flushLines) flush(force = false)
-    }
+    private def accept(frame: String): Unit = spool.accept(frame)
 
     /** One newline-terminated line (CR-tolerant), or null at EOF. */
     private def readLine(in: InputStream): String = {
@@ -168,35 +155,6 @@ object TcpSource {
         if (buf.length < take) null
         else new String(buf, StandardCharsets.UTF_8)
       } else readLine(in)
-
-    /** Drain the queue into one atomically-visible spool file: write
-      * tmp outside the glob, fsync, rename in — the file source never
-      * sees partial files. */
-    private def flush(force: Boolean): Unit = synchronized {
-      if (pendingCount.get() == 0) return
-      val sb = new java.lang.StringBuilder
-      var drained = 0
-      var m = pending.poll()
-      while (m != null) {
-        sb.append(m).append('\n')
-        drained += 1
-        m = pending.poll()
-      }
-      if (drained == 0) return
-      pendingCount.addAndGet(-drained.toLong)
-      val seq = fileSeq.incrementAndGet()
-      val tmp = Paths.get(spoolDir, s".in-$seq.tmp")
-      val dst = Paths.get(spoolDir, f"spool-$seq%08d.log")
-      val ch = java.nio.channels.FileChannel.open(tmp,
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.WRITE)
-      try {
-        ch.write(java.nio.ByteBuffer.wrap(
-          sb.toString.getBytes(StandardCharsets.UTF_8)))
-        ch.force(true)
-      } finally ch.close()
-      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
-    }
   }
 
   /** Start a listener and return it with the streaming frame source

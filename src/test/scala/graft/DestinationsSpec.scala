@@ -1,0 +1,225 @@
+package graft
+
+import graft.operators.Scl
+import graft.streaming.{TcpSink, TcpSource}
+import org.apache.spark.sql.functions._
+
+/** Network/syslog TCP destinations and the scl destination composites
+  * (loggly, sumologic, slack, telegram) — each driven end-to-end
+  * against in-process stubs: the TCP pair against a live
+  * [[TcpSource]] listener, the http composites against an HTTP stub,
+  * semantics from the reference's own block definitions
+  * (`/root/reference/scl/loggly/loggly.conf`,
+  * `scl/sumologic/sumologic.conf`, `scl/slack/slack.conf`,
+  * `scl/telegram/telegram.conf`, `modules/afsocket/afinet-dest.c`). */
+class DestinationsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def awaitCount(l: graft.streaming.SocketListener, n: Long): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (l.receivedCount < n && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(l.receivedCount == n, s"listener got ${l.receivedCount}, want $n")
+  }
+
+  private def spoolLines(dir: String): Seq[String] =
+    spark.read.textFile(s"$dir/spool-*.log").collect().toSeq
+
+  test("EWMM relay loop: format-ewmm -> syslog() dest -> listener -> ewmm-parser") {
+    // the full relay hop over a REAL socket: the sender formats EWMM,
+    // the syslog() destination frames it RFC6587, the receiving
+    // listener unfrmes it, and ewmm-parser recovers every NV pair —
+    // including SDATA, which rides the RFC5424 SD field
+    val dir = java.nio.file.Files.createTempDirectory("graft_relay").toString
+    val (listener, _) = TcpSource.listen(spark, s"$dir/spool",
+      octetCounted = true)
+    try {
+      val df = Seq(1).toDF("i")
+        .withColumn("host", lit("web7"))
+        .withColumn("program", lit("nginx"))
+        .withColumn("pid", lit("4242"))
+        .withColumn("message", lit("GET / 200 \"q\" and \\slash"))
+        .withColumn("facility", lit(4))
+        .withColumn("severity", lit(6))
+        .withColumn("ts", to_timestamp(lit("2024-01-12 03:04:05")))
+        .withColumn("tags", array(lit("prod"), lit("edge")))
+        .withColumn("values", map(
+          lit(".classifier.class"), lit("system"),
+          lit("custom"), lit("v1"),
+          lit(".SDATA.meta.seq"), lit("9"),
+          lit(".SDATA.origin.ip"), lit("10.0.0.7")))
+      val wire = df.select(Scl.formatEwmm(df).as("line"))
+      TcpSink.writeBatch(wire, "line",
+        TcpSink.Config(Seq("127.0.0.1" -> listener.boundPort),
+          octetCounted = true))
+      awaitCount(listener, 1)
+      listener.stop()
+      val back = Scl.ewmmParser(Scl.parseSyslogMessage(
+        spark.read.textFile(s"$dir/spool/spool-*.log").toDF("message")))
+      val r = back.select(col("host"), col("program"), col("pid"),
+        col("message"), array_join(col("tags"), ",").as("tags"),
+        element_at(col("values"), "custom").as("custom"),
+        element_at(col("values"), ".classifier.class").as("cls"),
+        element_at(col("values"), ".SDATA.meta.seq").as("sd"),
+        element_at(col("values"), ".SDATA.origin.ip").as("sdip")).head()
+      assert(r.getString(0) == "web7" && r.getString(1) == "nginx")
+      assert(r.getString(2) == "4242")
+      assert(r.getString(3) == "GET / 200 \"q\" and \\slash")
+      assert(r.getString(4) == "prod,edge")
+      assert(r.getString(5) == "v1" && r.getString(6) == "system")
+      assert(r.getString(7) == "9" && r.getString(8) == "10.0.0.7")
+    } finally listener.stop()
+  }
+
+  test("network() dest fails over to the next server when primary is down") {
+    // afinet-dest-failover.c: primary refused -> reconnect to the
+    // failover target, the in-flight message is re-sent there
+    val dir = java.nio.file.Files.createTempDirectory("graft_fo").toString
+    val (backup, _) = TcpSource.listen(spark, s"$dir/spool")
+    try {
+      // a port with nothing listening: bind + close to reserve a number
+      val dead = new java.net.ServerSocket(0)
+      val deadPort = dead.getLocalPort
+      dead.close()
+      TcpSink.writeBatch(
+        Seq("m1", "m2", "m3").toDF("line"), "line",
+        TcpSink.Config(
+          Seq("127.0.0.1" -> deadPort, "127.0.0.1" -> backup.boundPort),
+          retryBackoffMs = 10))
+      awaitCount(backup, 3)
+      backup.stop()
+      assert(spoolLines(s"$dir/spool").sorted == Seq("m1", "m2", "m3"))
+    } finally backup.stop()
+  }
+
+  test("config text: loggly() renders the token SD block over network()") {
+    // scl/loggly/loggly.conf: <PRI>1 ISODATE HOST PROGRAM PID MSGID
+    // [TOKEN@41058 tag="t"] MSG over network(tcp)
+    val dir = java.nio.file.Files.createTempDirectory("graft_loggly").toString
+    val (listener, _) = TcpSource.listen(spark, s"$dir/spool")
+    try {
+      val in = java.nio.file.Files.createTempDirectory("graft_loggly_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<38>1 2024-01-12T03:04:05Z h1 app 7 M1 - hello loggly\n".getBytes)
+      val conf = s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { loggly(token("TOK-123") tag("prod")
+          host("127.0.0.1") port(${listener.boundPort})); };
+        log { source(s); destination(d); };
+      """
+      val (routes, _) = graft.config.ConfigCompiler.compileStreamingPipeline(
+        graft.config.ConfigParser.parse(conf), spark, s"$dir/unused")
+      val q = graft.config.ConfigCompiler.startRoute(routes.head,
+        s"$dir/out", s"$dir/cp")
+      q.awaitTermination(60000)
+      awaitCount(listener, 1)
+      listener.stop()
+      val line = spoolLines(s"$dir/spool").head
+      assert(line == "<38>1 2024-01-12T03:04:05+00:00 h1 app 7 M1 " +
+        "[TOK-123@41058 tag=\"prod\"] hello loggly", line)
+    } finally listener.stop()
+  }
+
+  private def withHttpStub(f: (String, java.util.List[String]) => Unit): Unit = {
+    val bodies = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      bodies.add(new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.getAddress.getPort}", bodies)
+    finally srv.stop(0)
+  }
+
+  private def runFileRoute(conf: String, dir: String): Unit = {
+    val (routes, _) = graft.config.ConfigCompiler.compileStreamingPipeline(
+      graft.config.ConfigParser.parse(conf), spark, s"$dir/unused")
+    val q = graft.config.ConfigCompiler.startRoute(routes.head,
+      s"$dir/out", s"$dir/cp")
+    q.awaitTermination(60000)
+  }
+
+  test("config text: slack() posts the attachments JSON to the webhook") {
+    withHttpStub { (url, bodies) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_slack").toString
+      val in = java.nio.file.Files.createTempDirectory("graft_slack_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<11>Jan 12 03:04:05 h1 app[7]: disk failing\n".getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { slack(hook-url("$url/hook")); };
+        log { source(s); destination(d); };
+      """, dir)
+      val body = bodies.toArray.toSeq.asInstanceOf[Seq[String]].head
+      assert(body.startsWith("{\"attachments\":[{"), body)
+      assert(body.endsWith("]}"), body)
+      assert(body.contains("\"text\":\"disk failing\""), body)
+      assert(body.contains(
+        "\"author_name\":\"host: h1 | program: app(7) | severity: err\""), body)
+      // severity err = level 3 -> 4th color of the default list
+      assert(body.contains("\"color\":\"#F39C12\""), body)
+    }
+  }
+
+  test("config text: telegram() sends the url-encoded form body") {
+    withHttpStub { (url, bodies) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_tg").toString
+      val in = java.nio.file.Files.createTempDirectory("graft_tg_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<13>Jan 12 03:04:05 h1 app: hello & goodbye\n".getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { telegram(bot-id("B1") chat-id("C9") url("$url/bot")); };
+        log { source(s); destination(d); };
+      """, dir)
+      val body = bodies.toArray.toSeq.asInstanceOf[Seq[String]].head
+      assert(body.startsWith(
+        "disable_web_page_preview=true&disable_notification=false" +
+          "&parse_mode=none&chat_id=C9&&text="), body)
+      assert(body.contains("text=hello+%26+goodbye") ||
+        body.contains("text=hello%20%26%20goodbye"), body)
+    }
+  }
+
+  test("config text: sumologic-http() posts the rendered line") {
+    withHttpStub { (url, bodies) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_sumo").toString
+      val in = java.nio.file.Files.createTempDirectory("graft_sumo_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<13>Jan 12 03:04:05 h1 app[7]: sumo line\n".getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { sumologic-http(url("$url/receiver")); };
+        log { source(s); destination(d); };
+      """, dir)
+      val body = bodies.toArray.toSeq.asInstanceOf[Seq[String]].head
+      assert(body == "2024-01-12T03:04:05+00:00 h1 app[7]: sumo line", body)
+    }
+  }
+
+  test("config text: sumologic-syslog() renders the token block to the socket") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sumo2").toString
+    val (listener, _) = TcpSource.listen(spark, s"$dir/spool")
+    try {
+      val in = java.nio.file.Files.createTempDirectory("graft_sumo2_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<13>Jan 12 03:04:05 h1 app: sumo syslog\n".getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { sumologic-syslog(token("ZONE-X") tag("edge")
+          host("127.0.0.1") port(${listener.boundPort})); };
+        log { source(s); destination(d); };
+      """, dir)
+      awaitCount(listener, 1)
+      listener.stop()
+      val line = spoolLines(s"$dir/spool").head
+      assert(line == "<13>1 2024-01-12T03:04:05+00:00 h1 app - - " +
+        "[ZONE-X tag=\"edge\"] sumo syslog", line)
+    } finally listener.stop()
+  }
+}

@@ -66,6 +66,94 @@ class HttpSinkSpec extends GraftSuite {
     }
   }
 
+  private def withCodeServer(codes: Int*)(
+      f: (String, java.util.List[String]) => Unit): Unit = {
+    // replies with the given status codes in order, then 200s
+    val bodies = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val left = new java.util.concurrent.atomic.AtomicInteger(0)
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val i = left.getAndIncrement()
+      if (i < codes.length) ex.sendResponseHeaders(codes(i), -1)
+      else { bodies.add(body); ex.sendResponseHeaders(200, -1) }
+      ex.close()
+    })
+    srv.start()
+    try f(s"http://127.0.0.1:${srv.getAddress.getPort}/ingest", bodies)
+    finally srv.stop(0)
+  }
+
+  test("permanent 4xx drops without retry; LTR_ERROR codes retry then drop") {
+    // http-worker.c default_map_http_status_to_worker_status:
+    // 422 is in the LTR_DROP set — one request, no retry, no batch
+    // failure (a replayed micro-batch must not re-POST a payload the
+    // server says can never succeed)
+    withCodeServer(422) { (url, bodies) =>
+      val cfg = HttpConfig(url, retries = 3, retryBackoffMs = 10)
+      val n = Sinks.httpSendPartition(cfg, Iterator("poison"))
+      assert(n == 1 && bodies.isEmpty) // dropped, no exception
+    }
+    // 428 is in the LTR_ERROR set — retried up to retries, then
+    // dropped (not thrown)
+    withCodeServer(428, 428, 428, 428, 428) { (url, bodies) =>
+      val cfg = HttpConfig(url, retries = 2, retryBackoffMs = 10)
+      Sinks.httpSendPartition(cfg, Iterator("spins"))
+      assert(bodies.isEmpty)
+    }
+    // ...but an LTR_ERROR code clears on retry if the server recovers
+    withCodeServer(428) { (url, bodies) =>
+      val cfg = HttpConfig(url, retries = 2, retryBackoffMs = 10)
+      Sinks.httpSendPartition(cfg, Iterator("recovers"))
+      assert(bodies.toArray.toSeq == Seq("recovers"))
+    }
+  }
+
+  test("multi-url: round-robin distribution and failover on error") {
+    // http-loadbalancer.c / scl/loadbalancer: workers spread across
+    // targets; a failing target's requests fail over to the next
+    val hitsA = new java.util.concurrent.atomic.AtomicInteger(0)
+    val hitsB = new java.util.concurrent.atomic.AtomicInteger(0)
+    def stub(hits: java.util.concurrent.atomic.AtomicInteger, ok: Boolean) = {
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      srv.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.getRequestBody.readAllBytes()
+        hits.incrementAndGet()
+        ex.sendResponseHeaders(if (ok) 200 else 503, -1)
+        ex.close()
+      })
+      srv.start()
+      srv
+    }
+    val a = stub(hitsA, ok = true)
+    val b = stub(hitsB, ok = true)
+    try {
+      val urls = Seq(a, b).map(s => s"http://127.0.0.1:${s.getAddress.getPort}/ingest")
+      val cfg = HttpConfig(urls.head, urls = urls, retryBackoffMs = 10)
+      (1 to 10).foreach(i => Sinks.httpPost(cfg,
+        s"m$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      // both targets served requests (round-robin start rotation)
+      assert(hitsA.get() > 0 && hitsB.get() > 0, s"${hitsA.get()}/${hitsB.get()}")
+      assert(hitsA.get() + hitsB.get() == 10)
+    } finally { a.stop(0); b.stop(0) }
+    // failover: first target always 503s, every request lands on the
+    // healthy second target
+    hitsA.set(0); hitsB.set(0)
+    val bad = stub(hitsA, ok = false)
+    val good = stub(hitsB, ok = true)
+    try {
+      val urls = Seq(bad, good).map(s => s"http://127.0.0.1:${s.getAddress.getPort}/ingest")
+      val cfg = HttpConfig(urls.head, urls = urls, retries = 3, retryBackoffMs = 10)
+      (1 to 6).foreach(i => assert(Sinks.httpPost(cfg,
+        s"m$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)) == 200))
+      assert(hitsB.get() == 6)
+    } finally { bad.stop(0); good.stop(0) }
+  }
+
   test("empty partition posts nothing") {
     withServer() { (url, bodies) =>
       val n = Sinks.httpSendPartition(HttpConfig(url), Iterator.empty)

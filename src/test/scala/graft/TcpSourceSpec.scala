@@ -18,7 +18,7 @@ class TcpSourceSpec extends GraftSuite {
     } finally s.close()
   }
 
-  private def awaitCount(l: TcpSource.Listener, n: Long): Unit = {
+  private def awaitCount(l: graft.streaming.SocketListener, n: Long): Unit = {
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (l.receivedCount < n && System.nanoTime() < deadline)
       Thread.sleep(20)
@@ -93,6 +93,76 @@ class TcpSourceSpec extends GraftSuite {
       send(listener.boundPort, s"${ok.length} $ok")
       awaitCount(listener, before + 1)
     } finally listener.stop()
+  }
+
+  test("udp: one datagram = one message, truncation, newline trim") {
+    // logproto-dgram-server.c: the packet boundary is the record
+    // boundary — no framing; RFC5426 syslog-over-UDP
+    val dir = java.nio.file.Files.createTempDirectory("graft_udp").toString
+    val (listener, lines) = graft.streaming.UdpSource.listen(
+      spark, s"$dir/spool", maxMsgSize = 64)
+    try {
+      val sock = new java.net.DatagramSocket()
+      def sendUdp(s: String): Unit = {
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        sock.send(new java.net.DatagramPacket(b, b.length,
+          java.net.InetAddress.getByName("127.0.0.1"), listener.boundPort))
+      }
+      sendUdp("<13>Jan 12 03:04:05 h1 app1: payload one")
+      sendUdp("<13>Jan 12 03:04:05 h2 app2: trailing newline\n")
+      sendUdp("<13>Jan 12 03:04:05 h3 app3: " + "x" * 200) // truncates at 64
+      sock.close()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (listener.receivedCount < 3 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(listener.receivedCount == 3)
+      listener.stop()
+      val q = lines.writeStream.format("memory").queryName("udp_e2e")
+        .option("checkpointLocation", s"$dir/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val got = spark.table("udp_e2e").select("value")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(got.size == 3)
+      assert(got.contains("<13>Jan 12 03:04:05 h1 app1: payload one"))
+      assert(got.contains("<13>Jan 12 03:04:05 h2 app2: trailing newline"))
+      assert(got.forall(_.length <= 64))
+    } finally listener.stop()
+  }
+
+  test("config text: network(transport(udp)) binds the datagram listener") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_udp2").toString
+    val conf = """
+      source s_udp { network(transport(udp) port(0) log-msg-size(2048)); };
+      destination d { file("/out"); };
+      log { source(s_udp); destination(d); };
+    """
+    val (routes, ls) = graft.config.ConfigCompiler.compileStreamingPipeline(
+      graft.config.ConfigParser.parse(conf), spark, s"$dir/spool")
+    try {
+      assert(ls.contains("s_udp"))
+      val sock = new java.net.DatagramSocket()
+      val b = "<13>Jan 12 03:04:05 h1 app: via udp"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      sock.send(new java.net.DatagramPacket(b, b.length,
+        java.net.InetAddress.getByName("127.0.0.1"), ls("s_udp").boundPort))
+      sock.close()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (ls("s_udp").receivedCount < 1 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(ls("s_udp").receivedCount == 1)
+      ls.values.foreach(_.stop())
+      val q = routes.head.df.writeStream.format("memory")
+        .queryName("udp_cfg")
+        .option("checkpointLocation", s"$dir/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val r = spark.table("udp_cfg").select("host", "program", "message").head()
+      assert(r.getString(0) == "h1" && r.getString(1) == "app" &&
+        r.getString(2) == "via udp")
+    } finally ls.values.foreach(_.stop())
   }
 
   test("config text: network() source -> filter -> http() destination") {
