@@ -176,6 +176,33 @@ class SclSpec extends GraftSuite {
     assert(out.getString(3) == "SYSTEM" && out.getString(4) == "eventid1")
   }
 
+  test("panos registry path: reference CONFIG goldens, 15- and 17-column") {
+    // the reference's own functional-test lines
+    // (tests/python_functional/functional_tests/parsers/panos) pushed
+    // through the REGISTRY path: syslog parse strips the RFC3164
+    // header, the un-tagged CSV starts at the program position
+    // (LEGACY_MSGHDR), and the translated "1," message-prefix signal
+    // routes to panos — locking the translation for both CONFIG
+    // layouts (panos.conf tries 15 columns, falls back to 17)
+    val config15 = "<14>Apr 14 16:54:18 paloalto.test.net 1,2020/04/14 16:54:18," +
+      "unknown,CONFIG,0,0,2020/04/14 16:54:18,10.0.10.55,,set,admin,Web," +
+      "Succeeded,deviceconfig system,127,0x0,0,0,0,0,,paloalto"
+    val config17 = config15.replace("deviceconfig system,127",
+      "deviceconfig system,before,after,127")
+    val out = route(Seq(config15, config17))
+      .select(col("__channel"), col("program"),
+        element_at(col("values"), ".panos.type").as("typ"),
+        element_at(col("values"), ".panos.path").as("path"),
+        element_at(col("values"), ".panos.device_name").as("dev"),
+        element_at(col("values"), ".panos.before_change_detail").as("before"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4), r.getString(5))).toSet
+    // golden: <paloalto_panos><CONFIG><deviceconfig system><paloalto>
+    assert(out == Set(
+      ("panos", "paloalto_panos", "CONFIG", "deviceconfig system", "paloalto", null),
+      ("panos", "paloalto_panos", "CONFIG", "deviceconfig system", "paloalto", "before")))
+  }
+
   test("format-ewmm -> parse -> ewmm-parser round-trips every field") {
     // the EWMM pair: formatEwmm is the destination template
     // (scl/ewmm/ewmm.conf format-ewmm), ewmmParser the source block;

@@ -196,6 +196,39 @@ class StreamingSpec extends GraftSuite {
     assert(rows.contains(("adv", 1L, "w", "timeout")))
   }
 
+  test("wildcard-file source: per-file line order survives a restart") {
+    // the reference reads glob members with per-file readers and
+    // monotone positions (modules/affile/wildcard-source.c:103-299) —
+    // the ordering property the TCP/UDP spool relies on. Here: files
+    // already read before the stop are not re-emitted after the
+    // restart (checkpointed position), new files are, and within each
+    // file the emitted rows keep the file's line order (one text split
+    // per small file ⇒ one ordered partition).
+    val inDir = tmp(); val outDir = tmp(); val chk = tmp()
+    def write(name: String, n: Int): Unit =
+      Files.writeString(java.nio.file.Path.of(inDir, name),
+        (1 to n).map(i => s"$name:$i").mkString("", "\n", "\n"))
+    def startQuery() = Sources.fileLines(spark, inDir + "/*.log")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", chk)
+      .start()
+    write("a.log", 50)
+    write("b.log", 50)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    write("c.log", 50)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(outDir).select("value").collect()
+      .map(_.getString(0)).toSeq
+    // exactly-once across the restart: 150 rows, no dups, no loss
+    assert(rows.size == 150 && rows.toSet.size == 150)
+    // per-file order: within each parquet output, rows of one source
+    // file appear in ascending line order
+    for (f <- Seq("a.log", "b.log", "c.log")) {
+      val idx = rows.filter(_.startsWith(f + ":")).map(_.split(":")(1).toInt)
+      assert(idx == idx.sorted, s"$f out of order: $idx")
+    }
+  }
+
   test("checkpoint restart: correlation counter crosses the restart") {
     val inDir = tmp(); val outDir = tmp(); val chk = tmp()
     def startQuery() = {
