@@ -90,9 +90,26 @@ object ConfigCompiler {
             listeners += name -> l
             src
           } else {
+            // transport(tls): the tls(cert-file() key-file()) block of
+            // afsocket-grammar.ym; same framing over the TLS stream
+            val tls =
+              if (transport != "tls") None
+              else {
+                val tlsArgs = stmt.args.collectFirst {
+                  case KV("tls", vs) => vs
+                }.getOrElse(throw new IllegalArgumentException(
+                  s"source $name: transport(tls) needs a tls() block"))
+                val cert = kvOf(tlsArgs, "cert-file").getOrElse(
+                  throw new IllegalArgumentException(
+                    s"source $name: tls() needs cert-file()"))
+                val key = kvOf(tlsArgs, "key-file").getOrElse(
+                  throw new IllegalArgumentException(
+                    s"source $name: tls() needs key-file()"))
+                Some(cert -> key)
+              }
             val (l, src) = graft.streaming.TcpSource.listen(spark,
               s"$spoolBase/$name", port, octetCounted = proto == "syslog",
-              maxMsgSize = maxSize)
+              maxMsgSize = maxSize, tls = tls)
             listeners += name -> l
             src
           }

@@ -36,10 +36,19 @@ object TcpSource {
 
   final class Listener(port: Int, spoolDir: String,
       octetCounted: Boolean = false, proxyProtocol: Boolean = false,
-      maxMsgSize: Int = 65536, flushLines: Int = 1000, flushMs: Long = 200L)
+      maxMsgSize: Int = 65536, flushLines: Int = 1000, flushMs: Long = 200L,
+      /** (cert-file, key-file) PEM pair — `transport(tls)` with the
+        * reference's tls() block (`lib/transport/transport-tls.c`);
+        * same framing on top of the encrypted stream */
+      tls: Option[(String, String)] = None)
       extends SocketListener {
 
-    private val server = new ServerSocket()
+    private val server: ServerSocket = tls match {
+      case Some((certFile, keyFile)) =>
+        PemTls.serverContext(certFile, keyFile)
+          .getServerSocketFactory.createServerSocket()
+      case None => new ServerSocket()
+    }
     private val running = new AtomicBoolean(false)
     private val spool = new Spool(spoolDir, flushLines, flushMs)
     private var threads: List[Thread] = Nil
@@ -163,9 +172,10 @@ object TcpSource {
     * DataFrame of raw lines (`value`, `source_file`). */
   def listen(spark: SparkSession, spoolDir: String, port: Int = 0,
       octetCounted: Boolean = false, proxyProtocol: Boolean = false,
-      maxMsgSize: Int = 65536): (Listener, DataFrame) = {
+      maxMsgSize: Int = 65536,
+      tls: Option[(String, String)] = None): (Listener, DataFrame) = {
     val l = new Listener(port, spoolDir, octetCounted, proxyProtocol,
-      maxMsgSize).start()
+      maxMsgSize, tls = tls).start()
     (l, Sources.fileLines(spark, s"$spoolDir/spool-*.log"))
   }
 }

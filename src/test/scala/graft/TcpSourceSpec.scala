@@ -95,6 +95,56 @@ class TcpSourceSpec extends GraftSuite {
     } finally listener.stop()
   }
 
+  test("tls: transport(tls) listener accepts a verified TLS client") {
+    // transport-tls.c semantics on the dev listener: PEM
+    // cert-file()/key-file() on the server, the client verifying the
+    // peer against ca-file() (peer-verify(required-trusted)); newline
+    // framing on top of the encrypted stream
+    val certDir = java.nio.file.Files.createTempDirectory("graft_tls_pem")
+    import scala.sys.process._
+    val gen = Seq("openssl", "req", "-x509", "-newkey", "rsa:2048",
+      "-nodes", "-keyout", s"$certDir/key.pem", "-out", s"$certDir/cert.pem",
+      "-days", "1", "-subj", "/CN=127.0.0.1").!(ProcessLogger(_ => ()))
+    assert(gen == 0, "openssl cert generation failed")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tls").toString
+    val conf = s"""
+      source s_tls { network(transport(tls) port(0)
+        tls(cert-file("$certDir/cert.pem") key-file("$certDir/key.pem"))); };
+      destination d { file("/out"); };
+      log { source(s_tls); destination(d); };
+    """
+    val (routes, ls) = graft.config.ConfigCompiler.compileStreamingPipeline(
+      graft.config.ConfigParser.parse(conf), spark, s"$dir/spool")
+    val listener = ls("s_tls")
+    try {
+      val ctx = graft.streaming.PemTls.clientContext(s"$certDir/cert.pem")
+      val sock = ctx.getSocketFactory.createSocket("127.0.0.1",
+        listener.boundPort)
+      try {
+        val os = sock.getOutputStream
+        os.write("<13>Jan 12 03:04:05 h1 app: secret over tls\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        os.flush()
+      } finally sock.close()
+      awaitCount(listener, 1)
+      // a PLAINTEXT client on the TLS port is rejected (handshake
+      // fails on first read) and must not poison the spool or kill
+      // the listener
+      send(listener.boundPort, "not tls at all\n")
+      Thread.sleep(300)
+      assert(listener.receivedCount == 1)
+      listener.stop()
+      val q = routes.head.df.writeStream.format("memory")
+        .queryName("tls_cfg")
+        .option("checkpointLocation", s"$dir/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val r = spark.table("tls_cfg").select("host", "message").head()
+      assert(r.getString(0) == "h1" && r.getString(1) == "secret over tls")
+    } finally listener.stop()
+  }
+
   test("udp: one datagram = one message, truncation, newline trim") {
     // logproto-dgram-server.c: the packet boundary is the record
     // boundary — no framing; RFC5426 syslog-over-UDP
