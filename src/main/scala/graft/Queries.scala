@@ -1934,6 +1934,68 @@ object Queries {
       FROM documents ORDER BY media_id"""))
 
   // ---------------------------------------------------------------------
+  // app-parser(topic(syslog)) via the FUSED registry compile
+  // (Scl.appParser — one scan, route-keyed effects, single values
+  // merge), complementing app_parser's junction-compile coverage:
+  // six registered applications detected on post-syslog-parse columns
+  // ---------------------------------------------------------------------
+  private val appParserTopicQ = Q("app_parser_topic",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val uid = col("user_id").cast("string")
+      val eid = col("event_id").cast("string")
+      val m = col("event_id") % 7
+      val msg = when(m === 0, concat(lit("IN=eth0 OUT= SRC=10.0.0."), uid,
+          lit(" DST=10.0.1.2 PROTO=TCP SPT=1042 DPT=22")))
+        .when(m === 1, concat(lit("u"), uid,
+          lit(" : TTY=pts/0 ; PWD=/home ; USER=root ; COMMAND=/bin/ls /tmp/f"), eid))
+        .when(m === 2, concat(
+          lit("1,2024/01/12 03:04:05,001122,SYSTEM,general,1,2024/01/12 03:04:05,vsys1,ev"),
+          eid, lit(",object1,,,general,informational,desc,112233,0x0,vsys_name,device_name")))
+        .when(m === 3, concat(lit("@cee:{\"event\":\"login\",\"user\":\"u"), uid, lit("\"}")))
+        .when(m === 4, lit("@cim:{\"event\":\"search\"}"))
+        .when(m === 5, lit("junos session closed"))
+        .otherwise(concat(lit("hello "), eid))
+      val in = ev.select(col("event_id"),
+        msg.as("message"),
+        when(m === 0, lit("kernel")).when(m === 1, lit("sudo"))
+          .otherwise(lit("app")).as("program"),
+        when(m === 0, lit(0)).otherwise(lit(3)).as("facility"),
+        when(m === 5, map(lit(".SDATA.junos@2636.1.1.1.2.129.reason"),
+            lit("TCP FIN")))
+          .otherwise(map().cast("map<string,string>")).as("values"))
+      val out = graft.operators.Scl.appParser(in, "syslog")
+      out.select(col("event_id"),
+        col("__channel").as("app"),
+        element_at(col("values"), ".app.name").as("app_nv"),
+        coalesce(
+          element_at(col("values"), ".iptables.PROTO"),
+          element_at(col("values"), ".sudo.COMMAND"),
+          element_at(col("values"), ".panos.eventid"),
+          element_at(col("values"), ".cee.user"),
+          element_at(col("values"), ".cim.event"),
+          when(col("__channel") === "junos",
+            element_at(col("values"), ".SDATA.junos@2636.1.1.1.2.129.reason")))
+          .as("evidence"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CASE event_id % 7 WHEN 0 THEN 'iptables' WHEN 1 THEN 'sudo'
+        WHEN 2 THEN 'panos' WHEN 3 THEN 'cee' WHEN 4 THEN 'cim'
+        WHEN 5 THEN 'junos' ELSE 'unknown' END AS app,
+      CASE event_id % 7 WHEN 0 THEN 'iptables' WHEN 1 THEN 'sudo'
+        WHEN 2 THEN 'panos' WHEN 3 THEN 'cee' WHEN 4 THEN 'cim'
+        WHEN 5 THEN 'junos' END AS app_nv,
+      CASE event_id % 7 WHEN 0 THEN 'TCP'
+        WHEN 1 THEN '/bin/ls /tmp/f' || event_id
+        WHEN 2 THEN 'ev' || event_id
+        WHEN 3 THEN 'u' || user_id
+        WHEN 4 THEN 'search'
+        WHEN 5 THEN 'TCP FIN' END AS evidence
+      FROM events ORDER BY event_id"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
   // All queries
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(aggStats, filterSeverity, enrichLookup, joinAsof,
@@ -1941,7 +2003,7 @@ object Queries {
     rewriteSubst, rewriteSetTag,
     templateFormat, templateFuncs, templateHofs,
     parseSyslogRfc3164, parseSyslogRfc5424,
-    routeJunction, patterndbClassify, appParserQ, defaultNetwork,
+    routeJunction, patterndbClassify, appParserQ, appParserTopicQ, defaultNetwork,
     enrichRange, enrichGlob,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
     parseJsonNested, parseXml, parseDate, parseTagsRekey, parseApache,
