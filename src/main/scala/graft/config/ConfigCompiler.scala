@@ -225,7 +225,9 @@ object ConfigCompiler {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
       case Some(s) if s.name == "network" || s.name == "syslog" ||
-          s.name == "loggly" || s.name == "sumologic-syslog" =>
+          s.name == "loggly" || s.name == "sumologic-syslog" ||
+          s.name == "graylog2" || s.name == "logmatic" ||
+          s.name == "collectd" || s.name == "unix-stream" =>
         startTcpRoute(route, s, checkpoint)
       case Some(s) if s.name == "elasticsearch-http" =>
         // scl/elasticsearch/elastic-http.conf: http() with an ndjson
@@ -295,13 +297,16 @@ object ConfigCompiler {
 
   private val destDrivers = Set("http", "elasticsearch-http", "network",
     "syslog", "loggly", "sumologic-http", "sumologic-syslog", "slack",
-    "telegram")
+    "telegram", "graylog2", "logmatic", "collectd", "unix-stream")
 
   /** network()/syslog() destinations and the scl composites over them
-    * (`loggly()`, `sumologic-syslog()`): resolve the target list
-    * (primary + `failover()` servers, `afinet-dest-failover.c`), the
-    * wire template, and the framing — newline for network(), RFC6587
-    * octet-counted for syslog() (`logproto-framed-client.c`). The
+    * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,
+    * `collectd()`, plus the raw `unix-stream()` driver): resolve the
+    * target list (primary + `failover()` servers,
+    * `afinet-dest-failover.c`) or the unix socket path
+    * (`afunix-dest.c`), the wire template, and the framing — newline
+    * for network(), RFC6587 octet-counted for syslog()
+    * (`logproto-framed-client.c`), NUL for graylog2()'s GELF TCP. The
     * syslog() default wire format is RFC5424 with the SDATA field from
     * values ([[graft.operators.Scl.sdataBlocks]]); network() defaults
     * to the legacy `<PRI>DATE HOST MSGHDR MSG` line. */
@@ -310,7 +315,66 @@ object ConfigCompiler {
     val cols = route.df.columns.toSeq
     def t(tmpl: String): Column = Template.column(tmpl, cols)
     val userTemplate = kvOf(s.args, "template")
+    var delimiter = "\n"
+    var unixPath: Option[String] = None
     val (targets, octet, body) = s.name match {
+      case "graylog2" =>
+        // scl/graylog2/plugin.conf: network(transport(tcp)) with
+        // template("$(format-gelf)") — the GELF 1.1 JSON with its own
+        // trailing NUL ($(binary 0x00)), so no newline delimiter
+        val host = kvOf(s.args, "host").getOrElse("127.0.0.1")
+        val port = kvOf(s.args, "port").map(_.toInt).getOrElse(12201)
+        delimiter = ""
+        val line = userTemplate.map(t)
+          .getOrElse(graft.operators.Scl.formatGelf(route.df.toDF()))
+        (Seq(host -> port), false, line)
+      case "logmatic" =>
+        // scl/logmatic/logmatic.conf: network(tcp) with the API token
+        // prefixed to an RFC5424 line, SDATA defaulting to "-"
+        val token = kvOf(s.args, "token").getOrElse(
+          throw new IllegalArgumentException("logmatic() needs token()"))
+        val host = kvOf(s.args, "host").getOrElse("api.logmatic.io")
+        val port = kvOf(s.args, "port").map(_.toInt).getOrElse(10514)
+        val line = concat(
+          lit(token + " "),
+          t("<$PRI>1 $ISODATE ${HOST:--} ${PROGRAM:--} ${PID:--} ${MSGID:--} "),
+          graft.operators.Scl.sdataBlocks(route.df.toDF()),
+          lit(" "), t(userTemplate.getOrElse("$MSG")))
+        (Seq(host -> port), false, line)
+      case "collectd" =>
+        // scl/collectd/plugin.conf: unix-stream() to the collectd
+        // unixsock plugin, one `PUTVAL host/plugin[-inst]/type[-inst]
+        // [interval=N] UNIXTIME:values` line per message; the
+        // plugin/type instance and interval suffixes are the config-
+        // level $(if) conditionals of the reference block
+        val sockPath = kvOf(s.args, "socket")
+          .getOrElse("/var/run/collectd-unixsock")
+        unixPath = Some(sockPath)
+        def dashed(base: String, inst: String): String =
+          if (inst.isEmpty) base else s"$base-$inst"
+        def kv2(a: String, b: String): Option[String] =
+          kvOf(s.args, a).orElse(kvOf(s.args, b))
+        val ident = dashed(kvOf(s.args, "plugin").getOrElse(
+            throw new IllegalArgumentException("collectd() needs plugin()")),
+            kv2("plugin_instance", "plugin-instance").getOrElse("")) + "/" +
+          dashed(kvOf(s.args, "type").getOrElse(
+            throw new IllegalArgumentException("collectd() needs type()")),
+            kv2("type_instance", "type-instance").getOrElse(""))
+        val interval = kvOf(s.args, "interval").getOrElse("60")
+        val intervalPart = if (interval.isEmpty) "" else s" interval=$interval"
+        val hostT = kvOf(s.args, "host").getOrElse("${HOST}")
+        val values = kvOf(s.args, "values").getOrElse("U")
+        val line = t(
+          s"PUTVAL $hostT/$ident$intervalPart $${UNIXTIME}:$values")
+        (Nil, false, line)
+      case "unix-stream" =>
+        // modules/afsocket/afunix-dest.c: newline text protocol over a
+        // unix domain socket
+        val sockPath = s.args.collectFirst { case Lit(p) => p }
+          .orElse(kvOf(s.args, "path")).getOrElse(
+            throw new IllegalArgumentException("unix-stream() needs a path"))
+        unixPath = Some(sockPath)
+        (Nil, false, t(userTemplate.getOrElse("<$PRI>$DATE $HOST $MSGHDR$MESSAGE")))
       case "loggly" =>
         // scl/loggly/loggly.conf: network() with the token SD block
         val token = kvOf(s.args, "token").getOrElse(
@@ -361,7 +425,8 @@ object ConfigCompiler {
         }
         (((host -> port) +: failover.map(_ -> port)), proto == "syslog", body)
     }
-    val cfg = graft.streaming.TcpSink.Config(targets, octetCounted = octet)
+    val cfg = graft.streaming.TcpSink.Config(targets, octetCounted = octet,
+      delimiter = delimiter, unixPath = unixPath)
     val df = route.df.withColumn("__body", body)
     graft.streaming.TcpSink.tcpSink(df, "__body", cfg, checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

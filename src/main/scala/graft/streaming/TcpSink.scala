@@ -25,14 +25,23 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object TcpSink {
 
-  /** @param targets (host, port) list — head is the primary, the rest
-    *                the failover() chain of afinet-dest-failover.c */
+  /** @param targets   (host, port) list — head is the primary, the rest
+    *                   the failover() chain of afinet-dest-failover.c
+    * @param delimiter  trailing frame delimiter for the non-octet text
+    *                   protocol — "\n" for network(tcp); NUL (0x00) for
+    *                   GELF TCP framing (`scl/graylog2/plugin.conf`'s
+    *                   `$(binary 0x00)` template suffix)
+    * @param unixPath   when set, connect to this unix-stream() socket
+    *                   path instead of the TCP targets
+    *                   (`modules/afsocket/afunix-dest.c`) */
   final case class Config(
       targets: Seq[(String, Int)],
       octetCounted: Boolean = false,
       connectTimeoutMs: Int = 10000,
       retries: Int = 3,
-      retryBackoffMs: Long = 100L)
+      retryBackoffMs: Long = 100L,
+      delimiter: String = "\n",
+      unixPath: Option[String] = None)
 
   private def frame(cfg: Config, msg: String): Array[Byte] = {
     val payload = msg.getBytes(StandardCharsets.UTF_8)
@@ -43,26 +52,41 @@ object TcpSink {
       System.arraycopy(payload, 0, out, head.length, payload.length)
       out
     } else {
-      val out = new Array[Byte](payload.length + 1)
+      val delim = cfg.delimiter.getBytes(StandardCharsets.UTF_8)
+      val out = new Array[Byte](payload.length + delim.length)
       System.arraycopy(payload, 0, out, 0, payload.length)
-      out(payload.length) = '\n'
+      System.arraycopy(delim, 0, out, payload.length, delim.length)
       out
     }
   }
 
-  private def connect(cfg: Config, idx: Int): Socket = {
-    val (host, port) = cfg.targets(idx % cfg.targets.size)
-    val s = new Socket()
-    s.connect(new InetSocketAddress(host, port), cfg.connectTimeoutMs)
-    s
+  /** One live connection: a TCP Socket or a unix-stream
+    * SocketChannel, abstracted to its OutputStream. */
+  private final class Conn(closeable: AutoCloseable,
+      val out: java.io.OutputStream) {
+    def close(): Unit = try closeable.close() catch { case _: Throwable => () }
+  }
+
+  private def connect(cfg: Config, idx: Int): Conn = cfg.unixPath match {
+    case Some(path) =>
+      val ch = java.nio.channels.SocketChannel.open(
+        java.net.UnixDomainSocketAddress.of(path))
+      new Conn(ch, java.nio.channels.Channels.newOutputStream(ch))
+    case None =>
+      val (host, port) = cfg.targets(idx % cfg.targets.size)
+      val s = new Socket()
+      s.connect(new InetSocketAddress(host, port), cfg.connectTimeoutMs)
+      new Conn(s, s.getOutputStream)
   }
 
   /** Send one partition's messages over one connection, failing over
     * across the target list; throws when every target refused
     * `retries`+1 times — failing the micro-batch for replay. */
   private[graft] def sendPartition(cfg: Config, msgs: Iterator[String]): Unit = {
-    require(cfg.targets.nonEmpty, "tcp destination needs at least one target")
-    var sock: Socket = null
+    require(cfg.targets.nonEmpty || cfg.unixPath.isDefined,
+      "tcp destination needs at least one target")
+    val nTargets = math.max(cfg.targets.size, 1)
+    var sock: Conn = null
     var idx = 0
     var attempt = 0
     try {
@@ -72,25 +96,23 @@ object TcpSink {
         while (!sent) {
           try {
             if (sock == null) sock = connect(cfg, idx)
-            sock.getOutputStream.write(bytes)
+            sock.out.write(bytes)
             sent = true
           } catch {
             case e: java.io.IOException =>
-              if (sock != null) { try sock.close() catch { case _: Throwable => () } }
+              if (sock != null) sock.close()
               sock = null
-              if (attempt >= cfg.retries * cfg.targets.size)
+              if (attempt >= cfg.retries * nTargets)
                 throw new java.io.IOException(
                   s"tcp destination: all targets failed after $attempt attempts", e)
               attempt += 1
               idx += 1 // failover to the next server
-              Thread.sleep(cfg.retryBackoffMs * (attempt / cfg.targets.size + 1))
+              Thread.sleep(cfg.retryBackoffMs * (attempt / nTargets + 1))
           }
         }
       }
-      if (sock != null) sock.getOutputStream.flush()
-    } finally if (sock != null) {
-      try sock.close() catch { case _: Throwable => () }
-    }
+      if (sock != null) sock.out.flush()
+    } finally if (sock != null) sock.close()
   }
 
   /** Streaming form: render `bodyCol` per row, send per partition. */

@@ -5,13 +5,17 @@ import graft.streaming.{TcpSink, TcpSource}
 import org.apache.spark.sql.functions._
 
 /** Network/syslog TCP destinations and the scl destination composites
-  * (loggly, sumologic, slack, telegram) — each driven end-to-end
-  * against in-process stubs: the TCP pair against a live
-  * [[TcpSource]] listener, the http composites against an HTTP stub,
-  * semantics from the reference's own block definitions
+  * (loggly, sumologic, slack, telegram, graylog2, logmatic, collectd)
+  * — each driven end-to-end against in-process stubs: the TCP pair
+  * against a live [[TcpSource]] listener, the http composites against
+  * an HTTP stub, graylog2 against a raw byte stub (NUL framing),
+  * collectd against a unix-domain ServerSocketChannel; semantics from
+  * the reference's own block definitions
   * (`/root/reference/scl/loggly/loggly.conf`,
   * `scl/sumologic/sumologic.conf`, `scl/slack/slack.conf`,
-  * `scl/telegram/telegram.conf`, `modules/afsocket/afinet-dest.c`). */
+  * `scl/telegram/telegram.conf`, `scl/graylog2/plugin.conf`,
+  * `scl/logmatic/logmatic.conf`, `scl/collectd/plugin.conf`,
+  * `modules/afsocket/afinet-dest.c`). */
 class DestinationsSpec extends GraftSuite {
   import spark.implicits._
 
@@ -221,5 +225,112 @@ class DestinationsSpec extends GraftSuite {
       assert(line == "<13>1 2024-01-12T03:04:05+00:00 h1 app - - " +
         "[ZONE-X tag=\"edge\"] sumo syslog", line)
     } finally listener.stop()
+  }
+
+  /** Raw byte-collecting TCP stub for non-newline framings (GELF's
+    * NUL): accepts one connection, drains it to a buffer. */
+  private def withRawTcpStub(f: Int => Unit): Array[Byte] = {
+    val srv = new java.net.ServerSocket(0, 8,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val th = new Thread(() => {
+      try {
+        val s = srv.accept()
+        s.getInputStream.transferTo(buf)
+        s.close()
+      } catch { case _: Throwable => () }
+    })
+    th.setDaemon(true)
+    th.start()
+    try f(srv.getLocalPort) finally ()
+    th.join(30000)
+    srv.close()
+    buf.toByteArray
+  }
+
+  test("config text: graylog2() sends NUL-framed GELF 1.1 JSON") {
+    // scl/graylog2/plugin.conf: network(tcp) + $(format-gelf) whose
+    // template ends in $(binary 0x00) — one NUL-terminated typed JSON
+    // document per message
+    val dir = java.nio.file.Files.createTempDirectory("graft_gelf").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_gelf_in")
+    java.nio.file.Files.write(in.resolve("in.log"),
+      "<38>1 2024-01-12T03:04:05Z h1 app 7 M1 - gelf hello\n".getBytes)
+    val bytes = withRawTcpStub { port =>
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { graylog2(host("127.0.0.1") port($port)); };
+        log { source(s); destination(d); };
+      """, dir)
+    }
+    assert(bytes.nonEmpty && bytes.last == 0, "expected NUL-terminated frame")
+    val frames = new String(bytes, "UTF-8").split("\u0000").toSeq
+    assert(frames.size == 1, frames)
+    val doc = frames.head
+    assert(doc == "{\"version\":\"1.1\",\"host\":\"h1\"," +
+      "\"short_message\":\"gelf hello\",\"level\":6," +
+      "\"timestamp\":1705028645,\"_program\":\"app\",\"_pid\":7," +
+      "\"_facility\":\"auth\"}", doc)
+  }
+
+  test("config text: logmatic() prefixes the token to the RFC5424 line") {
+    // scl/logmatic/logmatic.conf: `token` <PRI>1 ISODATE HOST PROGRAM
+    // PID MSGID SDATA MSG over network(tcp); empty SDATA renders "-"
+    val dir = java.nio.file.Files.createTempDirectory("graft_lgm").toString
+    val (listener, _) = TcpSource.listen(spark, s"$dir/spool")
+    try {
+      val in = java.nio.file.Files.createTempDirectory("graft_lgm_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<38>1 2024-01-12T03:04:05Z h1 app 7 M1 - hello logmatic\n".getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { logmatic(token("TOK-9")
+          host("127.0.0.1") port(${listener.boundPort})); };
+        log { source(s); destination(d); };
+      """, dir)
+      awaitCount(listener, 1)
+      listener.stop()
+      val line = spoolLines(s"$dir/spool").head
+      assert(line == "TOK-9 <38>1 2024-01-12T03:04:05+00:00 h1 app 7 M1 " +
+        "- hello logmatic", line)
+    } finally listener.stop()
+  }
+
+  test("config text: collectd() writes PUTVAL lines to the unix socket") {
+    // scl/collectd/plugin.conf: unix-stream() to the collectd
+    // unixsock plugin — PUTVAL host/plugin-inst/type interval=N
+    // UNIXTIME:values per message
+    val dir = java.nio.file.Files.createTempDirectory("graft_cd").toString
+    val sockPath = s"$dir/collectd.sock"
+    val srv = java.nio.channels.ServerSocketChannel.open(
+      java.net.StandardProtocolFamily.UNIX)
+    srv.bind(java.net.UnixDomainSocketAddress.of(sockPath))
+    val buf = new java.io.ByteArrayOutputStream()
+    val th = new Thread(() => {
+      try {
+        val ch = srv.accept()
+        val bb = java.nio.ByteBuffer.allocate(8192)
+        while (ch.read(bb) >= 0) {
+          bb.flip(); buf.write(bb.array(), 0, bb.limit()); bb.clear()
+        }
+        ch.close()
+      } catch { case _: Throwable => () }
+    })
+    th.setDaemon(true)
+    th.start()
+    try {
+      val in = java.nio.file.Files.createTempDirectory("graft_cd_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<13>Jan 12 03:04:05 h1 app: cpu sample\n".getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { collectd(plugin("cpu") plugin_instance("0")
+          type("gauge") socket("$sockPath")); };
+        log { source(s); destination(d); };
+      """, dir)
+      th.join(30000)
+      val line = new String(buf.toByteArray, "UTF-8")
+      assert(line == "PUTVAL h1/cpu-0/gauge interval=60 1705028645:U\n", line)
+    } finally srv.close()
   }
 }
