@@ -33,6 +33,53 @@ object Rewrites {
     guarded(df, field, replaced, condition)
   }
 
+  /** Global subst with a COMPUTED per-match replacement — the engine
+    * under the reference's templated-replacement substs
+    * (`rewrite-subst.c` with `flags(store-matches)` + a `$(func $1)`
+    * replacement template, e.g. `scl/rewrite/cc-mask.conf`): each
+    * matched span is rewritten by `matchFn(match)`, text between
+    * matches passes through. Mechanics: matches are fenced with NUL
+    * sentinels (`$0` backref), the string splits into an
+    * odd-indices-are-matches array, and a codegen'd `transform` +
+    * `array_join` rebuilds it — no UDF. Input text containing literal
+    * NUL would confuse the fencing; log payloads never carry NUL (the
+    * framing layers strip or reject it). */
+  def substEach(df: DataFrame, field: String, re: String,
+      matchFn: Column => Column, condition: Column = lit(true)): DataFrame = {
+    val marked = regexp_replace(col(field), re, "\u0000$0\u0000")
+    val rebuilt = array_join(
+      transform(split(marked, "\u0000"),
+        (s, i) => when(i % 2 === 1, matchFn(s)).otherwise(s)), "")
+    guarded(df, field, rebuilt, condition)
+  }
+
+  /** The `@define balabit.credit-card-regexp` of
+    * `/root/reference/scl/rewrite/cc-mask.conf`, verbatim — including
+    * its first alternative's leading-colon quirk (`(:4...`), kept for
+    * wire-level parity with the reference blocks. */
+  val CreditCardRegex: String =
+    "(:4[0-9]{12}(?:[0-9]{3})?|5[1-5][0-9]{14}|6(?:011|5[0-9][0-9])" +
+      "[0-9]{12}|3[47][0-9]{13}|3(?:0[0-5]|[68][0-9])[0-9]{11}|" +
+      "(?:2131|1800|35\\d{3})\\d{11})"
+
+  /** `credit-card-mask(value(...))` (`scl/rewrite/cc-mask.conf`):
+    * every card number keeps its first 6 and last 4 digits with a
+    * literal `******` between — `$(substr $1 0 6)******$(substr $1 -4
+    * 4)`. */
+  def creditCardMask(df: DataFrame, field: String = "message",
+      condition: Column = lit(true)): DataFrame =
+    substEach(df, field, CreditCardRegex,
+      m => concat(substring(m, 1, 6), lit("******"), substring(m, -4, 4)),
+      condition)
+
+  /** `credit-card-hash(value(...))` (`scl/rewrite/cc-mask.conf`):
+    * every card number becomes `$(sha1 --length 16 $1)` — the first
+    * 16 hex chars of its SHA-1. */
+  def creditCardHash(df: DataFrame, field: String = "message",
+      condition: Column = lit(true)): DataFrame =
+    substEach(df, field, CreditCardRegex,
+      m => substring(sha1(m), 1, 16), condition)
+
   /** `unset(value(field))` — `rewrite-unset.c`. */
   def unset(df: DataFrame, fields: String*): DataFrame =
     df.drop(fields: _*)

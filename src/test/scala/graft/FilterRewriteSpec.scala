@@ -88,4 +88,55 @@ class FilterRewriteSpec extends GraftSuite {
       .head().getMap[String, String](0)
     assert(m.keySet == Set("keep"))
   }
+
+  test("credit-card-mask masks every card, keeps first6/last4") {
+    // scl/rewrite/cc-mask.conf credit-card-mask(): $(substr $1 0 6)
+    // ******$(substr $1 -4 4), flags(global) — two cards in one
+    // message both mask; the no-card row passes through untouched
+    val df = Seq(
+      "mc 5400001234567890 then amex 340000123456789 done",
+      "jcb 3512345678901234 ok",
+      "nothing to see 12345 here").toDF("message")
+    val out = Rewrites.creditCardMask(df).collect().map(_.getString(0))
+    assert(out(0) == "mc 540000******7890 then amex 340000******6789 done", out(0))
+    assert(out(1) == "jcb 351234******1234 ok", out(1))
+    assert(out(2) == "nothing to see 12345 here", out(2))
+  }
+
+  test("credit-card-hash replaces the card with sha1 --length 16") {
+    val card = "5400001234567890"
+    val df = Seq(s"pay $card now").toDF("message")
+    val got = Rewrites.creditCardHash(df).head().getString(0)
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(card.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    assert(got == s"pay $sha now", got)
+  }
+
+  test("credit-card rewrites at string edges and adjacent matches") {
+    // match at start, at end, and back-to-back matches (empty
+    // between-segment) all rebuild correctly
+    val df = Seq(
+      "5400001234567890 leads",
+      "trails 5400001234567890",
+      "54000012345678905111111111111111").toDF("message")
+    val out = Rewrites.creditCardMask(df).collect().map(_.getString(0))
+    assert(out(0) == "540000******7890 leads", out(0))
+    assert(out(1) == "trails 540000******7890", out(1))
+    assert(out(2) == "540000******7890511111******1111", out(2))
+  }
+
+  test("config text: credit-card-mask() rewrite block") {
+    val cfg = graft.config.ConfigParser.parse("""
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      rewrite r_cc { credit-card-mask(); };
+      log { source(s); rewrite(r_cc); destination(d); };
+    """)
+    val df = Seq(1).toDF("x")
+      .withColumn("message", lit("card 340000123456789 used"))
+    val routes = graft.config.ConfigCompiler.compile(cfg, Map("s" -> df))
+    assert(routes.head.df.select("message").head().getString(0) ==
+      "card 340000******6789 used")
+  }
 }
