@@ -56,6 +56,29 @@ object Sources {
   def indentedMultilineRecords(spark: SparkSession, glob: String): DataFrame =
     multilineRecords(spark, glob, "[^\\s]")
 
+  /** Streaming form of [[multilineRecords]]: `readStream` with
+    * `wholetext` keeps the per-file grain multi-line assembly needs
+    * (records never span files, `logproto-regexp-multiline-server.c`),
+    * and the split itself is the same stateless explode — this is the
+    * `multi-line-mode(regexp|indented|prefix-garbage)` +
+    * `multi-line-prefix()` surface of the config file() source and
+    * the `mbox()` scl block (`scl/mbox/mbox.conf`: `multi-line-prefix
+    * ('^From ')` + no-parse). Emits (source_file, value) like
+    * [[fileLines]] so the downstream parse stages are shared. */
+  def multilineStream(spark: SparkSession, glob: String, startRe: String,
+      maxFilesPerTrigger: Int = 64): DataFrame = {
+    val whole = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("wholetext", "true")
+      .text(glob)
+      .withColumn("source_file", input_file_name())
+    val marked = regexp_replace(col("value"),
+      "(?m)^(" + startRe + ")", "\u0000$1")
+    whole.select(col("source_file"),
+      explode(filter(split(marked, "\u0000"), r => r =!= "")).as("value"))
+      .withColumn("value", regexp_replace(col("value"), "\n$", ""))
+  }
+
   /** RFC6587 octet-counted framing (`logproto-framed-server.c`): whole
     * payload files (the shape TCP relay capture or a Kafka value takes)
     * split into `NNN <bytes>` frames — see

@@ -217,6 +217,65 @@ class ConfigSpec extends GraftSuite {
     assert(r.getString(1) == "host7" && r.getString(2) == "755")
   }
 
+  test("mbox() source: one record per From_-delimited mail, no-parse") {
+    // scl/mbox/mbox.conf: file() with multi-line-prefix('^From ') +
+    // flags(no-parse) — each mail (headers + body, internal newlines
+    // kept) lands whole in message
+    val inDir = java.nio.file.Files.createTempDirectory("graft-mbox-in").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "inbox.mbox"),
+      "From alice@example.com Fri Jan 12 03:04:05 2024\n" +
+        "Subject: first\n\nbody one\n" +
+        "From bob@example.com Fri Jan 12 04:05:06 2024\n" +
+        "Subject: second\n\nbody two\nFromage is not a delimiter\n")
+    val cfg = ConfigParser.parse(s"""
+      source s_mb { mbox("$inDir/*.mbox"); };
+      destination d { file("/out/mb.log"); };
+      log { source(s_mb); destination(d); };
+    """)
+    val (routes, _) = ConfigCompiler.compileStreamingPipeline(cfg, spark,
+      java.nio.file.Files.createTempDirectory("graft-mbox-sp").toString)
+    val cp = java.nio.file.Files.createTempDirectory("graft-mbox-cp").toString
+    val q = routes.head.df.writeStream.format("memory").queryName("mbox_out")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val mails = spark.table("mbox_out").select("message")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(mails.size == 2, mails)
+    assert(mails(0) == "From alice@example.com Fri Jan 12 03:04:05 2024\n" +
+      "Subject: first\n\nbody one", mails(0))
+    assert(mails(1) == "From bob@example.com Fri Jan 12 04:05:06 2024\n" +
+      "Subject: second\n\nbody two\nFromage is not a delimiter", mails(1))
+  }
+
+  test("file() source with multi-line-mode(indented) assembles stacks") {
+    // logproto-indented-multiline-server.c via config text: indented
+    // continuation lines glue to the preceding record
+    val inDir = java.nio.file.Files.createTempDirectory("graft-iml-in").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "trace.log"),
+      "Exception in thread main\n    at Foo.bar(Foo.java:1)\n" +
+        "    at Baz.qux(Baz.java:2)\nnext line\n")
+    val cfg = ConfigParser.parse(s"""
+      source s_tr { file("$inDir/*.log" multi-line-mode(indented)
+        flags(no-parse)); };
+      destination d { file("/out/tr.log"); };
+      log { source(s_tr); destination(d); };
+    """)
+    val (routes, _) = ConfigCompiler.compileStreamingPipeline(cfg, spark,
+      java.nio.file.Files.createTempDirectory("graft-iml-sp").toString)
+    val cp = java.nio.file.Files.createTempDirectory("graft-iml-cp").toString
+    val q = routes.head.df.writeStream.format("memory").queryName("iml_out")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val recs = spark.table("iml_out").select("message")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(recs == Seq(
+      "Exception in thread main\n    at Foo.bar(Foo.java:1)\n" +
+        "    at Baz.qux(Baz.java:2)",
+      "next line"), recs)
+  }
+
   test("inline filter comparison and severity range") {
     // word-form `eq` = string compare; symbolic `==` is the NUMERIC
     // family (atoi both sides) per filter-expr-parser.c:37-49
