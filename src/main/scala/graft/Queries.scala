@@ -165,6 +165,43 @@ object Queries {
       md5(regexp_replace(text, 'spark', 'SPARK')) AS h_first
       FROM documents ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------------
+  // credit-card-mask() (scl/rewrite/cc-mask.conf): the regex-detected
+  // PAN keeps first 6 + last 4 digits around a literal ******. The
+  // oracle computes the expected masked string analytically from the
+  // same synthesized card — a detection or rebuild failure on the
+  // Spark side diverges immediately.
+  // ---------------------------------------------------------------------
+  private val rewriteCcMask = Q("rewrite_cc_mask",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val id = col("event_id")
+      val card16 = concat(lit("54"),
+        lpad((id % 100000000000000L).cast("string"), 14, "0"))
+      val card15 = concat(lit("34"),
+        lpad((id % 10000000000000L).cast("string"), 13, "0"))
+      val msg = when(id % 3 === 0,
+          concat(lit("charge card="), card16, lit(" amount=12")))
+        .when(id % 3 === 1, concat(lit("amex "), card15, lit(" approved")))
+        .otherwise(lit("no pan here"))
+      val in = ev.select(id.as("event_id"), msg.as("message"))
+      Rewrites.creditCardMask(in).orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CASE WHEN event_id % 3 = 0 THEN
+             'charge card=' || substr(card16, 1, 6) || '******' ||
+             substr(card16, -4) || ' amount=12'
+           WHEN event_id % 3 = 1 THEN
+             'amex ' || substr(card15, 1, 6) || '******' ||
+             substr(card15, -4) || ' approved'
+           ELSE 'no pan here' END AS message
+      FROM (SELECT event_id,
+        '54' || lpad(cast(event_id % 100000000000000 AS varchar), 14, '0')
+          AS card16,
+        '34' || lpad(cast(event_id % 10000000000000 AS varchar), 13, '0')
+          AS card15 FROM events)
+      ORDER BY event_id"""))
+
   private val rewriteSetTag = Q("rewrite_set_tag",
     (s, d) => {
       val ev = Tables.events(s, d)
@@ -563,6 +600,49 @@ object Queries {
     },
     Some("""SELECT event_id, 'u' || user_id AS user, event_type AS type,
       'v ' || event_id AS note, 'session opened end' AS stray
+      FROM events ORDER BY event_id"""))
+
+  // ---------------------------------------------------------------------
+  // snmptrapd-parser(): synthesized v2 trap per row (header + two
+  // varbinds, one typed + one quoted), expected values computed
+  // analytically by the oracle — detection, kv-scan, message macro
+  // and timestamp all verified at scale
+  // ---------------------------------------------------------------------
+  private val parseSnmptrap = Q("parse_snmptrap",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val id = col("event_id")
+      val uid = col("user_id").cast("string")
+      val trap = concat(
+        lit("2017-05-10 12:46:14 host"), uid,
+        lit(" [UDP: [10.0.0."), uid, lit("]:34257->[127.0.0.1]:162]:\n"),
+        lit("iso.3.6.1.4.1.8072.2.1.1 = INTEGER: "), id.cast("string"),
+        lit("\tnetSnmpExampleString = STRING: \"msg "), id.cast("string"),
+        lit("\""))
+      val in = ev.select(id.as("event_id"), trap.as("message"))
+      Parsers.snmptrapdParser(in)
+        .select(col("event_id"),
+          element_at(col("values"), ".snmp.hostname").as("hostname"),
+          element_at(col("values"), ".snmp.transport_info").as("transport"),
+          element_at(col("values"), ".snmp.iso.3.6.1.4.1.8072.2.1.1")
+            .as("counter"),
+          element_at(col("values"), ".snmp.netSnmpExampleString").as("s"),
+          col("message"), col("program"),
+          unix_timestamp(col("ts")).as("epoch"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      'host' || user_id AS hostname,
+      'UDP: [10.0.0.' || user_id || ']:34257->[127.0.0.1]:162' AS transport,
+      cast(event_id AS varchar) AS counter,
+      'msg ' || event_id AS s,
+      'hostname=''host' || user_id ||
+        ''', transport_info=''UDP: [10.0.0.' || user_id ||
+        ']:34257->[127.0.0.1]:162'', iso.3.6.1.4.1.8072.2.1.1=''' ||
+        event_id || ''', netSnmpExampleString=''msg ' || event_id ||
+        '''' AS message,
+      'snmptrapd' AS program,
+      1494420374 AS epoch
       FROM events ORDER BY event_id"""))
 
   private val parseAudit = Q("parse_audit",
@@ -2000,12 +2080,12 @@ object Queries {
   // ---------------------------------------------------------------------
   val all: Seq[Q] = Seq(aggStats, filterSeverity, enrichLookup, joinAsof,
     filterMatch, filterNetmask, filterNetmask6, filterInList,
-    rewriteSubst, rewriteSetTag,
+    rewriteSubst, rewriteCcMask, rewriteSetTag,
     templateFormat, templateFuncs, templateHofs,
     parseSyslogRfc3164, parseSyslogRfc5424,
     routeJunction, patterndbClassify, appParserQ, appParserTopicQ, defaultNetwork,
     enrichRange, enrichGlob,
-    parseCsv, parseCsvGreedy, parseKv, parseAudit, parseJsonFlat,
+    parseCsv, parseCsvGreedy, parseKv, parseAudit, parseSnmptrap, parseJsonFlat,
     parseJsonNested, parseXml, parseDate, parseTagsRekey, parseApache,
     configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,

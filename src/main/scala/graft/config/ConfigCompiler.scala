@@ -56,12 +56,29 @@ object ConfigCompiler {
     var listeners = Map.empty[String, graft.streaming.SocketListener]
     val sources = cfg.sources.map { case (name, blk) =>
       val stmt = blk.stmts.find(s => s.name == "file" || s.name == "network" ||
-          s.name == "syslog" || s.name == "osquery")
+          s.name == "syslog" || s.name == "osquery" || s.name == "mbox" ||
+          s.name == "snmptrap")
         .getOrElse(throw new IllegalArgumentException(
           s"source $name: only file()/network()/syslog()/osquery() sources stream here"))
       // scl/osquery/plugin.conf:3-8: file source with no-parse +
       // program-override("osquery") + json-parser(prefix(".osquery."))
-      if (stmt.name == "osquery") {
+      if (stmt.name == "snmptrap") {
+        // scl/snmptrap/snmptrapd-source.conf: file() with
+        // multi-line-mode(prefix-garbage) on the snmptrapd date
+        // prefix + snmptrapd-parser(prefix() set-message-macro())
+        val path = kvOf(stmt.args, "filename")
+          .orElse(stmt.args.collectFirst { case Lit(p) => p })
+          .getOrElse(throw new IllegalArgumentException(
+            s"source $name: snmptrap() needs filename()"))
+        val prefix = kvOf(stmt.args, "prefix").getOrElse(".snmp.")
+        val setMsg = !kvOf(stmt.args, "set-message-macro").contains("no")
+        val lines = graft.streaming.Sources.multilineStream(spark, path,
+          "[0-9]{4}-[0-9]{1,2}-[0-9]{1,2}[ T]([0-9]{1,2}:){2}[0-9]{2}")
+        name -> Parsers.snmptrapdParser(
+            lines.select(col("source_file"), col("value").as("message")),
+            prefix, setMsg)
+          .withColumn("tags", array().cast("array<string>"))
+      } else if (stmt.name == "osquery") {
         val path = kvOf(stmt.args, "file")
           .orElse(stmt.args.collectFirst { case Lit(p) => p })
           .getOrElse("/var/log/osquery/osqueryd.results.log")
@@ -75,10 +92,24 @@ object ConfigCompiler {
           .withColumn("tags", array().cast("array<string>"))
       } else {
       val lines = stmt.name match {
-        case "file" =>
-          val path = stmt.args.collectFirst { case Lit(p) => p }.getOrElse(
-            throw new IllegalArgumentException(s"source $name: file() needs a path"))
-          graft.streaming.Sources.fileLines(spark, path)
+        case "file" | "mbox" =>
+          val path = stmt.args.collectFirst { case Lit(p) => p }
+            .orElse(kvOf(stmt.args, "filename")).getOrElse(
+              throw new IllegalArgumentException(s"source $name: file() needs a path"))
+          // multi-line-mode()/multi-line-prefix() (logproto-regexp-/
+          // indented-multiline-server.c); mbox() (scl/mbox/mbox.conf)
+          // = file() with multi-line-prefix('^From ') + no-parse
+          val mlPrefix =
+            if (stmt.name == "mbox") Some("From ")
+            else kvOf(stmt.args, "multi-line-prefix")
+              .map(_.stripPrefix("^"))
+              .orElse(kvOf(stmt.args, "multi-line-mode").collect {
+                case "indented" => "[^\\s]"
+              })
+          mlPrefix match {
+            case Some(re) => graft.streaming.Sources.multilineStream(spark, path, re)
+            case None => graft.streaming.Sources.fileLines(spark, path)
+          }
         case proto =>
           val port = kvOf(stmt.args, "port").map(_.toInt).getOrElse(0)
           val maxSize = kvOf(stmt.args, "log-msg-size").map(_.toInt)
@@ -117,7 +148,7 @@ object ConfigCompiler {
       val flags = stmt.args.collectFirst { case KV("flags", vs) => lits(vs) }
         .getOrElse(Nil)
       val parsed =
-        if (flags.contains("no-parse"))
+        if (flags.contains("no-parse") || stmt.name == "mbox")
           lines.select(col("source_file"), col("value").as("message"))
         else graft.streaming.Sources.parsedSyslog(lines)
       name -> parsed
@@ -617,6 +648,12 @@ object ConfigCompiler {
       case "tags-parser" =>
         df => df.withColumn("tags", Parsers.tagsParse(input))
 
+      case "snmptrapd-parser" =>
+        // modules/afsnmp: prefix(".snmp.") + set-message-macro(yes)
+        val prefix = kvOf(s.args, "prefix").getOrElse(".snmp.")
+        val setMsg = !kvOf(s.args, "set-message-macro").contains("no")
+        df => Parsers.snmptrapdParser(df, prefix, setMsg)
+
       case "add-contextual-data" =>
         // add-contextual-data(selector("$T"), database("f.csv"),
         // prefix(...), default-selector(...)) — broadcast lookup join
@@ -815,6 +852,14 @@ object ConfigCompiler {
         val field = kvOf(s.args, "value").getOrElse("MESSAGE")
         val global = s.args.exists { case KV("flags", vs) => lits(vs).contains("global"); case _ => false }
         df => Rewrites.subst(df, colName(field), re, repl, global, cond)
+      case "credit-card-mask" | "credit-card-hash" =>
+        // scl/rewrite/cc-mask.conf: subst of the credit-card regex
+        // with a computed replacement ($(substr)/$(sha1) of the match)
+        val field = colName(kvOf(s.args, "value").getOrElse("MESSAGE"))
+        if (s.name == "credit-card-mask")
+          df => Rewrites.creditCardMask(df, field, cond)
+        else
+          df => Rewrites.creditCardHash(df, field, cond)
       case "unset" =>
         val field = kvOf(s.args, "value").getOrElse("MESSAGE")
         df => Rewrites.unset(df, colName(field))

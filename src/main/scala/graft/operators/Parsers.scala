@@ -181,6 +181,53 @@ object Parsers {
   def tagsParse(value: Column): Column =
     filter(split(value, ","), t => t =!= "")
 
+  /** snmptrapd-parser() (`/root/reference/modules/afsnmp/
+    * snmptrapd-parser.c`, block `scl/snmptrap/snmptrapd-source.conf`):
+    * parse one assembled snmptrapd record per row via
+    * [[graft.functions.SnmpTrapdScan]]. Rows the header parser rejects
+    * are DROPPED (the reference parser returns FALSE → message
+    * dropped from the path). Header fields and varbinds land in
+    * `values` under `prefix` (keys `:`-normalized); `program` becomes
+    * "snmptrapd"; `ts` takes the header timestamp; `message` becomes
+    * the `key='value', ...` rendering when `setMessageMacro` (else
+    * null — LM_V_MESSAGE unset). */
+  def snmptrapdParser(df: DataFrame, prefix: String = ".snmp.",
+      setMessageMacro: Boolean = true, field: String = "message"): DataFrame = {
+    val withP = df
+      .withColumn("__snmp", graft.functions.SnmpTrapdScan(col(field)))
+      .filter(col("__snmp.ok"))
+    val p = col("__snmp")
+    def opt(key: String, v: Column): Column =
+      when(v.isNotNull, map(lit(prefix + key), v))
+        .otherwise(map().cast("map<string,string>"))
+    val headerNv = map_concat(
+      opt("hostname", p.getField("hostname")),
+      opt("transport_info", p.getField("transport_info")),
+      opt("enterprise_oid", p.getField("enterprise_oid")),
+      opt("type", p.getField("trap_type")),
+      opt("subtype", p.getField("subtype")),
+      opt("uptime", p.getField("uptime")))
+    val varbinds = transform_keys(p.getField("pairs"),
+      (k, _) => concat(lit(prefix), k))
+    val values0 =
+      if (df.columns.contains("values")) col("values")
+      else map().cast("map<string,string>")
+    // last-set-wins like log_msg_set_value_by_name: varbinds shadow
+    // header NVs, both shadow pre-existing keys
+    val adds = map_concat(
+      map_filter(headerNv, (k, _) => !array_contains(map_keys(varbinds), k)),
+      varbinds)
+    withP
+      .withColumn("values", map_concat(
+        map_filter(values0, (k, _) => !array_contains(map_keys(adds), k)),
+        adds))
+      .withColumn("program", lit("snmptrapd"))
+      .withColumn("ts", to_timestamp(p.getField("ts")))
+      .withColumn(field,
+        if (setMessageMacro) p.getField("msg") else lit(null).cast("string"))
+      .drop("__snmp")
+  }
+
   /** map-value-pairs(): bulk rename of map keys via glob patterns, first
     * matching glob wins (`map-value-pairs.c:38-61`). Renames like
     * `("foo.*", "bar.")` rewrite the matched prefix. */
