@@ -670,20 +670,29 @@ object ConfigCompiler {
             Template.column(sel, df.columns.toSeq), prefix, dflt)
         }
 
-      case "db-parser" =>
-        // db-parser(file("x.pdb")) — patterndb XML compiled into the
-        // codegen'd RadixMatch automaton; captures land in `values`
-        // with the reference's .classifier.* entries alongside
-        val path = kvOf(s.args, "file").getOrElse(
-          throw new IllegalArgumentException("db-parser needs file()"))
+      case "db-parser" | "windows-eventlog-parser" =>
+        // db-parser(file("x.pdb") [drop-unmatched(yes)]) — patterndb
+        // XML compiled into the codegen'd RadixMatch automaton;
+        // captures land in `values` with the reference's .classifier.*
+        // entries alongside. windows-eventlog-parser()
+        // (scl/windowseventlog/plugin.conf) is db-parser over the
+        // bundled windowseventlog.xml with drop-unmatched(yes).
+        val path = kvOf(s.args, "file").getOrElse {
+          if (s.name == "windows-eventlog-parser") "windowseventlog.xml"
+          else throw new IllegalArgumentException("db-parser needs file()")
+        }
+        val dropUnmatched = s.name == "windows-eventlog-parser" ||
+          kvOf(s.args, "drop-unmatched").contains("yes")
         val rules = graft.patterndb.PdbLoader.radixRules(
           graft.patterndb.PdbLoader.loadFile(path))
         df => {
           val d2 = df.withColumn("__r", graft.functions.RadixMatch(input, rules))
+          val kept = if (dropUnmatched) d2.filter(col("__r.rule_id").isNotNull)
+                     else d2
           val add = map_concat(col("__r.captures"),
             map(lit(".classifier.class"), col("__r.rule_class"),
               lit(".classifier.rule_id"), coalesce(col("__r.rule_id"), lit(""))))
-          d2.withColumn("values", mergedValues(d2, add)).drop("__r")
+          kept.withColumn("values", mergedValues(kept, add)).drop("__r")
         }
 
       case "grouping-by" =>

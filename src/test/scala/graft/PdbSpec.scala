@@ -29,6 +29,34 @@ class PdbSpec extends GraftSuite {
     }
   }
 
+  test("windows-eventlog-parser(): db-parser composite with drop-unmatched") {
+    // scl/windowseventlog/plugin.conf: db-parser(file("windowseventlog
+    // .xml") drop-unmatched(yes)) — a matching eventlog line
+    // classifies with captures, a non-matching line is DROPPED
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cfg = graft.config.ConfigParser.parse("""
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      parser p_win { windows-eventlog-parser(
+        file("/root/reference/scl/windowseventlog/windowseventlog.xml")); };
+      log { source(s); parser(p_win); destination(d); };
+    """)
+    val rulesets = PdbLoader.loadFile(
+      "/root/reference/scl/windowseventlog/windowseventlog.xml")
+    val ex = (for (rs <- rulesets; r <- rs.rules; e <- r.examples)
+      yield e).head
+    val df = Seq(
+      (ex.program, ex.message),
+      ("randomapp", "nothing eventlog about this")).toDF("program", "message")
+    val out = graft.config.ConfigCompiler.compile(cfg, Map("s" -> df)).head.df
+    val rows = out.select(col("program"),
+      element_at(col("values"), ".classifier.class")).collect()
+    assert(rows.length == 1, s"unmatched row must drop, got ${rows.length}")
+    assert(rows.head.getString(0) == ex.program)
+    assert(rows.head.getString(1) != null)
+  }
+
   test("pdb v5 loader: correlation attributes and action blocks") {
     // shape from modules/dbparser/tests/test_patterndb.h (ruletest skeleton)
     val xml = """<patterndb version='5' pub_date='2010-02-22'>
