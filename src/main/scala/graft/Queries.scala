@@ -1923,6 +1923,75 @@ object Queries {
       GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  // ---------------------------------------------------------------------
+  // C4-style corpus-wide duplicate-line removal: documents are recut
+  // into 5-word lines (deterministically, both sides), every repeated
+  // line keeps only its least-(doc_id, line_no) occurrence, and docs
+  // rebuild from the survivors in order
+  // ---------------------------------------------------------------------
+  private val textDedupLines = Q("text_dedup_lines",
+    (s, d) => {
+      val w = filter(split(col("text"), " "), x => x =!= "")
+      val nLines = ((size(col("w")) + 4) / 5).cast("int")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), array_join(
+          transform(sequence(lit(0), nLines - 1),
+            i => array_join(slice(col("w"), i * 5 + 1, lit(5)), " ")),
+          "\n").as("text"))
+      Dedup.dedupLines(docs, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ws AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), lines AS (
+        SELECT doc_id,
+          unnest(list_transform(range(0, cast(floor((len(w)+4)/5) AS int)),
+            i -> array_to_string(w[i*5+1:i*5+5], ' '))) AS line,
+          unnest(range(0, cast(floor((len(w)+4)/5) AS int))) AS line_no
+        FROM ws WHERE len(w) > 0
+      ), ranked AS (
+        SELECT doc_id, line_no, line,
+          row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+        FROM lines
+      )
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+      FROM ranked WHERE rn = 1
+      GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
+  // ---------------------------------------------------------------------
+  // unigram-frequency quality gate (LM-perplexity stand-in): per-token
+  // corpus-frequency bit lengths, top-16 vocab broadcast, OOV floors
+  // at 1 — integer-exact so DuckDB reproduces it bit-for-bit
+  // ---------------------------------------------------------------------
+  private val textUnigramQuality = Q("text_unigram_quality",
+    (s, d) => TextAnalysis.unigramQuality(Tables.documents(s, d),
+        col("doc_id"), col("text"), vocabSize = 16)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            x -> x <> '')) AS term
+        FROM documents
+      ), counts AS (
+        SELECT term, count(*) AS cnt FROM toks GROUP BY term
+      ), vocab AS (
+        SELECT term, cnt FROM counts ORDER BY cnt DESC, term ASC LIMIT 16
+      ), scored AS (
+        SELECT t.doc_id,
+          CASE WHEN v.cnt IS NULL THEN 1 ELSE length(bin(v.cnt)) END AS bits,
+          CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END AS oov
+        FROM toks t LEFT JOIN vocab v USING (term)
+      )
+      SELECT doc_id, count(*) AS n_tokens,
+        cast(sum(oov) AS bigint) AS oov,
+        cast(sum(bits) AS double) / count(*) AS freq_bits_avg
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
   private val textFingerprint = Q("text_fingerprint",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -2096,7 +2165,7 @@ object Queries {
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     sampleStratified, decontaminate,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
-    textFingerprint, textFingerprintRobust,
+    textFingerprint, textFingerprintRobust, textDedupLines, textUnigramQuality,
     multimodalFeatures, multimodalStub, multimodalDecode)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =

@@ -392,6 +392,43 @@ object Dedup {
     } finally grams.unpersist(false)
   }
 
+  /** Corpus-wide duplicate-LINE removal — the C4-style cleanup step
+    * ("discard every repeated line after its first occurrence across
+    * the whole corpus"): boilerplate lines (nav bars, cookie banners,
+    * license headers) repeat across millions of pages and survive
+    * document-level dedup. The canonical keeper of each distinct line
+    * is its least (doc_id, line_no) occurrence; every other occurrence
+    * drops; documents rebuild from surviving lines in original order.
+    * Lines shorter than `minLineChars` are exempt (always kept) so
+    * blank separators don't collapse corpus-wide.
+    *
+    * Shuffle profile at 100 TB: (1) groupBy(line) with a map-side
+    * combinable `min(struct)` — duplicate volume collapses before the
+    * exchange; (2) a left-semi join on the (doc_id, line_no) pair —
+    * the keeper table has one short row per DISTINCT line, no text
+    * payload travels twice; (3) the per-doc rebuild groupBy, bounded
+    * by document line counts. No windows over unbounded groups, no
+    * driver collect.
+    *
+    * @return (doc_id, text) — docs whose every line dropped are absent
+    */
+  def dedupLines(df: DataFrame, id: Column, text: Column,
+      minLineChars: Int = 1): DataFrame = {
+    val lines = df.select(id.as("doc_id"),
+        posexplode(split(text, "\n")).as(Seq("line_no", "line")))
+    val candidates = lines.filter(length(col("line")) >= minLineChars)
+    val keepPos = candidates.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("line_no"))).as("k"))
+      .select(col("k.doc_id"), col("k.line_no"))
+    val kept = candidates
+      .join(keepPos, Seq("doc_id", "line_no"), "left_semi")
+      .unionByName(lines.filter(length(col("line")) < minLineChars))
+    kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("line_no"), col("line")))),
+        e => e.getField("line")), "\n").as("text"))
+  }
+
   // ---- near-dup clustering -----------------------------------------------------
   /** Connected components over near-dup pairs — the step between
     * pairwise similarity output and actually DROPPING documents: docs

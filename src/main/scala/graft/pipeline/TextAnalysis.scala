@@ -289,6 +289,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("start_tokens"), col("shard"))
   }
 
+  /** Unigram-frequency quality signal — the cheap stand-in for the
+    * LM-perplexity gate of web-corpus pipelines: documents whose
+    * tokens are mostly corpus-rare (OCR noise, codes, boilerplate
+    * hashes) score low, fluent text scores high. Per token the signal
+    * is the BIT LENGTH of its corpus frequency (`length(bin(count))`
+    * = floor(log2)+1 — exact integer arithmetic, so an external SQL
+    * oracle reproduces it bit-for-bit where a float log2 would
+    * diverge at powers of two); out-of-vocabulary tokens floor at 1.
+    *
+    * Scale shape: one token-count aggregation (map-side combinable),
+    * a TOP-`vocabSize` cutoff (Spark TakeOrderedAndProject — no full
+    * sort), and a BROADCAST left join of the bounded vocab against
+    * the token stream. The vocab cutoff is what keeps the join
+    * broadcastable at 100 TB; everything off-vocab is by definition
+    * rare and floors to 1 bit anyway.
+    *
+    * @return (doc_id, n_tokens, oov, freq_bits_avg)
+    */
+  def unigramQuality(docs: DataFrame, id: Column, text: Column,
+      vocabSize: Int = 65536): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(filter(tokens(lower(text)), t => t =!= "")).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val vocab = counts.orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("bits",
+        when(col("cnt").isNull, lit(1L)).otherwise(length(bin(col("cnt"))).cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cnt").isNull, 1L).otherwise(0L)).as("oov"),
+        (sum(col("bits")).cast("double") / count(lit(1))).as("freq_bits_avg"))
+  }
+
   /** Winnowing-style robust fingerprint: min-keep over character k-gram
     * rolling hashes — survives small edits. Small-word modular
     * arithmetic throughout, so an external SQL oracle recomputes it

@@ -507,6 +507,40 @@ class PipelineSpec extends GraftSuite {
       (40L, 12L, 1L), (50L, 14L, 1L)))
   }
 
+  test("dedupLines: first occurrence survives, short lines exempt, empty docs vanish") {
+    val corpus = Seq(
+      (1L, "keep me\nboilerplate\n\nunique one"),
+      (2L, "boilerplate\nsecond doc\n\nkeep me"),
+      (3L, "boilerplate\nkeep me")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(corpus, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // doc 1 keeps everything (all first occurrences); doc 2 loses the
+    // repeats but keeps its empty separator (length < 1 never dedups);
+    // doc 3 is nothing but repeats and vanishes entirely
+    assert(out.toSeq == Seq(
+      (1L, "keep me\nboilerplate\n\nunique one"),
+      (2L, "second doc\n")), out.toSeq)
+    // a doc made ENTIRELY of repeats disappears
+    val corpus2 = Seq((1L, "dup line"), (2L, "dup line")).toDF("doc_id", "text")
+    val out2 = Dedup.dedupLines(corpus2, col("doc_id"), col("text"))
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(out2.toSeq == Seq(1L))
+  }
+
+  test("unigramQuality: bit-length scoring, vocab cutoff marks OOV") {
+    val corpus = Seq(
+      (1L, "the the the the rare"),
+      (2L, "the the word word")).toDF("doc_id", "text")
+    // counts: the=6, word=2, rare=1; vocabSize=2 keeps {the, word}
+    val out = TextAnalysis.unigramQuality(corpus, col("doc_id"), col("text"),
+        vocabSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 1: 4×the (bits of 6 = 3) + 1 OOV (1) → 13/5; doc 2: 2×3 + 2×2 → 10/4
+    assert(out.toSeq == Seq((1L, 5L, 1L, 13.0 / 5), (2L, 4L, 0L, 10.0 / 4)),
+      out.toSeq)
+  }
+
   test("salient terms: rational tf-idf, deterministic top-k") {
     val corpus = Seq(
       (1L, "apple apple banana common common"),
