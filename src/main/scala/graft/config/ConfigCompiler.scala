@@ -57,7 +57,7 @@ object ConfigCompiler {
     val sources = cfg.sources.map { case (name, blk) =>
       val stmt = blk.stmts.find(s => s.name == "file" || s.name == "network" ||
           s.name == "syslog" || s.name == "osquery" || s.name == "mbox" ||
-          s.name == "snmptrap")
+          s.name == "snmptrap" || s.name == "unix-stream")
         .getOrElse(throw new IllegalArgumentException(
           s"source $name: only file()/network()/syslog()/osquery() sources stream here"))
       // scl/osquery/plugin.conf:3-8: file source with no-parse +
@@ -110,6 +110,19 @@ object ConfigCompiler {
             case Some(re) => graft.streaming.Sources.multilineStream(spark, path, re)
             case None => graft.streaming.Sources.fileLines(spark, path)
           }
+        case "unix-stream" =>
+          // modules/afsocket/afunix-source.c: same spool loop over a
+          // unix domain socket
+          val sockPath = stmt.args.collectFirst { case Lit(p) => p }
+            .orElse(kvOf(stmt.args, "path")).getOrElse(
+              throw new IllegalArgumentException(
+                s"source $name: unix-stream() needs a path"))
+          val maxSize = kvOf(stmt.args, "log-msg-size").map(_.toInt)
+            .getOrElse(65536)
+          val (l, src) = graft.streaming.UnixSource.listen(spark,
+            s"$spoolBase/$name", sockPath, maxMsgSize = maxSize)
+          listeners += name -> l
+          src
         case proto =>
           val port = kvOf(stmt.args, "port").map(_.toInt).getOrElse(0)
           val maxSize = kvOf(stmt.args, "log-msg-size").map(_.toInt)

@@ -82,3 +82,51 @@ trait SocketListener {
   def receivedCount: Long
   def stop(): Unit
 }
+
+/** Stream-to-frames reader shared by the stream-transport listeners
+  * ([[TcpSource]] TCP/TLS, [[UnixSource]]): newline framing
+  * (`lib/logproto/logproto-text-server.c`, CR-tolerant, truncation at
+  * `maxMsgSize` like trim-large-messages) or RFC6587 octet counting
+  * (`logproto-framed-server.c` — a malformed frame header returns
+  * null and drops the CONNECTION, the reference's "Invalid frame
+  * header" path, never a garbage or empty message). */
+private[streaming] final class FrameReader(octetCounted: Boolean,
+    maxMsgSize: Int) {
+
+  /** One newline-terminated line (CR-tolerant), or null at EOF. */
+  def readLine(in: java.io.InputStream): String = {
+    val sb = new java.lang.StringBuilder
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') {
+      if (sb.length < maxMsgSize) sb.append(c.toChar)
+      c = in.read()
+    }
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
+      sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  /** One frame, or null at EOF / protocol violation. */
+  def readFrame(in: java.io.InputStream): String =
+    if (octetCounted) {
+      var n = 0L
+      var digits = 0
+      var c = in.read()
+      if (c < 0) return null
+      while (c >= '0' && c <= '9' && digits < 11) {
+        n = n * 10 + (c - '0'); digits += 1; c = in.read()
+      }
+      if (c < 0) return null
+      // 11+ digits would overflow an int payload size anyway; counts
+      // far beyond log-msg-size are bounded so the truncation skip
+      // can't be handed a hostile multi-GB length
+      if (digits == 0 || digits >= 11 || c != ' ' ||
+          n > maxMsgSize.toLong * 16) return null
+      val take = math.min(n, maxMsgSize.toLong).toInt
+      val buf = in.readNBytes(take)
+      in.skipNBytes(n - take)
+      if (buf.length < take) null
+      else new String(buf, StandardCharsets.UTF_8)
+    } else readLine(in)
+}

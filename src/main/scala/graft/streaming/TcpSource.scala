@@ -121,49 +121,10 @@ object TcpSource {
 
     private def accept(frame: String): Unit = spool.accept(frame)
 
-    /** One newline-terminated line (CR-tolerant), or null at EOF. */
-    private def readLine(in: InputStream): String = {
-      val sb = new java.lang.StringBuilder
-      var c = in.read()
-      if (c < 0) return null
-      while (c >= 0 && c != '\n') {
-        if (sb.length < maxMsgSize) sb.append(c.toChar)
-        c = in.read()
-      }
-      if (sb.length > 0 && sb.charAt(sb.length - 1) == '\r')
-        sb.setLength(sb.length - 1)
-      sb.toString
-    }
-
-    /** One frame, or null at EOF. Newline framing truncates lines past
-      * maxMsgSize (trim-large-messages); octet framing reads `NNN SP
-      * payload` (logproto-framed-server.c states). A malformed frame
-      * header — no digits, a non-space separator, or an absurd length —
-      * is a protocol violation and drops the CONNECTION (the
-      * reference's "Invalid frame header" path), never a garbage or
-      * empty message: after a framing error nothing later on the
-      * stream can be trusted. */
-    private def readFrame(in: InputStream): String =
-      if (octetCounted) {
-        var n = 0L
-        var digits = 0
-        var c = in.read()
-        if (c < 0) return null
-        while (c >= '0' && c <= '9' && digits < 11) {
-          n = n * 10 + (c - '0'); digits += 1; c = in.read()
-        }
-        if (c < 0) return null
-        // 11+ digits would overflow an int payload size anyway; counts
-        // far beyond log-msg-size are bounded so the truncation skip
-        // can't be handed a hostile multi-GB length
-        if (digits == 0 || digits >= 11 || c != ' ' ||
-            n > maxMsgSize.toLong * 16) return null
-        val take = math.min(n, maxMsgSize.toLong).toInt
-        val buf = in.readNBytes(take)
-        in.skipNBytes(n - take)
-        if (buf.length < take) null
-        else new String(buf, StandardCharsets.UTF_8)
-      } else readLine(in)
+    // framing shared with UnixSource — see [[FrameReader]]
+    private val reader = new FrameReader(octetCounted, maxMsgSize)
+    private def readLine(in: InputStream): String = reader.readLine(in)
+    private def readFrame(in: InputStream): String = reader.readFrame(in)
   }
 
   /** Start a listener and return it with the streaming frame source

@@ -296,6 +296,29 @@ class DestinationsSpec extends GraftSuite {
     } finally listener.stop()
   }
 
+  test("unix-stream() dest -> unix-stream() source round trip") {
+    // afunix-dest.c -> afunix-source.c over a real unix domain
+    // socket: the destination writes newline frames, the source
+    // listener spools them for the file stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_ux").toString
+    val sockPath = s"$dir/g.sock"
+    val (listener, _) = graft.streaming.UnixSource.listen(
+      spark, s"$dir/spool", sockPath)
+    try {
+      val in = java.nio.file.Files.createTempDirectory("graft_ux_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<13>Jan 12 03:04:05 h1 app: over the socket\n".getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { unix-stream("$sockPath" template("$$MSG")); };
+        log { source(s); destination(d); };
+      """, dir)
+      awaitCount(listener, 1)
+      listener.stop()
+      assert(spoolLines(s"$dir/spool") == Seq("over the socket"))
+    } finally listener.stop()
+  }
+
   test("config text: collectd() writes PUTVAL lines to the unix socket") {
     // scl/collectd/plugin.conf: unix-stream() to the collectd
     // unixsock plugin — PUTVAL host/plugin-inst/type interval=N

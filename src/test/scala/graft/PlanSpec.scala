@@ -226,6 +226,26 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("LeftSemi"), p)
   }
 
+  test("unigram quality: bounded vocab broadcasts, counts pre-aggregate") {
+    // the vocab side must arrive broadcast (the cutoff is what keeps
+    // the join broadcastable at 100 TB), never a shuffled join; the
+    // token counts must partially aggregate before their exchange
+    val p = plan("text_unigram_quality")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-K, not a full sort
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+  }
+
+  test("line dedup: no window over unbounded groups, semi-join survivors") {
+    // keeper selection is a map-side-combinable min(struct) groupBy —
+    // NOT a row_number window over per-line partitions (a mega-dup
+    // line would straggle); survivors come back via a semi-join
+    val p = plan("text_dedup_lines")
+    assert(!p.contains("WindowExec"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_min") || p.contains("partial min"), p)
+  }
+
   test("hot paths stay inside whole-stage codegen") {
     // custom expressions (ParseSyslog here) must not force interpreted
     // fallback: the generated whole-stage code contains the static call
