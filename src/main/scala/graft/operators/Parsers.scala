@@ -222,7 +222,10 @@ object Parsers {
         map_filter(values0, (k, _) => !array_contains(map_keys(adds), k)),
         adds))
       .withColumn("program", lit("snmptrapd"))
-      .withColumn("ts", to_timestamp(p.getField("ts")))
+      // try_: the header scan validates DIGITS, not the calendar —
+      // "9999-99-99 99:99:99" must yield a null ts, not an ANSI throw
+      // (the reference's mktime normalizes such values instead)
+      .withColumn("ts", try_to_timestamp(p.getField("ts")))
       .withColumn(field,
         if (setMessageMacro) p.getField("msg") else lit(null).cast("string"))
       .drop("__snmp")

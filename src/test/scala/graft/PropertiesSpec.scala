@@ -190,4 +190,44 @@ class PropertiesSpec extends GraftSuite {
         .count() == texts.size
     })
   }
+
+  test("SnmpTrapdScan never throws; hostile input fails closed") {
+    // a throwing expression is a job-killer at scale: any byte soup —
+    // truncated headers, stray brackets/parens/tabs, near-miss
+    // timestamps — must yield ok=false (drop) or a parse, never an
+    // exception
+    val near: Gen[String] = Gen.oneOf(
+      "2017-05-10 12:46:14 h [UDP: x]:",
+      "2017-05-10 12:46:14 h [UDP: x]:\n",
+      "2017-05-10 12:46:14 h [no-close\nk = v",
+      "2017-05-10 12:46:14", "9999-99-99 99:99:99 h [x]:\nk = v",
+      "2017-05-10 12:46:14 h [x]: ent\n\t T (1) Uptime: u\nk = v",
+      "2017-05-10 12:46:14 h [x]: ent\n\t T (1 Uptime broken")
+    val junk: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.choose(' ', '~'),
+      2 -> Gen.oneOf('\t', '\n', '[', ']', '(', ')', '=', ':', '"'),
+      1 -> Gen.numChar)).map(_.mkString.take(120))
+    val hostile = Gen.oneOf(junk, near,
+      junk.map("2017-05-10 12:46:14 host [UDP: t]:\n" + _))
+    check(Prop.forAll(Gen.listOf(hostile).map(_.take(6))) { lines =>
+      val df = lines.toDF("message")
+      // parsed count <= input count and the query never throws
+      Parsers.snmptrapdParser(df).count() <= lines.size
+    })
+  }
+
+  test("substEach preserves non-matching text verbatim") {
+    // the NUL-fence split/rebuild must be the identity off-match:
+    // masking a corpus with no card numbers returns it untouched, and
+    // arbitrary text never throws
+    val junk: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaChar, 2 -> Gen.oneOf(' ', '\n', '*', '$', '\\', '.'),
+      1 -> Gen.choose('!', ','))).map(_.mkString.take(150))
+    check(Prop.forAll(Gen.listOf(junk).map(_.take(6))) { texts =>
+      val df = texts.toDF("message")
+      val out = graft.operators.Rewrites.creditCardMask(df)
+        .collect().map(_.getString(0)).toSeq
+      out == texts // no digits -> no matches -> identity
+    })
+  }
 }
