@@ -271,7 +271,8 @@ object ConfigCompiler {
       case Some(s) if s.name == "network" || s.name == "syslog" ||
           s.name == "loggly" || s.name == "sumologic-syslog" ||
           s.name == "graylog2" || s.name == "logmatic" ||
-          s.name == "collectd" || s.name == "unix-stream" =>
+          s.name == "collectd" || s.name == "unix-stream" ||
+          s.name == "network-load-balancer" =>
         startTcpRoute(route, s, checkpoint)
       case Some(s) if s.name == "elasticsearch-http" =>
         // scl/elasticsearch/elastic-http.conf: http() with an ndjson
@@ -341,7 +342,8 @@ object ConfigCompiler {
 
   private val destDrivers = Set("http", "elasticsearch-http", "network",
     "syslog", "loggly", "sumologic-http", "sumologic-syslog", "slack",
-    "telegram", "graylog2", "logmatic", "collectd", "unix-stream")
+    "telegram", "graylog2", "logmatic", "collectd", "unix-stream",
+    "network-load-balancer")
 
   /** network()/syslog() destinations and the scl composites over them
     * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,
@@ -419,6 +421,25 @@ object ConfigCompiler {
             throw new IllegalArgumentException("unix-stream() needs a path"))
         unixPath = Some(sockPath)
         (Nil, false, t(userTemplate.getOrElse("<$PRI>$DATE $HOST $MSGHDR$MESSAGE")))
+      case "network-load-balancer" =>
+        // scl/loadbalancer/: confgen emits a junction of R_MSEC-modulo
+        // channels over network() targets; here the modulo spread
+        // lives in TcpSink.loadBalance (message-hash keyed — see the
+        // Config scaladoc for the batch-replay rationale)
+        val tgts = s.args.collectFirst { case KV("targets", vs) => lits(vs) }
+          .getOrElse(throw new IllegalArgumentException(
+            "network-load-balancer() needs targets()"))
+        val port = kvOf(s.args, "port").map(_.toInt).getOrElse(514)
+        val line = t(userTemplate.getOrElse("<$PRI>$DATE $HOST $MSGHDR$MESSAGE"))
+        // targets are bare hosts in the reference (port rides the
+        // shared parameters); a host:port form is accepted too
+        val resolved = tgts.map { tgt =>
+          tgt.lastIndexOf(':') match {
+            case -1 => tgt -> port
+            case i => tgt.substring(0, i) -> tgt.substring(i + 1).toInt
+          }
+        }
+        (resolved, false, line)
       case "loggly" =>
         // scl/loggly/loggly.conf: network() with the token SD block
         val token = kvOf(s.args, "token").getOrElse(
@@ -470,7 +491,8 @@ object ConfigCompiler {
         (((host -> port) +: failover.map(_ -> port)), proto == "syslog", body)
     }
     val cfg = graft.streaming.TcpSink.Config(targets, octetCounted = octet,
-      delimiter = delimiter, unixPath = unixPath)
+      delimiter = delimiter, unixPath = unixPath,
+      loadBalance = s.name == "network-load-balancer")
     val df = route.df.withColumn("__body", body)
     graft.streaming.TcpSink.tcpSink(df, "__body", cfg, checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

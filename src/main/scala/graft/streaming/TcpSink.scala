@@ -18,10 +18,12 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * exactly like the reference's requeue-on-disconnect, with the
   * micro-batch checkpoint as the disk-buffer analog.
   *
-  * One socket per partition per micro-batch; partitions send in
-  * parallel. This is the relay pair of the EWMM formats: format-ewmm →
-  * syslog() destination → [[TcpSource]] (octet-counted) → ewmm-parser
-  * is a lossless hop (SclSpec/TcpSourceSpec e2e).
+  * One socket per live target per partition per micro-batch;
+  * partitions send in parallel. `loadBalance` turns the target list
+  * into a message-keyed spread (`scl/loadbalancer/`) instead of a
+  * failover chain. This is the relay pair of the EWMM formats:
+  * format-ewmm → syslog() destination → [[TcpSource]] (octet-counted)
+  * → ewmm-parser is a lossless hop (SclSpec/TcpSourceSpec e2e).
   */
 object TcpSink {
 
@@ -41,7 +43,17 @@ object TcpSink {
       retries: Int = 3,
       retryBackoffMs: Long = 100L,
       delimiter: String = "\n",
-      unixPath: Option[String] = None)
+      unixPath: Option[String] = None,
+      /** network-load-balancer() (`scl/loadbalancer/`): spread
+        * messages ACROSS the target list instead of treating it as a
+        * failover chain. The reference distributes by `$(% ${R_MSEC}
+        * N)` — arrival-time modulo; in batch replay arrival time is
+        * meaningless, so the translation keys on the message hash:
+        * same uniform spread, deterministic under micro-batch replay
+        * (a message always lands on the same target). A dead target
+        * fails over to the next, like the generated channels'
+        * flags(final) fallthrough. */
+      loadBalance: Boolean = false)
 
   private def frame(cfg: Config, msg: String): Array[Byte] = {
     val payload = msg.getBytes(StandardCharsets.UTF_8)
@@ -86,33 +98,46 @@ object TcpSink {
     require(cfg.targets.nonEmpty || cfg.unixPath.isDefined,
       "tcp destination needs at least one target")
     val nTargets = math.max(cfg.targets.size, 1)
-    var sock: Conn = null
-    var idx = 0
+    // one connection slot per target: slot 0 only in failover mode,
+    // message-keyed slots in load-balance mode
+    val socks = new Array[Conn](nTargets)
+    val dead = new Array[Boolean](nTargets)
     var attempt = 0
     try {
       msgs.foreach { m =>
         val bytes = frame(cfg, m)
+        val home =
+          if (cfg.loadBalance) Math.floorMod(m.hashCode, nTargets) else 0
+        var idx = home
         var sent = false
         while (!sent) {
-          try {
-            if (sock == null) sock = connect(cfg, idx)
-            sock.out.write(bytes)
-            sent = true
-          } catch {
-            case e: java.io.IOException =>
-              if (sock != null) sock.close()
-              sock = null
-              if (attempt >= cfg.retries * nTargets)
-                throw new java.io.IOException(
-                  s"tcp destination: all targets failed after $attempt attempts", e)
-              attempt += 1
-              idx += 1 // failover to the next server
-              Thread.sleep(cfg.retryBackoffMs * (attempt / nTargets + 1))
+          val slot = idx % nTargets
+          // a target marked dead is skipped (sticky failover — not
+          // re-dialed per message) unless every target is dead, in
+          // which case we re-try it until the attempt budget runs out
+          if (dead(slot) && !dead.forall(identity)) idx += 1
+          else {
+            try {
+              if (socks(slot) == null) { socks(slot) = connect(cfg, slot); dead(slot) = false }
+              socks(slot).out.write(bytes)
+              sent = true
+            } catch {
+              case e: java.io.IOException =>
+                if (socks(slot) != null) socks(slot).close()
+                socks(slot) = null
+                dead(slot) = true
+                if (attempt >= cfg.retries * nTargets)
+                  throw new java.io.IOException(
+                    s"tcp destination: all targets failed after $attempt attempts", e)
+                attempt += 1
+                idx += 1
+                Thread.sleep(cfg.retryBackoffMs * (attempt / nTargets + 1))
+            }
           }
         }
       }
-      if (sock != null) sock.out.flush()
-    } finally if (sock != null) sock.close()
+      socks.foreach(s => if (s != null) s.out.flush())
+    } finally socks.foreach(s => if (s != null) s.close())
   }
 
   /** Streaming form: render `bodyCol` per row, send per partition. */

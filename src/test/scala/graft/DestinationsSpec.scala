@@ -296,6 +296,71 @@ class DestinationsSpec extends GraftSuite {
     } finally listener.stop()
   }
 
+  test("network-load-balancer() spreads across targets and survives a death") {
+    // scl/loadbalancer/: messages distribute across the target list
+    // (message-keyed modulo standing in for the confgen R_MSEC
+    // channels); a dead target's share fails over to the live ones
+    val dir = java.nio.file.Files.createTempDirectory("graft_lb").toString
+    val (a, _) = TcpSource.listen(spark, s"$dir/spoolA")
+    val (b, _) = TcpSource.listen(spark, s"$dir/spoolB")
+    try {
+      val msgs = (1 to 40).map(i => s"msg $i")
+      import spark.implicits._
+      TcpSink.writeBatch(msgs.toDF("line").coalesce(1), "line",
+        TcpSink.Config(
+          Seq("127.0.0.1" -> a.boundPort, "127.0.0.1" -> b.boundPort),
+          loadBalance = true))
+      awaitCount2(a, b, 40)
+      assert(a.receivedCount > 0 && b.receivedCount > 0,
+        s"spread expected, got a=${a.receivedCount} b=${b.receivedCount}")
+      // now kill B: everything lands on A
+      b.stop()
+      TcpSink.writeBatch(msgs.toDF("line").coalesce(1), "line",
+        TcpSink.Config(
+          Seq("127.0.0.1" -> a.boundPort, "127.0.0.1" -> b.boundPort),
+          loadBalance = true, retryBackoffMs = 10))
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (a.receivedCount + b.receivedCount < 80 &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      assert(a.receivedCount + b.receivedCount == 80,
+        s"a=${a.receivedCount} b=${b.receivedCount}")
+      a.stop()
+      val all = spoolLines(s"$dir/spoolA") ++ spoolLines(s"$dir/spoolB")
+      assert(all.sorted == (msgs ++ msgs).sorted)
+    } finally { a.stop(); b.stop() }
+  }
+
+  private def awaitCount2(a: graft.streaming.SocketListener,
+      b: graft.streaming.SocketListener, n: Long): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (a.receivedCount + b.receivedCount < n && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(a.receivedCount + b.receivedCount == n,
+      s"got ${a.receivedCount}+${b.receivedCount}, want $n")
+  }
+
+  test("config text: network-load-balancer() block resolves host:port targets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lb2").toString
+    val (a, _) = TcpSource.listen(spark, s"$dir/spoolA")
+    val (b, _) = TcpSource.listen(spark, s"$dir/spoolB")
+    try {
+      val in = java.nio.file.Files.createTempDirectory("graft_lb2_in")
+      val lines = (1 to 20)
+        .map(i => s"<13>Jan 12 03:04:05 h$i app: lb line $i").mkString("\n")
+      java.nio.file.Files.write(in.resolve("in.log"), (lines + "\n").getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { network-load-balancer(targets(
+          "127.0.0.1:${a.boundPort}" "127.0.0.1:${b.boundPort}")
+          template("$$MSG")); };
+        log { source(s); destination(d); };
+      """, dir)
+      awaitCount2(a, b, 20)
+      assert(a.receivedCount > 0 && b.receivedCount > 0,
+        s"spread expected, got a=${a.receivedCount} b=${b.receivedCount}")
+    } finally { a.stop(); b.stop() }
+  }
+
   test("unix-stream() dest -> unix-stream() source round trip") {
     // afunix-dest.c -> afunix-source.c over a real unix domain
     // socket: the destination writes newline frames, the source
