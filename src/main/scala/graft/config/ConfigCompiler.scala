@@ -249,6 +249,29 @@ object ConfigCompiler {
         graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      case Some(s) if s.name == "discord" =>
+        // scl/discord/discord.conf: http POST of a format-json body —
+        // content truncated at max-msg-length() (Discord's 2000-char
+        // webhook cap), username/avatar_url/tts riding along as the
+        // reference block always includes them
+        val url = kvOf(s.args, "url").getOrElse(
+          throw new IllegalArgumentException("discord() needs url()"))
+        val cols = route.df.columns.toSeq
+        def t(tmpl: String): Column = Template.column(tmpl, cols)
+        val maxLen = kvOf(s.args, "max-msg-length").map(_.toInt).getOrElse(2000)
+        val body = graft.operators.ValuePairs.formatFlatJson(map(
+          lit("content"),
+          t(kvOf(s.args, "template").getOrElse("${MSG:-[empty message]}"))
+            .substr(lit(1), lit(maxLen)),
+          lit("username"), t(kvOf(s.args, "username").getOrElse("")),
+          lit("avatar_url"), t(kvOf(s.args, "avatar-url").getOrElse("")),
+          lit("tts"), lit(kvOf(s.args, "tts").getOrElse("false"))))
+        val http = graft.streaming.Sinks.HttpConfig(url,
+          headers = Seq("Content-type" -> "application/json"))
+        val df = route.df.withColumn("__body", body)
+        graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
       case Some(s) if s.name == "sumologic-http" =>
         // scl/sumologic/sumologic.conf sumologic-http(): http() POST to
         // the collector endpoint composed from deployment()+collector();
@@ -272,7 +295,7 @@ object ConfigCompiler {
           s.name == "loggly" || s.name == "sumologic-syslog" ||
           s.name == "graylog2" || s.name == "logmatic" ||
           s.name == "collectd" || s.name == "unix-stream" ||
-          s.name == "network-load-balancer" =>
+          s.name == "network-load-balancer" || s.name == "graphite" =>
         startTcpRoute(route, s, checkpoint)
       case Some(s) if s.name == "elasticsearch-http" =>
         // scl/elasticsearch/elastic-http.conf: http() with an ndjson
@@ -342,8 +365,8 @@ object ConfigCompiler {
 
   private val destDrivers = Set("http", "elasticsearch-http", "network",
     "syslog", "loggly", "sumologic-http", "sumologic-syslog", "slack",
-    "telegram", "graylog2", "logmatic", "collectd", "unix-stream",
-    "network-load-balancer")
+    "telegram", "discord", "graylog2", "logmatic", "collectd",
+    "unix-stream", "network-load-balancer", "graphite")
 
   /** network()/syslog() destinations and the scl composites over them
     * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,
@@ -440,6 +463,28 @@ object ConfigCompiler {
           }
         }
         (resolved, false, line)
+      case "graphite" =>
+        // scl/graphite/plugin.conf: network(tcp port(2003)) with
+        // template("$(graphite-output `payload`)") — the plaintext
+        // protocol, one `name value unixtime` line per selected pair.
+        // payload() carries value-pairs cmdline args (`--key GLOB`);
+        // graphite-output.c:113-115 adds a replace-prefix(".", "_")
+        // transform so leading-dot internal keys stay valid metric
+        // names. formatGraphite emits its own trailing newline, so the
+        // sink delimiter is empty.
+        val host = kvOf(s.args, "host").getOrElse("localhost")
+        val port = kvOf(s.args, "port").map(_.toInt).getOrElse(2003)
+        val globs = s.args.collectFirst { case KV("payload", vs) => lits(vs) }
+          .getOrElse(Nil)
+          .flatMap(_.split("\\s+").toSeq)
+          .sliding(2).collect { case Seq("--key", g) => g }.toSeq
+        val vp = graft.operators.ValuePairs
+        val selected = vp.replacePrefix(
+          vp.select(col("values"), if (globs.isEmpty) Seq("*") else globs),
+          ".", "_")
+        delimiter = ""
+        (Seq(host -> port), false,
+          vp.formatGraphite(selected, t("$UNIXTIME")))
       case "loggly" =>
         // scl/loggly/loggly.conf: network() with the token SD block
         val token = kvOf(s.args, "token").getOrElse(

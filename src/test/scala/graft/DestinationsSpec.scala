@@ -190,6 +190,62 @@ class DestinationsSpec extends GraftSuite {
     }
   }
 
+  test("config text: discord() posts the format-json webhook body") {
+    withHttpStub { (url, bodies) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_disc").toString
+      val in = java.nio.file.Files.createTempDirectory("graft_disc_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<13>Jan 12 03:04:05 h1 app: deploy done\n".getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { discord(url("$url/wh") username("graft-bot")); };
+        log { source(s); destination(d); };
+      """, dir)
+      val body = bodies.toArray.toSeq.asInstanceOf[Seq[String]].head
+      assert(body == "{\"avatar_url\":\"\",\"content\":\"deploy done\"," +
+        "\"tts\":\"false\",\"username\":\"graft-bot\"}", body)
+    }
+  }
+
+  test("config text: discord() truncates content at max-msg-length") {
+    withHttpStub { (url, bodies) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_disc2").toString
+      val in = java.nio.file.Files.createTempDirectory("graft_disc2_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<13>Jan 12 03:04:05 h1 app: abcdefghij\n".getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { discord(url("$url/wh") max-msg-length(4)); };
+        log { source(s); destination(d); };
+      """, dir)
+      val body = bodies.toArray.toSeq.asInstanceOf[Seq[String]].head
+      assert(body.contains("\"content\":\"abcd\""), body)
+    }
+  }
+
+  test("config text: graphite() sends plaintext metric lines per payload globs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    val (listener, _) = TcpSource.listen(spark, s"$dir/spool")
+    try {
+      val in = java.nio.file.Files.createTempDirectory("graft_graph_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<13>Jan 12 03:04:05 h1 vmstat: cpu=7 mem=42 skip=9\n".getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        parser p { kv-parser(prefix("monitor.")); };
+        destination d { graphite(host("127.0.0.1")
+          port(${listener.boundPort})
+          payload("--key monitor.cpu --key monitor.mem")); };
+        log { source(s); parser(p); destination(d); };
+      """, dir)
+      awaitCount(listener, 2)
+      listener.stop()
+      val ts = java.time.Instant.parse("2024-01-12T03:04:05Z").getEpochSecond
+      val lines = spoolLines(s"$dir/spool").sorted
+      assert(lines == Seq(s"monitor.cpu 7 $ts", s"monitor.mem 42 $ts"), lines)
+    } finally listener.stop()
+  }
+
   test("config text: sumologic-http() posts the rendered line") {
     withHttpStub { (url, bodies) =>
       val dir = java.nio.file.Files.createTempDirectory("graft_sumo").toString
