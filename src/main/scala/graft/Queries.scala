@@ -645,6 +645,47 @@ object Queries {
       1494420374 AS epoch
       FROM events ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------------
+  // linux-kmsg-format: synthesized /dev/kmsg record per row (header with
+  // an ignored extra field + SUBSYSTEM and a subsystem DEVICE pair),
+  // expected fields computed analytically by the oracle
+  // ---------------------------------------------------------------------
+  private val parseKmsg = Q("parse_kmsg",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val rec = concat(
+        (col("event_id") % 192).cast("string"), lit(","),
+        col("event_id").cast("string"), lit(","),
+        (col("event_id") * 1000 + col("user_id")).cast("string"),
+        lit(",extra field;u="), col("user_id").cast("string"),
+        lit("\n SUBSYSTEM="), col("event_type"),
+        lit("\n DEVICE=+acpi:dev"), col("user_id").cast("string"))
+      val p = graft.functions.KmsgScan(rec)
+      ev.select(col("event_id"), p.as("p"))
+        .select(col("event_id"),
+          shiftright(col("p.pri"), 3).as("facility"),
+          col("p.pri").bitwiseAND(7).as("severity"),
+          col("p.msgid").as("msgid"),
+          col("p.message").as("message"),
+          col("p.stamp_usec").as("stamp_usec"),
+          element_at(col("p.pairs"), ".linux.timestamp").as("kts"),
+          element_at(col("p.pairs"), ".linux.SUBSYSTEM").as("subsystem"),
+          element_at(col("p.pairs"), ".linux.DEVICE.type").as("dev_type"),
+          element_at(col("p.pairs"), ".linux.DEVICE.name").as("dev_name"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CAST((event_id % 192) // 8 AS INT) AS facility,
+      CAST((event_id % 192) % 8 AS INT) AS severity,
+      CAST(event_id AS VARCHAR) AS msgid,
+      'u=' || user_id AS message,
+      CAST(event_id * 1000 + user_id AS BIGINT) AS stamp_usec,
+      CAST(event_id * 1000 + user_id AS VARCHAR) AS kts,
+      event_type AS subsystem,
+      'acpi' AS dev_type,
+      'dev' || user_id AS dev_name
+      FROM events ORDER BY event_id"""))
+
   private val parseAudit = Q("parse_audit",
     (s, d) => {
       val ev = Tables.events(s, d)
@@ -2154,7 +2195,8 @@ object Queries {
     parseSyslogRfc3164, parseSyslogRfc5424,
     routeJunction, patterndbClassify, appParserQ, appParserTopicQ, defaultNetwork,
     enrichRange, enrichGlob,
-    parseCsv, parseCsvGreedy, parseKv, parseAudit, parseSnmptrap, parseJsonFlat,
+    parseCsv, parseCsvGreedy, parseKv, parseAudit, parseSnmptrap, parseKmsg,
+    parseJsonFlat,
     parseJsonNested, parseXml, parseDate, parseTagsRekey, parseApache,
     configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,

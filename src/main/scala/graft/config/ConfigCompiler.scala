@@ -57,7 +57,7 @@ object ConfigCompiler {
     val sources = cfg.sources.map { case (name, blk) =>
       val stmt = blk.stmts.find(s => s.name == "file" || s.name == "network" ||
           s.name == "syslog" || s.name == "osquery" || s.name == "mbox" ||
-          s.name == "snmptrap" || s.name == "unix-stream")
+          s.name == "snmptrap" || s.name == "unix-stream" || s.name == "system")
         .getOrElse(throw new IllegalArgumentException(
           s"source $name: only file()/network()/syslog()/osquery() sources stream here"))
       // scl/osquery/plugin.conf:3-8: file source with no-parse +
@@ -78,6 +78,23 @@ object ConfigCompiler {
             lines.select(col("source_file"), col("value").as("message")),
             prefix, setMsg)
           .withColumn("tags", array().cast("array<string>"))
+      } else if (stmt.name == "system" ||
+          (stmt.name == "file" && kvOf(stmt.args, "format").contains("linux-kmsg"))) {
+        // modules/system-source/system-source.c:222-249 — on linux the
+        // system() block resolves to `file("/dev/kmsg" program-override
+        // ("kernel") flags(kernel) format(linux-kmsg) keep-timestamp(no))`
+        // (plus the /dev/log dgram socket, whose transport here is the
+        // unix-stream() listener form). kmsg-file() is the dev-mode
+        // path override so tests don't need the real device.
+        val path =
+          if (stmt.name == "system") kvOf(stmt.args, "kmsg-file").getOrElse("/dev/kmsg")
+          else stmt.args.collectFirst { case Lit(p) => p }
+            .orElse(kvOf(stmt.args, "filename")).getOrElse(
+              throw new IllegalArgumentException(s"source $name: file() needs a path"))
+        val program = kvOf(stmt.args, "program-override").getOrElse("kernel")
+        name -> graft.streaming.Sources.parsedKmsg(
+            graft.streaming.Sources.fileLines(spark, path))
+          .withColumn("program", lit(program))
       } else if (stmt.name == "osquery") {
         val path = kvOf(stmt.args, "file")
           .orElse(stmt.args.collectFirst { case Lit(p) => p })

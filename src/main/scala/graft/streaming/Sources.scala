@@ -32,6 +32,32 @@ object Sources {
     lines.withColumn("p", p).select(col("source_file"), col("p.*"))
   }
 
+  /** The `/dev/kmsg` source pipeline: one-record-per-read lines →
+    * [[graft.functions.KmsgScan]] columns, the `file("/dev/kmsg"
+    * format("linux-kmsg"))` form the reference's `system()` block
+    * generates on linux 3.5+ (`modules/linux-kmsg-format/
+    * linux-kmsg-format.c`, `scl/system/generate-system-source.sh`).
+    * PRI splits into facility/severity exactly like the syslog parse;
+    * `.linux.*` pairs land in `values`; records the kernel format
+    * rejects are dropped (the reference wraps them in an
+    * `Error processing log message:` text — we keep the drop
+    * semantics of our other format parsers). `bootUsec` anchors the
+    * monotonic timestamps (`kmsg_to_absolute_time`). */
+  def parsedKmsg(lines: DataFrame, bootUsec: Long = 0L): DataFrame = {
+    val p = graft.functions.KmsgScan(col("value"), bootUsec)
+    lines.withColumn("p", p)
+      .where(col("p.ok"))
+      .select(col("source_file"),
+        shiftright(col("p.pri"), 3).as("facility"),
+        col("p.pri").bitwiseAND(7).as("severity"),
+        col("p.msgid"),
+        col("p.message"),
+        timestamp_micros(col("p.stamp_usec")).as("ts"),
+        col("p.pairs").as("values"))
+      .withColumn("program", lit("kernel"))
+      .withColumn("tags", array().cast("array<string>"))
+  }
+
   /** Multi-line framing (`lib/logproto/logproto-regexp-multiline-server
     * .c`): records START at lines matching `startRe`; continuation lines
     * append with `\n`. Operates per file (records never span files, as
