@@ -686,6 +686,52 @@ object Queries {
       'dev' || user_id AS dev_name
       FROM events ORDER BY event_id"""))
 
+  // ---------------------------------------------------------------------
+  // pacct format: synthesized acct_v3 binary record per row (comp fields
+  // kept < 8192 so the comp decode is identity and the oracle can
+  // compute the expected strings analytically); covers every formatting
+  // class — %02x flag, "%lu.00" comp, "%9.2f" etime, comm cstring
+  // ---------------------------------------------------------------------
+  private val parsePacct = Q("parse_pacct",
+    (s, d) => {
+      import s.implicits._
+      val recs = Tables.events(s, d)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"))
+        .as[(Long, Long)]
+        .map { case (eid, uid) =>
+          (eid, graft.functions.PacctScan.build(
+            flag = (eid % 128).toInt, tty = (uid % 65536).toInt,
+            exitcode = eid % 100, uid = uid, gid = uid % 1000,
+            pid = eid % 65536, ppid = 1L, btime = eid % 8192,
+            etime = (eid % 1000).toFloat,
+            comps = Seq((eid % 8192).toInt, (uid % 8192).toInt,
+              ((eid * 7) % 8192).toInt, 0, 0, (eid % 100).toInt, 0, 0),
+            comm = "cmd" + uid))
+        }.toDF("event_id", "rec")
+      recs.select(col("event_id"),
+          graft.functions.PacctScan(col("rec")).as("p"))
+        .select(col("event_id"),
+          element_at(col("p.pairs"), ".pacct.ac_flag").as("flag"),
+          element_at(col("p.pairs"), ".pacct.ac_uid").as("uid"),
+          element_at(col("p.pairs"), ".pacct.ac_pid").as("pid"),
+          element_at(col("p.pairs"), ".pacct.ac_btime").as("btime"),
+          element_at(col("p.pairs"), ".pacct.ac_etime").as("etime"),
+          element_at(col("p.pairs"), ".pacct.ac_utime").as("utime"),
+          element_at(col("p.pairs"), ".pacct.ac_mem").as("mem"),
+          element_at(col("p.pairs"), ".pacct.ac_comm").as("comm"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      printf('%02x', event_id % 128) AS flag,
+      CAST(user_id AS VARCHAR) AS uid,
+      CAST(event_id % 65536 AS VARCHAR) AS pid,
+      CAST(event_id % 8192 AS VARCHAR) || '.00' AS btime,
+      printf('%9.2f', CAST(event_id % 1000 AS DOUBLE)) AS etime,
+      CAST(event_id % 8192 AS VARCHAR) || '.00' AS utime,
+      CAST((event_id * 7) % 8192 AS VARCHAR) AS mem,
+      'cmd' || user_id AS comm
+      FROM events ORDER BY event_id"""))
+
   private val parseAudit = Q("parse_audit",
     (s, d) => {
       val ev = Tables.events(s, d)
@@ -2196,7 +2242,7 @@ object Queries {
     routeJunction, patterndbClassify, appParserQ, appParserTopicQ, defaultNetwork,
     enrichRange, enrichGlob,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseSnmptrap, parseKmsg,
-    parseJsonFlat,
+    parsePacct, parseJsonFlat,
     parseJsonNested, parseXml, parseDate, parseTagsRekey, parseApache,
     configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,

@@ -57,7 +57,8 @@ object ConfigCompiler {
     val sources = cfg.sources.map { case (name, blk) =>
       val stmt = blk.stmts.find(s => s.name == "file" || s.name == "network" ||
           s.name == "syslog" || s.name == "osquery" || s.name == "mbox" ||
-          s.name == "snmptrap" || s.name == "unix-stream" || s.name == "system")
+          s.name == "snmptrap" || s.name == "unix-stream" || s.name == "system" ||
+          s.name == "pacct")
         .getOrElse(throw new IllegalArgumentException(
           s"source $name: only file()/network()/syslog()/osquery() sources stream here"))
       // scl/osquery/plugin.conf:3-8: file source with no-parse +
@@ -95,6 +96,13 @@ object ConfigCompiler {
         name -> graft.streaming.Sources.parsedKmsg(
             graft.streaming.Sources.fileLines(spark, path))
           .withColumn("program", lit(program))
+      } else if (stmt.name == "pacct") {
+        // scl/pacct/plugin.conf: file("/var/log/account/pacct"
+        // format("pacct") tags(".pacct"))
+        val path = kvOf(stmt.args, "file")
+          .orElse(stmt.args.collectFirst { case Lit(p) => p })
+          .getOrElse("/var/log/account/pacct")
+        name -> graft.streaming.Sources.pacctRecords(spark, path)
       } else if (stmt.name == "osquery") {
         val path = kvOf(stmt.args, "file")
           .orElse(stmt.args.collectFirst { case Lit(p) => p })

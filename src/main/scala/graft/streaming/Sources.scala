@@ -58,6 +58,33 @@ object Sources {
       .withColumn("tags", array().cast("array<string>"))
   }
 
+  /** The process-accounting source pipeline (`scl/pacct/plugin.conf`:
+    * `file(... format("pacct") tags(".pacct"))`): a captured pacct file
+    * is a plain concatenation of 64-byte `acct_v3` structs
+    * (`log_proto_binary_record_server_new(..., sizeof(acct_t))`,
+    * pacct-format.c:166-171), so the streaming scan reads whole binary
+    * files and explodes fixed-size records through
+    * [[graft.functions.PacctScan]]. Malformed records keep the
+    * reference behavior: the error text lands in `message` and no
+    * `.pacct.*` pairs are set. */
+  def pacctRecords(spark: SparkSession, glob: String): DataFrame = {
+    import graft.functions.{BinaryChunks, PacctScan}
+    spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .load(glob)
+      .select(col("path").as("source_file"),
+        explode(BinaryChunks(col("content"), PacctScan.RecordSize)).as("rec"))
+      .withColumn("p", PacctScan(col("rec")))
+      .select(col("source_file"),
+        coalesce(col("p.message"), lit("")).as("message"),
+        coalesce(col("p.pairs"), map().cast("map<string,string>")).as("values"))
+      .withColumn("tags", array(lit(".pacct")))
+  }
+
   /** Multi-line framing (`lib/logproto/logproto-regexp-multiline-server
     * .c`): records START at lines matching `startRe`; continuation lines
     * append with `\n`. Operates per file (records never span files, as
