@@ -58,7 +58,7 @@ object ConfigCompiler {
       val stmt = blk.stmts.find(s => s.name == "file" || s.name == "network" ||
           s.name == "syslog" || s.name == "osquery" || s.name == "mbox" ||
           s.name == "snmptrap" || s.name == "unix-stream" || s.name == "system" ||
-          s.name == "pacct")
+          s.name == "pacct" || s.name == "nodejs")
         .getOrElse(throw new IllegalArgumentException(
           s"source $name: only file()/network()/syslog()/osquery() sources stream here"))
       // scl/osquery/plugin.conf:3-8: file source with no-parse +
@@ -103,6 +103,26 @@ object ConfigCompiler {
           .orElse(stmt.args.collectFirst { case Lit(p) => p })
           .getOrElse("/var/log/account/pacct")
         name -> graft.streaming.Sources.pacctRecords(spark, path)
+      } else if (stmt.name == "nodejs") {
+        // scl/nodejs/plugin.conf: network(transport(tcp) port(9003)
+        // flags(no-parse)) → json-parser(extract-prefix("[1]")
+        // prefix(".nodejs.winston.")) → set(${.nodejs.winston.message}
+        // value("MESSAGE")) + set("" value(".nodejs.winston.message"))
+        val port = kvOf(stmt.args, "port").map(_.toInt).getOrElse(9003)
+        val (l, src) = graft.streaming.TcpSource.listen(spark,
+          s"$spoolBase/$name", port)
+        listeners += name -> l
+        val key = ".nodejs.winston.message"
+        name -> src
+          .withColumn("values", coalesce(
+            JsonFlatten(col("value"), ".nodejs.winston.", "[1]"),
+            map().cast("map<string,string>")))
+          .withColumn("message",
+            coalesce(element_at(col("values"), key), lit("")))
+          .withColumn("values", transform_values(col("values"),
+            (k, v) => when(k === key, lit("")).otherwise(v)))
+          .drop("value")
+          .withColumn("tags", array().cast("array<string>"))
       } else if (stmt.name == "osquery") {
         val path = kvOf(stmt.args, "file")
           .orElse(stmt.args.collectFirst { case Lit(p) => p })

@@ -60,8 +60,16 @@ object JsonFlatten {
     try {
       val p = factory.createParser(json.toString)
       try {
-        if (p.nextToken() != JsonToken.START_OBJECT) return null
-        walkObject(p, "", keys, vals, prefix, extractPrefix)
+        p.nextToken() match {
+          case JsonToken.START_OBJECT =>
+            walkObject(p, "", keys, vals, prefix, extractPrefix)
+          case JsonToken.START_ARRAY if extractPrefix.nonEmpty =>
+            // top-level arrays are reachable only via extract-prefix
+            // ("[1]") — the winston/nodejs form (scl/nodejs/plugin.conf;
+            // json-parser otherwise accepts objects only)
+            walkArray(p, "", keys, vals, prefix, extractPrefix)
+          case _ => return null
+        }
       } finally p.close()
     } catch { case _: Exception => return null }
     ArrayBasedMapData(keys.toArray, vals.toArray)

@@ -25,11 +25,14 @@ object Filters {
     col("severity").isin(names.map(n =>
       SyslogNames.severityToCode.getOrElse(n, n.toInt)): _*)
 
-  /** `severity(from..to)` range, inclusive, e.g. emerg..err. */
+  /** `severity(from..to)` range, inclusive, e.g. emerg..err. Order-
+    * insensitive: the conventional spelling `crit..emerg` names the
+    * UPPER severity first (numerically smaller code), so both endpoint
+    * orders must denote the same set. */
   def severityRange(from: String, to: String): Column = {
-    val lo = SyslogNames.severityToCode(from)
-    val hi = SyslogNames.severityToCode(to)
-    col("severity") >= lo && col("severity") <= hi
+    val a = SyslogNames.severityToCode(from)
+    val b = SyslogNames.severityToCode(to)
+    col("severity") >= math.min(a, b) && col("severity") <= math.max(a, b)
   }
 
   /** `host("regex")` / `program()` / `message()` — `lib/filter/filter-re.c`. */
