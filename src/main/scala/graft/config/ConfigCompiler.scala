@@ -383,6 +383,30 @@ object ConfigCompiler {
         graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      case Some(s) if s.name == "pseudofile" =>
+        // modules/pseudofile/pseudofile.c: per message, open(O_WRONLY
+        // |O_NONBLOCK) and write the template-rendered bytes — no
+        // framing or newline is added and the fd is NOT opened with
+        // O_APPEND (the driver targets /proc-style device files, so on
+        // a regular file each message writes from offset 0)
+        val path = s.args.collectFirst { case Lit(p) => p }
+          .orElse(kvOf(s.args, "file")).getOrElse(
+            throw new IllegalArgumentException("pseudofile() needs a path"))
+        val tmpl = kvOf(s.args, "template").getOrElse("${MESSAGE}")
+        val df = route.df.withColumn("__body",
+          Template.column(tmpl, route.df.columns))
+        df.writeStream.foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.select("__body").collect().foreach { r =>
+            val fos = new java.io.FileOutputStream(path, false)
+            try fos.write(r.getString(0).getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            finally fos.close()
+          }
+        }
+          .option("checkpointLocation", checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
       case Some(s) =>
         // url("a" "b" ...) — multiple literals round-robin across
         // sending workers and fail over (http-loadbalancer.c,
@@ -411,7 +435,7 @@ object ConfigCompiler {
   private val destDrivers = Set("http", "elasticsearch-http", "network",
     "syslog", "loggly", "sumologic-http", "sumologic-syslog", "slack",
     "telegram", "discord", "graylog2", "logmatic", "collectd",
-    "unix-stream", "network-load-balancer", "graphite")
+    "unix-stream", "network-load-balancer", "graphite", "pseudofile")
 
   /** network()/syslog() destinations and the scl composites over them
     * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,
@@ -894,6 +918,8 @@ object ConfigCompiler {
         df => graft.operators.Scl.appParser(df, topic)
       case "ewmm-parser" =>
         df => graft.operators.Scl.ewmmParser(df)
+      case "extract-solaris-msgid" =>
+        df => graft.operators.Scl.extractSolarisMsgid(df)
       case "cee-parser" =>
         val prefix = kvOf(s.args, "prefix").getOrElse(".cee.")
         df => graft.operators.Scl.ceeParser(df, prefix)

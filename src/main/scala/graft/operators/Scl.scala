@@ -340,6 +340,29 @@ object Scl {
     * strict prefix match on the message (`modules/json/json-parser.c:
     * 223-233`); whitespace after the marker is skipped before the JSON
     * body. Non-matching rows pass through unchanged. */
+  /** `extract-solaris-msgid()` (`/root/reference/scl/solaris/
+    * plugin.conf`): messages whose MESSAGE starts with `[ID` (the
+    * block's string-prefix filter) carry a Sun msgid header
+    * `[ID <msgid> <facility.level>] rest`; `.solaris.msgid` takes the
+    * second space-token inside the brackets (the block's second
+    * csv-parser over `$0`) and MESSAGE drops the bracketed group (the
+    * quote-pairs('[]') + greedy remainder csv-parse). Non-matching
+    * rows pass through unchanged (the block's `if {}` channel). */
+  private[graft] def extractSolarisMsgidFx(df: DataFrame,
+      guard: Column = lit(true)): VendorParsers.Fx = {
+    val msg = col("message")
+    val hit = msg.startsWith("[ID") && guard
+    val re = "^\\[([^\\]]*)\\]\\s?(.*)$"
+    val inner = regexp_extract(msg, re, 1)
+    val rest = regexp_extract(msg, re, 2)
+    VendorParsers.Fx(guard = hit,
+      adds = map(lit(".solaris.msgid"), element_at(split(inner, " "), 2)),
+      sets = Seq("message" -> rest))
+  }
+
+  def extractSolarisMsgid(df: DataFrame, guard: Column = lit(true)): DataFrame =
+    VendorParsers.applyFx(df, Seq(extractSolarisMsgidFx(df, guard)))
+
   def ceeParser(df: DataFrame, prefix: String = ".cee.",
       guard: Column = lit(true)): DataFrame =
     jsonWithMarker(df, "@cee:", prefix, guard)

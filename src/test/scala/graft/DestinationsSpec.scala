@@ -477,4 +477,26 @@ class DestinationsSpec extends GraftSuite {
       assert(line == "PUTVAL h1/cpu-0/gauge interval=60 1705028645:U\n", line)
     } finally srv.close()
   }
+
+  test("config text: pseudofile() writes template bytes from offset 0") {
+    // modules/pseudofile/pseudofile.c: one open+write per message, no
+    // appended newline, no O_APPEND — on a regular file the last
+    // message's bytes remain
+    val dir = java.nio.file.Files.createTempDirectory("graft_pseudo").toString
+    val target = s"$dir/device"
+    val in = java.nio.file.Files.createTempDirectory("graft_pseudo_in")
+    java.nio.file.Files.write(in.resolve("in.log"),
+      ("<13>Jan 12 03:04:05 h1 app: first\n" +
+        "<13>Jan 12 03:04:06 h1 app: second one\n").getBytes)
+    runFileRoute(s"""
+      source s { file("${in.resolve("*.log")}"); };
+      destination d { pseudofile("$target" template("$${PROGRAM}: $${MESSAGE}")); };
+      log { source(s); destination(d); };
+    """, dir)
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(target)), "UTF-8")
+    // batch order within one file is the input order; the second,
+    // longer write fully covers the first from offset 0
+    assert(content == "app: second one", content)
+  }
 }

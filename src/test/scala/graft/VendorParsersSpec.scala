@@ -219,4 +219,29 @@ class VendorParsersSpec extends GraftSuite {
     assert(out(2).getString(6) == null) // no vhost on the bare forms
     assert(out(3).getString(5) == null) // common: no agent captured
   }
+
+  test("extract-solaris-msgid: Sun msgid block peeled, others pass through") {
+    // scl/solaris/plugin.conf: '[ID <msgid> <fac.level>] rest' →
+    // .solaris.msgid + MESSAGE without the block
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "[ID 702911 mail.info] sendmail shutdown succeeded"),
+      (2L, "[ID 123 kern.notice] panic imminent"),
+      (3L, "plain message, no sun header")
+    ).toDF("id", "message")
+      .withColumn("values", map(lit("pre"), lit("x")))
+    val out = graft.operators.Scl.extractSolarisMsgid(df)
+      .select(col("id"), col("message"),
+        element_at(col("values"), ".solaris.msgid").as("msgid"),
+        element_at(col("values"), "pre").as("pre"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "sendmail shutdown succeeded")
+    assert(out(0).getString(2) == "702911")
+    assert(out(1).getString(1) == "panic imminent")
+    assert(out(1).getString(2) == "123")
+    assert(out(2).getString(1) == "plain message, no sun header")
+    assert(out(2).getString(2) == null)
+    // pre-existing values survive on every row
+    assert(out.forall(_.getString(3) == "x"))
+  }
 }
