@@ -340,7 +340,8 @@ object ConfigCompiler {
           s.name == "loggly" || s.name == "sumologic-syslog" ||
           s.name == "graylog2" || s.name == "logmatic" ||
           s.name == "collectd" || s.name == "unix-stream" ||
-          s.name == "network-load-balancer" || s.name == "graphite" =>
+          s.name == "network-load-balancer" || s.name == "graphite" ||
+          s.name == "redis" || s.name == "stomp" || s.name == "smtp" =>
         startTcpRoute(route, s, checkpoint)
       case Some(s) if s.name == "elasticsearch-http" =>
         // scl/elasticsearch/elastic-http.conf: http() with an ndjson
@@ -435,7 +436,8 @@ object ConfigCompiler {
   private val destDrivers = Set("http", "elasticsearch-http", "network",
     "syslog", "loggly", "sumologic-http", "sumologic-syslog", "slack",
     "telegram", "discord", "graylog2", "logmatic", "collectd",
-    "unix-stream", "network-load-balancer", "graphite", "pseudofile")
+    "unix-stream", "network-load-balancer", "graphite", "pseudofile",
+    "redis", "stomp", "smtp")
 
   /** network()/syslog() destinations and the scl composites over them
     * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,
@@ -455,6 +457,7 @@ object ConfigCompiler {
     val userTemplate = kvOf(s.args, "template")
     var delimiter = "\n"
     var unixPath: Option[String] = None
+    var greeting: Option[String] = None
     val (targets, octet, body) = s.name match {
       case "graylog2" =>
         // scl/graylog2/plugin.conf: network(transport(tcp)) with
@@ -554,6 +557,89 @@ object ConfigCompiler {
         delimiter = ""
         (Seq(host -> port), false,
           vp.formatGraphite(selected, t("$UNIXTIME")))
+      case "redis" =>
+        // modules/redis/redis.c + redis-grammar.ym:79: `command("LPUSH"
+        // "key" "$MSG" ...)` — every argument is a template; the
+        // rendered argv goes out as one RESP multi-bulk array (the
+        // hiredis wire format redisAppendCommandArgv produces):
+        // `*<n>\r\n` then `$<bytes>\r\n<arg>\r\n` per argument.
+        // auth() issues AUTH once per connection.
+        val host = kvOf(s.args, "host").getOrElse("127.0.0.1")
+        val port = kvOf(s.args, "port").map(_.toInt).getOrElse(6379)
+        val cmd = s.args.collectFirst { case KV("command", vs) => lits(vs) }
+          .getOrElse(Seq("LPUSH", "messages", "$MESSAGE"))
+        delimiter = ""
+        greeting = kvOf(s.args, "auth").map { a =>
+          val n = a.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+          s"*2\r\n$$4\r\nAUTH\r\n$$$n\r\n$a\r\n"
+        }
+        val respBody = concat((lit(s"*${cmd.size}\r\n") +:
+          cmd.flatMap { a =>
+            val p = t(a)
+            Seq(concat(lit("$"), octet_length(p).cast("string"), lit("\r\n")),
+              concat(p, lit("\r\n")))
+          }): _*)
+        (Seq(host -> port), false, respBody)
+      case "stomp" =>
+        // modules/afstomp: CONNECT frame on connect (login/passcode
+        // headers, afstomp.c:189-199), then one SEND frame per message
+        // — `SEND\ndestination:..\n[persistent:true\n]<nv-pair
+        // headers>\n\n<body>\0` (stomp.c create_gstring_from_frame;
+        // value-pairs become frame headers via afstomp_vp_foreach).
+        // Defaults from afstomp_dd_new: port 61613, destination
+        // /topic/syslog, persistent yes. ack(yes)'s RECEIPT read is
+        // not modeled (write-side only, like the rest of the dev sinks).
+        val host = kvOf(s.args, "host").getOrElse("127.0.0.1")
+        val port = kvOf(s.args, "port").map(_.toInt).getOrElse(61613)
+        val dest = kvOf(s.args, "stomp-destination").getOrElse("/topic/syslog")
+        val persistent = !kvOf(s.args, "persistent").contains("no")
+        delimiter = "\u0000"
+        greeting = Some("CONNECT\nlogin:" + kvOf(s.args, "username").getOrElse("") +
+          "\npasscode:" + kvOf(s.args, "password").getOrElse("") + "\n\n\u0000")
+        // nv-pair + sdata scopes become frame headers (afstomp_vp_foreach;
+        // sdata params carry their .SDATA. names as in the reference NV table)
+        val hdrMaps = Seq(
+          if (route.df.columns.contains("values")) Some(col("values")) else None,
+          if (route.df.columns.contains("sdata"))
+            Some(graft.operators.ValuePairs.addPrefix(col("sdata"), ".SDATA."))
+          else None).flatten
+        val hdrs =
+          if (hdrMaps.isEmpty) lit("")
+          else concat(hdrMaps.map(m =>
+            array_join(transform(map_entries(coalesce(m,
+                map().cast("map<string,string>"))),
+              e => concat(e.getField("key"), lit(":"),
+                e.getField("value"), lit("\n"))), "")): _*)
+        val stompBody = concat(
+          lit("SEND\ndestination:" + dest + "\n" +
+            (if (persistent) "persistent:true\n" else "")),
+          hdrs, lit("\n"),
+          kvOf(s.args, "body").map(t).getOrElse(lit("")))
+        (Seq(host -> port), false, stompBody)
+      case "smtp" =>
+        // modules/afsmtp (defaults afsmtp_dd_new: 127.0.0.1:25):
+        // from()/to()/subject()/body() templates; rendered as one
+        // pipelined SMTP transaction per message (EHLO once per
+        // connection) — write-side dialogue, responses not awaited
+        // (dev-mode, like the reference's libesmtp fire-and-forget
+        // batching).
+        val host = kvOf(s.args, "host").getOrElse("127.0.0.1")
+        val port = kvOf(s.args, "port").map(_.toInt).getOrElse(25)
+        val from = kvOf(s.args, "from").getOrElse(
+          throw new IllegalArgumentException("smtp() needs from()"))
+        val to = kvOf(s.args, "to").getOrElse(
+          throw new IllegalArgumentException("smtp() needs to()"))
+        delimiter = ""
+        greeting = Some("EHLO graft\r\n")
+        val smtpBody = concat(
+          lit("MAIL FROM:<"), t(from), lit(">\r\nRCPT TO:<"), t(to),
+          lit(">\r\nDATA\r\nFrom: <"), t(from), lit(">\r\nTo: <"), t(to),
+          lit(">\r\nSubject: "),
+          t(kvOf(s.args, "subject").getOrElse("[LOG] $HOST: $MSG")),
+          lit("\r\n\r\n"),
+          t(kvOf(s.args, "body").getOrElse("$ISODATE $HOST $MSGHDR$MSG")),
+          lit("\r\n.\r\n"))
+        (Seq(host -> port), false, smtpBody)
       case "loggly" =>
         // scl/loggly/loggly.conf: network() with the token SD block
         val token = kvOf(s.args, "token").getOrElse(
@@ -606,7 +692,7 @@ object ConfigCompiler {
     }
     val cfg = graft.streaming.TcpSink.Config(targets, octetCounted = octet,
       delimiter = delimiter, unixPath = unixPath,
-      loadBalance = s.name == "network-load-balancer")
+      loadBalance = s.name == "network-load-balancer", greeting = greeting)
     val df = route.df.withColumn("__body", body)
     graft.streaming.TcpSink.tcpSink(df, "__body", cfg, checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

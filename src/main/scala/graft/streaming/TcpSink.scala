@@ -53,7 +53,13 @@ object TcpSink {
         * (a message always lands on the same target). A dead target
         * fails over to the next, like the generated channels'
         * flags(final) fallthrough. */
-      loadBalance: Boolean = false)
+      loadBalance: Boolean = false,
+      /** Bytes written once per fresh connection before any message —
+        * the protocol hello some drivers need: redis AUTH
+        * (`modules/redis/redis.c` redis worker connect), the STOMP
+        * CONNECT frame (`modules/afstomp/afstomp.c:189-199`), SMTP
+        * EHLO. Sent raw (no [[frame]]ing). */
+      greeting: Option[String] = None)
 
   private def frame(cfg: Config, msg: String): Array[Byte] = {
     val payload = msg.getBytes(StandardCharsets.UTF_8)
@@ -118,7 +124,12 @@ object TcpSink {
           if (dead(slot) && !dead.forall(identity)) idx += 1
           else {
             try {
-              if (socks(slot) == null) { socks(slot) = connect(cfg, slot); dead(slot) = false }
+              if (socks(slot) == null) {
+                socks(slot) = connect(cfg, slot)
+                dead(slot) = false
+                cfg.greeting.foreach(g =>
+                  socks(slot).out.write(g.getBytes(StandardCharsets.UTF_8)))
+              }
               socks(slot).out.write(bytes)
               sent = true
             } catch {

@@ -478,6 +478,82 @@ class DestinationsSpec extends GraftSuite {
     } finally srv.close()
   }
 
+  test("config text: redis() sends RESP multi-bulk with AUTH greeting") {
+    // modules/redis: command() argv rendered per message, hiredis
+    // multi-bulk wire format, AUTH once per connection
+    val dir = java.nio.file.Files.createTempDirectory("graft_redis").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_redis_in")
+    java.nio.file.Files.write(in.resolve("in.log"),
+      "<38>1 2024-01-12T03:04:05Z h1 app 7 M1 - store me\n".getBytes)
+    val bytes = withRawTcpStub { port =>
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { redis(host("127.0.0.1") port($port) auth("sekret")
+          command("LPUSH" "logs:$${HOST}" "$$MESSAGE")); };
+        log { source(s); destination(d); };
+      """, dir)
+    }
+    val got = new String(bytes, "UTF-8")
+    assert(got ==
+      "*2\r\n$4\r\nAUTH\r\n$6\r\nsekret\r\n" +
+      "*3\r\n$5\r\nLPUSH\r\n$7\r\nlogs:h1\r\n$8\r\nstore me\r\n", got)
+  }
+
+  test("config text: stomp() sends CONNECT then a SEND frame with nv headers") {
+    // modules/afstomp: CONNECT(login/passcode), SEND with destination +
+    // persistent + value-pairs headers, NUL-terminated frames
+    val dir = java.nio.file.Files.createTempDirectory("graft_stomp").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_stomp_in")
+    java.nio.file.Files.write(in.resolve("in.log"),
+      "<38>1 2024-01-12T03:04:05Z h1 app 7 M1 [ev k=\"42\"] stomp body\n".getBytes)
+    val bytes = withRawTcpStub { port =>
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { stomp(host("127.0.0.1") port($port)
+          stomp-destination("/queue/logs") username("u1") password("p1")
+          body("$$MESSAGE")); };
+        log { source(s); destination(d); };
+      """, dir)
+    }
+    val frames = new String(bytes, "UTF-8").split("\u0000").toSeq
+    assert(frames.size == 2, frames.map(_.take(30)))
+    assert(frames(0) == "CONNECT\nlogin:u1\npasscode:p1\n\n")
+    val send = frames(1)
+    assert(send.startsWith("SEND\n"))
+    val Array(head, body) = send.split("\n\n", 2)
+    val headers = head.linesIterator.drop(1).map { h =>
+      val Array(k, v) = h.split(":", 2); k -> v
+    }.toMap
+    assert(headers("destination") == "/queue/logs")
+    assert(headers("persistent") == "true")
+    assert(headers(".SDATA.ev.k") == "42")
+    assert(body == "stomp body")
+  }
+
+  test("config text: smtp() renders the pipelined transaction per message") {
+    // modules/afsmtp: from/to/subject/body templates; EHLO once, then
+    // MAIL FROM / RCPT TO / DATA ... dialogue per message
+    val dir = java.nio.file.Files.createTempDirectory("graft_smtp").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_smtp_in")
+    java.nio.file.Files.write(in.resolve("in.log"),
+      "<38>1 2024-01-12T03:04:05Z h1 app 7 M1 - disk failing\n".getBytes)
+    val bytes = withRawTcpStub { port =>
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { smtp(host("127.0.0.1") port($port)
+          from("logs@example.com") to("ops@example.com")
+          subject("[ALERT] $$HOST") body("$$MESSAGE")); };
+        log { source(s); destination(d); };
+      """, dir)
+    }
+    val got = new String(bytes, "UTF-8")
+    assert(got ==
+      "EHLO graft\r\n" +
+      "MAIL FROM:<logs@example.com>\r\nRCPT TO:<ops@example.com>\r\n" +
+      "DATA\r\nFrom: <logs@example.com>\r\nTo: <ops@example.com>\r\n" +
+      "Subject: [ALERT] h1\r\n\r\ndisk failing\r\n.\r\n", got)
+  }
+
   test("config text: pseudofile() writes template bytes from offset 0") {
     // modules/pseudofile/pseudofile.c: one open+write per message, no
     // appended newline, no O_APPEND — on a regular file the last
