@@ -2054,6 +2054,59 @@ object Queries {
   // corpus-frequency bit lengths, top-16 vocab broadcast, OOV floors
   // at 1 — integer-exact so DuckDB reproduces it bit-for-bit
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // URL-keyed dedup: messy synthesized URLs (uppercase scheme/host, www,
+  // default port, trailing slash, tracking params, unsorted query,
+  // fragment) normalize to a canonical key; one survivor per key.
+  // The oracle computes the canonical form analytically.
+  // ---------------------------------------------------------------------
+  private val textDedupUrl = Q("text_dedup_url",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val url = concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 7).cast("string"),
+        lit(".COM:443/Docs/"), (col("doc_id") % 41).cast("string"),
+        lit("/?utm_source=feed&b="), (col("doc_id") % 3).cast("string"),
+        lit("&a="), (col("doc_id") % 5).cast("string"), lit("#sec"))
+      graft.pipeline.Urls.dedupByUrl(
+          docs.select(col("doc_id"), url.as("url")), col("doc_id"), col("url"))
+        .select(col("doc_id"), col("norm_url"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH u AS (
+        SELECT doc_id,
+          'https://example' || (doc_id % 7) || '.com/Docs/' || (doc_id % 41)
+            || '?a=' || (doc_id % 5) || '&b=' || (doc_id % 3) AS norm_url
+        FROM documents)
+      SELECT doc_id, norm_url FROM u
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY norm_url)
+      ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
+  // Domain blocklist: suffix-matched host filter (a blocked domain drops
+  // every subdomain), broadcast blocklist — the corpus never shuffles
+  // ---------------------------------------------------------------------
+  private val textDomainFilter = Q("text_domain_filter",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val host = concat(
+        lit("sub"), (col("doc_id") % 3).cast("string"),
+        lit(".site"), (col("doc_id") % 10).cast("string"), lit(".com"))
+      val blocklist = Seq("site3.com", "SITE7.com", "sub0.site4.com").toDF("domain")
+      graft.pipeline.Urls.domainFilter(
+          docs.select(col("doc_id"), host.as("host")),
+          col("doc_id"), col("host"), blocklist)
+        .select(col("doc_id"), col("host"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        'sub' || (doc_id % 3) || '.site' || (doc_id % 10) || '.com' AS host
+      FROM documents
+      WHERE (doc_id % 10) NOT IN (3, 7)
+        AND NOT ((doc_id % 3) = 0 AND (doc_id % 10) = 4)
+      ORDER BY doc_id"""))
+
   private val textUnigramQuality = Q("text_unigram_quality",
     (s, d) => TextAnalysis.unigramQuality(Tables.documents(s, d),
         col("doc_id"), col("text"), vocabSize = 16)
@@ -2254,6 +2307,7 @@ object Queries {
     sampleStratified, decontaminate,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textUnigramQuality,
+    textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =

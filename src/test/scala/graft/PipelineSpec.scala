@@ -554,4 +554,64 @@ class PipelineSpec extends GraftSuite {
     // doc 2: cherry 1/1 → 3; common 3/3 → 3 — tie broken by term asc
     assert(out.toSeq.slice(2, 4) == Seq((2L, "cherry", 1), (2L, "common", 2)))
   }
+
+  test("normalizeUrl: scheme/host case, www, default ports, params, fragment") {
+    import graft.pipeline.Urls
+    val cases = Seq(
+      // messy → canonical
+      ("HTTPS://WWW.Example.COM:443/A/B/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/A/B?a=1&b=2"),
+      ("http://example.com:80/", "http://example.com"),
+      // non-default port kept
+      ("http://example.com:8080/x", "http://example.com:8080/x"),
+      // userinfo stripped, tracking-only query drops its '?'
+      ("https://user:pw@Host.com/p?gclid=abc", "https://host.com/p"),
+      // empty path, no query
+      ("https://example.org", "https://example.org"),
+      // fbclid among kept params
+      ("https://e.com/p?z=1&fbclid=X&y=2", "https://e.com/p?y=2&z=1"),
+      // www kept inside the host tail
+      ("https://a.www.example.com/x", "https://a.www.example.com/x"),
+      // no host → null
+      ("not a url", null),
+      ("", null))
+    val got = cases.map(_._1).toDF("u")
+      .select(Urls.normalizeUrl(col("u"))).collect().map(_.getString(0)).toSeq
+    cases.zip(got).foreach { case ((in, want), have) =>
+      assert(have == want, s"normalizeUrl($in) = $have, want $want")
+    }
+  }
+
+  test("dedupByUrl keeps least id per canonical url, null urls survive") {
+    import graft.pipeline.Urls
+    val docs = Seq(
+      (1L, "https://a.com/x?b=1&a=1"),
+      (2L, "HTTPS://WWW.A.com:443/x/?a=1&b=1"), // same canonical as 1
+      (3L, "https://a.com/y"),
+      (4L, "garbage"), // null canonical → survives
+      (5L, "https://a.com/x?a=1&b=1") // same as 1 again
+    ).toDF("doc_id", "url")
+    val out = Urls.dedupByUrl(docs, col("doc_id"), col("url"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L, 4L))
+  }
+
+  test("domainFilter: suffix-matched blocklist, corpus side broadcast-only") {
+    import graft.pipeline.Urls
+    val docs = Seq(
+      (1L, "ads.tracker.com"),
+      (2L, "sub.ads.tracker.com"),
+      (3L, "nottracker.com"),        // substring but not a label suffix
+      (4L, "news.example.org"),
+      (5L, "TRACKER.COM")            // case-insensitive exact
+    ).toDF("doc_id", "host")
+    val bl = Seq("tracker.com").toDF("domain")
+    val out = Urls.domainFilter(docs, col("doc_id"), col("host"), bl)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(3L, 4L))
+    // plan: no exchange on the corpus side — both joins broadcast
+    val plan = Urls.domainFilter(docs, col("doc_id"), col("host"), bl)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
