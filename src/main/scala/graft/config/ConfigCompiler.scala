@@ -384,6 +384,31 @@ object ConfigCompiler {
         graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      case Some(s) if s.name == "mqtt" =>
+        // modules/mqtt/destination: address(tcp://host:port), templated
+        // topic() with fallback-topic() taken when the rendered topic
+        // is empty or carries publish-invalid wildcard chars
+        // (mqtt-worker.c topic validation), template() for the payload
+        val (host, port) = graft.streaming.MqttSink.parseAddress(
+          kvOf(s.args, "address").getOrElse("tcp://localhost:1883"))
+        val cols = route.df.columns.toSeq
+        def t(tmpl: String): Column = Template.column(tmpl, cols)
+        val topicT = t(kvOf(s.args, "topic").getOrElse("syslog/${HOST}"))
+        val fallback = kvOf(s.args, "fallback-topic").getOrElse("syslog/fallback")
+        val topic = when(topicT.isNull || topicT === "" ||
+            topicT.contains("#") || topicT.contains("+"), lit(fallback))
+          .otherwise(topicT)
+        val cfg = graft.streaming.MqttSink.Config(host, port,
+          clientId = kvOf(s.args, "client-id").getOrElse("graft"),
+          keepalive = kvOf(s.args, "keepalive").map(_.toInt).getOrElse(60),
+          qos = kvOf(s.args, "qos").map(_.toInt).getOrElse(0))
+        val df = route.df
+          .withColumn("__topic", topic)
+          .withColumn("__body",
+            t(kvOf(s.args, "template").getOrElse("$ISODATE $HOST $MSGHDR$MESSAGE")))
+        graft.streaming.MqttSink.sink(df, "__topic", "__body", cfg, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
       case Some(s) if s.name == "pseudofile" =>
         // modules/pseudofile/pseudofile.c: per message, open(O_WRONLY
         // |O_NONBLOCK) and write the template-rendered bytes — no
@@ -437,7 +462,7 @@ object ConfigCompiler {
     "syslog", "loggly", "sumologic-http", "sumologic-syslog", "slack",
     "telegram", "discord", "graylog2", "logmatic", "collectd",
     "unix-stream", "network-load-balancer", "graphite", "pseudofile",
-    "redis", "stomp", "smtp")
+    "redis", "stomp", "smtp", "mqtt")
 
   /** network()/syslog() destinations and the scl composites over them
     * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,

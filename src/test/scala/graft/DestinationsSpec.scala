@@ -554,6 +554,54 @@ class DestinationsSpec extends GraftSuite {
       "Subject: [ALERT] h1\r\n\r\ndisk failing\r\n.\r\n", got)
   }
 
+  test("config text: mqtt() sends CONNECT then QoS-0 PUBLISH packets") {
+    // modules/mqtt/destination: hand-rolled 3.1.1 wire — CONNECT
+    // ("MQTT" level 4, clean session) then 0x30 PUBLISH frames;
+    // topic template renders per message, '#'/'+' fall back
+    val dir = java.nio.file.Files.createTempDirectory("graft_mqtt").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_mqtt_in")
+    java.nio.file.Files.write(in.resolve("in.log"),
+      "<38>1 2024-01-12T03:04:05Z h1 app 7 M1 - mqtt hello\n".getBytes)
+    val bytes = withRawTcpStub { port =>
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { mqtt(address("tcp://127.0.0.1:$port")
+          topic("logs/$${HOST}") template("$$MESSAGE")); };
+        log { source(s); destination(d); };
+      """, dir)
+    }
+    // CONNECT: 0x10, len, "MQTT", level 4, flags 0x02, keepalive 60, "graft"
+    assert((bytes(0) & 0xff) == 0x10)
+    var i = 2 // 1-byte remaining length here (small packet)
+    val connLen = bytes(1) & 0xff
+    val conn = bytes.slice(i, i + connLen)
+    assert(new String(conn.slice(2, 6), "UTF-8") == "MQTT")
+    assert(conn(6) == 4 && conn(7) == 2)
+    assert(((conn(8) & 0xff) << 8 | (conn(9) & 0xff)) == 60)
+    assert(new String(conn.slice(12, 12 + 5), "UTF-8") == "graft")
+    i += connLen
+    // PUBLISH: 0x30, len, topic "logs/h1", payload "mqtt hello"
+    assert((bytes(i) & 0xff) == 0x30)
+    val pubLen = bytes(i + 1) & 0xff
+    val pub = bytes.slice(i + 2, i + 2 + pubLen)
+    val tlen = ((pub(0) & 0xff) << 8) | (pub(1) & 0xff)
+    assert(new String(pub.slice(2, 2 + tlen), "UTF-8") == "logs/h1")
+    assert(new String(pub.drop(2 + tlen), "UTF-8") == "mqtt hello")
+    assert(i + 2 + pubLen == bytes.length)
+  }
+
+  test("mqtt remaining-length varint encoding") {
+    import graft.streaming.MqttSink
+    def enc(n: Int) = MqttSink.remainingLength(n).map(_ & 0xff).toSeq
+    assert(enc(0) == Seq(0))
+    assert(enc(127) == Seq(127))
+    assert(enc(128) == Seq(0x80, 1))
+    assert(enc(16383) == Seq(0xff, 0x7f))
+    assert(enc(16384) == Seq(0x80, 0x80, 1))
+    assert(enc(268435455) == Seq(0xff, 0xff, 0xff, 0x7f))
+    intercept[IllegalArgumentException](MqttSink.remainingLength(268435456))
+  }
+
   test("config text: pseudofile() writes template bytes from offset 0") {
     // modules/pseudofile/pseudofile.c: one open+write per message, no
     // appended newline, no O_APPEND — on a regular file the last
