@@ -55,7 +55,14 @@ class NodejsSpec extends GraftSuite {
         .queryName("nodejs_e2e").outputMode("append")
         .option("checkpointLocation", dir.getAbsolutePath + "/ckpt").start()
       try {
+        // the spool flusher (200 ms cadence) races a one-shot
+        // processAllAvailable: poll until the row lands
+        val dl = System.nanoTime() + 30L * 1000 * 1000 * 1000
         q.processAllAvailable()
+        while (spark.table("nodejs_e2e").isEmpty && System.nanoTime() < dl) {
+          Thread.sleep(100)
+          q.processAllAvailable()
+        }
         val r = spark.table("nodejs_e2e")
           .select(col("message"),
             element_at(col("values"), ".nodejs.winston.level"),
