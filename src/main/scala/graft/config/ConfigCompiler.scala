@@ -58,7 +58,8 @@ object ConfigCompiler {
       val stmt = blk.stmts.find(s => s.name == "file" || s.name == "network" ||
           s.name == "syslog" || s.name == "osquery" || s.name == "mbox" ||
           s.name == "snmptrap" || s.name == "unix-stream" || s.name == "system" ||
-          s.name == "pacct" || s.name == "nodejs")
+          s.name == "pacct" || s.name == "nodejs" || s.name == "program" ||
+          s.name == "pipe" || s.name == "stdin")
         .getOrElse(throw new IllegalArgumentException(
           s"source $name: only file()/network()/syslog()/osquery() sources stream here"))
       // scl/osquery/plugin.conf:3-8: file source with no-parse +
@@ -155,6 +156,33 @@ object ConfigCompiler {
             case Some(re) => graft.streaming.Sources.multilineStream(spark, path, re)
             case None => graft.streaming.Sources.fileLines(spark, path)
           }
+        case "program" =>
+          // modules/afprog/afprog.c:86-92: `/bin/sh -c cmdline`,
+          // stdout read as newline text through the shared spool loop
+          val cmd = stmt.args.collectFirst { case Lit(c) => c }
+            .getOrElse(throw new IllegalArgumentException(
+              s"source $name: program() needs a command line"))
+          val (l, src) = graft.streaming.ProgramSource.listen(spark,
+            s"$spoolBase/$name", cmd)
+          listeners += name -> l
+          src
+        case "pipe" =>
+          // modules/affile/named-pipe.c:67-73: the FIFO opened O_RDWR
+          // so the reader survives writers coming and going
+          val path = stmt.args.collectFirst { case Lit(p) => p }
+            .orElse(kvOf(stmt.args, "path")).getOrElse(
+              throw new IllegalArgumentException(
+                s"source $name: pipe() needs a path"))
+          val (l, src) = graft.streaming.ProgramSource.pipe(spark,
+            s"$spoolBase/$name", path)
+          listeners += name -> l
+          src
+        case "stdin" =>
+          // modules/affile/stdin.c: fd 0, exit-on-eof
+          val (l, src) = graft.streaming.ProgramSource.fromStream(spark,
+            s"$spoolBase/$name", System.in)
+          listeners += name -> l
+          src
         case "unix-stream" =>
           // modules/afsocket/afunix-source.c: same spool loop over a
           // unix domain socket
@@ -384,6 +412,18 @@ object ConfigCompiler {
         graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      case Some(s) if s.name == "program" =>
+        // modules/afprog/afprog.c:525-545: template-rendered lines to
+        // the stdin of `/bin/sh -c cmdline`; non-zero exit fails the
+        // micro-batch for replay (at-least-once, like the socket sinks)
+        val cmd = s.args.collectFirst { case Lit(c) => c }.getOrElse(
+          throw new IllegalArgumentException("program() needs a command line"))
+        val tmpl = kvOf(s.args, "template").getOrElse("$ISODATE $HOST $MSGHDR$MESSAGE")
+        val df = route.df.withColumn("__body",
+          Template.column(tmpl, route.df.columns))
+        graft.streaming.ProgramSink.programSink(df, "__body", cmd, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
       case Some(s) if s.name == "mqtt" =>
         // modules/mqtt/destination: address(tcp://host:port), templated
         // topic() with fallback-topic() taken when the rendered topic
@@ -462,7 +502,7 @@ object ConfigCompiler {
     "syslog", "loggly", "sumologic-http", "sumologic-syslog", "slack",
     "telegram", "discord", "graylog2", "logmatic", "collectd",
     "unix-stream", "network-load-balancer", "graphite", "pseudofile",
-    "redis", "stomp", "smtp", "mqtt")
+    "redis", "stomp", "smtp", "mqtt", "program")
 
   /** network()/syslog() destinations and the scl composites over them
     * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,
