@@ -242,6 +242,43 @@ object ConfigCompiler {
         .withColumn("values", map().cast("map<string,string>"))
       }
     }
+    // hook-commands() (`/root/reference/modules/hook-commands/
+    // hook-commands.c`): startup+setup run at driver init and a
+    // non-zero exit ABORTS initialization; teardown+shutdown run at
+    // deinit (attached here to the source's listener stop), with
+    // failures reported but not fatal.
+    cfg.sources.foreach { case (name, blk) =>
+      blk.stmts.find(_.name == "hook-commands").foreach { h =>
+        def run(hook: String, abort: Boolean): Unit =
+          kvOf(h.args, hook).foreach { cmd =>
+            val rc = new ProcessBuilder("/bin/sh", "-c", cmd)
+              .inheritIO().start().waitFor()
+            if (rc != 0 && abort) throw new IllegalStateException(
+              s"hook-commands $hook returned with failure, aborting initialization: $cmd -> $rc")
+          }
+        try {
+          run("startup", abort = true)
+          run("setup", abort = true)
+        } catch { case e: Throwable =>
+          // a failed init hook aborts the whole pipeline: release any
+          // listeners already bound
+          listeners.values.foreach(l =>
+            try l.stop() catch { case _: Throwable => () })
+          throw e
+        }
+        listeners.get(name).foreach { inner =>
+          listeners += name -> new graft.streaming.SocketListener {
+            def boundPort: Int = inner.boundPort
+            def receivedCount: Long = inner.receivedCount
+            def stop(): Unit = {
+              inner.stop()
+              run("teardown", abort = false)
+              run("shutdown", abort = false)
+            }
+          }
+        }
+      }
+    }
     (compile(cfg, sources), listeners)
   }
 

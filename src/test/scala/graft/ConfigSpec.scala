@@ -359,4 +359,35 @@ class ConfigSpec extends GraftSuite {
     }
     assert(e2.getMessage.contains("filename component"))
   }
+
+  test("hook-commands(): startup/setup at init, teardown/shutdown on stop") {
+    val dir = java.nio.file.Files.createTempDirectory("hooks").toFile
+    val log = new java.io.File(dir, "hooks.log").getAbsolutePath
+    val cfg = graft.config.ConfigParser.parse(
+      s"""source s_net { network(port(0));
+         |  hook-commands(startup("echo up >> $log") setup("echo set >> $log")
+         |    teardown("echo down >> $log") shutdown("echo off >> $log")); };
+         |destination d { file("memory"); };
+         |log { source(s_net); destination(d); };
+         |""".stripMargin)
+    val (_, listeners) = graft.config.ConfigCompiler
+      .compileStreamingPipeline(cfg, spark, dir.getAbsolutePath + "/spool")
+    def lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(log)), "UTF-8").split("\n").toSeq
+    assert(lines == Seq("up", "set"))
+    listeners("s_net").stop()
+    assert(lines == Seq("up", "set", "down", "off"))
+
+    // a failing startup aborts initialization
+    val bad = graft.config.ConfigParser.parse(
+      """source s2 { network(port(0)); hook-commands(startup("exit 7")); };
+        |destination d { file("memory"); };
+        |log { source(s2); destination(d); };
+        |""".stripMargin)
+    val e = intercept[IllegalStateException] {
+      graft.config.ConfigCompiler.compileStreamingPipeline(
+        bad, spark, dir.getAbsolutePath + "/spool2")
+    }
+    assert(e.getMessage.contains("aborting initialization"))
+  }
 }
