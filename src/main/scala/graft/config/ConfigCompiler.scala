@@ -519,6 +519,20 @@ object ConfigCompiler {
         val url = urlList.headOption.getOrElse(
           throw new IllegalArgumentException("http() destination needs url()"))
         val bodyT = kvOf(s.args, "body").getOrElse("$ISODATE $HOST $MSGHDR$MESSAGE")
+        // azure-auth-header(workspace-id() secret() [method() path()
+        // content-type()]) nests inside http() (azure-auth-header.c)
+        val azure = s.args.collectFirst { case KV("azure-auth-header", vs) =>
+          graft.streaming.Sinks.AzureAuth(
+            workspaceId = kvOf(vs, "workspace-id").getOrElse(
+              throw new IllegalArgumentException(
+                "azure-auth-header() needs workspace-id()")),
+            secretB64 = kvOf(vs, "secret").getOrElse(
+              throw new IllegalArgumentException(
+                "azure-auth-header() needs secret()")),
+            method = kvOf(vs, "method").getOrElse("POST"),
+            path = kvOf(vs, "path").getOrElse("/api/logs"),
+            contentType = kvOf(vs, "content-type").getOrElse("application/json"))
+        }
         val http = graft.streaming.Sinks.HttpConfig(url,
           urls = urlList,
           method = kvOf(s.args, "method").getOrElse("POST"),
@@ -526,7 +540,8 @@ object ConfigCompiler {
           batchBytes = kvOf(s.args, "batch-bytes").map(_.toInt).getOrElse(0),
           // batch-timeout() is milliseconds upstream (http-grammar.ym)
           batchTimeoutMs = kvOf(s.args, "batch-timeout").map(_.toLong)
-            .getOrElse(0L))
+            .getOrElse(0L),
+          azureAuth = azure)
         val df = route.df.withColumn("__body",
           Template.column(bodyT, route.df.columns))
         graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)

@@ -88,8 +88,42 @@ object Sinks {
       /** additional urls — `url("a" "b")` / the loadbalancer scl
         * (`modules/http/http-loadbalancer.c`): workers spread over all
         * targets round-robin and FAIL OVER to the next on error */
-      urls: Seq[String] = Nil) {
+      urls: Seq[String] = Nil,
+      /** azure-auth-header() (`modules/azure-auth-header/
+        * azure-auth-header.c`): per-request Authorization + x-ms-date
+        * headers computed over the body length. */
+      azureAuth: Option[AzureAuth] = None) {
     def targets: Seq[String] = if (urls.nonEmpty) urls else Seq(url)
+  }
+
+  /** The azure-auth-header() plugin for http() destinations
+    * (`/root/reference/modules/azure-auth-header/azure-auth-header.c`):
+    * string-to-sign `METHOD\ncontent_len\nCONTENT_TYPE\nx-ms-date:DATE
+    * \nPATH` (X_MS_DATE_FORMAT, line 65), HMAC-SHA256 under the
+    * base64-decoded secret, headers `Authorization: SharedKey
+    * <workspace>:<b64 digest>` + `x-ms-date: <RFC1123 date>`.
+    * `clockMs` is injectable so tests pin the date. */
+  final case class AzureAuth(
+      workspaceId: String,
+      secretB64: String,
+      method: String = "POST",
+      path: String = "/api/logs",
+      contentType: String = "application/json",
+      clockMs: () => Long = () => System.currentTimeMillis()) {
+    def headers(contentLen: Int): Seq[(String, String)] = {
+      val fmt = java.time.format.DateTimeFormatter
+        .ofPattern("EEE, dd MMM yyyy HH:mm:ss 'GMT'", java.util.Locale.ROOT)
+        .withZone(java.time.ZoneOffset.UTC)
+      val date = fmt.format(java.time.Instant.ofEpochMilli(clockMs()))
+      val toSign = s"$method\n$contentLen\n$contentType\nx-ms-date:$date\n$path"
+      val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+      mac.init(new javax.crypto.spec.SecretKeySpec(
+        java.util.Base64.getDecoder.decode(secretB64), "HmacSHA256"))
+      val digest = java.util.Base64.getEncoder.encodeToString(
+        mac.doFinal(toSign.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      Seq("Authorization" -> s"SharedKey $workspaceId:$digest",
+        "x-ms-date" -> date)
+    }
   }
 
   /** Worker start-target rotation — each sending partition begins at
@@ -134,6 +168,9 @@ object Sinks {
           conn.setReadTimeout(cfg.readTimeoutMs)
           conn.setRequestProperty("User-Agent", cfg.userAgent)
           cfg.headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+          cfg.azureAuth.foreach(_.headers(body.length).foreach {
+            case (k, v) => conn.setRequestProperty(k, v)
+          })
           conn.setDoOutput(true)
           conn.setFixedLengthStreamingMode(body.length)
           val os = conn.getOutputStream

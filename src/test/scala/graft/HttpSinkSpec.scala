@@ -180,4 +180,43 @@ class HttpSinkSpec extends GraftSuite {
       assert(got == Seq("msg=a", "msg=b", "msg=c", "msg=d"))
     }
   }
+
+  test("azure-auth-header: SharedKey signature over length and pinned date") {
+    // azure-auth-header.c: sign "METHOD\nlen\nCONTENT_TYPE\n
+    // x-ms-date:DATE\nPATH" with HMAC-SHA256(base64-decoded secret)
+    val secret = java.util.Base64.getEncoder.encodeToString(
+      "0123456789abcdef".getBytes("UTF-8"))
+    val auth = Sinks.AzureAuth("ws-1", secret,
+      clockMs = () => 1705028645000L) // Fri, 12 Jan 2024 03:04:05 GMT
+    val body = "{\"x\":1}".getBytes("UTF-8")
+
+    val captured = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, String)]())
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      captured.add((ex.getRequestHeaders.getFirst("Authorization"),
+        ex.getRequestHeaders.getFirst("x-ms-date")))
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(200, -1); ex.close()
+    })
+    srv.start()
+    try {
+      val cfg = HttpConfig(s"http://127.0.0.1:${srv.getAddress.getPort}/",
+        azureAuth = Some(auth))
+      assert(Sinks.httpPost(cfg, body) == 200)
+    } finally srv.stop(0)
+
+    val (authHdr, dateHdr) = captured.get(0)
+    assert(dateHdr == "Fri, 12 Jan 2024 03:04:05 GMT")
+    // independent recomputation
+    val toSign = s"POST\n${body.length}\napplication/json\n" +
+      s"x-ms-date:Fri, 12 Jan 2024 03:04:05 GMT\n/api/logs"
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      "0123456789abcdef".getBytes("UTF-8"), "HmacSHA256"))
+    val want = java.util.Base64.getEncoder.encodeToString(
+      mac.doFinal(toSign.getBytes("UTF-8")))
+    assert(authHdr == s"SharedKey ws-1:$want")
+  }
 }
