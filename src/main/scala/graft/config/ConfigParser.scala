@@ -188,7 +188,53 @@ object ConfigParser {
     }
   }
 
-  def parse(src: String): Config = new P(lex(src), src).config()
+  def parse(src: String): Config = {
+    val expanded = expandGenerators(src)
+    new P(lex(expanded), expanded).config()
+  }
+
+  // ---- confgen block generators --------------------------------------------
+  /** `@module confgen context(C) name(N) exec("CMD")`
+    * (`/root/reference/modules/confgen/confgen-plugin.c`): registers a
+    * generator; any full-statement invocation `N(args);` later in the
+    * text is replaced by CMD's stdout, with the invocation's
+    * `key(value)` args exported as `confgen_key` environment variables
+    * (confgen_set_args_as_env). A non-zero exit aborts the parse, like
+    * the reference's generate error path. `syslogconf(file("PATH"))`
+    * is the built-in generator equivalent of
+    * `scl/syslogconf/plugin.conf` (the awk translator, implemented
+    * natively in [[SyslogConf]]). */
+  private[graft] def expandGenerators(src: String): String = {
+    import scala.util.matching.Regex
+    var gens = Map.empty[String, String] // name -> exec cmdline
+    val mod = ("(?m)^\\s*@module\\s+confgen\\s+context\\((\\w+)\\)\\s+" +
+      "name\\(([\\w-]+)\\)\\s+exec\\([\"']([^\"']+)[\"']\\)\\s*$").r
+    val without = mod.replaceAllIn(src, m => { gens += m.group(2) -> m.group(3); "" })
+
+    val sc = "(?m)^\\s*syslogconf\\(\\s*file\\([\"']([^\"']+)[\"']\\)\\s*\\)\\s*;\\s*$".r
+    val withSc = sc.replaceAllIn(without, m =>
+      Regex.quoteReplacement(SyslogConf.convert(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(m.group(1))),
+        java.nio.charset.StandardCharsets.UTF_8))))
+
+    gens.foldLeft(withSc) { case (acc, (name, cmd)) =>
+      // one nesting level of parens covers the `key(value)` arg form
+      val inv = ("(?m)^\\s*" + java.util.regex.Pattern.quote(name) +
+        "\\(((?:[^()]|\\([^()]*\\))*)\\)\\s*;\\s*$").r
+      inv.replaceAllIn(acc, m => {
+        val kv = "([\\w-]+)\\(\\s*[\"']?([^)\"']*)[\"']?\\s*\\)".r
+        val pb = new ProcessBuilder("/bin/sh", "-c", cmd)
+        kv.findAllMatchIn(m.group(1)).foreach(a =>
+          pb.environment().put("confgen_" + a.group(1).replace('-', '_'), a.group(2)))
+        val proc = pb.redirectError(ProcessBuilder.Redirect.INHERIT).start()
+        val out = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        require(proc.waitFor() == 0,
+          s"confgen: Error executing generator program for $name: $cmd")
+        Regex.quoteReplacement(out)
+      })
+    }
+  }
 
   private[graft] val wordCmpOps = Set("eq", "ne", "lt", "gt", "le", "ge")
 

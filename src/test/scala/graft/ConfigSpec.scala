@@ -390,4 +390,44 @@ class ConfigSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("aborting initialization"))
   }
+
+  test("confgen: @module pragma registers a generator, invocation expands") {
+    import org.apache.spark.sql.functions._
+    val gen = java.nio.file.Files.createTempFile("confgen", ".sh")
+    java.nio.file.Files.write(gen,
+      "echo \"filter f_gen { severity($confgen_level); };\"\n".getBytes)
+    val cfg = graft.config.ConfigParser.parse(
+      s"""@module confgen context(filter) name(gen-sev) exec("sh $gen")
+        |gen-sev(level("err"));
+        |source s { file("x"); };
+        |destination d { file("y"); };
+        |log { source(s); filter(f_gen); destination(d); };
+        |""".stripMargin)
+    assert(cfg.filters.contains("f_gen"))
+    val logs = Seq((1L, 3), (2L, 5)).toDF("event_id", "severity")
+      .withColumn("facility", lit(1)).withColumn("host", lit("h"))
+      .withColumn("program", lit("p")).withColumn("message", lit("m"))
+      .withColumn("tags", array().cast("array<string>"))
+      .withColumn("values", map().cast("map<string,string>"))
+    val out = graft.config.ConfigCompiler.compile(cfg, Map("s" -> logs))
+      .head.df.select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L)) // severity err = 3
+    // a failing generator aborts the parse
+    intercept[IllegalArgumentException] {
+      graft.config.ConfigParser.parse(
+        """@module confgen context(root) name(boom) exec("exit 9")
+          |boom();
+          |""".stripMargin)
+    }
+  }
+
+  test("confgen: syslogconf(file()) built-in expands the classic config") {
+    val f = java.nio.file.Files.createTempFile("syslogconf", ".conf")
+    java.nio.file.Files.write(f, "mail.*\t/var/log/mail.log\n".getBytes)
+    val cfg = graft.config.ConfigParser.parse(
+      s"""syslogconf(file("$f"));\n""".stripMargin)
+    assert(cfg.filters.contains("f_1"))
+    assert(cfg.destinations.contains("d_1"))
+    assert(cfg.logs.size == 1)
+  }
 }
