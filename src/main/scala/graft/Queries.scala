@@ -1749,6 +1749,34 @@ object Queries {
       GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  /** [[decontaminate]]'s Bloom-prefiltered scale path: identical
+    * result (the exact semi-join removes the Bloom's false positives),
+    * same oracle — what changes is the plan: the corpus grams are
+    * filtered by a broadcast-once Bloom BEFORE any shuffle and the
+    * exact join runs un-broadcast (the big-bench regime). */
+  private val decontaminateBloom = Q("decontaminate_bloom",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFlagsBloom(
+          docs.filter(col("doc_id") % 37 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 37 === 0), col("text"), k = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      ), g AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(w) - 2, 1) + 1),
+          i -> array_to_string(w[i:i+2], ' '))) AS gs FROM toks
+      ), bg AS (
+        SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 37 = 0
+      ), dg AS (
+        SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 37 <> 0
+      )
+      SELECT doc_id, count(*) AS n_contaminated
+      FROM dg JOIN bg USING (gram)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   /** As-of join: each non-signup event picks up the latest signup of
     * the same user at or before its timestamp (the "dimension value in
     * force at event time" join). Spark computes it with ONE key shuffle
@@ -2304,7 +2332,7 @@ object Queries {
     patternizeQ,
     annBruteForce, annLsh, annIvf,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
-    sampleStratified, decontaminate,
+    sampleStratified, decontaminate, decontaminateBloom,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textUnigramQuality,
     textDedupUrl, textDomainFilter,

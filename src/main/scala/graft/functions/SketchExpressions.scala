@@ -332,3 +332,34 @@ object SimHash128 {
   def apply(tokens: Column, algo: String): Column =
     ColumnBridge.column(new SimHash128(ColumnBridge.expression(tokens), algo))
 }
+
+/** `bloom_contains(hash)` — membership probe against a pre-built
+  * `org.apache.spark.util.sketch.BloomFilter` (serialized into the
+  * plan and shipped once per executor via the reference-object table,
+  * like the radix/pattern automata). One-sided error: may claim
+  * membership falsely at the configured fpp, never misses a real
+  * member — callers use it as a PREFILTER before an exact join, so
+  * the final answer stays exact. */
+case class BloomContains(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_contains"
+
+  override protected def nullSafeEval(v: Any): Any =
+    bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.mightContainLong($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomContains =
+    copy(child = c)
+}
+
+object BloomContains {
+  def apply(hash: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    ColumnBridge.column(new BloomContains(ColumnBridge.expression(hash), bloom))
+}

@@ -348,6 +348,39 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** [[contaminationFlags]] with a Bloom prefilter — the 100 TB shape.
+    * When the benchmark gram set outgrows a comfortable broadcast
+    * (hundreds of millions of held-out grams ≈ GBs as an exact hash
+    * set), a Bloom filter at `fpp` costs ~10 bits/entry, ships to every
+    * executor once, and discards the overwhelming non-contaminated
+    * majority of corpus grams BEFORE the distinct + join shuffles —
+    * only the (tiny) surviving fraction pays the exact semi-join, which
+    * removes the Bloom's false positives, so the result is IDENTICAL to
+    * the exact operator (false negatives are impossible). Costs one
+    * extra pass over the benchmark side to size + build the filter
+    * (`df.stat.bloomFilter` — a distributed treeAggregate). */
+  def contaminationFlagsBloom(docs: DataFrame, docId: Column, docText: Column,
+      bench: DataFrame, benchText: Column, k: Int = 13,
+      fpp: Double = 0.01): DataFrame = {
+    // persisted: the bench grams feed the count, the filter build, and
+    // the final exact join — one shingling pass, three consumers (the
+    // caller unpersists via spark.catalog.clearCache() / session end)
+    val bGrams = bench.select(explode(wordShingles(benchText, k)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = math.max(bGrams.count(), 1L)
+    val bloom = bGrams.stat.bloomFilter("gh", n, fpp)
+    val dGrams = docs
+      .select(docId.as("doc_id"), explode(wordShingles(docText, k)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .where(graft.functions.BloomContains(col("gh"), bloom))
+      .distinct()
+    // exact verify on the survivors only — NOT broadcast: this is the
+    // regime where the bench side was too big to broadcast
+    dGrams.join(bGrams.hint("shuffle_hash"), Seq("gh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+  }
+
   // ---- cross-document duplicated spans -----------------------------------------
   /** Span-level exact duplication: for each document, how many of its
     * k-token windows (ALL positions, not distinct — a window repeated

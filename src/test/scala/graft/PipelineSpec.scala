@@ -614,4 +614,30 @@ class PipelineSpec extends GraftSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("bloom decontamination equals the exact operator") {
+    import graft.pipeline.Dedup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "alpha beta gamma nu xi"),      // shares a 3-gram with 1
+      (37L, "alpha beta gamma delta other"), // "bench" doc (37 % 37 == 0... use explicit splits)
+      (4L, "unrelated words only here now")
+    ).toDF("doc_id", "text")
+    val train = docs.where(col("doc_id") =!= 37L)
+    val bench = docs.where(col("doc_id") === 37L)
+    val exact = Dedup.contaminationFlags(train, col("doc_id"), col("text"),
+      bench, col("text"), k = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bloom = Dedup.contaminationFlagsBloom(train, col("doc_id"), col("text"),
+      bench, col("text"), k = 3).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bloom == exact)
+    assert(exact.nonEmpty && exact.map(_._1).contains(1L))
+    // even at an absurd fpp the exact join keeps the result right
+    val sloppy = Dedup.contaminationFlagsBloom(train, col("doc_id"), col("text"),
+      bench, col("text"), k = 3, fpp = 0.5).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sloppy == exact)
+  }
 }
