@@ -123,7 +123,33 @@ class PropertiesSpec extends GraftSuite {
       graft.functions.FramedRecords.split(u, 1024, true) != null &&
       graft.functions.Sketches.rollingFingerprint(u, 8, 4) != null &&
       graft.functions.ProxyProtoHeader.parse(u) != null &&
-      graft.pipeline.MediaHeaders.decode(s.getBytes("UTF-8")) != null
+      graft.pipeline.MediaHeaders.decode(s.getBytes("UTF-8")) != null &&
+      graft.functions.KmsgScan.scan(u, 0L) != null &&
+      graft.functions.PacctScan.scan(s.getBytes("UTF-8")) != null &&
+      graft.functions.BinaryChunks.chunks(s.getBytes("UTF-8"), 64) != null
+    })
+  }
+
+  test("kmsg scan fails closed, never throws, on hostile headers") {
+    val junk: Gen[String] = Gen.listOf(Gen.frequency(
+      4 -> Gen.numChar,
+      2 -> Gen.oneOf(',', ';', '\n', '=', ' '),
+      2 -> Gen.choose(' ', '~'))).map(_.mkString.take(200))
+    check(Prop.forAll(junk) { s =>
+      val r = graft.functions.KmsgScan.scan(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), 0L)
+      // ok=false rows carry no partial data beyond the struct contract
+      r != null && (r.getBoolean(0) || r.isNullAt(5))
+    })
+  }
+
+  test("pacct scan on arbitrary 64-byte records decodes without throwing") {
+    val rec: Gen[Array[Byte]] =
+      Gen.containerOfN[Array, Byte](64, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    check(Prop.forAll(rec) { b =>
+      b(1) = 3 // force v3 so the field decode path runs
+      val r = graft.functions.PacctScan.scan(b)
+      r != null && r.isNullAt(0) && !r.isNullAt(1)
     })
   }
 
