@@ -807,9 +807,18 @@ object ConfigCompiler {
         }
         (((host -> port) +: failover.map(_ -> port)), proto == "syslog", body)
     }
+    // transport(tls) + tls(ca-file()) on network()/syslog()
+    // destinations (afinet-dest.c + transport-tls.c, client side)
+    val tlsCa =
+      if (!kvOf(s.args, "transport").contains("tls")) None
+      else Some(s.args.collectFirst { case KV("tls", vs) => vs }
+        .flatMap(vs => kvOf(vs, "ca-file")).getOrElse(
+          throw new IllegalArgumentException(
+            s"${s.name}: transport(tls) needs tls(ca-file())")))
     val cfg = graft.streaming.TcpSink.Config(targets, octetCounted = octet,
       delimiter = delimiter, unixPath = unixPath,
-      loadBalance = s.name == "network-load-balancer", greeting = greeting)
+      loadBalance = s.name == "network-load-balancer", greeting = greeting,
+      tlsCaFile = tlsCa)
     val df = route.df.withColumn("__body", body)
     graft.streaming.TcpSink.tcpSink(df, "__body", cfg, checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -59,7 +59,11 @@ object TcpSink {
         * (`modules/redis/redis.c` redis worker connect), the STOMP
         * CONNECT frame (`modules/afstomp/afstomp.c:189-199`), SMTP
         * EHLO. Sent raw (no [[frame]]ing). */
-      greeting: Option[String] = None)
+      greeting: Option[String] = None,
+      /** `transport(tls)` client side (`modules/afsocket/afinet-dest.c`
+        * + `lib/transport/transport-tls.c`): the CA file verifies the
+        * server certificate ([[PemTls.clientContext]]). */
+      tlsCaFile: Option[String] = None)
 
   private def frame(cfg: Config, msg: String): Array[Byte] = {
     val payload = msg.getBytes(StandardCharsets.UTF_8)
@@ -94,7 +98,15 @@ object TcpSink {
       val (host, port) = cfg.targets(idx % cfg.targets.size)
       val s = new Socket()
       s.connect(new InetSocketAddress(host, port), cfg.connectTimeoutMs)
-      new Conn(s, s.getOutputStream)
+      cfg.tlsCaFile match {
+        case Some(ca) =>
+          val tls = PemTls.clientContext(ca).getSocketFactory
+            .createSocket(s, host, port, true)
+            .asInstanceOf[javax.net.ssl.SSLSocket]
+          tls.startHandshake()
+          new Conn(tls, tls.getOutputStream)
+        case None => new Conn(s, s.getOutputStream)
+      }
   }
 
   /** Send one partition's messages over one connection, failing over

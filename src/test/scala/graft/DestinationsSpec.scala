@@ -554,6 +554,36 @@ class DestinationsSpec extends GraftSuite {
       "Subject: [ALERT] h1\r\n\r\ndisk failing\r\n.\r\n", got)
   }
 
+  test("config text: network(transport(tls)) encrypts to the TLS listener") {
+    // afinet-dest.c + transport-tls.c client side: the destination
+    // verifies the server against tls(ca-file()); full loop against
+    // our own transport(tls) listener
+    val certDir = java.nio.file.Files.createTempDirectory("graft_tlsd_pem")
+    import scala.sys.process._
+    val gen = Seq("openssl", "req", "-x509", "-newkey", "rsa:2048",
+      "-nodes", "-keyout", s"$certDir/key.pem", "-out", s"$certDir/cert.pem",
+      "-days", "1", "-subj", "/CN=127.0.0.1").!(ProcessLogger(_ => ()))
+    assume(gen == 0, "openssl unavailable")
+    val dir = java.nio.file.Files.createTempDirectory("graft_tlsd").toString
+    val (listener, _) = TcpSource.listen(spark, s"$dir/spool",
+      tls = Some(s"$certDir/cert.pem" -> s"$certDir/key.pem"))
+    try {
+      val in = java.nio.file.Files.createTempDirectory("graft_tlsd_in")
+      java.nio.file.Files.write(in.resolve("in.log"),
+        "<38>1 2024-01-12T03:04:05Z h1 app 7 M1 - over tls\n".getBytes)
+      runFileRoute(s"""
+        source s { file("${in.resolve("*.log")}"); };
+        destination d { network("127.0.0.1" port(${listener.boundPort})
+          transport(tls) tls(ca-file("$certDir/cert.pem"))); };
+        log { source(s); destination(d); };
+      """, dir)
+      awaitCount(listener, 1)
+      listener.stop()
+      val line = spoolLines(s"$dir/spool").head
+      assert(line == "<38>Jan 12 03:04:05 h1 app[7]: over tls", line)
+    } finally listener.stop()
+  }
+
   test("config text: mqtt() sends CONNECT then QoS-0 PUBLISH packets") {
     // modules/mqtt/destination: hand-rolled 3.1.1 wire — CONNECT
     // ("MQTT" level 4, clean session) then 0x30 PUBLISH frames;
