@@ -486,6 +486,50 @@ object ConfigCompiler {
         graft.streaming.MqttSink.sink(df, "__topic", "__body", cfg, checkpoint)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      case Some(s) if s.name == "pipe" =>
+        // modules/affile/named-pipe.c destination side: rendered lines
+        // written to the FIFO; the write blocks until a reader exists,
+        // exactly like the reference's open
+        val path = s.args.collectFirst { case Lit(p) => p }
+          .orElse(kvOf(s.args, "path")).getOrElse(
+            throw new IllegalArgumentException("pipe() needs a path"))
+        val tmpl = kvOf(s.args, "template").getOrElse("$ISODATE $HOST $MSGHDR$MESSAGE")
+        val df = route.df.withColumn("__body",
+          Template.column(tmpl, route.df.columns))
+        df.writeStream.foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val fos = new java.io.FileOutputStream(path, true)
+          try b.select("__body").collect().foreach { r =>
+            fos.write((r.getString(0) + "\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+          } finally fos.close()
+        }
+          .option("checkpointLocation", checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      case Some(s) if s.name == "usertty" =>
+        // modules/afuser/afuser.c: "<ts> <host> <message>\n" APPENDED
+        // to the tty of every utmp entry matching the username
+        // (O_APPEND|O_NONBLOCK, afuser.c:158). The utmp walk is host
+        // env surface; the dev translation writes to
+        // <tty-dir>/<username> (tty-dir() defaults /dev — tests
+        // override), keeping the wire format and append semantics.
+        val user = s.args.collectFirst { case Lit(u) => u }.getOrElse("*")
+        val ttyDir = kvOf(s.args, "tty-dir").getOrElse("/dev")
+        val target = s"$ttyDir/${if (user == "*") "tty" else user}"
+        val df = route.df.withColumn("__body",
+          Template.column("$FULLDATE $HOST $MESSAGE", route.df.columns))
+        df.writeStream.foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val fos = new java.io.FileOutputStream(target, true)
+          try b.select("__body").collect().foreach { r =>
+            fos.write((r.getString(0) + "\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+          } finally fos.close()
+        }
+          .option("checkpointLocation", checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
       case Some(s) if s.name == "pseudofile" =>
         // modules/pseudofile/pseudofile.c: per message, open(O_WRONLY
         // |O_NONBLOCK) and write the template-rendered bytes — no
@@ -554,7 +598,7 @@ object ConfigCompiler {
     "syslog", "loggly", "sumologic-http", "sumologic-syslog", "slack",
     "telegram", "discord", "graylog2", "logmatic", "collectd",
     "unix-stream", "network-load-balancer", "graphite", "pseudofile",
-    "redis", "stomp", "smtp", "mqtt", "program")
+    "redis", "stomp", "smtp", "mqtt", "program", "usertty", "pipe")
 
   /** network()/syslog() destinations and the scl composites over them
     * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,

@@ -584,6 +584,26 @@ class DestinationsSpec extends GraftSuite {
     } finally listener.stop()
   }
 
+  test("config text: usertty() appends ts host message lines") {
+    // afuser.c:130-136 wire format; dev-mode tty-dir override
+    val dir = java.nio.file.Files.createTempDirectory("graft_utty").toString
+    val tty = java.nio.file.Files.createTempDirectory("graft_utty_dev").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_utty_in")
+    java.nio.file.Files.write(in.resolve("in.log"),
+      ("<13>Jan 12 03:04:05 h1 app: first alert\n" +
+        "<13>Jan 12 03:04:06 h1 app: second alert\n").getBytes)
+    runFileRoute(s"""
+      source s { file("${in.resolve("*.log")}"); };
+      destination d { usertty("root" tty-dir("$tty")); };
+      log { source(s); destination(d); };
+    """, dir)
+    val got = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tty/root")), "UTF-8")
+    assert(got.split("\n").toSet == Set(
+      "2024 Jan 12 03:04:05 h1 first alert",
+      "2024 Jan 12 03:04:06 h1 second alert"), got)
+  }
+
   test("config text: mqtt() sends CONNECT then QoS-0 PUBLISH packets") {
     // modules/mqtt/destination: hand-rolled 3.1.1 wire — CONNECT
     // ("MQTT" level 4, clean session) then 0x30 PUBLISH frames;

@@ -110,4 +110,33 @@ class ProgramSpec extends GraftSuite {
       graft.streaming.ProgramSink.writeBatch(df, "m", "exit 3")
     }
   }
+
+  test("pipe() destination: lines reach a FIFO reader") {
+    assume(new java.io.File("/usr/bin/mkfifo").exists ||
+      new java.io.File("/bin/mkfifo").exists)
+    val dir = java.nio.file.Files.createTempDirectory("piped").toString
+    val fifo = s"$dir/out.fifo"
+    assert(new ProcessBuilder("mkfifo", fifo).start().waitFor() == 0)
+    val buf = new java.io.ByteArrayOutputStream()
+    val reader = new Thread(() => {
+      val in = new java.io.FileInputStream(fifo)
+      try in.transferTo(buf) finally in.close()
+    })
+    reader.setDaemon(true); reader.start()
+
+    val src = java.nio.file.Files.createTempDirectory("piped_in")
+    java.nio.file.Files.write(src.resolve("in.log"),
+      "<13>Jan 12 03:04:05 h1 app: through the fifo\n".getBytes)
+    val conf = s"""
+      source s { file("${src.resolve("*.log")}"); };
+      destination d { pipe("$fifo" template("$$MESSAGE")); };
+      log { source(s); destination(d); };
+    """
+    val (routes, _) = graft.config.ConfigCompiler.compileStreamingPipeline(
+      graft.config.ConfigParser.parse(conf), spark, s"$dir/unused")
+    val q = graft.config.ConfigCompiler.startRoute(routes.head, s"$dir/out", s"$dir/cp")
+    q.awaitTermination(60000)
+    reader.join(10000)
+    assert(new String(buf.toByteArray, "UTF-8") == "through the fifo\n")
+  }
 }
