@@ -59,6 +59,7 @@ object ConfigCompiler {
           s.name == "syslog" || s.name == "osquery" || s.name == "mbox" ||
           s.name == "snmptrap" || s.name == "unix-stream" || s.name == "system" ||
           s.name == "pacct" || s.name == "nodejs" || s.name == "program" ||
+          s.name == "example-msg-generator" || s.name == "openbsd" ||
           s.name == "pipe" || s.name == "stdin")
         .getOrElse(throw new IllegalArgumentException(
           s"source $name: only file()/network()/syslog()/osquery() sources stream here"))
@@ -124,6 +125,33 @@ object ConfigCompiler {
             (k, v) => when(k === key, lit("")).otherwise(v)))
           .drop("value")
           .withColumn("tags", array().cast("array<string>"))
+      } else if (stmt.name == "example-msg-generator") {
+        // modules/examples/sources/msg-generator: freq() is SECONDS
+        // (float or int, grammar msg-generator-grammar.ym:85-93,
+        // set_freq stores freq*1000 ms), num() bounds the total,
+        // template() overrides the default message, values("n" =>
+        // "tpl") adds name-values before the message render.
+        val freqMs = kvOf(stmt.args, "freq").map(f =>
+          math.max(1L, (f.toDouble * 1000).toLong)).getOrElse(1000L)
+        val num = kvOf(stmt.args, "num").map(_.toInt).getOrElse(0)
+        val tpl = kvOf(stmt.args, "template")
+        val pairs = stmt.args.collectFirst { case KV("values", vs) =>
+          vs.collect { case KV(n, tv) =>
+            n -> tv.collect { case Lit(v) => v }.mkString(" ") }
+        }.getOrElse(Nil)
+        name -> graft.streaming.Sources.msgGenerator(spark, tpl, freqMs,
+          num, pairs)
+      } else if (stmt.name == "openbsd") {
+        // modules/openbsd/openbsd-driver.c:58-125: a dgram reader over
+        // the /dev/klog socketpair with DEFAULT reader options — i.e.
+        // one datagram = one line, standard syslog parse. klog-file()
+        // is the dev-mode path override (same pattern as system()'s
+        // kmsg-file()).
+        val path = kvOf(stmt.args, "klog-file").getOrElse("/dev/klog")
+        name -> graft.streaming.Sources.parsedSyslog(
+            graft.streaming.Sources.fileLines(spark, path))
+          .withColumn("tags", array().cast("array<string>"))
+          .withColumn("values", map().cast("map<string,string>"))
       } else if (stmt.name == "osquery") {
         val path = kvOf(stmt.args, "file")
           .orElse(stmt.args.collectFirst { case Lit(p) => p })

@@ -160,7 +160,8 @@ object ConfigParser {
       else if (c == '=' || c == '!' || c == '<' || c == '>') {
         val st = i
         i += 1
-        if (i < n && src.charAt(i) == '=') i += 1
+        if (i < n && (src.charAt(i) == '=' ||
+            (c == '=' && src.charAt(i) == '>'))) i += 1
         out += Tok("op", src.substring(st, i), st)
       }
       else i += 1 // tolerate unknown chars like the reference's lax lexer
@@ -374,8 +375,15 @@ object ConfigParser {
         peek.kind match {
           case "str" | "num" =>
             val t = next()
+            // name-value pair: values("name" => "template") — the
+            // LL_ARROW form of msg-generator / add-contextual-data
+            // grammars; represented as KV(name, Lit(template))
+            if (peek.kind == "op" && peek.text == "=>") {
+              next()
+              args += KV(t.text, Seq(Lit(next().text)))
+            }
             // comparison argument: having("$n" > "2") — a bare FCmp
-            if (peek.kind == "op" ||
+            else if (peek.kind == "op" ||
                 (peek.kind == "word" && ConfigParser.wordCmpOps(peek.text))) {
               val op = next().text
               args += FilterArg(FCmp(t.text, op, next().text))

@@ -143,4 +143,45 @@ object Sources {
       .select(col("source_file"),
         explode(graft.functions.FramedRecords(col("value"), maxMsgSize,
           trimLargeMessages)).as("record"))
+
+  /** example-msg-generator() (`modules/examples/sources/msg-generator/
+    * msg-generator-source.c:109-131`, options `msg-generator-source-
+    * options.h:89-140`): emits one message per `freq()` interval,
+    * bounded by `num()`; MESSAGE is the `template()` render (default
+    * `-- Generated message. --`) and each `values(name => template)`
+    * pair lands as a name-value before the message template is
+    * rendered, matching `_send_generated_message`'s order (pairs
+    * first, then the message template sees them). The Spark-native
+    * timer is the `rate` streaming source (one row per tick at
+    * 1/freq rows/sec); `num()` bounds via the monotone tick index.
+    * The value templates render against the frame BEFORE the pairs
+    * exist (the reference iterates a fresh `log_msg_new_empty()`),
+    * so they may use macros but not each other. */
+  def msgGenerator(spark: SparkSession, template: Option[String] = None,
+      freqMs: Long = 1000L, num: Int = 0,
+      values: Seq[(String, String)] = Nil): DataFrame = {
+    import graft.template.Template
+    // the rate source takes an integral rowsPerSecond ≥ 1, so freq()
+    // above one second coarsens to one row/sec (num() still bounds the
+    // total; this is a dev/example driver, not a precision timer)
+    val rps = math.max(1L, math.round(1000.0 / math.max(1L, freqMs)))
+    val base = spark.readStream.format("rate")
+      .option("rowsPerSecond", rps).load()
+      .select(col("timestamp").as("ts"), col("value").as("seq"))
+    val bounded = if (num > 0) base.where(col("seq") < num) else base
+    val empty = bounded
+      .withColumn("source_file", lit("msg-generator"))
+      .withColumn("message", lit("-- Generated message. --"))
+      .withColumn("tags", array().cast("array<string>"))
+      .withColumn("values", map().cast("map<string,string>"))
+    val baseCols = empty.columns.toSeq
+    val paired =
+      if (values.isEmpty) empty
+      else empty.withColumn("values", map_concat(col("values"),
+        map(values.flatMap { case (n, tpl) =>
+          Seq(lit(n), Template.column(tpl, baseCols))
+        }: _*)))
+    template.fold(paired)(t => paired.withColumn("message",
+      Template.column(t, paired.columns.toSeq)))
+  }
 }

@@ -248,6 +248,81 @@ class ConfigSpec extends GraftSuite {
       "Subject: second\n\nbody two\nFromage is not a delimiter", mails(1))
   }
 
+  test("example-msg-generator() source: freq/num/template/values pairs") {
+    // modules/examples/sources/msg-generator/msg-generator-source.c:
+    // 109-131 — values() pairs land before the message template render,
+    // so the template sees them; num() bounds the stream; default
+    // message is the literal "-- Generated message. --"
+    val cfg = ConfigParser.parse(s"""
+      source s_gen { example-msg-generator(freq(0.01) num(20)
+        template("hello $${who}") values("who" => "world")); };
+      destination d { file("/out/gen.log"); };
+      log { source(s_gen); destination(d); };
+    """)
+    val (routes, _) = ConfigCompiler.compileStreamingPipeline(cfg, spark,
+      java.nio.file.Files.createTempDirectory("graft-gen-sp").toString)
+    val cp = java.nio.file.Files.createTempDirectory("graft-gen-cp").toString
+    val q = routes.head.df.writeStream.format("memory").queryName("gen_out")
+      .option("checkpointLocation", cp).start()
+    try {
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+      while (spark.table("gen_out").count() < 20 &&
+          System.nanoTime < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val rows = spark.table("gen_out")
+      .select(col("message"), element_at(col("values"), "who").as("w"))
+      .collect()
+    assert(rows.length == 20, s"expected 20 generated, got ${rows.length}")
+    assert(rows.forall(r => r.getString(0) == "hello world" &&
+      r.getString(1) == "world"), rows.take(3).mkString(";"))
+  }
+
+  test("example-msg-generator() default message without template()") {
+    val cfg = ConfigParser.parse(s"""
+      source s_gen { example-msg-generator(freq(0.01) num(3)); };
+      destination d { file("/out/gen2.log"); };
+      log { source(s_gen); destination(d); };
+    """)
+    val (routes, _) = ConfigCompiler.compileStreamingPipeline(cfg, spark,
+      java.nio.file.Files.createTempDirectory("graft-gen2-sp").toString)
+    val cp = java.nio.file.Files.createTempDirectory("graft-gen2-cp").toString
+    val q = routes.head.df.writeStream.format("memory").queryName("gen2_out")
+      .option("checkpointLocation", cp).start()
+    try {
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+      while (spark.table("gen2_out").count() < 3 &&
+          System.nanoTime < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val msgs = spark.table("gen2_out").select("message").collect()
+      .map(_.getString(0)).distinct.toSeq
+    assert(msgs == Seq("-- Generated message. --"), msgs)
+  }
+
+  test("openbsd() source: klog-file override, standard syslog parse") {
+    // modules/openbsd/openbsd-driver.c:58-125: dgram reader over
+    // /dev/klog with default reader options — one line per message,
+    // normal syslog parse (kernel lines: PRI + free text)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-obsd-in").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "klog"),
+      "<4>arp info overwritten for 10.0.0.1 by 00:11:22:33:44:55\n")
+    val cfg = ConfigParser.parse(s"""
+      source s_k { openbsd(klog-file("$inDir/klog*")); };
+      destination d { file("/out/k.log"); };
+      log { source(s_k); destination(d); };
+    """)
+    val (routes, _) = ConfigCompiler.compileStreamingPipeline(cfg, spark,
+      java.nio.file.Files.createTempDirectory("graft-obsd-sp").toString)
+    val cp = java.nio.file.Files.createTempDirectory("graft-obsd-cp").toString
+    val q = routes.head.df.writeStream.format("memory").queryName("obsd_out")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination(60000) finally q.stop()
+    val r = spark.table("obsd_out")
+      .select("facility", "severity", "message").head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 4, r)  // <4> = kern.warning
+    assert(r.getString(2).startsWith("arp info overwritten"), r)
+  }
+
   test("file() source with multi-line-mode(indented) assembles stacks") {
     // logproto-indented-multiline-server.c via config text: indented
     // continuation lines glue to the preceding record
