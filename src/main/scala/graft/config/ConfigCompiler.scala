@@ -60,6 +60,7 @@ object ConfigCompiler {
           s.name == "snmptrap" || s.name == "unix-stream" || s.name == "system" ||
           s.name == "pacct" || s.name == "nodejs" || s.name == "program" ||
           s.name == "example-msg-generator" || s.name == "openbsd" ||
+          s.name == "systemd-journal" ||
           s.name == "pipe" || s.name == "stdin")
         .getOrElse(throw new IllegalArgumentException(
           s"source $name: only file()/network()/syslog()/osquery() sources stream here"))
@@ -141,6 +142,17 @@ object ConfigCompiler {
         }.getOrElse(Nil)
         name -> graft.streaming.Sources.msgGenerator(spark, tpl, freqMs,
           num, pairs)
+      } else if (stmt.name == "systemd-journal") {
+        // modules/systemd-journal: prefix() (default ".journald.",
+        // journal-reader.c:777), max-field-size() (default 64k, :44);
+        // journal-file() is the dev-mode capture-file override (export
+        // format), same pattern as system()'s kmsg-file().
+        val path = kvOf(stmt.args, "journal-file")
+          .getOrElse("/var/log/journal/export")
+        val prefix = kvOf(stmt.args, "prefix").getOrElse(".journald.")
+        val mfs = kvOf(stmt.args, "max-field-size").map(_.toInt)
+          .getOrElse(64 * 1024)
+        name -> graft.streaming.Sources.journalEntries(spark, path, prefix, mfs)
       } else if (stmt.name == "openbsd") {
         // modules/openbsd/openbsd-driver.c:58-125: a dgram reader over
         // the /dev/klog socketpair with DEFAULT reader options — i.e.

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming scans (SURVEY §2.1). The reference tails files / listens on
@@ -83,6 +83,62 @@ object Sources {
         coalesce(col("p.message"), lit("")).as("message"),
         coalesce(col("p.pairs"), map().cast("map<string,string>")).as("values"))
       .withColumn("tags", array(lit(".pacct")))
+  }
+
+  /** systemd-journal() (`modules/systemd-journal/journal-reader.c`):
+    * journal entries from capture files in the Journal Export Format
+    * (`journalctl -o export` — the serialization of exactly the field
+    * walk the live reader does). Field→macro mapping mirrors
+    * `_map_key_value_pairs_to_syslog_macros` + `_set_program`
+    * (journal-reader.c:156-238):
+    *
+    *  - `MESSAGE`→message, `_HOSTNAME`→host, `_PID`→pid;
+    *  - `SYSLOG_FACILITY`/`PRIORITY` overwrite the default PRI's
+    *    facility/severity bits with C atoi semantics (`:176,180`);
+    *    default PRI is `LOG_LOCAL0|LOG_NOTICE` (facility 16 /
+    *    severity 5, `DEFAULT_PRIO` journal-reader.c:45,863);
+    *  - program = `SYSLOG_IDENTIFIER`, falling back to `_COMM`
+    *    (`_set_program`, :225-238);
+    *  - ts = `__REALTIME_TIMESTAMP` µs (`_set_message_timestamp`);
+    *  - EVERY field (including the macro-mapped ones) also lands in
+    *    `values` under `prefix()` (default `.journald.`,
+    *    journal-reader.c:777), values truncated at `max-field-size`
+    *    (`DEFAULT_FIELD_SIZE` 64k, :44,219 — character-based here
+    *    where the reference counts bytes).
+    */
+  def journalEntries(spark: SparkSession, glob: String,
+      prefix: String = ".journald.", maxFieldSize: Int = 64 * 1024): DataFrame = {
+    import graft.functions.JournalExportScan
+    import graft.operators.Filters
+    val raw = spark.readStream.format("binaryFile")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType))))
+      .load(glob)
+      .select(col("path").as("source_file"),
+        explode(JournalExportScan(col("content"))).as("f"))
+    def fv(k: String): Column = element_at(col("f"), k)
+    raw.select(
+      col("source_file"),
+      coalesce(fv("MESSAGE"), lit("")).as("message"),
+      fv("_HOSTNAME").as("host"),
+      fv("_PID").as("pid"),
+      coalesce(nullif(fv("SYSLOG_IDENTIFIER"), lit("")),
+        fv("_COMM"), lit("")).as("program"),
+      when(fv("SYSLOG_FACILITY").isNotNull,
+        Filters.atoi(fv("SYSLOG_FACILITY")).cast("int"))
+        .otherwise(16).as("facility"),
+      when(fv("PRIORITY").isNotNull,
+        Filters.atoi(fv("PRIORITY")).cast("int"))
+        .otherwise(5).as("severity"),
+      timestamp_micros(Filters.atoi(fv("__REALTIME_TIMESTAMP"))
+        .cast("long")).as("ts"),
+      transform_values(
+        transform_keys(col("f"), (k, _) => concat(lit(prefix), k)),
+        (_, v) => substring(v, 1, maxFieldSize)).as("values"))
+      .withColumn("tags", array().cast("array<string>"))
   }
 
   /** Multi-line framing (`lib/logproto/logproto-regexp-multiline-server
