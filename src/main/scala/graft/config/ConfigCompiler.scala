@@ -501,6 +501,47 @@ object ConfigCompiler {
         graft.streaming.ProgramSink.programSink(df, "__body", cmd, checkpoint)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      case Some(s) if s.name == "riemann" =>
+        // modules/riemann: server/port defaults 127.0.0.1:5555
+        // (riemann.c:262-264), host()/service()/event-time() template
+        // defaults ${HOST}/${PROGRAM}/${UNIXTIME} (riemann.c:269-284);
+        // state/description/metric/ttl sent only when configured; tags()
+        // list else the message's tags; attributes("k" => "tpl") pairs
+        val cols = route.df.columns.toSeq
+        def t(tmpl: String): Column = Template.column(tmpl, cols)
+        def opt(k: String): Column =
+          kvOf(s.args, k).map(t).getOrElse(lit(null).cast("string"))
+        val cfgTags = s.args.collectFirst { case KV("tags", vs) =>
+          vs.collect { case Lit(v) => v } }.filter(_.nonEmpty)
+        val attrs = s.args.collectFirst { case KV("attributes", vs) =>
+          vs.collect { case KV(n, tv) =>
+            (lit(n), t(tv.collect { case Lit(v) => v }.mkString(" "))) }
+        }.getOrElse(Nil)
+        val rCfg = graft.streaming.RiemannSink.Config(
+          server = kvOf(s.args, "server").getOrElse("127.0.0.1"),
+          port = kvOf(s.args, "port").map(_.toInt).getOrElse(5555),
+          flushLines = kvOf(s.args, "flush-lines").map(_.toInt).getOrElse(100),
+          timeMicros = kvOf(s.args, "event-time-unit")
+            .exists(_.startsWith("micro")))
+        val df = route.df
+          .withColumn("__time",
+            t(kvOf(s.args, "event-time").getOrElse("$UNIXTIME")).cast("long"))
+          .withColumn("__state", opt("state"))
+          .withColumn("__service",
+            t(kvOf(s.args, "service").getOrElse("$PROGRAM")))
+          .withColumn("__host", t(kvOf(s.args, "host").getOrElse("$HOST")))
+          .withColumn("__desc", opt("description"))
+          .withColumn("__tags", cfgTags
+            .map(ts => array(ts.map(lit): _*))
+            .getOrElse(col("tags")))
+          .withColumn("__ttl", opt("ttl"))
+          .withColumn("__attrs",
+            if (attrs.isEmpty) lit(null).cast("map<string,string>")
+            else map(attrs.flatMap { case (k, v) => Seq(k, v) }: _*))
+          .withColumn("__metric", opt("metric"))
+        graft.streaming.RiemannSink.sink(df, rCfg, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
       case Some(s) if s.name == "mqtt" =>
         // modules/mqtt/destination: address(tcp://host:port), templated
         // topic() with fallback-topic() taken when the rendered topic
@@ -638,7 +679,8 @@ object ConfigCompiler {
     "syslog", "loggly", "sumologic-http", "sumologic-syslog", "slack",
     "telegram", "discord", "graylog2", "logmatic", "collectd",
     "unix-stream", "network-load-balancer", "graphite", "pseudofile",
-    "redis", "stomp", "smtp", "mqtt", "program", "usertty", "pipe")
+    "redis", "stomp", "smtp", "mqtt", "program", "usertty", "pipe",
+    "riemann")
 
   /** network()/syslog() destinations and the scl composites over them
     * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,
