@@ -501,6 +501,116 @@ object ConfigCompiler {
         graft.streaming.ProgramSink.programSink(df, "__body", cmd, checkpoint)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      case Some(s) if s.name == "snmp" =>
+        // modules/afsnmp/afsnmpdest.c: v2c/port 162/community "public"
+        // defaults (:754-756); snmp-obj(oid type template) triplets in
+        // configuration order, trap-obj() the snmpTrapOID varbind; v3
+        // needs net-snmp USM — rejected loudly in the dev sink
+        if (kvOf(s.args, "version").exists(_.equalsIgnoreCase("v3")))
+          throw new IllegalArgumentException(
+            "snmp(): only version(v2c) is supported by the dev sink")
+        val sCfg = graft.streaming.SnmpSink.Config(
+          host = kvOf(s.args, "host").getOrElse(
+            throw new IllegalArgumentException("snmp() needs host()")),
+          port = kvOf(s.args, "port").map(_.toInt).getOrElse(162),
+          community = kvOf(s.args, "community").getOrElse("public"))
+        val cols = route.df.columns.toSeq
+        def t(tmpl: String): Column = Template.column(tmpl, cols)
+        val triplets = s.args.collect {
+          case KV(n, Seq(Lit(oid), Lit(tpe), Lit(tpl)))
+              if n == "snmp-obj" || n == "trap-obj" =>
+            require(graft.streaming.SnmpSink.ObjTypes.contains(tpe.toLowerCase),
+              s"snmp(): unknown object type $tpe")
+            (oid, tpe, tpl)
+        }
+        require(triplets.nonEmpty, "snmp() needs at least one snmp-obj()")
+        val df = route.df.withColumn("__objs", array(triplets.map {
+          case (oid, tpe, tpl) =>
+            struct(lit(oid).as("oid"), lit(tpe).as("tpe"), t(tpl).as("v"))
+        }: _*))
+        graft.streaming.SnmpSink.sink(df, sCfg, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      case Some(s) if s.name == "amqp" =>
+        // modules/afamqp: defaults vhost "/", 127.0.0.1:5672, exchange
+        // "syslog", persistent(yes) → delivery-mode 2, templated
+        // routing-key()/body(), SASL PLAIN; value-pairs → headers table
+        // (afamqp.c:779-822, 617-652)
+        val aCfg = graft.streaming.AmqpSink.Config(
+          host = kvOf(s.args, "host").getOrElse("127.0.0.1"),
+          port = kvOf(s.args, "port").map(_.toInt).getOrElse(5672),
+          vhost = kvOf(s.args, "vhost").getOrElse("/"),
+          exchange = kvOf(s.args, "exchange").getOrElse("syslog"),
+          username = kvOf(s.args, "username").getOrElse("guest"),
+          password = kvOf(s.args, "password").getOrElse("guest"),
+          persistent = !kvOf(s.args, "persistent").contains("no"))
+        val cols = route.df.columns.toSeq
+        def t(tmpl: String): Column = Template.column(tmpl, cols)
+        def nonEmpty(m: Column): Column =
+          map_filter(m, (_, v) => v.isNotNull && v =!= "")
+        val hdrMaps = Seq(
+          if (cols.contains("values")) Some(col("values")) else None,
+          if (cols.contains("sdata"))
+            Some(graft.operators.ValuePairs.addPrefix(
+              coalesce(col("sdata"), map().cast("map<string,string>")),
+              ".SDATA."))
+          else None).flatten
+        val hdrs =
+          if (hdrMaps.isEmpty) lit(null).cast("map<string,string>")
+          else nonEmpty(hdrMaps.reduce((a, b) => map_concat(
+            coalesce(a, map().cast("map<string,string>")),
+            coalesce(b, map().cast("map<string,string>")))))
+        val df = route.df
+          .withColumn("__rk", t(kvOf(s.args, "routing-key").getOrElse("")))
+          .withColumn("__headers", hdrs)
+          .withColumn("__body", t(kvOf(s.args, "body").getOrElse("")))
+        graft.streaming.AmqpSink.sink(df, aCfg, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      case Some(s) if s.name == "mongodb" =>
+        // modules/afmongodb: uri default mongodb://127.0.0.1:27017/syslog,
+        // collection("messages") templated, document = default value-pairs
+        // (selected-macros + nv-pairs) with the leading-dot→underscore key
+        // transform (afmongodb.c:208-215,324)
+        val mCfg0 = graft.streaming.MongoSink.parseUri(
+          kvOf(s.args, "uri").getOrElse("mongodb://127.0.0.1:27017/syslog"))
+        val mCfg = mCfg0.copy(flushLines =
+          kvOf(s.args, "flush-lines").map(_.toInt).getOrElse(100))
+        val cols = route.df.columns.toSeq
+        def t(tmpl: String): Column = Template.column(tmpl, cols)
+        def nonEmpty(m: Column): Column =
+          map_filter(m, (_, v) => v.isNotNull && v =!= "")
+        // nv-pairs scope = values + sdata params under their .SDATA.
+        // names (reference NV table layout), dot-keys renamed
+        val nvMaps = Seq(
+          if (cols.contains("values")) Some(col("values")) else None,
+          if (cols.contains("sdata"))
+            Some(graft.operators.ValuePairs.addPrefix(
+              coalesce(col("sdata"), map().cast("map<string,string>")),
+              ".SDATA."))
+          else None).flatten
+        val nvPairs =
+          if (nvMaps.isEmpty) map().cast("map<string,string>")
+          else transform_keys(
+            nonEmpty(nvMaps.reduce((a, b) => map_concat(
+              coalesce(a, map().cast("map<string,string>")),
+              coalesce(b, map().cast("map<string,string>"))))),
+            (k, _) => when(k.startsWith("."),
+                concat(lit("_"), substring(k, 2, Int.MaxValue)))
+              .otherwise(k))
+        val doc = map_concat(
+          nonEmpty(map(
+            lit("DATE"), t("$DATE"), lit("FACILITY"), t("$FACILITY"),
+            lit("HOST"), t("$HOST"), lit("MESSAGE"), t("$MESSAGE"),
+            lit("PID"), t("$PID"), lit("PRIORITY"), t("$PRIORITY"),
+            lit("PROGRAM"), t("$PROGRAM"))),
+          nvPairs)
+        val df = route.df
+          .withColumn("__coll", t(kvOf(s.args, "collection").getOrElse("messages")))
+          .withColumn("__doc", doc)
+        graft.streaming.MongoSink.sink(df, mCfg, checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
       case Some(s) if s.name == "riemann" =>
         // modules/riemann: server/port defaults 127.0.0.1:5555
         // (riemann.c:262-264), host()/service()/event-time() template
@@ -680,7 +790,7 @@ object ConfigCompiler {
     "telegram", "discord", "graylog2", "logmatic", "collectd",
     "unix-stream", "network-load-balancer", "graphite", "pseudofile",
     "redis", "stomp", "smtp", "mqtt", "program", "usertty", "pipe",
-    "riemann")
+    "riemann", "mongodb", "amqp", "snmp")
 
   /** network()/syslog() destinations and the scl composites over them
     * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,
