@@ -12,7 +12,22 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS): Spark 4 only reads it as a
     // nanos-since-epoch LongType behind this legacy flag (runtime-settable).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** The generated events.ts column has shipped as both TIMESTAMP(NANOS)
+    * (read as a nanos long under nanosAsLong) and plain µs TIMESTAMP_NTZ.
+    * Normalize to the nanos-since-epoch long every consumer expects; the
+    * NTZ naive datetime is the same wall-clock DuckDB's epoch_ns sees, so
+    * interpret it as UTC regardless of session zone. */
+  private def normalizeEventTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => df
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)") * 1000L)
+    case _ =>
+      df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
   }
 
   /** events.ts arrives as nanos-since-epoch long; `tsMicros` gives a real
