@@ -172,7 +172,56 @@ object TemplateFunctions {
     // ---- ip / misc (ip-funcs.c, misc-funcs.c) ----------------------------
     "ipv4-to-int" -> (args => graft.functions.GraftFunctions.ipv4_to_int(args.head.col)),
     "indent-multi-line" -> (args => regexp_replace(args.head.col, "\n", "\n\t")),
-    "env" -> (args => lit(sys.env.getOrElse(args.head.lit("env"), ""))),
+    // $(env A B ...) — misc-funcs.c tf_env: present values append, with a
+    // separating space after each non-final argument's value
+    "env" -> { args =>
+      val out = new StringBuilder
+      args.zipWithIndex.foreach { case (a, i) =>
+        sys.env.get(a.lit("env")).foreach { v =>
+          out ++= v
+          if (i < args.length - 1) out += ' '
+        }
+      }
+      lit(out.toString)
+    },
+    // $(getent service key [member]) — modules/getent/tfgetent.c via the
+    // NSS files backend (see template.Nss)
+    "getent" -> { args =>
+      Nss.getent(args.head.lit("getent"), args(1).col,
+        args.lift(2).map(_.lit("getent")))
+    },
+    // $(dns-resolve-ip [--use-dns|--use-fqdn|--dns-cache|
+    //   --normalize-hostnames yes/no] ip) — ip-funcs.c:125-164; hosts(5)
+    // files backend, --dns-cache accepted as a no-op (the literal map IS
+    // a cache)
+    "dns-resolve-ip" -> { args =>
+      var useDns = true; var useFqdn = false; var normalize = false
+      var i = 0
+      def yes(v: String): Boolean = v == "yes" || v == "on" || v == "1" || v == "true"
+      var ip: Option[Column] = None
+      while (i < args.length) {
+        val l = args(i).literal
+        def optVal(name: String): String =
+          l.get.stripPrefix(name).stripPrefix("=") match {
+            case "" => i += 1; args(i).lit("dns-resolve-ip")
+            case v => v
+          }
+        l match {
+          case Some(s) if s.startsWith("--use-dns") || s.startsWith("-d") =>
+            useDns = yes(optVal(if (s.startsWith("--")) "--use-dns" else "-d"))
+          case Some(s) if s.startsWith("--use-fqdn") || s.startsWith("-f") =>
+            useFqdn = yes(optVal(if (s.startsWith("--")) "--use-fqdn" else "-f"))
+          case Some(s) if s.startsWith("--dns-cache") || s.startsWith("-c") =>
+            optVal(if (s.startsWith("--")) "--dns-cache" else "-c")
+          case Some(s) if s.startsWith("--normalize-hostnames") || s.startsWith("-n") =>
+            normalize = yes(optVal(if (s.startsWith("--")) "--normalize-hostnames" else "-n"))
+          case _ => ip = Some(args(i).col)
+        }
+        i += 1
+      }
+      Nss.dnsResolveIp(ip.getOrElse(throw new IllegalArgumentException(
+        "$(dns-resolve-ip): missing ip argument")), useDns, useFqdn, normalize)
+    },
     "url-encode" -> (args => call_function("url_encode", args.head.col)),
     "url-decode" -> (args => call_function("url_decode", args.head.col)),
     "base64-encode" -> (args => base64(args.head.col.cast("binary"))),
