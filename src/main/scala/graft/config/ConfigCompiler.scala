@@ -399,6 +399,38 @@ object ConfigCompiler {
         graft.streaming.Sinks.httpSink(df, "__body", http, checkpoint)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      case Some(s) if s.name == "hdfs" =>
+        // scl/hdfs/plugin.conf over the java HdfsDestination: hdfs-uri()
+        // + hdfs-file() name the target, template() the line format.
+        // Spark IS a Hadoop-FS client, so the write is the native
+        // FileSystem API pointed at the hdfs:// (or s3a://, file://, any
+        // Hadoop scheme) URI — no separate client library, and the
+        // kerberos/client-lib options belong to the cluster conf. $MACRO
+        // refs in hdfs-file become dynamic partition directories (the
+        // Spark-native shape of per-host/per-day file naming; part files
+        // inside a partition play the role of hdfs-append-enabled).
+        def opt(k: String): Option[String] =
+          kvOf(s.args, k).orElse(kvOf(s.args, k.replace('-', '_')))
+        val uri = opt("hdfs-uri").getOrElse(
+          throw new IllegalArgumentException("hdfs() needs hdfs-uri()"))
+        val file = opt("hdfs-file").getOrElse(
+          throw new IllegalArgumentException("hdfs() needs hdfs-file()"))
+        val cols = route.df.columns.toSeq
+        val body = Template.column(
+          opt("template").getOrElse("${ISODATE} ${HOST} ${MSGHDR}${MSG}"), cols)
+        val full = uri.stripSuffix("/") + "/" + file.stripPrefix("/")
+        val firstMacro = full.indexOf('$')
+        val baseDir =
+          if (firstMacro < 0) full.substring(0, full.lastIndexOf('/'))
+          else full.substring(0, full.lastIndexOf('/', firstMacro))
+        val pathCols = "\\$\\{?([A-Z_]+)\\}?".r.findAllMatchIn(full)
+          .map(m => colName(m.group(1))).filter(cols.contains).toSeq
+        val out = route.df.withColumn("__hdfs_line", body)
+          .select(pathCols.map(col) :+ col("__hdfs_line").as("value"): _*)
+        graft.streaming.Sinks.foreachBatchPartitioned(
+            out, baseDir, pathCols, checkpoint, format = "text")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
       case Some(s) if s.name == "discord" =>
         // scl/discord/discord.conf: http POST of a format-json body —
         // content truncated at max-msg-length() (Discord's 2000-char
@@ -790,7 +822,7 @@ object ConfigCompiler {
     "telegram", "discord", "graylog2", "logmatic", "collectd",
     "unix-stream", "network-load-balancer", "graphite", "pseudofile",
     "redis", "stomp", "smtp", "mqtt", "program", "usertty", "pipe",
-    "riemann", "mongodb", "amqp", "snmp")
+    "riemann", "mongodb", "amqp", "snmp", "hdfs")
 
   /** network()/syslog() destinations and the scl composites over them
     * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,

@@ -22,11 +22,12 @@ object Sinks {
 
   /** Streaming templated-path file sink. */
   def foreachBatchPartitioned(ds: Dataset[Row], outDir: String,
-      pathCols: Seq[String], checkpoint: String): DataStreamWriter[Row] =
+      pathCols: Seq[String], checkpoint: String,
+      format: String = "parquet"): DataStreamWriter[Row] =
     ds.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        partitionedWrite(batch.toDF(), outDir, pathCols)
+        partitionedWrite(batch.toDF(), outDir, pathCols, format)
       }
 
   /** Multi-destination fan-out (`lib/logmpx.c:73-131`): one persisted

@@ -3,6 +3,7 @@ package graft
 import graft.operators.Scl
 import graft.streaming.{TcpSink, TcpSource}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Network/syslog TCP destinations and the scl destination composites
   * (loggly, sumologic, slack, telegram, graylog2, logmatic, collectd)
@@ -672,5 +673,31 @@ class DestinationsSpec extends GraftSuite {
     // batch order within one file is the input order; the second,
     // longer write fully covers the first from offset 0
     assert(content == "app: second one", content)
+  }
+
+  test("config text: hdfs() writes template lines via the Hadoop FS API") {
+    // scl/hdfs/plugin.conf: hdfs_uri + hdfs_file (macro refs become
+    // partition dirs) + template(); file:// here exercises the same
+    // FileSystem API an hdfs:// URI would on a cluster
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdfs").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_hdfs_in")
+    java.nio.file.Files.write(in.resolve("in.log"),
+      ("<13>Jan 12 03:04:05 hostA app: alpha\n" +
+        "<13>Jan 12 03:04:06 hostB app: beta\n").getBytes)
+    runFileRoute(s"""
+      source s { file("${in.resolve("*.log")}"); };
+      destination d { hdfs(hdfs_uri("file://$dir") hdfs_file("/logs/$$HOST/messages.log")
+        template("$${PROGRAM}: $${MESSAGE}")); };
+      log { source(s); destination(d); };
+    """, dir)
+    def slurp(host: String): String = {
+      val d = java.nio.file.Paths.get(s"$dir/logs/host=$host")
+      val files = java.nio.file.Files.list(d).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".txt")).toSeq
+      files.map(f => new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+        .mkString
+    }
+    assert(slurp("hostA").trim == "app: alpha")
+    assert(slurp("hostB").trim == "app: beta")
   }
 }
