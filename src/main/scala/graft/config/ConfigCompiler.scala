@@ -1083,10 +1083,12 @@ object ConfigCompiler {
         .flatMap(vs => kvOf(vs, "ca-file")).getOrElse(
           throw new IllegalArgumentException(
             s"${s.name}: transport(tls) needs tls(ca-file())")))
-    val cfg = graft.streaming.TcpSink.Config(targets, octetCounted = octet,
+    // transport(udp): datagram egress — no framing, no failover
+    val isUdp = kvOf(s.args, "transport").contains("udp")
+    val cfg = graft.streaming.TcpSink.Config(targets, octetCounted = octet && !isUdp,
       delimiter = delimiter, unixPath = unixPath,
       loadBalance = s.name == "network-load-balancer", greeting = greeting,
-      tlsCaFile = tlsCa)
+      tlsCaFile = tlsCa, udp = isUdp)
     val df = route.df.withColumn("__body", body)
     graft.streaming.TcpSink.tcpSink(df, "__body", cfg, checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

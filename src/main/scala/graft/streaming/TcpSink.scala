@@ -63,7 +63,14 @@ object TcpSink {
       /** `transport(tls)` client side (`modules/afsocket/afinet-dest.c`
         * + `lib/transport/transport-tls.c`): the CA file verifies the
         * server certificate ([[PemTls.clientContext]]). */
-      tlsCaFile: Option[String] = None)
+      tlsCaFile: Option[String] = None,
+      /** `transport(udp)` (`afinet-dest.c` SOCK_DGRAM path): one
+        * message = one datagram, no framing/delimiter, payload capped
+        * at the IPv4 maximum (afinet-dest.c:108-127 caps max_msglen at
+        * 65535 minus IP+UDP headers). Sends are connectionless — no
+        * failover chain, no delivery guarantee, exactly the
+        * reference's UDP semantics. */
+      udp: Boolean = false)
 
   private def frame(cfg: Config, msg: String): Array[Byte] = {
     val payload = msg.getBytes(StandardCharsets.UTF_8)
@@ -112,9 +119,22 @@ object TcpSink {
   /** Send one partition's messages over one connection, failing over
     * across the target list; throws when every target refused
     * `retries`+1 times — failing the micro-batch for replay. */
+  /** UDP egress: one datagram per message to the primary target. */
+  private def sendPartitionUdp(cfg: Config, msgs: Iterator[String]): Unit = {
+    val (host, port) = cfg.targets.head
+    val addr = new InetSocketAddress(host, port)
+    val sock = new java.net.DatagramSocket()
+    try msgs.foreach { m =>
+      val payload = m.getBytes(StandardCharsets.UTF_8)
+      val len = math.min(payload.length, 65507)
+      sock.send(new java.net.DatagramPacket(payload, len, addr))
+    } finally sock.close()
+  }
+
   private[graft] def sendPartition(cfg: Config, msgs: Iterator[String]): Unit = {
     require(cfg.targets.nonEmpty || cfg.unixPath.isDefined,
       "tcp destination needs at least one target")
+    if (cfg.udp) return sendPartitionUdp(cfg, msgs)
     val nTargets = math.max(cfg.targets.size, 1)
     // one connection slot per target: slot 0 only in failover mode,
     // message-keyed slots in load-balance mode

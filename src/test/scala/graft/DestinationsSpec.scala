@@ -675,6 +675,39 @@ class DestinationsSpec extends GraftSuite {
     assert(content == "app: second one", content)
   }
 
+  test("config text: network(transport(udp)) sends one bare datagram per message") {
+    // afinet-dest.c SOCK_DGRAM: one message = one datagram, no
+    // newline/octet framing inside the payload
+    val recv = new java.net.DatagramSocket(0,
+      java.net.InetAddress.getLoopbackAddress)
+    recv.setSoTimeout(15000)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      try {
+        while (got.size < 2) {
+          val p = new java.net.DatagramPacket(new Array[Byte](65536), 65536)
+          recv.receive(p)
+          got.add(new String(p.getData, 0, p.getLength, "UTF-8"))
+        }
+      } catch { case _: Throwable => () }
+    })
+    reader.setDaemon(true); reader.start()
+    val dir = java.nio.file.Files.createTempDirectory("graft_udp_dest").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_udp_dest_in")
+    java.nio.file.Files.write(in.resolve("in.log"),
+      ("<13>Jan 12 03:04:05 h1 app: alpha\n" +
+        "<13>Jan 12 03:04:06 h2 app: beta\n").getBytes)
+    runFileRoute(s"""
+      source s { file("${in.resolve("*.log")}"); };
+      destination d { network("127.0.0.1" port(${recv.getLocalPort})
+        transport(udp) template("$${HOST} $${MESSAGE}")); };
+      log { source(s); destination(d); };
+    """, dir)
+    reader.join(15000)
+    recv.close()
+    assert(got.asScala.toSet == Set("h1 alpha", "h2 beta"), got.asScala.toSeq)
+  }
+
   test("config text: hdfs() writes template lines via the Hadoop FS API") {
     // scl/hdfs/plugin.conf: hdfs_uri + hdfs_file (macro refs become
     // partition dirs) + template(); file:// here exercises the same
