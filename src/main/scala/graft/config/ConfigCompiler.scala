@@ -24,8 +24,65 @@ object ConfigCompiler {
     * routed there. */
   final case class Route(destination: String, dest: Block, df: DataFrame)
 
-  def compile(cfg: Config, sources: Map[String, DataFrame]): Seq[Route] =
+  def compile(cfg0: Config, sources: Map[String, DataFrame]): Seq[Route] = {
+    val cfg = expandTemplates(cfg0)
     cfg.logs.flatMap(compileLog(cfg, sources, _))
+  }
+
+  /** Static binding of named templates (tf-template.c "static" case +
+    * lib/template/user-function.c): `template(NAME)` options resolve to
+    * the declared text, and `$(template NAME)` / `$(user-fn-name)`
+    * occurrences expand textually at config-read time — the same
+    * compile-time lookup the reference performs. Dynamic references
+    * (`$(template ${VAR})`) stay unexpanded and fail at template
+    * compile like any unknown function. */
+  private[config] def expandTemplates(cfg: Config): Config = {
+    val templates = cfg.templates
+    val userFns = cfg.templateFunctions
+    if (templates.isEmpty) return cfg
+    def expandText(text0: String): String = {
+      var text = text0
+      var depth = 0
+      var changed = true
+      while (changed) {
+        changed = false
+        require(depth <= 8, s"template expansion too deep (cycle?): $text0")
+        val next1 = "\\$\\(template ([A-Za-z0-9_-]+)\\)".r.replaceAllIn(text,
+          m => templates.get(m.group(1)) match {
+            case Some(t) => java.util.regex.Matcher.quoteReplacement(t)
+            case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+          })
+        val next2 =
+          if (userFns.isEmpty) next1
+          else "\\$\\(([A-Za-z0-9_-]+)\\)".r.replaceAllIn(next1,
+            m => userFns.get(m.group(1)) match {
+              case Some(t) => java.util.regex.Matcher.quoteReplacement(t)
+              case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+            })
+        if (next2 != text) { text = next2; changed = true; depth += 1 }
+      }
+      text
+    }
+    def expandArg(a: Arg): Arg = a match {
+      case Lit(v) => Lit(expandText(v))
+      case KV("template", Seq(Lit(name))) if templates.contains(name) =>
+        KV("template", Seq(Lit(expandText(templates(name)))))
+      case KV(k, vs) => KV(k, vs.map(expandArg))
+      case other => other
+    }
+    def expandStmt(s: Stmt): Stmt = Stmt(s.name, s.args.map(expandArg))
+    def expandElem(e: LogElem): LogElem = e match {
+      case InlineStmt(k, s) => InlineStmt(k, expandStmt(s))
+      case JunctionElem(chans) => JunctionElem(chans.map(c =>
+        ChannelElem(c.path.map(expandElem), c.flags)))
+      case other => other
+    }
+    Config(cfg.decls.map {
+      case Block(kind, name, stmts) => Block(kind, name, stmts.map(expandStmt))
+      case LogDecl(path) => LogDecl(path.map(expandElem))
+      case other => other
+    })
+  }
 
   /** Streaming compile: source blocks with `file("glob")` become
     * Structured Streaming scans (lines → ParseSyslog → LogRecord
@@ -50,9 +107,10 @@ object ConfigCompiler {
     * line in `message` (the default-network-drivers front door).
     * Callers get the listener map keyed by source name (boundPort for
     * port(0)), and own stop(). */
-  def compileStreamingPipeline(cfg: Config,
+  def compileStreamingPipeline(cfg0: Config,
       spark: org.apache.spark.sql.SparkSession, spoolBase: String)
       : (Seq[Route], Map[String, graft.streaming.SocketListener]) = {
+    val cfg = expandTemplates(cfg0)
     var listeners = Map.empty[String, graft.streaming.SocketListener]
     val sources = cfg.sources.map { case (name, blk) =>
       val stmt = blk.stmts.find(s => s.name == "file" || s.name == "network" ||

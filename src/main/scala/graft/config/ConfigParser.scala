@@ -32,6 +32,10 @@ object ConfigParser {
   final case class Block(kind: String, name: String, stmts: Seq[Stmt]) extends Decl
   final case class FilterDecl(name: String, expr: FilterExpr) extends Decl
   final case class LogDecl(path: Seq[LogElem]) extends Decl
+  /** `template NAME {...}` / `template-function NAME "..."` —
+    * lib/cfg-grammar.y template_stmt + lib/template/user-function.c. */
+  final case class TemplateDecl(name: String, text: String,
+      isFunction: Boolean) extends Decl
 
   sealed trait LogElem
   final case class Ref(kind: String, name: String) extends LogElem  // source(s_x)
@@ -49,6 +53,12 @@ object ConfigParser {
     def filters: Map[String, FilterDecl] =
       decls.collect { case f: FilterDecl => f.name -> f }.toMap
     def logs: Seq[LogDecl] = decls.collect { case l: LogDecl => l }
+    /** Named templates (`$(template name)` / `template(name)` refs). */
+    def templates: Map[String, String] =
+      decls.collect { case t: TemplateDecl => t.name -> t.text }.toMap
+    /** User-defined zero-arg template functions (`$(name)`). */
+    def templateFunctions: Map[String, String] =
+      decls.collect { case t: TemplateDecl if t.isFunction => t.name -> t.text }.toMap
     private def blocks(kind: String) =
       decls.collect { case b: Block if b.kind == kind => b.name -> b }.toMap
   }
@@ -274,9 +284,39 @@ object ConfigParser {
             accept(";")
             expect("}"); expect(";")
             decls += FilterDecl(name, e)
-          case "options" | "template" =>
+          case "options" =>
             val _ = if (peek.kind == "word") next() else peek
             skipBlock()
+          case "template" =>
+            // template NAME { template("TEXT"); [template-escape(..);] };
+            // or the shorthand: template NAME "TEXT";
+            // (lib/cfg-grammar.y template_stmt)
+            val name = expect("word").text
+            if (peek.kind == "str") {
+              val text = next().text
+              expect(";")
+              decls += TemplateDecl(name, text, isFunction = false)
+            } else {
+              expect("{")
+              var text = ""
+              while (!accept("}")) {
+                val s = stmt()
+                if (s.name == "template")
+                  text = s.args.collectFirst { case Lit(v) => v }.getOrElse("")
+                // template-escape() accepted and ignored (escaping is a
+                // sink-side concern the column algebra doesn't need)
+                expect(";")
+              }
+              expect(";")
+              decls += TemplateDecl(name, text, isFunction = false)
+            }
+          case "template-function" =>
+            // template-function NAME "TEXT"; — lib/template/user-function.c:
+            // a zero-argument function expanding the stored template
+            val name = if (peek.kind == "word") next().text else expect("str").text
+            val text = expect("str").text
+            expect(";")
+            decls += TemplateDecl(name, text, isFunction = true)
           case "block" =>
             // block kind name(param(default) ...) { raw body };
             // (cfg-block-generator.c) — must precede its uses, like the

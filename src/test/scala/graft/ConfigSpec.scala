@@ -53,6 +53,41 @@ class ConfigSpec extends GraftSuite {
     assert(cfg.logs.size == 1)
   }
 
+  test("named templates and template-functions expand statically") {
+    // lib/cfg-grammar.y template_stmt + tf-template.c static binding +
+    // user-function.c zero-arg functions: all resolve at config-read
+    // time, including template-referencing-template chains
+    val cfg = ConfigParser.parse("""
+      template t_line { template("${HOST}/${PROGRAM}"); };
+      template t_alias "$(template t_line)!";
+      template-function fmt_prog "[${PROGRAM}]";
+      source s { file("/x"); };
+      destination d { file("/out/x.log"); };
+      rewrite r { set("$(template t_alias) $(fmt_prog)", value("HOST")); };
+      log { source(s); rewrite(r); destination(d); };
+    """)
+    assert(cfg.templates.keySet == Set("t_line", "t_alias", "fmt_prog"))
+    assert(cfg.templateFunctions.keySet == Set("fmt_prog"))
+    val routes = ConfigCompiler.compile(cfg, Map("s" -> logs))
+    val hosts = routes.head.df.select("host").as[String].collect().toSet
+    assert(hosts.contains("web1/nginx! [nginx]"), hosts)
+    assert(hosts.contains("db1/postgres! [postgres]"), hosts)
+  }
+
+  test("template expansion cycles fail loudly") {
+    val cfg = ConfigParser.parse("""
+      template t_a "$(template t_b)";
+      template t_b "$(template t_a)";
+      source s { file("/x"); };
+      destination d { file("/out/x.log"); };
+      rewrite r { set("$(template t_a)", value("HOST")); };
+      log { source(s); rewrite(r); destination(d); };
+    """)
+    val e = intercept[IllegalArgumentException](
+      ConfigCompiler.compile(cfg, Map("s" -> logs)))
+    assert(e.getMessage.contains("cycle"))
+  }
+
   test("compile: filter + parser + conditional rewrite, two destinations") {
     val cfg = ConfigParser.parse(conf)
     val routes = ConfigCompiler.compile(cfg, Map("s_logs" -> logs))
