@@ -215,6 +215,103 @@ object Ipv6ToLongs {
   }
 }
 
+/** `md4(s)` — hex MD4 digest for the reference's `$(md4)` template
+  * function (`/root/reference/modules/cryptofuncs/cryptofuncs.c`; the
+  * JDK ships no MD4 provider, so the compression function is
+  * implemented from the public RFC 1320 specification). */
+case class Md4(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md4"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md4.hex(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.Md4.hex($v)")
+
+  override protected def withNewChildInternal(c: Expression): Md4 = copy(c)
+}
+
+object Md4 {
+  def hex(s: UTF8String): UTF8String = {
+    val d = digest(s.getBytes)
+    val out = new Array[Byte](32)
+    val hexChars = "0123456789abcdef"
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** RFC 1320: three 16-op rounds over 64-byte blocks, MD5-style
+    * padding, little-endian state out. */
+  def digest(msg: Array[Byte]): Array[Byte] = {
+    var a = 0x67452301; var b = 0xefcdab89; var c = 0x98badcfe; var d = 0x10325476
+    // append 0x80, zero-pad to 56 mod 64, then the 64-bit LE bit length
+    val padZeros = (56 - (msg.length + 1) % 64 + 64) % 64
+    val total = msg.length + 1 + padZeros + 8
+    val buf = java.util.Arrays.copyOf(msg, total)
+    buf(msg.length) = 0x80.toByte
+    val bitLen = msg.length.toLong * 8
+    var i = 0
+    while (i < 8) { buf(total - 8 + i) = ((bitLen >>> (8 * i)) & 0xff).toByte; i += 1 }
+
+    val x = new Array[Int](16)
+    var off = 0
+    while (off < total) {
+      var j = 0
+      while (j < 16) {
+        val p = off + 4 * j
+        x(j) = (buf(p) & 0xff) | ((buf(p + 1) & 0xff) << 8) |
+          ((buf(p + 2) & 0xff) << 16) | ((buf(p + 3) & 0xff) << 24)
+        j += 1
+      }
+      val (a0, b0, c0, d0) = (a, b, c, d)
+      @inline def rotl(v: Int, s: Int): Int = (v << s) | (v >>> (32 - s))
+      // round 1: F = (x&y)|(~x&z)
+      var k = 0
+      while (k < 16) {
+        val f = (b & c) | (~b & d)
+        val t = rotl(a + f + x(k), Md4.S1(k % 4))
+        a = d; d = c; c = b; b = t
+        k += 1
+      }
+      // round 2: G = (x&y)|(x&z)|(y&z), k column-major
+      k = 0
+      while (k < 16) {
+        val g = (b & c) | (b & d) | (c & d)
+        val t = rotl(a + g + x((k % 4) * 4 + k / 4) + 0x5a827999, Md4.S2(k % 4))
+        a = d; d = c; c = b; b = t
+        k += 1
+      }
+      // round 3: H = x^y^z, k bit-reversed order
+      k = 0
+      while (k < 16) {
+        val h = b ^ c ^ d
+        val t = rotl(a + h + x(Md4.K3(k)) + 0x6ed9eba1, Md4.S3(k % 4))
+        a = d; d = c; c = b; b = t
+        k += 1
+      }
+      a += a0; b += b0; c += c0; d += d0
+      off += 64
+    }
+    val out = new Array[Byte](16)
+    val state = Array(a, b, c, d)
+    i = 0
+    while (i < 16) { out(i) = ((state(i / 4) >>> (8 * (i % 4))) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  private val S1 = Array(3, 7, 11, 19)
+  private val S2 = Array(3, 5, 9, 13)
+  private val S3 = Array(3, 9, 11, 15)
+  private val K3 = Array(0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15)
+}
+
 /** Column builders + SQL registration for graft's custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions.lit
@@ -235,6 +332,9 @@ object GraftFunctions {
 
   def ipv6_to_longs(ip: Column): Column =
     ColumnBridge.column(Ipv6ToLongs(ColumnBridge.expression(ip)))
+
+  def md4(s: Column): Column =
+    ColumnBridge.column(Md4(ColumnBridge.expression(s)))
 
   /** Register SQL names (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -213,8 +213,12 @@ object Template {
         }
 
       case Func(name, args, _) =>
-        val f = TemplateFunctions.registry.getOrElse(name,
-          throw new IllegalArgumentException(s"unknown template function $$($name)"))
+        // '-' and '_' interchange in plugin names like the reference's
+        // lexer-normalized lookups ($(format_json) == $(format-json))
+        val f = TemplateFunctions.registry.get(name)
+          .orElse(TemplateFunctions.registry.get(name.replace('_', '-')))
+          .getOrElse(
+            throw new IllegalArgumentException(s"unknown template function $$($name)"))
         val targs = args.map { a =>
           val literalText = a.nodes match {
             case Seq() => Some("")

@@ -44,6 +44,27 @@ object TemplateFunctions {
   private def listIn(a: TArg): Column = split(a.col, ",")
   private def listOut(c: Column): Column = array_join(c, ",")
 
+  /** cryptofuncs.c tf_hash: args concatenate before digesting;
+    * `--length N` / `-l N` truncates the hex output (0 or over-size
+    * means the full digest). */
+  private def cryptoHash(args: Seq[TArg], digest: Column => Column): Column = {
+    var length = 0
+    val rest = scala.collection.mutable.ArrayBuffer.empty[TArg]
+    var i = 0
+    while (i < args.length) {
+      args(i).literal match {
+        case Some("--length") | Some("-l") =>
+          length = args(i + 1).lit("hash").toInt; i += 1
+        case Some(s) if s.startsWith("--length=") =>
+          length = s.stripPrefix("--length=").toInt
+        case _ => rest += args(i)
+      }
+      i += 1
+    }
+    val hex = digest(concat(rest.toSeq.map(_.col): _*))
+    if (length > 0) substring(hex, 1, length) else hex
+  }
+
   val registry: Map[String, Seq[TArg] => Column] = Map(
     // ---- string (str-funcs.c) ------------------------------------------
     "echo" -> (args => concat_ws(" ", args.map(_.col): _*)),
@@ -225,13 +246,16 @@ object TemplateFunctions {
     "url-encode" -> (args => call_function("url_encode", args.head.col)),
     "url-decode" -> (args => call_function("url_decode", args.head.col)),
     "base64-encode" -> (args => base64(args.head.col.cast("binary"))),
-    // ---- crypto (cryptofuncs.c:160-166) ----------------------------------
+    // ---- crypto (cryptofuncs.c:41-166) -----------------------------------
+    // $(hash_method [--length N] arg1 arg2 ...): argument values simply
+    // concatenate before digesting; --length truncates the hex output
     "uuid" -> (_ => call_function("uuid")),
-    "hash" -> (args => sha2(args.head.col, 256)),
-    "sha256" -> (args => sha2(args.head.col, 256)),
-    "sha512" -> (args => sha2(args.head.col, 512)),
-    "sha1" -> (args => sha1(args.head.col)),
-    "md5" -> (args => md5(args.head.col)),
+    "hash" -> (args => cryptoHash(args, c => sha2(c, 256))),
+    "sha256" -> (args => cryptoHash(args, c => sha2(c, 256))),
+    "sha512" -> (args => cryptoHash(args, c => sha2(c, 512))),
+    "sha1" -> (args => cryptoHash(args, sha1)),
+    "md5" -> (args => cryptoHash(args, md5)),
+    "md4" -> (args => cryptoHash(args, graft.functions.GraftFunctions.md4)),
     // ---- misc -------------------------------------------------------------
     "stardate" -> { args =>
       // $(stardate $UNIXTIME) -> year.fraction
@@ -262,6 +286,7 @@ object TemplateFunctions {
     // structured formatters over explicit k/v args (the value-pairs
     // scope-driven forms live in graft.operators.ValuePairs)
     "format-json" -> (args => graft.operators.ValuePairs.formatFlatJson(kvMap(args))),
+    "format-flat-json" -> (args => graft.operators.ValuePairs.formatFlatJson(kvMap(args))),
     "format-cef-extension" -> (args => graft.operators.ValuePairs.formatCef(kvMap(args))),
     // $(graphite-output ts k1 v1 ...) — graphite-output.c:144-170; the
     // value-pairs scope-driven form is ValuePairs.formatGraphite

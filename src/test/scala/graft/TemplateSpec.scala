@@ -93,6 +93,31 @@ class TemplateSpec extends GraftSuite {
     assert(render("$(sha256 x)").head.length == 64)
   }
 
+  test("md4: RFC 1320 test vectors") {
+    assert(render("$(md4 a)") == Seq.fill(2)("bde52cb31de33e46245e05fbdbd6fb24"))
+    assert(render("$(md4 abc)") == Seq.fill(2)("a448017aaf21d8525fc10ae87aa6729d"))
+    assert(render("$(md4 'message digest')") ==
+      Seq.fill(2)("d9130a8164549fe818874806e1c7014b"))
+    assert(render("$(md4 abcdefghijklmnopqrstuvwxyz)") ==
+      Seq.fill(2)("d79e1c308aa5bbcdeea8ed63df412da9"))
+    // two blocks: 8x"1234567890" = 80 bytes crosses the 64-byte boundary
+    assert(render(
+      "$(md4 12345678901234567890123456789012345678901234567890123456789012345678901234567890)") ==
+      Seq.fill(2)("e33b4ddc9c38f2199c3e7b164fcc0536"))
+  }
+
+  test("crypto functions concatenate args and honor --length") {
+    // cryptofuncs.c tf_hash: values concatenate before digesting
+    assert(render("$(md5 x y)") == render("$(md5 xy)"))
+    assert(render("$(sha1 --length 8 foo)") ==
+      render("$(sha1 foo)").map(_.take(8)))
+    assert(render("$(hash x)") == render("$(sha256 x)"))
+  }
+
+  test("underscore spellings resolve like dashed ones") {
+    assert(render("$(format_welf k v)") == render("$(format-welf k v)"))
+  }
+
   test("or/default picks first non-empty") {
     assert(render("$(or $PID $HOST)") == Seq("1234", "h2"))
   }
