@@ -1580,6 +1580,38 @@ object Queries {
       WHERE a.cid IN (SELECT cid FROM probe)
       ORDER BY cos DESC, v.vec_id LIMIT 10"""))
 
+  /** SemDeDup-style semantic dedup: nearest-centroid clustering (same
+    * deterministic md5-sampled centroids as ann_ivf) then pairwise
+    * cosine only within a cluster; top-25 most-similar pairs for a
+    * stable oracle on the near-random synthetic embeddings (real
+    * corpora use threshold ~0.97). */
+  private val dedupSemantic = Q("dedup_semantic",
+    (s, d) => Similarity.semanticPairs(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), nCentroids = 64, threshold = -1.0)
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(25),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), c AS (
+        SELECT vec_id AS cid, e AS ce FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64
+      ), assigned AS (
+        SELECT vec_id, cid FROM (
+          SELECT v.vec_id, c.cid,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, c.ce) /
+                (sqrt(list_dot_product(v.e, v.e)) *
+                 sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid DESC) AS rn
+          FROM v, c) WHERE rn = 1)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_dot_product(va.e, vb.e) /
+          (sqrt(list_dot_product(va.e, va.e)) *
+           sqrt(list_dot_product(vb.e, vb.e))) AS cos
+      FROM assigned a
+      JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      ORDER BY cos DESC, id_a, id_b LIMIT 25"""))
+
   /** patternize (patternize.c — pattern MINING): cluster messages by
     * (token count, first token), generalize disagreeing positions to a
     * wildcard, emit template + support. Two map-side-combinable
@@ -2330,7 +2362,7 @@ object Queries {
     dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash,
     dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,
     patternizeQ,
-    annBruteForce, annLsh, annIvf,
+    annBruteForce, annLsh, annIvf, dedupSemantic,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     sampleStratified, decontaminate, decontaminateBloom,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,

@@ -126,19 +126,9 @@ object Similarity {
       query: Seq[Float], k: Int, nCentroids: Int = 16, nProbe: Int = 4,
       kmeansIters: Int = 0): DataFrame = {
     val base = df.select(id.as("vec_id"), vec.as("v"))
-    // deterministic hash-sample: order by md5 of the id — uncorrelated
-    // with both ingest order and vector content
-    var cList: Array[(Long, Seq[Float])] = base
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(nCentroids)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-
-    def nearestCentroid(v: Column, cs: Array[(Long, Seq[Float])]): Column = {
-      val scored = cs.map { case (cid, cv) =>
-        struct(cosineToQuery(v, cv).as("cos"), lit(cid).as("cid"))
-      }
-      array_max(array(scored: _*)).getField("cid")
-    }
+    var cList: Array[(Long, Seq[Float])] = sampleCentroids(base, nCentroids)
+    def nearestCentroid(v: Column, cs: Array[(Long, Seq[Float])]): Column =
+      nearestCentroidCol(v, cs)
 
     // optional k-means refinement: assign (narrow map) + per-dimension
     // mean (one partial-agg shuffle of (cid, dim) sums); centroid count
@@ -171,6 +161,64 @@ object Similarity {
       .select(col("vec_id"), cosineToQuery(col("v"), query).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Deterministic centroid sample: order by md5 of the id —
+    * uncorrelated with ingest order and vector content (shared by
+    * [[ivfTopK]] and [[semanticPairs]]; the DuckDB oracles replicate
+    * the same `ORDER BY md5(id), id LIMIT n`). */
+  private[pipeline] def sampleCentroids(base: DataFrame, n: Int): Array[(Long, Seq[Float])] =
+    base.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(n)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+  /** Nearest-centroid id by cosine (ties → larger cid, matching the
+    * oracles' ORDER BY cos DESC, cid DESC): a broadcast argmax — one
+    * narrow codegen'd pass, no shuffle, no UDF. */
+  private[pipeline] def nearestCentroidCol(v: Column,
+      cs: Array[(Long, Seq[Float])]): Column = {
+    val scored = cs.map { case (cid, cv) =>
+      struct(cosineToQuery(v, cv).as("cos"), lit(cid).as("cid"))
+    }
+    array_max(array(scored: _*)).getField("cid")
+  }
+
+  /** SemDeDup-style semantic near-dup pairs (k-means-partitioned
+    * pairwise cosine): vectors assign to their nearest sampled centroid
+    * (one narrow broadcast-argmax pass), then pairs are compared ONLY
+    * within a cluster — the all-pairs O(N²) shrinks to Σ cluster², and
+    * the single shuffle keys on cluster id (both join sides reuse one
+    * exchange). At 100 TB, size `nCentroids ≈ N / targetClusterSize` so
+    * per-cluster work stays bounded; the known SemDeDup caveat is a
+    * skewed mega-cluster, which AQE skew-join splits. Returns
+    * (id_a, id_b, cos) for pairs with cos >= threshold. */
+  def semanticPairs(df: DataFrame, id: Column, vec: Column,
+      nCentroids: Int = 64, threshold: Double = 0.97): DataFrame = {
+    val base = df.select(id.as("vec_id"), vec.as("v"))
+    val cs = sampleCentroids(base, nCentroids)
+    // the pinned repartition(cid) is the ONE exchange both self-join
+    // sides read (ReusedExchange, PlanSpec-gated) — without it each
+    // side re-scans and re-assigns the corpus, doubling the dominant
+    // argmax pass
+    val assigned = base.withColumn("cid", nearestCentroidCol(col("v"), cs))
+      .repartition(col("cid"))
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** SemDeDup survivors: drop every vector that is the HIGHER id of an
+    * above-threshold within-cluster pair (keep one representative per
+    * similar group — the lowest id). Anti-join against the slim pair
+    * ids; the corpus never re-shuffles. */
+  def semanticSurvivors(df: DataFrame, id: Column, vec: Column,
+      nCentroids: Int = 64, threshold: Double = 0.97): DataFrame = {
+    val dropped = semanticPairs(df, id, vec, nCentroids, threshold)
+      .select(col("id_b")).distinct()
+    df.join(dropped, id === col("id_b"), "left_anti")
   }
 
   /** Driver-side cosine for centroid selection. */

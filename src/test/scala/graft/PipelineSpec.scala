@@ -14,6 +14,54 @@ class PipelineSpec extends GraftSuite {
     (5L, "der hund ist nicht zu haus und das ist gut")
   ).toDF("doc_id", "text")
 
+  test("semantic dedup: pairs equal local within-cluster brute force; survivors drop higher ids") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = 8
+    val thr = 0.25
+    val pairs = Similarity.semanticPairs(emb, col("vec_id"), col("embedding"),
+        nCentroids = n, threshold = thr)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // independent local recomputation: same md5-ordered centroid sample,
+    // same nearest-centroid (ties -> larger cid), brute-force pairs
+    val local = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dd += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val centroids = local.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(n)
+    def assign(v: Seq[Float]): Long =
+      centroids.map { case (cid, cv) => (cosLocal(v, cv), cid) }.max._2
+    val byCluster = local.groupBy { case (_, v) => assign(v) }
+    val expected: Set[(Long, Long)] = byCluster.values.flatMap { members =>
+      val m = members.toSeq
+      for {
+        (ia, va) <- m; (ib, vb) <- m
+        if ia < ib && cosLocal(va, vb) >= thr
+      } yield (ia, ib)
+    }.toSet
+    assert(pairs == expected,
+      s"spark=${pairs.size} local=${expected.size} diff=${(pairs diff expected).take(3)} ${(expected diff pairs).take(3)}")
+    assert(pairs.nonEmpty)
+
+    val survivors = Similarity.semanticSurvivors(emb, col("vec_id"),
+        col("embedding"), nCentroids = n, threshold = thr)
+      .select("vec_id").as[Long].collect().toSet
+    val droppedExpected = expected.map(_._2)
+    assert(survivors == local.map(_._1).toSet -- droppedExpected)
+  }
+
   test("token counting") {
     val out = docs.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0))
     assert(out.take(2).toSeq == Seq(9, 9))

@@ -152,6 +152,22 @@ class PlanSpec extends GraftSuite {
       l.contains("REPARTITION_BY_COL")), p)
   }
 
+  test("semantic dedup self-join reuses one assignment exchange") {
+    // both sides of the within-cluster self-join derive from the same
+    // centroid-assignment subtree; the final adaptive plan must read
+    // the embeddings parquet ONCE and feed the second join side from a
+    // ReusedExchange — at 100 TB a duplicate scan doubles the dominant
+    // cost (the broadcast-argmax assignment pass)
+    val df = Queries.registry("dedup_semantic")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    val scans = fin.count(l => l.contains("FileScan parquet") &&
+      l.contains("embeddings.parquet"))
+    assert(scans == 1, s"expected 1 embeddings scan in final plan, got $scans\n$p")
+    assert(fin.exists(_.contains("ReusedExchange")), p)
+  }
+
   test("default-network-drivers fuses to one scan, no union, no shuffle") {
     // a literal junction compile would union 8 filtered branches and
     // re-scan the source once per application (Catalyst pushes the
