@@ -32,13 +32,20 @@ object Tables {
 
   /** events.ts arrives as nanos-since-epoch long; `tsMicros` gives a real
     * TimestampType column (truncation matches DuckDB ns->us floor for
-    * positive epochs). Division goes through decimal: long `/` long in
-    * Spark is DOUBLE division, which corrupts ns-scale epochs (> 2^53). */
+    * positive epochs). Long `/` long in Spark is DOUBLE division, which
+    * corrupts ns-scale epochs (> 2^53); SQL integer `div` keeps the
+    * exact quotient with the same truncate-toward-zero semantics the
+    * old decimal(38,0) path had, without per-row decimal arithmetic. */
   def tsMicros(nanos: Column): Column =
-    timestamp_micros((nanos.cast("decimal(38,0)") / 1000).cast("long"))
+    timestamp_micros(longDiv(nanos, 1000L))
   /** Epoch seconds from the nanos long — the oracle-safe egress form. */
-  def tsSeconds(nanos: Column): Column =
-    (nanos.cast("decimal(38,0)") / 1000000000).cast("long")
+  def tsSeconds(nanos: Column): Column = longDiv(nanos, 1000000000L)
+
+  private def longDiv(c: Column, d: Long): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c.cast("long")),
+        org.apache.spark.sql.catalyst.expressions.Literal(d)))
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
