@@ -1612,6 +1612,37 @@ object Queries {
       JOIN v vb ON vb.vec_id = b.vec_id
       ORDER BY cos DESC, id_a, id_b LIMIT 25"""))
 
+  /** SemDeDup survivors: keep the lowest id of every above-threshold
+    * within-cluster similar group; 0.4 on the near-random synthetic
+    * embeddings drops a small real set. */
+  private val dedupSemanticKeep = Q("dedup_semantic_keep",
+    (s, d) => Similarity.semanticSurvivors(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), nCentroids = 64, threshold = 0.4)
+      .select(col("vec_id")).orderBy(col("vec_id")),
+    Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), c AS (
+        SELECT vec_id AS cid, e AS ce FROM v
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64
+      ), assigned AS (
+        SELECT vec_id, cid FROM (
+          SELECT v.vec_id, c.cid,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_dot_product(v.e, c.ce) /
+                (sqrt(list_dot_product(v.e, v.e)) *
+                 sqrt(list_dot_product(c.ce, c.ce))) DESC, c.cid DESC) AS rn
+          FROM v, c) WHERE rn = 1
+      ), dropped AS (
+        SELECT DISTINCT b.vec_id FROM assigned a
+        JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        JOIN v va ON va.vec_id = a.vec_id
+        JOIN v vb ON vb.vec_id = b.vec_id
+        WHERE list_dot_product(va.e, vb.e) /
+            (sqrt(list_dot_product(va.e, va.e)) *
+             sqrt(list_dot_product(vb.e, vb.e))) >= 0.4)
+      SELECT vec_id FROM v
+      WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+      ORDER BY vec_id"""))
+
   /** patternize (patternize.c — pattern MINING): cluster messages by
     * (token count, first token), generalize disagreeing positions to a
     * wildcard, emit template + support. Two map-side-combinable
@@ -2362,7 +2393,7 @@ object Queries {
     dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash,
     dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,
     patternizeQ,
-    annBruteForce, annLsh, annIvf, dedupSemantic,
+    annBruteForce, annLsh, annIvf, dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     sampleStratified, decontaminate, decontaminateBloom,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
