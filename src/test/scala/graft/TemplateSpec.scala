@@ -114,6 +114,27 @@ class TemplateSpec extends GraftSuite {
     assert(render("$(hash x)") == render("$(sha256 x)"))
   }
 
+  test("crypto goldens from the reference's test_cryptofuncs.c") {
+    // modules/cryptofuncs/tests/test_cryptofuncs.c:49-68
+    def one(t: String): String = render(t).head
+    assert(one("$(sha1 foo)") == "0beec7b5ea3f0fdbc95d0dd47f3c5bc275da8a33")
+    assert(one("$(sha1 bar)") == "62cdb7020ff920e5aa642c3d4066950dd1f01f4d")
+    assert(one("$(md5 foo)") == "acbd18db4cc2f85cedef654fccc4a4d8")
+    assert(one("$(hash foo)") ==
+      "2c26b46b68ffc68ff99b453c1d30413413422d706483bfa0f98a5e886266e7ae")
+    assert(one("$(md4 foo)") == "0ac6700c491d70fb8650940b1ca1e4b2")
+    assert(one("$(sha256 foo)") ==
+      "2c26b46b68ffc68ff99b453c1d30413413422d706483bfa0f98a5e886266e7ae")
+    assert(one("$(sha1 --length 5 foo)") == "0beec")
+    assert(one("$(sha1 -l 5 foo)") == "0beec")
+    assert(one("$(sha1 --length 99999 foo)") ==
+      "0beec7b5ea3f0fdbc95d0dd47f3c5bc275da8a33")
+    assert(one("$(sha1 foo bar)") == "8843d7f92416211de9ebb963ff4ce28125932878")
+    assert(one("$(sha1 \"foo bar\")") ==
+      "3773dea65156909838fa6c22825cafe090ff8030")
+    assert(one("$(md5 $(sha1 foo) bar)") == "196894290a831b2d2755c8de22619a97")
+  }
+
   test("underscore spellings resolve like dashed ones") {
     assert(render("$(format_welf k v)") == render("$(format-welf k v)"))
   }
