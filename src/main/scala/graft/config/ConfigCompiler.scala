@@ -1284,7 +1284,14 @@ object ConfigCompiler {
           mapOrEmpty(df), Parsers.kvParse(input, vsep, prefix)))
       case "csv-parser" =>
         val cols = s.args.collectFirst { case KV("columns", vs) => lits(vs) }.get
-        val delim = kvOf(s.args, "delimiters").getOrElse(",")
+        // delimiters("chars") | delimiters(chars("..") strings("a" "b"))
+        val delimArgs = s.args.collectFirst { case KV("delimiters", vs) => vs }
+          .getOrElse(Nil)
+        val delim = delimArgs.collectFirst { case Lit(v) => v }
+          .orElse(delimArgs.collectFirst { case KV("chars", cs) => lits(cs).mkString })
+          .getOrElse(",")
+        val strDelims = delimArgs.collectFirst {
+          case KV("strings", ss) => lits(ss) }.getOrElse(Nil)
         val nullV = kvOf(s.args, "null-value")
         val quote = kvOf(s.args, "quote-pairs").map(_.take(1)).getOrElse("\"")
         val flags = s.args.collectFirst { case KV("flags", vs) => lits(vs) }
@@ -1296,13 +1303,13 @@ object ConfigCompiler {
         }
         df => {
           val parsed =
-            if (delim.length == 1 && !flags.contains("greedy") &&
-              !flags.contains("strip-whitespace"))
+            if (delim.length == 1 && strDelims.isEmpty &&
+              !flags.contains("greedy") && !flags.contains("strip-whitespace"))
               Parsers.csvParse(input, cols, delim, quote, dialect, nullV)
             else Parsers.csvSplit(input, cols, delim,
               greedy = flags.contains("greedy"),
               stripWhitespace = flags.contains("strip-whitespace"),
-              nullValue = nullV)
+              nullValue = nullV, stringDelims = strDelims)
           cols.foldLeft(df)((d, c) => d.withColumn(c, parsed.getField(c)))
         }
       case "json-parser" =>

@@ -52,9 +52,14 @@ object Parsers {
     * `greedy` makes the last column consume the rest of the line. */
   def csvSplit(line: Column, columns: Seq[String], delimiters: String = ",",
       greedy: Boolean = false, stripWhitespace: Boolean = false,
-      nullValue: Option[String] = None): Column = {
+      nullValue: Option[String] = None,
+      stringDelims: Seq[String] = Nil): Column = {
+    // delimiters(strings(...)) — csv-scanner.c _delimiter_string: whole
+    // multi-char strings split first, then any single char of the set
     val cls = "[" + java.util.regex.Pattern.quote(delimiters) + "]"
-    val parts = if (greedy) split(line, cls, columns.size) else split(line, cls)
+    val pat = (stringDelims.map(java.util.regex.Pattern.quote) :+ cls)
+      .mkString("|")
+    val parts = if (greedy) split(line, pat, columns.size) else split(line, pat)
     val fields = columns.zipWithIndex.map { case (name, i) =>
       var c: Column = get(parts, lit(i))
       if (stripWhitespace) c = trim(c)

@@ -44,6 +44,39 @@ class FilterRewriteSpec extends GraftSuite {
     assert(Filters.inListJoin(logDf, keys, col("program")).count() == 1)
   }
 
+  test("fop_cmp battery from the reference's test_filters_fop_cmp.c") {
+    // lib/filter/tests/test_filters_fop_cmp.c: KW_NUM_* = numeric
+    // family, KW_* = string family; the documented pivot case is
+    // 7 < 10 numerically but "7" < "10" is FALSE as strings
+    import graft.operators.Filters
+    val row = Seq(7).toDF("level_num")
+    def check(t1: String, op: String, t2: String, numeric: Boolean,
+        expected: Boolean): Unit = {
+      val a = if (t1 == "$LEVEL_NUM") col("level_num").cast("string") else lit(t1)
+      val b = lit(t2)
+      val c = if (numeric) Filters.numCmp(a, op, b) else Filters.strCmp(a, op, b)
+      assert(row.select(c).head.getBoolean(0) == expected,
+        s"$t1 $op $t2 numeric=$numeric expected $expected")
+    }
+    check("$LEVEL_NUM", "eq", "7", numeric = true, expected = true)
+    check("$LEVEL_NUM", "ne", "5", numeric = true, expected = true)
+    check("$LEVEL_NUM", "lt", "8", numeric = true, expected = true)
+    check("$LEVEL_NUM", "lt", "10", numeric = true, expected = true)
+    check("$LEVEL_NUM", "lt", "10", numeric = false, expected = false) // "10" < "7" as strings
+    check("$LEVEL_NUM", "gt", "5", numeric = true, expected = true)
+    check("$LEVEL_NUM", "ge", "7", numeric = true, expected = true)
+    check("$LEVEL_NUM", "le", "7", numeric = true, expected = true)
+    for ((op, exp) <- Seq("lt" -> true, "le" -> true, "eq" -> false,
+        "ne" -> true, "ge" -> false, "gt" -> false))
+      check("alma", op, "korte", numeric = false, expected = exp)
+    for ((op, exp) <- Seq("lt" -> false, "le" -> false, "eq" -> false,
+        "ne" -> true, "ge" -> true, "gt" -> true))
+      check("korte", op, "alma", numeric = false, expected = exp)
+    for ((op, exp) <- Seq("lt" -> false, "le" -> true, "eq" -> true,
+        "ne" -> false, "ge" -> true, "gt" -> false))
+      check("alma", op, "alma", numeric = false, expected = exp)
+  }
+
   test("numeric vs string compare semantics") {
     val df = Seq(("9", "10")).toDF("a", "b")
     // string compare: "9" > "10"; numeric compare: 9 < 10 (filter-cmp.c)

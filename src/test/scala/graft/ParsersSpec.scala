@@ -25,6 +25,28 @@ class ParsersSpec extends GraftSuite {
     assert(r.getStruct(0).isNullAt(1))
   }
 
+  test("csv battery from the reference's test_csvparser.c") {
+    // modules/csvparser/tests/test_csvparser.c:55-135 — the
+    // string-delims cases (delimiters(strings(...)) splits on whole
+    // multi-char strings before single chars)
+    def splitVals(msg: String, delims: String, strs: Seq[String]): Seq[String] =
+      one(Parsers.csvSplit(col("s"), Seq("c1", "c2", "c3"), delims,
+          stringDelims = strs), msg)
+        .getStruct(0).toSeq.asInstanceOf[Seq[String]].filter(_ != null)
+    // string delim present; single-char delim also inside the string
+    assert(splitVals("PTHREAD support :initialized", " ", Seq(" :")) ==
+      Seq("PTHREAD", "support", "initialized"))
+    // string delim + a char delim not in the string
+    assert(splitVals("PTHREAD,support :initialized", ",", Seq(" :")) ==
+      Seq("PTHREAD", "support", "initialized"))
+    // multi-char delim set overlapping the string delim
+    assert(splitVals("PTHREAD support :initialized", " :", Seq(" :")) ==
+      Seq("PTHREAD", "support", "initialized"))
+    // multi-char delim set disjoint from the string delim
+    assert(splitVals("PTHREAD,support :initialized", ";,", Seq(" :")) ==
+      Seq("PTHREAD", "support", "initialized"))
+  }
+
   test("csvSplit greedy keeps the rest in the last column") {
     val r = one(Parsers.csvSplit(col("s"), Seq("p1", "p2", "rest"), " ", greedy = true),
       "alpha beta gamma delta")
