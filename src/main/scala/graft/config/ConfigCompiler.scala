@@ -1280,8 +1280,9 @@ object ConfigCompiler {
       case "kv-parser" =>
         val prefix = kvOf(s.args, "prefix").getOrElse("")
         val vsep = kvOf(s.args, "value-separator").map(_.head).getOrElse('=')
+        val psep = kvOf(s.args, "pair-separator").getOrElse(", ")
         df => df.withColumn("values", map_concat(
-          mapOrEmpty(df), Parsers.kvParse(input, vsep, prefix)))
+          mapOrEmpty(df), Parsers.kvParse(input, vsep, prefix, psep)))
       case "csv-parser" =>
         val cols = s.args.collectFirst { case KV("columns", vs) => lits(vs) }.get
         // delimiters("chars") | delimiters(chars("..") strings("a" "b"))

@@ -26,18 +26,19 @@ import scala.collection.mutable.ArrayBuffer
   * that need quoting info (linux-audit hex rule).
   */
 case class KvScan(child: Expression, valueSep: Char = '=', prefix: String = "",
-    rawValues: Boolean = false) extends UnaryExpression {
+    rawValues: Boolean = false, pairSep: String = ", ") extends UnaryExpression {
 
   override def dataType: DataType = KvScan.schema
   override def prettyName: String = "kv_scan"
 
   override protected def nullSafeEval(v: Any): Any =
-    KvScan.scan(v.asInstanceOf[UTF8String], valueSep, prefix, rawValues)
+    KvScan.scan(v.asInstanceOf[UTF8String], valueSep, prefix, rawValues, pairSep)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val p = ctx.addReferenceObj("kvPrefix", prefix, "java.lang.String")
+    val ps = ctx.addReferenceObj("kvPairSep", pairSep, "java.lang.String")
     nullSafeCodeGen(ctx, ev, v =>
-      s"""${ev.value} = graft.functions.KvScan.scan($v, (char) ${valueSep.toInt}, $p, $rawValues);""")
+      s"""${ev.value} = graft.functions.KvScan.scan($v, (char) ${valueSep.toInt}, $p, $rawValues, $ps);""")
   }
 
   override protected def withNewChildInternal(c: Expression): KvScan =
@@ -55,80 +56,148 @@ object KvScan {
   private def isKeyChar(c: Char): Boolean =
     isKeyStart(c) || c == '_' || c == '.' || c == '-'
 
-  def scan(text: UTF8String, sep: Char, prefix: String, raw: Boolean): InternalRow = {
+  def scan(text: UTF8String, sep: Char, prefix: String, raw: Boolean): InternalRow =
+    scan(text, sep, prefix, raw, ", ")
+
+  def scan(text: UTF8String, sep: Char, prefix: String, raw: Boolean,
+      pairSep: String): InternalRow = {
     val s = text.toString
     val n = s.length
     val keys = new ArrayBuffer[Any]
     val vals = new ArrayBuffer[Any]
     val keyPos = scala.collection.mutable.HashMap.empty[String, Int]
     val stray = new java.lang.StringBuilder
-    var strayNeedsSpace = false
     var strayHasChars = false
 
-    def strayAppend(ch: Char): Unit = {
-      if (Character.isWhitespace(ch)) {
-        if (strayHasChars) strayNeedsSpace = true
-      } else {
-        if (strayNeedsSpace) { stray.append(' '); strayNeedsSpace = false }
-        stray.append(ch)
+    // stray chunks trim spaces at both ends and join space-separated
+    // (kv-scanner.c _extract_stray_word, minus str-repr re-encoding)
+    def strayChunk(from: Int, to0: Int): Unit = {
+      var a = from; var b = to0
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      if (b > a) {
+        if (strayHasChars) stray.append(' ')
+        stray.append(s, a, b)
         strayHasChars = true
       }
     }
 
+    // _key_follows: valid key chars, optional spaces, then the separator
+    def keyFollows(at: Int): Boolean = {
+      var k = at
+      while (k < n && isKeyChar(s.charAt(k))) k += 1
+      if (k == at) return false
+      while (k < n && s.charAt(k) == ' ') k += 1
+      k < n && s.charAt(k) == sep
+    }
+
+    // pair separator, default ", " (kv_scanner_init / pair-separator())
+    def pairSepAt(at: Int): Boolean =
+      pairSep.nonEmpty && s.startsWith(pairSep, at)
+
     var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      var consumed = false
-      if (isKeyStart(c)) {
-        var j = i + 1
-        while (j < n && isKeyChar(s.charAt(j))) j += 1
-        if (j < n && s.charAt(j) == sep) {
-          val key = s.substring(i, j)
-          var v = j + 1
-          val sb = new java.lang.StringBuilder
-          if (v < n && (s.charAt(v) == '"' || s.charAt(v) == '\'')) {
-            val quote = s.charAt(v)
-            var m = v + 1
-            var closed = false
-            if (raw) sb.append(quote)
-            while (m < n && !closed) {
-              val ch = s.charAt(m)
-              if (ch == '\\' && m + 1 < n) {
-                if (raw) { sb.append(ch); sb.append(s.charAt(m + 1)) }
-                else sb.append(s.charAt(m + 1))
-                m += 2
-              } else if (ch == quote) { closed = true; m += 1; if (raw) sb.append(quote) }
-              else { sb.append(ch); m += 1 }
-            }
-            if (closed) v = m
-            else {
-              // unterminated quote: treat as bare value to whitespace
-              sb.setLength(0)
-              while (v < n && !Character.isWhitespace(s.charAt(v))) {
-                sb.append(s.charAt(v)); v += 1
-              }
-            }
-          } else {
-            while (v < n && !Character.isWhitespace(s.charAt(v))) {
-              sb.append(s.charAt(v)); v += 1
-            }
-          }
-          // repeated key: last occurrence wins, value overwritten in place
-          // (reference kv-parser sets the NV entry, never duplicates it)
-          val fullKey = prefix + key
-          val at = keyPos.getOrElse(fullKey, -1)
-          if (at >= 0) {
-            vals(at) = UTF8String.fromString(sb.toString)
-          } else {
-            keyPos(fullKey) = keys.length
-            keys += UTF8String.fromString(fullKey)
-            vals += UTF8String.fromString(sb.toString)
-          }
-          i = v
-          consumed = true
-        }
+    var done = false
+    while (!done) {
+      // ---- _extract_key: find the next separator whose backward walk
+      // (spaces, then key chars) yields a non-empty key ------------------
+      var sepAt = s.indexOf(sep, i)
+      var keyStart = -1; var keyEnd = -1
+      while (sepAt >= 0 && keyStart < 0) {
+        var e = sepAt
+        while (e > i && s.charAt(e - 1) == ' ') e -= 1
+        var st = e
+        while (st > i && isKeyChar(s.charAt(st - 1))) st -= 1
+        if (e - st >= 1) { keyStart = st; keyEnd = e }
+        else sepAt = s.indexOf(sep, sepAt + 1)
       }
-      if (!consumed) { strayAppend(c); i += 1 }
+      if (keyStart < 0) { strayChunk(i, n); done = true }
+      else {
+        strayChunk(i, keyStart)
+        val key = s.substring(keyStart, keyEnd)
+        var v = sepAt + 1
+
+        // ---- _skip_initial_spaces: spaces that are not yet a delimiter
+        var skipping = true
+        while (skipping && v < n && s.charAt(v) == ' ') {
+          var k = v
+          while (k < n && s.charAt(k) == ' ') k += 1
+          if (k == n || keyFollows(k) || pairSepAt(k)) skipping = false
+          else v += 1
+        }
+
+        // ---- value decode ------------------------------------------------
+        val sb = new java.lang.StringBuilder
+        var next = -1 // input position after the value + delimiter
+        if (v < n && (s.charAt(v) == '"' || s.charAt(v) == '\'')) {
+          // quoted: escapes decode; the closing quote must be followed by
+          // a delimiter or EOS, else quotation error -> raw fallback
+          val quote = s.charAt(v)
+          var m = v + 1
+          var closedAt = -1
+          while (m < n && closedAt < 0) {
+            val ch = s.charAt(m)
+            if (ch == '\\' && m + 1 < n) {
+              val e = s.charAt(m + 1)
+              val dec = e match {
+                case 'b' => "\b"; case 'f' => "\f"; case 'n' => "\n"
+                case 'r' => "\r"; case 't' => "\t"
+                case '\\' | '"' | '\'' => e.toString
+                case other => "\\" + other // unknown escape stays verbatim
+              }
+              sb.append(dec); m += 2
+            } else if (ch == quote) closedAt = m
+            else { sb.append(ch); m += 1 }
+          }
+          if (closedAt >= 0 &&
+              (closedAt + 1 == n || s.charAt(closedAt + 1) == ' ' ||
+                pairSepAt(closedAt + 1))) {
+            next = closedAt + 1
+            if (next < n && pairSepAt(next)) next += pairSep.length
+            else if (next < n && s.charAt(next) == ' ') next += 1
+            if (raw) { sb.setLength(0); sb.append(s, v, closedAt + 1) }
+          } else sb.setLength(0) // quotation error -> fall through to raw
+        }
+        if (next < 0) {
+          // unquoted (or fallback): value runs until a space-run followed
+          // by EOS / next key / pair separator, or a direct pair separator
+          var m = v
+          var endAt = -1
+          while (m < n && endAt < 0) {
+            val ch = s.charAt(m)
+            if (ch == ' ') {
+              // a pair separator that itself starts with a space matches
+              // before space-skipping (_pair_separator_starts_with_a_space)
+              if (pairSep.startsWith(" ") && pairSepAt(m)) {
+                endAt = m; next = m + pairSep.length
+              } else {
+                var k = m
+                while (k < n && s.charAt(k) == ' ') k += 1
+                if (k == n || keyFollows(k)) { endAt = m; next = k }
+                else if (pairSepAt(k)) { endAt = m; next = k + pairSep.length }
+                else m += 1
+              }
+            } else if (pairSepAt(m)) { endAt = m; next = m + pairSep.length }
+            else m += 1
+          }
+          if (endAt < 0) { endAt = n; next = n }
+          sb.setLength(0)
+          sb.append(s, v, endAt)
+        }
+
+        // repeated key: last occurrence wins, value overwritten in place
+        // (reference kv-parser sets the NV entry, never duplicates it)
+        val fullKey = prefix + key
+        val at = keyPos.getOrElse(fullKey, -1)
+        if (at >= 0) {
+          vals(at) = UTF8String.fromString(sb.toString)
+        } else {
+          keyPos(fullKey) = keys.length
+          keys += UTF8String.fromString(fullKey)
+          vals += UTF8String.fromString(sb.toString)
+        }
+        i = next
+        if (i >= n) done = true
+      }
     }
     val row = new GenericInternalRow(2)
     row.update(0, ArrayBasedMapData(keys.toArray, vals.toArray))
@@ -136,7 +205,12 @@ object KvScan {
     row
   }
 
-  def apply(text: Column, valueSep: Char, prefix: String, rawValues: Boolean): Column =
+  def apply(text: Column, valueSep: Char, prefix: String,
+      rawValues: Boolean): Column =
+    apply(text, valueSep, prefix, rawValues, ", ")
+
+  def apply(text: Column, valueSep: Char, prefix: String, rawValues: Boolean,
+      pairSep: String): Column =
     ColumnBridge.column(new KvScan(ColumnBridge.expression(text), valueSep,
-      prefix, rawValues))
+      prefix, rawValues, pairSep))
 }

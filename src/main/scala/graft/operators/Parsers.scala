@@ -85,15 +85,16 @@ object Parsers {
     * `str_to_map` cannot). One hand-rolled scan ([[graft.functions.KvScan]]
     * — the regex formulation backtracks at ~30µs/row). */
   def kvParse(text: Column, valueSeparator: Char = '=',
-      prefix: String = ""): Column =
-    graft.functions.KvScan(text, valueSeparator, prefix, rawValues = false)
-      .getField("pairs")
+      prefix: String = "", pairSeparator: String = ", "): Column =
+    graft.functions.KvScan(text, valueSeparator, prefix, rawValues = false,
+      pairSep = pairSeparator).getField("pairs")
 
   /** Words of the input that belong to no key=value pair
     * (`kv_scanner_get_stray_words`), space-joined. */
-  def kvStrayWords(text: Column, valueSeparator: Char = '='): Column =
-    graft.functions.KvScan(text, valueSeparator, "", rawValues = false)
-      .getField("stray")
+  def kvStrayWords(text: Column, valueSeparator: Char = '=',
+      pairSeparator: String = ", "): Column =
+    graft.functions.KvScan(text, valueSeparator, "", rawValues = false,
+      pairSep = pairSeparator).getField("stray")
 
   private def dequote(v: Column): Column = {
     def stripQ(q: String) =

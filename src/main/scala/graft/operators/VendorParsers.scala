@@ -238,7 +238,10 @@ object VendorParsers {
     def g(f: String): Column = col("__cp").getField(f)
     Fx(
       guard = guard,
-      adds = when(isSyslog, Parsers.kvParse(g("kvb"), ':', prefix))
+      // syslog form: value-separator(':') pair-separator(';')
+      // (scl/checkpoint/plugin.conf:65)
+      adds = when(isSyslog, Parsers.kvParse(g("kvb"), ':', prefix,
+          pairSeparator = ";"))
         .otherwise(Parsers.kvParse(translate(msg, "|", " "), '=', prefix)),
       sets = Seq(
         "host" -> coalesce(g("host"), existingCol(df, "host")),

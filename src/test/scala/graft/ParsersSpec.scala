@@ -60,11 +60,50 @@ class ParsersSpec extends GraftSuite {
   }
 
   test("kvParse quoted values, stray words, prefix") {
+    // kv-scanner.c: unquoted values extend across spaces until the next
+    // `key=` lookahead (test_kv_scanner.c "foo=bar lorem ipsum key=value"),
+    // so trailing non-key words belong to the preceding value, and only
+    // text BEFORE the first pair is stray
     val in = "connect user=joe ok pass='p w' dst=1.2.3.4 done"
     val m = one(Parsers.kvParse(col("s"), prefix = ".kv."), in).getMap[String, String](0)
-    assert(m == Map(".kv.user" -> "joe", ".kv.pass" -> "p w", ".kv.dst" -> "1.2.3.4"))
+    assert(m == Map(".kv.user" -> "joe ok", ".kv.pass" -> "p w",
+      ".kv.dst" -> "1.2.3.4 done"))
     val stray = one(Parsers.kvStrayWords(col("s")), in).getString(0)
-    assert(stray == "connect ok done")
+    assert(stray == "connect")
+  }
+
+  test("kv battery from the reference's test_kv_scanner.c") {
+    def pairs(in: String, vsep: Char = '=', psep: String = ", "): Seq[(String, String)] =
+      one(Parsers.kvParse(col("s"), vsep, "", psep), in)
+        .getMap[String, String](0).toSeq.sortBy(_._1)
+    // values extend across spaces until the next key=
+    assert(pairs("foo=bar lorem ipsum key=value some more values") ==
+      Seq("foo" -> "bar lorem ipsum", "key" -> "value some more values"))
+    // space tolerated between key and separator; key = valid-charset suffix
+    assert(pairs("lorem ipsum/dolor = foo=bar\"") ==
+      Seq("dolor" -> "", "foo" -> "bar\""))
+    // empty values in any position
+    assert(pairs("k= a=b c=d") == Seq("a" -> "b", "c" -> "d", "k" -> ""))
+    // comma only separates with the default ", " pair separator
+    assert(pairs("key1=value1, key2=value2, key3=value3") ==
+      Seq("key1" -> "value1", "key2" -> "value2", "key3" -> "value3"))
+    assert(pairs("key1=value1,key2=value2,key3=value3") ==
+      Seq("key1" -> "value1,key2=value2,key3=value3"))
+    // tab is not a pair boundary
+    assert(pairs("key1=value1\tkey2=value2 key3=value3") ==
+      Seq("key1" -> "value1\tkey2=value2", "key3" -> "value3"))
+    // quoted values: escape decoding, unknown escapes stay verbatim
+    assert(pairs("key1=\"\\\"value1\"") == Seq("key1" -> "\"value1"))
+    assert(pairs("key1=\"\\b \\f \\n \\r \\t \\\\\"") ==
+      Seq("key1" -> "\b \f \n \r \t \\"))
+    assert(pairs("key1=\"\\p\"") == Seq("key1" -> "\\p"))
+    // mid-value quotes stay literal when the value starts unquoted
+    assert(pairs("foo=a \"bar baz\" ") == Seq("foo" -> "a \"bar baz\""))
+    // repeated = inside value
+    assert(pairs("k===a=b") == Seq("k" -> "==a=b"))
+    // explicit pair separator (checkpoint's ';')
+    assert(pairs("flags: 133440; ifdir: inbound; loguid: {0x1}", ':', ";") ==
+      Seq("flags" -> "133440", "ifdir" -> "inbound", "loguid" -> "{0x1}"))
   }
 
   test("kvParse repeated key: last occurrence wins, no duplicate map keys") {
