@@ -105,7 +105,11 @@ object Template {
       val c = s.charAt(i)
       if (quote != 0) {
         if (c == quote) { quote = 0; raw.append(c) }
-        else if (c == '\\' && i + 1 < s.length) {
+        else if (c == '\\' && i + 1 < s.length &&
+            (s.charAt(i + 1) == quote || s.charAt(i + 1) == '\\')) {
+          // only the active quote char and backslash unescape; other
+          // backslash sequences stay verbatim for downstream decoders
+          // (the list/kv str-repr layer decodes \t etc. itself)
           cur.append(s.charAt(i + 1)); raw.append(c).append(s.charAt(i + 1)); i += 1
         }
         else { cur.append(c); raw.append(c) }

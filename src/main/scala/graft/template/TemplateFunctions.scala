@@ -41,8 +41,17 @@ object TemplateFunctions {
     when(s.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"), s.cast("double"))
   }
 
-  private def listIn(a: TArg): Column = split(a.col, ",")
-  private def listOut(c: Column): Column = array_join(c, ",")
+  // syslog-ng list representation (str-repr): quote-aware parse/encode,
+  // unquoted-empty elements dropped at parse (functions.ListRepr)
+  private def listIn(a: TArg): Column =
+    graft.functions.ListFunctions.list_scan(a.col)
+  private def listOut(c: Column): Column =
+    graft.functions.ListFunctions.list_encode(c)
+  /** Every list function accepts multiple args, each parsed as a list
+    * and concatenated (list-funcs.c `_list_concat`). */
+  private def listArgs(args: Seq[TArg]): Column =
+    if (args.isEmpty) array().cast("array<string>")
+    else flatten(array(args.map(listIn): _*))
 
   /** cryptofuncs.c tf_hash: args concatenate before digesting;
     * `--length N` / `-l N` truncates the hex output (0 or over-size
@@ -142,24 +151,25 @@ object TemplateFunctions {
         .otherwise(args(2).col)
     },
     // ---- list (list-funcs.c) --------------------------------------------
-    "list-concat" -> (args => listOut(flatten(array(args.map(listIn): _*)))),
-    "list-append" -> (args => listOut(concat(listIn(args.head), array(args.tail.map(_.col): _*)))),
-    "list-head" -> (args => element_at(listIn(args.head), 1)),
+    "list-concat" -> (args => listOut(listArgs(args))),
+    "list-append" -> (args => listOut(concat(listIn(args.head),
+      array(args.tail.map(_.col): _*)))),
+    "list-head" -> (args => try_element_at(listArgs(args), lit(1))),
     "list-nth" -> { args =>
-      // reference is 0-indexed (list-funcs.c)
-      element_at(listIn(args.head), num(args(1)).cast("int") + 1)
+      // $(list-nth INDEX list...) — 0-indexed, index FIRST (list-funcs.c
+      // tf_list_nth: argv[0] is the index)
+      val idx = num(args.head).cast("int")
+      when(idx >= 0, try_element_at(listArgs(args.tail), idx + 1))
     },
     "list-tail" -> { args =>
-      listOut(slice(listIn(args.head), lit(2),
-        greatest(size(listIn(args.head)) - 1, lit(0))))
+      val arr = listArgs(args)
+      listOut(slice(arr, lit(2), greatest(size(arr) - 1, lit(0))))
     },
-    "list-count" -> { args =>
-      when(args.head.col === "", lit(0)).otherwise(size(listIn(args.head)))
-    },
+    "list-count" -> (args => size(listArgs(args))),
     "list-slice" -> { args =>
       // $(list-slice from:to list) — 0-based, to exclusive
       val Array(f, t) = args.head.lit("list-slice").split(":", -1)
-      val arr = listIn(args(1))
+      val arr = listArgs(args.tail)
       val from = if (f.isEmpty) 0 else f.toInt
       val fromC = if (from >= 0) lit(from + 1) else greatest(size(arr) + from + 1, lit(1))
       val untilC =
@@ -169,7 +179,7 @@ object TemplateFunctions {
       listOut(slice(arr, fromC, greatest(untilC - fromC, lit(0))))
     },
     "list-search" -> { args =>
-      val idx = array_position(listIn(args(1)), args.head.lit("list-search"))
+      val idx = array_position(listArgs(args.tail), args.head.lit("list-search"))
       when(idx > 0, (idx - 1).cast("string")).otherwise(lit(""))
     },
     // ---- numeric (numeric-funcs.c:149-466) -------------------------------

@@ -73,9 +73,47 @@ class TemplateSpec extends GraftSuite {
   test("list functions (comma repr like the reference)") {
     assert(render("$(list-head $TAGS)") == Seq("t1", "t1"))
     assert(render("$(list-count $TAGS)") == Seq("2", "2"))
-    assert(render("$(list-nth $TAGS 1)") == Seq("t2", "t2"))
+    assert(render("$(list-nth 1 $TAGS)") == Seq("t2", "t2"))
     assert(render("$(list-append $TAGS t3)") == Seq("t1,t2,t3", "t1,t2,t3"))
     assert(render("$(implode : $TAGS)") == Seq("t1:t2", "t1:t2"))
+  }
+
+  test("list battery from the reference's test_basicfuncs.c") {
+    def one(t: String): String = render(t).head
+    assert(one("$(list-concat foo bar baz)") == "foo,bar,baz")
+    assert(one("$(list-concat foo bar baz '')") == "foo,bar,baz")
+    assert(one("$(list-concat foo '$HOST,$PROGRAM' bar)") == "foo,h1,sshd,bar")
+    assert(one("$(list-append '' foo)") == "foo")
+    assert(one("$(list-append '' foo bar)") == "foo,bar")
+    assert(one("$(list-append foo,bar,baz x)") == "foo,bar,baz,x")
+    assert(one("$(list-append foo,bar,baz '')") == "foo,bar,baz,\"\"")
+    assert(one("$(list-append foo,bar,baz 'xxx,')") == "foo,bar,baz,\"xxx,\"")
+    assert(one("$(list-head '')") == "")
+    assert(one("$(list-head foo,)") == "foo")
+    assert(one("$(list-head ,bar,baz)") == "bar")
+    assert(one("$(list-head foo bar baz)") == "foo")
+    assert(one("$(list-head '' bar baz)") == "bar")
+    assert(one("$(list-head '\"\\tfoo,\",bar,baz')") == "\tfoo,")
+    assert(one("$(list-nth 0 '\"foo,\",\"bar\",\"baz\"')") == "foo,")
+    assert(one("$(list-nth 1 '\"foo,\",\"bar\",\"baz\"')") == "bar")
+    assert(one("$(list-nth 3 '\"foo,\",\"bar\",\"baz\"')") == "")
+    assert(one("$(list-tail foo)") == "")
+    assert(one("$(list-tail foo,)") == "")
+    assert(one("$(list-tail ,bar)") == "")
+    assert(one("$(list-tail foo,bar,baz)") == "bar,baz")
+    assert(one("$(list-tail foo bar baz)") == "bar,baz")
+    assert(one("$(list-tail foo,bar,xxx, baz bad)") == "bar,xxx,baz,bad")
+    assert(one("$(list-slice 0:0 foo,bar,xxx,baz,bad)") == "")
+    assert(one("$(list-slice 0:2 foo,bar,xxx,baz,bad)") == "foo,bar")
+    assert(one("$(list-slice 1:2 foo,bar,xxx,baz,bad)") == "bar")
+    assert(one("$(list-slice : foo,bar,xxx,baz,bad)") == "foo,bar,xxx,baz,bad")
+    assert(one("$(list-slice 3: foo,bar,xxx,baz,bad)") == "baz,bad")
+    assert(one("$(list-slice :2 foo,bar,xxx,baz,bad)") == "foo,bar")
+    assert(one("$(list-slice -2: foo,bar,xxx,baz,bad)") == "baz,bad")
+    assert(one("$(list-slice -100: foo,bar,xxx,baz,bad)") == "foo,bar,xxx,baz,bad")
+    assert(one("$(list-slice :-2 foo,bar,xxx,baz,bad)") == "foo,bar,xxx")
+    assert(one("$(list-count foo,bar,baz)") == "3")
+    assert(one("$(list-count '')") == "0")
   }
 
   test("if / binary / structured formatters") {
