@@ -144,13 +144,19 @@ object Nss {
   def dnsResolveIp(ip: Column, useDns: Boolean, useFqdn: Boolean,
       normalize: Boolean): Column = {
     val ipStr = ip.cast("string")
-    if (!useDns) ipStr
+    // an unparseable address expands empty (g_sockaddr_inet_or_inet6_new
+    // fails before any resolution; test_basicfuncs.c "!!!invalid...")
+    val looksV4 = ipStr.rlike(
+      "^([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$")
+    val looksV6 = ipStr.rlike("^[0-9A-Fa-f:.]*:[0-9A-Fa-f:.]*$")
+    val valid = looksV4 || looksV6
+    if (!useDns) when(valid, ipStr).otherwise(lit(""))
     else {
       val hosts = firstWins(hostsEntries())
       val hit0 = element_at(mapLit(hosts), ipStr)
       val hit1 = if (useFqdn) hit0 else split(hit0, "\\.").getItem(0)
       val hit = if (normalize) lower(hit1) else hit1
-      coalesce(hit, ipStr)
+      when(valid, coalesce(hit, ipStr)).otherwise(lit(""))
     }
   }
 }

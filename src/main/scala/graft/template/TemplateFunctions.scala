@@ -77,7 +77,10 @@ object TemplateFunctions {
   val registry: Map[String, Seq[TArg] => Column] = Map(
     // ---- string (str-funcs.c) ------------------------------------------
     "echo" -> (args => concat_ws(" ", args.map(_.col): _*)),
-    "length" -> (args => length(args.head.col)),
+    // multi-arg: one length per argument, space-joined (test_basicfuncs.c
+    // "$(length $HOST $PID)" -> "5 5")
+    "length" -> (args => concat_ws(" ",
+      args.map(a => length(a.col).cast("string")): _*)),
     "substr" -> { args =>
       val s = args.head.col
       val start = num(args(1)).cast("int")
@@ -87,7 +90,12 @@ object TemplateFunctions {
         case None => s.substr(from1, length(s))
       }
     },
-    "strip" -> (args => trim(args.head.col)),
+    // each arg strips independently (all whitespace, like g_strstrip);
+    // empty results drop from the join ("$(strip $S5 $S1 $S5)" -> "value")
+    "strip" -> { args =>
+      def st(c: Column) = regexp_replace(c, "^\\s+|\\s+$", "")
+      concat_ws(" ", args.map(a => when(st(a.col) =!= "", st(a.col))): _*)
+    },
     // $(sanitize [-c|-C] [-i chars] [-r repl] args...) — str-funcs.c:209-284:
     // control chars (<0x20, default on) and invalid chars (default "/")
     // become the replacement char (default '_'); args join with '/'

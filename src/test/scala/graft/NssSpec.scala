@@ -108,7 +108,18 @@ class NssSpec extends GraftSuite {
     withEtc {
       assert(render("$(dns-resolve-ip 192.168.9.9)") == "192.168.9.9")
       assert(render("$(dns-resolve-ip --use-dns no 10.0.0.7)") == "10.0.0.7")
+      assert(render("$(dns-resolve-ip --use-dns=no 192.168.9.9)") == "192.168.9.9")
+      // unparseable address -> empty (test_basicfuncs.c)
+      assert(render("$(dns-resolve-ip !!!invalid-ip-address!!!)") == "")
+      assert(render("$(dns-resolve-ip 1996::04:30)") == "1996::04:30")
     }
+  }
+
+  test("length and strip are multi-arg like the reference") {
+    assert(render("$(length abcde fghij)", "x" -> "1") == "5 5")
+    assert(render("$(strip '  a  b  ')", "x" -> "1") == "a  b")
+    assert(render("$(strip '\t\n a  b \r\n ')", "x" -> "1") == "a  b")
+    assert(render("$(strip '' ' value ' '')", "x" -> "1") == "value")
   }
 
   test("env: present values join with spaces, missing skip") {
