@@ -1554,12 +1554,40 @@ object ConfigCompiler {
       case "set" =>
         val tmpl = lits(s.args).head
         val field = kvOf(s.args, "value").getOrElse("MESSAGE")
-        df => Rewrites.set(df, colName(field), Template.column(tmpl, df.columns), cond)
+        val tz = kvOf(s.args, "time-zone")
+        df => Rewrites.set(df, colName(field),
+          Template.column(tmpl, df.columns, tz), cond)
       case "subst" =>
         val Seq(re, repl) = lits(s.args).take(2)
         val field = kvOf(s.args, "value").getOrElse("MESSAGE")
-        val global = s.args.exists { case KV("flags", vs) => lits(vs).contains("global"); case _ => false }
-        df => Rewrites.subst(df, colName(field), re, repl, global, cond)
+        def flagSet(f: String) = s.args.exists {
+          case KV("flags", vs) => lits(vs).contains(f); case _ => false }
+        // templated replacement renders per message and inserts
+        // literally (rewrite-subst.c's LogTemplate replacement)
+        if (repl.contains("$"))
+          df => Rewrites.subst(df, colName(field), re,
+            Template.column(repl, df.columns), flagSet("global"), cond,
+            flagSet("store-matches"))
+        else
+          df => Rewrites.subst(df, colName(field), re, repl, flagSet("global"),
+            cond, storeMatches = flagSet("store-matches"))
+      case "groupset" =>
+        // groupset("template" values("glob" ...)): the template may read
+        // $_ (the old value) — compile per entry with `_` bound
+        val tmpl = lits(s.args).head
+        val globs = s.args.collectFirst { case KV("values", vs) => lits(vs) }
+          .getOrElse(throw new IllegalArgumentException("groupset needs values()"))
+        df => Rewrites.groupSet(df, old => Template.compile(
+            Template.parse(tmpl),
+            name => if (name == "_") old
+            else graft.template.Macros.resolver(df.columns.toSet)(name)),
+          globs, condition = cond)
+      case "groupunset" =>
+        val globs = s.args.collectFirst { case KV("values", vs) => lits(vs) }
+          .getOrElse(throw new IllegalArgumentException("groupunset needs values()"))
+        df => Rewrites.groupUnset(df, globs, condition = cond)
+      case "set-pri" =>
+        df => Rewrites.setPri(df, Template.column(lits(s.args).head, df.columns), cond)
       case "credit-card-mask" | "credit-card-hash" =>
         // scl/rewrite/cc-mask.conf: subst of the credit-card regex
         // with a computed replacement ($(substr)/$(sha1) of the match)

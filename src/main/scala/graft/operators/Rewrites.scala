@@ -23,15 +23,53 @@ object Rewrites {
 
   /** `subst("re", "replacement", value(field), flags(global))` —
     * `rewrite-subst.c:50-96`. Non-global (first-only) is emulated by
-    * anchoring: replace the first occurrence via a capturing wrap. */
+    * anchoring: replace the first occurrence via a capturing wrap.
+    * `storeMatches` = `flags(store-matches)` (`lib/logmatcher.c`
+    * LMF_STORE_MATCHES): the FIRST match's groups land in the `matches`
+    * array column — `$0` whole match, `$1..$N` subgroups, a
+    * non-participating subpattern reads as "" (the reference stores the
+    * unused group as an empty value, `test_rewrite.c:161-173`). */
   def subst(df: DataFrame, field: String, re: String, replacement: String,
-      global: Boolean = false, condition: Column = lit(true)): DataFrame = {
+      global: Boolean = false, condition: Column = lit(true),
+      storeMatches: Boolean = false): DataFrame = {
     val replaced =
       if (global) regexp_replace(col(field), re, replacement)
       else regexp_replace(col(field), "^((?s:(?:(?!" + re + ").)*?))(" + re + ")",
         "$1" + replacement)
-    guarded(df, field, replaced, condition)
+    // matches read the PRE-substitution value: stage them first
+    val staged = stageMatches(df, field, re, condition, storeMatches)
+    guarded(staged, field, replaced, condition)
   }
+
+  /** subst with a TEMPLATE replacement (`rewrite-subst.c` renders the
+    * replacement LogTemplate per message, then inserts it literally —
+    * the rendered text is NOT re-scanned for group references, so `$`
+    * and `\` in it are escaped before handing to regexp_replace). */
+  def subst(df: DataFrame, field: String, re: String, replacement: Column,
+      global: Boolean, condition: Column,
+      storeMatches: Boolean): DataFrame = {
+    val literal = regexp_replace(replacement.cast("string"),
+      "([\\\\$])", "\\\\$1")
+    val replaced =
+      if (global) regexp_replace(col(field), lit(re), literal)
+      else regexp_replace(col(field),
+        lit("^((?s:(?:(?!" + re + ").)*?))(" + re + ")"),
+        concat(lit("$1"), literal))
+    val staged = stageMatches(df, field, re, condition, storeMatches)
+    guarded(staged, field, replaced, condition)
+  }
+
+  private def stageMatches(df: DataFrame, field: String, re: String,
+      condition: Column, storeMatches: Boolean): DataFrame =
+    if (!storeMatches) df
+    else {
+        val n = java.util.regex.Pattern.compile(re).matcher("").groupCount()
+        val groups = (0 to n).map(i => regexp_extract(col(field), re, i))
+        df.withColumn("matches",
+          when(condition && col(field).rlike(re), array(groups: _*))
+            .otherwise(if (df.columns.contains("matches")) col("matches")
+            else lit(null).cast("array<string>")))
+      }
 
   /** Global subst with a COMPUTED per-match replacement — the engine
     * under the reference's templated-replacement substs
@@ -89,14 +127,41 @@ object Rewrites {
     df.withColumn("values",
       map_filter(col("values"), (k, _) => k =!= lit(key)))
 
-  /** `groupset("v", values("glob*"))` — apply one value to every map key
-    * matching a glob (`rewrite-groupset.c:71-136`). */
-  def groupSet(df: DataFrame, valueExpr: Column, keyGlob: String,
-      mapCol: String = "values"): DataFrame = {
-    val re = globToRegex(keyGlob)
+  /** `groupset("v", values("glob*" ...))` — apply one value to every map
+    * key matching any glob (`rewrite-groupset.c:71-136`). The value may
+    * be a template over the OLD value — the reference binds `$_` to the
+    * entry being rewritten (`rewrite-groupset.c
+    * log_rewrite_groupset_process`, `test_rewrite.c:268-275`) — so the
+    * new value is a function of the old one. */
+  def groupSet(df: DataFrame, valueFn: Column => Column, keyGlobs: Seq[String],
+      mapCol: String = "values", condition: Column = lit(true)): DataFrame = {
+    val res = keyGlobs.map(globToRegex)
+    def keyHit(k: Column): Column =
+      res.map(k.rlike).reduce(_ || _)
     df.withColumn(mapCol,
-      map_zip_with(col(mapCol), col(mapCol),
-        (k, v, _) => when(k.rlike(re), valueExpr.cast("string")).otherwise(v)))
+      when(condition, map_zip_with(col(mapCol), col(mapCol),
+        (k, v, _) => when(keyHit(k), valueFn(v).cast("string")).otherwise(v)))
+        .otherwise(col(mapCol)))
+  }
+
+  /** Single-glob constant-value convenience form. */
+  def groupSet(df: DataFrame, valueExpr: Column, keyGlob: String): DataFrame =
+    groupSet(df, (_: Column) => valueExpr, Seq(keyGlob))
+
+  def groupSet(df: DataFrame, valueExpr: Column, keyGlob: String,
+      mapCol: String): DataFrame =
+    groupSet(df, (_: Column) => valueExpr, Seq(keyGlob), mapCol)
+
+  /** `groupunset(values("glob*" ...))` — drop every matching map key
+    * (`rewrite-groupset.c`, unset variant; an unset NV reads back as ""
+    * like the reference's `log_msg_unset_value`). */
+  def groupUnset(df: DataFrame, keyGlobs: Seq[String],
+      mapCol: String = "values", condition: Column = lit(true)): DataFrame = {
+    val res = keyGlobs.map(globToRegex)
+    df.withColumn(mapCol,
+      when(condition,
+        map_filter(col(mapCol), (k, _) => !res.map(k.rlike).reduce(_ || _)))
+        .otherwise(col(mapCol)))
   }
 
   /** `set-tag("t")` / `clear-tag("t")` — `rewrite-set-tag.c`. */

@@ -25,8 +25,30 @@ object Macros {
       case (acc, (name, i)) => when(code === i, lit(name)).otherwise(acc)
     }
 
-  /** Date-part family over one timestamp column (`macros.h:69-94`). */
-  private def dateMacro(part: String, ts: Column): Option[Column] = part match {
+  /** Date-part family over one timestamp column (`macros.h:69-94`).
+    * `tz` is the template's `time-zone()` override
+    * (`lib/template/templates.c` TemplateOptions time_zone[LTZ_SEND]):
+    * wall-clock parts render in that zone instead of the session zone,
+    * and the offset-bearing macros (ISODATE/TZOFFSET/TZ) print the
+    * zone's offset at the instant. The engine's convention is a UTC
+    * session zone (Bench/tests pin it), matching [[graft.operators
+    * .Rewrites.toTimeZone]]'s use of from_utc_timestamp. */
+  private def dateMacro(part: String, ts0: Column, tz: Option[String] = None): Option[Column] = {
+    val ts = tz.fold(ts0)(z => from_utc_timestamp(ts0, z))
+    // offset seconds of `tz` at the instant = shifted - original epoch
+    def offsetStr: Column = tz match {
+      case None => date_format(ts, "xxx")
+      case Some(_) =>
+        val secs = ts.cast("long") - ts0.cast("long")
+        val sign = when(secs < 0, "-").otherwise("+")
+        val mag = abs(secs)
+        concat(sign, lpad((mag / 3600).cast("int").cast("string"), 2, "0"),
+          lit(":"), lpad(((mag % 3600) / 60).cast("int").cast("string"), 2, "0"))
+    }
+    dateMacroIn(part, ts, offsetStr)
+  }
+
+  private def dateMacroIn(part: String, ts: Column, offsetStr: => Column): Option[Column] = part match {
     case "YEAR" => Some(date_format(ts, "yyyy"))
     case "MONTH" => Some(date_format(ts, "MM"))
     case "DAY" => Some(date_format(ts, "dd"))
@@ -57,18 +79,21 @@ object Macros {
     case "MONTH_NAME" => Some(date_format(ts, "MMMM"))
     case "MONTH_ABBREV" => Some(date_format(ts, "MMM"))
     case "UNIXTIME" => Some(unix_timestamp(ts).cast("string"))
-    case "ISODATE" => Some(date_format(ts, "yyyy-MM-dd'T'HH:mm:ssxxx"))
+    case "ISODATE" =>
+      Some(concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), offsetStr))
     case "FULLDATE" => Some(date_format(ts, "yyyy MMM dd HH:mm:ss"))
     case "DATE" | "STAMP" => Some(date_format(ts, "MMM dd HH:mm:ss"))
-    case "TZOFFSET" => Some(date_format(ts, "xxx"))
-    case "TZ" => Some(date_format(ts, "xxx"))
+    case "TZOFFSET" => Some(offsetStr)
+    case "TZ" => Some(offsetStr)
     case _ => None
   }
 
   /** Resolver for template Refs over a LogRecord-shaped frame: builtin
     * macros first, then real columns, then the dynamic `values` map, then
     * `$1..$255` match groups. */
-  def resolver(columns: Set[String]): String => Column = {
+  def resolver(columns: Set[String]): String => Column = resolver(columns, None)
+
+  def resolver(columns: Set[String], tz: Option[String]): String => Column = {
     val hasValues = columns.contains("values")
     val hasMatches = columns.contains("matches")
 
@@ -96,16 +121,16 @@ object Macros {
         if (columns.contains(name.toLowerCase)) col(name.toLowerCase) else lit("")
       case "LOGHOST" =>
         lit(java.net.InetAddress.getLocalHost.getHostName)
-      case d if d.startsWith("R_") && dateMacro(d.drop(2), col("recvd_ts")).isDefined =>
-        dateMacro(d.drop(2), col("recvd_ts")).get
-      case d if d.startsWith("P_") && dateMacro(d.drop(2), col("proc_ts")).isDefined =>
-        dateMacro(d.drop(2), col("proc_ts")).get
-      case d if d.startsWith("C_") && dateMacro(d.drop(2), current_timestamp()).isDefined =>
-        dateMacro(d.drop(2), current_timestamp()).get
-      case d if d.startsWith("S_") && dateMacro(d.drop(2), col("ts")).isDefined =>
-        dateMacro(d.drop(2), col("ts")).get
-      case d if dateMacro(d, col("ts")).isDefined =>
-        dateMacro(d, col("ts")).get
+      case d if d.startsWith("R_") && dateMacro(d.drop(2), col("recvd_ts"), tz).isDefined =>
+        dateMacro(d.drop(2), col("recvd_ts"), tz).get
+      case d if d.startsWith("P_") && dateMacro(d.drop(2), col("proc_ts"), tz).isDefined =>
+        dateMacro(d.drop(2), col("proc_ts"), tz).get
+      case d if d.startsWith("C_") && dateMacro(d.drop(2), current_timestamp(), tz).isDefined =>
+        dateMacro(d.drop(2), current_timestamp(), tz).get
+      case d if d.startsWith("S_") && dateMacro(d.drop(2), col("ts"), tz).isDefined =>
+        dateMacro(d.drop(2), col("ts"), tz).get
+      case d if dateMacro(d, col("ts"), tz).isDefined =>
+        dateMacro(d, col("ts"), tz).get
       case m if m.nonEmpty && m.forall(_.isDigit) && hasMatches =>
         // $1..$255 regexp match groups -> matches array ($0 = whole match)
         element_at(col("matches"), m.toInt + 1)

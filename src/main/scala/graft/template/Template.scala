@@ -240,7 +240,10 @@ object Template {
     }
   }
 
-  /** One-step convenience: template string + schema columns -> Column. */
-  def column(template: String, columns: Seq[String]): Column =
-    compile(parse(template), Macros.resolver(columns.toSet))
+  /** One-step convenience: template string + schema columns -> Column.
+    * `tz` = the template's `time-zone()` option (rewrite set /
+    * destination templates) — date macros render in that zone. */
+  def column(template: String, columns: Seq[String],
+      tz: Option[String] = None): Column =
+    compile(parse(template), Macros.resolver(columns.toSet, tz))
 }
