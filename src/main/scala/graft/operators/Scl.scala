@@ -223,8 +223,14 @@ object Scl {
     * `[junos@2636.1.1.1.2.129 reason="..."]`. Shared by
     * [[formatEwmm]] and the `syslog()` network destination's RFC5424
     * wire format. */
-  def sdataBlocks(df: DataFrame): Column = {
-    val values = valuesOrEmpty(df)
+  def sdataBlocks(df: DataFrame): Column =
+    sdataBlocksOf(valuesOrEmpty(df))
+
+  /** Same over a bare values-map column. `emptyAs` is the no-SDATA
+    * rendering: "-" for the RFC5424 wire position (the template's
+    * `${SDATA:--}`), "" for the bare $SDATA macro (`macros.c:520`
+    * appends nothing). */
+  def sdataBlocksOf(values: Column, emptyAs: String = "-"): Column = {
     // RFC5424 SD-PARAM value escapes: \\ " ] (rfc5424 §6.3.3)
     def sdEscape(v: Column): Column =
       regexp_replace(regexp_replace(regexp_replace(v,
@@ -246,7 +252,7 @@ object Scl {
             sdEscape(e.getField("value")), lit("\"")).as("out"),
           elem.as("elem"))
       },
-      acc => when(acc.getField("elem") === "", lit("-"))
+      acc => when(acc.getField("elem") === "", lit(emptyAs))
         .otherwise(concat(acc.getField("out"), lit("]"))))
   }
 

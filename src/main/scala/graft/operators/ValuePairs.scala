@@ -33,6 +33,71 @@ object ValuePairs {
     map_concat(base, map(lit("MSGID"), msgid),
       transform_keys(sdata, (k, _) => concat(lit(".SDATA."), k)))
 
+  /** The full named-scope surface of `value-pairs(scope(...))` —
+    * `lib/value-pairs/value-pairs.c:63-141` scope tables +
+    * `vp_update_builtin_list_of_values`/`vp_merge_builtins` (:340-400):
+    * macro entries rendering EMPTY are omitted (`vp_merge_builtins`'s
+    * `if (sb->len == 0) continue`), NV entries come from the builtin
+    * columns + the dynamic values map. Returns one map column; scopes
+    * union. */
+  def scopeMap(df: org.apache.spark.sql.DataFrame,
+      scopes: Seq[String]): Column = {
+    import graft.template.Macros
+    val cols = df.columns.toSet
+    val resolve = Macros.resolver(cols)
+    def macroMap(names: Seq[String]): Column = {
+      val uniq = names.distinct
+      val m = map_from_arrays(
+        array(uniq.map(lit(_)): _*),
+        array(uniq.map(n => coalesce(resolve(n).cast("string"), lit(""))): _*))
+      map_filter(m, (_, v) => v =!= "")
+    }
+    val values =
+      if (cols.contains("values")) col("values")
+      else map().cast("map<string,string>")
+    // the builtin NV names of logmsg.c (LM_V_*): stored pairs, empty
+    // treated as unset
+    def opt(name: String, colName: String): Column = {
+      val c = if (cols.contains(colName)) col(colName).cast("string")
+        else lit(null).cast("string")
+      when(c.isNotNull && c =!= "", map(lit(name), c))
+        .otherwise(map().cast("map<string,string>"))
+    }
+    val builtinNv = Seq("HOST" -> "host", "HOST_FROM" -> "host_from",
+      "MESSAGE" -> "message", "PROGRAM" -> "program", "PID" -> "pid",
+      "MSGID" -> "msgid", "SOURCE" -> "source")
+      .map { case (n, c) => opt(n, c) }.reduce(map_concat(_, _))
+    val nvPairs = mergeLastWins(builtinNv,
+      map_filter(values, (k, _) => !k.startsWith(".")))
+    val dotNv = map_filter(values, (k, _) => k.startsWith("."))
+    val sdataNv = map_filter(values, (k, _) => k.startsWith(".SDATA."))
+    val rfc3164Names = Seq("FACILITY", "PRIORITY", "HOST", "PROGRAM", "PID",
+      "MESSAGE", "DATE")
+    def one(scope: String): Column = scope match {
+      case "rfc3164" | "core" | "base" => macroMap(rfc3164Names)
+      case "rfc5424" | "syslog-proto" =>
+        mergeLastWins(macroMap(rfc3164Names :+ "MSGID"), sdataNv)
+      case "selected-macros" =>
+        macroMap(rfc3164Names ++ Seq("TAGS", "SOURCEIP", "SEQNUM"))
+      case "nv-pairs" => nvPairs
+      case "dot-nv-pairs" => dotNv
+      case "all-nv-pairs" => mergeLastWins(nvPairs, dotNv)
+      case "sdata" => sdataNv
+      case "all-macros" => macroMap(Macros.allNames)
+      case "everything" =>
+        mergeLastWins(mergeLastWins(nvPairs, dotNv), macroMap(Macros.allNames))
+      case other =>
+        throw new IllegalArgumentException(s"unknown value-pairs scope: $other")
+    }
+    scopes.map(one).reduce(mergeLastWins)
+  }
+
+  /** b's entries win on key collision (the GTree insert order of
+    * vp_results_insert — later inserts replace). */
+  private def mergeLastWins(a: Column, b: Column): Column =
+    map_concat(
+      map_filter(a, (k, _) => !array_contains(map_keys(b), k)), b)
+
   /** key-glob include/exclude selection (`value_pairs_add_glob_pattern`).
     * Exclusions win over inclusions, as in the reference. */
   def select(m: Column, include: Seq[String] = Seq("*"),
@@ -63,11 +128,37 @@ object ValuePairs {
 
   /** shift-levels(n): drop the first n dot-separated levels. */
   def shiftLevels(m: Column, n: Int): Column =
-    transform_keys(m, (k, _) => {
-      val parts = split(k, "\\.")
-      when(size(parts) > n, array_join(slice(parts, lit(n + 1), size(parts) - n), "."))
-        .otherwise(k)
-    })
+    transform_keys(m, (k, _) => shiftLevelsKey(n)(k))
+
+  // key-level forms of the rekey transforms, composable inside a
+  // glob-restricted transform set
+  def addPrefixKey(prefix: String): Column => Column =
+    k => concat(lit(prefix), k)
+
+  def replacePrefixKey(from: String, to: String): Column => Column =
+    k => when(k.startsWith(from),
+      concat(lit(to), k.substr(lit(from.length + 1), length(k)))).otherwise(k)
+
+  def shiftKey(n: Int): Column => Column =
+    k => k.substr(lit(n + 1), length(k))
+
+  def shiftLevelsKey(n: Int): Column => Column = k => {
+    val parts = split(k, "\\.")
+    when(size(parts) > n, array_join(slice(parts, lit(n + 1), size(parts) - n), "."))
+      .otherwise(k)
+  }
+
+  /** A rekey TRANSFORM SET (`value_pairs_transform_set_new(glob)` +
+    * `vp_transform_apply`): the chained key transforms apply — in
+    * order — only to keys matching the set's glob; other keys pass
+    * untouched. The glob is evaluated against the ORIGINAL key. */
+  def rekeySet(m: Column, globs: Seq[String],
+      transforms: Seq[Column => Column]): Column = {
+    val res = globs.map(Rewrites.globToRegex)
+    def hit(k: Column): Column = res.map(k.rlike).reduce(_ || _)
+    transform_keys(m, (k, _) =>
+      when(hit(k), transforms.foldLeft(k)((c, f) => f(c))).otherwise(k))
+  }
 
   private def sortedEntries(m: Column): Column = array_sort(map_entries(m))
 

@@ -15,6 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Macros {
 
+  private val engineStart: Long = System.nanoTime()
+
+  /** The complete macro table in `macros.c:47-216` order — the
+    * `all-macros` value-pairs scope iterates exactly this set. */
+  val allNames: Seq[String] = {
+    val unprefixedDate = Seq("DATE", "FULLDATE", "ISODATE", "STAMP", "YEAR",
+      "YEAR_DAY", "MONTH", "MONTH_WEEK", "MONTH_ABBREV", "MONTH_NAME", "DAY",
+      "HOUR", "HOUR12", "MIN", "SEC", "USEC", "MSEC", "AMPM", "WEEKDAY",
+      "WEEK_DAY", "WEEK_DAY_ABBREV", "WEEK_DAY_NAME", "WEEK", "ISOWEEK",
+      "TZOFFSET", "TZ", "SYSUPTIME", "UNIXTIME")
+    val prefixedDate = Seq("DATE", "FULLDATE", "ISODATE", "STAMP", "YEAR",
+      "YEAR_DAY", "MONTH", "MONTH_WEEK", "MONTH_ABBREV", "MONTH_NAME", "DAY",
+      "HOUR", "HOUR12", "MIN", "SEC", "MSEC", "USEC", "AMPM", "WEEKDAY",
+      "WEEK_DAY", "WEEK_DAY_ABBREV", "WEEK_DAY_NAME", "WEEK", "ISOWEEK",
+      "TZOFFSET", "TZ", "UNIXTIME")
+    Seq("FACILITY", "FACILITY_NUM", "SEVERITY", "SEVERITY_NUM", "PRIORITY",
+      "LEVEL", "LEVEL_NUM", "TAG", "TAGS", "BSDTAG", "PRI") ++
+      unprefixedDate ++
+      Seq("R_", "S_", "C_", "P_").flatMap(p => prefixedDate.map(p + _)) ++
+      Seq("SDATA", "MSGHDR", "SOURCEIP", "DESTIP", "DESTPORT", "PROTO",
+        "SEQNUM", "CONTEXT_ID", "_", "RCPTID", "RUNID", "HOSTID", "UNIQID",
+        "MSG", "MESSAGE", "HOST", "LOGHOST")
+  }
+
   private def severityName(code: Column): Column =
     SyslogNames.severities.zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (acc, (name, i)) => when(code === i, lit(name)).otherwise(acc)
@@ -53,6 +77,10 @@ object Macros {
     case "MONTH" => Some(date_format(ts, "MM"))
     case "DAY" => Some(date_format(ts, "dd"))
     case "HOUR" => Some(date_format(ts, "HH"))
+    case "HOUR12" =>
+      // macros.c:369-378: 12-hour clock, 0 renders as 12, zero-padded
+      Some(date_format(ts, "hh"))
+    case "AMPM" => Some(date_format(ts, "a"))
     case "MIN" => Some(date_format(ts, "mm"))
     case "SEC" => Some(date_format(ts, "ss"))
     case "MSEC" => Some(date_format(ts, "SSS"))
@@ -116,6 +144,37 @@ object Macros {
       case "SEVERITY" | "LEVEL" | "PRIORITY" => severityName(col("severity"))
       case "SEVERITY_NUM" | "LEVEL_NUM" => col("severity").cast("string")
       case "TAG" => lpad(hex(col("facility") * 8 + col("severity")), 2, "0")
+      case "BSDTAG" =>
+        // macros.c:480-485: severity digit + ('A' + facility) letter
+        val letter = (0 until 24).foldLeft(lit(null).cast("string")) {
+          case (acc, i) =>
+            when(col("facility") === i, lit(('A' + i).toChar.toString)).otherwise(acc)
+        }
+        concat(col("severity").cast("string"), letter)
+      case "SDATA" =>
+        // macros.c:520: the formatted RFC5424 SD blocks; empty (not "-")
+        // when the message carries none
+        if (hasValues)
+          graft.operators.Scl.sdataBlocksOf(col("values"), emptyAs = "")
+        else lit("")
+      case "SOURCEIP" =>
+        // macros.c:568-584: saddr when it is an IP, else 127.0.0.1
+        if (columns.contains("sourceip")) coalesce(col("sourceip"), lit("127.0.0.1"))
+        else lit("127.0.0.1")
+      case "DESTIP" =>
+        if (columns.contains("destip")) coalesce(col("destip"), lit("127.0.0.1"))
+        else lit("127.0.0.1")
+      case "DESTPORT" =>
+        if (columns.contains("destport")) coalesce(col("destport").cast("string"), lit("0"))
+        else lit("0")
+      case "PROTO" =>
+        if (columns.contains("proto")) coalesce(col("proto").cast("string"), lit("0"))
+        else lit("0")
+      case "SYSUPTIME" =>
+        // macros.c:678-686: hundredths of a second since engine start;
+        // snapshotted at plan time like LOGHOST (driver-side constant)
+        if (columns.contains("sysuptime")) col("sysuptime").cast("string")
+        else lit(((System.nanoTime() - engineStart) / 10000000L).toString)
       case "TAGS" => array_join(col("tags"), ",")
       case "SEQNUM" | "RCPTID" | "HOSTID" | "RUNID" | "UNIQID" | "CONTEXT_ID" =>
         if (columns.contains(name.toLowerCase)) col(name.toLowerCase) else lit("")
