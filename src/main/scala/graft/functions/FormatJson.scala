@@ -58,11 +58,46 @@ object FormatJson {
       if (j > 0) sb.append(',')
       appendJsonString(sb, sorted(j)._1)
       sb.append(':')
-      appendJsonString(sb, sorted(j)._2)
+      appendJsonValue(sb, sorted(j)._2)
       j += 1
     }
     sb.append('}')
     UTF8String.fromString(sb.toString)
+  }
+
+  /** The vp_walker key tokenizer (`lib/value-pairs/value-pairs.c:
+    * 620-675`): dots split levels, EXCEPT (a) an SDATA enterprise id —
+    * `@` followed by digit/dot-digit runs — stays inside its token
+    * (`win@18372.4` is one level), and (b) a zero-length token merges
+    * the dot into the following token (`.program` with
+    * --leave-initial-dot is one level, dot included). */
+  private[graft] def splitKey(key: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](4)
+    var start = 0
+    var i = 0
+    while (i < key.length) {
+      key.charAt(i) match {
+        case '@' =>
+          // vp_walker_skip_sdata_enterprise_id
+          i += 1
+          while (i < key.length && key.charAt(i).isDigit) i += 1
+          while (i + 1 < key.length && key.charAt(i) == '.' &&
+              key.charAt(i + 1).isDigit) {
+            i += 1
+            while (i < key.length && key.charAt(i).isDigit) i += 1
+          }
+        case '.' if start != i =>
+          out += key.substring(start, i)
+          i += 1
+          start = i
+        case _ =>
+          // includes the zero-length-token '.' fall-through: the dot
+          // joins the token that follows
+          i += 1
+      }
+    }
+    if (start != i) out += key.substring(start, i)
+    if (out.isEmpty) Array(key) else out.toArray
   }
 
   def render(m: MapData): UTF8String = {
@@ -77,6 +112,7 @@ object FormatJson {
       i += 1
     }
     val sorted = pairs.sortBy(_._1)
+    val tokens = sorted.map(p => splitKey(p._1))
     val sb = new java.lang.StringBuilder(64)
     sb.append('{')
     // stack of currently-open object path segments
@@ -85,19 +121,20 @@ object FormatJson {
     var j = 0
     while (j < sorted.length) {
       val (key, value) = sorted(j)
-      val segs = key.split("\\.", -1).toList
+      val segs = tokens(j).toList
       // a scalar key shadowed by deeper keys (a, then a.b): object wins.
-      // Keys can sort between the scalar and its children ("a-x" lands
-      // between "a" and "a.b"), so probe the whole tail: the first key
-      // >= key+"." is found by binary search; shadowed iff it extends it.
+      // String-sorted extensions of `key` are contiguous right after it;
+      // scan them and test TOKEN-level extension (enterprise-id dots
+      // make string-prefix alone insufficient).
       val shadowed = {
-        val probe = key + "."
-        var lo = j + 1; var hi = sorted.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (sorted(mid)._1 < probe) lo = mid + 1 else hi = mid
+        var idx = j + 1
+        var hit = false
+        while (idx < sorted.length && !hit && sorted(idx)._1.startsWith(key)) {
+          val t = tokens(idx)
+          hit = t.length > segs.length && t.startsWith(segs)
+          idx += 1
         }
-        lo < sorted.length && sorted(lo)._1.startsWith(probe)
+        hit
       }
       if (!shadowed) {
         val path = segs.dropRight(1)
@@ -120,7 +157,7 @@ object FormatJson {
         }
         appendJsonString(sb, leaf)
         sb.append(':')
-        appendJsonString(sb, value)
+        appendJsonValue(sb, value)
         first = false
       }
       j += 1
@@ -137,6 +174,15 @@ object FormatJson {
     while (ai.hasNext && bi.hasNext && ai.next() == bi.next()) i += 1
     i
   }
+
+  /** Raw-splice marker: a value starting with U+0001 is already JSON
+    * (type-hinted number/boolean/list/literal from the value-pairs
+    * cmdline, `lib/type-hinting.c`) and is emitted without quoting. */
+  final val RawJsonMarker = '\u0001'
+
+  private def appendJsonValue(sb: java.lang.StringBuilder, s: String): Unit =
+    if (s.nonEmpty && s.charAt(0) == RawJsonMarker) sb.append(s, 1, s.length)
+    else appendJsonString(sb, s)
 
   private def appendJsonString(sb: java.lang.StringBuilder, s: String): Unit = {
     sb.append('"')

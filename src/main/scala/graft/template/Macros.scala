@@ -126,8 +126,14 @@ object Macros {
     val hasMatches = columns.contains("matches")
 
     name => name match {
+      // pseudo-name for the scope machinery (VpCmdline): the whole
+      // dynamic NV map of the frame
+      case "__VALUES_MAP__" =>
+        if (hasValues) col("values") else map().cast("map<string,string>")
       case "HOST" => col("host")
-      case "HOST_FROM" => col("host_from")
+      case "HOST_FROM" =>
+        if (columns.contains("host_from")) col("host_from")
+        else lit(null).cast("string")
       case "MESSAGE" | "MSG" => col("message")
       case "MSGHDR" =>
         concat(coalesce(col("program"), lit("")),
@@ -135,9 +141,12 @@ object Macros {
             .otherwise(lit("")),
           lit(": "))
       case "PROGRAM" => col("program")
-      case "PID" => col("pid")
-      case "MSGID" => col("msgid")
-      case "SOURCE" => col("source")
+      case "PID" =>
+        if (columns.contains("pid")) col("pid") else lit(null).cast("string")
+      case "MSGID" =>
+        if (columns.contains("msgid")) col("msgid") else lit(null).cast("string")
+      case "SOURCE" =>
+        if (columns.contains("source")) col("source") else lit(null).cast("string")
       case "PRI" => (col("facility") * 8 + col("severity")).cast("string")
       case "FACILITY" => facilityName(col("facility"))
       case "FACILITY_NUM" => col("facility").cast("string")
@@ -175,15 +184,25 @@ object Macros {
         // snapshotted at plan time like LOGHOST (driver-side constant)
         if (columns.contains("sysuptime")) col("sysuptime").cast("string")
         else lit(((System.nanoTime() - engineStart) / 10000000L).toString)
-      case "TAGS" => array_join(col("tags"), ",")
+      case "TAGS" =>
+        // log_msg_print_tags str-repr-quotes tags containing commas
+        // (the $(list-*) encoding, logmsg.c:1009)
+        graft.functions.ListFunctions.list_encode(col("tags"))
       case "SEQNUM" | "RCPTID" | "HOSTID" | "RUNID" | "UNIQID" | "CONTEXT_ID" =>
         if (columns.contains(name.toLowerCase)) col(name.toLowerCase) else lit("")
       case "LOGHOST" =>
         lit(java.net.InetAddress.getLocalHost.getHostName)
-      case d if d.startsWith("R_") && dateMacro(d.drop(2), col("recvd_ts"), tz).isDefined =>
-        dateMacro(d.drop(2), col("recvd_ts"), tz).get
-      case d if d.startsWith("P_") && dateMacro(d.drop(2), col("proc_ts"), tz).isDefined =>
-        dateMacro(d.drop(2), col("proc_ts"), tz).get
+      // R_/P_ fall back to the event stamp when the frame carries no
+      // received/processed stamp column (the reference always stamps
+      // both at ingest; batch frames often only have ts)
+      case d if d.startsWith("R_") && dateMacro(d.drop(2),
+          col(if (columns.contains("recvd_ts")) "recvd_ts" else "ts"), tz).isDefined =>
+        dateMacro(d.drop(2),
+          col(if (columns.contains("recvd_ts")) "recvd_ts" else "ts"), tz).get
+      case d if d.startsWith("P_") && dateMacro(d.drop(2),
+          col(if (columns.contains("proc_ts")) "proc_ts" else "ts"), tz).isDefined =>
+        dateMacro(d.drop(2),
+          col(if (columns.contains("proc_ts")) "proc_ts" else "ts"), tz).get
       case d if d.startsWith("C_") && dateMacro(d.drop(2), current_timestamp(), tz).isDefined =>
         dateMacro(d.drop(2), current_timestamp(), tz).get
       case d if d.startsWith("S_") && dateMacro(d.drop(2), col("ts"), tz).isDefined =>

@@ -78,14 +78,29 @@ object Template {
   private def findClose(s: String, open: Int, oc: Char, cc: Char): Int = {
     var depth = 0
     var i = open
+    var quote: Char = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == oc) depth += 1
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        else if (c == '\\' && i + 1 < s.length) i += 1
+      } else if ((c == '"' || c == '\'') && i > 0 && quoteOpens(s.charAt(i - 1))) {
+        // quotes shield parens ($(format-json "i=ifoo(")) — but only
+        // quotes in operand position open (after space/(/=), so a
+        // literal apostrophe ($(echo it's)) stays literal
+        quote = c
+      } else if (c == oc) depth += 1
       else if (c == cc) { depth -= 1; if (depth == 0) return i }
       i += 1
     }
     throw new IllegalArgumentException(s"unbalanced $oc$cc in template: $s")
   }
+
+  /** A quote char only OPENS a quoted span right after a delimiter —
+    * argument start, whitespace, '(' or '=' — mirroring the reference
+    * lexer's token-position quoting. */
+  private def quoteOpens(prev: Char): Boolean =
+    prev == ' ' || prev == '(' || prev == '='
 
   /** Split `$(fn a "b c" $(g x))` args on spaces, honoring quotes and
     * nested parens. Returns (stripped, original) per arg: `stripped` has
@@ -114,7 +129,8 @@ object Template {
         }
         else { cur.append(c); raw.append(c) }
       } else c match {
-        case '"' | '\'' => quote = c; raw.append(c)
+        case '"' | '\'' if i == 0 || quoteOpens(s.charAt(i - 1)) =>
+          quote = c; raw.append(c)
         case '(' => depth += 1; cur.append(c); raw.append(c)
         case ')' => depth -= 1; cur.append(c); raw.append(c)
         case ' ' if depth == 0 => flush()
@@ -215,6 +231,24 @@ object Template {
               compile(args(1), resolve).cast("string"))
               .otherwise(compile(args(2), resolve).cast("string"))
         }
+
+      // ---- value-pairs-cmdline formatters (lib/value-pairs/cmdline.c):
+      // args re-split from their raw text so `k=v` pairs, --options and
+      // type hints are parsed BEFORE template compilation, exactly like
+      // vp_cmdline_parse runs over argv
+      case Func(name, _, raw)
+          if Set("format-json", "format_json", "format-flat-json",
+            "format_flat_json", "format-welf", "format_welf",
+            "format-cef-extension", "format_cef_extension")
+            .contains(name) =>
+        val stripped = raw.map(r => splitArgs2(r).headOption.map(_._1).getOrElse(""))
+        val comp = (s: String) => compile(parse(s), resolve)
+        val canon = name.replace('_', '-')
+        if (canon == "format-welf") VpCmdline.formatWelf(stripped, resolve, comp)
+        else if (canon == "format-cef-extension")
+          VpCmdline.formatCef(stripped, resolve, comp)
+        else VpCmdline.formatJson(stripped, resolve, comp,
+          flat = canon == "format-flat-json")
 
       case Func(name, args, _) =>
         // '-' and '_' interchange in plugin names like the reference's

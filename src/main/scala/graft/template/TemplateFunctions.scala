@@ -284,13 +284,6 @@ object TemplateFunctions {
         (unix_timestamp(nextYear) - unix_timestamp(startOfYear)).cast("double")
       round(year(ts) + frac, 2)
     },
-    "format-welf" -> { args =>
-      // $(format-welf k1 v1 k2 v2 ...)
-      val pairs = args.map(_.col).grouped(2).collect {
-        case Seq(k, v) => concat(k, lit("="), v)
-      }.toSeq
-      concat_ws(" ", pairs: _*)
-    },
     // $(binary 0x41 66 ...) — str-funcs.c: bytes from numeric args
     "binary" -> { args =>
       val chars = args.map { a =>
@@ -301,11 +294,9 @@ object TemplateFunctions {
       }
       concat(chars: _*)
     },
-    // structured formatters over explicit k/v args (the value-pairs
-    // scope-driven forms live in graft.operators.ValuePairs)
-    "format-json" -> (args => graft.operators.ValuePairs.formatFlatJson(kvMap(args))),
-    "format-flat-json" -> (args => graft.operators.ValuePairs.formatFlatJson(kvMap(args))),
-    "format-cef-extension" -> (args => graft.operators.ValuePairs.formatCef(kvMap(args))),
+    // format-json / format-flat-json / format-welf / format-cef-extension
+    // compile through the value-pairs cmdline (template.VpCmdline) —
+    // intercepted in Template.compile before this registry
     // $(graphite-output ts k1 v1 ...) — graphite-output.c:144-170; the
     // value-pairs scope-driven form is ValuePairs.formatGraphite
     "graphite-output" -> (args =>

@@ -1,0 +1,253 @@
+package graft.template
+
+import graft.operators.{Rewrites, ValuePairs}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The value-pairs command line shared by `$(format-json)`,
+  * `$(format-flat-json)`, `$(format-welf)` and friends —
+  * `/root/reference/lib/value-pairs/cmdline.c` (vp_cmdline_parse):
+  *
+  *   - `--scope/-s name[,name]`, `--key/-k glob`, `--exclude/-x glob`,
+  *     `--pair/-p k=v`
+  *   - positional `k=v` args are pairs, other positionals are key globs
+  *   - `--rekey glob` opens a transform set; `--shift n`,
+  *     `--shift-levels n`, `--add-prefix p`, `--replace-prefix from=to`
+  *     attach to the LAST `--key`/`--rekey` glob (cmdline.c
+  *     last_pattern)
+  *   - `--omit-empty-values`, and format-json's `--leave-initial-dot`
+  *
+  * Pair values take type hints (`lib/type-hinting.c`):
+  * `int32()/int64()/double()/boolean()/list()/literal()/string()`.
+  * Typed values pre-encode as raw JSON behind
+  * [[graft.functions.FormatJson.RawJsonMarker]]. Unparsable hinted
+  * values follow the template-options on-error mode
+  * (`drop-message` default | `drop-property` | `fallback-to-string`),
+  * accepted here as an `--on-error` argument since the engine has no
+  * global template-options object.
+  *
+  * Explicitly added pairs bypass the exclude patterns, and the `--key`
+  * space is the `everything` scope (cmdline patterns trigger
+  * vp_merge_macros, value-pairs.c:345).
+  */
+object VpCmdline {
+
+  private val Err = "\u0002"
+  private val Raw = graft.functions.FormatJson.RawJsonMarker.toString
+
+  private final case class Parsed(
+      scopes: Seq[String],
+      keys: Seq[String],
+      excludes: Seq[String],
+      pairs: Seq[(String, String)],
+      rekeys: Seq[(String, Seq[Column => Column])],
+      omitEmpty: Boolean,
+      leaveInitialDot: Boolean,
+      onError: String)
+
+  private def parseArgs(args: Seq[String]): Parsed = {
+    var scopes = Vector.empty[String]
+    var keys = Vector.empty[String]
+    var excludes = Vector.empty[String]
+    var pairs = Vector.empty[(String, String)]
+    // glob -> transform chain, in arrival order
+    var rekeys = Vector.empty[(String, Vector[Column => Column])]
+    var lastPattern: Option[String] = None
+    var omitEmpty = false
+    var leaveDot = false
+    var onError = "drop-message"
+    def attach(f: Column => Column): Unit = {
+      val glob = lastPattern.getOrElse(
+        throw new IllegalArgumentException(
+          "value-pairs: --shift/--add-prefix need a preceding --key/--rekey"))
+      rekeys.indexWhere(_._1 == glob) match {
+        case -1 => rekeys :+= (glob -> Vector(f))
+        case i => rekeys = rekeys.updated(i, (glob, rekeys(i)._2 :+ f))
+      }
+    }
+    var i = 0
+    def next(): String = { i += 1; args(i) }
+    while (i < args.length) {
+      args(i) match {
+        case "--scope" | "-s" => scopes ++= next().split(",").map(_.trim)
+        case "--key" | "-k" =>
+          // --key and --exclude take comma lists (test_format_welf.c)
+          val gs = next().split(",").map(_.trim)
+          keys ++= gs; lastPattern = gs.lastOption
+        case "--exclude" | "-x" => excludes ++= next().split(",").map(_.trim)
+        case "--pair" | "-p" =>
+          val kv = next(); val eq = kv.indexOf('=')
+          pairs :+= (kv.substring(0, eq) -> kv.substring(eq + 1))
+        case "--rekey" => val g = next(); lastPattern = Some(g)
+          if (!rekeys.exists(_._1 == g)) rekeys :+= (g -> Vector())
+        case "--shift" => attach(ValuePairs.shiftKey(next().toInt))
+        case "--shift-levels" => attach(ValuePairs.shiftLevelsKey(next().toInt))
+        case "--add-prefix" => attach(ValuePairs.addPrefixKey(next()))
+        case "--replace-prefix" | "--replace" =>
+          val kv = next(); val eq = kv.indexOf('=')
+          attach(ValuePairs.replacePrefixKey(kv.substring(0, eq), kv.substring(eq + 1)))
+        case "--omit-empty-values" => omitEmpty = true
+        case "--leave-initial-dot" => leaveDot = true
+        case "--on-error" => onError = next()
+        case kv if kv.indexOf('=') > 0 &&
+            (kv.indexOf('(') < 0 || kv.indexOf('=') < kv.indexOf('(')) =>
+          val eq = kv.indexOf('=')
+          pairs :+= (kv.substring(0, eq) -> kv.substring(eq + 1))
+        case glob => keys :+= glob; lastPattern = Some(glob)
+      }
+      i += 1
+    }
+    Parsed(scopes, keys, excludes, pairs, rekeys.map { case (g, t) => (g, t.toSeq) },
+      omitEmpty, leaveDot, onError)
+  }
+
+  private def emptyMap: Column = map().cast("map<string,string>")
+
+  private def mergeLastWins(a: Column, b: Column): Column =
+    map_concat(map_filter(a, (k, _) => !array_contains(map_keys(b), k)), b)
+
+  /** Resolver-backed scope map — the template-function twin of
+    * [[ValuePairs.scopeMap]] (which takes a DataFrame); here only the
+    * resolver is available, so NV access goes through the
+    * `__VALUES_MAP__` pseudo-name and builtins through their macros. */
+  private def scopeMapR(resolve: String => Column, scope: String): Column = {
+    def macroMap(names: Seq[String]): Column = {
+      val uniq = names.distinct
+      val m = map_from_arrays(
+        array(uniq.map(lit(_)): _*),
+        array(uniq.map(n => coalesce(resolve(n).cast("string"), lit(""))): _*))
+      map_filter(m, (_, v) => v =!= "")
+    }
+    val values = resolve("__VALUES_MAP__")
+    def opt(name: String): Column = {
+      val c = coalesce(resolve(name).cast("string"), lit(""))
+      when(c =!= "", map(lit(name), c)).otherwise(emptyMap)
+    }
+    val builtinNv = Seq("HOST", "HOST_FROM", "MESSAGE", "PROGRAM", "PID",
+      "MSGID", "SOURCE").map(opt).reduce(map_concat(_, _))
+    val nvPairs = mergeLastWins(builtinNv,
+      map_filter(values, (k, _) => !k.startsWith(".")))
+    val dotNv = map_filter(values, (k, _) => k.startsWith("."))
+    val sdataNv = map_filter(values, (k, _) => k.startsWith(".SDATA."))
+    val rfc3164Names = Seq("FACILITY", "PRIORITY", "HOST", "PROGRAM", "PID",
+      "MESSAGE", "DATE")
+    scope.replace('_', '-') match {
+      case "rfc3164" | "core" | "base" => macroMap(rfc3164Names)
+      case "rfc5424" | "syslog-proto" =>
+        mergeLastWins(macroMap(rfc3164Names :+ "MSGID"), sdataNv)
+      case "selected-macros" =>
+        macroMap(rfc3164Names ++ Seq("TAGS", "SOURCEIP", "SEQNUM"))
+      case "nv-pairs" => nvPairs
+      case "dot-nv-pairs" => dotNv
+      case "all-nv-pairs" => mergeLastWins(nvPairs, dotNv)
+      case "sdata" => sdataNv
+      case "all-macros" => macroMap(Macros.allNames)
+      case "everything" =>
+        mergeLastWins(mergeLastWins(nvPairs, dotNv), macroMap(Macros.allNames))
+      case other =>
+        throw new IllegalArgumentException(s"unknown value-pairs scope: $other")
+    }
+  }
+
+  private val HintRe =
+    "^(string|literal|list|boolean|bool|int|int32|i32|int64|i64|double|float|datetime)\\((.*)\\)$".r
+
+  /** Compile one pair value: split off the type hint, render the inner
+    * template, encode typed values as raw JSON, apply on-error. */
+  private def pairValue(text: String, compile: String => Column,
+      onError: String): Column = {
+    def str(s: String): Column = coalesce(compile(s).cast("string"), lit(""))
+    text match {
+      case HintRe(hint, inner) =>
+        val v = str(inner)
+        def onBad(bad: Column, good: Column): Column = onError match {
+          case "fallback-to-string" => when(bad, v).otherwise(good)
+          case _ => when(bad, lit(Err)).otherwise(good)
+        }
+        hint match {
+          case "string" => v
+          case "literal" => concat(lit(Raw), v)
+          case "boolean" | "bool" =>
+            val t = lower(trim(v))
+            onBad(!t.isin("true", "yes", "on", "1", "false", "no", "off", "0"),
+              concat(lit(Raw),
+                when(t.isin("true", "yes", "on", "1"), "true").otherwise("false")))
+          case "int" | "int32" | "i32" | "int64" | "i64" =>
+            onBad(!trim(v).rlike("^-?[0-9]+$"), concat(lit(Raw), trim(v)))
+          case "double" | "float" =>
+            // ANSI-safe: regex-validate instead of cast-and-null-check
+            onBad(!trim(v).rlike("^-?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+              concat(lit(Raw), trim(v)))
+          case "datetime" =>
+            onBad(!trim(v).rlike("^[0-9]+$"), concat(lit(Raw), trim(v)))
+          case "list" =>
+            // str-repr list -> JSON array (list-funcs str-repr parse)
+            concat(lit(Raw),
+              to_json(graft.functions.ListFunctions.list_scan(v)))
+        }
+      case plain => str(plain)
+    }
+  }
+
+  /** Build the final NV map for one command line. `compile` renders a
+    * template string with the caller's resolver. */
+  def buildMap(args: Seq[String], resolve: String => Column,
+      compile: String => Column): Column = {
+    val p = parseArgs(args)
+    val scoped =
+      (p.scopes.map(scopeMapR(resolve, _)) ++
+        // the --key space is the everything scope
+        (if (p.keys.nonEmpty)
+          Seq(ValuePairs.select(scopeMapR(resolve, "everything"),
+            include = p.keys))
+         else Nil))
+        .reduceOption(mergeLastWins).getOrElse(emptyMap)
+    // excludes prune scope/key results but never explicit pairs
+    val pruned = ValuePairs.select(scoped, exclude = p.excludes)
+    val pairMap = p.pairs.foldLeft(emptyMap) { case (m, (k, vText)) =>
+      mergeLastWins(m, map(lit(k), pairValue(vText, compile, p.onError)))
+    }
+    val merged = mergeLastWins(pruned, pairMap)
+    val rekeyed = p.rekeys.foldLeft(merged) { case (m, (glob, fns)) =>
+      if (fns.isEmpty) m else ValuePairs.rekeySet(m, Seq(glob), fns)
+    }
+    val dotted =
+      if (p.leaveInitialDot) rekeyed
+      else transform_keys(rekeyed, (k, _) =>
+        when(k.startsWith("."), concat(lit("_"), k.substr(lit(2), length(k))))
+          .otherwise(k))
+    val nonEmpty =
+      if (p.omitEmpty) map_filter(dotted, (_, v) => v.isNotNull && v =!= "")
+      else dotted
+    nonEmpty
+  }
+
+  /** `$(format-json ...)` / `$(format-flat-json ...)`. */
+  def formatJson(args: Seq[String], resolve: String => Column,
+      compile: String => Column, flat: Boolean): Column = {
+    val p = parseArgs(args)
+    val m = buildMap(args, resolve, compile)
+    val rendered = graft.functions.FormatJson(
+      map_filter(m, (_, v) => v =!= Err), flat)
+    if (p.onError == "drop-message")
+      when(exists(map_values(m), _ === Err), lit("")).otherwise(rendered)
+    else rendered
+  }
+
+  /** `$(format-welf ...)` over the same command line (format-welf.c). */
+  def formatWelf(args: Seq[String], resolve: String => Column,
+      compile: String => Column): Column =
+    ValuePairs.formatWelf(stripTyped(buildMap(args, resolve, compile)))
+
+  /** `$(format-cef-extension ...)`. */
+  def formatCef(args: Seq[String], resolve: String => Column,
+      compile: String => Column): Column =
+    ValuePairs.formatCef(stripTyped(buildMap(args, resolve, compile)))
+
+  /** Non-JSON formatters render typed values as their plain text. */
+  private def stripTyped(m: Column): Column =
+    map_filter(
+      transform_values(m, (_, v) =>
+        when(v.startsWith(Raw), v.substr(lit(2), length(v))).otherwise(v)),
+      (_, v) => v =!= Err)
+}

@@ -120,9 +120,9 @@ class TemplateSpec extends GraftSuite {
     assert(render("$(if true yes no)") == Seq("yes", "yes"))
     assert(render("$(if 0 yes no)") == Seq("no", "no"))
     assert(render("$(binary 0x41 66 0x43)") == Seq("ABC", "ABC"))
-    assert(render("$(format-json host $HOST app $PROGRAM)") ==
+    assert(render("$(format-json host=$HOST app=$PROGRAM)") ==
       Seq("""{"app":"sshd","host":"h1"}""", """{"app":"cron","host":"h2"}"""))
-    assert(render("$(format-cef-extension msg $MESSAGE)") ==
+    assert(render("$(format-cef-extension msg=$MESSAGE)") ==
       Seq("msg=login failed", "msg=job done"))
   }
 
