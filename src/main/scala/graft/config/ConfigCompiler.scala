@@ -1328,9 +1328,27 @@ object ConfigCompiler {
         df => df.withColumn("values", map_concat(
           mapOrEmpty(df), coalesce(XmlFlatten(input, prefix, Nil, false), map())))
       case "date-parser" =>
-        val fmt = kvOf(s.args, "format").getOrElse("%Y-%m-%dT%H:%M:%S")
+        // full date-parser() semantics (modules/timestamp/date-parser.c):
+        // multi-format list, strftime zone names, year/field heuristics,
+        // guess-timezone — the DateScan engine; no format() = ISO8601
+        val fmts = s.args.collect { case KV("format", vs) => lits(vs) }.flatten
         val tz = kvOf(s.args, "timezone")
-        df => df.withColumn("ts", Parsers.dateParse(input, fmt, tz))
+        val guess = s.args.exists {
+          case KV("flags", vs) => lits(vs).contains("guess-timezone")
+          case _ => false }
+        val refNow = System.currentTimeMillis() / 1000
+        df => {
+          val d = graft.functions.DateScan(input, fmts, tz,
+            java.util.TimeZone.getDefault.getID, refNow, guess)
+          val prevTs =
+            if (df.columns.contains("ts")) col("ts").cast("timestamp")
+            else lit(null).cast("timestamp")
+          df.withColumn("__date", d)
+            .withColumn("ts", when(col("__date.ok"),
+              timestamp_micros(col("__date.epoch") * 1000000L + col("__date.usec")))
+              .otherwise(prevTs))
+            .drop("__date")
+        }
       case "syslog-parser" =>
         df => {
           val p = GraftFunctions.parse_syslog(input)

@@ -122,11 +122,23 @@ case class CidrMatch(child: Expression, cidr: String) extends UnaryExpression {
 }
 
 object CidrMatch {
+  /** Lenient like the reference's filter init: an unparsable CIDR
+    * (`aaaaaa/32`, `/8`, `::/599`, `::/aaa`), empty pattern or
+    * out-of-range prefix compiles to a never-matching filter
+    * (`test_filters_netmask6.c:175-190`); a bare address without `/`
+    * is a host match (`::1` == `::1/128`, `127.0.0.1` == `/32`). */
   private[functions] def compile(cidr: String): (Array[Byte], Int) = {
-    val Array(addr, bitsStr) = cidr.split("/", 2)
+    val slash = cidr.indexOf('/')
+    val (addr, bitsStr) =
+      if (slash < 0) (cidr, null)
+      else (cidr.substring(0, slash), cidr.substring(slash + 1))
     val bytes = parseIp(addr)
-    require(bytes != null, s"bad CIDR address: $cidr")
-    (bytes, bitsStr.toInt)
+    if (bytes == null) return (null, -1)
+    val maxBits = bytes.length * 8
+    val bits =
+      if (bitsStr == null) maxBits
+      else try bitsStr.toInt catch { case _: NumberFormatException => -1 }
+    if (bits < 0 || bits > maxBits) (null, -1) else (bytes, bits)
   }
 
   /** Literal IPv4/IPv6 parse, null on anything else. IPv4 yields 4
@@ -150,7 +162,7 @@ object CidrMatch {
   }
 
   private[functions] def prefixMatch(ip: Array[Byte], net: Array[Byte], bits: Int): Boolean = {
-    if (ip == null || ip.length != net.length) return false
+    if (ip == null || net == null || ip.length != net.length) return false
     var remaining = bits
     var i = 0
     while (remaining >= 8) {

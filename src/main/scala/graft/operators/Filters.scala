@@ -43,6 +43,50 @@ object Filters {
   /** `match(re value(field))` — regex match on any expression. */
   def matches(re: String, value: Column): Column = value.rlike(re)
 
+  /** The default `match()` target when no value()/template() is given:
+    * the legacy `$MSGHDR$MSG` surface (`lib/filter/filter-re.c`
+    * filter_match_new falls back to LM_V_LEGACY_MSGHDR + message —
+    * `match("^openvpn\\[2499\\]: PTHREAD")` hits,
+    * test_filters_regexp.c:292). */
+  def matchDefaultTarget(df: DataFrame): Column = {
+    def c(n: String) =
+      if (df.columns.contains(n)) col(n) else lit(null).cast("string")
+    concat(
+      coalesce(c("program"), lit("")),
+      when(c("pid").isNotNull, concat(lit("["), c("pid"), lit("]")))
+        .otherwise(lit("")),
+      when(c("program").isNotNull, lit(": ")).otherwise(lit("")),
+      coalesce(col("message"), lit("")))
+  }
+
+  /** `match(... flags(store-matches [dupnames]))` — the PCRE
+    * match-and-store engine (`lib/logmatcher.c`): the verdict lands in
+    * `matched`, numbered registers in `matches` ($0..$N with pcre's
+    * trailing-unset truncation), named groups merge into `values` by
+    * name (last participating instance wins under dupnames). Rows that
+    * do not match keep their registers untouched. */
+  def matchStore(df: DataFrame, re: String, value: Column,
+      dupnames: Boolean = false): DataFrame = {
+    val staged = df.withColumn("__match",
+      graft.functions.RegexMatchStore(value, re, dupnames))
+    val hit = col("__match.matched")
+    val prevMatches =
+      if (df.columns.contains("matches")) col("matches")
+      else lit(null).cast("array<string>")
+    val prevValues =
+      if (df.columns.contains("values")) col("values")
+      else map().cast("map<string,string>")
+    val named = coalesce(col("__match.named"), map().cast("map<string,string>"))
+    staged
+      .withColumn("matches", when(hit, col("__match.groups")).otherwise(prevMatches))
+      .withColumn("values", when(hit,
+        map_concat(
+          map_filter(prevValues, (k, _) => !array_contains(map_keys(named), k)),
+          named)).otherwise(prevValues))
+      .withColumn("matched", hit)
+      .drop("__match")
+  }
+
   /** Literal string matcher backend (`lib/logmatcher.h` "string"). */
   def matchesLiteral(s: String, value: Column): Column = value === lit(s)
 
@@ -56,15 +100,11 @@ object Filters {
   }
 
   /** `netmask("a.b.c.d/len")` CIDR containment — `lib/filter/
-    * filter-netmask.c`. `ip` is a dotted-quad string column. */
-  def netmask(cidr: String, ip: Column): Column = {
-    val Array(base, lenS) = cidr.split("/")
-    val len = lenS.toInt
-    val baseInt = base.split("\\.").map(_.toLong).reduceLeft((a, b) => (a << 8) | b)
-    val mask = if (len == 0) 0L else (0xFFFFFFFFL << (32 - len)) & 0xFFFFFFFFL
-    val ipInt = graft.functions.GraftFunctions.ipv4_to_int(ip)
-    ipInt.isNotNull && (ipInt.bitwiseAND(lit(mask)) === lit(baseInt & mask))
-  }
+    * filter-netmask.c`. `ip` is a dotted-quad string column. Shares
+    * CidrMatch's lenient compile: malformed patterns never match, a
+    * bare address is a host match. */
+  def netmask(cidr: String, ip: Column): Column =
+    graft.functions.GraftFunctions.cidr_match(cidr, ip)
 
   /** `tags(t1, t2)` — any-of test on the tags array (`lib/filter/
     * filter-tags.c`). */

@@ -63,13 +63,16 @@ object Rewrites {
       condition: Column, storeMatches: Boolean): DataFrame =
     if (!storeMatches) df
     else {
-        val n = java.util.regex.Pattern.compile(re).matcher("").groupCount()
-        val groups = (0 to n).map(i => regexp_extract(col(field), re, i))
-        df.withColumn("matches",
-          when(condition && col(field).rlike(re), array(groups: _*))
+      // the shared logmatcher engine: pcre group semantics (trailing
+      // non-participating registers unset, earlier ones "")
+      val m = graft.functions.RegexMatchStore(col(field), re, dupnames = false)
+      df.withColumn("__subst_m", m)
+        .withColumn("matches",
+          when(condition && col("__subst_m.matched"), col("__subst_m.groups"))
             .otherwise(if (df.columns.contains("matches")) col("matches")
             else lit(null).cast("array<string>")))
-      }
+        .drop("__subst_m")
+    }
 
   /** Global subst with a COMPUTED per-match replacement — the engine
     * under the reference's templated-replacement substs

@@ -211,7 +211,8 @@ object Macros {
         dateMacro(d, col("ts"), tz).get
       case m if m.nonEmpty && m.forall(_.isDigit) && hasMatches =>
         // $1..$255 regexp match groups -> matches array ($0 = whole match)
-        element_at(col("matches"), m.toInt + 1)
+        // out-of-range registers render "" (an unset pcre register)
+        try_element_at(col("matches"), lit(m.toInt + 1))
       case other if columns.contains(other) => col(other)
       case other if columns.contains(other.toLowerCase) => col(other.toLowerCase)
       case other if hasValues => element_at(col("values"), other)
