@@ -813,6 +813,72 @@ object Queries {
         CAST(date_part('second', ts) AS DOUBLE)))) AS BIGINT) AS ts_utc_sec
       FROM events ORDER BY event_id"""))
 
+  /** date-parser() with a FORMAT LIST (DateScan): two wire formats
+    * round-robin by row — the list must pick the right one per row
+    * (date-parser.c format list, test_date.c:229). The +02:00 timezone
+    * applies because neither format carries an offset; gmtoff is the
+    * parsed offset the reference stores in ut_gmtoff. */
+  private val parseDateStrftime = Q("parse_date_strftime",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+      val iso = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")
+      val apache = date_format(col("ts"), "dd/MMM/yyyy:HH:mm:ss")
+      val line = when(col("event_id") % 2 === 0, iso).otherwise(apache)
+      val scan = graft.functions.DateScan(line,
+        Seq("%F %T", "%d/%b/%Y:%T"), Some("+02:00"), "UTC",
+        1700000000L, guessTimezone = false)
+      ev.withColumn("__d", scan)
+        .select(col("event_id"),
+          col("__d.epoch").as("epoch"),
+          col("__d.gmtoff").as("gmtoff"))
+        .orderBy(col("event_id"))
+    },
+    // the rendered string is the UTC wall clock of ts; reinterpreted in
+    // +02:00 the instant moves back 7200s
+    Some("""SELECT event_id,
+      CAST(epoch(date_trunc('second', ts)) AS BIGINT) - 7200 AS epoch,
+      7200 AS gmtoff
+      FROM events ORDER BY event_id"""))
+
+  /** groupset() with a $_ old-value template over kv-parsed values
+    * (rewrite-groupset.c, test_rewrite.c:268). */
+  private val rewriteGroupset = Q("rewrite_groupset",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val line = concat(lit("user=u"), col("user_id"),
+        lit(" type="), col("event_type"))
+      val parsed = ev.withColumn("values",
+        Parsers.kvParse(line, prefix = ".kv."))
+      val out = graft.operators.Rewrites.groupSet(parsed,
+        old => concat(old, lit("-x")), Seq(".kv.u*"))
+      out.select(col("event_id"),
+          element_at(col("values"), ".kv.user").as("user"),
+          element_at(col("values"), ".kv.type").as("type"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, 'u' || user_id || '-x' AS user,
+      event_type AS type FROM events ORDER BY event_id"""))
+
+  /** match(flags(store-matches)) — named groups land in values, $2 in
+    * the numbered registers (lib/logmatcher.c, test_filters_regexp.c). */
+  private val filterMatchStore = Q("filter_match_store",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val line = concat(lit("u"), col("user_id"), lit(" "), col("event_type"))
+      val df = graft.operators.Filters.matchStore(
+        ev.withColumn("message", line),
+        "(?<who>u[0-9]+) (?<what>[a-z_]+)", col("message"))
+      df.select(col("event_id"),
+          col("matched"),
+          element_at(col("values"), "who").as("who"),
+          element_at(col("values"), "what").as("what"),
+          try_element_at(col("matches"), lit(3)).as("reg2"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, TRUE AS matched, 'u' || user_id AS who,
+      event_type AS what, event_type AS reg2
+      FROM events ORDER BY event_id"""))
+
   private val parseTagsRekey = Q("parse_tags_rekey",
     (s, d) => {
       val ev = Tables.events(s, d)
@@ -2387,7 +2453,8 @@ object Queries {
     enrichRange, enrichGlob,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseSnmptrap, parseKmsg,
     parsePacct, parseJsonFlat,
-    parseJsonNested, parseXml, parseDate, parseTagsRekey, parseApache,
+    parseJsonNested, parseXml, parseDate, parseDateStrftime, parseTagsRekey,
+    parseApache, rewriteGroupset, filterMatchStore,
     configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
     dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash,

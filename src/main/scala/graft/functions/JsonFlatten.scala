@@ -50,11 +50,23 @@ case class JsonFlatten(child: Expression, prefix: String = "",
 }
 
 object JsonFlatten {
-  private val factory = new JsonFactory()
+  // json-c (the reference's parser) accepts single-quoted strings —
+  // its own tests feed "{'foo': 'bar'}" (test_json_parser.c:84)
+  private val factory: JsonFactory = {
+    val f = new JsonFactory()
+    f.enable(JsonParser.Feature.ALLOW_SINGLE_QUOTES)
+    f
+  }
+
+  private val notationCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[JsonDotNotation.Elem]]()
 
   /** Null on malformed JSON (json-parser drops the message; callers
-    * filter on isNull for drop-invalid semantics). */
+    * filter on isNull for drop-invalid semantics). extract-prefix goes
+    * through the real dot-notation engine ([[JsonDotNotation]]) — an
+    * extraction miss or non-object/array result also fails the parse. */
   def flatten(json: UTF8String, prefix: String, extractPrefix: String): ArrayBasedMapData = {
+    if (extractPrefix.nonEmpty) return flattenExtracted(json, prefix, extractPrefix)
     val keys = new ArrayBuffer[Any]
     val vals = new ArrayBuffer[Any]
     try {
@@ -62,17 +74,56 @@ object JsonFlatten {
       try {
         p.nextToken() match {
           case JsonToken.START_OBJECT =>
-            walkObject(p, "", keys, vals, prefix, extractPrefix)
-          case JsonToken.START_ARRAY if extractPrefix.nonEmpty =>
-            // top-level arrays are reachable only via extract-prefix
-            // ("[1]") — the winston/nodejs form (scl/nodejs/plugin.conf;
-            // json-parser otherwise accepts objects only)
-            walkArray(p, "", keys, vals, prefix, extractPrefix)
+            walkObject(p, "", keys, vals, prefix, "")
           case _ => return null
         }
       } finally p.close()
     } catch { case _: Exception => return null }
     ArrayBasedMapData(keys.toArray, vals.toArray)
+  }
+
+  private def flattenExtracted(json: UTF8String, prefix: String,
+      extractPrefix: String): ArrayBasedMapData = {
+    val elems = notationCache.computeIfAbsent(extractPrefix, n =>
+      JsonDotNotation.compile(n).getOrElse(
+        throw new IllegalArgumentException(s"bad extract-prefix: $n")))
+    try {
+      val root = JsonDotNotation.parse(json.toString)
+      val node = JsonDotNotation.eval(root, elems)
+      if (node == null || !(node.isObject || node.isArray)) return null
+      val keys = new ArrayBuffer[Any]
+      val vals = new ArrayBuffer[Any]
+      walkNode(node, "", keys, vals, prefix)
+      ArrayBasedMapData(keys.toArray, vals.toArray)
+    } catch { case _: Exception => null }
+  }
+
+  private def walkNode(node: com.fasterxml.jackson.databind.JsonNode,
+      base: String, keys: ArrayBuffer[Any], vals: ArrayBuffer[Any],
+      prefix: String): Unit = {
+    def emitV(path: String, v: String): Unit = {
+      keys += UTF8String.fromString(prefix + path)
+      vals += UTF8String.fromString(v)
+    }
+    if (node.isObject) {
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        val path = if (base.isEmpty) e.getKey else base + "." + e.getKey
+        walkNode(e.getValue, path, keys, vals, prefix)
+      }
+    } else if (node.isArray) {
+      var i = 0
+      while (i < node.size()) {
+        walkNode(node.get(i), s"$base[$i]", keys, vals, prefix)
+        i += 1
+      }
+    } else if (node.isNull) emitV(base, "")
+    else if (node.isBoolean) emitV(base, if (node.asBoolean()) "true" else "false")
+    else if (node.isFloatingPointNumber)
+      emitV(base, String.format(java.util.Locale.ROOT, "%f",
+        java.lang.Double.valueOf(node.asDouble())))
+    else emitV(base, node.asText())
   }
 
   private def emit(path: String, value: String, keys: ArrayBuffer[Any],
@@ -125,6 +176,10 @@ object JsonFlatten {
         emit(path, "true", keys, vals, prefix, extractPrefix)
       case JsonToken.VALUE_FALSE =>
         emit(path, "false", keys, vals, prefix, extractPrefix)
+      case JsonToken.VALUE_NUMBER_FLOAT =>
+        // json-parser.c:105-108: doubles render with %f (6 decimals)
+        emit(path, String.format(java.util.Locale.ROOT, "%f",
+          java.lang.Double.valueOf(p.getDoubleValue)), keys, vals, prefix, extractPrefix)
       case _ =>
         emit(path, p.getText, keys, vals, prefix, extractPrefix)
     }
