@@ -1506,8 +1506,11 @@ object ConfigCompiler {
       sortKey: Column = col("ts")): Column = {
     import graft.template.Template.{Func, Lit => TLit, Parsed, Ref}
     def guardNum(c: Column): Column = {
+      // parse_dec_number: full-consume strtoll with range check — a
+      // 20+-digit string is invalid (skipped), not an ANSI throw
       val s = c.cast("string")
-      when(s.rlike("^-?[0-9]+$"), s.cast("long"))
+      val d = when(s.rlike("^[+-]?[0-9]{1,38}$"), s.cast("decimal(38,0)"))
+      when(d >= Long.MinValue && d <= Long.MaxValue, d.cast("long"))
     }
     def nodeAgg(n: graft.template.Template.Node): Column = n match {
       case TLit(s) => lit(s)
@@ -1518,11 +1521,18 @@ object ConfigCompiler {
         // values of the context ordered by the sort key, comma-joined
         graft.operators.Sessions.sortedValues(argCol(args).cast("string"),
           sortKey.cast("string"))
-      case Func("grep" | "context-lookup", args, raw) =>
-        // $(grep condition $v) / $(context-lookup condition $v)
-        // (cond-funcs.c:75-145, context-funcs.c:25-120): values of
-        // context rows matching the filter expression, sort-key
-        // ordered; null-skipping array_join drops the unmet rows.
+      case Func("grep" | "context-lookup", args0, raw0) =>
+        // $(grep [-m N] condition $v...) / $(context-lookup condition
+        // $v...) (cond-funcs.c:75-145, context-funcs.c:25-120): every
+        // value argument of every context row matching the filter
+        // expression, interleaved in sort-key order; -m/--max-count
+        // caps the number of matching rows.
+        var maxCount: Option[Int] = None
+        var (args, raw) = (args0, raw0)
+        while (raw.headOption.exists(r => r == "-m" || r == "--max-count")) {
+          maxCount = Some(raw(1).toInt)
+          args = args.drop(2); raw = raw.drop(2)
+        }
         val condText = {
           val t = raw.head.trim
           if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
@@ -1530,14 +1540,20 @@ object ConfigCompiler {
         }
         val cond = filterColTemplated(ConfigParser.parseFilterExpr(condText),
           s2 => Template.compile(Template.parse(s2), resolve))
-        graft.operators.Sessions.sortedValues(
-          when(cond, argCol(args.tail).cast("string")),
-          sortKey.cast("string"))
-      case Func("sum", args, _) => sum(guardNum(argCol(args))).cast("string")
-      case Func("min", args, _) => min(guardNum(argCol(args))).cast("string")
-      case Func("max", args, _) => max(guardNum(argCol(args))).cast("string")
+        val vals = args.tail.map(p =>
+          Template.compile(p, resolve).cast("string"))
+        graft.operators.Sessions.sortedValuesMulti(
+          when(cond, array(vals: _*)), sortKey.cast("string"), maxCount)
+      // all-invalid contexts render "" (the battery's full_invalid
+      // case: _tf_num_filter returns FALSE -> empty result)
+      case Func("sum", args, _) =>
+        coalesce(sum(guardNum(argCol(args))).cast("string"), lit(""))
+      case Func("min", args, _) =>
+        coalesce(min(guardNum(argCol(args))).cast("string"), lit(""))
+      case Func("max", args, _) =>
+        coalesce(max(guardNum(argCol(args))).cast("string"), lit(""))
       case Func("average", args, _) =>
-        avg(guardNum(argCol(args))).cast("long").cast("string")
+        coalesce(avg(guardNum(argCol(args))).cast("long").cast("string"), lit(""))
       case Func(name, _, _) => throw new IllegalArgumentException(
         s"unsupported aggregate template function $$($name)")
     }

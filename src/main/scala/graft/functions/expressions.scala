@@ -324,6 +324,37 @@ object Md4 {
   private val K3 = Array(0, 8, 4, 12, 2, 10, 6, 14, 1, 9, 5, 13, 3, 11, 7, 15)
 }
 
+/** C printf `%.*f` of a double: the EXACT binary expansion, correctly
+  * rounded like glibc — Java's Formatter zero-pads past ~17 significant
+  * digits, so the reference's 20-decimal float renders
+  * (`/root/reference/modules/basicfuncs/numeric-funcs.c` format_number,
+  * precision 20) can't use format_string. */
+case class CFormatDouble(child: Expression, precision: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "c_format_double"
+
+  override protected def nullSafeEval(v: Any): Any =
+    CFormatDouble.fmt(v.asInstanceOf[Double], precision)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d =>
+      s"${ev.value} = graft.functions.CFormatDouble.fmt($d, $precision);")
+
+  override protected def withNewChildInternal(newChild: Expression): CFormatDouble =
+    copy(child = newChild)
+}
+
+object CFormatDouble {
+  def fmt(d: Double, p: Int): UTF8String = UTF8String.fromString {
+    if (java.lang.Double.isNaN(d)) "nan"
+    else if (java.lang.Double.isInfinite(d)) (if (d > 0) "inf" else "-inf")
+    else new java.math.BigDecimal(d)
+      .setScale(p, java.math.RoundingMode.HALF_EVEN).toPlainString
+  }
+}
+
 /** Column builders + SQL registration for graft's custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions.lit
@@ -347,6 +378,9 @@ object GraftFunctions {
 
   def md4(s: Column): Column =
     ColumnBridge.column(Md4(ColumnBridge.expression(s)))
+
+  def c_format_double(d: Column, precision: Int): Column =
+    ColumnBridge.column(CFormatDouble(ColumnBridge.expression(d), precision))
 
   /** Register SQL names (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -43,12 +43,29 @@ object Sessions {
       .drop("session")
 
   /** $(context-values $v) with sort-key() (`groupingby.c:327`): values
-    * of a context ordered by `sortKey`, comma-joined (the reference's
-    * list repr). Deterministic when sortKey is unique per row. */
+    * of a context ordered by `sortKey`, str-repr encoded (the
+    * reference's list repr — a value containing a comma renders
+    * quoted, test_basicfuncs.c test_context_funcs). Null values (rows
+    * a grep condition rejected) drop. Deterministic when sortKey is
+    * unique per row. */
   def sortedValues(value: Column, sortKey: Column): Column =
-    array_join(transform(
-      array_sort(collect_list(struct(sortKey.as("k"), value.as("v")))),
-      e => e.getField("v")), ",")
+    graft.functions.ListFunctions.list_encode(filter(transform(
+      array_sort(collect_list(struct(sortKey.as("k"),
+        value.cast("string").as("v")))),
+      e => e.getField("v")), _.isNotNull))
+
+  /** Multi-value form: `values` is one array per row (e.g. $(grep cond
+    * $PID $PROGRAM) emits every argument per matching row,
+    * cond-funcs.c:75-145 interleaved). `limit` caps the number of
+    * contributing ROWS ($(grep -m N ...) max-count). */
+  def sortedValuesMulti(values: Column, sortKey: Column,
+      limit: Option[Int] = None): Column = {
+    val sorted = filter(transform(
+      array_sort(collect_list(struct(sortKey.as("k"), values.as("v")))),
+      e => e.getField("v")), _.isNotNull)
+    val limited = limit.map(m => slice(sorted, 1, m)).getOrElse(sorted)
+    graft.functions.ListFunctions.list_encode(flatten(limited))
+  }
 
   /** suppress(N) (`lib/logwriter.c:565-640`): drop messages identical to
     * the previous one (same `key` — host/program/message in the

@@ -146,8 +146,13 @@ object Template {
 
   // ---- compiler ----------------------------------------------------------
   /** Compile to a single string Column. `resolve` maps a macro/field name
-    * to its Column (see [[Macros.resolver]]). */
-  def compile(t: Parsed, resolve: String => Column): Column = {
+    * to its Column (see [[Macros.resolver]]); `templates` is the named
+    * template registry $(template NAME) binds against (tf-template.c —
+    * the config front end ALSO statically expands `$(template NAME)`
+    * at read time, see ConfigCompiler.expandNamedTemplates; this
+    * engine-level registry additionally covers the dynamic form). */
+  def compile(t: Parsed, resolve: String => Column,
+      templates: Map[String, String] = Map.empty): Column = {
     // binds $_ to the HOF lambda element on top of the outer resolver
     // (tf-map.c sets context_id to the current element the same way)
     def bindElem(e: Column): String => Column =
@@ -186,6 +191,35 @@ object Template {
       // ---- higher-order functions (tf-map.c / tf-filter.c / tf-iterate.c,
       // registered basic-funcs.c:138-140). Comma-lists in and out; the
       // element is $_ inside the template / condition argument.
+      // $(template NAME [fallback args...]) — tf-template.c: a literal
+      // NAME binds statically (unknown -> compile error, like the
+      // reference's "Unknown template function or template"); a
+      // computed NAME binds per row against the registry, rendering
+      // the space-joined fallback args when no template matches.
+      case Func("template", args, _) if args.nonEmpty =>
+        val nameLit = args.head.nodes match {
+          case Seq(Lit(s)) => Some(s)
+          case _ => None
+        }
+        nameLit match {
+          case Some(n) if args.size == 1 =>
+            val text = templates.getOrElse(n, throw new IllegalArgumentException(
+              s"""Unknown template function or template "$n""""))
+            compile(parse(text), resolve, templates).cast("string")
+          case _ =>
+            val nameCol = compile(args.head, resolve, templates).cast("string")
+            val fallback =
+              if (args.size > 1)
+                concat_ws(" ", args.tail.map(a =>
+                  compile(a, resolve, templates).cast("string")): _*)
+              else lit("")
+            templates.foldRight(fallback) { case ((n, text), acc) =>
+              when(nameCol === n,
+                compile(parse(text), resolve, templates).cast("string"))
+                .otherwise(acc)
+            }
+        }
+
       case Func("map", args, _) =>
         require(args.size == 2, "usage: $(map template list)")
         val listC = compile(args(1), resolve).cast("string")
@@ -278,6 +312,7 @@ object Template {
     * `tz` = the template's `time-zone()` option (rewrite set /
     * destination templates) — date macros render in that zone. */
   def column(template: String, columns: Seq[String],
-      tz: Option[String] = None): Column =
-    compile(parse(template), Macros.resolver(columns.toSet, tz))
+      tz: Option[String] = None,
+      templates: Map[String, String] = Map.empty): Column =
+    compile(parse(template), Macros.resolver(columns.toSet, tz), templates)
 }

@@ -30,15 +30,64 @@ object TemplateFunctions {
         s"$$($fname): this argument must be a literal, not a computed value"))
   }
 
-  /** ANSI-safe string->long: null (renders "") on non-numeric input. */
-  private def num(a: TArg): Column = {
-    val s = a.col.cast("string")
-    when(s.rlike("^-?[0-9]+$"), s.cast("long"))
+  /** ANSI-safe string->long: null (renders "") on non-numeric input.
+    * Range-checked through decimal(38,0) so a 20+-digit string is
+    * "not a number" (like strtoll's ERANGE) instead of an ANSI throw. */
+  private def num(a: TArg): Column = safeLong(a.col.cast("string"))
+
+  private def safeLong(s0: Column): Column = {
+    val s = ltrim(s0)
+    val d = when(s.rlike("^[+-]?[0-9]{1,38}$"), s.cast("decimal(38,0)"))
+    when(d >= Long.MinValue && d <= Long.MaxValue, d.cast("long"))
   }
 
-  private def dbl(a: TArg): Column = {
+  /** strtod-style full-consume float parse (also matches plain ints —
+    * the Integer/Float split keys off [[safeLong]] succeeding first). */
+  private def safeDouble(s0: Column): Column = {
+    val s = ltrim(s0)
+    when(s.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+      s.cast("double"))
+  }
+
+  private def dbl(a: TArg): Column = safeDouble(a.col.cast("string"))
+
+  /** The reference's Number duality (numeric-funcs.c:28-74): each
+    * argument is Integer when strtoll fully consumes it, else Float
+    * when strtod does, else invalid. */
+  private final case class Num(i: Column, d: Column) {
+    def valid: Column = d.isNotNull || i.isNotNull
+    def isInt: Column = i.isNotNull
+  }
+  private def parseNum(a: TArg): Num = {
     val s = a.col.cast("string")
-    when(s.rlike("^-?[0-9]+(\\.[0-9]+)?([eE][+-]?[0-9]+)?$"), s.cast("double"))
+    val i = safeLong(s)
+    Num(i, coalesce(i.cast("double"), safeDouble(s)))
+  }
+
+  /** Float results render "%.20f" (number_set_double sets precision
+    * 20, format_number appends printf %.*f — the glibc-exact
+    * [[graft.functions.CFormatDouble]], not Java's zero-padding
+    * Formatter). */
+  private def fmt20(c: Column): Column =
+    graft.functions.GraftFunctions.c_format_double(c, 20)
+
+  /** A 2-arg arithmetic function (numeric-funcs.c tf_num_plus etc):
+    * exactly two parseable args or "NaN"; Integer&Integer stays int64,
+    * anything Float promotes both and renders with 20 decimals.
+    * `zeroGuard` adds the div/mod number_is_zero(m) check (int 0 or
+    * |float| < DBL_EPSILON). Int overflow maps to NaN (try_add family)
+    * rather than C's wrapping UB. */
+  private def numOp2(args: Seq[TArg], intOp: (Column, Column) => Column,
+      dblOp: (Column, Column) => Column, zeroGuard: Boolean = false): Column = {
+    if (args.size != 2) return lit("NaN")
+    val n = parseNum(args(0))
+    val m = parseNum(args(1))
+    val bad = !n.valid || !m.valid ||
+      (if (zeroGuard) abs(m.d) < lit(2.220446049250313e-16) else lit(false))
+    when(bad, lit("NaN"))
+      .when(n.isInt && m.isInt,
+        coalesce(intOp(n.i, m.i).cast("string"), lit("NaN")))
+      .otherwise(fmt20(dblOp(n.d, m.d)))
   }
 
   // syslog-ng list representation (str-repr): quote-aware parse/encode,
@@ -122,24 +171,32 @@ object TemplateFunctions {
       val r = java.util.regex.Matcher.quoteReplacement(repl.take(1))
       concat_ws("/", rest.toSeq.map(a => regexp_replace(a.col, cls, r)): _*)
     },
-    "lowercase" -> (args => lower(args.head.col)),
-    "uppercase" -> (args => upper(args.head.col)),
+    // multi-arg, space-joined (str-funcs.c tf_string_case loops argv)
+    "lowercase" -> (args => concat_ws(" ", args.map(a => lower(a.col)): _*)),
+    "uppercase" -> (args => concat_ws(" ", args.map(a => upper(a.col)): _*)),
     "replace-delimiter" -> { args =>
       // $(replace-delimiter "from-chars" "to" msg)
       val from = args.head.lit("replace-delimiter")
       val to = args(1).lit("replace-delimiter")
       translate(args(2).col, from, to.take(1).padTo(from.length, to.head).mkString)
     },
+    // str-funcs.c tf_padding: cyclic left-fill, NEVER truncates a
+    // string already >= width; an empty pad string falls back to " "
     "padding" -> { args =>
       val width = args(1).lit("padding").toInt
-      val padChar = args.lift(2).map(_.lit("padding")).getOrElse(" ")
-      lpad(args.head.col, width, padChar)
+      val padChar = args.lift(2).map(_.lit("padding")).filter(_.nonEmpty)
+        .getOrElse(" ")
+      val s = args.head.col
+      when(length(s) >= width, s).otherwise(lpad(s, width, padChar))
     },
     "repeat" -> (args => repeat(args.head.col, args(1).lit("repeat").toInt)),
-    "implode" -> (args => array_join(listIn(args(1)), args.head.lit("implode"))),
+    // every tail arg is a list; lists concatenate (list-funcs.c
+    // _list_concat) before joining/splitting
+    "implode" -> (args => array_join(
+      listArgs(args.tail), args.head.lit("implode"))),
     "explode" -> { args =>
       val sep = java.util.regex.Pattern.quote(args.head.lit("explode"))
-      listOut(split(args(1).col, sep))
+      listOut(flatten(array(args.tail.map(a => split(a.col, sep)): _*)))
     },
     // ---- filename (fname-funcs.c) --------------------------------------
     "basename" -> (args => substring_index(args.head.col, "/", -1)),
@@ -160,14 +217,20 @@ object TemplateFunctions {
     },
     // ---- list (list-funcs.c) --------------------------------------------
     "list-concat" -> (args => listOut(listArgs(args))),
-    "list-append" -> (args => listOut(concat(listIn(args.head),
-      array(args.tail.map(_.col): _*)))),
+    "list-append" -> { args =>
+      if (args.isEmpty) lit("")
+      else listOut(concat(listIn(args.head),
+        array(args.tail.map(_.col): _*)))
+    },
     "list-head" -> (args => try_element_at(listArgs(args), lit(1))),
     "list-nth" -> { args =>
       // $(list-nth INDEX list...) — 0-indexed, index FIRST (list-funcs.c
-      // tf_list_nth: argv[0] is the index)
+      // tf_list_nth: argv[0] is the index); negative counts from the
+      // end (-1 = last), out-of-range renders ""
       val idx = num(args.head).cast("int")
-      when(idx >= 0, try_element_at(listArgs(args.tail), idx + 1))
+      val arr = listArgs(args.tail)
+      when(idx >= 0, try_element_at(arr, idx + 1))
+        .when(-idx <= size(arr), try_element_at(arr, idx))
     },
     "list-tail" -> { args =>
       val arr = listArgs(args)
@@ -186,28 +249,92 @@ object TemplateFunctions {
         else size(arr) + t.toInt + 1
       listOut(slice(arr, fromC, greatest(untilC - fromC, lit(0))))
     },
+    // $(list-search [--mode literal|prefix|substring|glob|pcre]
+    //   [--start-index N] PATTERN list...) — list-funcs.c
+    // tf_list_search: first matching index in the concatenated list
+    // (global numbering across list args), "" when none. pcre is
+    // SEARCH semantics (unanchored), glob is a full match.
     "list-search" -> { args =>
-      val idx = array_position(listArgs(args.tail), args.head.lit("list-search"))
-      when(idx > 0, (idx - 1).cast("string")).otherwise(lit(""))
+      var mode = "literal"
+      var start = 0
+      val rest = scala.collection.mutable.ArrayBuffer.empty[TArg]
+      var i = 0
+      while (i < args.length) {
+        args(i).literal match {
+          case Some("--mode") =>
+            mode = args(i + 1).lit("list-search"); i += 1
+          case Some(s) if s.startsWith("--mode=") =>
+            mode = s.stripPrefix("--mode=")
+          case Some("--start-index") =>
+            start = args(i + 1).lit("list-search").toInt; i += 1
+          case Some(s) if s.startsWith("--start-index=") =>
+            start = s.stripPrefix("--start-index=").toInt
+          case _ => rest += args(i)
+        }
+        i += 1
+      }
+      require(rest.nonEmpty, "$(list-search): missing pattern argument")
+      val pattern = rest.head
+      val arr = listArgs(rest.toSeq.tail)
+      val pred: Column => Column = mode match {
+        case "literal" => _ === pattern.col
+        case "prefix" => _.startsWith(pattern.col)
+        case "substring" => _.contains(pattern.col)
+        case "glob" =>
+          e => graft.operators.Filters.matchesGlob(
+            pattern.lit("list-search"), e)
+        case "pcre" => _.rlike(pattern.lit("list-search"))
+        case other => throw new IllegalArgumentException(
+          s"$$(list-search): unknown mode $other")
+      }
+      val hits = filter(
+        transform(arr, (x, ix) => when(ix >= start && pred(x), ix)),
+        _.isNotNull)
+      when(size(hits) > 0, try_element_at(hits, lit(1)).cast("string"))
+        .otherwise(lit(""))
     },
     // ---- numeric (numeric-funcs.c:149-466) -------------------------------
-    "+" -> (args => args.map(num).reduce(_ + _)),
-    "-" -> (args => args.map(num).reduce(_ - _)),
-    "*" -> (args => args.map(num).reduce(_ * _)),
-    "/" -> (args => args.map(num).reduce((a, b) => (a / nullif(b, lit(0))).cast("long"))),
-    "%" -> (args => args.map(num).reduce((a, b) => a % nullif(b, lit(0)))),
+    "+" -> (args => numOp2(args, call_function("try_add", _, _), _ + _)),
+    "-" -> (args => numOp2(args, call_function("try_subtract", _, _), _ - _)),
+    "*" -> (args => numOp2(args, call_function("try_multiply", _, _), _ * _)),
+    "/" -> (args => numOp2(args, call_function("div", _, _), _ / _,
+      zeroGuard = true)),
+    "%" -> (args => numOp2(args, _ % _, (a, b) => a % b, zeroGuard = true)),
+    // sum/min/max/average over the ARGUMENT list (the reference's forms
+    // are context aggregates — see ConfigCompiler.aggTemplate; the
+    // scalar multi-arg reading is this engine's batch-local equivalent)
     "sum" -> (args => args.map(num).reduce(_ + _)),
     "min" -> (args => least(args.map(num): _*)),
     "max" -> (args => greatest(args.map(num): _*)),
     "average" -> (args => (args.map(num).reduce(_ + _) / args.size).cast("long")),
+    // tf_num_round: precision 0..20 (default 0), round-half-away, then
+    // printf %.*f at that precision — $(round 2 20) renders 20 decimals
     "round" -> { args =>
-      args.lift(1) match {
-        case Some(d) => round(dbl(args.head), d.lit("round").toInt)
-        case None => round(dbl(args.head), 0).cast("long")
+      if (args.isEmpty || args.size > 2) lit("NaN")
+      else {
+        val p = args.lift(1) match {
+          case None => Some(0)
+          case Some(a) => a.literal.flatMap(_.toIntOption)
+        }
+        p match {
+          case Some(prec) if prec >= 0 && prec <= 20 =>
+            val n = parseNum(args.head)
+            val mult = math.pow(10, prec)
+            val r = round(n.d * mult, 0) / mult
+            when(!n.valid, lit("NaN"))
+              .otherwise(graft.functions.GraftFunctions.c_format_double(r, prec))
+          case _ => lit("NaN")
+        }
       }
     },
-    "ceil" -> (args => ceil(dbl(args.head))),
-    "floor" -> (args => floor(dbl(args.head))),
+    "ceil" -> { args =>
+      val n = parseNum(args.head)
+      when(!n.valid, lit("NaN")).otherwise(ceil(n.d).cast("string"))
+    },
+    "floor" -> { args =>
+      val n = parseNum(args.head)
+      when(!n.valid, lit("NaN")).otherwise(floor(n.d).cast("string"))
+    },
     // ---- ip / misc (ip-funcs.c, misc-funcs.c) ----------------------------
     "ipv4-to-int" -> (args => graft.functions.GraftFunctions.ipv4_to_int(args.head.col)),
     "indent-multi-line" -> (args => regexp_replace(args.head.col, "\n", "\n\t")),
@@ -261,9 +388,26 @@ object TemplateFunctions {
       Nss.dnsResolveIp(ip.getOrElse(throw new IllegalArgumentException(
         "$(dns-resolve-ip): missing ip argument")), useDns, useFqdn, normalize)
     },
-    "url-encode" -> (args => call_function("url_encode", args.head.col)),
-    "url-decode" -> (args => call_function("url_decode", args.head.col)),
-    "base64-encode" -> (args => base64(args.head.col.cast("binary"))),
+    // tf_urlencode/tf_urldecode (str-funcs.c) delegate to
+    // g_uri_escape/unescape: space is %20 (never '+'), a malformed or
+    // NUL-producing escape fails the WHOLE result to "". Spark's
+    // url_encode/url_decode speak form-encoding, so '+' is shielded
+    // both ways; args concatenate like the reference's loop.
+    "url-encode" -> (args => concat(args.map(a =>
+      regexp_replace(call_function("url_encode", a.col), "\\+", "%20")): _*)),
+    "url-decode" -> { args =>
+      val decs = args.map(a => call_function("try_url_decode",
+        regexp_replace(a.col, "\\+", "%2B")))
+      val bad = decs.map(d => d.isNull || d.contains("\u0000"))
+        .reduce(_ || _)
+      when(bad, lit("")).otherwise(concat(decs: _*))
+    },
+    // base64-encode concatenates args before encoding (str-funcs.c
+    // tf_base64_encode appends every argv to the same encoder, break
+    // length 0 — strip the MIME chunking Spark's base64 may emit)
+    "base64-encode" -> (args =>
+      regexp_replace(base64(concat(args.map(_.col): _*).cast("binary")),
+        "[\\r\\n]", "")),
     // ---- crypto (cryptofuncs.c:41-166) -----------------------------------
     // $(hash_method [--length N] arg1 arg2 ...): argument values simply
     // concatenate before digesting; --length truncates the hex output
@@ -284,13 +428,39 @@ object TemplateFunctions {
         (unix_timestamp(nextYear) - unix_timestamp(startOfYear)).cast("double")
       round(year(ts) + frac, 2)
     },
-    // $(binary 0x41 66 ...) — str-funcs.c: bytes from numeric args
+    // $(binary 0x41 66 0101 ...) — str-funcs.c tf_binary: bytes from
+    // numeric args in C notation (hex/octal/decimal via g_ascii_strtoll
+    // base 0); literal args validate at COMPILE time with the
+    // reference's error texts ("unable to parse X", "X is above 255")
     "binary" -> { args =>
+      if (args.isEmpty)
+        throw new IllegalArgumentException("$(binary): Incorrect parameters")
+      def parseByte(s: String): Int = {
+        val n =
+          try {
+            if (s.matches("0[xX][0-9a-fA-F]+")) Integer.parseInt(s.drop(2), 16)
+            else if (s.matches("0[0-7]*")) Integer.parseInt(s, 8)
+            else if (s.matches("[1-9][0-9]*")) Integer.parseInt(s)
+            else throw new NumberFormatException(s)
+          } catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"$$(binary): unable to parse $s")
+          }
+        if (n > 255) throw new IllegalArgumentException(
+          s"$$(binary): $n is above 255")
+        n
+      }
       val chars = args.map { a =>
-        val s = a.col.cast("string")
-        val n = when(s.rlike("^0[xX][0-9a-fA-F]+$"), conv(regexp_replace(s, "^0[xX]", ""), 16, 10).cast("long"))
-          .otherwise(num(a))
-        call_function("char", n)
+        a.literal match {
+          case Some(s) => lit(parseByte(s).toChar.toString)
+          case None =>
+            val s = a.col.cast("string")
+            val n = when(s.rlike("^0[xX][0-9a-fA-F]+$"),
+              conv(regexp_replace(s, "^0[xX]", ""), 16, 10).cast("long"))
+              .when(s.rlike("^0[0-7]*$"), conv(s, 8, 10).cast("long"))
+              .otherwise(num(a))
+            call_function("char", n)
+        }
       }
       concat(chars: _*)
     },
