@@ -189,19 +189,100 @@ object ConfigParser {
     * result is re-parsed in place — the reference's lexer-level macro
     * expansion. */
   private final case class BlockDef(kind: String, name: String,
-      params: Seq[(String, String)], body: String) {
+      params: Seq[(String, String)], body: String,
+      globals: Map[String, String] = Map.empty) {
     def expand(args: Seq[Arg]): String = {
       val supplied = args.collect { case KV(k, vs) =>
         k -> vs.collect { case Lit(v) => v }.mkString(" ") }.toMap
-      params.foldLeft(body) { case (b, (k, dflt)) =>
-        b.replace("`" + k + "`", supplied.getOrElse(k, dflt))
-      }
+      // full cfg-lexer-subst semantics: use-site args, declared
+      // defaults, @define globals, then environment — with
+      // string-state-aware splicing (CfgLexerSubst)
+      CfgLexerSubst.invoke(body, supplied, params.toMap, globals)
     }
   }
 
+  // ---- @define + top-level backtick substitution ---------------------------
+  /** `@define name value` pragmas (`lib/cfg-lex.l` @define handling →
+    * cfg_args_set on the global args): collected into the global
+    * substitution scope and stripped from the text. The value is the
+    * rest of the line, quotes kept raw — [[CfgLexerSubst]] decides how
+    * they splice at each use site. */
+  private[config] def extractDefines(src: String): (Map[String, String], String) = {
+    val defRe = "^\\s*@define\\s+([\\w-]+)\\s*(.*?)\\s*$".r
+    val globals = mutable.LinkedHashMap.empty[String, String]
+    val kept = src.split("\n", -1).filterNot { line =>
+      line match {
+        case defRe(name, value) => globals(name) = value; true
+        case _ => false
+      }
+    }
+    (globals.toMap, kept.mkString("\n"))
+  }
+
+  /** Backtick substitution over the top-level config text (the
+    * reference lexer substitutes at token-read time): `@define`
+    * globals + environment resolve everywhere EXCEPT inside `block`
+    * definition bodies, which stay raw until use-site expansion (the
+    * reference captures them as LL_BLOCK without substitution). */
+  private[config] def substituteTopLevel(src: String,
+      globals: Map[String, String]): String = {
+    if (!src.contains('`')) return src
+    val lookup = CfgLexerSubst.resolver(Map.empty, Map.empty, globals)
+    def isWordChar(c: Char) = c.isLetterOrDigit || c == '_' || c == '-'
+    val out = new StringBuilder
+    var chunkStart = 0
+    var i = 0
+    val n = src.length
+    def flush(until: Int): Unit = {
+      out ++= CfgLexerSubst.invoke(src.substring(chunkStart, until), lookup)
+      chunkStart = until
+    }
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c == '#') { while (i < n && src.charAt(i) != '\n') i += 1 }
+      else if (c == '"' || c == '\'') {
+        i += 1
+        while (i < n && src.charAt(i) != c) {
+          if (src.charAt(i) == '\\') i += 1
+          i += 1
+        }
+        i += 1
+      } else if (src.startsWith("block", i) &&
+          (i == 0 || !isWordChar(src.charAt(i - 1))) &&
+          i + 5 < n && src.charAt(i + 5).isWhitespace) {
+        // copy the whole definition verbatim: skip to its body's '{',
+        // then to the matching '}' (strings shield braces)
+        var j = i + 5
+        while (j < n && src.charAt(j) != '{') j += 1
+        var depth = 0
+        var inStr: Char = 0
+        var done = false
+        while (j < n && !done) {
+          val cj = src.charAt(j)
+          if (inStr != 0) {
+            if (cj == '\\') j += 1
+            else if (cj == inStr) inStr = 0
+          } else if (cj == '"' || cj == '\'') inStr = cj
+          else if (cj == '{') depth += 1
+          else if (cj == '}') { depth -= 1; if (depth == 0) done = true }
+          j += 1
+        }
+        flush(i)
+        out ++= src.substring(i, j)
+        chunkStart = j
+        i = j - 1
+      }
+      i += 1
+    }
+    flush(n)
+    out.toString
+  }
+
   def parse(src: String): Config = {
-    val expanded = expandGenerators(src)
-    new P(lex(expanded), expanded).config()
+    val (defines, stripped) = extractDefines(src)
+    val substituted = substituteTopLevel(stripped, defines)
+    val expanded = expandGenerators(substituted)
+    new P(lex(expanded), expanded, globals = defines).config()
   }
 
   // ---- confgen block generators --------------------------------------------
@@ -258,7 +339,8 @@ object ConfigParser {
 
   private final class P(toks: Vector[Tok], src: String,
       blockDefs: mutable.Map[(String, String), BlockDef] =
-        mutable.Map.empty) {
+        mutable.Map.empty,
+      globals: Map[String, String] = Map.empty) {
     private var pos = 0
     private def peek: Tok = if (pos < toks.length) toks(pos) else Tok("eof", "", -1)
     private def next(): Tok = { val t = peek; pos += 1; t }
@@ -329,7 +411,7 @@ object ConfigParser {
             }
             val body = sliceBracedBody()
             expect(";")
-            blockDefs((bkind, bname)) = BlockDef(bkind, bname, params, body)
+            blockDefs((bkind, bname)) = BlockDef(bkind, bname, params, body, globals)
           case kind @ ("source" | "destination" | "parser" | "rewrite") =>
             val name = expect("word").text
             expect("{")
@@ -392,7 +474,7 @@ object ConfigParser {
         case None => Seq(s)
         case Some(bd) =>
           val expanded = bd.expand(s.args)
-          new P(lex(expanded), expanded, blockDefs).stmtList(kind)
+          new P(lex(expanded), expanded, blockDefs, globals).stmtList(kind)
       }
     }
 
@@ -552,7 +634,7 @@ object ConfigParser {
                 case None => elems += InlineStmt(kind, s)
                 case Some(bd) =>
                   val expanded = bd.expand(s.args)
-                  elems ++= new P(lex(expanded), expanded, blockDefs)
+                  elems ++= new P(lex(expanded), expanded, blockDefs, globals)
                     .stmtList(kind).map(InlineStmt(kind, _))
               }
             }
