@@ -160,11 +160,25 @@ object ConfigParser {
           "_-.$".contains(src.charAt(i)))) i += 1
         out += Tok("word", src.substring(st, i), st)
       }
-      else if (c.isDigit || (c == '-' && i + 1 < n && src.charAt(i + 1).isDigit)) {
+      else if (c.isDigit || ((c == '-' || c == '+') && i + 1 < n &&
+          src.charAt(i + 1).isDigit)) {
+        // LL_NUMBER goes through parse_number_with_suffix
+        // (cfg-lex.l:302-322): 0x hex, 0 octal, K/M/G[i][b] suffixes
         val st = i
         i += 1
-        while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.')) i += 1
-        out += Tok("num", src.substring(st, i), st)
+        while (i < n && (src.charAt(i).isLetterOrDigit || src.charAt(i) == '.')) i += 1
+        val text = src.substring(st, i)
+        if (text.matches("[+-]?[0-9]+\\.[0-9]+"))
+          out += Tok("num", text, st)
+        else ParseNumber.parseNumberWithSuffix(text) match {
+          case Some(v) => out += Tok("num", v.toString, st)
+          case None =>
+            // not a suffixed number: fall back to digits-and-dots,
+            // leaving any letter tail to lex as its own word
+            i = st + 1
+            while (i < n && (src.charAt(i).isDigit || src.charAt(i) == '.')) i += 1
+            out += Tok("num", src.substring(st, i), st)
+        }
       }
       else if ("{}();,".indexOf(c) >= 0) { out += Tok(c.toString, c.toString, i); i += 1 }
       else if (c == '=' || c == '!' || c == '<' || c == '>') {
