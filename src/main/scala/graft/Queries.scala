@@ -794,7 +794,7 @@ object Queries {
         .orderBy(col("event_id"))
     },
     Some("""SELECT event_id, CAST(event_id AS STRING) AS id,
-      'u' || user_id AS user, event_type AS type, 'ab' AS tags
+      'u' || user_id AS user, event_type AS type, 'a,b' AS tags
       FROM events ORDER BY event_id"""))
 
   private val parseDate = Q("parse_date",

@@ -1324,9 +1324,23 @@ object ConfigCompiler {
             mapOrEmpty(df), coalesce(JsonFlatten(input, prefix, xp), map())))
         }
       case "xml-parser" =>
-        val prefix = kvOf(s.args, "prefix").getOrElse(".xml.")
-        df => df.withColumn("values", map_concat(
-          mapOrEmpty(df), coalesce(XmlFlatten(input, prefix, Nil, false), map())))
+        // xml-grammar.ym:89-98: prefix, drop-invalid, exclude-tags,
+        // strip-whitespaces, create-lists (lists default yes >=3.20)
+        val prefix = kvOf(s.args, "prefix").getOrElse(".xml")
+        val exclude = s.args.collect { case KV("exclude-tags", vs) => lits(vs) }.flatten
+        def yes(k: String, dflt: Boolean) =
+          kvOf(s.args, k).map(v => v == "yes" || v == "on" || v == "1")
+            .getOrElse(dflt)
+        val parsed = (df: DataFrame) => XmlFlatten(input, prefix, exclude,
+          stripWhitespaces = yes("strip-whitespaces", dflt = false),
+          createLists = yes("create-lists", dflt = true))
+        df => {
+          val withVals = df.withColumn("values", map_concat(
+            mapOrEmpty(df), coalesce(parsed(df), map())))
+          if (yes("drop-invalid", dflt = false))
+            withVals.filter(parsed(df).isNotNull)
+          else withVals
+        }
       case "date-parser" =>
         // full date-parser() semantics (modules/timestamp/date-parser.c):
         // multi-format list, strftime zone names, year/field heuristics,

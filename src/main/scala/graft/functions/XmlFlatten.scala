@@ -17,20 +17,33 @@ import org.xml.sax.{Attributes, InputSource, SAXException}
 import scala.collection.mutable
 
 /** `xml_flatten(xml)` — xml-parser() (`/root/reference/modules/xml/
-  * xml.c:91-192`, options `xml-parser.c:36-37`): tags become dot-path
-  * keys under the configured prefix (default `.xml.`), attributes
-  * append as `path._attrname`, repeated tags concatenate their text
-  * (reference default, `tests/test_xml_parser.c` "firstsecond" case).
-  * Malformed XML yields null — the parser drops the message.
+  * xml.c:91-200`, scanner `lib/scanner/xml-scanner/xml-scanner.c`):
+  * tags become dot-path keys under the configured prefix (default
+  * `.xml`, joined with `.`; a trailing prefix dot is compacted,
+  * xml.c:44-47), attributes append as `path._attrname`, and an
+  * element pushes ONE value at close — its own text with child-tag
+  * gaps joined (`<t>part1<u/>part2</t>` -> "part1part2", the
+  * text-buffer stack of xml-scanner.c:163-180).
+  *
+  * Repeated keys follow `create-lists` (default yes since 3.20,
+  * xml.c:194): values str-repr encode and join with `,`
+  * (`" value,2 "` quotes, `one,two,three` doesn't); with
+  * create-lists(no) they concatenate raw ("firstsecond").
+  *
+  * Like GMarkup, a SEQUENCE of root elements is accepted; loose
+  * non-whitespace text at the top level is invalid. Malformed XML
+  * yields null — the operator's forward-invalid option decides
+  * pass-through vs drop.
   *
   * Options: `prefix`, `excludeTags` (glob list — matching subtrees are
-  * skipped), `stripWhitespaces`.
+  * skipped), `stripWhitespaces` (per text run), `createLists`.
   *
   * JDK SAX, one streaming pass; external entities disabled (the XXE
   * hole a log parser must not have).
   */
-case class XmlFlatten(child: Expression, prefix: String = ".xml.",
-    excludeTags: Seq[String] = Nil, stripWhitespaces: Boolean = false)
+case class XmlFlatten(child: Expression, prefix: String = ".xml",
+    excludeTags: Seq[String] = Nil, stripWhitespaces: Boolean = false,
+    createLists: Boolean = true)
     extends UnaryExpression {
 
   override def dataType: DataType =
@@ -43,7 +56,7 @@ case class XmlFlatten(child: Expression, prefix: String = ".xml.",
 
   def evalXml(v: UTF8String): ArrayBasedMapData =
     XmlFlatten.flatten(v.toString, prefix, excludeRes.map(_.pattern),
-      stripWhitespaces)
+      stripWhitespaces, createLists)
 
   override protected def nullSafeEval(v: Any): Any =
     evalXml(v.asInstanceOf[UTF8String])
@@ -68,58 +81,93 @@ object XmlFlatten {
     factory.newSAXParser()
   }
 
+  private val Wrapper = "graft-synthetic-root"
+
   def flatten(xml: String, prefix: String,
-      exclude: Seq[java.util.regex.Pattern], strip: Boolean): ArrayBasedMapData = {
-    // insertion-ordered accumulation; repeated keys concatenate
-    val acc = mutable.LinkedHashMap.empty[String, StringBuilder]
+      exclude: Seq[java.util.regex.Pattern], strip: Boolean,
+      createLists: Boolean): ArrayBasedMapData = {
+    // prefix compaction (xml.c:44-47) + dot join (xml-scanner.c:203)
+    val normPrefix = if (prefix.endsWith(".")) prefix.dropRight(1) else prefix
+    val acc = mutable.LinkedHashMap.empty[String, java.lang.StringBuilder]
+
+    def pushValue(key: String, value: String): Unit = {
+      val sb = acc.getOrElseUpdate(key, new java.lang.StringBuilder)
+      if (createLists) {
+        if (sb.length > 0) sb.append(',')
+        ListRepr.encodeElement(value, sb)
+      } else sb.append(value)
+    }
+
     val handler = new DefaultHandler {
       private val path = mutable.Stack.empty[String]
       private var excluded = 0
-      private val text = new StringBuilder
+      // own-text accumulation per open element (xml-scanner's
+      // text-buffer stack); `run` is the current contiguous text run
+      // (strip-whitespaces applies per run)
+      private val textStack = mutable.Stack.empty[StringBuilder]
+      private var own = new StringBuilder
+      private val run = new StringBuilder
 
-      private def flushText(): Unit = {
-        if (excluded == 0 && path.nonEmpty && text.nonEmpty) {
-          val t = if (strip) text.toString.trim else text.toString
-          if (t.nonEmpty)
-            acc.getOrElseUpdate(prefix + path.toSeq.reverse.mkString("."),
-              new StringBuilder).append(t)
+      private def key: String = {
+        val p = path.toSeq.reverse.drop(1).mkString(".") // drop wrapper
+        if (normPrefix.isEmpty) p else s"$normPrefix.$p"
+      }
+
+      private def flushRun(): Unit = {
+        if (run.nonEmpty) {
+          if (path.length <= 1 && run.toString.trim.nonEmpty)
+            throw new SAXException("text outside of any element")
+          val t = if (strip) run.toString.trim else run.toString
+          if (excluded == 0 && path.length > 1) own.append(t)
+          run.clear()
         }
-        text.clear()
       }
 
       override def startElement(uri: String, local: String, qName: String,
           atts: Attributes): Unit = {
-        flushText()
-        if (excluded > 0 || exclude.exists(_.matcher(qName).matches())) excluded += 1
-        path.push(qName)
-        if (excluded == 0) {
-          val base = prefix + path.toSeq.reverse.mkString(".")
-          var i = 0
-          while (i < atts.getLength) {
-            acc.getOrElseUpdate(s"$base._${atts.getQName(i)}", new StringBuilder)
-              .append(atts.getValue(i))
-            i += 1
+        flushRun()
+        if (qName != Wrapper) {
+          if (excluded > 0 || exclude.exists(_.matcher(qName).matches()))
+            excluded += 1
+          path.push(qName)
+          textStack.push(own)
+          own = new StringBuilder
+          if (excluded == 0) {
+            val base = key
+            var i = 0
+            while (i < atts.getLength) {
+              pushValue(s"$base._${atts.getQName(i)}", atts.getValue(i))
+              i += 1
+            }
           }
-        }
+        } else path.push(qName)
       }
 
       override def endElement(uri: String, local: String, qName: String): Unit = {
-        flushText()
-        path.pop()
-        if (excluded > 0) excluded -= 1
+        flushRun()
+        if (qName != Wrapper) {
+          if (excluded == 0 && own.nonEmpty) pushValue(key, own.toString)
+          path.pop()
+          own = textStack.pop()
+          if (excluded > 0) excluded -= 1
+        } else path.pop()
         ()
       }
 
       override def characters(ch: Array[Char], start: Int, length: Int): Unit = {
-        text.appendAll(ch, start, length)
+        run.appendAll(ch, start, length)
         ()
       }
     }
     try {
-      // SAXParser creation costs ~100µs — reuse one per executor thread
+      // GMarkup accepts root SEQUENCES — wrap in a synthetic root (any
+      // XML declaration must stay outside the wrapper)
+      val decl = "^\\s*<\\?xml[^?]*\\?>".r
+      val body = decl.replaceFirstIn(xml, "")
+      val wrapped = s"<$Wrapper>$body</$Wrapper>"
       val parser = threadParser.get()
       parser.reset()
-      parser.parse(new InputSource(new StringReader(xml)), handler)
+      parser.parse(new InputSource(new StringReader(wrapped)), handler)
     } catch {
       case _: SAXException => return null
       case _: java.io.IOException => return null
@@ -129,9 +177,13 @@ object XmlFlatten {
       acc.valuesIterator.map(v => UTF8String.fromString(v.toString)).toArray[Any])
   }
 
-  def apply(xml: Column): Column = apply(xml, ".xml.", Nil, stripWhitespaces = false)
+  def apply(xml: Column): Column =
+    apply(xml, ".xml", Nil, stripWhitespaces = false)
   def apply(xml: Column, prefix: String, excludeTags: Seq[String],
       stripWhitespaces: Boolean): Column =
+    apply(xml, prefix, excludeTags, stripWhitespaces, createLists = true)
+  def apply(xml: Column, prefix: String, excludeTags: Seq[String],
+      stripWhitespaces: Boolean, createLists: Boolean): Column =
     ColumnBridge.column(new XmlFlatten(ColumnBridge.expression(xml), prefix,
-      excludeTags, stripWhitespaces))
+      excludeTags, stripWhitespaces, createLists))
 }

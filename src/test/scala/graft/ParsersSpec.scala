@@ -171,12 +171,20 @@ class ParsersSpec extends GraftSuite {
     assert(r.isNullAt(0))
   }
 
-  test("XmlFlatten tags, attrs, repeated-tag concat (reference default)") {
+  test("XmlFlatten tags, attrs, repeated-tag lists (reference default >=3.20)") {
     val m = one(graft.functions.XmlFlatten(col("s")),
       """<ev id="7"><user role="a">joe</user><data>first</data><data>second</data></ev>""")
       .getMap[String, String](0)
     assert(m == Map(".xml.ev._id" -> "7", ".xml.ev.user._role" -> "a",
-      ".xml.ev.user" -> "joe", ".xml.ev.data" -> "firstsecond"))
+      ".xml.ev.user" -> "joe", ".xml.ev.data" -> "first,second"))
+  }
+
+  test("XmlFlatten create-lists(no) concatenates repeated tags") {
+    val m = one(graft.functions.XmlFlatten(col("s"), ".xml", Nil,
+        stripWhitespaces = false, createLists = false),
+      """<ev><data>first</data><data>second</data></ev>""")
+      .getMap[String, String](0)
+    assert(m == Map(".xml.ev.data" -> "firstsecond"))
   }
 
   test("XmlFlatten exclude-tags, strip-whitespaces, invalid -> null") {
