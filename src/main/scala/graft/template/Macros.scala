@@ -191,7 +191,9 @@ object Macros {
       case "SEQNUM" | "RCPTID" | "HOSTID" | "RUNID" | "UNIQID" | "CONTEXT_ID" =>
         if (columns.contains(name.toLowerCase)) col(name.toLowerCase) else lit("")
       case "LOGHOST" =>
-        lit(java.net.InetAddress.getLocalHost.getHostName)
+        // use-fqdn(no) default: the short local name (hostname.c,
+        // macros.c M_LOGHOST)
+        lit(Hostname.local.localShort)
       // R_/P_ fall back to the event stamp when the frame carries no
       // received/processed stamp column (the reference always stamps
       // both at ingest; batch frames often only have ts)
