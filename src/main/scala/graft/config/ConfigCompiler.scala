@@ -1375,7 +1375,14 @@ object ConfigCompiler {
             .drop("__p")
         }
       case "tags-parser" =>
-        df => df.withColumn("tags", Parsers.tagsParse(input))
+        // parsed tags ADD to whatever the message already carries
+        // (tags-parser.c log_msg_set_tag_by_name per element;
+        // test_tagsparser.c "tag-already-set" stays)
+        df => df.withColumn("tags",
+          if (df.columns.contains("tags"))
+            array_union(coalesce(col("tags"), array().cast("array<string>")),
+              Parsers.tagsParse(input))
+          else Parsers.tagsParse(input))
 
       case "snmptrapd-parser" =>
         // modules/afsnmp: prefix(".snmp.") + set-message-macro(yes)

@@ -273,7 +273,8 @@ object Template {
       case Func(name, _, raw)
           if Set("format-json", "format_json", "format-flat-json",
             "format_flat_json", "format-welf", "format_welf",
-            "format-cef-extension", "format_cef_extension")
+            "format-cef-extension", "format_cef_extension",
+            "graphite-output", "graphite_output")
             .contains(name) =>
         val stripped = raw.map(r => splitArgs2(r).headOption.map(_._1).getOrElse(""))
         val comp = (s: String) => compile(parse(s), resolve)
@@ -281,6 +282,8 @@ object Template {
         if (canon == "format-welf") VpCmdline.formatWelf(stripped, resolve, comp)
         else if (canon == "format-cef-extension")
           VpCmdline.formatCef(stripped, resolve, comp)
+        else if (canon == "graphite-output")
+          VpCmdline.formatGraphite(stripped, resolve, comp)
         else VpCmdline.formatJson(stripped, resolve, comp,
           flat = canon == "format-flat-json")
 

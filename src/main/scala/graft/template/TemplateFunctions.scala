@@ -419,14 +419,32 @@ object TemplateFunctions {
     "md5" -> (args => cryptoHash(args, md5)),
     "md4" -> (args => cryptoHash(args, graft.functions.GraftFunctions.md4)),
     // ---- misc -------------------------------------------------------------
+    // $(stardate [--digits N] $UNIXTIME) -> year.fraction, fraction
+    // TRUNCATED to N digits (stardate.c:128-130 floor — "No rounding
+    // up!"), digits 0-9, default 2
     "stardate" -> { args =>
-      // $(stardate $UNIXTIME) -> year.fraction
-      val ts = to_timestamp(num(args.head))
+      var digits = 2
+      val rest = scala.collection.mutable.ArrayBuffer.empty[TArg]
+      var i = 0
+      while (i < args.length) {
+        args(i).literal match {
+          case Some("--digits") | Some("-d") =>
+            digits = args(i + 1).lit("stardate").toInt; i += 1
+          case Some(s) if s.startsWith("--digits=") =>
+            digits = s.stripPrefix("--digits=").toInt
+          case _ => rest += args(i)
+        }
+        i += 1
+      }
+      if (digits < 0 || digits > 9) throw new IllegalArgumentException(
+        "stardate: digits must be between 0-9.")
+      val ts = to_timestamp(num(rest.head))
       val startOfYear = date_trunc("year", ts)
       val nextYear = add_months(startOfYear, 12)
       val frac = (unix_timestamp(ts) - unix_timestamp(startOfYear)).cast("double") /
         (unix_timestamp(nextYear) - unix_timestamp(startOfYear)).cast("double")
-      round(year(ts) + frac, 2)
+      val mult = math.pow(10, digits)
+      format_string(s"%.${digits}f", year(ts) + floor(frac * mult) / mult)
     },
     // $(binary 0x41 66 0101 ...) — str-funcs.c tf_binary: bytes from
     // numeric args in C notation (hex/octal/decimal via g_ascii_strtoll
@@ -465,15 +483,8 @@ object TemplateFunctions {
       concat(chars: _*)
     },
     // format-json / format-flat-json / format-welf / format-cef-extension
-    // compile through the value-pairs cmdline (template.VpCmdline) —
-    // intercepted in Template.compile before this registry
-    // $(graphite-output ts k1 v1 ...) — graphite-output.c:144-170; the
-    // value-pairs scope-driven form is ValuePairs.formatGraphite
-    "graphite-output" -> (args =>
-      graft.operators.ValuePairs.formatGraphite(kvMap(args.tail), args.head.col))
+    // / graphite-output compile through the value-pairs cmdline
+    // (template.VpCmdline) — intercepted in Template.compile before
+    // this registry
   )
-
-  private def kvMap(args: Seq[TArg]): Column =
-    map(args.map(_.col).grouped(2).collect { case Seq(k, v) => Seq(k, v) }
-      .toSeq.flatten: _*)
 }

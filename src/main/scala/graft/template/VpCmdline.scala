@@ -244,6 +244,27 @@ object VpCmdline {
       compile: String => Column): Column =
     ValuePairs.formatCef(stripTyped(buildMap(args, resolve, compile)))
 
+  /** `$(graphite-output [--timestamp T] ...)` — the full value-pairs
+    * command line plus the timestamp template option (default
+    * `$R_UNIXTIME`, graphite-output.c:102-106); leading-dot keys
+    * become `_`-prefixed via the cmdline's default dot handling, like
+    * the replace-prefix transform graphite always installs (:113-115). */
+  def formatGraphite(args: Seq[String], resolve: String => Column,
+      compile: String => Column): Column = {
+    var tsTemplate = "$R_UNIXTIME"
+    val rest = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a == "--timestamp" || a == "-t") { tsTemplate = args(i + 1); i += 2 }
+      else if (a.startsWith("--timestamp=")) {
+        tsTemplate = a.stripPrefix("--timestamp="); i += 1
+      } else { rest += a; i += 1 }
+    }
+    ValuePairs.formatGraphite(
+      stripTyped(buildMap(rest.toSeq, resolve, compile)), compile(tsTemplate))
+  }
+
   /** Non-JSON formatters render typed values as their plain text. */
   private def stripTyped(m: Column): Column =
     map_filter(
