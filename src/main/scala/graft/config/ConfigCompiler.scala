@@ -1419,8 +1419,12 @@ object ConfigCompiler {
         }
         val dropUnmatched = s.name == "windows-eventlog-parser" ||
           kvOf(s.args, "drop-unmatched").contains("yes")
-        val rules = graft.patterndb.PdbLoader.radixRules(
-          graft.patterndb.PdbLoader.loadFile(path))
+        val loaded = graft.patterndb.PdbLoader.loadFile(path)
+        val rules = graft.patterndb.PdbLoader.radixRules(loaded)
+        // rule-level <tags> apply to the matched message
+        // (pdb-rule.c pdb_rule_apply -> synthetic_message tags)
+        val tagRules = loaded.flatMap(_.rules).filter(_.tags.nonEmpty)
+          .map(r => r.id -> r.tags)
         df => {
           val d2 = df.withColumn("__r", graft.functions.RadixMatch(input, rules))
           val kept = if (dropUnmatched) d2.filter(col("__r.rule_id").isNotNull)
@@ -1428,7 +1432,20 @@ object ConfigCompiler {
           val add = map_concat(col("__r.captures"),
             map(lit(".classifier.class"), col("__r.rule_class"),
               lit(".classifier.rule_id"), coalesce(col("__r.rule_id"), lit(""))))
-          kept.withColumn("values", mergedValues(kept, add)).drop("__r")
+          val tagged =
+            if (tagRules.isEmpty) kept
+            else {
+              val tagMap = map(tagRules.flatMap { case (id, ts) =>
+                Seq(lit(id), array(ts.map(lit(_)): _*)) }: _*)
+              val existing =
+                if (kept.columns.contains("tags"))
+                  coalesce(col("tags"), array().cast("array<string>"))
+                else array().cast("array<string>")
+              kept.withColumn("tags", array_union(existing,
+                coalesce(try_element_at(tagMap, col("__r.rule_id")),
+                  array().cast("array<string>"))))
+            }
+          tagged.withColumn("values", mergedValues(tagged, add)).drop("__r")
         }
 
       case "grouping-by" =>

@@ -14,7 +14,10 @@ final case class PdbExample(program: String, message: String,
   * [[graft.streaming.Correlate]]'s onMatch/rateLimit knobs. */
 final case class PdbAction(trigger: String, condition: Option[String],
     rate: Option[(Int, Int)], messageValues: Seq[(String, String)],
-    messageTags: Seq[String])
+    messageTags: Seq[String],
+    /** `<message inherit-properties>`: "none" (default), "last-message"
+      * (TRUE/1), or "context" (synthetic-message.c:51-75). */
+    inheritProperties: String = "none")
 
 final case class PdbRule(id: String, ruleClass: String, patterns: Seq[String],
     tags: Seq[String], values: Seq[(String, String)], examples: Seq[PdbExample],
@@ -73,13 +76,30 @@ object PdbLoader {
               val Array(n, per) = rv.split("/", 2)
               (n.toInt, per.toInt)
             }
+            // inherit-properties: context | T*/1 -> last-message |
+            // F*/0 -> none (synthetic_message_set_inherit_properties_string);
+            // inherit-mode takes the mode name directly
+            val inheritRaw = (a \ "message").headOption
+              .flatMap(m => Option(m \@ "inherit-mode").filter(_.nonEmpty)
+                .orElse(Option(m \@ "inherit-properties").filter(_.nonEmpty)))
+            val inherit = inheritRaw.map(_.toLowerCase) match {
+              case Some("context") => "context"
+              case Some("last-message") => "last-message"
+              case Some("none") => "none"
+              case Some(s) if s.startsWith("t") || s.startsWith("1") => "last-message"
+              case Some(s) if s.startsWith("f") || s.startsWith("0") => "none"
+              case Some(other) => throw new IllegalArgumentException(
+                s"Unknown inherit-properties: $other")
+              case None => "none"
+            }
             PdbAction(
               trigger = Option(a \@ "trigger").filter(_.nonEmpty).getOrElse("match"),
               condition = Option(a \@ "condition").filter(_.nonEmpty),
               rate = rate,
               messageValues = (a \ "message" \ "values" \ "value")
                 .map(v => (v \@ "name", v.text)),
-              messageTags = (a \ "message" \ "tags" \ "tag").map(_.text))
+              messageTags = (a \ "message" \ "tags" \ "tag").map(_.text),
+              inheritProperties = inherit)
           })
       }
       PdbRuleset(rs \@ "name", progs, rules)
