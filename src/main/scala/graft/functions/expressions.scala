@@ -355,6 +355,43 @@ object CFormatDouble {
   }
 }
 
+/** RFC5424 SD-NAME escaping (`/root/reference/lib/logmsg/logmsg.c:882-900`
+  * log_msg_sdata_append_key_escaped): the spec has no key escaping, so
+  * bytes outside ASCII and the structurally unsafe `= space [ ] "` set
+  * percent-encode as uppercase %XX per UTF-8 byte — "bácsi" renders
+  * b%C3%A1csi, "bar[0]" renders bar%5B0%5D, while '@' and friends stay. */
+case class SdataKeyEscape(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sdata_key_escape"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SdataKeyEscape.escape(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.SdataKeyEscape.escape($s);")
+
+  override protected def withNewChildInternal(c: Expression): SdataKeyEscape =
+    copy(child = c)
+}
+
+object SdataKeyEscape {
+  def escape(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      if (b >= 0x80 || b == '=' || b == ' ' || b == '[' || b == ']' || b == '"')
+        sb.append(f"%%$b%02X")
+      else sb.append(b.toChar)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** Column builders + SQL registration for graft's custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions.lit
@@ -381,6 +418,9 @@ object GraftFunctions {
 
   def c_format_double(d: Column, precision: Int): Column =
     ColumnBridge.column(CFormatDouble(ColumnBridge.expression(d), precision))
+
+  def sdata_key_escape(s: Column): Column =
+    ColumnBridge.column(SdataKeyEscape(ColumnBridge.expression(s)))
 
   /** Register SQL names (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -241,8 +241,15 @@ object Scl {
       struct(lit("").as("out"), lit("").as("elem")),
       (acc, e) => {
         val k = e.getField("key").substr(lit(8), length(e.getField("key")))
-        val param = substring_index(k, ".", -1)
-        val elem = k.substr(lit(1), length(k) - length(param) - 1)
+        // SD-NAMEs sanitize with %XX percent-encoding (logmsg.c
+        // log_msg_sdata_append_key_escaped; test_log_message.c
+        // test_sdata_sanitization) — split BEFORE escaping so an
+        // escaped %2E can't be mistaken for a level separator
+        def esc(c: Column): Column =
+          graft.functions.GraftFunctions.sdata_key_escape(c)
+        val param = esc(substring_index(k, ".", -1))
+        val elem = esc(k.substr(lit(1),
+          length(k) - length(substring_index(k, ".", -1)) - 1))
         val opened = when(acc.getField("elem") === elem, acc.getField("out"))
           .otherwise(concat(acc.getField("out"),
             when(acc.getField("elem") =!= "", lit("]")).otherwise(lit("")),

@@ -37,8 +37,13 @@ object TemplateFunctions {
 
   private def safeLong(s0: Column): Column = {
     val s = ltrim(s0)
-    val d = when(s.rlike("^[+-]?[0-9]{1,38}$"), s.cast("decimal(38,0)"))
-    when(d >= Long.MinValue && d <= Long.MaxValue, d.cast("long"))
+    // fast path: <=18 digits can't overflow a long — no decimal cast
+    // in the common case (the HOF lambdas evaluate this per element)
+    when(s.rlike("^[+-]?[0-9]{1,18}$"), s.cast("long"))
+      .otherwise({
+        val d = when(s.rlike("^[+-]?[0-9]{19,38}$"), s.cast("decimal(38,0)"))
+        when(d >= Long.MinValue && d <= Long.MaxValue, d.cast("long"))
+      })
   }
 
   /** strtod-style full-consume float parse (also matches plain ints —
