@@ -411,6 +411,45 @@ object Queries {
       FROM events ORDER BY event_id"""),
     bench = true)
 
+  /** patterndb `<action>` synthetic-message generation
+    * (`operators`-level [[graft.patterndb.Synthetic]]): per-host
+    * contexts fire a timeout action with inherit-properties
+    * last-message — the generated message copies the trigger, renders
+    * `$(context-length)` as n+1 (the genmsg virtually joins the
+    * context) and the condition filters on n (synthetic-message.c). */
+  private val patterndbSynthetic = Q("patterndb_synthetic",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+        .withColumn("pid", lit(null).cast("string"))
+        .withColumn("tags", array(lit("classified")))
+        .withColumn("values", map(lit("user"), concat(lit("u"), col("user_id"))))
+      val action = graft.patterndb.PdbAction(
+        trigger = "timeout",
+        condition = Some("\"$(context-length)\" >= \"3\""),
+        rate = None,
+        messageValues = Seq(
+          "CONTEXT_LENGTH" -> "$(context-length)",
+          "summary" -> "host $HOST saw $(context-length) events"),
+        messageTags = Seq("synthetic"),
+        inheritProperties = "last-message")
+      graft.patterndb.Synthetic.messages(ev, col("host"), action,
+          scope = Some("host"), order = col("event_id"))
+        .select(col("context_key"), col("message"),
+          element_at(col("values"), "CONTEXT_LENGTH").as("ctx_len"),
+          element_at(col("values"), "summary").as("summary"),
+          element_at(col("values"), "user").as("user"),
+          array_join(col("tags"), ",").as("tags"))
+        .orderBy(col("context_key"))
+    },
+    Some("""SELECT 'h' || user_id AS context_key,
+      'u=' || user_id AS message,
+      CAST(COUNT(*) + 1 AS STRING) AS ctx_len,
+      'host h' || user_id || ' saw ' || (COUNT(*) + 1) || ' events' AS summary,
+      'u' || user_id AS user,
+      'classified,synthetic' AS tags
+      FROM events GROUP BY user_id HAVING COUNT(*) >= 3
+      ORDER BY context_key"""))
+
   // ---------------------------------------------------------------------
   // app-parser via the LogPath junction compiler (SURVEY §2.4 app-parser,
   // §2.6 junction flags, §3.1 config compile)
@@ -2449,7 +2488,8 @@ object Queries {
     rewriteSubst, rewriteCcMask, rewriteSetTag,
     templateFormat, templateFuncs, templateHofs,
     parseSyslogRfc3164, parseSyslogRfc5424,
-    routeJunction, patterndbClassify, appParserQ, appParserTopicQ, defaultNetwork,
+    routeJunction, patterndbClassify, patterndbSynthetic,
+    appParserQ, appParserTopicQ, defaultNetwork,
     enrichRange, enrichGlob,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseSnmptrap, parseKmsg,
     parsePacct, parseJsonFlat,
