@@ -57,7 +57,17 @@ object Macros {
     * zone's offset at the instant. The engine's convention is a UTC
     * session zone (Bench/tests pin it), matching [[graft.operators
     * .Rewrites.toTimeZone]]'s use of from_utc_timestamp. */
-  private def dateMacro(part: String, ts0: Column, tz: Option[String] = None): Option[Column] = {
+  private def dateMacro(part: String, ts0: Column, tz: Option[String] = None,
+      fracDigits: Int = 0): Option[Column] = {
+    // $UNIXTIME is the epoch — zone-independent, so it must read the
+    // UNSHIFTED instant (the wall-clock macros below shift into `tz`)
+    if (part == "UNIXTIME") {
+      val frac =
+        if (fracDigits <= 0) lit("")
+        else concat(lit("."),
+          substring(date_format(ts0, "SSSSSS"), 1, math.min(fracDigits, 6)))
+      return Some(concat(unix_timestamp(ts0).cast("string"), frac))
+    }
     val ts = tz.fold(ts0)(z => from_utc_timestamp(ts0, z))
     // offset seconds of `tz` at the instant = shifted - original epoch
     def offsetStr: Column = tz match {
@@ -69,10 +79,23 @@ object Macros {
         concat(sign, lpad((mag / 3600).cast("int").cast("string"), 2, "0"),
           lit(":"), lpad(((mag % 3600) / 60).cast("int").cast("string"), 2, "0"))
     }
-    dateMacroIn(part, ts, offsetStr)
+    dateMacroIn(part, ts, offsetStr, fracDigits)
   }
 
-  private def dateMacroIn(part: String, ts: Column, offsetStr: => Column): Option[Column] = part match {
+  private def dateMacroIn(part: String, ts: Column, offsetStr: => Column,
+      fracDigits: Int = 0): Option[Column] = {
+    // frac-digits(N): composite date macros carry N fractional-second
+    // digits (timeutils/format.c append_frac_digits; the reference's
+    // global/per-template frac-digits() option)
+    def frac: Column =
+      if (fracDigits <= 0) lit("")
+      else concat(lit("."),
+        substring(date_format(ts, "SSSSSS"), 1, math.min(fracDigits, 6)))
+    dateMacroIn0(part, ts, offsetStr, frac)
+  }
+
+  private def dateMacroIn0(part: String, ts: Column, offsetStr: => Column,
+      frac: => Column): Option[Column] = part match {
     case "YEAR" => Some(date_format(ts, "yyyy"))
     case "MONTH" => Some(date_format(ts, "MM"))
     case "DAY" => Some(date_format(ts, "dd"))
@@ -106,11 +129,14 @@ object Macros {
     case "WEEKDAY" | "WEEK_DAY_ABBREV" => Some(date_format(ts, "EEE"))
     case "MONTH_NAME" => Some(date_format(ts, "MMMM"))
     case "MONTH_ABBREV" => Some(date_format(ts, "MMM"))
-    case "UNIXTIME" => Some(unix_timestamp(ts).cast("string"))
+    case "UNIXTIME" =>
+      Some(concat(unix_timestamp(ts).cast("string"), frac))
     case "ISODATE" =>
-      Some(concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), offsetStr))
-    case "FULLDATE" => Some(date_format(ts, "yyyy MMM dd HH:mm:ss"))
-    case "DATE" | "STAMP" => Some(date_format(ts, "MMM dd HH:mm:ss"))
+      Some(concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), frac, offsetStr))
+    case "FULLDATE" =>
+      Some(concat(date_format(ts, "yyyy MMM dd HH:mm:ss"), frac))
+    case "DATE" | "STAMP" =>
+      Some(concat(date_format(ts, "MMM dd HH:mm:ss"), frac))
     case "TZOFFSET" => Some(offsetStr)
     case "TZ" => Some(offsetStr)
     case _ => None
@@ -121,7 +147,16 @@ object Macros {
     * `$1..$255` match groups. */
   def resolver(columns: Set[String]): String => Column = resolver(columns, None)
 
-  def resolver(columns: Set[String], tz: Option[String]): String => Column = {
+  def resolver(columns: Set[String], tz: Option[String]): String => Column =
+    resolver(columns, tz, 0)
+
+  def resolver(columns: Set[String], tz: Option[String],
+      fracDigits: Int): String => Column = {
+    // shadow the object-level helper so every date-macro call site in
+    // this body picks up the caller's frac-digits option
+    def dateMacro(part: String, ts0: Column,
+        tz2: Option[String] = None): Option[Column] =
+      Macros.dateMacro(part, ts0, tz2, fracDigits)
     val hasValues = columns.contains("values")
     val hasMatches = columns.contains("matches")
 

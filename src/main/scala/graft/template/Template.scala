@@ -316,6 +316,8 @@ object Template {
     * destination templates) — date macros render in that zone. */
   def column(template: String, columns: Seq[String],
       tz: Option[String] = None,
-      templates: Map[String, String] = Map.empty): Column =
-    compile(parse(template), Macros.resolver(columns.toSet, tz), templates)
+      templates: Map[String, String] = Map.empty,
+      fracDigits: Int = 0): Column =
+    compile(parse(template),
+      Macros.resolver(columns.toSet, tz, fracDigits), templates)
 }

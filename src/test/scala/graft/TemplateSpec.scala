@@ -286,4 +286,23 @@ class TemplateSpec extends GraftSuite {
   test("nested functions and refs") {
     assert(render("$(uppercase $(substr $MESSAGE 0 3))") == Seq("LOG", "JOB"))
   }
+  test("frac-digits(3) composite date macros (test_template.c:161-204)") {
+    // the libtest stamp: 2006-02-11T10:34:56+01:00 = 09:34:56Z;
+    // RECVD = 1139684315.639 = 18:58:35.639Z
+    val df = logDf.limit(1)
+      .withColumn("ts", to_timestamp(lit("2006-02-11 09:34:56")))
+      .withColumn("recvd_ts", to_timestamp(lit("2006-02-11 18:58:35.639")))
+    def r(t: String): String =
+      df.select(Template.column(t, df.columns, tz = Some("Europe/Budapest"),
+        fracDigits = 3).cast("string")).head.getString(0)
+    assert(r("$DATE") == "Feb 11 10:34:56.000")
+    assert(r("$STAMP") == "Feb 11 10:34:56.000")
+    assert(r("$FULLDATE") == "2006 Feb 11 10:34:56.000")
+    assert(r("$ISODATE") == "2006-02-11T10:34:56.000+01:00")
+    assert(r("$UNIXTIME") == "1139650496.000")
+    assert(r("$TZOFFSET") == "+01:00")
+    assert(r("$R_DATE") == "Feb 11 19:58:35.639")
+    assert(r("$R_ISODATE") == "2006-02-11T19:58:35.639+01:00")
+    assert(r("$R_UNIXTIME") == "1139684315.639")
+  }
 }
