@@ -223,6 +223,15 @@ object Macros {
         // log_msg_print_tags str-repr-quotes tags containing commas
         // (the $(list-*) encoding, logmsg.c:1009)
         graft.functions.ListFunctions.list_encode(col("tags"))
+      case "FULLHOST" => col("host")
+      case "FULLHOST_FROM" =>
+        if (columns.contains("host_from")) col("host_from")
+        else lit(null).cast("string")
+      // macros.c M_UNIQID: "%08x@%016llx" of (host_id, rcptid)
+      case "UNIQID" if !columns.contains("uniqid") &&
+          columns.contains("hostid") && columns.contains("rcptid") =>
+        concat(lower(lpad(hex(col("hostid")), 8, "0")), lit("@"),
+          lower(lpad(hex(col("rcptid")), 16, "0")))
       case "SEQNUM" | "RCPTID" | "HOSTID" | "RUNID" | "UNIQID" | "CONTEXT_ID" =>
         if (columns.contains(name.toLowerCase)) col(name.toLowerCase) else lit("")
       case "LOGHOST" =>

@@ -305,4 +305,16 @@ class TemplateSpec extends GraftSuite {
     assert(r("$R_ISODATE") == "2006-02-11T19:58:35.639+01:00")
     assert(r("$R_UNIXTIME") == "1139684315.639")
   }
+  test("FULLHOST/FULLHOST_FROM/UNIQID macros (test_template.c:227-244)") {
+    val df = logDf.limit(1)
+      .withColumn("host_from", lit("kismacska"))
+      .withColumn("hostid", lit(0xcafebabeL))
+      .withColumn("rcptid", lit(555L))
+    def r(t: String): String =
+      df.select(Template.column(t, df.columns).cast("string")).head.getString(0)
+    assert(r("$FULLHOST") == "h1")
+    assert(r("$HOST_FROM") == "kismacska")
+    assert(r("$FULLHOST_FROM") == "kismacska")
+    assert(r("$UNIQID") == "cafebabe@000000000000022b")
+  }
 }
