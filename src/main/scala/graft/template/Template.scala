@@ -152,7 +152,8 @@ object Template {
     * at read time, see ConfigCompiler.expandNamedTemplates; this
     * engine-level registry additionally covers the dynamic form). */
   def compile(t: Parsed, resolve: String => Column,
-      templates: Map[String, String] = Map.empty): Column = {
+      templates: Map[String, String] = Map.empty,
+      escape: Boolean = false): Column = {
     // binds $_ to the HOF lambda element on top of the outer resolver
     // (tf-map.c sets context_id to the current element the same way)
     def bindElem(e: Column): String => Column =
@@ -304,10 +305,20 @@ object Template {
         }
         coalesce(f(targs).cast("string"), lit(""))
     }
+    // template-escape(yes) (lib/template/templates.c result_append
+    // escape path): VALUE expansions escape ' " \ with backslashes;
+    // literal template text passes through raw
+    def esc(n: Node, c: Column): Column = n match {
+      case _: Lit => c
+      case _ if !escape => c
+      case _ => regexp_replace(c.cast("string"),
+        "([\"'\\\\])", "\\\\$1")
+    }
+    def nodeColE(n: Node): Column = esc(n, nodeCol(n))
     t.nodes match {
       case Seq() => lit("")
-      case Seq(one) => nodeCol(one)
-      case many => concat(many.map(nodeCol): _*)
+      case Seq(one) => nodeColE(one)
+      case many => concat(many.map(nodeColE): _*)
     }
   }
 
@@ -317,7 +328,8 @@ object Template {
   def column(template: String, columns: Seq[String],
       tz: Option[String] = None,
       templates: Map[String, String] = Map.empty,
-      fracDigits: Int = 0): Column =
+      fracDigits: Int = 0,
+      escape: Boolean = false): Column =
     compile(parse(template),
-      Macros.resolver(columns.toSet, tz, fracDigits), templates)
+      Macros.resolver(columns.toSet, tz, fracDigits), templates, escape)
 }

@@ -317,4 +317,15 @@ class TemplateSpec extends GraftSuite {
     assert(r("$FULLHOST_FROM") == "kismacska")
     assert(r("$UNIQID") == "cafebabe@000000000000022b")
   }
+  test("template-escape(yes) escapes value expansions only (test_template.c:90-97)") {
+    val df = logDf.limit(1)
+      .withColumn("values", map(lit("APP.QVALUE"), lit("\"value\"")))
+    def r(t: String, esc: Boolean): String =
+      df.select(Template.column(t, df.columns, escape = esc).cast("string"))
+        .head.getString(0)
+    assert(r("${APP.QVALUE}", esc = false) == "\"value\"")
+    assert(r("${APP.QVALUE}", esc = true) == "\\\"value\\\"")
+    // literal text never escapes
+    assert(r("say \"${APP.QVALUE}\"", esc = true) == "say \"\\\"value\\\"\"")
+  }
 }
