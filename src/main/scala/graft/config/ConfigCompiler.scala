@@ -1391,19 +1391,40 @@ object ConfigCompiler {
         df => Parsers.snmptrapdParser(df, prefix, setMsg)
 
       case "add-contextual-data" =>
-        // add-contextual-data(selector("$T"), database("f.csv"),
-        // prefix(...), default-selector(...)) — broadcast lookup join
+        // add-contextual-data(selector("$T" | filters("f.conf")),
+        // database("f.csv"), prefix(...), default-selector(...)) —
+        // broadcast lookup join; the filters() selector form
+        // (modules/add-contextual-data/add-contextual-data-filter-
+        // selector.c) resolves to the NAME of the first matching named
+        // filter, in the database's selector order
         val dbPath = kvOf(s.args, "database").getOrElse(
           throw new IllegalArgumentException("add-contextual-data needs database()"))
-        val sel = kvOf(s.args, "selector").getOrElse(
-          throw new IllegalArgumentException("add-contextual-data needs selector()"))
+        val selArgs = s.args.collectFirst { case KV("selector", as) => as }
+          .getOrElse(
+            throw new IllegalArgumentException("add-contextual-data needs selector()"))
         val prefix = kvOf(s.args, "prefix").getOrElse("")
         val dflt = kvOf(s.args, "default-selector")
         df => {
           val db = df.sparkSession.read
             .schema("selector string, name string, value string").csv(dbPath)
-          graft.operators.Enrich.addContextualData(df, db,
-            Template.column(sel, df.columns.toSeq), prefix, dflt)
+          val sel = selArgs match {
+            case Seq(KV("filters", fs)) =>
+              val fcfg = ConfigParser.parseFile(lits(fs).head)
+              // ordered filter names = db selectors in file order
+              // (driver-side collect: config-dimension, bounded)
+              val names = db.select("selector").collect()
+                .map(_.getString(0)).distinct.toSeq
+              names.foldLeft(lit(null).cast("string")) { (acc, n) =>
+                val fd = fcfg.filters.getOrElse(n,
+                  throw new IllegalArgumentException(
+                    s"add-contextual-data filters(): unknown filter $n"))
+                coalesce(acc, when(filterCol(fcfg, fd.expr), lit(n)))
+              }
+            case Seq(Lit(t)) => Template.column(t, df.columns.toSeq)
+            case other => throw new IllegalArgumentException(
+              s"add-contextual-data: unsupported selector form $other")
+          }
+          graft.operators.Enrich.addContextualData(df, db, sel, prefix, dflt)
         }
 
       case "db-parser" | "windows-eventlog-parser" =>
