@@ -1649,7 +1649,8 @@ object ConfigCompiler {
         val field = kvOf(s.args, "value").getOrElse("MESSAGE")
         val tz = kvOf(s.args, "time-zone")
         df => Rewrites.set(df, colName(field),
-          Template.column(tmpl, df.columns, tz), cond)
+          Template.column(tmpl, df.columns, tz,
+            fracDigits = cfg.fracDigits), cond)
       case "subst" =>
         val Seq(re, repl) = lits(s.args).take(2)
         val field = kvOf(s.args, "value").getOrElse("MESSAGE")

@@ -36,6 +36,8 @@ object ConfigParser {
     * lib/cfg-grammar.y template_stmt + lib/template/user-function.c. */
   final case class TemplateDecl(name: String, text: String,
       isFunction: Boolean) extends Decl
+  /** Global `options { ... };` block, name -> joined literal text. */
+  final case class OptionsDecl(opts: Map[String, String]) extends Decl
 
   sealed trait LogElem
   final case class Ref(kind: String, name: String) extends LogElem  // source(s_x)
@@ -59,6 +61,14 @@ object ConfigParser {
     /** User-defined zero-arg template functions (`$(name)`). */
     def templateFunctions: Map[String, String] =
       decls.collect { case t: TemplateDecl if t.isFunction => t.name -> t.text }.toMap
+    /** Global options{} (last block wins per key). */
+    def options: Map[String, String] =
+      decls.collect { case o: OptionsDecl => o.opts }
+        .foldLeft(Map.empty[String, String])(_ ++ _)
+    /** frac-digits(N) — fractional-second digits on composite date
+      * macros (timeutils format); 0 when unset. */
+    def fracDigits: Int =
+      options.get("frac-digits").flatMap(_.toIntOption).getOrElse(0)
     private def blocks(kind: String) =
       decls.collect { case b: Block if b.kind == kind => b.name -> b }.toMap
   }
@@ -381,8 +391,20 @@ object ConfigParser {
             expect("}"); expect(";")
             decls += FilterDecl(name, e)
           case "options" =>
-            val _ = if (peek.kind == "word") next() else peek
-            skipBlock()
+            // global options {} — retained as a name->text map
+            // (lib/cfg-grammar.y options_items); consumers pick the
+            // ones the engine honors (frac-digits, time-zone, ...)
+            if (peek.kind == "{") {
+              expect("{")
+              val opts = mutable.LinkedHashMap.empty[String, String]
+              while (!accept("}")) {
+                val st = stmt()
+                opts(st.name) = st.args.collect { case Lit(v) => v }.mkString(" ")
+                expect(";")
+              }
+              expect(";")
+              decls += OptionsDecl(opts.toMap)
+            } else { val _ = next(); skipBlock() }
           case "template" =>
             // template NAME { template("TEXT"); [template-escape(..);] };
             // or the shorthand: template NAME "TEXT";

@@ -135,4 +135,20 @@ class CfgDefineE2eSpec extends GraftSuite {
       .map(r => (r.getString(0), r.getString(1)))
     assert(rows.toSeq == Seq(("sshd", "hello-world")))
   }
+  test("options { frac-digits(3); } renders fractional seconds in set()") {
+    val logs = Seq(("h1", "p", "m")).toDF("host", "program", "message")
+      .withColumn("ts", to_timestamp(lit("2006-02-11 10:34:56")))
+    val cfg = ConfigParser.parse("""
+      options { frac-digits(3); keep-hostname(yes); };
+      source s { file("/x"); };
+      rewrite r { set("$ISODATE", value("MESSAGE")); };
+      destination d { file("/out"); };
+      log { source(s); rewrite(r); destination(d); };
+    """)
+    assert(cfg.fracDigits == 3)
+    assert(cfg.options("keep-hostname") == "yes")
+    val out = ConfigCompiler.compile(cfg, Map("s" -> logs)).head.df
+    assert(out.select("message").head.getString(0) ==
+      "2006-02-11T10:34:56.000+00:00")
+  }
 }
