@@ -277,4 +277,18 @@ class PlanSpec extends GraftSuite {
       assert(s.contains("SyslogLineParser.parseRow"), s.take(2000))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+  test("patterndb_synthetic: one aggregation exchange, no window, no cartesian") {
+    // per-context synthetic generation = ONE groupBy(host) shuffle with
+    // a partial aggregate below it; a window or cartesian here would be
+    // the 100 TB scale-killer
+    val p = plan("patterndb_synthetic")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Cartesian"), p)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith(":- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate") ||
+      p.contains("SortAggregate"), p)
+  }
 }
