@@ -1427,6 +1427,35 @@ object ConfigCompiler {
           graft.operators.Enrich.addContextualData(df, db, sel, prefix, dflt)
         }
 
+      case "geoip2" =>
+        // geoip2("$IP" prefix(".geoip2") database("x.mmdb")) —
+        // modules/geoip2/geoip-parser.c: mmdb lookup, every record
+        // field lands in values as prefix.dotted.path (trailing prefix
+        // dot compacted, :181); doubles render %f (maxminddb-helper.c)
+        val tmpl = lits(s.args).headOption.getOrElse(
+          throw new IllegalArgumentException("geoip2 needs a template argument"))
+        val dbPath = kvOf(s.args, "database").getOrElse(
+          throw new IllegalArgumentException("geoip2 needs database()"))
+        val prefix0 = kvOf(s.args, "prefix").getOrElse(".geoip2")
+        val prefix = (if (prefix0.endsWith(".")) prefix0.dropRight(1) else prefix0) + "."
+        df => {
+          val db = graft.operators.Mmdb.open(dbPath)
+          val fields = db.networks().flatMap(_._3.keys).distinct.sorted
+          val ranges = graft.operators.Mmdb
+            .toRangeTable(df.sparkSession, dbPath, fields)
+            .select(col("lo") +: col("hi") +:
+              fields.zipWithIndex.map { case (f, i) =>
+                col(f.replace('.', '_')).as(s"__geo$i") }: _*)
+          val joined = graft.operators.Enrich.ipRangeLookup(df, ranges,
+            Template.column(tmpl, df.columns.toSeq))
+          val add = map_filter(
+            map(fields.zipWithIndex.flatMap { case (f, i) =>
+              Seq(lit(prefix + f), col(s"__geo$i")) }: _*),
+            (_, v) => v.isNotNull)
+          joined.withColumn("values", mergedValues(joined, add))
+            .drop(Seq("lo", "hi") ++ fields.indices.map(i => s"__geo$i"): _*)
+        }
+
       case "db-parser" | "windows-eventlog-parser" =>
         // db-parser(file("x.pdb") [drop-unmatched(yes)]) — patterndb
         // XML compiled into the codegen'd RadixMatch automaton;

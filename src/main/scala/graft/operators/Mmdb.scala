@@ -239,6 +239,10 @@ object Mmdb {
     case xs: List[_] => xs.zipWithIndex.flatMap { case (x, idx) =>
       flatten(x, s"$prefix.$idx")
     }.toMap
+    // numeric rendering follows maxminddb-helper.c:73-94: doubles and
+    // floats print "%f" (6 decimals) — location.latitude is "51.750000"
+    case d: Double => Map(prefix -> f"$d%f")
+    case f: Float => Map(prefix -> f"${f.toDouble}%f")
     case other => Map(prefix -> other.toString)
   }
 
