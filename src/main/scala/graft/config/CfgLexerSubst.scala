@@ -60,7 +60,7 @@ object CfgLexerSubst {
 
   /** `_extract_string_literal`: value lexes as EXACTLY one string token
     * (leading/trailing whitespace skipped) -> its decoded content. */
-  private[config] def extractStringLiteral(value: String): Option[String] = {
+  private[graft] def extractStringLiteral(value: String): Option[String] = {
     var i = 0
     val n = value.length
     while (i < n && value(i).isWhitespace) i += 1

@@ -256,4 +256,55 @@ class PropertiesSpec extends GraftSuite {
       out == texts // no digits -> no matches -> identity
     })
   }
+  test("ParseNumber agrees with Long.parseLong on plain decimals") {
+    check(Prop.forAll(Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)) { n =>
+      graft.config.ParseNumber.parseNumber(n.toString).contains(n) &&
+        graft.config.ParseNumber.parseDecNumber(n.toString).contains(n) &&
+        graft.config.ParseNumber.parseNumberWithSuffix(n.toString).contains(n)
+    })
+  }
+
+  test("ParseNumber suffix multipliers compose") {
+    val small = Gen.chooseNum(0L, 1000000L)
+    check(Prop.forAll(small) { n =>
+      graft.config.ParseNumber.parseNumberWithSuffix(n.toString + "K").contains(n * 1000L) &&
+        graft.config.ParseNumber.parseNumberWithSuffix(n.toString + "Kib").contains(n * 1024L) &&
+        graft.config.ParseNumber.parseNumberWithSuffix(n.toString + "b").contains(n)
+    })
+  }
+
+  test("CfgLexerSubst escapes round-trip through value splicing") {
+    // any value spliced into a "string" context must re-lex to the same
+    // decoded content (encode-after-decode stability)
+    val content = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('"', '\\', ' ', '\n', '\r'),
+      1 -> Gen.const('x'))).map(_.mkString.take(20))
+    check(Prop.forAll(content) { v =>
+      val quoted = "\"" + v.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case c => c.toString
+      } + "\""
+      val out = graft.config.CfgLexerSubst.invoke("\"`x`\"",
+        Map("x" -> quoted), Map.empty, Map.empty)
+      // the spliced string must decode back to v
+      graft.config.CfgLexerSubst.extractStringLiteral(out).contains(v)
+    })
+  }
+
+  test("SdataKeyEscape output is always a valid SD-NAME") {
+    val raw = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      1 -> Gen.oneOf('=', ' ', '[', ']', '"', '@'),
+      1 -> Gen.oneOf('á', 'ű', '\u00ad'))).map(_.mkString.take(12))
+    check(Prop.forAll(raw) { k =>
+      val esc = graft.functions.SdataKeyEscape.escape(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k)).toString
+      // no unsafe chars survive, and ASCII-only output
+      esc.forall(c => c < 128 && c != '=' && c != ' ' && c != '[' &&
+        c != ']' && c != '"')
+    })
+  }
 }
