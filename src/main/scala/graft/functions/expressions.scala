@@ -392,6 +392,49 @@ object SdataKeyEscape {
   }
 }
 
+/** CEF extension-value escaping (`/root/reference/modules/cef/
+  * format-cef-extension.c:67-107` tf_cef_append_escaped): `=`, `\n`,
+  * `\r`, `\\` get backslash escapes; NUL renders `\x00` (the invalid-
+  * byte path of the reference's UTF-8 walk); other control chars < 32
+  * render `\u%04x` (TAB is \\u0009); everything else passes through. */
+case class CefEscape(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cef_escape"
+
+  override protected def nullSafeEval(v: Any): Any =
+    CefEscape.escape(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.CefEscape.escape($s);")
+
+  override protected def withNewChildInternal(c: Expression): CefEscape =
+    copy(child = c)
+}
+
+object CefEscape {
+  def escape(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length + 8)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      c match {
+        case '=' => sb.append("\\=")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\\' => sb.append("\\\\")
+        case '\u0000' => sb.append("\\x00")
+        case ctrl if ctrl < 32 => sb.append(f"\\u${ctrl.toInt}%04x")
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** Column builders + SQL registration for graft's custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions.lit
@@ -421,6 +464,9 @@ object GraftFunctions {
 
   def sdata_key_escape(s: Column): Column =
     ColumnBridge.column(SdataKeyEscape(ColumnBridge.expression(s)))
+
+  def cef_escape(s: Column): Column =
+    ColumnBridge.column(CefEscape(ColumnBridge.expression(s)))
 
   /** Register SQL names (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -200,15 +200,23 @@ object ValuePairs {
       .otherwise(concat(array_join(lines, "\n"), lit("\n")))
   }
 
-  /** $(format-cef-extension): space-joined k=v sorted by key with CEF
-    * escaping: \ = newline CR escaped (format-cef-extension.c:68-101). */
-  def formatCef(m: Column): Column = {
-    val body = transform(sortedEntries(m), e => {
-      val v = e.getField("value")
-      val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        v, "\\\\", "\\\\\\\\"), "=", "\\\\="), "\n", "\\\\n"), "\r", "\\\\r")
-      concat(e.getField("key"), lit("="), esc)
-    })
-    array_join(body, " ")
+  /** $(format-cef-extension): space-joined k=v sorted by key.
+    * Values escape per tf_cef_append_escaped
+    * (format-cef-extension.c:67-107): = \n \r \\ backslash-escaped,
+    * NUL as \x00, other control chars as \u%%04x
+    * ([[graft.functions.CefEscape]]). Keys must be strictly
+    * alphanumeric (tf_cef_is_valid_key): a bad key drops the whole
+    * message ("" result) under on-error drop-message, or just that
+    * pair under drop-property. */
+  def formatCef(m: Column, onError: String = "drop-message"): Column = {
+    val entries = sortedEntries(m)
+    val valid = filter(entries,
+      e => e.getField("key").rlike("^[0-9A-Za-z]+$"))
+    val body = transform(valid, e =>
+      concat(e.getField("key"), lit("="),
+        graft.functions.GraftFunctions.cef_escape(e.getField("value"))))
+    val joined = array_join(body, " ")
+    if (onError.contains("drop-propert")) joined
+    else when(size(valid) < size(entries), lit("")).otherwise(joined)
   }
 }

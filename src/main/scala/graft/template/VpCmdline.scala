@@ -71,13 +71,27 @@ object VpCmdline {
       args(i) match {
         case "--scope" | "-s" => scopes ++= next().split(",").map(_.trim)
         case "--key" | "-k" =>
-          // --key and --exclude take comma lists (test_format_welf.c)
-          val gs = next().split(",").map(_.trim)
+          // --key and --exclude take comma lists (test_format_welf.c);
+          // components are NOT trimmed — a space-prefixed glob like
+          // --subkeys ' ' must survive (test-format-cef-extension.c:203)
+          val gs = next().split(",").toSeq
           keys ++= gs; lastPattern = gs.lastOption
-        case "--exclude" | "-x" => excludes ++= next().split(",").map(_.trim)
+        case "--exclude" | "-x" => excludes ++= next().split(",").toSeq
         case "--pair" | "-p" =>
           val kv = next(); val eq = kv.indexOf('=')
           pairs :+= (kv.substring(0, eq) -> kv.substring(eq + 1))
+        case "--subkeys" =>
+          // select PREFIX* and shift the prefix off (cmdline.c
+          // vp_cmdline_parse_subkeys); the prefix is raw — commas and
+          // spaces are legal (test-format-cef-extension.c:195-206)
+          if (i + 1 >= args.length) throw new IllegalArgumentException(
+            "Missing argument for --subkeys")
+          val p = next()
+          if (p.isEmpty) throw new IllegalArgumentException(
+            "Error parsing value-pairs: --subkeys requires a non-empty argument")
+          keys :+= p + "*"
+          rekeys :+= ((p + "*") -> Vector(ValuePairs.shiftKey(p.length)))
+          lastPattern = Some(p + "*")
         case "--rekey" => val g = next(); lastPattern = Some(g)
           if (!rekeys.exists(_._1 == g)) rekeys :+= (g -> Vector())
         case "--shift" => attach(ValuePairs.shiftKey(next().toInt))
@@ -239,10 +253,13 @@ object VpCmdline {
       compile: String => Column): Column =
     ValuePairs.formatWelf(stripTyped(buildMap(args, resolve, compile)))
 
-  /** `$(format-cef-extension ...)`. */
+  /** `$(format-cef-extension ...)` — key validation + value escaping
+    * per the cef module, on-error aware; `--subkeys` is handled by the
+    * shared cmdline parse. */
   def formatCef(args: Seq[String], resolve: String => Column,
       compile: String => Column): Column =
-    ValuePairs.formatCef(stripTyped(buildMap(args, resolve, compile)))
+    ValuePairs.formatCef(stripTyped(buildMap(args, resolve, compile)),
+      onError = parseArgs(args).onError)
 
   /** `$(graphite-output [--timestamp T] ...)` — the full value-pairs
     * command line plus the timestamp template option (default
