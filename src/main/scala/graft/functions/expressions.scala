@@ -435,6 +435,62 @@ object CefEscape {
   }
 }
 
+/** linux-audit hex-dump decode (`/root/reference/modules/kvformat/
+  * linux-audit-parser.c:73-131` _parse_linux_audit_hexstring): decodes
+  * an even-length all-hex value, mapping NUL separators to TAB, but
+  * ONLY when at least one decoded byte is something the kernel would
+  * have hex-escaped (< 0x21, > 0x7e, or '"') AND the result is valid
+  * UTF-8 — "41607E" stays raw because A`~ never needed escaping.
+  * Null when the value doesn't qualify (callers fall back to the raw
+  * text). */
+case class AuditHexDecode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "audit_hex_decode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    AuditHexDecode.decode(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => s"""
+      ${ev.value} = graft.functions.AuditHexDecode.decode($s);
+      if (${ev.value} == null) { ${ev.isNull} = true; }""")
+
+  override protected def withNewChildInternal(c: Expression): AuditHexDecode =
+    copy(child = c)
+}
+
+object AuditHexDecode {
+  def decode(v: UTF8String): UTF8String = {
+    val s = v.toString
+    val n = s.length
+    if (n == 0 || (n % 2) != 0) return null
+    val bytes = new Array[Byte](n / 2)
+    var escapeworthy = false
+    var i = 0
+    while (i < n) {
+      val hi = Character.digit(s.charAt(i), 16)
+      val lo = Character.digit(s.charAt(i + 1), 16)
+      if (hi < 0 || lo < 0) return null
+      var b = (hi << 4) | lo
+      if (b < 0x21 || b > 0x7e || b == '"') escapeworthy = true
+      if (b == 0) b = '\t'
+      bytes(i / 2) = b.toByte
+      i += 2
+    }
+    if (!escapeworthy) return null
+    // g_utf8_validate: reject invalid UTF-8 output
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      UTF8String.fromString(out)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => null
+    }
+  }
+}
+
 /** Column builders + SQL registration for graft's custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions.lit
@@ -467,6 +523,9 @@ object GraftFunctions {
 
   def cef_escape(s: Column): Column =
     ColumnBridge.column(CefEscape(ColumnBridge.expression(s)))
+
+  def audit_hex_decode(s: Column): Column =
+    ColumnBridge.column(AuditHexDecode(ColumnBridge.expression(s)))
 
   /** Register SQL names (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -108,6 +108,11 @@ object Parsers {
     * hex-encodable fields arrive hex-encoded (auditd hex-encodes any
     * value with special chars and does NOT quote it; literal values are
     * quoted). Decodes even-length pure-hex unquoted values. */
+  /** The hex-carrying audit fields (linux-audit-parser.c
+    * hexcoded_fields) — the aN argv registers qualify by pattern. */
+  private val AuditHexFields = Seq("name", "proctitle", "path", "dir",
+    "comm", "ocomm", "data", "old", "new")
+
   def auditKvParse(text: Column, hexFields: Set[String] = Set.empty): Column = {
     val entries = map_entries(
       graft.functions.KvScan(text, '=', "", rawValues = true).getField("pairs"))
@@ -115,16 +120,19 @@ object Parsers {
       val k = e.getField("key")
       val v = e.getField("value")
       val wasQuoted = v.startsWith("\"") || v.startsWith("'")
-      // decode only pairs in the ASCII-printable range (09/0A/20-7E):
-      // ANSI decode() raises on invalid UTF-8, and audit hex payloads
-      // beyond ASCII are left encoded in our string-first model
-      val isHex = v.rlike("^(?:0[9A]|[2-6][0-9A-F]|7[0-9A-E])+$")
+      // hexcoded_fields + a0/a1/... (linux-audit-parser.c
+      // _is_field_hex_encoded); an explicit hexFields set overrides
       val inScope =
-        if (hexFields.isEmpty) lit(true)
+        if (hexFields.isEmpty)
+          k.rlike("^a[0-9]") ||
+            k.isin(AuditHexFields.map(x => x: Any): _*)
         else k.isin(hexFields.toSeq.map(x => x: Any): _*)
-      val decoded = when(!wasQuoted && inScope && isHex,
-        decode(unhex(v), "UTF-8")).otherwise(dequote(v))
-      struct(k.as("key"), decoded.as("value"))
+      // AuditHexDecode is null unless the full kernel-would-have-
+      // escaped predicate holds (incl. NUL -> TAB and UTF-8 validity)
+      val decoded = graft.functions.GraftFunctions.audit_hex_decode(v)
+      val value = when(!wasQuoted && inScope && decoded.isNotNull, decoded)
+        .otherwise(dequote(v))
+      struct(k.as("key"), value.as("value"))
     }))
   }
 

@@ -124,7 +124,25 @@ class ParsersSpec extends GraftSuite {
       """proctitle=666F6F20626172 exe="/bin/EF" key=BEEF""").getMap[String, String](0)
     assert(m("proctitle") == "foo bar")
     assert(m("exe") == "/bin/EF") // quoted => literal
-    assert(m("key") == "BEEF") // non-ASCII hex stays encoded
+    assert(m("key") == "BEEF") // field not in the hexcoded set
+  }
+
+  test("audit hexdump battery (modules/kvformat/tests/test_linux_audit_scanner.c)") {
+    def audit(line: String): Map[String, String] =
+      one(Parsers.auditKvParse(col("s")), line).getMap[String, String](0).toMap
+    // all-printable decode would not have been escaped by the kernel
+    assert(audit("proctitle=41607E")("proctitle") == "41607E")
+    assert(audit("proctitle=412042")("proctitle") == "A B")
+    // multi-byte UTF-8 decodes
+    assert(audit("proctitle=C3A17276C3AD7A74C5B172C59174C3BC6BC3B67266C3BA72C3B367C3A970")("proctitle") ==
+      "árvíztűrőtükörfúrógép")
+    // NUL separators become TABs
+    assert(audit("proctitle=2F62696E2F7368002D65002F6574632F696E69742E642F706F737466697800737461747573")("proctitle") ==
+      "/bin/sh\t-e\t/etc/init.d/postfix\tstatus")
+    // aN argv registers hex-decode by pattern
+    assert(audit("a1=2F62696E2F7368202D6C")("a1") == "/bin/sh -l")
+    // odd-length hex stays raw
+    assert(audit("proctitle=41204")("proctitle") == "41204")
   }
 
   test("strftime conversion") {
