@@ -250,8 +250,13 @@ object ConfigCompiler {
               .orElse(kvOf(stmt.args, "multi-line-mode").collect {
                 case "indented" => "[^\\s]"
               })
+          // multi-line-garbage() drops from its match; the suffix
+          // form keeps the match (logproto-regexp-multiline-server.c)
+          val mlGarbage = kvOf(stmt.args, "multi-line-garbage")
+          val mlSuffix = kvOf(stmt.args, "multi-line-suffix")
           mlPrefix match {
-            case Some(re) => graft.streaming.Sources.multilineStream(spark, path, re)
+            case Some(re) => graft.streaming.Sources.multilineStream(
+              spark, path, re, garbageRe = mlGarbage, suffixRe = mlSuffix)
             case None => graft.streaming.Sources.fileLines(spark, path)
           }
         case "program" =>

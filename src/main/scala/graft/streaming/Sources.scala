@@ -175,7 +175,8 @@ object Sources {
     * ('^From ')` + no-parse). Emits (source_file, value) like
     * [[fileLines]] so the downstream parse stages are shared. */
   def multilineStream(spark: SparkSession, glob: String, startRe: String,
-      maxFilesPerTrigger: Int = 64): DataFrame = {
+      maxFilesPerTrigger: Int = 64, garbageRe: Option[String] = None,
+      suffixRe: Option[String] = None): DataFrame = {
     val whole = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("wholetext", "true")
@@ -186,7 +187,27 @@ object Sources {
     whole.select(col("source_file"),
       explode(filter(split(marked, "\u0000"), r => r =!= "")).as("value"))
       .withColumn("value", regexp_replace(col("value"), "\n$", ""))
+      .withColumn("value", trimRecord(col("value"), garbageRe, suffixRe))
   }
+
+  /** prefix-garbage / prefix-suffix multi-line trims
+    * (`lib/logproto/logproto-regexp-multiline-server.c`,
+    * tests/test-regexp-multiline-server.c): in garbage mode the first
+    * garbage match and everything after it DROP ("Foo Line Bar" ->
+    * "Foo Line"); in suffix mode the message ends AT the suffix match,
+    * suffix kept ("prefix first suffix garbage" -> "prefix first
+    * suffix"). The regexes anchor per line like the reference's
+    * per-line scan. */
+  private[graft] def trimRecord(rec: org.apache.spark.sql.Column,
+      garbageRe: Option[String],
+      suffixRe: Option[String]): org.apache.spark.sql.Column =
+    (garbageRe, suffixRe) match {
+      case (Some(g), _) =>
+        regexp_replace(rec, "(?sm)" + g + ".*\\z", "")
+      case (_, Some(sfx)) =>
+        regexp_replace(rec, "(?sm)(" + sfx + ").*\\z", "$1")
+      case _ => rec
+    }
 
   /** RFC6587 octet-counted framing (`logproto-framed-server.c`): whole
     * payload files (the shape TCP relay capture or a Kafka value takes)

@@ -406,4 +406,17 @@ class StreamingSpec extends GraftSuite {
       assert(errors.count() == 0) // healthy run: no error-severity events
     } finally Internal.detach(spark, l)
   }
+  test("multi-line garbage/suffix trims (test-regexp-multiline-server.c:78-166)") {
+    import graft.streaming.Sources
+    def trim(rec: String, g: Option[String], sfx: Option[String]): String =
+      Seq(rec).toDF("r").select(Sources.trimRecord(col("r"), g, sfx)).head.getString(0)
+    // garbage mode: first " Bar$" match and everything after drops
+    assert(trim("Foo First Line Bar", Some(" Bar$"), None) == "Foo First Line")
+    assert(trim("Foo Multiline\nmulti Bar", Some(" Bar$"), None) == "Foo Multiline\nmulti")
+    // suffix mode: the match itself is kept
+    assert(trim("prefix first suffix garbage", None, Some("suffix")) == "prefix first suffix")
+    assert(trim("prefix multi\nsuffix garbage", None, Some("suffix")) == "prefix multi\nsuffix")
+    // no trim configured: record passes through
+    assert(trim("plain", None, None) == "plain")
+  }
 }
