@@ -254,10 +254,16 @@ object ConfigCompiler {
           // form keeps the match (logproto-regexp-multiline-server.c)
           val mlGarbage = kvOf(stmt.args, "multi-line-garbage")
           val mlSuffix = kvOf(stmt.args, "multi-line-suffix")
-          mlPrefix match {
-            case Some(re) => graft.streaming.Sources.multilineStream(
+          // pad-size(N): fixed-size padded records
+          // (logproto-record-server.c) — batch read, so it composes
+          // with neither multi-line nor the line stream
+          val padSize = kvOf(stmt.args, "pad-size").map(_.toInt)
+          (mlPrefix, padSize) match {
+            case (_, Some(n)) =>
+              graft.streaming.Sources.paddedRecords(spark, path, n)
+            case (Some(re), _) => graft.streaming.Sources.multilineStream(
               spark, path, re, garbageRe = mlGarbage, suffixRe = mlSuffix)
-            case None => graft.streaming.Sources.fileLines(spark, path)
+            case _ => graft.streaming.Sources.fileLines(spark, path)
           }
         case "program" =>
           // modules/afprog/afprog.c:86-92: `/bin/sh -c cmdline`,

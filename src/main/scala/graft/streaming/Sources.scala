@@ -209,6 +209,32 @@ object Sources {
       case _ => rec
     }
 
+  /** Fixed-size record framing (`lib/logproto/logproto-record-server.c`,
+    * the `pad-size()` source option): the payload splits into
+    * `recordSize`-byte records; each record cuts at its first NUL (the
+    * padded server's C-string read — a record STARTING with NUL is "")
+    * and trailing whitespace padding strips. A short trailing record is
+    * dropped (the reference raises LPS_ERROR "couldn't read enough
+    * bytes"; a batch scan skips it). */
+  def paddedRecords(spark: SparkSession, glob: String,
+      recordSize: Int): DataFrame = {
+    require(recordSize > 0, "pad-size must be positive")
+    val raw = spark.read.format("binaryFile").load(glob)
+      .select(col("path").as("source_file"), col("content"))
+    val n = floor(length(col("content")) / recordSize).cast("int")
+    // sequence(0, -1) would generate a DESCENDING range on an empty
+    // file — guard the record count explicitly
+    val idxs = when(n >= 1, sequence(lit(0), n - 1))
+      .otherwise(array().cast("array<int>"))
+    raw.select(col("source_file"),
+        explode(transform(idxs,
+          i => substring(col("content"), i * recordSize + 1, lit(recordSize))
+            .cast("string"))).as("value"))
+      .withColumn("value",
+        regexp_replace(substring_index(col("value"), "\u0000", 1),
+          "\\s+$", ""))
+  }
+
   /** RFC6587 octet-counted framing (`logproto-framed-server.c`): whole
     * payload files (the shape TCP relay capture or a Kafka value takes)
     * split into `NNN <bytes>` frames — see

@@ -419,4 +419,25 @@ class StreamingSpec extends GraftSuite {
     // no trim configured: record passes through
     assert(trim("plain", None, None) == "plain")
   }
+  test("padded fixed-size records: NUL cut + whitespace strip (test-record-server.c:67-105)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-padded")
+    val f = dir.resolve("records.bin")
+    val out = new java.io.FileOutputStream(f.toFile)
+    out.write("0123456789ABCDEF0123456789ABCDEF".getBytes("UTF-8"))
+    out.write(("01234567" + "\n" * 24).getBytes("UTF-8"))
+    out.write("01234567".getBytes("UTF-8")); out.write(new Array[Byte](24))
+    out.write(("\u00e1rv\u00edzt" + "\n" * 22).getBytes("ISO-8859-1").take(32))
+    // record starting with NUL reads as ""
+    out.write(new Array[Byte](32))
+    // short trailing record drops
+    out.write("01234".getBytes("UTF-8"))
+    out.close()
+    val rows = graft.streaming.Sources.paddedRecords(spark, f.toString, 32)
+      .select("value").collect().map(_.getString(0))
+    assert(rows.length == 5)
+    assert(rows(0) == "0123456789ABCDEF0123456789ABCDEF")
+    assert(rows(1) == "01234567")
+    assert(rows(2) == "01234567")
+    assert(rows(4) == "")
+  }
 }
