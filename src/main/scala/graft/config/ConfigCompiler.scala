@@ -258,10 +258,15 @@ object ConfigCompiler {
           // (logproto-record-server.c) — batch read, so it composes
           // with neither multi-line nor the line stream
           val padSize = kvOf(stmt.args, "pad-size").map(_.toInt)
-          (mlPrefix, padSize) match {
-            case (_, Some(n)) =>
+          // encoding(): declared input charset (logreader options)
+          val enc = kvOf(stmt.args, "encoding")
+            .filterNot(e => e.equalsIgnoreCase("utf-8") || e.equalsIgnoreCase("utf8"))
+          (mlPrefix, padSize, enc) match {
+            case (_, Some(n), _) =>
               graft.streaming.Sources.paddedRecords(spark, path, n)
-            case (Some(re), _) => graft.streaming.Sources.multilineStream(
+            case (_, _, Some(cs)) =>
+              graft.streaming.Sources.fileLinesEncoded(spark, path, cs)
+            case (Some(re), _, _) => graft.streaming.Sources.multilineStream(
               spark, path, re, garbageRe = mlGarbage, suffixRe = mlSuffix)
             case _ => graft.streaming.Sources.fileLines(spark, path)
           }

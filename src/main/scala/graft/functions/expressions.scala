@@ -491,6 +491,34 @@ object AuditHexDecode {
   }
 }
 
+/** Arbitrary-charset decode (the `encoding()` source option,
+  * `lib/logproto/logproto-text-server.c` + logreader options): Spark's
+  * `decode` only speaks the ANSI charset shortlist, but syslog sources
+  * regularly declare iso-8859-x / windows-125x payloads. Invalid byte
+  * sequences decode with the charset's replacement character (GLib
+  * conversion inserts replacements rather than failing mid-stream). */
+case class CharsetDecode(child: Expression, charset: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "charset_decode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    CharsetDecode.decode(v.asInstanceOf[Array[Byte]], charset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""${ev.value} = graft.functions.CharsetDecode.decode($b, "$charset");""")
+
+  override protected def withNewChildInternal(c: Expression): CharsetDecode =
+    copy(child = c)
+}
+
+object CharsetDecode {
+  def decode(bytes: Array[Byte], charset: String): UTF8String =
+    UTF8String.fromString(new String(bytes, java.nio.charset.Charset.forName(charset)))
+}
+
 /** Column builders + SQL registration for graft's custom expressions. */
 object GraftFunctions {
   import org.apache.spark.sql.functions.lit
@@ -526,6 +554,9 @@ object GraftFunctions {
 
   def audit_hex_decode(s: Column): Column =
     ColumnBridge.column(AuditHexDecode(ColumnBridge.expression(s)))
+
+  def charset_decode(bytes: Column, charset: String): Column =
+    ColumnBridge.column(CharsetDecode(ColumnBridge.expression(bytes), charset))
 
   /** Register SQL names (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -209,6 +209,20 @@ object Sources {
       case _ => rec
     }
 
+  /** Lines decoded from a declared charset (the `encoding()` source
+    * option, lib/logreader options): the file reads as bytes and
+    * decodes via [[graft.functions.CharsetDecode]] (Spark's text reader
+    * and `decode` only speak the ANSI shortlist — syslog sources
+    * regularly declare iso-8859-x / windows-125x). */
+  def fileLinesEncoded(spark: SparkSession, glob: String,
+      charset: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path").as("source_file"),
+        explode(split(
+          graft.functions.GraftFunctions.charset_decode(col("content"), charset),
+          "\r?\n")).as("value"))
+      .filter(col("value") =!= "")
+
   /** Fixed-size record framing (`lib/logproto/logproto-record-server.c`,
     * the `pad-size()` source option): the payload splits into
     * `recordSize`-byte records; each record cuts at its first NUL (the

@@ -440,4 +440,15 @@ class StreamingSpec extends GraftSuite {
     assert(rows(2) == "01234567")
     assert(rows(4) == "")
   }
+  test("encoding() decodes iso-8859-2 payloads (logreader encoding option)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc")
+    val f = dir.resolve("latin2.log")
+    // "árvíztűrő tükörfúrógép" in ISO-8859-2 bytes
+    java.nio.file.Files.write(f,
+      "\u00e1rv\u00edzt\u0171r\u0151 t\u00fck\u00f6rf\u00far\u00f3g\u00e9p\nsecond line\n"
+        .getBytes(java.nio.charset.Charset.forName("ISO-8859-2")))
+    val rows = graft.streaming.Sources.fileLinesEncoded(spark, f.toString, "ISO-8859-2")
+      .select("value").collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("\u00e1rv\u00edzt\u0171r\u0151 t\u00fck\u00f6rf\u00far\u00f3g\u00e9p", "second line"))
+  }
 }
