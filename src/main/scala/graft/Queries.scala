@@ -1300,6 +1300,30 @@ object Queries {
         SELECT min(event_id) FROM events GROUP BY user_id, event_type)
       ORDER BY event_id"""))
 
+  /** Incremental-ingest dedup: the "new wave" = even event_ids, the
+    * seen-signature index = keys of odd user_ids — admitted rows dedup
+    * within the wave (min event_id per key) AND against the index. */
+  private val dedupIncremental = Q("dedup_incremental",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val key = concat_ws("|", col("user_id"), col("event_type"))
+      val wave = ev.filter(col("event_id") % 2 === 0)
+      val seen = ev.filter(col("user_id") % 2 === 1)
+        .select(key.as("signature")).distinct()
+      Dedup.incrementalSurvivors(wave, key, col("event_id"), seen)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH wave AS (SELECT * FROM events WHERE event_id % 2 = 0),
+      seen AS (SELECT DISTINCT user_id || '|' || event_type AS signature
+               FROM events WHERE user_id % 2 = 1)
+      SELECT event_id, user_id, event_type FROM wave w
+      WHERE event_id IN (
+        SELECT min(event_id) FROM wave GROUP BY user_id, event_type)
+      AND NOT EXISTS (SELECT 1 FROM seen s
+        WHERE s.signature = w.user_id || '|' || w.event_type)
+      ORDER BY event_id"""))
+
   private val dedupNgramJaccard = Q("dedup_ngram_jaccard",
     (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d),
         col("doc_id"), col("text"), shingleK = 3, threshold = 0.5)
@@ -2497,7 +2521,7 @@ object Queries {
     parseApache, rewriteGroupset, filterMatchStore,
     configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
-    dedupExact, dedupDropped, dedupNgramJaccard, dedupMinhash, dedupSimhash,
+    dedupExact, dedupDropped, dedupIncremental, dedupNgramJaccard, dedupMinhash, dedupSimhash,
     dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,
     patternizeQ,
     annBruteForce, annLsh, annIvf, dedupSemantic, dedupSemanticKeep,

@@ -29,6 +29,24 @@ object Dedup {
     df.join(surv, idCol === col("__sid"), "left_anti")
   }
 
+  /** Incremental-ingest exact dedup: a NEW batch dedups within itself
+    * AND against the signature table of everything already ingested —
+    * the shape a rolling 100 TB corpus takes, where each ingest wave
+    * must not re-admit previously-seen documents. `seen` is one
+    * `signature` column (the running index a production pipeline keeps
+    * partitioned by signature prefix); the anti-join shuffles on the
+    * hash key, so both sides co-partition and AQE broadcasts a small
+    * wave. Returns the admitted rows; union the admitted signatures
+    * back into `seen` for the next wave. */
+  def incrementalSurvivors(newDocs: DataFrame, key: Column, idCol: Column,
+      seen: DataFrame): DataFrame = {
+    val inWave = exactSurvivors(newDocs, key, idCol)
+      .select(col("survivor_id").as("__sid"))
+    newDocs.join(inWave, idCol === col("__sid"), "left_semi")
+      .join(seen.select(col("signature").as("__seen")),
+        key === col("__seen"), "left_anti")
+  }
+
   // ---- shingles / n-grams ----------------------------------------------------
   /** k-word shingles (distinct), the unit for Jaccard / MinHash.
     * The token array is let-bound via [[TextAnalysis.bindArray]]: naively
