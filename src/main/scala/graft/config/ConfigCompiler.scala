@@ -1268,7 +1268,17 @@ object ConfigCompiler {
       val re = lits(args).head
       val target = args.collectFirst { case KV("value", vs) => lits(vs).head }
         .map(valueCol).getOrElse(col("message"))
-      Filters.matches(re, target)
+      def mFlag(f: String) = args.exists {
+        case KV("flags", vs) => lits(vs).contains(f); case _ => false }
+      args.collectFirst { case KV("type", vs) => lits(vs).head }
+        .getOrElse("pcre") match {
+        case "string" => Filters.matchesString(re, target,
+          prefix = mFlag("prefix"), substring = mFlag("substring"),
+          icase = mFlag("ignore-case"))
+        case "glob" => Filters.matchesGlob(re, target)
+        case _ => Filters.matches(
+          if (mFlag("ignore-case")) "(?iu)" + re else re, target)
+      }
     case "netmask" => Filters.netmask(lits(args).head, col("srcip"))
     case "netmask6" => Filters.netmask6(lits(args).head, col("srcip"))
     case "tags" => Filters.tags(lits(args): _*)
@@ -1701,15 +1711,32 @@ object ConfigCompiler {
         val field = kvOf(s.args, "value").getOrElse("MESSAGE")
         def flagSet(f: String) = s.args.exists {
           case KV("flags", vs) => lits(vs).contains(f); case _ => false }
-        // templated replacement renders per message and inserts
-        // literally (rewrite-subst.c's LogTemplate replacement)
-        if (repl.contains("$"))
-          df => Rewrites.subst(df, colName(field), re,
-            Template.column(repl, df.columns), flagSet("global"), cond,
-            flagSet("store-matches"))
-        else
-          df => Rewrites.subst(df, colName(field), re, repl, flagSet("global"),
-            cond, storeMatches = flagSet("store-matches"))
+        kvOf(s.args, "type").getOrElse("pcre") match {
+          case "string" =>
+            // literal matcher replace (log_matcher_string_replace); the
+            // replacement is still a full template
+            val mode = if (flagSet("prefix")) "prefix"
+              else if (flagSet("substring")) "substring" else "exact"
+            df => Rewrites.substString(df, colName(field), re,
+              if (repl.contains("$")) Template.column(repl, df.columns)
+              else lit(repl),
+              mode = mode, icase = flagSet("ignore-case"),
+              global = flagSet("global"), condition = cond)
+          case _ =>
+            // a register-only replacement ($N/${name} + literals) runs
+            // per-match on the faithful PCRE engine; a replacement
+            // reading real message macros renders per ROW and inserts
+            // literally (rewrite-subst.c's LogTemplate replacement)
+            if (graft.functions.PcreSubst.supportsReplacement(re, repl))
+              df => Rewrites.subst(df, colName(field), re, repl,
+                flagSet("global"), cond,
+                storeMatches = flagSet("store-matches"),
+                icase = flagSet("ignore-case"))
+            else
+              df => Rewrites.subst(df, colName(field), re,
+                Template.column(repl, df.columns), flagSet("global"), cond,
+                flagSet("store-matches"))
+        }
       case "groupset" =>
         // groupset("template" values("glob" ...)): the template may read
         // $_ (the old value) — compile per entry with `_` bound

@@ -58,12 +58,23 @@ object RegexMatchStore {
   final case class Compiled(pattern: java.util.regex.Pattern,
       groupCount: Int, named: Seq[(Int, String)])
 
+  /** POSIX class names → Java US-ASCII class escapes (pcre_compile's
+    * posix_names table). */
+  private[functions] val posixClasses: Map[String, String] = Map(
+    "alnum" -> "\\p{Alnum}", "alpha" -> "\\p{Alpha}",
+    "ascii" -> "\\p{ASCII}", "blank" -> "\\p{Blank}",
+    "cntrl" -> "\\p{Cntrl}", "digit" -> "\\p{Digit}",
+    "graph" -> "\\p{Graph}", "lower" -> "\\p{Lower}",
+    "print" -> "\\p{Print}", "punct" -> "\\p{Punct}",
+    "space" -> "\\s", "upper" -> "\\p{Upper}",
+    "word" -> "\\w", "xdigit" -> "\\p{XDigit}")
+
   /** Rewrite PCRE named groups to plain groups, recording name →
     * group-index; validate name grammar and dup policy like pcre_compile
     * with/without PCRE_DUPNAMES. Throws on invalid patterns — the
     * reference's filter creation returns NULL there
     * (`test_filters_regexp.c:60-87`). */
-  def compile(re: String, dupnames: Boolean): Compiled = {
+  def compile(re: String, dupnames: Boolean, flags: Int = 0): Compiled = {
     val sb = new java.lang.StringBuilder(re.length)
     val named = Vector.newBuilder[(Int, String)]
     val seen = scala.collection.mutable.HashSet.empty[String]
@@ -80,8 +91,21 @@ object RegexMatchStore {
         else sb.append(c).append(n)
         i += 2
       } else if (inClass) {
-        if (c == ']') inClass = false
-        sb.append(c); i += 1
+        // POSIX named classes inside a class ([[:digit:]] etc.) — pcre
+        // speaks them, Java wants \p{...}
+        val posix = if (c == '[' && re.startsWith(":", i + 1))
+          re.indexOf(":]", i + 2) match {
+            case -1 => None
+            case e => RegexMatchStore.posixClasses.get(re.substring(i + 2, e))
+              .map(_ -> (e + 2 - i))
+          }
+        else None
+        posix match {
+          case Some((repl, consumed)) => sb.append(repl); i += consumed
+          case None =>
+            if (c == ']') inClass = false
+            sb.append(c); i += 1
+        }
       } else if (c == '[') {
         inClass = true; sb.append(c); i += 1
         // a ']' directly after '[' (or '[^') is literal in pcre; Java
@@ -123,7 +147,7 @@ object RegexMatchStore {
       if (m.group(1).toInt > groups)
         java.util.regex.Matcher.quoteReplacement("\\0" + m.group(1))
       else java.util.regex.Matcher.quoteReplacement(m.matched))
-    Compiled(java.util.regex.Pattern.compile(octalFixed), groups, named.result())
+    Compiled(java.util.regex.Pattern.compile(octalFixed, flags), groups, named.result())
   }
 
   def run(c: Compiled, text: String): org.apache.spark.sql.catalyst.InternalRow = {

@@ -90,13 +90,30 @@ object Filters {
   /** Literal string matcher backend (`lib/logmatcher.h` "string"). */
   def matchesLiteral(s: String, value: Column): Column = value === lit(s)
 
+  /** `type(string)` matcher with the full flag surface
+    * (`lib/logmatcher.c` log_matcher_string_match_string): exact
+    * equality by default, `flags(prefix)` / `flags(substring)` /
+    * `flags(ignore-case)`; a pattern longer than the value never
+    * matches (pattern_len > value_len guard). */
+  def matchesString(pattern: String, value: Column,
+      prefix: Boolean = false, substring: Boolean = false,
+      icase: Boolean = false): Column = {
+    def ci(c: Column): Column = if (icase) lower(c) else c
+    val pat = if (icase) pattern.toLowerCase else pattern
+    if (prefix) ci(value).startsWith(lit(pat))
+    else if (substring) ci(value).contains(lit(pat))
+    else ci(value) === lit(pat)
+  }
+
   /** Glob matcher backend (`lib/logmatcher.h` "glob"): `*`/`?` translated
-    * to SQL LIKE (escaping LIKE metachars). */
+    * to SQL LIKE (escaping LIKE metachars). GPattern only works on UTF-8
+    * — the reference's glob match returns FALSE outright on invalid
+    * input (`log_matcher_glob_match`, test_matcher.c iso88592_never). */
   def matchesGlob(pattern: String, value: Column): Column = {
     val likePat = pattern
       .replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
       .replace('*', '%').replace('?', '_')
-    value.like(likePat)
+    value.like(likePat) && is_valid_utf8(value)
   }
 
   /** `netmask("a.b.c.d/len")` CIDR containment — `lib/filter/

@@ -31,14 +31,61 @@ object Rewrites {
     * unused group as an empty value, `test_rewrite.c:161-173`). */
   def subst(df: DataFrame, field: String, re: String, replacement: String,
       global: Boolean = false, condition: Column = lit(true),
-      storeMatches: Boolean = false): DataFrame = {
+      storeMatches: Boolean = false, icase: Boolean = false): DataFrame = {
+    // the faithful PCRE engine (empty-match NOTEMPTY retry, per-match
+    // $N registers) handles every register-only replacement; a
+    // replacement referencing real message macros falls back to the
+    // Column-template overload via the config front end
     val replaced =
-      if (global) regexp_replace(col(field), re, replacement)
+      if (graft.functions.PcreSubst.supportsReplacement(re, replacement))
+        graft.functions.PcreSubst(col(field), re, replacement, global, icase)
+      else if (global) regexp_replace(col(field), re, replacement)
       else regexp_replace(col(field), "^((?s:(?:(?!" + re + ").)*?))(" + re + ")",
         "$1" + replacement)
     // matches read the PRE-substitution value: stage them first
     val staged = stageMatches(df, field, re, condition, storeMatches)
     guarded(staged, field, replaced, condition)
+  }
+
+  /** `subst(... type(string) flags(prefix|substring [ignore-case]
+    * [global]))` — the literal string matcher's replace
+    * (`lib/logmatcher.c` log_matcher_string_replace): exact mode
+    * replaces the whole value on equality, prefix mode replaces the
+    * leading `pattern_len` chars, substring mode the first (or, with
+    * global, every non-overlapping) occurrence. A `pattern` longer
+    * than the value never matches. */
+  def substString(df: DataFrame, field: String, pattern: String,
+      replacement: Column, mode: String = "exact", icase: Boolean = false,
+      global: Boolean = false, condition: Column = lit(true)): DataFrame = {
+    require(pattern.nonEmpty, "substString: empty pattern")
+    val v = col(field)
+    def ci(c: Column): Column = if (icase) lower(c) else c
+    val replaced = mode match {
+      case "exact" =>
+        when(ci(v) === ci(lit(pattern)), replacement).otherwise(v)
+      case "prefix" =>
+        when(ci(v).startsWith(ci(lit(pattern))),
+          concat(replacement, v.substr(lit(pattern.length + 1),
+            length(v)))).otherwise(v)
+      case "substring" if !global =>
+        val pat = if (icase) pattern.toLowerCase else pattern
+        val pos = locate(pat, ci(v))
+        when(pos > 0, concat(
+          v.substr(lit(1), pos - 1), replacement,
+          v.substr(pos + pattern.length, length(v)))).otherwise(v)
+      case "substring" =>
+        // global: fence every occurrence (literal pattern — regex-safe
+        // after quoting) and rebuild, so the replacement Column can be
+        // a per-row template
+        val re = (if (icase) "(?iu)" else "") +
+          java.util.regex.Pattern.quote(pattern)
+        val marked = regexp_replace(v, re, "\u0000$0\u0000")
+        array_join(transform(split(marked, "\u0000"),
+          (s, i) => when(i % 2 === 1, replacement).otherwise(s)), "")
+      case other =>
+        throw new IllegalArgumentException(s"substString mode: $other")
+    }
+    guarded(df, field, replaced, condition)
   }
 
   /** subst with a TEMPLATE replacement (`rewrite-subst.c` renders the
