@@ -132,9 +132,13 @@ object SyslogLineParser {
   /** BSD timestamp `MMM [ d|dd] HH:MM:SS` with the reference's extended
     * forms: Cisco year-before-time (`Apr 15 2007 21:28:13`), linksys
     * year-after-time (`Apr 15 21:28:13 2007`), fractional seconds
-    * (`02:00:00.156789`). Year inferred from refYear when absent.
+    * (`02:00:00.156789`). Year inferred from refYear when absent; with a
+    * reference month (`refMon` 1-12), the December/January adjacency
+    * heuristic of `wallclocktime.c determine_year_for_month` applies —
+    * a Dec stamp parsed in Jan is LAST year, a Jan stamp parsed in Dec
+    * is NEXT year (test_scan-timestamp.c year_in_the_past/future).
     * Returns epoch micros or Long.MinValue (cursor restored on failure). */
-  def parseBsdTimestamp(c: Cursor, refYear: Int): Long = {
+  def parseBsdTimestamp(c: Cursor, refYear: Int, refMon: Int = -1): Long = {
     val start = c.pos
     def fail(): Long = { c.pos = start; Long.MinValue }
     if (c.pos + 3 > c.len) return fail()
@@ -173,7 +177,11 @@ object SyslogLineParser {
       year = tryYear(c)
       if (year < 0) c.pos = save
     }
-    if (year < 0) year = refYear
+    if (year < 0)
+      year =
+        if (mon == 12 && refMon == 1) refYear - 1
+        else if (mon == 1 && refMon == 12) refYear + 1
+        else refYear
     toMicros(year, mon, d, h, mi, s, micros, 0)
   }
 
@@ -239,6 +247,10 @@ object SyslogLineParser {
     parse(line, refYear, noParse = false, expectHostname = false,
       noHostname = false, noParseDate = false)
 
+  def parse(line: String, refYear: Int, refMon: Int): Parsed =
+    parse(line, refYear, noParse = false, expectHostname = false,
+      noHostname = false, noParseDate = false, refMon = refMon)
+
   /** flags() form (`lib/msg-format.h:37-60`, dispatch `msg-format.c:113`):
     *  - no-parse (LP_NOPARSE): the entire line becomes MESSAGE, nothing
     *    else is extracted (pri stays the default);
@@ -251,17 +263,18 @@ object SyslogLineParser {
     *    engine's strings are already decoded/valid UTF-8 at ingest. */
   def parse(line: String, refYear: Int, noParse: Boolean,
       expectHostname: Boolean, noHostname: Boolean,
-      noParseDate: Boolean): Parsed = {
+      noParseDate: Boolean, refMon: Int = -1): Parsed = {
     if (noParse)
       return Parsed(DefaultPri, 0, Long.MinValue, null, null, null, null,
         null, null, line)
-    val p = parseImpl(line, refYear, expectHostname, noHostname)
+    val p = parseImpl(line, refYear, expectHostname, noHostname, refMon)
     if (noParseDate && p.tsMicros != Long.MinValue) p.copy(tsMicros = Long.MinValue)
     else p
   }
 
   private def parseImpl(line: String, refYear: Int,
-      expectHostname: Boolean, noHostname: Boolean): Parsed = {
+      expectHostname: Boolean, noHostname: Boolean,
+      refMon: Int = -1): Parsed = {
     val c = new Cursor(line)
     var pri = DefaultPri
     // <PRI>
@@ -305,7 +318,7 @@ object SyslogLineParser {
     // RFC3164
     val afterPri = c.pos
     c.skipSpaces() // reference tolerates spaces between PRI and timestamp
-    var ts = parseBsdTimestamp(c, refYear)
+    var ts = parseBsdTimestamp(c, refYear, refMon)
     if (ts == Long.MinValue) ts = parseIsoTimestamp(c)
     var host: String = null
     var program: String = null
@@ -374,9 +387,15 @@ object SyslogLineParser {
 
   def parseRow(line: UTF8String, refYear: Int, noParse: Boolean,
       expectHostname: Boolean, noHostname: Boolean,
-      noParseDate: Boolean): InternalRow = {
+      noParseDate: Boolean): InternalRow =
+    parseRow(line, refYear, noParse, expectHostname, noHostname,
+      noParseDate, -1)
+
+  def parseRow(line: UTF8String, refYear: Int, noParse: Boolean,
+      expectHostname: Boolean, noHostname: Boolean,
+      noParseDate: Boolean, refMon: Int): InternalRow = {
     val p = parse(line.toString, refYear, noParse, expectHostname,
-      noHostname, noParseDate)
+      noHostname, noParseDate, refMon)
     val r = new GenericInternalRow(11)
     r.setInt(0, p.pri)
     r.setInt(1, p.pri / 8)

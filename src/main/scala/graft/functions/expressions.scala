@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen (no interpreted fallback on the hot path).
   */
 case class ParseSyslog(line: Expression, refYear: Expression,
-    flags: Seq[String] = Nil) extends BinaryExpression {
+    flags: Seq[String] = Nil, refMonth: Int = -1) extends BinaryExpression {
   override def left: Expression = line
   override def right: Expression = refYear
   override def dataType: DataType = graft.model.LogSchema.parsedSchema
@@ -33,12 +33,12 @@ case class ParseSyslog(line: Expression, refYear: Expression,
 
   override protected def nullSafeEval(l: Any, y: Any): Any =
     SyslogLineParser.parseRow(l.asInstanceOf[UTF8String], y.asInstanceOf[Int],
-      noParse, expectHostname, noHostname, noParseDate)
+      noParse, expectHostname, noHostname, noParseDate, refMonth)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (l, y) =>
       s"${ev.value} = graft.functions.SyslogLineParser.parseRow($l, $y, " +
-        s"$noParse, $expectHostname, $noHostname, $noParseDate);")
+        s"$noParse, $expectHostname, $noHostname, $noParseDate, $refMonth);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ParseSyslog =
@@ -530,6 +530,15 @@ object GraftFunctions {
     ColumnBridge.column(ParseSyslog(
       ColumnBridge.expression(line),
       ColumnBridge.expression(lit(refYear)), flags))
+
+  /** parse_syslog with a reference month enabling the missing-year
+    * Dec/Jan adjacency heuristic (wallclocktime.c
+    * determine_year_for_month). */
+  def parse_syslog(line: Column, refYear: Int, refMonth: Int,
+      flags: Seq[String]): Column =
+    ColumnBridge.column(ParseSyslog(
+      ColumnBridge.expression(line),
+      ColumnBridge.expression(lit(refYear)), flags, refMonth))
 
   def ipv4_to_int(ip: Column): Column =
     ColumnBridge.column(Ipv4ToInt(ColumnBridge.expression(ip)))
