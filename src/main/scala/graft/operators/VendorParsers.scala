@@ -130,53 +130,20 @@ object VendorParsers {
   private[graft] def ciscoFx(df: DataFrame, prefix: String = ".cisco.",
       refYear: Int = 2024, guard: Column = lit(true)): Fx = {
     val msg = col("message")
-    // pri is 0..191 (3 digits); bounding the capture keeps the ANSI
-    // cast below from overflowing on a hostile <999...9> line
-    val pri = regexp_extract(msg, "^<(\\d{1,3})>", 1)
-    val rest = regexp_replace(msg, "^<\\d{1,3}>", "")
-    // split at the FIRST ": %" — header left, cisco message right
-    // (csv-parser(delimiters(strings(': %')) greedy) in the reference)
-    val header = substring_index(rest, ": %", 1)
-    val body = rest.substr(length(header) + lit(4), length(rest))
-    // %FAC-SEV-MNEMONIC triplet; STANDBY-style 4-part forms fold the
-    // extra token into the facility (cisco-triplet-parser else-branch)
-    val triplet = substring_index(substring_index(body, ":", 1), " ", 1)
-    val parts = split(triplet, "-")
-    val isQuad = size(parts) >= 4
-    val facility = when(isQuad, concat_ws("-",
-        try_element_at(parts, lit(1)), try_element_at(parts, lit(2))))
-      .otherwise(try_element_at(parts, lit(1)))
-    val sevPos = when(isQuad, lit(3)).otherwise(lit(2))
-    val severity = try_element_at(parts, sevPos)
-    val mnemonic = try_element_at(parts, sevPos + 1)
-    // header after dropping "seqno: " (subst "^([0-9]+)?(: )?")
-    val h2 = regexp_replace(header, "^([0-9]+)?(: )?", "")
-    val tsRe = "\\*?[A-Za-z]{3} [0-9 ]?\\d{1,2} (\\d{4} )?\\d{2}:\\d{2}:\\d{2}(\\.\\d{3})?( (AM|PM))?"
-    val hostThenTs = regexp_extract(h2, s"^([^:]+): ($tsRe)$$", 1)
-    val tsText = when(h2.rlike(s"^$tsRe$$"), h2)
-      .when(hostThenTs =!= "", regexp_extract(h2, s"^([^:]+): ($tsRe)$$", 2))
-    val host = when(hostThenTs =!= "", hostThenTs)
-      .when(!h2.rlike(s"^$tsRe$$") && h2.rlike("^[^:]+$") && h2 =!= "", h2)
-    // year-less cisco timestamp: strip the '*' (unsynced-clock marker),
-    // prepend the reference year, try the sub-second form first
-    val cleanTs = concat(lit(s"$refYear "), regexp_replace(tsText, "^\\*", ""))
-    val ts = coalesce(
-      try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss.SSS")),
-      try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss")))
-    val structural = msg.rlike("^<\\d{1,3}>.*: %") && size(parts) >= 3
-    // route guard FIRST so the structural regex+split short-circuits to
-    // non-matching rows; the result is staged as a boolean column so
-    // the six when-chain arms read a bit instead of re-running it
+    // the whole structural parse — pri, first-": %" header/body split,
+    // FAC-SEV-MNEMONIC triplet (4-part STANDBY fold), seqno strip,
+    // host/timestamp header classification — is ONE linear scan
+    // (functions.CiscoScan, null on non-cisco lines), replacing the
+    // regex chain that cost ~8 backtracking regex runs per row
     val isCisco = col("__cisco_ok")
-    // the structural when() keeps the ANSI cast off non-matching rows,
-    // whose pri extract is ""
-    val priL = when(structural, pri.cast("long"))
-    // every derived expression is staged ONCE in a guarded struct — the
-    // adds map and five set chains read struct fields, so the header
-    // regexes run once per matched row instead of once per consumer
-    // (CollapseProject keeps a multiply-referenced non-trivial alias
-    // as a real column)
     def g(f: String): Column = col("__cisco").getField(f)
+    // year-less cisco timestamp: the scan already strips the '*'
+    // unsynced-clock marker; prepend the reference year, try the
+    // sub-second form first (runs only on matched rows)
+    val cleanTs = concat(lit(s"$refYear "), g("ts_text"))
+    val ts = when(g("ts_text").isNotNull, coalesce(
+      try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss.SSS")),
+      try_to_timestamp(cleanTs, lit("yyyy MMM d HH:mm:ss"))))
     Fx(
       guard = isCisco,
       adds = map(
@@ -188,15 +155,11 @@ object VendorParsers {
         "facility" -> g("fac"),
         "severity" -> g("sev"),
         "host" -> coalesce(g("host"), existingCol(df, "host")),
-        "ts" -> coalesce(g("ts"), existingCol(df, "ts"))),
+        "ts" -> coalesce(ts, existingCol(df, "ts"))),
       stage = d => d
-        .withColumn("__cisco_ok", graft.functions.Fence(guard && structural))
-        .withColumn("__cisco", graft.functions.Fence(when(isCisco, struct(
-        facility.as("facs"), severity.as("sevs"), mnemonic.as("mnem"),
-        host.as("host"), ts.as("ts"),
-        concat(lit("%"), body).as("msg"),
-        floor(priL / 8).cast("int").as("fac"),
-        (priL % 8).cast("int").as("sev"))))),
+        .withColumn("__cisco", graft.functions.Fence(
+          when(guard, graft.functions.CiscoScan(msg))))
+        .withColumn("__cisco_ok", col("__cisco").isNotNull),
       drops = Seq("__cisco_ok", "__cisco"))
   }
 
