@@ -1941,6 +1941,36 @@ object Queries {
       GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  /** Per-doc contamination ratio + threshold drop — one left-join
+    * aggregation yields total and contaminated distinct-gram counts
+    * (the report-and-drop decontamination variant). */
+  private val decontaminateFrac = Q("decontaminate_frac",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationFraction(
+          docs.filter(col("doc_id") % 37 =!= 0), col("doc_id"), col("text"),
+          docs.filter(col("doc_id") % 37 === 0), col("text"), k = 3,
+          threshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      ), g AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(w) - 2, 1) + 1),
+          i -> array_to_string(w[i:i+2], ' '))) AS gs FROM toks
+      ), bg AS (
+        SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 37 = 0
+      ), dg AS (
+        SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 37 <> 0
+      )
+      SELECT dg.doc_id, count(*) AS n_grams,
+        count(bg.gram) AS n_contaminated,
+        CAST(count(bg.gram) AS DOUBLE) / count(*) AS contamination,
+        (CAST(count(bg.gram) AS DOUBLE) / count(*)) >= 0.5 AS dropped
+      FROM dg LEFT JOIN bg ON dg.gram = bg.gram
+      GROUP BY dg.doc_id ORDER BY dg.doc_id"""))
+
   /** [[decontaminate]]'s Bloom-prefiltered scale path: identical
     * result (the exact semi-join removes the Bloom's false positives),
     * same oracle — what changes is the plan: the corpus grams are
@@ -2526,7 +2556,7 @@ object Queries {
     patternizeQ,
     annBruteForce, annLsh, annIvf, dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
-    sampleStratified, decontaminate, decontaminateBloom,
+    sampleStratified, decontaminate, decontaminateBloom, decontaminateFrac,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textUnigramQuality,
     textDedupUrl, textDomainFilter,

@@ -366,6 +366,34 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Per-document contamination RATIO against a held-out set — the
+    * threshold-drop decontamination shape (report the fraction of a
+    * document's distinct k-grams that appear in the benchmark, drop
+    * when it crosses `threshold`). Same plan skeleton as
+    * [[contaminationFlags]] but the bench side joins LEFT with a
+    * membership marker so one aggregation yields both the total and
+    * the contaminated gram counts — no second shingling pass. Docs
+    * never shuffle beyond the per-doc distinct; the bench gram set
+    * broadcasts once. */
+  def contaminationFraction(docs: DataFrame, docId: Column, docText: Column,
+      bench: DataFrame, benchText: Column, k: Int = 13,
+      threshold: Double = 0.5, broadcastBench: Boolean = true): DataFrame = {
+    val bGrams = bench.select(explode(wordShingles(benchText, k)).as("g"))
+      .select(xxhash64(col("g")).as("gh")).distinct()
+      .withColumn("__hit", lit(1))
+    val dGrams = docs
+      .select(docId.as("doc_id"), explode(wordShingles(docText, k)).as("g"))
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+      .distinct()
+    dGrams
+      .join(if (broadcastBench) broadcast(bGrams) else bGrams, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_grams"))
+      .withColumn("dropped", col("contamination") >= threshold)
+  }
+
   /** [[contaminationFlags]] with a Bloom prefilter — the 100 TB shape.
     * When the benchmark gram set outgrows a comfortable broadcast
     * (hundreds of millions of held-out grams ≈ GBs as an exact hash
