@@ -2300,6 +2300,41 @@ object Queries {
     bench = true)
 
   // ---------------------------------------------------------------------
+  // corpus-frequency boilerplate removal: same deterministic 5-word
+  // "lines" as text_dedup_lines; a line in MORE than 2 distinct docs
+  // is dropped from every doc (CCNet-style paragraph filter)
+  // ---------------------------------------------------------------------
+  private val textBoilerplate = Q("text_boilerplate",
+    (s, d) => {
+      val w = filter(split(col("text"), " "), x => x =!= "")
+      val nLines = ((size(col("w")) + 4) / 5).cast("int")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), array_join(
+          transform(sequence(lit(0), nLines - 1),
+            i => array_join(slice(col("w"), i * 5 + 1, lit(5)), " ")),
+          "\n").as("text"))
+      Dedup.removeBoilerplate(docs, col("doc_id"), col("text"), maxDocFreq = 2)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ws AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), lines AS (
+        SELECT doc_id,
+          unnest(list_transform(range(0, cast(floor((len(w)+4)/5) AS int)),
+            i -> array_to_string(w[i*5+1:i*5+5], ' '))) AS line,
+          unnest(range(0, cast(floor((len(w)+4)/5) AS int))) AS line_no
+        FROM ws WHERE len(w) > 0
+      ), freq AS (
+        SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line
+      )
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+      FROM lines JOIN freq USING (line) WHERE freq.df <= 2
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------------
   // unigram-frequency quality gate (LM-perplexity stand-in): per-token
   // corpus-frequency bit lengths, top-16 vocab broadcast, OOV floors
   // at 1 — integer-exact so DuckDB reproduces it bit-for-bit
@@ -2558,7 +2593,8 @@ object Queries {
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     sampleStratified, decontaminate, decontaminateBloom, decontaminateFrac,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
-    textFingerprint, textFingerprintRobust, textDedupLines, textUnigramQuality,
+    textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,
+    textUnigramQuality,
     textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode)
 

@@ -508,6 +508,34 @@ object Dedup {
         e => e.getField("line")), "\n").as("text"))
   }
 
+  /** Corpus-frequency boilerplate removal (the CCNet-style paragraph
+    * filter): a line appearing in MORE than `maxDocFreq` distinct
+    * documents is dropped from EVERY document (headers, footers,
+    * cookie banners, navigation chrome), and documents rebuild from
+    * the surviving lines in order. Differs from [[dedupLines]] (which
+    * keeps the first occurrence): boilerplate keeps none.
+    *
+    * Plan: per-(line, doc) collapse then a partial-agg count on line —
+    * the standard exact doc-frequency shape; the banned set (lines
+    * over threshold) is tiny by construction and broadcasts into a
+    * left-anti join, so the corpus shuffles only for the distinct and
+    * the final per-doc rebuild. */
+  def removeBoilerplate(df: DataFrame, id: Column, text: Column,
+      maxDocFreq: Long = 2, minLineChars: Int = 1): DataFrame = {
+    val lines = df.select(id.as("doc_id"),
+        posexplode(split(text, "\n")).as(Seq("line_no", "line")))
+    val candidates = lines.filter(length(col("line")) >= minLineChars)
+    val docFreq = candidates.groupBy(col("line"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val banned = docFreq.filter(col("df") > maxDocFreq).select("line")
+    val kept = candidates.join(broadcast(banned), Seq("line"), "left_anti")
+      .unionByName(lines.filter(length(col("line")) < minLineChars))
+    kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("line_no"), col("line")))),
+        e => e.getField("line")), "\n").as("text"))
+  }
+
   // ---- near-dup clustering -----------------------------------------------------
   /** Connected components over near-dup pairs — the step between
     * pairwise similarity output and actually DROPPING documents: docs
