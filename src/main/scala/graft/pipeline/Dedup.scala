@@ -47,6 +47,26 @@ object Dedup {
         key === col("__seen"), "left_anti")
   }
 
+  /** The 100 TB shape of the rolling seen-signature index: persist it
+    * BUCKETED on the signature (`bucketBy` + in-bucket sort), so each
+    * ingest wave's anti-join reads the index pre-partitioned — only the
+    * (comparatively tiny) wave shuffles, the multi-TB index never does.
+    * A plain parquet index would re-shuffle entirely on every wave. */
+  def writeSeenIndex(seen: DataFrame, table: String, buckets: Int = 64): Unit =
+    seen.repartition(buckets, col("signature"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "signature").sortBy("signature")
+      .format("parquet").saveAsTable(table)
+
+  /** [[incrementalSurvivors]] against a [[writeSeenIndex]]-bucketed
+    * table: the anti-join's index side carries NO Exchange in the plan
+    * (bucket-pruned scan), asserted by PipelineSpec. After admitting a
+    * wave, append its signatures with the same bucket spec. */
+  def incrementalSurvivorsBucketed(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, key: Column, idCol: Column,
+      table: String): DataFrame =
+    incrementalSurvivors(newDocs, key, idCol, spark.table(table))
+
   // ---- shingles / n-grams ----------------------------------------------------
   /** k-word shingles (distinct), the unit for Jaccard / MinHash.
     * The token array is let-bound via [[TextAnalysis.bindArray]]: naively

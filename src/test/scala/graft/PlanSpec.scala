@@ -1,5 +1,6 @@
 package graft
 
+import graft.pipeline.Dedup
 import org.apache.spark.sql.functions._
 
 /** Physical-plan quality gates: the properties that make these plans
@@ -290,5 +291,37 @@ class PlanSpec extends GraftSuite {
     assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
     assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate") ||
       p.contains("SortAggregate"), p)
+  }
+
+  test("bucketed seen-index: the incremental-dedup anti-join never shuffles the index") {
+    import spark.implicits._
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_bucket_")
+    val table = "graft_seen_idx_test"
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // force the sort-merge path: at 100 TB the index never broadcasts
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val seen = (0 until 500).map(i => s"sig$i").toDF("signature")
+      Dedup.writeSeenIndex(seen, table, buckets = 4)
+      val wave = (0 until 1000).map(i => (i.toLong, s"sig${i % 700}"))
+        .toDF("id", "k")
+      val out = Dedup.incrementalSurvivorsBucketed(spark, wave, col("k"),
+        col("id"), table)
+      // correctness: only sigs 500..699 are new; min id per sig survives
+      assert(out.count() == 200, out.count())
+      val p = out.queryExecution.executedPlan.toString
+      // the index side reads as a bucketed scan: exactly the wave-side
+      // exchanges appear, and the scan line advertises the buckets
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"), p)
+      // no Exchange may sit between the index scan and its join: the
+      // subtree below the anti-join's right side is exchange-free
+      val idxSide = p.linesIterator.dropWhile(!_.contains(table)).toSeq
+      assert(idxSide.nonEmpty, p)
+      assert(!idxSide.headOption.exists(_.contains("Exchange")), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      org.apache.commons.io.FileUtils.deleteQuietly(warehouse.toFile)
+    }
   }
 }
