@@ -111,14 +111,47 @@ object Radix {
         }
         if (octets == 3 && digits > 0) j - pos else -1
       case "IPv6" =>
-        // hex groups + ':' with an optional embedded IPv4 suffix
-        // (::13.1.68.3); trailing dots are not part of the address
-        // (reference test_radix.c "::." → "::")
-        var j = pos
-        while (j < n && (Character.digit(s.charAt(j), 16) >= 0 ||
-          s.charAt(j) == ':' || s.charAt(j) == '.')) j += 1
-        while (j > pos && s.charAt(j - 1) == '.') j -= 1
-        if (j - pos >= 2 && s.substring(pos, j).contains(":")) j - pos else -1
+        // faithful r_parser_ipv6 state machine (radix.c): group-value
+        // tracking, one '::' shortening max (a second '::' is a hard
+        // fail), optional embedded IPv4 tail, trailing ':'/'.'
+        // unconsume, and the closed-form validity check
+        var len = 0
+        var colons = 0; var dots = 0
+        var octet = 0; var digit = 16
+        var shortened = false
+        var break = false; var failed = false
+        while (!break && !failed && pos + len < n) {
+          val c = s.charAt(pos + len)
+          if (c == ':') {
+            if (octet > 0xffff || (octet == -1 && shortened)) failed = true
+            else if (colons == 7 || dots == 3) break = true
+            else if (digit == 10) failed = true
+            else {
+              if (octet == -1) shortened = true
+              colons += 1; octet = -1
+            }
+          } else if (Character.digit(c, 16) >= 0) {
+            octet = (if (octet == -1) 0 else octet * digit) +
+              Character.digit(c, 16)
+          } else if (c == '.') {
+            if (digit == 10 && octet > 255) failed = true
+            else if ((digit == 16 && octet > 597) || octet == -1 ||
+                colons == 7 || dots == 3) break = true
+            else { dots += 1; octet = -1; digit = 10 }
+          } else break = true
+          if (!break && !failed) len += 1
+        }
+        if (failed) -1
+        else {
+          if (len > 0 && s.charAt(pos + len - 1) == '.') { len -= 1; dots -= 1 }
+          else if (len > 1 && s.charAt(pos + len - 1) == ':' &&
+              s.charAt(pos + len - 2) != ':') { len -= 1; colons -= 1 }
+          val invalid = colons < 2 || colons > 7 ||
+            (digit == 10 && octet > 255) || (digit == 16 && octet > 0xffff) ||
+            !(dots == 0 || dots == 3) ||
+            (!shortened && colons < 7 && dots == 0)
+          if (invalid) -1 else len
+        }
       case "IPvANY" =>
         val v4 = parserMatch("IPv4", param, s, pos)
         if (v4 > 0) v4 else parserMatch("IPv6", param, s, pos)
@@ -138,11 +171,11 @@ object Radix {
         val m = java.util.regex.Pattern.compile(re).matcher(s.substring(pos))
         if (m.find() && m.start() == 0) m.end() else -1
       case "SET" =>
-        // param = comma-separated alternatives; longest wins
-        val alts = param.split(",").sortBy(-_.length)
-        alts.collectFirst {
-          case a if s.startsWith(a, pos) => a.length
-        }.getOrElse(-1)
+        // a character-CLASS run (radix.c r_parser_set strspn loop):
+        // consume every char contained in param, at least one
+        var j = pos
+        while (j < n && param.indexOf(s.charAt(j)) >= 0) j += 1
+        if (j > pos) j - pos else -1
       case "OPTIONALSET" =>
         val r = parserMatch("SET", param, s, pos)
         if (r < 0) 0 else r
@@ -232,14 +265,21 @@ object Radix {
     }
 
     /** Longest match with backtracking; literal edges beat parser edges
-      * (radix.c match order). Returns (rule, captures) or null. */
+      * (radix.c match order). A COMPLETE match (input fully consumed at
+      * a rule node) wins; failing that, the first rule node reached in
+      * DFS post-order with input LEFT OVER is accepted — radix.c
+      * `_find_node_with_state` retries with `require_complete_match`
+      * off when only a partial match was found, so `@DOUBLE:TEST@`
+      * matches "1234ab" (test_parsers_e2e.c). Returns (rule, captures)
+      * or null. */
     def find(s: String): (Rule, List[(String, String)]) = {
-      var best: (Rule, List[(String, String)]) = null
-      var bestPos = -1
+      var complete: (Rule, List[(String, String)]) = null
+      var partial: (Rule, List[(String, String)]) = null
 
       def rec(node: Node, pos: Int, caps: List[(String, String)]): Unit = {
-        if (node.rule != null && pos == s.length && pos > bestPos) {
-          best = (node.rule, caps.reverse); bestPos = pos
+        if (complete != null) return
+        if (node.rule != null && pos == s.length) {
+          complete = (node.rule, caps.reverse); return
         }
         if (pos < s.length) {
           node.litChildren.get(s.charAt(pos)) match {
@@ -249,22 +289,29 @@ object Radix {
           }
         }
         node.parserChildren.foreach { case (p, child) =>
-          val consumed = parserMatch(p.kind, p.param, s, pos)
-          if (consumed >= 0) {
-            val value = p.kind match {
-              case "QSTRING" if consumed >= 2 => s.substring(pos + 1, pos + consumed - 1)
-              case _ => s.substring(pos, pos + consumed)
+          if (complete == null) {
+            val consumed = parserMatch(p.kind, p.param, s, pos)
+            if (consumed >= 0) {
+              val value = p.kind match {
+                case "QSTRING" if consumed >= 2 => s.substring(pos + 1, pos + consumed - 1)
+                case _ => s.substring(pos, pos + consumed)
+              }
+              val caps2 = if (p.name.nonEmpty) (p.name, value) :: caps else caps
+              // ESTRING stops BEFORE the delimiter; consume it on the way out
+              val skip = if (p.kind == "ESTRING" && p.param.nonEmpty) p.param.length else 0
+              rec(child, pos + consumed + skip, caps2)
             }
-            val caps2 = if (p.name.nonEmpty) (p.name, value) :: caps else caps
-            // ESTRING stops BEFORE the delimiter; consume it on the way out
-            val skip = if (p.kind == "ESTRING" && p.param.nonEmpty) p.param.length else 0
-            rec(child, pos + consumed + skip, caps2)
           }
         }
+        // post-order: the reference's relaxed pass returns the first
+        // rule node (children tried and failed) with input remaining
+        if (complete == null && partial == null && node.rule != null &&
+            pos < s.length)
+          partial = (node.rule, caps.reverse)
       }
 
       rec(root, 0, Nil)
-      best
+      if (complete != null) complete else partial
     }
   }
 
