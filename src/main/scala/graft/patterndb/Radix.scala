@@ -51,35 +51,69 @@ object Radix {
   }
 
   // ---- typed parsers (radix.h:35-52) --------------------------------------
+  private def isAsciiAlnum(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+
+  /** Input chars consumed matching `prefix` fully from `pos`, or -1.
+    * An input '\r' immediately before an expected '\n' is skipped
+    * (radix.c _find_matching_literal_prefix CRLF tolerance). */
+  private def litMatch(s: String, pos: Int, prefix: String): Int = {
+    var i = pos
+    var r = 0
+    while (r < prefix.length) {
+      if (i < s.length && s.charAt(i) == '\r' && prefix.charAt(r) == '\n')
+        i += 1
+      if (i >= s.length || s.charAt(i) != prefix.charAt(r)) return -1
+      i += 1; r += 1
+    }
+    i - pos
+  }
+
   /** Returns chars consumed from `s.substring(pos)`, or -1 if no match. */
   def parserMatch(kind: String, param: String, s: String, pos: Int): Int = {
     val n = s.length
     kind match {
       case "NUMBER" =>
-        var i = pos
-        if (i < n && (s.charAt(i) == '-' || s.charAt(i) == '+')) i += 1
-        // hex support like the reference
-        if (i + 1 < n && s.charAt(i) == '0' && (s.charAt(i + 1) == 'x' || s.charAt(i + 1) == 'X')) {
-          var j = i + 2
-          while (j < n && Character.digit(s.charAt(j), 16) >= 0) j += 1
-          if (j > i + 2) j - pos else -1
+        // r_parser_number: 0x/0X hex, or '-' (no '+') + ASCII digits
+        def d(k: Int): Char = if (pos + k < n) s.charAt(pos + k) else '\u0000'
+        if (d(0) == '0' && (d(1) == 'x' || d(1) == 'X')) {
+          var j = 2
+          while (Character.digit(d(j), 16) >= 0) j += 1
+          if (j >= 3) j else -1
         } else {
-          var j = i
-          while (j < n && s.charAt(j).isDigit) j += 1
-          if (j > i) j - pos else -1
+          var j = 0
+          if (d(0) == '-') j += 1
+          val start = j
+          while (d(j) >= '0' && d(j) <= '9') j += 1
+          if (j > start) j else -1
         }
       case "FLOAT" | "DOUBLE" =>
-        var j = pos
-        if (j < n && (s.charAt(j) == '-' || s.charAt(j) == '+')) j += 1
-        val digitsStart = j
-        while (j < n && s.charAt(j).isDigit) j += 1
-        if (j < n && s.charAt(j) == '.') { j += 1; while (j < n && s.charAt(j).isDigit) j += 1 }
-        if (j > digitsStart) j - pos else -1
+        // r_parser_float, quirks preserved: '-' only (no '+'), ONE dot
+        // anywhere (leading ok), optional e/E exponent with optional
+        // '-' (a bare trailing 'e' still consumes), a lone '-' matches
+        def d(k: Int): Char = if (pos + k < n) s.charAt(pos + k) else '\u0000'
+        var j = 0
+        var dot = false
+        if (d(0) == '-') j += 1
+        var cont = true
+        while (cont) {
+          val c = d(j)
+          if (c >= '0' && c <= '9') j += 1
+          else if (!dot && c == '.') { dot = true; j += 1 }
+          else cont = false
+        }
+        if (j > 0 && (d(j) == 'e' || d(j) == 'E')) {
+          j += 1
+          if (d(j) == '-') j += 1
+          while (d(j) >= '0' && d(j) <= '9') j += 1
+        }
+        if (j > 0) j else -1
       case "STRING" =>
-        // delimited by space by default; param = extra delimiters
-        val delims = if (param.nonEmpty) param + " " else " "
+        // r_parser_string: param chars are EXTRA ALLOWED characters on
+        // top of alnum (an allow-list), NOT delimiters
         var j = pos
-        while (j < n && delims.indexOf(s.charAt(j)) < 0) j += 1
+        while (j < n && (isAsciiAlnum(s.charAt(j)) ||
+            param.indexOf(s.charAt(j)) >= 0)) j += 1
         if (j > pos) j - pos else -1
       case "ESTRING" =>
         // match up to (not incl.) the param delimiter string; param empty -> to end
@@ -155,21 +189,72 @@ object Radix {
       case "IPvANY" =>
         val v4 = parserMatch("IPv4", param, s, pos)
         if (v4 > 0) v4 else parserMatch("IPv6", param, s, pos)
-      case "MACADDR" =>
-        val re = "^([0-9A-Fa-f]{2}:){5}[0-9A-Fa-f]{2}"
-        val m = java.util.regex.Pattern.compile(re).matcher(s.substring(pos))
-        if (m.find() && m.start() == 0) m.end() else -1
+      case "MACADDR" | "LLADDR" =>
+        // _r_parser_lladdr: up to `parts` colon-joined hex pairs, a
+        // partial run keeps whole pairs (the dangling ':' unconsumes);
+        // MACADDR = lladdr(17, 6)
+        val parts =
+          if (kind == "MACADDR") 6
+          else if (param.nonEmpty && param.forall(_.isDigit)) param.toInt
+          else 20
+        val count = parts * 3 - 1
+        def hex(k: Int): Boolean =
+          pos + k < n && Character.digit(s.charAt(pos + k), 16) >= 0
+        var len = 0
+        var i = 1
+        var break = false; var failed = false
+        while (!break && !failed && i <= parts) {
+          if (!hex(len) || !hex(len + 1)) {
+            if (i > 1) { len -= 1; break = true } else failed = true
+          } else if (i == parts) { len += 2; i += 1 }
+          else if (pos + len + 2 >= n || s.charAt(pos + len + 2) != ':') {
+            len += 2; break = true
+          } else { len += 3; i += 1 }
+        }
+        if (failed || len > count) -1 else len
       case "EMAIL" =>
-        val delims = if (param.nonEmpty) param else ""
-        var j = pos
-        // optional surrounding delimiter chars are stripped by caller pattern
-        val re = "^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-        val m = java.util.regex.Pattern.compile(re).matcher(s.substring(pos))
-        if (m.find() && m.start() == 0) m.end() else -1
+        // r_parser_email: optional leading param-char strip, local part
+        // of alnum + specials (no leading/trailing '.'), '@', then the
+        // permissive >=2-label hostname scan, trailing param-char strip
+        // (the CAPTURE excludes the stripped brackets — find() trims)
+        val specials = "!#$%&'*+-/=?^_`{|}~."
+        def d(k: Int): Char = if (pos + k < n) s.charAt(pos + k) else '\u0000'
+        var j = 0
+        while (param.nonEmpty && param.indexOf(d(j)) >= 0 && d(j) != '\u0000') j += 1
+        if (d(j) == '.') -1
+        else {
+          val localStart = j
+          while (isAsciiAlnum(d(j)) || specials.indexOf(d(j)) >= 0) j += 1
+          if (j > localStart && d(j - 1) == '.') -1
+          else if (d(j) != '@' || j == localStart) -1
+          else {
+            j += 1
+            var count = 0
+            while (isAsciiAlnum(d(j)) || d(j) == '-') {
+              j += 1; count += 1
+              while (isAsciiAlnum(d(j)) || d(j) == '-') j += 1
+              if (d(j) == '.') j += 1
+            }
+            if (count < 2) -1
+            else {
+              while (param.nonEmpty && param.indexOf(d(j)) >= 0 &&
+                d(j) != '\u0000') j += 1
+              if (j > 0) j else -1
+            }
+          }
+        }
       case "HOSTNAME" =>
-        val re = "^[a-zA-Z0-9][a-zA-Z0-9_.-]*"
-        val m = java.util.regex.Pattern.compile(re).matcher(s.substring(pos))
-        if (m.find() && m.start() == 0) m.end() else -1
+        // r_parser_hostname: alnum/'-' labels joined by '.', at least
+        // two labels
+        def d(k: Int): Char = if (pos + k < n) s.charAt(pos + k) else '\u0000'
+        var j = 0
+        var count = 0
+        while (isAsciiAlnum(d(j)) || d(j) == '-') {
+          j += 1; count += 1
+          while (isAsciiAlnum(d(j)) || d(j) == '-') j += 1
+          if (d(j) == '.') j += 1
+        }
+        if (count < 2) -1 else j
       case "SET" =>
         // a character-CLASS run (radix.c r_parser_set strspn loop):
         // consume every char contained in param, at least one
@@ -282,9 +367,16 @@ object Radix {
           complete = (node.rule, caps.reverse); return
         }
         if (pos < s.length) {
-          node.litChildren.get(s.charAt(pos)) match {
-            case Some(child) if s.startsWith(child.prefix, pos) =>
-              rec(child, pos + child.prefix.length, caps)
+          // CRLF tolerance (radix.c _find_matching_literal_prefix /
+          // _find_child_by_remaining_key): an input CR immediately
+          // before an LF the literal expects is skipped
+          val c0 = s.charAt(pos)
+          val lookup = if (c0 == '\r' && pos + 1 < s.length &&
+            s.charAt(pos + 1) == '\n') '\n' else c0
+          node.litChildren.get(lookup) match {
+            case Some(child) =>
+              val consumed = litMatch(s, pos, child.prefix)
+              if (consumed >= 0) rec(child, pos + consumed, caps)
             case _ =>
           }
         }
@@ -294,6 +386,13 @@ object Radix {
             if (consumed >= 0) {
               val value = p.kind match {
                 case "QSTRING" if consumed >= 2 => s.substring(pos + 1, pos + consumed - 1)
+                case "EMAIL" if p.param.nonEmpty =>
+                  // the stripped bracket chars are consumed but NOT part
+                  // of the capture (r_parser_email match->ofs/len)
+                  var b = pos; var e = pos + consumed
+                  while (b < e && p.param.indexOf(s.charAt(b)) >= 0) b += 1
+                  while (e > b && p.param.indexOf(s.charAt(e - 1)) >= 0) e -= 1
+                  s.substring(b, e)
                 case _ => s.substring(pos, pos + consumed)
               }
               val caps2 = if (p.name.nonEmpty) (p.name, value) :: caps else caps

@@ -99,6 +99,69 @@ class ParsersE2eBatterySpec extends AnyFunSuite {
     cases.foreach { case (rule, msg, expected) => check(rule, msg, expected) }
   }
 
+  // capture goldens from test_radix.c test_radix_search_matches
+  // (:850-1055), locking the faithful float/email/hostname/lladdr/
+  // nlstring parsers and the CRLF literal tolerance
+  private def caps(pattern: String, input: String): Option[Map[String, String]] = {
+    val tree = graft.patterndb.Radix.build(Seq(("r", "c", pattern)))
+    Option(tree.find(input)).map(_._2.toMap)
+  }
+
+  test("FLOAT captures incl. exponent forms (test_radix.c:852-933)") {
+    assert(caps("@FLOAT:float@", "12345 hihihi").contains(Map("float" -> "12345")))
+    assert(caps("@FLOAT:float@", "12345hihihi").contains(Map("float" -> "12345")))
+    assert(caps("@FLOAT:float@", "12.345hihihi").contains(Map("float" -> "12.345")))
+    assert(caps("@FLOAT:float@", "12.345.hihihi").contains(Map("float" -> "12.345")))
+    assert(caps("@FLOAT:float@", "12.345.6hihihi").contains(Map("float" -> "12.345")))
+    assert(caps("@FLOAT:float@", "12345.hihihi").contains(Map("float" -> "12345.")))
+    assert(caps("@FLOAT:float@", "-12.345 hihihi").contains(Map("float" -> "-12.345")))
+    assert(caps("@FLOAT:float@", "-12.345e12 hihihi").contains(Map("float" -> "-12.345e12")))
+    assert(caps("@FLOAT:float@", "-12.345e-12 hihihi").contains(Map("float" -> "-12.345e-12")))
+    assert(caps("@FLOAT:float@", "12.345e12 hihihi").contains(Map("float" -> "12.345e12")))
+    assert(caps("@FLOAT:float@", "12.345E-12 hihihi").contains(Map("float" -> "12.345E-12")))
+    assert(caps("@FLOAT:float@", "v12345").isEmpty)
+  }
+
+  test("EMAIL with bracket strip (test_radix.c:975-990)") {
+    assert(caps("@EMAIL:email:[<]>@", "blint@balabit.hu")
+      .contains(Map("email" -> "blint@balabit.hu")))
+    assert(caps("@EMAIL:email:[<]>@", "<blint@balabit.hu>")
+      .contains(Map("email" -> "blint@balabit.hu")))
+    assert(caps("@EMAIL:email:[<]>@", "[blint@balabit.hu]")
+      .contains(Map("email" -> "blint@balabit.hu")))
+  }
+
+  test("HOSTNAME labels (test_radix.c:991-1001)") {
+    assert(caps("@HOSTNAME:hostname@", "www.example.org")
+      .contains(Map("hostname" -> "www.example.org")))
+    assert(caps("@HOSTNAME:hostname@", "www.example.org. kkk")
+      .contains(Map("hostname" -> "www.example.org.")))
+  }
+
+  test("LLADDR part-bounded link-layer address (test_radix.c:1002-1013)") {
+    assert(caps("@LLADDR:lladdr6:6@", "83:63:25:93:eb:51:aa:bb.iii")
+      .contains(Map("lladdr6" -> "83:63:25:93:eb:51")))
+    assert(caps("@MACADDR:macaddr@", "82:63:25:93:eb:51.iii")
+      .contains(Map("macaddr" -> "82:63:25:93:eb:51")))
+  }
+
+  test("NLSTRING + CRLF literal tolerance (test_radix.c:1035-1055)") {
+    assert(caps("@NLSTRING:nlstring@\n", "foobar\r\nbaz")
+      .contains(Map("nlstring" -> "foobar")))
+    assert(caps("@NLSTRING:nlstring@\n", "foobar\nbaz")
+      .contains(Map("nlstring" -> "foobar")))
+    assert(caps("@NLSTRING:nlstring@\n", "\nbaz")
+      .contains(Map("nlstring" -> "")))
+    assert(caps("@NLSTRING:nlstring@\n", "\r\nbaz")
+      .contains(Map("nlstring" -> "")))
+  }
+
+  test("SET whitespace-class captures (test_radix.c:938-963)") {
+    assert(caps("@SET:set:  @", " aaa").contains(Map("set" -> " ")))
+    assert(caps("@SET:set:  @", "  aaa").contains(Map("set" -> "  ")))
+    assert(caps("@OPTIONALSET:set:  @", "aaa").contains(Map("set" -> "")))
+  }
+
   test("pub_date survives the load (test_parsers_e2e.c loader check)") {
     val xml = """<?xml version='1.0' encoding='UTF-8'?>
       <patterndb version='4' pub_date='2010-02-22'>
