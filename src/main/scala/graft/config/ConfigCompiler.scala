@@ -1206,12 +1206,12 @@ object ConfigCompiler {
     case Ref("filter", n) =>
       Seq(LogPath.Filter(filterCol(cfg, cfg.filters(n).expr)))
     case Ref("parser", n) =>
-      cfg.parsers(n).stmts.map(s => LogPath.Transform(parserFn(s)))
+      cfg.parsers(n).stmts.map(s => LogPath.Transform(parserFn(s, cfg)))
     case Ref("rewrite", n) =>
       cfg.rewrites(n).stmts.map(s => LogPath.Transform(rewriteFn(cfg, s)))
     case Ref(k, n) => throw new IllegalArgumentException(s"unsupported ref $k($n)")
     case InlineFilter(x) => Seq(LogPath.Filter(filterCol(cfg, x)))
-    case InlineStmt("parser", s) => Seq(LogPath.Transform(parserFn(s)))
+    case InlineStmt("parser", s) => Seq(LogPath.Transform(parserFn(s, cfg)))
     case InlineStmt("rewrite", s) => Seq(LogPath.Transform(rewriteFn(cfg, s)))
     case InlineStmt(k, s) => throw new IllegalArgumentException(s"unsupported inline $k ${s.name}")
     case JunctionElem(chans) =>
@@ -1299,7 +1299,7 @@ object ConfigCompiler {
   private def kvOf(args: Seq[Arg], key: String): Option[String] =
     args.collectFirst { case KV(`key`, vs) => lits(vs).head }
 
-  private def parserFn(s: Stmt): DataFrame => DataFrame = {
+  private def parserFn(s: Stmt, cfg: Config = null): DataFrame => DataFrame = {
     val input = kvOf(s.args, "template").map(t => templateCol(t))
       .getOrElse(col("message"))
     s.name match {
@@ -1391,7 +1391,12 @@ object ConfigCompiler {
         }
       case "syslog-parser" =>
         df => {
-          val p = GraftFunctions.parse_syslog(input)
+          // global options { bad-hostname("re") }: first token matching
+          // the regex is never a hostname (msg-format.h bad_hostname)
+          val bad = Option(cfg).flatMap(_.options.get("bad-hostname")).orNull
+          val p =
+            if (bad == null) GraftFunctions.parse_syslog(input)
+            else GraftFunctions.parse_syslog(input, 2024, Nil, bad)
           df.withColumn("__p", p)
             .withColumn("host", col("__p.host"))
             .withColumn("program", col("__p.program"))

@@ -263,18 +263,21 @@ object SyslogLineParser {
     *    engine's strings are already decoded/valid UTF-8 at ingest. */
   def parse(line: String, refYear: Int, noParse: Boolean,
       expectHostname: Boolean, noHostname: Boolean,
-      noParseDate: Boolean, refMon: Int = -1): Parsed = {
+      noParseDate: Boolean, refMon: Int = -1,
+      badHostname: java.util.regex.Pattern = null): Parsed = {
     if (noParse)
       return Parsed(DefaultPri, 0, Long.MinValue, null, null, null, null,
         null, null, line)
-    val p = parseImpl(line, refYear, expectHostname, noHostname, refMon)
+    val p = parseImpl(line, refYear, expectHostname, noHostname, refMon,
+      badHostname)
     if (noParseDate && p.tsMicros != Long.MinValue) p.copy(tsMicros = Long.MinValue)
     else p
   }
 
   private def parseImpl(line: String, refYear: Int,
       expectHostname: Boolean, noHostname: Boolean,
-      refMon: Int = -1): Parsed = {
+      refMon: Int = -1,
+      badHostname: java.util.regex.Pattern = null): Parsed = {
     val c = new Cursor(line)
     var pri = DefaultPri
     // <PRI>
@@ -332,6 +335,7 @@ object SyslogLineParser {
     }
     {
       c.skipSpaces()
+      var progFromBad = false
       // hostname heuristic (syslog-format.c:440): next token is HOST unless
       // it looks like the tag (`prog[pid]:` / `prog:`). Without a
       // timestamp the header parse continues too (STAMP=RECVD,
@@ -344,7 +348,12 @@ object SyslogLineParser {
         // looks like a tag (LP_EXPECT_HOSTNAME)
         val looksLikeTag = !expectHostname &&
           (t1.indexOf(':') >= 0 || t1.indexOf('[') >= 0)
-        if (looksLikeTag) { c.pos = t1Start } else { host = t1; c.skipSpaces() }
+        // bad-hostname(): a token matching the option regex is NEVER a
+        // hostname — it becomes the program tag instead
+        // (msg-format.h bad_hostname, test_msgparse.c "^ctld" cases)
+        val isBad = badHostname != null && badHostname.matcher(t1).find()
+        if (looksLikeTag || isBad) { c.pos = t1Start; progFromBad = isBad }
+        else { host = t1; c.skipSpaces() }
       }
       // TAG: program[pid]: message   (syslog-format.c:319,732 — tag <=32 chars)
       val tagStart = c.pos
@@ -372,6 +381,16 @@ object SyslogLineParser {
         var m = col + 1
         if (m < c.len && c.s.charAt(m) == ' ') m += 1
         msg = c.s.substring(m)
+      } else if (progFromBad) {
+        // bad-hostname rejected the token: the reference program parse
+        // (log_msg_parse_legacy_program_name) is space-terminated too,
+        // so the token becomes PROGRAM and the rest the message
+        var e = tagStart
+        while (e < c.len && c.s.charAt(e) != ' ') e += 1
+        program = c.s.substring(tagStart, e)
+        var m = e
+        if (m < c.len && c.s.charAt(m) == ' ') m += 1
+        msg = c.s.substring(m)
       } else if (!noTs) {
         msg = c.s.substring(tagStart)
       }
@@ -393,9 +412,16 @@ object SyslogLineParser {
 
   def parseRow(line: UTF8String, refYear: Int, noParse: Boolean,
       expectHostname: Boolean, noHostname: Boolean,
-      noParseDate: Boolean, refMon: Int): InternalRow = {
+      noParseDate: Boolean, refMon: Int): InternalRow =
+    parseRow(line, refYear, noParse, expectHostname, noHostname,
+      noParseDate, refMon, null)
+
+  def parseRow(line: UTF8String, refYear: Int, noParse: Boolean,
+      expectHostname: Boolean, noHostname: Boolean,
+      noParseDate: Boolean, refMon: Int,
+      badHostname: java.util.regex.Pattern): InternalRow = {
     val p = parse(line.toString, refYear, noParse, expectHostname,
-      noHostname, noParseDate, refMon)
+      noHostname, noParseDate, refMon, badHostname)
     val r = new GenericInternalRow(11)
     r.setInt(0, p.pri)
     r.setInt(1, p.pri / 8)

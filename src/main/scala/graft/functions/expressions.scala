@@ -17,7 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * whole-stage codegen (no interpreted fallback on the hot path).
   */
 case class ParseSyslog(line: Expression, refYear: Expression,
-    flags: Seq[String] = Nil, refMonth: Int = -1) extends BinaryExpression {
+    flags: Seq[String] = Nil, refMonth: Int = -1,
+    badHostname: String = null) extends BinaryExpression {
   override def left: Expression = line
   override def right: Expression = refYear
   override def dataType: DataType = graft.model.LogSchema.parsedSchema
@@ -31,14 +32,30 @@ case class ParseSyslog(line: Expression, refYear: Expression,
   private val noHostname = flags.contains("no-hostname")
   private val noParseDate = flags.contains("no-parse-date")
 
+  @transient private lazy val badRe: java.util.regex.Pattern =
+    if (badHostname == null) null else java.util.regex.Pattern.compile(badHostname)
+
+  /** Instance entry for the bad-hostname path (the compiled regex
+    * travels with the expression). */
+  def parseOne(l: UTF8String, y: Int): org.apache.spark.sql.catalyst.InternalRow =
+    SyslogLineParser.parseRow(l, y, noParse, expectHostname, noHostname,
+      noParseDate, refMonth, badRe)
+
   override protected def nullSafeEval(l: Any, y: Any): Any =
     SyslogLineParser.parseRow(l.asInstanceOf[UTF8String], y.asInstanceOf[Int],
-      noParse, expectHostname, noHostname, noParseDate, refMonth)
+      noParse, expectHostname, noHostname, noParseDate, refMonth, badRe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (l, y) =>
-      s"${ev.value} = graft.functions.SyslogLineParser.parseRow($l, $y, " +
-        s"$noParse, $expectHostname, $noHostname, $noParseDate, $refMonth);")
+    if (badHostname == null)
+      // hot path: one STATIC call per row, no reference-object load
+      nullSafeCodeGen(ctx, ev, (l, y) =>
+        s"${ev.value} = graft.functions.SyslogLineParser.parseRow($l, $y, " +
+          s"$noParse, $expectHostname, $noHostname, $noParseDate, $refMonth);")
+    else {
+      val self = ctx.addReferenceObj("ps", this, classOf[ParseSyslog].getName)
+      nullSafeCodeGen(ctx, ev, (l, y) =>
+        s"${ev.value} = $self.parseOne($l, $y);")
+    }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ParseSyslog =
@@ -539,6 +556,15 @@ object GraftFunctions {
     ColumnBridge.column(ParseSyslog(
       ColumnBridge.expression(line),
       ColumnBridge.expression(lit(refYear)), flags, refMonth))
+
+  /** parse_syslog with the global `bad-hostname()` regex: a first
+    * token matching it is never taken as the hostname
+    * (msg-format.h bad_hostname). */
+  def parse_syslog(line: Column, refYear: Int, flags: Seq[String],
+      badHostname: String): Column =
+    ColumnBridge.column(ParseSyslog(
+      ColumnBridge.expression(line),
+      ColumnBridge.expression(lit(refYear)), flags, -1, badHostname))
 
   def ipv4_to_int(ip: Column): Column =
     ColumnBridge.column(Ipv4ToInt(ColumnBridge.expression(ip)))

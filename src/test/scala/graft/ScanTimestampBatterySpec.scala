@@ -87,6 +87,33 @@ class ScanTimestampBatterySpec extends AnyFunSuite {
     assert(iso("2018-03-25T02:59:59+01:00") == utcMicros("2018-03-25T01:59:59Z"))
   }
 
+  test("bad-hostname(): a matching token is the program, not the host (test_msgparse.c:502-566)") {
+    val bad = java.util.regex.Pattern.compile("^ctld")
+    val p = SyslogLineParser.parse(
+      "<7>2006-10-29T02:00:00.156+01:00 ctld snmpd[2499]: PTHREAD support initialized",
+      2017, noParse = false, expectHostname = true, noHostname = false,
+      noParseDate = false, badHostname = bad)
+    assert(p.host == null || p.host == "")
+    assert(p.program == "ctld")
+    assert(p.message == "snmpd[2499]: PTHREAD support initialized")
+
+    val pix = java.util.regex.Pattern.compile("^%")
+    val q = SyslogLineParser.parse(
+      "<190>Apr 15 2007 21:28:13: %PIX-6-302014: Teardown TCP connection 1688438",
+      2017, noParse = false, expectHostname = true, noHostname = false,
+      noParseDate = false, badHostname = pix)
+    assert(q.host == null || q.host == "")
+    assert(q.program == "%PIX-6-302014")
+    assert(q.message == "Teardown TCP connection 1688438")
+
+    // without bad-hostname, expect-hostname takes the token as HOST
+    val r = SyslogLineParser.parse(
+      "<7>2006-10-29T02:00:00.156+01:00 ctld snmpd[2499]: PTHREAD support initialized",
+      2017, noParse = false, expectHostname = true, noHostname = false,
+      noParseDate = false)
+    assert(r.host == "ctld" && r.program == "snmpd")
+  }
+
   test("scan_month_abbrev / scan_day_abbrev reject invalid names") {
     // an invalid month makes the whole BSD stamp unparsable -> the line
     // degrades to MESSAGE (reference returns FALSE and restores pos)
