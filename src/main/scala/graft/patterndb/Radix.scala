@@ -138,7 +138,8 @@ object Radix {
         var ok = true
         while (j < n && ok) {
           val c = s.charAt(j)
-          if (c.isDigit && digits < 3) { v = v * 10 + (c - '0'); digits += 1; j += 1; if (v > 255) ok = false }
+          // g_ascii_isdigit — a Unicode digit must NOT parse as an octet
+          if (c >= '0' && c <= '9' && digits < 3) { v = v * 10 + (c - '0'); digits += 1; j += 1; if (v > 255) ok = false }
           else if (c == '.' && digits > 0 && octets < 3) { octets += 1; digits = 0; v = 0; j += 1 }
           else ok = false
           if (!ok && digits == 0) j -= 1 // unconsume trailing dot
