@@ -1740,7 +1740,7 @@ object ConfigCompiler {
             else
               df => Rewrites.subst(df, colName(field), re,
                 Template.column(repl, df.columns), flagSet("global"), cond,
-                flagSet("store-matches"))
+                flagSet("store-matches"), icase = flagSet("ignore-case"))
         }
       case "groupset" =>
         // groupset("template" values("glob" ...)): the template may read

@@ -72,7 +72,9 @@ object CiscoScan {
     i = ret
     // month: exactly 3 letters + ' '
     var k = 0
-    while (i < n && k < 3 && Character.isLetter(s.charAt(i))) { i += 1; k += 1 }
+    while (i < n && k < 3 && {
+      val c = s.charAt(i); (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+    }) { i += 1; k += 1 }
     if (k != 3 || i >= n || s.charAt(i) != ' ') return -1
     i += 1
     // day: [0-9 ]?\d{1,2} then ' '
@@ -144,9 +146,13 @@ object CiscoScan {
     }
     if (d == 0 || i >= n || s.charAt(i) != '>') return null
     i += 1
-    // first ": %"
+    // first ": %" — the rlike form this scan mirrors is
+    // `^<\d{1,3}>.*: %` where '.' does not cross '\n', so the marker
+    // must sit on the first line
     val idx = s.indexOf(": %", i)
     if (idx < 0) return null
+    val nl = s.indexOf('\n', i)
+    if (nl >= 0 && nl < idx) return null
     val header = s.substring(i, idx)
     val body = s.substring(idx + 3)
     // triplet: body to first ':' then first ' '

@@ -27,7 +27,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * named map<string,string>>`; a null text yields null.
   */
 case class RegexMatchStore(child: Expression, re: String,
-    dupnames: Boolean = false) extends UnaryExpression {
+    dupnames: Boolean = false, icase: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("matched", BooleanType, nullable = false),
@@ -36,7 +36,9 @@ case class RegexMatchStore(child: Expression, re: String,
 
   override def prettyName: String = "regex_match_store"
 
-  @transient private lazy val compiled = RegexMatchStore.compile(re, dupnames)
+  @transient private lazy val compiled = RegexMatchStore.compile(re, dupnames,
+    if (icase) java.util.regex.Pattern.CASE_INSENSITIVE |
+      java.util.regex.Pattern.UNICODE_CASE else 0)
 
   def matchOf(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow =
     RegexMatchStore.run(compiled, text.toString)
@@ -184,4 +186,8 @@ object RegexMatchStore {
 
   def apply(text: Column, re: String, dupnames: Boolean): Column =
     ColumnBridge.column(new RegexMatchStore(ColumnBridge.expression(text), re, dupnames))
+
+  def apply(text: Column, re: String, dupnames: Boolean, icase: Boolean): Column =
+    ColumnBridge.column(
+      new RegexMatchStore(ColumnBridge.expression(text), re, dupnames, icase))
 }

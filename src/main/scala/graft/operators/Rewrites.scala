@@ -39,11 +39,17 @@ object Rewrites {
     val replaced =
       if (graft.functions.PcreSubst.supportsReplacement(re, replacement))
         graft.functions.PcreSubst(col(field), re, replacement, global, icase)
-      else if (global) regexp_replace(col(field), re, replacement)
-      else regexp_replace(col(field), "^((?s:(?:(?!" + re + ").)*?))(" + re + ")",
-        "$1" + replacement)
-    // matches read the PRE-substitution value: stage them first
-    val staged = stageMatches(df, field, re, condition, storeMatches)
+      else if (global)
+        regexp_replace(col(field), (if (icase) "(?iu)" else "") + re, replacement)
+      else {
+        val pre = if (icase) "(?iu)" else ""
+        regexp_replace(col(field),
+          pre + "^((?s:(?:(?!" + re + ").)*?))(" + re + ")", "$1" + replacement)
+      }
+    // matches read the PRE-substitution value: stage them first (same
+    // matcher flags as the replace — one logmatcher drives both in the
+    // reference, so ignore-case applies to the stored registers too)
+    val staged = stageMatches(df, field, re, condition, storeMatches, icase)
     guarded(staged, field, replaced, condition)
   }
 
@@ -94,25 +100,28 @@ object Rewrites {
     * and `\` in it are escaped before handing to regexp_replace). */
   def subst(df: DataFrame, field: String, re: String, replacement: Column,
       global: Boolean, condition: Column,
-      storeMatches: Boolean): DataFrame = {
+      storeMatches: Boolean, icase: Boolean): DataFrame = {
     val literal = regexp_replace(replacement.cast("string"),
       "([\\\\$])", "\\\\$1")
+    val pre = if (icase) "(?iu)" else ""
     val replaced =
-      if (global) regexp_replace(col(field), lit(re), literal)
+      if (global) regexp_replace(col(field), lit(pre + re), literal)
       else regexp_replace(col(field),
-        lit("^((?s:(?:(?!" + re + ").)*?))(" + re + ")"),
+        lit(pre + "^((?s:(?:(?!" + re + ").)*?))(" + re + ")"),
         concat(lit("$1"), literal))
-    val staged = stageMatches(df, field, re, condition, storeMatches)
+    val staged = stageMatches(df, field, re, condition, storeMatches, icase)
     guarded(staged, field, replaced, condition)
   }
 
   private def stageMatches(df: DataFrame, field: String, re: String,
-      condition: Column, storeMatches: Boolean): DataFrame =
+      condition: Column, storeMatches: Boolean,
+      icase: Boolean = false): DataFrame =
     if (!storeMatches) df
     else {
       // the shared logmatcher engine: pcre group semantics (trailing
       // non-participating registers unset, earlier ones "")
-      val m = graft.functions.RegexMatchStore(col(field), re, dupnames = false)
+      val m = graft.functions.RegexMatchStore(col(field), re,
+        dupnames = false, icase = icase)
       df.withColumn("__subst_m", m)
         .withColumn("matches",
           when(condition && col("__subst_m.matched"), col("__subst_m.groups"))

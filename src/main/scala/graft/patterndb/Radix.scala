@@ -54,6 +54,16 @@ object Radix {
   private def isAsciiAlnum(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
 
+  /** g_ascii_isxdigit: ASCII hex digits only — Unicode decimal digits and
+    * fullwidth A-F must NOT parse as hex (radix.c:345,475,565). */
+  private def isAsciiXdigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private def xdigitVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else c - 'A' + 10
+
   /** Input chars consumed matching `prefix` fully from `pos`, or -1.
     * An input '\r' immediately before an expected '\n' is skipped
     * (radix.c _find_matching_literal_prefix CRLF tolerance). */
@@ -78,7 +88,7 @@ object Radix {
         def d(k: Int): Char = if (pos + k < n) s.charAt(pos + k) else '\u0000'
         if (d(0) == '0' && (d(1) == 'x' || d(1) == 'X')) {
           var j = 2
-          while (Character.digit(d(j), 16) >= 0) j += 1
+          while (isAsciiXdigit(d(j))) j += 1
           if (j >= 3) j else -1
         } else {
           var j = 0
@@ -165,9 +175,8 @@ object Radix {
               if (octet == -1) shortened = true
               colons += 1; octet = -1
             }
-          } else if (Character.digit(c, 16) >= 0) {
-            octet = (if (octet == -1) 0 else octet * digit) +
-              Character.digit(c, 16)
+          } else if (isAsciiXdigit(c)) {
+            octet = (if (octet == -1) 0 else octet * digit) + xdigitVal(c)
           } else if (c == '.') {
             if (digit == 10 && octet > 255) failed = true
             else if ((digit == 16 && octet > 597) || octet == -1 ||
@@ -194,13 +203,21 @@ object Radix {
         // _r_parser_lladdr: up to `parts` colon-joined hex pairs, a
         // partial run keeps whole pairs (the dangling ':' unconsumes);
         // MACADDR = lladdr(17, 6)
+        // r_parser_lladdr:384 parses the leading ASCII-digit prefix of
+        // param ("6x" -> 6 parts; a digit-less param -> 0 parts, which
+        // never matches); 20 only when the param is absent
         val parts =
           if (kind == "MACADDR") 6
-          else if (param.nonEmpty && param.forall(_.isDigit)) param.toInt
-          else 20
+          else if (param.isEmpty) 20
+          else {
+            var k = 0; var p = 0
+            while (k < param.length && param.charAt(k) >= '0' &&
+                param.charAt(k) <= '9') { p = p * 10 + (param.charAt(k) - '0'); k += 1 }
+            p
+          }
         val count = parts * 3 - 1
         def hex(k: Int): Boolean =
-          pos + k < n && Character.digit(s.charAt(pos + k), 16) >= 0
+          pos + k < n && isAsciiXdigit(s.charAt(pos + k))
         var len = 0
         var i = 1
         var break = false; var failed = false
@@ -226,8 +243,10 @@ object Radix {
         else {
           val localStart = j
           while (isAsciiAlnum(d(j)) || specials.indexOf(d(j)) >= 0) j += 1
+          // r_parser_email:280 accepts an empty local part ("@a.b"
+          // matches) — only the '@' itself is required
           if (j > localStart && d(j - 1) == '.') -1
-          else if (d(j) != '@' || j == localStart) -1
+          else if (d(j) != '@') -1
           else {
             j += 1
             var count = 0

@@ -34,6 +34,35 @@ class RadixSpec extends GraftSuite {
     assert(Radix.parserMatch("PCRE", "[a-z]+", "abc123", 0) == 3)
   }
 
+  test("ASCII-only hex digits (g_ascii_isxdigit fidelity)") {
+    // Unicode decimal digits (U+0660 ARABIC-INDIC, fullwidth U+FF11) and
+    // fullwidth A-F must not parse as hex anywhere (radix.c:345,475,565)
+    assert(Radix.parserMatch("NUMBER", "", "0x٠١", 0) == -1)
+    assert(Radix.parserMatch("NUMBER", "", "0x1１", 0) == 3) // stops at U+FF11
+    assert(Radix.parserMatch("IPv6", "", "٠٠٠٠::1", 0) == -1)
+    assert(Radix.parserMatch("IPv6", "", "2001:db８::1", 0) == -1)
+    assert(Radix.parserMatch("MACADDR", "", "٠٠0:1a:2b:3c:4d:5e", 0) == -1)
+    assert(Radix.parserMatch("LLADDR", "", "a１:bb x", 0) == -1)
+  }
+
+  test("EMAIL accepts an empty local part (r_parser_email:280)") {
+    assert(Radix.parserMatch("EMAIL", "", "@a.b rest", 0) == 4)
+    assert(Radix.parserMatch("EMAIL", "<>", "<@a.b> rest", 0) == 6)
+    // but a lone '@' with a one-label host still fails (count < 2)
+    assert(Radix.parserMatch("EMAIL", "", "@a rest", 0) == -1)
+  }
+
+  test("LLADDR param: leading-digit prefix (r_parser_lladdr:384)") {
+    // "6x" parses as 6 parts — matches up to 6 hex pairs
+    assert(Radix.parserMatch("LLADDR", "6x", "00:1a:2b:3c:4d:5e:ff rest", 0) == 17)
+    // digit-less param -> 0 parts -> never matches
+    assert(Radix.parserMatch("LLADDR", "x", "00:1a", 0) == -1)
+    // absent param defaults to 20 parts
+    assert(Radix.parserMatch("LLADDR", "", "00:1a:2b x", 0) == 8)
+    // explicit small count truncates at whole pairs
+    assert(Radix.parserMatch("LLADDR", "2", "00:1a:2b:3c", 0) == 5)
+  }
+
   test("radix match with captures") {
     val tree = Radix.build(sshRules)
     val r = tree.find("Accepted password for root from 10.0.0.5 port 22341 ssh2")

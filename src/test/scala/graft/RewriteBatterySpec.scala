@@ -105,6 +105,25 @@ class RewriteBatterySpec extends GraftSuite {
     assert(field(out, "field1") == "substitute substitute")
   }
 
+  test("subst flags(ignore-case, store-matches): one matcher drives both") {
+    // a row matching only case-insensitively must BOTH substitute and
+    // store its registers (the reference threads one compiled matcher
+    // through match + replace, rewrite-subst.c)
+    val out = rewrite(
+      """subst("FOO([0-9]+)", "x$1", value("field1") flags(ignore-case, store-matches));""",
+      msg("field1" -> "afoo42b"))
+    assert(field(out, "field1") == "ax42b")
+    val m = out.select(col("matches")).head.getSeq[String](0)
+    assert(m == Seq("foo42", "42"))
+  }
+
+  test("subst ignore-case with a template replacement") {
+    val out = rewrite(
+      """subst("FOO", "$field2", value("field1") flags(ignore-case, global));""",
+      msg("field1" -> "foo FOO Foo", "field2" -> "bar"))
+    assert(field(out, "field1") == "bar bar bar")
+  }
+
   test("subst regexp match (test_rewrite.c:202)") {
     val out = rewrite("""subst("[0-9]+" "substitute" value("field1"));""",
       msg("field1" -> "a123b"))

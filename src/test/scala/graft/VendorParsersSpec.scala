@@ -51,6 +51,21 @@ class VendorParsersSpec extends GraftSuite {
       ("SYSMGR-STANDBY", "3", "SHUTDOWN_START"))
   }
 
+  test("cisco-parser: ': %' after a newline does not classify as cisco") {
+    // the structural check mirrors rlike("^<\\d{1,3}>.*: %") where '.'
+    // does not cross '\n' — a multiline message whose marker sits on a
+    // later line stays unclassified
+    val multiline = "<189>29: foo bar\nbaz: %SYS-5-CONFIG_I: nope"
+    val onFirstLine = "<189>29: foo: %SYS-5-CONFIG_I: yes\ntrailing line"
+    val out = viaConfig("cisco-parser()", Seq(multiline, onFirstLine))
+      .select(col("message"),
+        element_at(col("values"), ".cisco.mnemonic").as("cm"))
+      .collect()
+    assert(out(0).getString(0) == multiline) // untouched
+    assert(out(0).getString(1) == null)
+    assert(out(1).getString(1) == "CONFIG_I")
+  }
+
   test("checkpoint-parser: functional-test golden lines, both date forms") {
     val syslogT = """<134>1 2018-03-21T17:25:25 MDS-72 CheckPoint 13752 - [action:"Update"; flags:"150784"; ifdir:"inbound"; origin:"192.168.32.91"; auth_method:"Machine Authentication (Active Directory)"; src:"192.168.32.69";]"""
     val syslogSpace = syslogT.replace("2018-03-21T17:25:25", "2018-03-21 17:25:25")
