@@ -34,13 +34,21 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
+    // SPARK_GRAFT_REPEAT=n (default 1): time each query n times and
+    // report the MEDIAN — the scale-proof runs (SURVEY §8) use n>=3 so
+    // cross-sf scaling factors are not polluted by one-off GC/compile
+    // hiccups. The repeats re-plan from scratch each time (no caching).
+    val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
     val results = benched.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd materializes every output column — count() would let
-      // Catalyst prune the projected expressions and time only the sort
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        // toRdd materializes every output column — count() would let
+        // Catalyst prune the projected expressions and time only the sort
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10x (or Nx) scale-up of a driver testdata directory,
+  * for the scale-proof bench runs (SURVEY §8): every table is tiled
+  * `factor` times with per-shard key remapping so that INTRA-shard
+  * structure (duplicate groups, per-user event density, FK fan-outs,
+  * cluster geometry) is preserved exactly while CROSS-shard
+  * interference is eliminated — the realistic model of a corpus
+  * growing 10x (more sources/users/documents of the same shape), not
+  * one where every record suddenly has 10 near-identical twins.
+  *
+  * Per-table shard transforms (shard 0 is the base, untouched):
+  *   - region/nation: fixed dimensions, copied once
+  *   - customer/supplier/part/orders/lineitem: PK/FK columns get
+  *     `+ shard * (max(basePK)+1)` strides, applied consistently on
+  *     both sides of every FK edge
+  *   - events: event_id/user_id strides; ts shifted +31 days per shard
+  *     (disjoint time ranges -> session/window state per key unchanged)
+  *   - documents: doc_id stride; for shard k>0 every word gets a `k`
+  *     suffix — two docs equal in the base stay equal in every shard
+  *     (duplicate RATE constant), while cross-shard shingle overlap
+  *     drops to ~0 (no artificial 10-way near-dup groups)
+  *   - embeddings: vec_id stride; shard k>0 applies a seeded dimension
+  *     permutation — all intra-shard dot products/norms are preserved
+  *     bit-exactly, cross-shard cosines decorrelate
+  *
+  * Usage: runMain graft.ScaleGen <baseDir> <outDir> [factor]
+  */
+object ScaleGen {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, baseDir, outDir, factor)
+    spark.stop()
+  }
+
+  def generate(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    def read(t: String): DataFrame =
+      spark.read.parquet(s"$baseDir/$t.parquet")
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"scalegen: $t -> ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
+    }
+    def stride(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head.getLong(0) + 1L
+
+    // fixed dimensions
+    write("region", read("region"))
+    write("nation", read("nation"))
+
+    // a one-column frame of shard ids; crossJoin(broadcast) tiles the
+    // base without shuffling it
+    val shards = spark.range(factor).toDF("__shard")
+    def tile(df: DataFrame): DataFrame = df.crossJoin(broadcast(shards))
+    def remap(df: DataFrame, strides: (String, Long)*): DataFrame =
+      strides.foldLeft(tile(df)) { case (d, (c, s)) =>
+        d.withColumn(c, col(c) + col("__shard") * s)
+      }.drop("__shard")
+
+    val customer = read("customer")
+    val supplier = read("supplier")
+    val part = read("part")
+    val orders = read("orders")
+    val lineitem = read("lineitem")
+    val custS = stride(customer, "c_custkey")
+    val suppS = stride(supplier, "s_suppkey")
+    val partS = stride(part, "p_partkey")
+    val orderS = stride(orders, "o_orderkey")
+    write("customer", remap(customer, "c_custkey" -> custS))
+    write("supplier", remap(supplier, "s_suppkey" -> suppS))
+    write("part", remap(part, "p_partkey" -> partS))
+    write("orders", remap(orders, "o_orderkey" -> orderS, "o_custkey" -> custS))
+    write("lineitem", remap(lineitem, "l_orderkey" -> orderS,
+      "l_partkey" -> partS, "l_suppkey" -> suppS))
+
+    val events = read("events")
+    val eventS = stride(events, "event_id")
+    val userS = stride(events, "user_id")
+    write("events", tile(events)
+      .withColumn("event_id", col("event_id") + col("__shard") * eventS)
+      .withColumn("user_id", col("user_id") + col("__shard") * userS)
+      // ts has shipped as both TIMESTAMP and TIMESTAMP_NTZ across
+      // testdata regenerations — shift in µs, restore the base type
+      // (session TZ is UTC, the casts are value-preserving)
+      .withColumn("ts", timestamp_micros(
+        unix_micros(col("ts").cast("timestamp")) +
+          col("__shard") * (31L * 86400 * 1000000L))
+        .cast(events.schema("ts").dataType))
+      .drop("__shard"))
+
+    val documents = read("documents")
+    val docS = stride(documents, "doc_id")
+    write("documents", tile(documents)
+      .withColumn("text", when(col("__shard") === 0, col("text"))
+        .otherwise(regexp_replace(col("text"), lit("([A-Za-z0-9]+)"),
+          concat(lit("$1"), col("__shard").cast("string")))))
+      .withColumn("doc_id", col("doc_id") + col("__shard") * docS)
+      .withColumn("n_chars", length(col("text")))
+      .drop("__shard"))
+
+    val embeddings = read("embeddings")
+    val vecS = stride(embeddings, "vec_id")
+    val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
+    // factor permutations of [0,dim), shard 0 = identity; a tiny
+    // broadcast lookup array<array<int>> indexed by shard
+    val perms: Seq[Seq[Int]] = (0 until factor).map { k =>
+      if (k == 0) 0 until dim
+      else {
+        val r = new scala.util.Random(0x5ca1e42L + k)
+        r.shuffle((0 until dim).toList)
+      }
+    }
+    val permCol = array(perms.map(p => array(p.map(lit): _*)): _*)
+    write("embeddings", tile(embeddings)
+      .withColumn("__perm", element_at(permCol, col("__shard").cast("int") + 1))
+      .withColumn("embedding", transform(col("__perm"),
+        i => element_at(col("embedding"), i + 1)))
+      .withColumn("vec_id", col("vec_id") + col("__shard") * vecS)
+      .drop("__shard", "__perm"))
+  }
+}

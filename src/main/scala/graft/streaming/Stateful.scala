@@ -27,6 +27,13 @@ object Stateful {
     * output; `value` = the payload the aggregate template needs. */
   case class Msg(key: String, ts: java.sql.Timestamp, value: String)
 
+  /** Full-microsecond event time. `Timestamp.getTime` is MILLIS — the
+    * sub-ms part lives in `getNanos`; truncating it made the stateful
+    * operators' session frames diverge from the µs-precise batch
+    * oracles (StreamBatchEquivalenceSpec caught it). */
+  private[streaming] def usOf(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Event-time-order a per-key micro-batch with BOUNDED memory: only
     * the first `cap` rows are materialized and sorted; overflow streams
     * through in arrival order (the reference never sorts at all — it
@@ -39,7 +46,7 @@ object Stateful {
     val head = scala.collection.mutable.ArrayBuffer.empty[Msg]
     while (head.length < cap && rows.hasNext) head += rows.next()
     val arr = head.toArray
-    java.util.Arrays.sort(arr, Ordering.by((m: Msg) => (m.ts.getTime, m.value)))
+    java.util.Arrays.sort(arr, Ordering.by((m: Msg) => (usOf(m.ts), m.value)))
     arr.iterator ++ rows
   }
 
@@ -50,45 +57,87 @@ object Stateful {
   case class SessionOut(key: String, startUs: Long, lastUs: Long, n: Long,
       values: String, closedBy: String)
 
-  case class SessState(startUs: Long, lastUs: Long, n: Long,
-      buf: List[String])
+  /** One open context: `buf` holds (tsUs, value) so merged sessions
+    * stay event-time ordered (capped at maxBuffered entries). */
+  case class Sess(startUs: Long, lastUs: Long, n: Long,
+      buf: List[(Long, String)])
+
+  /** ALL open contexts for a key, session_window-style: a key can have
+    * several in flight because none may close before the watermark
+    * passes its `last + timeout` — holding only the newest (the r6
+    * shape) silently MERGED an old straggler into the current context
+    * on replay/backfill, diverging from the batch session_window
+    * oracle. State is bounded: sessions expire with the watermark, so
+    * at most (watermark delay / timeout) + 1 can be open per key. */
+  case class SessState(sessions: List[Sess])
 
   /** grouping-by() streaming form: contexts keyed by `key`, closed by
     * `timeoutSeconds` of event-time inactivity (context-timeout) or
     * early by `trigger` messages (trigger()), emitting one synthetic
-    * session row. Caller must set a watermark on `ts` upstream. */
+    * session row. Caller must set a watermark on `ts` upstream.
+    * Sessions merge by gap-overlap exactly like Spark's builtin
+    * `session_window`, so a batch replay of the same rows produces
+    * row-identical output to [[graft.operators.Sessions.groupingBy]]
+    * (StreamBatchEquivalenceSpec) for any disorder within the
+    * watermark. */
   def groupingBy(ds: Dataset[Msg], timeoutSeconds: Int,
       trigger: Option[Int] = None, maxBuffered: Int = 10000,
       maxSortBuffer: Int = 10000): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val stEnc = Encoders.product[SessState]
     implicit val kEnc = Encoders.STRING
+    val gapUs = timeoutSeconds * 1000000L
+    def close(key: String, s: Sess, by: String): SessionOut =
+      SessionOut(key, s.startUs, s.lastUs, s.n,
+        s.buf.sortBy(e => (e._1, e._2)).map(_._2).mkString(","), by)
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[Msg], state: GroupState[SessState]) => {
+          // expire every session the watermark has passed (both on a
+          // timeout tick and eagerly when new rows arrive)
+          def sweep(sessions: List[Sess], wmUs: Long):
+              (List[SessionOut], List[Sess]) = {
+            val (dead, live) = sessions.partition(_.lastUs + gapUs <= wmUs)
+            (dead.map(close(key, _, "timeout")), live)
+          }
+          def rearm(live: List[Sess]): Unit =
+            if (live.nonEmpty) {
+              state.update(SessState(live))
+              state.setTimeoutTimestamp(math.max(
+                live.map(_.lastUs).min / 1000L + timeoutSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            } else state.remove()
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
           if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(key, s.startUs, s.lastUs, s.n,
-              s.buf.reverse.mkString(","), "timeout"))
+            val (out, live) = sweep(state.get.sessions, wmUs)
+            rearm(live)
+            out.iterator
           } else {
             val sorted = boundedSorted(rows, maxSortBuffer)
-            var s = state.getOption.getOrElse(SessState(Long.MaxValue, 0L, 0L, Nil))
             var out = List.empty[SessionOut]
+            var sessions = state.getOption.map(_.sessions).getOrElse(Nil)
             for (m <- sorted) {
-              val us = m.ts.getTime * 1000L
-              s = SessState(math.min(s.startUs, us), math.max(s.lastUs, us),
-                s.n + 1, if (s.n < maxBuffered) m.value :: s.buf else s.buf)
-              if (trigger.exists(s.n >= _)) {
-                out ::= SessionOut(key, s.startUs, s.lastUs, s.n,
-                  s.buf.reverse.mkString(","), "trigger")
-                s = SessState(Long.MaxValue, 0L, 0L, Nil)
+              val us = usOf(m.ts)
+              // session_window merge rule: the row's [us, us+gap)
+              // window joins every session whose [start, last+gap)
+              // overlaps it; a row between two sessions bridges them
+              val (touch, rest) = sessions.partition(s =>
+                us + gapUs > s.startUs && us < s.lastUs + gapUs)
+              val unit = Sess(us, us, 1L, List(us -> m.value))
+              val merged = (unit :: touch).reduce { (a, b) =>
+                Sess(math.min(a.startUs, b.startUs),
+                  math.max(a.lastUs, b.lastUs), a.n + b.n,
+                  if (a.n + b.n <= maxBuffered) b.buf ::: a.buf
+                  else (b.buf ::: a.buf).take(maxBuffered))
               }
+              if (trigger.exists(merged.n >= _)) {
+                out ::= close(key, merged, "trigger")
+                sessions = rest
+              } else sessions = merged :: rest
             }
-            if (s.n > 0) {
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastUs / 1000L + timeoutSeconds * 1000L)
-            } else state.remove()
+            val (timedOut, live) = sweep(sessions, wmUs)
+            out = timedOut reverse_::: out
+            rearm(live)
             out.reverse.iterator
           }
         })
@@ -146,7 +195,7 @@ object Stateful {
             var out = List.empty[SuppressOut]
             var s = state.getOption.orNull
             for (m <- sorted) {
-              val us = m.ts.getTime * 1000L
+              val us = usOf(m.ts)
               if (s == null || us - s.lastUs >= seconds * 1000000L) {
                 if (s != null && s.n > 0)
                   out ::= SuppressOut(key, s.lastUs, s.firstValue, "summary", s.n)
@@ -212,7 +261,7 @@ object Stateful {
             out.reverse.iterator
           } else {
             var last = state.getOption.map(_.lastUs).getOrElse(Long.MinValue)
-            for (m <- rows) last = math.max(last, m.ts.getTime * 1000L)
+            for (m <- rows) last = math.max(last, usOf(m.ts))
             state.update(MarkState(last))
             // traffic postpones the timer (dst-idle semantics); clamp
             // above the watermark for late stragglers
@@ -224,11 +273,25 @@ object Stateful {
         })
   }
 
-  case class ThrState(sec: Long, count: Long)
+  /** Per-second counters still inside the watermark window. Holding a
+    * small (second -> count) ledger instead of only the current second
+    * makes cross-batch stragglers exact: a row from second t arriving
+    * one micro-batch later (but within the watermark) finds t's counter
+    * intact rather than resetting the bucket. Entries older than the
+    * watermark are pruned each batch, so state is bounded by the
+    * allowed lateness, not the stream's lifetime. */
+  case class ThrState(secs: List[(Long, Long)])
 
   /** throttle(N) streaming form: the reference's per-destination token
     * bucket (`lib/logqueue.c`) keyed by `key`, refilled each event-time
-    * second; rows beyond `n` in a second drop. */
+    * second; rows beyond `n` in a second drop. Per-(key,second)
+    * admitted COUNTS match the batch
+    * [[graft.operators.Sessions.throttle]] ranking exactly for any
+    * disorder within the watermark; row IDENTITY additionally matches
+    * whenever a second's rows arrive event-time-ordered across batches
+    * (within a batch boundedSorted orders them) — the residual
+    * divergence is the reference's own arrival-order admission
+    * (StreamBatchEquivalenceSpec). */
   def throttle(ds: Dataset[Msg], n: Int,
       maxSortBuffer: Int = 10000): Dataset[Msg] = {
     implicit val msgEnc = Encoders.product[Msg]
@@ -240,15 +303,23 @@ object Stateful {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val sorted = boundedSorted(rows, maxSortBuffer)
-            var s = state.getOption.getOrElse(ThrState(-1L, 0L))
+            var secs = state.getOption
+              .map(_.secs.toMap).getOrElse(Map.empty[Long, Long])
+            // materialize BEFORE state.update: Iterator.flatMap is lazy
+            // and would otherwise run after the state write below
             val out = sorted.flatMap { m =>
-              val sec = m.ts.getTime / 1000L
-              if (sec != s.sec) s = ThrState(sec, 0L)
-              if (s.count < n) { s = ThrState(s.sec, s.count + 1); Some(m) }
+              val sec = usOf(m.ts) / 1000000L
+              val c = secs.getOrElse(sec, 0L)
+              if (c < n) { secs = secs.updated(sec, c + 1L); Some(m) }
               else None
-            }
-            state.update(s)
-            state.setTimeoutTimestamp((s.sec + 60) * 1000L)
+            }.toList
+            val wmSec = state.getCurrentWatermarkMs() / 1000L
+            val kept = secs.view.filter(_._1 >= wmSec).toList
+            state.update(ThrState(kept))
+            val lastSec = if (kept.nonEmpty) kept.map(_._1).max
+              else if (secs.nonEmpty) secs.keys.max else wmSec
+            state.setTimeoutTimestamp(math.max(
+              (lastSec + 60) * 1000L, state.getCurrentWatermarkMs() + 1L))
             out.iterator
           }
         })
