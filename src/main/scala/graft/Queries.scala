@@ -2491,6 +2491,33 @@ object Queries {
       FROM documents ORDER BY media_id"""),
     bench = true)
 
+  /** Pixel/sample-level decode — the r6 stub, retired: PNG pixels come
+    * back through chunk-CRC validation, zlib inflate and all five
+    * scanline de-filters; WAV PCM samples through the RIFF walk. The
+    * fixture pattern makes every statistic closed-form in doc_id, so
+    * DuckDB recomputes them without touching a codec. */
+  private val multimodalPixels = Q("multimodal_pixels",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.extractSampleStats(Multimodal.pixelFixtures(s, d))
+        .select(col("media_id"), col("fmt"), col("n"), col("vmin"),
+          col("vmax"), col("vmean"))
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id,
+      CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS fmt,
+      CAST(CASE WHEN doc_id % 2 = 0
+        THEN (16 + doc_id % 97) * (16 + doc_id % 53) ELSE 64 END AS BIGINT) AS n,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 100 END AS BIGINT) AS vmin,
+      CAST(CASE WHEN doc_id % 2 = 0
+        THEN (15 + doc_id % 97) + (15 + doc_id % 53)
+        ELSE doc_id % 100 + 63 END AS BIGINT) AS vmax,
+      CAST(CASE WHEN doc_id % 2 = 0
+        THEN ((15 + doc_id % 97) + (15 + doc_id % 53)) / 2.0
+        ELSE doc_id % 100 + 31.5 END AS DOUBLE) AS vmean
+      FROM documents ORDER BY media_id"""),
+    bench = true)
+
   private val multimodalStub = Q("multimodal_stub",
     (s, d) => {
       import s.implicits._
@@ -2596,7 +2623,7 @@ object Queries {
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,
     textUnigramQuality,
     textDedupUrl, textDomainFilter,
-    multimodalFeatures, multimodalStub, multimodalDecode)
+    multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -110,6 +110,14 @@ object ConfigCompiler {
   def compileStreamingPipeline(cfg0: Config,
       spark: org.apache.spark.sql.SparkSession, spoolBase: String)
       : (Seq[Route], Map[String, graft.streaming.SocketListener]) = {
+    // stateful pipelines (grouping-by/correlate/suppress/throttle)
+    // default to the RocksDB state store: the HDFS-backed default holds
+    // every open context on-heap per executor, which does not survive
+    // 100 TB/day of correlation state; RocksDB spills to local disk
+    // with bounded heap. An explicit user/session setting wins.
+    if (spark.conf.getOption("spark.sql.streaming.stateStore.providerClass").isEmpty)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val cfg = expandTemplates(cfg0)
     var listeners = Map.empty[String, graft.streaming.SocketListener]
     val sources = cfg.sources.map { case (name, blk) =>
@@ -795,8 +803,11 @@ object ConfigCompiler {
           Template.column(tmpl, route.df.columns))
         df.writeStream.foreachBatch {
             (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // single-fd destination is inherently serial; toLocalIterator
+          // streams one partition at a time so the driver never holds
+          // the whole batch (same row order as collect)
           val fos = new java.io.FileOutputStream(path, true)
-          try b.select("__body").collect().foreach { r =>
+          try b.select("__body").toLocalIterator().forEachRemaining { r =>
             fos.write((r.getString(0) + "\n").getBytes(
               java.nio.charset.StandardCharsets.UTF_8))
           } finally fos.close()
@@ -819,7 +830,7 @@ object ConfigCompiler {
         df.writeStream.foreachBatch {
             (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           val fos = new java.io.FileOutputStream(target, true)
-          try b.select("__body").collect().foreach { r =>
+          try b.select("__body").toLocalIterator().forEachRemaining { r =>
             fos.write((r.getString(0) + "\n").getBytes(
               java.nio.charset.StandardCharsets.UTF_8))
           } finally fos.close()
@@ -841,7 +852,7 @@ object ConfigCompiler {
           Template.column(tmpl, route.df.columns))
         df.writeStream.foreachBatch {
             (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.select("__body").collect().foreach { r =>
+          b.select("__body").toLocalIterator().forEachRemaining { r =>
             val fos = new java.io.FileOutputStream(path, false)
             try fos.write(r.getString(0).getBytes(
               java.nio.charset.StandardCharsets.UTF_8))

@@ -176,6 +176,64 @@ object MediaFixtures {
     "GIF89a".getBytes("US-ASCII") ++ leU16(width) ++ leU16(height) ++
       Array[Byte](0, 0, 0) ++ Array(0x3B.toByte)
 
+  /** Grayscale 8-bit non-interlaced PNG with REAL pixel content:
+    * `pixel(x, y)` supplies each sample and every scanline y uses
+    * filter type `y % 5` — all five PNG filters (None/Sub/Up/Average/
+    * Paeth) are exercised, encoded per spec §6 (Filt(x) = Orig(x) -
+    * predictor, mod 256) so [[MediaSamples.decodePng]] must invert
+    * them exactly to recover the pattern. */
+  def pngPixels(width: Int, height: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = beU32(width.toLong) ++ beU32(height.toLong) ++
+      Array[Byte](8, 0, 0, 0, 0)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte]((width + 1) * height)
+    for (y <- 0 until height) {
+      val filter = y % 5
+      raw((width + 1) * y) = filter.toByte
+      for (x <- 0 until width) {
+        val orig = pixel(x, y) & 0xFF
+        val left = if (x > 0) pixel(x - 1, y) & 0xFF else 0
+        val up = if (y > 0) pixel(x, y - 1) & 0xFF else 0
+        val upLeft = if (x > 0 && y > 0) pixel(x - 1, y - 1) & 0xFF else 0
+        val filt = filter match {
+          case 0 => orig
+          case 1 => orig - left
+          case 2 => orig - up
+          case 3 => orig - ((left + up) >> 1)
+          case 4 => orig - paeth(left, up, upLeft)
+        }
+        raw((width + 1) * y + 1 + x) = (filt & 0xFF).toByte
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream
+    val dos = new java.util.zip.DeflaterOutputStream(bos)
+    dos.write(raw); dos.close()
+    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", bos.toByteArray) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
+
+  /** Mono 16-bit PCM WAV with REAL sample content from `sample(i)`. */
+  def wavSamples(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val fmt = "fmt ".getBytes("US-ASCII") ++ leU32(16) ++
+      leU16(1) ++ leU16(1) ++ leU32(sampleRate.toLong) ++
+      leU32(sampleRate.toLong * 2) ++ leU16(2) ++ leU16(16)
+    val dataBytes = new Array[Byte](samples.length * 2)
+    for (k <- samples.indices) {
+      dataBytes(2 * k) = (samples(k) & 0xFF).toByte
+      dataBytes(2 * k + 1) = ((samples(k) >> 8) & 0xFF).toByte
+    }
+    val data = "data".getBytes("US-ASCII") ++
+      leU32(samples.length.toLong * 2) ++ dataBytes
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+    "RIFF".getBytes("US-ASCII") ++ leU32(body.length.toLong) ++ body
+  }
+
   /** Minimal PCM WAV: RIFF/WAVE, fmt chunk, `nSamples` zero samples. */
   def wav(sampleRate: Int, channels: Int, bitsPerSample: Int,
       nSamples: Int = 4): Array[Byte] = {

@@ -146,4 +146,65 @@ object Multimodal {
         MediaRow(id, kind, bytes, 0, 0)
       }
   }
+
+  /** Per-item sample statistics from the REAL pixel/sample decode
+    * ([[MediaSamples]]): PNG pixels recovered through inflate +
+    * de-filter, WAV PCM samples. `vmean` is exact-integer-sum / n. */
+  case class SampleStats(media_id: Long, fmt: String, n: Long,
+      vmin: Long, vmax: Long, vmean: Double)
+
+  /** Pixel-content fixture corpus: doc_id picks PNG (even, pattern
+    * pixel(x,y) = x + y — every scanline filter type cycles, and with
+    * w,h < 128 the pattern never wraps mod 256, so the stats are
+    * closed-form for the external oracle) or WAV (odd, 64 16-bit
+    * samples `id%100 + i`). */
+  def pixelFixtures(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        if (id % 2 == 0) {
+          val w = (16 + id % 97).toInt
+          val h = (16 + id % 53).toInt
+          MediaRow(id, "image/png",
+            MediaFixtures.pngPixels(w, h, (x, y) => x + y), w, h)
+        } else {
+          val base = (id % 100).toInt
+          MediaRow(id, "audio/wav",
+            MediaFixtures.wavSamples(16000,
+              Array.tabulate(64)(i => base + i)), 0, 0)
+        }
+      }
+  }
+
+  /** Batched sample decode + stats: same partition-sizing shape as
+    * [[extractFeatures]], decoder is [[MediaSamples.decode]]. Undecodable
+    * payloads (JPEG/GIF and corrupt bytes) drop — the codec boundary. */
+  def extractSampleStats(ds: Dataset[MediaRow],
+      targetPartitionBytes: Long = 128L << 20): Dataset[SampleStats] = {
+    import ds.sparkSession.implicits._
+    val shaped =
+      if (targetPartitionBytes <= 0) ds
+      else {
+        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
+        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+        val minParts = ds.sparkSession.sparkContext.defaultParallelism
+        val parts = math.max(minParts,
+          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
+        ds.repartition(parts, col("media_id"))
+      }
+    shaped.mapPartitions { it =>
+      it.flatMap { row =>
+        Option(MediaSamples.decode(row.bytes)).filter(_.samples.nonEmpty)
+          .map { d =>
+            var mn = Long.MaxValue; var mx = Long.MinValue; var s = 0L
+            d.samples.foreach { v =>
+              mn = math.min(mn, v); mx = math.max(mx, v); s += v
+            }
+            SampleStats(row.media_id, d.format, d.samples.length,
+              mn, mx, s.toDouble / d.samples.length)
+          }
+      }
+    }
+  }
 }

@@ -95,4 +95,67 @@ class MediaHeadersSpec extends GraftSuite {
       targetPartitionBytes = 0)
     assert(meta.filter(meta("format") === "unknown").count() == 0)
   }
+
+  test("png pixel decode: every filter type round-trips exactly") {
+    import graft.pipeline.{MediaFixtures, MediaSamples}
+    // 7 rows cycles all 5 filters (incl. a second None/Sub use); the
+    // pattern has horizontal AND vertical gradients so Sub/Up/Average/
+    // Paeth all produce non-trivial residuals
+    val pat = (x: Int, y: Int) => (x * 7 + y * 13 + (x * y) % 5) % 256
+    val bytes = MediaFixtures.pngPixels(9, 7, pat)
+    val d = MediaSamples.decode(bytes)
+    assert(d != null && d.format == "png")
+    val expected = for (y <- 0 until 7; x <- 0 until 9) yield pat(x, y)
+    assert(d.samples.toSeq == expected)
+  }
+
+  test("wav pcm decode: 16-bit signed samples incl. negatives") {
+    import graft.pipeline.{MediaFixtures, MediaSamples}
+    val samples = Array(0, 1, -1, 32767, -32768, 1234, -4321)
+    val d = MediaSamples.decode(MediaFixtures.wavSamples(8000, samples))
+    assert(d != null && d.format == "wav")
+    assert(d.samples.toSeq == samples.toSeq)
+  }
+
+  test("pixel decode rejects corrupt/unsupported input, never throws") {
+    import graft.pipeline.{MediaFixtures, MediaSamples}
+    val good = MediaFixtures.pngPixels(8, 8, (x, y) => x + y)
+    // flip one IDAT payload byte -> chunk CRC mismatch -> null
+    val corrupt = good.clone()
+    val idatAt = {
+      var i = 8; var at = -1
+      while (at < 0 && i + 8 < corrupt.length) {
+        if (new String(corrupt, i + 4, 4, "US-ASCII") == "IDAT") at = i
+        else i += 12 + ((corrupt(i) & 0xFF) << 24 | (corrupt(i + 1) & 0xFF) << 16 |
+          (corrupt(i + 2) & 0xFF) << 8 | (corrupt(i + 3) & 0xFF))
+      }
+      at
+    }
+    corrupt(idatAt + 10) = (corrupt(idatAt + 10) ^ 0x55).toByte
+    assert(MediaSamples.decode(corrupt) == null)
+    // truncated stream, JPEG/GIF (codec-bound, declared out), junk
+    assert(MediaSamples.decode(good.take(40)) == null)
+    assert(MediaSamples.decode(MediaFixtures.jpeg(8, 8)) == null)
+    assert(MediaSamples.decode(MediaFixtures.gif(8, 8)) == null)
+    assert(MediaSamples.decode("junk".getBytes) == null)
+    assert(MediaSamples.decode(null) == null)
+  }
+
+  test("spark pixel corpus: stats survive the distributed decode") {
+    val stats = graft.pipeline.Multimodal.extractSampleStats(
+      graft.pipeline.Multimodal.pixelFixtures(spark, "/root/testdata/sf0.001"),
+      targetPartitionBytes = 0).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      if (s.fmt == "png") {
+        val w = 16 + s.media_id % 97; val h = 16 + s.media_id % 53
+        assert(s.n == w * h && s.vmin == 0 && s.vmax == (w - 1) + (h - 1))
+        assert(s.vmean == ((w - 1) + (h - 1)) / 2.0)
+      } else {
+        val base = s.media_id % 100
+        assert(s.n == 64 && s.vmin == base && s.vmax == base + 63)
+        assert(s.vmean == base + 31.5)
+      }
+    }
+  }
 }

@@ -161,7 +161,11 @@ class StreamingSpec extends GraftSuite {
     // reloads (modules/dbparser/groupingby.c:489-566); the Spark analog
     // is state-store restore from the checkpoint. Divergence (documented
     // in Stateful's scaladoc): timeouts are event-time/watermark-driven,
-    // not wall-clock.
+    // not wall-clock. Runs under the RocksDB provider — the production
+    // default (ConfigCompiler.compileStreamingPipeline) — so restart
+    // recovery is proven on the store a real deployment uses.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val inDir = tmp(); val outDir = tmp(); val chk = tmp()
     def startQuery() = {
       val msgs = Sources.fileLines(spark, inDir + "/*.csv")
@@ -194,6 +198,7 @@ class StreamingSpec extends GraftSuite {
     // n=3 with pre-restart values a,b proves the state crossed the restart
     assert(rows.contains(("k1", 3L, "a,b,c", "timeout")), rows.toString)
     assert(rows.contains(("adv", 1L, "w", "timeout")))
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("wildcard-file source: per-file line order survives a restart") {
