@@ -2661,11 +2661,46 @@ object Queries {
       Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
           threshold = 0.95, planes = planes, seed = 42, dim = 64, tables = 4)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    "dedup_semantic_keep_prod" -> ((s: SparkSession, d: String) => {
+      // survivors under the corpus-scaled clustering (see
+      // dedup_semantic_prod below for the sizing rationale)
+      val emb = Tables.embeddings(s, d)
+      val k = math.max(64, (emb.count() / 32L).toInt)
+      Similarity.semanticSurvivors(emb, col("vec_id"), col("embedding"),
+          nCentroids = k, threshold = 0.4)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    "dedup_semantic_prod" -> ((s: SparkSession, d: String) => {
+      // production shape (SemDeDup at corpus scale): the centroid count
+      // GROWS with the corpus so the per-cluster population — and with
+      // it the within-cluster pairwise cost — stays bounded (~32). The
+      // oracle query pins nCentroids=64 for DuckDB parity, which is
+      // quadratic-per-cluster as the corpus scales (the r7 sf1 matrix
+      // measured it at 17.6x for 10x data; this variant is the one a
+      // 100 TB run uses).
+      val emb = Tables.embeddings(s, d)
+      val k = math.max(64, (emb.count() / 32L).toInt)
+      Similarity.semanticPairs(emb, col("vec_id"), col("embedding"),
+          nCentroids = k, threshold = 0.95)
+        .orderBy(col("id_a"), col("id_b"))
     }))
 
-  /** Oracle-only queries excluded from the bench: dedup_simhash is the
-    * r=8 64-bit pigeonhole form kept purely for oracle parity — its
-    * ≤256-value chunk key space is the documented scale hazard, and the
-    * production r=8 path is dedup_simhash_128 (benched above). */
-  val benchExcluded: Set[String] = Set("dedup_simhash")
+  /** Oracle-only queries excluded from the bench:
+    *  - dedup_simhash — the r=8 64-bit pigeonhole form kept purely for
+    *    oracle parity; its ≤256-value chunk key space is the documented
+    *    scale hazard, the production r=8 path is dedup_simhash_128.
+    *  - dedup_embedding — pins planes=4 (16 buckets) so DuckDB can
+    *    replay the exact hyperplanes; with a fixed bucket count the
+    *    in-bucket pairwise cost grows quadratically with the corpus
+    *    (79x for 10x data in the r7 sf1 matrix). The production path
+    *    is dedup_embedding_prod (planesFor-sized buckets, 9.8x for
+    *    10x — linear).
+    *  - dedup_semantic / dedup_semantic_keep — pin nCentroids=64 for
+    *    DuckDB parity; fixed cluster count → per-cluster population
+    *    grows with the corpus → quadratic within-cluster pairwise.
+    *    The production paths are dedup_semantic_prod /
+    *    dedup_semantic_keep_prod (k ≈ N/32; 4.0x for 10x at sf1). */
+  val benchExcluded: Set[String] = Set("dedup_simhash", "dedup_embedding",
+    "dedup_semantic", "dedup_semantic_keep")
 }

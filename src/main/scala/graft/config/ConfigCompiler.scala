@@ -121,7 +121,8 @@ object ConfigCompiler {
     val cfg = expandTemplates(cfg0)
     var listeners = Map.empty[String, graft.streaming.SocketListener]
     val sources = cfg.sources.map { case (name, blk) =>
-      val stmt = blk.stmts.find(s => s.name == "file" || s.name == "network" ||
+      val stmt = blk.stmts.find(s => s.name == "file" ||
+          s.name == "wildcard-file" || s.name == "network" ||
           s.name == "syslog" || s.name == "osquery" || s.name == "mbox" ||
           s.name == "snmptrap" || s.name == "unix-stream" || s.name == "system" ||
           s.name == "pacct" || s.name == "nodejs" || s.name == "program" ||
@@ -244,10 +245,22 @@ object ConfigCompiler {
           .withColumn("tags", array().cast("array<string>"))
       } else {
       val lines = stmt.name match {
-        case "file" | "mbox" =>
-          val path = stmt.args.collectFirst { case Lit(p) => p }
-            .orElse(kvOf(stmt.args, "filename")).getOrElse(
-              throw new IllegalArgumentException(s"source $name: file() needs a path"))
+        case "file" | "mbox" | "wildcard-file" =>
+          // wildcard-file(base-dir() filename-pattern()) — the glob
+          // directory monitor (wildcard-source.c:103-299); plain file()
+          // takes the path literal/filename()
+          val path =
+            if (stmt.name == "wildcard-file") {
+              val base = kvOf(stmt.args, "base-dir").getOrElse(
+                throw new IllegalArgumentException(
+                  s"source $name: wildcard-file() needs base-dir()"))
+              val pat = kvOf(stmt.args, "filename-pattern").getOrElse(
+                throw new IllegalArgumentException(
+                  s"source $name: wildcard-file() needs filename-pattern()"))
+              s"${base.stripSuffix("/")}/$pat"
+            } else stmt.args.collectFirst { case Lit(p) => p }
+              .orElse(kvOf(stmt.args, "filename")).getOrElse(
+                throw new IllegalArgumentException(s"source $name: file() needs a path"))
           // multi-line-mode()/multi-line-prefix() (logproto-regexp-/
           // indented-multiline-server.c); mbox() (scl/mbox/mbox.conf)
           // = file() with multi-line-prefix('^From ') + no-parse
@@ -269,6 +282,17 @@ object ConfigCompiler {
           // encoding(): declared input charset (logreader options)
           val enc = kvOf(stmt.args, "encoding")
             .filterNot(e => e.equalsIgnoreCase("utf-8") || e.equalsIgnoreCase("utf8"))
+          // wildcard-source.c:103-299 monitoring knobs: max-files(N)
+          // caps how many glob members are consumed per poll →
+          // maxFilesPerTrigger (the same per-cycle reader budget);
+          // monitor-method(auto|inotify|poll) picks the OS watch
+          // primitive — Spark's file source is poll-based, so both
+          // values compile to the same scan (accepted + recorded)
+          val maxFiles = kvOf(stmt.args, "max-files").map(_.toInt).getOrElse(64)
+          kvOf(stmt.args, "monitor-method").foreach { m =>
+            require(Seq("auto", "inotify", "poll").contains(m),
+              s"source $name: monitor-method($m) is not a valid method")
+          }
           (mlPrefix, padSize, enc) match {
             case (_, Some(n), _) =>
               graft.streaming.Sources.paddedRecords(spark, path, n)
@@ -276,7 +300,7 @@ object ConfigCompiler {
               graft.streaming.Sources.fileLinesEncoded(spark, path, cs)
             case (Some(re), _, _) => graft.streaming.Sources.multilineStream(
               spark, path, re, garbageRe = mlGarbage, suffixRe = mlSuffix)
-            case _ => graft.streaming.Sources.fileLines(spark, path)
+            case _ => graft.streaming.Sources.fileLines(spark, path, maxFiles)
           }
         case "program" =>
           // modules/afprog/afprog.c:86-92: `/bin/sh -c cmdline`,

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** `nearest_centroid(vec)` — broadcast cosine argmax against a
+  * driver-side centroid table, as one compiled expression.
+  *
+  * The Column form (`array_max(array(struct(cos, cid), ...))`) builds
+  * an expression tree of ~dim nodes PER CENTROID: fine at k=64, but at
+  * the production SemDeDup sizing (k ≈ N/32, thousands of centroids)
+  * the tree explodes past codegen limits and falls back to interpreted
+  * evaluation — the r7 sf1 matrix measured the k=625 assignment at 47x
+  * the k=64 time for 10x data. This expression holds the centroids as
+  * plain float arrays and runs the dim×k loop in compiled code.
+  *
+  * Semantics are BIT-IDENTICAL to the Column form (the DuckDB oracles
+  * depend on it): sequential double accumulation for dot and norm,
+  * cosine = dot/(|v|·|c|), argmax by (cos, cid) with array_max's
+  * ordering — NaNs compare like java.lang.Double.compare, ties take
+  * the larger cid.
+  */
+case class NearestCentroid(child: Expression,
+    centroids: Array[Array[Float]], cids: Array[Long])
+  extends UnaryExpression {
+
+  require(centroids.length == cids.length && centroids.nonEmpty)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_centroid"
+
+  // |c| per centroid, same sequential double accumulation as norm()
+  @transient private lazy val cNorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  def nearestOf(a: Any): Long = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    var vs = 0.0
+    while (i < n) {
+      v(i) = arr.getFloat(i).toDouble
+      vs += v(i) * v(i)
+      i += 1
+    }
+    val vNorm = math.sqrt(vs)
+    var bestCos = Double.NaN
+    var bestCid = 0L
+    var first = true
+    var k = 0
+    while (k < centroids.length) {
+      val c = centroids(k)
+      var d = 0.0
+      var j = 0
+      val m = math.min(n, c.length)
+      while (j < m) { d += v(j) * c(j); j += 1 }
+      val cos = d / (vNorm * cNorms(k))
+      // array_max struct ordering: Double.compare (NaN greatest),
+      // tie on cos -> larger cid wins
+      val cmp = java.lang.Double.compare(cos, bestCos)
+      if (first || cmp > 0 || (cmp == 0 && cids(k) > bestCid)) {
+        bestCos = cos; bestCid = cids(k); first = false
+      }
+      k += 1
+    }
+    bestCid
+  }
+
+  override protected def nullSafeEval(v: Any): Any = nearestOf(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nc", this, classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.nearestOf($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroid =
+    copy(child = c)
+}
+
+object NearestCentroid {
+  def apply(vec: Column, centroids: Array[(Long, Seq[Float])]): Column =
+    ColumnBridge.column(new NearestCentroid(ColumnBridge.expression(vec),
+      centroids.map(_._2.toArray), centroids.map(_._1)))
+}

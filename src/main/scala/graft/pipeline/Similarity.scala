@@ -174,14 +174,16 @@ object Similarity {
 
   /** Nearest-centroid id by cosine (ties → larger cid, matching the
     * oracles' ORDER BY cos DESC, cid DESC): a broadcast argmax — one
-    * narrow codegen'd pass, no shuffle, no UDF. */
+    * narrow compiled pass, no shuffle, no UDF. Runs as the
+    * [[graft.functions.NearestCentroid]] expression: the equivalent
+    * `array_max(array(struct(cos, cid)...))` column builds ~dim nodes
+    * per centroid and collapses codegen at production centroid counts
+    * (k ≈ N/32) — the expression is bit-identical (same sequential
+    * double accumulation and array_max ordering; the sf0.01 DuckDB
+    * oracles gate the identity) and keeps the dim×k loop compiled. */
   private[pipeline] def nearestCentroidCol(v: Column,
-      cs: Array[(Long, Seq[Float])]): Column = {
-    val scored = cs.map { case (cid, cv) =>
-      struct(cosineToQuery(v, cv).as("cos"), lit(cid).as("cid"))
-    }
-    array_max(array(scored: _*)).getField("cid")
-  }
+      cs: Array[(Long, Seq[Float])]): Column =
+    graft.functions.NearestCentroid(v, cs)
 
   /** SemDeDup-style semantic near-dup pairs (k-means-partitioned
     * pairwise cosine): vectors assign to their nearest sampled centroid

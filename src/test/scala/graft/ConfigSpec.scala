@@ -228,6 +228,46 @@ class ConfigSpec extends GraftSuite {
     assert(written.filter(array_contains(col("tags"), "web")).count() == 2)
   }
 
+  test("wildcard-file() source: base-dir/filename-pattern + monitoring knobs") {
+    // modules/affile/wildcard-source.c:103-299 — the glob monitor;
+    // max-files(N) maps to the per-trigger reader budget, and
+    // monitor-method() validates against the reference's enum (Spark's
+    // file source is poll-based either way)
+    val inDir = java.nio.file.Files.createTempDirectory("graft-wild-in").toString
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "a.log"),
+      "<13>Jun  1 12:00:00 web1 nginx[7]: GET /a\n")
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "b.log"),
+      "<13>Jun  1 12:00:01 web2 nginx[8]: GET /b\n")
+    java.nio.file.Files.writeString(java.nio.file.Path.of(inDir, "c.txt"),
+      "<13>Jun  1 12:00:02 web3 nginx[9]: not matched by the pattern\n")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-wild-out").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-wild-cp").toString
+    val cfg = ConfigParser.parse(s"""
+      source s_wild { wildcard-file(base-dir("$inDir") filename-pattern("*.log")
+        max-files(1) monitor-method(poll)); };
+      destination d { file("/var/out/app.log"); };
+      log { source(s_wild); destination(d); };
+    """)
+    val routes = ConfigCompiler.compileStreaming(cfg, spark)
+    assert(routes.size == 1 && routes.head.df.isStreaming)
+    val q = ConfigCompiler.startFileRoute(routes.head, outDir, cp)
+    try q.awaitTermination(60000) finally q.stop()
+    val written = spark.read.parquet(outDir)
+    assert(written.count() == 2) // c.txt excluded by the pattern
+    assert(written.select("host").as[String].collect().sorted.toSeq ==
+      Seq("web1", "web2"))
+    // a bad monitor-method must fail the compile loudly
+    val bad = ConfigParser.parse(s"""
+      source s { wildcard-file(base-dir("$inDir") filename-pattern("*.log")
+        monitor-method(epoll)); };
+      destination d { file("/var/out/x.log"); };
+      log { source(s); destination(d); };
+    """)
+    intercept[IllegalArgumentException] {
+      ConfigCompiler.compileStreaming(bad, spark)
+    }
+  }
+
   test("osquery() source: no-parse file + program override + json NVs") {
     // scl/osquery/plugin.conf:3-8
     val inDir = java.nio.file.Files.createTempDirectory("graft-osq-in").toString
