@@ -1,7 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic.ClassicConversions.castToImpl
-// scratch profiling main (not part of the library; removed after use)
+
+/** Dev profiling main: times registry queries at a given SF dir, both
+  * as-registered and with the top-level global Sort stripped — the
+  * oracle queries end in a total ORDER BY purely so the driver's
+  * hash-compare is deterministic, and a range sort re-executes the
+  * whole chain once for sampling, so the stripped number is the one
+  * that models production (where nobody total-orders parse output).
+  * The r7 sf1 scale matrix used this to attribute super-linear
+  * full-query times to the harness sort (operators themselves scale
+  * linearly; table in SURVEY §8).
+  *
+  * Usage: runMain graft.Probe <sfDir> <query1,query2,...>
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
