@@ -235,6 +235,10 @@ class StreamingSpec extends GraftSuite {
   }
 
   test("checkpoint restart: correlation counter crosses the restart") {
+    // under RocksDB, like the grouping-by restart above (the production
+    // default provider — ConfigCompiler.compileStreamingPipeline)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val inDir = tmp(); val outDir = tmp(); val chk = tmp()
     def startQuery() = {
       val msgs = Sources.fileLines(spark, inDir + "/*.csv")
@@ -262,6 +266,7 @@ class StreamingSpec extends GraftSuite {
     val rows = spark.read.parquet(outDir).select("key", "kind", "n", "values")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
     assert(rows.contains(("c1", "match", 3L, "a,b,c")), rows.toString)
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("file source + parsedSyslog streaming end-to-end") {
