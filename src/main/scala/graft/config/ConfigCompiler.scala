@@ -1359,20 +1359,27 @@ object ConfigCompiler {
         val flags = s.args.collectFirst { case KV("flags", vs) => lits(vs) }
           .getOrElse(Nil)
         val dialect = kvOf(s.args, "dialect") match {
-          case Some("escape-backslash") => Parsers.EscapeBackslash
-          case Some("escape-none") => Parsers.EscapeNone
-          case _ => Parsers.EscapeDoubleChar
+          case Some("escape-backslash") => "backslash"
+          case Some("escape-none") => "none"
+          case _ => "double-char"
         }
+        val quotePairs = kvOf(s.args, "quote-pairs").getOrElse("\"\"''")
+        val dropInvalid = kvOf(s.args, "drop-invalid").contains("yes")
         df => {
-          val parsed =
-            if (delim.length == 1 && strDelims.isEmpty &&
-              !flags.contains("greedy") && !flags.contains("strip-whitespace"))
-              Parsers.csvParse(input, cols, delim, quote, dialect, nullV)
-            else Parsers.csvSplit(input, cols, delim,
-              greedy = flags.contains("greedy"),
-              stripWhitespace = flags.contains("strip-whitespace"),
-              nullValue = nullV, stringDelims = strDelims)
-          cols.foldLeft(df)((d, c) => d.withColumn(c, parsed.getField(c)))
+          // the faithful single-pass scanner (csv-scanner.c semantics:
+          // multi quote pairs, string delimiters, per-dialect escapes,
+          // strip/greedy/null-value interplay, drop-invalid gate)
+          val parsed = graft.functions.CsvScan(input, cols, delim,
+            stringDelims = strDelims, quotePairs = quotePairs,
+            dialect = dialect, greedy = flags.contains("greedy"),
+            stripWhitespace = flags.contains("strip-whitespace"),
+            nullValue = nullV)
+          val staged = df.withColumn("__csv", parsed)
+          val withCols = cols.foldLeft(staged)((d, c) =>
+            d.withColumn(c, col("__csv").getField(c)))
+          val gated = if (dropInvalid) withCols.where(col("__csv.valid"))
+            else withCols
+          gated.drop("__csv")
         }
       case "json-parser" =>
         val prefix = kvOf(s.args, "prefix").getOrElse("")
