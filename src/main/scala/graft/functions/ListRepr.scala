@@ -19,50 +19,80 @@ import scala.collection.mutable.ArrayBuffer
   * checks explicitly. */
 object ListRepr {
 
-  /** Parse one list string into elements: split on ',' outside quotes,
-    * decode quoted elements (same escape set as the kv scanner), drop
-    * unquoted-empty elements (",bar" has head "bar"). */
+  // str_repr_decode state machine (lib/str-repr/decode.c:29-210)
+  private final val Initial = 0
+  private final val QString = 1
+  private final val Backslash = 2
+  private final val ExpectDelim = 3
+  private final val QError = 4
+  private final val Unquoted = 5
+  private final val FinSuccess = 6
+  private final val FinFailure = 7
+
+  /** One str_repr token from `start` with delimiter ','. Returns
+    * (decoded value, end position, success). The reference's exact
+    * semantics: a closing quote must be followed by the delimiter (or
+    * EOF) — ANY other character poisons the whole token to raw
+    * ("'foo'bar" and "'foo''bar'" are single RAW elements,
+    * test_list_scanner.c handles_single_quotes); an unterminated quote
+    * is raw to END of input INCLUDING commas ("bar,'foo," yields
+    * "'foo,"); inside quotes `\b \f \n \r \t \\` decode, the MATCHING
+    * quote's escape drops its backslash, any other escape keeps it
+    * (decode.c _decode_backslash_escape). */
+  private def decodeOne(s: String, start: Int): (String, Int, Boolean) = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder
+    var quote: Char = 0
+    var state = Initial
+    var i = start
+    while (i < n && state != FinSuccess && state != FinFailure) {
+      val c = s.charAt(i)
+      state = state match {
+        case Initial =>
+          if (c == ',') FinSuccess
+          else if (c == '"' || c == '\'') { quote = c; QString }
+          else { sb.append(c); Unquoted }
+        case QString =>
+          if (c == quote) ExpectDelim
+          else if (c == '\\') Backslash
+          else { sb.append(c); QString }
+        case Backslash =>
+          c match {
+            case 'b' => sb.append('\b'); case 'f' => sb.append('\f')
+            case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+            case 't' => sb.append('\t'); case '\\' => sb.append('\\')
+            case other =>
+              if (quote != other) sb.append('\\')
+              sb.append(other)
+          }
+          QString
+        case ExpectDelim =>
+          if (c == ',') FinSuccess else QError
+        case QError =>
+          if (c == ',') FinFailure else QError
+        case Unquoted =>
+          if (c == ',') FinSuccess else { sb.append(c); Unquoted }
+      }
+      i += 1
+    }
+    // at EOF: INITIAL / EXPECT_DELIMITER / UNQUOTED / SUCCESS accept
+    val ok = state == Initial || state == ExpectDelim ||
+      state == Unquoted || state == FinSuccess
+    (sb.toString, i, ok)
+  }
+
+  /** Parse one list string into elements (list-scanner.c:95-170):
+    * unquoted-empty elements (leading commas) skip, each token decodes
+    * via [[decodeOne]], a failed decode keeps the RAW consumed text. */
   def parse(s: String, out: ArrayBuffer[String]): Unit = {
     val n = s.length
     var i = 0
     while (i < n) {
-      val c = s.charAt(i)
-      if (c == ',') i += 1 // empty unquoted element: dropped
-      else if (c == '"' || c == '\'') {
-        val quote = c
-        val sb = new java.lang.StringBuilder
-        var m = i + 1
-        var closed = false
-        while (m < n && !closed) {
-          val ch = s.charAt(m)
-          if (ch == '\\' && m + 1 < n) {
-            val e = s.charAt(m + 1)
-            val dec = e match {
-              case 'b' => "\b"; case 'f' => "\f"; case 'n' => "\n"
-              case 'r' => "\r"; case 't' => "\t"
-              case '\\' | '"' | '\'' => e.toString
-              case other => "\\" + other
-            }
-            sb.append(dec); m += 2
-          } else if (ch == quote) { closed = true; m += 1 }
-          else { sb.append(ch); m += 1 }
-        }
-        if (closed) {
-          out += sb.toString
-          i = m
-          if (i < n && s.charAt(i) == ',') i += 1
-        } else {
-          // unterminated quote: raw element to the next comma
-          var e2 = s.indexOf(',', i)
-          if (e2 < 0) e2 = n
-          out += s.substring(i, e2)
-          i = e2 + 1
-        }
-      } else {
-        var e2 = s.indexOf(',', i)
-        if (e2 < 0) e2 = n
-        out += s.substring(i, e2)
-        i = e2 + 1
+      while (i < n && s.charAt(i) == ',') i += 1
+      if (i < n) {
+        val (value, end, ok) = decodeOne(s, i)
+        out += (if (ok) value else s.substring(i, end))
+        i = end
       }
     }
   }
