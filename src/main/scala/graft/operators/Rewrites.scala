@@ -244,31 +244,46 @@ object Rewrites {
       condition: Column = lit(true)): DataFrame =
     guardedInt(df, "facility", facilityCode(value), condition)
 
-  /** `set-pri()` — `rewrite-set-pri.c`: sets facility*8+severity at once. */
+  /** `set-pri()` — `rewrite-set-pri.c:38-54`: sets facility*8+severity
+    * at once; valid range 0..1023 (127*8+7), strtol-style leading
+    * whitespace and sign, full-string match — anything else leaves the
+    * original pri untouched (test_set_pri.c invalid battery). */
   def setPri(df: DataFrame, value: Column,
       condition: Column = lit(true)): DataFrame = {
-    val pri = value.cast("int")
+    val pri = numInRange(value, 1023)
     val df2 = guardedInt(df, "facility", (pri / 8).cast("int"), condition && pri.isNotNull)
     guardedInt(df2, "severity", (pri % 8).cast("int"), condition && pri.isNotNull)
   }
 
-  /** severity name-or-number → code, null if unknown (maps the
-    * reference's name table, `lib/syslog-names.c`). */
+  /** strtol-parse `value` (leading whitespace + optional sign, whole
+    * string) and range-check 0..`max`; null = invalid (the rewrite
+    * keeps the original field — the reference logs and returns). */
+  private def numInRange(value: Column, max: Int): Column = {
+    val s = value.cast("string")
+    val digits = regexp_extract(s, "^\\s*([+-]?[0-9]+)$", 1)
+    val num = when(length(digits) > 0, digits.cast("long"))
+    when(num.between(0, max), num.cast("int"))
+  }
+
+  /** severity name-or-number → code, null if unknown/out-of-range
+    * (`rewrite-set-severity.c:41-55`: numbers above 7 are INVALID, not
+    * clamped — test_set_severity.c; names per `lib/syslog-names.c`). */
   def severityCode(value: Column): Column = {
     val s = value.cast("string")
     val byName = SyslogNames.severityToCode.foldLeft(lit(null).cast("int")) {
       case (acc, (name, code)) => when(s === name, lit(code)).otherwise(acc)
     }
-    // ANSI-safe: only cast digit strings
-    when(s.rlike("^[0-9]+$"), s.cast("int")).otherwise(byName)
+    coalesce(numInRange(value, 7), byName)
   }
 
+  /** facility name-or-number → code; numeric max 127
+    * (`rewrite-set-facility.c:43-55`, test_set_facility.c "128"). */
   def facilityCode(value: Column): Column = {
     val s = value.cast("string")
     val byName = SyslogNames.facilityToCode.foldLeft(lit(null).cast("int")) {
       case (acc, (name, code)) => when(s === name, lit(code)).otherwise(acc)
     }
-    when(s.rlike("^[0-9]+$"), s.cast("int")).otherwise(byName)
+    coalesce(numInRange(value, 127), byName)
   }
 
   private def guardedInt(df: DataFrame, field: String, value: Column,

@@ -102,7 +102,16 @@ object VpCmdline {
           attach(ValuePairs.replacePrefixKey(kv.substring(0, eq), kv.substring(eq + 1)))
         case "--omit-empty-values" => omitEmpty = true
         case "--leave-initial-dot" => leaveDot = true
-        case "--on-error" => onError = next()
+        case "--on-error" =>
+          // log_template_on_error_parse (template/templates.c): six
+          // accepted modes, anything else is a config-time error
+          // (test_template_on_error.c "do-what-i-mean")
+          onError = next()
+          val bare = onError.stripPrefix("silently-")
+          if (!Seq("drop-message", "drop-property",
+              "fallback-to-string").contains(bare))
+            throw new IllegalArgumentException(
+              s"value-pairs: invalid on-error mode: $onError")
         case kv if kv.indexOf('=') > 0 &&
             (kv.indexOf('(') < 0 || kv.indexOf('=') < kv.indexOf('(')) =>
           val eq = kv.indexOf('=')

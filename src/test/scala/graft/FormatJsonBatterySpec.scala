@@ -232,4 +232,16 @@ class FormatJsonBatterySpec extends GraftSuite {
     assert(r("$(format-welf --key prefix.* --exclude prefix.exclude* --exclude prefix.key2)") ==
       "prefix.key1=value1")
   }
+
+  test("--on-error parse: six accepted modes, junk rejected (test_template_on_error.c)") {
+    for (m <- Seq("drop-message", "silently-drop-message", "drop-property",
+        "silently-drop-property", "fallback-to-string",
+        "silently-fallback-to-string"))
+      Template.column(s"$$(format-json --scope nv-pairs --on-error $m)",
+        frame.columns) // compiles
+    intercept[IllegalArgumentException] {
+      Template.column("$(format-json --scope nv-pairs --on-error do-what-i-mean)",
+        frame.columns)
+    }
+  }
 }

@@ -151,6 +151,52 @@ class RewriteBatterySpec extends GraftSuite {
     Option(df.select(element_at(col("values"), key)).head.getString(0))
       .getOrElse("")
 
+  test("set-severity: text/numeric/invalid battery (test_set_severity.c)") {
+    def run(v: String, from: Int = 5): Int =
+      graft.operators.Rewrites.setSeverity(
+        msg("x" -> "y").withColumn("severity", lit(from)), lit(v))
+        .select("severity").head.getInt(0)
+    assert(run("error") == 3 && run("crit") == 2 && run("debug") == 7)
+    assert(run("1") == 1)
+    // invalid values keep the original severity
+    assert(run("") == 5)          // empty template render
+    assert(run("8") == 5)         // too large is INVALID, not clamped
+    assert(run("-1") == 5)
+    assert(run("random-text") == 5)
+  }
+
+  test("set-facility: text/numeric/invalid battery (test_set_facility.c)") {
+    def run(v: String, from: Int = 3): Int =
+      graft.operators.Rewrites.setFacility(
+        msg("x" -> "y").withColumn("facility", lit(from)), lit(v))
+        .select("facility").head.getInt(0)
+    assert(run("mail") == 2 && run("news") == 7 && run("kern") == 0)
+    assert(run("1") == 1 && run("2") == 2)
+    assert(run("") == 3)
+    assert(run("128") == 3) // max facility code is 127
+    assert(run("random-text") == 3)
+  }
+
+  test("set-pri: numeric incl. strtol whitespace + range (test_set_pri.c)") {
+    def run(v: String, fac: Int = 16, sev: Int = 5): (Int, Int) = {
+      val out = graft.operators.Rewrites.setPri(
+        msg("x" -> "y").withColumn("facility", lit(fac))
+          .withColumn("severity", lit(sev)), lit(v))
+      val r = out.select("facility", "severity").head
+      (r.getInt(0), r.getInt(1))
+    }
+    assert(run("7") == (0, 7))       // kern.debug
+    assert(run("189") == (23, 5))    // local7.notice
+    assert(run("137") == (17, 1))
+    assert(run("1023") == (127, 7))
+    assert(run(" 123") == (15, 3))   // strtol skips leading whitespace
+    // invalid: original pri untouched
+    assert(run("") == (16, 5))
+    assert(run("1024") == (16, 5))
+    assert(run("-1") == (16, 5))
+    assert(run("random-text") == (16, 5))
+  }
+
   test("groupset literal string (test_rewrite.c:211)") {
     val out = rewrite("""groupset("value" values("field1"));""",
       msgValues("field1" -> "oldvalue"))
