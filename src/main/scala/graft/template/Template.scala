@@ -47,7 +47,7 @@ object Template {
             case k => (inner.substring(0, k), Some(parse(inner.substring(k + 2))))
           }
           nodes += Ref(name, dflt)
-          i = close + 1
+          i = consumeMsgRef(s, close + 1)
         } else if (n == '(') {
           flushLit()
           val close = findClose(s, i + 1, '(', ')')
@@ -56,7 +56,7 @@ object Template {
           require(parts.nonEmpty, s"empty template function in: $s")
           nodes += Func(parts.head._1, parts.tail.map(p => parse(p._1)),
             parts.tail.map(_._2))
-          i = close + 1
+          i = consumeMsgRef(s, close + 1)
         } else if (n.isLetterOrDigit || n == '_' || n == '.') {
           flushLit()
           var j = i + 1
@@ -68,12 +68,32 @@ object Template {
           nodes += Ref(s.substring(i + 1, end), None)
           i = j
           if (end < j) lit.append(s.substring(end, j))
+          else i = consumeMsgRef(s, i)
         } else { lit.append(c); i += 1 }
       } else { lit.append(c); i += 1 }
     }
     flushLit()
     Parsed(nodes.result())
   }
+
+  /** `${name}@N` correlation msg-ref (template/compiler.c:70-96
+    * parse_msg_ref): `@digits` after a macro/value/function picks a
+    * message from the correlation context stack — consumed from the
+    * text; `@@` collapses to one literal '@'; `@nondigit` stays
+    * literal. This engine evaluates templates against the current row
+    * (context access rides the $(context-*)/$(grep) aggregate
+    * functions — Sessions.sortedValues), so the reference index is
+    * consumed but resolves to the current message. */
+  private def consumeMsgRef(s: String, i0: Int): Int =
+    if (i0 >= s.length || s.charAt(i0) != '@') i0
+    else {
+      var i = i0 + 1
+      if (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
+        while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+        i // msgref consumed
+      } else if (i < s.length && s.charAt(i) == '@') i // '@@' -> one '@'
+      else i0 // literal '@'
+    }
 
   private def findClose(s: String, open: Int, oc: Char, cc: Char): Int = {
     var depth = 0
