@@ -46,6 +46,27 @@ class FramingSpec extends GraftSuite {
     assert(frames("3 abc10 0123456789", maxMsgSize = 4, trim = false) == Seq("abc"))
   }
 
+  test("reference simple-messages battery (test-framed-server.c:33-66)") {
+    assert(frames("32 0123456789ABCDEF0123456789ABCDEF", maxMsgSize = 32) ==
+      Seq("0123456789ABCDEF0123456789ABCDEF"))
+    // frame bodies may contain newlines
+    assert(frames("10 01234567\n\n", maxMsgSize = 32) == Seq("01234567\n\n"))
+    // octet counts are BYTES of the utf8 text (30 bytes = 21 chars)
+    assert(frames("30 árvíztűrőtükörfúrógép", maxMsgSize = 32) ==
+      Seq("árvíztűrőtükörfúrógép"))
+  }
+
+  test("trim cycles across frames (test-framed-server.c:130-204)") {
+    // multiple cycles: normal / trimmed-multibuffer / normal
+    assert(frames("1 07 1abcdef1 2", maxMsgSize = 2) == Seq("0", "1a", "2"))
+    // trimmed frame's tail ends right before the next frame header
+    assert(frames("3 01\n15 1abcdefg12345674 2abc", maxMsgSize = 8) ==
+      Seq("01\n", "1abcdefg", "2abc"))
+    // small + big in one stream read
+    assert(frames("2 ab16 0123456789ABCDEF", maxMsgSize = 10) ==
+      Seq("ab", "0123456789"))
+  }
+
   test("proxy protocol v1 header: reference test battery") {
     import graft.functions.ProxyProtoHeader
     // (line, expectedValid) pairs ported verbatim from
