@@ -35,6 +35,7 @@ object ScaleGen {
     val baseDir = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val files = if (args.length > 3) args(3).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,15 +44,23 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, baseDir, outDir, factor)
+    generate(spark, baseDir, outDir, factor, files)
     spark.stop()
   }
 
+  /** `files` controls the output layout: 1 reproduces the driver
+    * testdata's single-file shape (every scan is ONE task — the
+    * per-core scaling measurement), >1 spreads each fact table over
+    * that many files so a local[N] run engages all cores (the
+    * cluster-layout measurement; a real 100 TB corpus is thousands of
+    * files). Dimension tables stay single-file. */
   def generate(spark: SparkSession, baseDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, files: Int = 1): Unit = {
     def read(t: String): DataFrame =
       spark.read.parquet(s"$baseDir/$t.parquet")
-    def write(t: String, df: DataFrame): Unit = {
+    def write(t: String, df0: DataFrame): Unit = {
+      val df = if (files > 1 && !Seq("region", "nation").contains(t))
+        df0.repartition(files) else df0
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       println(s"scalegen: $t -> ${spark.read.parquet(s"$outDir/$t.parquet").count()} rows")
     }

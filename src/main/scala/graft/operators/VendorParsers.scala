@@ -73,13 +73,16 @@ object VendorParsers {
     }
 
   /** Merge non-null entries of `add` into values (new keys win) — the
-    * ONE full values rebuild a fused composite performs. */
-  private def merged(df: DataFrame, add: Column): Column = {
-    val clean = map_filter(add, (_, v) => v.isNotNull)
+    * ONE full values rebuild a fused composite performs. CAUTION: only
+    * call with `add` already STAGED as a real column (applyFx's
+    * __fx_adds) — a raw expression here lands INSIDE the map_filter
+    * lambda and re-evaluates once per `values` ENTRY per row (the r7
+    * profile measured the whole vendor-parse chain running ~7x per
+    * row through this shape). */
+  private def merged(df: DataFrame, clean: Column, cleanKeys: Column): Column =
     map_concat(
-      map_filter(valuesOrEmpty(df), (k, _) => !array_contains(map_keys(clean), k)),
+      map_filter(valuesOrEmpty(df), (k, _) => !array_contains(cleanKeys, k)),
       clean)
-  }
 
   /** Apply a set of route-partitioned effects with ONE values merge.
     *
@@ -102,6 +105,16 @@ object VendorParsers {
       map_concat(map_filter(a, (k, _) => !array_contains(map_keys(b), k)), b)
     }
     val add = (chained +: concatAdds).reduceLeft(map_concat(_, _))
+    // stage the merged adds-map (and its key array) as Fence'd REAL
+    // columns: the final values rebuild references them from inside a
+    // map_filter lambda, which re-evaluates its body per entry — with
+    // the raw expression inlined there, the entire routed parse chain
+    // ran once per existing values KEY per row (~7x at default_network)
+    val staged2 = staged
+      .withColumn("__fx_adds",
+        graft.functions.Fence(map_filter(add, (_, v) => v.isNotNull)))
+      .withColumn("__fx_addkeys",
+        graft.functions.Fence(map_keys(col("__fx_adds"))))
     val names = fxs.flatMap(_.sets.map(_._1)).distinct
     val assigns = names.map { name =>
       val arms = fxs.flatMap(fx =>
@@ -110,10 +123,10 @@ object VendorParsers {
         .foldLeft(when(arms.head._1, arms.head._2))((acc, a) => acc.when(a._1, a._2))
         .otherwise(existingCol(df0, name))
       name -> expr
-    }.toMap + ("values" -> merged(staged, add))
-    val out = staged.withColumns(assigns)
-    val drops = fxs.flatMap(_.drops)
-    if (drops.isEmpty) out else out.drop(drops: _*)
+    }.toMap + ("values" -> merged(staged2, col("__fx_adds"), col("__fx_addkeys")))
+    val out = staged2.withColumns(assigns)
+    val drops = fxs.flatMap(_.drops) ++ Seq("__fx_adds", "__fx_addkeys")
+    out.drop(drops: _*)
   }
 
   /** Apply one effect standalone (the single-parser config statements —
