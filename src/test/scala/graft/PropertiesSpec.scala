@@ -294,6 +294,44 @@ class PropertiesSpec extends GraftSuite {
     })
   }
 
+  test("list str-repr: parse(encode(xs)) == xs for any elements") {
+    // any strings, incl. quotes/commas/controls/unicode — dropped only
+    // rule: unquoted-empty elements skip, but encode quotes empties
+    val anyStr = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 1 -> Gen.oneOf(',', '\'', '"', '\\', ' '),
+      1 -> Gen.oneOf('\n', '\t', 'ű'))).map(_.mkString.take(15))
+    val gen = Gen.listOf(anyStr).map(_.take(6))
+    check(Prop.forAll(gen) { xs =>
+      val sb = new java.lang.StringBuilder
+      xs.zipWithIndex.foreach { case (x, i) =>
+        if (i > 0) sb.append(',')
+        graft.functions.ListRepr.encodeElement(x, sb)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[String]
+      graft.functions.ListRepr.parse(sb.toString, out)
+      out.toSeq == xs
+    })
+  }
+
+  test("csv scan never throws and never loses bytes under greedy") {
+    // arbitrary junk through the scanner: with a greedy last column and
+    // no delimiters hit before it, concat of scanned values + skipped
+    // delimiters covers the input; at minimum the scan must not throw
+    val junk = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaNumChar, 1 -> Gen.oneOf(',', '"', '\'', '\\', ' ', '='),
+      1 -> Gen.oneOf('\t', '\n', 'é'))).map(_.mkString.take(30))
+    check(Prop.forAll(junk) { s =>
+      val r = Seq(s).toDF("s")
+        .select(graft.functions.CsvScan(col("s"), Seq("a", "b", "c"), ",",
+          Nil, "\"\"''", "double-char", greedy = true, stripWhitespace = false,
+          None).as("p"))
+        .selectExpr("p.a", "p.b", "p.c", "p.valid").head()
+      // never throws; greedy scan always consumes all input -> valid
+      // unless a non-greedy column ran dry
+      r.getBoolean(3) || (0 to 2).exists(r.isNullAt)
+    })
+  }
+
   test("SdataKeyEscape output is always a valid SD-NAME") {
     val raw = Gen.listOf(Gen.frequency(
       6 -> Gen.alphaNumChar,
