@@ -58,6 +58,20 @@ object Dedup {
       .bucketBy(buckets, "signature").sortBy("signature")
       .format("parquet").saveAsTable(table)
 
+  /** Admit a processed wave into the rolling index: APPEND with the
+    * same bucket spec — each append adds per-bucket files (no rewrite
+    * of the accumulated index; at 100 TB the index only ever grows by
+    * the wave's signatures). Readers stay exchange-free on the index
+    * side; periodic compaction = writeSeenIndex(spark.table(t), t2).
+    * `buckets` must match the original writeSeenIndex call (Spark
+    * rejects a mismatch at write time). */
+  def appendToSeenIndex(seen: DataFrame, table: String,
+      buckets: Int = 64): Unit =
+    seen.repartition(buckets, col("signature"))
+      .write.mode("append")
+      .bucketBy(buckets, "signature").sortBy("signature")
+      .format("parquet").saveAsTable(table)
+
   /** [[incrementalSurvivors]] against a [[writeSeenIndex]]-bucketed
     * table: the anti-join's index side carries NO Exchange in the plan
     * (bucket-pruned scan), asserted by PipelineSpec. After admitting a

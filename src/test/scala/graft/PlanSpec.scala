@@ -318,6 +318,21 @@ class PlanSpec extends GraftSuite {
       val idxSide = p.linesIterator.dropWhile(!_.contains(table)).toSeq
       assert(idxSide.nonEmpty, p)
       assert(!idxSide.headOption.exists(_.contains("Exchange")), p)
+      // admit the wave's survivors: APPEND with the same bucket spec —
+      // the rolling-index maintenance step (no index rewrite). A second
+      // wave overlapping the first wave's sigs must dedup against BOTH
+      // generations, still without an index-side exchange.
+      Dedup.appendToSeenIndex(
+        out.select(col("k").as("signature")), table, buckets = 4)
+      val wave2 = (0 until 1000).map(i => (10000L + i, s"sig${i % 900}"))
+        .toDF("id", "k")
+      val out2 = Dedup.incrementalSurvivorsBucketed(spark, wave2, col("k"),
+        col("id"), table)
+      assert(out2.count() == 200, out2.count()) // only sigs 700..899 new
+      val p2 = out2.queryExecution.executedPlan.toString
+      assert(p2.contains("SelectedBucketsCount") || p2.contains("Bucketed: true"), p2)
+      val idxSide2 = p2.linesIterator.dropWhile(!_.contains(table)).toSeq
+      assert(!idxSide2.headOption.exists(_.contains("Exchange")), p2)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       spark.sql(s"DROP TABLE IF EXISTS $table")
