@@ -2518,6 +2518,25 @@ object Queries {
       FROM documents ORDER BY media_id"""),
     bench = true)
 
+  /** Video column metadata: ISO-BMFF box walk (mvhd timescale/duration,
+    * tkhd 16.16 presentation size) — the container layer of a video
+    * training-data pipeline; frame/sample decode stays codec-bound
+    * (declared, like JPEG). */
+  private val multimodalVideo = Q("multimodal_video",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.extractHeaders(Multimodal.videoFixtures(s, d))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("sample_rate").as("timescale"), col("duration_ms"))
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id, 'mp4' AS format,
+      CAST(160 + (doc_id % 32) * 16 AS INT) AS width,
+      CAST(90 + (doc_id % 18) * 16 AS INT) AS height,
+      CAST((1 + doc_id % 8) * 1000 AS INT) AS timescale,
+      CAST(doc_id % 90000 AS BIGINT) AS duration_ms
+      FROM documents ORDER BY media_id"""))
+
   private val multimodalStub = Q("multimodal_stub",
     (s, d) => {
       import s.implicits._
@@ -2623,7 +2642,8 @@ object Queries {
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,
     textUnigramQuality,
     textDedupUrl, textDomainFilter,
-    multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels)
+    multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,
+    multimodalVideo)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -21,9 +21,11 @@ package graft.pipeline
 object MediaHeaders {
 
   /** Parsed container metadata. Image fields are -1 for audio and vice
-    * versa; everything is -1 for "unknown". */
+    * versa; everything is -1 for "unknown". `duration_ms` is -1 except
+    * for timed containers (mp4). */
   final case class MediaInfo(format: String, width: Int, height: Int,
-      sample_rate: Int, channels: Int, bits_per_sample: Int)
+      sample_rate: Int, channels: Int, bits_per_sample: Int,
+      duration_ms: Long = -1L)
 
   private val Unknown = MediaInfo("unknown", -1, -1, -1, -1, -1)
 
@@ -48,8 +50,46 @@ object MediaHeaders {
       else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
           b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
         wav(b)
+      else if (b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p')
+        mp4(b)
       else Unknown
     } catch { case _: ArrayIndexOutOfBoundsException => Unknown }
+  }
+
+  /** MP4 / ISO-BMFF (ISO 14496-12): size-prefixed box walk. The video
+    * column's container metadata: mvhd carries timescale + duration
+    * (duration_ms = duration * 1000 / timescale), the first tkhd
+    * carries the 16.16 fixed-point presentation width/height. Only
+    * version-0 boxes (32-bit times) are decoded — version 1 (64-bit)
+    * falls through with fields -1 rather than misreading offsets. */
+  private def mp4(b: Array[Byte]): MediaInfo = {
+    var w = -1; var h = -1
+    var timescale = -1L; var duration = -1L
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = beU32(b, i)
+        if (size < 8 || i + size > to) return // malformed/64-bit size: stop
+        val tag = new String(b, i + 4, 4, "US-ASCII")
+        tag match {
+          case "moov" | "trak" if depth < 3 =>
+            walk(i + 8, i + size.toInt, depth + 1)
+          case "mvhd" if u8(b, i + 8) == 0 && size >= 28 =>
+            timescale = beU32(b, i + 20)
+            duration = beU32(b, i + 24)
+          case "tkhd" if u8(b, i + 8) == 0 && size >= 92 && w < 0 =>
+            w = (beU32(b, i + 84) >> 16).toInt // 16.16 fixed point
+            h = (beU32(b, i + 88) >> 16).toInt
+          case _ => ()
+        }
+        i += size.toInt
+      }
+    }
+    walk(0, b.length, 0)
+    val durMs = if (timescale > 0 && duration >= 0)
+      duration * 1000L / timescale else -1L
+    if (timescale < 0 && w < 0) Unknown
+    else MediaInfo("mp4", w, h, timescale.toInt, -1, -1, durMs)
   }
 
   private def png(b: Array[Byte]): MediaInfo = {
@@ -169,6 +209,28 @@ object MediaFixtures {
     val sof0 = Array(0xFF, 0xC0).map(_.toByte) ++ beU16(sofPayload.length + 2) ++ sofPayload
     val eoi = Array(0xFF, 0xD9).map(_.toByte)
     soi ++ app0 ++ dqt ++ sof0 ++ eoi
+  }
+
+  /** Minimal ISO-BMFF mp4: ftyp + moov{mvhd(v0 timescale/duration),
+    * trak{tkhd(v0, 16.16 width/height)}} (ISO 14496-12 box layout). */
+  def mp4(width: Int, height: Int, timescale: Long,
+      duration: Long): Array[Byte] = {
+    def box(tag: String, payload: Array[Byte]): Array[Byte] =
+      beU32(payload.length + 8L) ++ tag.getBytes("US-ASCII") ++ payload
+    val ftyp = box("ftyp",
+      "isom".getBytes("US-ASCII") ++ beU32(0) ++ "isom".getBytes("US-ASCII"))
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ // version 0 + flags
+      beU32(0) ++ beU32(0) ++ // ctime mtime
+      beU32(timescale) ++ beU32(duration) ++
+      beU32(0x00010000L) ++ beU16(0x0100) ++ new Array[Byte](10) ++ // rate vol rsvd
+      new Array[Byte](36) ++ new Array[Byte](24) ++ beU32(2)) // matrix predef next
+    val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7) ++ // version 0 + flags
+      beU32(0) ++ beU32(0) ++ beU32(1) ++ beU32(0) ++ // ctime mtime id rsvd
+      beU32(duration) ++ new Array[Byte](8) ++ // duration rsvd
+      beU16(0) ++ beU16(0) ++ beU16(0) ++ beU16(0) ++ // layer group vol rsvd
+      new Array[Byte](36) ++ // matrix
+      beU32(width.toLong << 16) ++ beU32(height.toLong << 16))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
   }
 
   /** Minimal GIF89a: header + logical screen descriptor + trailer. */

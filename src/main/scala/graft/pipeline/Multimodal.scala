@@ -92,7 +92,8 @@ object Multimodal {
   /** Parsed header metadata per media item (the REAL decode path — see
     * [[MediaHeaders]]; only pixel/sample decoding remains codec-bound). */
   case class MediaMeta(media_id: Long, format: String, width: Int,
-      height: Int, sample_rate: Int, channels: Int, bits_per_sample: Int)
+      height: Int, sample_rate: Int, channels: Int, bits_per_sample: Int,
+      duration_ms: Long = -1L)
 
   /** Batched header decode: same partition-sizing/mapPartitions shape as
     * [[extractFeatures]], but the decoder is the real container-header
@@ -114,7 +115,7 @@ object Multimodal {
       it.map { row =>
         val m = MediaHeaders.decode(row.bytes)
         MediaMeta(row.media_id, m.format, m.width, m.height,
-          m.sample_rate, m.channels, m.bits_per_sample)
+          m.sample_rate, m.channels, m.bits_per_sample, m.duration_ms)
       }
     }
   }
@@ -174,6 +175,23 @@ object Multimodal {
             MediaFixtures.wavSamples(16000,
               Array.tabulate(64)(i => base + i)), 0, 0)
         }
+      }
+  }
+
+  /** Video fixture corpus: ISO-BMFF mp4 containers with closed-form
+    * metadata in doc_id — timescale a multiple of 1000 so duration_ms
+    * round-trips integrally through the mvhd units. */
+  def videoFixtures(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (160 + (id % 32) * 16).toInt
+        val h = (90 + (id % 18) * 16).toInt
+        val ts = (1 + id % 8) * 1000
+        val durMs = id % 90000
+        MediaRow(id, "video/mp4",
+          MediaFixtures.mp4(w, h, ts, durMs * (1 + id % 8)), w, h)
       }
   }
 

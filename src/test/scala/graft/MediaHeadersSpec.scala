@@ -141,6 +141,20 @@ class MediaHeadersSpec extends GraftSuite {
     assert(MediaSamples.decode(null) == null)
   }
 
+  test("mp4 box walk: mvhd + tkhd round trip, hostile boxes rejected") {
+    import graft.pipeline.{MediaFixtures, MediaHeaders}
+    val m = MediaHeaders.decode(MediaFixtures.mp4(1920, 1080, 24000, 360240))
+    assert(m.format == "mp4")
+    assert((m.width, m.height) == (1920, 1080))
+    assert(m.sample_rate == 24000) // timescale
+    assert(m.duration_ms == 360240L * 1000 / 24000)
+    // truncated / malformed sizes never throw, fall to unknown
+    val good = MediaFixtures.mp4(64, 48, 1000, 5000)
+    assert(MediaHeaders.decode(good.take(10)).format == "unknown")
+    val bad = good.clone(); bad(0) = 0x7F.toByte // huge ftyp size
+    assert(MediaHeaders.decode(bad).format == "unknown")
+  }
+
   test("spark pixel corpus: stats survive the distributed decode") {
     val stats = graft.pipeline.Multimodal.extractSampleStats(
       graft.pipeline.Multimodal.pixelFixtures(spark, "/root/testdata/sf0.001"),
