@@ -62,6 +62,63 @@ class PipelineSpec extends GraftSuite {
     assert(survivors == local.map(_._1).toSet -- droppedExpected)
   }
 
+  test("semantic dedup: a mega-cluster (the SemDeDup skew caveat) stays correct under AQE") {
+    // 85% of vectors land in ONE cluster: near-identical directions
+    // (tiny per-id jitter) vs a scattered minority. The pinned
+    // repartition(cid) exchange is maximally skewed — AQE's skew-join
+    // split must keep the within-cluster pairwise exact.
+    val dim = 8
+    val rows = (0L until 400L).map { i =>
+      val v =
+        if (i % 7 != 0) {
+          // bit-identical vectors: every majority row assigns to the
+          // same (tie -> largest cid) centroid — one true mega-cluster
+          // (sqrt rounding makes even same-direction different-magnitude
+          // cosines differ in the last ulp, splitting the argmax)
+          Array.tabulate(dim)(d => if (d == 0) 100f else 1f)
+        } else Array.tabulate(dim)(d =>
+          if (d == (i % dim).toInt) 50f + i else 0.5f)
+      (i, v.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val thr = 0.9999
+    val pairs = Similarity.semanticPairs(emb, col("vec_id"), col("embedding"),
+        nCentroids = 16, threshold = thr)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // local recomputation with the same centroid/assign/cos math
+    val local = rows
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dd += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dd / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val centroids = local.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .take(16)
+    def assign(v: Seq[Float]): Long =
+      centroids.map { case (cid, cv) => (cosLocal(v, cv), cid) }.max._2
+    val byCluster = local.groupBy { case (_, v) => assign(v) }
+    // the skew premise itself: one cluster holds >= 75% of the corpus
+    assert(byCluster.values.map(_.size).max >= 300,
+      byCluster.values.map(_.size).toSeq.sorted.reverse.take(3).toString)
+    val expected: Set[(Long, Long)] = byCluster.values.flatMap { members =>
+      val m = members.toSeq
+      for {
+        (ia, va) <- m; (ib, vb) <- m
+        if ia < ib && cosLocal(va, vb) >= thr
+      } yield (ia, ib)
+    }.toSet
+    assert(pairs == expected, s"spark=${pairs.size} local=${expected.size}")
+    assert(pairs.size > 1000) // the mega-cluster really went pairwise
+  }
+
   test("token counting") {
     val out = docs.select(TextAnalysis.tokenCount(col("text"))).collect().map(_.getInt(0))
     assert(out.take(2).toSeq == Seq(9, 9))
