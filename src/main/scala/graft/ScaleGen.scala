@@ -115,8 +115,11 @@ object ScaleGen {
     val docS = stride(documents, "doc_id")
     write("documents", tile(documents)
       .withColumn("text", when(col("__shard") === 0, col("text"))
+        // "_q" delimiter: base tokens are alnum runs (no underscore), so
+        // token+suffix is injective for ANY factor — a bare digit suffix
+        // collides across shards (shard 1 "foo1" == shard 11 "foo")
         .otherwise(regexp_replace(col("text"), lit("([A-Za-z0-9]+)"),
-          concat(lit("$1"), col("__shard").cast("string")))))
+          concat(lit("$1_q"), col("__shard").cast("string")))))
       .withColumn("doc_id", col("doc_id") + col("__shard") * docS)
       .withColumn("n_chars", length(col("text")))
       .drop("__shard"))

@@ -294,12 +294,20 @@ object ConfigCompiler {
               s"source $name: monitor-method($m) is not a valid method")
           }
           (mlPrefix, padSize, enc) match {
+            // pad-size/encoding variants read batch (binaryFile), where
+            // a per-trigger file budget has no meaning — reject rather
+            // than silently ignore an explicit max-files()
             case (_, Some(n), _) =>
+              require(kvOf(stmt.args, "max-files").isEmpty,
+                s"source $name: max-files() is not supported with pad-size()")
               graft.streaming.Sources.paddedRecords(spark, path, n)
             case (_, _, Some(cs)) =>
+              require(kvOf(stmt.args, "max-files").isEmpty,
+                s"source $name: max-files() is not supported with encoding()")
               graft.streaming.Sources.fileLinesEncoded(spark, path, cs)
             case (Some(re), _, _) => graft.streaming.Sources.multilineStream(
-              spark, path, re, garbageRe = mlGarbage, suffixRe = mlSuffix)
+              spark, path, re, maxFilesPerTrigger = maxFiles,
+              garbageRe = mlGarbage, suffixRe = mlSuffix)
             case _ => graft.streaming.Sources.fileLines(spark, path, maxFiles)
           }
         case "program" =>

@@ -260,7 +260,10 @@ object Rewrites {
     * keeps the original field — the reference logs and returns). */
   private def numInRange(value: Column, max: Int): Column = {
     val s = value.cast("string")
-    val digits = regexp_extract(s, "^\\s*([+-]?[0-9]+)$", 1)
+    // \z, not $: Java's $ matches before a final newline, so "7\n"
+    // would pass — the reference's strtol endptr check (rewrite-set-pri.c
+    // _convert_pri) rejects any trailing junk including the newline
+    val digits = regexp_extract(s, "^\\s*([+-]?[0-9]+)\\z", 1)
     val num = when(length(digits) > 0, digits.cast("long"))
     when(num.between(0, max), num.cast("int"))
   }

@@ -128,7 +128,11 @@ object Stateful {
                 Sess(math.min(a.startUs, b.startUs),
                   math.max(a.lastUs, b.lastUs), a.n + b.n,
                   if (a.n + b.n <= maxBuffered) b.buf ::: a.buf
-                  else (b.buf ::: a.buf).take(maxBuffered))
+                  // over-cap: keep first-N-by-event-time, not an
+                  // arbitrary merge-order prefix — matches the batch
+                  // operator's sorted buffering policy
+                  else (b.buf ::: a.buf).sortBy(e => (e._1, e._2))
+                    .take(maxBuffered))
               }
               if (trigger.exists(merged.n >= _)) {
                 out ::= close(key, merged, "trigger")

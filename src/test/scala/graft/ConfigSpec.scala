@@ -266,6 +266,18 @@ class ConfigSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       ConfigCompiler.compileStreaming(bad, spark)
     }
+    // max-files() on the batch-read variants (pad-size/encoding) has no
+    // per-trigger meaning — rejected loudly instead of silently ignored
+    for (variant <- Seq("pad-size(64)", "encoding(iso-8859-1)")) {
+      val badMf = ConfigParser.parse(s"""
+        source s { file("$inDir/a.log" $variant max-files(2)); };
+        destination d { file("/var/out/x.log"); };
+        log { source(s); destination(d); };
+      """)
+      intercept[IllegalArgumentException] {
+        ConfigCompiler.compileStreaming(badMf, spark)
+      }
+    }
   }
 
   test("osquery() source: no-parse file + program override + json NVs") {

@@ -195,6 +195,11 @@ class RewriteBatterySpec extends GraftSuite {
     assert(run("1024") == (16, 5))
     assert(run("-1") == (16, 5))
     assert(run("random-text") == (16, 5))
+    // trailing junk rejected — incl. a trailing newline, which Java's $
+    // anchor would accept but strtol's endptr check does not
+    assert(run("7\n") == (16, 5))
+    assert(run("7 ") == (16, 5))
+    assert(run("7x") == (16, 5))
   }
 
   test("groupset literal string (test_rewrite.c:211)") {

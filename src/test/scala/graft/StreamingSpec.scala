@@ -166,39 +166,40 @@ class StreamingSpec extends GraftSuite {
     // recovery is proven on the store a real deployment uses.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val inDir = tmp(); val outDir = tmp(); val chk = tmp()
-    def startQuery() = {
-      val msgs = Sources.fileLines(spark, inDir + "/*.csv")
-        .select(split(col("value"), ",").as("f"))
-        .select(col("f").getItem(0).as("key"),
-          timestamp_seconds(col("f").getItem(1).cast("long")).as("ts"),
-          col("f").getItem(2).as("value"))
-        .withWatermark("ts", "0 seconds").as[Msg]
-      Stateful.groupingBy(msgs, timeoutSeconds = 60)
-        .writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", chk)
-        .outputMode("append").start()
-    }
-    // phase 1: open a session (2 events), checkpoint, stop mid-session
-    Files.writeString(java.nio.file.Path.of(inDir, "f1.csv"), "k1,100,a\nk1,101,b\n")
-    val q1 = startQuery()
-    q1.processAllAvailable()
-    q1.stop()
-    // phase 2: fresh query from the same checkpoint — a third event must
-    // join the RESTORED session; the watermark advance then times it out
-    Files.writeString(java.nio.file.Path.of(inDir, "f2.csv"), "k1,110,c\nadv,1000,w\n")
-    val q2 = startQuery()
-    q2.processAllAvailable()
-    Files.writeString(java.nio.file.Path.of(inDir, "f3.csv"), "adv2,2000,w\n")
-    q2.processAllAvailable()
-    q2.stop()
-    val rows = spark.read.parquet(outDir)
-      .select("key", "n", "values", "closedBy").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
-    // n=3 with pre-restart values a,b proves the state crossed the restart
-    assert(rows.contains(("k1", 3L, "a,b,c", "timeout")), rows.toString)
-    assert(rows.contains(("adv", 1L, "w", "timeout")))
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try {
+      val inDir = tmp(); val outDir = tmp(); val chk = tmp()
+      def startQuery() = {
+        val msgs = Sources.fileLines(spark, inDir + "/*.csv")
+          .select(split(col("value"), ",").as("f"))
+          .select(col("f").getItem(0).as("key"),
+            timestamp_seconds(col("f").getItem(1).cast("long")).as("ts"),
+            col("f").getItem(2).as("value"))
+          .withWatermark("ts", "0 seconds").as[Msg]
+        Stateful.groupingBy(msgs, timeoutSeconds = 60)
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", chk)
+          .outputMode("append").start()
+      }
+      // phase 1: open a session (2 events), checkpoint, stop mid-session
+      Files.writeString(java.nio.file.Path.of(inDir, "f1.csv"), "k1,100,a\nk1,101,b\n")
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      // phase 2: fresh query from the same checkpoint — a third event must
+      // join the RESTORED session; the watermark advance then times it out
+      Files.writeString(java.nio.file.Path.of(inDir, "f2.csv"), "k1,110,c\nadv,1000,w\n")
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      Files.writeString(java.nio.file.Path.of(inDir, "f3.csv"), "adv2,2000,w\n")
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(outDir)
+        .select("key", "n", "values", "closedBy").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+      // n=3 with pre-restart values a,b proves the state crossed the restart
+      assert(rows.contains(("k1", 3L, "a,b,c", "timeout")), rows.toString)
+      assert(rows.contains(("adv", 1L, "w", "timeout")))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("wildcard-file source: per-file line order survives a restart") {
@@ -239,34 +240,35 @@ class StreamingSpec extends GraftSuite {
     // default provider — ConfigCompiler.compileStreamingPipeline)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val inDir = tmp(); val outDir = tmp(); val chk = tmp()
-    def startQuery() = {
-      val msgs = Sources.fileLines(spark, inDir + "/*.csv")
-        .select(split(col("value"), ",").as("f"))
-        .select(col("f").getItem(0).as("key"),
-          timestamp_seconds(col("f").getItem(1).cast("long")).as("ts"),
-          col("f").getItem(2).as("value"))
-        .withWatermark("ts", "0 seconds").as[Msg]
-      graft.streaming.Correlate.correlate(msgs, timeoutSeconds = 300,
-          onMatchAtLength = Some(3))
-        .writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", chk)
-        .outputMode("append").start()
-    }
-    Files.writeString(java.nio.file.Path.of(inDir, "f1.csv"), "c1,100,a\nc1,101,b\n")
-    val q1 = startQuery()
-    q1.processAllAvailable()
-    q1.stop()
-    // the third event arrives AFTER the restart: the on-match action can
-    // only fire if the restored context still counts the first two
-    Files.writeString(java.nio.file.Path.of(inDir, "f2.csv"), "c1,102,c\n")
-    val q2 = startQuery()
-    q2.processAllAvailable()
-    q2.stop()
-    val rows = spark.read.parquet(outDir).select("key", "kind", "n", "values")
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
-    assert(rows.contains(("c1", "match", 3L, "a,b,c")), rows.toString)
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    try {
+      val inDir = tmp(); val outDir = tmp(); val chk = tmp()
+      def startQuery() = {
+        val msgs = Sources.fileLines(spark, inDir + "/*.csv")
+          .select(split(col("value"), ",").as("f"))
+          .select(col("f").getItem(0).as("key"),
+            timestamp_seconds(col("f").getItem(1).cast("long")).as("ts"),
+            col("f").getItem(2).as("value"))
+          .withWatermark("ts", "0 seconds").as[Msg]
+        graft.streaming.Correlate.correlate(msgs, timeoutSeconds = 300,
+            onMatchAtLength = Some(3))
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", chk)
+          .outputMode("append").start()
+      }
+      Files.writeString(java.nio.file.Path.of(inDir, "f1.csv"), "c1,100,a\nc1,101,b\n")
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      // the third event arrives AFTER the restart: the on-match action can
+      // only fire if the restored context still counts the first two
+      Files.writeString(java.nio.file.Path.of(inDir, "f2.csv"), "c1,102,c\n")
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      val rows = spark.read.parquet(outDir).select("key", "kind", "n", "values")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+      assert(rows.contains(("c1", "match", 3L, "a,b,c")), rows.toString)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
   test("file source + parsedSyslog streaming end-to-end") {
