@@ -1,5 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Two layers (r7 verdict: the in-suite artifact alone
+  * is not adjudicable — cross-query JVM state produced 7x phantom
+  * regressions):
+  *
+  *  1. IN-SUITE: every benched query timed once in this JVM, in sorted
+  *     order, after a two-stage warmup. Cheap, covers everything, noisy
+  *     for the expensive tail (codegen caches, GC pressure and JIT
+  *     state bleed across neighbors).
+  *  2. ISOLATED: for the expensive tail (in-suite median >= isolateMin,
+  *     capped), one forked JVM per query re-runs `graft.Bench` with
+  *     SPARK_GRAFT_ONLY=<q> SPARK_GRAFT_REPEAT=3 — the same recipe the
+  *     r6/r7 judges used to adjudicate (tools/scale_bench.sh). The
+  *     child inherits this JVM's classpath and --add-opens/-Xmx/-D
+  *     flags, so sbt-launched and bare-java launches both fork cleanly.
+  *
+  * The published JSON's `queries` map carries the adjudicable number
+  * (isolated median where one was run, in-suite otherwise); the raw
+  * columns ship alongside as `queries_insuite` / `queries_isolated`.
+  * Children (SPARK_GRAFT_ONLY set) and explicit SPARK_GRAFT_ISOLATED=0
+  * runs skip layer 2 — that keeps scale_bench.sh and local iteration
+  * single-JVM.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,8 +37,8 @@ object Bench {
     // registry minus oracle-only forms, plus the production-hash-path
     // variants: the bench measures what would run at 100 TB, while the
     // oracle modes stay in Verify for external correctness
-    // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (local iteration
-    // aid; the driver never sets it)
+    // SPARK_GRAFT_ONLY=a,b,c restricts to named queries (child forks and
+    // local iteration; the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty) // an exported-but-empty var means "all"
@@ -35,11 +58,11 @@ object Bench {
       }
     }
     // SPARK_GRAFT_REPEAT=n (default 1): time each query n times and
-    // report the MEDIAN — the scale-proof runs (SURVEY §8) use n>=3 so
-    // cross-sf scaling factors are not polluted by one-off GC/compile
-    // hiccups. The repeats re-plan from scratch each time (no caching).
+    // report the MEDIAN — isolated children and the scale-proof runs
+    // (SURVEY §8) use n>=3 so one-off GC/compile hiccups wash out.
+    // The repeats re-plan from scratch each time (no caching).
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
-    val results = benched.map { case (name, fn) =>
+    val inSuite = benched.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         // toRdd materializes every output column — count() would let
@@ -49,11 +72,61 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> times(times.length / 2)
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
     spark.stop()
+
+    val isolateOn = only.isEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_ISOLATED", "1") != "0"
+    val isolateMin = sys.env.get("SPARK_GRAFT_ISOLATE_MIN")
+      .map(_.toDouble).getOrElse(0.9)
+    val isolateCap = sys.env.get("SPARK_GRAFT_ISOLATE_CAP")
+      .map(_.toInt).getOrElse(25)
+    val isolated: Map[String, Double] =
+      if (!isolateOn) Map.empty
+      else inSuite.filter(_._2 >= isolateMin).sortBy(-_._2).take(isolateCap)
+        .flatMap { case (name, _) => forkOne(name, sfDir, cpus).map(name -> _) }
+        .toMap
+
+    def jmap(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val merged = inSuite.map { case (n, t) => n -> isolated.getOrElse(n, t) }
+    val total = merged.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(merged)},"queries_insuite":${jmap(inSuite)},"queries_isolated":${jmap(isolated.toSeq.sortBy(_._1))},"isolated_n":3,"sf":"$sfDir"}""")
   }
+
+  /** Fork one child JVM running SPARK_GRAFT_ONLY=<name> REPEAT=3 and
+    * return its median, or None on any failure (the in-suite number
+    * then stands — the bench degrades, it doesn't break). */
+  private def forkOne(name: String, sfDir: String, cpus: String): Option[Double] =
+    try {
+      val javaBin = new java.io.File(new java.io.File(
+        System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+      val mx = java.lang.management.ManagementFactory.getRuntimeMXBean
+      import scala.jdk.CollectionConverters._
+      // keep module opens, heap and -D flags; drop agents/debug flags
+      val jvmArgs = mx.getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+          a.startsWith("-Xmx") || a.startsWith("-D"))
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_REPEAT", "3")
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val ok = p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS) &&
+        p.exitValue() == 0
+      if (!ok) { p.destroyForcibly(); None }
+      else {
+        val re = ("\"" + java.util.regex.Pattern.quote(name) +
+          "\":([0-9.Ee+-]+)").r
+        out.linesIterator.find(_.startsWith("{"))
+          .flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
+      }
+    } catch { case _: Throwable => None }
 }
