@@ -90,3 +90,96 @@ object NearestCentroid {
     ColumnBridge.column(new NearestCentroid(ColumnBridge.expression(vec),
       centroids.map(_._2.toArray), centroids.map(_._1)))
 }
+
+/** `nearest_centroids(vec, n)` — the top-`topN` centroid ids by
+  * (cos DESC, cid DESC), as an array in rank order. The multi-probe
+  * generalization of [[NearestCentroid]], used for the COARSE pass of
+  * two-level SemDeDup assignment (Similarity.assignTwoLevel): the
+  * coarse table is √k-sized so the expression's constant stays tiny
+  * even when k ≈ N/32 grows with the corpus. Same comparator as
+  * NearestCentroid — java.lang.Double.compare on cos (NaN greatest),
+  * ties to the larger cid — so topN=k degenerates to exactly the
+  * flat argmax ranking. */
+case class NearestCentroids(child: Expression,
+    centroids: Array[Array[Float]], cids: Array[Long], topN: Int)
+  extends UnaryExpression {
+
+  require(centroids.length == cids.length && centroids.nonEmpty && topN > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val cNorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  def nearestNOf(a: Any): ArrayData = {
+    val arr = a.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    var vs = 0.0
+    while (i < dim) {
+      v(i) = arr.getFloat(i).toDouble
+      vs += v(i) * v(i)
+      i += 1
+    }
+    val vNorm = math.sqrt(vs)
+    val n = math.min(topN, centroids.length)
+    // insertion top-n: coarse tables are √k-sized and n is small (≤8),
+    // so the n·√k comparator cost is negligible next to the dim·√k dots
+    val topCos = new Array[Double](n)
+    val topCid = new Array[Long](n)
+    var filled = 0
+    var k = 0
+    while (k < centroids.length) {
+      val c = centroids(k)
+      var d = 0.0
+      var j = 0
+      val m = math.min(dim, c.length)
+      while (j < m) { d += v(j) * c(j); j += 1 }
+      val cos = d / (vNorm * cNorms(k))
+      val cid = cids(k)
+      // better-than test against the current worst retained entry
+      def beats(co: Double, ci: Long, idx: Int): Boolean = {
+        val cmp = java.lang.Double.compare(co, topCos(idx))
+        cmp > 0 || (cmp == 0 && ci > topCid(idx))
+      }
+      if (filled < n) {
+        // insert into the sorted prefix
+        var p = filled
+        while (p > 0 && beats(cos, cid, p - 1)) {
+          topCos(p) = topCos(p - 1); topCid(p) = topCid(p - 1); p -= 1
+        }
+        topCos(p) = cos; topCid(p) = cid; filled += 1
+      } else if (beats(cos, cid, n - 1)) {
+        var p = n - 1
+        while (p > 0 && beats(cos, cid, p - 1)) {
+          topCos(p) = topCos(p - 1); topCid(p) = topCid(p - 1); p -= 1
+        }
+        topCos(p) = cos; topCid(p) = cid
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(topCid, filled))
+  }
+
+  override protected def nullSafeEval(v: Any): Any = nearestNOf(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ncs", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.nearestNOf($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroids =
+    copy(child = c)
+}
+
+object NearestCentroids {
+  def apply(vec: Column, centroids: Array[(Long, Seq[Float])], topN: Int): Column =
+    ColumnBridge.column(new NearestCentroids(ColumnBridge.expression(vec),
+      centroids.map(_._2.toArray), centroids.map(_._1), topN))
+}

@@ -185,24 +185,91 @@ object Similarity {
       cs: Array[(Long, Seq[Float])]): Column =
     graft.functions.NearestCentroid(v, cs)
 
+  /** Cluster assignment — the stage whose asymptote decides whether
+    * SemDeDup survives corpus scale. Two paths:
+    *
+    *  - FLAT (k ≤ `flatMax`): the k sampled centroids collect to the
+    *    driver and assignment is one narrow compiled argmax pass
+    *    ([[graft.functions.NearestCentroid]]) — zero shuffles, O(N·k).
+    *    This is the oracle-replicable path (DuckDB replays the same
+    *    md5 sample + argmax).
+    *  - TWO-LEVEL (k > `flatMax`): with production sizing k ≈ N/32,
+    *    flat assignment is O(N²/32) and the centroid table no longer
+    *    belongs in one expression (r7 verdict). IVF-style coarse
+    *    quantizer instead: √k coarse centroids (driver-held — tiny),
+    *    each row probes its `nProbe` nearest coarse cells, and the k
+    *    FINE centroids stay in a DataFrame joined on the cell id — no
+    *    driver collect of k, assignment work O(N·(√k + nProbe·√k)),
+    *    i.e. ~N√k. With `nProbe` ≥ the coarse count the result is
+    *    bit-identical to flat (every fine centroid considered, same
+    *    comparator); at nProbe ≪ √k it is the standard IVF nprobe
+    *    approximation (PipelineSpec measures the agreement).
+    *
+    * Returns (vec_id, v, cid). */
+  def assignClusters(base: DataFrame, nCentroids: Int,
+      flatMax: Int = 4096, nProbe: Int = 4): DataFrame =
+    if (nCentroids <= flatMax) {
+      val cs = sampleCentroids(base, nCentroids)
+      base.withColumn("cid", nearestCentroidCol(col("v"), cs))
+    } else assignTwoLevel(base, nCentroids, nProbe)
+
+  private[pipeline] def assignTwoLevel(base: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // coarse table: √k rows to the driver — the md5-sample PREFIX of
+    // the fine set, so every coarse centroid is also a fine centroid
+    // and its cell is provably non-empty (safe inner join below)
+    val coarse = sampleCentroids(base, nCoarse)
+    // fine table: the same deterministic md5-ordered sample as the flat
+    // path but kept DISTRIBUTED (TakeOrderedAndProject: per-partition
+    // top-k + one k-row merge task — executor-side, linear in k, never
+    // on the driver); each fine centroid lives in its nearest coarse
+    // cell. At a real deployment this table is trained offline once —
+    // the per-corpus-pass cost being fixed here is the two argmax scans.
+    val fine = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("fid"), col("v").as("fv"))
+      .withColumn("cell", nearestCentroidCol(col("fv"), coarse))
+    // probe: each row explodes to its nProbe nearest coarse cells (one
+    // compiled √k-argmax pass), joins the fine rows of those cells
+    // (~nProbe·√k candidates), and keeps the best (cos, cid) — the
+    // max(struct) comparator is the flat path's ordering (NaN greatest,
+    // ties to the larger cid). Spark broadcasts the fine side while it
+    // fits (k ≲ 35k under the default 10 MB threshold); beyond that the
+    // shuffle join on cell is the correct distributed plan.
+    val probeN = math.min(math.max(1, nProbe), nCoarse)
+    base
+      .withColumn("cell", explode(graft.functions.NearestCentroids(
+        col("v"), coarse, probeN)))
+      .join(fine, "cell")
+      .select(col("vec_id"), col("v"),
+        struct(cosine(col("v"), col("fv")).as("cos"),
+          col("fid").as("cid")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), max(col("cand")).as("best"))
+      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs (k-means-partitioned
     * pairwise cosine): vectors assign to their nearest sampled centroid
-    * (one narrow broadcast-argmax pass), then pairs are compared ONLY
-    * within a cluster — the all-pairs O(N²) shrinks to Σ cluster², and
-    * the single shuffle keys on cluster id (both join sides reuse one
-    * exchange). At 100 TB, size `nCentroids ≈ N / targetClusterSize` so
-    * per-cluster work stays bounded; the known SemDeDup caveat is a
-    * skewed mega-cluster, which AQE skew-join splits. Returns
-    * (id_a, id_b, cos) for pairs with cos >= threshold. */
+    * ([[assignClusters]] — compiled flat argmax up to `flatMax`
+    * centroids, two-level coarse-quantizer beyond), then pairs are
+    * compared ONLY within a cluster — the all-pairs O(N²) shrinks to
+    * Σ cluster², and the single shuffle keys on cluster id (both join
+    * sides reuse one exchange). At 100 TB, size `nCentroids ≈
+    * N / targetClusterSize` so per-cluster work stays bounded; the
+    * known SemDeDup caveat is a skewed mega-cluster, which AQE
+    * skew-join splits. Returns (id_a, id_b, cos) for pairs with
+    * cos >= threshold. */
   def semanticPairs(df: DataFrame, id: Column, vec: Column,
-      nCentroids: Int = 64, threshold: Double = 0.97): DataFrame = {
+      nCentroids: Int = 64, threshold: Double = 0.97,
+      flatMax: Int = 4096, nProbe: Int = 4): DataFrame = {
     val base = df.select(id.as("vec_id"), vec.as("v"))
-    val cs = sampleCentroids(base, nCentroids)
     // the pinned repartition(cid) is the ONE exchange both self-join
     // sides read (ReusedExchange, PlanSpec-gated) — without it each
     // side re-scans and re-assigns the corpus, doubling the dominant
     // argmax pass
-    val assigned = base.withColumn("cid", nearestCentroidCol(col("v"), cs))
+    val assigned = assignClusters(base, nCentroids, flatMax, nProbe)
       .repartition(col("cid"))
     val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
@@ -217,8 +284,10 @@ object Similarity {
     * similar group — the lowest id). Anti-join against the slim pair
     * ids; the corpus never re-shuffles. */
   def semanticSurvivors(df: DataFrame, id: Column, vec: Column,
-      nCentroids: Int = 64, threshold: Double = 0.97): DataFrame = {
-    val dropped = semanticPairs(df, id, vec, nCentroids, threshold)
+      nCentroids: Int = 64, threshold: Double = 0.97,
+      flatMax: Int = 4096, nProbe: Int = 4): DataFrame = {
+    val dropped = semanticPairs(df, id, vec, nCentroids, threshold,
+        flatMax, nProbe)
       .select(col("id_b")).distinct()
     df.join(dropped, id === col("id_b"), "left_anti")
   }

@@ -62,6 +62,71 @@ class PipelineSpec extends GraftSuite {
     assert(survivors == local.map(_._1).toSet -- droppedExpected)
   }
 
+  test("two-level assignment: full probe == flat bit-identically; nprobe divergence measured") {
+    // r7 verdict #1: production sizing k ≈ N/32 makes the flat argmax
+    // O(N²/32) with a driver-side collect of k centroids. The two-level
+    // path (coarse √k quantizer → fine-centroid JOIN on the cell id)
+    // must (a) with every cell probed, reproduce the flat assignment
+    // EXACTLY — same sample, same comparator, same float order — and
+    // (b) at the production nProbe, diverge only by the bounded IVF
+    // nprobe approximation.
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.select(col("vec_id"), col("embedding").as("v"))
+    val k = 64 // nCoarse = 8
+    val flat = Similarity.assignClusters(base, k) // k <= flatMax -> flat
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val full = Similarity.assignClusters(base, k, flatMax = 1, nProbe = 1000)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(full == flat, {
+      val d = flat.collect { case (id, c) if full.get(id) != Some(c) =>
+        (id, c, full.get(id)) }.take(5)
+      s"two-level full-probe diverges from flat: $d"
+    })
+    // production probe width: nProbe=4 of 8 cells. Agreement is the
+    // documented approximation quality (SURVEY round-8): a vector only
+    // misassigns when its true fine centroid's cell is NOT among the 4
+    // coarse cells nearest the vector.
+    val approx = Similarity.assignClusters(base, k, flatMax = 1, nProbe = 4)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(approx.keySet == flat.keySet) // no row lost in the probe join
+    val agree = flat.count { case (id, c) => approx(id) == c }
+    // the sf0.01 embeddings are near-random directions — the IVF
+    // worst case (coarse-cell geometry carries little signal), so raw
+    // assignment agreement is the documented floor, not the target
+    assert(agree.toDouble / flat.size >= 0.60,
+      s"nprobe=4 agreement ${agree}/${flat.size}")
+    info(s"nprobe=4/8 assignment agreement: $agree/${flat.size}")
+    // what dedup actually needs: NEAR-DUP pair recall. Assignment is a
+    // deterministic function of the vector, so two near-identical
+    // vectors share their probe ranking and argmax — they co-cluster
+    // even when both are "misassigned" vs flat. The sf corpus has no
+    // true near-dups (max pairwise cos ≈ 0.51), so plant them: 1000
+    // seeded random directions + 60 jittered twins (cos > 0.999).
+    val rnd = new scala.util.Random(0xd5ca1eL)
+    val dim = 16
+    def randVec(): Array[Float] =
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val baseVecs = (0L until 1000L).map(i => (i, randVec()))
+    val twins = baseVecs.take(60).map { case (i, v) =>
+      (1000L + i, v.map(x => x + (rnd.nextDouble() * 2e-4 - 1e-4).toFloat))
+    }
+    val planted = (baseVecs ++ twins).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val pairsFlat = Similarity.semanticPairs(planted, col("vec_id"),
+        col("embedding"), nCentroids = k, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairsFlat.size >= 55, s"planted dups not found: ${pairsFlat.size}")
+    val pairsTL = Similarity.semanticPairs(planted, col("vec_id"),
+        col("embedding"), nCentroids = k, threshold = 0.999,
+        flatMax = 1, nProbe = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = (pairsFlat intersect pairsTL).size.toDouble / pairsFlat.size
+    assert(recall >= 0.98, s"near-dup pair recall $recall " +
+      s"(${(pairsFlat diff pairsTL).take(5)} missing)")
+    info(s"nprobe=4/8 planted near-dup pair recall: $recall " +
+      s"(${pairsTL.size} vs ${pairsFlat.size} pairs)")
+  }
+
   test("semantic dedup: a mega-cluster (the SemDeDup skew caveat) stays correct under AQE") {
     // 85% of vectors land in ONE cluster: near-identical directions
     // (tiny per-id jitter) vs a scattered minority. The pinned
