@@ -54,9 +54,21 @@ object Correlate {
     *        reaches this length (condition() of the action); None = no
     *        on-match action.
     * @param rateLimit (tokens, perSeconds): at most `tokens` on-match
-    *        emissions per key per `perSeconds` window (`patterndb.c`
+    *        emissions per context per `perSeconds` window (`patterndb.c`
     *        token bucket); timeout emissions are not rate-limited,
     *        as in the reference.
+    *
+    * Context lifetime is EVENT-time driven on both edges (r8, for
+    * replay equivalence): a message whose event time is >=
+    * `timeoutSeconds` past the context's last message closes the old
+    * context inline (same emission as the watermark callback) and opens
+    * a fresh one — without the gap check, whether two bursts separated
+    * by more than the timeout share a context would depend on how far
+    * the watermark lagged when the second burst ARRIVED, and a replay
+    * of the same events could produce different synthetic output. The
+    * watermark callback remains the flush path for contexts whose key
+    * never recurs. Full-µs event time (Timestamp.getTime is
+    * ms-truncated — the r7 Stateful defect class).
     */
   def correlate(ds: Dataset[Msg], timeoutSeconds: Int,
       onMatchAtLength: Option[Int] = None,
@@ -66,21 +78,31 @@ object Correlate {
     implicit val outEnc = Encoders.product[CorrOut]
     implicit val stEnc = Encoders.product[CorrState]
     implicit val kEnc = Encoders.STRING
+    val gapUs = timeoutSeconds * 1000000L
     ds.groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[Msg], state: GroupState[CorrState]) => {
+          def closed(s: CorrState): CorrOut =
+            CorrOut(key, s.lastUs, "timeout", s.n, s.buf.reverse.mkString(","))
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(CorrOut(key, s.lastUs, "timeout", s.n,
-              s.buf.reverse.mkString(",")))
+            Iterator.single(closed(s))
           } else {
             val sorted = Stateful.boundedSorted(rows, maxSortBuffer)
-            var s = state.getOption.getOrElse(
-              CorrState(Long.MaxValue, 0L, 0L, Nil, Long.MinValue, 0L))
+            def fresh = CorrState(Long.MaxValue, Long.MinValue, 0L, Nil,
+              Long.MinValue, 0L)
+            var s = state.getOption.getOrElse(fresh)
             var out = List.empty[CorrOut]
             for (m <- sorted) {
-              val us = m.ts.getTime * 1000L
+              val us = Stateful.usOf(m.ts)
+              // event-time inactivity gap: the reference's
+              // context-timeout elapsed between these two messages —
+              // close the old context before this one opens a new one
+              if (s.n > 0 && us >= s.lastUs + gapUs) {
+                out ::= closed(s)
+                s = fresh
+              }
               s = s.copy(startUs = math.min(s.startUs, us),
                 lastUs = math.max(s.lastUs, us), n = s.n + 1,
                 buf = if (s.n < maxBuffered) m.value :: s.buf else s.buf)
@@ -99,7 +121,12 @@ object Correlate {
               }
             }
             state.update(s)
-            state.setTimeoutTimestamp(s.lastUs / 1000L + timeoutSeconds * 1000L)
+            // a straggler-only batch can leave lastUs at the watermark's
+            // edge — the re-arm must stay strictly ahead of it (Spark
+            // rejects a timeout timestamp <= current watermark)
+            state.setTimeoutTimestamp(math.max(
+              s.lastUs / 1000L + timeoutSeconds * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
             out.reverse.iterator
           }
         })

@@ -219,6 +219,91 @@ class StreamBatchEquivalenceSpec extends GraftSuite {
     assert(streamCounts == batchCounts)
   }
 
+  test("correlate: replayed stream == local replay oracle (match + timeout + rate limit)") {
+    // r7 verdict #4: patterndb correlation joins the equivalence
+    // harness. Config covers all three trigger kinds at once: contexts
+    // close on a 1 s event-time inactivity gap, the on-match action
+    // fires from length 3, rate-limited to 2 emissions per context per
+    // 10 s window. The oracle is an independent local replay over the
+    // globally event-time-ordered feed with the same gap/bucket rules.
+    val matchLen = 3
+    val rate = (2, 10)
+    def localCorrelate(ms: Seq[Msg]): Seq[(String, Long, String, Long, String)] = {
+      val gapUs = 1000000L
+      ms.groupBy(_.key).toSeq.flatMap { case (key, grp) =>
+        var out = List.empty[(String, Long, String, Long, String)]
+        var lastUs = Long.MinValue; var n = 0L; var buf = List.empty[String]
+        var bucketWin = Long.MinValue; var tokens = 0L
+        def close(): Unit = if (n > 0)
+          out ::= ((key, lastUs, "timeout", n, buf.reverse.mkString(",")))
+        for (m <- grp) { // grp keeps the feed's (ts, value) order
+          val t = us(m.ts)
+          if (n > 0 && t >= lastUs + gapUs) {
+            close(); n = 0; buf = Nil; lastUs = Long.MinValue
+            bucketWin = Long.MinValue; tokens = 0L
+          }
+          n += 1; lastUs = math.max(lastUs, t); buf ::= m.value
+          if (n >= matchLen) {
+            val w = t / 1000000L / rate._2
+            if (w != bucketWin) { bucketWin = w; tokens = rate._1.toLong }
+            if (tokens > 0) {
+              tokens -= 1
+              out ::= ((key, t, "match", n, buf.reverse.mkString(",")))
+            }
+          }
+        }
+        close()
+        out.reverse
+      }
+    }
+    val expected = localCorrelate(ordered.toSeq)
+    val stream = replay(batches(12, stragglers = false, shuffleWithin = true),
+      flushGapSec = 1, name = "eq_corr")(
+        graft.streaming.Correlate.correlate(_, timeoutSeconds = 1,
+          onMatchAtLength = Some(matchLen), rateLimit = Some(rate)))
+      .filter(_.key != FlushKey)
+    val got = stream.map(c => (c.key, c.tsUs, c.kind, c.n, c.values))
+    assert(got.toSet == expected.toSet, {
+      val g = got.toSet; val e = expected.toSet
+      s"missing=${(e diff g).take(3)} extra=${(g diff e).take(3)}"
+    })
+    assert(got.length == expected.length) // no duplicate emissions either
+    assert(expected.exists(_._3 == "match") && expected.exists(_._3 == "timeout"))
+    // the rate limit really suppressed something (otherwise the config
+    // isn't exercising the bucket)
+    assert(expected.count(_._3 == "match") <
+      localCorrelateNoLimitCount(ordered.toSeq, matchLen))
+  }
+
+  /** Match-emission count with no rate limit (same gap rule) — used to
+    * prove the token bucket suppressed at least one emission. */
+  private def localCorrelateNoLimitCount(ms: Seq[Msg], matchLen: Int): Int = {
+    val gapUs = 1000000L
+    ms.groupBy(_.key).toSeq.map { case (_, grp) =>
+      var lastUs = Long.MinValue; var n = 0L; var c = 0
+      for (m <- grp) {
+        val t = us(m.ts)
+        if (n > 0 && t >= lastUs + gapUs) { n = 0; lastUs = Long.MinValue }
+        n += 1; lastUs = math.max(lastUs, t)
+        if (n >= matchLen) c += 1
+      }
+      c
+    }.sum
+  }
+
+  test("correlate: straggler feed conserves every message into exactly one context") {
+    // cross-batch disorder: context membership at a gap boundary can
+    // follow arrival (a straggler bridging two bursts arrives after the
+    // gap-close already fired) — but no message may be lost or counted
+    // twice across the closed contexts
+    val stream = replay(batches(12, stragglers = true, shuffleWithin = true),
+      flushGapSec = 1, name = "eq_corr_late")(
+        graft.streaming.Correlate.correlate(_, timeoutSeconds = 1))
+      .filter(_.key != FlushKey)
+    assert(stream.forall(_.kind == "timeout"))
+    assert(stream.map(_.n).sum == ordered.length)
+  }
+
   test("dedup-exact: replayed stream == batch one-survivor-per-group") {
     // key = user_id, payload = event_type: ~7.5k (user, type) groups
     // over 10k rows — real duplicates. The 10-minute watermark delay
