@@ -2518,6 +2518,28 @@ object Queries {
       FROM documents ORDER BY media_id"""),
     bench = true)
 
+  /** GIF pixel decode (r8 — GIF's LZW joins PNG/WAV as a real codec
+    * layer): the fixture pattern is closed-form in doc_id exactly like
+    * multimodal_pixels, so DuckDB recomputes the stats without an
+    * image library; a hash match proves the LZW decoder (variable
+    * width 9→12, table growth, full-table steady state) recovered
+    * every index. */
+  private val multimodalGif = Q("multimodal_gif",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.extractSampleStats(Multimodal.gifFixtures(s, d))
+        .select(col("media_id"), col("fmt"), col("n"), col("vmin"),
+          col("vmax"), col("vmean"))
+        .orderBy(col("media_id"))
+    },
+    Some("""SELECT doc_id AS media_id, 'gif' AS fmt,
+      CAST((16 + doc_id % 97) * (16 + doc_id % 53) AS BIGINT) AS n,
+      CAST(0 AS BIGINT) AS vmin,
+      CAST((15 + doc_id % 97) + (15 + doc_id % 53) AS BIGINT) AS vmax,
+      CAST(((15 + doc_id % 97) + (15 + doc_id % 53)) / 2.0 AS DOUBLE) AS vmean
+      FROM documents ORDER BY media_id"""),
+    bench = true)
+
   /** Video column metadata: ISO-BMFF box walk (mvhd timescale/duration,
     * tkhd 16.16 presentation size) — the container layer of a video
     * training-data pipeline; frame/sample decode stays codec-bound
@@ -2643,7 +2665,7 @@ object Queries {
     textUnigramQuality,
     textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,
-    multimodalVideo)
+    multimodalGif, multimodalVideo)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -238,6 +238,59 @@ object MediaFixtures {
     "GIF89a".getBytes("US-ASCII") ++ leU16(width) ++ leU16(height) ++
       Array[Byte](0, 0, 0) ++ Array(0x3B.toByte)
 
+  /** GIF89a with REAL pixel content: 256-entry grayscale identity
+    * global color table (index i → (i,i,i), so index == luminance),
+    * full-screen non-interlaced image, pixel indices LZW-encoded with
+    * literal codes while tracking the decoder's table growth — the
+    * code width widens 9→12 bits exactly when a decoder's next free
+    * slot crosses each power of two, and stays at 12 once the table
+    * fills (spec appendix F). Any w·h > ~3800 therefore exercises
+    * every width plus the full-table steady state in
+    * [[MediaSamples.decodeGif]]. */
+  def gifPixels(width: Int, height: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
+    val header = "GIF89a".getBytes("US-ASCII") ++ leU16(width) ++ leU16(height) ++
+      Array((0x80 | 7).toByte, 0.toByte, 0.toByte) // GCT, 2^8 entries
+    val gct = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    val imgDesc = Array(0x2C.toByte) ++ leU16(0) ++ leU16(0) ++
+      leU16(width) ++ leU16(height) ++ Array(0.toByte)
+    val minCodeSize = 8
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val bits = new java.io.ByteArrayOutputStream
+    var cur = 0L; var nbits = 0; var cw = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nbits; nbits += cw
+      while (nbits >= 8) { bits.write((cur & 0xFF).toInt); cur >>= 8; nbits -= 8 }
+    }
+    emit(clear)
+    var next = eoi + 1
+    var first = true
+    for (y <- 0 until height; x <- 0 until width) {
+      emit(pixel(x, y) & 0xFF)
+      // mirror the decoder: every code after the first adds one table
+      // entry; width widens with the table, capped at 12
+      if (first) first = false
+      else if (next < 4096) {
+        next += 1
+        if (next == (1 << cw) && cw < 12) cw += 1
+      }
+    }
+    emit(eoi)
+    if (nbits > 0) bits.write((cur & 0xFF).toInt)
+    val lzw = bits.toByteArray
+    val sub = new java.io.ByteArrayOutputStream
+    sub.write(minCodeSize)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      sub.write(n); sub.write(lzw, off, n)
+      off += n
+    }
+    sub.write(0) // block terminator
+    header ++ gct ++ imgDesc ++ sub.toByteArray ++ Array(0x3B.toByte)
+  }
+
   /** Grayscale 8-bit non-interlaced PNG with REAL pixel content:
     * `pixel(x, y)` supplies each sample and every scanline y uses
     * filter type `y % 5` — all five PNG filters (None/Sub/Up/Average/

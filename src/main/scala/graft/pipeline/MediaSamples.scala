@@ -1,11 +1,12 @@
 package graft.pipeline
 
-/** Sample/pixel-level media decoding, pure JVM — retires the last
-  * declared codec stub (VERDICT r6 "next round" #6) for the two
-  * containers whose coding layer the JDK actually ships: PNG's DEFLATE
-  * (java.util.zip.Inflater) and WAV's uncompressed PCM. JPEG (DCT +
-  * arithmetic/huffman entropy coding) and GIF (LZW) stay header-only —
-  * codec-bound, declared out in SURVEY §2.
+/** Sample/pixel-level media decoding, pure JVM — retires the declared
+  * codec stubs (VERDICT r6 #6, r7 #6) for the three containers whose
+  * coding layer is JVM-feasible: PNG's DEFLATE (java.util.zip.Inflater),
+  * WAV's uncompressed PCM, and GIF's LZW (hand-decoded below — variable
+  * width codes, clear/EOI, KwKwK). JPEG stays header-only: its coding
+  * layer (DCT + huffman/arithmetic entropy coding + chroma resampling)
+  * is a genuine codec, declared permanently out in SURVEY §2.
   *
   * Clean-room from the public specs:
   *  - PNG: RFC 2083 / W3C PNG spec — chunk framing + CRC32, IHDR,
@@ -14,6 +15,11 @@ package graft.pipeline
   *    grayscale (type 0) and truecolor (type 2), non-interlaced.
   *  - WAV: RIFF/WAVE with PCM `fmt ` (format tag 1), 8-bit unsigned or
   *    16-bit signed little-endian samples.
+  *  - GIF: GIF89a spec — logical screen descriptor, global/local color
+  *    tables, extension-block skip, first image descriptor,
+  *    LSB-first variable-width LZW over the data sub-blocks; samples
+  *    are the decoded palette INDICES (for a grayscale identity
+  *    palette, index == luminance). Non-interlaced only.
   */
 object MediaSamples {
 
@@ -37,6 +43,8 @@ object MediaSamples {
       b(3) == 'G') decodePng(b)
     else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
       b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V') decodeWav(b)
+    else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') decodeGif(b)
     else null
   }
 
@@ -117,6 +125,127 @@ object MediaSamples {
       y += 1
     }
     Decoded("png", out)
+  }
+
+  /** GIF89a §§18-24: walk the stream to the FIRST image descriptor and
+    * LZW-decode its pixel indices. Interlaced images and streams whose
+    * index data overruns w·h return null (corrupt-input contract). */
+  def decodeGif(b: Array[Byte]): Decoded = {
+    if (b.length < 13) return null
+    val w = leU16(b, 6); val h = leU16(b, 8)
+    val packed = u8(b, 10)
+    var i = 13
+    if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // GCT
+    while (i < b.length) {
+      u8(b, i) match {
+        case 0x3B => return null // trailer before any image
+        case 0x21 => // extension: label + sub-blocks until terminator
+          i += 2
+          while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
+          i += 1
+        case 0x2C =>
+          if (i + 10 > b.length) return null
+          val iw = leU16(b, i + 5); val ih = leU16(b, i + 7)
+          val ipacked = u8(b, i + 9)
+          if ((ipacked & 0x40) != 0) return null // interlaced
+          i += 10
+          if ((ipacked & 0x80) != 0) i += 3 * (1 << ((ipacked & 7) + 1)) // LCT
+          if (i >= b.length) return null
+          val minCodeSize = u8(b, i)
+          i += 1
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream
+          while (i < b.length && u8(b, i) != 0) {
+            val n = u8(b, i)
+            if (i + 1 + n > b.length) return null
+            data.write(b, i + 1, n)
+            i += 1 + n
+          }
+          val nPix = iw * ih
+          if (nPix <= 0) return null
+          val out = lzwDecode(data.toByteArray, minCodeSize, nPix)
+          return if (out == null) null else Decoded("gif", out)
+        case _ => return null
+      }
+    }
+    null
+  }
+
+  /** GIF LZW (spec appendix F): LSB-first bit stream, initial code
+    * width `minCodeSize`+1, CLEAR resets the table, EOI ends, the
+    * table grows by prev-string + first-byte per decoded code (KwKwK
+    * when the code IS the next free slot), code width widens when the
+    * next free slot reaches 2^width, capped at 12 bits (4096 codes —
+    * a full table keeps decoding without adding). */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+      maxPixels: Int): Array[Int] = {
+    if (minCodeSize < 1 || minCodeSize > 11) return null
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Int](maxPixels)
+    var outLen = 0
+    var next = eoi + 1
+    var width = minCodeSize + 1
+    var prev = -1
+    var bitPos = 0
+    val totalBits = data.length * 8
+    def readCode(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0; var k = 0
+      while (k < width) {
+        val p = bitPos + k
+        if (((data(p >> 3) >> (p & 7)) & 1) != 0) v |= 1 << k
+        k += 1
+      }
+      bitPos += width
+      v
+    }
+    def firstByteOf(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    def emitString(code: Int): Boolean = {
+      var sp = 0
+      var c = code
+      while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      stack(sp) = c.toByte; sp += 1
+      if (outLen + sp > maxPixels) return false // overrun = corrupt
+      while (sp > 0) { sp -= 1; out(outLen) = stack(sp) & 0xFF; outLen += 1 }
+      true
+    }
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code < 0) done = true // truncated stream: keep what decoded
+      else if (code == clear) {
+        next = eoi + 1; width = minCodeSize + 1; prev = -1
+      } else if (code == eoi) done = true
+      else if (prev == -1) {
+        if (code >= clear) return null
+        if (!emitString(code)) return null
+        prev = code
+      } else {
+        val kwkwk = code == next
+        if (code > next || (kwkwk && next >= 4096)) return null
+        val f = firstByteOf(if (kwkwk) prev else code)
+        if (kwkwk) {
+          if (!emitString(prev)) return null
+          if (outLen + 1 > maxPixels) return null
+          out(outLen) = f & 0xFF; outLen += 1
+        } else if (!emitString(code)) return null
+        if (next < 4096) {
+          prefix(next) = prev; suffix(next) = f; next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+      if (outLen == maxPixels) done = true
+    }
+    java.util.Arrays.copyOf(out, outLen)
   }
 
   def decodeWav(b: Array[Byte]): Decoded = {

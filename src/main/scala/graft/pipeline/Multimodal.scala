@@ -178,6 +178,24 @@ object Multimodal {
       }
   }
 
+  /** GIF pixel-content fixture corpus (r8 — the LZW codec layer is now
+    * real): every doc renders a full-screen GIF89a with the same
+    * never-wrapping `pixel(x,y) = x + y` pattern as the PNG corpus
+    * (w,h < 128 ⇒ max index 252), grayscale identity palette so index
+    * == luminance; w·h ranges past 4096 so the fixture set covers
+    * every LZW code width 9→12 AND the full-table steady state. */
+  def gifFixtures(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (16 + id % 97).toInt
+        val h = (16 + id % 53).toInt
+        MediaRow(id, "image/gif",
+          MediaFixtures.gifPixels(w, h, (x, y) => x + y), w, h)
+      }
+  }
+
   /** Video fixture corpus: ISO-BMFF mp4 containers with closed-form
     * metadata in doc_id — timescale a multiple of 1000 so duration_ms
     * round-trips integrally through the mvhd units. */
@@ -197,7 +215,7 @@ object Multimodal {
 
   /** Batched sample decode + stats: same partition-sizing shape as
     * [[extractFeatures]], decoder is [[MediaSamples.decode]]. Undecodable
-    * payloads (JPEG/GIF and corrupt bytes) drop — the codec boundary. */
+    * payloads (JPEG and corrupt bytes) drop — the codec boundary. */
   def extractSampleStats(ds: Dataset[MediaRow],
       targetPartitionBytes: Long = 128L << 20): Dataset[SampleStats] = {
     import ds.sparkSession.implicits._

@@ -133,12 +133,75 @@ class MediaHeadersSpec extends GraftSuite {
     }
     corrupt(idatAt + 10) = (corrupt(idatAt + 10) ^ 0x55).toByte
     assert(MediaSamples.decode(corrupt) == null)
-    // truncated stream, JPEG/GIF (codec-bound, declared out), junk
+    // truncated stream, JPEG (codec-bound, declared out), image-less
+    // GIF (header+trailer only — no pixel data to decode), junk
     assert(MediaSamples.decode(good.take(40)) == null)
     assert(MediaSamples.decode(MediaFixtures.jpeg(8, 8)) == null)
     assert(MediaSamples.decode(MediaFixtures.gif(8, 8)) == null)
     assert(MediaSamples.decode("junk".getBytes) == null)
     assert(MediaSamples.decode(null) == null)
+  }
+
+  test("gif lzw decode: small + full-table round trips, exact indices") {
+    import graft.pipeline.{MediaFixtures, MediaSamples}
+    // 16x16 = 256 pixels: stays at 9-bit codes
+    val pat = (x: Int, y: Int) => x + y
+    val small = MediaSamples.decode(MediaFixtures.gifPixels(16, 16, pat))
+    assert(small != null && small.format == "gif")
+    assert(small.samples.toSeq ==
+      (for (y <- 0 until 16; x <- 0 until 16) yield x + y))
+    // 112x68 = 7616 pixels: the decoder's table walks 9->10->11->12
+    // bits and then runs ~3500 codes in the full-table steady state
+    val big = MediaSamples.decode(MediaFixtures.gifPixels(112, 68, pat))
+    assert(big != null && big.samples.length == 112 * 68)
+    assert(big.samples.toSeq ==
+      (for (y <- 0 until 68; x <- 0 until 112) yield x + y))
+  }
+
+  test("gif lzw decode: KwKwK code and hostile streams") {
+    import graft.pipeline.MediaSamples
+    // handcrafted REAL compression: minCodeSize=2 (clear=4, eoi=5),
+    // codes [clear, 1, 6] where 6 is the not-yet-defined next slot —
+    // the KwKwK case, decoding to string(1) + first(1) = "1","1";
+    // total pixels "1 1 1". Bits LSB-first at width 3: 0x8C, 0x0B.
+    def gifWith(w: Int, h: Int, minCode: Int, lzw: Array[Byte],
+        ipacked: Int = 0): Array[Byte] =
+      "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte]((w & 0xFF).toByte, ((w >> 8) & 0xFF).toByte,
+          (h & 0xFF).toByte, ((h >> 8) & 0xFF).toByte, 0, 0, 0) ++ // no GCT
+        Array[Byte](0x2C.toByte, 0, 0, 0, 0,
+          (w & 0xFF).toByte, ((w >> 8) & 0xFF).toByte,
+          (h & 0xFF).toByte, ((h >> 8) & 0xFF).toByte,
+          ipacked.toByte) ++
+        Array[Byte](minCode.toByte, lzw.length.toByte) ++ lzw ++
+        Array[Byte](0, 0x3B.toByte)
+    val kwkwk = MediaSamples.decode(
+      gifWith(3, 1, 2, Array(0x8C.toByte, 0x0B.toByte)))
+    assert(kwkwk != null && kwkwk.samples.toSeq == Seq(1, 1, 1))
+    // interlaced flag -> declared unsupported
+    assert(MediaSamples.decode(
+      gifWith(3, 1, 2, Array(0x8C.toByte, 0x0B.toByte), ipacked = 0x40)) == null)
+    // a code past the next free slot is corrupt: [clear, 1, 7] (7 > 6)
+    // bits: 4,1,7 -> 0xCC 0x0B
+    assert(MediaSamples.decode(
+      gifWith(3, 1, 2, Array(0xCC.toByte, 0x0B.toByte))) == null)
+    // overrun: 4 decoded pixels into a 3-pixel image is fine (capped),
+    // but image sized 2 pixels with the same stream must reject
+    assert(MediaSamples.decode(
+      gifWith(2, 1, 2, Array(0x8C.toByte, 0x0B.toByte))) == null)
+  }
+
+  test("spark gif corpus: stats survive the distributed decode") {
+    val stats = graft.pipeline.Multimodal.extractSampleStats(
+      graft.pipeline.Multimodal.gifFixtures(spark, "/root/testdata/sf0.001"),
+      targetPartitionBytes = 0).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      val w = 16 + s.media_id % 97; val h = 16 + s.media_id % 53
+      assert(s.fmt == "gif" && s.n == w * h && s.vmin == 0)
+      assert(s.vmax == (w - 1) + (h - 1))
+      assert(s.vmean == ((w - 1) + (h - 1)) / 2.0)
+    }
   }
 
   test("mp4 box walk: mvhd + tkhd round trip, hostile boxes rejected") {
