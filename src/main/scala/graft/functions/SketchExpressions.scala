@@ -67,6 +67,30 @@ object Sketches {
     new GenericArrayData(mins)
   }
 
+  /** The xxh64 branch of [[minhashSig]] starting from pre-hashed
+    * shingles (`h0` values): per element, the k-th hash is
+    * xxh64_long(h0, k); result = per-seed minimum. Bit-identical to
+    * `minhashSig(shingles, n, "xxh64")` when `h0s(i) =
+    * xxh64(shingles(i), seed 42)` — which is what Spark's `xxhash64`
+    * column function computes. */
+  def minhashSigFromLongs(h0s: ArrayData, numHashes: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = h0s.numElements()
+    var i = 0
+    while (i < n) {
+      val h0 = h0s.getLong(i)
+      var k = 0
+      while (k < numHashes) {
+        val hk = XXH64.hashLong(h0, k)
+        if (hk < mins(k)) mins(k) = hk
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Polynomial rolling hash over char k-grams mod 2^31-1, decorrelated
     * with a Knuth multiplicative mix mod 2^32, keeping the `keep`
     * smallest, dash-joined. Every step is small-word modular arithmetic
@@ -283,6 +307,36 @@ object MinHashSig {
   def apply(shingles: Column, numHashes: Int): Column = apply(shingles, numHashes, "xxh64")
   def apply(shingles: Column, numHashes: Int, algo: String): Column =
     ColumnBridge.column(new MinHashSig(ColumnBridge.expression(shingles), numHashes, algo))
+}
+
+/** `minhash_sig_longs(h0s, n)` — the xxh64 MinHash signature computed
+  * from PRE-HASHED shingles: Spark's `xxhash64(s)` (seed 42) is exactly
+  * the chain's per-shingle base hash `h0 = xxh64(bytes, 42)`, so a
+  * corpus persisted as `array<bigint>` of shingle hashes yields the
+  * BIT-IDENTICAL signature without re-reading the strings (r8: the
+  * minhash pipeline hashes each shingle once for signature + both
+  * verification joins; PipelineSpec gates the identity vs
+  * [[MinHashSig]]). */
+case class MinHashSigFromLongs(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_longs"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Sketches.minhashSigFromLongs(v.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.Sketches.minhashSigFromLongs($v, $numHashes);")
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigFromLongs =
+    copy(child = c)
+}
+
+object MinHashSigFromLongs {
+  def apply(h0s: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      new MinHashSigFromLongs(ColumnBridge.expression(h0s), numHashes))
 }
 
 /** `simhash64(tokens, algo)` — 64-bit SimHash as bigint. */

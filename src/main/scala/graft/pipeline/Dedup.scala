@@ -132,7 +132,16 @@ object Dedup {
       threshold: Double = 0.7, algo: String = "xxh64",
       hashBandKeys: Boolean = true): DataFrame = {
     val rows = numHashes / bands
+    if (algo == "xxh64")
+      return minhashPairsHashed(df, id, text, shingleK, numHashes, bands,
+        rows, threshold, hashBandKeys)
+    // the oracle-hash (md5p31) path needs the shingle STRINGS for its
+    // signature, but the verification hashes are computed ONCE here
+    // (r8: under the old `hashed = docs.select(transform(...))` shape
+    // each verification-join alias re-evaluated the per-shingle xxh64
+    // over the whole corpus)
     val docs = df.select(id.as("id"), wordShingles(text, shingleK).as("sh"))
+      .withColumn("shh", transform(col("sh"), s => xxhash64(s)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the band join shuffles only (band, id) — shingle arrays stay out
@@ -148,11 +157,11 @@ object Dedup {
           col("ba.band") === col("bb.band") && col("ba.id") < col("bb.id"))
         .select(col("ba.id").as("id_a"), col("bb.id").as("id_b"))
         .distinct()
-      // exact-Jaccard verification on xxhash64'd shingle sets: set sizes
-      // and intersections are identical modulo 2^-64-scale collisions, and
-      // the joins shuffle fixed-width long arrays instead of strings
-      val hashed = docs.select(col("id"),
-        transform(col("sh"), s => xxhash64(s)).as("shh"))
+      // exact-Jaccard verification on the persisted xxhash64'd shingle
+      // sets: set sizes and intersections are identical modulo
+      // 2^-64-scale collisions, and the joins shuffle fixed-width long
+      // arrays instead of strings
+      val hashed = docs.select(col("id"), col("shh"))
       // both fetches shuffle `hashed` by its id with the identical plan
       // (aliases, not pre-renamed projections) — the second join reuses
       // the first's exchange instead of re-shingling the corpus
@@ -168,6 +177,54 @@ object Dedup {
       // the signed-corpus cache can be RELEASED before returning — the
       // checkpoint blocks themselves are GC-tracked by the ContextCleaner,
       // unlike Dataset.persist entries which pin the CacheManager forever
+      pairs.localCheckpoint(true)
+    } finally docs.unpersist(false)
+  }
+
+  /** The production (xxh64) minhash pipeline over a PRE-HASHED corpus
+    * (r8, from the sf1p stage attribution): the r7 shape persisted
+    * `(id, shingle STRINGS)` and paid the per-shingle xxh64 three times
+    * — once inside the signature and once per verification-join side
+    * (`transform(sh, xxhash64)` re-evaluated under each alias); the
+    * StageProbe breakdown at sf1p put ~70% of total task time in those
+    * re-hash scans. Here the persisted corpus is `(id, shh:
+    * array<bigint>)` — each shingle hashed ONCE (Spark's `xxhash64`,
+    * seed 42, IS the signature chain's h0; [[graft.functions
+    * .MinHashSigFromLongs]] continues the chain bit-identically), the
+    * cache holds fixed-width longs instead of strings (smaller, and
+    * the verification joins read it with zero re-computation), and the
+    * Jaccard denominator is `|a| + |b| - |a∩b|` over the
+    * `array_distinct`'d hash sets — one array_intersect per candidate
+    * pair, no array_union materialization. */
+  private def minhashPairsHashed(df: DataFrame, id: Column, text: Column,
+      shingleK: Int, numHashes: Int, bands: Int, rows: Int,
+      threshold: Double, hashBandKeys: Boolean): DataFrame = {
+    val docs = df.select(id.as("id"),
+      array_distinct(transform(wordShingles(text, shingleK),
+        s => xxhash64(s))).as("shh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val banded = docs.select(col("id"), explode(lshBandKeys(
+        graft.functions.MinHashSigFromLongs(col("shh"), numHashes), bands,
+        rows, hashBandKeys)).as("band"))
+      val cand = banded.as("ba").join(banded.as("bb"),
+          col("ba.band") === col("bb.band") && col("ba.id") < col("bb.id"))
+        .select(col("ba.id").as("id_a"), col("bb.id").as("id_b"))
+        .distinct()
+      // the intersection size feeds the Jaccard twice (numerator +
+      // union-size denominator): bind it through a HOF lambda
+      // (bindArray — the staging rule) so it is computed once per pair,
+      // not duplicated by CollapseProject into each consumer
+      val pairs = cand
+        .join(docs.as("ha"), col("id_a") === col("ha.id"))
+        .join(docs.as("hb"), col("id_b") === col("hb.id"))
+        .select(col("id_a"), col("id_b"),
+          TextAnalysis.bindArray(size(array_intersect(
+              col("ha.shh"), col("hb.shh"))).cast("double")) { inter =>
+            inter / ((size(col("ha.shh")) + size(col("hb.shh")))
+              .cast("double") - inter)
+          }.as("jaccard"))
+        .filter(col("jaccard") >= threshold)
       pairs.localCheckpoint(true)
     } finally docs.unpersist(false)
   }
@@ -322,12 +379,20 @@ object Dedup {
     // widest exchange and rejoin after the pair aggregation
     // the explicit repartition on the join key is THE load-bearing node:
     // it pins one hashpartitioning(shingle) Exchange that every consumer
-    // below — the DF-cap aggregation and BOTH self-join sides — reuses
-    // as the same (AQE) query stage. Without it the planner is free to
-    // broadcast one self-join side, and a BroadcastExchange build side
-    // shares nothing: the scan + shingling (the dominant per-row cost)
-    // re-runs for every consumer — measured 2.3× slower at sf0.1, and
-    // at 100 TB it would re-shingle the corpus three times.
+    // below — the DF-cap aggregation, BOTH self-join sides, and the set
+    // sizes — reuses as the same (AQE) query stage. Without it the
+    // planner is free to broadcast one self-join side, and a
+    // BroadcastExchange build side shares nothing: the scan + shingling
+    // (the dominant per-row cost) re-runs for every consumer — measured
+    // 2.3× slower at sf0.1, and at 100 TB it would re-shingle the
+    // corpus three times. (r8 note: a persist()+localCheckpoint variant
+    // was measured as an alternative — it guarantees the single
+    // shingle pass but pins 32 cache partitions through the self-join,
+    // defeating AQE partition coalescing: 2.1 s → 7.8 s on the
+    // single-file layout for a 4.6 s → 4.5 s sf1p wash. The lazy
+    // exchange-reuse shape below keeps both layouts fast; the
+    // remaining double-materialization risk is the canonical-form
+    // mismatch fixed by the count(col) forms below.)
     val posting = docs.select(col("id"), explode(col("sh")).as("sh_str"))
       .select(col("id"), xxhash64(col("sh_str")).as("shingle"))
       .repartition(col("shingle"))
@@ -338,7 +403,12 @@ object Dedup {
     // stop-shingles exceed maxDocFreq) -> broadcast anti-join drops
     // their postings without re-shuffling the posting list. (A
     // Window.partitionBy(shingle) count would sort; the agg hashes.)
-    val hot = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // count(id), NOT count(1): counting a literal lets Catalyst prune
+    // `id` out of this subtree's exchange ([shingle] vs the pinned
+    // [id, shingle]) — canonically different, so the stage-level reuse
+    // breaks and the corpus is scanned + re-shingled a second time just
+    // for the DF-cap. `id` is a non-null key, so the count is identical.
+    val hot = posting.groupBy(col("shingle")).agg(count(col("id")).as("df"))
       .filter(col("df") > maxDocFreq)
       .select(col("shingle"))
     val capped = posting.join(broadcast(hot), Seq("shingle"), "left_anti")
@@ -355,12 +425,12 @@ object Dedup {
       .groupBy(col("pa.id").as("id_a"), col("pb.id").as("id_b"))
       .agg(count(lit(1)).as("common"))
     // set sizes fall out of the SAME postings (shingles are distinct per
-    // doc), off the pinned exchange — NOT a second corpus scan, which
-    // would re-run the shingle transform on every document just to take
-    // a size(). The (id, count) partials are two longs a row and can
-    // never exceed the posting count, so the extra shuffle is strictly
-    // cheaper than re-shingling at any scale.
-    val sizes = posting.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // doc), off the pinned exchange — NOT a second corpus scan. The
+    // (id, count) partials are two longs a row and can never exceed the
+    // posting count, so the extra shuffle is strictly cheaper than
+    // re-shingling at any scale. count(shingle) keeps this subtree's
+    // exchange at the pinned [id, shingle] canonical form (see `hot`).
+    val sizes = posting.groupBy(col("id")).agg(count(col("shingle")).as("n"))
     common
       .join(sizes.as("sa"), col("id_a") === col("sa.id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.id"))

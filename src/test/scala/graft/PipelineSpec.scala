@@ -312,6 +312,20 @@ class PipelineSpec extends GraftSuite {
     assert(banded == brute)
   }
 
+  test("minhash signature from pre-hashed shingles is bit-identical") {
+    // the r8 hashed-corpus pipeline rests on Spark's xxhash64 (seed 42)
+    // being the signature chain's h0 — assert it over the real corpus
+    val docsT = Tables.documents(spark, sf)
+    val both = docsT.select(
+        Dedup.wordShingles(col("text"), 3).as("sh"))
+      .select(
+        graft.functions.MinHashSig(col("sh"), 32, "xxh64").as("a"),
+        graft.functions.MinHashSigFromLongs(
+          transform(col("sh"), s => xxhash64(s)), 32).as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(both.count() == 0)
+  }
+
   test("production xxh64 minhash: exact precision, full recall at high jaccard") {
     val docsT = Tables.documents(spark, sf)
     // exact all-pairs jaccard over 3-shingles (test scale only)
