@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev measurement main for the SemDeDup centroid-assignment stage in
+  * isolation (r7 verdict #1 "done" criterion: an sf4+ point showing
+  * assignment scaling ~N·√k, not N·k): times `Similarity
+  * .assignClusters` at the production sizing k ≈ N/32 under both the
+  * flat compiled-argmax path and the two-level coarse-quantizer path,
+  * so the asymptote claim is a measured pair, not a plan reading.
+  *
+  * Usage: runMain graft.AssignBench <sfDir> [repeat]
+  * Emits one JSON line: {"n":..,"k":..,"flat_sec":..,"two_level_sec":..}
+  */
+object AssignBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val repeat = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val n = base.count()
+    val k = math.max(64, (n / 32L).toInt)
+    def median(f: => Long): Double = {
+      val ts = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(ts.length / 2)
+    }
+    // warmup both paths at a small slice
+    val warm = base.limit(2000)
+    graft.pipeline.Similarity.assignClusters(warm, 64).queryExecution.toRdd.count()
+    graft.pipeline.Similarity.assignClusters(warm, 64, flatMax = 1).queryExecution.toRdd.count()
+    val flat = median(graft.pipeline.Similarity
+      .assignClusters(base, k, flatMax = Int.MaxValue)
+      .queryExecution.toRdd.count())
+    val twoLevel = median(graft.pipeline.Similarity
+      .assignClusters(base, k, flatMax = 1)
+      .queryExecution.toRdd.count())
+    println(s"""{"sf":"$sfDir","n":$n,"k":$k,"flat_sec":$flat,"two_level_sec":$twoLevel,"repeat":$repeat}""")
+    spark.stop()
+  }
+}

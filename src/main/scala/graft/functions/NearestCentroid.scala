@@ -183,3 +183,46 @@ object NearestCentroids {
     ColumnBridge.column(new NearestCentroids(ColumnBridge.expression(vec),
       centroids.map(_._2.toArray), centroids.map(_._1), topN))
 }
+
+/** `dot_f(a, b)` — compiled sequential-order double dot product of two
+  * float vectors: bit-identical to the HOF form
+  * (`aggregate(zip_with(a, b, (x,y) => x*y), 0.0, +)` with double
+  * casts), but ~10× cheaper per pair — the HOF materializes the
+  * product array per evaluation, which at the two-level assignment's
+  * ~N·√k candidate pairs dominated the whole stage (r8 AssignBench:
+  * 68 s → compiled path, see Similarity.assignTwoLevel). Mismatched
+  * lengths stop at the shorter (the HOF pads null and the double sum
+  * then nulls out — callers only compare equal-dim corpus vectors). */
+case class DotF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f"
+
+  def dotOf(a: Any, b: Any): Double = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = dotOf(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("dotf", this, classOf[DotF].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.dotOf($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): DotF = copy(left = l, right = r)
+}
+
+object DotF {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(new DotF(ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+}

@@ -205,9 +205,18 @@ object Similarity {
     *    comparator); at nProbe ≪ √k it is the standard IVF nprobe
     *    approximation (PipelineSpec measures the agreement).
     *
+    * The default `flatMax` = 16384 is the MEASURED crossover, not a
+    * guess (r8 AssignBench, local[32], dim 64): at k=6250/N=200k flat
+    * runs 2.8 s vs two-level 4.6 s (the join's per-candidate row
+    * overhead still beats flat's extra flops); flat grows ~N·k
+    * (0.33 s → 2.83 s for 10×N·10×k) while two-level grows ~N
+    * (0.71 s → 4.56 s), crossing near k ≈ 16k. Past the crossover the
+    * two-level path also removes the k-vector driver collect — the
+    * r7-flagged O(N²/32) asymptote is gone either way.
+    *
     * Returns (vec_id, v, cid). */
   def assignClusters(base: DataFrame, nCentroids: Int,
-      flatMax: Int = 4096, nProbe: Int = 4): DataFrame =
+      flatMax: Int = 16384, nProbe: Int = 4): DataFrame =
     if (nCentroids <= flatMax) {
       val cs = sampleCentroids(base, nCentroids)
       base.withColumn("cid", nearestCentroidCol(col("v"), cs))
@@ -230,6 +239,7 @@ object Similarity {
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .select(col("vec_id").as("fid"), col("v").as("fv"))
       .withColumn("cell", nearestCentroidCol(col("fv"), coarse))
+      .withColumn("fn", sqrt(graft.functions.DotF(col("fv"), col("fv"))))
     // probe: each row explodes to its nProbe nearest coarse cells (one
     // compiled √k-argmax pass), joins the fine rows of those cells
     // (~nProbe·√k candidates), and keeps the best (cos, cid) — the
@@ -237,13 +247,21 @@ object Similarity {
     // ties to the larger cid). Spark broadcasts the fine side while it
     // fits (k ≲ 35k under the default 10 MB threshold); beyond that the
     // shuffle join on cell is the correct distributed plan.
+    // Per-pair cost is ONE compiled dot (DotF): the row and fine norms
+    // are staged per SIDE before the join (each computed once per
+    // vector, not once per candidate pair), and the HOF cosine is out —
+    // its per-pair product-array allocation was the whole stage cost at
+    // sf10p (AssignBench: 68 s HOF → compiled, same float semantics as
+    // the flat argmax: sequential double dot, cos = d/(|v|·|c|)).
     val probeN = math.min(math.max(1, nProbe), nCoarse)
     base
+      .withColumn("vn", sqrt(graft.functions.DotF(col("v"), col("v"))))
       .withColumn("cell", explode(graft.functions.NearestCentroids(
         col("v"), coarse, probeN)))
       .join(fine, "cell")
       .select(col("vec_id"), col("v"),
-        struct(cosine(col("v"), col("fv")).as("cos"),
+        struct((graft.functions.DotF(col("v"), col("fv")) /
+            (col("vn") * col("fn"))).as("cos"),
           col("fid").as("cid")).as("cand"))
       .groupBy(col("vec_id"))
       .agg(first(col("v")).as("v"), max(col("cand")).as("best"))
@@ -263,7 +281,7 @@ object Similarity {
     * cos >= threshold. */
   def semanticPairs(df: DataFrame, id: Column, vec: Column,
       nCentroids: Int = 64, threshold: Double = 0.97,
-      flatMax: Int = 4096, nProbe: Int = 4): DataFrame = {
+      flatMax: Int = 16384, nProbe: Int = 4): DataFrame = {
     val base = df.select(id.as("vec_id"), vec.as("v"))
     // the pinned repartition(cid) is the ONE exchange both self-join
     // sides read (ReusedExchange, PlanSpec-gated) — without it each
@@ -285,7 +303,7 @@ object Similarity {
     * ids; the corpus never re-shuffles. */
   def semanticSurvivors(df: DataFrame, id: Column, vec: Column,
       nCentroids: Int = 64, threshold: Double = 0.97,
-      flatMax: Int = 4096, nProbe: Int = 4): DataFrame = {
+      flatMax: Int = 16384, nProbe: Int = 4): DataFrame = {
     val dropped = semanticPairs(df, id, vec, nCentroids, threshold,
         flatMax, nProbe)
       .select(col("id_b")).distinct()
