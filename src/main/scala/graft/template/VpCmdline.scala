@@ -191,18 +191,43 @@ object VpCmdline {
           case "string" => v
           case "literal" => concat(lit(Raw), v)
           case "boolean" | "bool" =>
-            val t = lower(trim(v))
-            onBad(!t.isin("true", "yes", "on", "1", "false", "no", "off", "0"),
+            // type-hinting.c:91-106 casts by FIRST CHARACTER: T/t/1 ->
+            // true, F/f/0 -> false ("totaly true" is TRUE), anything
+            // else is a cast error — the reference never grew a
+            // yes/no/on/off vocabulary (test_type_hints.c bool battery)
+            val c0 = substring(v, 1, 1)
+            onBad(!c0.isin("T", "t", "1", "F", "f", "0"),
               concat(lit(Raw),
-                when(t.isin("true", "yes", "on", "1"), "true").otherwise("false")))
+                when(c0.isin("T", "t", "1"), "true").otherwise("false")))
           case "int" | "int32" | "i32" | "int64" | "i64" =>
-            onBad(!trim(v).rlike("^-?[0-9]+$"), concat(lit(Raw), trim(v)))
+            // strtol full-string parse (type-hinting.c:108-141):
+            // leading isspace + optional +/- sign, no trailing junk,
+            // empty is a cast error; valid values are emitted VERBATIM
+            // unquoted (format-json.c append_value(.., FALSE) keeps the
+            // original bytes — " 12" and "+12" pass through as-is)
+            onBad(!v.rlike("^\\s*[+-]?[0-9]+\\z"), concat(lit(Raw), v))
           case "double" | "float" =>
-            // ANSI-safe: regex-validate instead of cast-and-null-check
-            onBad(!trim(v).rlike("^-?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
-              concat(lit(Raw), trim(v)))
+            // strtod semantics (type-hinting.c:143-164): leading
+            // whitespace + sign, decimal/exponent forms, the
+            // inf/infinity/nan literals; trailing junk and empty are
+            // cast errors, ERANGE OVERFLOW is a cast error
+            // (test_type_hints.c: "1e1000000" fails) while underflow
+            // parses as 0.0 ("1e-100000000" passes). The cast sits in
+            // a when() branch guarded by the form regex, so ANSI mode
+            // never sees an unparseable string; overflow shows up as
+            // a non-literal infinity.
+            val form = v.rlike(
+              "^\\s*[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?\\z")
+            val infnan = v.rlike("^\\s*[+-]?(?i:inf(inity)?|nan)\\z")
+            val overflow = form && when(form, trim(v).cast("double"))
+              .isin(Double.PositiveInfinity, Double.NegativeInfinity)
+            onBad(!(form || infnan) || overflow, concat(lit(Raw), v))
           case "datetime" =>
-            onBad(!trim(v).rlike("^[0-9]+$"), concat(lit(Raw), trim(v)))
+            // format-json.c:214-218: DATETIME renders exactly like
+            // STRING — quoted, unvalidated. The seconds[.frac] -> ms
+            // integer cast (type-hinting.c:167-210) exists for sinks
+            // with native date types (mongodb), not for the JSON path.
+            v
           case "list" =>
             // str-repr list -> JSON array (list-funcs str-repr parse)
             concat(lit(Raw),
