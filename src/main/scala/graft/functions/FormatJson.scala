@@ -191,6 +191,8 @@ object FormatJson {
       s.charAt(i) match {
         case '"' => sb.append("\\\"")
         case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b") // named, not  (utf8utils.c:80)
+        case '\f' => sb.append("\\f")
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")

@@ -409,6 +409,54 @@ object SdataKeyEscape {
   }
 }
 
+/** WELF value escaping (`/root/reference/lib/utf8utils.c:62-110`
+  * append_unsafe_utf8_as_escaped_BINARY, as `$(format-welf)` calls it —
+  * format-welf.c:67-74): \b \f \n \r \t named, backslash doubled,
+  * other control chars < 32 as `\x%02x`; in the quoted form (values
+  * containing a space) the double quote is the one unsafe char and
+  * escapes as `\"`. DEL and C1 controls pass through (the reference
+  * only special-cases uchar < 32). */
+case class WelfEscape(child: Expression, quoted: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "welf_escape"
+
+  override protected def nullSafeEval(v: Any): Any =
+    WelfEscape.escape(v.asInstanceOf[UTF8String], quoted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.WelfEscape.escape($s, $quoted);")
+
+  override protected def withNewChildInternal(c: Expression): WelfEscape =
+    copy(child = c)
+}
+
+object WelfEscape {
+  def escape(s: UTF8String, quoted: Boolean): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length + 8)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      c match {
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\\' => sb.append("\\\\")
+        case ctrl if ctrl < ' ' => sb.append(f"\\x${ctrl.toInt}%02x")
+        case '"' if quoted => sb.append("\\\"")
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
 /** CEF extension-value escaping (`/root/reference/modules/cef/
   * format-cef-extension.c:67-107` tf_cef_append_escaped): `=`, `\n`,
   * `\r`, `\\` get backslash escapes; NUL renders `\x00` (the invalid-
@@ -586,6 +634,9 @@ object GraftFunctions {
 
   def cef_escape(s: Column): Column =
     ColumnBridge.column(CefEscape(ColumnBridge.expression(s)))
+
+  def welf_escape(s: Column, quoted: Boolean): Column =
+    ColumnBridge.column(WelfEscape(ColumnBridge.expression(s), quoted))
 
   def audit_hex_decode(s: Column): Column =
     ColumnBridge.column(AuditHexDecode(ColumnBridge.expression(s)))

@@ -172,8 +172,11 @@ object ValuePairs {
   def formatJson(m: Column): Column = FormatJson(m)
 
   /** $(format-welf): space-joined k=v sorted by key ("id" sorts first,
-    * format-welf.c:80-86); values containing spaces are double-quoted
-    * with embedded quotes backslash-escaped (:67-74). */
+    * format-welf.c:80-86); values containing spaces are double-quoted.
+    * BOTH branches escape per append_unsafe_utf8_as_escaped_binary
+    * (format-welf.c:67-74 — named control escapes, doubled backslash,
+    * \x%02x controls; the quoted branch additionally escapes the
+    * double quote) — r8, from test_utf8utils.c. */
   def formatWelf(m: Column): Column = {
     val entries = sortedEntries(m)
     // "id" first: partition then concat
@@ -182,9 +185,11 @@ object ValuePairs {
     val all = concat(idPart, rest)
     val body = transform(all, e => {
       val v = e.getField("value")
-      val quoted = concat(lit("\""), regexp_replace(v, "\"", "\\\\\""), lit("\""))
+      val quoted = concat(lit("\""),
+        graft.functions.GraftFunctions.welf_escape(v, quoted = true), lit("\""))
       concat(e.getField("key"), lit("="),
-        when(v.contains(" "), quoted).otherwise(v))
+        when(v.contains(" "), quoted).otherwise(
+          graft.functions.GraftFunctions.welf_escape(v, quoted = false)))
     })
     array_join(body, " ")
   }
