@@ -136,6 +136,42 @@ object ConfigParser {
     parse(resolveIncludes(src, p.getParent, Set(p)))
   }
 
+  /** `@version` value validation, faithful to `lib/pragma-parser.c`
+    * process_version_string (test_pragma.c battery): 0 = invalid.
+    * The quirks are deliberate: the 7-char length guard is what
+    * rejects every overflow case; leading +/- on the WHOLE string is
+    * rejected but strtol's own whitespace/sign handling inside the
+    * major/minor parts is kept ("\t3.7" and "3.+7" are valid,
+    * "-1.1031" and ".+3.7" are not). */
+  private[graft] def versionCode(value: String): Int = {
+    if (value.length > "xxx.yyy".length) return 0
+    if (value.nonEmpty && (value(0) == '+' || value(0) == '-')) return 0
+    val dot = value.indexOf('.')
+    if (dot <= 0) return 0
+    val MajorRe = "\\s*\\+?([0-9]+)".r
+    val MinorRe = "\\s*([+-]?[0-9]+)".r
+    (value.substring(0, dot), value.substring(dot + 1)) match {
+      case (MajorRe(maj), MinorRe(min)) =>
+        val minor = min.toInt
+        if (minor < 0) 0 else (maj.toInt << 8) + minor
+      case _ => 0
+    }
+  }
+
+  /** Pragma sanity at lex time: a malformed `@version` is a parse
+    * error (the reference's pragma parser aborts the config); other
+    * pragmas pass through to their dedicated handlers (`@include` /
+    * `@define` / `@module confgen` are expanded before lexing). */
+  private def checkPragma(line: String): Unit = {
+    val VersionRe = "^@version\\s*:?\\s*(\\S*)\\s*$".r
+    line match {
+      case VersionRe(v) =>
+        require(versionCode(v) != 0,
+          s"@version: invalid version number: $v")
+      case _ => ()
+    }
+  }
+
   // ---- lexer ---------------------------------------------------------------
   private final case class Tok(kind: String, text: String, pos: Int)
 
@@ -146,7 +182,11 @@ object ConfigParser {
     while (i < n) {
       val c = src.charAt(i)
       if (c == '#') { while (i < n && src.charAt(i) != '\n') i += 1 }
-      else if (c == '@') { while (i < n && src.charAt(i) != '\n') i += 1 } // pragmas
+      else if (c == '@') {
+        val pStart = i
+        while (i < n && src.charAt(i) != '\n') i += 1
+        checkPragma(src.substring(pStart, i)) // @version validation
+      }
       else if (c.isWhitespace) i += 1
       else if (c == '"' || c == '\'') {
         val quote = c

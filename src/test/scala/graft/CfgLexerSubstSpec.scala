@@ -151,4 +151,28 @@ class CfgDefineE2eSpec extends GraftSuite {
     assert(out.select("message").head.getString(0) ==
       "2006-02-11T10:34:56.000+00:00")
   }
+
+  test("@version validation battery (lib/tests/test_pragma.c)") {
+    // process_version_string semantics, incl. the quirks: the 7-char
+    // guard rejects every overflow form, leading sign on the whole
+    // string is invalid, strtol whitespace/sign INSIDE parts is not
+    assert(ConfigParser.versionCode("3.27") == 0x031b)
+    assert(ConfigParser.versionCode("42.4294957319") == 0) // len > 7
+    assert(ConfigParser.versionCode("4294967299.7") == 0)
+    assert(ConfigParser.versionCode("72057594037927939.7") == 0)
+    assert(ConfigParser.versionCode("4.x") == 0)
+    assert(ConfigParser.versionCode(
+      "3.7.6.5.4.3.2.1.ignition.orbital.launch-successful!") == 0)
+    assert(ConfigParser.versionCode(".+3.7") == 0)
+    assert(ConfigParser.versionCode("-1.1031") == 0)
+    assert(ConfigParser.versionCode("42.-9977") == 0)
+    assert(ConfigParser.versionCode("4.-9") == 0) // short negative minor
+    assert(ConfigParser.versionCode("4.2") == 0x0402)
+    // a malformed @version aborts the parse; a valid one is accepted
+    intercept[IllegalArgumentException] {
+      ConfigParser.parse("@version: 4.x\nsource s { internal(); };")
+    }
+    val cfg = ConfigParser.parse("@version: 4.2\nsource s { internal(); };")
+    assert(cfg.sources.contains("s"))
+  }
 }
