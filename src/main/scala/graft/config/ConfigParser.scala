@@ -253,15 +253,37 @@ object ConfigParser {
     * result is re-parsed in place — the reference's lexer-level macro
     * expansion. */
   private final case class BlockDef(kind: String, name: String,
-      params: Seq[(String, String)], body: String,
-      globals: Map[String, String] = Map.empty) {
+      params: Seq[(String, Option[String])], body: String,
+      varargs: Boolean, globals: Map[String, String] = Map.empty) {
     def expand(args: Seq[Arg]): String = {
       val supplied = args.collect { case KV(k, vs) =>
-        k -> vs.collect { case Lit(v) => v }.mkString(" ") }.toMap
+        k -> vs.collect { case Lit(v) => v }.mkString(" ") }
+      // cfg-block.c _validate_args (test_lexer_block.c battery): a
+      // declared param with NO default (`param()` lexes NULL —
+      // cfg-lex.l:398) is MANDATORY; use-site args outside the
+      // declared set are an error unless the definition ends with
+      // `...` (varargs), in which case they format into __VARARGS__
+      // as `key(value) ` entries. Key comparisons normalize '-'/'_'
+      // like cfg_args __normalize_key.
+      def norm(k: String) = k.replace('-', '_')
+      val declared = params.map(p => norm(p._1)).toSet
+      val suppliedKeys = supplied.map(p => norm(p._1)).toSet
+      for ((p, None) <- params if !suppliedKeys(norm(p)))
+        throw new ParseError(
+          s"block $kind $name: Mandatory parameter not overridden: $p")
+      val extras = supplied.filterNot { case (k, _) => declared(norm(k)) }
+      if (extras.nonEmpty && !varargs)
+        throw new ParseError(s"block $kind $name: Unknown argument " +
+          s"specified to block reference: ${extras.head._1}")
+      val varargsMap =
+        if (!varargs) Map.empty[String, String]
+        else Map("__VARARGS__" ->
+          extras.map { case (k, v) => s"$k($v) " }.mkString)
       // full cfg-lexer-subst semantics: use-site args, declared
       // defaults, @define globals, then environment — with
       // string-state-aware splicing (CfgLexerSubst)
-      CfgLexerSubst.invoke(body, supplied, params.toMap, globals)
+      CfgLexerSubst.invoke(body, supplied.toMap ++ varargsMap,
+        params.collect { case (k, Some(d)) => k -> d }.toMap, globals)
     }
   }
 
@@ -481,13 +503,21 @@ object ConfigParser {
             // reference's lexer-level expansion
             val bkind = expect("word").text
             val bname = expect("word").text
-            val params = argList().collect {
-              case KV(k, vs) => k -> vs.collect { case Lit(v) => v }.mkString(" ")
-              case Lit(k) => k -> ""
+            val rawArgs = argList()
+            // `param()` (empty parens) declares a MANDATORY parameter
+            // (cfg-lex.l:398 lexes NULL); `param("")` an empty default;
+            // a trailing `...` accepts varargs (cfg-grammar.y:883)
+            val varargs = rawArgs.exists { case Lit("...") => true; case _ => false }
+            val params = rawArgs.collect {
+              case KV(k, Seq()) => k -> None
+              case KV(k, vs) =>
+                k -> Some(vs.collect { case Lit(v) => v }.mkString(" "))
+              case Lit(k) if k != "..." => k -> Some("")
             }
             val body = sliceBracedBody()
             expect(";")
-            blockDefs((bkind, bname)) = BlockDef(bkind, bname, params, body, globals)
+            blockDefs((bkind, bname)) =
+              BlockDef(bkind, bname, params, body, varargs, globals)
           case kind @ ("source" | "destination" | "parser" | "rewrite") =>
             val name = expect("word").text
             expect("{")

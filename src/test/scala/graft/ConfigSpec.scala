@@ -172,6 +172,40 @@ class ConfigSpec extends GraftSuite {
     assert(out.filter(array_contains(col("tags"), "web")).count() == 2)
   }
 
+  test("block args: mandatory params and varargs (lib/tests/test_lexer_block.c)") {
+    // `param()` (empty parens) declares a MANDATORY parameter: using
+    // the block without supplying it is a config error; supplying it
+    // substitutes the value (cfg-block.c _validate_mandatory_options)
+    def defBlock(use: String) = s"""
+      block rewrite b_mand(tagname()) { set-tag("`tagname`"); };
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      rewrite r { $use };
+      log { source(s); rewrite(r); destination(d); };
+    """
+    intercept[RuntimeException] { ConfigParser.parse(defBlock("b_mand();")) }
+    val ok = ConfigParser.parse(defBlock("b_mand(tagname(\"audited\"));"))
+    assert(ok.rewrites.contains("r"))
+    // an use-site arg outside the declared set is an error...
+    def defV(decl: String, use: String) = s"""
+      block rewrite b_va($decl) { set("`__VARARGS__`", value("vv")); };
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      rewrite r { $use };
+      log { source(s); rewrite(r); destination(d); };
+    """
+    intercept[RuntimeException] {
+      ConfigParser.parse(defV("known(\"1\")", "b_va(unknown(\"x\"));"))
+    }
+    // ...unless the definition accepts varargs (`...`): the extras
+    // format into __VARARGS__ as `key(value) ` entries
+    val va = ConfigParser.parse(defV("known(\"1\") ...", "b_va(unknown(\"x\"));"))
+    assert(va.rewrites.contains("r"))
+    val logs = Seq(("h1", "p", "m")).toDF("host", "program", "message")
+    val out = ConfigCompiler.compile(va, Map("s" -> logs)).head.df
+    assert(out.select(col("vv")).head.getString(0) == "unknown(x) ")
+  }
+
   test("block definitions expand with backtick params and defaults") {
     val cfg = ConfigParser.parse("""
       block parser tagged_kv(prefix(".kv.") vsep("=")) {
