@@ -2417,6 +2417,53 @@ object Queries {
       FROM scored GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  /** Bigram LM surprisal (r8) — the LM quality signal integerized for
+    * exact external verification: the oracle rebuilds both top-K
+    * tables (count desc + lexical tie-break) and replays the
+    * bits-arithmetic scoring in DuckDB. Sizes pinned small so the
+    * OOV/backoff and the cross-table clamp paths are all exercised on
+    * the test corpus. */
+  private val textBigramSurprisal = Q("text_bigram_surprisal",
+    (s, d) => TextAnalysis.bigramSurprisal(Tables.documents(s, d),
+        col("doc_id"), col("text"), vocabSize = 16, bigramTableSize = 32)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            x -> x <> '') AS ws
+        FROM documents
+      ), bigrams AS (
+        SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+        FROM toks, unnest(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2
+      ), ucounts AS (
+        SELECT term, count(*) AS ucnt
+        FROM (SELECT unnest(ws) AS term FROM toks) GROUP BY term
+      ), vocab AS (
+        SELECT term, ucnt FROM ucounts ORDER BY ucnt DESC, term ASC LIMIT 16
+      ), bcounts AS (
+        SELECT a, b, count(*) AS bcnt FROM bigrams GROUP BY a, b
+      ), btab AS (
+        SELECT a, b, bcnt FROM bcounts
+        ORDER BY bcnt DESC, a ASC, b ASC LIMIT 32
+      ), scored AS (
+        SELECT g.doc_id,
+          CASE WHEN v.ucnt IS NULL THEN 1
+            ELSE length(bin(v.ucnt)) END AS ubits,
+          bt.bcnt AS bcnt
+        FROM bigrams g
+        LEFT JOIN btab bt ON g.a = bt.a AND g.b = bt.b
+        LEFT JOIN vocab v ON g.a = v.term
+      )
+      SELECT doc_id, count(*) AS n_bigrams,
+        cast(sum(CASE WHEN bcnt IS NULL THEN 1 ELSE 0 END) AS bigint)
+          AS oov_bigrams,
+        cast(sum(CASE WHEN bcnt IS NULL THEN ubits + 1
+          ELSE greatest(0, ubits - length(bin(bcnt))) END) AS double)
+          / count(*) AS surprisal_bits_avg
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
   private val textFingerprint = Q("text_fingerprint",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -2662,7 +2709,7 @@ object Queries {
     sampleStratified, decontaminate, decontaminateBloom, decontaminateFrac,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,
-    textUnigramQuality,
+    textUnigramQuality, textBigramSurprisal,
     textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,
     multimodalGif, multimodalVideo)

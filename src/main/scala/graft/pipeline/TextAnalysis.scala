@@ -323,6 +323,64 @@ object TextAnalysis {
         (sum(col("bits")).cast("double") / count(lit(1))).as("freq_bits_avg"))
   }
 
+  /** Bigram LM surprisal — the LM-based quality signal of the
+    * CCNet/Gopher filtering recipes, INTEGERIZED so an external SQL
+    * engine verifies it exactly: instead of -log2 P(b|a) from a
+    * trained LM (whose libm logs are not bit-reproducible across
+    * engines), each bigram position scores
+    * `bits(cnt(a)) - bits(cnt(a,b))` with `bits(x) = floor(log2 x)+1`
+    * — an integer estimate of log2(1/P(b|a)) since P ≈ cnt(ab)/cnt(a)
+    * — clamped at 0 (a bigram can out-rank its left unigram only
+    * across the two top-K table boundaries), and OOV bigrams back off
+    * to `bits(cnt(a)) + 1`. High average surprisal = improbable word
+    * transitions = the gibberish/boilerplate signal LM filtering
+    * gates on.
+    *
+    * Scale shape: two partial-agg count passes (tokens, bigrams), two
+    * DETERMINISTIC top-K tables (count desc, lexical tie-break —
+    * replayable by the oracle) broadcast into the scoring joins, one
+    * per-doc aggregation. No all-pairs anywhere; the K-row tables are
+    * the only driver-bounded state, exactly like [[unigramQuality]].
+    * Docs with fewer than two tokens have no bigram rows and drop
+    * from the output (mirrored by the oracle's GROUP BY).
+    *
+    * @return (doc_id, n_bigrams, oov_bigrams, surprisal_bits_avg)
+    */
+  def bigramSurprisal(docs: DataFrame, id: Column, text: Column,
+      vocabSize: Int = 65536, bigramTableSize: Int = 262144): DataFrame = {
+    val base = docs.select(id.as("doc_id"),
+      filter(tokens(lower(text)), t => t =!= "").as("ws"))
+    val bigrams = base.select(col("doc_id"),
+      explode(bindArray(col("ws")) { ws =>
+        when(size(ws) < 2,
+          array().cast("array<struct<a:string,b:string>>"))
+          .otherwise(transform(sequence(lit(1), size(ws) - 1),
+            i => struct(element_at(ws, i).as("a"),
+              element_at(ws, i + 1).as("b"))))
+      }).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val vocab = base.select(explode(col("ws")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("ucnt"))
+      .orderBy(col("ucnt").desc, col("term").asc).limit(vocabSize)
+    val btab = bigrams.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("bcnt"))
+      .orderBy(col("bcnt").desc, col("a").asc, col("b").asc)
+      .limit(bigramTableSize)
+    bigrams
+      .join(broadcast(btab), Seq("a", "b"), "left")
+      .join(broadcast(vocab.withColumnRenamed("term", "a")), Seq("a"), "left")
+      .withColumn("ubits", when(col("ucnt").isNull, 1L)
+        .otherwise(length(bin(col("ucnt"))).cast("long")))
+      .withColumn("bits", when(col("bcnt").isNull, col("ubits") + 1L)
+        .otherwise(greatest(lit(0L),
+          col("ubits") - length(bin(col("bcnt"))).cast("long"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("bcnt").isNull, 1L).otherwise(0L)).as("oov_bigrams"),
+        (sum(col("bits")).cast("double") / count(lit(1)))
+          .as("surprisal_bits_avg"))
+  }
+
   /** Winnowing-style robust fingerprint: min-keep over character k-gram
     * rolling hashes — survives small edits. Small-word modular
     * arithmetic throughout, so an external SQL oracle recomputes it

@@ -230,6 +230,38 @@ class PipelineSpec extends GraftSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("bigram surprisal: repeated transitions score low, gibberish high") {
+    // corpus: docs 1-3 repeat the same transitions (low surprisal);
+    // doc 4 is unique-word gibberish (every bigram OOV -> backoff)
+    val corpus = Seq(
+      (1L, "the quick fox the quick fox the quick fox"),
+      (2L, "the quick fox the quick fox"),
+      (3L, "the quick fox"),
+      (4L, "zephyr quartz maze vortex glyph")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramSurprisal(corpus, col("doc_id"), col("text"),
+        vocabSize = 16, bigramTableSize = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // doc 1: 8 bigrams, all in the table; "the"x6 over the corpus ->
+    // ubits 3, the->quick cnt 6 -> bits 3-3 = 0; fox->the cnt 3 ->
+    // 3-2 = 1 (two such positions) => avg 2/8
+    assert(out(1L)._1 == 8 && out(1L)._2 == 0)
+    assert(out(1L)._3 == 0.25, out(1L).toString)
+    // doc 4: every bigram unseen elsewhere BUT present once in the
+    // top-16 table (tiny corpus) -> bits ubits(1)-bits(1) = 0; its
+    // words are singletons outside the top-16 vocab -> ubits = 1
+    assert(out(4L)._1 == 4)
+    // the gibberish doc scores STRICTLY higher than the repeated one
+    // once its bigrams fall out of the table: shrink the table so only
+    // the frequent transitions survive
+    val tight = TextAnalysis.bigramSurprisal(corpus, col("doc_id"), col("text"),
+        vocabSize = 16, bigramTableSize = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(tight(4L)._1 == 4) // all four gibberish bigrams OOV
+    assert(tight(4L)._2 > tight(1L)._2, s"$tight")
+  }
+
   test("word shingles") {
     val sh = Seq("a b c d").toDF("text")
       .select(Dedup.wordShingles(col("text"), 2)).head.getSeq[String](0)
