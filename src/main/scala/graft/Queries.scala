@@ -1635,6 +1635,42 @@ object Queries {
     Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select("embedding").head.getSeq[Float](0)
 
+  /** Product-quantization codes + reconstruction error (r8): the
+    * oracle rebuilds the md5-sampled codebook and replays the
+    * per-subspace squared-L2 argmin and the m-ordered error sum in
+    * DuckDB — encoding, tie-breaks, and float arithmetic all
+    * externally verified. k pinned to 16 for the oracle (production
+    * default 256). */
+  private val embedPq = Q("embed_pq",
+    (s, d) => Similarity.pqEncode(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), k = 16, m = 8)
+      .orderBy(col("vec_id")),
+    Some("""WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), cb AS (
+        SELECT row_number() OVER
+            (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+          CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+      ), sub AS (
+        SELECT v.vec_id, mm.m, cb.j,
+          list_sum(list_transform(range(1, 9), d ->
+            (v.e[mm.m * 8 + d] - cb.ce[mm.m * 8 + d]) *
+            (v.e[mm.m * 8 + d] - cb.ce[mm.m * 8 + d]))) AS dist
+        FROM v, (SELECT unnest(range(0, 8)) AS m) mm, cb
+      ), best AS (
+        SELECT vec_id, m, j, dist,
+          row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY dist ASC, j ASC) AS rn
+        FROM sub
+      )
+      SELECT vec_id,
+        string_agg(CAST(j AS VARCHAR), '_' ORDER BY m) AS codes,
+        list_sum(list(dist ORDER BY m)) / 64 AS mse
+      FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""),
+    bench = true)
+
   private val annBruteForce = Q("ann_brute_force",
     (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d),
         col("embedding"), col("vec_id"), queryVec(s, d), 10),
@@ -2704,7 +2740,7 @@ object Queries {
     dedupExact, dedupDropped, dedupIncremental, dedupNgramJaccard, dedupMinhash, dedupSimhash,
     dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,
     patternizeQ,
-    annBruteForce, annLsh, annIvf, dedupSemantic, dedupSemanticKeep,
+    annBruteForce, annLsh, annIvf, embedPq, dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     sampleStratified, decontaminate, decontaminateBloom, decontaminateFrac,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -225,4 +226,77 @@ object DotF {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(new DotF(ColumnBridge.expression(a),
       ColumnBridge.expression(b)))
+}
+
+/** `pq_encode(vec)` — product-quantization encoding against a
+  * driver-held codebook sample: the D dims split into `m` contiguous
+  * subspaces; per subspace the code is the ARGMIN squared-L2 over the
+  * k codebook rows' matching slice (sequential double accumulation in
+  * dim order; ties → the smaller code index), and `mse` is the total
+  * reconstruction error Σ_subspace dist(chosen) / D with the subspace
+  * partials summed in ascending-m order — every step replayable by an
+  * external SQL engine (the embed_pq oracle). Returns
+  * struct<codes: array<int>, mse: double>. */
+case class PqEncode(child: Expression, codebook: Array[Array[Float]], m: Int)
+  extends UnaryExpression {
+
+  require(codebook.nonEmpty && m > 0)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("mse", DoubleType, nullable = false)))
+  override def prettyName: String = "pq_encode"
+
+  def encodeOf(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val sub = d / m // trailing remainder dims join the last subspace
+    val codes = new Array[Int](m)
+    var total = 0.0
+    var s = 0
+    while (s < m) {
+      val from = s * sub
+      val until = if (s == m - 1) d else from + sub
+      var bestJ = 0
+      var bestDist = Double.MaxValue
+      var j = 0
+      while (j < codebook.length) {
+        val c = codebook(j)
+        var acc = 0.0
+        var i = from
+        val lim = math.min(until, c.length)
+        while (i < lim) {
+          val diff = arr.getFloat(i).toDouble - c(i).toDouble
+          acc += diff * diff
+          i += 1
+        }
+        if (acc < bestDist) { bestDist = acc; bestJ = j }
+        j += 1
+      }
+      codes(s) = bestJ
+      total += bestDist
+      s += 1
+    }
+    InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(codes),
+      if (d == 0) 0.0 else total / d)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = encodeOf(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pq", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.encodeOf($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
+object PqEncode {
+  def apply(vec: Column, codebook: Array[Seq[Float]], m: Int): Column =
+    ColumnBridge.column(new PqEncode(ColumnBridge.expression(vec),
+      codebook.map(_.toArray), m))
 }

@@ -310,6 +310,29 @@ object Similarity {
     df.join(dropped, id === col("id_b"), "left_anti")
   }
 
+  /** Product-quantization compression of the embedding column — the
+    * storage half of a 100 TB vector pipeline (64×float32 = 256 B a
+    * vector → m code bytes, 32× at m=8): the corpus is encoded against
+    * an md5-sampled codebook (the same deterministic sample every
+    * centroid op here uses, so an external SQL engine replays codebook,
+    * per-subspace squared-L2 argmin, and reconstruction error exactly —
+    * the embed_pq oracle). One narrow compiled pass
+    * ([[graft.functions.PqEncode]]), zero shuffles; the codebook is k
+    * rows on the driver (k=256 production, pinned smaller for the
+    * oracle). A trained (k-means) codebook drops in by replacing the
+    * sample — the encode pass is the scale-critical piece.
+    *
+    * @return (vec_id, codes "c0_c1_...", mse) */
+  def pqEncode(df: DataFrame, id: Column, vec: Column,
+      k: Int = 256, m: Int = 8): DataFrame = {
+    val base = df.select(id.as("vec_id"), vec.as("v"))
+    val cb = sampleCentroids(base, k).map(_._2)
+    base
+      .select(col("vec_id"), graft.functions.PqEncode(col("v"), cb.map(x => x: Seq[Float]), m).as("pq"))
+      .select(col("vec_id"), array_join(col("pq.codes"), "_").as("codes"),
+        col("pq.mse").as("mse"))
+  }
+
   /** Driver-side cosine for centroid selection. */
   private[pipeline] def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0

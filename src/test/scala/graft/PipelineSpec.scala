@@ -230,6 +230,30 @@ class PipelineSpec extends GraftSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("pq encode: codebook rows reconstruct exactly, codes bounded, mse sane") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.pqEncode(emb, col("vec_id"), col("embedding"),
+        k = 16, m = 8)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.length == emb.count())
+    // every code string is 8 codes in [0, 16)
+    out.foreach { case (_, codes, mse) =>
+      val cs = codes.split("_").map(_.toInt)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16))
+      assert(mse >= 0.0)
+    }
+    // a vector that IS a codebook row is its own nearest code in every
+    // subspace: zero reconstruction error
+    val base = emb.select(col("vec_id"), col("embedding").as("v"))
+    val cbIds = base.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(16).select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = out.filter(o => cbIds(o._1))
+    assert(exact.length == 16 && exact.forall(_._3 == 0.0))
+    // non-codebook vectors have strictly positive error (distinct
+    // random vectors never coincide with a sample row)
+    assert(out.filterNot(o => cbIds(o._1)).forall(_._3 > 0.0))
+  }
+
   test("bigram surprisal: repeated transitions score low, gibberish high") {
     // corpus: docs 1-3 repeat the same transitions (low surprisal);
     // doc 4 is unique-word gibberish (every bigram OOV -> backoff)
