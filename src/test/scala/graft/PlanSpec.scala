@@ -253,6 +253,30 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("partial_count") || p.contains("partial count"), p)
   }
 
+  test("bigram surprisal: broadcast scoring joins, bounded top-K tables") {
+    // both count tables arrive BROADCAST (the top-K cutoffs are what
+    // keep them broadcastable at 100 TB), counts partially aggregate
+    // before their exchanges, and nothing sort-merges or goes cartesian
+    val p = plan("text_bigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
+    assert(p.contains("TakeOrderedAndProject"), p) // top-K, not full sorts
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+  }
+
+  test("pq encode/search: one narrow compiled pass, no shuffle of the corpus") {
+    // the codebook is driver-held; encoding must be a projection over
+    // the scan — the ONLY exchange in either plan is the oracle's
+    // final ORDER BY (embed_pq) / the top-k (ann_pq)
+    val enc = plan("embed_pq")
+    assert(enc.contains("pq_encode"), enc)
+    assert(!enc.contains("SortMergeJoin") && !enc.contains("BroadcastHashJoin"), enc)
+    assert(enc.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1, enc)
+    val ann = plan("ann_pq")
+    assert(ann.contains("TakeOrderedAndProject"), ann) // top-k, no global sort
+    assert(!ann.contains("Exchange hashpartitioning"), ann)
+  }
+
   test("line dedup: no window over unbounded groups, semi-join survivors") {
     // keeper selection is a map-side-combinable min(struct) groupBy —
     // NOT a row_number window over per-line partitions (a mega-dup
