@@ -1541,6 +1541,63 @@ object Queries {
       SELECT id, min(l) AS component FROM r GROUP BY id ORDER BY id"""),
     bench = true)
 
+  /** Leakage-safe split (r8): same md5-simhash near-dup clusters as
+    * dedup_cc, split 8/1/1 by md5(cluster) against exact 2^128-scaled
+    * hex thresholds — the oracle replays closure, labels, and the
+    * string-compare assignment; a GROUP BY in the spec proves no
+    * cluster straddles a split. */
+  private val splitLeakageSafe = Q("split_leakage_safe",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
+        maxHamming = 3, algo = "md5")
+      Dedup.leakageSafeSplit(docs, col("doc_id"),
+          pairs.select(col("id_a"), col("id_b")),
+          Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH RECURSIVE toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        FROM documents
+      ), th AS (
+        SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+      ), bits AS (
+        SELECT doc_id, i,
+          CASE WHEN sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) > 0
+            THEN 1 ELSE 0 END AS v
+        FROM th, (SELECT unnest(range(0, 64)) AS i) b
+        GROUP BY doc_id, i
+      ), sigs AS (
+        SELECT doc_id,
+          sum(CASE WHEN i < 32 THEN v * (1::BIGINT << i) ELSE 0 END) AS lo,
+          sum(CASE WHEN i >= 32 THEN v * (1::BIGINT << (i - 32)) ELSE 0 END) AS hi
+        FROM bits GROUP BY doc_id
+      ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+      ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+      ), r(id, l) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.l = e.src
+      ), comp AS (
+        SELECT id, min(l) AS component FROM r GROUP BY id
+      ), labeled AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+      )
+      SELECT doc_id, cluster,
+        CASE WHEN md5(CAST(cluster AS VARCHAR))
+               < 'cccccccccccccccccccccccccccccccc' THEN 'train'
+             WHEN md5(CAST(cluster AS VARCHAR))
+               < 'e6666666666666666666666666666666' THEN 'val'
+             ELSE 'test' END AS split
+      FROM labeled ORDER BY doc_id"""),
+    bench = true)
+
   /** Quality-aware dedup survivor selection: same clusters as dedup_cc,
     * then keep the longest member per cluster (ties → min id). The
     * oracle re-derives the clusters via the recursive transitive
@@ -2779,6 +2836,7 @@ object Queries {
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
     dedupExact, dedupDropped, dedupIncremental, dedupNgramJaccard, dedupMinhash, dedupSimhash,
     dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,
+    splitLeakageSafe,
     patternizeQ,
     annBruteForce, annLsh, annIvf, embedPq, annPq, dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,

@@ -440,6 +440,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Leakage-safe train/val/test split (r8): the split is a pure
+    * function of the near-dup CLUSTER label, not the document id, so
+    * no near-duplicate pair can straddle a split boundary — the
+    * eval-leakage failure mode of per-document random splits (a test
+    * doc whose near-twin sits in train). Clusters come from
+    * [[dedupClusters]] over the caller's near-dup pairs (min-id
+    * labels); documents in no pair label themselves. Assignment
+    * compares lowercase-hex `md5(label)` against EXACT cumulative
+    * thresholds — integer weights scaled to 2^128 and rendered as
+    * 32-char hex, so an external engine replays the split with plain
+    * string comparison and no floating point anywhere. One label
+    * join + a narrow projection over the corpus; the cluster pass is
+    * the bounded Shiloach–Vishkin loop dedupClusters already runs.
+    *
+    * @param weights (name, integer weight) in declaration order
+    * @return (doc_id, cluster, split) */
+  def leakageSafeSplit(docs: DataFrame, id: Column, pairs: DataFrame,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "leakageSafeSplit: weights must be positive")
+    val total = weights.map(_._2).sum
+    var acc = 0
+    val marks = weights.dropRight(1).map { case (name, w) =>
+      acc += w
+      val t = (BigInt(1) << 128) * acc / total
+      val hex = t.toString(16)
+      (name, ("0" * (32 - hex.length)) + hex)
+    }
+    val clusters = dedupClusters(pairs).withColumnRenamed("id", "doc_id")
+    val labeled = docs.select(id.as("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .drop("component")
+    val h = md5(col("cluster").cast("string"))
+    val splitCol = marks.reverse
+      .foldLeft(lit(weights.last._1): Column) {
+        case (els, (name, hex)) => when(h < lit(hex), lit(name)).otherwise(els)
+      }
+    labeled.withColumn("split", splitCol)
+  }
+
   // ---- test-set decontamination --------------------------------------------------
   /** Benchmark decontamination: training docs sharing any word `k`-gram
     * with the benchmark corpus, with the count of DISTINCT overlapping

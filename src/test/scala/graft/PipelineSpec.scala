@@ -230,6 +230,30 @@ class PipelineSpec extends GraftSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("leakage-safe split: clusters never straddle splits, weights roughly hold") {
+    val docsT = Tables.documents(spark, sf)
+    val pairs = Dedup.simhashPairs(docsT, col("doc_id"), col("text"),
+      maxHamming = 3, algo = "md5")
+    val out = Dedup.leakageSafeSplit(docsT, col("doc_id"),
+        pairs.select(col("id_a"), col("id_b")),
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // every document exactly once
+    assert(out.length == docsT.count() && out.map(_._1).distinct.length == out.length)
+    // THE property: a cluster maps to exactly one split — near-dup
+    // pairs can never straddle train/test
+    out.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._3).distinct.length == 1, s"cluster $c straddles")
+    }
+    // multi-member clusters exist (the property is non-vacuous)
+    assert(out.groupBy(_._2).exists(_._2.length > 1))
+    // weights hold within sampling noise at 500 docs (md5 uniformity)
+    val bySplit = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit("train") > out.length * 0.7, bySplit.toString)
+    assert(bySplit.getOrElse("val", 0) + bySplit.getOrElse("test", 0)
+      < out.length * 0.3, bySplit.toString)
+  }
+
   test("pq encode: codebook rows reconstruct exactly, codes bounded, mse sane") {
     val emb = Tables.embeddings(spark, sf)
     val out = Similarity.pqEncode(emb, col("vec_id"), col("embedding"),
