@@ -2597,6 +2597,32 @@ object Queries {
       FROM scored GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  /** Context-window chunking (r8): deterministic overlapping windows
+    * over whitespace tokens — the oracle replays tokenization, the
+    * chunk-index range, and the list slices. Pinned small
+    * (32-token chunks, 8 overlap) so every doc produces several
+    * chunks incl. short tails. */
+  private val textChunking = Q("text_chunking",
+    (s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d),
+        col("doc_id"), col("text"), chunkTokens = 32, overlap = 8)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            x -> x <> '') AS ws
+        FROM documents
+        WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> x <> '')) > 0
+      )
+      SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        CAST(len(ws[k * 24 + 1 : least(k * 24 + 32, len(ws))]) AS BIGINT)
+          AS n_tokens,
+        array_to_string(ws[k * 24 + 1 : least(k * 24 + 32, len(ws))], ' ')
+          AS chunk_text
+      FROM toks, unnest(range(0, greatest(0, (len(ws) - 8 - 1) // 24) + 1)) AS t(k)
+      ORDER BY doc_id, chunk_idx"""),
+    bench = true)
+
   private val textFingerprint = Q("text_fingerprint",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -2843,7 +2869,7 @@ object Queries {
     sampleStratified, decontaminate, decontaminateBloom, decontaminateFrac,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,
-    textUnigramQuality, textBigramSurprisal,
+    textUnigramQuality, textBigramSurprisal, textChunking,
     textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,
     multimodalGif, multimodalVideo)

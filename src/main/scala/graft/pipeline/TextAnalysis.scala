@@ -381,6 +381,51 @@ object TextAnalysis {
           .as("surprisal_bits_avg"))
   }
 
+  /** Context-window chunking (r8): long documents split into
+    * token-bounded overlapping chunks — the standard pretraining prep
+    * step between cleaning and packing. Chunk k covers tokens
+    * `[k·stride, k·stride + chunkTokens)` with
+    * `stride = chunkTokens − overlap`; chunks are emitted for
+    * `k = 0 .. max(0, ceil((n − chunkTokens)/stride))` — i.e. a chunk
+    * exists only if it reaches tokens the previous chunk did not
+    * (no fully-redundant tails; the last chunk always covers the end
+    * of the document, and its length is in (overlap, chunkTokens]
+    * unless the whole doc is shorter than one chunk). The contract is
+    * kept dead simple so an external engine replays it with a list
+    * slice. One narrow pass: tokenize, explode the chunk-index range,
+    * slice — no shuffle, no state; the output is
+    * ~(1 + overlap/stride)× the corpus tokens, the expected chunking
+    * overhead.
+    *
+    * @return (doc_id, chunk_idx, n_tokens, chunk_text) */
+  def chunkDocuments(docs: DataFrame, id: Column, text: Column,
+      chunkTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      "chunkDocuments: need chunkTokens > overlap >= 0")
+    val stride = chunkTokens - overlap
+    docs
+      .select(id.as("doc_id"),
+        filter(tokens(text), t => t =!= "").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        // kmax = ceil((n − chunkTokens)/stride) = (n − overlap − 1) div
+        // stride, clamped at 0 (trunc-vs-floor div only differs below
+        // the clamp)
+        explode(sequence(lit(0),
+          greatest(lit(0), (size(col("ws")) - overlap - 1) / stride)
+            .cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        // one slice per chunk row, bound through the HOF-staging rule
+        // (size + join would otherwise each re-slice)
+        bindArray(slice(col("ws"), col("chunk_idx") * stride + 1,
+            lit(chunkTokens))) {
+          sl => struct(size(sl).cast("long").as("n_tokens"),
+            array_join(sl, " ").as("chunk_text"))
+        }.as("c"))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
+  }
+
   /** Winnowing-style robust fingerprint: min-keep over character k-gram
     * rolling hashes — survives small edits. Small-word modular
     * arithmetic throughout, so an external SQL oracle recomputes it

@@ -230,6 +230,35 @@ class PipelineSpec extends GraftSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("chunking: windows, overlap, short tails, sub-chunk docs") {
+    val corpus = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // exact multi-chunk fit
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, ""),                                       // no tokens -> no chunks
+      (4L, (1 to 5).map(i => s"x$i").mkString(" "))   // short tail > overlap
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(corpus, col("doc_id"), col("text"),
+        chunkTokens = 4, overlap = 2) // stride 2
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1 (10 toks): kmax = ceil((10-4)/2) = 3; chunk 3 reaches w10
+    // exactly — NO redundant start-8 tail (it would add nothing new)
+    assert(out((1L, 0)) == (4L, "w1 w2 w3 w4"))
+    assert(out((1L, 1)) == (4L, "w3 w4 w5 w6"))
+    assert(out((1L, 3)) == (4L, "w7 w8 w9 w10"))
+    assert(!out.contains((1L, 4)))
+    // doc 2 (3 toks): one short chunk, intact — no tail inside it
+    assert(out((2L, 0)) == (3L, "a b c"))
+    assert(!out.contains((2L, 1)))
+    // doc 3: dropped entirely
+    assert(!out.keys.exists(_._1 == 3L))
+    // doc 4 (5 toks): kmax = ceil((5-4)/2) = 1; 3-token tail (> overlap)
+    assert(out((4L, 1)) == (3L, "x3 x4 x5") && !out.contains((4L, 2)))
+    // every document's last chunk covers the final token
+    assert(out((1L, 3))._2.endsWith("w10") && out((4L, 1))._2.endsWith("x5"))
+  }
+
   test("leakage-safe split: clusters never straddle splits, weights roughly hold") {
     val docsT = Tables.documents(spark, sf)
     val pairs = Dedup.simhashPairs(docsT, col("doc_id"), col("text"),

@@ -277,6 +277,17 @@ class PlanSpec extends GraftSuite {
     assert(!ann.contains("Exchange hashpartitioning"), ann)
   }
 
+  test("chunking: one narrow generate pass, no shuffle of the corpus") {
+    // tokenize → explode chunk range → slice is narrow end-to-end; the
+    // only exchange is the oracle harness's ORDER BY (rangepartitioning),
+    // which production never runs — at 100 TB chunking must stay a
+    // map-only stage over the scan
+    val p = plan("text_chunking")
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("line dedup: no window over unbounded groups, semi-join survivors") {
     // keeper selection is a map-side-combinable min(struct) groupBy —
     // NOT a row_number window over per-line partitions (a mega-dup
