@@ -1485,16 +1485,21 @@ object ConfigCompiler {
             throw new IllegalArgumentException("add-contextual-data needs selector()"))
         val prefix = kvOf(s.args, "prefix").getOrElse("")
         val dflt = kvOf(s.args, "default-selector")
+        val ignoreCase = kvOf(s.args, "ignore-case").contains("yes")
+        // context-info-db.c import: the reference's own csv dialect,
+        // whole-import failure on any malformed line, value column is
+        // a template (3.21+) — parsed at CONFIG COMPILE time so a bad
+        // db fails the load, like the reference's init
+        val records = graft.operators.Enrich.parseContextDb(
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            java.nio.file.Files.readAllLines(
+              java.nio.file.Paths.get(dbPath))).asScala.toSeq, dbPath)
         df => {
-          val db = df.sparkSession.read
-            .schema("selector string, name string, value string").csv(dbPath)
           val sel = selArgs match {
             case Seq(KV("filters", fs)) =>
               val fcfg = ConfigParser.parseFile(lits(fs).head)
               // ordered filter names = db selectors in file order
-              // (driver-side collect: config-dimension, bounded)
-              val names = db.select("selector").collect()
-                .map(_.getString(0)).distinct.toSeq
+              val names = records.map(_._1).distinct
               names.foldLeft(lit(null).cast("string")) { (acc, n) =>
                 val fd = fcfg.filters.getOrElse(n,
                   throw new IllegalArgumentException(
@@ -1505,7 +1510,8 @@ object ConfigCompiler {
             case other => throw new IllegalArgumentException(
               s"add-contextual-data: unsupported selector form $other")
           }
-          graft.operators.Enrich.addContextualData(df, db, sel, prefix, dflt)
+          graft.operators.Enrich.addContextualDataTemplated(
+            df, records, sel, prefix, dflt, ignoreCase)
         }
 
       case "geoip2" =>

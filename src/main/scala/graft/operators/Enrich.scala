@@ -72,6 +72,123 @@ object Enrich {
     merged.drop("selector", "__ctx")
   }
 
+  /** `context-info-db` CSV import (`context-info-db.c:312-338` via
+    * `contextual-data-record-scanner.c:180-198`): the db file is parsed
+    * with the reference's OWN csv dialect — comma delimiter, quote
+    * pairs `""` and `''`, double-char escape, strip-whitespace — into
+    * exactly three columns. Blank lines are skipped (:324-325), EOLs
+    * (`\n`/`\r\n`) stripped (`_truncate_eol` :288-298), and ANY
+    * malformed line (missing column, extra trailing data) fails the
+    * WHOLE import, purging the db (:327-332). Returns
+    * (selector, name, value) triplets in file order; the value column
+    * is a TEMPLATE string (scanner :91-127, 3.21+ semantics), compiled
+    * later by [[addContextualDataTemplated]]. Parsing reuses the
+    * engine's compiled `CsvScan` — the same dialect machine the
+    * csv-parser() operator runs — driver-side (the db is config-scale).
+    */
+  def parseContextDb(lines: Seq[String],
+      filename: String = "db.csv"): Seq[(String, String, String)] = {
+    val scanner = new graft.functions.CsvScan(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(null,
+        org.apache.spark.sql.types.StringType),
+      Seq("selector", "name", "value"), ",", Nil, "\"\"''", "double-char",
+      greedy = false, stripWhitespace = true, nullValue = null)
+    lines.iterator.zipWithIndex.flatMap { case (raw, i) =>
+      val line = raw.stripSuffix("\r")
+      if (line.isEmpty) Iterator.empty
+      else {
+        val row = scanner.scan(
+          org.apache.spark.unsafe.types.UTF8String.fromString(line))
+        if (!row.getBoolean(3) || (0 to 2).exists(row.isNullAt))
+          throw new IllegalArgumentException("add-contextual-data(): error " +
+            "parsing CSV file, expecting (selector, name, value) triplets " +
+            s"($filename:${i + 1}: '$line')")
+        Iterator.single((row.getUTF8String(0).toString,
+          row.getUTF8String(1).toString, row.getUTF8String(2).toString))
+      }
+    }.toSeq
+  }
+
+  /** `add-contextual-data()` over parsed db records with the
+    * reference's template-valued semantics
+    * (`contextual-data-record-scanner.c:91-127`: since 3.21 the value
+    * column IS a template evaluated against each message;
+    * `add-contextual-data.c:110-136` applies every record of the
+    * selected selector, falling back to `default-selector()` only when
+    * the WHOLE db lacks the resolved selector, :119-120).
+    *
+    * Scale split: literal values (no '$') — the overwhelming majority
+    * of real enrichment dbs — keep the broadcast-hash-join path;
+    * templated values (config-authored, few) compile to a `when()`
+    * cascade over their selectors, a pure map-side expression. On a
+    * name collision across the two halves the templated value wins
+    * (file-order overwrite only matters for dbs defining the same name
+    * twice for one selector — within each half, last wins). */
+  def addContextualDataTemplated(
+      df: DataFrame,
+      records: Seq[(String, String, String)],
+      selector: Column,
+      prefix: String = "",
+      defaultSelector: Option[String] = None,
+      ignoreCase: Boolean = false): DataFrame = {
+    import graft.template.Template
+    def norm(s: String) = if (ignoreCase) s.toLowerCase else s
+    val cols = df.columns.toSeq
+    val emptyMap = map().cast("map<string,string>")
+    val allSelectors = records.map(r => norm(r._1)).distinct
+    val key0 = if (ignoreCase) lower(selector) else selector
+    val effKey = defaultSelector match {
+      case None => key0
+      case Some(d) =>
+        if (allSelectors.isEmpty) lit(norm(d))
+        else when(key0.isin(allSelectors: _*), key0).otherwise(lit(norm(d)))
+    }
+    val (tmplRecs, litRecs) = records.partition(_._3.contains("$"))
+
+    def group(rs: Seq[(String, String, String)]) = {
+      val m = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.LinkedHashMap[String, String]]
+      rs.foreach { case (s, n, v) =>
+        m.getOrElseUpdate(norm(s),
+          scala.collection.mutable.LinkedHashMap.empty) += ((prefix + n) -> v)
+      }
+      m
+    }
+
+    // literal half: broadcast hash join on the normalized selector
+    val litJoined =
+      if (litRecs.isEmpty) df.withColumn("__ctx_lit", emptyMap)
+      else {
+        import df.sparkSession.implicits._
+        val dbDf = group(litRecs).toSeq.map { case (s, m) => (s, m.toMap) }
+          .toDF("__ctx_sel", "__ctx_lit")
+        df.join(broadcast(dbDf), effKey === col("__ctx_sel"), "left")
+          .drop("__ctx_sel")
+      }
+
+    // templated half: when() cascade, values evaluated per message
+    val tmplMap = group(tmplRecs).foldRight(
+      lit(null).cast("map<string,string>")) { case ((s, m), acc) =>
+      val entries = m.toSeq.flatMap { case (n, v) =>
+        Seq(lit(n), Template.column(v, cols)) }
+      when(effKey === lit(s), map(entries: _*)).otherwise(acc)
+    }
+
+    val addLit = coalesce(col("__ctx_lit"), emptyMap)
+    val addTmpl = coalesce(tmplMap, emptyMap)
+    val added = map_concat(
+      map_filter(addLit, (k, _) => !array_contains(map_keys(addTmpl), k)),
+      addTmpl)
+    val out =
+      if (cols.contains("values"))
+        litJoined.withColumn("values", map_concat(
+          map_filter(col("values"),
+            (k, _) => !array_contains(map_keys(added), k)),
+          added))
+      else litJoined.withColumn("values", added)
+    out.drop("__ctx_lit")
+  }
+
   /** Glob-selector form (`add-contextual-data-glob-selector.c`): db
     * selectors are glob patterns matched against `target`; the FIRST
     * matching db row (db order) wins. The db is config-scale (the
