@@ -1655,8 +1655,36 @@ object ConfigCompiler {
       // scl composites (Scl.scala): the application-registry junction,
       // the ewmm/cee adapters and the flagship default-network-drivers
       case "app-parser" =>
+        // app-parser(topic(T) auto-parse(yes/no) auto-parse-include()
+        // auto-parse-exclude()) — app-parser-generator.c:155-215; user
+        // `application name[topic]` blocks join the built-in registry
         val topic = kvOf(s.args, "topic").getOrElse("syslog")
-        df => graft.operators.Scl.appParser(df, topic)
+        // cfg_process_yesno: yes/on/1 are true, everything else false
+        val enabled = kvOf(s.args, "auto-parse")
+          .forall(v => Set("yes", "on", "1").contains(v.toLowerCase))
+        val include = kvOf(s.args, "auto-parse-include")
+        val exclude = kvOf(s.args, "auto-parse-exclude")
+        val userApps =
+          if (cfg == null) Seq.empty
+          else cfg.applications.filter(_.topic != "*")
+            .filter(_.topic == topic).map { a =>
+              // base-topic (*) inheritance per field
+              // (app-parser-generator.c:40-58)
+              val bse = if (cfg == null) None
+                else cfg.applications.find(b =>
+                  b.name == a.name && b.topic == "*")
+              val fexpr = a.filter.orElse(bse.flatMap(_.filter))
+              val pstmts =
+                if (a.parser.nonEmpty) a.parser
+                else bse.map(_.parser).getOrElse(Seq.empty)
+              graft.operators.Scl.UserApp(a.name,
+                fexpr.map(e => filterCol(cfg, e)),
+                if (pstmts.isEmpty) None
+                else Some(pstmts.map(p => parserFn(p, cfg))
+                  .reduce((f, g) => f.andThen(g))))
+            }
+        df => graft.operators.Scl.appParserConfigured(df, topic, enabled,
+          include, exclude, userApps)
       case "ewmm-parser" =>
         df => graft.operators.Scl.ewmmParser(df)
       case "extract-solaris-msgid" =>
@@ -1828,6 +1856,26 @@ object ConfigCompiler {
         df => Rewrites.unset(df, colName(field))
       case "set-tag" => df => Rewrites.setTag(df, lits(s.args).head, cond)
       case "clear-tag" => df => Rewrites.clearTag(df, lits(s.args).head, cond)
+      case "fix-time-zone" | "set-time-zone" | "guess-time-zone" =>
+        // rewrite-fix-timezone.c / rewrite-set-timezone.c /
+        // rewrite-guess-timezone.c: time-stamp(stamp|recvd) picks which
+        // timestamp class the rewrite touches (default LM_TS_STAMP)
+        val field = kvOf(s.args, "time-stamp") match {
+          case Some("recvd") => "recvd_ts"
+          case _ => "ts"
+        }
+        def zone = lits(s.args).headOption.getOrElse(
+          throw new IllegalArgumentException(s"${s.name} needs a zone argument"))
+        s.name match {
+          case "fix-time-zone" =>
+            df => Rewrites.fixTimeZone(df, field, zone, condition = cond)
+          case "set-time-zone" =>
+            df => Rewrites.setTimeZone(df, field, zone, cond)
+          case _ => df => Rewrites.guessTimeZone(df, field,
+            // real time ≈ arrival time in the reference's live loop
+            if (df.columns.contains("recvd_ts")) col("recvd_ts")
+            else current_timestamp(), cond)
+        }
       case "set-severity" =>
         df => Rewrites.setSeverity(df, Template.column(lits(s.args).head, df.columns), cond)
       case "set-facility" =>

@@ -32,6 +32,14 @@ object ConfigParser {
   final case class Block(kind: String, name: String, stmts: Seq[Stmt]) extends Decl
   final case class FilterDecl(name: String, expr: FilterExpr) extends Decl
   final case class LogDecl(path: Seq[LogElem]) extends Decl
+  /** `application name[topic] { filter {...}; parser {...}; };`
+    * (`modules/appmodel/appmodel-grammar.ym:68-79`) — registers an
+    * application for `app-parser(topic(...))`. Topic `*` declares a
+    * BASE application: same-name apps in concrete topics inherit its
+    * filter/parser when their own is empty
+    * (`appmodel-context.c:91-106` + `app-parser-generator.c:40-58`). */
+  final case class AppDecl(name: String, topic: String,
+      filter: Option[FilterExpr], parser: Seq[Stmt]) extends Decl
   /** `template NAME {...}` / `template-function NAME "..."` —
     * lib/cfg-grammar.y template_stmt + lib/template/user-function.c. */
   final case class TemplateDecl(name: String, text: String,
@@ -55,6 +63,8 @@ object ConfigParser {
     def filters: Map[String, FilterDecl] =
       decls.collect { case f: FilterDecl => f.name -> f }.toMap
     def logs: Seq[LogDecl] = decls.collect { case l: LogDecl => l }
+    /** Registered applications in declaration (= registration) order. */
+    def applications: Seq[AppDecl] = decls.collect { case a: AppDecl => a }
     /** Named templates (`$(template name)` / `template(name)` refs). */
     def templates: Map[String, String] =
       decls.collect { case t: TemplateDecl => t.name -> t.text }.toMap
@@ -230,7 +240,9 @@ object ConfigParser {
             out += Tok("num", src.substring(st, i), st)
         }
       }
-      else if ("{}();,".indexOf(c) >= 0) { out += Tok(c.toString, c.toString, i); i += 1 }
+      else if ("{}();,[]".indexOf(c) >= 0) { out += Tok(c.toString, c.toString, i); i += 1 }
+      // bare `*` is the appmodel base-topic name (application foo[*])
+      else if (c == '*') { out += Tok("word", "*", i); i += 1 }
       else if (c == '=' || c == '!' || c == '<' || c == '>') {
         val st = i
         i += 1
@@ -518,6 +530,37 @@ object ConfigParser {
             expect(";")
             blockDefs((bkind, bname)) =
               BlockDef(bkind, bname, params, body, varargs, globals)
+          case "application" =>
+            // application name[topic] { filter {...}; parser {...}; };
+            // (appmodel-grammar.ym:68-79; topic is MANDATORY)
+            val name = expect("word").text
+            expect("[")
+            val topic = expect("word").text
+            expect("]")
+            expect("{")
+            var fexpr: Option[FilterExpr] = None
+            val pstmts = mutable.ArrayBuffer.empty[Stmt]
+            while (!accept("}")) {
+              expect("word").text match {
+                case "filter" =>
+                  expect("{")
+                  val e = filterExpr()
+                  accept(";")
+                  expect("}")
+                  fexpr = Some(e)
+                case "parser" =>
+                  expect("{")
+                  while (!accept("}")) {
+                    pstmts ++= stmtExpanded("parser")
+                    expect(";")
+                  }
+                case other =>
+                  throw new ParseError(s"application: unknown option $other")
+              }
+              expect(";")
+            }
+            expect(";")
+            decls += AppDecl(name, topic, fexpr, pstmts.toSeq)
           case kind @ ("source" | "destination" | "parser" | "rewrite") =>
             val name = expect("word").text
             expect("{")

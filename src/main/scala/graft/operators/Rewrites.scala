@@ -295,13 +295,96 @@ object Rewrites {
     df.withColumn(field, when(condition && value.isNotNull, value).otherwise(current))
   }
 
-  /** `fix-time-zone` / `set-time-zone`: reinterpret the wall-clock of `ts`
-    * into another zone (`modules/timestamp/rewrite-fix-timezone.c`). */
-  def fixTimeZone(df: DataFrame, field: String, tz: String): DataFrame =
-    df.withColumn(field, to_utc_timestamp(col(field), tz))
+  /** `fix-time-zone(zone)` (`modules/timestamp/rewrite-fix-timezone.c`
+    * → `lib/timeutils/unixtime.c:204-302`,
+    * `unix_time_fix_timezone_with_tzinfo`): the zone the stamp was
+    * parsed with was WRONG — keep its wall clock, re-anchor it in
+    * `tz`. In this engine stamps are instants whose UTC rendering IS
+    * the wall clock, so the implied source offset is 0 (`srcZone`
+    * overrides when the wall was anchored elsewhere).
+    *
+    * The reference resolves DST by ITERATED OFFSET LOOKUPS AT INSTANTS
+    * (the 3-step fixup), not by java.time's local-time rules: an
+    * ambiguous autumn wall clock lands on the SECOND occurrence
+    * (standard time), where `to_utc_timestamp` alone would pick the
+    * FIRST — the ported test_unixtime.c battery proves the divergence
+    * inside the overlap hour. Offset-at-instant is pure column
+    * algebra: `from_utc_timestamp` shifts by exactly that offset. */
+  def fixTimeZone(df: DataFrame, field: String, tz: String,
+      srcZone: String = "UTC", condition: Column = lit(true)): DataFrame = {
+    def off(zone: String, t: Column): Column =
+      from_utc_timestamp(t, zone).cast("long") - t.cast("long")
+    def addSec(t: Column, s: Column): Column =
+      timestamp_add("SECOND", s, t)
+    val t0 = col(field)
+    val srcOff = off(srcZone, t0)
+    val fixed = off(tz, t0) // STEP 1: lookup at the (wrong) instant
+    val t1 = addSec(t0, srcOff - fixed)
+    val alt = off(tz, t1) // STEP 2: re-check after the adjustment
+    val t2 = addSec(t1, fixed - alt)
+    // STEP 3: inside the transition hour the walk is non-linear —
+    // spring-forward wall clocks skip ahead by the DST delta
+    val inTransition = off(tz, t2) === fixed
+    val fixedTs = when(alt === fixed, t1)
+      .otherwise(when(inTransition && alt > fixed, addSec(t2, alt - fixed))
+        .otherwise(t2))
+    df.withColumn(field, when(condition, fixedTs).otherwise(t0))
+  }
+
+  /** `set-time-zone(zone)` (`rewrite-set-timezone.c` →
+    * `unix_time_set_timezone_with_tzinfo`): the stamp was CORRECT,
+    * only its rendering zone changes. The reference keeps the instant
+    * and flips `ut_gmtoff`; this engine renders stamps in UTC, so the
+    * faithful translation shifts the stored wall to the target zone's
+    * wall (downstream UTC-rendered output then equals the reference's
+    * zone-rendered output; epoch macros taken AFTER a set-time-zone
+    * shift accordingly — the documented trade of a zone-less stamp
+    * model). */
+  def setTimeZone(df: DataFrame, field: String, tz: String,
+      condition: Column = lit(true)): DataFrame =
+    df.withColumn(field,
+      when(condition, from_utc_timestamp(col(field), tz))
+        .otherwise(col(field)))
 
   def toTimeZone(df: DataFrame, field: String, tz: String): DataFrame =
     df.withColumn(field, from_utc_timestamp(col(field), tz))
+
+  /** The real-world gmtoff whitelist of `unixtime.c:60-131`
+    * (`_is_gmtoff_valid`): ±12..+14 h bound, whole hours, plus the
+    * curated 30/45-minute offsets in today's tzdata. */
+  private val validNonEvenHourGmtoffs: Seq[Long] = Seq(
+    -34200L, -16200L, -12600L, -9000L, 12600L, 16200L, 19800L, 20700L,
+    23400L, 30600L, 31500L, 34200L, 35100L, 37800L, 41400L, 45900L, 49500L)
+
+  /** `guess-time-zone()` (`rewrite-guess-timezone.c` →
+    * `unixtime.c:133-161`,
+    * `unix_time_fix_timezone_assuming_the_time_matches_real_time`):
+    * assume the message is REAL TIME — if the stamp differs from `now`
+    * by less than 24 h AND the difference is within 30 s of a
+    * quarter-hour multiple AND the implied corrected offset is a real
+    * timezone (whitelist above), the difference was a mis-parsed zone:
+    * shift the stamp onto real time. `now` is the arrival clock —
+    * `recvd_ts` in batch replays (the reference's wall clock ≈ arrival
+    * time in its always-live pipeline). `_div_round` rounds half away
+    * from zero, ported exactly. */
+  def guessTimeZone(df: DataFrame, field: String, now: Column,
+      condition: Column = lit(true)): DataFrame = {
+    val diff = now.cast("long") - col(field).cast("long")
+    // Column./ is double division; the cast back to long truncates
+    // toward zero exactly like the C quotient in _div_round
+    val rounded = (when(diff >= 0, ((diff + 450L) / 900L).cast("long"))
+      .otherwise(((diff - 450L) / 900L).cast("long"))) * 900L
+    // implied source offset is 0 in this engine, so the corrected
+    // offset the reference validates is -rounded
+    val g = -rounded
+    val gmtoffValid = g >= -12L * 3600 && g <= 14L * 3600 &&
+      (g % 3600 === 0 || g.isInCollection(validNonEvenHourGmtoffs))
+    val applies = condition && abs(diff) < 24L * 3600 &&
+      abs(diff - rounded) <= 30 && gmtoffValid
+    df.withColumn(field,
+      when(applies, timestamp_add("SECOND", rounded, col(field)))
+        .otherwise(col(field)))
+  }
 
   private[graft] def globToRegex(glob: String): String =
     "^" + glob.flatMap {

@@ -119,8 +119,9 @@ object Scl {
   private def applications(topic: String): Seq[App] = topic match {
     case "syslog-raw" => rawApplications
     case "syslog" => syslogApplications
-    case other => throw new IllegalArgumentException(
-      s"app-parser: unknown topic $other (expected syslog or syslog-raw)")
+    // any other topic is legal (app-parser-generator.c matches apps by
+    // string equality); only user-registered apps can live there
+    case _ => Seq.empty
   }
 
   /** First-match route: NULL when no application matches (detects are
@@ -150,13 +151,64 @@ object Scl {
           array().cast("array<string>")),
         array(concat(lit(".app."), appRoute)))))
 
+  /** One user-registered application (`application name[topic] {}`
+    * config block, appmodel-grammar.ym:68-79). `detect`/`transform`
+    * empty = the block had no filter/parser (after base-topic
+    * inheritance); a missing filter matches EVERYTHING, first-match
+    * order still applies (`_generate_filter` skips the filter line,
+    * the junction channel then passes all rows). */
+  final case class UserApp(name: String, detect: Option[Column],
+      transform: Option[DataFrame => DataFrame])
+
+  /** The include/exclude tests of `app-parser-generator.c:86-100` are
+    * `strstr` SUBSTRING probes on the raw comma list — "foo" is
+    * included by auto-parse-include("foobar"). Ported quirk-for-quirk. */
+  private def selectedBy(include: Option[String], exclude: Option[String])(
+      name: String): Boolean =
+    include.forall(_.contains(name)) && !exclude.exists(_.contains(name))
+
   /** app-parser(topic(...)) as a standalone transform — the fused
     * form: route once, merge every registered parser's effect in one
     * application step, tag matches, label `__channel` (the
     * doesnotexist fallback of `app-parser-generator.c:137` = route
     * NULL → "unknown", passed through untouched). */
-  def appParser(df: DataFrame, topic: String): DataFrame = {
-    val apps = applications(topic)
+  def appParser(df: DataFrame, topic: String): DataFrame =
+    appParserFused(df, applications(topic))
+
+  /** The full generated-app-parser surface
+    * (`app-parser-generator.c:155-215`): `auto-parse(no)` disables
+    * every application branch (only the doesnotexist frame remains,
+    * :135-138 — i.e. nothing matches), `auto-parse-include()`/
+    * `auto-parse-exclude()` filter applications by the strstr probe,
+    * and user-registered `application` blocks join the branch list
+    * AFTER the built-in (scl) registry, in registration order, with
+    * base-topic (`*`) filter/parser inheritance
+    * (`appmodel-context.c:91-106`). With no user apps the fused
+    * single-pass compile is used; user apps — config-authored, few —
+    * compile the way the reference itself generates them: route once,
+    * then per-app branches unioned (each branch applies its parser
+    * transform to only its routed rows; the routes partition the rows
+    * so delivery semantics equal the junction's flags(final) chain). */
+  def appParserConfigured(df: DataFrame, topic: String,
+      enabled: Boolean = true,
+      include: Option[String] = None, exclude: Option[String] = None,
+      userApps: Seq[UserApp] = Nil): DataFrame = {
+    if (!enabled) {
+      // auto-parse(no): only the '.app.doesnotexist' frame — no row
+      // can match, everything passes through unrouted
+      val base =
+        if (df.columns.contains("values")) df
+        else df.withColumn("values", emptyMap)
+      return base.withColumn("__channel", lit("unknown"))
+    }
+    val sel = selectedBy(include, exclude) _
+    val builtins = applications(topic).filter(a => sel(a.name))
+    val users = userApps.filter(u => sel(u.name))
+    if (users.isEmpty) appParserFused(df, builtins)
+    else appParserBranched(df, builtins, users)
+  }
+
+  private def appParserFused(df: DataFrame, apps: Seq[App]): DataFrame = {
     // detects may read the NV surface (junos classifies on SDATA) —
     // guarantee it exists like the post-parse frames do
     val base =
@@ -174,6 +226,57 @@ object Scl {
     VendorParsers.applyFx(routed, fxs ++ tagFx,
         concatAdds = Seq(tagAddOf(col("__route"))))
       .withColumn("__channel", coalesce(col("__route"), lit("unknown")))
+      .drop("__route")
+  }
+
+  /** Branch-union compile for configs with user-registered apps: one
+    * `__route` pass decides the application per row (builtins first,
+    * then user apps — registration order, first match wins), then each
+    * user app's parser transform runs on ITS rows only and the pieces
+    * re-union (`unionByName` with null-fill: a csv-parser branch adds
+    * real columns the other branches lack, exactly the junction's
+    * fan-in). Built-in rows keep the fused single-application step. */
+  private def appParserBranched(df: DataFrame, builtins: Seq[App],
+      users: Seq[UserApp]): DataFrame = {
+    val base =
+      if (df.columns.contains("values")) df
+      else df.withColumn("values", emptyMap)
+    val userAsApps = users.map(u =>
+      App(u.name, u.detect.getOrElse(lit(true)), null))
+    // no persist: streaming frames can't cache, and the re-scan per
+    // branch IS the junction shape the reference generates here
+    val routed = base.withColumn("__route", routeOf(builtins ++ userAsApps))
+
+    // built-in (and unmatched) rows: the fused effect application
+    val userNames = users.map(_.name)
+    val builtinRows = routed.filter(!coalesce(col("__route"), lit(""))
+      .isInCollection(userNames))
+    val fxs = builtins.map(a => a.fx(builtinRows, col("__route") === a.name))
+    val tagFx =
+      if (builtinRows.columns.contains("tags"))
+        Seq(tagFxOf(builtinRows, col("__route"))) else Nil
+    val builtinDone = VendorParsers.applyFx(builtinRows, fxs ++ tagFx,
+        concatAdds = Seq(tagAddOf(col("__route"))))
+      .withColumn("__channel", coalesce(col("__route"), lit("unknown")))
+
+    // each user app: its rows through its parser, then the generated
+    // action (app-parser-generator.c:75-85): .app.name NV + .app.<n> tag
+    val userDone = users.map { u =>
+      val mine = routed.filter(col("__route") === u.name)
+      val parsed = u.transform.fold(mine)(t => t(mine))
+      val tagged =
+        if (parsed.columns.contains("tags"))
+          parsed.withColumn("tags", array_union(
+            coalesce(col("tags"), array().cast("array<string>")),
+            array(lit(".app." + u.name))))
+        else parsed
+      tagged.withColumn("values", merged(tagged,
+          map(lit(".app.name"), lit(u.name))))
+        .withColumn("__channel", lit(u.name))
+    }
+
+    userDone.foldLeft(builtinDone)((acc, d) =>
+        acc.unionByName(d, allowMissingColumns = true))
       .drop("__route")
   }
 
