@@ -2623,6 +2623,36 @@ object Queries {
       ORDER BY doc_id, chunk_idx"""),
     bench = true)
 
+  /** Sequence packing (r8): GPT-style concat-and-cut into fixed
+    * 64-token training sequences — the oracle replays the global token
+    * prefix sum and the per-(doc,sequence) slice arithmetic. Pinned
+    * small (seqLen 64) so docs span cuts and sequences mix docs. */
+  private val textPackSequences = Q("text_pack_sequences",
+    (s, d) => TextAnalysis.packSequences(Tables.documents(s, d),
+        col("doc_id"), col("text"), seqLen = 64, groupSpan = 32)
+      .orderBy(col("doc_id"), col("seq_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> x <> '')) AS BIGINT) AS n
+        FROM documents
+        WHERE len(list_filter(string_split_regex(trim(text), '\s+'),
+          x -> x <> '')) > 0
+      ), st AS (
+        SELECT doc_id, n,
+          CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS strt
+        FROM toks
+      )
+      SELECT doc_id, s AS seq_id,
+        greatest(s * 64, strt) - s * 64 AS seq_off,
+        greatest(s * 64, strt) - strt AS tok_from,
+        least((s + 1) * 64, strt + n) - greatest(s * 64, strt) AS n_tokens
+      FROM st, unnest(range(strt // 64, (strt + n - 1) // 64 + 1)) AS t(s)
+      ORDER BY doc_id, seq_id"""),
+    bench = true)
+
   private val textFingerprint = Q("text_fingerprint",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -2870,6 +2900,7 @@ object Queries {
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,
     textUnigramQuality, textBigramSurprisal, textChunking,
+    textPackSequences,
     textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,
     multimodalGif, multimodalVideo)

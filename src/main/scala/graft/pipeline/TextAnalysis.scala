@@ -426,6 +426,68 @@ object TextAnalysis {
         col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
   }
 
+  /** Sequence packing (r8): the GPT-style pretraining step AFTER
+    * chunking/cleaning — the corpus is conceptually concatenated in
+    * `doc_id` order and cut into fixed `seqLen`-token training
+    * sequences; a document spanning a cut contributes a slice to each
+    * side (no padding, no discarded tokens). Output: one row per
+    * (doc, sequence) intersection — `seq_id`, the in-document token
+    * range `[tok_from, tok_from+n_tokens)` (0-based), and `seq_off`,
+    * where that slice starts inside the sequence.
+    *
+    * Scale shape: a naive global running sum is a ONE-PARTITION window
+    * — useless at 100 TB. Instead the prefix sum is two-level: token
+    * counts aggregate per coarse `doc_id`-range group (one narrow agg,
+    * groups ≈ thousands), the tiny group-totals table turns into
+    * per-group prefix offsets with a window over THE GROUP TABLE
+    * (driver-scale rows, not the corpus), broadcast-joins back, and the
+    * in-group running sum is a window partitioned BY GROUP — every
+    * partition bounded by `groupSpan` docs. No corpus-wide single
+    * partition anywhere; two narrow passes + one tiny agg.
+    *
+    * @param groupSpan docs per prefix group (the in-group window bound)
+    * @return (doc_id, seq_id, seq_off, tok_from, n_tokens) */
+  def packSequences(docs: DataFrame, id: Column, text: Column,
+      seqLen: Int = 2048, groupSpan: Int = 1024): DataFrame = {
+    require(seqLen > 0 && groupSpan > 0, "packSequences: positive sizes")
+    import org.apache.spark.sql.expressions.Window
+    val counted = docs
+      .select(id.as("doc_id"),
+        size(filter(tokens(text), t => t =!= "")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("grp", (col("doc_id") / groupSpan).cast("long"))
+    // tiny table: one row per group -> exclusive prefix of all earlier
+    // groups (window over group totals, NOT the corpus)
+    val prefixes = counted.groupBy(col("grp"))
+      .agg(sum(col("n")).as("gtot"))
+      .withColumn("gpre",
+        coalesce(sum(col("gtot")).over(
+          Window.orderBy(col("grp")).rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("gtot")
+    val withStart = counted
+      .join(broadcast(prefixes), "grp")
+      .withColumn("start", col("gpre") +
+        coalesce(sum(col("n")).over(
+          Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // a doc covering global tokens [start, start+n) intersects
+    // sequences floor(start/L) .. floor((start+n-1)/L)
+    withStart
+      .select(col("doc_id"), col("start"), col("n"),
+        explode(sequence((col("start") / seqLen).cast("long"),
+          ((col("start") + col("n") - 1) / seqLen).cast("long")))
+          .as("seq_id"))
+      .select(col("doc_id"), col("seq_id"),
+        greatest(col("seq_id") * seqLen, col("start")).as("abs_from"),
+        least((col("seq_id") + 1) * seqLen, col("start") + col("n"))
+          .as("abs_to"), col("start"))
+      .select(col("doc_id"), col("seq_id"),
+        (col("abs_from") - col("seq_id") * seqLen).as("seq_off"),
+        (col("abs_from") - col("start")).as("tok_from"),
+        (col("abs_to") - col("abs_from")).as("n_tokens"))
+  }
+
   /** Winnowing-style robust fingerprint: min-keep over character k-gram
     * rolling hashes — survives small edits. Small-word modular
     * arithmetic throughout, so an external SQL oracle recomputes it

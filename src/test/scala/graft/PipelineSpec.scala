@@ -259,6 +259,32 @@ class PipelineSpec extends GraftSuite {
     assert(out((1L, 3))._2.endsWith("w10") && out((4L, 1))._2.endsWith("x5"))
   }
 
+  test("sequence packing: concat-and-cut slices, spanning docs, conservation") {
+    val corpus = Seq(
+      (1L, (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, "x y z"),
+      (3L, "   "),                                   // empty -> dropped
+      (4L, (1 to 7).map(i => s"b$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // global stream: d1 [0,10) d2 [10,13) d4 [13,20); seqLen 8
+    val out = TextAnalysis.packSequences(corpus, col("doc_id"), col("text"),
+        seqLen = 8, groupSpan = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(out == Set(
+      (1L, 0L, 0L, 0L, 8L),  // d1 fills seq0
+      (1L, 1L, 0L, 8L, 2L),  // d1 tail opens seq1
+      (2L, 1L, 2L, 0L, 3L),  // d2 entirely inside seq1
+      (4L, 1L, 5L, 0L, 3L),  // d4 head closes seq1
+      (4L, 2L, 0L, 3L, 4L))) // d4 tail is the (short) final seq2
+    // conservation: every token lands in exactly one slice
+    assert(out.toSeq.map(_._5).sum == 20L)
+    // every sequence but the last is exactly full
+    val perSeq = out.groupBy(_._2).view.mapValues(_.toSeq.map(_._5).sum)
+    assert(perSeq(0L) == 8L && perSeq(1L) == 8L && perSeq(2L) == 4L)
+  }
+
   test("leakage-safe split: clusters never straddle splits, weights roughly hold") {
     val docsT = Tables.documents(spark, sf)
     val pairs = Dedup.simhashPairs(docsT, col("doc_id"), col("text"),

@@ -288,6 +288,21 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("pack sequences: the only single-partition pass is the tiny group table") {
+    // the global prefix sum must NOT funnel the corpus through one
+    // partition: the corpus-side running sum windows BY GROUP
+    // (hashpartitioning) and only the group-totals table — one row per
+    // ~1k docs, post-aggregate — crosses a SinglePartition exchange
+    val p = plan("text_pack_sequences")
+    val fin = p.linesIterator.toSeq
+    assert(fin.exists(l => l.contains("Window") &&
+      l.contains("partitionBy")) ||
+      p.contains("hashpartitioning(grp"), p)
+    assert(fin.count(_.contains("Exchange SinglePartition")) <= 1, p)
+    assert(p.contains("BroadcastHashJoin"), p) // prefix offsets join
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
+  }
+
   test("line dedup: no window over unbounded groups, semi-join survivors") {
     // keeper selection is a map-side-combinable min(struct) groupBy —
     // NOT a row_number window over per-line partitions (a mega-dup
