@@ -242,7 +242,8 @@ object Queries {
     },
     Some("""SELECT event_id,
       '<' || ((user_id % 24) * 8 + event_id % 8) || '>' ||
-      strftime(ts, '%b %d %H:%M:%S') || ' h' || user_id || ' ' ||
+      strftime(ts, '%b') || ' ' || lpad(CAST(day(ts) AS VARCHAR), 2, ' ')
+      || ' ' || strftime(ts, '%H:%M:%S') || ' h' || user_id || ' ' ||
       event_type || ': u=' || user_id AS line
       FROM events ORDER BY event_id"""),
     bench = true)

@@ -641,9 +641,13 @@ object ConfigCompiler {
         // micro-batch for replay (at-least-once, like the socket sinks)
         val cmd = s.args.collectFirst { case Lit(c) => c }.getOrElse(
           throw new IllegalArgumentException("program() needs a command line"))
-        val tmpl = kvOf(s.args, "template").getOrElse("$ISODATE $HOST $MSGHDR$MESSAGE")
+        // afprog runs the writer with LW_FORMAT_FILE (afprog.c:530):
+        // the default line is the BSD-dated file format
+        val tmpl = kvOf(s.args, "template").getOrElse("$DATE $HOST $MSGHDR$MESSAGE")
+        val line = Template.column(tmpl, route.df.columns)
         val df = route.df.withColumn("__body",
-          Template.column(tmpl, route.df.columns))
+          kvOf(s.args, "truncate-size").map(_.toInt)
+            .fold(line)(n => Template.truncateOctets(line, n)))
         graft.streaming.ProgramSink.programSink(df, "__body", cmd, checkpoint)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
@@ -830,7 +834,9 @@ object ConfigCompiler {
         val path = s.args.collectFirst { case Lit(p) => p }
           .orElse(kvOf(s.args, "path")).getOrElse(
             throw new IllegalArgumentException("pipe() needs a path"))
-        val tmpl = kvOf(s.args, "template").getOrElse("$ISODATE $HOST $MSGHDR$MESSAGE")
+        // pipe() is an affile writer: LW_FORMAT_FILE (affile-dest.c:777)
+        // -> the BSD-dated file line is the default
+        val tmpl = kvOf(s.args, "template").getOrElse("$DATE $HOST $MSGHDR$MESSAGE")
         val df = route.df.withColumn("__body",
           Template.column(tmpl, route.df.columns))
         df.writeStream.foreachBatch {
@@ -902,7 +908,10 @@ object ConfigCompiler {
           .getOrElse(s.args.collect { case Lit(u) => u })
         val url = urlList.headOption.getOrElse(
           throw new IllegalArgumentException("http() destination needs url()"))
-        val bodyT = kvOf(s.args, "body").getOrElse("$ISODATE $HOST $MSGHDR$MESSAGE")
+        // no body() -> the raw $MESSAGE value, NOT a formatted line
+        // (http-worker.c:272-281: body_template unset appends
+        // LM_V_MESSAGE verbatim)
+        val bodyT = kvOf(s.args, "body").getOrElse("$MESSAGE")
         // azure-auth-header(workspace-id() secret() [method() path()
         // content-type()]) nests inside http() (azure-auth-header.c)
         val azure = s.args.collectFirst { case KV("azure-auth-header", vs) =>
@@ -1206,7 +1215,11 @@ object ConfigCompiler {
       delimiter = delimiter, unixPath = unixPath,
       loadBalance = s.name == "network-load-balancer", greeting = greeting,
       tlsCaFile = tlsCa, udp = isUdp)
-    val df = route.df.withColumn("__body", body)
+    // truncate-size() writer option (logwriter.c:1103) — octet cut on
+    // the body; the frame delimiter survives (see truncateOctets doc)
+    val bodyT = kvOf(s.args, "truncate-size").map(_.toInt)
+      .fold(body)(n => Template.truncateOctets(body, n))
+    val df = route.df.withColumn("__body", bodyT)
     graft.streaming.TcpSink.tcpSink(df, "__body", cfg, checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -134,9 +134,17 @@ object Macros {
     case "ISODATE" =>
       Some(concat(date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), frac, offsetStr))
     case "FULLDATE" =>
-      Some(concat(date_format(ts, "yyyy MMM dd HH:mm:ss"), frac))
+      // TS_FMT_FULL (timeutils/format.c:128-137): the day-of-month is
+      // SPACE-padded to width 2 ("2005 Oct  9 ..."), like TS_FMT_BSD
+      Some(concat(date_format(ts, "yyyy MMM "),
+        lpad(date_format(ts, "d"), 2, " "),
+        date_format(ts, " HH:mm:ss"), frac))
     case "DATE" | "STAMP" =>
-      Some(concat(date_format(ts, "MMM dd HH:mm:ss"), frac))
+      // TS_FMT_BSD (timeutils/format.c:99-110): month abbrev, then the
+      // day SPACE-padded to width 2 — "Oct  9", never "Oct 09"
+      Some(concat(date_format(ts, "MMM "),
+        lpad(date_format(ts, "d"), 2, " "),
+        date_format(ts, " HH:mm:ss"), frac))
     case "TZOFFSET" => Some(offsetStr)
     case "TZ" => Some(offsetStr)
     case _ => None

@@ -345,6 +345,18 @@ object Template {
   /** One-step convenience: template string + schema columns -> Column.
     * `tz` = the template's `time-zone()` option (rewrite set /
     * destination templates) — date macros render in that zone. */
+  /** `truncate-size()` writer option (`lib/logwriter.c:1103-1110`):
+    * the fully formatted line is cut at `n` BYTES (g_string_truncate
+    * on the output buffer — octet count, not characters); shorter
+    * lines pass untouched. The reference truncates after the newline
+    * is appended, so a cut below the delimiter eats it too — callers
+    * that frame by delimiter apply this to the body only (the
+    * framing-preserving translation). */
+  def truncateOctets(line: Column, n: Int): Column =
+    when(octet_length(line) > n,
+      decode(substring(line.cast("binary"), 1, n), "UTF-8"))
+      .otherwise(line)
+
   def column(template: String, columns: Seq[String],
       tz: Option[String] = None,
       templates: Map[String, String] = Map.empty,

@@ -253,9 +253,9 @@ class TcpSourceSpec extends GraftSuite {
       q.awaitTermination(60000)
       val lines = bodies.toArray.toSeq.asInstanceOf[Seq[String]]
         .flatMap(_.split("\n")).sorted
-      assert(lines == Seq(
-        "2024-01-12T03:04:05+00:00 h1 app[7]: disk failing",
-        "2024-01-12T03:04:06+00:00 h3 cron[9]: oom"))
+      // no body() -> raw $MESSAGE (http-worker.c:281), not a formatted
+      // line
+      assert(lines == Seq("disk failing", "oom"))
     } finally srv.stop(0)
   }
 
