@@ -1940,6 +1940,22 @@ object Queries {
         FROM per_pos GROUP BY n, t0)
       SELECT template, support FROM tmpl ORDER BY template"""))
 
+  /** SLCT step 1 (ptz_find_frequent_words): position-keyed word
+    * counts over the delimiter SET, support-filtered — the oracle
+    * replays the split (empty tokens positioned and counted, like
+    * g_strsplit_set) and the count >= support cut. */
+  private val patternizeWords = Q("patternize_words",
+    (s, d) => graft.patterndb.Patternize.frequentWords(
+        Tables.documents(s, d), col("text"), support = 3)
+      .orderBy(col("pos"), col("word")),
+    Some("""WITH s AS (
+        SELECT string_split_regex(text, '[ :&~?!\[\]=,;()''"]') AS w
+        FROM documents)
+      SELECT CAST(k - 1 AS INT) AS pos, w[k] AS word, COUNT(*) AS cnt
+      FROM s, unnest(range(1, len(w) + 1)) AS t(k)
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      ORDER BY pos, word"""))
+
   // ---------------------------------------------------------------------
   // Text analysis
   // ---------------------------------------------------------------------
@@ -2894,7 +2910,7 @@ object Queries {
     dedupExact, dedupDropped, dedupIncremental, dedupNgramJaccard, dedupMinhash, dedupSimhash,
     dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,
     splitLeakageSafe,
-    patternizeQ,
+    patternizeQ, patternizeWords,
     annBruteForce, annLsh, annIvf, embedPq, annPq, dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     sampleStratified, decontaminate, decontaminateBloom, decontaminateFrac,

@@ -21,6 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Patternize {
 
+  /** SLCT step 1 — `ptz_find_frequent_words`
+    * (`patternize.c:98-187`): every message splits on the delimiter
+    * SET (any single char of `delimiters`, g_strsplit_set — adjacent
+    * delimiters yield EMPTY tokens that are positioned and counted
+    * like words), words are keyed by POSITION (`"%d %s"` hash keys),
+    * and keys with count < support are removed (:93-96,180). The
+    * two-pass hash-cache of the reference is a memory optimization
+    * with identical output (the battery runs both); here one
+    * map-side-combinable aggregation replaces it.
+    *
+    * @return (pos, word, cnt) rows with cnt >= support */
+  def frequentWords(df: DataFrame, message: Column, support: Long,
+      delimiters: String = " :&~?![]=,;()'\""): DataFrame = {
+    val re = "[" + delimiters.flatMap(c => "\\" + c) + "]"
+    df.select(posexplode(split(message, re)).as(Seq("pos", "word")))
+      .groupBy(col("pos"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= support)
+  }
+
   /** Mine templates. Returns (template, support) rows.
     *
     * @param wildcard token emitted where the cluster disagrees

@@ -759,6 +759,31 @@ class PipelineSpec extends GraftSuite {
     assert(approx == mined)
   }
 
+  test("patternize frequent words: position keys, delimiter set, support cut (test_patternize.c:101-148)") {
+    def words(logs: Seq[String], support: Long) =
+      graft.patterndb.Patternize.frequentWords(logs.toDF("message"),
+          col("message"), support)
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    assert(words(Seq("a"), 0) == Map((0, "a") -> 1L))
+    assert(words(Seq("a b"), 0) == Map((0, "a") -> 1L, (1, "b") -> 1L))
+    // position-keyed: "a a"/"b b" do NOT merge across positions
+    assert(words(Seq("a a", "b b"), 0) == Map((0, "a") -> 1L,
+      (1, "a") -> 1L, (0, "b") -> 1L, (1, "b") -> 1L))
+    assert(words(Seq("a b", "b a"), 0) == Map((0, "a") -> 1L,
+      (1, "a") -> 1L, (0, "b") -> 1L, (1, "b") -> 1L))
+    assert(words(Seq("a b", "a b"), 0) == Map((0, "a") -> 2L, (1, "b") -> 2L))
+    // support removes count < support (patternize.c:93-96)
+    assert(words(Seq("a b", "b a", "a c"), 2) == Map((0, "a") -> 2L))
+    // the delimiter SET splits on any member char
+    assert(words(Seq("a:b,c d"), 0) == Map((0, "a") -> 1L, (1, "b") -> 1L,
+      (2, "c") -> 1L, (3, "d") -> 1L))
+    // adjacent delimiters produce positioned EMPTY tokens, counted
+    // like words (g_strsplit_set semantics)
+    assert(words(Seq("a  b"), 0) == Map((0, "a") -> 1L, (1, "") -> 1L,
+      (2, "b") -> 1L))
+  }
+
   test("multimodal stub decode keeps schema and determinism") {
     val media = Multimodal.mediaFromDocuments(spark, sf)
     val feats = Multimodal.extractFeatures(media)
