@@ -2640,6 +2640,37 @@ object Queries {
       ORDER BY doc_id, chunk_idx"""),
     bench = true)
 
+  /** Target-mixture sampling (r8): derive per-domain acceptance rates
+    * from target ppm weights + actual counts (integer-exact), sample
+    * by md5 threshold — the oracle replays counts, thresholds and
+    * every acceptance decision. */
+  private val sampleMixture = Q("sample_mixture",
+    (s, d) => TextAnalysis.mixtureSample(Tables.documents(s, d),
+        col("doc_id").cast("string"), col("lang"),
+        Map("en" -> 400000L, "zh" -> 300000L, "fr" -> 200000L,
+          "de" -> 100000L),
+        budget = 100L, seed = "mx1")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id")),
+    Some("""WITH c AS (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+      ), t AS (
+        SELECT lang, cnt,
+          CASE lang WHEN 'en' THEN 400000 WHEN 'zh' THEN 300000
+                    WHEN 'fr' THEN 200000 WHEN 'de' THEN 100000
+                    ELSE 0 END AS ppm
+        FROM c
+      ), thr AS (
+        SELECT lang,
+          (least(1000000, (ppm * 100) // cnt) * 16777216) // 1000000
+            AS thr
+        FROM t)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN thr ON d.lang = thr.lang
+      WHERE CAST(('0x' || substring(md5('mx1' || d.doc_id), 1, 6))
+        AS BIGINT) < thr.thr
+      ORDER BY d.doc_id"""))
+
   /** Sequence packing (r8): GPT-style concat-and-cut into fixed
     * 64-token training sequences — the oracle replays the global token
     * prefix sum and the per-(doc,sequence) slice arithmetic. Pinned
@@ -2913,7 +2944,8 @@ object Queries {
     patternizeQ, patternizeWords,
     annBruteForce, annLsh, annIvf, embedPq, annPq, dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
-    sampleStratified, decontaminate, decontaminateBloom, decontaminateFrac,
+    sampleStratified, sampleMixture,
+    decontaminate, decontaminateBloom, decontaminateFrac,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,
     textUnigramQuality, textBigramSurprisal, textChunking,

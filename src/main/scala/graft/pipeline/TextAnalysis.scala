@@ -117,6 +117,52 @@ object TextAnalysis {
     bucket < threshold
   }
 
+  /** Target-mixture sampling (r8): the DoReMi/Pile-style mixture
+    * APPLICATION step — given target domain weights (ppm) and a total
+    * document budget, derive each domain's acceptance rate from its
+    * actual count and sample deterministically. A domain with fewer
+    * docs than its target allocation is taken whole (rate clamps at
+    * 1 — the standard up-to-availability semantics; re-weighting by
+    * epochs/duplication is a separate packing concern).
+    *
+    * Every quantity is INTEGER-exact so an external engine replays the
+    * decision bit-for-bit: allocation ppm of the domain's own corpus
+    * `fracPpm = min(1e6, targetPpm·budget / cnt)`, md5 threshold
+    * `thr = fracPpm·2^24 / 1e6` (floor division both steps; all
+    * intermediates < 2^63), acceptance = first-6-hex-digits(md5) < thr
+    * — the same bucket machinery as [[stratifiedHashSample]].
+    *
+    * Scale shape: one TINY per-domain count aggregate (domains ≈
+    * dozens), broadcast-joined back, then a narrow codegen'd filter —
+    * the corpus itself never shuffles.
+    *
+    * @param targetPpm domain → parts-per-million of the OUTPUT mixture
+    * @param budget    total documents wanted in the output
+    * @return input rows that pass, plus their domain (unknown domains
+    *         have no allocation and drop) */
+  def mixtureSample(docs: DataFrame, key: Column, domain: Column,
+      targetPpm: Map[String, Long], budget: Long,
+      seed: String = ""): DataFrame = {
+    require(targetPpm.values.forall(p => p >= 0 && p <= 1000000L),
+      "mixtureSample: ppm weights in [0, 1e6]")
+    val counted = docs.select(key.as("__mk"), domain.as("__md"),
+      col("*"))
+    val cnts = counted.groupBy(col("__md")).agg(count(lit(1)).as("__mc"))
+    val ppm = targetPpm.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+      when(col("__md") === d, lit(p)).otherwise(acc)
+    }
+    // exact long floor-division (Column./ is double): (a - a%b)/b is an
+    // integer-valued exact double for a < 2^53
+    def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val fracPpm = least(lit(1000000L), idiv(ppm * budget, col("__mc")))
+    val thr = idiv(fracPpm * (1L << 24), lit(1000000L))
+    val bucket = conv(substring(md5(concat(lit(seed), col("__mk"))), 1, 6),
+      16, 10).cast("long")
+    counted.join(broadcast(cnts), "__md")
+      .filter(bucket < thr)
+      .drop("__mk", "__md", "__mc")
+  }
+
   /** Word n-grams as strings: ["a","b","c"] with n=2 → ["a b","b c"].
     * Pure HOF over an already-bound token array (pass through
     * [[bindArray]] so the tokenizer runs once, not once per element). */

@@ -259,6 +259,36 @@ class PipelineSpec extends GraftSuite {
     assert(out((1L, 3))._2.endsWith("w10") && out((4L, 1))._2.endsWith("x5"))
   }
 
+  test("mixture sampling: target weights, clamping, unknown-domain drop") {
+    val corpus = (1 to 400).map(i =>
+      (i.toLong, if (i <= 300) "web" else if (i <= 390) "books" else "rare"))
+      .toDF("doc_id", "domain")
+    // target 50/50 web/books with budget 120: web rate 60/300, books
+    // 60/90; "rare" has no allocation
+    val out = TextAnalysis.mixtureSample(corpus,
+        col("doc_id").cast("string"), col("domain"),
+        Map("web" -> 500000L, "books" -> 500000L), budget = 120L,
+        seed = "t")
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("rare"))
+    // binomial noise bounds around 60/60
+    assert(out("web") > 35 && out("web") < 85, out)
+    assert(out("books") > 35 && out("books") < 85, out)
+    // a domain with fewer docs than its allocation is taken WHOLE
+    val clamped = TextAnalysis.mixtureSample(corpus,
+        col("doc_id").cast("string"), col("domain"),
+        Map("rare" -> 1000000L), budget = 100L, seed = "t")
+      .count()
+    assert(clamped == 10L) // all 10 rare docs, rate clamped at 1
+    // determinism: the same inputs reproduce the same membership
+    def ids() = TextAnalysis.mixtureSample(corpus,
+        col("doc_id").cast("string"), col("domain"),
+        Map("web" -> 500000L, "books" -> 500000L), budget = 120L,
+        seed = "t").collect().map(_.getLong(0)).toSet
+    assert(ids() == ids())
+  }
+
   test("sequence packing: concat-and-cut slices, spanning docs, conservation") {
     val corpus = Seq(
       (1L, (1 to 10).map(i => s"a$i").mkString(" ")),
