@@ -2640,6 +2640,32 @@ object Queries {
       ORDER BY doc_id, chunk_idx"""),
     bench = true)
 
+  /** Hashed linear classifier scoring (r8): fastText-shaped quality
+    * model application — unigram+bigram hashing-trick features, a
+    * closed-form weight table ((bucket % 7) − 3 stands in for trained
+    * weights — the oracle replays hash, bucket, weight and sum
+    * exactly, all integers). */
+  private val textClassifierScore = Q("text_classifier_score",
+    (s, d) => TextAnalysis.hashedLinearScore(Tables.documents(s, d),
+        col("doc_id"), col("text"), nBuckets = 4096,
+        weightOf = b => b % 7 - 3)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            x -> x <> '') AS ws
+        FROM documents
+      ), feats AS (
+        SELECT doc_id, ws || list_transform(range(1, greatest(len(ws), 1)),
+          i -> ws[i] || ' ' || ws[i + 1]) AS fs
+        FROM toks)
+      SELECT doc_id, CAST(len(fs) AS BIGINT) AS n_feats,
+        CAST(COALESCE(list_sum(list_transform(fs,
+          f -> (CAST(('0x' || substring(md5(f), 1, 6)) AS BIGINT) % 4096)
+            % 7 - 3)), 0) AS BIGINT) AS score
+      FROM feats ORDER BY doc_id"""),
+    bench = true)
+
   /** Target-mixture sampling (r8): derive per-domain acceptance rates
     * from target ppm weights + actual counts (integer-exact), sample
     * by md5 threshold — the oracle replays counts, thresholds and
@@ -2944,7 +2970,7 @@ object Queries {
     patternizeQ, patternizeWords,
     annBruteForce, annLsh, annIvf, embedPq, annPq, dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
-    sampleStratified, sampleMixture,
+    sampleStratified, sampleMixture, textClassifierScore,
     decontaminate, decontaminateBloom, decontaminateFrac,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,

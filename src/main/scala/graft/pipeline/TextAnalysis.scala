@@ -117,6 +117,43 @@ object TextAnalysis {
     bucket < threshold
   }
 
+  /** Hashed linear classifier application (r8): the fastText-shaped
+    * quality-model scoring step of the CCNet/RefinedWeb recipes —
+    * word unigram + bigram features through the HASHING TRICK
+    * (bucket = first-6-hex-digits(md5(feature)) mod nBuckets, an
+    * engine-replayable stand-in for any fixed hash), each bucket
+    * carrying a model weight, document score = Σ weights. Weights
+    * arrive as a column function so a config can bind a broadcast
+    * literal map, a join, or a closed form; everything stays INTEGER
+    * so an external engine replays the score exactly — the caller
+    * thresholds via cross-multiplication (`score·D > thr·n_feats`)
+    * instead of a float mean.
+    *
+    * Scale shape: tokenize → HOF feature list → HOF sum per row. One
+    * narrow codegen'd pass; the model is expression-resident (the
+    * hashing trick exists precisely so the model is O(nBuckets), not
+    * O(vocab) — at 100 TB the corpus never shuffles and the weights
+    * ride the closure).
+    *
+    * @param weightOf bucket-id column (long in [0, nBuckets)) → weight
+    * @return (id, n_feats, score) */
+  def hashedLinearScore(docs: DataFrame, id: Column, text: Column,
+      nBuckets: Int, weightOf: Column => Column): DataFrame = {
+    require(nBuckets > 0, "hashedLinearScore: positive bucket count")
+    def bucket(f: Column): Column =
+      conv(substring(md5(f), 1, 6), 16, 10).cast("long") % nBuckets
+    docs.select(id.as("doc_id"),
+      bindArray(filter(tokens(text), t => t =!= "")) { ws =>
+        bindArray(concat(ws, wordNgrams(ws, 2))) { feats =>
+          struct(size(feats).cast("long").as("n_feats"),
+            aggregate(feats, lit(0L),
+              (acc, f) => acc + weightOf(bucket(f))).as("score"))
+        }
+      }.as("s"))
+      .select(col("doc_id"), col("s.n_feats").as("n_feats"),
+        col("s.score").as("score"))
+  }
+
   /** Target-mixture sampling (r8): the DoReMi/Pile-style mixture
     * APPLICATION step — given target domain weights (ppm) and a total
     * document budget, derive each domain's acceptance rate from its

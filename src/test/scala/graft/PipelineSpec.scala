@@ -259,6 +259,31 @@ class PipelineSpec extends GraftSuite {
     assert(out((1L, 3))._2.endsWith("w10") && out((4L, 1))._2.endsWith("x5"))
   }
 
+  test("hashed linear classifier: feature count, independent score replay") {
+    val corpus = Seq(
+      (1L, "the quick brown fox"), // 4 unigrams + 3 bigrams
+      (2L, "solo"),                // 1 unigram, no bigrams
+      (3L, "  "),                  // no features at all
+      (4L, "a a a")                // repeated features accumulate
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.hashedLinearScore(corpus, col("doc_id"),
+        col("text"), nBuckets = 4096, weightOf = b => b % 7 - 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def replay(feats: Seq[String]): Long = feats.map { f =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8"))
+      val hex6 = d.take(3).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex6, 16) % 4096) % 7 - 3
+    }.sum
+    assert(out(1L)._1 == 7L)
+    assert(out(1L)._2 == replay(Seq("the", "quick", "brown", "fox",
+      "the quick", "quick brown", "brown fox")))
+    assert(out(2L) == ((1L, replay(Seq("solo")))))
+    assert(out(3L) == ((0L, 0L)))
+    assert(out(4L) == ((5L, replay(Seq("a", "a", "a", "a a", "a a")))))
+  }
+
   test("mixture sampling: target weights, clamping, unknown-domain drop") {
     val corpus = (1 to 400).map(i =>
       (i.toLong, if (i <= 300) "web" else if (i <= 390) "books" else "rare"))
