@@ -66,17 +66,18 @@ object DateScan {
   private val Months = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul",
     "aug", "sep", "oct", "nov", "dec")
 
-  /** Common zone-abbreviation offsets in seconds (timeutils' zone name
-    * handling; the reference resolves via the system zone db — this
-    * table carries the names its own tests and common logs use). */
-  private val ZoneAbbrevs: Map[String, Int] = Map(
-    "GMT" -> 0, "UTC" -> 0, "UT" -> 0, "Z" -> 0,
-    "PST" -> -8 * 3600, "PDT" -> -7 * 3600,
-    "MST" -> -7 * 3600, "MDT" -> -6 * 3600,
-    "CST" -> -6 * 3600, "CDT" -> -5 * 3600,
-    "EST" -> -5 * 3600, "EDT" -> -4 * 3600,
-    "CET" -> 3600, "CEST" -> 2 * 3600, "MET" -> 3600, "METDST" -> 2 * 3600,
-    "BST" -> 3600, "WET" -> 0, "WEST" -> 3600)
+  /** RFC822 North American zone tables (wallclocktime.c `nast`/`nadt`):
+    * index i maps to offset (-5 - i) / (-4 - i) hours. */
+  private val Nast = Seq("EST", "CST", "MST", "PST")
+  private val Nadt = Seq("EDT", "CDT", "MDT", "PDT")
+
+  /** Stand-in for the reference's `cached_get_system_tznames()` pair
+    * (the local zone's std/dst names): the names its own tests and
+    * common logs use, with their fixed offsets. Checked AFTER the
+    * RFC822 tables, like the reference's lookup order. */
+  private val LocalZones: Seq[(String, Int)] = Seq(
+    "CEST" -> 2 * 3600, "CET" -> 3600, "METDST" -> 2 * 3600,
+    "MET" -> 3600, "BST" -> 3600, "WEST" -> 3600, "WET" -> 0)
 
   private final class Wct {
     var year: Int = -1
@@ -105,35 +106,79 @@ object DateScan {
       }
       if (cnt < min) -1 else n
     }
-    def zone(): Boolean = {
-      if (ti >= text.length) return false
-      val c = text.charAt(ti)
-      if (c == '+' || c == '-') {
-        val sign = if (c == '-') -1 else 1
-        ti += 1
-        val hh = digits(2, 2); if (hh < 0) return false
-        if (ti < text.length && text.charAt(ti) == ':') ti += 1
-        val mm = digits(0, 2)
-        w.gmtoff = sign * (hh * 3600 + math.max(mm, 0) * 60)
-        true
-      } else if (c.isLetter) {
-        var end = ti
-        while (end < text.length && text.charAt(end).isLetter) end += 1
-        val name = text.substring(ti, end).toUpperCase
-        if (ZoneAbbrevs.contains(name)) {
-          w.gmtoff = ZoneAbbrevs(name); ti = end; true
-        } else if (name.length == 1) {
-          // military zones: A..M = -1..-12 (no J), N..Y = +1..+12, Z = 0
-          val ch = name.charAt(0)
-          val off =
-            if (ch == 'Z') 0
-            else if (ch >= 'A' && ch <= 'I') -(ch - 'A' + 1) * 3600
-            else if (ch >= 'K' && ch <= 'M') -(ch - 'K' + 10) * 3600
-            else if (ch >= 'N' && ch <= 'Y') (ch - 'N' + 1) * 3600
-            else return false
-          w.gmtoff = off; ti = end; true
-        } else false
-      } else false
+    // %z/%Z scanner — faithful port of the reference's strptime
+    // timezone case (wallclocktime.c:609-746): the G/U/Z switch with
+    // its fallthroughs (so "UTC" consumes just "UT" — the reference's
+    // own quirk), [+-] offsets accepting EXACTLY 2 or 4 digits (':'
+    // allowed after the first two, minutes < 60 — "+300"/"+3" are
+    // invalid while bare "+30" means 30 hours), the RFC822 North
+    // American tables as case-insensitive PREFIX matches, the local
+    // tzname stand-ins, and military single letters with BOTH 'J' and
+    // 'K' unused (:685-696 — L..M are -11/-12). %z skips leading
+    // whitespace and is mandatory; %Z consumes nothing on a failed
+    // match; a partial G/U match ABORTS the whole parse for both
+    // (:636-641 return NULL).
+    def zone(mandatory: Boolean): Int = { // 1 ok, 0 rollback-ok, -1 abort
+      val save = ti
+      def rollback(): Int = { ti = save; if (mandatory) -1 else 0 }
+      if (mandatory)
+        while (ti < text.length && text.charAt(ti) == ' ') ti += 1
+      if (ti >= text.length) return rollback()
+      val c = text.charAt(ti); ti += 1
+      c match {
+        case 'G' =>
+          if (ti < text.length && text.charAt(ti) == 'M') {
+            ti += 1
+            if (ti < text.length && text.charAt(ti) == 'T') {
+              ti += 1; w.gmtoff = 0; 1
+            } else -1
+          } else -1
+        case 'U' =>
+          if (ti < text.length && text.charAt(ti) == 'T') {
+            ti += 1; w.gmtoff = 0; 1
+          } else -1
+        case 'Z' => w.gmtoff = 0; 1
+        case '+' | '-' =>
+          val sign = if (c == '-') -1 else 1
+          var offs = 0
+          var i = 0
+          var brk = false
+          while (i < 4 && !brk) {
+            if (ti < text.length && text.charAt(ti).isDigit) {
+              offs = offs * 10 + (text.charAt(ti) - '0'); ti += 1; i += 1
+            } else if (i == 2 && ti < text.length && text.charAt(ti) == ':')
+              ti += 1
+            else brk = true
+          }
+          if (i == 2) { w.gmtoff = sign * offs * 3600; 1 }
+          else if (i == 4 && offs % 100 < 60) {
+            w.gmtoff = sign * ((offs / 100) * 3600 + (offs % 100) * 60); 1
+          } else rollback()
+        case _ =>
+          ti -= 1
+          val rest = text.substring(ti)
+          def pfx(names: Seq[String]): Int =
+            names.indexWhere(n => rest.regionMatches(true, 0, n, 0, n.length))
+          val iN = pfx(Nast)
+          val iD = if (iN >= 0) -1 else pfx(Nadt)
+          val iL = if (iN >= 0 || iD >= 0) -1
+            else LocalZones.indexWhere { case (n, _) =>
+              rest.regionMatches(true, 0, n, 0, n.length) }
+          if (iN >= 0) { w.gmtoff = (-5 - iN) * 3600; ti += 3; 1 }
+          else if (iD >= 0) { w.gmtoff = (-4 - iD) * 3600; ti += 3; 1 }
+          else if (iL >= 0) {
+            w.gmtoff = LocalZones(iL)._2; ti += LocalZones(iL)._1.length; 1
+          } else {
+            val m = if (rest.nonEmpty) rest.charAt(0) else ' '
+            if ((m >= 'A' && m <= 'I') || (m >= 'L' && m <= 'Y')) {
+              w.gmtoff =
+                if (m <= 'I') -(m - 'A' + 1) * 3600
+                else if (m <= 'M') -(m - 'A') * 3600 // L = -11, M = -12
+                else (m - 'M') * 3600 // N..Y = +1..+12
+              ti += 1; 1
+            } else rollback()
+          }
+      }
     }
     def dir(c: Char): Boolean = c match {
       case 'Y' => val v = digits(4, 4); if (v < 0) false else { w.year = v; true }
@@ -192,7 +237,10 @@ object DateScan {
           if (v != "AM" && v != "PM") false
           else { w.pm = v == "PM"; w.sawAmPm = true; ti += 2; true }
         }
-      case 'z' | 'Z' => zone()
+      // %Z allows the timezone to be entirely absent
+      // (test_wallclocktime.c:175); %z requires one
+      case 'z' => zone(mandatory = true) == 1
+      case 'Z' => zone(mandatory = false) >= 0
       case 'T' =>
         dir('H') && { if (ti < text.length && text.charAt(ti) == ':') { ti += 1; true } else false } &&
           dir('M') && { if (ti < text.length && text.charAt(ti) == ':') { ti += 1; true } else false } &&
@@ -211,10 +259,10 @@ object DateScan {
         if (!dir(fmt.charAt(fi + 1))) return -1
         fi += 2
       } else if (c == ' ') {
-        // a space matches a run of whitespace (strptime)
-        var any = false
-        while (ti < text.length && text.charAt(ti) == ' ') { ti += 1; any = true }
-        if (!any) return -1
+        // format whitespace matches ZERO or more input whitespace
+        // (wallclocktime.c:330-335 isspace loop — the %Z-optional
+        // battery case "…%S %Z" on zone-less input relies on it)
+        while (ti < text.length && text.charAt(ti) == ' ') ti += 1
         fi += 1
       } else {
         if (ti >= text.length || text.charAt(ti) != c) return -1
