@@ -902,9 +902,15 @@ object Dedup {
     // buckets for ALL tables ride along as a small array so multi-table
     // duplicates dedup with a first-agreeing-table FILTER instead of a
     // distinct() shuffle over the candidate set — and a single table
-    // produces no duplicates at all (one bucket per vector per table)
-    val bucketArr = array((0 until tables).map(t =>
-      Similarity.hyperplaneBucket(col("v"), planes, seed + t, dim)): _*)
+    // produces no duplicates at all (one bucket per vector per table).
+    // ALL tables sign in ONE compiled pass (HyperplaneBuckets): the HOF
+    // form ran tables×planes zip_with dots per row, and at the
+    // production shape (log2(N/32) planes × 4 tables) that per-row
+    // allocation WAS the stage — the r8 verdict's 13.4×/decade log
+    // factor on dedup_embedding_prod (36.9 s at sf10p) was signing
+    // cost, not flops. Bit-identical to the HOF chain (spec-gated).
+    val bucketArr = graft.functions.HyperplaneBuckets(
+      col("v"), seed, planes, tables, dim)
     // no separate table-index column: the index rides bkey's high bits
     // (extracted in the dedup filter), so BOTH join sides project
     // exactly (id, bs, bkey) — identical plans are what lets the
@@ -922,15 +928,21 @@ object Dedup {
           element_at(col("ka.bs"), tp + 1) === element_at(col("kb.bs"), tp + 1)
       }.reduce(_ || _).unary_!)
     val cand = deduped.select(col("ka.id").as("id_a"), col("kb.id").as("id_b"))
-    val withNorm = base.withColumn("nrm", Similarity.norm(col("v")))
+    // norms stage per SIDE (once per vector, not once per pair) and the
+    // per-pair dot is the compiled DotF — the HOF form materializes a
+    // product array per candidate pair, and at targetBucket=32 sizing
+    // the candidate set is ~62·N pairs (same fix as assignTwoLevel,
+    // bit-identical float semantics: sequential double dot)
+    val withNorm = base.withColumn("nrm",
+      sqrt(graft.functions.DotF(col("v"), col("v"))))
     // vector fetches likewise alias the same plan so the second join
     // reuses the first's exchange of `withNorm`
     cand
       .join(withNorm.as("wa"), col("id_a") === col("wa.id"))
       .join(withNorm.as("wb"), col("id_b") === col("wb.id"))
       .select(col("id_a"), col("id_b"),
-        (Similarity.dot(col("wa.v"), col("wb.v")) / (col("wa.nrm") * col("wb.nrm")))
-          .as("cosine"))
+        (graft.functions.DotF(col("wa.v"), col("wb.v")) /
+          (col("wa.nrm") * col("wb.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.unsafe.types.UTF8String
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -51,13 +50,10 @@ object Similarity {
     * Only the top 53 bits are used so the integer→double conversion is
     * exact on every engine; division by 2^53 and the affine map are
     * exact/one-rounding IEEE ops — an external oracle reproduces the
-    * component bit-for-bit. */
+    * component bit-for-bit. (Derivation lives with the compiled signer
+    * [[graft.functions.HyperplaneBuckets]]; this is the same table.) */
   private[pipeline] def hyperplane(seed: Long, p: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { i =>
-      val h = graft.functions.Sketches.md5Lower64(
-        UTF8String.fromString(s"hp_${seed}_${p}_${i}"))
-      (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
+    graft.functions.HyperplaneBuckets.hyperplane(seed, p, dim)
 
   /** Random-hyperplane LSH bucket: `planes` sign bits of dot products
     * with md5-seeded hyperplanes (driver-side constants — no stored
@@ -286,14 +282,23 @@ object Similarity {
     // the pinned repartition(cid) is the ONE exchange both self-join
     // sides read (ReusedExchange, PlanSpec-gated) — without it each
     // side re-scans and re-assigns the corpus, doubling the dominant
-    // argmax pass
+    // argmax pass. Norms stage per SIDE before the self-join (they ride
+    // the same exchange) and the per-pair cosine is ONE compiled DotF —
+    // the HOF cosine(a,b) ran THREE zip_with dots per in-cluster pair,
+    // each materializing a product array (same fix as assignTwoLevel;
+    // bit-identical: dot/(|a|·|b|) with sequential double accumulation).
     val assigned = assignClusters(base, nCentroids, flatMax, nProbe)
+      .withColumn("nrm", sqrt(graft.functions.DotF(col("v"), col("v"))))
       .repartition(col("cid"))
-    val a = assigned.select(col("cid"), col("vec_id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("cid"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cid"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("cid"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        (graft.functions.DotF(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
