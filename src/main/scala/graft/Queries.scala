@@ -2666,6 +2666,42 @@ object Queries {
       FROM feats ORDER BY doc_id"""),
     bench = true)
 
+  /** Multi-label classifier head (r9): argmax over 3 label scores —
+    * same hashing-trick features as text_classifier_score, one
+    * closed-form integer weight table per label ((b + 17·l) % 7 − 3
+    * stands in for trained weights), ties to the smallest label index.
+    * The oracle replays hash, buckets, all three folds and the argmax
+    * decision exactly. */
+  private val textClassifierLabel = Q("text_classifier_label",
+    (s, d) => TextAnalysis.hashedLinearLabel(Tables.documents(s, d),
+        col("doc_id"), col("text"), nBuckets = 4096,
+        weightsOf = (0 until 3).map(l => (b: Column) => (b + 17 * l) % 7 - 3))
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(text), '\s+'),
+            x -> x <> '') AS ws
+        FROM documents
+      ), feats AS (
+        SELECT doc_id, ws || list_transform(range(1, greatest(len(ws), 1)),
+          i -> ws[i] || ' ' || ws[i + 1]) AS fs
+        FROM toks
+      ), bks AS (
+        SELECT doc_id, list_transform(fs,
+          f -> CAST(('0x' || substring(md5(f), 1, 6)) AS BIGINT) % 4096) AS bs
+        FROM feats
+      ), scored AS (
+        SELECT doc_id, CAST(len(bs) AS BIGINT) AS n_feats,
+          CAST(COALESCE(list_sum(list_transform(bs, b -> (b + 0) % 7 - 3)), 0) AS BIGINT) AS score_0,
+          CAST(COALESCE(list_sum(list_transform(bs, b -> (b + 17) % 7 - 3)), 0) AS BIGINT) AS score_1,
+          CAST(COALESCE(list_sum(list_transform(bs, b -> (b + 34) % 7 - 3)), 0) AS BIGINT) AS score_2
+        FROM bks)
+      SELECT doc_id, n_feats, score_0, score_1, score_2,
+        CAST(CASE WHEN score_0 >= score_1 AND score_0 >= score_2 THEN 0
+                  WHEN score_1 >= score_2 THEN 1 ELSE 2 END AS INT) AS label
+      FROM scored ORDER BY doc_id"""),
+    bench = true)
+
   /** Target-mixture sampling (r8): derive per-domain acceptance rates
     * from target ppm weights + actual counts (integer-exact), sample
     * by md5 threshold — the oracle replays counts, thresholds and
@@ -2970,7 +3006,7 @@ object Queries {
     patternizeQ, patternizeWords,
     annBruteForce, annLsh, annIvf, embedPq, annPq, dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
-    sampleStratified, sampleMixture, textClassifierScore,
+    sampleStratified, sampleMixture, textClassifierScore, textClassifierLabel,
     decontaminate, decontaminateBloom, decontaminateFrac,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,

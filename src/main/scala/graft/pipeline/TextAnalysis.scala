@@ -154,6 +154,48 @@ object TextAnalysis {
         col("s.score").as("score"))
   }
 
+  /** Multi-label hashed classifier head (r9): argmax over L label
+    * scores — quality filtering à la fastText wants a LABEL decision
+    * (keep/toss, language, domain), not one scalar. Same hashing-trick
+    * features as [[hashedLinearScore]], one weight function per label.
+    *
+    * The feature BUCKETS stage once (bindArray, so the md5 hash runs
+    * once per feature, not once per label), then each label folds the
+    * bucket array with its own integer weights — per-label cost is pure
+    * arithmetic over an already-materialized int array. The decision is
+    * `array_position(scores, array_max(scores)) - 1`: ties go to the
+    * SMALLEST label index (fastText's argmax order), exactly replayable
+    * in SQL.
+    *
+    * Scale shape: one narrow codegen'd pass, models expression-resident
+    * (L × O(nBuckets)), corpus never shuffles — same 100 TB contract as
+    * the single-score head.
+    *
+    * @param weightsOf one bucket→weight column function per label
+    * @return (doc_id, n_feats, score_0..score_{L-1}, label) */
+  def hashedLinearLabel(docs: DataFrame, id: Column, text: Column,
+      nBuckets: Int, weightsOf: Seq[Column => Column]): DataFrame = {
+    require(nBuckets > 0, "hashedLinearLabel: positive bucket count")
+    require(weightsOf.nonEmpty, "hashedLinearLabel: at least one label")
+    val nL = weightsOf.length
+    def bucket(f: Column): Column =
+      conv(substring(md5(f), 1, 6), 16, 10).cast("long") % nBuckets
+    docs.select(id.as("doc_id"),
+      bindArray(filter(tokens(text), t => t =!= "")) { ws =>
+        bindArray(concat(ws, wordNgrams(ws, 2))) { feats =>
+          bindArray(transform(feats, f => bucket(f))) { bks =>
+            struct(size(bks).cast("long").as("n_feats"),
+              array(weightsOf.map(w =>
+                aggregate(bks, lit(0L), (acc, b) => acc + w(b))): _*).as("scores"))
+          }
+        }
+      }.as("s"))
+      .select(Seq(col("doc_id"), col("s.n_feats").as("n_feats")) ++
+        (0 until nL).map(l => col("s.scores").getItem(l).as(s"score_$l")) :+
+        (array_position(col("s.scores"), array_max(col("s.scores"))) - 1)
+          .cast("int").as("label"): _*)
+  }
+
   /** Target-mixture sampling (r8): the DoReMi/Pile-style mixture
     * APPLICATION step — given target domain weights (ppm) and a total
     * document budget, derive each domain's acceptance rate from its

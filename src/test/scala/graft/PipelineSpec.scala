@@ -284,6 +284,37 @@ class PipelineSpec extends GraftSuite {
     assert(out(4L) == ((5L, replay(Seq("a", "a", "a", "a a", "a a")))))
   }
 
+  test("multi-label classifier head: decision parity, tie to smallest index, score_0 == single-score head") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "solo"),
+      (3L, "  "), // no features: all scores 0 -> tie -> label 0
+      (4L, "a a a b b c d e f g h i j k l m n o p")
+    ).toDF("doc_id", "text")
+    val ws = (0 until 3).map(l => (b: org.apache.spark.sql.Column) =>
+      (b + 17 * l) % 7 - 3)
+    val rows = TextAnalysis.hashedLinearLabel(corpus, col("doc_id"),
+        col("text"), nBuckets = 4096, weightsOf = ws)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Seq(r.getLong(2), r.getLong(3), r.getLong(4)),
+          r.getInt(5)))).toMap
+    // decision parity: returned label IS the argmax of the returned
+    // scores, ties to the smallest index — for every row
+    rows.values.foreach { case (_, scores, label) =>
+      val best = scores.max
+      assert(label == scores.indexOf(best), s"$scores -> $label")
+    }
+    // the all-zero tie lands on label 0
+    assert(rows(3L) == ((0L, Seq(0L, 0L, 0L), 0)))
+    // label 0's weight table is the single-score head's: column parity
+    val single = TextAnalysis.hashedLinearScore(corpus, col("doc_id"),
+        col("text"), nBuckets = 4096, weightOf = b => b % 7 - 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { case (id, (nf, scores, _)) =>
+      assert(single(id) == ((nf, scores.head)), s"doc $id")
+    }
+  }
+
   test("mixture sampling: target weights, clamping, unknown-domain drop") {
     val corpus = (1 to 400).map(i =>
       (i.toLong, if (i <= 300) "web" else if (i <= 390) "books" else "rare"))
@@ -717,6 +748,28 @@ class PipelineSpec extends GraftSuite {
         col("embedding"), planes, seed = 42, dim = 64).as("b"))
       .groupBy("b").count().agg(max("count")).head.getLong(0)
     assert(occ < n / 2, s"degenerate bucket: $occ of $n in one bucket")
+  }
+
+  test("compiled HyperplaneBuckets == HOF hyperplaneBucket per table (bit-identical) + loud dim check") {
+    // the compiled signer is what dedup_embedding_prod ships at scale;
+    // the HOF chain is the oracle-replayable reference form — they must
+    // agree bit-for-bit on the real corpus for every table
+    val emb = Tables.embeddings(spark, sf)
+    val tables = 4
+    val planes = 9
+    val hof = emb.select(col("vec_id"), array((0 until tables).map(t =>
+      Similarity.hyperplaneBucket(col("embedding"), planes, 42L + t, 64)): _*).as("bs"))
+    val compiled = emb.select(col("vec_id"), graft.functions.HyperplaneBuckets(
+      col("embedding"), 42L, planes, tables, 64).as("bs"))
+    val diff = hof.as("h").join(compiled.as("c"), Seq("vec_id"))
+      .filter(col("h.bs") =!= col("c.bs")).count()
+    assert(diff == 0, s"$diff vectors sign differently compiled vs HOF")
+    // a wrong dim must fail loudly, not zero-pad into one bucket
+    val err = intercept[Exception] {
+      emb.select(graft.functions.HyperplaneBuckets(
+        col("embedding"), 42L, 4, 1, 63)).collect()
+    }
+    assert(err.getMessage != null)
   }
 
   test("ngram jaccard pairs exact values") {
