@@ -338,6 +338,76 @@ object Similarity {
         col("pq.mse").as("mse"))
   }
 
+  /** Trained PQ codebook (r9): per-subspace Lloyd iterations on top of
+    * the md5 sample — real PQ trains its codebook; the sample is only
+    * the init. Assignment is the same compiled per-subspace argmin as
+    * encoding ([[graft.functions.PqEncode]]); the update is
+    * INTEGERIZED: per (dim, code) the new component is
+    * `floor(Σ floor(x·2^20) / count) / 2^20` rounded to float. Integer
+    * sums are ORDER-INDEPENDENT, which buys two properties a plain
+    * float mean cannot give: the training is bit-deterministic at any
+    * parallelism (Spark's double-sum order varies run to run), and an
+    * external SQL engine replays every iteration exactly (the
+    * embed_pq_trained oracle). The 2^-20 quantization of the mean is
+    * far below the reconstruction error it is estimating. A code with
+    * no members keeps its previous value (standard Lloyd).
+    *
+    * Scale shape per iteration: one narrow encode pass + one
+    * (dim × k)-group partial aggregate — the collected update table is
+    * dim·k rows (driver-bounded, same contract as ivfTopK's k-means),
+    * the corpus never shuffles. */
+  def pqTrain(df: DataFrame, id: Column, vec: Column,
+      k: Int = 256, m: Int = 8, iters: Int = 2,
+      scaleBits: Int = 20): Array[Array[Float]] = {
+    require(iters >= 0 && scaleBits > 0 && scaleBits < 31)
+    val base = df.select(id.as("vec_id"), vec.as("v"))
+    var cb: Array[Array[Float]] = sampleCentroids(base, k).map(_._2.toArray)
+    val dim = cb.head.length
+    val sub = dim / m
+    val scale = (1L << scaleBits).toDouble
+    var it = 0
+    while (it < iters) {
+      val codes = base.select(col("v"),
+        graft.functions.PqEncode(col("v"), cb.map(x => x: Seq[Float]), m)
+          .getField("codes").as("codes"))
+      // (global dim, code at that dim's subspace) → integer sum + count;
+      // trailing remainder dims belong to the last subspace, matching
+      // PqEncode's slicing
+      val upd = codes
+        .select(col("codes"), posexplode(col("v")).as(Seq("di", "x")))
+        .select(col("di"),
+          element_at(col("codes"),
+            least(col("di") / sub, lit(m - 1)).cast("int") + 1).as("code"),
+          floor(col("x").cast("double") * scale).cast("long").as("xi"))
+        .groupBy(col("di"), col("code"))
+        .agg(sum(col("xi")).as("fs"), count(lit(1)).as("cnt"))
+        .collect()
+      val next = cb.map(_.clone())
+      upd.foreach { r =>
+        val di = r.getInt(0); val code = r.getInt(1)
+        val q = Math.floorDiv(r.getLong(2), r.getLong(3))
+        next(code)(di) = (q.toDouble / scale).toFloat
+      }
+      cb = next
+      it += 1
+    }
+    cb
+  }
+
+  /** [[pqEncode]] against a TRAINED codebook ([[pqTrain]]): the
+    * drop-in-replacement path the r8 scaladoc promised. Same one-pass
+    * compiled encode; only the codebook source changes. */
+  def pqEncodeTrained(df: DataFrame, id: Column, vec: Column,
+      k: Int = 256, m: Int = 8, iters: Int = 2): DataFrame = {
+    val base = df.select(id.as("vec_id"), vec.as("v"))
+    val cb = pqTrain(df, id, vec, k, m, iters)
+    base
+      .select(col("vec_id"),
+        graft.functions.PqEncode(col("v"), cb.map(x => x: Seq[Float]), m).as("pq"))
+      .select(col("vec_id"), array_join(col("pq.codes"), "_").as("codes"),
+        col("pq.mse").as("mse"))
+  }
+
   /** PQ asymmetric-distance top-k (ADC): the search half of the PQ
     * pipeline — the corpus is scanned as CODES ONLY (m bytes a row at
     * production scale, not the float vectors), each row scoring
@@ -349,9 +419,13 @@ object Similarity {
     * encode expression evaluates once per row, not once per subspace.
     * Exact-replay oracle: ann_pq. */
   def pqTopK(df: DataFrame, vec: Column, id: Column, query: Seq[Float],
-      k: Int, pqK: Int = 16, m: Int = 8): DataFrame = {
+      k: Int, pqK: Int = 16, m: Int = 8,
+      codebook: Option[Array[Array[Float]]] = None): DataFrame = {
     val base = df.select(id.as("vec_id"), vec.as("v"))
-    val cb = sampleCentroids(base, pqK).map(_._2)
+    val cb: Array[Seq[Float]] = codebook match {
+      case Some(c) => c.map(_.toSeq)
+      case None    => sampleCentroids(base, pqK).map(_._2)
+    }
     val dim = query.length
     val sub = dim / m
     val lut: Seq[Seq[Double]] = (0 until m).map { s =>

@@ -25,11 +25,25 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** The GPT-2-style pre-tokenizer regex: contraction suffixes, word
+    * pieces, digit runs, punctuation runs — each with its leading space
+    * attached (so concatenating tokens reconstructs the text minus
+    * runs of extra whitespace). */
+  private val bpeishPattern =
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
   /** BPE-ish token estimate without a vocab: count word pieces + digit
     * runs + punctuation runs (a GPT-2-style pre-tokenizer regex). */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text,
-      lit("'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"))
+    regexp_count(text, lit(bpeishPattern))
+
+  /** The MODEL-token array for the same pre-tokenizer: what
+    * [[chunkDocuments]]/[[packSequences]] cut on when a pretraining
+    * pipeline counts model tokens instead of whitespace words (r9).
+    * Same regex as [[bpeishTokenCount]] — the text_tokens_bpe oracle
+    * pins the Spark↔DuckDB dialect agreement. */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
 
   /** Per-language marker (stopword) sets for n-gram-free language ID.
     * Tiny on purpose: ID at 100 TB must stay a map-side expression. */
@@ -522,15 +536,22 @@ object TextAnalysis {
     * ~(1 + overlap/stride)× the corpus tokens, the expected chunking
     * overhead.
     *
+    * BPE mode (r9): pass `tokenizer = bpeishTokens` and `joinSep = ""`
+    * to cut on MODEL tokens — each BPE piece carries its leading space,
+    * so empty-separator concatenation reconstructs the text span. The
+    * chunk shape (one narrow Generate pass, zero corpus shuffle) is
+    * identical — the tokenizer is just a different map expression.
+    *
     * @return (doc_id, chunk_idx, n_tokens, chunk_text) */
   def chunkDocuments(docs: DataFrame, id: Column, text: Column,
-      chunkTokens: Int = 512, overlap: Int = 64): DataFrame = {
+      chunkTokens: Int = 512, overlap: Int = 64,
+      tokenizer: Column => Column = t => filter(tokens(t), x => x =!= ""),
+      joinSep: String = " "): DataFrame = {
     require(chunkTokens > overlap && overlap >= 0,
       "chunkDocuments: need chunkTokens > overlap >= 0")
     val stride = chunkTokens - overlap
     docs
-      .select(id.as("doc_id"),
-        filter(tokens(text), t => t =!= "").as("ws"))
+      .select(id.as("doc_id"), tokenizer(text).as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col("doc_id"), col("ws"),
         // kmax = ceil((n − chunkTokens)/stride) = (n − overlap − 1) div
@@ -545,7 +566,7 @@ object TextAnalysis {
         bindArray(slice(col("ws"), col("chunk_idx") * stride + 1,
             lit(chunkTokens))) {
           sl => struct(size(sl).cast("long").as("n_tokens"),
-            array_join(sl, " ").as("chunk_text"))
+            array_join(sl, joinSep).as("chunk_text"))
         }.as("c"))
       .select(col("doc_id"), col("chunk_idx"),
         col("c.n_tokens").as("n_tokens"), col("c.chunk_text").as("chunk_text"))
@@ -570,15 +591,20 @@ object TextAnalysis {
     * partition bounded by `groupSpan` docs. No corpus-wide single
     * partition anywhere; two narrow passes + one tiny agg.
     *
+    * BPE mode (r9): pass `tokenCountOf = bpeishTokenCount(_)` to pack
+    * on MODEL tokens — the two-level prefix-sum shape is untouched (the
+    * tokenizer only changes the per-doc count expression).
+    *
     * @param groupSpan docs per prefix group (the in-group window bound)
     * @return (doc_id, seq_id, seq_off, tok_from, n_tokens) */
   def packSequences(docs: DataFrame, id: Column, text: Column,
-      seqLen: Int = 2048, groupSpan: Int = 1024): DataFrame = {
+      seqLen: Int = 2048, groupSpan: Int = 1024,
+      tokenCountOf: Column => Column =
+        t => size(filter(tokens(t), x => x =!= ""))): DataFrame = {
     require(seqLen > 0 && groupSpan > 0, "packSequences: positive sizes")
     import org.apache.spark.sql.expressions.Window
     val counted = docs
-      .select(id.as("doc_id"),
-        size(filter(tokens(text), t => t =!= "")).cast("long").as("n"))
+      .select(id.as("doc_id"), tokenCountOf(text).cast("long").as("n"))
       .filter(col("n") > 0)
       .withColumn("grp", (col("doc_id") / groupSpan).cast("long"))
     // tiny table: one row per group -> exclusive prefix of all earlier
