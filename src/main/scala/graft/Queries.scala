@@ -1729,6 +1729,78 @@ object Queries {
       FROM best WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""),
     bench = true)
 
+  /** One Lloyd iteration as DuckDB CTEs (embed_pq_trained oracle): from
+    * codebook `cbIn`, assignment = per-subspace squared-L2 argmin
+    * (ties → smaller code), update = integerized mean per (dim, code) —
+    * `floor(Σ floor(x·2^20) / cnt) / 2^20` rounded to FLOAT — empty
+    * codes keep their previous value. Integer sums make the replay
+    * exact regardless of either engine's aggregation order. */
+  private def pqLloydIterSql(i: Int, cbIn: String, cbOut: String): String =
+    s"""sub$i AS (
+        SELECT v.vec_id, mm.m, c.j,
+          list_sum(list_transform(range(1, 9), d ->
+            (v.e[mm.m * 8 + d] - c.ce[mm.m * 8 + d]) *
+            (v.e[mm.m * 8 + d] - c.ce[mm.m * 8 + d]))) AS dist
+        FROM v, (SELECT unnest(range(0, 8)) AS m) mm, $cbIn c
+      ), asg$i AS (
+        SELECT vec_id, m, j FROM (
+          SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY dist ASC, j ASC) AS rn FROM sub$i)
+        WHERE rn = 1
+      ), upd$i AS (
+        SELECT a.j, dd.d0,
+          SUM(CAST(FLOOR(v.e[dd.d0 + 1] * 1048576.0) AS BIGINT)) AS fs,
+          COUNT(*) AS cnt
+        FROM asg$i a JOIN v ON a.vec_id = v.vec_id
+        JOIN dims dd ON dd.d0 // 8 = a.m
+        GROUP BY a.j, dd.d0
+      ), $cbOut AS (
+        SELECT c.j, list(CAST(COALESCE(
+            CAST(CAST((u.fs - (((u.fs % u.cnt) + u.cnt) % u.cnt)) / u.cnt
+              AS BIGINT) / 1048576.0 AS FLOAT),
+            CAST(c.ce[dd.d0 + 1] AS FLOAT)) AS DOUBLE) ORDER BY dd.d0) AS ce
+        FROM $cbIn c CROSS JOIN dims dd
+        LEFT JOIN upd$i u ON u.j = c.j AND u.d0 = dd.d0
+        GROUP BY c.j
+      )"""
+
+  /** Trained-codebook PQ (r9): two integerized Lloyd iterations on top
+    * of the md5-sample init, then the same encode as embed_pq — the
+    * oracle replays BOTH training iterations (assignment, integer-sum
+    * update, float rounding) and the final encode exactly. */
+  private val embedPqTrained = Q("embed_pq_trained",
+    (s, d) => Similarity.pqEncodeTrained(Tables.embeddings(s, d),
+        col("vec_id"), col("embedding"), k = 16, m = 8, iters = 2)
+      .orderBy(col("vec_id")),
+    Some(s"""WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), dims AS (SELECT unnest(range(0, 64)) AS d0
+      ), cb0 AS (
+        SELECT row_number() OVER
+            (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+          CAST(embedding AS DOUBLE[]) AS ce
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+      ), ${pqLloydIterSql(1, "cb0", "cb1")}
+      , ${pqLloydIterSql(2, "cb1", "cb2")}
+      , subF AS (
+        SELECT v.vec_id, mm.m, c.j,
+          list_sum(list_transform(range(1, 9), d ->
+            (v.e[mm.m * 8 + d] - c.ce[mm.m * 8 + d]) *
+            (v.e[mm.m * 8 + d] - c.ce[mm.m * 8 + d]))) AS dist
+        FROM v, (SELECT unnest(range(0, 8)) AS m) mm, cb2 c
+      ), bestF AS (
+        SELECT vec_id, m, j, dist,
+          row_number() OVER (PARTITION BY vec_id, m
+            ORDER BY dist ASC, j ASC) AS rn
+        FROM subF
+      )
+      SELECT vec_id,
+        string_agg(CAST(j AS VARCHAR), '_' ORDER BY m) AS codes,
+        list_sum(list(dist ORDER BY m)) / 64 AS mse
+      FROM bestF WHERE rn = 1 GROUP BY vec_id ORDER BY vec_id"""),
+    bench = true)
+
   /** PQ asymmetric-distance top-k (r8): the oracle rebuilds codebook +
     * codes (embed_pq CTEs), the query's per-subspace LUT, and the
     * m-ordered ADC sum — ranking and tie-breaks replayed exactly. */
@@ -2640,6 +2712,62 @@ object Queries {
       ORDER BY doc_id, chunk_idx"""),
     bench = true)
 
+  /** BPE-token-aware chunking (r9): same window contract as
+    * text_chunking but cut on MODEL tokens (the GPT-2-style
+    * pre-tokenizer regex of text_tokens_bpe); each piece carries its
+    * leading space so chunk_text is the empty-separator concatenation.
+    * The oracle replays regexp_extract_all + the same slice math. */
+  private val textChunkingBpe = Q("text_chunking_bpe",
+    (s, d) => TextAnalysis.chunkDocuments(Tables.documents(s, d),
+        col("doc_id"), col("text"), chunkTokens = 32, overlap = 8,
+        tokenizer = TextAnalysis.bpeishTokens, joinSep = "")
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text,
+          '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')
+          AS ws
+        FROM documents
+        WHERE len(regexp_extract_all(text,
+          '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) > 0
+      )
+      SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        CAST(len(ws[k * 24 + 1 : least(k * 24 + 32, len(ws))]) AS BIGINT)
+          AS n_tokens,
+        array_to_string(ws[k * 24 + 1 : least(k * 24 + 32, len(ws))], '')
+          AS chunk_text
+      FROM toks, unnest(range(0, greatest(0, (len(ws) - 8 - 1) // 24) + 1)) AS t(k)
+      ORDER BY doc_id, chunk_idx"""),
+    bench = true)
+
+  /** BPE-token-aware packing (r9): text_pack_sequences' two-level
+    * prefix sum over MODEL-token counts instead of whitespace words. */
+  private val textPackBpe = Q("text_pack_bpe",
+    (s, d) => TextAnalysis.packSequences(Tables.documents(s, d),
+        col("doc_id"), col("text"), seqLen = 64, groupSpan = 32,
+        tokenCountOf = TextAnalysis.bpeishTokenCount(_).cast("long"))
+      .orderBy(col("doc_id"), col("seq_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id, CAST(len(regexp_extract_all(text,
+          '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+          AS BIGINT) AS n
+        FROM documents
+        WHERE len(regexp_extract_all(text,
+          '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) > 0
+      ), st AS (
+        SELECT doc_id, n,
+          CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS strt
+        FROM toks
+      )
+      SELECT doc_id, s AS seq_id,
+        greatest(s * 64, strt) - s * 64 AS seq_off,
+        greatest(s * 64, strt) - strt AS tok_from,
+        least((s + 1) * 64, strt + n) - greatest(s * 64, strt) AS n_tokens
+      FROM st, unnest(range(strt // 64, (strt + n - 1) // 64 + 1)) AS t(s)
+      ORDER BY doc_id, seq_id"""),
+    bench = true)
+
   /** Hashed linear classifier scoring (r8): fastText-shaped quality
     * model application — unigram+bigram hashing-trick features, a
     * closed-form weight table ((bucket % 7) − 3 stands in for trained
@@ -3004,14 +3132,15 @@ object Queries {
     dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,
     splitLeakageSafe,
     patternizeQ, patternizeWords,
-    annBruteForce, annLsh, annIvf, embedPq, annPq, dedupSemantic, dedupSemanticKeep,
+    annBruteForce, annLsh, annIvf, embedPq, embedPqTrained, annPq,
+    dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     sampleStratified, sampleMixture, textClassifierScore, textClassifierLabel,
     decontaminate, decontaminateBloom, decontaminateFrac,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,
-    textUnigramQuality, textBigramSurprisal, textChunking,
-    textPackSequences,
+    textUnigramQuality, textBigramSurprisal, textChunking, textChunkingBpe,
+    textPackSequences, textPackBpe,
     textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,
     multimodalGif, multimodalVideo)

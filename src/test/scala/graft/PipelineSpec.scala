@@ -259,6 +259,61 @@ class PipelineSpec extends GraftSuite {
     assert(out((1L, 3))._2.endsWith("w10") && out((4L, 1))._2.endsWith("x5"))
   }
 
+  test("BPE-mode chunking/packing: model tokens diverge from whitespace words, exact reconstruction") {
+    // the sf corpus is plain lowercase words (BPE == whitespace there —
+    // the oracles pin cross-engine parity); THIS corpus makes the modes
+    // genuinely diverge: contractions, punctuation runs, digits,
+    // multi-space
+    val corpus = Seq(
+      (1L, "don't stop, it's 2024!  really?"),
+      (2L, "a,b,c d")
+    ).toDF("doc_id", "text")
+    val toks = corpus.select(col("doc_id"),
+        TextAnalysis.bpeishTokens(col("text")).as("bs"),
+        TextAnalysis.tokenCount(col("text")).as("wc"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[String](1), r.getInt(2)))).toMap
+    val (b1, w1) = toks(1L)
+    assert(b1 == Seq("don", "'t", " stop", ",", " it", "'s", " 2024", "!",
+      " really", "?"), b1)
+    assert(w1 == 5 && b1.length == 10) // genuinely different counts
+    // reconstruction: empty-sep concat == text minus extra whitespace
+    assert(b1.mkString("") == "don't stop, it's 2024! really?")
+    // chunking in BPE mode cuts where whitespace mode cannot
+    val chunks = TextAnalysis.chunkDocuments(corpus, col("doc_id"),
+        col("text"), chunkTokens = 4, overlap = 1,
+        tokenizer = TextAnalysis.bpeishTokens, joinSep = "")
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getString(3))))
+      .toMap
+    assert(chunks((1L, 0)) == (4L, "don't stop,"))
+    assert(chunks((1L, 1)) == (4L, ", it's 2024")) // mid-"word" boundary
+    // last chunk reaches the final token
+    assert(chunks.filter(_._1._1 == 1L).values.map(_._2).exists(_.endsWith("?")))
+    // packing conservation on MODEL-token counts: every BPE token lands
+    // in exactly one slice — doc 2 is "a" "," "b" "," "c" " d" (6)
+    val b2 = toks(2L)._1
+    assert(b2 == Seq("a", ",", "b", ",", "c", " d"), b2)
+    val packed = TextAnalysis.packSequences(corpus, col("doc_id"),
+        col("text"), seqLen = 4, groupSpan = 2,
+        tokenCountOf = TextAnalysis.bpeishTokenCount(_).cast("long"))
+      .collect()
+    val perDoc = packed.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(4)).sum).toMap
+    assert(perDoc(1L) == b1.length.toLong && perDoc(2L) == b2.length.toLong)
+    // the 16 tokens cut into 4 full sequences: per-sequence slices tile
+    // contiguously from offset 0
+    assert(packed.map(_.getLong(4)).sum == 16L)
+    packed.groupBy(_.getLong(1)).foreach { case (seqId, rows) =>
+      val slices = rows.map(r => (r.getLong(2), r.getLong(4))).sortBy(_._1)
+      assert(slices.head._1 == 0L, s"seq $seqId starts at ${slices.head._1}")
+      slices.sliding(2).foreach {
+        case Array((o1, n1), (o2, _)) => assert(o1 + n1 == o2, s"gap in seq $seqId")
+        case _ => ()
+      }
+    }
+  }
+
   test("hashed linear classifier: feature count, independent score replay") {
     val corpus = Seq(
       (1L, "the quick brown fox"), // 4 unigrams + 3 bigrams
@@ -483,6 +538,85 @@ class PipelineSpec extends GraftSuite {
     assert(recall2 >= 0.3, s"clustered pq recall@10 $recall2")
     info(s"pq(k=64,m=8) on the clustered corpus: recall@10 $recall2, " +
       "cluster membership 10/10")
+  }
+
+  test("pq trained codebook: mse improves on the sample, deterministic, recall keeps the planted gate") {
+    val emb = Tables.embeddings(spark, sf)
+    // iters=0 is exactly the sampled-codebook encode
+    val base = Similarity.pqEncode(emb, col("vec_id"), col("embedding"),
+        k = 16, m = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val it0 = Similarity.pqEncodeTrained(emb, col("vec_id"), col("embedding"),
+        k = 16, m = 8, iters = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    assert(it0 == base)
+    // Lloyd iterations reduce corpus-mean reconstruction error (the
+    // integerized update quantizes means at 2^-20 — far below the
+    // improvement it buys)
+    val mse0 = base.values.map(_._2).sum / base.size
+    val tr = Similarity.pqEncodeTrained(emb, col("vec_id"), col("embedding"),
+        k = 16, m = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
+    val mse2 = tr.values.map(_._2).sum / tr.size
+    assert(mse2 < mse0, s"trained mse $mse2 !< sampled $mse0")
+    info(f"pq corpus-mean mse: sampled $mse0%.5f -> trained(2 iters) $mse2%.5f")
+    // integer-sum update => bit-deterministic training at any parallelism
+    val cbA = Similarity.pqTrain(emb, col("vec_id"), col("embedding"),
+      k = 16, m = 8, iters = 2)
+    val cbB = Similarity.pqTrain(emb, col("vec_id"), col("embedding"),
+      k = 16, m = 8, iters = 2)
+    assert(cbA.length == 16 &&
+      cbA.zip(cbB).forall { case (a, b) => a.sameElements(b) })
+    // planted clustered corpus: the trained codebook must keep the r8
+    // cluster-membership contract and not lose recall vs the sample
+    val rnd = new scala.util.Random(0xc105 + 9)
+    val dim = 64
+    val centers = Seq.fill(20)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val rows = (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => x + (rnd.nextDouble() * 0.1 - 0.05).toFloat).toSeq)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val q2 = rows.head._2
+    // recall at CLUSTER SIZE (@50): within the cluster the 50 members
+    // are near-equidistant from the query, so top-10 ORDER among mates
+    // is noise quantization legitimately reshuffles (the r8 contract);
+    // @50 the exact set IS the cluster and ordering noise washes out
+    def run(cb: Option[Array[Array[Float]]]): Set[Long] =
+      Similarity.pqTopK(clustered, col("embedding"), col("vec_id"),
+          q2.map(x => x), 50, pqK = 64, m = 8, codebook = cb)
+        .select("vec_id").as[Long].collect().toSet
+    val exact2 = rows.map { case (id, v) =>
+      var acc = 0.0; var i = 0
+      while (i < v.length) {
+        val d = v(i).toDouble - q2(i).toDouble; acc += d * d; i += 1
+      }
+      (id, acc)
+    }.sortBy { case (id, dd) => (dd, id) }.take(50).map(_._1).toSet
+    assert(exact2.forall(_ % 20 == 0)) // ground truth: the whole cluster
+    val sampled = run(None)
+    val trainedCb = Similarity.pqTrain(clustered, col("vec_id"),
+      col("embedding"), k = 64, m = 8, iters = 2)
+    val trained = run(Some(trainedCb))
+    assert(trained.forall(_ % 20 == 0), s"trained pq left the cluster: $trained")
+    assert(trained.contains(0L))
+    val rS = (sampled intersect exact2).size
+    val rT = (trained intersect exact2).size
+    assert(rT >= rS, s"trained recall $rT < sampled $rS")
+    info(s"planted-corpus recall@50: sampled $rS/50, trained $rT/50")
+    // and the quantity Lloyd optimizes — planted-corpus reconstruction
+    // error — must improve on the sample
+    def plantedMse(cb: Array[Array[Float]]): Double =
+      clustered.select(graft.functions.PqEncode(col("embedding"),
+          cb.map(_.toSeq), 8).getField("mse"))
+        .as[Double].collect().sum / 1000.0
+    val sampledCb = clustered
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(64)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val mseS = plantedMse(sampledCb)
+    val mseT = plantedMse(trainedCb)
+    assert(mseT < mseS, s"trained planted mse $mseT !< sampled $mseS")
+    info(f"planted-corpus mse: sampled $mseS%.6f -> trained $mseT%.6f")
   }
 
   test("bigram surprisal: repeated transitions score low, gibberish high") {

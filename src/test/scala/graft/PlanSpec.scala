@@ -282,10 +282,13 @@ class PlanSpec extends GraftSuite {
     // only exchange is the oracle harness's ORDER BY (rangepartitioning),
     // which production never runs — at 100 TB chunking must stay a
     // map-only stage over the scan
-    val p = plan("text_chunking")
-    assert(p.contains("Generate explode"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    for (q <- Seq("text_chunking", "text_chunking_bpe")) {
+      val p = plan(q)
+      assert(p.contains("Generate explode"), s"$q\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q\n$p")
+      assert(!p.contains("Exchange hashpartitioning"), s"$q\n$p")
+    }
   }
 
   test("pack sequences: the only single-partition pass is the tiny group table") {
@@ -293,14 +296,16 @@ class PlanSpec extends GraftSuite {
     // partition: the corpus-side running sum windows BY GROUP
     // (hashpartitioning) and only the group-totals table — one row per
     // ~1k docs, post-aggregate — crosses a SinglePartition exchange
-    val p = plan("text_pack_sequences")
-    val fin = p.linesIterator.toSeq
-    assert(fin.exists(l => l.contains("Window") &&
-      l.contains("partitionBy")) ||
-      p.contains("hashpartitioning(grp"), p)
-    assert(fin.count(_.contains("Exchange SinglePartition")) <= 1, p)
-    assert(p.contains("BroadcastHashJoin"), p) // prefix offsets join
-    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
+    for (q <- Seq("text_pack_sequences", "text_pack_bpe")) {
+      val p = plan(q)
+      val fin = p.linesIterator.toSeq
+      assert(fin.exists(l => l.contains("Window") &&
+        l.contains("partitionBy")) ||
+        p.contains("hashpartitioning(grp"), s"$q\n$p")
+      assert(fin.count(_.contains("Exchange SinglePartition")) <= 1, s"$q\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q\n$p") // prefix offsets join
+      assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), s"$q\n$p")
+    }
   }
 
   test("line dedup: no window over unbounded groups, semi-join survivors") {
