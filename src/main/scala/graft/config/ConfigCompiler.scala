@@ -1601,14 +1601,23 @@ object ConfigCompiler {
       case "grouping-by" =>
         // grouping-by(key() timeout() where() aggregate(value(n t)...)
         // having(...)) — groupingby.c:35-51 — sessionize per key with the
-        // timeout gap, aggregate-value templates become Spark aggregates
-        val keyT = kvOf(s.args, "key").getOrElse(
-          throw new IllegalArgumentException("grouping-by needs key()"))
-        val timeout = kvOf(s.args, "timeout").map(_.toInt).getOrElse(60)
+        // timeout gap, aggregate-value templates become Spark aggregates.
+        // Init validation is grouping_by_init (groupingby.c:510-532)
+        // quirk-for-quirk: aggregate(), an EXPLICIT timeout() >= 1, and
+        // key() are each mandatory — the old compiler defaulted timeout
+        // to 60 and aggregate to context-length, which the reference
+        // rejects at init
+        // validation ORDER is the reference's: aggregate, timeout, key
         val aggSpecs = s.args.collectFirst { case KV("aggregate", vs) =>
           vs.collect { case KV("value", as) =>
             val l = lits(as); (l.head, l(1)) }
-        }.getOrElse(Seq(("n", "$(context-length)")))
+        }.getOrElse(throw new IllegalArgumentException(
+          "The aggregate() option for grouping-by() is mandatory"))
+        val timeout = kvOf(s.args, "timeout").map(_.toInt).getOrElse(-1)
+        if (timeout < 1) throw new IllegalArgumentException(
+          "timeout() needs to be specified explicitly and must be greater than 0 in the grouping-by() parser")
+        val keyT = kvOf(s.args, "key").getOrElse(throw new IllegalArgumentException(
+          "The key() option is mandatory for the grouping-by() parser"))
         val whereCol = s.args.collectFirst {
           case KV("where", Seq(kv: KV)) => primitive(kv.key, kv.args)
           case KV("where", Seq(FilterArg(e))) =>

@@ -42,6 +42,40 @@ object Sessions {
       .withColumn("session_end", col("session.end"))
       .drop("session")
 
+  /** grouping-by's persist name (`groupingby.c:363-369`,
+    * test_grouping_by.c:61-111): `grouping-by(<key template text>)` —
+    * two parsers share correlation state across a config reload iff
+    * their KEY TEMPLATES render the same name. The reference formats
+    * into a static 512-byte buffer with g_snprintf, so the name
+    * TRUNCATES at 511 bytes — two long templates sharing a 511-byte
+    * prefix collide onto one state blob (quirk preserved; config
+    * templates are ASCII in practice, multi-byte tails cut at the byte
+    * boundary exactly like the C). */
+  def persistName(keyTemplate: String): String = {
+    val full = s"grouping-by($keyTemplate)"
+    val b = full.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (b.length <= 511) full
+    else new String(b, 0, 511, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The Spark mapping of `cfg_persist_config_fetch` (groupingby.c:
+    * 488-506): state identity across config reloads is the CHECKPOINT
+    * path, derived from the persist name — a reload keeping the key
+    * template resumes its state store; changing it lands on a fresh
+    * path (the reference allocates a fresh correlation state when the
+    * fetch misses). Sanitized for the filesystem with an md5 suffix so
+    * distinct names never collide post-sanitization. */
+  def persistCheckpoint(base: String, keyTemplate: String): String = {
+    val name = persistName(keyTemplate)
+    val safe = name.map(c =>
+      if (c.isLetterOrDigit || c == '-' || c == '(' || c == ')') c else '_')
+      .take(80)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(x => f"$x%02x").mkString
+    s"$base/$safe-$h"
+  }
+
   /** $(context-values $v) with sort-key() (`groupingby.c:327`): values
     * of a context ordered by `sortKey`, str-repr encoded (the
     * reference's list repr — a value containing a comma renders
