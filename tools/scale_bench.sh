@@ -27,7 +27,7 @@ done
 for SF in /root/testdata/sf0.01 /root/testdata/sf0.1 "$(pwd)/scaledata/sf1"; do
   [ -d "$SF" ] || { echo "skip $SF (missing)" >&2; continue; }
   for Q in $QUERIES; do
-    LINE=$(SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_ONLY=$Q SPARK_GRAFT_REPEAT=3 \
+    LINE=$(SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_ONLY=$Q SPARK_GRAFT_REPEAT=5 \
       SPARK_GRAFT_CPUS=32 java -cp "$CP" $OPENS -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC -Xmx24g graft.Bench 2>/dev/null | grep '^{')
     echo "{\"sf\":\"$SF\",\"q\":\"$Q\",\"r\":$LINE}" >> "$OUT"
