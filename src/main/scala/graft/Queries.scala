@@ -1841,6 +1841,80 @@ object Queries {
       SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10"""),
     bench = true)
 
+  /** IVF-PQ ANN (r9): coarse-cell probe + per-cell residual-PQ ADC —
+    * the oracle replays the ENTIRE index: cell sample, cosine-argmax
+    * assignment (ties → larger cid), FLOAT residuals, the residual
+    * codebook (the sample's own residuals), per-subspace argmin codes,
+    * the query's probe ranking (ties → smaller cid) and per-cell LUT,
+    * and the m-ordered ADC fold. */
+  private val annIvfPq = Q("ann_ivfpq",
+    (s, d) => Similarity.ivfPqTopK(Tables.embeddings(s, d), col("embedding"),
+      col("vec_id"), queryVec(s, d), 10, nCells = 8, nProbe = 3,
+      pqK = 16, m = 8),
+    Some("""WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, embedding AS ef
+        FROM embeddings
+      ), cells AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cd,
+          embedding AS cf
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+      ), asg AS (
+        SELECT vec_id, cid FROM (
+          SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+            ORDER BY
+              list_sum(list_transform(range(1, 65), i -> v.e[i] * c.cd[i])) /
+              (sqrt(list_sum(list_transform(range(1, 65), i -> v.e[i] * v.e[i]))) *
+               sqrt(list_sum(list_transform(range(1, 65), i -> c.cd[i] * c.cd[i]))))
+              DESC, c.cid DESC) AS rn
+          FROM v, cells c)
+        WHERE rn = 1
+      ), res AS (
+        SELECT a.vec_id, a.cid,
+          list_transform(range(1, 65), i -> v.ef[i] - c.cf[i]) AS rf
+        FROM asg a JOIN v USING (vec_id) JOIN cells c ON a.cid = c.cid
+      ), samp AS (
+        SELECT vec_id, row_number() OVER
+            (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+      ), rcb AS (
+        SELECT s.j, r.rf AS cb FROM samp s JOIN res r ON s.vec_id = r.vec_id
+      ), codes AS (
+        SELECT vec_id, cid, m, j FROM (
+          SELECT r.vec_id, r.cid, mm.m, b.j,
+            row_number() OVER (PARTITION BY r.vec_id, mm.m
+              ORDER BY list_sum(list_transform(range(1, 9), d ->
+                (CAST(r.rf[mm.m * 8 + d] AS DOUBLE) - CAST(b.cb[mm.m * 8 + d] AS DOUBLE)) *
+                (CAST(r.rf[mm.m * 8 + d] AS DOUBLE) - CAST(b.cb[mm.m * 8 + d] AS DOUBLE))))
+                ASC, b.j ASC) AS rn
+          FROM res r, (SELECT unnest(range(0, 8)) AS m) mm, rcb b)
+        WHERE rn = 1
+      ), q AS (SELECT e AS qe, ef AS qf FROM v WHERE vec_id = 0
+      ), probe AS (
+        SELECT c.cid, c.cf FROM q, cells c
+        ORDER BY
+          list_sum(list_transform(range(1, 65), i -> q.qe[i] * c.cd[i])) /
+          (sqrt(list_sum(list_transform(range(1, 65), i -> q.qe[i] * q.qe[i]))) *
+           sqrt(list_sum(list_transform(range(1, 65), i -> c.cd[i] * c.cd[i]))))
+          DESC, c.cid ASC
+        LIMIT 3
+      ), qres AS (
+        SELECT p.cid, list_transform(range(1, 65), i -> q.qf[i] - p.cf[i]) AS qr
+        FROM q, probe p
+      ), lut AS (
+        SELECT s.cid, mm.m, b.j,
+          list_sum(list_transform(range(1, 9), d ->
+            (CAST(s.qr[mm.m * 8 + d] AS DOUBLE) - CAST(b.cb[mm.m * 8 + d] AS DOUBLE)) *
+            (CAST(s.qr[mm.m * 8 + d] AS DOUBLE) - CAST(b.cb[mm.m * 8 + d] AS DOUBLE)))) AS ld
+        FROM qres s, (SELECT unnest(range(0, 8)) AS m) mm, rcb b
+      )
+      SELECT c.vec_id, list_sum(list(l.ld ORDER BY c.m)) AS adc
+      FROM codes c JOIN lut l ON c.cid = l.cid AND c.m = l.m AND c.j = l.j
+      GROUP BY c.vec_id
+      ORDER BY adc ASC, vec_id ASC LIMIT 10"""),
+    bench = true)
+
   private val annBruteForce = Q("ann_brute_force",
     (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d),
         col("embedding"), col("vec_id"), queryVec(s, d), 10),
@@ -2192,6 +2266,40 @@ object Queries {
         (CAST(count(bg.gram) AS DOUBLE) / count(*)) >= 0.5 AS dropped
       FROM dg LEFT JOIN bg ON dg.gram = bg.gram
       GROUP BY dg.doc_id ORDER BY dg.doc_id"""))
+
+  /** Semantic decontamination (r9): the n-gram family's embedding
+    * sibling — flag corpus vectors whose cosine to ANY benchmark vector
+    * (vec_id % 50 == 0 stands in for the eval set) clears the
+    * threshold. The oracle replays the argmax (ties → larger bench id)
+    * and the float chain exactly. */
+  private val decontaminateSemantic = Q("decontaminate_semantic",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.semanticContamination(
+          emb.filter(col("vec_id") % 50 =!= 0), col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") % 50 === 0), col("vec_id"), col("embedding"),
+          threshold = 0.35)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      ), best AS (
+        SELECT vec_id AS doc_id, bid AS bench_id, cos FROM (
+          SELECT c.vec_id, b.vec_id AS bid,
+            list_sum(list_transform(range(1, 65), i -> c.e[i] * b.e[i])) /
+            (sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i]))) *
+             sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))) AS cos,
+            row_number() OVER (PARTITION BY c.vec_id
+              ORDER BY
+                list_sum(list_transform(range(1, 65), i -> c.e[i] * b.e[i])) /
+                (sqrt(list_sum(list_transform(range(1, 65), i -> c.e[i] * c.e[i]))) *
+                 sqrt(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i]))))
+                DESC, b.vec_id DESC) AS rn
+          FROM v c, v b
+          WHERE c.vec_id % 50 <> 0 AND b.vec_id % 50 = 0)
+        WHERE rn = 1)
+      SELECT doc_id, bench_id, cos FROM best
+      WHERE cos >= 0.35 ORDER BY doc_id"""))
 
   /** [[decontaminate]]'s Bloom-prefiltered scale path: identical
     * result (the exact semi-join removes the Bloom's false positives),
@@ -2686,6 +2794,67 @@ object Queries {
       FROM scored GROUP BY doc_id ORDER BY doc_id"""),
     bench = true)
 
+  /** CCNet head/middle/tail buckets (r9): sampled surprisal cutpoints
+    * (t1 = sorted-sample[floor(S/3)], t2 = [floor(2S/3)]) + one narrow
+    * comparison pass. Sample pinned to 99 so the oracle replays the
+    * md5 sample, the tercile picks and every bucket decision. */
+  private val textCcnetBuckets = Q("text_ccnet_buckets",
+    (s, d) => TextAnalysis.surprisalBuckets(Tables.documents(s, d),
+        col("doc_id"), col("text"), vocabSize = 16, bigramTableSize = 32,
+        sampleN = 99)
+      .orderBy(col("doc_id")),
+    Some("""WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            x -> x <> '') AS ws
+        FROM documents
+      ), bigrams AS (
+        SELECT doc_id, ws[i] AS a, ws[i + 1] AS b
+        FROM toks, unnest(range(1, len(ws))) AS t(i)
+        WHERE len(ws) >= 2
+      ), ucounts AS (
+        SELECT term, count(*) AS ucnt
+        FROM (SELECT unnest(ws) AS term FROM toks) GROUP BY term
+      ), vocab AS (
+        SELECT term, ucnt FROM ucounts ORDER BY ucnt DESC, term ASC LIMIT 16
+      ), bcounts AS (
+        SELECT a, b, count(*) AS bcnt FROM bigrams GROUP BY a, b
+      ), btab AS (
+        SELECT a, b, bcnt FROM bcounts
+        ORDER BY bcnt DESC, a ASC, b ASC LIMIT 32
+      ), scored AS (
+        SELECT g.doc_id,
+          CASE WHEN v.ucnt IS NULL THEN 1
+            ELSE length(bin(v.ucnt)) END AS ubits,
+          bt.bcnt AS bcnt
+        FROM bigrams g
+        LEFT JOIN btab bt ON g.a = bt.a AND g.b = bt.b
+        LEFT JOIN vocab v ON g.a = v.term
+      ), sc AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+          cast(sum(CASE WHEN bcnt IS NULL THEN 1 ELSE 0 END) AS bigint)
+            AS oov_bigrams,
+          cast(sum(CASE WHEN bcnt IS NULL THEN ubits + 1
+            ELSE greatest(0, ubits - length(bin(bcnt))) END) AS double)
+            / count(*) AS surprisal_bits_avg
+        FROM scored GROUP BY doc_id
+      ), smp AS (
+        SELECT surprisal_bits_avg AS sv, doc_id FROM sc
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 99
+      ), ord AS (
+        SELECT sv, row_number() OVER (ORDER BY sv, doc_id) AS rn,
+          count(*) OVER () AS n
+        FROM smp
+      ), thr AS (
+        SELECT
+          (SELECT sv FROM ord WHERE rn = (SELECT n // 3 + 1 FROM ord LIMIT 1)) AS t1,
+          (SELECT sv FROM ord WHERE rn = (SELECT (2 * n) // 3 + 1 FROM ord LIMIT 1)) AS t2)
+      SELECT sc.doc_id, sc.n_bigrams, sc.oov_bigrams, sc.surprisal_bits_avg,
+        CASE WHEN sc.surprisal_bits_avg <= thr.t1 THEN 'head'
+             WHEN sc.surprisal_bits_avg <= thr.t2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM sc, thr ORDER BY sc.doc_id"""))
+
   /** Context-window chunking (r8): deterministic overlapping windows
     * over whitespace tokens — the oracle replays tokenization, the
     * chunk-index range, and the list slices. Pinned small
@@ -3132,14 +3301,15 @@ object Queries {
     dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,
     splitLeakageSafe,
     patternizeQ, patternizeWords,
-    annBruteForce, annLsh, annIvf, embedPq, embedPqTrained, annPq,
+    annBruteForce, annLsh, annIvf, embedPq, embedPqTrained, annPq, annIvfPq,
     dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
     sampleStratified, sampleMixture, textClassifierScore, textClassifierLabel,
-    decontaminate, decontaminateBloom, decontaminateFrac,
+    decontaminate, decontaminateBloom, decontaminateFrac, decontaminateSemantic,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,
-    textUnigramQuality, textBigramSurprisal, textChunking, textChunkingBpe,
+    textUnigramQuality, textBigramSurprisal, textCcnetBuckets,
+    textChunking, textChunkingBpe,
     textPackSequences, textPackBpe,
     textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,

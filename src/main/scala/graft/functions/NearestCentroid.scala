@@ -185,6 +185,78 @@ object NearestCentroids {
       centroids.map(_._2.toArray), centroids.map(_._1), topN))
 }
 
+/** `nearest_centroid_cos(vec)` — [[NearestCentroid]]'s argmax WITH the
+  * winning cosine: struct(cid, cos). The semantic-decontamination gate
+  * needs the VALUE (flag rows whose best benchmark cosine clears a
+  * threshold), not just the winner id — same comparator, same
+  * sequential double accumulation, one compiled dim×k pass. */
+case class NearestCentroidCos(child: Expression,
+    centroids: Array[Array[Float]], cids: Array[Long])
+  extends UnaryExpression {
+
+  require(centroids.length == cids.length && centroids.nonEmpty)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def prettyName: String = "nearest_centroid_cos"
+
+  @transient private lazy val cNorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  def nearestOf(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    var vs = 0.0
+    while (i < n) {
+      v(i) = arr.getFloat(i).toDouble
+      vs += v(i) * v(i)
+      i += 1
+    }
+    val vNorm = math.sqrt(vs)
+    var bestCos = Double.NaN
+    var bestCid = 0L
+    var first = true
+    var k = 0
+    while (k < centroids.length) {
+      val c = centroids(k)
+      var d = 0.0
+      var j = 0
+      val m = math.min(n, c.length)
+      while (j < m) { d += v(j) * c(j); j += 1 }
+      val cos = d / (vNorm * cNorms(k))
+      val cmp = java.lang.Double.compare(cos, bestCos)
+      if (first || cmp > 0 || (cmp == 0 && cids(k) > bestCid)) {
+        bestCos = cos; bestCid = cids(k); first = false
+      }
+      k += 1
+    }
+    InternalRow(bestCid, bestCos)
+  }
+
+  override protected def nullSafeEval(v: Any): Any = nearestOf(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ncc", this, classOf[NearestCentroidCos].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $self.nearestOf($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidCos =
+    copy(child = c)
+}
+
+object NearestCentroidCos {
+  def apply(vec: Column, centroids: Array[(Long, Seq[Float])]): Column =
+    ColumnBridge.column(new NearestCentroidCos(ColumnBridge.expression(vec),
+      centroids.map(_._2.toArray), centroids.map(_._1)))
+}
+
 /** `dot_f(a, b)` — compiled sequential-order double dot product of two
   * float vectors: bit-identical to the HOF form
   * (`aggregate(zip_with(a, b, (x,y) => x*y), 0.0, +)` with double

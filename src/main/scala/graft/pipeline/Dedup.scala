@@ -572,6 +572,36 @@ object Dedup {
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Semantic decontamination (r9): flag training vectors whose
+    * embedding cosine to ANY benchmark vector clears `threshold` — the
+    * n-gram decontamination family's embedding-space sibling; it
+    * catches PARAPHRASED eval leakage exact grams miss (the reason
+    * modern data recipes run both). The benchmark side is small by
+    * nature (eval sets are thousands of rows, the corpus is billions),
+    * so it collects to the driver under the same bounded contract as
+    * the centroid ops and the corpus pays ONE narrow compiled argmax
+    * pass ([[graft.functions.NearestCentroidCos]]) — no join, no
+    * shuffle, the decision rides the scan. Ties on cos go to the
+    * larger bench id (the argmax comparator — oracle-replayed).
+    *
+    * @return flagged rows only: (doc_id, bench_id, cos) */
+  def semanticContamination(corpus: DataFrame, id: Column, vec: Column,
+      bench: DataFrame, benchId: Column, benchVec: Column,
+      threshold: Double, maxBench: Int = 1 << 20): DataFrame = {
+    val b = bench.select(benchId.as("bid"), benchVec.as("bv"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(b.nonEmpty, "semanticContamination: empty benchmark side")
+    require(b.length <= maxBench,
+      s"semanticContamination: ${b.length} benchmark vectors exceed the " +
+        s"driver-bounded contract ($maxBench) — shard the benchmark or raise maxBench")
+    corpus
+      .select(id.as("doc_id"),
+        graft.functions.NearestCentroidCos(vec, b).as("best"))
+      .select(col("doc_id"), col("best.cid").as("bench_id"),
+        col("best.cos").as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   // ---- cross-document duplicated spans -----------------------------------------
   /** Span-level exact duplication: for each document, how many of its
     * k-token windows (ALL positions, not distinct — a window repeated

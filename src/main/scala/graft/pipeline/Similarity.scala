@@ -460,6 +460,133 @@ object Similarity {
       .limit(k)
   }
 
+  /** Driver-side replica of [[graft.functions.NearestCentroid]]'s
+    * argmax (sequential double dot, cos = d/(|v|·|c|),
+    * java.lang.Double.compare with NaN greatest, ties → larger cid) —
+    * used where a HANDFUL of driver-held vectors need the same
+    * assignment the compiled expression gives the corpus. */
+  private[pipeline] def nearestCellLocal(v: Seq[Float],
+      cells: Array[(Long, Seq[Float])]): Long = {
+    var vs = 0.0
+    var i = 0
+    while (i < v.length) { vs += v(i).toDouble * v(i).toDouble; i += 1 }
+    val vn = math.sqrt(vs)
+    var bestCos = Double.NaN
+    var bestCid = 0L
+    var first = true
+    cells.foreach { case (cid, c) =>
+      var d = 0.0; var cs = 0.0
+      var j = 0
+      val m = math.min(v.length, c.length)
+      while (j < m) { d += v(j).toDouble * c(j).toDouble; j += 1 }
+      j = 0
+      while (j < c.length) { cs += c(j).toDouble * c(j).toDouble; j += 1 }
+      val cos = d / (vn * math.sqrt(cs))
+      val cmp = java.lang.Double.compare(cos, bestCos)
+      if (first || cmp > 0 || (cmp == 0 && cid > bestCid)) {
+        bestCos = cos; bestCid = cid; first = false
+      }
+    }
+    bestCid
+  }
+
+  /** IVF-PQ ANN (r9) — the production 100 TB vector-index architecture
+    * (FAISS's IndexIVFPQ shape): the corpus partitions into `nCells`
+    * coarse cells (same cosine argmax as [[ivfTopK]]), each vector
+    * stores only the PQ CODES OF ITS RESIDUAL (v − cell centroid), and
+    * a query probes its `nProbe` nearest cells scanning codes with a
+    * PER-CELL ADC table (the query's residual against that cell). IVF
+    * prunes the scan to nProbe/nCells of the corpus, PQ shrinks what
+    * remains 32×, and residual encoding recovers most of the precision
+    * a global codebook loses — the reason this pairing is the standard.
+    *
+    * Everything derives from the md5 sample so an external engine
+    * replays it end to end (the ann_ivfpq oracle): coarse cells = the
+    * md5-ordered corpus prefix; the residual codebook = the residuals
+    * of the NEXT md5-ordered sample rows, assigned and subtracted with
+    * the exact expression float semantics (float subtraction, double
+    * distance accumulation).
+    *
+    * Scale shape: assignment + encode are one narrow pass over a
+    * broadcast cells table; the probe is a pushed-down `cid IN (...)`
+    * filter + one compiled ADC fold + TakeOrdered. No corpus shuffle
+    * anywhere. At a real deployment cells/codebook train offline and
+    * the probe reads nProbe/nCells of an already-encoded table.
+    *
+    * @return (vec_id, adc) — ascending approximate squared-L2 */
+  def ivfPqTopK(df: DataFrame, vec: Column, id: Column, query: Seq[Float],
+      k: Int, nCells: Int = 16, nProbe: Int = 4, pqK: Int = 16,
+      m: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(id.as("vec_id"), vec.as("v"))
+    val cells = sampleCentroids(base, nCells)
+    val dim = query.length
+    val sub = dim / m
+    // residual codebook: the md5-ordered sample's own residuals — each
+    // sampled vector assigned to its cell with the expression semantics
+    // and subtracted in FLOAT (what the corpus-side zip_with computes)
+    val cellVec = cells.toMap
+    val rcb: Array[Seq[Float]] = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(pqK)
+      .collect().map { r =>
+        val v = r.getSeq[Float](1)
+        val c = cellVec(nearestCellLocal(v, cells))
+        v.zip(c).map { case (a, b) => a - b }: Seq[Float]
+      }
+    val cellsDf = cells.toSeq.toDF("cid", "cv")
+    // one narrow pass: assign, residual-encode (the index build)
+    val encoded = base
+      .withColumn("cid", nearestCentroidCol(col("v"), cells))
+      .join(broadcast(cellsDf), "cid")
+      .select(col("vec_id"), col("cid"),
+        graft.functions.PqEncode(
+          zip_with(col("v"), col("cv"), (a, b) => a - b),
+          rcb, m).getField("codes").as("codes"))
+    // query side: probe cells by cosine (ties → smaller cid, as
+    // ivfTopK), one ADC table per probed cell over the QUERY RESIDUAL
+    val probeSet: Seq[Long] = cells
+      .map { case (cid, cv) => (cid, cosineLocal(query, cv)) }
+      .sortBy { case (cid, c) => (-c, cid) }
+      .take(math.min(nProbe, cells.length)).map(_._1).toSeq
+    val lutByCell: Seq[(Long, Seq[Seq[Double]])] = probeSet.map { cid =>
+      val c = cellVec(cid)
+      val qr: Seq[Float] = query.zip(c).map { case (a, b) => a - b }
+      val lut = (0 until m).map { s =>
+        val from = s * sub
+        val until = if (s == m - 1) dim else from + sub
+        rcb.toSeq.map { cb =>
+          var acc = 0.0
+          var i = from
+          val lim = math.min(until, cb.length)
+          while (i < lim) {
+            val dd = qr(i).toDouble - cb(i).toDouble
+            acc += dd * dd
+            i += 1
+          }
+          acc
+        }
+      }
+      cid -> lut
+    }
+    val lutMap = map(lutByCell.flatMap { case (cid, lut) =>
+      Seq(lit(cid), array(lut.map(row => array(row.map(lit): _*)): _*))
+    }: _*)
+    encoded
+      .filter(col("cid").isin(probeSet: _*))
+      .select(col("vec_id"), col("cid"), col("codes"))
+      .select(col("vec_id"),
+        TextAnalysis.bindArray(col("codes")) { codes =>
+          aggregate(
+            transform(sequence(lit(0), lit(m - 1)), s =>
+              element_at(element_at(element_at(lutMap, col("cid")), s + 1),
+                element_at(codes, s + 1) + 1)),
+            lit(0.0), (acc, x) => acc + x)
+        }.as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Driver-side cosine for centroid selection. */
   private[pipeline] def cosineLocal(a: Seq[Float], b: Seq[Float]): Double = {
     var d = 0.0; var na = 0.0; var nb = 0.0

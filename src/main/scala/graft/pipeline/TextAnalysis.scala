@@ -520,6 +520,44 @@ object TextAnalysis {
           .as("surprisal_bits_avg"))
   }
 
+  /** CCNet-style perplexity buckets (r9): the head/middle/tail split
+    * of the CCNet recipe — documents bucket by LM quality (here the
+    * integerized [[bigramSurprisal]] signal; lower = more probable =
+    * head) so downstream mixing can oversample the head and downsample
+    * the tail. CCNet derives its cutpoints from a SAMPLE, not a global
+    * sort — exactly what scales: a corpus-wide exact tercile needs a
+    * total order (one-partition sort at 100 TB), while the sampled
+    * cutpoints cost a bounded collect and one narrow comparison pass.
+    *
+    * Cutpoints: the md5-ordered sample's surprisal values sorted
+    * ascending (ties by doc_id); t1 = sorted[floor(S/3)],
+    * t2 = sorted[floor(2S/3)] (0-based). bucket = head if s ≤ t1,
+    * middle if s ≤ t2, else tail. The surprisal double is ONE division
+    * of exact integers, so both thresholds and comparisons replay
+    * bit-identically in an external engine.
+    *
+    * @return (doc_id, n_bigrams, oov_bigrams, surprisal_bits_avg,
+    *         bucket) */
+  def surprisalBuckets(docs: DataFrame, id: Column, text: Column,
+      vocabSize: Int = 65536, bigramTableSize: Int = 262144,
+      sampleN: Int = 4096): DataFrame = {
+    require(sampleN >= 3, "surprisalBuckets: need a sample of at least 3")
+    val sc = bigramSurprisal(docs, id, text, vocabSize, bigramTableSize)
+    val sample = sc
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(sampleN)
+      .select(col("surprisal_bits_avg"), col("doc_id"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (s, did) => (s, did) }
+    require(sample.nonEmpty, "surprisalBuckets: empty corpus")
+    val t1 = sample(sample.length / 3)._1
+    val t2 = sample(2 * sample.length / 3)._1
+    sc.withColumn("bucket",
+      when(col("surprisal_bits_avg") <= t1, "head")
+        .when(col("surprisal_bits_avg") <= t2, "middle")
+        .otherwise("tail"))
+  }
+
   /** Context-window chunking (r8): long documents split into
     * token-bounded overlapping chunks — the standard pretraining prep
     * step between cleaning and packing. Chunk k covers tokens

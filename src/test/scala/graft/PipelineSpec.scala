@@ -540,6 +540,83 @@ class PipelineSpec extends GraftSuite {
       "cluster membership 10/10")
   }
 
+  test("ivf-pq: planted clustered corpus keeps cluster membership; probe prunes the scan") {
+    // the IVF-PQ contract on a clustered space: the query's nProbe
+    // cells contain its cluster, residual codes keep mates ranked in,
+    // and rows outside probed cells never appear (the pruning IS the
+    // point — nProbe/nCells of the corpus scanned)
+    val rnd = new scala.util.Random(0x1f9 + 3)
+    val dim = 64
+    val centers = Seq.fill(20)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val rows = (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, c.map(x => x + (rnd.nextDouble() * 0.1 - 0.05).toFloat).toSeq)
+    }
+    val clustered = rows.toDF("vec_id", "embedding")
+    val q = rows.head._2
+    val got = Similarity.ivfPqTopK(clustered, col("embedding"), col("vec_id"),
+        q.map(x => x), 50, nCells = 32, nProbe = 8, pqK = 64, m = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.contains(0L), "query row missing from its own probe")
+    // every returned row is a cluster mate (id ≡ 0 mod 20)
+    val mates = got.count(_ % 20 == 0)
+    assert(mates >= (got.size * 9) / 10, s"ivfpq left the cluster: $got")
+    // sf corpus: adversarial near-random vectors — the op still returns
+    // k rows and the query's own vector ranks in
+    val emb = Tables.embeddings(spark, sf)
+    val q2 = emb.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0)
+    val sfTop = Similarity.ivfPqTopK(emb, col("embedding"), col("vec_id"),
+        q2, 10, nCells = 8, nProbe = 3, pqK = 16, m = 8)
+      .select("vec_id").as[Long].collect()
+    assert(sfTop.length == 10 && sfTop.contains(0L), sfTop.toSeq.toString)
+  }
+
+  test("semantic decontamination: planted paraphrase flags, clean rows pass, argmax tie rule") {
+    val rnd = new scala.util.Random(0xdec0)
+    val dim = 64
+    def vec(): Seq[Float] = Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val bench = Seq((1000L, vec()), (1001L, vec())).toDF("vec_id", "embedding")
+    val b0 = bench.filter(col("vec_id") === 1000L).head.getSeq[Float](1)
+    // corpus: a jittered near-copy of bench vector 1000 (the paraphrased
+    // leak), plus independent random rows (clean)
+    val leak = b0.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+    val corpus = (Seq((1L, leak)) ++ (2L to 50L).map(i => (i, vec())))
+      .toDF("vec_id", "embedding")
+    val flagged = Dedup.semanticContamination(corpus, col("vec_id"),
+        col("embedding"), bench, col("vec_id"), col("embedding"),
+        threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flagged.map(_._1).toSeq == Seq(1L), flagged.toSeq.toString)
+    assert(flagged.head._2 == 1000L && flagged.head._3 > 0.99)
+    // 64-dim random cosines never reach 0.9: nothing else flags (checked
+    // by the == Seq(1L) above); at threshold -1 EVERYTHING flags with
+    // its argmax — proving the argmax is total
+    val all = Dedup.semanticContamination(corpus, col("vec_id"),
+        col("embedding"), bench, col("vec_id"), col("embedding"),
+        threshold = -1.0).count()
+    assert(all == 50L)
+  }
+
+  test("ccnet surprisal buckets: value-monotone partition, every bucket populated") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val out = TextAnalysis.surprisalBuckets(docs, col("doc_id"), col("text"),
+        vocabSize = 16, bigramTableSize = 32, sampleN = 99)
+      .select(col("surprisal_bits_avg"), col("bucket"))
+      .collect().map(r => (r.getDouble(0), r.getString(1)))
+    val byBucket = out.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    assert(Set("head", "middle", "tail").subsetOf(byBucket.keySet), byBucket.keys.toString)
+    // monotone: every head value <= every middle value <= every tail
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // sampled terciles land near thirds (loose: the sample is 99 docs)
+    val n = out.length.toDouble
+    byBucket.foreach { case (b, vs) =>
+      assert(vs.length / n > 0.10 && vs.length / n < 0.65,
+        s"bucket $b has ${vs.length}/$n")
+    }
+  }
+
   test("pq trained codebook: mse improves on the sample, deterministic, recall keeps the planted gate") {
     val emb = Tables.embeddings(spark, sf)
     // iters=0 is exactly the sampled-codebook encode

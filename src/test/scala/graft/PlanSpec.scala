@@ -277,6 +277,26 @@ class PlanSpec extends GraftSuite {
     assert(!ann.contains("Exchange hashpartitioning"), ann)
   }
 
+  test("ivf-pq: broadcast cells join + top-k, no corpus shuffle") {
+    // index build = assign + residual-encode over a BROADCAST cells
+    // table; search = pushed filter + compiled ADC + TakeOrdered — at
+    // 100 TB the corpus must never hash-exchange
+    val p = plan("ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("semantic decontamination: the decision rides the scan — no join, no shuffle") {
+    // the benchmark side is expression-resident (NearestCentroidCos);
+    // the only exchange is the oracle harness's final ORDER BY
+    val p = plan("decontaminate_semantic")
+    assert(p.contains("nearest_centroid_cos"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("chunking: one narrow generate pass, no shuffle of the corpus") {
     // tokenize → explode chunk range → slice is narrow end-to-end; the
     // only exchange is the oracle harness's ORDER BY (rangepartitioning),
