@@ -332,6 +332,90 @@ class PropertiesSpec extends GraftSuite {
     })
   }
 
+  test("HyperplaneBuckets == per-table HOF signer on arbitrary vectors, keys bounded") {
+    // the compiled signer must agree with the Column-form chain on ANY
+    // vector (the corpus spec covers the real data; this covers the
+    // space) and every bucket stays under 2^planes
+    val vecGen = Gen.listOfN(16,
+      Gen.chooseNum(-2.0, 2.0).map(_.toFloat)).map(_.toSeq)
+    check(Prop.forAll(Gen.listOfN(20, vecGen)) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "v")
+      val planes = 6; val tables = 3
+      val hof = df.select(col("vec_id"), array((0 until tables).map(t =>
+        graft.pipeline.Similarity.hyperplaneBucket(col("v"), planes,
+          91L + t, 16)): _*).as("bs"))
+      val comp = df.select(col("vec_id"), graft.functions.HyperplaneBuckets(
+        col("v"), 91L, planes, tables, 16).as("bs"))
+      val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val c = comp.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      h == c && c.values.forall(_.forall(b => b >= 0 && b < (1L << planes)))
+    })
+  }
+
+  test("chunking covers every token exactly once per stride window (both tokenizers)") {
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(5))
+    val textGen = Gen.listOf(Gen.frequency(
+      8 -> word, 1 -> Gen.const("42"), 1 -> Gen.const("a,b!"))).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(8, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      Seq[(org.apache.spark.sql.Column => org.apache.spark.sql.Column, String)](
+        ((t: org.apache.spark.sql.Column) =>
+          filter(graft.pipeline.TextAnalysis.tokens(t), x => x =!= ""), " "),
+        (graft.pipeline.TextAnalysis.bpeishTokens _, "")
+      ).forall { case (tok, sep) =>
+        val nTokens = df.select(col("doc_id"), size(tok(col("text"))).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val chunks = graft.pipeline.TextAnalysis.chunkDocuments(df,
+            col("doc_id"), col("text"), chunkTokens = 4, overlap = 1,
+            tokenizer = tok, joinSep = sep)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        val byDoc = chunks.groupBy(_._1)
+        byDoc.forall { case (did, cs) =>
+          val n = nTokens(did)
+          val sorted = cs.sortBy(_._2)
+          // chunk k starts at k*stride; indices contiguous from 0; the
+          // last chunk reaches token n exactly; every chunk non-empty
+          sorted.map(_._2).toSeq == (0 until sorted.length) &&
+            sorted.forall(_._3 > 0) &&
+            sorted.last._2 * 3 + sorted.last._3 == n.toLong &&
+            sorted.init.forall(_._3 == 4L)
+        } && nTokens.forall { case (did, n) => (n == 0) == !byDoc.contains(did) }
+      }
+    })
+  }
+
+  test("packing conserves tokens and tiles sequences for arbitrary corpora (both counters)") {
+    val textGen = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar)
+      .map(_.mkString.take(4))).map(_.mkString(" "))
+    check(Prop.forAll(Gen.listOfN(10, textGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+        t => size(filter(graft.pipeline.TextAnalysis.tokens(t), x => x =!= ""))
+          .cast("long"),
+        t => graft.pipeline.TextAnalysis.bpeishTokenCount(t).cast("long")
+      ).forall { counter =>
+        val total = df.select(coalesce(sum(counter(col("text"))), lit(0L)))
+          .head.getLong(0)
+        val packed = graft.pipeline.TextAnalysis.packSequences(df,
+            col("doc_id"), col("text"), seqLen = 5, groupSpan = 3,
+            tokenCountOf = counter)
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+        packed.map(_._3).sum == total &&
+          packed.groupBy(_._1).forall { case (_, rows) =>
+            val slices = rows.map(r => (r._2, r._3)).sortBy(_._1)
+            slices.head._1 == 0L &&
+              slices.sliding(2).forall {
+                case Array((o1, n1), (o2, _)) => o1 + n1 == o2
+                case _ => true
+              }
+          }
+      }
+    })
+  }
+
   test("SdataKeyEscape output is always a valid SD-NAME") {
     val raw = Gen.listOf(Gen.frequency(
       6 -> Gen.alphaNumChar,
