@@ -3030,6 +3030,39 @@ object Queries {
         AS BIGINT) < thr.thr
       ORDER BY d.doc_id"""))
 
+  /** Epoch-duplicating mixture (r9): scarce domains upsample by
+    * repetition — de gets half the 2000-doc budget (≫ its count, so
+    * epochs > 1), en a quarter; the oracle replays allocation, full
+    * epochs, the fractional-epoch md5 decision, and the epoch range. */
+  private val sampleMixtureEpochs = Q("sample_mixture_epochs",
+    (s, d) => TextAnalysis.mixtureSampleEpochs(Tables.documents(s, d),
+        col("doc_id").cast("string"), col("lang"),
+        Map("en" -> 250000L, "de" -> 500000L), budget = 2000L,
+        seed = "me1")
+      .select(col("doc_id"), col("lang"), col("epoch"))
+      .orderBy(col("doc_id"), col("epoch")),
+    Some("""WITH c AS (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+      ), t AS (
+        SELECT lang, cnt,
+          CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
+                    ELSE 0 END AS ppm
+        FROM c
+      ), a AS (
+        SELECT lang, cnt, (ppm * 2000) // 1000000 AS alloc FROM t
+      ), p AS (
+        SELECT lang, alloc // cnt AS f,
+          (((alloc - (alloc // cnt) * cnt)) * 1000000) // cnt AS remppm
+        FROM a
+      ), thr AS (
+        SELECT lang, f, (remppm * 16777216) // 1000000 AS thr FROM p)
+      SELECT d.doc_id, d.lang, CAST(u.e AS BIGINT) AS epoch
+      FROM documents d JOIN thr ON d.lang = thr.lang,
+        unnest(range(0, thr.f +
+          CASE WHEN CAST(('0x' || substring(md5('me1' || d.doc_id), 1, 6))
+            AS BIGINT) < thr.thr THEN 1 ELSE 0 END)) AS u(e)
+      ORDER BY d.doc_id, epoch"""))
+
   /** Sequence packing (r8): GPT-style concat-and-cut into fixed
     * 64-token training sequences — the oracle replays the global token
     * prefix sum and the per-(doc,sequence) slice arithmetic. Pinned
@@ -3304,7 +3337,8 @@ object Queries {
     annBruteForce, annLsh, annIvf, embedPq, embedPqTrained, annPq, annIvfPq,
     dedupSemantic, dedupSemanticKeep,
     textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
-    sampleStratified, sampleMixture, textClassifierScore, textClassifierLabel,
+    sampleStratified, sampleMixture, sampleMixtureEpochs,
+    textClassifierScore, textClassifierLabel,
     decontaminate, decontaminateBloom, decontaminateFrac, decontaminateSemantic,
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,

@@ -256,6 +256,47 @@ object TextAnalysis {
       .drop("__mk", "__md", "__mc")
   }
 
+  /** Epoch-duplicating mixture application (r9): [[mixtureSample]]
+    * clamps a domain at one pass ("take it whole"); real mixtures
+    * UPSAMPLE scarce domains by repeating them (Pile/DoReMi epochs >
+    * 1). Each row emits `floor(alloc/cnt)` full copies plus one more
+    * with probability (alloc mod cnt)/cnt — decided by the same md5
+    * threshold machinery, so expected output per domain is exactly its
+    * allocation and every decision is integer-replayable. Output rows
+    * carry a 0-based `epoch` index (downstream shuffling/packing keys
+    * on it to keep copies apart).
+    *
+    * Scale shape: the same tiny per-domain count agg broadcast back,
+    * then a narrow explode — output size is the target budget, the
+    * input corpus never shuffles.
+    *
+    * @return input rows × their copy count, plus `epoch` */
+  def mixtureSampleEpochs(docs: DataFrame, key: Column, domain: Column,
+      targetPpm: Map[String, Long], budget: Long,
+      seed: String = ""): DataFrame = {
+    require(targetPpm.values.forall(p => p >= 0 && p <= 1000000L),
+      "mixtureSampleEpochs: ppm weights in [0, 1e6]")
+    val counted = docs.select(key.as("__mk"), domain.as("__md"), col("*"))
+    val cnts = counted.groupBy(col("__md")).agg(count(lit(1)).as("__mc"))
+    val ppm = targetPpm.foldLeft(lit(0L)) { case (acc, (d, p)) =>
+      when(col("__md") === d, lit(p)).otherwise(acc)
+    }
+    def idiv(a: Column, b: Column): Column = ((a - a % b) / b).cast("long")
+    val alloc = idiv(ppm * budget, lit(1000000L))
+    val full = idiv(alloc, col("__mc"))
+    val remPpm = idiv((alloc - full * col("__mc")) * 1000000L, col("__mc"))
+    val thr = idiv(remPpm * (1L << 24), lit(1000000L))
+    val bucket = conv(substring(md5(concat(lit(seed), col("__mk"))), 1, 6),
+      16, 10).cast("long")
+    counted.join(broadcast(cnts), "__md")
+      .withColumn("__copies",
+        full + when(bucket < thr, lit(1L)).otherwise(lit(0L)))
+      .filter(col("__copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__mk", "__md", "__mc", "__copies")
+  }
+
   /** Word n-grams as strings: ["a","b","c"] with n=2 → ["a b","b c"].
     * Pure HOF over an already-bound token array (pass through
     * [[bindArray]] so the tokenizer runs once, not once per element). */

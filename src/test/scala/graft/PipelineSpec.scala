@@ -370,6 +370,37 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("mixture epochs: scarce domains upsample to their allocation, epochs contiguous per doc") {
+    val corpus = (1 to 220).map(i =>
+      (i.toLong, if (i <= 200) "web" else "rare")).toDF("doc_id", "domain")
+    // rare (20 docs) gets half a 400-doc budget -> alloc 200 = 10 full
+    // epochs exactly; web (200 docs) gets 200 -> one full epoch
+    val out = TextAnalysis.mixtureSampleEpochs(corpus,
+        col("doc_id").cast("string"), col("domain"),
+        Map("web" -> 500000L, "rare" -> 500000L), budget = 400L, seed = "e")
+      .select(col("doc_id"), col("domain"), col("epoch"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDomain = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // exact-division allocations are deterministic, no fractional epoch
+    assert(byDomain("rare") == 200, byDomain.toString)
+    assert(byDomain("web") == 200, byDomain.toString)
+    // every copy of a doc carries a distinct contiguous epoch from 0
+    out.groupBy(_._1).foreach { case (did, rows) =>
+      val es = rows.map(_._3).sorted.toSeq
+      assert(es == (0L until es.length), s"doc $did epochs $es")
+    }
+    // each rare doc appears exactly 10 times, each web doc once
+    assert(out.filter(_._2 == "rare").groupBy(_._1).forall(_._2.length == 10))
+    assert(out.filter(_._2 == "web").groupBy(_._1).forall(_._2.length == 1))
+    // fractional allocation: rare alloc 50 over 20 docs -> 2 full epochs
+    // + 10 expected extras, binomial noise bounds
+    val frac = TextAnalysis.mixtureSampleEpochs(corpus,
+        col("doc_id").cast("string"), col("domain"),
+        Map("rare" -> 125000L), budget = 400L, seed = "e2")
+      .count()
+    assert(frac >= 40 && frac <= 60, frac.toString)
+  }
+
   test("mixture sampling: target weights, clamping, unknown-domain drop") {
     val corpus = (1 to 400).map(i =>
       (i.toLong, if (i <= 300) "web" else if (i <= 390) "books" else "rare"))

@@ -115,7 +115,7 @@ class XmlParserBatterySpec extends GraftSuite {
     assert(m.getOrElse(".xml.tag3.innertag", "") == "")
   }
 
-  test("strip-whitespaces strips each text run (test_xml_parser.c:382-403)") {
+  test("strip-whitespaces strips each text run (test_xml_parser.c:382-403; same case is the scanner-level test_xml_scanner.c:156-177)") {
     assert(parse("<tag> \n\t part1 <tag2/> part2 \n\n</tag>", strip = true)
       .get(".xml.tag") == "part1part2")
   }
