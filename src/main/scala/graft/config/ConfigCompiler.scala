@@ -297,10 +297,13 @@ object ConfigCompiler {
             // pad-size/encoding variants read batch (binaryFile), where
             // a per-trigger file budget has no meaning — reject rather
             // than silently ignore an explicit max-files()
-            case (_, Some(n), _) =>
+            // pad-size + encoding compose (the padded-record server's
+            // encoded form, test-record-server.c:107-176): record
+            // boundaries on raw bytes, per-frame decode
+            case (_, Some(n), encOpt) =>
               require(kvOf(stmt.args, "max-files").isEmpty,
                 s"source $name: max-files() is not supported with pad-size()")
-              graft.streaming.Sources.paddedRecords(spark, path, n)
+              graft.streaming.Sources.paddedRecords(spark, path, n, encOpt)
             case (_, _, Some(cs)) =>
               require(kvOf(stmt.args, "max-files").isEmpty,
                 s"source $name: max-files() is not supported with encoding()")

@@ -559,21 +559,28 @@ object AuditHexDecode {
 /** Arbitrary-charset decode (the `encoding()` source option,
   * `lib/logproto/logproto-text-server.c` + logreader options): Spark's
   * `decode` only speaks the ANSI charset shortlist, but syslog sources
-  * regularly declare iso-8859-x / windows-125x payloads. Invalid byte
-  * sequences decode with the charset's replacement character (GLib
-  * conversion inserts replacements rather than failing mid-stream). */
-case class CharsetDecode(child: Expression, charset: String)
+  * regularly declare iso-8859-x / windows-125x payloads. MID-STREAM
+  * invalid byte sequences decode with the replacement character (GLib
+  * conversion inserts replacements rather than failing mid-stream),
+  * but an INCOMPLETE multi-byte sequence at the very end of the
+  * payload is DROPPED, not replaced — the text server's EOF-with-
+  * conversion-leftovers path ("EOF read on a channel with leftovers
+  * from previous character conversion, dropping input",
+  * test-text-server.c:177-193): a lone 0xC3 tail yields no output, not
+  * U+FFFD. */
+case class CharsetDecode(child: Expression, charset: String,
+    frame: Boolean = false)
     extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "charset_decode"
 
   override protected def nullSafeEval(v: Any): Any =
-    CharsetDecode.decode(v.asInstanceOf[Array[Byte]], charset)
+    CharsetDecode.decode(v.asInstanceOf[Array[Byte]], charset, frame)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, b =>
-      s"""${ev.value} = graft.functions.CharsetDecode.decode($b, "$charset");""")
+      s"""${ev.value} = graft.functions.CharsetDecode.decode($b, "$charset", $frame);""")
 
   override protected def withNewChildInternal(c: Expression): CharsetDecode =
     copy(child = c)
@@ -581,7 +588,33 @@ case class CharsetDecode(child: Expression, charset: String)
 
 object CharsetDecode {
   def decode(bytes: Array[Byte], charset: String): UTF8String =
-    UTF8String.fromString(new String(bytes, java.nio.charset.Charset.forName(charset)))
+    decode(bytes, charset, frame = false)
+
+  /** `frame = false`: the stream form — a trailing incomplete sequence
+    * drops silently (the text server's EOF-leftovers path).
+    * `frame = true`: the record form — a frame whose bytes don't
+    * convert in their entirety is an ERROR
+    * ("Byte sequence too short, cannot convert an individual frame in
+    * its entirety", logproto-record-server.c via
+    * test-record-server.c:131-147). */
+  def decode(bytes: Array[Byte], charset: String, frame: Boolean): UTF8String = {
+    import java.nio.charset.{Charset, CodingErrorAction}
+    val dec = Charset.forName(charset).newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val cb = java.nio.CharBuffer.allocate(
+      (bytes.length * dec.maxCharsPerByte()).toInt + 1)
+    // endOfInput = false: a trailing INCOMPLETE sequence stays
+    // unconsumed (UNDERFLOW) and is dropped — never flushed into a
+    // replacement char (the reference's EOF-leftovers drop)
+    dec.decode(bb, cb, false)
+    if (frame && bb.hasRemaining)
+      throw new IllegalArgumentException(
+        "Byte sequence too short, cannot convert an individual frame in its entirety")
+    cb.flip()
+    UTF8String.fromString(cb.toString)
+  }
 }
 
 /** Column builders + SQL registration for graft's custom expressions. */
@@ -643,6 +676,12 @@ object GraftFunctions {
 
   def charset_decode(bytes: Column, charset: String): Column =
     ColumnBridge.column(CharsetDecode(ColumnBridge.expression(bytes), charset))
+
+  /** Record-frame decode: incomplete trailing sequence = loud error
+    * (the padded-record server's per-frame conversion contract). */
+  def charset_decode_frame(bytes: Column, charset: String): Column =
+    ColumnBridge.column(CharsetDecode(ColumnBridge.expression(bytes), charset,
+      frame = true))
 
   /** Register SQL names (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

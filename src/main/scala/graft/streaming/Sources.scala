@@ -213,15 +213,26 @@ object Sources {
     * option, lib/logreader options): the file reads as bytes and
     * decodes via [[graft.functions.CharsetDecode]] (Spark's text reader
     * and `decode` only speak the ANSI shortlist — syslog sources
-    * regularly declare iso-8859-x / windows-125x). */
+    * regularly declare iso-8859-x / windows-125x).
+    *
+    * Line semantics are the text server's (test-text-server.c:80-160):
+    * an interior empty line IS a message ("a\n\nb" fetches "a", "",
+    * "b" — the old filter dropped them), a payload without a trailing
+    * newline still flushes its partial last line as a message, and
+    * only the post-split artifact of one trailing newline drops (an
+    * empty payload yields no messages). */
   def fileLinesEncoded(spark: SparkSession, glob: String,
-      charset: String): DataFrame =
+      charset: String): DataFrame = {
+    val decoded = graft.functions.GraftFunctions.charset_decode(
+      col("content"), charset)
     spark.read.format("binaryFile").load(glob)
-      .select(col("path").as("source_file"),
+      .select(col("path").as("source_file"), decoded.as("__dec"))
+      .filter(length(col("__dec")) > 0)
+      .select(col("source_file"),
         explode(split(
-          graft.functions.GraftFunctions.charset_decode(col("content"), charset),
-          "\r?\n")).as("value"))
-      .filter(col("value") =!= "")
+          regexp_replace(col("__dec"), "\r?\n\\z", ""), "\r?\n", -1))
+          .as("value"))
+  }
 
   /** Fixed-size record framing (`lib/logproto/logproto-record-server.c`,
     * the `pad-size()` source option): the payload splits into
@@ -231,10 +242,34 @@ object Sources {
     * dropped (the reference raises LPS_ERROR "couldn't read enough
     * bytes"; a batch scan skips it). */
   def paddedRecords(spark: SparkSession, glob: String,
-      recordSize: Int): DataFrame = {
+      recordSize: Int): DataFrame = paddedRecords(spark, glob, recordSize, None)
+
+  /** With `charset`: the encoded padded-record form
+    * (test-record-server.c:107-176) — record boundaries stay on RAW
+    * bytes, each FULL record decodes as one frame (an incomplete
+    * multi-byte sequence inside a record fails loudly: "Byte sequence
+    * too short, cannot convert an individual frame in its entirety"),
+    * and the decoded text strips trailing whitespace. The NUL C-string
+    * cut applies ONLY to the unencoded form — UCS-4 records are full
+    * of NUL bytes that are data, not padding. */
+  def paddedRecords(spark: SparkSession, glob: String,
+      recordSize: Int, charset: Option[String]): DataFrame = {
     require(recordSize > 0, "pad-size must be positive")
     val raw = spark.read.format("binaryFile").load(glob)
       .select(col("path").as("source_file"), col("content"))
+    if (charset.isDefined) {
+      val cs = charset.get
+      return raw.select(col("source_file"),
+          explode(graft.functions.BinaryChunks(col("content"), recordSize))
+            .as("rec"))
+        // a short TRAILING record is the same LPS_ERROR as the
+        // unencoded form; the batch scan skips it
+        .filter(length(col("rec")) === recordSize)
+        .select(col("source_file"),
+          regexp_replace(
+            graft.functions.GraftFunctions.charset_decode_frame(col("rec"), cs),
+            "\\s+$", "").as("value"))
+    }
     val n = floor(length(col("content")) / recordSize).cast("int")
     // sequence(0, -1) would generate a DESCENDING range on an empty
     // file — guard the record count explicitly
