@@ -3194,6 +3194,34 @@ object Queries {
       FROM documents ORDER BY media_id"""),
     bench = true)
 
+  /** Audio features (r9): energy / peak / zero-crossings / mean over
+    * REAL decoded PCM (the RIFF walk + 16-bit samples) — the fixture
+    * samples are closed-form in doc_id, so DuckDB replays every
+    * feature analytically; a hash match proves the decoder recovered
+    * each sample exactly. */
+  private val multimodalAudio = Q("multimodal_audio",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.extractAudioFeatures(Multimodal.audioFixtures(s, d))
+        .select(col("media_id"), col("n_samples"), col("energy"),
+          col("peak"), col("zcr"), col("vmean"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH sm AS (
+        SELECT doc_id,
+          list_transform(range(0, 64),
+            i -> ((doc_id + i) % 7 - 3) * (1 + doc_id % 50)) AS v
+        FROM documents
+      )
+      SELECT doc_id AS media_id, CAST(64 AS BIGINT) AS n_samples,
+        CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS energy,
+        CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak,
+        CAST(len(list_filter(range(1, 64),
+          i -> v[i] * v[i + 1] < 0)) AS BIGINT) AS zcr,
+        CAST(list_sum(v) AS DOUBLE) / 64 AS vmean
+      FROM sm ORDER BY media_id"""),
+    bench = true)
+
   /** GIF pixel decode (r8 — GIF's LZW joins PNG/WAV as a real codec
     * layer): the fixture pattern is closed-form in doc_id exactly like
     * multimodal_pixels, so DuckDB recomputes the stats without an
@@ -3347,7 +3375,7 @@ object Queries {
     textPackSequences, textPackBpe,
     textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,
-    multimodalGif, multimodalVideo)
+    multimodalGif, multimodalAudio, multimodalVideo)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
@@ -3385,6 +3413,19 @@ object Queries {
       Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
           threshold = 0.95, planes = planes, seed = 42, dim = 64, tables = 4)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+    "decontaminate_semantic_prod" -> ((s: SparkSession, d: String) => {
+      // production shape: the BENCHMARK side is FIXED-SIZE (an eval
+      // set doesn't grow with the training corpus) — vec_id < 400
+      // rows at every sf, vs the oracle query's corpus-fraction slice
+      // (whose N·B work grows quadratically with sf by construction).
+      // This is the number that shows the operator's linear scale path.
+      val emb = Tables.embeddings(s, d)
+      Dedup.semanticContamination(
+          emb.filter(col("vec_id") >= 400), col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") < 400), col("vec_id"), col("embedding"),
+          threshold = 0.35)
+        .orderBy(col("doc_id"))
     }),
     "dedup_semantic_keep_prod" -> ((s: SparkSession, d: String) => {
       // survivors under the corpus-scaled clustering (see

@@ -213,6 +213,70 @@ object Multimodal {
       }
   }
 
+  /** Audio feature extraction (r9): the classic frame-level signal
+    * features over decoded PCM — energy (Σ v², exact integer), peak
+    * (max |v|), zero-crossing count (strict sign flips: v·prev < 0, a
+    * zero sample is not a crossing), integer-sum mean. What an audio
+    * quality/VAD gate computes per clip before any model sees it. */
+  case class AudioFeatures(media_id: Long, n_samples: Long, energy: Long,
+      peak: Long, zcr: Long, vmean: Double)
+
+  /** Audio fixture corpus: 16-bit mono WAVs whose 64 samples are
+    * closed-form in doc_id — `((id + i) % 7 − 3) · (1 + id % 50)` —
+    * sign-alternating (so zero crossings are exercised) with per-doc
+    * amplitude, all analytically replayable by the oracle. */
+  def audioFixtures(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val amp = (1 + id % 50).toInt
+        MediaRow(id, "audio/wav",
+          MediaFixtures.wavSamples(16000,
+            Array.tabulate(64)(i => (((id + i) % 7).toInt - 3) * amp)), 0, 0)
+      }
+  }
+
+  /** Batched PCM decode + audio features: same shape as
+    * [[extractSampleStats]] — per-row constant cost, narrow pipeline,
+    * non-audio/undecodable payloads drop. */
+  def extractAudioFeatures(ds: Dataset[MediaRow],
+      targetPartitionBytes: Long = 128L << 20): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    val shaped =
+      if (targetPartitionBytes <= 0) ds
+      else {
+        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
+        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+        val minParts = ds.sparkSession.sparkContext.defaultParallelism
+        val parts = math.max(minParts,
+          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
+        ds.repartition(parts, col("media_id"))
+      }
+    shaped.mapPartitions { it =>
+      it.flatMap { row =>
+        Option(MediaSamples.decode(row.bytes))
+          .filter(d => d.format == "wav" && d.samples.nonEmpty)
+          .map { d =>
+            var energy = 0L; var peak = 0L; var zcr = 0L; var s = 0L
+            var prev = 0L
+            var i = 0
+            while (i < d.samples.length) {
+              val v = d.samples(i).toLong
+              energy += v * v
+              peak = math.max(peak, math.abs(v))
+              s += v
+              if (i > 0 && v * prev < 0) zcr += 1
+              prev = v
+              i += 1
+            }
+            AudioFeatures(row.media_id, d.samples.length, energy, peak,
+              zcr, s.toDouble / d.samples.length)
+          }
+      }
+    }
+  }
+
   /** Batched sample decode + stats: same partition-sizing shape as
     * [[extractFeatures]], decoder is [[MediaSamples.decode]]. Undecodable
     * payloads (JPEG and corrupt bytes) drop — the codec boundary. */

@@ -51,8 +51,15 @@ object UdpSource {
             socket.receive(pkt)
             var s = new String(pkt.getData, pkt.getOffset, pkt.getLength,
               StandardCharsets.UTF_8)
-            if (s.endsWith("\n")) s = s.substring(0, s.length - 1)
-            if (s.endsWith("\r")) s = s.substring(0, s.length - 1)
+            // msg-format.c:35: ALL trailing '\n' and NUL bytes strip at
+            // the message-format layer (a while loop, not one char —
+            // "...gép\n\n" must not leave a stray separator behind);
+            // then one \r for CRLF senders
+            var end = s.length
+            while (end > 0 && (s.charAt(end - 1) == '\n' || s.charAt(end - 1) == '\u0000'))
+              end -= 1
+            if (end > 0 && s.charAt(end - 1) == '\r') end -= 1
+            s = s.substring(0, end)
             if (s.length > maxMsgSize) s = s.substring(0, maxMsgSize)
             if (s.indexOf('\n') >= 0) s = s.replace('\n', ' ')
             spool.accept(s)

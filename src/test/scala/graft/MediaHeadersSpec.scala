@@ -218,6 +218,44 @@ class MediaHeadersSpec extends GraftSuite {
     assert(MediaHeaders.decode(bad).format == "unknown")
   }
 
+  test("audio features: exact energy/peak/zcr/mean on a hand vector; non-audio drops") {
+    import spark.implicits._
+    // hand vector: [3, -2, 0, -1, 4] -> energy 9+4+0+1+16=30, peak 4,
+    // zcr: 3->-2 crosses, -2->0 no (zero), 0->-1 no, -1->4 crosses = 2
+    val rows = Seq(
+      graft.pipeline.Multimodal.MediaRow(1L, "audio/wav",
+        graft.pipeline.MediaFixtures.wavSamples(8000,
+          Array(3, -2, 0, -1, 4)), 0, 0),
+      // a PNG payload must be filtered out, not mis-featured
+      graft.pipeline.Multimodal.MediaRow(2L, "image/png",
+        graft.pipeline.MediaFixtures.pngPixels(16, 16, (x, y) => x + y), 16, 16),
+      // corrupt bytes drop silently (codec boundary)
+      graft.pipeline.Multimodal.MediaRow(3L, "audio/wav",
+        Array[Byte](1, 2, 3), 0, 0)
+    ).toDS()
+    val out = graft.pipeline.Multimodal.extractAudioFeatures(rows,
+      targetPartitionBytes = 0).collect()
+    assert(out.map(_.media_id).toSeq == Seq(1L))
+    val f = out.head
+    assert(f.n_samples == 5 && f.energy == 30L && f.peak == 4L && f.zcr == 2L)
+    assert(f.vmean == 4.0 / 5)
+  }
+
+  test("spark audio corpus: features survive the distributed decode") {
+    val feats = graft.pipeline.Multimodal.extractAudioFeatures(
+      graft.pipeline.Multimodal.audioFixtures(spark, "/root/testdata/sf0.001"),
+      targetPartitionBytes = 0).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val amp = 1 + f.media_id % 50
+      val v = (0 until 64).map(i => ((f.media_id + i) % 7 - 3) * amp)
+      assert(f.n_samples == 64)
+      assert(f.energy == v.map(x => x * x).sum)
+      assert(f.peak == v.map(math.abs).max)
+      assert(f.zcr == (1 until 64).count(i => v(i) * v(i - 1) < 0))
+    }
+  }
+
   test("spark pixel corpus: stats survive the distributed decode") {
     val stats = graft.pipeline.Multimodal.extractSampleStats(
       graft.pipeline.Multimodal.pixelFixtures(spark, "/root/testdata/sf0.001"),

@@ -161,11 +161,19 @@ class TcpSourceSpec extends GraftSuite {
       sendUdp("<13>Jan 12 03:04:05 h1 app1: payload one")
       sendUdp("<13>Jan 12 03:04:05 h2 app2: trailing newline\n")
       sendUdp("<13>Jan 12 03:04:05 h3 app3: " + "x" * 200) // truncates at 64
+      // test-dgram-server.c:32-75 through the msg-format layer
+      // (msg-format.c:35): ALL trailing '\n' AND NUL bytes strip — a
+      // "...\n\n" datagram loses both, a NUL-padded one loses the pad
+      sendUdp("<13>Jan 12 03:04:05 h4 app4: both gone\n\n")
+      val withNul = "<13>Jan 12 03:04:05 h5 app5: nul pad".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8) ++ Array.fill[Byte](3)(0)
+      sock.send(new java.net.DatagramPacket(withNul, withNul.length,
+        java.net.InetAddress.getByName("127.0.0.1"), listener.boundPort))
       sock.close()
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (listener.receivedCount < 3 && System.nanoTime() < deadline)
+      while (listener.receivedCount < 5 && System.nanoTime() < deadline)
         Thread.sleep(20)
-      assert(listener.receivedCount == 3)
+      assert(listener.receivedCount == 5)
       listener.stop()
       val q = lines.writeStream.format("memory").queryName("udp_e2e")
         .option("checkpointLocation", s"$dir/cp")
@@ -174,9 +182,11 @@ class TcpSourceSpec extends GraftSuite {
       q.awaitTermination(60000)
       val got = spark.table("udp_e2e").select("value")
         .collect().map(_.getString(0)).sorted.toSeq
-      assert(got.size == 3)
+      assert(got.size == 5)
       assert(got.contains("<13>Jan 12 03:04:05 h1 app1: payload one"))
       assert(got.contains("<13>Jan 12 03:04:05 h2 app2: trailing newline"))
+      assert(got.contains("<13>Jan 12 03:04:05 h4 app4: both gone"))
+      assert(got.contains("<13>Jan 12 03:04:05 h5 app5: nul pad"))
       assert(got.forall(_.length <= 64))
     } finally listener.stop()
   }
