@@ -2159,6 +2159,84 @@ object Queries {
         '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS INT) AS bpe_tokens
       FROM documents ORDER BY doc_id"""))
 
+  /** The pre-tokenizer regex as a DuckDB SQL string literal (the
+    * leading contraction quote doubles). */
+  private val bpeSqlPattern =
+    "'''(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+'"
+
+  /** One BPE training iteration as DuckDB CTEs: count adjacent symbol
+    * pairs weighted by piece frequency (per occurrence, before
+    * merging), pick max (count DESC, pair lexicographic), apply as a
+    * literal left-to-right replace — SQL replace()'s own semantics. */
+  private def bpeStageSql(k: Int): String =
+    s"""pc$k AS (
+        SELECT s.sy[i] AS a, s.sy[i + 1] AS b, SUM(s.cnt) AS c
+        FROM (SELECT string_split(w, chr(1)) AS sy, cnt FROM w${k - 1}) s,
+             unnest(range(1, len(s.sy))) AS t(i)
+        GROUP BY a, b
+      ), m$k AS MATERIALIZED (SELECT a, b FROM pc$k ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+      w$k AS MATERIALIZED (
+        SELECT w${k - 1}.piece, w${k - 1}.cnt,
+          CASE WHEN j.a IS NULL THEN w${k - 1}.w
+               ELSE replace(w${k - 1}.w, j.a || chr(1) || j.b, j.a || j.b)
+          END AS w
+        FROM w${k - 1} LEFT JOIN m$k j ON TRUE
+      )"""
+
+  /** One application stage: apply merge k to the whole corpus. */
+  private def bpeApplySql(k: Int): String =
+    s"""a$k AS MATERIALIZED (
+        SELECT a${k - 1}.doc_id,
+          CASE WHEN j.a IS NULL THEN a${k - 1}.w
+               ELSE replace(a${k - 1}.w, j.a || chr(1) || j.b, j.a || j.b)
+          END AS w
+        FROM a${k - 1} LEFT JOIN m$k j ON TRUE
+      )"""
+
+  /** TRAINED BPE (r9): Sennrich merges learned on the md5 sample
+    * (driver-bounded, deterministic) and applied corpus-wide as chained
+    * literal replaces — the oracle replays ALL 16 training iterations
+    * (weighted pair counts, tie-breaks, merge application) and the full
+    * corpus application in DuckDB; a hash match proves the trained
+    * tokenizer end to end. */
+  private val textTokensBpeTrained = Q("text_tokens_bpe_trained",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextAnalysis.bpeTrain(docs, col("doc_id"), col("text"),
+        nMerges = 16, sampleN = 64)
+      docs.select(col("doc_id"),
+          TextAnalysis.bpeSubwordCount(col("text"), merges).as("c"))
+        .select(col("doc_id"), col("c.n_pieces").as("n_pieces"),
+          col("c.n_subwords").as("n_subwords"))
+        .filter(col("n_pieces") > 0)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH samp AS (
+        SELECT text FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 64
+      ), piecesT AS (
+        SELECT p AS piece, COUNT(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(text, $bpeSqlPattern)) AS p
+              FROM samp)
+        GROUP BY p
+      ), w0 AS MATERIALIZED (
+        SELECT piece, cnt,
+          rtrim(regexp_replace(piece, '(.)', '\\1' || chr(1), 'g'), chr(1)) AS w
+        FROM piecesT
+      ), ${(1 to 16).map(bpeStageSql).mkString(", ")}
+      , docp AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, $bpeSqlPattern)) AS p
+        FROM documents
+      ), a0 AS MATERIALIZED (
+        SELECT doc_id,
+          rtrim(regexp_replace(p, '(.)', '\\1' || chr(1), 'g'), chr(1)) AS w
+        FROM docp
+      ), ${(1 to 16).map(bpeApplySql).mkString(", ")}
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+        CAST(SUM(len(string_split(w, chr(1)))) AS BIGINT) AS n_subwords
+      FROM a16 GROUP BY doc_id ORDER BY doc_id"""),
+    bench = true)
+
   private val textQualityFilter = Q("text_quality_filter",
     (s, d) => Tables.documents(s, d)
       .filter(TextAnalysis.qualityFilter(col("text"), minWords = 20,
@@ -3364,7 +3442,8 @@ object Queries {
     patternizeQ, patternizeWords,
     annBruteForce, annLsh, annIvf, embedPq, embedPqTrained, annPq, annIvfPq,
     dedupSemantic, dedupSemanticKeep,
-    textStats, textLangid, textTokensBpe, textQualityFilter, sampleHash,
+    textStats, textLangid, textTokensBpe, textTokensBpeTrained,
+    textQualityFilter, sampleHash,
     sampleStratified, sampleMixture, sampleMixtureEpochs,
     textClassifierScore, textClassifierLabel,
     decontaminate, decontaminateBloom, decontaminateFrac, decontaminateSemantic,

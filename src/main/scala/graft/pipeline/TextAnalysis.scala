@@ -45,6 +45,87 @@ object TextAnalysis {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpeishPattern), lit(0))
 
+  /** BPE merge separator: joins a piece's symbols inside the working
+    * string during training/application. A control char no tokenizer
+    * piece contains (the pre-tokenizer never emits control chars). */
+  private val BpeSep = "\u0001"
+
+  /** Trained BPE merges (r9): Sennrich-style byte-pair-encoding merge
+    * table learned from an md5-sampled subset — the real subword
+    * tokenizer the `bpeishTokenCount` estimate stands in for. Training
+    * is DRIVER-SIDE over a bounded sample (like every trained model
+    * here: pqTrain's codebook, ivfTopK's k-means — a tokenizer trains
+    * once on a sample, never on the full corpus), and every step is
+    * deterministic and externally replayable:
+    *
+    *  - pieces = the GPT-2-style pre-tokenizer over the sampled docs,
+    *    with frequencies; symbols start as single characters joined by
+    *    [[BpeSep]];
+    *  - each iteration counts ADJACENT symbol pairs weighted by piece
+    *    frequency (counted per occurrence, before merging — Sennrich's
+    *    convention), picks the max (ties → lexicographically smallest
+    *    (a, b)), and applies it as a LITERAL left-to-right
+    *    non-overlapping replace of `a SEP b` → `ab` — which is exactly
+    *    what String.replace / SQL replace() do, the property that lets
+    *    DuckDB replay both training and application verbatim;
+    *  - no pairs left → training stops early (remaining merges empty).
+    *
+    * @return the merge table in rank order */
+  def bpeTrain(docs: DataFrame, id: Column, text: Column,
+      nMerges: Int = 16, sampleN: Int = 64): Seq[(String, String)] = {
+    require(nMerges >= 0 && sampleN > 0)
+    val texts = docs.select(id.cast("string").as("k"), text.as("t"))
+      .orderBy(md5(col("k")), col("k")).limit(sampleN)
+      .collect().map(r => Option(r.getString(1)).getOrElse(""))
+    val re = bpeishPattern.r
+    val freq = scala.collection.mutable.LinkedHashMap[String, Long]()
+    texts.foreach(t => re.findAllIn(t).foreach(p =>
+      freq(p) = freq.getOrElse(p, 0L) + 1))
+    var words: Seq[(String, Long)] = freq.toSeq.map { case (p, f) =>
+      (p.toCharArray.mkString(BpeSep), f)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var k = 0
+    var done = false
+    while (k < nMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (w, f) =>
+        val syms = w.split(BpeSep, -1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          pairCounts(key) = pairCounts.getOrElse(key, 0L) + f
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((a, b), _) = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        merges += ((a, b))
+        words = words.map { case (w, f) => (w.replace(a + BpeSep + b, a + b), f) }
+        k += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Apply a trained merge table: per pre-tokenizer piece, symbols
+    * start as characters and each merge applies in rank order as a
+    * literal replace — one narrow codegen'd pass, the merge table
+    * rides the expression (O(nMerges) nodes). Returns
+    * struct(n_pieces, n_subwords). */
+  def bpeSubwordCount(text: Column, merges: Seq[(String, String)]): Column =
+    bindArray(bpeishTokens(text)) { pieces =>
+      struct(size(pieces).cast("long").as("n_pieces"),
+        aggregate(pieces, lit(0L), (acc, p) => {
+          val symed = rtrim(regexp_replace(p, "(.)", "$1" + BpeSep), BpeSep)
+          val merged = merges.foldLeft(symed) { case (c, (a, b)) =>
+            replace(c, lit(a + BpeSep + b), lit(a + b))
+          }
+          acc + size(split(merged, BpeSep, -1)).cast("long")
+        }).as("n_subwords"))
+    }
+
   /** Per-language marker (stopword) sets for n-gram-free language ID.
     * Tiny on purpose: ID at 100 TB must stay a map-side expression. */
   val markers: Map[String, Seq[String]] = Map(

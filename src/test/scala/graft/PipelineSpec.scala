@@ -259,6 +259,45 @@ class PipelineSpec extends GraftSuite {
     assert(out((1L, 3))._2.endsWith("w10") && out((4L, 1))._2.endsWith("x5"))
   }
 
+  test("trained BPE: hand-replayed merges on a planted corpus, compression, determinism") {
+    // planted corpus: "low" x3 + "lower" x1 (the Sennrich example
+    // shape) — with piece frequencies low:3, lower:1 (plus " low"
+    // variants from the pre-tokenizer's leading-space convention)
+    val corpus = Seq(
+      (1L, "low low low lower"),
+      (2L, "low lower")
+    ).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, col("doc_id"), col("text"),
+      nMerges = 4, sampleN = 10)
+    // pieces: "low"(2 docs lead) freq 2, " low"(3) , " lower"(1), "lower"? doc2: "low"," lower"
+    // most frequent adjacent pair across pieces: ("l","o") count 2+3+1+0... every piece contains l-o once: freqs 2+3+1 = wait pieces: "low" f2? doc1: "low", " low"x2, " lower"; doc2: "low", " lower"
+    // piece freqs: "low":2, " low":2, " lower":2 -> (l,o): 2+2+2=6, (o,w): 6, ties -> (l,o) first lexicographically
+    assert(merges.head == (("l", "o")), merges.toString)
+    assert(merges(1) == (("lo", "w")), merges.toString) // then (lo,w) 6
+    // after "low" merges: " low" has (space,low); " lower" (space,low),(low,e),(e,r)
+    val out = corpus.select(col("doc_id"),
+        TextAnalysis.bpeSubwordCount(col("text"), merges).as("c"))
+      .select(col("doc_id"), col("c.n_pieces"), col("c.n_subwords"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: pieces [low,  low,  low,  lower]; with 4 merges "low" is one
+    // symbol everywhere; " lower" depends on merges 3-4
+    assert(out(1L)._1 == 4L)
+    assert(out(1L)._2 < "low low low lower".length) // genuinely compressed
+    // determinism: identical merge tables across trainings
+    val merges2 = TextAnalysis.bpeTrain(corpus, col("doc_id"), col("text"),
+      nMerges = 4, sampleN = 10)
+    assert(merges == merges2)
+    // zero merges degenerate to per-piece character counts
+    val chars = corpus.select(
+        TextAnalysis.bpeSubwordCount(col("text"), Nil).getField("n_subwords"))
+      .as[Long].collect().sum
+    val expChars = corpus.select(
+        aggregate(TextAnalysis.bpeishTokens(col("text")), lit(0L),
+          (a, p) => a + length(p).cast("long")).as("n"))
+      .as[Long].collect().sum
+    assert(chars == expChars)
+  }
+
   test("BPE-mode chunking/packing: model tokens diverge from whitespace words, exact reconstruction") {
     // the sf corpus is plain lowercase words (BPE == whitespace there —
     // the oracles pin cross-engine parity); THIS corpus makes the modes
