@@ -3374,7 +3374,9 @@ object Queries {
         .when(m === 1, concat(lit("u"), uid,
           lit(" : TTY=pts/0 ; PWD=/home ; USER=root ; COMMAND=/bin/ls /tmp/f"), eid))
         .when(m === 2, concat(
-          lit("1,2024/01/12 03:04:05,001122,SYSTEM,general,1,2024/01/12 03:04:05,vsys1,ev"),
+          // post-parse shape: the legacy program parse ate "1,<date>"
+          // plus one space (LEGACY_MSGHDR), the CSV remainder is MESSAGE
+          lit("03:04:05,001122,SYSTEM,general,1,2024/01/12 03:04:05,vsys1,ev"),
           eid, lit(",object1,,,general,informational,desc,112233,0x0,vsys_name,device_name")))
         .when(m === 3, concat(lit("@cee:{\"event\":\"login\",\"user\":\"u"), uid, lit("\"}")))
         .when(m === 4, lit("@cim:{\"event\":\"search\"}"))
@@ -3383,6 +3385,7 @@ object Queries {
       val in = ev.select(col("event_id"),
         msg.as("message"),
         when(m === 0, lit("kernel")).when(m === 1, lit("sudo"))
+          .when(m === 2, lit("1,2024/01/12"))
           .otherwise(lit("app")).as("program"),
         when(m === 0, lit(0)).otherwise(lit(3)).as("facility"),
         when(m === 5, map(lit(".SDATA.junos@2636.1.1.1.2.129.reason"),

@@ -222,13 +222,16 @@ object ConfigCompiler {
         name -> graft.streaming.Sources.journalEntries(spark, path, prefix, mfs)
       } else if (stmt.name == "openbsd") {
         // modules/openbsd/openbsd-driver.c:58-125: a dgram reader over
-        // the /dev/klog socketpair with DEFAULT reader options — i.e.
-        // one datagram = one line, standard syslog parse. klog-file()
+        // the /dev/klog socketpair; the driver marks the source LOCAL
+        // and clears EXPECT_HOSTNAME (:183-184), so a kern-facility
+        // line without a timestamp keeps its message whole with
+        // program "kernel" (syslog-format.c:800-803). klog-file()
         // is the dev-mode path override (same pattern as system()'s
         // kmsg-file()).
         val path = kvOf(stmt.args, "klog-file").getOrElse("/dev/klog")
         name -> graft.streaming.Sources.parsedSyslog(
-            graft.streaming.Sources.fileLines(spark, path))
+            graft.streaming.Sources.fileLines(spark, path),
+            flags = Seq("local", "no-hostname"))
           .withColumn("tags", array().cast("array<string>"))
           .withColumn("values", map().cast("map<string,string>"))
       } else if (stmt.name == "osquery") {

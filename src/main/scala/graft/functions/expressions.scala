@@ -31,6 +31,10 @@ case class ParseSyslog(line: Expression, refYear: Expression,
   private val expectHostname = flags.contains("expect-hostname")
   private val noHostname = flags.contains("no-hostname")
   private val noParseDate = flags.contains("no-parse-date")
+  private val syslogProtocol = flags.contains("syslog-protocol")
+  private val checkHostname = flags.contains("check-hostname")
+  private val noHeader = flags.contains("no-header")
+  private val local = flags.contains("local")
 
   @transient private lazy val badRe: java.util.regex.Pattern =
     if (badHostname == null) null else java.util.regex.Pattern.compile(badHostname)
@@ -39,18 +43,21 @@ case class ParseSyslog(line: Expression, refYear: Expression,
     * travels with the expression). */
   def parseOne(l: UTF8String, y: Int): org.apache.spark.sql.catalyst.InternalRow =
     SyslogLineParser.parseRow(l, y, noParse, expectHostname, noHostname,
-      noParseDate, refMonth, badRe)
+      noParseDate, refMonth, badRe, syslogProtocol, checkHostname, noHeader,
+      local)
 
   override protected def nullSafeEval(l: Any, y: Any): Any =
     SyslogLineParser.parseRow(l.asInstanceOf[UTF8String], y.asInstanceOf[Int],
-      noParse, expectHostname, noHostname, noParseDate, refMonth, badRe)
+      noParse, expectHostname, noHostname, noParseDate, refMonth, badRe,
+      syslogProtocol, checkHostname, noHeader, local)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (badHostname == null)
       // hot path: one STATIC call per row, no reference-object load
       nullSafeCodeGen(ctx, ev, (l, y) =>
         s"${ev.value} = graft.functions.SyslogLineParser.parseRow($l, $y, " +
-          s"$noParse, $expectHostname, $noHostname, $noParseDate, $refMonth);")
+          s"$noParse, $expectHostname, $noHostname, $noParseDate, $refMonth, " +
+          s"null, $syslogProtocol, $checkHostname, $noHeader, $local);")
     else {
       val self = ctx.addReferenceObj("ps", this, classOf[ParseSyslog].getName)
       nullSafeCodeGen(ctx, ev, (l, y) =>

@@ -88,11 +88,13 @@ object Scl {
     * (the cee application has no filter upstream — the json-parser's
     * marker IS the detection; here the marker check is the predicate).
     * panos (`scl/paloalto/panos.conf:271-274`) detects upstream as
-    * PROGRAM prefix "1," — an artifact of the reference's
-    * LEGACY_MSGHDR split, where the un-tagged CSV body starts at the
-    * program position; in this engine's header model the same line
-    * parses to a NULL program with the CSV in `message`, so the
-    * faithful translation of that signal is a "1," message prefix. */
+    * PROGRAM prefix "1," — the legacy program parse eats the un-tagged
+    * CSV up to its first space (`log_msg_parse_legacy_program_name`),
+    * so "1,2020/04/14" lands in PROGRAM and the rest in MESSAGE; since
+    * the r9 parser fidelity pass this engine produces the same split,
+    * and the detection signal is the reference's own. The parser then
+    * reassembles `${LEGACY_MSGHDR}${MESSAGE}` (panos.conf:40) before
+    * the CSV split — see panosFx. */
   def syslogApplications: Seq[App] = Seq(
     App("iptables",
       col("facility") === 0 && col("program") === "kernel" &&
@@ -100,7 +102,7 @@ object Scl {
       (df, g) => VendorParsers.iptablesFx(df, guard = g)),
     App("sudo", col("program") === "sudo",
       (df, g) => VendorParsers.sudoFx(df, guard = g)),
-    App("panos", col("message").startsWith("1,"),
+    App("panos", col("program").startsWith("1,"),
       (df, g) => VendorParsers.panosFx(df, guard = g)),
     App("cee", col("message").startsWith("@cee:"),
       (df, g) => jsonWithMarkerFx(df, "@cee:", ".cee.", g)),

@@ -391,7 +391,16 @@ object VendorParsers {
     * regex simply won't match and the CSV is the whole message). */
   private[graft] def panosFx(df: DataFrame, prefix: String = ".panos.",
       guard: Column = null): Fx = {
-    val msg = col("message")
+    // panos.conf:40 — the csv-parser template is ${LEGACY_MSGHDR}${MESSAGE}:
+    // the legacy program parse ate "1,<date>" plus one space, so the
+    // reconstruction is program + " " + message (the un-tagged CSV never
+    // carries a [pid] or ':', making the consumed header exactly that)
+    val msg =
+      if (df.columns.contains("program"))
+        when(col("program").startsWith("1,"),
+          concat(col("program"), lit(" "), col("message")))
+          .otherwise(col("message"))
+      else col("message")
     // strip "<pri>Mmm dd hh:mm:ss host " — the LEGACY_MSGHDR+MESSAGE
     // the reference's csv-parser consumes starts after the RFC3164 header
     val headRe = "^(?:<\\d+>)?[A-Za-z]{3} +\\d{1,2} \\d{2}:\\d{2}:\\d{2} (\\S+) "

@@ -27,8 +27,9 @@ object Sources {
   /** The syslog source pipeline: lines → ParseSyslog struct columns.
     * Works on any lines DataFrame (streaming or batch) — the streaming
     * equivalent of msg_format_parse at the reader (`lib/msg-format.c:147`). */
-  def parsedSyslog(lines: DataFrame, refYear: Int = 2024): DataFrame = {
-    val p = GraftFunctions.parse_syslog(col("value"), refYear)
+  def parsedSyslog(lines: DataFrame, refYear: Int = 2024,
+      flags: Seq[String] = Nil): DataFrame = {
+    val p = GraftFunctions.parse_syslog(col("value"), refYear, flags)
     lines.withColumn("p", p).select(col("source_file"), col("p.*"))
   }
 

@@ -29,16 +29,21 @@ class SyslogParserSpec extends GraftSuite {
     // default heuristics: "su[123]:" looks like a tag -> no host
     val dflt = SyslogLineParser.parse(line, 2024)
     assert(dflt.host == null && dflt.program == "su")
-    // expect-hostname forces the first token to be HOST
+    // expect-hostname: the reference's hostname scan stops at '[' and a
+    // token is a hostname only when the scan stopped at a SPACE
+    // (log_msg_parse_hostname, syslog-format.c:440-495) — so a
+    // tag-looking token is still the program, never the host (r9 fix:
+    // the old behavior forced it to HOST, diverging from the reference)
     val eh = SyslogLineParser.parse(line, 2024, noParse = false,
       expectHostname = true, noHostname = false, noParseDate = false)
-    assert(eh.host == "su[123]:")
-    // no-hostname suppresses the heuristic even for host-looking tokens
+    assert(eh.host == null && eh.program == "su" && eh.pid == "123")
+    // no-hostname (reference flags=0): the first token after the
+    // timestamp is the PROGRAM (test_msgparse.c:293-300 "alma korte")
     val nh = SyslogLineParser.parse(
       "<34>Oct 11 22:14:15 mymachine su: x", 2024, noParse = false,
       expectHostname = false, noHostname = true, noParseDate = false)
-    assert(nh.host == null && nh.program == null &&
-      nh.message == "mymachine su: x")
+    assert(nh.host == null && nh.program == "mymachine" &&
+      nh.message == "su: x")
     // no-parse-date: header parses, stamp left unset
     val nd = SyslogLineParser.parse(
       "<34>Oct 11 22:14:15 mymachine su[1]: x", 2024, noParse = false,
@@ -129,11 +134,16 @@ class SyslogParserSpec extends GraftSuite {
     }
   }
 
-  test("unparsable line becomes whole message") {
+  test("line without timestamp parses as 'program message' (test_msgparse.c:1166)") {
+    // the reference's no-timestamp branch ALWAYS extracts a legacy
+    // program name (syslog-format.c:794-808; test_simple_message:
+    // "some message" → program "some", msg "message") — r9 fix: the
+    // old parser left the whole line as MESSAGE
     val p = SyslogLineParser.parse("not a syslog line at all", 2024)
     assert(p.pri == 13)
     assert(p.tsMicros == Long.MinValue)
-    assert(p.message == "not a syslog line at all")
+    assert(p.program == "not")
+    assert(p.message == "a syslog line at all")
   }
 
   test("RFC5424 full") {
