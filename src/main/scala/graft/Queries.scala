@@ -353,6 +353,74 @@ object Queries {
       FROM events ORDER BY event_id"""),
     bench = true)
 
+  /** STRICT RFC5424 (r9): `flags(syslog-protocol)` — the reference's
+    * log_msg_parse_syslog_proto with field caps and parse-error
+    * injection (syslog-format.c:883-, msg-format.c:41-64). Five input
+    * shapes per event_id%5: well-formed SD, a bad SD value (unescaped
+    * quote), a >48-char APP-NAME (truncates, does not error), all-nil
+    * fields, and a space-after-bracket SD error. The oracle replays
+    * EVERYTHING in DuckDB — including the byte-exact
+    * "Error processing log message: ...>@<..." injection with the
+    * marker at the reference's problem position, pri 43 and program
+    * "syslog-ng" — so a hash match proves the strict mode end to end. */
+  private val parseSyslogStrict = Q("parse_syslog_strict",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val uid = col("user_id").cast("string")
+      val eid = col("event_id").cast("string")
+      val priS = ((col("user_id") % 24) * 8 + col("event_id") % 8).cast("string")
+      val modS = (col("event_id") % 100).cast("string")
+      val m = col("event_id") % 5
+      val base = concat(lit("<"), priS, lit(">1 2024-01-12T03:04:05.123456Z h"),
+        uid, lit(" app"), eid, lit(" "), eid, lit(" ID"), modS, lit(" "))
+      val sdVal = (col("event_id") % 97).cast("string")
+      val line =
+        when(m === 0, concat(base, lit("[ev k=\""), sdVal, lit("\"] u="), uid))
+        .when(m === 1, concat(base, lit("[ev k=\"\"boom\"] u="), uid))
+        .when(m === 2, concat(lit("<"), priS, lit(">1 2024-01-12T03:04:05.123456Z h"),
+          uid, lit(" app"), eid, lit("x" * 60), lit(" "), eid, lit(" ID"), modS,
+          lit(" - u="), uid))
+        .when(m === 3, concat(lit("<"), priS, lit(">1 - - - - - - u="), uid))
+        .otherwise(concat(base, lit("[ ev k=\"1\"] u="), uid))
+      val p = GraftFunctions.parse_syslog(line, 2024, Seq("syslog-protocol"))
+      ev.select(col("event_id"), p.as("p"))
+        .select(col("event_id"),
+          col("p.pri").as("pri"), col("p.version").as("version"),
+          col("p.host").as("host"), col("p.program").as("program"),
+          col("p.pid").as("pid"), col("p.msgid").as("msgid"),
+          element_at(col("p.sdata"), "ev.k").as("sd_k"),
+          unix_micros(col("p.ts")).as("ts_us"),
+          col("p.message").as("message"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH g AS (
+        SELECT event_id, user_id, event_id % 5 AS m,
+          (user_id % 24) * 8 + event_id % 8 AS pri0,
+          '<' || ((user_id % 24) * 8 + event_id % 8) || '>1 2024-01-12T03:04:05.123456Z h'
+            || user_id || ' app' || event_id || ' ' || event_id
+            || ' ID' || (event_id % 100) || ' ' AS base
+        FROM events)
+      SELECT event_id,
+        CASE WHEN m IN (1, 4) THEN 43 ELSE pri0 END AS pri,
+        CASE WHEN m IN (1, 4) THEN 0 ELSE 1 END AS version,
+        CASE WHEN m IN (1, 4) THEN '' WHEN m = 3 THEN NULL
+          ELSE 'h' || user_id END AS host,
+        CASE WHEN m IN (1, 4) THEN 'syslog-ng' WHEN m = 3 THEN NULL
+          WHEN m = 2 THEN substr('app' || event_id || repeat('x', 60), 1, 48)
+          ELSE 'app' || event_id END AS program,
+        CASE WHEN m IN (0, 2) THEN CAST(event_id AS VARCHAR) END AS pid,
+        CASE WHEN m IN (0, 2) THEN 'ID' || (event_id % 100) END AS msgid,
+        CASE WHEN m = 0 THEN CAST(event_id % 97 AS VARCHAR) END AS sd_k,
+        CASE WHEN m IN (0, 2) THEN
+          CAST(epoch_ns(TIMESTAMP '2024-01-12 03:04:05.123456') // 1000 AS BIGINT)
+          END AS ts_us,
+        CASE WHEN m = 1 THEN 'Error processing log message: ' || base
+               || '[ev k=">@<"boom"] u=' || user_id
+             WHEN m = 4 THEN 'Error processing log message: ' || base
+               || '>@<[ ev k="1"] u=' || user_id
+             ELSE 'u=' || user_id END AS message
+      FROM g ORDER BY event_id"""))
+
   // ---------------------------------------------------------------------
   // Routing (SURVEY §2.6): junction with final + fallback flags
   // ---------------------------------------------------------------------
@@ -3429,7 +3497,7 @@ object Queries {
     filterMatch, filterNetmask, filterNetmask6, filterInList,
     rewriteSubst, rewriteCcMask, rewriteSetTag,
     templateFormat, templateFuncs, templateHofs,
-    parseSyslogRfc3164, parseSyslogRfc5424,
+    parseSyslogRfc3164, parseSyslogRfc5424, parseSyslogStrict,
     routeJunction, patterndbClassify, patterndbSynthetic,
     appParserQ, appParserTopicQ, defaultNetwork,
     enrichRange, enrichGlob,

@@ -371,8 +371,17 @@ object DateScan {
       if (w.gmtoff != Int.MinValue) (epochWithOffset(w.gmtoff), w.gmtoff)
       else {
         val z = timezone.map(ZoneId.of).getOrElse(refZone)
-        val zdt = ldt.atZone(z)
-        (zdt.toEpochSecond, zdt.getOffset.getTotalSeconds)
+        // glibc-mktime semantics (test_conv.c:72-91): a wall clock inside
+        // the spring-forward GAP keeps its fields and anchors at the
+        // POST-transition offset ("Mar 31 2019 02:11:00" CET → 02:11
+        // CEST), where java.time's atZone would shift it to 03:11. In
+        // the autumn overlap both pick the FIRST (DST) occurrence.
+        val rules = z.getRules
+        val valid = rules.getValidOffsets(ldt)
+        val zoff =
+          if (!valid.isEmpty) valid.get(0)
+          else rules.getTransition(ldt).getOffsetAfter
+        (ldt.toEpochSecond(zoff), zoff.getTotalSeconds)
       }
 
     if (guessTimezone && w.gmtoff != Int.MinValue) {
