@@ -707,7 +707,7 @@ object Queries {
         .orderBy(col("event_id"))
     },
     Some("""SELECT event_id, 'u' || user_id AS user, event_type AS type,
-      'v ' || event_id AS note, 'session opened end' AS stray
+      'v ' || event_id AS note, '"session opened",end' AS stray
       FROM events ORDER BY event_id"""))
 
   // ---------------------------------------------------------------------

@@ -69,15 +69,19 @@ object KvScan {
     val stray = new java.lang.StringBuilder
     var strayHasChars = false
 
-    // stray chunks trim spaces at both ends and join space-separated
-    // (kv-scanner.c _extract_stray_word, minus str-repr re-encoding)
+    // stray chunks trim spaces at both ends, join with ',' and each
+    // chunk is str-repr encoded with forbidden chars "," — so a chunk
+    // containing spaces/commas/quotes arrives quoted, exactly the list
+    // repr the reference's extract-stray-words-into() consumers parse
+    // with $(list-*) (kv-scanner.c:91-112 _extract_stray_word →
+    // str_repr_encode_append; test_kv_parser.c:158 pins the quoted form)
     def strayChunk(from: Int, to0: Int): Unit = {
       var a = from; var b = to0
       while (a < b && s.charAt(a) == ' ') a += 1
       while (b > a && s.charAt(b - 1) == ' ') b -= 1
       if (b > a) {
-        if (strayHasChars) stray.append(' ')
-        stray.append(s, a, b)
+        if (strayHasChars) stray.append(',')
+        ListRepr.encodeElement(s.substring(a, b), stray)
         strayHasChars = true
       }
     }

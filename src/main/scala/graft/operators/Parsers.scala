@@ -90,7 +90,11 @@ object Parsers {
       pairSep = pairSeparator).getField("pairs")
 
   /** Words of the input that belong to no key=value pair
-    * (`kv_scanner_get_stray_words`), space-joined. */
+    * (`kv_scanner_get_stray_words`): a list-repr string — chunks
+    * comma-joined, each str-repr encoded (quoted when it contains
+    * spaces/commas/quotes), so `ListFunctions.list_scan` recovers the
+    * chunks exactly as the reference's extract-stray-words-into() +
+    * $(list-*) pipeline does. */
   def kvStrayWords(text: Column, valueSeparator: Char = '=',
       pairSeparator: String = ", "): Column =
     graft.functions.KvScan(text, valueSeparator, "", rawValues = false,

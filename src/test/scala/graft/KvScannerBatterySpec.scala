@@ -156,7 +156,33 @@ class KvScannerBatterySpec extends GraftSuite {
   test("stray words are stored (:783-796)") {
     assert(stray("foo=bar") == "")
     assert(stray("alma foo=bar") == "alma")
-    assert(stray("alma foo=bar, korte bar=foo") == "alma korte")
-    assert(stray("alma foo=bar, korte bar=foo, narancs") == "alma korte narancs")
+    assert(stray("alma foo=bar, korte bar=foo") == "alma,korte")
+    assert(stray("alma foo=bar, korte bar=foo, narancs") == "alma,korte,narancs")
+  }
+
+  test("parser-level junos shape: prefix, ';' pairs, quoted stray " +
+      "(test_kv_parser.c:137-161)") {
+    val in = "VSYS=public; Slot=5/1; protocol=17; source-ip=10.116.214.221; " +
+      "source-port=50989; destination-ip=172.16.236.16; destination-port=162;" +
+      "time=2016/02/18 16:00:07; interzone-emtn_s1_vpn-enodeb_om inbound; " +
+      "policy=370;"
+    val df = spark.createDataFrame(Seq(Tuple1(in))).toDF("s")
+    val row = df.select(
+      graft.functions.KvScan(col("s"), '=', ".junos.", rawValues = false,
+        pairSep = ";")).collect()(0).getStruct(0)
+    val pairs = row.getMap[String, String](0)
+    assert(pairs(".junos.VSYS") == "public")
+    assert(pairs(".junos.Slot") == "5/1")
+    assert(pairs(".junos.protocol") == "17")
+    assert(pairs(".junos.source-ip") == "10.116.214.221")
+    assert(pairs(".junos.source-port") == "50989")
+    assert(pairs(".junos.destination-ip") == "172.16.236.16")
+    assert(pairs(".junos.destination-port") == "162")
+    assert(pairs(".junos.time") == "2016/02/18 16:00:07")
+    assert(pairs(".junos.policy") == "370")
+    // the stray chunk keeps its trailing ';' (it is NOT a consumed pair
+    // separator — the scanner stops at the start of the NEXT key) and
+    // arrives str-repr quoted because it contains a space
+    assert(row.getString(1) == "\"interzone-emtn_s1_vpn-enodeb_om inbound;\"")
   }
 }
