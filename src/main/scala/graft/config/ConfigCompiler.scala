@@ -1265,12 +1265,21 @@ object ConfigCompiler {
 
   private def elem(cfg: Config, e: LogElem): Seq[LogPath.Element] = e match {
     case Ref("source", _) | Ref("destination", _) | Flags(_) => Nil
+    // an undefined rule reference fails initialization loudly, like
+    // filter_call_init's lookup miss (lib/filter/filter-call.c,
+    // test_filter_call.c undefined_filter_ref)
     case Ref("filter", n) =>
-      Seq(LogPath.Filter(filterCol(cfg, cfg.filters(n).expr)))
+      Seq(LogPath.Filter(filterCol(cfg, cfg.filters.getOrElse(n,
+        throw new IllegalArgumentException(
+          s"Referenced filter rule not found, rule=$n")).expr)))
     case Ref("parser", n) =>
-      cfg.parsers(n).stmts.map(s => LogPath.Transform(parserFn(s, cfg)))
+      cfg.parsers.getOrElse(n, throw new IllegalArgumentException(
+        s"Referenced parser rule not found, rule=$n"))
+        .stmts.map(s => LogPath.Transform(parserFn(s, cfg)))
     case Ref("rewrite", n) =>
-      cfg.rewrites(n).stmts.map(s => LogPath.Transform(rewriteFn(cfg, s)))
+      cfg.rewrites.getOrElse(n, throw new IllegalArgumentException(
+        s"Referenced rewrite rule not found, rule=$n"))
+        .stmts.map(s => LogPath.Transform(rewriteFn(cfg, s)))
     case Ref(k, n) => throw new IllegalArgumentException(s"unsupported ref $k($n)")
     case InlineFilter(x) => Seq(LogPath.Filter(filterCol(cfg, x)))
     case InlineStmt("parser", s) => Seq(LogPath.Transform(parserFn(s, cfg)))
@@ -1290,7 +1299,9 @@ object ConfigCompiler {
   // ---- filters --------------------------------------------------------------
   private[config] def filterCol(cfg: Config, e: FilterExpr): Column =
     filterColTemplated(e, templateCol,
-      name => filterCol(cfg, cfg.filters(name).expr))
+      name => filterCol(cfg, cfg.filters.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"Referenced filter rule not found, rule=$name")).expr))
 
   /** Filter-expr compile with a pluggable template compiler — the same
     * grammar backs config `filter {}` blocks and template-level

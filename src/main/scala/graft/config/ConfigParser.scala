@@ -394,12 +394,43 @@ object ConfigParser {
     * is the built-in generator equivalent of
     * `scl/syslogconf/plugin.conf` (the awk translator, implemented
     * natively in [[SyslogConf]]). */
+  /** The context-name table of `cfg_lexer_lookup_context_type_by_name`
+    * (`lib/cfg-lexer.c:1179-1199`) — confgen registration validates its
+    * `context()` against it (confgen-plugin.c:171-177, test_confgen.c
+    * "context value is unknown"). */
+  private val knownContexts = Set(
+    "root", "destination", "source", "parser", "rewrite", "filter", "log",
+    "block-def", "block-arg", "block-ref", "block-content", "pragma",
+    "format", "template-func", "inner-dest", "inner-src", "client-proto",
+    "server-proto", "options", "config")
+
   private[graft] def expandGenerators(src: String): String = {
     import scala.util.matching.Regex
     var gens = Map.empty[String, String] // name -> exec cmdline
-    val mod = ("(?m)^\\s*@module\\s+confgen\\s+context\\((\\w+)\\)\\s+" +
-      "name\\(([\\w-]+)\\)\\s+exec\\([\"']([^\"']+)[\"']\\)\\s*$").r
-    val without = mod.replaceAllIn(src, m => { gens += m.group(2) -> m.group(3); "" })
+    // any arg order/subset lexes; validation reports each missing piece
+    // with the reference's own message (confgen-plugin.c:148-185)
+    val mod = "(?m)^\\s*@module\\s+confgen\\b([^\\n]*)$".r
+    // key(value) pairs where value is quoted (quotes may hold parens)
+    // or a bare word — the cfg_args form @module pragmas carry
+    val arg = ("([\\w-]+)\\(\\s*(?:\"([^\"]*)\"|'([^']*)'|([^)]*))\\s*\\)").r
+    val without = mod.replaceAllIn(src, m => {
+      val args = arg.findAllMatchIn(m.group(1)).map { a =>
+        val v = Option(a.group(2)).orElse(Option(a.group(3)))
+          .getOrElse(a.group(4).trim)
+        a.group(1) -> v
+      }.toMap
+      val name = args.getOrElse("name",
+        throw new ParseError("confgen: name argument expected"))
+      val context = args.getOrElse("context",
+        throw new ParseError("confgen: context argument expected"))
+      if (!knownContexts.contains(context))
+        throw new ParseError(
+          s"confgen: context value is unknown, context='$context'")
+      val exec = args.getOrElse("exec",
+        throw new ParseError("confgen: exec argument expected"))
+      gens += name -> exec
+      ""
+    })
 
     val sc = "(?m)^\\s*syslogconf\\(\\s*file\\([\"']([^\"']+)[\"']\\)\\s*\\)\\s*;\\s*$".r
     val withSc = sc.replaceAllIn(without, m =>

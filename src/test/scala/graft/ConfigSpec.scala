@@ -617,6 +617,57 @@ class ConfigSpec extends GraftSuite {
     }
   }
 
+  test("undefined rule references fail initialization " +
+      "(test_filter_call.c:31-40)") {
+    def compileErr(body: String): String = {
+      val cfg = graft.config.ConfigParser.parse(
+        s"""source s { file("x"); };
+          |destination d { file("y"); };
+          |log { source(s); $body destination(d); };
+          |""".stripMargin)
+      val logs = Seq((1L, 3)).toDF("event_id", "severity")
+        .withColumn("facility", org.apache.spark.sql.functions.lit(1))
+        .withColumn("host", org.apache.spark.sql.functions.lit("h"))
+        .withColumn("program", org.apache.spark.sql.functions.lit("p"))
+        .withColumn("message", org.apache.spark.sql.functions.lit("m"))
+        .withColumn("tags",
+          org.apache.spark.sql.functions.array().cast("array<string>"))
+        .withColumn("values",
+          org.apache.spark.sql.functions.map().cast("map<string,string>"))
+      intercept[IllegalArgumentException] {
+        graft.config.ConfigCompiler.compile(cfg, Map("s" -> logs))
+      }.getMessage
+    }
+    assert(compileErr("filter(undefined_filter);")
+      .contains("Referenced filter rule not found"))
+    assert(compileErr("parser(undefined_parser);")
+      .contains("Referenced parser rule not found"))
+    assert(compileErr("rewrite(undefined_rw);")
+      .contains("Referenced rewrite rule not found"))
+  }
+
+  test("confgen registration validation (test_confgen.c:88-108, " +
+      "confgen-plugin.c:148-185)") {
+    def parseErr(cfg: String): String =
+      intercept[Exception](graft.config.ConfigParser.parse(cfg)).getMessage
+    // unknown context is rejected with the reference's message
+    assert(parseErr(
+      """@module confgen context(unknownclass) name(confgentest) exec("echo x")
+        |""".stripMargin).contains("context value is unknown"))
+    // each mandatory argument reports its own error
+    assert(parseErr("@module confgen context(root) exec(\"echo x\")\n")
+      .contains("name argument expected"))
+    assert(parseErr("@module confgen name(x) exec(\"echo x\")\n")
+      .contains("context argument expected"))
+    assert(parseErr("@module confgen context(root) name(x)\n")
+      .contains("exec argument expected"))
+    // args accept any order, like cfg_args
+    val gen = graft.config.ConfigParser.parse(
+      """@module confgen name(noop) exec("echo ''") context(root)
+        |""".stripMargin)
+    assert(gen != null)
+  }
+
   test("confgen: syslogconf(file()) built-in expands the classic config") {
     val f = java.nio.file.Files.createTempFile("syslogconf", ".conf")
     java.nio.file.Files.write(f, "mail.*\t/var/log/mail.log\n".getBytes)

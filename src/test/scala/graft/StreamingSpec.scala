@@ -431,6 +431,30 @@ class StreamingSpec extends GraftSuite {
     // no trim configured: record passes through
     assert(trim("plain", None, None) == "plain")
   }
+  test("indented multi-line battery (test-indented-multiline-server.c:34-140)") {
+    import graft.streaming.Sources
+    def records(payload: String): Seq[String] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-indented")
+      java.nio.file.Files.write(dir.resolve("in.log"),
+        payload.getBytes("UTF-8"))
+      Sources.indentedMultilineRecords(spark, dir.toString + "/*.log")
+        .select("record").collect().map(_.getString(0)).toSeq
+    }
+    // proper multiline: indented continuations join, newline-kept,
+    // trailing newline stripped; at EOF the pending block flushes
+    assert(records("0\n 1=2\n 3=4\nnewline\n") ==
+      Seq("0\n 1=2\n 3=4", "newline"))
+    // lines without continuation are standalone messages
+    assert(records("01234567\n01234567\nnewline\n") ==
+      Seq("01234567", "01234567", "newline"))
+    // input STARTING with a continuation: the orphan block is its own
+    // message, leading whitespace kept
+    assert(records(" 01234567\n01234567\nnewline\n") ==
+      Seq(" 01234567", "01234567", "newline"))
+    // multiline at EOF flushes joined
+    assert(records("01234567\n 01234567\n end\n") ==
+      Seq("01234567\n 01234567\n end"))
+  }
   test("padded fixed-size records: NUL cut + whitespace strip (test-record-server.c:67-105)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-padded")
     val f = dir.resolve("records.bin")
