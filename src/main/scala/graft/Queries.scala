@@ -3409,6 +3409,107 @@ object Queries {
       CAST(doc_id % 90000 AS BIGINT) AS duration_ms
       FROM documents ORDER BY media_id"""))
 
+  /** Perceptual image dedup, part 1 — the dHash fingerprint itself
+    * (9×8 block-mean difference hash over REAL decoded PNG pixels,
+    * integer-exact cross-multiplied comparisons). The fixture pattern
+    * is quadratic in (x,y) with doc_id-derived coefficients, so DuckDB
+    * replays every block sum and bit decision in pure integer
+    * arithmetic; a hash match proves decode → downsample → bit packing
+    * end to end. Egress is 16 hex chars (bit 63 would flip a BIGINT's
+    * sign and DuckDB cannot build 1<<63). */
+  private val multimodalDhash = Q("multimodal_dhash",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.imageDHash(Multimodal.dhashFixtures(s, d))
+        .select(col("media_id"), col("w"), col("h"), col("dhash"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH p2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 IN (1,6) THEN doc_id - 1 ELSE doc_id END AS eid
+        FROM documents
+      ), p3 AS (
+        SELECT doc_id, 1 + eid % 5 AS a, 1 + eid % 7 AS b,
+          CAST(12 + eid % 21 AS INT) AS w, CAST(10 + eid % 17 AS INT) AS h
+        FROM p2
+      ), sums AS (
+        SELECT doc_id, w, h,
+          list_transform(range(0, 8), r ->
+            list_transform(range(0, 9), c ->
+              coalesce(list_sum(flatten(list_transform(
+                range(r * h // 8, (r + 1) * h // 8), y ->
+                list_transform(range(c * w // 9, (c + 1) * w // 9), x ->
+                  (a*(x*x + 3*y) + b*(y*y + 5*x) + x*y*(x + y)) % 250)))), 0))) AS s
+        FROM p3
+      ), rowbytes AS (
+        SELECT doc_id, w, h,
+          list_transform(range(0, 8), r ->
+            coalesce(list_sum(list_transform(range(0, 8), c ->
+              CASE WHEN s[r+1][c+2] * ((c+1)*w//9 - c*w//9)
+                      > s[r+1][c+1] * ((c+2)*w//9 - (c+1)*w//9)
+                THEN 1 << c ELSE 0 END)), 0)) AS rb
+        FROM sums
+      )
+      SELECT doc_id AS media_id, w, h,
+        lower(concat(
+          lpad(to_hex(rb[8]), 2, '0'), lpad(to_hex(rb[7]), 2, '0'),
+          lpad(to_hex(rb[6]), 2, '0'), lpad(to_hex(rb[5]), 2, '0'),
+          lpad(to_hex(rb[4]), 2, '0'), lpad(to_hex(rb[3]), 2, '0'),
+          lpad(to_hex(rb[2]), 2, '0'), lpad(to_hex(rb[1]), 2, '0'))) AS dhash
+      FROM rowbytes ORDER BY media_id"""),
+    bench = true)
+
+  /** Perceptual image dedup, part 2 — near-duplicate pairs at Hamming
+    * ≤ 3 via 4×16-bit pigeonhole banding (exact: 3 flipped bits leave
+    * ≥1 band intact), the image twin of SimHash text dedup. The oracle
+    * brute-forces the analytic hashes with bit_count(xor) — a match
+    * proves the banded join finds EXACTLY the brute-force pair set.
+    * Planted: doc_id ≡ 1 (mod 10) byte-identical reuse, ≡ 6 a +2
+    * brightness offset (different bytes, identical dHash — the
+    * invariance the fingerprint exists for). */
+  private val dedupImageDhash = Q("dedup_image_dhash",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.imageDHashPairs(
+          Multimodal.imageDHash(Multimodal.dhashFixtures(s, d)))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH p2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 IN (1,6) THEN doc_id - 1 ELSE doc_id END AS eid
+        FROM documents
+      ), p3 AS (
+        SELECT doc_id, 1 + eid % 5 AS a, 1 + eid % 7 AS b,
+          CAST(12 + eid % 21 AS INT) AS w, CAST(10 + eid % 17 AS INT) AS h
+        FROM p2
+      ), sums AS (
+        SELECT doc_id, w, h,
+          list_transform(range(0, 8), r ->
+            list_transform(range(0, 9), c ->
+              coalesce(list_sum(flatten(list_transform(
+                range(r * h // 8, (r + 1) * h // 8), y ->
+                list_transform(range(c * w // 9, (c + 1) * w // 9), x ->
+                  (a*(x*x + 3*y) + b*(y*y + 5*x) + x*y*(x + y)) % 250)))), 0))) AS s
+        FROM p3
+      ), rowbytes AS (
+        SELECT doc_id,
+          list_transform(range(0, 8), r ->
+            coalesce(list_sum(list_transform(range(0, 8), c ->
+              CASE WHEN s[r+1][c+2] * ((c+1)*w//9 - c*w//9)
+                      > s[r+1][c+1] * ((c+2)*w//9 - (c+1)*w//9)
+                THEN 1 << c ELSE 0 END)), 0)) AS rb
+        FROM sums
+      )
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        CAST(list_sum(list_transform(range(0, 8),
+          i -> bit_count(xor(x.rb[i+1], y.rb[i+1])))) AS INT) AS hamming
+      FROM rowbytes x, rowbytes y
+      WHERE x.doc_id < y.doc_id
+        AND list_sum(list_transform(range(0, 8),
+          i -> bit_count(xor(x.rb[i+1], y.rb[i+1])))) <= 3
+      ORDER BY id_a, id_b"""),
+    bench = true)
+
   private val multimodalStub = Q("multimodal_stub",
     (s, d) => {
       import s.implicits._
@@ -3525,7 +3626,8 @@ object Queries {
     textPackSequences, textPackBpe,
     textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,
-    multimodalGif, multimodalAudio, multimodalVideo)
+    multimodalGif, multimodalAudio, multimodalVideo,
+    multimodalDhash, dedupImageDhash)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

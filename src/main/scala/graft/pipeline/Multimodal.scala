@@ -307,4 +307,142 @@ object Multimodal {
       }
     }
   }
+
+  // ---- perceptual image dedup (dHash) --------------------------------------
+
+  /** One image fingerprint: dHash over the decoded grayscale pixels.
+    * `dhash` is the 64-bit difference hash rendered as 16 lowercase hex
+    * chars (unsigned — bit 63 would flip a BIGINT's sign, and the
+    * external oracle cannot build `1<<63`). */
+  case class ImageHash(media_id: Long, w: Int, h: Int, dhash: String,
+      dhashBits: Long)
+
+  /** dHash — THE standard perceptual fingerprint for image near-dup
+    * detection at corpus scale (difference hash): downsample to a 9×8
+    * grid of block means, set bit `r*8+c` when cell (c+1,r) is brighter
+    * than cell (c,r). Two properties make it the right corpus tool:
+    * global brightness shifts cancel exactly (the comparison is
+    * invariant under pixel+k), and re-encodes/minor noise move few
+    * bits, so near-dups sit at small Hamming distance.
+    *
+    * Block means never materialize as floats: cell (c,r) covers
+    * x ∈ [c·w/9, (c+1)·w/9) × y ∈ [r·h/8, (r+1)·h/8) (integer floors)
+    * and the mean comparison cross-multiplies the integer block sums by
+    * the column widths — bit-exact, so an external oracle replays it in
+    * pure integer arithmetic. Images narrower than the grid (w<9 or
+    * h<8) drop. One narrow partition pass, no shuffle. */
+  def imageDHash(ds: Dataset[MediaRow],
+      targetPartitionBytes: Long = 128L << 20): Dataset[ImageHash] = {
+    import ds.sparkSession.implicits._
+    val shaped =
+      if (targetPartitionBytes <= 0) ds
+      else {
+        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
+        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+        val minParts = ds.sparkSession.sparkContext.defaultParallelism
+        val parts = math.max(minParts,
+          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
+        ds.repartition(parts, col("media_id"))
+      }
+    shaped.mapPartitions { it =>
+      it.flatMap { row =>
+        val meta = MediaHeaders.decode(row.bytes)
+        val dec = MediaSamples.decode(row.bytes)
+        if (meta == null || dec == null || meta.width < 9 || meta.height < 8 ||
+            dec.samples.length != meta.width * meta.height) None
+        else {
+          val w = meta.width; val h = meta.height
+          val px = dec.samples
+          // block sums: 9 columns × 8 rows, iterated by block so the
+          // floor boundaries tile the image exactly like the oracle's
+          // range(r*h//8, (r+1)*h//8) × range(c*w//9, (c+1)*w//9)
+          val s = Array.ofDim[Long](8, 9)
+          var br = 0
+          while (br < 8) {
+            val y0 = br * h / 8; val y1 = (br + 1) * h / 8
+            var bc = 0
+            while (bc < 9) {
+              val x0 = bc * w / 9; val x1 = (bc + 1) * w / 9
+              var acc = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) { acc += px(y * w + x); x += 1 }
+                y += 1
+              }
+              s(br)(bc) = acc
+              bc += 1
+            }
+            br += 1
+          }
+          var bits = 0L
+          var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              val aw = ((c + 1) * w / 9 - c * w / 9).toLong
+              val bw = ((c + 2) * w / 9 - (c + 1) * w / 9).toLong
+              if (s(r)(c + 1) * aw > s(r)(c) * bw)
+                bits |= 1L << (r * 8 + c)
+              c += 1
+            }
+            r += 1
+          }
+          Some(ImageHash(row.media_id, w, h, f"$bits%016x", bits))
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming`
+    * over [[imageDHash]] fingerprints — the image-side twin of the
+    * text SimHash dedup. Pigeonhole-banded: 4 bands of 16 bits, a pair
+    * within distance 3 keeps at least one band intact, so the banded
+    * equi-join + verify finds EXACTLY the brute-force pair set while
+    * only shuffling (band, key) — no all-pairs stage anywhere. */
+  def imageDHashPairs(hashes: Dataset[ImageHash],
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4×16 banding is exact only for distance <= 3")
+    val h = hashes.toDF().select(col("media_id"), col("dhashBits"))
+    val banded = h.select(col("media_id"), col("dhashBits"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("dhashBits"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+    val a = banded.select(col("bk").as("bk_a"), col("media_id").as("id_a"),
+      col("dhashBits").as("bits_a"))
+    val b = banded.select(col("bk").as("bk_b"), col("media_id").as("id_b"),
+      col("dhashBits").as("bits_b"))
+    a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("bits_a").bitwiseXOR(col("bits_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Perceptual-dedup fixture corpus: real PNG bytes whose pixels
+    * follow a quadratic pattern closed-form in doc_id —
+    * `pixel(x,y) = (a(x²+3y) + b(y²+5x) + xy(x+y)) mod 250 (+2)` —
+    * chosen so the dHash bits are diverse (a pure gradient saturates
+    * every difference bit). Planted near-dups: doc_id ≡ 1 (mod 10)
+    * reuses the previous doc's parameters byte-identically; ≡ 6 adds a
+    * +2 brightness offset (different bytes, same dHash — the
+    * invariance a perceptual hash exists for). */
+  def dhashFixtures(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val eid = if (id % 10 == 1 || id % 10 == 6) id - 1 else id
+        val off = if (id % 10 == 6) 2 else 0
+        val a = 1 + (eid % 5).toInt
+        val b = 1 + (eid % 7).toInt
+        val w = 12 + (eid % 21).toInt
+        val h = 10 + (eid % 17).toInt
+        MediaRow(id, "image/png",
+          MediaFixtures.pngPixels(w, h, (x, y) =>
+            (a * (x * x + 3 * y) + b * (y * y + 5 * x) +
+              x * y * (x + y)) % 250 + off), w, h)
+      }
+  }
 }

@@ -14,6 +14,56 @@ class PipelineSpec extends GraftSuite {
     (5L, "der hund ist nicht zu haus und das ist gut")
   ).toDF("doc_id", "text")
 
+  test("image dHash: banded pairs == brute force incl. hamming 1-3; " +
+      "brightness-offset invariance; sub-grid images drop") {
+    import graft.pipeline.MediaFixtures
+    // handcrafted corpus: base pattern, +17 offset (same dHash), and
+    // block-level edits that flip exactly bit 0 / bits {0,8,16} — cell
+    // (0,r) participates ONLY in bit r*8, so forcing it to the extreme
+    // flips a known bit set
+    val w = 27; val h = 16
+    def base(x: Int, y: Int) = (x * x * 3 + y * y * 5 + x * y * 7) % 200
+    def img(id: Long, px: (Int, Int) => Int) =
+      Multimodal.MediaRow(id, "image/png", MediaFixtures.pngPixels(w, h, px), w, h)
+    def zeroCell(rows: Set[Int])(x: Int, y: Int): Int =
+      if (x < w / 9 && rows.contains(y * 8 / h)) 0 else base(x, y)
+    val corpus = Seq(
+      img(0, base), img(1, (x, y) => base(x, y) + 17),
+      img(2, zeroCell(Set(0))), img(3, zeroCell(Set(0, 3, 7))),
+      img(4, (x, y) => (199 - base(x, y))),
+      // sub-grid: dropped, never hashed
+      Multimodal.MediaRow(5, "image/png", MediaFixtures.pngPixels(8, 7, base), 8, 7))
+    val ds = spark.createDataset(corpus)
+    val hashes = Multimodal.imageDHash(ds).collect().sortBy(_.media_id)
+    assert(hashes.map(_.media_id).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val byId = hashes.map(hh => hh.media_id -> hh.dhashBits).toMap
+    // +k brightness: identical fingerprint, different bytes
+    assert(byId(0L) == byId(1L))
+    // zeroing the leftmost cell of row r can only change bit r*8
+    assert(java.lang.Long.bitCount(byId(0L) ^ byId(2L)) <= 1)
+    assert(((byId(0L) ^ byId(2L)) & ~(1L << 0)) == 0L)
+    val mask3 = (1L << 0) | (1L << 24) | (1L << 56)
+    assert(((byId(0L) ^ byId(3L)) & ~mask3) == 0L)
+    // banded pairs == brute force at every threshold 0..3
+    for (t <- 0 to 3) {
+      val banded = Multimodal.imageDHashPairs(
+          Multimodal.imageDHash(ds), maxHamming = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        a <- hashes; b <- hashes if a.media_id < b.media_id
+        if java.lang.Long.bitCount(a.dhashBits ^ b.dhashBits) <= t
+      } yield (a.media_id, b.media_id)).toSet
+      assert(banded == brute, s"hamming<=$t")
+    }
+    // the planted bit-0 flip is found at t=1 when it actually flipped
+    val d02 = java.lang.Long.bitCount(byId(0L) ^ byId(2L))
+    if (d02 == 1) {
+      val p1 = Multimodal.imageDHashPairs(Multimodal.imageDHash(ds), 1)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(p1.contains((0L, 2L)))
+    }
+  }
+
   test("semantic dedup: pairs equal local within-cluster brute force; survivors drop higher ids") {
     val emb = Tables.embeddings(spark, sf)
     val n = 8

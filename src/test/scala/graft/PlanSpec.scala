@@ -414,4 +414,15 @@ class PlanSpec extends GraftSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(warehouse.toFile)
     }
   }
+
+  test("image dHash pairs: banded equi-join only — no cartesian, no " +
+      "all-pairs fallback") {
+    // the 4×16 pigeonhole join must stay an equi-join on (band, key);
+    // a resolution slip here silently degenerates to a cross join that
+    // still passes correctness (the hamming filter saves it) but is
+    // O(N²) at 100 TB
+    val p = plan("dedup_image_dhash")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("bk_a") && p.contains("bk_b"), p)
+  }
 }
