@@ -2194,6 +2194,41 @@ object Queries {
         CAST(len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS DOUBLE) AS chars_per_word
       FROM documents ORDER BY doc_id"""))
 
+  /** Character-diversity quality signals (compiled single pass): the
+    * oracle rebuilds each doc's codepoint histogram in SQL. The hashed
+    * columns are EXACT integers — n, distinct, and the Σc² collision
+    * index (Rényi-2 numerator) — because a cross-engine Shannon ln-sum
+    * differs in the last ulp (libm vs JVM ln + engine-dependent sum
+    * order, observed live at sf0.01 row 3); the Shannon double stays
+    * in the operator API under spec cover. */
+  private val textCharEntropy = Q("text_char_entropy",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"),
+          TextAnalysis.charEntropy(col("text")).as("ce"))
+        .select(col("doc_id"),
+          col("ce.n_chars").as("n_chars"),
+          col("ce.distinct_chars").as("distinct_chars"),
+          col("ce.collision").as("collision"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH ch AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+      ), cnt AS (
+        SELECT doc_id, count(*) AS cn FROM ch GROUP BY doc_id, c
+      ), agg AS (
+        SELECT doc_id, sum(cn) AS n, count(*) AS dc,
+          sum(cn * cn) AS coll
+        FROM cnt GROUP BY doc_id
+      )
+      SELECT d.doc_id,
+        CAST(coalesce(a.n, 0) AS BIGINT) AS n_chars,
+        CAST(coalesce(a.dc, 0) AS INT) AS distinct_chars,
+        CAST(coalesce(a.coll, 0) AS BIGINT) AS collision
+      FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      ORDER BY d.doc_id"""),
+    bench = true)
+
   private val textLangid = Q("text_langid",
     (s, d) => {
       val docs = Tables.documents(s, d)
@@ -3510,6 +3545,53 @@ object Queries {
       ORDER BY id_a, id_b"""),
     bench = true)
 
+  /** Audio perceptual fingerprint — gain-invariant energy dHash over
+    * REAL decoded PCM (65-window tiling, integer cross-multiplied
+    * energy comparisons). The fixture samples are quadratic in doc_id
+    * so DuckDB replays every energy and bit; doc_id ≡ 6 (mod 10) is
+    * the previous clip at double amplitude and must hash identically. */
+  private val multimodalAudioHash = Q("multimodal_audio_hash",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.audioEnergyHash(Multimodal.audioHashFixtures(s, d))
+        .select(col("media_id"), col("n_samples"), col("ahash"))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH p2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 IN (1,6) THEN doc_id - 1 ELSE doc_id END AS eid,
+          CASE WHEN doc_id % 10 = 6 THEN 2 ELSE 1 END AS gain
+        FROM documents
+      ), p3 AS (
+        SELECT doc_id, gain, 1 + eid % 9 AS a, 2 + eid % 11 AS b,
+          CAST(192 + eid % 64 AS INT) AS n
+        FROM p2
+      ), en AS (
+        SELECT doc_id, n,
+          list_transform(range(0, 65), w ->
+            coalesce(list_sum(list_transform(
+              range(w * n // 65, (w + 1) * n // 65), i ->
+                (((a*i*i + b*i) % 2003 - 1001) * gain)
+                  * (((a*i*i + b*i) % 2003 - 1001) * gain))), 0)) AS e
+        FROM p3
+      ), bytes8 AS (
+        SELECT doc_id, n,
+          list_transform(range(0, 8), r ->
+            coalesce(list_sum(list_transform(range(0, 8), c ->
+              CASE WHEN e[r*8+c+2] * ((r*8+c+1)*n//65 - (r*8+c)*n//65)
+                      > e[r*8+c+1] * ((r*8+c+2)*n//65 - (r*8+c+1)*n//65)
+                THEN 1 << c ELSE 0 END)), 0)) AS rb
+        FROM en
+      )
+      SELECT doc_id AS media_id, n AS n_samples,
+        lower(concat(
+          lpad(to_hex(rb[8]), 2, '0'), lpad(to_hex(rb[7]), 2, '0'),
+          lpad(to_hex(rb[6]), 2, '0'), lpad(to_hex(rb[5]), 2, '0'),
+          lpad(to_hex(rb[4]), 2, '0'), lpad(to_hex(rb[3]), 2, '0'),
+          lpad(to_hex(rb[2]), 2, '0'), lpad(to_hex(rb[1]), 2, '0'))) AS ahash
+      FROM bytes8 ORDER BY media_id"""),
+    bench = true)
+
   private val multimodalStub = Q("multimodal_stub",
     (s, d) => {
       import s.implicits._
@@ -3622,12 +3704,13 @@ object Queries {
     textRepetition, textPiiRedact, textSalientTerms, shardPack, dedupSpans,
     textFingerprint, textFingerprintRobust, textDedupLines, textBoilerplate,
     textUnigramQuality, textBigramSurprisal, textCcnetBuckets,
+    textCharEntropy,
     textChunking, textChunkingBpe,
     textPackSequences, textPackBpe,
     textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,
     multimodalGif, multimodalAudio, multimodalVideo,
-    multimodalDhash, dedupImageDhash)
+    multimodalDhash, dedupImageDhash, multimodalAudioHash)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

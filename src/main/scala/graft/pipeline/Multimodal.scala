@@ -420,6 +420,85 @@ object Multimodal {
       .distinct()
   }
 
+  /** One audio fingerprint: energy difference hash over decoded PCM. */
+  case class AudioHash(media_id: Long, n_samples: Int, ahash: String,
+      ahashBits: Long)
+
+  /** Audio perceptual fingerprint — the 1-D twin of [[imageDHash]]:
+    * tile the decoded PCM into 65 windows, set bit w when window w+1
+    * carries more energy than window w. Gain changes scale every
+    * energy by the same factor so the comparisons are invariant —
+    * exactly the property an audio near-dup fingerprint needs (same
+    * recording at different volume → identical hash). Integer-exact:
+    * energies are Σ s² longs and the mean comparison cross-multiplies
+    * by window lengths, so an external oracle replays every bit.
+    * Clips shorter than 65 samples drop. Narrow map-only pass. */
+  def audioEnergyHash(ds: Dataset[MediaRow],
+      targetPartitionBytes: Long = 128L << 20): Dataset[AudioHash] = {
+    import ds.sparkSession.implicits._
+    val shaped =
+      if (targetPartitionBytes <= 0) ds
+      else {
+        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
+        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+        val minParts = ds.sparkSession.sparkContext.defaultParallelism
+        val parts = math.max(minParts,
+          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
+        ds.repartition(parts, col("media_id"))
+      }
+    shaped.mapPartitions { it =>
+      it.flatMap { row =>
+        val dec = MediaSamples.decode(row.bytes)
+        if (dec == null || dec.format != "wav" || dec.samples.length < 65) None
+        else {
+          val px = dec.samples
+          val n = px.length
+          val e = new Array[Long](65)
+          var w = 0
+          while (w < 65) {
+            val i0 = w * n / 65; val i1 = (w + 1) * n / 65
+            var acc = 0L
+            var i = i0
+            while (i < i1) { acc += px(i).toLong * px(i); i += 1 }
+            e(w) = acc
+            w += 1
+          }
+          var bits = 0L
+          w = 0
+          while (w < 64) {
+            val lw = (w + 1) * n / 65 - w * n / 65
+            val lw1 = (w + 2) * n / 65 - (w + 1) * n / 65
+            if (e(w + 1) * lw > e(w) * lw1) bits |= 1L << w
+            w += 1
+          }
+          Some(AudioHash(row.media_id, n, f"$bits%016x", bits))
+        }
+      }
+    }
+  }
+
+  /** Audio-fingerprint fixture corpus: real RIFF/WAV bytes whose PCM
+    * follows a quadratic pattern closed-form in doc_id,
+    * `sample(i) = (a·i² + b·i) mod 2003 − 1001`. Planted near-dups:
+    * doc_id ≡ 1 (mod 10) byte-identical reuse of the previous clip,
+    * ≡ 6 the previous clip at DOUBLE amplitude (different bytes,
+    * identical energy hash — gain invariance). */
+  def audioHashFixtures(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val eid = if (id % 10 == 1 || id % 10 == 6) id - 1 else id
+        val gain = if (id % 10 == 6) 2 else 1
+        val a = 1 + (eid % 9).toInt
+        val b = 2 + (eid % 11).toInt
+        val n = 192 + (eid % 64).toInt
+        MediaRow(id, "audio/wav",
+          MediaFixtures.wavSamples(16000, Array.tabulate(n)(i =>
+            ((a * i * i + b * i) % 2003 - 1001) * gain)), 0, 0)
+      }
+  }
+
   /** Perceptual-dedup fixture corpus: real PNG bytes whose pixels
     * follow a quadratic pattern closed-form in doc_id —
     * `pixel(x,y) = (a(x²+3y) + b(y²+5x) + xy(x+y)) mod 250 (+2)` —

@@ -175,6 +175,12 @@ object TextAnalysis {
         .otherwise(lit(0.0)).as("chars_per_word"))
   }
 
+  /** Shannon character entropy — low = boilerplate/padding, high =
+    * binary junk; a standard cheap corpus-quality signal. Compiled
+    * single-pass expression ([[graft.functions.CharEntropy]]), narrow
+    * map-only shape. Returns struct(n_chars, distinct_chars, entropy). */
+  def charEntropy(text: Column): Column = graft.functions.CharEntropy(text)
+
   /** Composite quality gate: the standard "keep" heuristics. */
   def qualityFilter(text: Column, minWords: Int = 5, maxCharsPerWord: Double = 20,
       maxPunctRatio: Double = 0.3): Column = {

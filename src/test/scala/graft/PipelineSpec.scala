@@ -14,6 +14,54 @@ class PipelineSpec extends GraftSuite {
     (5L, "der hund ist nicht zu haus und das ist gut")
   ).toDF("doc_id", "text")
 
+  test("char entropy: closed forms, collision index, unicode codepoints") {
+    def ce(s: String): (Long, Int, Long, Double) = {
+      val r = Seq(Tuple1(s)).toDF("t")
+        .select(graft.pipeline.TextAnalysis.charEntropy(col("t")))
+        .head.getStruct(0)
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    }
+    assert(ce("") == ((0L, 0, 0L, 0.0)))
+    assert(ce("aaaa") == ((4L, 1, 16L, 0.0)))    // single symbol: 0 nats
+    val (n1, d1, c1, e1) = ce("aabb")
+    assert(n1 == 4 && d1 == 2 && c1 == 8 &&
+      math.abs(e1 - math.log(2)) < 1e-12)
+    val (n2, d2, c2, e2) = ce("abcd")
+    assert(n2 == 4 && d2 == 4 && c2 == 4 &&
+      math.abs(e2 - math.log(4)) < 1e-12)
+    // collision / n² is the Rényi-2 exp(−H₂): uniform → 1/d
+    assert(c2.toDouble / (n2 * n2) == 0.25)
+    // non-BMP codepoint counts once (codepoints, not UTF-16 units)
+    val (n3, d3, c3, _) = ce("a😀a")   // a 😀 a
+    assert(n3 == 3 && d3 == 2 && c3 == 5)
+    // invariance under symbol renaming
+    assert(ce("xxyz")._4 == ce("aabc")._4)
+  }
+
+  test("audio energy hash: gain invariance, short-clip drop, bit layout") {
+    import graft.pipeline.MediaFixtures
+    def clip(id: Long, samples: Array[Int]) =
+      Multimodal.MediaRow(id, "audio/wav",
+        MediaFixtures.wavSamples(16000, samples), 0, 0)
+    val base = Array.tabulate(200)(i => (i * i * 3 + i * 5) % 1499 - 749)
+    val ds = spark.createDataset(Seq(
+      clip(0, base),
+      clip(1, base.map(_ * 3)),            // 3x gain: identical hash
+      clip(2, base.map(-_)),               // inversion: energies equal too
+      clip(3, Array.tabulate(64)(i => i))  // < 65 samples: dropped
+    ))
+    val hs = Multimodal.audioEnergyHash(ds).collect().sortBy(_.media_id)
+    assert(hs.map(_.media_id).toSeq == Seq(0L, 1L, 2L))
+    assert(hs(0).ahashBits == hs(1).ahashBits)
+    assert(hs(0).ahashBits == hs(2).ahashBits)
+    assert(hs(0).ahash == f"${hs(0).ahashBits}%016x")
+    // a hand-built two-level clip: energy strictly rises then falls
+    val rise = Array.tabulate(130)(i => if (i < 65) i % 30 else 1000 - i)
+    val hr = Multimodal.audioEnergyHash(spark.createDataset(
+      Seq(clip(9, rise)))).head
+    assert(hr.n_samples == 130)
+  }
+
   test("image dHash: banded pairs == brute force incl. hamming 1-3; " +
       "brightness-offset invariance; sub-grid images drop") {
     import graft.pipeline.MediaFixtures
