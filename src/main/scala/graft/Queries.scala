@@ -3463,10 +3463,12 @@ object Queries {
         SELECT doc_id,
           CASE WHEN doc_id % 10 IN (1,6) THEN doc_id - 1 ELSE doc_id END AS eid
         FROM documents
+      ), pm AS (
+        SELECT doc_id, (eid * 2654435761) % 4294967296 AS m FROM p2
       ), p3 AS (
-        SELECT doc_id, 1 + eid % 5 AS a, 1 + eid % 7 AS b,
-          CAST(12 + eid % 21 AS INT) AS w, CAST(10 + eid % 17 AS INT) AS h
-        FROM p2
+        SELECT doc_id, 1 + m % 251 AS a, 1 + (m // 251) % 241 AS b,
+          CAST(12 + m % 21 AS INT) AS w, CAST(10 + (m // 21) % 17 AS INT) AS h
+        FROM pm
       ), sums AS (
         SELECT doc_id, w, h,
           list_transform(range(0, 8), r ->
@@ -3513,10 +3515,12 @@ object Queries {
         SELECT doc_id,
           CASE WHEN doc_id % 10 IN (1,6) THEN doc_id - 1 ELSE doc_id END AS eid
         FROM documents
+      ), pm AS (
+        SELECT doc_id, (eid * 2654435761) % 4294967296 AS m FROM p2
       ), p3 AS (
-        SELECT doc_id, 1 + eid % 5 AS a, 1 + eid % 7 AS b,
-          CAST(12 + eid % 21 AS INT) AS w, CAST(10 + eid % 17 AS INT) AS h
-        FROM p2
+        SELECT doc_id, 1 + m % 251 AS a, 1 + (m // 251) % 241 AS b,
+          CAST(12 + m % 21 AS INT) AS w, CAST(10 + (m // 21) % 17 AS INT) AS h
+        FROM pm
       ), sums AS (
         SELECT doc_id, w, h,
           list_transform(range(0, 8), r ->

@@ -459,6 +459,11 @@ object ConfigParser {
 
   private[graft] val wordCmpOps = Set("eq", "ne", "lt", "gt", "le", "ge")
 
+  /** Keyword-position '-'/'_' equivalence (cfg_lexer_lookup_keyword,
+    * lib/cfg-lexer.c:186-218): canonicalize to the dashed spelling the
+    * engine dispatches on. */
+  private[graft] def normKeyword(w: String): String = w.replace('_', '-')
+
   /** Parse one bare filter expression (the form template-level `$(filter
     * cond list)` / `$(if (cond) a b)` conditions take —
     * `modules/basicfuncs/cond-funcs.c:148-177` compiles its argument with
@@ -545,7 +550,9 @@ object ConfigParser {
             // (cfg-block-generator.c) — must precede its uses, like the
             // reference's lexer-level expansion
             val bkind = expect("word").text
-            val bname = expect("word").text
+            // block references lex as keywords, so the registered name
+            // must normalize the same way the call site will
+            val bname = ConfigParser.normKeyword(expect("word").text)
             val rawArgs = argList()
             // `param()` (empty parens) declares a MANDATORY parameter
             // (cfg-lex.l:398 lexes NULL); `param("")` an empty default;
@@ -622,8 +629,15 @@ object ConfigParser {
     }
 
     private def stmt(): Stmt = {
+      // keyword positions treat '-' and '_' as the same character
+      // (cfg_lexer_lookup_keyword, lib/cfg-lexer.c:186-218: a token
+      // char '-' or '_' matches the keyword's '_'): pad_size(2048) ==
+      // pad-size(2048), unix_stream == unix-stream. User-defined NAMES
+      // (rules, apps, block args) are LL_IDENTIFIERs there and stay
+      // verbatim — only statement/function names and option keys
+      // normalize, matching the reference exactly.
       val name = expect("word").text
-      Stmt(name, argList())
+      Stmt(ConfigParser.normKeyword(name), argList())
     }
 
     /** Raw source between a `{` and its matching `}` (both consumed) —
@@ -692,7 +706,9 @@ object ConfigParser {
             } else args += Lit(t.text)
           case "word" =>
             val w = next().text
-            if (peek.kind == "(") args += KV(w, argList())
+            // word(…) is a keyword option — '-'/'_' equivalent; a bare
+            // word is a VALUE (rule names, flag words…) and stays as-is
+            if (peek.kind == "(") args += KV(ConfigParser.normKeyword(w), argList())
             else args += Lit(w)
           case other => throw new ParseError(s"bad arg token: $other")
         }
@@ -806,8 +822,9 @@ object ConfigParser {
               elems += InlineFilter(e)
             } else {
               // inline driver: parser(kv-parser(...)) style; a name
-              // matching a block definition expands in place
-              val inner = expect("word").text
+              // matching a block definition expands in place — keyword
+              // position, so '-'/'_' normalize here too
+              val inner = ConfigParser.normKeyword(expect("word").text)
               val s = Stmt(inner, argList())
               expect(")"); expect(";")
               blockDefs.get((kind, inner)) match {

@@ -507,6 +507,13 @@ object Multimodal {
     * reuses the previous doc's parameters byte-identically; ≡ 6 adds a
     * +2 brightness offset (different bytes, same dHash — the
     * invariance a perceptual hash exists for). */
+  /** Coefficients come from a Knuth-mixed eid so the distinct-image
+    * space is ~2×10⁷ — small mods (the first draft) capped it at
+    * 12,495 patterns, which at sf10p (500k docs) formed ~40-member
+    * identical-image clusters whose pair output is inherently
+    * quadratic (measured: 1.9 s → 96 s per decade). Real exact-dup
+    * mega-clusters go through groupBy/CC dedup (dedup_exact,
+    * dedup_cc), not pair enumeration. */
   def dhashFixtures(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     graft.Tables.documents(spark, sfDir)
@@ -514,10 +521,11 @@ object Multimodal {
       .map { id =>
         val eid = if (id % 10 == 1 || id % 10 == 6) id - 1 else id
         val off = if (id % 10 == 6) 2 else 0
-        val a = 1 + (eid % 5).toInt
-        val b = 1 + (eid % 7).toInt
-        val w = 12 + (eid % 21).toInt
-        val h = 10 + (eid % 17).toInt
+        val m = (eid * 2654435761L) % 4294967296L
+        val a = 1 + (m % 251).toInt
+        val b = 1 + ((m / 251) % 241).toInt
+        val w = 12 + (m % 21).toInt
+        val h = 10 + ((m / 21) % 17).toInt
         MediaRow(id, "image/png",
           MediaFixtures.pngPixels(w, h, (x, y) =>
             (a * (x * x + 3 * y) + b * (y * y + 5 * x) +

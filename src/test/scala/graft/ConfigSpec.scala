@@ -617,6 +617,34 @@ class ConfigSpec extends GraftSuite {
     }
   }
 
+  test("keyword '-'/'_' equivalence (cfg_lexer_lookup_keyword, " +
+      "cfg-lexer.c:186-218; functional configs use pad_size/ts_format)") {
+    import org.apache.spark.sql.functions._
+    // underscore spellings everywhere a keyword can appear: driver
+    // names, option keys, parser statements, block defs + refs
+    val cfg = graft.config.ConfigParser.parse(
+      """block parser my_kv_block(px()) { kv_parser(prefix(`px`)); };
+        |source s { file("x"); };
+        |destination d { file("y"); };
+        |filter f_sev { severity(err); };
+        |log { source(s); filter(f_sev); parser(my_kv_block(px(".k.")));
+        |  destination(d); };
+        |""".stripMargin)
+    // rule names with underscores stay verbatim (LL_IDENTIFIER)
+    assert(cfg.filters.contains("f_sev"))
+    val logs = Seq((1L, 3, "user=alice ok"), (2L, 5, "user=bob no"))
+      .toDF("event_id", "severity", "message")
+      .withColumn("facility", lit(1)).withColumn("host", lit("h"))
+      .withColumn("program", lit("p"))
+      .withColumn("tags", array().cast("array<string>"))
+      .withColumn("values", map().cast("map<string,string>"))
+    val out = graft.config.ConfigCompiler.compile(cfg, Map("s" -> logs)).head.df
+    val rows = out.select("event_id", "values").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    // kv value extends across spaces with no next key= (scanner rule)
+    assert(rows(0).getMap[String, String](1)(".k.user") == "alice ok")
+  }
+
   test("undefined rule references fail initialization " +
       "(test_filter_call.c:31-40)") {
     def compileErr(body: String): String = {
