@@ -707,9 +707,19 @@ object ConfigParser {
           case "word" =>
             val w = next().text
             // word(…) is a keyword option — '-'/'_' equivalent; a bare
-            // word is a VALUE (rule names, flag words…) and stays as-is
-            if (peek.kind == "(") args += KV(ConfigParser.normKeyword(w), argList())
-            else args += Lit(w)
+            // word is a VALUE (rule names, flag words…) and stays as-is.
+            // Exception: flag VALUES go through the grammar's
+            // normalized_flag rule (cfg-grammar.y:1075, str-utils.c:71
+            // normalize_flag '_'→'-'), so flags(syslog_protocol) works
+            if (peek.kind == "(") {
+              val k = ConfigParser.normKeyword(w)
+              val inner = argList()
+              args += KV(k,
+                if (k == "flags") inner.map {
+                  case Lit(v) => Lit(ConfigParser.normKeyword(v))
+                  case other => other
+                } else inner)
+            } else args += Lit(w)
           case other => throw new ParseError(s"bad arg token: $other")
         }
       }
@@ -807,7 +817,9 @@ object ConfigParser {
             expect(";")
             elems += JunctionElem(chans.toSeq)
           case "flags" =>
-            elems += Flags(argList().collect { case Lit(v) => v })
+            // log-path flags use the same normalized_flag rule
+            elems += Flags(argList().collect {
+              case Lit(v) => ConfigParser.normKeyword(v) })
             expect(";")
           case kind @ ("source" | "filter" | "parser" | "rewrite" | "destination") =>
             expect("(")

@@ -643,6 +643,20 @@ class ConfigSpec extends GraftSuite {
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
     // kv value extends across spaces with no next key= (scanner rule)
     assert(rows(0).getMap[String, String](1)(".k.user") == "alice ok")
+    // flag VALUES normalize too (cfg-grammar.y:1075 normalized_flag):
+    // flags(no_parse) == flags(no-parse)
+    val cfg2 = graft.config.ConfigParser.parse(
+      """source s { file("x" flags(no_parse)); };
+        |destination d { file("y"); };
+        |log { source(s); flags(flow_control); destination(d); };
+        |""".stripMargin)
+    val src = cfg2.sources("s").stmts.head
+    val fl = src.args.collectFirst {
+      case graft.config.ConfigParser.KV("flags", vs) =>
+        vs.collect { case graft.config.ConfigParser.Lit(v) => v } }.get
+    assert(fl == Seq("no-parse"))
+    assert(cfg2.logs.head.path.collect {
+      case graft.config.ConfigParser.Flags(f) => f }.flatten == Seq("flow-control"))
   }
 
   test("undefined rule references fail initialization " +
