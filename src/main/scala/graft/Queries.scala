@@ -3596,6 +3596,62 @@ object Queries {
       FROM bytes8 ORDER BY media_id"""),
     bench = true)
 
+  /** Multimodal decontamination — benchmark-image leakage gate: drop
+    * corpus images perceptually equal (dHash Hamming ≤ 3) to any eval
+    * image. The benchmark copies are re-rendered at +1 brightness, so
+    * a byte-equality gate finds NOTHING — only the perceptual hash
+    * catches them. Broadcast-banded; the corpus never hash-exchanges.
+    * Output = dropped (media_id, closest benchmark_id, hamming). */
+  private val decontaminateImage = Q("decontaminate_image",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.decontaminateImages(
+          Multimodal.dhashFixtures(s, d),
+          Multimodal.benchmarkImageFixtures(s, d))
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH p2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 IN (1,6) THEN doc_id - 1 ELSE doc_id END AS eid
+        FROM documents
+      ), pm AS (
+        SELECT doc_id, (eid * 2654435761) % 4294967296 AS m FROM p2
+      ), p3 AS (
+        SELECT doc_id, 1 + m % 251 AS a, 1 + (m // 251) % 241 AS b,
+          CAST(12 + m % 21 AS INT) AS w, CAST(10 + (m // 21) % 17 AS INT) AS h
+        FROM pm
+      ), sums AS (
+        SELECT doc_id, w, h,
+          list_transform(range(0, 8), r ->
+            list_transform(range(0, 9), c ->
+              coalesce(list_sum(flatten(list_transform(
+                range(r * h // 8, (r + 1) * h // 8), y ->
+                list_transform(range(c * w // 9, (c + 1) * w // 9), x ->
+                  (a*(x*x + 3*y) + b*(y*y + 5*x) + x*y*(x + y)) % 250)))), 0))) AS s
+        FROM p3
+      ), rowbytes AS (
+        SELECT doc_id,
+          list_transform(range(0, 8), r ->
+            coalesce(list_sum(list_transform(range(0, 8), c ->
+              CASE WHEN s[r+1][c+2] * ((c+1)*w//9 - c*w//9)
+                      > s[r+1][c+1] * ((c+2)*w//9 - (c+1)*w//9)
+                THEN 1 << c ELSE 0 END)), 0)) AS rb
+        FROM sums
+      ), matches AS (
+        SELECT c.doc_id AS media_id, b.doc_id AS benchmark_id,
+          CAST(list_sum(list_transform(range(0, 8),
+            i -> bit_count(xor(c.rb[i+1], b.rb[i+1])))) AS INT) AS hamming
+        FROM rowbytes c, rowbytes b
+        WHERE b.doc_id % 50 = 0
+      )
+      SELECT media_id, benchmark_id, hamming FROM (
+        SELECT media_id, benchmark_id, hamming,
+          row_number() OVER (PARTITION BY media_id
+            ORDER BY hamming, benchmark_id) AS rn
+        FROM matches WHERE hamming <= 3) WHERE rn = 1
+      ORDER BY media_id"""),
+    bench = true)
+
   private val multimodalStub = Q("multimodal_stub",
     (s, d) => {
       import s.implicits._
@@ -3714,7 +3770,8 @@ object Queries {
     textDedupUrl, textDomainFilter,
     multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,
     multimodalGif, multimodalAudio, multimodalVideo,
-    multimodalDhash, dedupImageDhash, multimodalAudioHash)
+    multimodalDhash, dedupImageDhash, multimodalAudioHash,
+    decontaminateImage)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

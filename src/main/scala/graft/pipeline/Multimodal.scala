@@ -420,6 +420,29 @@ object Multimodal {
       .distinct()
   }
 
+  /** Eval-benchmark image set for [[decontaminateImages]]: every 50th
+    * doc's image re-rendered at +1 brightness — different BYTES than
+    * the corpus copy, identical dHash, exactly the "benchmark contains
+    * a re-encoded copy" contamination a byte-level gate misses. */
+  def benchmarkImageFixtures(spark: SparkSession,
+      sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .filter(id => id % 50 == 0)
+      .map { id =>
+        val m = (id * 2654435761L) % 4294967296L
+        val a = 1 + (m % 251).toInt
+        val b = 1 + ((m / 251) % 241).toInt
+        val w = 12 + (m % 21).toInt
+        val h = 10 + ((m / 21) % 17).toInt
+        MediaRow(id, "image/png",
+          MediaFixtures.pngPixels(w, h, (x, y) =>
+            (a * (x * x + 3 * y) + b * (y * y + 5 * x) +
+              x * y * (x + y)) % 250 + 1), w, h)
+      }
+  }
+
   /** One audio fingerprint: energy difference hash over decoded PCM. */
   case class AudioHash(media_id: Long, n_samples: Int, ahash: String,
       ahashBits: Long)
@@ -507,6 +530,37 @@ object Multimodal {
     * reuses the previous doc's parameters byte-identically; ≡ 6 adds a
     * +2 brightness offset (different bytes, same dHash — the
     * invariance a perceptual hash exists for). */
+  /** Multimodal decontamination: drop corpus images perceptually equal
+    * (Hamming ≤ `maxHamming` on [[imageDHash]]) to any EVAL-BENCHMARK
+    * image — the image-side twin of the text decontaminate family. The
+    * benchmark is small by definition, so its banded keys broadcast:
+    * corpus hashes once (narrow), explodes 4 band keys, broadcast-joins
+    * the benchmark bands, verifies Hamming, and the surviving-id set
+    * broadcasts back as an anti-join — the corpus NEVER hash-exchanges.
+    * Returns the dropped (media_id, benchmark_id, hamming) triples;
+    * pigeonhole-exact for maxHamming ≤ 3. */
+  def decontaminateImages(corpus: Dataset[MediaRow],
+      benchmark: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4×16 banding is exact only for distance <= 3")
+    def banded(h: Dataset[ImageHash], ids: String, bits: String,
+        bk: String): DataFrame =
+      h.toDF().select(col("media_id").as(ids), col("dhashBits").as(bits),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("dhashBits"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as(bk))
+    val c = banded(imageDHash(corpus), "media_id", "bits_c", "bk_c")
+    val b = banded(imageDHash(benchmark), "benchmark_id", "bits_b", "bk_b")
+    c.join(broadcast(b), col("bk_c") === col("bk_b"))
+      .select(col("media_id"), col("benchmark_id"),
+        bit_count(col("bits_c").bitwiseXOR(col("bits_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .groupBy(col("media_id"))
+      .agg(min(struct(col("hamming"), col("benchmark_id"))).as("m"))
+      .select(col("media_id"), col("m.benchmark_id").as("benchmark_id"),
+        col("m.hamming").as("hamming"))
+  }
+
   /** Coefficients come from a Knuth-mixed eid so the distinct-image
     * space is ~2×10⁷ — small mods (the first draft) capped it at
     * 12,495 patterns, which at sf10p (500k docs) formed ~40-member

@@ -112,6 +112,24 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("image decontamination: catches re-encoded benchmark copies a " +
+      "byte gate misses") {
+    import graft.pipeline.MediaFixtures
+    val w = 27; val h = 16
+    def base(x: Int, y: Int) = (x * x * 7 + y * y * 3 + x * y * 5) % 200
+    def other(x: Int, y: Int) = (x * x * 11 + y * y * 13 + x + y) % 200
+    def img(id: Long, px: (Int, Int) => Int) =
+      Multimodal.MediaRow(id, "image/png", MediaFixtures.pngPixels(w, h, px), w, h)
+    val corpus = spark.createDataset(Seq(img(0, base), img(1, other)))
+    // benchmark holds base RE-ENCODED at +9 brightness: bytes differ
+    val bench = spark.createDataset(Seq(img(100, (x, y) => base(x, y) + 9)))
+    assert(!java.util.Arrays.equals(
+      corpus.collect()(0).bytes, bench.collect()(0).bytes))
+    val dropped = Multimodal.decontaminateImages(corpus, bench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(dropped.toSeq == Seq((0L, 100L, 0)))
+  }
+
   test("semantic dedup: pairs equal local within-cluster brute force; survivors drop higher ids") {
     val emb = Tables.embeddings(spark, sf)
     val n = 8

@@ -425,4 +425,11 @@ class PlanSpec extends GraftSuite {
     assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("bk_a") && p.contains("bk_b"), p)
   }
+
+  test("image decontamination: benchmark side broadcasts, corpus never " +
+      "hash-exchanges before the match") {
+    val p = plan("decontaminate_image")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Cartesian") && !p.contains("SortMergeJoin"), p)
+  }
 }
