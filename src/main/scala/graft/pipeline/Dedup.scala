@@ -945,9 +945,23 @@ object Dedup {
     // (extracted in the dedup filter), so BOTH join sides project
     // exactly (id, bs, bkey) — identical plans are what lets the
     // bucket-key exchange be planned once and REUSED by the probe side
-    val keyed = base.select(col("id"), bucketArr.as("bs"))
-      .select(col("id"), col("bs"), posexplode(col("bs")).as(Seq("t", "b")))
-      .select(col("id"), col("bs"),
+    // Vectors + norms RIDE the bucket exchange and the cosine verifies
+    // INSIDE the bucket join's output stage. The previous shape kept
+    // the bucket shuffle slim ((bucket, id) only) and re-fetched
+    // vectors per candidate side — penny-wise at scale: the second id
+    // join SORTED the candidate×vector intermediate (candidates ×
+    // ~300 B with the payload; at sf100p, 2M vectors → 280M candidates
+    // → an 84 GB sort that spilled the disk dry, measured live at the
+    // 1000× decade). Here the sorted side is only N·tables rows of
+    // (id, v, nrm, bs, bkey) — 8M × ~320 B ≈ 2.6 GB at sf100p — and
+    // the 280M joined candidate rows STREAM through the codegen'd
+    // DotF filter without ever materializing or re-shuffling.
+    val withNorm = base.withColumn("nrm",
+      sqrt(graft.functions.DotF(col("v"), col("v"))))
+    val keyed = withNorm.select(col("id"), col("v"), col("nrm"), bucketArr.as("bs"))
+      .select(col("id"), col("v"), col("nrm"), col("bs"),
+        posexplode(col("bs")).as(Seq("t", "b")))
+      .select(col("id"), col("v"), col("nrm"), col("bs"),
         shiftleft(col("t").cast("long"), 58).bitwiseOR(col("b")).as("bkey"))
     val joined = keyed.as("ka").join(keyed.as("kb"),
       col("ka.bkey") === col("kb.bkey") && col("ka.id") < col("kb.id"))
@@ -957,22 +971,12 @@ object Dedup {
         shiftrightunsigned(col("ka.bkey"), 58).cast("int") > tp &&
           element_at(col("ka.bs"), tp + 1) === element_at(col("kb.bs"), tp + 1)
       }.reduce(_ || _).unary_!)
-    val cand = deduped.select(col("ka.id").as("id_a"), col("kb.id").as("id_b"))
-    // norms stage per SIDE (once per vector, not once per pair) and the
-    // per-pair dot is the compiled DotF — the HOF form materializes a
-    // product array per candidate pair, and at targetBucket=32 sizing
-    // the candidate set is ~62·N pairs (same fix as assignTwoLevel,
-    // bit-identical float semantics: sequential double dot)
-    val withNorm = base.withColumn("nrm",
-      sqrt(graft.functions.DotF(col("v"), col("v"))))
-    // vector fetches likewise alias the same plan so the second join
-    // reuses the first's exchange of `withNorm`
-    cand
-      .join(withNorm.as("wa"), col("id_a") === col("wa.id"))
-      .join(withNorm.as("wb"), col("id_b") === col("wb.id"))
-      .select(col("id_a"), col("id_b"),
-        (graft.functions.DotF(col("wa.v"), col("wb.v")) /
-          (col("wa.nrm") * col("wb.nrm"))).as("cosine"))
+    // per-pair dot is the compiled DotF (sequential double semantics);
+    // norms were computed once per VECTOR above, never per pair
+    deduped
+      .select(col("ka.id").as("id_a"), col("kb.id").as("id_b"),
+        (graft.functions.DotF(col("ka.v"), col("kb.v")) /
+          (col("ka.nrm") * col("kb.nrm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
