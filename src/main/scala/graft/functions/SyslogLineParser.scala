@@ -480,10 +480,10 @@ object SyslogLineParser {
     val p =
       if (syslogProtocol)
         parseSyslogProto(stripped, refYear, refMon, checkHostname, noHostname,
-          badHostname, noHeader)
+          badHostname, noHeader, noParseDate)
       else
         parseLenient(stripped, refYear, noHostname, refMon, badHostname,
-          checkHostname, noHeader, local)
+          checkHostname, noHeader, local, noParseDate)
     if (noParseDate && p.tsMicros != Long.MinValue) p.copy(tsMicros = Long.MinValue)
     else p
   }
@@ -496,7 +496,8 @@ object SyslogLineParser {
     * the reference's error injection with the exact problem position. */
   private def parseSyslogProto(line: String, refYear: Int, refMon: Int,
       checkHostname: Boolean, noHostname: Boolean,
-      badHostname: java.util.regex.Pattern, noHeader: Boolean): Parsed = {
+      badHostname: java.util.regex.Pattern, noHeader: Boolean,
+      noParseDate: Boolean = false): Parsed = {
     val c = new Cursor(line)
     // PRI (log_msg_parse_pri): '<' digits '>'; a non-digit aborts to the
     // legacy parser, which (in strict mode) error-injects at position 0
@@ -522,7 +523,7 @@ object SyslogLineParser {
     }
     if (!verOk || ver != 1 || vStart == c.pos)
       return parseLegacyStrict(line, refYear, refMon, checkHostname,
-        noHostname, badHostname, noHeader)
+        noHostname, badHostname, noHeader, noParseDate)
     if (!c.skipOneSpace()) return injectError(line, c.pos)
     // TIMESTAMP: NILVALUE '-' → receive time (unset here)
     var ts = Long.MinValue
@@ -565,7 +566,8 @@ object SyslogLineParser {
     * reference's parse_pri leaves the committed pointer at the start). */
   private def parseLegacyStrict(line: String, refYear: Int, refMon: Int,
       checkHostname: Boolean, noHostname: Boolean,
-      badHostname: java.util.regex.Pattern, noHeader: Boolean): Parsed = {
+      badHostname: java.util.regex.Pattern, noHeader: Boolean,
+      noParseDate: Boolean = false): Parsed = {
     if (line.startsWith("<")) {
       var i = 1
       while (i < line.length && line.charAt(i) != '>') {
@@ -575,7 +577,8 @@ object SyslogLineParser {
       }
     }
     parseLegacyFrom(line, refYear, noHostname, refMon, badHostname,
-      checkHostname, noHeader, autodetect5424 = false, local = false)
+      checkHostname, noHeader, autodetect5424 = false, local = false,
+      noParseDate = noParseDate)
   }
 
   /** Lenient engine default: auto-detects RFC5424 by `1 ` after the PRI
@@ -584,14 +587,17 @@ object SyslogLineParser {
     * degrades gracefully instead of error-injecting. */
   private def parseLenient(line: String, refYear: Int, noHostname: Boolean,
       refMon: Int, badHostname: java.util.regex.Pattern,
-      checkHostname: Boolean, noHeader: Boolean, local: Boolean): Parsed =
+      checkHostname: Boolean, noHeader: Boolean, local: Boolean,
+      noParseDate: Boolean = false): Parsed =
     parseLegacyFrom(line, refYear, noHostname, refMon, badHostname,
-      checkHostname, noHeader, autodetect5424 = true, local = local)
+      checkHostname, noHeader, autodetect5424 = true, local = local,
+      noParseDate = noParseDate)
 
   private def parseLegacyFrom(line: String, refYear: Int, noHostname: Boolean,
       refMon: Int, badHostname: java.util.regex.Pattern,
       checkHostname: Boolean, noHeader: Boolean,
-      autodetect5424: Boolean, local: Boolean): Parsed = {
+      autodetect5424: Boolean, local: Boolean,
+      noParseDate: Boolean = false): Parsed = {
     val c = new Cursor(line)
     var pri = DefaultPri
     // <PRI>
@@ -643,11 +649,15 @@ object SyslogLineParser {
     if (seqId != null) { sdKeys.add("meta.sequenceId"); sdVals.add(seqId) }
     c.skipSpaces()
     // Cisco clock-sync attributes: '*' = unsynced, '.' = synced
-    // (syslog-format.c:221-240 → .SDATA.timeQuality.isSynced)
+    // (syslog-format.c:221-240 → .SDATA.timeQuality.isSynced). Under
+    // LP_NO_PARSE_DATE the reference still CONSUMES the char but skips
+    // the SDATA set (:228-238 guard).
     if (c.peek == '*' && !c.atEnd) {
-      sdKeys.add("timeQuality.isSynced"); sdVals.add("0"); c.pos += 1
+      if (!noParseDate) { sdKeys.add("timeQuality.isSynced"); sdVals.add("0") }
+      c.pos += 1
     } else if (c.peek == '.' && !c.atEnd) {
-      sdKeys.add("timeQuality.isSynced"); sdVals.add("1"); c.pos += 1
+      if (!noParseDate) { sdKeys.add("timeQuality.isSynced"); sdVals.add("1") }
+      c.pos += 1
     }
     val afterAttrs = c.pos
     var ts = parseBsdTimestamp(c, refYear, refMon)

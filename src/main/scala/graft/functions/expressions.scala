@@ -619,6 +619,14 @@ object CharsetDecode {
     if (frame && bb.hasRemaining)
       throw new IllegalArgumentException(
         "Byte sequence too short, cannot convert an individual frame in its entirety")
+    if (!bb.hasRemaining) {
+      // fully consumed: FINISH the decode — stateful/shift charsets
+      // (ISO-2022-*) may hold pending output or final shift state that
+      // only the endOfInput pass + flush() emit; skipping them silently
+      // dropped trailing chars even when every input byte was consumed
+      dec.decode(bb, cb, true)
+      dec.flush(cb)
+    }
     cb.flip()
     UTF8String.fromString(cb.toString)
   }

@@ -48,14 +48,24 @@ object Sessions {
     * their KEY TEMPLATES render the same name. The reference formats
     * into a static 512-byte buffer with g_snprintf, so the name
     * TRUNCATES at 511 bytes — two long templates sharing a 511-byte
-    * prefix collide onto one state blob (quirk preserved; config
-    * templates are ASCII in practice, multi-byte tails cut at the byte
-    * boundary exactly like the C). */
+    * prefix collide onto one state blob (quirk preserved). IDENTITY is
+    * the raw truncated BYTE prefix ([[persistNameBytes]]) exactly like
+    * the C buffer; this String form is display-only — a multi-byte char
+    * split at byte 511 decodes as U+FFFD here, so two templates
+    * differing only inside the split character render the same STRING
+    * but remain distinct identities (the C compares bytes). */
   def persistName(keyTemplate: String): String = {
-    val full = s"grouping-by($keyTemplate)"
-    val b = full.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    if (b.length <= 511) full
-    else new String(b, 0, 511, java.nio.charset.StandardCharsets.UTF_8)
+    val b = persistNameBytes(keyTemplate)
+    new String(b, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The identity form: g_snprintf's 512-byte buffer keeps the first
+    * 511 raw bytes of `grouping-by(<template>)` — byte-exact, no
+    * charset decode involved. */
+  def persistNameBytes(keyTemplate: String): Array[Byte] = {
+    val b = s"grouping-by($keyTemplate)"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (b.length <= 511) b else java.util.Arrays.copyOf(b, 511)
   }
 
   /** The Spark mapping of `cfg_persist_config_fetch` (groupingby.c:
@@ -70,8 +80,10 @@ object Sessions {
     val safe = name.map(c =>
       if (c.isLetterOrDigit || c == '-' || c == '(' || c == ')') c else '_')
       .take(80)
+    // hash the BYTE identity (persistNameBytes), not the decoded string:
+    // a U+FFFD-decoded split tail would merge names the C keeps distinct
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(persistNameBytes(keyTemplate))
       .take(8).map(x => f"$x%02x").mkString
     s"$base/$safe-$h"
   }

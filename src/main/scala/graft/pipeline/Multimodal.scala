@@ -447,6 +447,18 @@ object Multimodal {
   case class AudioHash(media_id: Long, n_samples: Int, ahash: String,
       ahashBits: Long)
 
+  /** Exact `e1·l1 > e0·l0` for non-negative longs via a 128-bit compare
+    * (Math.multiplyHigh + unsigned low-word compare). Window energy is
+    * Σ s² ≤ 2^30·L, so the cross-multiplied product is ~2^30·L² — a
+    * plain Long wraps past ~6M samples at full amplitude (a 6-minute
+    * 16 kHz clip), silently corrupting hash bits. The 128-bit form is
+    * exact for any clip a Spark row can hold. */
+  private[graft] def energyGt(e1: Long, l1: Long, e0: Long, l0: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(e1, l1); val lo1 = e1 * l1
+    val hi0 = Math.multiplyHigh(e0, l0); val lo0 = e0 * l0
+    hi1 > hi0 || (hi1 == hi0 && java.lang.Long.compareUnsigned(lo1, lo0) > 0)
+  }
+
   /** Audio perceptual fingerprint — the 1-D twin of [[imageDHash]]:
     * tile the decoded PCM into 65 windows, set bit w when window w+1
     * carries more energy than window w. Gain changes scale every
@@ -491,7 +503,7 @@ object Multimodal {
           while (w < 64) {
             val lw = (w + 1) * n / 65 - w * n / 65
             val lw1 = (w + 2) * n / 65 - (w + 1) * n / 65
-            if (e(w + 1) * lw > e(w) * lw1) bits |= 1L << w
+            if (energyGt(e(w + 1), lw.toLong, e(w), lw1.toLong)) bits |= 1L << w
             w += 1
           }
           Some(AudioHash(row.media_id, n, f"$bits%016x", bits))

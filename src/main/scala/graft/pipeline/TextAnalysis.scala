@@ -81,8 +81,13 @@ object TextAnalysis {
     val freq = scala.collection.mutable.LinkedHashMap[String, Long]()
     texts.foreach(t => re.findAllIn(t).foreach(p =>
       freq(p) = freq.getOrElse(p, 0L) + 1))
+    // initial symbols are CODE POINTS, not UTF-16 units — the applier
+    // (bpeSubwordCount) and the DuckDB oracle both segment per code
+    // point (regex `(.)` is code-point aware in Java and RE2), so a
+    // surrogate-half symbol trained here could never re-form there
     var words: Seq[(String, Long)] = freq.toSeq.map { case (p, f) =>
-      (p.toCharArray.mkString(BpeSep), f)
+      (p.codePoints().toArray.map(cp =>
+        new String(Character.toChars(cp))).mkString(BpeSep), f)
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var k = 0

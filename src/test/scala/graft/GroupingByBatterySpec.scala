@@ -87,6 +87,22 @@ class GroupingByBatterySpec extends GraftSuite {
     assert(Sessions.persistName(short + "A") != Sessions.persistName(short + "B"))
   }
 
+  test("persist identity is the raw BYTE prefix: a multi-byte char split at byte 511 keeps names distinct like the C buffer") {
+    // "grouping-by(" = 12 bytes + 497 'x' = 509; the 3-byte char sits at
+    // offsets 509-511, so truncation keeps its first TWO bytes. € (E2 82
+    // AC) vs ↑ (E2 86 91) differ in the KEPT second byte — the C buffer
+    // keeps them distinct, but both decoded Strings end in one U+FFFD
+    // and compare equal. Identity must therefore be the bytes.
+    val t1 = "x" * 497 + "€" + "tail1"
+    val t2 = "x" * 497 + "↑" + "tail2"
+    assert(Sessions.persistName(t1) == Sessions.persistName(t2)) // display collides
+    assert(!java.util.Arrays.equals(
+      Sessions.persistNameBytes(t1), Sessions.persistNameBytes(t2)))
+    assert(Sessions.persistCheckpoint("/ckpt", t1) !=
+      Sessions.persistCheckpoint("/ckpt", t2))
+    assert(Sessions.persistNameBytes(t1).length == 511)
+  }
+
   test("persist checkpoint: reload with the same key template resumes the same state path, a changed template gets a fresh one") {
     val p1 = Sessions.persistCheckpoint("/ckpt", "$HOST")
     val p2 = Sessions.persistCheckpoint("/ckpt", "$HOST")

@@ -382,6 +382,21 @@ class MsgparseBatterySpec extends GraftSuite {
       "destaddr=150.1.1.1, prot=50, spi=0x72662541(1919296833), srcaddr=150.3.1.3")
   }
 
+  test("flags(no-parse-date) consumes Cisco clock-sync chars but sets NO isSynced SDATA (syslog-format.c:228-238 guard)") {
+    val line = "<0>91: *Oct 07 03:10:04: mydevice.com %CRYPTO-4-RECVD_PKT_INV_SPI: boom"
+    val p = SyslogLineParser.parse(line, 2019, noParse = false,
+      expectHostname = true, noHostname = false, noParseDate = true)
+    // the '*' is consumed (_process_any_char) but the SDATA set is
+    // guarded by LP_NO_PARSE_DATE; the sequence id is NOT guarded
+    assert(sd(p) == Map("meta.sequenceId" -> "91"), sd(p).toString)
+    assert(p.tsMicros == Long.MinValue) // stamp left unset under the flag
+    assert(p.host == "mydevice.com")
+    assert(p.program == "%CRYPTO-4-RECVD_PKT_INV_SPI" && p.message == "boom")
+    // without the flag the same line carries isSynced=0 (regression guard)
+    val q = P(line)
+    assert(sd(q) == Map("meta.sequenceId" -> "91", "timeQuality.isSynced" -> "0"))
+  }
+
   test("test_simple_message: no-header-at-all still extracts a program (:1166)") {
     val p = P("some message")
     assert(p.pri == 13 && p.host == null && p.program == "some" &&

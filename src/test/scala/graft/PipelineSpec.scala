@@ -1555,4 +1555,59 @@ class PipelineSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(sloppy == exact)
   }
+
+  test("audio energyGt: exact past Long overflow (long clips at full amplitude)") {
+    // window energy is Σ s² ≤ 2^30·L; cross-multiplied products wrap a
+    // Long for ~6-minute 16 kHz clips — the 128-bit compare must stay
+    // exact. 1000·2^55 vs 999·2^55+999: both products overflow Long.
+    val big = 1L << 55
+    assert(Multimodal.energyGt(big, 1000L, big + 1, 999L))
+    assert(!Multimodal.energyGt(big + 1, 999L, big, 1000L))
+    // sweep vs BigInt ground truth across the overflow boundary
+    val es = Seq(0L, 1L, (1L << 31) - 1, 1L << 40, (1L << 62) + 12345)
+    val ls = Seq(1L, 2L, 65L, 100003L)
+    for (e1 <- es; l1 <- ls; e0 <- es; l0 <- ls) {
+      val exact = BigInt(e1) * BigInt(l1) > BigInt(e0) * BigInt(l0)
+      assert(Multimodal.energyGt(e1, l1, e0, l0) == exact,
+        s"($e1,$l1) vs ($e0,$l0)")
+    }
+  }
+
+  test("bpeTrain: non-BMP symbols are code points, merges re-form on application") {
+    // U+1D552 (𝕒) is a supplementary LETTER: the pre-tokenizer keeps
+    // "𝕒b" one piece. Per-code-unit segmentation would train
+    // surrogate-half symbols the code-point applier can never form.
+    val s = new String(Character.toChars(0x1D552))
+    val corpus = Seq((1L, s"${s}b ${s}b"), (2L, s"${s}b")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(corpus, col("doc_id"), col("text"),
+      nMerges = 1, sampleN = 10)
+    assert(merges.nonEmpty)
+    // no trained symbol contains an UNPAIRED surrogate (a full pair is
+    // fine — that IS the code point); per-code-unit segmentation made
+    // the first symbols lone halves
+    def wellFormed(sym: String): Boolean = {
+      var i = 0
+      while (i < sym.length) {
+        val c = sym.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          if (i + 1 >= sym.length || !Character.isLowSurrogate(sym.charAt(i + 1)))
+            return false
+          i += 2
+        } else if (Character.isLowSurrogate(c)) return false
+        else i += 1
+      }
+      true
+    }
+    merges.foreach { case (x, y) =>
+      assert(wellFormed(x) && wellFormed(y), merges.toString)
+    }
+    // application compresses: the trained merge genuinely applies
+    val counts = corpus.select(
+        TextAnalysis.bpeSubwordCount(col("text"), merges).getField("n_subwords"))
+      .as[Long].collect()
+    val untrained = corpus.select(
+        TextAnalysis.bpeSubwordCount(col("text"), Nil).getField("n_subwords"))
+      .as[Long].collect()
+    assert(counts.sum < untrained.sum, s"${counts.toSeq} vs ${untrained.toSeq}")
+  }
 }

@@ -91,6 +91,26 @@ class RecordServerBatterySpec extends GraftSuite {
     assert(padded(payload, 32, Some("ISO-8859-2")) == Seq(word))
   }
 
+  test("charset decode FINISHES: stateful shift charsets emit all output when input is fully consumed") {
+    import graft.functions.CharsetDecode
+    // ISO-2022-JP with the closing shift-back: full decode
+    val full = Array[Byte](0x1b, 0x24, 0x42, 0x24, 0x22, 0x24, 0x24,
+      0x1b, 0x28, 0x42)
+    assert(CharsetDecode.decode(full, "ISO-2022-JP").toString == "あい")
+    // no trailing shift-back — every byte still CONSUMED, the decoder is
+    // left mid-shift-state; the finish pass (endOfInput=true + flush)
+    // must not lose output
+    val noClose = Array[Byte](0x1b, 0x24, 0x42, 0x24, 0x22, 0x24, 0x24)
+    assert(CharsetDecode.decode(noClose, "ISO-2022-JP").toString == "あい")
+    // a trailing INCOMPLETE escape still drops silently in stream mode
+    val partial = full ++ Array[Byte](0x1b, 0x24)
+    assert(CharsetDecode.decode(partial, "ISO-2022-JP").toString == "あい")
+    // ...and still errors in frame mode
+    intercept[IllegalArgumentException] {
+      CharsetDecode.decode(partial, "ISO-2022-JP", frame = true)
+    }
+  }
+
   test("pad-size(N) encoding(cs) compose through the config front end") {
     val word = "árvíztűrőtükörfúrógép" + "é" * 11
     val path = write(word.getBytes(
