@@ -33,17 +33,27 @@ object AssignBench {
       }.sorted
       ts(ts.length / 2)
     }
-    // warmup both paths at a small slice
+    // warmup all paths at a small slice
     val warm = base.limit(2000)
     graft.pipeline.Similarity.assignClusters(warm, 64).queryExecution.toRdd.count()
-    graft.pipeline.Similarity.assignClusters(warm, 64, flatMax = 1).queryExecution.toRdd.count()
-    val flat = median(graft.pipeline.Similarity
+    graft.pipeline.Similarity.assignClusters(warm, 64, flatMax = 1, levels = 2).queryExecution.toRdd.count()
+    graft.pipeline.Similarity.assignClusters(warm, 64, flatMax = 1, levels = 3).queryExecution.toRdd.count()
+    // SPARK_GRAFT_ASSIGN_PATHS selects paths (default all three) — the
+    // flat argmax at sf100p sizing (N=2M, k=62.5k) is 125G dots and
+    // exists only to be beaten; skip it at the big decades.
+    val paths = sys.env.getOrElse("SPARK_GRAFT_ASSIGN_PATHS", "flat,two,tree")
+      .split(",").map(_.trim).toSet
+    val parts = scala.collection.mutable.ArrayBuffer[String]()
+    if (paths("flat")) parts += s""""flat_sec":${median(graft.pipeline.Similarity
       .assignClusters(base, k, flatMax = Int.MaxValue)
-      .queryExecution.toRdd.count())
-    val twoLevel = median(graft.pipeline.Similarity
-      .assignClusters(base, k, flatMax = 1)
-      .queryExecution.toRdd.count())
-    println(s"""{"sf":"$sfDir","n":$n,"k":$k,"flat_sec":$flat,"two_level_sec":$twoLevel,"repeat":$repeat}""")
+      .queryExecution.toRdd.count())}"""
+    if (paths("two")) parts += s""""two_level_sec":${median(graft.pipeline.Similarity
+      .assignClusters(base, k, flatMax = 1, levels = 2)
+      .queryExecution.toRdd.count())}"""
+    if (paths("tree")) parts += s""""tree_sec":${median(graft.pipeline.Similarity
+      .assignClusters(base, k, flatMax = 1, levels = 3)
+      .queryExecution.toRdd.count())}"""
+    println(s"""{"sf":"$sfDir","n":$n,"k":$k,${parts.mkString(",")},"repeat":$repeat}""")
     spark.stop()
   }
 }

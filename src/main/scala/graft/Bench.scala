@@ -62,12 +62,38 @@ object Bench {
     // (SURVEY §8) use n>=3 so one-off GC/compile hiccups wash out.
     // The repeats re-plan from scratch each time (no caching).
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(1)
+    // Every query ends in a global ORDER BY that exists purely for the
+    // driver's DuckDB hash compare — and a global Sort RANGE-PARTITIONS,
+    // whose sampling pass executes the whole child a SECOND time
+    // (StageProbe on text_chunking_bpe at sf100p: two near-identical
+    // corpus stages; Probe attributes ~2/3 of several "query" times at
+    // scale to this boundary). The bench measures the OPERATOR, so the
+    // harness sort demotes to sortWithinPartitions (same expressions,
+    // no range sampling, one scan) — r9 verdict #3. Only the TOP-LEVEL
+    // Sort is touched: interior sorts are operator semantics.
+    // SPARK_GRAFT_HARNESS_SORT=global restores the old boundary; the
+    // published JSON records the mode either way.
+    val harnessSort = sys.env.getOrElse("SPARK_GRAFT_HARNESS_SORT", "local")
+    def benchShape(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      if (harnessSort != "local") df
+      else {
+        import org.apache.spark.sql.catalyst.plans.logical.{Project, Sort}
+        df.queryExecution.analyzed match {
+          case s: Sort if s.global =>
+            org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark,
+              Sort(s.order, global = false, s.child))
+          case p @ Project(_, s: Sort) if s.global =>
+            org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark,
+              p.copy(child = Sort(s.order, global = false, s.child)))
+          case _ => df
+        }
+      }
     val inSuite = benched.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         // toRdd materializes every output column — count() would let
         // Catalyst prune the projected expressions and time only the sort
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        try { benchShape(fn(spark, sfDir)).queryExecution.toRdd.count() }
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
@@ -81,17 +107,37 @@ object Bench {
       .map(_.toDouble).getOrElse(0.9)
     val isolateCap = sys.env.get("SPARK_GRAFT_ISOLATE_CAP")
       .map(_.toInt).getOrElse(25)
+    // outlier-robust children (r9 verdict #2: the committed artifact
+    // carried an app_parser_topic=7.25 child that four sibling runs put
+    // at 2.6-3.6 — a single-child VM hiccup published as canonical): a
+    // child whose median lands >2× outside the in-suite number for the
+    // same query re-forks ONCE and the smaller median stands (both are
+    // medians-of-5; min-of-two-medians is the robust pick on a VM whose
+    // hiccups are one-sided slowdowns).
+    val retried = scala.collection.mutable.ArrayBuffer[String]()
     val isolated: Map[String, Double] =
       if (!isolateOn) Map.empty
       else inSuite.filter(_._2 >= isolateMin).sortBy(-_._2).take(isolateCap)
-        .flatMap { case (name, _) => forkOne(name, sfDir, cpus).map(name -> _) }
+        .flatMap { case (name, suite) =>
+          forkOne(name, sfDir, cpus).map { first =>
+            val outlier = suite > 0 && (first > suite * 2 || first < suite / 2)
+            val best =
+              if (!outlier) first
+              else {
+                retried += name
+                forkOne(name, sfDir, cpus).fold(first)(math.min(first, _))
+              }
+            name -> best
+          }
+        }
         .toMap
 
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val merged = inSuite.map { case (n, t) => n -> isolated.getOrElse(n, t) }
     val total = merged.map(_._2).sum
-    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(merged)},"queries_insuite":${jmap(inSuite)},"queries_isolated":${jmap(isolated.toSeq.sortBy(_._1))},"isolated_n":5,"cpus":"$cpus","sf":"$sfDir"}"""
+    val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(merged)},"queries_insuite":${jmap(inSuite)},"queries_isolated":${jmap(isolated.toSeq.sortBy(_._1))},"isolated_retried":$retriedJson,"isolated_n":5,"harness_sort":"$harnessSort","cpus":"$cpus","sf":"$sfDir"}"""
     // the COMPLETE document goes to a file (r8 verdict: the driver keeps
     // only a 2000-char stdout tail, so the full three-map line can never
     // survive stdout — BENCH_r08.json shipped `"parsed": null` with the

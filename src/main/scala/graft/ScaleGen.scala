@@ -19,13 +19,30 @@ import org.apache.spark.sql.functions._
   *     both sides of every FK edge
   *   - events: event_id/user_id strides; ts shifted +31 days per shard
   *     (disjoint time ranges -> session/window state per key unchanged)
-  *   - documents: doc_id stride; for shard k>0 every word gets a `k`
-  *     suffix — two docs equal in the base stay equal in every shard
-  *     (duplicate RATE constant), while cross-shard shingle overlap
-  *     drops to ~0 (no artificial 10-way near-dup groups)
+  *   - documents: doc_id stride; for shard k>0 every LETTER maps
+  *     through a shard-seeded permutation of [a-zA-Z] (`translate`) —
+  *     a char bijection, so two docs equal in the base stay equal in
+  *     every shard (duplicate RATE constant), distinct tokens stay
+  *     distinct, n-gram/shingle structure is isomorphic within a
+  *     shard, and cross-shard shingle overlap is ~0 (a shard's vocab
+  *     is a derangement no other shard's corpus contains). BYTE-STABLE
+  *     by construction (r9 verdict #3): the r7-r9 word-SUFFIX scheme
+  *     compounded across generations (avg doc 297→798 B over three
+  *     applications), making every text-family "10× decade" ~15.7× in
+  *     bytes; substitution holds document length constant at every
+  *     generation. Digits/punctuation pass through (token boundaries
+  *     and pre-tokenizer run shapes unchanged).
   *   - embeddings: vec_id stride; shard k>0 applies a seeded dimension
   *     permutation — all intra-shard dot products/norms are preserved
   *     bit-exactly, cross-shard cosines decorrelate
+  *
+  * Per-shard seeds mix a hash of `baseDir`, so REPEATED applications
+  * (sf1p→sf10p→sf100p) draw independent maps per generation: with a
+  * generation-constant map, lineage (0,k) (untouched then shard k) and
+  * lineage (k,0) compose to the SAME transform and their documents/
+  * embeddings collide as artificial cross-shard exact duplicates — a
+  * defect the old suffix scheme had too ("foo" →(0,k)→ "foo_qk" ==
+  * "foo" →(k,0)→ "foo_qk").
   *
   * Usage: runMain graft.ScaleGen <baseDir> <outDir> [factor]
   */
@@ -111,15 +128,27 @@ object ScaleGen {
         .cast(events.schema("ts").dataType))
       .drop("__shard"))
 
+    // generation key: distinct per ScaleGen application so composed
+    // per-shard maps never coincide across lineages (scaladoc above)
+    val genSeed = scala.util.hashing.MurmurHash3.stringHash(baseDir).toLong
+
     val documents = read("documents")
     val docS = stride(documents, "doc_id")
+    val letters = (('a' to 'z') ++ ('A' to 'Z')).mkString
+    val charMaps: Seq[String] = (0 until factor).map { k =>
+      if (k == 0) letters
+      else new scala.util.Random(genSeed ^ (k * 0x9E3779B97F4A7CL))
+        .shuffle(letters.toList).mkString
+    }
+    // translate() takes literal maps — a when-cascade over the factor
+    // shards keeps the whole mutation one codegen'd pass
+    val substituted = (1 until factor).foldLeft(
+        when(col("__shard") === 0, col("text"))) { (acc, k) =>
+      acc.when(col("__shard") === k,
+        translate(col("text"), letters, charMaps(k)))
+    }.otherwise(col("text"))
     write("documents", tile(documents)
-      .withColumn("text", when(col("__shard") === 0, col("text"))
-        // "_q" delimiter: base tokens are alnum runs (no underscore), so
-        // token+suffix is injective for ANY factor — a bare digit suffix
-        // collides across shards (shard 1 "foo1" == shard 11 "foo")
-        .otherwise(regexp_replace(col("text"), lit("([A-Za-z0-9]+)"),
-          concat(lit("$1_q"), col("__shard").cast("string")))))
+      .withColumn("text", substituted)
       .withColumn("doc_id", col("doc_id") + col("__shard") * docS)
       .withColumn("n_chars", length(col("text")))
       .drop("__shard"))
@@ -132,7 +161,7 @@ object ScaleGen {
     val perms: Seq[Seq[Int]] = (0 until factor).map { k =>
       if (k == 0) 0 until dim
       else {
-        val r = new scala.util.Random(0x5ca1e42L + k)
+        val r = new scala.util.Random(genSeed ^ (0x5ca1e42L + k))
         r.shuffle((0 until dim).toList)
       }
     }

@@ -1756,7 +1756,7 @@ object ConfigCompiler {
     }
     def nodeAgg(n: graft.template.Template.Node): Column = n match {
       case TLit(s) => lit(s)
-      case Ref(name, _) => min(resolve(name)).cast("string")
+      case Ref(name, _, _) => min(resolve(name)).cast("string")
       case Func("context-length", _, _) => count(lit(1)).cast("string")
       case Func("context-values", args, _) =>
         // $(context-values $x) with sort-key() (groupingby.c:327) —

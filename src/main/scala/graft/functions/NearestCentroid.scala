@@ -185,6 +185,148 @@ object NearestCentroids {
       centroids.map(_._2.toArray), centroids.map(_._1), topN))
 }
 
+/** `nearest_cells_tree(vec)` — the 3-level generalization of
+  * [[NearestCentroids]]: rank the top-`probe1` of k^⅓ TOP-level cells,
+  * then scan only the k^⅔ MID-level centroids living in those cells
+  * (CSR layout `l1Start`) and return the top-`probe2` mid-cell ids.
+  * Per-row work drops from O(√k) (two-level coarse scan) to
+  * O(k^⅓·(1+probe1)) — the asymptote fix for SemDeDup assignment at
+  * k ≈ N/32 (r9 verdict #1: the O(N·√k)=O(N^1.5) curve was the last
+  * super-linear plan). Both levels stay driver-held: k^⅔ vectors is
+  * ~400 KB at k=62.5k and ~25 MB at k=31M (N=10⁹) — at which point a
+  * fourth level pays; the FINE k-sized table never enters the
+  * expression (it stays a distributed join, Similarity.assignTree).
+  *
+  * Comparator is [[NearestCentroid]]'s exactly: sequential double
+  * accumulation dots, cos = d/(|v|·|c|), java.lang.Double.compare (NaN
+  * greatest), ties → larger id — so probe1 = |L1| ∧ probe2 = |L2|
+  * degenerates to the flat mid-cell ranking and full-probe assignment
+  * is bit-identical to flat (PipelineSpec gates it). */
+case class NearestCellsTree(child: Expression,
+    l1Ids: Array[Long], l1Vecs: Array[Array[Float]],
+    l2Ids: Array[Long], l2Vecs: Array[Array[Float]],
+    l1Start: Array[Int], probe1: Int, probe2: Int)
+  extends UnaryExpression {
+
+  require(l1Ids.length == l1Vecs.length && l1Ids.nonEmpty)
+  require(l2Ids.length == l2Vecs.length && l2Ids.nonEmpty)
+  require(l1Start.length == l1Ids.length + 1 &&
+    l1Start.head == 0 && l1Start.last == l2Ids.length)
+  require(probe1 > 0 && probe2 > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells_tree"
+
+  @transient private lazy val l1Norms: Array[Double] = l1Vecs.map(normOf)
+  @transient private lazy val l2Norms: Array[Double] = l2Vecs.map(normOf)
+
+  private def normOf(c: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  def cellsOf(a: Any): ArrayData = {
+    val arr = a.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    var vs = 0.0
+    while (i < dim) {
+      v(i) = arr.getFloat(i).toDouble
+      vs += v(i) * v(i)
+      i += 1
+    }
+    val vNorm = math.sqrt(vs)
+
+    // ---- level 1: top-probe1 cell INDEXES (ids only break ties) ----
+    val n1 = math.min(probe1, l1Vecs.length)
+    val c1 = new Array[Double](n1)
+    val x1 = new Array[Int](n1)
+    var f1 = 0
+    var k = 0
+    while (k < l1Vecs.length) {
+      val c = l1Vecs(k)
+      var d = 0.0
+      var j = 0
+      val m = math.min(dim, c.length)
+      while (j < m) { d += v(j) * c(j); j += 1 }
+      val cos = d / (vNorm * l1Norms(k))
+      def beats1(idx: Int): Boolean = {
+        val cmp = java.lang.Double.compare(cos, c1(idx))
+        cmp > 0 || (cmp == 0 && l1Ids(k) > l1Ids(x1(idx)))
+      }
+      if (f1 < n1) {
+        var p = f1
+        while (p > 0 && beats1(p - 1)) { c1(p) = c1(p - 1); x1(p) = x1(p - 1); p -= 1 }
+        c1(p) = cos; x1(p) = k; f1 += 1
+      } else if (beats1(n1 - 1)) {
+        var p = n1 - 1
+        while (p > 0 && beats1(p - 1)) { c1(p) = c1(p - 1); x1(p) = x1(p - 1); p -= 1 }
+        c1(p) = cos; x1(p) = k
+      }
+      k += 1
+    }
+
+    // ---- level 2: top-probe2 mid ids among the selected cells' CSR slices ----
+    val n2 = math.min(probe2, l2Vecs.length)
+    val c2 = new Array[Double](n2)
+    val i2 = new Array[Long](n2)
+    var f2 = 0
+    var s = 0
+    while (s < f1) {
+      val cell = x1(s)
+      var t = l1Start(cell)
+      val end = l1Start(cell + 1)
+      while (t < end) {
+        val c = l2Vecs(t)
+        var d = 0.0
+        var j = 0
+        val m = math.min(dim, c.length)
+        while (j < m) { d += v(j) * c(j); j += 1 }
+        val cos = d / (vNorm * l2Norms(t))
+        val cid = l2Ids(t)
+        def beats2(idx: Int): Boolean = {
+          val cmp = java.lang.Double.compare(cos, c2(idx))
+          cmp > 0 || (cmp == 0 && cid > i2(idx))
+        }
+        if (f2 < n2) {
+          var p = f2
+          while (p > 0 && beats2(p - 1)) { c2(p) = c2(p - 1); i2(p) = i2(p - 1); p -= 1 }
+          c2(p) = cos; i2(p) = cid; f2 += 1
+        } else if (beats2(n2 - 1)) {
+          var p = n2 - 1
+          while (p > 0 && beats2(p - 1)) { c2(p) = c2(p - 1); i2(p) = i2(p - 1); p -= 1 }
+          c2(p) = cos; i2(p) = cid
+        }
+        t += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(i2, f2))
+  }
+
+  override protected def nullSafeEval(v: Any): Any = cellsOf(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nct", this, classOf[NearestCellsTree].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.cellsOf($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCellsTree =
+    copy(child = c)
+}
+
+object NearestCellsTree {
+  def apply(vec: Column, l1: Array[(Long, Array[Float])],
+      l2: Array[(Long, Array[Float])], l1Start: Array[Int],
+      probe1: Int, probe2: Int): Column =
+    ColumnBridge.column(new NearestCellsTree(ColumnBridge.expression(vec),
+      l1.map(_._1), l1.map(_._2), l2.map(_._1), l2.map(_._2),
+      l1Start, probe1, probe2))
+}
+
 /** `nearest_centroid_cos(vec)` — [[NearestCentroid]]'s argmax WITH the
   * winning cosine: struct(cid, cos). The semantic-decontamination gate
   * needs the VALUE (flag rows whose best benchmark cosine clears a

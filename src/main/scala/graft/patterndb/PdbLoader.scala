@@ -7,17 +7,29 @@ import scala.xml.{Elem, XML}
 final case class PdbExample(program: String, message: String,
     expectedValues: Seq[(String, String)])
 
+/** An `<action><create-context>` block (pdb-load.c:256-298 +
+  * patterndb.c _execute_action_create_context): opens a NEW correlation
+  * context whose first member is the synthetic message described by the
+  * nested `<message>`. `contextId` is a template; a missing context-id
+  * is a load error. */
+final case class PdbCreateContext(contextId: String,
+    contextTimeout: Option[Int], contextScope: Option[String],
+    messageValues: Seq[(String, String)], messageTags: Seq[String],
+    inheritProperties: String = "none")
+
 /** One `<action>` block (`modules/dbparser/pdb-action.c`): fires on
   * `trigger` (match/timeout), guarded by `condition` (a filter
   * expression) and `rate` ("N/SEC" token bucket); `messageValues` /
-  * `messageTags` describe the synthetic message. Drives
+  * `messageTags` describe the synthetic message, OR `createContext`
+  * carries a `<create-context>` content block. Drives
   * [[graft.streaming.Correlate]]'s onMatch/rateLimit knobs. */
 final case class PdbAction(trigger: String, condition: Option[String],
     rate: Option[(Int, Int)], messageValues: Seq[(String, String)],
     messageTags: Seq[String],
     /** `<message inherit-properties>`: "none" (default), "last-message"
       * (TRUE/1), or "context" (synthetic-message.c:51-75). */
-    inheritProperties: String = "none")
+    inheritProperties: String = "none",
+    createContext: Option[PdbCreateContext] = None)
 
 final case class PdbRule(id: String, ruleClass: String, patterns: Seq[String],
     tags: Seq[String], values: Seq[(String, String)], examples: Seq[PdbExample],
@@ -38,16 +50,54 @@ final case class PdbRuleset(name: String, programPatterns: Seq[String],
   * `<examples>` golden blocks that `pdbtool test` validates
   * (`pdbtool/pdbtool.c:676-792`).
   */
+/** The whole `<patterndb>` document: `version`/`pub_date` root
+  * attributes (pattern_db_get_ruleset_version/pub_date) + rulesets. */
+final case class PdbDatabase(version: String, pubDate: String,
+    rulesets: Seq[PdbRuleset])
+
 object PdbLoader {
 
   def loadString(xml: String): Seq[PdbRuleset] =
-    parse(XML.loadString(xml))
+    loadDatabase(XML.loadString(xml)).rulesets
 
   def loadFile(path: String): Seq[PdbRuleset] =
-    parse(XML.loadFile(path))
+    loadDatabase(XML.loadFile(path)).rulesets
+
+  def loadDatabaseString(xml: String): PdbDatabase =
+    loadDatabase(XML.loadString(xml))
+
+  /** Structural validation mirroring the loader state machine
+    * (pdb-load.c PDBL_* states): an element a state does not accept is
+    * a load ERROR — `pattern_db_reload_ruleset` returns FALSE on e.g.
+    * `<tags>` directly under `<ruleset>` (test_patterndb.c
+    * test_tag_outside_of_rule_skeleton). */
+  private val rulesetChildren =
+    Set("description", "url", "urls", "patterns", "pattern", "rules")
+  private val ruleChildren = Set("description", "url", "urls", "patterns",
+    "tags", "values", "examples", "actions")
+
+  private def validate(root: Elem): Unit = {
+    (root \ "ruleset").foreach { rs =>
+      rs.child.collect { case e: Elem => e.label }.foreach { l =>
+        require(rulesetChildren(l),
+          s"invalid element <$l> under <ruleset> (pdb-load.c unexpected element)")
+      }
+      (rs \ "rules" \ "rule").foreach { r =>
+        r.child.collect { case e: Elem => e.label }.foreach { l =>
+          require(ruleChildren(l),
+            s"invalid element <$l> under <rule> (pdb-load.c unexpected element)")
+        }
+      }
+    }
+  }
+
+  private def loadDatabase(root: Elem): PdbDatabase = {
+    require(root.label == "patterndb", s"expected <patterndb>, got <${root.label}>")
+    validate(root)
+    PdbDatabase(root \@ "version", root \@ "pub_date", parse(root))
+  }
 
   private def parse(root: Elem): Seq[PdbRuleset] = {
-    require(root.label == "patterndb", s"expected <patterndb>, got <${root.label}>")
     (root \ "ruleset").map { rs =>
       // ruleset-level program selectors appear both bare (<pattern> directly
       // under <ruleset>, scl/windowseventlog) and grouped (<patterns>)
@@ -76,21 +126,21 @@ object PdbLoader {
               val Array(n, per) = rv.split("/", 2)
               (n.toInt, per.toInt)
             }
-            // inherit-properties: context | T*/1 -> last-message |
-            // F*/0 -> none (synthetic_message_set_inherit_properties_string);
-            // inherit-mode takes the mode name directly
-            val inheritRaw = (a \ "message").headOption
-              .flatMap(m => Option(m \@ "inherit-mode").filter(_.nonEmpty)
-                .orElse(Option(m \@ "inherit-properties").filter(_.nonEmpty)))
-            val inherit = inheritRaw.map(_.toLowerCase) match {
-              case Some("context") => "context"
-              case Some("last-message") => "last-message"
-              case Some("none") => "none"
-              case Some(s) if s.startsWith("t") || s.startsWith("1") => "last-message"
-              case Some(s) if s.startsWith("f") || s.startsWith("0") => "none"
-              case Some(other) => throw new IllegalArgumentException(
-                s"Unknown inherit-properties: $other")
-              case None => "none"
+            // `a \ "message"` is direct-children only, so a
+            // create-context's nested <message> never leaks here
+            val cc = (a \ "create-context").headOption.map { c =>
+              val id = c \@ "context-id"
+              require(id.nonEmpty,
+                s"context-id attribute is missing from <create-context>, rule=${r \@ "id"}")
+              PdbCreateContext(
+                contextId = id,
+                contextTimeout = Option(c \@ "context-timeout")
+                  .filter(_.nonEmpty).map(_.toInt),
+                contextScope = Option(c \@ "context-scope").filter(_.nonEmpty),
+                messageValues = (c \ "message" \ "values" \ "value")
+                  .map(v => (v \@ "name", v.text)),
+                messageTags = (c \ "message" \ "tags" \ "tag").map(_.text),
+                inheritProperties = inheritMode((c \ "message").headOption))
             }
             PdbAction(
               trigger = Option(a \@ "trigger").filter(_.nonEmpty).getOrElse("match"),
@@ -99,12 +149,74 @@ object PdbLoader {
               messageValues = (a \ "message" \ "values" \ "value")
                 .map(v => (v \@ "name", v.text)),
               messageTags = (a \ "message" \ "tags" \ "tag").map(_.text),
-              inheritProperties = inherit)
+              inheritProperties = inheritMode((a \ "message").headOption),
+              createContext = cc)
           })
       }
       PdbRuleset(rs \@ "name", progs, rules)
     }
   }
+
+  /** inherit-properties: "context" | leading T/t/1 -> last-message |
+    * leading F/f/0 -> none
+    * (synthetic_message_set_inherit_properties_string); inherit-mode
+    * takes the mode name directly. */
+  private def inheritMode(message: Option[scala.xml.Node]): String = {
+    val raw = message.flatMap(m =>
+      Option(m \@ "inherit-mode").filter(_.nonEmpty)
+        .orElse(Option(m \@ "inherit-properties").filter(_.nonEmpty)))
+    raw.map(_.toLowerCase) match {
+      case Some("context") => "context"
+      case Some("last-message") => "last-message"
+      case Some("none") => "none"
+      case Some(s) if s.startsWith("t") || s.startsWith("1") => "last-message"
+      case Some(s) if s.startsWith("f") || s.startsWith("0") => "none"
+      case Some(other) => throw new IllegalArgumentException(
+        s"Unknown inherit-properties: $other")
+      case None => "none"
+    }
+  }
+
+  /** `pdb_get_filenames` (pdb-file.c:170-210): list a directory's
+    * regular files, recursing into subdirectories when asked; `pattern`
+    * is a GPatternSpec glob (`*`/`?` only) matched against the FULL
+    * path (g_pattern_match_simple(pattern, full_path)) — directories
+    * recurse regardless of the pattern. Used by `pdbtool merge` over
+    * ruleset directories. */
+  def pdbGetFilenames(dirPath: String, recursive: Boolean,
+      pattern: String): Seq[String] = {
+    val dir = new java.io.File(dirPath)
+    require(dir.isDirectory, s"not a directory: $dirPath")
+    val re = if (pattern == null) null
+      else ("(?s)" + pattern.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c => java.util.regex.Pattern.quote(c.toString)
+      }).r.pattern
+    val out = Seq.newBuilder[String]
+    dir.listFiles().foreach { f =>
+      val full = s"$dirPath/${f.getName}"
+      if (recursive && f.isDirectory)
+        out ++= pdbGetFilenames(full, recursive, pattern)
+      else if (f.isFile && (re == null || re.matcher(full).matches()))
+        out += full
+    }
+    out.result()
+  }
+
+  /** `pdb_sort_filenames` (pdb-file.c:245 via pdbtool_path_compare):
+    * shallower paths first, then byte-wise strcmp. */
+  def sortFilenames(names: Seq[String]): Seq[String] =
+    names.sortWith { (a, b) =>
+      val da = a.count(_ == '/'); val db = b.count(_ == '/')
+      if (da != db) da < db
+      else {
+        // strcmp on raw UTF-8 bytes
+        val xa = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val xb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        java.util.Arrays.compareUnsigned(xa, xb) < 0
+      }
+    }
 
   /** Flatten to the (ruleId, ruleClass, pattern) triples
     * [[graft.functions.RadixMatch]] compiles — the message-only
@@ -132,17 +244,32 @@ final class PdbMatcher(rulesets: Seq[PdbRuleset]) extends Serializable {
     }
 
   def classify(program: String, message: String)
-      : Option[(String, String, Map[String, String])] = {
+      : Option[(String, String, Map[String, String])] =
+    classifyRule(program, message).map { case (rule, caps) =>
+      val values = rule.values
+        .filterNot { case (_, v) => v.contains("$") } // templates need row context
+      (rule.id, rule.ruleClass, (values ++ caps).toMap)
+    }
+
+  /** Rule-level lookup returning the full [[PdbRule]] and the raw radix
+    * captures — the surface correlation drivers need (rule values stay
+    * un-rendered templates). PROGRAM-pattern parser captures merge in
+    * ahead of message captures (pdb-ruleset.c:97-104
+    * `_add_matches_to_message` runs on the program node's matches
+    * before the message lookup — test_patterndb.c match_in_program). */
+  def classifyRule(program: String, message: String)
+      : Option[(PdbRule, Map[String, String])] = {
     val it = entries.iterator
     while (it.hasNext) {
       val (progTree, msgTree, byId) = it.next()
-      if (progTree.find(program) != null) {
+      val prog = progTree.find(if (program == null) "" else program)
+      if (prog != null) {
+        val progCaps = prog._2
         msgTree.find(message) match {
           case null =>
           case (rule, caps) =>
-            val values = byId.get(rule.ruleId).map(_.values).getOrElse(Nil)
-              .filterNot { case (_, v) => v.contains("$") } // templates need row context
-            return Some((rule.ruleId, rule.ruleClass, (values ++ caps).toMap))
+            return byId.get(rule.ruleId).map(r =>
+              (r, (progCaps ++ caps).toMap))
         }
       }
     }

@@ -17,41 +17,165 @@ import org.apache.spark.sql.functions._
   * value templates render (synthetic_message_generate_with_context
   * g_ptr_array_add before apply), so `$(context-length)` inside a value
   * renders n+1 while the action's `condition` sees n.
+  *
+  * Value templates here evaluate with the full correlation context
+  * (log_template_format_with_context):
+  *  - `${NAME}@N` message refs resolve against the Nth-from-last
+  *    context member (eval.c:51-62; @0 = the virtually-appended
+  *    genmsg during generation, the trigger during
+  *    [[applyValues]]);
+  *  - `$(grep cond $v...)` / `$(context-lookup ...)` iterate the
+  *    context members (cond-funcs.c:75-145) — compiled as HOFs over
+  *    the collected context array, with the condition's templates
+  *    bound per element (filter PRIMITIVES like message() evaluate
+  *    against the current element's fields);
+  *  - `${CONTEXT_ID}` / `$_` render the rendered context-id
+  *    (macros.c:630-634 reads options->context_id =
+  *    context->key.session_id).
   */
 object Synthetic {
 
   private def emptyMap = map().cast("map<string,string>")
   private def emptyTags = array().cast("array<string>")
 
-  /** Rewrite `$(context-length)` nodes to a `$__context_length` ref so
-    * the per-row compile can bind them to an aggregated column. */
-  private def bindContextLength(p: Parsed): Parsed = Parsed(p.nodes.map {
-    case Func("context-length", _, _) => Ref("__context_length", None)
-    case Func(n, args, raw) => Func(n, args.map(bindContextLength), raw)
-    case n => n
-  })
+  /** One compile environment: the collected context array (sorted by
+    * the order column), the context length the CONDITION sees (`__n`),
+    * and whether a genmsg is virtually appended (`genOffset` = 1 during
+    * generation — value templates see length n+1 and `@0` resolves to
+    * the message being built, i.e. the current row state). */
+  private final case class Ctx(arr: Column, n: Column, genOffset: Int,
+      contextId: Column, columns: Set[String])
 
-  private def compileWith(text: String, columns: Set[String],
-      ctxLen: Column): Column = {
-    val resolve: String => Column = {
-      case "__context_length" => ctxLen.cast("string")
-      case name => graft.template.Macros.resolver(columns, None)(name)
-    }
-    Template.compile(bindContextLength(Template.parse(text)), resolve)
+  private def elemField(e: Column, name: String): Column = name match {
+    case "MESSAGE" | "MSG" => e.getField("message")
+    case "HOST" => e.getField("host")
+    case "PROGRAM" => e.getField("program")
+    case "PID" => e.getField("pid")
+    case _ => element_at(e.getField("v"), name)
   }
 
-  /** Generate one synthetic message per context.
-    *
-    * @param context classified LogRecord frame (host/program/pid/
-    *        message/ts/values/tags columns)
-    * @param key the correlation context key ([[graft.streaming.Correlate.contextKey]])
-    * @param action the fired `<action>`
-    * @param scope the rule's context-scope (None = no correlation
-    *        context, like synthetic_message_generate_without_context)
-    * @param order per-row ordering (the triggering message is the last)
-    */
-  def messages(context: DataFrame, key: Column, action: PdbAction,
-      scope: Option[String] = None, order: Column = col("ts")): DataFrame = {
+  private def compileWith(text: String, ctx: Ctx): Column = {
+    // pre-rewrite: context functions and @N refs become synthetic Ref
+    // names the resolver below binds (the row-level Template compiler
+    // has no context access)
+    val greps = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Parsed], Seq[String])]
+    def rewrite(p: Parsed): Parsed = Parsed(p.nodes.map {
+      case Func("context-length", _, _) => Ref("__context_length", None)
+      case Func("grep" | "context-lookup", args, raw) =>
+        greps += ((args, raw))
+        Ref(s"__grep ${greps.size - 1}", None)
+      case Func(n, args, raw) => Func(n, args.map(rewrite), raw)
+      case Ref(name, d, r) if r > 0 =>
+        Ref(s"__ctxref $r $name", d.map(rewrite))
+      case n => n
+    })
+    val rewritten = rewrite(Template.parse(text))
+    // a template compiled against ONE context element (grep condition /
+    // value arguments): macros resolve to the element's fields
+    def elemResolve(e: Column): String => Column = {
+      case "CONTEXT_ID" | "_" => ctx.contextId
+      case "__context_length" => ctx.n.cast("string")
+      case name => elemField(e, name)
+    }
+    lazy val resolve: String => Column = {
+      case "__context_length" => (ctx.n + ctx.genOffset).cast("string")
+      case "CONTEXT_ID" | "_" => ctx.contextId
+      case s if s.startsWith("__ctxref ") =>
+        val Array(_, r, name) = s.split(" ", 3)
+        // eval.c:59 msg_ndx = num_messages - msg_ref (0-based); the
+        // virtual length includes the genmsg during generation, and
+        // @0-at-generation IS the genmsg — the current row state
+        val idx = (ctx.n + lit(ctx.genOffset) - lit(r.toInt) + lit(1)).cast("int")
+        val fromCtx = elemField(element_at(ctx.arr, idx), name)
+        if (ctx.genOffset == 0) when(idx >= 1 && idx <= ctx.n, fromCtx)
+        else when(idx === ctx.n + 1, resolve(name))
+          .when(idx >= 1 && idx <= ctx.n, fromCtx)
+      case s if s.startsWith("__grep ") =>
+        val (args0, raw0) = greps(s.split(" ", 2)(1).toInt)
+        var maxCount: Option[Int] = None
+        var (args, raw) = (args0, raw0)
+        while (raw.headOption.exists(r => r == "-m" || r == "--max-count")) {
+          maxCount = Some(raw(1).toInt)
+          args = args.drop(2); raw = raw.drop(2)
+        }
+        val condText = {
+          val t = raw.head.trim
+          if (t.length >= 2 && (t.head == '\'' || t.head == '"') &&
+              t.last == t.head) t.substring(1, t.length - 1) else t
+        }
+        // the condition's TEMPLATE comparisons bind per element; filter
+        // primitives (message()/program() calls) would need per-element
+        // field routing — out of scope here, the reference grep
+        // conditions in the wild are template comparisons
+        def cond(e: Column): Column =
+          graft.config.ConfigCompiler.filterColTemplated(
+            graft.config.ConfigParser.parseFilterExpr(condText),
+            s2 => Template.compile(Template.parse(s2), elemResolve(e)))
+        val matched = filter(ctx.arr, e => coalesce(cond(e), lit(false)))
+        val limited = maxCount.map(m => slice(matched, 1, m)).getOrElse(matched)
+        val vals = flatten(transform(limited, e =>
+          array(args.tail.map(p =>
+            Template.compile(p, elemResolve(e)).cast("string")): _*)))
+        graft.functions.ListFunctions.list_encode(
+          filter(vals, _.isNotNull))
+      case name => graft.template.Macros.resolver(ctx.columns, None)(name)
+    }
+    Template.compile(rewritten, resolve)
+  }
+
+  /** The rule's own `<values>`/`<tags>` applied to the TRIGGERING
+    * message over its correlation context (`synthetic_message_apply`,
+    * patterndb.c:643 — the trigger is already a context member, so
+    * `$(context-length)` sees n and `@0` is the trigger itself).
+    * Returns one row per context key: (context_key, values, tags) —
+    * the trigger's values/tags after application. */
+  def applyValues(context: DataFrame, key: Column,
+      values: Seq[(String, String)], tags: Seq[String],
+      contextId: Column = lit(null).cast("string"),
+      order: Column = col("ts")): DataFrame = {
+    val (agg, ctxOf) = aggregated(context, key, order, contextId)
+    def t(f: String): Column = col("__trig").getField(f)
+    val base = agg
+      .withColumn("message", t("message"))
+      .withColumn("host", t("host"))
+      .withColumn("program", t("program"))
+      .withColumn("pid", t("pid"))
+      .withColumn("values", t("values"))
+      .withColumn("tags", t("tags"))
+    val ctx = ctxOf(base, 0)
+    val withValues = values.foldLeft(base) { case (df, (name, tmpl)) =>
+      // sequential application: a later template reading an earlier
+      // name sees the already-set value (synthetic_message_apply loop)
+      setNamed(df, name, compileWith(tmpl, ctx.copy(
+        columns = df.columns.toSet)).cast("string"))
+    }
+    val withTags =
+      if (tags.isEmpty) withValues
+      else withValues.withColumn("tags",
+        array_union(col("tags"), array(tags.map(lit(_)): _*)))
+    withTags.select(col("__k").as("context_key"), col("message"),
+      col("host"), col("program"), col("pid"), col("values"), col("tags"))
+  }
+
+  private def setNamed(df: DataFrame, name: String, v: Column): DataFrame =
+    name match {
+      case "MESSAGE" | "MSG" => df.withColumn("message", v)
+      case "HOST" => df.withColumn("host", v)
+      case "PROGRAM" => df.withColumn("program", v)
+      case "PID" => df.withColumn("pid", v)
+      case _ => df.withColumn("values", map_concat(
+        map_filter(col("values"), (k, _) => k =!= name),
+        map(lit(name), coalesce(v, lit("")))))
+    }
+
+  /** Group `context` by the correlation key: `__trig` (last member by
+    * `order`), `__n` (context length), `__ctx` (the ordered member
+    * array refs/greps read), `__ctxvals` (merge of every member's
+    * values in order — log_msg_merge_context). Returns the aggregated
+    * frame and a Ctx factory bound to it. */
+  private def aggregated(context: DataFrame, key: Column, order: Column,
+      contextId: Column): (DataFrame, (DataFrame, Int) => Ctx) = {
     val dataCols = Seq("host", "program", "pid", "message", "ts", "values", "tags")
     def src(f: String): Column =
       if (context.columns.contains(f)) col(f)
@@ -62,26 +186,80 @@ object Synthetic {
         case _ => lit(null).cast("string")
       }
     val w = context.withColumn("__k", key)
+      .withColumn("__ctxid", contextId.cast("string"))
     val trig = struct(dataCols.map(f => src(f).as(f)): _*)
-    val mergeCtx = aggregate(
-      // comparator form: a struct carrying a map can't use natural
-      // ordering, so sort on the order field alone
-      array_sort(collect_list(struct(order.cast("double").as("o"),
-        src("values").as("v"))),
-        (a, b) => when(a.getField("o") < b.getField("o"), -1)
-          .when(a.getField("o") > b.getField("o"), 1).otherwise(0)),
-      emptyMap,
+    val entry = struct(order.cast("double").as("o"),
+      src("message").as("message"), src("host").as("host"),
+      src("program").as("program"), src("pid").as("pid"),
+      src("values").as("v"))
+    // comparator form: a struct carrying a map can't use natural
+    // ordering, so sort on the order field alone
+    val ctxArr = array_sort(collect_list(entry),
+      (a, b) => when(a.getField("o") < b.getField("o"), -1)
+        .when(a.getField("o") > b.getField("o"), 1).otherwise(0))
+    val agg = w.groupBy(col("__k")).agg(
+      max_by(trig, order).as("__trig"),
+      count(lit(1)).as("__n"),
+      ctxArr.as("__ctx"),
+      first(col("__ctxid")).as("__context_id"))
+    val ctxOf = (df: DataFrame, genOffset: Int) => Ctx(col("__ctx"),
+      col("__n"), genOffset, col("__context_id"), df.columns.toSet)
+    (agg, ctxOf)
+  }
+
+  /** log_msg_merge_context: later members' values overwrite earlier
+    * ones, derived from the collected `__ctx` array. */
+  private def mergedCtxValues: Column =
+    aggregate(col("__ctx"), emptyMap,
       (acc, e) => map_concat(
         map_filter(acc, (k, _) =>
           !array_contains(map_keys(e.getField("v")), k)),
         e.getField("v")))
-    val agg = w.groupBy(col("__k")).agg(
-      max_by(trig, order).as("__trig"),
-      count(lit(1)).as("__n"),
-      mergeCtx.as("__ctxvals"))
+
+  /** Generate one synthetic message per context.
+    *
+    * @param context classified LogRecord frame (host/program/pid/
+    *        message/ts/values/tags columns)
+    * @param key the correlation context key ([[graft.streaming.Correlate.contextKey]])
+    * @param action the fired `<action>`
+    * @param scope the rule's context-scope (None = no correlation
+    *        context, like synthetic_message_generate_without_context)
+    * @param order per-row ordering (the triggering message is the last)
+    * @param contextId the RENDERED context-id (key.session_id) feeding
+    *        `${CONTEXT_ID}` (macros.c:630)
+    */
+  def messages(context: DataFrame, key: Column, action: PdbAction,
+      scope: Option[String] = None, order: Column = col("ts"),
+      contextId: Column = lit(null).cast("string")): DataFrame = {
+    val (agg, ctxOf) = aggregated(context, key, order, contextId)
 
     def t(f: String): Column = col("__trig").getField(f)
     val mode = action.inheritProperties
+    // the condition evaluates against the CONTEXT — @0 = the trigger
+    // with its full fields (filter_expr_eval_with_context runs BEFORE
+    // any generation, patterndb.c:262-272) — so it filters a
+    // trigger-shaped frame, NOT the mode-shaped genmsg base: under
+    // inherit-properties=none the genmsg has no PID, but the
+    // reference's `'${PID}' eq '999'` condition still sees the
+    // trigger's 999 (test_patterndb.c:369 — the r10 battery port
+    // caught the old order evaluating on the shaped base)
+    val trigShaped = agg
+      .withColumn("ts", t("ts"))
+      .withColumn("host", t("host"))
+      .withColumn("program", t("program"))
+      .withColumn("pid", t("pid"))
+      .withColumn("message", t("message"))
+      .withColumn("values", t("values"))
+      .withColumn("tags", t("tags"))
+    val keptAgg = action.condition match {
+      case None => trigShaped
+      case Some(condText) =>
+        val condCtx = ctxOf(trigShaped, 0)
+        val cond = graft.config.ConfigCompiler.filterColTemplated(
+          graft.config.ConfigParser.parseFilterExpr(condText),
+          s => compileWith(s, condCtx))
+        trigShaped.filter(cond)
+    }
     // none-mode keeps only the trigger timestamp + the key-scope
     // host/program/pid (synthetic_message_generate_with_context's
     // switch over the context scope)
@@ -92,7 +270,7 @@ object Synthetic {
       case Some("program") => 2
       case _ => 3 // process
     }
-    val base = agg
+    val base = keptAgg
       .withColumn("ts", t("ts"))
       .withColumn("host",
         if (mode != "none" || scopeDepth >= 1) t("host")
@@ -108,38 +286,21 @@ object Synthetic {
       .withColumn("values", mode match {
         case "none" => emptyMap
         case "last-message" => t("values")
-        case _ => col("__ctxvals")
+        case _ => mergedCtxValues
       })
       .withColumn("tags", if (mode == "none") emptyTags else t("tags"))
 
-    val cols = base.columns.toSet
-    // condition sees the context length at fire time (__n) ...
-    val kept = action.condition match {
-      case None => base
-      case Some(condText) =>
-        val cond = graft.config.ConfigCompiler.filterColTemplated(
-          graft.config.ConfigParser.parseFilterExpr(condText),
-          s => compileWith(s, cols, col("__n")))
-        base.filter(cond)
-    }
-    // ... while value templates see n+1 (the genmsg rides the context)
-    val withValues = action.messageValues.foldLeft(kept) {
+    // value templates see n+1 (the genmsg rides the context)
+    val withValues = action.messageValues.foldLeft(base) {
       case (df, (name, tmpl)) =>
-        val v = compileWith(tmpl, cols, col("__n") + 1).cast("string")
-        name match {
-          case "MESSAGE" | "MSG" => df.withColumn("message", v)
-          case "HOST" => df.withColumn("host", v)
-          case "PROGRAM" => df.withColumn("program", v)
-          case "PID" => df.withColumn("pid", v)
-          case _ => df.withColumn("values", map_concat(
-            map_filter(col("values"), (k, _) => k =!= name),
-            map(lit(name), v)))
-        }
+        setNamed(df, name,
+          compileWith(tmpl, ctxOf(df, 1)).cast("string"))
     }
     val withTags =
       if (action.messageTags.isEmpty) withValues
       else withValues.withColumn("tags", array_union(col("tags"),
         array(action.messageTags.map(lit(_)): _*)))
+    val dataCols = Seq("host", "program", "pid", "message", "ts", "values", "tags")
     withTags.select(
       (Seq(col("__k").as("context_key")) ++ dataCols.map(col)): _*)
   }

@@ -210,13 +210,18 @@ object Similarity {
     * two-level path also removes the k-vector driver collect — the
     * r7-flagged O(N²/32) asymptote is gone either way.
     *
+    * Past `flatMax` the default is the THREE-level tree ([[assignTree]],
+    * O(N·k^⅓) — r9 verdict #1); `levels = 2` keeps the r8 two-level
+    * path (O(N·√k)) for the AssignBench crossover comparison.
+    *
     * Returns (vec_id, v, cid). */
   def assignClusters(base: DataFrame, nCentroids: Int,
-      flatMax: Int = 16384, nProbe: Int = 4): DataFrame =
+      flatMax: Int = 16384, nProbe: Int = 4, levels: Int = 3): DataFrame =
     if (nCentroids <= flatMax) {
       val cs = sampleCentroids(base, nCentroids)
       base.withColumn("cid", nearestCentroidCol(col("v"), cs))
-    } else assignTwoLevel(base, nCentroids, nProbe)
+    } else if (levels <= 2) assignTwoLevel(base, nCentroids, nProbe)
+    else assignTree(base, nCentroids, nProbe)
 
   private[pipeline] def assignTwoLevel(base: DataFrame, k: Int,
       nProbe: Int): DataFrame = {
@@ -264,6 +269,114 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
   }
 
+  /** Three-level centroid-tree assignment (r9 verdict #1 — the
+    * replacement asymptote for [[assignTwoLevel]]): k^⅓ TOP cells and
+    * k^⅔ MID centroids both ride ONE compiled expression
+    * ([[graft.functions.NearestCellsTree]]) as a CSR tree — a row pays
+    * k^⅓ top dots + ~nProbe·k^⅓ mid dots in compiled code with ZERO
+    * extra shuffles — and only the k FINE centroids stay a distributed
+    * join keyed on the mid-cell id (each mid cell holds ~k^⅓ fine
+    * rows, so the join fans out ~nProbe·k^⅓ candidates per row vs the
+    * two-level path's ~nProbe·√k). Total assignment work O(N·k^⅓): at
+    * the SemDeDup sizing k = N/32 that is O(N^{4/3}) per corpus pass
+    * vs two-level's O(N^{3/2}) — the difference between ~90 s and
+    * ~290 s at the sf100p decade, and growing every decade after.
+    *
+    * Structure (all from the SAME deterministic md5 sample, so
+    * L1 ⊆ L2 ⊆ fine ⊆ corpus and every tree cell is provably
+    * non-empty — cell i contains at least member i):
+    *  - L2 = the k^⅔-prefix of the md5-ordered sample, collected
+    *    (~400 KB at k=62.5k; ~25 MB at k=31M/N=10⁹, where a 4th level
+    *    would take over);
+    *  - L1 = the k^⅓-prefix of L2; each L2 mid is placed in its
+    *    nearest L1 cell DRIVER-side with the exact NearestCentroid
+    *    comparator (k^⅔·k^⅓ = k dots once, microseconds);
+    *  - fine = the k-prefix, kept DISTRIBUTED
+    *    (TakeOrderedAndProject), each placed in its best mid cell by
+    *    the same tree probe (probe2=1) — placement and row probing
+    *    share the ranking function, so two near-identical vectors
+    *    walk the same tree path and co-cluster (the property the
+    *    planted-twin recall gate measures).
+    *
+    * With nProbe ≥ both level widths every fine centroid is a join
+    * candidate and the result is BIT-IDENTICAL to flat assignment
+    * (same sample, same comparator, same float order — PipelineSpec
+    * gates it); at production nProbe it is the standard multi-level
+    * IVF approximation. */
+  private[pipeline] def assignTree(base: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val n1 = math.max(1, math.ceil(math.cbrt(k.toDouble)).toInt)
+    val n2 = math.max(n1, math.ceil(math.pow(k.toDouble, 2.0 / 3.0)).toInt)
+    val l2Sample = sampleCentroids(base, n2)
+    val l1 = l2Sample.take(n1).map { case (id, v) => (id, v.toArray) }
+    // driver-side L1 placement of each mid centroid — the exact
+    // NearestCentroid comparator (sequential double dot, Double.compare,
+    // ties -> larger id)
+    val l1Norms = l1.map { case (_, v) => normLocal(v) }
+    val midCell = l2Sample.map { case (_, mv) =>
+      val m = mv.toArray
+      val mn = normLocal(m)
+      var best = 0
+      var bestCos = Double.NaN
+      var first = true
+      var i = 0
+      while (i < l1.length) {
+        var d = 0.0
+        var j = 0
+        val lim = math.min(m.length, l1(i)._2.length)
+        while (j < lim) { d += m(j).toDouble * l1(i)._2(j).toDouble; j += 1 }
+        val cos = d / (mn * l1Norms(i))
+        val cmp = java.lang.Double.compare(cos, bestCos)
+        if (first || cmp > 0 || (cmp == 0 && l1(i)._1 > l1(best)._1)) {
+          bestCos = cos; best = i; first = false
+        }
+        i += 1
+      }
+      best
+    }
+    // CSR: mids grouped by L1 cell, md5-sample order within a cell
+    val order = l2Sample.indices.sortBy(i => (midCell(i), i))
+    val l2Csr = order.map(i =>
+      (l2Sample(i)._1, l2Sample(i)._2.toArray)).toArray
+    val l1Start = new Array[Int](l1.length + 1)
+    order.foreach(i => l1Start(midCell(i) + 1) += 1)
+    (1 to l1.length).foreach(c => l1Start(c) += l1Start(c - 1))
+    val p1 = math.min(math.max(1, nProbe), n1)
+    val p2 = math.min(math.max(1, nProbe), n2)
+    def tree(v: Column, topN: Int): Column =
+      graft.functions.NearestCellsTree(v, l1, l2Csr, l1Start, p1, topN)
+    val fine = base
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("fid"), col("v").as("fv"))
+      .withColumn("cell", element_at(tree(col("fv"), 1), 1))
+      .withColumn("fn", sqrt(graft.functions.DotF(col("fv"), col("fv"))))
+    // the fine table is k rows ≈ k·(dim·4+24) bytes — past the 10 MB
+    // auto-broadcast threshold from k ≈ 35k, but well worth shipping up
+    // to ~30 MB: without the hint the PROBE side exchanges N·nProbe
+    // vector-carrying rows on the cell key (2.4 GB at sf100p — measured
+    // 51.6 s; hinted 34.7 s), with it only the k-row fine side moves.
+    // Past the bound (k ≳ 100k per-executor memory becomes the risk)
+    // the shuffle join on cell is the correct distributed plan.
+    val fineSide = if (k <= 100000) broadcast(fine) else fine
+    base
+      .withColumn("vn", sqrt(graft.functions.DotF(col("v"), col("v"))))
+      .withColumn("cell", explode(tree(col("v"), p2)))
+      .join(fineSide, "cell")
+      .select(col("vec_id"), col("v"),
+        struct((graft.functions.DotF(col("v"), col("fv")) /
+            (col("vn") * col("fn"))).as("cos"),
+          col("fid").as("cid")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("v")).as("v"), max(col("cand")).as("best"))
+      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+  }
+
+  private def normLocal(v: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
   /** SemDeDup-style semantic near-dup pairs (k-means-partitioned
     * pairwise cosine): vectors assign to their nearest sampled centroid
     * ([[assignClusters]] — compiled flat argmax up to `flatMax`
@@ -277,7 +390,7 @@ object Similarity {
     * cos >= threshold. */
   def semanticPairs(df: DataFrame, id: Column, vec: Column,
       nCentroids: Int = 64, threshold: Double = 0.97,
-      flatMax: Int = 16384, nProbe: Int = 4): DataFrame = {
+      flatMax: Int = 16384, nProbe: Int = 4, levels: Int = 3): DataFrame = {
     val base = df.select(id.as("vec_id"), vec.as("v"))
     // the pinned repartition(cid) is the ONE exchange both self-join
     // sides read (ReusedExchange, PlanSpec-gated) — without it each
@@ -287,7 +400,7 @@ object Similarity {
     // the HOF cosine(a,b) ran THREE zip_with dots per in-cluster pair,
     // each materializing a product array (same fix as assignTwoLevel;
     // bit-identical: dot/(|a|·|b|) with sequential double accumulation).
-    val assigned = assignClusters(base, nCentroids, flatMax, nProbe)
+    val assigned = assignClusters(base, nCentroids, flatMax, nProbe, levels)
       .withColumn("nrm", sqrt(graft.functions.DotF(col("v"), col("v"))))
       .repartition(col("cid"))
     val a = assigned.select(col("cid"), col("vec_id").as("id_a"),
@@ -308,9 +421,9 @@ object Similarity {
     * ids; the corpus never re-shuffles. */
   def semanticSurvivors(df: DataFrame, id: Column, vec: Column,
       nCentroids: Int = 64, threshold: Double = 0.97,
-      flatMax: Int = 16384, nProbe: Int = 4): DataFrame = {
+      flatMax: Int = 16384, nProbe: Int = 4, levels: Int = 3): DataFrame = {
     val dropped = semanticPairs(df, id, vec, nCentroids, threshold,
-        flatMax, nProbe)
+        flatMax, nProbe, levels)
       .select(col("id_b")).distinct()
     df.join(dropped, id === col("id_b"), "left_anti")
   }

@@ -50,6 +50,30 @@ object Correlate {
   case class CorrState(startUs: Long, lastUs: Long, n: Long, buf: List[String],
       bucketSec: Long, tokens: Long)
 
+  /** The reference's token bucket verbatim (`patterndb.c:196-255`
+    * `_is_action_within_rate_limit`): state is (lastCheck, buckets);
+    * a fresh limiter starts FULL (buckets = rate); refills use the
+    * fixed-point credit arithmetic `((now - last) << 8) /
+    * ((quantum << 8) / rate)` — credits accrue RELATIVE to the last
+    * check, not on epoch-aligned windows (an epoch-window refill lets a
+    * burst at 0:59/1:01 double the rate; the credit form does not —
+    * the r9 battery port replaced the old window-rollover refill).
+    * Returns (newLastCheck, newBuckets, allowed). */
+  def rateLimitAdvance(lastCheck: Long, buckets: Long, nowSec: Long,
+      rate: Int, quantumSec: Int): (Long, Long, Boolean) = {
+    var last = lastCheck
+    var b = buckets
+    if (last == 0L) { last = nowSec; b = rate.toLong }
+    else {
+      val newCredits = ((nowSec - last) << 8) / ((quantumSec.toLong << 8) / rate)
+      if (newCredits != 0) {
+        b = math.min(b + newCredits, rate.toLong)
+        last = nowSec
+      }
+    }
+    if (b > 0) (last, b - 1, true) else (last, b, false)
+  }
+
   /** @param onMatchAtLength fire the on-match action when the context
     *        reaches this length (condition() of the action); None = no
     *        on-match action.
@@ -101,20 +125,29 @@ object Correlate {
               // close the old context before this one opens a new one
               if (s.n > 0 && us >= s.lastUs + gapUs) {
                 out ::= closed(s)
-                s = fresh
+                // the rate limiter SURVIVES the context close: the
+                // reference keeps it in a separate hash keyed on
+                // (rule:action, correlation key) — patterndb.c:211-224 —
+                // so a fresh context does not refill the bucket. (The
+                // watermark-timeout path necessarily drops it with the
+                // state blob; a key that never recurs has nothing to
+                // rate-limit.)
+                s = fresh.copy(bucketSec = s.bucketSec, tokens = s.tokens)
               }
               s = s.copy(startUs = math.min(s.startUs, us),
                 lastUs = math.max(s.lastUs, us), n = s.n + 1,
                 buf = if (s.n < maxBuffered) m.value :: s.buf else s.buf)
               if (onMatchAtLength.exists(s.n >= _)) {
-                // refill the token bucket when the window rolls over
+                // the reference's credit-accrual token bucket
+                // (bucketSec carries lastCheck, tokens the bucket fill)
                 val allowed = rateLimit match {
                   case None => true
                   case Some((tokens, perSec)) =>
-                    val window = us / 1000000L / perSec
-                    if (window != s.bucketSec) s = s.copy(bucketSec = window, tokens = tokens.toLong)
-                    if (s.tokens > 0) { s = s.copy(tokens = s.tokens - 1); true }
-                    else false
+                    val (nl, nb, ok) = rateLimitAdvance(
+                      math.max(s.bucketSec, 0L), s.tokens, us / 1000000L,
+                      tokens, perSec)
+                    s = s.copy(bucketSec = nl, tokens = nb)
+                    ok
                 }
                 if (allowed)
                   out ::= CorrOut(key, us, "match", s.n, s.buf.reverse.mkString(","))

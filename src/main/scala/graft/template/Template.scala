@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
 object Template {
   sealed trait Node
   final case class Lit(text: String) extends Node
-  final case class Ref(name: String, default: Option[Parsed]) extends Node
+  /** `msgRef` is the correlation-context message reference, stored the
+    * reference's way (compiler.c:70-96): 0 = none given, N+1 = `@N` —
+    * @0 is the LAST context message, @1 the one before it
+    * (eval.c:51-62 `msg_ndx = num_messages - msg_ref`). Row-level
+    * compiles resolve every ref against the current row; the
+    * correlation paths (patterndb Synthetic) bind refs with msgRef > 0
+    * to the collected context. */
+  final case class Ref(name: String, default: Option[Parsed],
+      msgRef: Int = 0) extends Node
   /** `rawArgs` keeps the unquoted argument text — the HOFs ($(map),
     * $(filter), $(iterate), filter-expression $(if)) re-compile it lazily
     * with `$_` bound or through the filter-expr grammar. */
@@ -46,8 +54,9 @@ object Template {
             case -1 => (inner, None)
             case k => (inner.substring(0, k), Some(parse(inner.substring(k + 2))))
           }
-          nodes += Ref(name, dflt)
-          i = consumeMsgRef(s, close + 1)
+          val (ni, mref) = consumeMsgRef(s, close + 1)
+          nodes += Ref(name, dflt, mref)
+          i = ni
         } else if (n == '(') {
           flushLit()
           val close = findClose(s, i + 1, '(', ')')
@@ -56,7 +65,7 @@ object Template {
           require(parts.nonEmpty, s"empty template function in: $s")
           nodes += Func(parts.head._1, parts.tail.map(p => parse(p._1)),
             parts.tail.map(_._2))
-          i = consumeMsgRef(s, close + 1)
+          i = consumeMsgRef(s, close + 1)._1
         } else if (n.isLetterOrDigit || n == '_' || n == '.') {
           flushLit()
           var j = i + 1
@@ -65,10 +74,14 @@ object Template {
           // names never end in '.': `$FACILITY.$SEVERITY` ends FACILITY at the dot
           var end = j
           while (end > i + 1 && s.charAt(end - 1) == '.') end -= 1
-          nodes += Ref(s.substring(i + 1, end), None)
+          val name = s.substring(i + 1, end)
           i = j
-          if (end < j) lit.append(s.substring(end, j))
-          else i = consumeMsgRef(s, i)
+          if (end < j) { nodes += Ref(name, None); lit.append(s.substring(end, j)) }
+          else {
+            val (ni, mref) = consumeMsgRef(s, i)
+            nodes += Ref(name, None, mref)
+            i = ni
+          }
         } else { lit.append(c); i += 1 }
       } else { lit.append(c); i += 1 }
     }
@@ -80,19 +93,25 @@ object Template {
     * parse_msg_ref): `@digits` after a macro/value/function picks a
     * message from the correlation context stack — consumed from the
     * text; `@@` collapses to one literal '@'; `@nondigit` stays
-    * literal. This engine evaluates templates against the current row
-    * (context access rides the $(context-*)/$(grep) aggregate
-    * functions — Sessions.sortedValues), so the reference index is
-    * consumed but resolves to the current message. */
-  private def consumeMsgRef(s: String, i0: Int): Int =
-    if (i0 >= s.length || s.charAt(i0) != '@') i0
+    * literal. Returns (next index, stored msgRef): 0 = none, else the
+    * reference's representation (user N + 1) — including its
+    * `msg_ref += msg_ref * 10 + digit` accumulation, which for
+    * multi-digit refs is NOT base-10 (@12 stores 14, not 13); the
+    * quirk is kept verbatim. Row-level compiles ignore the value;
+    * the correlation paths resolve msgRef > 0 against the context. */
+  private def consumeMsgRef(s: String, i0: Int): (Int, Int) =
+    if (i0 >= s.length || s.charAt(i0) != '@') (i0, 0)
     else {
       var i = i0 + 1
       if (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
-        while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
-        i // msgref consumed
-      } else if (i < s.length && s.charAt(i) == '@') i // '@@' -> one '@'
-      else i0 // literal '@'
+        var ref = 0
+        while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') {
+          ref += ref * 10 + (s.charAt(i) - '0')
+          i += 1
+        }
+        (i, ref + 1) // msgref consumed
+      } else if (i < s.length && s.charAt(i) == '@') (i, 0) // '@@' -> one '@'
+      else (i0, 0) // literal '@'
     }
 
   private def findClose(s: String, open: Int, oc: Char, cc: Char): Int = {
@@ -203,9 +222,9 @@ object Template {
 
     def nodeCol(n: Node): Column = n match {
       case Lit(s) => lit(s)
-      case Ref(name, None) =>
+      case Ref(name, None, _) =>
         coalesce(resolve(name).cast("string"), lit(""))
-      case Ref(name, Some(d)) =>
+      case Ref(name, Some(d), _) =>
         val v = coalesce(resolve(name).cast("string"), lit(""))
         when(v === "", compile(d, resolve)).otherwise(v)
 

@@ -191,7 +191,8 @@ class PipelineSpec extends GraftSuite {
     val k = 64 // nCoarse = 8
     val flat = Similarity.assignClusters(base, k) // k <= flatMax -> flat
       .select("vec_id", "cid").as[(Long, Long)].collect().toMap
-    val full = Similarity.assignClusters(base, k, flatMax = 1, nProbe = 1000)
+    val full = Similarity.assignClusters(base, k, flatMax = 1, nProbe = 1000,
+        levels = 2)
       .select("vec_id", "cid").as[(Long, Long)].collect().toMap
     assert(full == flat, {
       val d = flat.collect { case (id, c) if full.get(id) != Some(c) =>
@@ -202,7 +203,8 @@ class PipelineSpec extends GraftSuite {
     // documented approximation quality (SURVEY round-8): a vector only
     // misassigns when its true fine centroid's cell is NOT among the 4
     // coarse cells nearest the vector.
-    val approx = Similarity.assignClusters(base, k, flatMax = 1, nProbe = 4)
+    val approx = Similarity.assignClusters(base, k, flatMax = 1, nProbe = 4,
+      levels = 2)
       .select("vec_id", "cid").as[(Long, Long)].collect().toMap
     assert(approx.keySet == flat.keySet) // no row lost in the probe join
     val agree = flat.count { case (id, c) => approx(id) == c }
@@ -234,13 +236,66 @@ class PipelineSpec extends GraftSuite {
     assert(pairsFlat.size >= 55, s"planted dups not found: ${pairsFlat.size}")
     val pairsTL = Similarity.semanticPairs(planted, col("vec_id"),
         col("embedding"), nCentroids = k, threshold = 0.999,
-        flatMax = 1, nProbe = 4)
+        flatMax = 1, nProbe = 4, levels = 2)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val recall = (pairsFlat intersect pairsTL).size.toDouble / pairsFlat.size
     assert(recall >= 0.98, s"near-dup pair recall $recall " +
       s"(${(pairsFlat diff pairsTL).take(5)} missing)")
     info(s"nprobe=4/8 planted near-dup pair recall: $recall " +
       s"(${pairsTL.size} vs ${pairsFlat.size} pairs)")
+  }
+
+  test("three-level tree assignment: full probe == flat bit-identically; planted-twin recall at production probe") {
+    // r9 verdict #1: the two-level path's O(N·√k) was the last
+    // super-linear plan. The tree (k^1/3 top cells + k^2/3 mids in ONE
+    // compiled expression, fine join on the mid cell) must keep the
+    // same two contracts: exactness at full probe, and near-dup pair
+    // recall at production probe width.
+    val emb = Tables.embeddings(spark, sf)
+    val base = emb.select(col("vec_id"), col("embedding").as("v"))
+    val k = 64 // n1 = 4, n2 = 16
+    val flat = Similarity.assignClusters(base, k)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val full = Similarity.assignClusters(base, k, flatMax = 1, nProbe = 1000,
+        levels = 3)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(full == flat, {
+      val d = flat.collect { case (id, c) if full.get(id) != Some(c) =>
+        (id, c, full.get(id)) }.take(5)
+      s"tree full-probe diverges from flat: $d"
+    })
+    // no row lost in the probe joins at production width
+    val approx = Similarity.assignClusters(base, k, flatMax = 1, nProbe = 4,
+        levels = 3)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(approx.keySet == flat.keySet)
+    info(s"tree nprobe=4 assignment agreement: " +
+      s"${flat.count { case (id, c) => approx(id) == c }}/${flat.size}")
+    // planted twins co-cluster (assignment is a deterministic function
+    // of the vector — the same argument as the two-level gate)
+    val rnd = new scala.util.Random(0xd5ca1eL)
+    val dim = 16
+    def randVec(): Array[Float] =
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val baseVecs = (0L until 1000L).map(i => (i, randVec()))
+    val twins = baseVecs.take(60).map { case (i, v) =>
+      (1000L + i, v.map(x => x + (rnd.nextDouble() * 2e-4 - 1e-4).toFloat))
+    }
+    val planted = (baseVecs ++ twins).map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val pairsFlat = Similarity.semanticPairs(planted, col("vec_id"),
+        col("embedding"), nCentroids = k, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairsFlat.size >= 55)
+    val pairsTree = Similarity.semanticPairs(planted, col("vec_id"),
+        col("embedding"), nCentroids = k, threshold = 0.999,
+        flatMax = 1, nProbe = 4, levels = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = (pairsFlat intersect pairsTree).size.toDouble / pairsFlat.size
+    assert(recall >= 0.98, s"tree near-dup pair recall $recall " +
+      s"(${(pairsFlat diff pairsTree).take(5)} missing)")
+    info(s"tree nprobe=4 planted near-dup pair recall: $recall " +
+      s"(${pairsTree.size} vs ${pairsFlat.size} pairs)")
   }
 
   test("semantic dedup: a mega-cluster (the SemDeDup skew caveat) stays correct under AQE") {

@@ -233,23 +233,23 @@ class StreamBatchEquivalenceSpec extends GraftSuite {
       ms.groupBy(_.key).toSeq.flatMap { case (key, grp) =>
         var out = List.empty[(String, Long, String, Long, String)]
         var lastUs = Long.MinValue; var n = 0L; var buf = List.empty[String]
-        var bucketWin = Long.MinValue; var tokens = 0L
+        // the reference's credit-accrual bucket (patterndb.c:196-255);
+        // it survives a context close (separate rate-limit hash)
+        var lastCheck = 0L; var buckets = 0L
         def close(): Unit = if (n > 0)
           out ::= ((key, lastUs, "timeout", n, buf.reverse.mkString(",")))
         for (m <- grp) { // grp keeps the feed's (ts, value) order
           val t = us(m.ts)
           if (n > 0 && t >= lastUs + gapUs) {
             close(); n = 0; buf = Nil; lastUs = Long.MinValue
-            bucketWin = Long.MinValue; tokens = 0L
           }
           n += 1; lastUs = math.max(lastUs, t); buf ::= m.value
           if (n >= matchLen) {
-            val w = t / 1000000L / rate._2
-            if (w != bucketWin) { bucketWin = w; tokens = rate._1.toLong }
-            if (tokens > 0) {
-              tokens -= 1
+            val (nl, nb, ok) = graft.streaming.Correlate.rateLimitAdvance(
+              lastCheck, buckets, t / 1000000L, rate._1, rate._2)
+            lastCheck = nl; buckets = nb
+            if (ok)
               out ::= ((key, t, "match", n, buf.reverse.mkString(",")))
-            }
           }
         }
         close()
