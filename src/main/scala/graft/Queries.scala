@@ -3652,6 +3652,180 @@ object Queries {
       ORDER BY media_id"""),
     bench = true)
 
+  /** Cluster-level image dedup — the end-to-end wiring the image family
+    * was missing (r9 verdict #6): [[Multimodal.imageDHashPairs]] PAIRS
+    * feed the text family's connected components + keep-best machinery
+    * (the scaladoc lesson: exact-dup mega-clusters belong to
+    * groupBy/CC, not pair enumeration). Keep-best = highest RESOLUTION
+    * (w·h — the natural image quality score), ties → smallest id. The
+    * oracle re-derives the pair set from the analytic hashes, the
+    * clusters via the recursive transitive closure, and the same
+    * keep rule. */
+  private val dedupImageCc = Q("dedup_image_cc",
+    (s, d) => {
+      import s.implicits._
+      val hashes = Multimodal.imageDHash(Multimodal.dhashFixtures(s, d))
+      val pairs = Multimodal.imageDHashPairs(hashes)
+      Dedup.bestPerCluster(
+          Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b"))),
+          hashes.toDF().select(col("media_id").as("id"),
+            (col("w") * col("h")).cast("double").as("score")))
+        .orderBy(col("id"))
+    },
+    Some("""WITH RECURSIVE p2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 IN (1,6) THEN doc_id - 1 ELSE doc_id END AS eid
+        FROM documents
+      ), pm AS (
+        SELECT doc_id, (eid * 2654435761) % 4294967296 AS m FROM p2
+      ), p3 AS (
+        SELECT doc_id, 1 + m % 251 AS a, 1 + (m // 251) % 241 AS b,
+          CAST(12 + m % 21 AS INT) AS w, CAST(10 + (m // 21) % 17 AS INT) AS h
+        FROM pm
+      ), sums AS (
+        SELECT doc_id, w, h,
+          list_transform(range(0, 8), r ->
+            list_transform(range(0, 9), c ->
+              coalesce(list_sum(flatten(list_transform(
+                range(r * h // 8, (r + 1) * h // 8), y ->
+                list_transform(range(c * w // 9, (c + 1) * w // 9), x ->
+                  (a*(x*x + 3*y) + b*(y*y + 5*x) + x*y*(x + y)) % 250)))), 0))) AS s
+        FROM p3
+      ), rowbytes AS (
+        SELECT doc_id, w, h,
+          list_transform(range(0, 8), r ->
+            coalesce(list_sum(list_transform(range(0, 8), c ->
+              CASE WHEN s[r+1][c+2] * ((c+1)*w//9 - c*w//9)
+                      > s[r+1][c+1] * ((c+2)*w//9 - (c+1)*w//9)
+                THEN 1 << c ELSE 0 END)), 0)) AS rb
+        FROM sums
+      ), pairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM rowbytes x, rowbytes y
+        WHERE x.doc_id < y.doc_id
+          AND list_sum(list_transform(range(0, 8),
+            i -> bit_count(xor(x.rb[i+1], y.rb[i+1])))) <= 3
+      ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+      ), r(id, l) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.l = e.src
+      ), comp AS (
+        SELECT id, min(l) AS component FROM r GROUP BY id
+      ), scored AS (
+        SELECT comp.id, comp.component,
+          CAST(p3.w * p3.h AS DOUBLE) AS score
+        FROM comp JOIN p3 ON p3.doc_id = comp.id
+      )
+      SELECT id, component, score,
+        (row_number() OVER (PARTITION BY component
+          ORDER BY score DESC, id) = 1) AS keep
+      FROM scored ORDER BY id"""),
+    bench = true)
+
+  /** Shared CTE chain replaying the video fixtures analytically: per
+    * (doc, frame) 8 dHash row-bytes (`frb`), then per clip the
+    * majority-vote row-bytes `vb` and the temporal signature `tsig`
+    * (frame-pair difference bits) — `vclip(doc_id, nf, vb, tsig)`. */
+  private val videoRowbytesCte = """WITH p2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 IN (1,6) THEN doc_id - 1 ELSE doc_id END AS eid
+        FROM documents
+      ), pm AS (
+        SELECT doc_id, (eid * 2654435761) % 4294967296 AS m FROM p2
+      ), p3 AS (
+        SELECT doc_id, 1 + m % 251 AS a, 1 + (m // 251) % 241 AS b,
+          CAST(12 + m % 21 AS INT) AS w, CAST(10 + (m // 21) % 17 AS INT) AS h,
+          CAST(5 + 2 * (m % 3) AS BIGINT) AS nf
+        FROM pm
+      ), fsums AS (
+        SELECT doc_id, w, h, nf, f,
+          list_transform(range(0, 8), r ->
+            list_transform(range(0, 9), c ->
+              coalesce(list_sum(flatten(list_transform(
+                range(r * h // 8, (r + 1) * h // 8), y ->
+                list_transform(range(c * w // 9, (c + 1) * w // 9), x ->
+                  (a*(x*x + 3*y) + b*(y*y + 5*x) + x*y*(x + y)
+                    + (f+1)*(x + 2*y + 7)) % 250)))), 0))) AS s
+        FROM p3, (SELECT unnest(range(0, 9)) AS f) fr
+        WHERE f < nf
+      ), frb AS (
+        SELECT doc_id, w, nf, f,
+          list_transform(range(0, 8), r ->
+            coalesce(list_sum(list_transform(range(0, 8), c ->
+              CASE WHEN s[r+1][c+2] * ((c+1)*w//9 - c*w//9)
+                      > s[r+1][c+1] * ((c+2)*w//9 - (c+1)*w//9)
+                THEN 1 << c ELSE 0 END)), 0)) AS rb
+        FROM fsums
+      ), fagg AS (
+        SELECT doc_id, nf, list(rb ORDER BY f) AS rbs
+        FROM frb GROUP BY doc_id, nf
+      ), vclip AS (
+        SELECT doc_id, nf,
+          list_transform(range(0, 8), r ->
+            coalesce(list_sum(list_transform(range(0, 8), c ->
+              CASE WHEN 2 * list_sum(list_transform(rbs,
+                  rb -> (rb[r+1] >> c) & 1)) > nf
+                THEN 1 << c ELSE 0 END)), 0)) AS vb,
+          CAST(coalesce(list_sum(list_transform(range(0, CAST(nf AS INT) - 1),
+            f -> CASE WHEN rbs[f+1] = rbs[f+2] THEN 0
+              ELSE (CAST(1 AS BIGINT) << f) END)), 0) AS BIGINT) AS tsig
+        FROM fagg
+      )"""
+
+  /** Video perceptual fingerprint — per-frame dHash over REAL decoded
+    * GIF frames (the LZW path) reduced to a majority-vote clip hash +
+    * a temporal signature (frame-pair difference bits). The fixture
+    * frames are quadratic in (x, y) with a frame-linear term, all
+    * closed-form in doc_id, so DuckDB replays every frame hash,
+    * majority bit, and temporal bit in pure integer arithmetic. The
+    * brightness-offset twins (doc_id ≡ 6) must hash identically —
+    * re-encode invariance across the whole clip. */
+  private val multimodalVideoHash = Q("multimodal_video_hash",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.videoDHash(Multimodal.videoHashFixtures(s, d))
+        .select(col("media_id"), col("n_frames"), col("vhash"), col("tsig"))
+        .orderBy(col("media_id"))
+    },
+    Some(s"""$videoRowbytesCte
+      SELECT doc_id AS media_id, CAST(nf AS INT) AS n_frames,
+        lower(concat(
+          lpad(to_hex(vb[8]), 2, '0'), lpad(to_hex(vb[7]), 2, '0'),
+          lpad(to_hex(vb[6]), 2, '0'), lpad(to_hex(vb[5]), 2, '0'),
+          lpad(to_hex(vb[4]), 2, '0'), lpad(to_hex(vb[3]), 2, '0'),
+          lpad(to_hex(vb[2]), 2, '0'), lpad(to_hex(vb[1]), 2, '0'))) AS vhash,
+        tsig
+      FROM vclip ORDER BY media_id"""),
+    bench = true)
+
+  /** Perceptual video dedup — near-duplicate clip pairs at majority-hash
+    * Hamming ≤ 3 AND equal temporal signatures, found by the exact
+    * 4×16 pigeonhole banding. Planted: ≡ 1 (mod 10) byte-identical
+    * clip reuse, ≡ 6 a re-rendered (+2 brightness per frame) copy —
+    * different bytes, identical fingerprint. The oracle brute-forces
+    * the analytic clip hashes; a match proves the banded join finds
+    * exactly the brute-force pair set. */
+  private val dedupVideoDhash = Q("dedup_video_dhash",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.videoDHashPairs(
+          Multimodal.videoDHash(Multimodal.videoHashFixtures(s, d)))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""$videoRowbytesCte
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        CAST(list_sum(list_transform(range(0, 8),
+          i -> bit_count(xor(x.vb[i+1], y.vb[i+1])))) AS INT) AS hamming
+      FROM vclip x, vclip y
+      WHERE x.doc_id < y.doc_id AND x.tsig = y.tsig
+        AND list_sum(list_transform(range(0, 8),
+          i -> bit_count(xor(x.vb[i+1], y.vb[i+1])))) <= 3
+      ORDER BY id_a, id_b"""),
+    bench = true)
+
   private val multimodalStub = Q("multimodal_stub",
     (s, d) => {
       import s.implicits._
@@ -3771,7 +3945,8 @@ object Queries {
     multimodalFeatures, multimodalStub, multimodalDecode, multimodalPixels,
     multimodalGif, multimodalAudio, multimodalVideo,
     multimodalDhash, dedupImageDhash, multimodalAudioHash,
-    decontaminateImage)
+    decontaminateImage, multimodalVideoHash, dedupVideoDhash,
+    dedupImageCc)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

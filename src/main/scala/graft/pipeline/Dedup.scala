@@ -587,17 +587,67 @@ object Dedup {
     * @return flagged rows only: (doc_id, bench_id, cos) */
   def semanticContamination(corpus: DataFrame, id: Column, vec: Column,
       bench: DataFrame, benchId: Column, benchVec: Column,
-      threshold: Double, maxBench: Int = 1 << 20): DataFrame = {
-    val b = bench.select(benchId.as("bid"), benchVec.as("bv"))
+      threshold: Double, maxBench: Int = 1 << 20,
+      exprMax: Int = 65536, nProbe: Int = 8): DataFrame = {
+    val bFrame = bench.select(benchId.as("bid"), benchVec.as("bv"))
+    val head = bFrame.limit(math.min(exprMax, maxBench) + 1)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    require(b.nonEmpty, "semanticContamination: empty benchmark side")
-    require(b.length <= maxBench,
-      s"semanticContamination: ${b.length} benchmark vectors exceed the " +
+    require(head.nonEmpty, "semanticContamination: empty benchmark side")
+    require(head.length <= maxBench,
+      s"semanticContamination: benchmark vectors exceed the " +
         s"driver-bounded contract ($maxBench) — shard the benchmark or raise maxBench")
+    if (head.length <= exprMax) {
+      corpus
+        .select(id.as("doc_id"),
+          graft.functions.NearestCentroidCos(vec, head).as("best"))
+        .select(col("doc_id"), col("best.cid").as("bench_id"),
+          col("best.cos").as("cos"))
+        .filter(col("cos") >= threshold)
+    } else semanticContaminationTree(corpus, id, vec, bFrame, threshold, nProbe)
+  }
+
+  /** The LARGE-benchmark path (r9 verdict #7): past `exprMax` vectors
+    * the NearestCentroidCos expression would serialize the whole
+    * benchmark into every task (256 MB at the 1M maxBench bound), so
+    * the benchmark becomes a [[Similarity.buildCellTree]] coarse
+    * structure instead — only its k^⅔ mid level is driver-held; the
+    * full benchmark stays a DISTRIBUTED frame keyed by its best mid
+    * cell. Corpus rows tree-probe their `nProbe` nearest mid cells (one
+    * compiled pass) and join the benchmark rows of those cells, with
+    * vectors + norms riding the keyed exchange and candidates streaming
+    * through one compiled DotF each (the embeddingPairs
+    * verify-in-the-join shape — nothing candidate-sized materializes).
+    * With nProbe ≥ both level widths every benchmark vector is a
+    * candidate and the result is BIT-IDENTICAL to the expression path
+    * (same comparator: max(struct(cos, bid)), ties → larger bid —
+    * PipelineSpec gates the equality); at production nProbe it is the
+    * standard multi-level IVF approximation. */
+  private def semanticContaminationTree(corpus: DataFrame, id: Column,
+      vec: Column, bFrame: DataFrame, threshold: Double,
+      nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val benchN = bFrame.count()
+    val ct = Similarity.buildCellTree(
+      bFrame.select(col("bid").as("vec_id"), col("bv").as("v")), benchN)
+    val fine = bFrame
+      .withColumn("cell", element_at(ct.probe(col("bv"), nProbe, 1), 1))
+      .withColumn("bn", sqrt(graft.functions.DotF(col("bv"), col("bv"))))
+    // same broadcast rule as the tree assignment: an eval-set-sized
+    // benchmark ships whole; past ~100k rows the shuffle join on the
+    // cell key is the correct distributed plan
+    val fineSide = if (benchN <= 100000) broadcast(fine) else fine
     corpus
-      .select(id.as("doc_id"),
-        graft.functions.NearestCentroidCos(vec, b).as("best"))
-      .select(col("doc_id"), col("best.cid").as("bench_id"),
+      .select(id.as("doc_id"), vec.as("v"))
+      .withColumn("vn", sqrt(graft.functions.DotF(col("v"), col("v"))))
+      .withColumn("cell", explode(ct.probe(col("v"), nProbe, nProbe)))
+      .join(fineSide, "cell")
+      .select(col("doc_id"),
+        struct((graft.functions.DotF(col("v"), col("bv")) /
+            (col("vn") * col("bn"))).as("cos"),
+          col("bid").as("bench_id")).as("cand"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("doc_id"), col("best.bench_id").as("bench_id"),
         col("best.cos").as("cos"))
       .filter(col("cos") >= threshold)
   }

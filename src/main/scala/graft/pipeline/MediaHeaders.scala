@@ -252,6 +252,29 @@ object MediaFixtures {
     val header = "GIF89a".getBytes("US-ASCII") ++ leU16(width) ++ leU16(height) ++
       Array((0x80 | 7).toByte, 0.toByte, 0.toByte) // GCT, 2^8 entries
     val gct = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    header ++ gct ++ gifFrame(width, height, pixel) ++ Array(0x3B.toByte)
+  }
+
+  /** Animated GIF89a with `nFrames` full-screen frames — the same
+    * grayscale-identity GCT and LZW encode as [[gifPixels]], one image
+    * descriptor per frame (`pixel(frame, x, y)`). The multi-frame
+    * container for [[MediaSamples.decodeGifFrames]] / video
+    * fingerprinting. */
+  def gifFrames(width: Int, height: Int, nFrames: Int,
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    val header = "GIF89a".getBytes("US-ASCII") ++ leU16(width) ++ leU16(height) ++
+      Array((0x80 | 7).toByte, 0.toByte, 0.toByte)
+    val gct = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    header ++ gct ++
+      (0 until nFrames).toArray.flatMap(f =>
+        gifFrame(width, height, (x, y) => pixel(f, x, y))) ++
+      Array(0x3B.toByte)
+  }
+
+  /** One image-descriptor + LZW-encoded frame block (shared by
+    * [[gifPixels]]/[[gifFrames]]). */
+  private def gifFrame(width: Int, height: Int,
+      pixel: (Int, Int) => Int): Array[Byte] = {
     val imgDesc = Array(0x2C.toByte) ++ leU16(0) ++ leU16(0) ++
       leU16(width) ++ leU16(height) ++ Array(0.toByte)
     val minCodeSize = 8
@@ -288,7 +311,7 @@ object MediaFixtures {
       off += n
     }
     sub.write(0) // block terminator
-    header ++ gct ++ imgDesc ++ sub.toByteArray ++ Array(0x3B.toByte)
+    imgDesc ++ sub.toByteArray
   }
 
   /** Grayscale 8-bit non-interlaced PNG with REAL pixel content:

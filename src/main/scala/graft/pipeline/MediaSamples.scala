@@ -131,14 +131,28 @@ object MediaSamples {
     * LZW-decode its pixel indices. Interlaced images and streams whose
     * index data overruns w·h return null (corrupt-input contract). */
   def decodeGif(b: Array[Byte]): Decoded = {
+    val frames = decodeGifFrames(b, maxFrames = 1)
+    if (frames == null || frames.isEmpty) null
+    else Decoded("gif", frames(0))
+  }
+
+  /** All frames of an (animated) GIF: the same walk as [[decodeGif]]
+    * continued past the first image descriptor — each frame's indices
+    * LZW-decode independently (every descriptor carries its own
+    * min-code-size + sub-blocks). Returns null on the same corrupt
+    * inputs; `maxFrames` bounds the walk (a video fingerprint samples
+    * a bounded prefix). */
+  def decodeGifFrames(b: Array[Byte],
+      maxFrames: Int = Int.MaxValue): Array[Array[Int]] = {
     if (b.length < 13) return null
-    val w = leU16(b, 6); val h = leU16(b, 8)
     val packed = u8(b, 10)
     var i = 13
     if ((packed & 0x80) != 0) i += 3 * (1 << ((packed & 7) + 1)) // GCT
-    while (i < b.length) {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    while (i < b.length && frames.length < maxFrames) {
       u8(b, i) match {
-        case 0x3B => return null // trailer before any image
+        case 0x3B => // trailer
+          return if (frames.isEmpty) null else frames.toArray
         case 0x21 => // extension: label + sub-blocks until terminator
           i += 2
           while (i < b.length && u8(b, i) != 0) i += 1 + u8(b, i)
@@ -161,14 +175,16 @@ object MediaSamples {
             data.write(b, i + 1, n)
             i += 1 + n
           }
+          i += 1 // block terminator
           val nPix = iw * ih
           if (nPix <= 0) return null
           val out = lzwDecode(data.toByteArray, minCodeSize, nPix)
-          return if (out == null) null else Decoded("gif", out)
+          if (out == null) return null
+          frames += out
         case _ => return null
       }
     }
-    null
+    if (frames.isEmpty) null else frames.toArray
   }
 
   /** GIF LZW (spec appendix F): LSB-first bit stream, initial code

@@ -351,47 +351,53 @@ object Multimodal {
         if (meta == null || dec == null || meta.width < 9 || meta.height < 8 ||
             dec.samples.length != meta.width * meta.height) None
         else {
-          val w = meta.width; val h = meta.height
-          val px = dec.samples
-          // block sums: 9 columns × 8 rows, iterated by block so the
-          // floor boundaries tile the image exactly like the oracle's
-          // range(r*h//8, (r+1)*h//8) × range(c*w//9, (c+1)*w//9)
-          val s = Array.ofDim[Long](8, 9)
-          var br = 0
-          while (br < 8) {
-            val y0 = br * h / 8; val y1 = (br + 1) * h / 8
-            var bc = 0
-            while (bc < 9) {
-              val x0 = bc * w / 9; val x1 = (bc + 1) * w / 9
-              var acc = 0L
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) { acc += px(y * w + x); x += 1 }
-                y += 1
-              }
-              s(br)(bc) = acc
-              bc += 1
-            }
-            br += 1
-          }
-          var bits = 0L
-          var r = 0
-          while (r < 8) {
-            var c = 0
-            while (c < 8) {
-              val aw = ((c + 1) * w / 9 - c * w / 9).toLong
-              val bw = ((c + 2) * w / 9 - (c + 1) * w / 9).toLong
-              if (s(r)(c + 1) * aw > s(r)(c) * bw)
-                bits |= 1L << (r * 8 + c)
-              c += 1
-            }
-            r += 1
-          }
-          Some(ImageHash(row.media_id, w, h, f"$bits%016x", bits))
+          val bits = dhashBitsOf(dec.samples, meta.width, meta.height)
+          Some(ImageHash(row.media_id, meta.width, meta.height,
+            f"$bits%016x", bits))
         }
       }
     }
+  }
+
+  /** The 64-bit dHash over one decoded grayscale frame — the shared
+    * core of [[imageDHash]] and [[videoDHash]]. Block sums iterate by
+    * block so the floor boundaries tile exactly like the oracle's
+    * range(r*h//8, (r+1)*h//8) × range(c*w//9, (c+1)*w//9); the mean
+    * comparison cross-multiplies integer sums by the column widths. */
+  private[pipeline] def dhashBitsOf(px: Array[Int], w: Int, h: Int): Long = {
+    val s = Array.ofDim[Long](8, 9)
+    var br = 0
+    while (br < 8) {
+      val y0 = br * h / 8; val y1 = (br + 1) * h / 8
+      var bc = 0
+      while (bc < 9) {
+        val x0 = bc * w / 9; val x1 = (bc + 1) * w / 9
+        var acc = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { acc += px(y * w + x); x += 1 }
+          y += 1
+        }
+        s(br)(bc) = acc
+        bc += 1
+      }
+      br += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val aw = ((c + 1) * w / 9 - c * w / 9).toLong
+        val bw = ((c + 2) * w / 9 - (c + 1) * w / 9).toLong
+        if (s(r)(c + 1) * aw > s(r)(c) * bw)
+          bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
   }
 
   /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming`
@@ -596,6 +602,132 @@ object Multimodal {
           MediaFixtures.pngPixels(w, h, (x, y) =>
             (a * (x * x + 3 * y) + b * (y * y + 5 * x) +
               x * y * (x + y)) % 250 + off), w, h)
+      }
+  }
+
+  // ---- perceptual video dedup (per-frame dHash + temporal signature) ------
+
+  /** One clip fingerprint: `vhash` = the per-bit MAJORITY of the
+    * frames' dHashes (64 bits, re-encode/brightness invariant exactly
+    * like the still-image hash), `tsig` = the temporal signature — bit
+    * f set when frame f+1's dHash differs from frame f's (≤ 63 frame
+    * pairs sampled). `vhash` carries the visual content, `tsig` the
+    * cut/motion structure; a re-rendered copy of a clip keeps both. */
+  case class VideoHash(media_id: Long, n_frames: Int, vhash: String,
+      vhashBits: Long, tsig: Long)
+
+  /** Per-clip perceptual fingerprint over REAL decoded GIF frames (the
+    * LZW path — the container whose pixels this engine decodes; MP4
+    * frame decode is codec-bound/declared). Each frame hashes with the
+    * still-image dHash core ([[dhashBitsOf]] — integer block sums,
+    * cross-multiplied means), then the clip reduces to
+    * (majority-vote hash, frame-difference bits). Majority is exact
+    * under an odd frame count; with an even count a 50/50 bit reads 0
+    * (2·count > F strictly). Clips narrower than the 9×8 grid or with
+    * undecodable frames drop. One narrow partition pass, no shuffle —
+    * per-row cost is bounded by `maxFrames` frames of w·h pixels. */
+  def videoDHash(ds: Dataset[MediaRow], maxFrames: Int = 64,
+      targetPartitionBytes: Long = 128L << 20): Dataset[VideoHash] = {
+    import ds.sparkSession.implicits._
+    val shaped =
+      if (targetPartitionBytes <= 0) ds
+      else {
+        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
+        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+        val minParts = ds.sparkSession.sparkContext.defaultParallelism
+        val parts = math.max(minParts,
+          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
+        ds.repartition(parts, col("media_id"))
+      }
+    shaped.mapPartitions { it =>
+      it.flatMap { row =>
+        val meta = MediaHeaders.decode(row.bytes)
+        val frames =
+          if (meta == null || meta.format != "gif" ||
+              meta.width < 9 || meta.height < 8) null
+          else MediaSamples.decodeGifFrames(row.bytes, maxFrames)
+        if (frames == null || frames.isEmpty ||
+            frames.exists(_.length != meta.width * meta.height)) None
+        else {
+          val hs = frames.map(dhashBitsOf(_, meta.width, meta.height))
+          val n = hs.length
+          var vhash = 0L
+          var bit = 0
+          while (bit < 64) {
+            var cnt = 0
+            var f = 0
+            while (f < n) {
+              if (((hs(f) >>> bit) & 1L) != 0) cnt += 1
+              f += 1
+            }
+            if (2 * cnt > n) vhash |= 1L << bit
+            bit += 1
+          }
+          var tsig = 0L
+          var f = 0
+          while (f < n - 1 && f < 63) {
+            if (hs(f) != hs(f + 1)) tsig |= 1L << f
+            f += 1
+          }
+          Some(VideoHash(row.media_id, n, f"$vhash%016x", vhash, tsig))
+        }
+      }
+    }
+  }
+
+  /** Near-duplicate clip pairs: banded equi-join on the majority hash
+    * (the same exact 4×16 pigeonhole as [[imageDHashPairs]]) verified
+    * at Hamming ≤ `maxHamming` AND equal temporal signatures — two
+    * clips must look alike frame-wise and cut alike time-wise. Only
+    * (band, key) shuffles; no all-pairs stage. */
+  def videoDHashPairs(hashes: Dataset[VideoHash],
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4×16 banding is exact only for distance <= 3")
+    val h = hashes.toDF().select(col("media_id"), col("vhashBits"), col("tsig"))
+    val banded = h.select(col("media_id"), col("vhashBits"), col("tsig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("vhashBits"), b * 16)
+            .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+    val a = banded.select(col("bk").as("bk_a"), col("media_id").as("id_a"),
+      col("vhashBits").as("bits_a"), col("tsig").as("tsig_a"))
+    val b = banded.select(col("bk").as("bk_b"), col("media_id").as("id_b"),
+      col("vhashBits").as("bits_b"), col("tsig").as("tsig_b"))
+    a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("bits_a").bitwiseXOR(col("bits_b"))).as("hamming"),
+        col("tsig_a"), col("tsig_b"))
+      .where(col("hamming") <= maxHamming && col("tsig_a") === col("tsig_b"))
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+  }
+
+  /** Video-dedup fixture corpus: animated GIFs whose frame pixels are
+    * quadratic in (x, y) with a frame-linear term — closed-form in
+    * doc_id so an external oracle replays every frame hash, majority
+    * bit, and temporal-difference bit. Planted near-dups: doc_id ≡ 1
+    * (mod 10) byte-identical reuse of the previous clip, ≡ 6 the
+    * previous clip re-rendered at +2 brightness per frame (different
+    * bytes, identical vhash AND tsig — re-encode invariance). Frame
+    * counts 5/7/9 (odd → exact majority). */
+  def videoHashFixtures(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .map { id =>
+        val eid = if (id % 10 == 1 || id % 10 == 6) id - 1 else id
+        val off = if (id % 10 == 6) 2 else 0
+        val m = (eid * 2654435761L) % 4294967296L
+        val a = 1 + (m % 251).toInt
+        val b = 1 + ((m / 251) % 241).toInt
+        val w = 12 + (m % 21).toInt
+        val h = 10 + ((m / 21) % 17).toInt
+        val nf = 5 + 2 * (m % 3).toInt
+        MediaRow(id, "image/gif",
+          MediaFixtures.gifFrames(w, h, nf, (f, x, y) =>
+            (a * (x * x + 3 * y) + b * (y * y + 5 * x) +
+              x * y * (x + y) + (f + 1) * (x + 2 * y + 7)) % 250 + off),
+          w, h)
       }
   }
 }

@@ -303,11 +303,28 @@ object Similarity {
     * (same sample, same comparator, same float order — PipelineSpec
     * gates it); at production nProbe it is the standard multi-level
     * IVF approximation. */
-  private[pipeline] def assignTree(base: DataFrame, k: Int,
-      nProbe: Int): DataFrame = {
+  /** The driver-held 2-level cell structure [[assignTree]] and
+    * [[graft.pipeline.Dedup.semanticContamination]]'s large-benchmark
+    * path probe: L1/L2 md5-sample prefixes, L2 CSR-grouped by its
+    * nearest L1 cell (exact NearestCentroid comparator). `probe(v, p1,
+    * topN)` returns the topN mid-cell ids among the p1 nearest L1
+    * cells — one compiled pass. */
+  private[pipeline] final case class CellTree(
+      l1: Array[(Long, Array[Float])], l2Csr: Array[(Long, Array[Float])],
+      l1Start: Array[Int]) {
+    def n1: Int = l1.length
+    def n2: Int = l2Csr.length
+    def probe(v: Column, p1: Int, topN: Int): Column =
+      graft.functions.NearestCellsTree(v, l1, l2Csr, l1Start,
+        math.min(math.max(1, p1), n1), math.min(math.max(1, topN), n2))
+  }
+
+  /** Build the k^⅓ / k^⅔ cell tree over `items`'s deterministic md5
+    * sample (L1 ⊆ L2 ⊆ sample, so every cell is non-empty). */
+  private[pipeline] def buildCellTree(items: DataFrame, k: Long): CellTree = {
     val n1 = math.max(1, math.ceil(math.cbrt(k.toDouble)).toInt)
     val n2 = math.max(n1, math.ceil(math.pow(k.toDouble, 2.0 / 3.0)).toInt)
-    val l2Sample = sampleCentroids(base, n2)
+    val l2Sample = sampleCentroids(items, n2)
     val l1 = l2Sample.take(n1).map { case (id, v) => (id, v.toArray) }
     // driver-side L1 placement of each mid centroid — the exact
     // NearestCentroid comparator (sequential double dot, Double.compare,
@@ -341,10 +358,15 @@ object Similarity {
     val l1Start = new Array[Int](l1.length + 1)
     order.foreach(i => l1Start(midCell(i) + 1) += 1)
     (1 to l1.length).foreach(c => l1Start(c) += l1Start(c - 1))
-    val p1 = math.min(math.max(1, nProbe), n1)
-    val p2 = math.min(math.max(1, nProbe), n2)
-    def tree(v: Column, topN: Int): Column =
-      graft.functions.NearestCellsTree(v, l1, l2Csr, l1Start, p1, topN)
+    CellTree(l1, l2Csr, l1Start)
+  }
+
+  private[pipeline] def assignTree(base: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
+    val ct = buildCellTree(base, k.toLong)
+    val p1 = math.min(math.max(1, nProbe), ct.n1)
+    val p2 = math.min(math.max(1, nProbe), ct.n2)
+    def tree(v: Column, topN: Int): Column = ct.probe(v, p1, topN)
     val fine = base
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .select(col("vec_id").as("fid"), col("v").as("fv"))

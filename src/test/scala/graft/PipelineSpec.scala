@@ -839,6 +839,42 @@ class PipelineSpec extends GraftSuite {
     assert(all == 50L)
   }
 
+  test("semantic decontamination tree path: full probe == expression path bit-identically; plan has no cartesian") {
+    // r9 verdict #7: past exprMax benchmark vectors the expression
+    // would serialize the whole benchmark per task — the cell-tree path
+    // keeps only k^2/3 mids driver-held. Full probe must reproduce the
+    // expression path EXACTLY (same comparator, same float order).
+    val emb = Tables.embeddings(spark, sf)
+    val bench = emb.filter(col("vec_id") < 120)
+    val corpus = emb.filter(col("vec_id") >= 120)
+    def run(exprMax: Int, nProbe: Int = 1000) =
+      Dedup.semanticContamination(corpus, col("vec_id"), col("embedding"),
+          bench, col("vec_id"), col("embedding"), threshold = 0.2,
+          exprMax = exprMax, nProbe = nProbe)
+    val viaExpr = run(exprMax = 100000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaTree = run(exprMax = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaExpr.nonEmpty)
+    assert(viaTree == viaExpr, {
+      s"missing=${(viaExpr diff viaTree).take(3)} extra=${(viaTree diff viaExpr).take(3)}"
+    })
+    // production probe: flagged DOCS are a subset (IVF-style recall,
+    // never false positives — every candidate's cosine is exact), and a
+    // partially-probed doc can only report a cosine <= its true argmax
+    val approx = run(exprMax = 8, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val exprByDoc = viaExpr.map(t => t._1 -> t._3).toMap
+    assert(approx.map(_._1).toSet.subsetOf(exprByDoc.keySet))
+    approx.foreach { case (d, _, c) => assert(c <= exprByDoc(d)) }
+    info(s"tree nProbe=4 doc recall: ${approx.length}/${viaExpr.size}")
+    // plan gate: the tree path joins on the cell key — no cartesian,
+    // no all-pairs fallback
+    val plan = run(exprMax = 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("ccnet surprisal buckets: value-monotone partition, every bucket populated") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.01")
     val out = TextAnalysis.surprisalBuckets(docs, col("doc_id"), col("text"),
