@@ -7,6 +7,7 @@
 set -u
 cd "$(dirname "$0")/.."
 OUT=${1:-scale_matrix_r10.jsonl}
+SFS=${SFS:-"/root/testdata/sf0.1 $(pwd)/scaledata/sf1p $(pwd)/scaledata/sf10p $(pwd)/scaledata/sf100p"}
 QUERIES=${2:-"dedup_semantic_prod dedup_semantic_keep_prod \
 dedup_embedding_prod dedup_minhash_lsh_xxh64 text_chunking_bpe \
 text_pack_bpe decontaminate_bloom multimodal_video_hash \
@@ -20,8 +21,7 @@ for m in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   OPENS="$OPENS --add-opens java.base/$m=ALL-UNNAMED"
 done
 : > "$OUT"
-for SF in /root/testdata/sf0.1 "$(pwd)/scaledata/sf1p" "$(pwd)/scaledata/sf10p" \
-    "$(pwd)/scaledata/sf100p"; do
+for SF in $SFS; do
   [ -d "$SF" ] || { echo "skip $SF (missing)" >&2; continue; }
   for Q in $QUERIES; do
     LINE=$(SPARK_GRAFT_SF_DIR=$SF SPARK_GRAFT_ONLY=$Q SPARK_GRAFT_REPEAT=5 \
