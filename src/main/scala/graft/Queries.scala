@@ -3664,11 +3664,18 @@ object Queries {
   private val dedupImageCc = Q("dedup_image_cc",
     (s, d) => {
       import s.implicits._
+      // hashes feed TWO shapes (the banded pairs and the per-member
+      // scores) — without a cut Spark re-evaluates the whole
+      // decode+hash pipeline per shape (the corpus decode is the
+      // dominant cost: +~30% at sf100p). localCheckpoint materializes
+      // the slim (id, bits, w, h) table once; exchange-reuse cannot
+      // help across differently-shaped consumers.
       val hashes = Multimodal.imageDHash(Multimodal.dhashFixtures(s, d))
-      val pairs = Multimodal.imageDHashPairs(hashes)
+        .toDF().localCheckpoint(false)
+      val pairs = Multimodal.imageDHashPairs(hashes.as[Multimodal.ImageHash])
       Dedup.bestPerCluster(
           Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b"))),
-          hashes.toDF().select(col("media_id").as("id"),
+          hashes.select(col("media_id").as("id"),
             (col("w") * col("h")).cast("double").as("score")))
         .orderBy(col("id"))
     },

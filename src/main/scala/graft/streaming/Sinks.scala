@@ -88,7 +88,8 @@ object Sinks {
       retryBackoffMs: Long = 200L,
       /** additional urls — `url("a" "b")` / the loadbalancer scl
         * (`modules/http/http-loadbalancer.c`): workers spread over all
-        * targets round-robin and FAIL OVER to the next on error */
+        * targets with per-worker AFFINITY ([[HttpLoadBalancer]]) and
+        * FAIL OVER to an operational target on error */
       urls: Seq[String] = Nil,
       /** azure-auth-header() (`modules/azure-auth-header/
         * azure-auth-header.c`): per-request Authorization + x-ms-date
@@ -127,10 +128,26 @@ object Sinks {
     }
   }
 
-  /** Worker start-target rotation — each sending partition begins at
-    * the next target, the `lb_worker_assign` spread of
-    * `http-loadbalancer.c:60-120`. */
-  private val roundRobin = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** One [[HttpLoadBalancer]] per target list (the reference's LB is
+    * owned by the http destination; the engine's static equivalent is
+    * per-URL-set), with one Client per sending THREAD — Spark task
+    * threads are the reference's workers, and the LB keeps each affine
+    * to its target while balanced (http-loadbalancer.c:60-214). */
+  private val lbs =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], HttpLoadBalancer]()
+  private val lbClients = ThreadLocal.withInitial(() =>
+    scala.collection.mutable.Map.empty[Seq[String], HttpLoadBalancer.Client])
+
+  private def lbFor(targets: Seq[String]): HttpLoadBalancer =
+    lbs.computeIfAbsent(targets, ts => {
+      val lb = new HttpLoadBalancer()
+      ts.foreach(lb.addTarget)
+      lb
+    })
+
+  private def lbClientFor(lb: HttpLoadBalancer,
+      targets: Seq[String]): HttpLoadBalancer.Client =
+    lbClients.get().getOrElseUpdate(targets, lb.newClient())
 
   /** `http-worker.c default_map_http_status_to_worker_status`:
     * LTR_DROP — the payload can never succeed, drop it without retry;
@@ -140,7 +157,9 @@ object Sinks {
   private val errorCodes = Set(102, 103, 304, 428, 504)
 
   /** One HTTP request against the target list with bounded retry and
-    * round-robin failover. Status handling follows the reference's
+    * load-balanced failover (the worker's [[HttpLoadBalancer.Client]]
+    * stays affine to its target; a failed target leaves the rotation
+    * and chooseTarget rebalances). Status handling follows the reference's
     * default_url_failure classification (`http-worker.c:294-372`):
     * permanent client errors (410/416/422/424/425/451 and 508) DROP
     * the request immediately — a replayed micro-batch must not re-POST
@@ -154,12 +173,12 @@ object Sinks {
     * Returns the last HTTP status (negative for dropped requests). */
   private[graft] def httpPost(cfg: HttpConfig, body: Array[Byte]): Int = {
     val targets = cfg.targets
-    var idx =
-      if (targets.size > 1) math.floorMod(roundRobin.getAndIncrement(), targets.size)
-      else 0
+    val lb = lbFor(targets)
+    val client = lbClientFor(lb, targets)
     var attempt = 0
     while (true) {
-      val url = targets(idx)
+      val target = lb.chooseTarget(client)
+      val url = target.url
       try {
         val conn = new java.net.URI(url).toURL.openConnection()
           .asInstanceOf[java.net.HttpURLConnection]
@@ -177,18 +196,24 @@ object Sinks {
           val os = conn.getOutputStream
           try { os.write(body); os.flush() } finally os.close()
           val code = conn.getResponseCode
-          if (code >= 200 && code < 300) return code
+          if (code >= 200 && code < 300) { lb.setTargetSuccessful(target); return code }
           if (dropCodes.contains(code)) return -code
           if (errorCodes.contains(code) && attempt >= cfg.retries) return -code
           if (attempt >= cfg.retries)
             throw new java.io.IOException(
               s"http($url): HTTP $code after ${attempt + 1} attempts")
+          // any non-success flush fails the TARGET and the next
+          // chooseTarget moves this worker to an alternative
+          // (http-worker.c:671-699 — the reference's flush loop calls
+          // set_target_failed on every retval != LTR_SUCCESS)
+          lb.setTargetFailed(target)
         } finally conn.disconnect()
       } catch {
-        case e: java.io.IOException if attempt < cfg.retries => ()
+        case e: java.io.IOException if attempt < cfg.retries =>
+          // transport failure: same failover rule
+          lb.setTargetFailed(target)
       }
       attempt += 1
-      idx = (idx + 1) % targets.size // fail over to the next target
       Thread.sleep(cfg.retryBackoffMs * attempt)
     }
     -1 // unreachable

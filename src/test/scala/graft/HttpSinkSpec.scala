@@ -112,9 +112,12 @@ class HttpSinkSpec extends GraftSuite {
     }
   }
 
-  test("multi-url: round-robin distribution and failover on error") {
-    // http-loadbalancer.c / scl/loadbalancer: workers spread across
-    // targets; a failing target's requests fail over to the next
+  test("multi-url: worker-affine spread across targets and failover on error") {
+    // http-loadbalancer.c semantics (r10, battery-pinned): each sending
+    // WORKER (thread) is a load-balancer client and stays AFFINE to its
+    // target while balanced — the spread happens ACROSS workers, not
+    // per request; a failing target is taken out of rotation and the
+    // worker fails over to an operational one
     val hitsA = new java.util.concurrent.atomic.AtomicInteger(0)
     val hitsB = new java.util.concurrent.atomic.AtomicInteger(0)
     def stub(hits: java.util.concurrent.atomic.AtomicInteger, ok: Boolean) = {
@@ -134,11 +137,14 @@ class HttpSinkSpec extends GraftSuite {
     try {
       val urls = Seq(a, b).map(s => s"http://127.0.0.1:${s.getAddress.getPort}/ingest")
       val cfg = HttpConfig(urls.head, urls = urls, retryBackoffMs = 10)
-      (1 to 10).foreach(i => Sinks.httpPost(cfg,
-        s"m$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      // both targets served requests (round-robin start rotation)
-      assert(hitsA.get() > 0 && hitsB.get() > 0, s"${hitsA.get()}/${hitsB.get()}")
-      assert(hitsA.get() + hitsB.get() == 10)
+      // two workers: the balancer's per-target goals put one on each
+      // (and each stays affine across its 5 requests)
+      val threads = (0 until 2).map { _ =>
+        new Thread(() => (1 to 5).foreach(i => Sinks.httpPost(cfg,
+          s"m$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(hitsA.get() == 5 && hitsB.get() == 5, s"${hitsA.get()}/${hitsB.get()}")
     } finally { a.stop(0); b.stop(0) }
     // failover: first target always 503s, every request lands on the
     // healthy second target
