@@ -432,4 +432,32 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Cartesian") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("video dHash pairs: banded equi-join only — no cartesian, no " +
+      "all-pairs fallback") {
+    // same degeneration risk as the image twin: the majority-hash
+    // banding must stay an equi-join on (band, key)
+    val p = plan("dedup_video_dhash")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("bk_a") && p.contains("bk_b"), p)
+  }
+
+  test("tree assignment (dedup_semantic_prod shape): fine side broadcasts, " +
+      "no cartesian, one embeddings scan feeds the self-join via ReusedExchange") {
+    // the r10 cell-tree path: the fine join must be a BHJ up to the
+    // 100k-row hint bound (the probe side otherwise exchanges N·nProbe
+    // vector-carrying rows), and the within-cluster self-join still
+    // reuses the single assignment exchange
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val df = graft.pipeline.Similarity.semanticPairs(emb, col("vec_id"),
+      col("embedding"), nCentroids = 64, threshold = 0.95,
+      flatMax = 1, nProbe = 4, levels = 3)
+    df.queryExecution.toRdd.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val fin = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(fin.exists(_.contains("ReusedExchange")), p)
+  }
 }
