@@ -251,19 +251,26 @@ object ConfigCompiler {
         case "file" | "mbox" | "wildcard-file" =>
           // wildcard-file(base-dir() filename-pattern()) — the glob
           // directory monitor (wildcard-source.c:103-299); plain file()
-          // takes the path literal/filename()
-          val path =
-            if (stmt.name == "wildcard-file") {
-              val base = kvOf(stmt.args, "base-dir").getOrElse(
-                throw new IllegalArgumentException(
-                  s"source $name: wildcard-file() needs base-dir()"))
-              val pat = kvOf(stmt.args, "filename-pattern").getOrElse(
-                throw new IllegalArgumentException(
-                  s"source $name: wildcard-file() needs filename-pattern()"))
-              s"${base.stripSuffix("/")}/$pat"
-            } else stmt.args.collectFirst { case Lit(p) => p }
+          // takes the path literal/filename(). A file() path carrying
+          // '*'/'?' is the LEGACY wildcard source
+          // (affile_is_legacy_wildcard_source, wildcard-source.c:464):
+          // it converts to a wildcard source via the dirname/basename
+          // split with the DEFAULT max-files cap.
+          val filePath =
+            if (stmt.name == "wildcard-file") None
+            else Some(stmt.args.collectFirst { case Lit(p) => p }
               .orElse(kvOf(stmt.args, "filename")).getOrElse(
-                throw new IllegalArgumentException(s"source $name: file() needs a path"))
+                throw new IllegalArgumentException(s"source $name: file() needs a path")))
+          val wSpec: Option[WildcardSpec] =
+            if (stmt.name == "wildcard-file")
+              Some(wildcardSourceSpec(stmt.args, name))
+            else filePath.filter(p => p.contains("*") || p.contains("?"))
+              .map { p =>
+                val (dir, base) = legacyWildcardSplit(p)
+                WildcardSpec(dir, base, maxFiles = 100, recursive = false,
+                  monitorMethod = "auto")
+              }
+          val path = wSpec.map(_.glob).getOrElse(filePath.get)
           // multi-line-mode()/multi-line-prefix() (logproto-regexp-/
           // indented-multiline-server.c); mbox() (scl/mbox/mbox.conf)
           // = file() with multi-line-prefix('^From ') + no-parse
@@ -287,15 +294,15 @@ object ConfigCompiler {
             .filterNot(e => e.equalsIgnoreCase("utf-8") || e.equalsIgnoreCase("utf8"))
           // wildcard-source.c:103-299 monitoring knobs: max-files(N)
           // caps how many glob members are consumed per poll →
-          // maxFilesPerTrigger (the same per-cycle reader budget);
-          // monitor-method(auto|inotify|poll) picks the OS watch
-          // primitive — Spark's file source is poll-based, so both
-          // values compile to the same scan (accepted + recorded)
-          val maxFiles = kvOf(stmt.args, "max-files").map(_.toInt).getOrElse(64)
-          kvOf(stmt.args, "monitor-method").foreach { m =>
-            require(Seq("auto", "inotify", "poll").contains(m),
-              s"source $name: monitor-method($m) is not a valid method")
-          }
+          // maxFilesPerTrigger (the same per-cycle reader budget, the
+          // reference's DEFAULT_MAX_FILES = 100); monitor-method picks
+          // the OS watch primitive — Spark's file source is
+          // poll-based, so both values compile to the same scan
+          // (validated + recorded); recursive(yes) walks
+          // subdirectories (recursiveFileLookup + pathGlobFilter)
+          val maxFiles = wSpec.map(_.maxFiles)
+            .orElse(kvOf(stmt.args, "max-files").map(_.toInt)).getOrElse(100)
+          val recursive = wSpec.exists(_.recursive)
           (mlPrefix, padSize, enc) match {
             // pad-size/encoding variants read batch (binaryFile), where
             // a per-trigger file budget has no meaning — reject rather
@@ -314,6 +321,9 @@ object ConfigCompiler {
             case (Some(re), _, _) => graft.streaming.Sources.multilineStream(
               spark, path, re, maxFilesPerTrigger = maxFiles,
               garbageRe = mlGarbage, suffixRe = mlSuffix)
+            case _ if recursive =>
+              graft.streaming.Sources.fileLinesRecursive(spark,
+                wSpec.get.baseDir, wSpec.get.filenamePattern, maxFiles)
             case _ => graft.streaming.Sources.fileLines(spark, path, maxFiles)
           }
         case "program" =>
@@ -1369,8 +1379,61 @@ object ConfigCompiler {
   }
 
   // ---- parsers --------------------------------------------------------------
+  /** wildcard-file()'s resolved surface (wildcard-source.c:439-456
+    * defaults: max-files = DEFAULT_MAX_FILES = 100, monitor-method =
+    * auto, recursive off; test_wildcard_source.c pins the whole
+    * battery against this). */
+  final case class WildcardSpec(baseDir: String, filenamePattern: String,
+      maxFiles: Int, recursive: Boolean, monitorMethod: String) {
+    def glob: String = s"${baseDir.stripSuffix("/")}/$filenamePattern"
+  }
+
+  /** Build a [[WildcardSpec]] from wildcard-file() args with the
+    * reference's validation: base-dir checked FIRST, then
+    * filename-pattern (_check_required_options order and messages,
+    * wildcard-source.c:39-56); monitor-method must be auto/inotify/poll
+    * ("Invalid monitor-method", :393-407). */
+  private[graft] def wildcardSourceSpec(args: Seq[Arg],
+      name: String): WildcardSpec = {
+    val base = kvOf(args, "base-dir").getOrElse(
+      throw new IllegalArgumentException(
+        s"Error: base-dir option is required (source $name)"))
+    val pat = kvOf(args, "filename-pattern").getOrElse(
+      throw new IllegalArgumentException(
+        s"Error: filename-pattern option is required (source $name)"))
+    val mm = kvOf(args, "monitor-method").getOrElse("auto")
+    if (!Seq("auto", "inotify", "poll").contains(mm))
+      throw new IllegalArgumentException(
+        s"Invalid monitor-method: $mm (source $name)")
+    WildcardSpec(base, pat,
+      maxFiles = kvOf(args, "max-files").map(_.toInt).getOrElse(100),
+      recursive = kvOf(args, "recursive")
+        .exists(v => Seq("yes", "on", "true", "1").contains(v.toLowerCase)),
+      monitorMethod = mm)
+  }
+
+  /** The legacy wildcard file() split (wildcard_sd_legacy_new,
+    * wildcard-source.c:470-482): g_path_get_dirname/g_path_get_basename
+    * — no separator → dirname ".", a root-level path keeps "/"
+    * (test_wildcard_source.c test_legacy_wildcard pins all nine
+    * cases). */
+  private[graft] def legacyWildcardSplit(path: String): (String, String) = {
+    val i = path.lastIndexOf('/')
+    if (i < 0) (".", path)
+    else {
+      val base = path.substring(i + 1)
+      var end = i
+      while (end > 0 && path.charAt(end - 1) == '/') end -= 1
+      (if (end == 0) "/" else path.substring(0, end), base)
+    }
+  }
+
+  /** A REPEATED option's last occurrence wins — every bison grammar
+    * action overwrites the driver field (test_wildcard_source.c
+    * test_option_duplication: `base-dir(/tmp) ... base-dir(/x)` keeps
+    * /x; the old collectFirst kept the FIRST and diverged). */
   private def kvOf(args: Seq[Arg], key: String): Option[String] =
-    args.collectFirst { case KV(`key`, vs) => lits(vs).head }
+    args.collect { case KV(`key`, vs) => lits(vs).head }.lastOption
 
   private def parserFn(s: Stmt, cfg: Config = null): DataFrame => DataFrame = {
     val input = kvOf(s.args, "template").map(t => templateCol(t))

@@ -18,10 +18,22 @@ object Sources {
     * `lib/logreader.c:480`). Emits `value` (the raw line) plus
     * `source_file` lineage (filter source() support, filter-re.c:35). */
   def fileLines(spark: SparkSession, glob: String,
-      maxFilesPerTrigger: Int = 64): DataFrame =
+      maxFilesPerTrigger: Int = 100): DataFrame =
     spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(glob)
+      .withColumn("source_file", input_file_name())
+
+  /** wildcard-file(recursive(yes)) (wildcard-source.c directory
+    * monitors recursing into subdirectories): the file source walks
+    * below base-dir with the name pattern applied per file. */
+  def fileLinesRecursive(spark: SparkSession, baseDir: String,
+      pattern: String, maxFilesPerTrigger: Int = 100): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", pattern)
+      .text(baseDir)
       .withColumn("source_file", input_file_name())
 
   /** The syslog source pipeline: lines → ParseSyslog struct columns.
