@@ -43,6 +43,8 @@ object AssignBench {
     // exists only to be beaten; skip it at the big decades.
     val paths = sys.env.getOrElse("SPARK_GRAFT_ASSIGN_PATHS", "flat,two,tree")
       .split(",").map(_.trim).toSet
+    require(paths.exists(Set("flat", "two", "tree")),
+      s"SPARK_GRAFT_ASSIGN_PATHS must name at least one of flat/two/tree, got: $paths")
     val parts = scala.collection.mutable.ArrayBuffer[String]()
     if (paths("flat")) parts += s""""flat_sec":${median(graft.pipeline.Similarity
       .assignClusters(base, k, flatMax = Int.MaxValue)

@@ -120,7 +120,11 @@ object Bench {
       else inSuite.filter(_._2 >= isolateMin).sortBy(-_._2).take(isolateCap)
         .flatMap { case (name, suite) =>
           forkOne(name, sfDir, cpus).map { first =>
-            val outlier = suite > 0 && (first > suite * 2 || first < suite / 2)
+            // only the SLOW direction is a hiccup: isolated medians
+            // routinely land well under the in-suite number (in-suite
+            // is noisy-HIGH from neighboring-query JVM state), so a
+            // fast child is the expected case, not an outlier
+            val outlier = suite > 0 && first > suite * 2
             val best =
               if (!outlier) first
               else {

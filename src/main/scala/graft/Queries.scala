@@ -3793,7 +3793,12 @@ object Queries {
   private val multimodalVideoHash = Q("multimodal_video_hash",
     (s, d) => {
       import s.implicits._
-      Multimodal.videoDHash(Multimodal.videoHashFixtures(s, d))
+      // sizing pass skipped (0): the fixtures are GENERATED — the
+      // byte-sum pre-pass would LZW-encode every clip once just to
+      // count bytes, doubling the query's dominant cost; the parquet
+      // scan upstream already spreads partitions
+      Multimodal.videoDHash(Multimodal.videoHashFixtures(s, d),
+          targetPartitionBytes = 0)
         .select(col("media_id"), col("n_frames"), col("vhash"), col("tsig"))
         .orderBy(col("media_id"))
     },
@@ -3818,8 +3823,10 @@ object Queries {
   private val dedupVideoDhash = Q("dedup_video_dhash",
     (s, d) => {
       import s.implicits._
+      // sizing pass skipped (0): see multimodal_video_hash
       Multimodal.videoDHashPairs(
-          Multimodal.videoDHash(Multimodal.videoHashFixtures(s, d)))
+          Multimodal.videoDHash(Multimodal.videoHashFixtures(s, d),
+            targetPartitionBytes = 0))
         .orderBy(col("id_a"), col("id_b"))
     },
     Some(s"""$videoRowbytesCte

@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   *   - events: event_id/user_id strides; ts shifted +31 days per shard
   *     (disjoint time ranges -> session/window state per key unchanged)
   *   - documents: doc_id stride; for shard k>0 every LETTER maps
-  *     through a shard-seeded permutation of [a-zA-Z] (`translate`) —
-  *     a char bijection, so two docs equal in the base stay equal in
-  *     every shard (duplicate RATE constant), distinct tokens stay
-  *     distinct, n-gram/shingle structure is isomorphic within a
-  *     shard, and cross-shard shingle overlap is ~0 (a shard's vocab
-  *     is a derangement no other shard's corpus contains). BYTE-STABLE
+  *     through a shard-seeded CASE-PRESERVING permutation (a-z
+  *     shuffled, A-Z its mirror — `translate`): a char bijection that
+  *     COMMUTES with lower(), so two docs equal in the base stay equal
+  *     in every shard (duplicate RATE constant, also under the
+  *     normalized md5(lower(...)) fingerprints), distinct tokens stay
+  *     distinct pre- AND post-lower, n-gram/shingle structure is
+  *     isomorphic within a shard, and cross-shard shingle overlap is
+  *     ~0 (a shard's vocab is a derangement no other shard's corpus
+  *     contains). BYTE-STABLE
   *     by construction (r9 verdict #3): the r7-r9 word-SUFFIX scheme
   *     compounded across generations (avg doc 297→798 B over three
   *     applications), making every text-family "10× decade" ~15.7× in
@@ -134,11 +137,21 @@ object ScaleGen {
 
     val documents = read("documents")
     val docS = stride(documents, "doc_id")
+    // CASE-PRESERVING permutation: shuffle a-z and mirror it onto A-Z
+    // (sigma(upper(c)) = upper(sigma(c))), so the substitution COMMUTES
+    // with lower() — the normalized-dedup family (md5(lower(...))
+    // fingerprints, lower(text) tokens) sees the same duplicate/token
+    // structure in every shard. A mixed-pool shuffle broke that:
+    // sigma('a')='X' and sigma('B')='x' merge distinct post-lower
+    // tokens and split equal-after-lower docs.
     val letters = (('a' to 'z') ++ ('A' to 'Z')).mkString
     val charMaps: Seq[String] = (0 until factor).map { k =>
       if (k == 0) letters
-      else new scala.util.Random(genSeed ^ (k * 0x9E3779B97F4A7CL))
-        .shuffle(letters.toList).mkString
+      else {
+        val lowerPerm = new scala.util.Random(genSeed ^ (k * 0x9E3779B97F4A7CL))
+          .shuffle(('a' to 'z').toList)
+        (lowerPerm ++ lowerPerm.map(_.toUpper)).mkString
+      }
     }
     // translate() takes literal maps — a when-cascade over the factor
     // shards keeps the whole mutation one codegen'd pass

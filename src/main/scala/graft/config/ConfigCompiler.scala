@@ -303,24 +303,25 @@ object ConfigCompiler {
           val maxFiles = wSpec.map(_.maxFiles)
             .orElse(kvOf(stmt.args, "max-files").map(_.toInt)).getOrElse(100)
           val recursive = wSpec.exists(_.recursive)
+          // recursion is orthogonal to the framing proto (the
+          // reference's directory monitors recurse below base-dir
+          // whatever the reader proto is)
+          val recBase: Option[(String, String)] =
+            if (recursive) Some((wSpec.get.baseDir, wSpec.get.filenamePattern))
+            else None
           (mlPrefix, padSize, enc) match {
-            // pad-size/encoding variants read batch (binaryFile), where
-            // a per-trigger file budget has no meaning — reject rather
-            // than silently ignore an explicit max-files()
-            // pad-size + encoding compose (the padded-record server's
-            // encoded form, test-record-server.c:107-176): record
-            // boundaries on raw bytes, per-frame decode
             case (_, Some(n), encOpt) =>
               require(kvOf(stmt.args, "max-files").isEmpty,
                 s"source $name: max-files() is not supported with pad-size()")
-              graft.streaming.Sources.paddedRecords(spark, path, n, encOpt)
+              graft.streaming.Sources.paddedRecords(spark, path, n, encOpt, recBase)
             case (_, _, Some(cs)) =>
               require(kvOf(stmt.args, "max-files").isEmpty,
                 s"source $name: max-files() is not supported with encoding()")
-              graft.streaming.Sources.fileLinesEncoded(spark, path, cs)
+              graft.streaming.Sources.fileLinesEncoded(spark, path, cs, recBase)
             case (Some(re), _, _) => graft.streaming.Sources.multilineStream(
               spark, path, re, maxFilesPerTrigger = maxFiles,
-              garbageRe = mlGarbage, suffixRe = mlSuffix)
+              garbageRe = mlGarbage, suffixRe = mlSuffix,
+              recursive = recBase)
             case _ if recursive =>
               graft.streaming.Sources.fileLinesRecursive(spark,
                 wSpec.get.baseDir, wSpec.get.filenamePattern, maxFiles)

@@ -194,7 +194,11 @@ object PdbLoader {
         case c => java.util.regex.Pattern.quote(c.toString)
       }).r.pattern
     val out = Seq.newBuilder[String]
-    dir.listFiles().foreach { f =>
+    // listFiles() returns null (not empty) on I/O error / permission
+    // denial — the g_dir_open error path; fail loudly like the C
+    val entries = Option(dir.listFiles()).getOrElse(
+      throw new IllegalArgumentException(s"cannot read directory $dirPath"))
+    entries.foreach { f =>
       val full = s"$dirPath/${f.getName}"
       if (recursive && f.isDirectory)
         out ++= pdbGetFilenames(full, recursive, pattern)

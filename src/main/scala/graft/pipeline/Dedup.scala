@@ -585,6 +585,15 @@ object Dedup {
     * larger bench id (the argmax comparator — oracle-replayed).
     *
     * @return flagged rows only: (doc_id, bench_id, cos) */
+  /** EXACTNESS at the crossover: up to `exprMax` benchmark vectors the
+    * result is the exact argmax; past it the tree path at the default
+    * `nProbe` is the standard IVF approximation (flagged docs a subset,
+    * cosines exact — the PipelineSpec gates). A caller that needs the
+    * exact result past exprMax passes `nProbe = Int.MaxValue` (full
+    * probe — bit-identical to the expression path, also gated) and pays
+    * the full per-row bench scan; `maxBench` remains the hard cap on
+    * the EXPRESSION path only (it fires when a caller forces the
+    * expression side with exprMax >= maxBench). */
   def semanticContamination(corpus: DataFrame, id: Column, vec: Column,
       bench: DataFrame, benchId: Column, benchVec: Column,
       threshold: Double, maxBench: Int = 1 << 20,

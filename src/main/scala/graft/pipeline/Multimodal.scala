@@ -51,6 +51,27 @@ object Multimodal {
       if (row.bytes.isEmpty) -1 else row.bytes(0) & 0xFF, checksum, feature)
   }
 
+  /** Partition shaping by payload bytes (the shared opener of every
+    * batched decode pass): partitions sized so each holds
+    * ~`targetPartitionBytes` of media, hash-spread on media_id — one
+    * 4 GB video next to thumbnails must not serialize a partition
+    * behind it. The sizing aggregate EXECUTES the input once; for a
+    * file-backed corpus that's a cheap column scan, but for GENERATED
+    * frames (fixture corpora) it doubles the dominant generation cost
+    * — such callers pass `targetPartitionBytes = 0` to keep the
+    * input's own partitioning. */
+  private def shapeByBytes[T](ds: Dataset[T],
+      targetPartitionBytes: Long): Dataset[T] =
+    if (targetPartitionBytes <= 0) ds
+    else {
+      val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
+      val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+      val minParts = ds.sparkSession.sparkContext.defaultParallelism
+      val parts = math.max(minParts,
+        math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
+      ds.repartition(parts, col("media_id"))
+    }
+
   /** Batched decode pass: mapPartitions so a real decoder can amortize
     * per-batch init (model load, codec context) across the partition —
     * the same shape `mapInPandas` gives Python. The partition count is
@@ -62,16 +83,7 @@ object Multimodal {
   def extractFeatures(ds: Dataset[MediaRow],
       targetPartitionBytes: Long = 128L << 20): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
-    val shaped =
-      if (targetPartitionBytes <= 0) ds
-      else {
-        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
-        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-        val minParts = ds.sparkSession.sparkContext.defaultParallelism
-        val parts = math.max(minParts,
-          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
-        ds.repartition(parts, col("media_id"))
-      }
+    val shaped = shapeByBytes(ds, targetPartitionBytes)
     shaped.mapPartitions { it =>
       // per-partition init happens here (decoder/model handle)
       it.map(decodeStub)
@@ -101,16 +113,7 @@ object Multimodal {
   def extractHeaders(ds: Dataset[MediaRow],
       targetPartitionBytes: Long = 128L << 20): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
-    val shaped =
-      if (targetPartitionBytes <= 0) ds
-      else {
-        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
-        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-        val minParts = ds.sparkSession.sparkContext.defaultParallelism
-        val parts = math.max(minParts,
-          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
-        ds.repartition(parts, col("media_id"))
-      }
+    val shaped = shapeByBytes(ds, targetPartitionBytes)
     shaped.mapPartitions { it =>
       it.map { row =>
         val m = MediaHeaders.decode(row.bytes)
@@ -243,16 +246,7 @@ object Multimodal {
   def extractAudioFeatures(ds: Dataset[MediaRow],
       targetPartitionBytes: Long = 128L << 20): Dataset[AudioFeatures] = {
     import ds.sparkSession.implicits._
-    val shaped =
-      if (targetPartitionBytes <= 0) ds
-      else {
-        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
-        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-        val minParts = ds.sparkSession.sparkContext.defaultParallelism
-        val parts = math.max(minParts,
-          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
-        ds.repartition(parts, col("media_id"))
-      }
+    val shaped = shapeByBytes(ds, targetPartitionBytes)
     shaped.mapPartitions { it =>
       it.flatMap { row =>
         Option(MediaSamples.decode(row.bytes))
@@ -283,16 +277,7 @@ object Multimodal {
   def extractSampleStats(ds: Dataset[MediaRow],
       targetPartitionBytes: Long = 128L << 20): Dataset[SampleStats] = {
     import ds.sparkSession.implicits._
-    val shaped =
-      if (targetPartitionBytes <= 0) ds
-      else {
-        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
-        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-        val minParts = ds.sparkSession.sparkContext.defaultParallelism
-        val parts = math.max(minParts,
-          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
-        ds.repartition(parts, col("media_id"))
-      }
+    val shaped = shapeByBytes(ds, targetPartitionBytes)
     shaped.mapPartitions { it =>
       it.flatMap { row =>
         Option(MediaSamples.decode(row.bytes)).filter(_.samples.nonEmpty)
@@ -334,16 +319,7 @@ object Multimodal {
   def imageDHash(ds: Dataset[MediaRow],
       targetPartitionBytes: Long = 128L << 20): Dataset[ImageHash] = {
     import ds.sparkSession.implicits._
-    val shaped =
-      if (targetPartitionBytes <= 0) ds
-      else {
-        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
-        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-        val minParts = ds.sparkSession.sparkContext.defaultParallelism
-        val parts = math.max(minParts,
-          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
-        ds.repartition(parts, col("media_id"))
-      }
+    val shaped = shapeByBytes(ds, targetPartitionBytes)
     shaped.mapPartitions { it =>
       it.flatMap { row =>
         val meta = MediaHeaders.decode(row.bytes)
@@ -477,16 +453,7 @@ object Multimodal {
   def audioEnergyHash(ds: Dataset[MediaRow],
       targetPartitionBytes: Long = 128L << 20): Dataset[AudioHash] = {
     import ds.sparkSession.implicits._
-    val shaped =
-      if (targetPartitionBytes <= 0) ds
-      else {
-        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
-        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-        val minParts = ds.sparkSession.sparkContext.defaultParallelism
-        val parts = math.max(minParts,
-          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
-        ds.repartition(parts, col("media_id"))
-      }
+    val shaped = shapeByBytes(ds, targetPartitionBytes)
     shaped.mapPartitions { it =>
       it.flatMap { row =>
         val dec = MediaSamples.decode(row.bytes)
@@ -629,16 +596,7 @@ object Multimodal {
   def videoDHash(ds: Dataset[MediaRow], maxFrames: Int = 64,
       targetPartitionBytes: Long = 128L << 20): Dataset[VideoHash] = {
     import ds.sparkSession.implicits._
-    val shaped =
-      if (targetPartitionBytes <= 0) ds
-      else {
-        val sumRow = ds.toDF().agg(sum(octet_length(col("bytes")))).head
-        val total = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
-        val minParts = ds.sparkSession.sparkContext.defaultParallelism
-        val parts = math.max(minParts,
-          math.min(total / targetPartitionBytes + 1, minParts * 16L).toInt)
-        ds.repartition(parts, col("media_id"))
-      }
+    val shaped = shapeByBytes(ds, targetPartitionBytes)
     shaped.mapPartitions { it =>
       it.flatMap { row =>
         val meta = MediaHeaders.decode(row.bytes)

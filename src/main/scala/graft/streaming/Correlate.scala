@@ -65,7 +65,14 @@ object Correlate {
     var b = buckets
     if (last == 0L) { last = nowSec; b = rate.toLong }
     else {
-      val newCredits = ((nowSec - last) << 8) / ((quantumSec.toLong << 8) / rate)
+      // (quantum<<8)/rate underflows to 0 when rate > 256·quantum — in
+      // the C that is a division by zero (SIGFPE); at such rates any
+      // elapsed second deposits more than a full bucket, so refill
+      // outright instead of crashing the task (documented divergence)
+      val perCredit = (quantumSec.toLong << 8) / rate
+      val newCredits =
+        if (perCredit == 0) { if (nowSec != last) rate.toLong else 0L }
+        else ((nowSec - last) << 8) / perCredit
       if (newCredits != 0) {
         b = math.min(b + newCredits, rate.toLong)
         last = nowSec

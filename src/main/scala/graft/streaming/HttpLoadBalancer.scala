@@ -74,6 +74,18 @@ final class HttpLoadBalancer(clock: () => Long = () => System.currentTimeMillis(
     new Client
   }
 
+  /** Deregister a client and return its target capacity. The C's
+    * http_lb_client_deinit is an empty stub because the reference's
+    * worker pool is FIXED for the destination's lifetime; Spark task
+    * threads churn, so [[Sinks]] sweeps dead threads through here —
+    * without it phantom clients hold per-target goals up forever and
+    * live workers avoid those targets. */
+  def releaseClient(c: Client): Unit = synchronized {
+    _numClients -= 1
+    if (c.target != null) { c.target.numberOfClients -= 1; c.target = null }
+    recalcGoals()
+  }
+
   private def recalcGoals(): Unit = {
     val operational = _targets.size - _numFailedTargets
     if (operational == 0) return

@@ -135,8 +135,10 @@ object Sinks {
     * to its target while balanced (http-loadbalancer.c:60-214). */
   private val lbs =
     new java.util.concurrent.ConcurrentHashMap[Seq[String], HttpLoadBalancer]()
-  private val lbClients = ThreadLocal.withInitial(() =>
-    scala.collection.mutable.Map.empty[Seq[String], HttpLoadBalancer.Client])
+  // per-THREAD clients, registered by thread so dead task threads can
+  // be swept (a phantom client would hold its target's goal up forever)
+  private val lbClientThreads = new java.util.concurrent.ConcurrentHashMap[
+    Thread, scala.collection.mutable.Map[Seq[String], HttpLoadBalancer.Client]]()
 
   private def lbFor(targets: Seq[String]): HttpLoadBalancer =
     lbs.computeIfAbsent(targets, ts => {
@@ -146,8 +148,24 @@ object Sinks {
     })
 
   private def lbClientFor(lb: HttpLoadBalancer,
-      targets: Seq[String]): HttpLoadBalancer.Client =
-    lbClients.get().getOrElseUpdate(targets, lb.newClient())
+      targets: Seq[String]): HttpLoadBalancer.Client = {
+    // opportunistic sweep: release clients owned by dead threads
+    val it = lbClientThreads.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getKey.isAlive) {
+        e.getValue.synchronized {
+          e.getValue.foreach { case (ts, c) =>
+            Option(lbs.get(ts)).foreach(_.releaseClient(c))
+          }
+        }
+        it.remove()
+      }
+    }
+    val m = lbClientThreads.computeIfAbsent(Thread.currentThread(),
+      _ => scala.collection.mutable.Map.empty)
+    m.synchronized(m.getOrElseUpdate(targets, lb.newClient()))
+  }
 
   /** `http-worker.c default_map_http_status_to_worker_status`:
     * LTR_DROP — the payload can never succeed, drop it without retry;

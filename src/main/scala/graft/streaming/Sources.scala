@@ -189,12 +189,18 @@ object Sources {
     * [[fileLines]] so the downstream parse stages are shared. */
   def multilineStream(spark: SparkSession, glob: String, startRe: String,
       maxFilesPerTrigger: Int = 64, garbageRe: Option[String] = None,
-      suffixRe: Option[String] = None): DataFrame = {
-    val whole = spark.readStream
+      suffixRe: Option[String] = None,
+      /** wildcard-file(recursive(yes)): (base-dir, name pattern) —
+        * directory monitors recurse orthogonally to the framing proto */
+      recursive: Option[(String, String)] = None): DataFrame = {
+    val rdr = spark.readStream
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .option("wholetext", "true")
-      .text(glob)
-      .withColumn("source_file", input_file_name())
+    val whole = (recursive match {
+      case Some((base, pat)) => rdr.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", pat).text(base)
+      case None => rdr.text(glob)
+    }).withColumn("source_file", input_file_name())
     val marked = regexp_replace(col("value"),
       "(?m)^(" + startRe + ")", "\u0000$1")
     whole.select(col("source_file"),
@@ -234,11 +240,26 @@ object Sources {
     * newline still flushes its partial last line as a message, and
     * only the post-split artifact of one trailing newline drops (an
     * empty payload yields no messages). */
+  /** A binaryFile batch read over either a glob or a recursive
+    * (base-dir, pattern) walk — the shared opener for the
+    * pad-size()/encoding() forms under wildcard-file(recursive(yes)). */
+  private def binaryRead(spark: SparkSession, glob: String,
+      recursive: Option[(String, String)]): DataFrame = recursive match {
+    case Some((base, pat)) => spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true").option("pathGlobFilter", pat)
+      .load(base)
+    case None => spark.read.format("binaryFile").load(glob)
+  }
+
   def fileLinesEncoded(spark: SparkSession, glob: String,
-      charset: String): DataFrame = {
+      charset: String): DataFrame =
+    fileLinesEncoded(spark, glob, charset, None)
+
+  def fileLinesEncoded(spark: SparkSession, glob: String,
+      charset: String, recursive: Option[(String, String)]): DataFrame = {
     val decoded = graft.functions.GraftFunctions.charset_decode(
       col("content"), charset)
-    spark.read.format("binaryFile").load(glob)
+    binaryRead(spark, glob, recursive)
       .select(col("path").as("source_file"), decoded.as("__dec"))
       .filter(length(col("__dec")) > 0)
       .select(col("source_file"),
@@ -266,9 +287,14 @@ object Sources {
     * cut applies ONLY to the unencoded form — UCS-4 records are full
     * of NUL bytes that are data, not padding. */
   def paddedRecords(spark: SparkSession, glob: String,
-      recordSize: Int, charset: Option[String]): DataFrame = {
+      recordSize: Int, charset: Option[String]): DataFrame =
+    paddedRecords(spark, glob, recordSize, charset, None)
+
+  def paddedRecords(spark: SparkSession, glob: String,
+      recordSize: Int, charset: Option[String],
+      recursive: Option[(String, String)]): DataFrame = {
     require(recordSize > 0, "pad-size must be positive")
-    val raw = spark.read.format("binaryFile").load(glob)
+    val raw = binaryRead(spark, glob, recursive)
       .select(col("path").as("source_file"), col("content"))
     if (charset.isDefined) {
       val cs = charset.get

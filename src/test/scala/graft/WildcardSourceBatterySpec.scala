@@ -115,13 +115,19 @@ class WildcardSourceBatterySpec extends GraftSuite {
     }
   }
 
-  test("test_option_inheritance_multiline: multi-line options reach the wildcard reader (:85, e2e)") {
+  test("test_option_inheritance_multiline: multi-line options reach the wildcard reader, recursion orthogonal (:85, e2e)") {
+    // the C config passes recursive(yes) WITH the multi-line options —
+    // the directory monitor recursion is orthogonal to the framing
+    // proto, so a subdirectory file must frame identically
     val dir = java.nio.file.Files.createTempDirectory("graft-wc").toString
+    new java.io.File(s"$dir/sub").mkdirs()
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.log"),
       "1 first\ncont\n2 second\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/sub/b.log"),
+      "3 third\ndeep\n".getBytes("UTF-8"))
     val cfg = graft.config.ConfigParser.parse(s"""
       source s_test { wildcard-file(base-dir("$dir") filename-pattern("*.log")
-        recursive(no) max-files(100)
+        recursive(yes) max-files(100)
         multi-line-mode(regexp) multi-line-prefix('\\\\d+') flags(no-parse)); };
       destination d { file("/out"); };
       log { source(s_test); destination(d); };
@@ -130,7 +136,7 @@ class WildcardSourceBatterySpec extends GraftSuite {
       cfg, spark, java.nio.file.Files.createTempDirectory("graft-sp").toString)
     try {
       val rows = drain(routes.head.df, "wc_ml").sorted
-      assert(rows == Seq("1 first\ncont", "2 second"), rows)
+      assert(rows == Seq("1 first\ncont", "2 second", "3 third\ndeep"), rows)
     } finally ls.values.foreach(_.stop())
   }
 
