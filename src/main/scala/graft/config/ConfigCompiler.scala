@@ -1821,18 +1821,19 @@ object ConfigCompiler {
     def nodeAgg(n: graft.template.Template.Node): Column = n match {
       case TLit(s) => lit(s)
       case Ref(name, _, _) => min(resolve(name)).cast("string")
-      case Func("context-length", _, _) => count(lit(1)).cast("string")
-      case Func("context-values", args, _) =>
+      case Func("context-length", _, _, _) => count(lit(1)).cast("string")
+      case Func("context-values", args, _, _) =>
         // $(context-values $x) with sort-key() (groupingby.c:327) —
         // values of the context ordered by the sort key, comma-joined
         graft.operators.Sessions.sortedValues(argCol(args).cast("string"),
           sortKey.cast("string"))
-      case Func("grep" | "context-lookup", args0, raw0) =>
+      case Func(fn @ ("grep" | "context-lookup"), args0, raw0, _) =>
         // $(grep [-m N] condition $v...) / $(context-lookup condition
         // $v...) (cond-funcs.c:75-145, context-funcs.c:25-120): every
         // value argument of every context row matching the filter
         // expression, interleaved in sort-key order; -m/--max-count
-        // caps the number of matching rows.
+        // caps the number of matching rows. context-lookup str-repr
+        // quotes each element; grep joins the raw values (ADVICE r10).
         var maxCount: Option[Int] = None
         var (args, raw) = (args0, raw0)
         while (raw.headOption.exists(r => r == "-m" || r == "--max-count")) {
@@ -1849,18 +1850,19 @@ object ConfigCompiler {
         val vals = args.tail.map(p =>
           Template.compile(p, resolve).cast("string"))
         graft.operators.Sessions.sortedValuesMulti(
-          when(cond, array(vals: _*)), sortKey.cast("string"), maxCount)
+          when(cond, array(vals: _*)), sortKey.cast("string"), maxCount,
+          quote = fn == "context-lookup")
       // all-invalid contexts render "" (the battery's full_invalid
       // case: _tf_num_filter returns FALSE -> empty result)
-      case Func("sum", args, _) =>
+      case Func("sum", args, _, _) =>
         coalesce(sum(guardNum(argCol(args))).cast("string"), lit(""))
-      case Func("min", args, _) =>
+      case Func("min", args, _, _) =>
         coalesce(min(guardNum(argCol(args))).cast("string"), lit(""))
-      case Func("max", args, _) =>
+      case Func("max", args, _, _) =>
         coalesce(max(guardNum(argCol(args))).cast("string"), lit(""))
-      case Func("average", args, _) =>
+      case Func("average", args, _, _) =>
         coalesce(avg(guardNum(argCol(args))).cast("long").cast("string"), lit(""))
-      case Func(name, _, _) => throw new IllegalArgumentException(
+      case Func(name, _, _, _) => throw new IllegalArgumentException(
         s"unsupported aggregate template function $$($name)")
     }
     def argCol(args: Seq[Parsed]): Column =

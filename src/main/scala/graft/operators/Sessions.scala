@@ -103,14 +103,19 @@ object Sessions {
   /** Multi-value form: `values` is one array per row (e.g. $(grep cond
     * $PID $PROGRAM) emits every argument per matching row,
     * cond-funcs.c:75-145 interleaved). `limit` caps the number of
-    * contributing ROWS ($(grep -m N ...) max-count). */
+    * contributing ROWS ($(grep -m N ...) max-count). `quote` selects
+    * the join encoding: $(context-lookup) str-repr-quotes each element
+    * (context-funcs.c:78 str_repr_encode_append) while $(grep) appends
+    * the RAW rendered values with a bare ',' (cond-funcs.c:133). */
   def sortedValuesMulti(values: Column, sortKey: Column,
-      limit: Option[Int] = None): Column = {
+      limit: Option[Int] = None, quote: Boolean = true): Column = {
     val sorted = filter(transform(
       array_sort(collect_list(struct(sortKey.as("k"), values.as("v")))),
       e => e.getField("v")), _.isNotNull)
     val limited = limit.map(m => slice(sorted, 1, m)).getOrElse(sorted)
-    graft.functions.ListFunctions.list_encode(flatten(limited))
+    val flat = flatten(limited)
+    if (quote) graft.functions.ListFunctions.list_encode(flat)
+    else array_join(flat, ",")
   }
 
   /** suppress(N) (`lib/logwriter.c:565-640`): drop messages identical to

@@ -59,13 +59,21 @@ object Synthetic {
     // names the resolver below binds (the row-level Template compiler
     // has no context access)
     val greps = scala.collection.mutable.ArrayBuffer
-      .empty[(Seq[Parsed], Seq[String])]
+      .empty[(String, Seq[Parsed], Seq[String], Int)]
+    val funcRefs = scala.collection.mutable.ArrayBuffer.empty[Func]
     def rewrite(p: Parsed): Parsed = Parsed(p.nodes.map {
-      case Func("context-length", _, _) => Ref("__context_length", None)
-      case Func("grep" | "context-lookup", args, raw) =>
-        greps += ((args, raw))
+      case Func("context-length", _, _, 0) => Ref("__context_length", None)
+      case Func(fn @ ("grep" | "context-lookup"), args, raw, mref) =>
+        greps += ((fn, args, raw, mref))
         Ref(s"__grep ${greps.size - 1}", None)
-      case Func(n, args, raw) => Func(n, args.map(rewrite), raw)
+      case f: Func if f.msgRef > 0 =>
+        // `$(func ...)@N`: the reference stores msg_ref on FUNC elements
+        // too (compiler.c:62) and evaluates the function against that
+        // single context member (eval.c:97-103 passes &messages[msg_ndx],
+        // num_messages=1) — ADVICE r10
+        funcRefs += f
+        Ref(s"__funcref ${funcRefs.size - 1}", None)
+      case Func(n, args, raw, _) => Func(n, args.map(rewrite), raw)
       case Ref(name, d, r) if r > 0 =>
         Ref(s"__ctxref $r $name", d.map(rewrite))
       case n => n
@@ -78,9 +86,52 @@ object Synthetic {
       case "__context_length" => ctx.n.cast("string")
       case name => elemField(e, name)
     }
+    // the virtually-appended genmsg as a context-element-shaped struct
+    // (the current row state), for single-member iteration over @0
+    // during generation
+    lazy val genElem: Column = struct(
+      lit(0.0).as("o"),
+      resolve("MESSAGE").cast("string").as("message"),
+      resolve("HOST").cast("string").as("host"),
+      resolve("PROGRAM").cast("string").as("program"),
+      resolve("PID").cast("string").as("pid"),
+      (if (ctx.columns.contains("values")) col("values")
+       else emptyMap).as("v"))
     lazy val resolve: String => Column = {
       case "__context_length" => (ctx.n + ctx.genOffset).cast("string")
       case "CONTEXT_ID" | "_" => ctx.contextId
+      case s if s.startsWith("__funcref ") =>
+        // `$(func ...)@N` — the function sees a 1-message context: its
+        // arg refs resolve against that member, $(context-length)
+        // renders "1", refs deeper than the single member render "";
+        // msg_ref > num_messages skips the whole element (eval.c:57)
+        val f = funcRefs(s.split(" ", 2)(1).toInt)
+        val idx = (ctx.n + lit(ctx.genOffset) - lit(f.msgRef) + lit(1))
+          .cast("int")
+        val member =
+          if (ctx.genOffset == 0) element_at(ctx.arr, idx)
+          else when(idx === ctx.n + 1, genElem)
+            .otherwise(element_at(ctx.arr, idx))
+        val memberResolve: String => Column = {
+          case "CONTEXT_ID" | "_" => ctx.contextId
+          case "__context_length" => lit("1")
+          case name => elemField(member, name)
+        }
+        def strip(p: Parsed): Parsed = Parsed(p.nodes.map {
+          case Ref(_, _, m) if m > 1 => Lit("") // beyond the 1-msg context
+          case Ref(nm, d, _) => Ref(nm, d.map(strip), 0)
+          case Func("context-length", _, _, _) =>
+            Ref("__context_length", None)
+          case Func(n2, a2, r2, _) => Func(n2, a2.map(strip), r2)
+          case n => n
+        })
+        val compiled =
+          if (f.name == "context-length") lit("1")
+          else Template.compile(
+            Parsed(Seq(Func(f.name, f.args.map(strip), f.rawArgs))),
+            memberResolve)
+        when(idx >= 1 && idx <= ctx.n + lit(ctx.genOffset), compiled)
+          .otherwise(lit(""))
       case s if s.startsWith("__ctxref ") =>
         val Array(_, r, name) = s.split(" ", 3)
         // eval.c:59 msg_ndx = num_messages - msg_ref (0-based); the
@@ -92,7 +143,7 @@ object Synthetic {
         else when(idx === ctx.n + 1, resolve(name))
           .when(idx >= 1 && idx <= ctx.n, fromCtx)
       case s if s.startsWith("__grep ") =>
-        val (args0, raw0) = greps(s.split(" ", 2)(1).toInt)
+        val (fn, args0, raw0, mref) = greps(s.split(" ", 2)(1).toInt)
         var maxCount: Option[Int] = None
         var (args, raw) = (args0, raw0)
         while (raw.headOption.exists(r => r == "-m" || r == "--max-count")) {
@@ -112,12 +163,28 @@ object Synthetic {
           graft.config.ConfigCompiler.filterColTemplated(
             graft.config.ConfigParser.parseFilterExpr(condText),
             s2 => Template.compile(Template.parse(s2), elemResolve(e)))
-        val matched = filter(ctx.arr, e => coalesce(cond(e), lit(false)))
+        // `$(grep ...)@N` evaluates over a SINGLE-member context
+        // (eval.c:97-98: &messages[msg_ndx], num_messages=1;
+        // test_basicfuncs.c:163-165) — out-of-range refs iterate
+        // nothing and render ""
+        val iterArr = if (mref == 0) ctx.arr else {
+          val idx = (ctx.n + lit(ctx.genOffset) - lit(mref) + lit(1)).cast("int")
+          val single = filter(ctx.arr, (_, i) => i === idx - 1)
+          if (ctx.genOffset == 0) single
+          else when(idx === ctx.n + 1, array(genElem)).otherwise(single)
+        }
+        val matched = filter(iterArr, e => coalesce(cond(e), lit(false)))
         val limited = maxCount.map(m => slice(matched, 1, m)).getOrElse(matched)
         val vals = flatten(transform(limited, e =>
           array(args.tail.map(p =>
             Template.compile(p, elemResolve(e)).cast("string")): _*)))
-        graft.functions.ListFunctions.list_encode(
+        // tf_grep_call joins the RAW rendered values with a plain ','
+        // (g_string_append_c(result, ',') — cond-funcs.c:133, no
+        // list-repr quoting), so a matched value containing spaces or
+        // commas passes through verbatim; $(context-lookup) str-repr
+        // quotes each element (context-funcs.c:78) — ADVICE r10
+        if (fn == "grep") array_join(filter(vals, _.isNotNull), ",")
+        else graft.functions.ListFunctions.list_encode(
           filter(vals, _.isNotNull))
       case name => graft.template.Macros.resolver(ctx.columns, None)(name)
     }

@@ -612,7 +612,19 @@ object Dedup {
         .select(col("doc_id"), col("best.cid").as("bench_id"),
           col("best.cos").as("cos"))
         .filter(col("cos") >= threshold)
-    } else semanticContaminationTree(corpus, id, vec, bFrame, threshold, nProbe)
+    } else {
+      // ADVICE r10: callers between exprMax and maxBench previously got
+      // the exact expression path — make the exactness change LOUD so a
+      // decontamination gate relying on the exact contract notices.
+      if (nProbe != Int.MaxValue)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"semanticContamination: benchmark has ${head.length - 1}+ vectors " +
+            s"(> exprMax=$exprMax) — taking the APPROXIMATE IVF tree path at " +
+            s"nProbe=$nProbe (flagged docs a subset of the exact result). " +
+            s"Pass nProbe=Int.MaxValue for the exact full-probe result, or " +
+            s"raise exprMax to force the exact expression path.")
+      semanticContaminationTree(corpus, id, vec, bFrame, threshold, nProbe)
+    }
   }
 
   /** The LARGE-benchmark path (r9 verdict #7): past `exprMax` vectors

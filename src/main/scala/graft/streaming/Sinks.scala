@@ -149,17 +149,21 @@ object Sinks {
 
   private def lbClientFor(lb: HttpLoadBalancer,
       targets: Seq[String]): HttpLoadBalancer.Client = {
-    // opportunistic sweep: release clients owned by dead threads
-    val it = lbClientThreads.entrySet().iterator()
+    // opportunistic sweep: release clients owned by dead threads.
+    // CHM iterators are weakly consistent, so two sweepers can SEE the
+    // same dead entry — the remove() is the claim: only the thread
+    // whose remove returns non-null releases, or _numClients would be
+    // double-decremented and recalcGoals skewed forever.
+    val it = lbClientThreads.keySet().iterator()
     while (it.hasNext) {
-      val e = it.next()
-      if (!e.getKey.isAlive) {
-        e.getValue.synchronized {
-          e.getValue.foreach { case (ts, c) =>
+      val t = it.next()
+      if (!t.isAlive) {
+        val claimed = lbClientThreads.remove(t)
+        if (claimed ne null) claimed.synchronized {
+          claimed.foreach { case (ts, c) =>
             Option(lbs.get(ts)).foreach(_.releaseClient(c))
           }
         }
-        it.remove()
       }
     }
     val m = lbClientThreads.computeIfAbsent(Thread.currentThread(),

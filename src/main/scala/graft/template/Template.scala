@@ -30,8 +30,15 @@ object Template {
       msgRef: Int = 0) extends Node
   /** `rawArgs` keeps the unquoted argument text — the HOFs ($(map),
     * $(filter), $(iterate), filter-expression $(if)) re-compile it lazily
-    * with `$_` bound or through the filter-expr grammar. */
-  final case class Func(name: String, args: Seq[Parsed], rawArgs: Seq[String]) extends Node
+    * with `$_` bound or through the filter-expr grammar. `msgRef` is the
+    * `$(func ...)@N` correlation reference, stored like [[Ref]]'s
+    * (compiler.c:62 log_template_elem_new_func takes msg_ref too): the
+    * eval loop then passes ONLY that context member to the function
+    * (eval.c:97-98 `&messages[msg_ndx], 1`), so the function's argument
+    * refs resolve against that single message. Row-level compiles ignore
+    * it; the correlation path (patterndb Synthetic) binds it. */
+  final case class Func(name: String, args: Seq[Parsed], rawArgs: Seq[String],
+      msgRef: Int = 0) extends Node
   final case class Parsed(nodes: Seq[Node])
 
   // ---- parser ------------------------------------------------------------
@@ -63,9 +70,10 @@ object Template {
           val inner = s.substring(i + 2, close)
           val parts = splitArgs2(inner)
           require(parts.nonEmpty, s"empty template function in: $s")
+          val (ni, mref) = consumeMsgRef(s, close + 1)
           nodes += Func(parts.head._1, parts.tail.map(p => parse(p._1)),
-            parts.tail.map(_._2))
-          i = consumeMsgRef(s, close + 1)._1
+            parts.tail.map(_._2), mref)
+          i = ni
         } else if (n.isLetterOrDigit || n == '_' || n == '.') {
           flushLit()
           var j = i + 1
@@ -236,7 +244,7 @@ object Template {
       // reference's "Unknown template function or template"); a
       // computed NAME binds per row against the registry, rendering
       // the space-joined fallback args when no template matches.
-      case Func("template", args, _) if args.nonEmpty =>
+      case Func("template", args, _, _) if args.nonEmpty =>
         val nameLit = args.head.nodes match {
           case Seq(Lit(s)) => Some(s)
           case _ => None
@@ -260,18 +268,18 @@ object Template {
             }
         }
 
-      case Func("map", args, _) =>
+      case Func("map", args, _, _) =>
         require(args.size == 2, "usage: $(map template list)")
         val listC = compile(args(1), resolve).cast("string")
         val mapped = transform(split(listC, ","),
           e => compile(args(0), bindElem(e)).cast("string"))
         when(listC === "", lit("")).otherwise(array_join(mapped, ","))
-      case Func("filter", args, raw) =>
+      case Func("filter", args, raw, _) =>
         require(args.size == 2, "usage: $(filter condition list)")
         val listC = compile(args(1), resolve).cast("string")
         val kept = filter(split(listC, ","), e => condCol(raw.head, bindElem(e)))
         when(listC === "", lit("")).otherwise(array_join(kept, ","))
-      case Func("iterate", args, _) =>
+      case Func("iterate", args, _, _) =>
         // The reference form is per-message mutable state (tf-iterate.c
         // keeps `current` across invocations) — inherently sequential.
         // The batch reinterpretation: $(iterate template init count)
@@ -291,7 +299,7 @@ object Template {
       // parenthesized and the quoted '"$X" eq "y"' forms. Conditions
       // that don't parse/compile as filter expressions fall back to the
       // evaluated-truth-string form ("true"/"1"/"yes").
-      case Func("if", args, raw) if args.size == 3 =>
+      case Func("if", args, raw, _) if args.size == 3 =>
         val cond =
           try Some(condCol(raw.head, resolve))
           catch { case _: Exception => None }
@@ -310,7 +318,7 @@ object Template {
       // args re-split from their raw text so `k=v` pairs, --options and
       // type hints are parsed BEFORE template compilation, exactly like
       // vp_cmdline_parse runs over argv
-      case Func(name, _, raw)
+      case Func(name, _, raw, _)
           if Set("format-json", "format_json", "format-flat-json",
             "format_flat_json", "format-welf", "format_welf",
             "format-cef-extension", "format_cef_extension",
@@ -327,7 +335,7 @@ object Template {
         else VpCmdline.formatJson(stripped, resolve, comp,
           flat = canon == "format-flat-json")
 
-      case Func(name, args, _) =>
+      case Func(name, args, _, _) =>
         // '-' and '_' interchange in plugin names like the reference's
         // lexer-normalized lookups ($(format_json) == $(format-json))
         val f = TemplateFunctions.registry.get(name)

@@ -186,6 +186,45 @@ class SyntheticMessageSpec extends GraftSuite {
     assert(outShort.count() == 0)
   }
 
+  // ---- $(func)@N msg refs + grep/context-lookup join encoding ------------
+  // (test_basicfuncs.c:163-165; cond-funcs.c:133 vs context-funcs.c:78)
+
+  private def ctxRender(template: String): String = {
+    // a 2-member context with distinct PIDs: member 1 (older, pid=111),
+    // member 2 (newer = trigger, pid=222, a comma-carrying value)
+    val ctx = Seq(
+      ("h", "prog", "111", "older", 100L, Map("cv" -> "a,b c")),
+      ("h", "prog", "222", "newer", 200L, Map("cv" -> "d,e f")))
+      .toDF("host", "program", "pid", "message", "sec", "values")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .withColumn("tags", array().cast("array<string>"))
+      .drop("sec")
+    Synthetic.applyValues(ctx, col("host"),
+      Seq("out" -> template), Seq.empty)
+      .select("values").head.getAs[Map[String, String]]("values")("out")
+  }
+
+  test("$(grep)@N evaluates over a single-member context (test_basicfuncs.c:163-165)") {
+    assert(ctxRender("$(grep ('$PID' ne '') $PID)") == "111,222")
+    assert(ctxRender("$(grep ('$PID' ne '') $PID)@0") == "222")
+    assert(ctxRender("$(grep ('$PID' ne '') $PID)@1") == "111")
+    assert(ctxRender("$(grep ('$PID' ne '') $PID)@2") == "")
+  }
+
+  test("$(grep) joins raw values with ',' while $(context-lookup) str-repr quotes (cond-funcs.c:133, context-funcs.c:78)") {
+    assert(ctxRender("$(grep ('$PID' ne '') ${cv})") == "a,b c,d,e f")
+    assert(ctxRender("$(context-lookup ('$PID' ne '') ${cv})") ==
+      "\"a,b c\",\"d,e f\"")
+  }
+
+  test("$(func args)@N binds the function's refs to that context member (compiler.c:62, eval.c:97-103)") {
+    assert(ctxRender("$(echo $PID)@0") == "222")
+    assert(ctxRender("$(echo $PID)@1") == "111")
+    assert(ctxRender("$(echo $PID)@2") == "")
+    assert(ctxRender("$(context-length)@0") == "1")
+    assert(ctxRender("$(context-length)") == "2")
+  }
+
   test("db-parser() applies rule-level tags at classification") {
     val pdbPath = java.nio.file.Files.createTempFile("graft-tags", ".xml")
     java.nio.file.Files.write(pdbPath, InheritanceEnabledPdb.getBytes("UTF-8"))
