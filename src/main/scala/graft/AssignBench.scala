@@ -26,7 +26,35 @@ object AssignBench {
     val base = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").as("v"))
     val n = base.count()
-    val k = math.max(64, (n / 32L).toInt)
+    // SPARK_GRAFT_ASSIGN_K forces k past the production N/32 sizing —
+    // the r10 verdict's k≥500k plumbing check runs at sf100p data
+    // without waiting for an sf1000p generation
+    val k = sys.env.get("SPARK_GRAFT_ASSIGN_K").map(_.toInt)
+      .getOrElse(math.max(64, (n / 32L).toInt))
+    // single-task-stage detector: the failure mode of the old
+    // orderBy(md5).limit(k) fine selection was a single-partition
+    // exchange funneling k vector rows through ONE task. Track
+    // shuffle-read records per stage; stages that ran exactly one task
+    // and read more than max(2k/P, 4096) rows are reported in the JSON.
+    val stageAgg = new java.util.concurrent.ConcurrentHashMap[
+      Int, (Long, Long)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) stageAgg.merge(te.stageId,
+            (1L, m.shuffleReadMetrics.recordsRead),
+            (a, b) => (a._1 + b._1, a._2 + b._2))
+        }
+      })
+    def singleTaskMaxRows(): Long = {
+      var mx = 0L
+      stageAgg.forEach { (_, v) =>
+        if (v._1 == 1L && v._2 > mx) mx = v._2
+      }
+      mx
+    }
     def median(f: => Long): Double = {
       val ts = (1 to repeat).map { _ =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -52,9 +80,13 @@ object AssignBench {
     if (paths("two")) parts += s""""two_level_sec":${median(graft.pipeline.Similarity
       .assignClusters(base, k, flatMax = 1, levels = 2)
       .queryExecution.toRdd.count())}"""
-    if (paths("tree")) parts += s""""tree_sec":${median(graft.pipeline.Similarity
-      .assignClusters(base, k, flatMax = 1, levels = 3)
-      .queryExecution.toRdd.count())}"""
+    if (paths("tree")) {
+      stageAgg.clear()
+      parts += s""""tree_sec":${median(graft.pipeline.Similarity
+        .assignClusters(base, k, flatMax = 1, levels = 3)
+        .queryExecution.toRdd.count())}"""
+      parts += s""""tree_single_task_shuffle_rows_max":${singleTaskMaxRows()}"""
+    }
     println(s"""{"sf":"$sfDir","n":$n,"k":$k,${parts.mkString(",")},"repeat":$repeat}""")
     spark.stop()
   }

@@ -138,10 +138,76 @@ object Bench {
 
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val merged = inSuite.map { case (n, t) => n -> isolated.getOrElse(n, t) }
+    val merged0 = inSuite.map { case (n, t) => n -> isolated.getOrElse(n, t) }
+
+    // ---- cross-run variance memory (r10 verdict #4) --------------------
+    // The within-run outlier retry cannot see CROSS-run drift (the r8/r10
+    // dedup_ngram_jaccard disagreements: 2.68 vs 1.92 isolated on
+    // identical code). Every full run appends its adjudicated medians to
+    // bench_history.jsonl; the next run compares each query against the
+    // MEDIAN of its trailing (same-sfDir) band and flags anything landing
+    // >1.5× outside — in the artifact itself, so a "regression" claim is
+    // adjudicable against the band, not a single prior point. Flagged
+    // SLOW queries re-fork once same-session (min of medians stands — VM
+    // hiccups are one-sided); fast flags are annotated only (a genuine
+    // improvement must not be averaged away). Bands need >= 3 history
+    // points — two runs can't distinguish drift from variance.
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "bench_history.jsonl")
+    def loadHistory(): Seq[Map[String, Double]] =
+      try {
+        val f = new java.io.File(histPath)
+        if (!f.exists) Seq.empty
+        else {
+          val qRe = "\"([A-Za-z0-9_]+)\":([0-9][0-9.Ee+-]*)".r
+          val src = scala.io.Source.fromFile(f, "UTF-8")
+          try src.getLines()
+            .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+            .map { l =>
+              val qpart = l.indexOf("\"queries\":")
+              if (qpart < 0) Map.empty[String, Double]
+              else qRe.findAllMatchIn(l.substring(qpart)).map(m =>
+                m.group(1) -> m.group(2).toDouble).toMap
+            }.toList
+          finally src.close()
+        }
+      } catch { case _: Throwable => Seq.empty }
+    val history = if (only.isEmpty) loadHistory() else Seq.empty
+    def bandOf(name: String): Option[Double] = {
+      val vs = history.flatMap(_.get(name)).takeRight(8).sorted
+      if (vs.size >= 3) Some(vs(vs.size / 2)) else None
+    }
+    val bandReforked = scala.collection.mutable.ArrayBuffer[String]()
+    val bandFlags = scala.collection.mutable.ArrayBuffer[String]()
+    val merged = merged0.map { case (n, t) =>
+      bandOf(n) match {
+        case Some(b) if t > b * 1.5 =>
+          val best =
+            if (!isolateOn) t
+            else {
+              bandReforked += n
+              forkOne(n, sfDir, cpus).fold(t)(math.min(t, _))
+            }
+          bandFlags += s""""$n":{"now":$best,"band":$b,"dir":"slow","first":$t}"""
+          n -> best
+        case Some(b) if t < b / 1.5 =>
+          bandFlags += s""""$n":{"now":$t,"band":$b,"dir":"fast"}"""
+          n -> t
+        case _ => n -> t
+      }
+    }
     val total = merged.map(_._2).sum
+    if (only.isEmpty) {
+      // append AFTER adjudication so the band learns final numbers
+      val w = new java.io.FileWriter(histPath, true)
+      try w.write(s"""{"sf":"$sfDir","ts":${System.currentTimeMillis()},"harness_sort":"$harnessSort","queries":${jmap(merged)}}""" + "\n")
+      finally w.close()
+    }
     val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(merged)},"queries_insuite":${jmap(inSuite)},"queries_isolated":${jmap(isolated.toSeq.sortBy(_._1))},"isolated_retried":$retriedJson,"isolated_n":5,"harness_sort":"$harnessSort","cpus":"$cpus","sf":"$sfDir"}"""
+    val bandFlagsJson = bandFlags.sorted.mkString("{", ",", "}")
+    val bandReforkedJson =
+      bandReforked.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(merged)},"queries_insuite":${jmap(inSuite)},"queries_isolated":${jmap(isolated.toSeq.sortBy(_._1))},"isolated_retried":$retriedJson,"band_flags":$bandFlagsJson,"band_reforked":$bandReforkedJson,"band_history_n":${history.size},"isolated_n":5,"harness_sort":"$harnessSort","cpus":"$cpus","sf":"$sfDir"}"""
     // the COMPLETE document goes to a file (r8 verdict: the driver keeps
     // only a 2000-char stdout tail, so the full three-map line can never
     // survive stdout — BENCH_r08.json shipped `"parsed": null` with the

@@ -3813,12 +3813,30 @@ object Queries {
       FROM vclip ORDER BY media_id"""),
     bench = true)
 
+  /** The oracle's replay of [[Multimodal.tsigAligned]]: clips `x`,`y`
+    * (rows of `vclip` with nf + tsig) match time-wise when some
+    * alignment within ±2 frames makes the signatures agree on the
+    * overlapping min(nf_a−1−s, nf_b−1) low bits. Fixture nf ≤ 9, so
+    * masks stay far from the 63-bit wrap. */
+  private def tsigAlignedSql(x: String, y: String): String = {
+    def one(a: String, b: String, s: Int) =
+      s"""(least($a.nf - 1 - $s, $b.nf - 1) >= 1 AND
+        (($a.tsig >> $s) &
+          ((CAST(1 AS BIGINT) << least($a.nf - 1 - $s, $b.nf - 1)) - 1)) =
+        ($b.tsig &
+          ((CAST(1 AS BIGINT) << least($a.nf - 1 - $s, $b.nf - 1)) - 1)))"""
+    (Seq(one(x, y, 0)) ++ (1 to 2).flatMap(s =>
+      Seq(one(x, y, s), one(y, x, s)))).mkString("(", " OR ", ")")
+  }
+
   /** Perceptual video dedup — near-duplicate clip pairs at majority-hash
-    * Hamming ≤ 3 AND equal temporal signatures, found by the exact
-    * 4×16 pigeonhole banding. Planted: ≡ 1 (mod 10) byte-identical
-    * clip reuse, ≡ 6 a re-rendered (+2 brightness per frame) copy —
-    * different bytes, identical fingerprint. The oracle brute-forces
-    * the analytic clip hashes; a match proves the banded join finds
+    * Hamming ≤ 3 AND temporally ALIGNED signatures (±2-frame shift
+    * tolerance — a clip trimmed by one frame previously escaped the
+    * exact tsig equality), found by the exact 4×16 pigeonhole banding.
+    * Planted: ≡ 1 (mod 10) byte-identical clip reuse, ≡ 6 a re-rendered
+    * (+2 brightness per frame) copy — different bytes, identical
+    * fingerprint. The oracle brute-forces the analytic clip hashes with
+    * the same alignment predicate; a match proves the banded join finds
     * exactly the brute-force pair set. */
   private val dedupVideoDhash = Q("dedup_video_dhash",
     (s, d) => {
@@ -3834,10 +3852,136 @@ object Queries {
         CAST(list_sum(list_transform(range(0, 8),
           i -> bit_count(xor(x.vb[i+1], y.vb[i+1])))) AS INT) AS hamming
       FROM vclip x, vclip y
-      WHERE x.doc_id < y.doc_id AND x.tsig = y.tsig
+      WHERE x.doc_id < y.doc_id AND ${tsigAlignedSql("x", "y")}
         AND list_sum(list_transform(range(0, 8),
           i -> bit_count(xor(x.vb[i+1], y.vb[i+1])))) <= 3
       ORDER BY id_a, id_b"""),
+    bench = true)
+
+  /** Cluster-level video dedup — the video column of the modality
+    * matrix completed (r10 verdict #2): [[Multimodal.videoDHashPairs]]
+    * (banded majority-hash join + temporal alignment) feeds connected
+    * components + keep-best. Keep-best = most FRAMES, then resolution
+    * (score = nf·2³³ + w·h — exact in a double far past any real frame
+    * count), ties → smallest id. The single-decode lesson from
+    * dedup_image_cc applies from day one: the slim fingerprint table
+    * localCheckpoints ONCE so the per-clip LZW decode never re-runs
+    * per consumer shape. */
+  private val dedupVideoCc = Q("dedup_video_cc",
+    (s, d) => {
+      import s.implicits._
+      val hashes = Multimodal.videoDHash(Multimodal.videoHashFixtures(s, d),
+          targetPartitionBytes = 0)
+        .toDF().localCheckpoint(false)
+      val pairs = Multimodal.videoDHashPairs(hashes.as[Multimodal.VideoHash])
+      Dedup.bestPerCluster(
+          Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b"))),
+          hashes.select(col("media_id").as("id"),
+            (col("n_frames").cast("double") * lit(8589934592.0) +
+              (col("w") * col("h")).cast("double")).as("score")))
+        .orderBy(col("id"))
+    },
+    Some(s"""${"WITH RECURSIVE" + videoRowbytesCte.stripPrefix("WITH")},
+      vpairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM vclip x, vclip y
+        WHERE x.doc_id < y.doc_id AND ${tsigAlignedSql("x", "y")}
+          AND list_sum(list_transform(range(0, 8),
+            i -> bit_count(xor(x.vb[i+1], y.vb[i+1])))) <= 3
+      ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM vpairs
+        UNION SELECT id_b, id_a FROM vpairs
+      ), r(id, l) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.l = e.src
+      ), comp AS (
+        SELECT id, min(l) AS component FROM r GROUP BY id
+      ), vscored AS (
+        SELECT comp.id, comp.component,
+          CAST(v.nf * 8589934592 + p3.w * p3.h AS DOUBLE) AS score
+        FROM comp
+        JOIN vclip v ON v.doc_id = comp.id
+        JOIN p3 ON p3.doc_id = comp.id
+      )
+      SELECT id, component, score,
+        (row_number() OVER (PARTITION BY component
+          ORDER BY score DESC, id) = 1) AS keep
+      FROM vscored ORDER BY id"""),
+    bench = true)
+
+  /** Cluster-level audio dedup — the audio column of the modality
+    * matrix completed (r10 verdict #2): [[Multimodal.audioEnergyHashPairs]]
+    * (the gain-invariant energy dHash through the same exact 4×16
+    * banding) feeds connected components + keep-best. Keep-best =
+    * LONGEST clip (n_samples), ties → smallest id. Planted: ≡ 1
+    * (mod 10) byte-identical reuse, ≡ 6 the previous clip at double
+    * amplitude — different bytes, identical energy hash. The oracle
+    * re-derives pairs from the analytic energies, clusters via the
+    * recursive transitive closure, and the same keep rule. */
+  private val dedupAudioCc = Q("dedup_audio_cc",
+    (s, d) => {
+      import s.implicits._
+      // single-decode: the fingerprints feed pairs AND scores
+      val hashes = Multimodal.audioEnergyHash(
+          Multimodal.audioHashFixtures(s, d), targetPartitionBytes = 0)
+        .toDF().localCheckpoint(false)
+      val pairs = Multimodal.audioEnergyHashPairs(
+        hashes.as[Multimodal.AudioHash])
+      Dedup.bestPerCluster(
+          Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b"))),
+          hashes.select(col("media_id").as("id"),
+            col("n_samples").cast("double").as("score")))
+        .orderBy(col("id"))
+    },
+    Some("""WITH RECURSIVE p2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 IN (1,6) THEN doc_id - 1 ELSE doc_id END AS eid,
+          CASE WHEN doc_id % 10 = 6 THEN 2 ELSE 1 END AS gain
+        FROM documents
+      ), p3 AS (
+        SELECT doc_id, gain, 1 + eid % 9 AS a, 2 + eid % 11 AS b,
+          CAST(192 + eid % 64 AS INT) AS n
+        FROM p2
+      ), en AS (
+        SELECT doc_id, n,
+          list_transform(range(0, 65), w ->
+            coalesce(list_sum(list_transform(
+              range(w * n // 65, (w + 1) * n // 65), i ->
+                (((a*i*i + b*i) % 2003 - 1001) * gain)
+                  * (((a*i*i + b*i) % 2003 - 1001) * gain))), 0)) AS e
+        FROM p3
+      ), bytes8 AS (
+        SELECT doc_id, n,
+          list_transform(range(0, 8), r ->
+            coalesce(list_sum(list_transform(range(0, 8), c ->
+              CASE WHEN e[r*8+c+2] * ((r*8+c+1)*n//65 - (r*8+c)*n//65)
+                      > e[r*8+c+1] * ((r*8+c+2)*n//65 - (r*8+c+1)*n//65)
+                THEN 1 << c ELSE 0 END)), 0)) AS rb
+        FROM en
+      ), apairs AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bytes8 x, bytes8 y
+        WHERE x.doc_id < y.doc_id
+          AND list_sum(list_transform(range(0, 8),
+            i -> bit_count(xor(x.rb[i+1], y.rb[i+1])))) <= 3
+      ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM apairs
+        UNION SELECT id_b, id_a FROM apairs
+      ), r(id, l) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.id, e.dst FROM r JOIN edges e ON r.l = e.src
+      ), comp AS (
+        SELECT id, min(l) AS component FROM r GROUP BY id
+      ), ascored AS (
+        SELECT comp.id, comp.component, CAST(b.n AS DOUBLE) AS score
+        FROM comp JOIN bytes8 b ON b.doc_id = comp.id
+      )
+      SELECT id, component, score,
+        (row_number() OVER (PARTITION BY component
+          ORDER BY score DESC, id) = 1) AS keep
+      FROM ascored ORDER BY id"""),
     bench = true)
 
   private val multimodalStub = Q("multimodal_stub",
@@ -3960,7 +4104,7 @@ object Queries {
     multimodalGif, multimodalAudio, multimodalVideo,
     multimodalDhash, dedupImageDhash, multimodalAudioHash,
     decontaminateImage, multimodalVideoHash, dedupVideoDhash,
-    dedupImageCc)
+    dedupImageCc, dedupVideoCc, dedupAudioCc)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -1261,17 +1261,51 @@ object ConfigCompiler {
       log: LogDecl): Seq[Route] = {
     val srcNames = log.path.collect { case Ref("source", n) => n }
     val flags = log.path.collect { case Flags(f) => f }.flatten
+    require(sources.nonEmpty, "log path without source")
     val in =
-      if (flags.contains("catchall")) sources.values.reduce(_.unionByName(_, true))
+      // cfg-tree.c:604 accepts both spellings
+      if (flags.contains("catchall") || flags.contains("catch-all"))
+        sources.values.reduce(_.unionByName(_, true))
       else srcNames.map(n => sources.getOrElse(n,
         throw new IllegalArgumentException(s"undeclared source $n")))
         .reduceOption(_.unionByName(_, allowMissingColumns = true))
-        .getOrElse(throw new IllegalArgumentException("log path without source"))
-    val destNames = log.path.collect { case Ref("destination", n) => n }
-    val elements = log.path.flatMap(elem(cfg, _))
-    val out = LogPath.compile(in, elements)
-    destNames.map(n => Route(n, cfg.destinations.getOrElse(n,
-      throw new IllegalArgumentException(s"undeclared destination $n")), out))
+        // a source-less, non-catch-all path is legal config (the
+        // python_functional logpath battery asserts its destination
+        // receives NOTHING) — an empty frame with the catch-all schema
+        .getOrElse(sources.values.reduce(_.unionByName(_, true)).limit(0))
+    // positional walk (cfg_tree_compile_sequence): a destination
+    // captures the stream AT ITS POSITION — including inside junction
+    // channels and embedded `log {}` statements, whose destinations the
+    // flat collect used to drop silently
+    val routes = scala.collection.mutable.ArrayBuffer.empty[(String, DataFrame)]
+    def walk(in0: DataFrame, path: Seq[LogElem]): DataFrame = {
+      var cur = in0
+      path.foreach {
+        case Ref("source", _) | Flags(_) => ()
+        case Ref("destination", n) => routes += (n -> cur)
+        case JunctionElem(chans) =>
+          val lpChans = chans.zipWithIndex.map { case (c, i) =>
+            LogPath.Channel(s"ch$i", c.path.flatMap(elem(cfg, _)),
+              c.flags.flatMap {
+                case "final" => Some(LogPath.Final)
+                case "fallback" => Some(LogPath.Fallback)
+                case _ => None
+              }.toSet)
+          }
+          // each channel body recurses so nested destinations route;
+          // the channel's own filters fold into the delivery predicate
+          // AND re-apply inside the body — idempotent
+          cur = LogPath.compileJunctionWith(cur, lpChans,
+            (i, d, _) => walk(d, chans(i).path))
+        case e => cur = LogPath.compile(cur, elem(cfg, e))
+      }
+      cur
+    }
+    walk(in, log.path)
+    routes.toSeq.map { case (n, df) =>
+      Route(n, cfg.destinations.getOrElse(n,
+        throw new IllegalArgumentException(s"undeclared destination $n")), df)
+    }
   }
 
   private def elem(cfg: Config, e: LogElem): Seq[LogPath.Element] = e match {

@@ -799,11 +799,29 @@ object ConfigParser {
     /** Log-path elements until the closing `}` (consumed). */
     private def logContent(): Seq[LogElem] = {
       val elems = mutable.ArrayBuffer.empty[LogElem]
+      // consecutive embedded `log {}` statements form ONE implicit
+      // junction (cfg-tree.c compiles fork points through the same mpx
+      // delivery code as junction channels — final/fallback interact
+      // across the sibling group, tests/python_functional/logpath)
+      var lastEmbedded = false
+      def add(e: LogElem): Unit = { elems += e; lastEmbedded = false }
       while (!accept("}")) {
         val w = expect("word").text
         w match {
+          case "log" =>
+            // embedded log statement: one channel of the sibling group
+            val body = logPath()
+            val fl = body.collect { case Flags(f) => f }.flatten
+            val ch = ChannelElem(body.filterNot(_.isInstanceOf[Flags]), fl)
+            if (lastEmbedded) {
+              val JunctionElem(chs) = elems.remove(elems.length - 1)
+              elems += JunctionElem(chs :+ ch)
+            } else {
+              elems += JunctionElem(Seq(ch))
+              lastEmbedded = true
+            }
           case "if" =>
-            elems += ifChain()
+            add(ifChain())
             expect(";")
           case "junction" =>
             expect("{")
@@ -815,11 +833,11 @@ object ConfigParser {
               chans += ChannelElem(body.filterNot(_.isInstanceOf[Flags]), fl)
             }
             expect(";")
-            elems += JunctionElem(chans.toSeq)
+            add(JunctionElem(chans.toSeq))
           case "flags" =>
             // log-path flags use the same normalized_flag rule
-            elems += Flags(argList().collect {
-              case Lit(v) => ConfigParser.normKeyword(v) })
+            add(Flags(argList().collect {
+              case Lit(v) => ConfigParser.normKeyword(v) }))
             expect(";")
           case kind @ ("source" | "filter" | "parser" | "rewrite" | "destination") =>
             expect("(")
@@ -828,10 +846,10 @@ object ConfigParser {
             if (isRef) {
               val inner = next().text
               expect(")"); expect(";")
-              elems += Ref(kind, inner)
+              add(Ref(kind, inner))
             } else if (kind == "filter") {
               val e = filterExpr(); expect(")"); expect(";")
-              elems += InlineFilter(e)
+              add(InlineFilter(e))
             } else {
               // inline driver: parser(kv-parser(...)) style; a name
               // matching a block definition expands in place — keyword
@@ -840,11 +858,11 @@ object ConfigParser {
               val s = Stmt(inner, argList())
               expect(")"); expect(";")
               blockDefs.get((kind, inner)) match {
-                case None => elems += InlineStmt(kind, s)
+                case None => add(InlineStmt(kind, s))
                 case Some(bd) =>
                   val expanded = bd.expand(s.args)
-                  elems ++= new P(lex(expanded), expanded, blockDefs, globals)
-                    .stmtList(kind).map(InlineStmt(kind, _))
+                  new P(lex(expanded), expanded, blockDefs, globals)
+                    .stmtList(kind).foreach(st => add(InlineStmt(kind, st)))
               }
             }
           case other => throw new ParseError(s"unknown log element: $other")

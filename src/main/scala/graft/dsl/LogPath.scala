@@ -58,7 +58,17 @@ object LogPath {
     * branch then runs its own parsers/rewrites; outputs union by name
     * (missing columns null-filled), preserving the reference's
     * "branches may produce different NV sets" behavior. */
-  def compileJunction(df: DataFrame, channels: Seq[Channel]): DataFrame = {
+  def compileJunction(df: DataFrame, channels: Seq[Channel]): DataFrame =
+    compileJunctionWith(df, channels, (_, d, body) => compile(d, body))
+
+  /** [[compileJunction]] with a pluggable channel-body compiler —
+    * `compileBody(idx, delivered, bodyElements)` — so the config
+    * front end can recurse into channel paths (embedded `log {}`
+    * statements carry their own destinations, which must route from
+    * the stream INSIDE the channel). The mpx delivery rules are
+    * identical. */
+  def compileJunctionWith(df: DataFrame, channels: Seq[Channel],
+      compileBody: (Int, DataFrame, Seq[Element]) => DataFrame): DataFrame = {
     // null-safe match: a filter over a NULL column (e.g. program on an
     // unparsed line) evaluates to SQL NULL, and a raw NULL in the
     // `match && !blocked` / `!anyMatch` chains would drop the row from
@@ -69,7 +79,7 @@ object LogPath {
     val anyMatch = nonFallback.map(pred)
       .reduceOption(_ || _).getOrElse(lit(false))
     var blocked: Option[Column] = None
-    val outs = channels.map { ch =>
+    val outs = channels.zipWithIndex.map { case (ch, i) =>
       val deliver =
         if (ch.flags.contains(Fallback)) !anyMatch
         else blocked.fold(pred(ch))(b => pred(ch) && !b)
@@ -77,7 +87,7 @@ object LogPath {
         blocked = Some(blocked.fold(pred(ch))(_ || pred(ch)))
       // the channel's own filters already folded into `deliver`
       val body = ch.elements.filterNot(_.isInstanceOf[Filter])
-      val out = compile(df.filter(deliver), body)
+      val out = compileBody(i, df.filter(deliver), body)
       // a nested junction already labeled its rows — keep the LEAF
       // channel name (the actual route), only label unlabeled rows
       if (out.columns.contains("__channel"))

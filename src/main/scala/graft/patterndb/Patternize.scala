@@ -41,6 +41,54 @@ object Patternize {
       .filter(col("cnt") >= support)
   }
 
+  /** SLCT step 2 — `ptz_find_clusters_slct` (`patternize.c:236-333`):
+    * each line builds its cluster key from the frequent-word list —
+    * position j contributes `"j word"` when (j, word) is frequent,
+    * else the `"j ␚"` wildcard marker (PTZ_PARSER_MARKER_CHAR 0x1A),
+    * elements joined by PTZ_SEPARATOR_CHAR 0x1E — plus the line's own
+    * DELIMITER SEQUENCE (patternize.c:284-288: the same words split by
+    * different delimiters must not merge). Lines with NO frequent word
+    * are not candidates and join no cluster (:290); clusters with
+    * fewer than `support` lines are removed (:325, predicate :188).
+    *
+    * Shape at scale: one (pos, word) exchange builds the wordlist
+    * (support-filtered — the heavy-hitter table, AQE broadcasts it
+    * back), one join flags positions, one line-keyed aggregation
+    * assembles keys, one key-keyed aggregation forms clusters. No
+    * iteration, no collect.
+    *
+    * @return (cluster_key, members, support) — members = sorted ids */
+  def findClustersSlct(df: DataFrame, id: Column, message: Column,
+      support: Long,
+      delimiters: String = " :&~?![]=,;()'\""): DataFrame = {
+    val re = "[" + delimiters.flatMap(c => "\\" + c) + "]"
+    val sep = "\u001e" // PTZ_SEPARATOR_CHAR
+    val marker = "\u001a" // PTZ_PARSER_MARKER_CHAR
+    val base = df.select(id.as("__id"), message.as("__msg"))
+    val words = base.select(col("__id"), col("__msg"),
+      posexplode(split(col("__msg"), re)).as(Seq("pos", "word")))
+    val freq = frequentWords(df, message, support, delimiters)
+      .select(col("pos"), col("word"), lit(true).as("__f"))
+    val flagged = words.join(freq, Seq("pos", "word"), "left")
+    val keyed = flagged.groupBy(col("__id"), col("__msg")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"),
+          when(col("__f"),
+            concat(col("pos").cast("string"), lit(" "), col("word")))
+            .otherwise(concat(col("pos").cast("string"), lit(" " + marker)))
+            .as("e")))),
+        e => e.getField("e")), sep).as("wkey"),
+      max(coalesce(col("__f"), lit(false))).as("cand"))
+    keyed.filter(col("cand"))
+      .withColumn("cluster_key", concat(col("wkey"), lit(sep),
+        regexp_replace(col("__msg"), "[^" + re.substring(1), ""),
+        lit(sep)))
+      .groupBy(col("cluster_key"))
+      .agg(sort_array(collect_list(col("__id"))).as("members"),
+        count(lit(1)).as("support"))
+      .filter(col("support") >= support)
+  }
+
   /** Mine templates. Returns (template, support) rows.
     *
     * @param wildcard token emitted where the cluster disagrees

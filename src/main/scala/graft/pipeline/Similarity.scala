@@ -168,6 +168,89 @@ object Similarity {
       .limit(n)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
 
+  /** The DISTRIBUTED form of the same deterministic md5 sample, for the
+    * k-row FINE centroid table (r10 verdict #1). The direct
+    * `orderBy(md5).limit(k)` executes as a TakeOrderedAndProject whose
+    * final merge funnels k VECTOR-carrying rows through ONE task —
+    * ~19 MB at the measured k=62.5k, ~700 MB at the next decade's
+    * k=625k. Here the selection instead runs on a SLIM (id, md5)
+    * projection with a 65536-bucket prefix histogram:
+    *
+    *  1. bucket = the first 4 hex chars of md5(id); per-bucket counts
+    *     collect to the driver (≤ 65536 longs — bounded, like the
+    *     centroid samples);
+    *  2. every bucket strictly below the one containing the k-th
+    *     smallest key is selected WHOLE — a map-only filter, no sort,
+    *     no merge;
+    *  3. only the single BOUNDARY bucket — expected N/65536 rows, and
+    *     md5 uniformity is structural — pays an ordered limit for its
+    *     remaining k-c0 rows.
+    *
+    * The selected ids are EXACTLY the global top-k by (md5(id), id) —
+    * bucket order is a prefix of full-key order, so the same set the
+    * driver-side [[sampleCentroids]] and the DuckDB oracles' `ORDER BY
+    * md5(id), id LIMIT k` produce; the tree≡flat bit-exactness gates
+    * hold unchanged. Vectors never ride the selection: callers join the
+    * id set back to `base` (broadcast — 8 B/row ships far past the
+    * vector-payload bound). Returns one `vec_id` column, exactly
+    * min(k, N) rows. */
+  /** The k-th smallest (md5(id), id) key — the selection threshold.
+    * None when the histogram never reaches k (≤ k rows total: take
+    * everything). Driver-held state is bounded: the 65536-long
+    * histogram plus ONE max-struct row; the boundary bucket's ordered
+    * limit is the only ordered stage and it holds ~N/65536 SLIM rows. */
+  private def md5SampleThreshold(base: DataFrame,
+      k: Int): Option[(String, Long)] = {
+    val slim = base
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("__m"))
+      .withColumn("__b", conv(substring(col("__m"), 1, 4), 16, 10).cast("int"))
+    val hist = slim.groupBy(col("__b")).count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var cum = 0L
+    var boundary = -1
+    var before = 0L
+    val it = hist.iterator
+    while (boundary < 0 && it.hasNext) {
+      val (b, c) = it.next()
+      if (cum + c >= k) { boundary = b; before = cum }
+      cum += c
+    }
+    if (boundary < 0) None
+    else {
+      val kth = slim.filter(col("__b") === boundary)
+        .orderBy(col("__m"), col("vec_id")).limit((k - before).toInt)
+        .agg(max(struct(col("__m"), col("vec_id"))))
+        .head.getStruct(0)
+      Some((kth.getString(0), kth.getLong(1)))
+    }
+  }
+
+  /** Rows at or below the threshold — a MAP-ONLY filter (one md5 + a
+    * string compare per row): the selected set is exactly the global
+    * top-k by (md5(id), id) because the keys are unique and the
+    * threshold is the k-th smallest. */
+  private def selectedByThreshold(base: DataFrame,
+      t: Option[(String, Long)]): DataFrame = t match {
+    case None => base
+    case Some((mk, idk)) =>
+      val m = md5(col("vec_id").cast("string"))
+      base.filter(m < lit(mk) ||
+        (m === lit(mk) && col("vec_id") <= lit(idk)))
+  }
+
+  private[graft] def sampleIdsDistributed(base: DataFrame, k: Int): DataFrame =
+    selectedByThreshold(base, md5SampleThreshold(base, k)).select("vec_id")
+
+  /** The k-row fine-centroid table (fid, fv): the threshold computes
+    * on a SLIM projection (two cheap column-pruned scans), then the
+    * vector-carrying pass is one map-only filter — no TakeOrdered, no
+    * join-back, nothing vector-sized through a single task, and one
+    * FEWER sort than the old orderBy(md5).limit(k) per-partition
+    * top-k. */
+  private def fineSample(base: DataFrame, k: Int): DataFrame =
+    selectedByThreshold(base, md5SampleThreshold(base, k))
+      .select(col("vec_id").as("fid"), col("v").as("fv"))
+
   /** Nearest-centroid id by cosine (ties → larger cid, matching the
     * oracles' ORDER BY cos DESC, cid DESC): a broadcast argmax — one
     * narrow compiled pass, no shuffle, no UDF. Runs as the
@@ -231,14 +314,12 @@ object Similarity {
     // and its cell is provably non-empty (safe inner join below)
     val coarse = sampleCentroids(base, nCoarse)
     // fine table: the same deterministic md5-ordered sample as the flat
-    // path but kept DISTRIBUTED (TakeOrderedAndProject: per-partition
-    // top-k + one k-row merge task — executor-side, linear in k, never
-    // on the driver); each fine centroid lives in its nearest coarse
-    // cell. At a real deployment this table is trained offline once —
-    // the per-corpus-pass cost being fixed here is the two argmax scans.
-    val fine = base
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
-      .select(col("vec_id").as("fid"), col("v").as("fv"))
+    // path but kept DISTRIBUTED ([[fineSample]] — histogram selection,
+    // no k-row single-task merge); each fine centroid lives in its
+    // nearest coarse cell. At a real deployment this table is trained
+    // offline once — the per-corpus-pass cost being fixed here is the
+    // two argmax scans.
+    val fine = fineSample(base, k)
       .withColumn("cell", nearestCentroidCol(col("fv"), coarse))
       .withColumn("fn", sqrt(graft.functions.DotF(col("fv"), col("fv"))))
     // probe: each row explodes to its nProbe nearest coarse cells (one
@@ -291,8 +372,9 @@ object Similarity {
     *  - L1 = the k^⅓-prefix of L2; each L2 mid is placed in its
     *    nearest L1 cell DRIVER-side with the exact NearestCentroid
     *    comparator (k^⅔·k^⅓ = k dots once, microseconds);
-    *  - fine = the k-prefix, kept DISTRIBUTED
-    *    (TakeOrderedAndProject), each placed in its best mid cell by
+    *  - fine = the k-prefix, kept DISTRIBUTED ([[fineSample]]'s
+    *    histogram selection — no single task ever holds the k
+    *    vector-carrying rows), each placed in its best mid cell by
     *    the same tree probe (probe2=1) — placement and row probing
     *    share the ranking function, so two near-identical vectors
     *    walk the same tree path and co-cluster (the property the
@@ -367,9 +449,7 @@ object Similarity {
     val p1 = math.min(math.max(1, nProbe), ct.n1)
     val p2 = math.min(math.max(1, nProbe), ct.n2)
     def tree(v: Column, topN: Int): Column = ct.probe(v, p1, topN)
-    val fine = base
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
-      .select(col("vec_id").as("fid"), col("v").as("fv"))
+    val fine = fineSample(base, k)
       .withColumn("cell", element_at(tree(col("fv"), 1), 1))
       .withColumn("fn", sqrt(graft.functions.DotF(col("fv"), col("fv"))))
     // the fine table is k rows ≈ k·(dim·4+24) bytes — past the 10 MB

@@ -107,9 +107,7 @@ object VpCmdline {
           // accepted modes, anything else is a config-time error
           // (test_template_on_error.c "do-what-i-mean")
           onError = next()
-          val bare = onError.stripPrefix("silently-")
-          if (!Seq("drop-message", "drop-property",
-              "fallback-to-string").contains(bare))
+          if (TemplateOnError.parse(onError).isEmpty)
             throw new IllegalArgumentException(
               s"value-pairs: invalid on-error mode: $onError")
         case kv if kv.indexOf('=') > 0 &&
@@ -183,10 +181,15 @@ object VpCmdline {
     text match {
       case HintRe(hint, inner) =>
         val v = str(inner)
-        def onBad(bad: Column, good: Column): Column = onError match {
-          case "fallback-to-string" => when(bad, v).otherwise(good)
-          case _ => when(bad, lit(Err)).otherwise(good)
-        }
+        // the silently- prefix only mutes logging — behavior matches
+        // the base mode (templates.h ON_ERROR_SILENT; the TypeHint
+        // battery caught the exact-string compare missing it)
+        val flags = TemplateOnError.parse(onError)
+          .getOrElse(TemplateOnError.DropMessage)
+        def onBad(bad: Column, good: Column): Column =
+          if ((flags & TemplateOnError.FallbackToString) != 0)
+            when(bad, v).otherwise(good)
+          else when(bad, lit(Err)).otherwise(good)
         hint match {
           case "string" => v
           case "literal" => concat(lit(Raw), v)
@@ -277,7 +280,9 @@ object VpCmdline {
     val m = buildMap(args, resolve, compile)
     val rendered = graft.functions.FormatJson(
       map_filter(m, (_, v) => v =!= Err), flat)
-    if (p.onError == "drop-message")
+    val flags = TemplateOnError.parse(p.onError)
+      .getOrElse(TemplateOnError.DropMessage)
+    if ((flags & TemplateOnError.DropMessage) != 0)
       when(exists(map_values(m), _ === Err), lit("")).otherwise(rendered)
     else rendered
   }

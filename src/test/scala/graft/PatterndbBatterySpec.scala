@@ -52,8 +52,10 @@ class PatterndbBatterySpec extends GraftSuite {
   }
 
   /** One correlation context (PDBContext): members in arrival order,
-    * the rule that last matched into it, and its timer expiry. */
-  private class Ctx(var rule: PdbRule, var expiresAt: Long) {
+    * the rule that last matched into it, and its armed timer-wheel
+    * entry (correlation.c keeps ctx->timer the same way). */
+  private class Ctx(var rule: PdbRule,
+      var timer: graft.streaming.TimerWheel.Entry[String]) {
     val members = scala.collection.mutable.ArrayBuffer.empty[BMsg]
     var contextId: String = null
   }
@@ -71,10 +73,27 @@ class PatterndbBatterySpec extends GraftSuite {
     // refill its bucket (patterndb.c:211-224)
     private val rateLimits =
       scala.collection.mutable.HashMap.empty[String, (Long, Long)]
-    private var wheel: Long = 0L
+    // the REAL timer wheel (graft.streaming.TimerWheel — the verbatim
+    // timerwheel.c port): contexts arm entries, advanceTime ticks it,
+    // expiry callbacks close contexts in (expiry, insertion) order
+    private val timers = new graft.streaming.TimerWheel[String]
+    private def wheel: Long = timers.now
     var programTemplate: Option[String] = None
 
-    def forgetState(): Unit = { contexts.clear(); rateLimits.clear(); emitted.clear() }
+    def forgetState(): Unit = {
+      contexts.values.foreach(c => timers.delTimer(c.timer))
+      contexts.clear(); rateLimits.clear(); emitted.clear()
+    }
+
+    /** Timer expiry = context close (pattern_db_expire_entry):
+      * timeout actions fire against the LAST member, then removal. */
+    private def onExpire(key: String): Unit =
+      contexts.remove(key).foreach { c =>
+        val trigger = c.members.last
+        c.rule.actions.zipWithIndex.foreach { case (a, i) =>
+          if (a.trigger == "timeout") executeAction(c.rule, i, a, trigger, Some(c))
+        }
+      }
 
     /** correlation_key_init (lib/correlation-key.h:29-39). */
     private def corrKey(scope: Option[String], m: BMsg, id: String): String = {
@@ -158,33 +177,24 @@ class PatterndbBatterySpec extends GraftSuite {
           // syn_context timeout only reaches the debug log)
           val id = renderRow(cc.contextId, trigger)
           val key = corrKey(cc.contextScope, genmsg, id)
-          val nc = new Ctx(rule, wheel + rule.contextTimeout.getOrElse(0))
+          val nc = new Ctx(rule,
+            timers.addTimer(rule.contextTimeout.getOrElse(0).toLong,
+              key)((_, k) => onExpire(k)))
           nc.contextId = id
           nc.members += genmsg
           contexts(key) = nc
       }
     }
 
-    /** pattern_db_advance_time: move the wheel, fire expired contexts
-      * in (expiry, insertion) order — timeout actions then removal. */
+    /** The C battery's `_advance_time` helper (test_patterndb.c:128-132:
+      * `pattern_db_advance_time(db, timeout + 1)` → `set_time(now +
+      * timeout + 1)`, patterndb.c:505-512). setTime's fire boundary is
+      * STRICT, so this closes contexts with expiry <= now + timeout —
+      * the previous harness scan (`expiresAt <= now + timeout + 1`)
+      * over-fired by one tick at the exact boundary. */
     def advanceTime(timeout: Int): Unit = {
       if (timeout == 0) return
-      wheel += timeout + 1 // _advance_time feeds timeout + 1
-      var fired = true
-      while (fired) {
-        fired = false
-        // timer-wheel order: earliest expiry first, insertion order on ties
-        val expired = contexts.filter { case (_, c) => c.expiresAt <= wheel }
-        if (expired.nonEmpty) {
-          fired = true
-          val (key, c) = expired.minBy(_._2.expiresAt)
-          contexts.remove(key)
-          val trigger = c.members.last
-          c.rule.actions.zipWithIndex.foreach { case (a, i) =>
-            if (a.trigger == "timeout") executeAction(c.rule, i, a, trigger, Some(c))
-          }
-        }
-      }
+      timers.setTime(timers.now + timeout + 1)
     }
 
     /** pattern_db_process for one message; returns matched?. */
@@ -193,7 +203,7 @@ class PatterndbBatterySpec extends GraftSuite {
       // C's rl->last_check == 0 is its uninitialized sentinel, so the
       // wheel must never legitimately be 0 (real patterndb time is
       // wall-clock-seeded)
-      wheel = math.max(wheel, m.ts)
+      timers.setTime(m.ts) // never backwards; due contexts would fire
       val program = programTemplate.map(renderRow(_, m)).getOrElse(m.program)
       matcher.classifyRule(program, m.message) match {
         case None =>
@@ -209,11 +219,16 @@ class PatterndbBatterySpec extends GraftSuite {
             val id = renderRow(idTmpl, m)
             m.values += (".classifier.context_id" -> id)
             val key = corrKey(rule.contextScope, m, id)
+            // patterndb.c:617-626: an existing context re-arms its
+            // timer (timer_wheel_mod_timer); a new one adds a fresh one
             val c = contexts.getOrElseUpdate(key, {
-              val nc = new Ctx(rule, 0L); nc.contextId = id; nc
+              val nc = new Ctx(rule, null); nc.contextId = id; nc
             })
             c.members += m
-            c.expiresAt = wheel + rule.contextTimeout.getOrElse(0)
+            val tmo = rule.contextTimeout.getOrElse(0).toLong
+            c.timer =
+              if (c.timer == null) timers.addTimer(tmo, key)((_, k) => onExpire(k))
+              else timers.modTimer(c.timer, tmo)
             c.rule = rule
             c
           }

@@ -442,6 +442,28 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("bk_a") && p.contains("bk_b"), p)
   }
 
+  test("audio + video cluster dedup: pairs stay banded equi-joins — " +
+      "no cartesian, no all-pairs fallback") {
+    // the CC queries materialize clusters through the bounded
+    // union-find (a driver step), so the FINAL plan no longer shows the
+    // pair join — gate the pair subplans the queries feed from
+    import graft.pipeline.Multimodal
+    val pairPlans = Seq(
+      "audio" -> Multimodal.audioEnergyHashPairs(
+        Multimodal.audioEnergyHash(
+          Multimodal.audioHashFixtures(spark, sf),
+          targetPartitionBytes = 0)),
+      "video" -> Multimodal.videoDHashPairs(
+        Multimodal.videoDHash(Multimodal.videoHashFixtures(spark, sf),
+          targetPartitionBytes = 0)))
+    for ((q, df) <- pairPlans) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+        s"$q: $p")
+      assert(p.contains("bk_a") && p.contains("bk_b"), s"$q: $p")
+    }
+  }
+
   test("tree assignment (dedup_semantic_prod shape): fine side broadcasts, " +
       "no cartesian, one embeddings scan feeds the self-join via ReusedExchange") {
     // the r10 cell-tree path: the fine join must be a BHJ up to the

@@ -80,4 +80,49 @@ class TypeHintBatterySpec extends GraftSuite {
     check("$(format-json t=datetime($dt))", "{\"t\":\"12345.54321\"}")
     check("$(format-json t=datetime(whatever))", "{\"t\":\"whatever\"}")
   }
+
+  test("log_template_on_error_parse flags (test_template_on_error.c verbatim)") {
+    import graft.template.TemplateOnError._
+    // test_success: the six accepted modes parse to these exact flags
+    assert(parse("drop-message").contains(DropMessage))
+    assert(parse("silently-drop-message").contains(DropMessage | Silent))
+    assert(parse("drop-property").contains(DropProperty))
+    assert(parse("silently-drop-property").contains(DropProperty | Silent))
+    assert(parse("fallback-to-string").contains(FallbackToString))
+    assert(parse("silently-fallback-to-string")
+      .contains(FallbackToString | Silent))
+    // test_fail: unknown mode rejected
+    assert(parse("do-what-i-mean").isEmpty)
+    // templates.c:259-263: a null mode defaults to drop-message
+    assert(parse(null).contains(DropMessage))
+    // the config surface rejects unknown modes loudly
+    intercept[IllegalArgumentException] {
+      render("$(format-json --on-error do-what-i-mean x=y)")
+    }
+  }
+
+  test("on-error behavior at failed casts: drop-property keeps the rest, " +
+      "fallback-to-string emits the quoted bytes, silently- variants act " +
+      "the same (the silent bit only mutes logging)") {
+    // default drop-message: any failed cast kills the whole render
+    check("$(format-json x=y b=boolean($boo))", "")
+    check("$(format-json --on-error drop-message x=y b=boolean($boo))", "")
+    check("$(format-json --on-error silently-drop-message x=y b=boolean($boo))",
+      "")
+    // drop-property: only the failing pair disappears
+    check("$(format-json --on-error drop-property x=y b=boolean($boo))",
+      "{\"x\":\"y\"}")
+    check("$(format-json --on-error silently-drop-property x=y i=int32($junk))",
+      "{\"x\":\"y\"}")
+    // fallback-to-string: the raw bytes render as a quoted string
+    check("$(format-json --on-error fallback-to-string b=boolean($boo))",
+      "{\"b\":\"booyah\"}")
+    check("$(format-json --on-error silently-fallback-to-string i=int32($junk))",
+      "{\"i\":\"12345a\"}")
+    check("$(format-json --on-error fallback-to-string d=double($dbad))",
+      "{\"d\":\"2.0bad\"}")
+    // a SUCCESSFUL cast is unaffected by the mode
+    check("$(format-json --on-error fallback-to-string b=boolean(true))",
+      "{\"b\":true}")
+  }
 }
