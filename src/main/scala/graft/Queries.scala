@@ -3910,6 +3910,96 @@ object Queries {
       FROM vscored ORDER BY id"""),
     bench = true)
 
+  /** Video-side benchmark decontamination — the modality matrix's
+    * decontaminate column for video: drop corpus clips whose majority
+    * hash is within Hamming 3 of an eval clip under temporal alignment.
+    * The benchmark copies are re-rendered at +1 brightness per frame —
+    * byte-equality finds nothing, the fingerprint catches every one.
+    * Broadcast-banded; the corpus never hash-exchanges. */
+  private val decontaminateVideo = Q("decontaminate_video",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.decontaminateVideos(
+          Multimodal.videoHashFixtures(s, d),
+          Multimodal.benchmarkVideoFixtures(s, d))
+        .orderBy(col("media_id"))
+    },
+    Some(s"""$videoRowbytesCte,
+      vmatches AS (
+        SELECT c.doc_id AS media_id, b.doc_id AS benchmark_id,
+          CAST(list_sum(list_transform(range(0, 8),
+            i -> bit_count(xor(c.vb[i+1], b.vb[i+1])))) AS INT) AS hamming
+        FROM vclip c, vclip b
+        WHERE b.doc_id % 50 = 0
+          AND ${tsigAlignedSql("c", "b")}
+          AND list_sum(list_transform(range(0, 8),
+            i -> bit_count(xor(c.vb[i+1], b.vb[i+1])))) <= 3
+      )
+      SELECT media_id, benchmark_id, hamming FROM (
+        SELECT media_id, benchmark_id, hamming,
+          row_number() OVER (PARTITION BY media_id
+            ORDER BY hamming, benchmark_id) AS rn
+        FROM vmatches) WHERE rn = 1
+      ORDER BY media_id"""),
+    bench = true)
+
+  /** Audio-side benchmark decontamination — the decontaminate column
+    * for audio: the eval copies are re-mastered at 3× gain (different
+    * bytes, identical gain-invariant energy hash). */
+  private val decontaminateAudioQ = Q("decontaminate_audio",
+    (s, d) => {
+      import s.implicits._
+      Multimodal.decontaminateAudio(
+          Multimodal.audioHashFixtures(s, d),
+          Multimodal.benchmarkAudioFixtures(s, d))
+        .orderBy(col("media_id"))
+    },
+    // the energy-hash CTE replays gain-invariance analytically: the
+    // corpus row's own gain (1 or 2) and the benchmark's 3x both cancel
+    // in the cross-multiplied comparisons, so bench bits = the bits of
+    // the doc_id % 50 = 0 corpus rows
+    Some("""WITH p2 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 IN (1,6) THEN doc_id - 1 ELSE doc_id END AS eid,
+          CASE WHEN doc_id % 10 = 6 THEN 2 ELSE 1 END AS gain
+        FROM documents
+      ), p3 AS (
+        SELECT doc_id, gain, 1 + eid % 9 AS a, 2 + eid % 11 AS b,
+          CAST(192 + eid % 64 AS INT) AS n
+        FROM p2
+      ), en AS (
+        SELECT doc_id, n,
+          list_transform(range(0, 65), w ->
+            coalesce(list_sum(list_transform(
+              range(w * n // 65, (w + 1) * n // 65), i ->
+                (((a*i*i + b*i) % 2003 - 1001) * gain)
+                  * (((a*i*i + b*i) % 2003 - 1001) * gain))), 0)) AS e
+        FROM p3
+      ), bytes8 AS (
+        SELECT doc_id, n,
+          list_transform(range(0, 8), r ->
+            coalesce(list_sum(list_transform(range(0, 8), c ->
+              CASE WHEN e[r*8+c+2] * ((r*8+c+1)*n//65 - (r*8+c)*n//65)
+                      > e[r*8+c+1] * ((r*8+c+2)*n//65 - (r*8+c+1)*n//65)
+                THEN 1 << c ELSE 0 END)), 0)) AS rb
+        FROM en
+      ), amatches AS (
+        SELECT c.doc_id AS media_id, b.doc_id AS benchmark_id,
+          CAST(list_sum(list_transform(range(0, 8),
+            i -> bit_count(xor(c.rb[i+1], b.rb[i+1])))) AS INT) AS hamming
+        FROM bytes8 c, bytes8 b
+        WHERE b.doc_id % 50 = 0
+          AND list_sum(list_transform(range(0, 8),
+            i -> bit_count(xor(c.rb[i+1], b.rb[i+1])))) <= 3
+      )
+      SELECT media_id, benchmark_id, hamming FROM (
+        SELECT media_id, benchmark_id, hamming,
+          row_number() OVER (PARTITION BY media_id
+            ORDER BY hamming, benchmark_id) AS rn
+        FROM amatches) WHERE rn = 1
+      ORDER BY media_id"""),
+    bench = true)
+
   /** Cluster-level audio dedup — the audio column of the modality
     * matrix completed (r10 verdict #2): [[Multimodal.audioEnergyHashPairs]]
     * (the gain-invariant energy dHash through the same exact 4×16
@@ -4104,7 +4194,7 @@ object Queries {
     multimodalGif, multimodalAudio, multimodalVideo,
     multimodalDhash, dedupImageDhash, multimodalAudioHash,
     decontaminateImage, multimodalVideoHash, dedupVideoDhash,
-    dedupImageCc, dedupVideoCc, dedupAudioCc)
+    dedupImageCc, dedupVideoCc, dedupAudioCc, decontaminateVideo, decontaminateAudioQ)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -47,7 +47,10 @@ import org.apache.spark.sql.functions._
   * defect the old suffix scheme had too ("foo" →(0,k)→ "foo_qk" ==
   * "foo" →(k,0)→ "foo_qk").
   *
-  * Usage: runMain graft.ScaleGen <baseDir> <outDir> [factor]
+  * Usage: runMain graft.ScaleGen <baseDir> <outDir> [factor] [files]
+  * [tables] — `tables` (comma-separated, default all) generates a
+  * SUBSET (e.g. `documents,embeddings` for a text/vector-only decade
+  * when the full fact tables would not fit the disk).
   */
 object ScaleGen {
 
@@ -56,6 +59,9 @@ object ScaleGen {
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val files = if (args.length > 3) args(3).toInt else 1
+    val only = if (args.length > 4)
+      args(4).split(",").map(_.trim).filter(_.nonEmpty).toSet
+    else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -64,7 +70,7 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, baseDir, outDir, factor, files)
+    generate(spark, baseDir, outDir, factor, files, only)
     spark.stop()
   }
 
@@ -75,10 +81,12 @@ object ScaleGen {
     * cluster-layout measurement; a real 100 TB corpus is thousands of
     * files). Dimension tables stay single-file. */
   def generate(spark: SparkSession, baseDir: String, outDir: String,
-      factor: Int, files: Int = 1): Unit = {
+      factor: Int, files: Int = 1, only: Set[String] = Set.empty): Unit = {
+    def wanted(t: String): Boolean = only.isEmpty || only.contains(t)
     def read(t: String): DataFrame =
       spark.read.parquet(s"$baseDir/$t.parquet")
     def write(t: String, df0: DataFrame): Unit = {
+      if (!wanted(t)) return
       val df = if (files > 1 && !Seq("region", "nation").contains(t))
         df0.repartition(files) else df0
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -100,6 +108,8 @@ object ScaleGen {
         d.withColumn(c, col(c) + col("__shard") * s)
       }.drop("__shard")
 
+    if (Seq("customer", "supplier", "part", "orders", "lineitem")
+        .exists(wanted)) {
     val customer = read("customer")
     val supplier = read("supplier")
     val part = read("part")
@@ -115,7 +125,9 @@ object ScaleGen {
     write("orders", remap(orders, "o_orderkey" -> orderS, "o_custkey" -> custS))
     write("lineitem", remap(lineitem, "l_orderkey" -> orderS,
       "l_partkey" -> partS, "l_suppkey" -> suppS))
+    }
 
+    if (wanted("events")) {
     val events = read("events")
     val eventS = stride(events, "event_id")
     val userS = stride(events, "user_id")
@@ -130,11 +142,13 @@ object ScaleGen {
           col("__shard") * (31L * 86400 * 1000000L))
         .cast(events.schema("ts").dataType))
       .drop("__shard"))
+    }
 
     // generation key: distinct per ScaleGen application so composed
     // per-shard maps never coincide across lineages (scaladoc above)
     val genSeed = scala.util.hashing.MurmurHash3.stringHash(baseDir).toLong
 
+    if (wanted("documents")) {
     val documents = read("documents")
     val docS = stride(documents, "doc_id")
     // CASE-PRESERVING permutation: shuffle a-z and mirror it onto A-Z
@@ -165,7 +179,9 @@ object ScaleGen {
       .withColumn("doc_id", col("doc_id") + col("__shard") * docS)
       .withColumn("n_chars", length(col("text")))
       .drop("__shard"))
+    }
 
+    if (wanted("embeddings")) {
     val embeddings = read("embeddings")
     val vecS = stride(embeddings, "vec_id")
     val dim = embeddings.select(size(col("embedding"))).head.getInt(0)
@@ -185,5 +201,6 @@ object ScaleGen {
         i => element_at(col("embedding"), i + 1)))
       .withColumn("vec_id", col("vec_id") + col("__shard") * vecS)
       .drop("__shard", "__perm"))
+    }
   }
 }

@@ -532,6 +532,51 @@ object Multimodal {
       }
   }
 
+  /** Eval-benchmark audio set for [[decontaminateAudio]]: every 50th
+    * doc's clip re-MASTERED at 3× gain — different bytes than the
+    * corpus copy, identical energy hash (the invariance the gate
+    * exists for). */
+  def benchmarkAudioFixtures(spark: SparkSession,
+      sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .filter(id => id % 50 == 0)
+      .map { id =>
+        val a = 1 + (id % 9).toInt
+        val b = 2 + (id % 11).toInt
+        val n = 192 + (id % 64).toInt
+        MediaRow(id, "audio/wav",
+          MediaFixtures.wavSamples(16000, Array.tabulate(n)(i =>
+            ((a * i * i + b * i) % 2003 - 1001) * 3)), 0, 0)
+      }
+  }
+
+  /** Eval-benchmark video set for [[decontaminateVideos]]: every 50th
+    * doc's clip re-rendered at +1 brightness per frame — different
+    * bytes, identical per-frame dHashes, majority hash and temporal
+    * signature. */
+  def benchmarkVideoFixtures(spark: SparkSession,
+      sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).as[Long]
+      .filter(id => id % 50 == 0)
+      .map { id =>
+        val m = (id * 2654435761L) % 4294967296L
+        val a = 1 + (m % 251).toInt
+        val b = 1 + ((m / 251) % 241).toInt
+        val w = 12 + (m % 21).toInt
+        val h = 10 + ((m / 21) % 17).toInt
+        val nf = 5 + 2 * (m % 3).toInt
+        MediaRow(id, "image/gif",
+          MediaFixtures.gifFrames(w, h, nf, (f, x, y) =>
+            (a * (x * x + 3 * y) + b * (y * y + 5 * x) +
+              x * y * (x + y) + (f + 1) * (x + 2 * y + 7)) % 250 + 1),
+          w, h)
+      }
+  }
+
   /** Perceptual-dedup fixture corpus: real PNG bytes whose pixels
     * follow a quadratic pattern closed-form in doc_id —
     * `pixel(x,y) = (a(x²+3y) + b(y²+5x) + xy(x+y)) mod 250 (+2)` —
@@ -549,27 +594,81 @@ object Multimodal {
     * broadcasts back as an anti-join — the corpus NEVER hash-exchanges.
     * Returns the dropped (media_id, benchmark_id, hamming) triples;
     * pigeonhole-exact for maxHamming ≤ 3. */
-  def decontaminateImages(corpus: Dataset[MediaRow],
-      benchmark: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+  /** Shared benchmark-decontamination core over any 64-bit perceptual
+    * fingerprint: the BENCHMARK side is small by definition (an eval
+    * set), so its banded keys broadcast and the corpus NEVER
+    * hash-exchanges — one narrow hash pass, 4 exploded band keys, a
+    * broadcast join, per-candidate verify. `extras` ride both sides
+    * (suffixed `_c`/`_b`) for secondary verification (the video path's
+    * temporal columns); `verify` filters candidates beyond the Hamming
+    * cut. Returns the flagged (media_id, closest benchmark_id,
+    * hamming) — ties to the smaller benchmark id. */
+  private def decontaminate64(corpusHashes: DataFrame,
+      benchHashes: DataFrame, maxHamming: Int, extras: Seq[String],
+      verify: DataFrame => DataFrame): DataFrame = {
     require(maxHamming <= 3, "4×16 banding is exact only for distance <= 3")
-    def banded(h: Dataset[ImageHash], ids: String, bits: String,
-        bk: String): DataFrame =
-      h.toDF().select(col("media_id").as(ids), col("dhashBits").as(bits),
-        explode(array((0 until 4).map(b =>
+    def banded(h: DataFrame, ids: String, sfx: String): DataFrame =
+      h.select((Seq(col("media_id").as(ids), col("bits").as("bits" + sfx)) ++
+        extras.map(e => col(e).as(e + sfx))): _*)
+        .withColumn("bk" + sfx, explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
-            shiftrightunsigned(col("dhashBits"), b * 16)
-              .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as(bk))
-    val c = banded(imageDHash(corpus), "media_id", "bits_c", "bk_c")
-    val b = banded(imageDHash(benchmark), "benchmark_id", "bits_b", "bk_b")
-    c.join(broadcast(b), col("bk_c") === col("bk_b"))
-      .select(col("media_id"), col("benchmark_id"),
-        bit_count(col("bits_c").bitwiseXOR(col("bits_b"))).as("hamming"))
+            shiftrightunsigned(col("bits" + sfx), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)))
+    val c = banded(corpusHashes, "media_id", "_c")
+    val b = banded(benchHashes, "benchmark_id", "_b")
+    val cand = c.join(broadcast(b), col("bk_c") === col("bk_b"))
+      .withColumn("hamming",
+        bit_count(col("bits_c").bitwiseXOR(col("bits_b"))))
       .where(col("hamming") <= maxHamming)
+    verify(cand)
       .groupBy(col("media_id"))
       .agg(min(struct(col("hamming"), col("benchmark_id"))).as("m"))
       .select(col("media_id"), col("m.benchmark_id").as("benchmark_id"),
         col("m.hamming").as("hamming"))
   }
+
+  def decontaminateImages(corpus: Dataset[MediaRow],
+      benchmark: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    decontaminate64(
+      imageDHash(corpus).toDF()
+        .select(col("media_id"), col("dhashBits").as("bits")),
+      imageDHash(benchmark).toDF()
+        .select(col("media_id"), col("dhashBits").as("bits")),
+      maxHamming, Nil, identity)
+
+  /** Audio-side benchmark decontamination: drop corpus clips whose
+    * gain-invariant energy hash sits within Hamming ≤ `maxHamming` of
+    * any eval clip — a re-mastered (louder/quieter) copy of an eval
+    * recording has DIFFERENT bytes but the identical fingerprint, so a
+    * byte-level gate finds nothing. Same broadcast-banded shape as the
+    * image gate. */
+  def decontaminateAudio(corpus: Dataset[MediaRow],
+      benchmark: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    decontaminate64(
+      audioEnergyHash(corpus, targetPartitionBytes = 0).toDF()
+        .select(col("media_id"), col("ahashBits").as("bits")),
+      audioEnergyHash(benchmark, targetPartitionBytes = 0).toDF()
+        .select(col("media_id"), col("ahashBits").as("bits")),
+      maxHamming, Nil, identity)
+
+  /** Video-side benchmark decontamination: majority-hash Hamming ≤
+    * `maxHamming` AND temporally aligned within ±`maxShift` frames
+    * (the [[tsigAligned]] verify — a re-rendered OR slightly trimmed
+    * eval clip is caught). Benchmark bands broadcast; the corpus pays
+    * one decode+hash pass and never exchanges. */
+  def decontaminateVideos(corpus: Dataset[MediaRow],
+      benchmark: Dataset[MediaRow], maxHamming: Int = 3,
+      maxShift: Int = 2): DataFrame =
+    decontaminate64(
+      videoDHash(corpus, targetPartitionBytes = 0).toDF()
+        .select(col("media_id"), col("vhashBits").as("bits"),
+          col("tsig"), col("n_frames")),
+      videoDHash(benchmark, targetPartitionBytes = 0).toDF()
+        .select(col("media_id"), col("vhashBits").as("bits"),
+          col("tsig"), col("n_frames")),
+      maxHamming, Seq("tsig", "n_frames"),
+      _.where(tsigAligned(col("tsig_c"), col("n_frames_c"),
+        col("tsig_b"), col("n_frames_b"), maxShift)))
 
   /** Coefficients come from a Knuth-mixed eid so the distinct-image
     * space is ~2×10⁷ — small mods (the first draft) capped it at

@@ -442,6 +442,16 @@ class PlanSpec extends GraftSuite {
     assert(p.contains("bk_a") && p.contains("bk_b"), p)
   }
 
+  test("audio + video decontamination: benchmark side broadcasts, " +
+      "corpus never hash-exchanges before the match") {
+    for (q <- Seq("decontaminate_audio", "decontaminate_video")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+      assert(!p.contains("Cartesian") && !p.contains("SortMergeJoin"),
+        s"$q: $p")
+    }
+  }
+
   test("audio + video cluster dedup: pairs stay banded equi-joins — " +
       "no cartesian, no all-pairs fallback") {
     // the CC queries materialize clusters through the bounded

@@ -131,6 +131,34 @@ class RadixSpec extends GraftSuite {
     assert(caps("a@@b@NUMBER:n@", "a@b77").contains(Map("n" -> "77")))
   }
 
+  test("r_parser_string / r_parser_qstring battery (test_parsers.c verbatim)") {
+    // _invoke_parser: the matched STRING is the consumed prefix; the
+    // QSTRING match drops the delimiting quotes (match.ofs=1, len=-2)
+    def pString(s: String, param: String): Option[String] = {
+      val n = Radix.parserMatch("STRING", param, s, 0)
+      if (n > 0) Some(s.substring(0, n)) else None
+    }
+    // test_string_parser (test_parsers.c:67-81): param chars are EXTRA
+    // allowed characters on top of alnum, not delimiters
+    assert(pString("foo", "") == Some("foo"))
+    assert(pString("foo bar", "") == Some("foo"))
+    assert(pString("foo123 bar", "") == Some("foo123"))
+    assert(pString("foo{}", "") == Some("foo"))
+    assert(pString("foo[]", "") == Some("foo"))
+    assert(pString("foo", "X") == Some("foo"))
+    assert(pString("foo=bar", "=") == Some("foo=bar"))
+    assert(pString("", "") == None)
+    // test_qstring_parser (:105-147): consumed includes the quotes, the
+    // capture is the inner span
+    def pQ(s: String, quotes: String): Option[(Int, String)] = {
+      val n = Radix.parserMatch("QSTRING", quotes, s, 0)
+      if (n > 0) Some((n, s.substring(1, n - 1))) else None
+    }
+    assert(pQ("'foo'", "''") == Some((5, "foo")))
+    assert(pQ("\"foo\"", "\"\"") == Some((5, "foo")))
+    assert(pQ("{foo}", "{}") == Some((5, "foo")))
+  }
+
   test("RadixMatch expression in a DataFrame plan") {
     import spark.implicits._
     val df = Seq(
