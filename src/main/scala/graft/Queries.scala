@@ -1574,9 +1574,12 @@ object Queries {
     * CTE; component = min doc id, the survivor convention. */
   private val dedupCc = Q("dedup_cc",
     (s, d) => {
-      val pairs = Dedup.simhashPairs(Tables.documents(s, d), col("doc_id"),
-        col("text"), maxHamming = 3, algo = "md5")
-      Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b")))
+      // cluster EDGES, not pairs (r11 verdict #1): identical texts
+      // hash identically, and a c-fold exact-dup cluster must cost
+      // c−1 edges, not c·(c−1)/2 pairs — components are identical
+      Dedup.dedupClusters(Dedup.simhashClusterEdges(
+          Tables.documents(s, d), col("doc_id"), col("text"),
+          maxHamming = 3, algo = "md5"))
         .orderBy(col("id"))
     },
     Some("""WITH RECURSIVE toks AS (
@@ -1618,10 +1621,10 @@ object Queries {
   private val splitLeakageSafe = Q("split_leakage_safe",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.simhashPairs(docs, col("doc_id"), col("text"),
-        maxHamming = 3, algo = "md5")
-      Dedup.leakageSafeSplit(docs, col("doc_id"),
-          pairs.select(col("id_a"), col("id_b")),
+      // collapsed cluster edges: same components as the full pair set
+      val edges = Dedup.simhashClusterEdges(docs, col("doc_id"),
+        col("text"), maxHamming = 3, algo = "md5")
+      Dedup.leakageSafeSplit(docs, col("doc_id"), edges,
           Seq("train" -> 8, "val" -> 1, "test" -> 1))
         .orderBy(col("doc_id"))
     },
@@ -1674,10 +1677,9 @@ object Queries {
   private val dedupKeepBest = Q("dedup_keep_best",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.simhashPairs(docs, col("doc_id"),
-        col("text"), maxHamming = 3, algo = "md5")
       Dedup.bestPerCluster(
-          Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b"))),
+          Dedup.dedupClusters(Dedup.simhashClusterEdges(docs,
+            col("doc_id"), col("text"), maxHamming = 3, algo = "md5")),
           docs.select(col("doc_id").as("id"), col("n_chars").as("score")))
         .orderBy(col("id"))
     },
@@ -3672,9 +3674,12 @@ object Queries {
       // help across differently-shaped consumers.
       val hashes = Multimodal.imageDHash(Multimodal.dhashFixtures(s, d))
         .toDF().localCheckpoint(false)
-      val pairs = Multimodal.imageDHashPairs(hashes.as[Multimodal.ImageHash])
+      // collapsed cluster edges (r11 verdict #1): identical dHashes
+      // contribute linear member edges, not quadratic pairs
+      val edges = Multimodal.imageDHashClusterEdges(
+        hashes.as[Multimodal.ImageHash])
       Dedup.bestPerCluster(
-          Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b"))),
+          Dedup.dedupClusters(edges),
           hashes.select(col("media_id").as("id"),
             (col("w") * col("h")).cast("double").as("score")))
         .orderBy(col("id"))
@@ -3873,9 +3878,10 @@ object Queries {
       val hashes = Multimodal.videoDHash(Multimodal.videoHashFixtures(s, d),
           targetPartitionBytes = 0)
         .toDF().localCheckpoint(false)
-      val pairs = Multimodal.videoDHashPairs(hashes.as[Multimodal.VideoHash])
+      val edges = Multimodal.videoDHashClusterEdges(
+        hashes.as[Multimodal.VideoHash])
       Dedup.bestPerCluster(
-          Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b"))),
+          Dedup.dedupClusters(edges),
           hashes.select(col("media_id").as("id"),
             (col("n_frames").cast("double") * lit(8589934592.0) +
               (col("w") * col("h")).cast("double")).as("score")))
@@ -4016,10 +4022,12 @@ object Queries {
       val hashes = Multimodal.audioEnergyHash(
           Multimodal.audioHashFixtures(s, d), targetPartitionBytes = 0)
         .toDF().localCheckpoint(false)
-      val pairs = Multimodal.audioEnergyHashPairs(
+      // the r11 scale-killer fix: edges over DISTINCT hashes + linear
+      // member edges — the fixture's identical-hash clusters grow ∝ N
+      val edges = Multimodal.audioEnergyHashClusterEdges(
         hashes.as[Multimodal.AudioHash])
       Dedup.bestPerCluster(
-          Dedup.dedupClusters(pairs.select(col("id_a"), col("id_b"))),
+          Dedup.dedupClusters(edges),
           hashes.select(col("media_id").as("id"),
             col("n_samples").cast("double").as("score")))
         .orderBy(col("id"))

@@ -406,6 +406,25 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Cluster EDGES over any 64-bit fingerprint with the
+    * exact-duplicate collapse ([[Dedup.collapseExactFingerprints]],
+    * r11 verdict #1): the banded join runs over DISTINCT fingerprint
+    * tuples only — O(distinct-hash pairs), not O(row pairs) — and the
+    * members of each identical-fingerprint group rejoin through linear
+    * member→canonical edges. `keyCols` must be the FULL tuple the pair
+    * predicate reads (`verify` runs on the rep pairs, e.g. the video
+    * path's temporal alignment). Components over these edges are
+    * bit-identical to components over the full pair set. */
+  private def bandedHamming64ClusterEdges(h: DataFrame, bits: String,
+      maxHamming: Int, extras: Seq[String],
+      verify: DataFrame => DataFrame): DataFrame = {
+    val (reps, memberEdges) = Dedup.collapseExactFingerprints(
+      h, "media_id", bits +: extras)
+    verify(bandedHamming64Pairs(reps, bits, maxHamming, extras))
+      .select(col("id_a"), col("id_b"))
+      .union(memberEdges)
+  }
+
   /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming`
     * over [[imageDHash]] fingerprints — the image-side twin of the
     * text SimHash dedup ([[bandedHamming64Pairs]]). */
@@ -414,6 +433,14 @@ object Multimodal {
     bandedHamming64Pairs(hashes.toDF(), "dhashBits", maxHamming, Nil)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
+
+  /** Cluster edges for image-dHash CC — [[imageDHashPairs]] semantics
+    * through the exact-duplicate collapse. Feeds
+    * [[Dedup.dedupClusters]]. */
+  def imageDHashClusterEdges(hashes: Dataset[ImageHash],
+      maxHamming: Int = 3): DataFrame =
+    bandedHamming64ClusterEdges(hashes.toDF(), "dhashBits", maxHamming,
+      Nil, identity)
 
   /** Near-duplicate audio pairs at Hamming ≤ `maxHamming` over
     * [[audioEnergyHash]] fingerprints — completing the modality
@@ -426,6 +453,18 @@ object Multimodal {
     bandedHamming64Pairs(hashes.toDF(), "ahashBits", maxHamming, Nil)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
+
+  /** Cluster edges for audio-energy-hash CC — [[audioEnergyHashPairs]]
+    * semantics through the exact-duplicate collapse. This is THE fix
+    * for the r11 scale-killer: the audio fixture's identical-hash
+    * clusters grow ∝ N, so the uncollapsed pair stage emitted ~19.5M
+    * rows at sf10p (measured 12.1×/decade); collapsed, the same
+    * components cost O(N) member edges + O(distinct²-in-band) rep
+    * pairs. */
+  def audioEnergyHashClusterEdges(hashes: Dataset[AudioHash],
+      maxHamming: Int = 3): DataFrame =
+    bandedHamming64ClusterEdges(hashes.toDF(), "ahashBits", maxHamming,
+      Nil, identity)
 
   /** Eval-benchmark image set for [[decontaminateImages]]: every 50th
     * doc's image re-rendered at +1 brightness — different BYTES than
@@ -806,6 +845,18 @@ object Multimodal {
         col("tsig_b"), col("n_frames_b"), maxShift))
       .select(col("id_a"), col("id_b"), col("hamming"))
       .distinct()
+
+  /** Cluster edges for video-dHash CC — [[videoDHashPairs]] semantics
+    * through the exact-duplicate collapse. The collapse key is the
+    * FULL pair-predicate tuple (vhash, tsig, n_frames): two clips
+    * agreeing on all three are definitionally pair-equivalent, and the
+    * temporal-alignment verify runs unchanged on the rep pairs. */
+  def videoDHashClusterEdges(hashes: Dataset[VideoHash],
+      maxHamming: Int = 3, maxShift: Int = 2): DataFrame =
+    bandedHamming64ClusterEdges(hashes.toDF(), "vhashBits", maxHamming,
+      Seq("tsig", "n_frames"),
+      p => p.where(tsigAligned(col("tsig_a"), col("n_frames_a"),
+        col("tsig_b"), col("n_frames_b"), maxShift)))
 
   /** Video-dedup fixture corpus: animated GIFs whose frame pixels are
     * quadratic in (x, y) with a frame-linear term — closed-form in
