@@ -49,6 +49,11 @@ object AssignBench {
         }
       })
     def singleTaskMaxRows(): Long = {
+      // onTaskEnd arrives asynchronously on the listener bus — drain
+      // it first or late events can be missed and the metric
+      // underreports (ADVICE r11)
+      org.apache.spark.graft.ListenerDrain.waitUntilEmpty(
+        spark.sparkContext)
       var mx = 0L
       stageAgg.forEach { (_, v) =>
         if (v._1 == 1L && v._2 > mx) mx = v._2

@@ -154,27 +154,59 @@ object Bench {
     // points — two runs can't distinguish drift from variance.
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
       "bench_history.jsonl")
-    def loadHistory(): Seq[Map[String, Double]] =
+    // measurement mode per query this run: "i" = isolated forked
+    // median, "s" = in-suite. Isolated medians run systematically
+    // LOWER than in-suite (neighboring-query JVM state inflates the
+    // suite numbers), so band comparisons and reforks must stay
+    // mode-pure (ADVICE r11): a refork of an in-suite-measured query
+    // would let min(t, fork) clear a genuine regression.
+    // SPARK_GRAFT_BAND=1 opts a SPARK_GRAFT_ONLY run INTO the band
+    // memory (r11 verdict #3: the scale-matrix cells run as one-query
+    // JVMs and never touched history, so scaledata rows always carried
+    // band_history_n: 0 and cross-round scale claims were
+    // unadjudicable). The matrix script sets it; forkOne children
+    // explicitly clear it so parent-spawned forks never double-append.
+    val bandOpt = only.nonEmpty &&
+      sys.env.get("SPARK_GRAFT_BAND").contains("1")
+    def modeNow(name: String): String =
+      if (isolated.contains(name) || bandOpt) "i" else "s"
+    def loadHistory(): Seq[(Map[String, Double], Map[String, String])] =
       try {
         val f = new java.io.File(histPath)
         if (!f.exists) Seq.empty
         else {
           val qRe = "\"([A-Za-z0-9_]+)\":([0-9][0-9.Ee+-]*)".r
+          val mRe = "\"([A-Za-z0-9_]+)\":\"([is])\"".r
           val src = scala.io.Source.fromFile(f, "UTF-8")
           try src.getLines()
             .filter(_.contains("\"sf\":\"" + sfDir + "\""))
             .map { l =>
               val qpart = l.indexOf("\"queries\":")
-              if (qpart < 0) Map.empty[String, Double]
-              else qRe.findAllMatchIn(l.substring(qpart)).map(m =>
-                m.group(1) -> m.group(2).toDouble).toMap
+              val qs =
+                if (qpart < 0) Map.empty[String, Double]
+                else qRe.findAllMatchIn(l.substring(qpart)).map(m =>
+                  m.group(1) -> m.group(2).toDouble).toMap
+              val mpart = l.indexOf("\"modes\":")
+              val ms =
+                if (mpart < 0) Map.empty[String, String]
+                else mRe.findAllMatchIn(l.substring(mpart)).map(m =>
+                  m.group(1) -> m.group(2)).toMap
+              (qs, ms)
             }.toList
           finally src.close()
         }
       } catch { case _: Throwable => Seq.empty }
-    val history = if (only.isEmpty) loadHistory() else Seq.empty
+    val history = if (only.isEmpty || bandOpt) loadHistory() else Seq.empty
     def bandOf(name: String): Option[Double] = {
-      val vs = history.flatMap(_.get(name)).takeRight(8).sorted
+      // like-with-like: only history points measured in this run's
+      // mode for the query; entries predating mode tracking carry no
+      // modes map and stand for continuity (they were produced under
+      // the same isolateMin/cap regime, so the per-query mode matches
+      // except at the boundary)
+      val vs = history.flatMap { case (qs, ms) =>
+        qs.get(name).filter(_ =>
+          ms.get(name).forall(_ == modeNow(name)))
+      }.takeRight(8).sorted
       if (vs.size >= 3) Some(vs(vs.size / 2)) else None
     }
     val bandReforked = scala.collection.mutable.ArrayBuffer[String]()
@@ -182,25 +214,31 @@ object Bench {
     val merged = merged0.map { case (n, t) =>
       bandOf(n) match {
         case Some(b) if t > b * 1.5 =>
+          // refork only queries whose number IS an isolated median —
+          // forking an in-suite-measured one would mix modes (ADVICE
+          // r11); their slow flags publish annotation-only
           val best =
-            if (!isolateOn) t
+            if (!isolateOn || !isolated.contains(n)) t
             else {
               bandReforked += n
               forkOne(n, sfDir, cpus).fold(t)(math.min(t, _))
             }
-          bandFlags += s""""$n":{"now":$best,"band":$b,"dir":"slow","first":$t}"""
+          bandFlags += s""""$n":{"now":$best,"band":$b,"dir":"slow","first":$t,"mode":"${modeNow(n)}"}"""
           n -> best
         case Some(b) if t < b / 1.5 =>
-          bandFlags += s""""$n":{"now":$t,"band":$b,"dir":"fast"}"""
+          bandFlags += s""""$n":{"now":$t,"band":$b,"dir":"fast","mode":"${modeNow(n)}"}"""
           n -> t
         case _ => n -> t
       }
     }
     val total = merged.map(_._2).sum
-    if (only.isEmpty) {
-      // append AFTER adjudication so the band learns final numbers
+    if (only.isEmpty || bandOpt) {
+      // append AFTER adjudication so the band learns final numbers;
+      // modes ride along so future bands compare like with like
+      val modesJson = merged.map { case (n, _) =>
+        s""""$n":"${modeNow(n)}"""" }.mkString("{", ",", "}")
       val w = new java.io.FileWriter(histPath, true)
-      try w.write(s"""{"sf":"$sfDir","ts":${System.currentTimeMillis()},"harness_sort":"$harnessSort","queries":${jmap(merged)}}""" + "\n")
+      try w.write(s"""{"sf":"$sfDir","ts":${System.currentTimeMillis()},"harness_sort":"$harnessSort","queries":${jmap(merged)},"modes":$modesJson}""" + "\n")
       finally w.close()
     }
     val retriedJson = retried.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -265,6 +303,9 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_REPEAT", "5")
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      // a fork must never opt into the band memory even if the parent
+      // run did — it would double-append the same cell
+      pb.environment().remove("SPARK_GRAFT_BAND")
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()

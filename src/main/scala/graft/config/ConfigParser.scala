@@ -802,14 +802,32 @@ object ConfigParser {
       // consecutive embedded `log {}` statements form ONE implicit
       // junction (cfg-tree.c compiles fork points through the same mpx
       // delivery code as junction channels — final/fallback interact
-      // across the sibling group, tests/python_functional/logpath)
+      // across the sibling group, tests/python_functional/logpath).
+      // The reference grammar only allows that group as the FINAL
+      // junction of the block, optionally followed by flags()
+      // (cfg-grammar.y: log_content = log_items log_last_junction
+      // log_flags) — interleaved forms like `log{..}; filter(f);
+      // log{..};` are syntax errors there, and accepting them here
+      // would invent novel two-junction semantics (ADVICE r11)
       var lastEmbedded = false
-      def add(e: LogElem): Unit = { elems += e; lastEmbedded = false }
+      var sawEmbedded = false
+      var flagsAfterEmbedded = false
+      def add(e: LogElem): Unit = {
+        if (sawEmbedded) throw new ParseError(
+          "embedded log {} statements must form the final junction of " +
+          "the log block, optionally followed by flags() (cfg-grammar.y " +
+          "log_content: log_items log_last_junction log_flags)")
+        elems += e; lastEmbedded = false
+      }
       while (!accept("}")) {
         val w = expect("word").text
         w match {
-          case "log" =>
-            // embedded log statement: one channel of the sibling group
+          case "log" | "channel" =>
+            // embedded fork statement (log_fork: KW_LOG | KW_CHANNEL):
+            // one channel of the trailing sibling group
+            if (flagsAfterEmbedded) throw new ParseError(
+              "log {} fork after the block's trailing flags() " +
+              "(cfg-grammar.y: log_flags ends log_content)")
             val body = logPath()
             val fl = body.collect { case Flags(f) => f }.flatten
             val ch = ChannelElem(body.filterNot(_.isInstanceOf[Flags]), fl)
@@ -820,6 +838,7 @@ object ConfigParser {
               elems += JunctionElem(Seq(ch))
               lastEmbedded = true
             }
+            sawEmbedded = true
           case "if" =>
             add(ifChain())
             expect(";")
@@ -835,9 +854,13 @@ object ConfigParser {
             expect(";")
             add(JunctionElem(chans.toSeq))
           case "flags" =>
-            // log-path flags use the same normalized_flag rule
-            add(Flags(argList().collect {
-              case Lit(v) => ConfigParser.normKeyword(v) }))
+            // log-path flags use the same normalized_flag rule; legal
+            // after the trailing embedded-fork group (log_flags follows
+            // log_last_junction), so bypass the final-junction guard
+            if (sawEmbedded) flagsAfterEmbedded = true
+            elems += Flags(argList().collect {
+              case Lit(v) => ConfigParser.normKeyword(v) })
+            lastEmbedded = false
             expect(";")
           case kind @ ("source" | "filter" | "parser" | "rewrite" | "destination") =>
             expect("(")

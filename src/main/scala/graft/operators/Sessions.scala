@@ -115,7 +115,11 @@ object Sessions {
     val limited = limit.map(m => slice(sorted, 1, m)).getOrElse(sorted)
     val flat = flatten(limited)
     if (quote) graft.functions.ListFunctions.list_encode(flat)
-    else array_join(flat, ",")
+    // $(grep): an unset macro renders "" but KEEPS its position and
+    // delimiter (cond-funcs.c:133 appends ',' then the rendered value,
+    // empty or not) — array_join alone would silently drop nulls and
+    // shift every later value left (ADVICE r11)
+    else array_join(transform(flat, v => coalesce(v, lit(""))), ",")
   }
 
   /** suppress(N) (`lib/logwriter.c:565-640`): drop messages identical to

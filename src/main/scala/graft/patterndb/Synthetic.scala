@@ -183,7 +183,10 @@ object Synthetic {
         // list-repr quoting), so a matched value containing spaces or
         // commas passes through verbatim; $(context-lookup) str-repr
         // quotes each element (context-funcs.c:78) — ADVICE r10
-        if (fn == "grep") array_join(filter(vals, _.isNotNull), ",")
+        // an unset macro renders "" but keeps its position/delimiter
+        // (cond-funcs.c:133) — matches Sessions.sortedValuesMulti
+        if (fn == "grep")
+          array_join(transform(vals, v => coalesce(v, lit(""))), ",")
         else graft.functions.ListFunctions.list_encode(
           filter(vals, _.isNotNull))
       case name => graft.template.Macros.resolver(ctx.columns, None)(name)

@@ -489,6 +489,16 @@ class BasicFuncsBatterySpec extends GraftSuite {
     assert(contextRender("$(grep ('$FACILITY' eq 'local4') $PID)") == "")
   }
 
+  test("$(grep) renders unset values as empty but keeps their position (cond-funcs.c:133, ADVICE r11)") {
+    // each matched message appends EVERY value template with a ','
+    // separator; an unset macro renders "" without shifting later
+    // values left — 2 messages × ($PID, unset) = "23323,,23323,"
+    assert(contextRender("$(grep 'facility(local3)' $PID ${no_such_value})") ==
+      "23323,,23323,")
+    assert(contextRender("$(grep 'facility(local3)' ${no_such_value} $PID)") ==
+      ",23323,,23323")
+  }
+
   test("$(context-length), $(context-lookup)/$(context-values) with str-repr quoting (test_basicfuncs.c:542-553)") {
     assert(contextRender("$(context-length)") == "2")
     assert(contextRender("$(context-lookup 'facility(local3)' ${comma_value})") ==

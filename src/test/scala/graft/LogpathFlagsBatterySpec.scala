@@ -147,4 +147,54 @@ class LogpathFlagsBatterySpec extends GraftSuite {
     // catch-all sees everything regardless
     assert(got("d4") == Set(0L, 1L, 2L, 3L))
   }
+
+  test("embedded log {} forks are only legal as the final junction " +
+      "(cfg-grammar.y log_content, ADVICE r11)") {
+    // interleaved: log{}; filter(); log{}; is a reference syntax error
+    // — accepting it would invent novel two-junction semantics
+    val interleaved = """
+      source s_file { file("/in"); };
+      filter f { host("h"); };
+      destination d1 { file("/o1"); };
+      destination d2 { file("/o2"); };
+      log {
+        source(s_file);
+        log { destination(d1); };
+        filter(f);
+        log { destination(d2); };
+      };
+    """
+    val e = intercept[ConfigParser.ParseError] { ConfigParser.parse(interleaved) }
+    assert(e.getMessage.contains("final junction"))
+    // a fork AFTER the trailing flags() is likewise out of grammar
+    val afterFlags = """
+      source s_file { file("/in"); };
+      destination d1 { file("/o1"); };
+      destination d2 { file("/o2"); };
+      log {
+        source(s_file);
+        log { destination(d1); };
+        flags(flow-control);
+        log { destination(d2); };
+      };
+    """
+    intercept[ConfigParser.ParseError] { ConfigParser.parse(afterFlags) }
+    // trailing group + flags stays legal, and channel{} is a legal
+    // fork keyword (log_fork: KW_LOG | KW_CHANNEL)
+    val legal = """
+      source s_file { file("/in"); };
+      destination d1 { file("/o1"); };
+      destination d2 { file("/o2"); };
+      log {
+        source(s_file);
+        log { destination(d1); };
+        channel { destination(d2); };
+        flags(flow-control);
+      };
+    """
+    val src = messages(("host-A", "p"), ("host-B", "p"))
+    val got = delivered(legal, src)
+    assert(got("d1") == Set(0L, 1L))
+    assert(got("d2") == Set(0L, 1L))
+  }
 }

@@ -217,6 +217,13 @@ class SyntheticMessageSpec extends GraftSuite {
       "\"a,b c\",\"d,e f\"")
   }
 
+  test("$(grep) keeps unset-value positions — empty render, delimiter preserved (cond-funcs.c:133, ADVICE r11)") {
+    assert(ctxRender("$(grep ('$PID' ne '') $PID ${no_such})") ==
+      "111,,222,")
+    assert(ctxRender("$(grep ('$PID' ne '') ${no_such} $PID)") ==
+      ",111,,222")
+  }
+
   test("$(func args)@N binds the function's refs to that context member (compiler.c:62, eval.c:97-103)") {
     assert(ctxRender("$(echo $PID)@0") == "222")
     assert(ctxRender("$(echo $PID)@1") == "111")
