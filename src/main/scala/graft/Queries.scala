@@ -1063,7 +1063,11 @@ object Queries {
       java.nio.file.Files.write(pdb, java.util.Arrays.asList(
         "<patterndb version='4' pub_date='2024-01-01'>",
         " <ruleset name='app' id='rs1'>",
-        "  <patterns><pattern>app</pattern></patterns>",
+        // ruleset <patterns> scope rules by PROGRAM (pdb_ruleset_lookup,
+        // pdb-ruleset.c:104) — list every event_type the generator emits
+        "  <patterns><pattern>click</pattern><pattern>view</pattern>" +
+          "<pattern>error</pattern><pattern>purchase</pattern>" +
+          "<pattern>signup</pattern></patterns>",
         "  <rules><rule provider='t' id='ev-ok' class='app'>",
         "   <patterns><pattern>u=@NUMBER:uid@ k=@NUMBER:kv@</pattern></patterns>",
         "  </rule></rules>",

@@ -1672,12 +1672,19 @@ object ConfigCompiler {
         }
 
       case "db-parser" | "windows-eventlog-parser" =>
-        // db-parser(file("x.pdb") [drop-unmatched(yes)]) — patterndb
-        // XML compiled into the codegen'd RadixMatch automaton;
-        // captures land in `values` with the reference's .classifier.*
-        // entries alongside. windows-eventlog-parser()
-        // (scl/windowseventlog/plugin.conf) is db-parser over the
-        // bundled windowseventlog.xml with drop-unmatched(yes).
+        // db-parser(file("x.pdb") [drop-unmatched(yes)]
+        // [program-template("t")]) — patterndb XML compiled into the
+        // codegen'd two-level automaton: ruleset selection by PROGRAM
+        // pattern, then rule match (pdb_ruleset_lookup's shape — the
+        // old flat RadixMatch ignored ruleset program scoping, so a
+        // message whose program matched NO ruleset still classified;
+        // found by the ported test_db_parser e2e, r12). captures land
+        // in `values` with the reference's .classifier.* entries
+        // alongside. program-template() overrides the program used for
+        // ruleset selection (_calculate_program, pdb-ruleset.c:68-78).
+        // windows-eventlog-parser() (scl/windowseventlog/plugin.conf)
+        // is db-parser over the bundled windowseventlog.xml with
+        // drop-unmatched(yes).
         val path = kvOf(s.args, "file").getOrElse {
           if (s.name == "windows-eventlog-parser") "windowseventlog.xml"
           else throw new IllegalArgumentException("db-parser needs file()")
@@ -1685,13 +1692,17 @@ object ConfigCompiler {
         val dropUnmatched = s.name == "windows-eventlog-parser" ||
           kvOf(s.args, "drop-unmatched").contains("yes")
         val loaded = graft.patterndb.PdbLoader.loadFile(path)
-        val rules = graft.patterndb.PdbLoader.radixRules(loaded)
+        val programCol = kvOf(s.args, "program-template")
+          .map(t => templateCol(t))
         // rule-level <tags> apply to the matched message
         // (pdb-rule.c pdb_rule_apply -> synthetic_message tags)
         val tagRules = loaded.flatMap(_.rules).filter(_.tags.nonEmpty)
           .map(r => r.id -> r.tags)
         df => {
-          val d2 = df.withColumn("__r", graft.functions.RadixMatch(input, rules))
+          val prog = programCol.getOrElse(
+            if (df.columns.contains("program")) col("program") else lit(""))
+          val d2 = df.withColumn("__r", graft.functions.PdbClassify(
+            coalesce(prog, lit("")), coalesce(input, lit("")), loaded))
           val kept = if (dropUnmatched) d2.filter(col("__r.rule_id").isNotNull)
                      else d2
           val add = map_concat(col("__r.captures"),

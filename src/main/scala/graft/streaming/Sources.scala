@@ -366,10 +366,22 @@ object Sources {
       .withColumn("tags", array().cast("array<string>"))
       .withColumn("values", map().cast("map<string,string>"))
     val baseCols = empty.columns.toSeq
+    // values() pairs apply via log_msg_set_value_by_name
+    // (msg-generator-source.c:105): a BUILTIN macro name routes to the
+    // builtin field — values("PROGRAM" => "x") sets the program the
+    // db-parser ruleset selection reads (test_db_parser.py) — while
+    // everything else lands in the name-value map
+    val builtin = Map("PROGRAM" -> "program", "HOST" -> "host",
+      "PID" -> "pid", "MSGID" -> "msgid", "MESSAGE" -> "message",
+      "MSG" -> "message")
+    val (colPairs, mapPairs) = values.partition(p => builtin.contains(p._1))
+    val withCols = colPairs.foldLeft(empty) { case (d, (n, tpl)) =>
+      d.withColumn(builtin(n), Template.column(tpl, baseCols))
+    }
     val paired =
-      if (values.isEmpty) empty
-      else empty.withColumn("values", map_concat(col("values"),
-        map(values.flatMap { case (n, tpl) =>
+      if (mapPairs.isEmpty) withCols
+      else withCols.withColumn("values", map_concat(col("values"),
+        map(mapPairs.flatMap { case (n, tpl) =>
           Seq(lit(n), Template.column(tpl, baseCols))
         }: _*)))
     template.fold(paired)(t => paired.withColumn("message",

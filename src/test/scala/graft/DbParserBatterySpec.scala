@@ -1,0 +1,135 @@
+package graft
+
+import graft.config.{ConfigCompiler, ConfigParser}
+import graft.template.Template
+import org.apache.spark.sql.functions._
+
+/** Verbatim port of the reference's db-parser python-functional e2e
+  * (`/root/reference/tests/python_functional/functional_tests/parsers/
+  * db_parser/test_db_parser.py`) plus the surrounding db-parser config
+  * surface (drop-unmatched routing, ruleset program scoping,
+  * program-template() override — dbparser.c:225-232,
+  * pdb-ruleset.c:68-134), driven end-to-end through ConfigParser →
+  * ConfigCompiler → row sets. The python harness asserts the file
+  * destination's formatted line; the file sink here writes structured
+  * rows, so the destination's template() render is applied explicitly
+  * through the same Template.column the formatted destinations use. */
+class DbParserBatterySpec extends GraftSuite {
+  import spark.implicits._
+
+  /** The DBParserConfig XML shape the python harness generates
+    * (db_parser.py write_to): patterndb v5, one ruleset with the
+    * program pattern, rules with class + message pattern. */
+  private def pdbXml(rulesetPattern: String,
+      rules: Seq[(String, String)]): String = {
+    val ruleXml = rules.zipWithIndex.map { case ((cls, pat), i) =>
+      s"""<rule id="$i" class="$cls"><patterns><pattern>$pat</pattern></patterns></rule>"""
+    }.mkString
+    s"""<patterndb version="5"><ruleset name="some_name" id="1234">""" +
+      s"""<pattern>$rulesetPattern</pattern><rules>$ruleXml</rules>""" +
+      "</ruleset></patterndb>"
+  }
+
+  private def writePdb(xml: String): String = {
+    val p = java.nio.file.Files.createTempFile("graft-dbparser", ".xml")
+    java.nio.file.Files.write(p, xml.getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("test_db_parser.py verbatim: generator source -> db-parser(file) " +
+      "-> 'foo=5 class=patterndb'") {
+    val pdbPath = writePdb(pdbXml("program_name",
+      Seq("patterndb" -> "some number: @NUMBER:foo@")))
+    val cfg = ConfigParser.parse(s"""
+      source s_gen { example-msg-generator(num(1) freq(0.01)
+        template("some number: 5") values("PROGRAM" => "program_name")); };
+      parser p_db { db-parser(file("$pdbPath")); };
+      destination d_file { file("/out/output.log"); };
+      log { source(s_gen); parser(p_db); destination(d_file); };
+    """)
+    val (routes, _) = ConfigCompiler.compileStreamingPipeline(cfg, spark,
+      java.nio.file.Files.createTempDirectory("graft-dbp-sp").toString)
+    val cp = java.nio.file.Files.createTempDirectory("graft-dbp-cp").toString
+    val q = routes.head.df.writeStream.format("memory")
+      .queryName("dbp_out").option("checkpointLocation", cp).start()
+    try {
+      val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+      while (spark.table("dbp_out").count() < 1 &&
+          System.nanoTime < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val out = spark.table("dbp_out")
+    // the python test's file template: 'foo=$foo class=${.classifier.class}'
+    val line = out.select(Template.column(
+        "foo=$foo class=${.classifier.class}", out.columns.toSeq).as("l"))
+      .head.getString(0)
+    assert(line == "foo=5 class=patterndb", line)
+  }
+
+  private def classified(cfgText: String, rows: Seq[(String, String)])
+      : org.apache.spark.sql.DataFrame = {
+    val src = rows.toDF("program", "message")
+      .withColumn("host", lit("h"))
+      .withColumn("tags", array().cast("array<string>"))
+    ConfigCompiler.compile(ConfigParser.parse(cfgText), Map("s" -> src))
+      .head.df
+  }
+
+  test("ruleset program scoping: a message whose PROGRAM matches no " +
+      "ruleset pattern classifies unknown (pdb_ruleset_lookup)") {
+    val pdbPath = writePdb(pdbXml("program_name",
+      Seq("patterndb" -> "some number: @NUMBER:foo@")))
+    val out = classified(s"""
+      source s { file("/x"); };
+      parser p { db-parser(file("$pdbPath")); };
+      destination d { file("/out"); };
+      log { source(s); parser(p); destination(d); };
+    """, Seq(
+      ("program_name", "some number: 5"),
+      ("other_program", "some number: 5"))) // same TEXT, wrong program
+      .select(col("program"),
+        element_at(col("values"), ".classifier.class").as("cls"),
+        element_at(col("values"), "foo").as("foo"))
+      .orderBy("program").collect()
+    assert(out(0).getString(1) == "unknown" && out(0).getString(2) == null,
+      out.mkString(";")) // other_program: rule text alone must NOT match
+    assert(out(1).getString(1) == "patterndb" && out(1).getString(2) == "5",
+      out.mkString(";"))
+  }
+
+  test("drop-unmatched(yes) drops program-scope misses too " +
+      "(dbparser.c:225)") {
+    val pdbPath = writePdb(pdbXml("program_name",
+      Seq("patterndb" -> "some number: @NUMBER:foo@")))
+    val out = classified(s"""
+      source s { file("/x"); };
+      parser p { db-parser(file("$pdbPath") drop-unmatched(yes)); };
+      destination d { file("/out"); };
+      log { source(s); parser(p); destination(d); };
+    """, Seq(
+      ("program_name", "some number: 5"),
+      ("other_program", "some number: 5"),
+      ("program_name", "no match here")))
+      .select("program", "message").collect()
+    assert(out.length == 1, out.mkString(";"))
+    assert(out.head.getString(0) == "program_name" &&
+      out.head.getString(1) == "some number: 5")
+  }
+
+  test("program-template() overrides the program used for ruleset " +
+      "selection (_calculate_program, pdb-ruleset.c:68-78)") {
+    val pdbPath = writePdb(pdbXml("program_name",
+      Seq("patterndb" -> "some number: @NUMBER:foo@")))
+    val out = classified(s"""
+      source s { file("/x"); };
+      parser p { db-parser(file("$pdbPath")
+        program-template("program_name")); };
+      destination d { file("/out"); };
+      log { source(s); parser(p); destination(d); };
+    """, Seq(("whatever", "some number: 7")))
+      .select(element_at(col("values"), ".classifier.class").as("cls"),
+        element_at(col("values"), "foo").as("foo"))
+      .collect()
+    assert(out.head.getString(0) == "patterndb" &&
+      out.head.getString(1) == "7", out.mkString(";"))
+  }
+}
