@@ -487,6 +487,11 @@ class BasicFuncsBatterySpec extends GraftSuite {
       "23323,syslog-ng,23323,syslog-ng")
     assert(contextRender("$(grep 'facility(local4)' $PID)") == "")
     assert(contextRender("$(grep ('$FACILITY' eq 'local4') $PID)") == "")
+    // unbalanced parens INSIDE the quoted operands must not confuse the
+    // condition tokenizer (test_basicfuncs.c:137-138)
+    assert(contextRender("$(grep ('$FACILITY(' eq 'local3(') $PID)") ==
+      "23323,23323")
+    assert(contextRender("$(grep ('$FACILITY(' eq 'local4)') $PID)") == "")
   }
 
   test("$(grep) renders unset values as empty but keeps their position (cond-funcs.c:133, ADVICE r11)") {
