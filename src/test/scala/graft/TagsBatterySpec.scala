@@ -107,4 +107,28 @@ class TagsBatterySpec extends GraftSuite {
       .select("id").as[Int].collect().toSet
     assert(got == ((0 until 100).filterNot(_ % 3 == 1).toSet + 100))
   }
+
+  // rewrites/set-tag/test_set_tag.py: set-tag under condition(match())
+  // through the compiled config path — only the matching condition's tag
+  // lands in ${TAGS}
+  test("test_set_tag.py: conditioned set-tag through config, " +
+      "${TAGS} renders only the matching tag") {
+    val src = Seq(Tuple1("input with MATCHSTRING in it")).toDF("message")
+      .withColumn("tags", array().cast("array<string>"))
+    val cfg = graft.config.ConfigParser.parse("""
+      source s_gen { network(); };
+      rewrite r_match { set-tag("SHOULDMATCH"
+        condition(match("MATCHSTRING" value("MSG")))); };
+      rewrite r_nomatch { set-tag("DONOTMATCH"
+        condition(match("NONE" value("MSG")))); };
+      destination d_file { file("/out/output.log"); };
+      log { source(s_gen); rewrite(r_match); rewrite(r_nomatch);
+            destination(d_file); };
+    """)
+    val df = graft.config.ConfigCompiler.compile(cfg, Map("s_gen" -> src))
+      .head.df
+    val line = df.select(graft.template.Template.column("$TAGS",
+      df.columns.toSeq).as("l")).head.getString(0)
+    assert(line.contains("SHOULDMATCH") && !line.contains("DONOTMATCH"))
+  }
 }
