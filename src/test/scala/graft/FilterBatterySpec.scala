@@ -21,6 +21,42 @@ class FilterBatterySpec extends GraftSuite {
 
   private val Pthread = " openvpn[2499]: PTHREAD support initialized"
 
+  /** test_filters_fop.c: boolean or/not composition compiled from config
+    * text (the grammar's precedence, not the Column API). The C message
+    * is `<16>` → facility code 2. */
+  private def fopMatches(snippet: String): Boolean = {
+    val src = parsed(s"<16>$Pthread")
+    val cfg = graft.config.ConfigParser.parse(s"""
+      source s { network(); };
+      filter f { $snippet; };
+      destination d { file("/out"); };
+      log { source(s); filter(f); destination(d); };
+    """)
+    graft.config.ConfigCompiler.compile(cfg, Map("s" -> src))
+      .head.df.count() == 1
+  }
+
+  test("test_or_evaluation battery (test_filters_fop.c:57-95)") {
+    val cases = Seq(
+      "    facility(2) or     facility(2)" -> true,
+      "    facility(2) or not facility(2)" -> true,
+      "not facility(2) or     facility(2)" -> true,
+      "not facility(2) or not facility(2)" -> false,
+      "(not facility(2)) or (not facility(2))" -> false,
+      "    facility(3) or     facility(3)" -> false,
+      "    facility(3) or not facility(3)" -> true,
+      "not facility(3) or     facility(3)" -> true,
+      "not facility(3) or not facility(3)" -> true,
+      "(not facility(3)) or (not facility(3))" -> true,
+      "    facility(2) or     facility(3)" -> true,
+      "    facility(2) or not facility(3)" -> true,
+      "not facility(2) or     facility(3)" -> false,
+      "not facility(2) or not facility(3)" -> true,
+      "(not facility(2)) or (not facility(3))" -> true)
+    for ((snippet, expected) <- cases)
+      assert(fopMatches(snippet) == expected, snippet)
+  }
+
   test("facility names over parsed PRI (test_filters_facility.c:45-66)") {
     assert(matches(s"<15>$Pthread", Filters.facility("user")))
     assert(!matches(s"<15>$Pthread", Filters.facility("daemon")))
