@@ -229,23 +229,61 @@ object PdbLoader {
     for (rs <- rulesets; r <- rs.rules; p <- r.patterns) yield (r.id, r.ruleClass, p)
 }
 
-/** Program-scoped classifier over loaded rulesets: the program string
-  * selects rulesets via their own radix of program patterns, then the
-  * message is matched inside each candidate ruleset — the same two-level
-  * lookup `pattern_db_process` performs. Returns
-  * (ruleId, ruleClass, captures ++ literal rule values). */
+/** Program-scoped classifier over loaded rulesets: ONE radix of program
+  * patterns selects a shared per-program rule radix, then the message
+  * is matched inside it — the reference's two-level lookup
+  * (`pdb_ruleset_lookup`, pdb-ruleset.c:85-134) with pdb-load.c's merge
+  * semantics (pdb-load.c:425-487):
+  *
+  *  - rulesets are merged by PROGRAM pattern: the FIRST `<pattern>`
+  *    keys a shared program (same text → same program, rules from all
+  *    such rulesets merge into ONE message radix, so preference across
+  *    them is radix specificity, not file order);
+  *  - secondary patterns alias the same program; joining rulesets with
+  *    mismatching program-pattern sets is a load error (the reference's
+  *    exact message);
+  *  - a ruleset with NO `<patterns>` adds its rules to the ROOT
+  *    program, which `r_find_node` returns only for the EMPTY program
+  *    string (radix.c:1174-1186 requires complete key consumption —
+  *    only "" terminates at the valued root node);
+  *  - the program lookup returns at most ONE program node — a message
+  *    whose rules don't match there classifies unknown, it does NOT
+  *    fall through to another program's rules.
+  *
+  * Returns (ruleId, ruleClass, captures ++ literal rule values). */
 final class PdbMatcher(rulesets: Seq[PdbRuleset]) extends Serializable {
+  import PdbMatcher.Program
 
-  private val entries: Seq[(Radix.Tree, Radix.Tree, Map[String, PdbRule])] =
-    rulesets.map { rs =>
-      val progTree = new Radix.Tree
-      rs.programPatterns.foreach(p => progTree.insert(p, Radix.Rule(rs.name, "ruleset")))
-      val msgTree = new Radix.Tree
-      rs.rules.foreach(r =>
-        r.patterns.foreach(p =>
-          msgTree.insert(p, Radix.Rule(r.id, r.ruleClass, r.tags))))
-      (progTree, msgTree, rs.rules.map(r => r.id -> r).toMap)
+  private val (progTree, programs, rootProgram) = {
+    val byPattern = scala.collection.mutable.HashMap.empty[String, Program]
+    val root = new Program
+    rulesets.foreach { rs =>
+      val program = rs.programPatterns.headOption match {
+        case None => root
+        case Some(first) =>
+          val p = byPattern.getOrElseUpdate(first, new Program)
+          rs.programPatterns.tail.foreach { alias =>
+            byPattern.get(alias) match {
+              case Some(other) if other ne p =>
+                throw new IllegalArgumentException(
+                  s"Joining rulesets with mismatching program name sets, program=$alias")
+              case _ => byPattern(alias) = p
+            }
+          }
+          p
+      }
+      program.add(rs)
     }
+    val pt = new Radix.Tree
+    val distinct = scala.collection.mutable.ArrayBuffer.empty[Program]
+    // distinct Program objects, indexed; the radix payload is the index
+    byPattern.foreach { case (pattern, p) =>
+      var idx = distinct.indexWhere(_ eq p)
+      if (idx < 0) { distinct += p; idx = distinct.size - 1 }
+      pt.insert(pattern, Radix.Rule(idx.toString, "program"))
+    }
+    (pt, distinct.toIndexedSeq, root)
+  }
 
   def classify(program: String, message: String)
       : Option[(String, String, Map[String, String])] =
@@ -263,20 +301,32 @@ final class PdbMatcher(rulesets: Seq[PdbRuleset]) extends Serializable {
     * before the message lookup — test_patterndb.c match_in_program). */
   def classifyRule(program: String, message: String)
       : Option[(PdbRule, Map[String, String])] = {
-    val it = entries.iterator
-    while (it.hasNext) {
-      val (progTree, msgTree, byId) = it.next()
-      val prog = progTree.find(if (program == null) "" else program)
-      if (prog != null) {
-        val progCaps = prog._2
-        msgTree.find(message) match {
-          case null =>
-          case (rule, caps) =>
-            return byId.get(rule.ruleId).map(r =>
-              (r, (progCaps ++ caps).toMap))
-        }
+    val prog = if (program == null) "" else program
+    val (target, progCaps) =
+      if (prog.isEmpty) (rootProgram, Nil)
+      else progTree.find(prog) match {
+        case null => (null, Nil)
+        case (r, caps) => (programs(r.ruleId.toInt), caps)
       }
+    if (target == null) return None
+    target.msgTree.find(message) match {
+      case null => None
+      case (rule, caps) =>
+        target.byId.get(rule.ruleId).map(r => (r, (progCaps ++ caps).toMap))
     }
-    None
+  }
+}
+
+object PdbMatcher {
+  /** The PDBProgram analog: one shared message radix + rule table per
+    * distinct program-pattern group (pdb-load.c:464 pdb_program_new). */
+  private final class Program extends Serializable {
+    val msgTree = new Radix.Tree
+    val byId = scala.collection.mutable.HashMap.empty[String, PdbRule]
+    def add(rs: PdbRuleset): Unit = rs.rules.foreach { r =>
+      r.patterns.foreach(p =>
+        msgTree.insert(p, Radix.Rule(r.id, r.ruleClass, r.tags)))
+      byId(r.id) = r
+    }
   }
 }

@@ -132,4 +132,82 @@ class DbParserBatterySpec extends GraftSuite {
     assert(out.head.getString(0) == "patterndb" &&
       out.head.getString(1) == "7", out.mkString(";"))
   }
+
+  // ---- pdb-load merge semantics (pdb-load.c:425-487) -----------------------
+
+  private def matcherFor(xml: String) =
+    new graft.patterndb.PdbMatcher(graft.patterndb.PdbLoader.loadString(xml))
+
+  test("rulesets sharing a program pattern merge into ONE rule radix: " +
+      "preference is radix specificity, not file order (pdb-load.c:460)") {
+    val m = matcherFor(
+      """<patterndb version="5">
+        |<ruleset name="a" id="1"><pattern>prog</pattern><rules>
+        |  <rule id="parser-rule" class="a"><patterns>
+        |    <pattern>some number: @NUMBER:foo@</pattern></patterns></rule>
+        |</rules></ruleset>
+        |<ruleset name="b" id="2"><pattern>prog</pattern><rules>
+        |  <rule id="literal-rule" class="b"><patterns>
+        |    <pattern>some number: 5</pattern></patterns></rule>
+        |</rules></ruleset>
+        |</patterndb>""".stripMargin)
+    // the literal pattern from the LATER ruleset wins inside the merged
+    // radix (a per-ruleset sequential scan would return parser-rule)
+    assert(m.classify("prog", "some number: 5").map(_._1)
+      .contains("literal-rule"))
+    // the parser pattern still catches everything else
+    assert(m.classify("prog", "some number: 7").map(_._1)
+      .contains("parser-rule"))
+  }
+
+  test("a ruleset with NO program patterns lands on the root program, " +
+      "matched only by the EMPTY program string (radix.c complete-key " +
+      "consumption at the valued root node)") {
+    val m = matcherFor(
+      """<patterndb version="5">
+        |<ruleset name="unscoped" id="1"><rules>
+        |  <rule id="r1" class="c"><patterns>
+        |    <pattern>hello</pattern></patterns></rule>
+        |</rules></ruleset>
+        |</patterndb>""".stripMargin)
+    assert(m.classify("", "hello").map(_._1).contains("r1"))
+    assert(m.classify(null, "hello").map(_._1).contains("r1"))
+    assert(m.classify("anyprog", "hello").isEmpty)
+  }
+
+  test("joining rulesets with mismatching program-pattern sets is a " +
+      "load error (pdb-load.c:481)") {
+    val ex = intercept[IllegalArgumentException](matcherFor(
+      """<patterndb version="5">
+        |<ruleset name="a" id="1"><patterns>
+        |  <pattern>p1</pattern><pattern>p2</pattern></patterns>
+        |  <rules><rule id="r1" class="c"><patterns>
+        |    <pattern>x</pattern></patterns></rule></rules></ruleset>
+        |<ruleset name="b" id="2"><patterns>
+        |  <pattern>p3</pattern><pattern>p2</pattern></patterns>
+        |  <rules><rule id="r2" class="c"><patterns>
+        |    <pattern>y</pattern></patterns></rule></rules></ruleset>
+        |</patterndb>""".stripMargin).classify("p1", "x"))
+    assert(ex.getMessage.contains("mismatching program name sets"))
+  }
+
+  test("no cross-program fall-through: a message failing its program's " +
+      "rules classifies unknown even if another program's rule text " +
+      "would match (pdb_ruleset_lookup returns ONE node)") {
+    val m = matcherFor(
+      """<patterndb version="5">
+        |<ruleset name="a" id="1"><pattern>prog</pattern><rules>
+        |  <rule id="r1" class="a"><patterns>
+        |    <pattern>alpha</pattern></patterns></rule>
+        |</rules></ruleset>
+        |<ruleset name="b" id="2"><pattern>@ESTRING:p:@</pattern><rules>
+        |  <rule id="r2" class="b"><patterns>
+        |    <pattern>beta</pattern></patterns></rule>
+        |</rules></ruleset>
+        |</patterndb>""".stripMargin)
+    // "prog" selects the literal program node (literal preferred over
+    // the parser pattern); its rules do not contain "beta"
+    assert(m.classify("prog", "beta").isEmpty)
+    assert(m.classify("prog", "alpha").map(_._1).contains("r1"))
+  }
 }
