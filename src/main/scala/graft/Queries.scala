@@ -480,6 +480,46 @@ object Queries {
       FROM events ORDER BY event_id"""),
     bench = true)
 
+  /** PROGRAM-scoped patterndb classification ([[graft.functions
+    * .PdbClassify]] — `pdb_ruleset_lookup`, pdb-ruleset.c:85-134): the
+    * program selects a ruleset through the merged program radix BEFORE
+    * any rule matching, so a message whose program matches no ruleset
+    * pattern classifies unknown even though its text would match a
+    * rule. Two rulesets scope the same rule text to different
+    * programs with different classes — the oracle replays the
+    * program→class routing. */
+  private val patterndbProgramScope = Q("patterndb_program_scope",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val rulesets = graft.patterndb.PdbLoader.loadString(
+        """<patterndb version="5">
+          |<ruleset name="clicks" id="rs-c"><pattern>click</pattern><rules>
+          |  <rule id="click-ping" class="web"><patterns>
+          |    <pattern>ping @NUMBER:k@</pattern></patterns></rule>
+          |</rules></ruleset>
+          |<ruleset name="errors" id="rs-e"><pattern>error</pattern><rules>
+          |  <rule id="err-ping" class="ops"><patterns>
+          |    <pattern>ping @NUMBER:k@</pattern></patterns></rule>
+          |</rules></ruleset>
+          |</patterndb>""".stripMargin)
+      val line = concat(lit("ping "), (col("event_id") % 50).cast("string"))
+      ev.select(col("event_id"),
+          graft.functions.PdbClassify(col("event_type"), line, rulesets).as("m"))
+        .select(col("event_id"), col("m.rule_id").as("rule_id"),
+          col("m.rule_class").as("rule_class"),
+          element_at(col("m.captures"), "k").as("k"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id,
+      CASE WHEN event_type = 'click' THEN 'click-ping'
+           WHEN event_type = 'error' THEN 'err-ping' END AS rule_id,
+      CASE WHEN event_type = 'click' THEN 'web'
+           WHEN event_type = 'error' THEN 'ops'
+           ELSE 'unknown' END AS rule_class,
+      CASE WHEN event_type IN ('click', 'error')
+           THEN CAST(event_id % 50 AS STRING) END AS k
+      FROM events ORDER BY event_id"""))
+
   /** patterndb `<action>` synthetic-message generation
     * (`operators`-level [[graft.patterndb.Synthetic]]): per-host
     * contexts fire a timeout action with inherit-properties
@@ -4175,7 +4215,7 @@ object Queries {
     rewriteSubst, rewriteCcMask, rewriteSetTag,
     templateFormat, templateFuncs, templateHofs,
     parseSyslogRfc3164, parseSyslogRfc5424, parseSyslogStrict,
-    routeJunction, patterndbClassify, patterndbSynthetic,
+    routeJunction, patterndbClassify, patterndbProgramScope, patterndbSynthetic,
     appParserQ, appParserTopicQ, defaultNetwork,
     enrichRange, enrichGlob,
     parseCsv, parseCsvGreedy, parseKv, parseAudit, parseSnmptrap, parseKmsg,
