@@ -154,6 +154,10 @@ object ConfigParser {
     * major/minor parts is kept ("\t3.7" and "3.+7" are valid,
     * "-1.1031" and ".+3.7" are not). */
   private[graft] def versionCode(value: String): Int = {
+    // `@version: current` selects the compiled-in version
+    // (pragma-parser.c:70 KW_VERSION_CURRENT -> VERSION_VALUE_CURRENT,
+    // versioning.h:171 = 3.33 in the reference tree)
+    if (value == "current") return 0x0321
     if (value.length > "xxx.yyy".length) return 0
     if (value.nonEmpty && (value(0) == '+' || value(0) == '-')) return 0
     val dot = value.indexOf('.')
@@ -183,9 +187,9 @@ object ConfigParser {
   }
 
   // ---- lexer ---------------------------------------------------------------
-  private final case class Tok(kind: String, text: String, pos: Int)
+  private[graft] final case class Tok(kind: String, text: String, pos: Int)
 
-  private def lex(src: String): Vector[Tok] = {
+  private[graft] def lex(src: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
     var i = 0
     val n = src.length
@@ -198,21 +202,55 @@ object ConfigParser {
         checkPragma(src.substring(pStart, i)) // @version validation
       }
       else if (c.isWhitespace) i += 1
-      else if (c == '"' || c == '\'') {
-        val quote = c
+      else if (c == '"') {
+        // <string> state (cfg-lex.l:339-352): \a\n\r\t\v named escapes,
+        // \x{1,2} hex, \o{1,3} octal, \<other> drops the backslash, a
+        // backslash-newline is a line continuation (the <*>\\\r?\n rule
+        // precedes <string>\\[^anrtv], so it wins and removes both),
+        // and a RAW newline is kept literally.
+        def isHex(ch: Char) = Character.digit(ch, 16) >= 0
+        def isOct(ch: Char) = ch >= '0' && ch <= '7'
         val sb = new StringBuilder
         i += 1
-        while (i < n && src.charAt(i) != quote) {
-          if (src.charAt(i) == '\\' && i + 1 < n) {
-            sb.append(src.charAt(i + 1) match {
-              case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
-              case other => other
-            })
-            i += 2
-          } else { sb.append(src.charAt(i)); i += 1 }
+        var closed = false
+        while (i < n && !closed) {
+          val ch = src.charAt(i)
+          if (ch == '"') { closed = true; i += 1 }
+          else if (ch == '\\' && i + 1 < n) src.charAt(i + 1) match {
+            case 'a' => sb.append('\u0007'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'v' => sb.append('\u000b'); i += 2
+            case 'x' if i + 2 < n && isHex(src.charAt(i + 2)) =>
+              var j = i + 2
+              val e = math.min(n, i + 4)
+              while (j < e && isHex(src.charAt(j))) j += 1
+              sb.append(Integer.parseInt(src.substring(i + 2, j), 16).toChar)
+              i = j
+            case 'o' if i + 2 < n && isOct(src.charAt(i + 2)) =>
+              var j = i + 2
+              val e = math.min(n, i + 5)
+              while (j < e && isOct(src.charAt(j))) j += 1
+              sb.append(Integer.parseInt(src.substring(i + 2, j), 8).toChar)
+              i = j
+            case '\n' => i += 2
+            case '\r' if i + 2 < n && src.charAt(i + 2) == '\n' => i += 3
+            case other => sb.append(other); i += 2
+          }
+          else { sb.append(ch); i += 1 }
         }
-        i += 1
         out += Tok("str", sb.toString, i)
+      }
+      else if (c == '\'') {
+        // <qstring> (cfg-lex.l:353-357): everything before the next
+        // single quote is LITERAL — no escapes, backslashes and
+        // newlines are content, and \' cannot appear inside.
+        val st = i + 1
+        var j = st
+        while (j < n && src.charAt(j) != '\'') j += 1
+        out += Tok("str", src.substring(st, j), st)
+        i = if (j < n) j + 1 else j
       }
       else if (c.isLetter || c == '_' || c == '$' || c == '.') {
         val st = i
@@ -339,9 +377,11 @@ object ConfigParser {
       val c = src.charAt(i)
       if (c == '#') { while (i < n && src.charAt(i) != '\n') i += 1 }
       else if (c == '"' || c == '\'') {
+        // backslash only escapes inside dquotes; qstring content is
+        // literal, so '\' before the closing quote does not extend it
         i += 1
         while (i < n && src.charAt(i) != c) {
-          if (src.charAt(i) == '\\') i += 1
+          if (c == '"' && src.charAt(i) == '\\') i += 1
           i += 1
         }
         i += 1
@@ -358,7 +398,7 @@ object ConfigParser {
         while (j < n && !done) {
           val cj = src.charAt(j)
           if (inStr != 0) {
-            if (cj == '\\') j += 1
+            if (inStr == '"' && cj == '\\') j += 1
             else if (cj == inStr) inStr = 0
           } else if (cj == '"' || cj == '\'') inStr = cj
           else if (cj == '{') depth += 1

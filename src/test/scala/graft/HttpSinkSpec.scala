@@ -138,10 +138,20 @@ class HttpSinkSpec extends GraftSuite {
       val urls = Seq(a, b).map(s => s"http://127.0.0.1:${s.getAddress.getPort}/ingest")
       val cfg = HttpConfig(urls.head, urls = urls, retryBackoffMs = 10)
       // two workers: the balancer's per-target goals put one on each
-      // (and each stays affine across its 5 requests)
+      // (and each stays affine across its 5 requests). Both workers
+      // park on a latch after posting: a worker thread that EXITS is
+      // legitimately deregistered by the dead-thread sweep, and the
+      // survivor would rebalance onto the freed target for its last
+      // requests (6/4) — the affinity contract under test holds only
+      // while both workers live, as in the reference's fixed pool.
+      val done = new java.util.concurrent.CountDownLatch(2)
       val threads = (0 until 2).map { _ =>
-        new Thread(() => (1 to 5).foreach(i => Sinks.httpPost(cfg,
-          s"m$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        new Thread(() => {
+          (1 to 5).foreach(i => Sinks.httpPost(cfg,
+            s"m$i".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          done.countDown()
+          done.await()
+        })
       }
       threads.foreach(_.start()); threads.foreach(_.join())
       assert(hitsA.get() == 5 && hitsB.get() == 5, s"${hitsA.get()}/${hitsB.get()}")
