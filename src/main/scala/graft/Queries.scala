@@ -1462,6 +1462,62 @@ object Queries {
       ORDER BY id_a, id_b"""),
     bench = true)
 
+  /** Incremental MinHash/LSH admission (the rolling-crawl shape): the
+    * wave = doc_id % 10 == 0, the corpus = everything else; a wave doc
+    * is admitted unless it is a VERIFIED near-dup (exact Jaccard >=
+    * 0.7 on an LSH band candidate) of a corpus doc or of a smaller-id
+    * wave doc. Same md5p31 oracle hash family as dedup_minhash_lsh —
+    * DuckDB replays signatures, banding, both candidate sets, and the
+    * verification, then applies the same admission rule. */
+  private val dedupMinhashIncr = Q("dedup_minhash_incremental",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashIncrementalAdmitted(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          col("doc_id"), col("text"), shingleK = 3, numHashes = 32,
+          bands = 8, threshold = 0.7, algo = "md5p31", hashBandKeys = false)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+      ), sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+          range(1, greatest(len(w) - 2, 1) + 1),
+          i -> array_to_string(w[i:i+2], ' '))) AS shingles FROM toks
+      ), post AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+      ), ab AS (
+        SELECT k, (md5_number_lower('mh_a_' || k) >> 33) | 1 AS a,
+               md5_number_lower('mh_b_' || k) >> 33 AS b
+        FROM (SELECT unnest(range(0, 32)) AS k)
+      ), hashed AS (
+        SELECT doc_id, k,
+          min((a * (md5_number_lower(s) >> 33) + b) % 2147483647) AS hk
+        FROM post, ab GROUP BY doc_id, k
+      ), sigs AS (
+        SELECT doc_id, list(hk ORDER BY k) AS sig FROM hashed GROUP BY doc_id
+      ), bands AS (
+        SELECT doc_id, bi, array_to_string(sig[bi*4+1 : bi*4+4], ',') AS bkey
+        FROM sigs, (SELECT unnest(range(0, 8)) AS bi)
+      ), jacc AS (
+        SELECT id_a, id_b,
+          CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+          CAST(len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+            AS jaccard
+        FROM (SELECT DISTINCT w.doc_id AS id_a, c.doc_id AS id_b
+              FROM bands w JOIN bands c ON w.bi = c.bi AND w.bkey = c.bkey
+              WHERE w.doc_id % 10 = 0
+                AND (c.doc_id % 10 <> 0
+                     OR (c.doc_id % 10 = 0 AND c.doc_id < w.doc_id)))
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b)
+      SELECT doc_id FROM documents
+      WHERE doc_id % 10 = 0
+        AND doc_id NOT IN (SELECT id_a FROM jacc WHERE jaccard >= 0.7)
+      ORDER BY doc_id"""),
+    bench = true)
+
   /** MinHash/LSH with the oracle-replicable hash family (md5p31) and
     * verbatim band keys: DuckDB recomputes signatures, band keys,
     * candidate set, and exact-Jaccard verification — the full algorithm
@@ -4224,7 +4280,8 @@ object Queries {
     parseApache, rewriteGroupset, filterMatchStore,
     configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
-    dedupExact, dedupDropped, dedupIncremental, dedupNgramJaccard, dedupMinhash, dedupSimhash,
+    dedupExact, dedupDropped, dedupIncremental, dedupNgramJaccard, dedupMinhash,
+    dedupMinhashIncr, dedupSimhash,
     dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,
     splitLeakageSafe,
     patternizeQ, patternizeWords,

@@ -229,6 +229,153 @@ object Dedup {
     } finally docs.unpersist(false)
   }
 
+  // ---- incremental MinHash/LSH (rolling-corpus admission) ---------------------
+  /** One signed projection: `(id, shh: array<bigint>, bands:
+    * array<string>)`. Each band string embeds its band index
+    * ([[lshBandKeys]] prefixes `"<b>_"`), so a single string column is
+    * the complete LSH join key. Shingles are hashed ONCE (xxhash64)
+    * for the verification sets; the md5p31 oracle algo additionally
+    * walks the shingle strings for its replicable signature. */
+  private def signedDocs(df: DataFrame, id: Column, text: Column,
+      shingleK: Int, numHashes: Int, bands: Int, rows: Int,
+      algo: String, hashBandKeys: Boolean): DataFrame =
+    if (algo == "xxh64")
+      df.select(id.as("id"),
+          array_distinct(transform(wordShingles(text, shingleK),
+            s => xxhash64(s))).as("shh"))
+        .withColumn("bands", lshBandKeys(
+          graft.functions.MinHashSigFromLongs(col("shh"), numHashes),
+          bands, rows, hashBandKeys))
+    else
+      df.select(id.as("id"), wordShingles(text, shingleK).as("sh"))
+        .withColumn("shh", array_distinct(transform(col("sh"), s => xxhash64(s))))
+        .withColumn("bands", lshBandKeys(
+          minhashSignature(col("sh"), numHashes, algo), bands, rows,
+          hashBandKeys))
+        .drop("sh")
+
+  /** Exact Jaccard over two xxhash64'd shingle-set columns, intersection
+    * bound once through a HOF lambda (the staging rule — see
+    * [[minhashPairsHashed]]). */
+  private def jaccardOf(a: Column, b: Column): Column =
+    TextAnalysis.bindArray(size(array_intersect(a, b)).cast("double")) {
+      inter => inter / ((size(a) + size(b)).cast("double") - inter)
+    }
+
+  /** Incremental NEAR-DUP admission — the rolling-crawl shape of
+    * [[minhashPairs]]: a small NEW wave is admitted only if it is not a
+    * verified near-duplicate (exact Jaccard >= threshold on LSH band
+    * candidates) of (a) any already-ingested corpus document or (b) a
+    * smaller-id document within the same wave (greedy first-wins, the
+    * min-id-survivor rule every batch LSH dedup here uses).
+    *
+    * Scale shape (the reason this is not just minhashPairs on the
+    * union): the CORPUS NEVER SHUFFLES. Its postings are a map-only
+    * projection probed by the broadcast wave bands; verification pulls
+    * corpus shingle sets through a second broadcast semi-join of the
+    * (tiny) candidate ids — two map-only passes over the big side,
+    * zero wide exchanges. With a persisted index
+    * ([[writeMinhashBandIndex]] / [[minhashIncrementalAgainstIndex]])
+    * the corpus is not even re-signed: each wave costs one map-only
+    * scan of the band postings + one of the doc-hash table.
+    *
+    * @return the admitted rows of `wave`, unchanged */
+  def minhashIncrementalAdmitted(wave: DataFrame, corpus: DataFrame,
+      id: Column, text: Column, shingleK: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.7, algo: String = "xxh64",
+      hashBandKeys: Boolean = true): DataFrame = {
+    val rows = numHashes / bands
+    val signedCorpus = signedDocs(corpus, id, text, shingleK, numHashes,
+      bands, rows, algo, hashBandKeys)
+    minhashIncrementalCore(wave, id, text,
+      signedCorpus.select(col("id"), explode(col("bands")).as("band")),
+      signedCorpus.select(col("id"), col("shh")),
+      shingleK, numHashes, bands, rows, threshold, algo, hashBandKeys)
+  }
+
+  /** Persist the rolling MinHash band index for
+    * [[minhashIncrementalAgainstIndex]]: `<table>_bands` = the exploded
+    * (band, id) postings and `<table>_docs` = (id, shh) verification
+    * sets, both bucketed so wave probes read them exchange-free and a
+    * processed wave APPENDS with the same spec (no index rewrite —
+    * mirror of [[appendToSeenIndex]]). */
+  def writeMinhashBandIndex(docs: DataFrame, id: Column, text: Column,
+      table: String, shingleK: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, algo: String = "xxh64", hashBandKeys: Boolean = true,
+      buckets: Int = 64, append: Boolean = false): Unit = {
+    val mode = if (append) "append" else "overwrite"
+    val signed = signedDocs(docs, id, text, shingleK, numHashes, bands,
+      numHashes / bands, algo, hashBandKeys)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      signed.select(col("id"), explode(col("bands")).as("band"))
+        .repartition(buckets, col("band"))
+        .write.mode(mode).bucketBy(buckets, "band").sortBy("band")
+        .format("parquet").saveAsTable(table + "_bands")
+      signed.select(col("id"), col("shh"))
+        .repartition(buckets, col("id"))
+        .write.mode(mode).bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(table + "_docs")
+    } finally signed.unpersist(false)
+  }
+
+  /** [[minhashIncrementalAdmitted]] against a persisted
+    * [[writeMinhashBandIndex]] — the per-wave production entry point:
+    * the index tables are scanned map-only (broadcast probes, no
+    * Exchange on either index side; PipelineSpec gates the plan) and
+    * the corpus is never re-signed. */
+  def minhashIncrementalAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      wave: DataFrame, id: Column, text: Column, table: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.7, algo: String = "xxh64",
+      hashBandKeys: Boolean = true): DataFrame =
+    minhashIncrementalCore(wave, id, text,
+      spark.table(table + "_bands").select(col("id"), col("band")),
+      spark.table(table + "_docs"),
+      shingleK, numHashes, bands, numHashes / bands, threshold, algo,
+      hashBandKeys)
+
+  private def minhashIncrementalCore(wave: DataFrame, id: Column,
+      text: Column, corpusBands: DataFrame, corpusDocs: DataFrame,
+      shingleK: Int, numHashes: Int, bands: Int, rows: Int,
+      threshold: Double, algo: String, hashBandKeys: Boolean): DataFrame = {
+    // the wave is small by contract (one crawl's worth against a 100 TB
+    // corpus), so it stays an UNPERSISTED declarative subtree: its few
+    // re-evaluations are cheap, the plan remains one Catalyst tree
+    // (broadcast/exchange reuse, plan-gateable end to end), and the
+    // corpus-side passes below stay map-only
+    val w = signedDocs(wave, id, text, shingleK, numHashes, bands, rows,
+      algo, hashBandKeys)
+    val wBands = w.select(col("id").as("wid"), explode(col("bands")).as("wband"))
+    // corpus probe: broadcast the wave postings — the big side stays a
+    // map-only scan+project (column pruning drops everything but the
+    // band keys)
+    val candCorpus = corpusBands
+      .join(broadcast(wBands), col("band") === col("wband"))
+      .select(col("wid"), col("id").as("cid")).distinct()
+    // verification: the (tiny) candidate pairs broadcast INTO the
+    // doc-hash side — one more map-only pass over the corpus pulls
+    // exactly the matched docs' shingle sets, and the wave side rides
+    // along as a second broadcast
+    val rejectedByCorpus = corpusDocs.as("cd")
+      .join(broadcast(candCorpus), col("cd.id") === col("cid"))
+      .join(broadcast(w.as("wv")), col("wid") === col("wv.id"))
+      .filter(jaccardOf(col("cd.shh"), col("wv.shh")) >= threshold)
+      .select(col("wid")).distinct()
+    // within-wave: banded self-join, reject the larger id of every
+    // verified pair (wave is small — these joins broadcast)
+    val rejectedInWave = wBands.as("a")
+      .join(wBands.as("b"),
+        col("a.wband") === col("b.wband") && col("a.wid") < col("b.wid"))
+      .select(col("a.wid").as("id_a"), col("b.wid").as("id_b")).distinct()
+      .join(w.as("ha"), col("id_a") === col("ha.id"))
+      .join(w.as("hb"), col("id_b") === col("hb.id"))
+      .filter(jaccardOf(col("ha.shh"), col("hb.shh")) >= threshold)
+      .select(col("id_b").as("wid")).distinct()
+    val rejected = rejectedByCorpus.union(rejectedInWave).distinct()
+    wave.join(broadcast(rejected), id === col("wid"), "left_anti")
+  }
+
   // ---- SimHash -----------------------------------------------------------------
   /** 64-bit SimHash over tokens: per-bit majority vote of token hashes —
     * single-pass custom expression. `algo` = "xxh64" (production) or

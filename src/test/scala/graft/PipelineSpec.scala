@@ -1227,6 +1227,36 @@ class PipelineSpec extends GraftSuite {
     assert(high.forall(prod.contains), s"missed high-jaccard pairs: ${high -- prod.keySet}")
   }
 
+  test("incremental minhash admission == the pairwise rule composed from minhashPairs") {
+    val docsT = Tables.documents(spark, sf)
+    def isWave(idv: Long) = idv % 10 == 0
+    val admitted = Dedup.minhashIncrementalAdmitted(
+        docsT.filter(col("doc_id") % 10 === 0),
+        docsT.filter(col("doc_id") % 10 =!= 0),
+        col("doc_id"), col("text"), shingleK = 3, numHashes = 32,
+        bands = 8, threshold = 0.7, algo = "xxh64")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // reference rule from the batch pair list over the union (same
+    // signature family => identical band candidates): a wave doc is
+    // rejected when paired with a corpus doc or a smaller wave doc
+    val pairs = Dedup.minhashPairs(docsT, col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 32, bands = 8, threshold = 0.7,
+        algo = "xxh64")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rejected = pairs.flatMap { case (a, b) => // always a < b
+      if (isWave(a) && !isWave(b)) Seq(a)
+      else if (!isWave(a) && isWave(b)) Seq(b)
+      else if (isWave(a) && isWave(b)) Seq(b)
+      else Seq.empty
+    }.toSet
+    val waveIds = docsT.filter(col("doc_id") % 10 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(waveIds.nonEmpty && rejected.nonEmpty,
+      s"degenerate fixture: ${waveIds.size} wave / ${rejected.size} rejected")
+    assert(admitted == waveIds -- rejected,
+      s"extra=${admitted -- (waveIds -- rejected)} missing=${(waveIds -- rejected) -- admitted}")
+  }
+
   test("contamination flags: distinct gram overlap, benchmark broadcast") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog today"),

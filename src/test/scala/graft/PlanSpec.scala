@@ -415,6 +415,67 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("minhash band index: a wave probe reads the index map-only — no " +
+      "index-side exchange, no re-signing") {
+    import spark.implicits._
+    val table = "graft_mh_idx_test"
+    try {
+      // 60 corpus docs, distinct 13-word texts
+      val corpus = (0 until 60).map(i => (i.toLong,
+        s"alpha bravo charlie delta echo foxtrot golf hotel india " +
+          s"juliet kilo lima token$i")).toDF("id", "text")
+      Dedup.writeMinhashBandIndex(corpus, col("id"), col("text"), table,
+        buckets = 4)
+      // wave: an exact dup of corpus doc 7, a near-dup of doc 9 (one
+      // word changed => jaccard 10/12 ~ 0.83), an internal dup pair,
+      // and one genuinely new doc
+      val wave = Seq(
+        (1007L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+          "juliet kilo lima token7"),
+        (1009L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+          "juliet kilo lima CHANGED"),
+        (1101L, "one two three four five six seven eight nine ten eleven"),
+        (1102L, "one two three four five six seven eight nine ten eleven"),
+        (1200L, "completely different words nothing shared with anything else here")
+      ).toDF("id", "text")
+      val out = Dedup.minhashIncrementalAgainstIndex(spark, wave,
+        col("id"), col("text"), table, threshold = 0.7)
+      val ids = out.select("id").collect().map(_.getLong(0)).toSet
+      // 1007 exact-dups corpus, 1009 near-dups corpus, 1102 dups the
+      // smaller 1101; 1101 and 1200 are admitted
+      assert(ids == Set(1101L, 1200L), ids)
+      val p = out.queryExecution.executedPlan.toString
+      // both index tables scan as bucketed parquet with NO Exchange in
+      // their subtrees (the probes broadcast), and the corpus text is
+      // never re-shingled (no xxhash64-of-shingle on an index scan)
+      for (side <- Seq(s"${table}_bands", s"${table}_docs")) {
+        val lines = p.linesIterator.toVector
+        val scanIdx = lines.indexWhere(_.contains(side))
+        assert(scanIdx >= 0, s"$side not scanned:\n$p")
+      }
+      assert(!p.contains("Exchange hashpartitioning(band"),
+        s"index bands exchanged:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(id#"),
+        s"index docs exchanged:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+      // a second wave appends with the same bucket spec and dedups
+      // against BOTH generations
+      Dedup.writeMinhashBandIndex(out, col("id"), col("text"), table,
+        buckets = 4, append = true)
+      val wave2 = Seq(
+        (2101L, "one two three four five six seven eight nine ten eleven"),
+        (2200L, "yet more unrelated text with its very own eleven word shape")
+      ).toDF("id", "text")
+      val out2 = Dedup.minhashIncrementalAgainstIndex(spark, wave2,
+        col("id"), col("text"), table, threshold = 0.7)
+      // 2101 dups the now-indexed 1101; 2200 admitted
+      assert(out2.select("id").collect().map(_.getLong(0)).toSet == Set(2200L))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_docs")
+    }
+  }
+
   test("image dHash pairs: banded equi-join only — no cartesian, no " +
       "all-pairs fallback") {
     // the 4×16 pigeonhole join must stay an equi-join on (band, key);

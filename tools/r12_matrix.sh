@@ -27,7 +27,10 @@ BIGSF=${BIGSF:-"$(pwd)/scaledata/sf1000p"}
 BIGQUERIES=${BIGQUERIES:-"dedup_semantic_prod dedup_semantic_keep_prod \
 dedup_embedding_prod text_chunking_bpe"}
 CELL_TIMEOUT=${CELL_TIMEOUT:-1800}
-CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+# GRAFT_CLASSES lets a run pin a frozen snapshot of the compiled
+# classes, so concurrent development recompiles cannot change the
+# code under measurement mid-matrix
+CP="${GRAFT_CLASSES:-target/scala-2.13/classes}:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS=""
 for m in java.lang java.lang.invoke java.lang.reflect java.io java.net \
     java.nio java.util java.util.concurrent java.util.concurrent.atomic \
