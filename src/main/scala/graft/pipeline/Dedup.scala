@@ -303,6 +303,17 @@ object Dedup {
       table: String, shingleK: Int = 3, numHashes: Int = 32,
       bands: Int = 8, algo: String = "xxh64", hashBandKeys: Boolean = true,
       buckets: Int = 64, append: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    val meta = indexMeta(shingleK, numHashes, bands, algo, hashBandKeys)
+    if (append) {
+      // an append with different signing parameters would silently
+      // produce bands that can never match (or worse, spuriously
+      // match) — refuse like Spark refuses a bucket-spec mismatch
+      val existing = spark.table(table + "_meta").head.getString(0)
+      require(existing == meta,
+        s"minhash band index $table was built with [$existing], " +
+          s"append uses [$meta]")
+    }
     val mode = if (append) "append" else "overwrite"
     val signed = signedDocs(docs, id, text, shingleK, numHashes, bands,
       numHashes / bands, algo, hashBandKeys)
@@ -316,8 +327,18 @@ object Dedup {
         .repartition(buckets, col("id"))
         .write.mode(mode).bucketBy(buckets, "id").sortBy("id")
         .format("parquet").saveAsTable(table + "_docs")
+      if (!append) {
+        import spark.implicits._
+        Seq(meta).toDF("params").write.mode("overwrite")
+          .format("parquet").saveAsTable(table + "_meta")
+      }
     } finally signed.unpersist(false)
   }
+
+  private def indexMeta(shingleK: Int, numHashes: Int, bands: Int,
+      algo: String, hashBandKeys: Boolean): String =
+    s"shingleK=$shingleK,numHashes=$numHashes,bands=$bands,algo=$algo," +
+      s"hashBandKeys=$hashBandKeys"
 
   /** [[minhashIncrementalAdmitted]] against a persisted
     * [[writeMinhashBandIndex]] — the per-wave production entry point:
@@ -328,12 +349,18 @@ object Dedup {
       wave: DataFrame, id: Column, text: Column, table: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, algo: String = "xxh64",
-      hashBandKeys: Boolean = true): DataFrame =
+      hashBandKeys: Boolean = true): DataFrame = {
+    val meta = indexMeta(shingleK, numHashes, bands, algo, hashBandKeys)
+    val existing = spark.table(table + "_meta").head.getString(0)
+    require(existing == meta,
+      s"minhash band index $table was built with [$existing], " +
+        s"probe uses [$meta] — bands would silently never match")
     minhashIncrementalCore(wave, id, text,
       spark.table(table + "_bands").select(col("id"), col("band")),
       spark.table(table + "_docs"),
       shingleK, numHashes, bands, numHashes / bands, threshold, algo,
       hashBandKeys)
+  }
 
   private def minhashIncrementalCore(wave: DataFrame, id: Column,
       text: Column, corpusBands: DataFrame, corpusDocs: DataFrame,

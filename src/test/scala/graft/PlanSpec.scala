@@ -470,9 +470,20 @@ class PlanSpec extends GraftSuite {
         col("id"), col("text"), table, threshold = 0.7)
       // 2101 dups the now-indexed 1101; 2200 admitted
       assert(out2.select("id").collect().map(_.getLong(0)).toSet == Set(2200L))
+      // parameter drift is refused loudly — mismatched signing params
+      // would produce band keys that silently never match
+      intercept[IllegalArgumentException] {
+        Dedup.minhashIncrementalAgainstIndex(spark, wave2, col("id"),
+          col("text"), table, numHashes = 16, bands = 4)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.writeMinhashBandIndex(wave2, col("id"), col("text"), table,
+          shingleK = 5, buckets = 4, append = true)
+      }
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
       spark.sql(s"DROP TABLE IF EXISTS ${table}_docs")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
     }
   }
 
