@@ -88,16 +88,39 @@ object Bench {
           case _ => df
         }
       }
-    val inSuite = benched.map { case (name, fn) =>
-      val times = (1 to repeat).map { _ =>
+    // a repeat that THROWS must never publish its elapsed-until-failure
+    // as a timing: the old `catch => -1L` silently recorded a 7-second
+    // "median" for an sf1000p cell that was actually dying on a full
+    // disk after 7 seconds (r12). Failed repeats are dropped; a query
+    // with zero successful repeats lands in failed_queries (and fails
+    // the process in single-query mode so harnesses record the cell as
+    // failed, not fast).
+    val failedQueries = scala.collection.mutable.LinkedHashMap[String, String]()
+    val inSuite = benched.flatMap { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer[Double]()
+      var err: Throwable = null
+      (1 to repeat).foreach { _ =>
         val t0 = System.nanoTime()
         // toRdd materializes every output column — count() would let
         // Catalyst prune the projected expressions and time only the sort
-        try { benchShape(fn(spark, sfDir)).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+        try {
+          benchShape(fn(spark, sfDir)).queryExecution.toRdd.count()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable => err = e }
+      }
+      if (times.isEmpty) {
+        failedQueries(name) = Option(err).map(e =>
+          e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r]", " ")
+              .take(160)).getOrElse("unknown")
+        None
+      } else {
+        if (err != null) failedQueries(name) = "partial: " +
+          err.getClass.getSimpleName + " on " +
+          (repeat - times.length) + s"/$repeat repeats"
+        val s = times.sorted
+        Some(name -> s(s.length / 2))
+      }
     }
     spark.stop()
 
@@ -245,7 +268,9 @@ object Bench {
     val bandFlagsJson = bandFlags.sorted.mkString("{", ",", "}")
     val bandReforkedJson =
       bandReforked.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(merged)},"queries_insuite":${jmap(inSuite)},"queries_isolated":${jmap(isolated.toSeq.sortBy(_._1))},"isolated_retried":$retriedJson,"band_flags":$bandFlagsJson,"band_reforked":$bandReforkedJson,"band_history_n":${history.size},"isolated_n":5,"harness_sort":"$harnessSort","cpus":"$cpus","sf":"$sfDir"}"""
+    val failedJson = failedQueries.map { case (n, e) =>
+      s""""$n":"$e"""" }.mkString("{", ",", "}")
+    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(merged)},"queries_insuite":${jmap(inSuite)},"queries_isolated":${jmap(isolated.toSeq.sortBy(_._1))},"isolated_retried":$retriedJson,"band_flags":$bandFlagsJson,"band_reforked":$bandReforkedJson,"failed_queries":$failedJson,"band_history_n":${history.size},"isolated_n":5,"harness_sort":"$harnessSort","cpus":"$cpus","sf":"$sfDir"}"""
     // the COMPLETE document goes to a file (r8 verdict: the driver keeps
     // only a 2000-char stdout tail, so the full three-map line can never
     // survive stdout — BENCH_r08.json shipped `"parsed": null` with the
@@ -255,6 +280,14 @@ object Bench {
     if (only.isEmpty) {
       val w = new java.io.PrintWriter(outPath, "UTF-8")
       try w.println(fullDoc) finally w.close()
+    }
+    // single-query mode with nothing measured = the cell FAILED: keep
+    // the diagnostic JSON off stdout (harnesses grep stdout for '^{' as
+    // the success signal) and exit non-zero so the cell is recorded as
+    // failed, not fast
+    if (only.nonEmpty && merged.isEmpty && failedQueries.nonEmpty) {
+      System.err.println(fullDoc)
+      sys.exit(1)
     }
     // stdout gets a line that FITS the driver's 2000-char tail: all
     // three maps when they fit (single-query children), otherwise the

@@ -327,6 +327,172 @@ object NearestCellsTree {
       l1Start, probe1, probe2))
 }
 
+/** `nearest_fine_tree(vec)` — the FULL three-level probe compiled into
+  * one expression: [[NearestCellsTree]]'s L1/L2 selection (identical
+  * comparators), then an argmax scan over the FINE centroids of the
+  * selected mid cells (CSR `l2Start` over `l3*`), returning the best
+  * fine id directly. This replaces the distributed
+  * explode→join→SortAggregate pipeline wherever the fine table fits
+  * the driver (Similarity.assignTree, k ≤ fineExprMax): at sf1000p
+  * (N=20M, k=625k, nProbe=4) that pipeline fed ~6.9 BILLION candidate
+  * rows through a partial-aggregate sort — its spills exhausted the
+  * measurement VM's disk even with skinny rows — where this expression
+  * is one map-only pass of ~770 compiled dots per row, zero shuffles,
+  * zero aggregate state.
+  *
+  * Fine argmax comparator = the join path's `max(struct(cos, cid))`
+  * exactly: java.lang.Double.compare on cos (NaN greatest), ties to
+  * the larger fine id — full probe stays bit-identical to flat
+  * (PipelineSpec gates it). */
+case class NearestFineTree(child: Expression,
+    l1Ids: Array[Long], l1Vecs: Array[Array[Float]],
+    l2Ids: Array[Long], l2Vecs: Array[Array[Float]],
+    l1Start: Array[Int], probe1: Int, probe2: Int,
+    l3Ids: Array[Long], l3Vecs: Array[Array[Float]],
+    l2Start: Array[Int])
+  extends UnaryExpression {
+
+  require(l1Ids.length == l1Vecs.length && l1Ids.nonEmpty)
+  require(l2Ids.length == l2Vecs.length && l2Ids.nonEmpty)
+  require(l3Ids.length == l3Vecs.length && l3Ids.nonEmpty)
+  require(l1Start.length == l1Ids.length + 1 &&
+    l1Start.head == 0 && l1Start.last == l2Ids.length)
+  require(l2Start.length == l2Ids.length + 1 &&
+    l2Start.head == 0 && l2Start.last == l3Ids.length)
+  require(probe1 > 0 && probe2 > 0)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearest_fine_tree"
+
+  @transient private lazy val l1Norms: Array[Double] = l1Vecs.map(normOf)
+  @transient private lazy val l2Norms: Array[Double] = l2Vecs.map(normOf)
+  @transient private lazy val l3Norms: Array[Double] = l3Vecs.map(normOf)
+
+  private def normOf(c: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  def fineOf(a: Any): Long = {
+    val arr = a.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val v = new Array[Double](dim)
+    var i = 0
+    var vs = 0.0
+    while (i < dim) {
+      v(i) = arr.getFloat(i).toDouble
+      vs += v(i) * v(i)
+      i += 1
+    }
+    val vNorm = math.sqrt(vs)
+    def cosOf(c: Array[Float], nrm: Double): Double = {
+      var d = 0.0
+      var j = 0
+      val m = math.min(dim, c.length)
+      while (j < m) { d += v(j) * c(j); j += 1 }
+      d / (vNorm * nrm)
+    }
+
+    // ---- level 1: top-probe1 cell indexes (NearestCellsTree verbatim)
+    val n1 = math.min(probe1, l1Vecs.length)
+    val c1 = new Array[Double](n1)
+    val x1 = new Array[Int](n1)
+    var f1 = 0
+    var k = 0
+    while (k < l1Vecs.length) {
+      val cos = cosOf(l1Vecs(k), l1Norms(k))
+      def beats1(idx: Int): Boolean = {
+        val cmp = java.lang.Double.compare(cos, c1(idx))
+        cmp > 0 || (cmp == 0 && l1Ids(k) > l1Ids(x1(idx)))
+      }
+      if (f1 < n1) {
+        var p = f1
+        while (p > 0 && beats1(p - 1)) { c1(p) = c1(p - 1); x1(p) = x1(p - 1); p -= 1 }
+        c1(p) = cos; x1(p) = k; f1 += 1
+      } else if (beats1(n1 - 1)) {
+        var p = n1 - 1
+        while (p > 0 && beats1(p - 1)) { c1(p) = c1(p - 1); x1(p) = x1(p - 1); p -= 1 }
+        c1(p) = cos; x1(p) = k
+      }
+      k += 1
+    }
+
+    // ---- level 2: top-probe2 mid INDEXES among the selected cells ----
+    val n2 = math.min(probe2, l2Vecs.length)
+    val c2 = new Array[Double](n2)
+    val x2 = new Array[Int](n2)
+    var f2 = 0
+    var s = 0
+    while (s < f1) {
+      val cell = x1(s)
+      var t = l1Start(cell)
+      val end = l1Start(cell + 1)
+      while (t < end) {
+        val cos = cosOf(l2Vecs(t), l2Norms(t))
+        def beats2(idx: Int): Boolean = {
+          val cmp = java.lang.Double.compare(cos, c2(idx))
+          cmp > 0 || (cmp == 0 && l2Ids(t) > l2Ids(x2(idx)))
+        }
+        if (f2 < n2) {
+          var p = f2
+          while (p > 0 && beats2(p - 1)) { c2(p) = c2(p - 1); x2(p) = x2(p - 1); p -= 1 }
+          c2(p) = cos; x2(p) = t; f2 += 1
+        } else if (beats2(n2 - 1)) {
+          var p = n2 - 1
+          while (p > 0 && beats2(p - 1)) { c2(p) = c2(p - 1); x2(p) = x2(p - 1); p -= 1 }
+          c2(p) = cos; x2(p) = t
+        }
+        t += 1
+      }
+      s += 1
+    }
+
+    // ---- level 3: argmax over the selected mid cells' fine slices ----
+    // max(struct(cos, cid)) semantics: Double.compare, ties -> larger id
+    var bestCos = Double.NaN
+    var bestId = Long.MinValue
+    var first = true
+    var u = 0
+    while (u < f2) {
+      val mid = x2(u)
+      var t = l2Start(mid)
+      val end = l2Start(mid + 1)
+      while (t < end) {
+        val cos = cosOf(l3Vecs(t), l3Norms(t))
+        val fid = l3Ids(t)
+        val cmp = java.lang.Double.compare(cos, bestCos)
+        if (first || cmp > 0 || (cmp == 0 && fid > bestId)) {
+          bestCos = cos; bestId = fid; first = false
+        }
+        t += 1
+      }
+      u += 1
+    }
+    bestId
+  }
+
+  override protected def nullSafeEval(v: Any): Any = fineOf(v)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nft", this, classOf[NearestFineTree].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.fineOf($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestFineTree =
+    copy(child = c)
+}
+
+object NearestFineTree {
+  def apply(vec: Column, l1: Array[(Long, Array[Float])],
+      l2: Array[(Long, Array[Float])], l1Start: Array[Int],
+      probe1: Int, probe2: Int, l3: Array[(Long, Array[Float])],
+      l2Start: Array[Int]): Column =
+    ColumnBridge.column(new NearestFineTree(ColumnBridge.expression(vec),
+      l1.map(_._1), l1.map(_._2), l2.map(_._1), l2.map(_._2),
+      l1Start, probe1, probe2, l3.map(_._1), l3.map(_._2), l2Start))
+}
+
 /** `nearest_centroid_cos(vec)` — [[NearestCentroid]]'s argmax WITH the
   * winning cosine: struct(cid, cos). The semantic-decontamination gate
   * needs the VALUE (flag rows whose best benchmark cosine clears a

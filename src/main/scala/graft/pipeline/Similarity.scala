@@ -299,12 +299,13 @@ object Similarity {
     *
     * Returns (vec_id, v, cid). */
   def assignClusters(base: DataFrame, nCentroids: Int,
-      flatMax: Int = 16384, nProbe: Int = 4, levels: Int = 3): DataFrame =
+      flatMax: Int = 16384, nProbe: Int = 4, levels: Int = 3,
+      fineExprMax: Int = 1000000): DataFrame =
     if (nCentroids <= flatMax) {
       val cs = sampleCentroids(base, nCentroids)
       base.withColumn("cid", nearestCentroidCol(col("v"), cs))
     } else if (levels <= 2) assignTwoLevel(base, nCentroids, nProbe)
-    else assignTree(base, nCentroids, nProbe)
+    else assignTree(base, nCentroids, nProbe, fineExprMax)
 
   private[pipeline] def assignTwoLevel(base: DataFrame, k: Int,
       nProbe: Int): DataFrame = {
@@ -336,18 +337,26 @@ object Similarity {
     // sf10p (AssignBench: 68 s HOF → compiled, same float semantics as
     // the flat argmax: sequential double dot, cos = d/(|v|·|c|)).
     val probeN = math.min(math.max(1, nProbe), nCoarse)
-    base
+    val best = base
       .withColumn("vn", sqrt(graft.functions.DotF(col("v"), col("v"))))
       .withColumn("cell", explode(graft.functions.NearestCentroids(
         col("v"), coarse, probeN)))
       .join(fine, "cell")
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"),
         struct((graft.functions.DotF(col("v"), col("fv")) /
             (col("vn") * col("fn"))).as("cos"),
           col("fid").as("cid")).as("cand"))
       .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), max(col("cand")).as("best"))
-      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id").as("__bid"), col("best.cid").as("cid"))
+    // re-attach v by joining base instead of carrying it through the
+    // argmax as first(v): a 256 B vector on every candidate row made
+    // the pre-aggregate sort the dominant spill at scale (the struct
+    // buffer forces SortAggregate — see assignTree for the numbers);
+    // the join moves each vector ONCE, max(cand) is unchanged, so the
+    // assignment is bit-identical
+    base.join(best, col("vec_id") === col("__bid"))
+      .select(col("vec_id"), col("v"), col("cid"))
   }
 
   /** Three-level centroid-tree assignment (r9 verdict #1 — the
@@ -444,33 +453,79 @@ object Similarity {
   }
 
   private[pipeline] def assignTree(base: DataFrame, k: Int,
-      nProbe: Int): DataFrame = {
+      nProbe: Int, fineExprMax: Int = 1000000): DataFrame = {
     val ct = buildCellTree(base, k.toLong)
     val p1 = math.min(math.max(1, nProbe), ct.n1)
     val p2 = math.min(math.max(1, nProbe), ct.n2)
     def tree(v: Column, topN: Int): Column = ct.probe(v, p1, topN)
+    if (k <= fineExprMax) {
+      // FULL-TREE EXPRESSION regime: the fine table (k rows ≈ k·(4·dim
+      // + 24) B, ≲ 300 MB at the 1M cap) collects to the driver as a
+      // per-mid-cell CSR and the whole assignment is ONE compiled
+      // map-only pass ([[graft.functions.NearestFineTree]]) — no
+      // explode, no join, no aggregate. The join regime below fed the
+      // argmax through a distributed explode→join→SortAggregate whose
+      // candidate stream is N·nProbe·(k/n2) rows — ~6.9 BILLION at
+      // sf1000p (N=20M, k=625k), whose partial-sort spills exhausted
+      // the measurement VM's disk even with vector-free rows. The
+      // driver collect is the SAME deterministic fine set (histogram
+      // threshold — no single-task funnel anywhere), and each fine
+      // centroid's cell is computed by the identical tree(fv,1)
+      // expression the join path uses, so assignments stay
+      // bit-identical (PipelineSpec full-probe==flat + both-regime
+      // equality gates).
+      val rows = fineSample(base, k)
+        .withColumn("cell", element_at(tree(col("fv"), 1), 1))
+        .select(col("fid"), col("fv"), col("cell")).collect()
+      val midIdx = ct.l2Csr.iterator.map(_._1).zipWithIndex.toMap
+      val fines = rows.map { r =>
+        (midIdx(r.getLong(2)), r.getLong(0), r.getSeq[Float](1).toArray)
+      }.sortBy(t => (t._1, t._2))
+      val l2Start = new Array[Int](ct.n2 + 1)
+      fines.foreach(t => l2Start(t._1 + 1) += 1)
+      (1 to ct.n2).foreach(c => l2Start(c) += l2Start(c - 1))
+      val l3 = fines.map(t => (t._2, t._3))
+      return base
+        .withColumn("cid", graft.functions.NearestFineTree(col("v"),
+          ct.l1, ct.l2Csr, ct.l1Start, p1, p2, l3, l2Start))
+        .select(col("vec_id"), col("v"), col("cid"))
+    }
     val fine = fineSample(base, k)
       .withColumn("cell", element_at(tree(col("fv"), 1), 1))
       .withColumn("fn", sqrt(graft.functions.DotF(col("fv"), col("fv"))))
-    // the fine table is k rows ≈ k·(dim·4+24) bytes — past the 10 MB
-    // auto-broadcast threshold from k ≈ 35k, but well worth shipping up
-    // to ~30 MB: without the hint the PROBE side exchanges N·nProbe
-    // vector-carrying rows on the cell key (2.4 GB at sf100p — measured
-    // 51.6 s; hinted 34.7 s), with it only the k-row fine side moves.
-    // Past the bound (k ≳ 100k per-executor memory becomes the risk)
-    // the shuffle join on cell is the correct distributed plan.
+    // DISTRIBUTED-JOIN regime (k past the driver-CSR cap — a 100 TB
+    // corpus at k = N/32 is billions of centroids): the fine table is
+    // k rows ≈ k·(dim·4+24) bytes — past the 10 MB auto-broadcast
+    // threshold from k ≈ 35k but worth a manual hint while it fits
+    // (without it the PROBE side exchanges N·nProbe vector-carrying
+    // rows on the cell key — 2.4 GB at sf100p, measured 51.6 s vs
+    // 34.7 hinted); beyond that the shuffle join on cell is the
+    // correct distributed plan.
     val fineSide = if (k <= 100000) broadcast(fine) else fine
-    base
+    val best = base
       .withColumn("vn", sqrt(graft.functions.DotF(col("v"), col("v"))))
       .withColumn("cell", explode(tree(col("v"), p2)))
       .join(fineSide, "cell")
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"),
         struct((graft.functions.DotF(col("v"), col("fv")) /
             (col("vn") * col("fn"))).as("cos"),
           col("fid").as("cid")).as("cand"))
       .groupBy(col("vec_id"))
-      .agg(first(col("v")).as("v"), max(col("cand")).as("best"))
-      .select(col("vec_id"), col("v"), col("best.cid").as("cid"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id").as("__bid"), col("best.cid").as("cid"))
+    // argmax over the SKINNY (vec_id, cand) stream, v re-attached by a
+    // base join afterwards. Carrying v through the aggregate as
+    // first(v) put the vector on every one of the ~nProbe·k^⅓
+    // candidate rows feeding the pre-aggregate sort (max over a struct
+    // cannot hash-aggregate, so Spark plans SortAggregate): StageProbe
+    // at sf100p measured that single sort stage at 104.6 GB of spill —
+    // 85% of the query's task time — and at sf1000p its spills
+    // exhausted the disk headroom entirely. The join shuffles each
+    // vector once (linear, spill-light) and max(cand) — comparator,
+    // ties, NaN order — is untouched, so assignments stay
+    // bit-identical (the tree≡flat PlanSpec gates pin this).
+    base.join(best, col("vec_id") === col("__bid"))
+      .select(col("vec_id"), col("v"), col("cid"))
   }
 
   private def normLocal(v: Array[Float]): Double = {

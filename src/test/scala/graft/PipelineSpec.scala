@@ -360,6 +360,25 @@ class PipelineSpec extends GraftSuite {
         (id, c, full.get(id)) }.take(5)
       s"tree full-probe diverges from flat: $d"
     })
+    // BOTH tree regimes agree bit-identically: the compiled
+    // nearest_fine_tree expression (fine CSR on the driver, map-only)
+    // and the distributed explode→join→argmax (fineExprMax = 0 forces
+    // it) — same L1/L2 selection, same fine comparator
+    val fullJoin = Similarity.assignClusters(base, k, flatMax = 1,
+        nProbe = 1000, levels = 3, fineExprMax = 0)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(fullJoin == flat, "join-regime tree diverges from flat")
+    val prExpr = Similarity.assignClusters(base, k, flatMax = 1,
+        nProbe = 3, levels = 3)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    val prJoin = Similarity.assignClusters(base, k, flatMax = 1,
+        nProbe = 3, levels = 3, fineExprMax = 0)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(prExpr == prJoin, {
+      val d = prJoin.collect { case (id, c) if prExpr.get(id) != Some(c) =>
+        (id, c, prExpr.get(id)) }.take(5)
+      s"expression regime diverges from join regime at nProbe=3: $d"
+    })
     // no row lost in the probe joins at production width
     val approx = Similarity.assignClusters(base, k, flatMax = 1, nProbe = 4,
         levels = 3)

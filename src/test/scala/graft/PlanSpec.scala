@@ -415,6 +415,41 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("centroid assignment argmax aggregates skinny rows — the vector " +
+      "never rides the pre-aggregate sort") {
+    // max over a struct cannot hash-aggregate, so the argmax plans a
+    // SortAggregate; carrying v through it as first(v) put a 256 B
+    // vector on every candidate row feeding the sort — StageProbe at
+    // sf100p measured that one stage at 104.6 GB spill / 85% of
+    // dedup_semantic_prod's task time, and its sf1000p spills filled
+    // the disk. The aggregate must stay (vec_id, cand)-skinny, with v
+    // joined back afterwards (bit-identical assignments, gated by the
+    // tree==flat equality specs).
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").as("v"))
+    // expression regime (k <= fineExprMax): the ENTIRE assignment is
+    // one map-only compiled pass — no join, no aggregate, no exchange
+    val expr = graft.pipeline.Similarity.assignClusters(base, 256,
+      flatMax = 1, nProbe = 2, levels = 3)
+    val pe = expr.queryExecution.executedPlan.toString
+    assert(pe.contains("nearest_fine_tree"), pe)
+    assert(!pe.contains("Exchange") && !pe.contains("Aggregate") &&
+      !pe.contains("Join"), s"expression regime not map-only:\n$pe")
+    // distributed-join regime (k past the driver-CSR cap, forced via
+    // fineExprMax = 0) and the two-level path: the argmax aggregate
+    // must stay (vec_id, cand)-skinny
+    val joins = Seq(
+      graft.pipeline.Similarity.assignClusters(base, 256, flatMax = 1,
+        nProbe = 2, levels = 3, fineExprMax = 0),
+      graft.pipeline.Similarity.assignClusters(base, 256, flatMax = 1,
+        nProbe = 2, levels = 2))
+    for (out <- joins) {
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("Aggregate"), p)
+      assert(!p.contains("first(v"), s"vector rides the argmax aggregate:\n$p")
+    }
+  }
+
   test("minhash band index: a wave probe reads the index map-only — no " +
       "index-side exchange, no re-signing") {
     import spark.implicits._

@@ -128,7 +128,7 @@ class WildcardSourceBatterySpec extends GraftSuite {
     val cfg = graft.config.ConfigParser.parse(s"""
       source s_test { wildcard-file(base-dir("$dir") filename-pattern("*.log")
         recursive(yes) max-files(100)
-        multi-line-mode(regexp) multi-line-prefix('\\\\d+') flags(no-parse)); };
+        multi-line-mode(regexp) multi-line-prefix('\\d+') flags(no-parse)); };
       destination d { file("/out"); };
       log { source(s_test); destination(d); };
     """)
