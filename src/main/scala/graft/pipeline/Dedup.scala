@@ -1271,7 +1271,15 @@ object Dedup {
         posexplode(col("bs")).as(Seq("t", "b")))
       .select(col("id"), col("v"), col("nrm"), col("bs"),
         shiftleft(col("t").cast("long"), 58).bitwiseOR(col("b")).as("bkey"))
-    val joined = keyed.as("ka").join(keyed.as("kb"),
+    // SHUFFLE_HASH instead of sort-merge: the join's equi-key is the
+    // bucket, whose population is BOUNDED by construction (planesFor
+    // sizes buckets to ~targetBucket rows), so the per-partition hash
+    // build is small and safe — while SMJ sorted the vector-carrying
+    // exchange TWICE (both aliases), and at sf1000p (20M × 4 tables ×
+    // ~320 B ≈ 26 GB exchanged) those two sort spills pushed scratch
+    // past what a single measurement VM holds. Same join, same rows;
+    // the exchange is still planned once and reused by both sides.
+    val joined = keyed.as("ka").hint("shuffle_hash").join(keyed.as("kb"),
       col("ka.bkey") === col("kb.bkey") && col("ka.id") < col("kb.id"))
     val deduped =
       if (tables == 1) joined

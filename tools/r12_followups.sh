@@ -28,7 +28,8 @@ run() { # label heap main args...
     echo "FAILED $label" >&2
   fi
 }
-run assignbench_sf1000p 96g graft.AssignBench scaledata/sf1000p 3
+SPARK_GRAFT_ASSIGN_PATHS=tree \
+  run assignbench_sf1000p 96g graft.AssignBench scaledata/sf1000p 3
 # clean re-measures of the two sf1000p cells whose first matrix pass
 # overlapped diagnostic probe JVMs (CPU+disk contention): one JVM per
 # repeat, median taken downstream
