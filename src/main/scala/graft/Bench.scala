@@ -111,7 +111,7 @@ object Bench {
       if (times.isEmpty) {
         failedQueries(name) = Option(err).map(e =>
           e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r]", " ")
+            String.valueOf(e.getMessage).replaceAll("[\"\\\\\\p{Cntrl}]", " ")
               .take(160)).getOrElse("unknown")
         None
       } else {
@@ -305,6 +305,16 @@ object Bench {
       while (keep > 0 && line(byTime.take(keep), byTime.length - keep).length > 1700)
         keep -= 1
       println(line(byTime.take(keep), byTime.length - keep))
+    }
+    // suite mode with failed queries: the total above is summed over a
+    // SHRUNKEN query set, so it silently "improves" — say so loudly and
+    // exit non-zero so harnesses can't adjudicate it as a clean total
+    // (the full doc with failed_queries is already on stdout + disk)
+    if (only.isEmpty && failedQueries.nonEmpty) {
+      System.err.println(s"BENCH INCOMPLETE: ${failedQueries.size} " +
+        s"failed queries omitted from total: " +
+        failedQueries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(3)
     }
   }
 

@@ -232,7 +232,10 @@ object ConfigParser {
               var j = i + 2
               val e = math.min(n, i + 5)
               while (j < e && isOct(src.charAt(j))) j += 1
-              sb.append(Integer.parseInt(src.substring(i + 2, j), 8).toChar)
+              // the reference appends through g_string_append_c(gchar)
+              // (cfg-lex.l:345), which truncates to 8 bits — \o777 is
+              // 0xFF there, so mask rather than emit U+01FF
+              sb.append((Integer.parseInt(src.substring(i + 2, j), 8) & 0xFF).toChar)
               i = j
             case '\n' => i += 2
             case '\r' if i + 2 < n && src.charAt(i + 2) == '\n' => i += 3

@@ -54,6 +54,11 @@ class LexerBatterySpec extends AnyFunSuite {
     assert(str1("\"\\o9\"") == "o9")
     // \" embeds a quote, \\ a backslash (both via \<other>)
     assert(str1("\"a\\\"b\\\\c\"") == "a\"b\\c")
+    // octal past 0xFF truncates to 8 bits: the reference appends via
+    // g_string_append_c(gchar) (cfg-lex.l:345), so \o777 is 0xFF and
+    // \o400 is NUL — not U+01FF / U+0100 (r12 advisor)
+    assert(str1("\"\\o777\"") == "\u00ff")
+    assert(str1("\"a\\o400b\"") == "a\u0000b")
   }
 
   // Test(lexer, test_qstring)
