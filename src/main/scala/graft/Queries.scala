@@ -4335,11 +4335,15 @@ object Queries {
         .orderBy(col("id_a"), col("id_b"))),
     "dedup_embedding_prod" -> ((s: SparkSession, d: String) => {
       // production shape: corpus-sized plane count (planesFor) with
-      // 4-table OR-amplification, vs the oracle query's fixed planes=4
+      // 4-table OR-amplification, vs the oracle query's fixed planes=4;
+      // the counted corpus size also sizes the bucket-join partitions
+      // (cache-resident hash builds — see embeddingPairs)
       val emb = Tables.embeddings(s, d)
-      val planes = Dedup.planesFor(emb.count(), targetBucket = 32)
+      val n = emb.count()
+      val planes = Dedup.planesFor(n, targetBucket = 32)
       Dedup.embeddingPairs(emb, col("vec_id"), col("embedding"),
-          threshold = 0.95, planes = planes, seed = 42, dim = 64, tables = 4)
+          threshold = 0.95, planes = planes, seed = 42, dim = 64,
+          tables = 4, expectedRows = n)
         .orderBy(col("id_a"), col("id_b"))
     }),
     "decontaminate_semantic_prod" -> ((s: SparkSession, d: String) => {

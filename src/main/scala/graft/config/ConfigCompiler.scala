@@ -1257,8 +1257,59 @@ object ConfigCompiler {
       .start()
   }
 
+  /** A junction branch is a SOURCE branch iff its first pipe-producing
+    * element is a source reference (cfg_tree_compile_sequence returns
+    * no head for such sequences — cfg-tree.c:1008-1016; whatever
+    * follows the source still hangs off its join pipe). */
+  private def isSourceBranch(path: Seq[LogElem]): Boolean =
+    path.collectFirst {
+      case Ref("source", _) => true
+      case _: Ref | _: InlineFilter | _: InlineStmt | _: JunctionElem => false
+    }.getOrElse(false)
+
+  /** The cfg_tree_compile_sequence / _junction error surface
+    * (cfg-tree.c:923-1178), validated up front exactly as the
+    * reference's sequential compile discovers it:
+    *  - catch-all only on top-level log statements (:934-941);
+    *  - a source reference after a non-source element is an error
+    *    (:1010-1014 "source-pipe follows a non-source one");
+    *  - a junction mixing source and non-source branches is an error
+    *    (:1124-1146). */
+  private def validateLogPath(path: Seq[LogElem], toplevel: Boolean): Unit = {
+    if (!toplevel) {
+      val fl = path.collect { case Flags(f) => f }.flatten
+      if (fl.contains("catchall") || fl.contains("catch-all"))
+        throw new IllegalArgumentException("Error in configuration, " +
+          "catch-all flag can only be specified for top-level log statements")
+    }
+    var nonSource = false
+    path.foreach {
+      case Ref("source", _) =>
+        if (nonSource) throw new IllegalArgumentException(
+          "Error compiling sequence, source-pipe follows a non-source " +
+            "one, please list source references/definitions first")
+      case Flags(_) => ()
+      case JunctionElem(chans) =>
+        chans.foreach { c =>
+          if (c.flags.contains("catchall") || c.flags.contains("catch-all"))
+            throw new IllegalArgumentException("Error in configuration, " +
+              "catch-all flag can only be specified for top-level log statements")
+          validateLogPath(c.path, toplevel = false)
+        }
+        val kinds = chans.map(c => isSourceBranch(c.path)).distinct
+        if (kinds.size > 1) throw new IllegalArgumentException(
+          "Error compiling junction, source and non-source branches are mixed")
+        // an all-source junction compiles with NO head (the enclosing
+        // sequence treats it as a source element); a non-source one
+        // produces the fork head
+        if (kinds.headOption.contains(false)) nonSource = true
+      case _ => nonSource = true
+    }
+  }
+
   private def compileLog(cfg: Config, sources: Map[String, DataFrame],
       log: LogDecl): Seq[Route] = {
+    validateLogPath(log.path, toplevel = true)
     val srcNames = log.path.collect { case Ref("source", n) => n }
     val flags = log.path.collect { case Flags(f) => f }.flatten
     require(sources.nonEmpty, "log path without source")
@@ -1283,6 +1334,20 @@ object ConfigCompiler {
       path.foreach {
         case Ref("source", _) | Flags(_) => ()
         case Ref("destination", n) => routes += (n -> cur)
+        case JunctionElem(chans) if chans.nonEmpty &&
+            isSourceBranch(chans.head.path) =>
+          // ALL-source junction (validateLogPath rejects mixed): each
+          // branch reads its own sources, runs its body, and the
+          // branches join — the sequence sees a source element
+          // (cfg-tree.c: fork_mpx never created, tail = join_pipe)
+          val joined = chans.map { c =>
+            val srcs = c.path.collect { case Ref("source", n) =>
+              sources.getOrElse(n, throw new IllegalArgumentException(
+                s"undeclared source $n")) }
+            walk(srcs.reduce(_.unionByName(_, allowMissingColumns = true)),
+              c.path)
+          }
+          cur = (cur +: joined).reduce(_.unionByName(_, allowMissingColumns = true))
         case JunctionElem(chans) =>
           val lpChans = chans.zipWithIndex.map { case (c, i) =>
             LogPath.Channel(s"ch$i", c.path.flatMap(elem(cfg, _)),

@@ -54,6 +54,9 @@ object Slog {
   private val Ipad = 0x36.toByte
   private val Opad = 0x5C.toByte
   private val Epad = 0x6A.toByte
+  // IV-derivation pad (ours alone — the reference draws random IVs;
+  // see entryIv for why determinism is required and sound here)
+  private val Npad = 0x49.toByte
 
   // ---- AES-CMAC (RFC 4493, key-size agnostic) -----------------------------
 
@@ -131,6 +134,98 @@ object Slog {
     MessageDigest.getInstance("SHA-256")
       .digest(masterKey ++ shardId.getBytes(StandardCharsets.UTF_8))
 
+  /** The exact `deriveHostKey` form (slog.c:520-545, the `slogkey -d
+    * master <MAC addr> <serial>` derivation): k_0 =
+    * SHA256(master || macAddr || serial). */
+  def hostKey(master: Array[Byte], macAddr: String, serial: String): Array[Byte] =
+    MessageDigest.getInstance("SHA-256").digest(master ++
+      macAddr.getBytes(StandardCharsets.UTF_8) ++
+      serial.getBytes(StandardCharsets.UTF_8))
+
+  // ---- key / MAC file formats (slogkey + tf-slog persistence) -------------
+
+  /** Key file (writeKey, slog.c:877-960): key(32) ||
+    * CMAC_key(LE64(counter))(16) || LE64(counter)(8) — the CMAC is
+    * keyed by the key ITSELF over the 8-byte little-endian counter. */
+  def writeKeyFile(path: String, key: Array[Byte], counter: Long): Unit = {
+    require(key.length == KeyLength)
+    val le = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(counter).array()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      key ++ cmac(key, le) ++ le)
+  }
+
+  /** readKey (slog.c:756-870): None when the file is missing, short,
+    * or its CMAC rejects (the reference logs and reverts to clear-text
+    * logging on this path — tf_slog_prepare, secure-logging.c:180). */
+  def readKeyFile(path: String): Option[(Array[Byte], Long)] = try {
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    if (b.length < KeyLength + MacLength + 8) return None
+    val key = java.util.Arrays.copyOfRange(b, 0, KeyLength)
+    val mac = java.util.Arrays.copyOfRange(b, KeyLength, KeyLength + MacLength)
+    val le = java.util.Arrays.copyOfRange(b, KeyLength + MacLength,
+      KeyLength + MacLength + 8)
+    if (!java.util.Arrays.equals(cmac(key, le), mac)) None
+    else Some((key,
+      ByteBuffer.wrap(le).order(ByteOrder.LITTLE_ENDIAN).getLong))
+  } catch { case _: Exception => None }
+
+  /** MAC file (writeBigMAC, slog.c:563-650): mac(16) ||
+    * CMAC_{mac||0^16}(0^16)(16) — the integrity tag is CMAC over 16
+    * zero bytes keyed by the MAC zero-padded to a 32-byte key. */
+  def writeMacFile(path: String, mac: Array[Byte]): Unit = {
+    require(mac.length == MacLength)
+    val keyBuffer = java.util.Arrays.copyOf(mac, KeyLength)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      mac ++ cmac(keyBuffer, new Array[Byte](MacLength)))
+  }
+
+  /** Settle the `$(slog)` file side effects after a batch
+    * materialization — the reference's tf_slog_call writes the evolved
+    * key + counter and the aggregated MAC back incrementally per
+    * message; batch entries are pure row functions, so the two files
+    * settle once from the materialized chain instead. The key file
+    * must still hold the (k0, counter0) the entries were built from.
+    * A counter0 > 0 chain folds onto the prior MAC from `macPath`
+    * (missing prior MAC folds onto 16 zero bytes — the C's zeroed
+    * TFSlogState, tf_slog_prepare's readBigMAC-miss path). */
+  def settleChainFiles(keyPath: String, macPath: String,
+      entries: Seq[String]): Boolean = {
+    readKeyFile(keyPath) match {
+      case None => false
+      case Some((k0, c0)) =>
+        var key = k0.clone()
+        var mac: Array[Byte] =
+          if (c0 == 0L) null
+          else readMacFile(macPath).getOrElse(new Array[Byte](MacLength))
+        var i = c0
+        entries.foreach { e =>
+          val payload = Base64.getDecoder.decode(e.substring(CounterLength + 1))
+          val macKey = deriveMacKey(key)
+          mac =
+            if (i == 0L) cmac(macKey, payload)
+            else cmac(macKey, mac ++ payload)
+          key = evolveKey(key)
+          i += 1
+        }
+        writeKeyFile(keyPath, key, i)
+        if (mac != null) writeMacFile(macPath, mac)
+        true
+    }
+  }
+
+  /** readBigMAC (slog.c:660-745): None on missing/short/tag-mismatch. */
+  def readMacFile(path: String): Option[Array[Byte]] = try {
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    if (b.length < 2 * MacLength) return None
+    val mac = java.util.Arrays.copyOfRange(b, 0, MacLength)
+    val tag = java.util.Arrays.copyOfRange(b, MacLength, 2 * MacLength)
+    val keyBuffer = java.util.Arrays.copyOf(mac, KeyLength)
+    if (!java.util.Arrays.equals(cmac(keyBuffer, new Array[Byte](MacLength)), tag))
+      None
+    else Some(mac)
+  } catch { case _: Exception => None }
+
   // ---- entry encode/decode (sLogEntry, slog.c:300-383) --------------------
 
   private def counterB64(n: Long): String = {
@@ -138,21 +233,45 @@ object Slog {
     Base64.getEncoder.encodeToString(bb.array()) // 8 bytes → exactly 12 chars
   }
 
-  /** Encrypt one entry. Returns (entry line, new aggregated MAC).
-    * `prevMac` is ignored for counter 0 (first-MAC special case). */
-  def encryptEntry(counter: Long, key: Array[Byte], msg: String,
-      iv: Array[Byte], prevMac: Array[Byte]): (String, Array[Byte]) = {
+  /** GCM-seal one message under `key`'s enc sub-key: iv || tag || ct
+    * (the base64 payload layout of sLogEntry, slog.c:300-383). */
+  private def sealPayload(key: Array[Byte], msg: String,
+      iv: Array[Byte]): Array[Byte] = {
     require(iv.length == IvLength)
-    val encKey = deriveEncKey(key)
-    val macKey = deriveMacKey(key)
     val c = Cipher.getInstance("AES/GCM/NoPadding")
-    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(encKey, "AES"),
+    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(deriveEncKey(key), "AES"),
       new GCMParameterSpec(MacLength * 8, iv))
     val ctAndTag = c.doFinal(msg.getBytes(StandardCharsets.UTF_8))
     val ct = java.util.Arrays.copyOfRange(ctAndTag, 0, ctAndTag.length - MacLength)
     val tag = java.util.Arrays.copyOfRange(ctAndTag, ctAndTag.length - MacLength, ctAndTag.length)
-    val payload = iv ++ tag ++ ct
+    iv ++ tag ++ ct
+  }
+
+  /** Entry line alone, no aggregated-MAC fold — the per-row form the
+    * `$(slog)` template function uses (its audit chain is recomputed
+    * from the entries by [[verifyChain]] instead of carried
+    * row-to-row). */
+  def entryLine(counter: Long, key: Array[Byte], msg: String,
+      iv: Array[Byte]): String =
+    counterB64(counter) + ":" +
+      Base64.getEncoder.encodeToString(sealPayload(key, msg, iv))
+
+  /** Deterministic per-entry IV: PRF(entryKey, 0x49*16). The reference
+    * draws RAND_bytes (sLogEntry) — here the IV derives from the entry
+    * key so Spark task RETRIES are bit-stable (a retried partition must
+    * reproduce the same entries or the recomputed audit MAC diverges).
+    * Sound: each entry key is used exactly once (forward evolution), so
+    * the GCM nonce-per-key uniqueness requirement holds by construction. */
+  def entryIv(entryKey: Array[Byte]): Array[Byte] =
+    prf(entryKey, pattern(Npad), IvLength)
+
+  /** Encrypt one entry. Returns (entry line, new aggregated MAC).
+    * `prevMac` is ignored for counter 0 (first-MAC special case). */
+  def encryptEntry(counter: Long, key: Array[Byte], msg: String,
+      iv: Array[Byte], prevMac: Array[Byte]): (String, Array[Byte]) = {
+    val payload = sealPayload(key, msg, iv)
     val entry = counterB64(counter) + ":" + Base64.getEncoder.encodeToString(payload)
+    val macKey = deriveMacKey(key)
     val mac =
       if (counter == 0L) cmac(macKey, payload)
       else cmac(macKey, prevMac ++ payload)

@@ -1232,7 +1232,7 @@ object Dedup {
     * the bucket join toward an all-pairs product. */
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
       threshold: Double = 0.95, planes: Int = 8, seed: Long = 42,
-      dim: Int = 64, tables: Int = 1): DataFrame = {
+      dim: Int = 64, tables: Int = 1, expectedRows: Long = -1L): DataFrame = {
     require(planes <= 57, s"embeddingPairs: planes $planes > 57 (packed key)")
     val base = df.select(id.as("id"), vec.as("v"))
     // per-table buckets packed with the table index into ONE long join
@@ -1266,11 +1266,30 @@ object Dedup {
     // DotF filter without ever materializing or re-shuffling.
     val withNorm = base.withColumn("nrm",
       sqrt(graft.functions.DotF(col("v"), col("v"))))
-    val keyed = withNorm.select(col("id"), col("v"), col("nrm"), bucketArr.as("bs"))
+    val keyed0 = withNorm.select(col("id"), col("v"), col("nrm"), bucketArr.as("bs"))
       .select(col("id"), col("v"), col("nrm"), col("bs"),
         posexplode(col("bs")).as(Seq("t", "b")))
       .select(col("id"), col("v"), col("nrm"), col("bs"),
         shiftleft(col("t").cast("long"), 58).bitwiseOR(col("b")).as("bkey"))
+    // Partition count sized by EXCHANGED VOLUME, not the session
+    // default: at sf1000p (20M x 4 tables x ~330 B) the default 32
+    // partitions hand every task an ~800 MB hash build whose random
+    // probes fall out of cache/TLB — StageProbe measured the per-
+    // candidate cost 10x the sf100p build's (~80 MB, cache-resident),
+    // 13.1k of 20.5k total task-seconds in the probe stage alone with
+    // ZERO spill and ZERO skew. Bounding builds to ~128 MB restores
+    // constant per-candidate cost; on a real cluster this is exactly
+    // "one build fits an executor's cache budget". Callers that know
+    // the corpus size (the planesFor sites already count) pass it;
+    // -1 keeps the session default (oracle parity shapes unchanged).
+    val keyed = {
+      val sess = df.sparkSession.sessionState.conf.numShufflePartitions
+      val rowBytes = dim * 4L + 8L * tables + 80L // v + bs + id/nrm/bkey + row
+      val p = if (expectedRows > 0)
+        math.ceil(expectedRows.toDouble * tables * rowBytes / (128L << 20)).toInt
+      else 0
+      if (p > sess) keyed0.repartition(p, col("bkey")) else keyed0
+    }
     // SHUFFLE_HASH instead of sort-merge: the join's equi-key is the
     // bucket, whose population is BOUNDED by construction (planesFor
     // sizes buckets to ~targetBucket rows), so the per-partition hash

@@ -169,27 +169,55 @@ object Macros {
     val hasMatches = columns.contains("matches")
 
     name => name match {
+      // pseudo-name for the per-message sequence of a sequenced stream
+      // (the msg-generator's `seq`): backs the stateful template
+      // functions' batch mapping ($(iterate) 2-arg form, $(slog)).
+      // Null on unsequenced frames — consumers fall back or error.
+      case "__MSG_SEQ__" =>
+        if (columns.contains("seq")) col("seq").cast("long")
+        else lit(null).cast("long")
       // pseudo-name for the scope machinery (VpCmdline): the whole
       // dynamic NV map of the frame
       case "__VALUES_MAP__" =>
         if (hasValues) col("values") else map().cast("map<string,string>")
-      case "HOST" => col("host")
+      // a frame missing a builtin column renders the macro unset ("",
+      // like the reference's unset values) instead of failing analysis
+      // — value-pairs' `everything` scope resolves EVERY macro on
+      // whatever frame it meets (e.g. the msg-generator's, which has
+      // no host/facility columns)
+      case "HOST" =>
+        if (columns.contains("host")) col("host") else lit(null).cast("string")
       case "HOST_FROM" =>
         if (columns.contains("host_from")) col("host_from")
         else lit(null).cast("string")
-      case "MESSAGE" | "MSG" => col("message")
-      case "MSGHDR" =>
+      case "MESSAGE" | "MSG" =>
+        if (columns.contains("message")) col("message")
+        else lit(null).cast("string")
+      case "MSGHDR" if columns.contains("program") =>
         concat(coalesce(col("program"), lit("")),
-          when(col("pid").isNotNull, concat(lit("["), col("pid"), lit("]")))
+          when((if (columns.contains("pid")) col("pid")
+            else lit(null).cast("string")).isNotNull,
+            concat(lit("["), col("pid"), lit("]")))
             .otherwise(lit("")),
           lit(": "))
-      case "PROGRAM" => col("program")
+      case "MSGHDR" => lit(null).cast("string")
+      case "PROGRAM" =>
+        if (columns.contains("program")) col("program")
+        else lit(null).cast("string")
       case "PID" =>
         if (columns.contains("pid")) col("pid") else lit(null).cast("string")
       case "MSGID" =>
         if (columns.contains("msgid")) col("msgid") else lit(null).cast("string")
       case "SOURCE" =>
         if (columns.contains("source")) col("source") else lit(null).cast("string")
+      case "FACILITY" | "FACILITY_NUM" if !columns.contains("facility") =>
+        lit(null).cast("string")
+      case "SEVERITY" | "LEVEL" | "PRIORITY" | "SEVERITY_NUM" | "LEVEL_NUM"
+          if !columns.contains("severity") =>
+        lit(null).cast("string")
+      case "PRI" | "TAG" | "BSDTAG"
+          if !columns.contains("facility") || !columns.contains("severity") =>
+        lit(null).cast("string")
       case "PRI" => (col("facility") * 8 + col("severity")).cast("string")
       case "FACILITY" => facilityName(col("facility"))
       case "FACILITY_NUM" => col("facility").cast("string")
@@ -230,8 +258,11 @@ object Macros {
       case "TAGS" =>
         // log_msg_print_tags str-repr-quotes tags containing commas
         // (the $(list-*) encoding, logmsg.c:1009)
-        graft.functions.ListFunctions.list_encode(col("tags"))
-      case "FULLHOST" => col("host")
+        if (columns.contains("tags"))
+          graft.functions.ListFunctions.list_encode(col("tags"))
+        else lit(null).cast("string")
+      case "FULLHOST" =>
+        if (columns.contains("host")) col("host") else lit(null).cast("string")
       case "FULLHOST_FROM" =>
         if (columns.contains("host_from")) col("host_from")
         else lit(null).cast("string")
@@ -251,18 +282,24 @@ object Macros {
       // both at ingest; batch frames often only have ts)
       case d if d.startsWith("R_") && dateMacro(d.drop(2),
           col(if (columns.contains("recvd_ts")) "recvd_ts" else "ts"), tz).isDefined =>
-        dateMacro(d.drop(2),
-          col(if (columns.contains("recvd_ts")) "recvd_ts" else "ts"), tz).get
+        if (columns.contains("recvd_ts") || columns.contains("ts"))
+          dateMacro(d.drop(2),
+            col(if (columns.contains("recvd_ts")) "recvd_ts" else "ts"), tz).get
+        else lit(null).cast("string")
       case d if d.startsWith("P_") && dateMacro(d.drop(2),
           col(if (columns.contains("proc_ts")) "proc_ts" else "ts"), tz).isDefined =>
-        dateMacro(d.drop(2),
-          col(if (columns.contains("proc_ts")) "proc_ts" else "ts"), tz).get
+        if (columns.contains("proc_ts") || columns.contains("ts"))
+          dateMacro(d.drop(2),
+            col(if (columns.contains("proc_ts")) "proc_ts" else "ts"), tz).get
+        else lit(null).cast("string")
       case d if d.startsWith("C_") && dateMacro(d.drop(2), current_timestamp(), tz).isDefined =>
         dateMacro(d.drop(2), current_timestamp(), tz).get
       case d if d.startsWith("S_") && dateMacro(d.drop(2), col("ts"), tz).isDefined =>
-        dateMacro(d.drop(2), col("ts"), tz).get
+        if (columns.contains("ts")) dateMacro(d.drop(2), col("ts"), tz).get
+        else lit(null).cast("string")
       case d if dateMacro(d, col("ts"), tz).isDefined =>
-        dateMacro(d, col("ts"), tz).get
+        if (columns.contains("ts")) dateMacro(d, col("ts"), tz).get
+        else lit(null).cast("string")
       case m if m.nonEmpty && m.forall(_.isDigit) && hasMatches =>
         // $1..$255 regexp match groups -> matches array ($0 = whole match)
         // out-of-range registers render "" (an unset pcre register)

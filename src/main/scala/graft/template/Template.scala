@@ -279,6 +279,21 @@ object Template {
         val listC = compile(args(1), resolve).cast("string")
         val kept = filter(split(listC, ","), e => condCol(raw.head, bindElem(e)))
         when(listC === "", lit("")).otherwise(array_join(kept, ","))
+      case Func("iterate", args, _, _) if args.size == 2 =>
+        // The REFERENCE form (tf-iterate.c:73-92): per-message mutable
+        // state — call n appends `current` then steps it through the
+        // template with $_ bound, so message n renders f^n(init).
+        // Batch mapping: n = the stream's per-message sequence (the
+        // __MSG_SEQ__ pseudo-macro, present on sequenced frames like
+        // the msg-generator's `seq`); the n-step fold happens per row.
+        val init = compile(args(1), resolve).cast("string")
+        val n = resolve("__MSG_SEQ__").cast("long")
+        val stepped = element_at(aggregate(
+          sequence(lit(1L), greatest(n, lit(1L))), array(init),
+          (acc, _) => concat(acc,
+            array(compile(args(0), bindElem(element_at(acc, -1))).cast("string"))),
+          acc => acc), -1)
+        when(n.isNull || n <= 0, init).otherwise(stepped)
       case Func("iterate", args, _, _) =>
         // The reference form is per-message mutable state (tf-iterate.c
         // keeps `current` across invocations) — inherently sequential.
@@ -293,6 +308,55 @@ object Template {
             array(compile(args(0), bindElem(element_at(acc, -1))).cast("string"))),
           acc => array_join(acc, ","))
         when(n <= 0, lit("")).when(n === 1, init).otherwise(stepped)
+
+      case Func("slog", args, raw, _) =>
+        // $(slog -k FILE -m FILE msg) — tf_slog_prepare
+        // (secure-logging.c:75-195): -k/--key-file and -m/--mac-file
+        // are REQUIRED options; a missing message arg is a compile
+        // error; an unreadable/invalid KEY FILE is only a warning and
+        // the function reverts to clear-text passthrough. Entries ride
+        // [[graft.functions.SlogChainEntry]] (closed-form key
+        // evolution per row); the key/MAC file write-backs settle
+        // post-materialization (Slog.writeKeyFile/writeMacFile).
+        var keyPath: Option[String] = None
+        var macPath: Option[String] = None
+        val rest = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var ai = 0
+        while (ai < raw.length) {
+          val r = raw(ai)
+          if ((r == "-k" || r == "--key-file") && ai + 1 < raw.length) {
+            keyPath = Some(raw(ai + 1)); ai += 2
+          } else if (r.startsWith("--key-file=")) {
+            keyPath = Some(r.substring("--key-file=".length)); ai += 1
+          } else if ((r == "-m" || r == "--mac-file") && ai + 1 < raw.length) {
+            macPath = Some(raw(ai + 1)); ai += 2
+          } else if (r.startsWith("--mac-file=")) {
+            macPath = Some(r.substring("--mac-file=".length)); ai += 1
+          } else { rest += ai; ai += 1 }
+        }
+        require(rest.nonEmpty, "[SLOG] ERROR: Template parsing failed. " +
+          "Invalid number of arguments. Usage: $(slog --key-file FILE " +
+          "--mac-file FILE $RAWMSG)")
+        require(keyPath.nonEmpty, "[SLOG] ERROR: Template parsing " +
+          "failed. Invalid or missing key file")
+        require(macPath.nonEmpty, "[SLOG] ERROR: Template parsing " +
+          "failed. Invalid or missing MAC file")
+        val msgC = compile(args(rest.head), resolve).cast("string")
+        graft.operators.Slog.readKeyFile(keyPath.get) match {
+          case None =>
+            System.err.println("[SLOG] WARNING: Template parsing " +
+              "failed, key file not found or invalid. Reverting to " +
+              "clear text logging.")
+            msgC
+          case Some((k0, counter0)) =>
+            // loud on unsequenced frames: silently-null entries would
+            // read as an empty (passing) audit chain downstream
+            val seqC = resolve("__MSG_SEQ__").cast("long")
+            graft.functions.SlogChainEntry(msgC,
+              coalesce(seqC, raise_error(lit("$(slog): the stream " +
+                "carries no per-message sequence (__MSG_SEQ__)"))
+                .cast("long")), k0, counter0)
+        }
 
       // $(if cond a b): the reference compiles the condition with the
       // filter-expr grammar (cond-funcs.c:148-177) — both the

@@ -581,6 +581,36 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("embeddingPairs: expectedRows sizes the bucket-join exchange by " +
+      "volume (cache-resident hash builds), one exchange reused by both sides") {
+    // r13: at sf1000p the default 32 partitions hand each task an
+    // ~800 MB hash build whose random probes leave cache — StageProbe
+    // measured 10x the sf100p per-candidate cost, no spill, no skew.
+    // expectedRows (known at the planesFor call sites) bounds builds
+    // to ~128 MB; results must stay bit-identical.
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    // 20M rows x 4 tables x (64*4 + 8*4 + 80) B / 128 MB -> 220
+    val sized = graft.pipeline.Dedup.embeddingPairs(emb, col("vec_id"),
+      col("embedding"), threshold = 0.95, planes = 8, seed = 42,
+      dim = 64, tables = 4, expectedRows = 20000000L)
+    sized.queryExecution.toRdd.count()
+    val p = sized.queryExecution.executedPlan.toString
+    assert(p.contains("hashpartitioning(bkey"), p)
+    assert(p.contains(", 220)"),
+      s"expected a 220-partition bucket exchange\n$p")
+    val fin = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(fin.exists(_.contains("ReusedExchange")),
+      s"bucket exchange must be planned once and reused\n$p")
+    val unsized = graft.pipeline.Dedup.embeddingPairs(emb, col("vec_id"),
+      col("embedding"), threshold = 0.95, planes = 8, seed = 42,
+      dim = 64, tables = 4)
+    import spark.implicits._
+    val a = sized.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val b = unsized.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(a == b, s"partition sizing changed results: ${(a diff b).take(3)} / ${(b diff a).take(3)}")
+  }
+
   test("tree assignment (dedup_semantic_prod shape): fine side broadcasts, " +
       "no cartesian, one embeddings scan feeds the self-join via ReusedExchange") {
     // the r10 cell-tree path: the fine join must be a BHJ up to the
