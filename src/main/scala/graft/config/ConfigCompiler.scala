@@ -120,7 +120,7 @@ object ConfigCompiler {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val cfg = expandTemplates(cfg0)
     var listeners = Map.empty[String, graft.streaming.SocketListener]
-    val sources = cfg.sources.map { case (name, blk) =>
+    val sources0 = cfg.sources.map { case (name, blk) =>
       val stmt = blk.stmts.find(s => s.name == "file" ||
           s.name == "wildcard-file" || s.name == "network" ||
           s.name == "syslog" || s.name == "osquery" || s.name == "mbox" ||
@@ -412,6 +412,18 @@ object ConfigCompiler {
         .withColumn("tags", array().cast("array<string>"))
         .withColumn("values", map().cast("map<string,string>"))
       }
+    }
+    // use-syslogng-pid(yes) — a GENERIC source option (logsource.c:619):
+    // at source-queue time the engine's own pid overwrites $PID, AFTER
+    // the driver populated the message, so it wins over e.g. the
+    // generator's values("PID" => ...) (test_use_syslogng_pid.py)
+    val sources = sources0.map { case (name, df) =>
+      val useOwn = cfg.sources(name).stmts.exists(s =>
+        kvOf(s.args, "use-syslogng-pid")
+          .exists(v => Set("yes", "on", "true", "1").contains(v.toLowerCase)))
+      name -> (if (useOwn)
+        df.withColumn("pid", lit(ProcessHandle.current().pid().toString))
+      else df)
     }
     // hook-commands() (`/root/reference/modules/hook-commands/
     // hook-commands.c`): startup+setup run at driver init and a

@@ -419,6 +419,53 @@ class ConfigSpec extends GraftSuite {
     assert(msgs == Seq("-- Generated message. --"), msgs)
   }
 
+  test("test_use_syslogng_pid.py verbatim: use-syslogng-pid(yes) makes the " +
+      "engine's own pid win over the driver-set $PID (logsource.c:619)") {
+    def pidOf(opt: String): String = {
+      val cfg = ConfigParser.parse(s"""
+        source s_gen { example-msg-generator(freq(0.01) num(1)
+          use-syslogng-pid($opt) values("PID" => "pid")); };
+        destination d { file("/out/p.log"); };
+        log { source(s_gen); destination(d); };
+      """)
+      val (routes, _) = ConfigCompiler.compileStreamingPipeline(cfg, spark,
+        java.nio.file.Files.createTempDirectory("graft-pid-sp").toString)
+      val out = routes.head.df
+      val rendered = out.withColumn("__line",
+        graft.template.Template.column("PID=$PID", out.columns.toSeq))
+      val qn = s"pid_out_$opt"
+      val q = rendered.writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-pid-cp").toString)
+        .start()
+      try {
+        val deadline = System.nanoTime + 60L * 1000 * 1000 * 1000
+        while (spark.table(qn).count() < 1 &&
+            System.nanoTime < deadline) Thread.sleep(200)
+      } finally q.stop()
+      spark.table(qn).select("__line").head.getString(0)
+    }
+    assert(pidOf("yes") == s"PID=${ProcessHandle.current().pid()}")
+    assert(pidOf("no") == "PID=pid")
+  }
+
+  test("test_backtick_substitution.py verbatim: @define value substitutes " +
+      "into a global options statement and the config starts") {
+    val cfg = ConfigParser.parse("""
+      @define disable none
+      options {
+        mark-mode(`disable`);
+      };
+      source s { file("/x"); };
+      destination d { file("/out"); };
+      log { source(s); destination(d); };
+    """)
+    assert(cfg.options.get("mark-mode").contains("none"), cfg.options)
+    val src = Seq((1L, "m")).toDF("event_id", "message")
+      .withColumn("tags", array().cast("array<string>"))
+    assert(ConfigCompiler.compile(cfg, Map("s" -> src)).head.df.count() == 1)
+  }
+
   test("openbsd() source: klog-file override, standard syslog parse") {
     // modules/openbsd/openbsd-driver.c:58-125: dgram reader over
     // /dev/klog with default reader options — one line per message,
