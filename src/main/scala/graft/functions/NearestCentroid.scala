@@ -360,17 +360,9 @@ case class NearestFineTree(child: Expression,
   require(l2Start.length == l2Ids.length + 1 &&
     l2Start.head == 0 && l2Start.last == l3Ids.length)
   require(probe1 > 0 && probe2 > 0)
-  require(!l3Ids.contains(Long.MinValue),
-    "Long.MinValue is reserved as the no-candidate sentinel")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "nearest_fine_tree"
-  // null when every probed mid cell has an empty fine slice (fines are
-  // nearest-mid assigned, so empty slices can exist) — the join regime
-  // drops such rows (no candidate rows survive the inner join), so the
-  // expression must NOT emit Long.MinValue as a plausible cluster id;
-  // the caller filters nulls to keep the regimes bit-identical
-  override def nullable: Boolean = true
 
   @transient private lazy val l1Norms: Array[Double] = l1Vecs.map(normOf)
   @transient private lazy val l2Norms: Array[Double] = l2Vecs.map(normOf)
@@ -477,23 +469,24 @@ case class NearestFineTree(child: Expression,
       }
       u += 1
     }
-    // no-candidate (all probed mid slices empty): Long.MinValue is the
-    // reserved sentinel (construction rejects it as a fine id) that
-    // eval/codegen translate to SQL NULL
-    if (first) Long.MinValue else bestId
+    // no-candidate (every probed mid slice empty — possible since
+    // fines are nearest-mid assigned): LOUD failure rather than
+    // Long.MinValue leaking as a plausible cluster id (r12 advisor).
+    // A null + caller-side filter was tried first and measured: the
+    // deterministic isnotnull predicate pushes below the Project and
+    // the ~k^(1/3)·(probe) compiled dots evaluate TWICE per row —
+    // throwing keeps the probe a single map-only evaluation.
+    if (first) throw new IllegalStateException(
+      "nearest_fine_tree: no fine candidates in any probed mid cell " +
+        "(all probed slices empty) — raise nProbe or rebuild the tree")
+    bestId
   }
 
-  override protected def nullSafeEval(v: Any): Any = {
-    val r = fineOf(v)
-    if (r == Long.MinValue) null else r
-  }
+  override protected def nullSafeEval(v: Any): Any = fineOf(v)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val self = ctx.addReferenceObj("nft", this, classOf[NearestFineTree].getName)
-    nullSafeCodeGen(ctx, ev, v =>
-      s"""${ev.value} = $self.fineOf($v);
-         |if (${ev.value} == Long.MIN_VALUE) { ${ev.isNull} = true; }
-         |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.fineOf($v);")
   }
 
   override protected def withNewChildInternal(c: Expression): NearestFineTree =

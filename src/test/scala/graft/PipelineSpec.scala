@@ -413,33 +413,30 @@ class PipelineSpec extends GraftSuite {
       s"(${pairsTree.size} vs ${pairsFlat.size} pairs)")
   }
 
-  test("nearest_fine_tree: empty probed fine slices yield NULL (not a sentinel id), matching the join regime's drop") {
+  test("nearest_fine_tree: empty probed fine slices THROW loudly (never a sentinel id)") {
     // fines are nearest-mid assigned, so a mid cell can own ZERO fines;
     // a vector whose every probed mid slice is empty has no candidates.
-    // The join regime drops such rows (nothing survives the inner
-    // join); the compiled expression must surface NULL — never
-    // Long.MinValue as a plausible cluster id (r12 advisor).
+    // The expression must never emit Long.MinValue as a plausible
+    // cluster id (r12 advisor) — it fails loudly. (A null + caller
+    // filter was measured instead: the deterministic isnotnull pushes
+    // below the Project and evaluates the compiled probe TWICE per
+    // row, so the guard lives inside the expression.)
     val l1 = Array((0L, Array(1f, 0f)))
     val l2 = Array((0L, Array(1f, 0f)), (1L, Array(0f, 1f)))
     val l1Start = Array(0, 2)
     // the single fine (id 7) lives under mid 1; mid 0's slice is empty
     val l3 = Array((7L, Array(0f, 1f)))
     val l2Start = Array(0, 0, 1)
-    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
-      .toDF("vec_id", "v")
-      .withColumn("cid", graft.functions.NearestFineTree(col("v"),
-        l1, l2, l1Start, 1, 1, l3, l2Start))
-    val got = df.select("vec_id", "cid").collect()
-      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
-      .toMap
-    assert(got(1L) == None,
-      s"vector probing only the empty mid slice must be NULL, got ${got(1L)}")
-    assert(got(2L) == Some(7L))
-    // the sentinel is reserved at construction
-    intercept[IllegalArgumentException] {
-      graft.functions.NearestFineTree(col("v"), l1, l2, l1Start, 1, 1,
-        Array((Long.MinValue, Array(0f, 1f))), l2Start)
-    }
+    def cidOf(v: Seq[Float]): Long =
+      Seq((1L, v)).toDF("vec_id", "v")
+        .withColumn("cid", graft.functions.NearestFineTree(col("v"),
+          l1, l2, l1Start, 1, 1, l3, l2Start))
+        .select("cid").head.getLong(0)
+    assert(cidOf(Seq(0.0f, 1.0f)) == 7L)
+    val e = intercept[Throwable] { cidOf(Seq(1.0f, 0.0f)) }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+    assert(msgs.contains("no fine candidates in any probed mid cell"), msgs)
   }
 
   test("semantic dedup: a mega-cluster (the SemDeDup skew caveat) stays correct under AQE") {
