@@ -32,15 +32,45 @@ object Sessions {
     */
   def groupingBy(df: DataFrame, key: Column, ts: Column, timeoutSeconds: Int,
       aggs: Seq[Column], where: Column = lit(true),
-      having: Column = lit(true)): DataFrame =
-    df.filter(where)
-      .groupBy(session_window(ts, s"$timeoutSeconds seconds").as("session"),
-        key.as("key"))
-      .agg(aggs.head, aggs.tail: _*)
+      having: Column = lit(true)): DataFrame = {
+    // NOT the builtin `session_window` aggregation: that plans a
+    // partial ObjectHashAggregate BEFORE the key exchange, where every
+    // row is still its own [ts, ts+gap) window — nothing combines, the
+    // hash map blows past the 128-key sort-based fallback immediately
+    // (raising the threshold instead OOMs on millions of per-task
+    // list buffers), and each task SORTS its whole input on a
+    // struct-window key, with MergingSessions sorting again and the
+    // final aggregate falling back once more. Measured at sf100p
+    // (100M events): ~335 s per task, uniform, zero spill, zero skew —
+    // a 37x decade. Gap sessionization is a per-key prefix scan, so
+    // the minimal plan is: ONE exchange on the key, ONE sort
+    // (key, ts), a window pass assigning session ordinals (a gap
+    // opens where ts - lag(ts) >= gap), and ONE standard aggregate
+    // over (key, ordinal) — whose required clustering is satisfied by
+    // the window's key partitioning (no second exchange) and whose
+    // sort-based fallback rides the already-(key, ts)-sorted data.
+    // Session frame matches session_window exactly:
+    // [min(ts), max(ts) + gap).
+    val us = unix_micros(col("__gts").cast("timestamp"))
+    val w = Window.partitionBy(col("__gkey")).orderBy(col("__gts"))
+    val gapOpen = when(
+      us - lag(us, 1).over(w) >= timeoutSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    val sess = df.filter(where).filter(ts.isNotNull)
+      .withColumn("__gkey", key).withColumn("__gts", ts)
+      .withColumn("__sess",
+        sum(gapOpen).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    sess.withColumn("__gmaxsrc", col("__gts"))
+      .groupBy(col("__gkey").as("key"), col("__sess"))
+      .agg(aggs.head, (aggs.tail :+
+        min(col("__gts")).as("session_start") :+
+        max(col("__gmaxsrc")).as("__gmax")): _*)
       .filter(having)
-      .withColumn("session_start", col("session.start"))
-      .withColumn("session_end", col("session.end"))
-      .drop("session")
+      .withColumn("session_end",
+        expr(s"timestampadd(SECOND, $timeoutSeconds, __gmax)"))
+      .drop("__sess", "__gmax")
+  }
 
   /** grouping-by's persist name (`groupingby.c:363-369`,
     * test_grouping_by.c:61-111): `grouping-by(<key template text>)` —
