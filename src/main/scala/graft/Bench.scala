@@ -234,19 +234,56 @@ object Bench {
     }
     val bandReforked = scala.collection.mutable.ArrayBuffer[String]()
     val bandFlags = scala.collection.mutable.ArrayBuffer[String]()
-    val merged = merged0.map { case (n, t) =>
-      bandOf(n) match {
+    // ---- environmental-suspect detection (r13 verdict #2) --------------
+    // The r13 artifact published 133.2 s with 56/132 queries band-slow
+    // and ZERO band-fast — a uniform one-sided signature of a busy VM,
+    // not a code regression (judge re-measures put every flagged query
+    // back in band). Two-pass adjudication: first READ the flags; if a
+    // majority-ish of banded queries flag slow in one direction, mark
+    // the whole document BENCH SUSPECT and widen the refork to EVERY
+    // slow-flagged query (not just the isolated-mode ones) — an
+    // environmental total must not publish as canonical without one
+    // isolated re-measure per flagged query.
+    val firstPass = merged0.map { case (n, t) => (n, t, bandOf(n)) }
+    val bandComparedN = firstPass.count(_._3.isDefined)
+    val slowFirst = firstPass.collect {
+      case (n, t, Some(b)) if t > b * 1.5 => n }.toSet
+    val fastFirstN = firstPass.count {
+      case (_, t, Some(b)) => t < b / 1.5; case _ => false }
+    val benchSuspect = bandComparedN >= 10 &&
+      slowFirst.size >= math.max(5, bandComparedN / 4) &&
+      slowFirst.size >= 5 * math.max(1, fastFirstN)
+    if (benchSuspect)
+      System.err.println(s"BENCH SUSPECT (environmental): " +
+        s"${slowFirst.size}/$bandComparedN band-slow vs $fastFirstN fast " +
+        "— reforking every flagged query before publishing")
+    // queries whose published number came from a refork fork (an
+    // isolated median) even though the first measurement was in-suite:
+    // history must record mode "i" for them (mode-purity, ADVICE r11)
+    val reforkWon = scala.collection.mutable.Set[String]()
+    val merged = firstPass.map { case (n, t, band) =>
+      band match {
         case Some(b) if t > b * 1.5 =>
-          // refork only queries whose number IS an isolated median —
-          // forking an in-suite-measured one would mix modes (ADVICE
-          // r11); their slow flags publish annotation-only
+          // default: refork only queries whose number IS an isolated
+          // median — forking an in-suite-measured one would mix modes
+          // (ADVICE r11). Under BENCH SUSPECT the environmental signal
+          // outweighs mode purity: every slow flag reforks, and a fork
+          // that wins flips the query's recorded mode to "i".
+          val canRefork = isolateOn &&
+            (isolated.contains(n) || benchSuspect)
           val best =
-            if (!isolateOn || !isolated.contains(n)) t
+            if (!canRefork) t
             else {
               bandReforked += n
-              forkOne(n, sfDir, cpus).fold(t)(math.min(t, _))
+              forkOne(n, sfDir, cpus) match {
+                case Some(f) if f < t =>
+                  if (!isolated.contains(n)) reforkWon += n
+                  f
+                case _ => t
+              }
             }
-          bandFlags += s""""$n":{"now":$best,"band":$b,"dir":"slow","first":$t,"mode":"${modeNow(n)}"}"""
+          val mode = if (reforkWon(n)) "i" else modeNow(n)
+          bandFlags += s""""$n":{"now":$best,"band":$b,"dir":"slow","first":$t,"mode":"$mode"}"""
           n -> best
         case Some(b) if t < b / 1.5 =>
           bandFlags += s""""$n":{"now":$t,"band":$b,"dir":"fast","mode":"${modeNow(n)}"}"""
@@ -259,7 +296,8 @@ object Bench {
       // append AFTER adjudication so the band learns final numbers;
       // modes ride along so future bands compare like with like
       val modesJson = merged.map { case (n, _) =>
-        s""""$n":"${modeNow(n)}"""" }.mkString("{", ",", "}")
+        val m = if (reforkWon(n)) "i" else modeNow(n)
+        s""""$n":"$m"""" }.mkString("{", ",", "}")
       val w = new java.io.FileWriter(histPath, true)
       try w.write(s"""{"sf":"$sfDir","ts":${System.currentTimeMillis()},"harness_sort":"$harnessSort","queries":${jmap(merged)},"modes":$modesJson}""" + "\n")
       finally w.close()
@@ -270,7 +308,7 @@ object Bench {
       bandReforked.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failedQueries.map { case (n, e) =>
       s""""$n":"$e"""" }.mkString("{", ",", "}")
-    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(merged)},"queries_insuite":${jmap(inSuite)},"queries_isolated":${jmap(isolated.toSeq.sortBy(_._1))},"isolated_retried":$retriedJson,"band_flags":$bandFlagsJson,"band_reforked":$bandReforkedJson,"failed_queries":$failedJson,"band_history_n":${history.size},"isolated_n":5,"harness_sort":"$harnessSort","cpus":"$cpus","sf":"$sfDir"}"""
+    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","bench_suspect":$benchSuspect,"band_slow_n":${slowFirst.size},"band_fast_n":$fastFirstN,"band_compared_n":$bandComparedN,"queries":${jmap(merged)},"queries_insuite":${jmap(inSuite)},"queries_isolated":${jmap(isolated.toSeq.sortBy(_._1))},"isolated_retried":$retriedJson,"band_flags":$bandFlagsJson,"band_reforked":$bandReforkedJson,"failed_queries":$failedJson,"band_history_n":${history.size},"isolated_n":5,"harness_sort":"$harnessSort","cpus":"$cpus","sf":"$sfDir"}"""
     // the COMPLETE document goes to a file (r8 verdict: the driver keeps
     // only a 2000-char stdout tail, so the full three-map line can never
     // survive stdout — BENCH_r08.json shipped `"parsed": null` with the
@@ -299,7 +337,7 @@ object Bench {
       def line(qs: Seq[(String, Double)], omitted: Int): String = {
         val m = qs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$m,"queries_omitted":$omitted,"full":"$outPath","isolated_n":5,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":$total,"unit":"sec","bench_suspect":$benchSuspect,"queries":$m,"queries_omitted":$omitted,"full":"$outPath","isolated_n":5,"sf":"$sfDir"}"""
       }
       var keep = byTime.length
       while (keep > 0 && line(byTime.take(keep), byTime.length - keep).length > 1700)

@@ -58,8 +58,8 @@ case class SlogChainEntry(msg: Expression, seq: Expression,
       if (text0.isEmpty) "[SLOG] ERROR: String of length 0 received"
       else text0
     val key = keyAt(n)
-    UTF8String.fromString(
-      Slog.entryLine(counter0 + n, key, text, Slog.entryIv(key)))
+    UTF8String.fromString(Slog.entryLine(counter0 + n, key, text,
+      Slog.entryIv(key, counter0 + n, text)))
   }
 
   override protected def withNewChildrenInternal(l: Expression,

@@ -8,10 +8,14 @@ import org.apache.spark.sql.functions._
   * grouping-by, §2.7 suppress/throttle). The streaming forms share the
   * same semantics via flatMapGroupsWithState (graft.streaming).
   *
-  * Scale notes: groupingBy/suppress compile to a single hash aggregation
-  * over `(key, session_window)` — one shuffle on the grouping key, which
-  * is the minimum any session construction needs; AQE handles skewed
-  * keys. throttle uses a ranking window: one shuffle + in-partition sort,
+  * Scale notes: groupingBy/suppress compile to ONE hash exchange on the
+  * key + ONE (key, ts) sort + a lag/cumulative-sum window assigning
+  * session ordinals + one standard aggregate whose required clustering
+  * rides the window's partitioning (no second exchange) — NOT Spark's
+  * builtin `session_window`, whose partial ObjectHashAggregate combines
+  * nothing pre-merge and falls back to per-task sorts (measured
+  * 37x/decade at sf100p before the rewrite; see groupingBy body).
+  * throttle uses a ranking window: one shuffle + in-partition sort,
   * bounded state.
   */
 object Sessions {
@@ -26,9 +30,10 @@ object Sessions {
     *    functions map to Spark aggs ($(context-length) → count,
     *    $(context-values $x) → sortedValues below, $(sum $x) → sum).
     *
-    * The session window is Spark's builtin `session_window`; exposed
-    * columns `session_start`/`session_end` follow its [first-event,
-    * last-event + gap) frame.
+    * The session plan is the lag/cumulative-sum window-ordinal form
+    * (see the body comment for why the builtin `session_window` is NOT
+    * used); exposed columns `session_start`/`session_end` keep
+    * session_window's [first-event, last-event + gap) frame.
     */
   def groupingBy(df: DataFrame, key: Column, ts: Column, timeoutSeconds: Int,
       aggs: Seq[Column], where: Column = lit(true),
@@ -164,14 +169,33 @@ object Sessions {
     * micro-batches reorder; we define order by (ts, order)).
     */
   def suppress(df: DataFrame, key: Column, ts: Column, seconds: Int,
-      order: Column): DataFrame =
-    df.groupBy(session_window(ts, s"$seconds seconds").as("session"),
-        key.as("suppress_key"))
+      order: Column): DataFrame = {
+    // Same plan as groupingBy (NOT the builtin session_window, whose
+    // useless partial ObjectHashAggregate + per-task struct-key sorts
+    // measured 12.5x/decade at sf100p — scale_matrix_r13.jsonl): ONE
+    // key exchange, ONE (key, ts, order) sort, lag/running-sum session
+    // ordinals, one standard aggregate riding the window's
+    // partitioning. A repeat within `seconds` of its predecessor chains
+    // the window exactly like session_window's [ts, ts+gap) merge.
+    val us = unix_micros(col("__sts").cast("timestamp"))
+    val w = Window.partitionBy(col("__skey"))
+      .orderBy(col("__sts"), col("__sord"))
+    val gapOpen = when(
+      us - lag(us, 1).over(w) >= seconds * 1000000L, 1L).otherwise(0L)
+    df.filter(ts.isNotNull) // session_window drops null-ts rows; keep that
+      .withColumn("__skey", key).withColumn("__sts", ts)
+      .withColumn("__sord", order)
+      .withColumn("__sess",
+        sum(gapOpen).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("__skey").as("suppress_key"), col("__sess"))
       .agg(
-        min(struct(ts.as("ts"), order.as("o"))).getField("o").as("first_id"),
-        unix_micros(min(ts)).as("first_ts_us"),
+        min(struct(col("__sts").as("ts"), col("__sord").as("o")))
+          .getField("o").as("first_id"),
+        unix_micros(min(col("__sts"))).as("first_ts_us"),
         (count(lit(1)) - 1).as("n_suppressed"))
-      .drop("session")
+      .drop("__sess")
+  }
 
   /** throttle(N) (`lib/driver.h:169`, token bucket in `lib/logqueue.c`):
     * cap delivery at `n` rows per key per second; rows beyond the cap in

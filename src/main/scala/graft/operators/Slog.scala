@@ -54,9 +54,6 @@ object Slog {
   private val Ipad = 0x36.toByte
   private val Opad = 0x5C.toByte
   private val Epad = 0x6A.toByte
-  // IV-derivation pad (ours alone — the reference draws random IVs;
-  // see entryIv for why determinism is required and sound here)
-  private val Npad = 0x49.toByte
 
   // ---- AES-CMAC (RFC 4493, key-size agnostic) -----------------------------
 
@@ -256,14 +253,26 @@ object Slog {
     counterB64(counter) + ":" +
       Base64.getEncoder.encodeToString(sealPayload(key, msg, iv))
 
-  /** Deterministic per-entry IV: PRF(entryKey, 0x49*16). The reference
+  /** Deterministic per-entry IV, SIV-style:
+    * PRF(entryKey, SHA256(LE64(counter) || msg)[0..15]). The reference
     * draws RAND_bytes (sLogEntry) — here the IV derives from the entry
-    * key so Spark task RETRIES are bit-stable (a retried partition must
-    * reproduce the same entries or the recomputed audit MAC diverges).
-    * Sound: each entry key is used exactly once (forward evolution), so
-    * the GCM nonce-per-key uniqueness requirement holds by construction. */
-  def entryIv(entryKey: Array[Byte]): Array[Byte] =
-    prf(entryKey, pattern(Npad), IvLength)
+    * key AND the plaintext so Spark task RETRIES are bit-stable (a
+    * retried partition must reproduce the same entries or the
+    * recomputed audit MAC diverges). Binding the plaintext in (rather
+    * than keying off entryKey alone) means a (key, IV) pair can only
+    * repeat when (counter, msg) repeat — i.e. when the ciphertext is
+    * identical anyway. That closes the cross-RUN nonce reuse a
+    * key-only derivation had: re-running a pipeline from an
+    * un-advanced key file encrypts NEW plaintexts under the same
+    * entry keys, which with a key-only IV would reuse (key, nonce) on
+    * different messages (GCM keystream + tag-forgery exposure). */
+  def entryIv(entryKey: Array[Byte], counter: Long, msg: String): Array[Byte] = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+    h.update(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(counter).array())
+    val d = h.digest(msg.getBytes(StandardCharsets.UTF_8))
+    prf(entryKey, java.util.Arrays.copyOf(d, 16), IvLength)
+  }
 
   /** Encrypt one entry. Returns (entry line, new aggregated MAC).
     * `prevMac` is ignored for counter 0 (first-MAC special case). */

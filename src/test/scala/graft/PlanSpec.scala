@@ -629,4 +629,54 @@ class PlanSpec extends GraftSuite {
     val fin = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
     assert(fin.exists(_.contains("ReusedExchange")), p)
   }
+
+  test("session family (grouping_by/suppress): one key exchange, " +
+      "window-ordinal sessionization, no builtin session_window chain") {
+    // The r13/r14 rewrite off builtin session_window (whose PARTIAL
+    // ObjectHashAggregate below the exchange combines nothing — every
+    // pre-merge row is its own [ts, ts+gap) window — and falls back to
+    // per-task struct-key sorts: 37x/decade at sf100p). The plan must
+    // stay: ONE hashpartitioning exchange on the key (the query's
+    // ORDER BY adds one rangepartitioning exchange, allowed), the
+    // lag/cumulative-sum Window for the session ordinal, and the
+    // aggregate riding the window's partitioning — i.e. NOTHING
+    // aggregate-shaped below the hash exchange. collect_list-carrying
+    // queries still plan an ObjectHashAggregate (TypedImperativeAgg —
+    // no hash-agg support exists for lists), but it must sit ABOVE the
+    // exchange, grouped on the long (key, ordinal) pair, never on a
+    // struct session window.
+    for (name <- Seq("grouping_by_session", "grouping_by_context_funcs",
+        "grouping_by_having", "suppress")) {
+      val full = plan(name)
+      // gate the FINAL plan; the echoed Initial Plan would double-count
+      val fin = full.linesIterator
+        .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+      assert(!fin.exists(l => l.contains("MergingSessions") ||
+        l.contains("session_window")),
+        s"$name still routes through builtin session_window:\n$full")
+      val exIdx = fin.indexWhere(_.contains("Exchange hashpartitioning"))
+      assert(exIdx >= 0 &&
+        !fin.exists(l => l.contains("Exchange hashpartitioning") &&
+          fin.indexOf(l) != exIdx),
+        s"$name: want exactly 1 hashpartitioning exchange:\n$full")
+      assert(fin.exists(_.contains("Window")),
+        s"$name: no session-ordinal Window:\n$full")
+      // tree print: dataflow-later operators are EARLIER lines, so
+      // "below the exchange" = line index > exIdx
+      val aggBelow = fin.zipWithIndex.filter { case (l, i) =>
+        i > exIdx && l.contains("Aggregate(") }
+      assert(aggBelow.isEmpty,
+        s"$name: aggregate below the key exchange (the r13 pathology):\n$full")
+      fin.filter(_.contains("ObjectHashAggregate")).foreach { l =>
+        assert(l.contains("keys=[__gkey") || l.contains("keys=[__skey"),
+          s"$name: ObjectHashAggregate not on the long ordinal keys: $l")
+      }
+    }
+    // the no-list members of the family never need object hashing at all
+    for (name <- Seq("grouping_by_having", "suppress")) {
+      val p = plan(name)
+      assert(!p.contains("ObjectHashAggregate"),
+        s"$name fell back onto ObjectHashAggregate:\n$p")
+    }
+  }
 }
