@@ -27,11 +27,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2": session-conf overrides for
+    // A/B measurement cells (e.g. aggregate-exec selection experiments);
+    // the value is echoed nowhere — matrix rows that use it must say so
+    // in their extra JSON
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val i = kv.indexOf('='); (kv.take(i).trim, kv.drop(i + 1).trim) }
+    val spark = extraConf.foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")) { case (b, (k, v)) =>
+      b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // registry minus oracle-only forms, plus the production-hash-path
@@ -96,6 +104,13 @@ object Bench {
     // the process in single-query mode so harnesses record the cell as
     // failed, not fast).
     val failedQueries = scala.collection.mutable.LinkedHashMap[String, String]()
+    // SPARK_GRAFT_ROWS=1: publish each query's OUTPUT row count in the
+    // JSON — scale-matrix rows for pair-list queries (output cardinality
+    // superlinear in input by contract) cite it so a ratio reader can
+    // adjudicate a >10x decade against output growth, not guess
+    // (r13 verdict #4).
+    val wantRows = sys.env.get("SPARK_GRAFT_ROWS").contains("1")
+    val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     val inSuite = benched.flatMap { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer[Double]()
       var err: Throwable = null
@@ -104,8 +119,9 @@ object Bench {
         // toRdd materializes every output column — count() would let
         // Catalyst prune the projected expressions and time only the sort
         try {
-          benchShape(fn(spark, sfDir)).queryExecution.toRdd.count()
+          val c = benchShape(fn(spark, sfDir)).queryExecution.toRdd.count()
           times += (System.nanoTime() - t0) / 1e9
+          if (wantRows) rowCounts(name) = c
         } catch { case e: Throwable => err = e }
       }
       if (times.isEmpty) {
@@ -308,7 +324,10 @@ object Bench {
       bandReforked.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failedQueries.map { case (n, e) =>
       s""""$n":"$e"""" }.mkString("{", ",", "}")
-    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","bench_suspect":$benchSuspect,"band_slow_n":${slowFirst.size},"band_fast_n":$fastFirstN,"band_compared_n":$bandComparedN,"queries":${jmap(merged)},"queries_insuite":${jmap(inSuite)},"queries_isolated":${jmap(isolated.toSeq.sortBy(_._1))},"isolated_retried":$retriedJson,"band_flags":$bandFlagsJson,"band_reforked":$bandReforkedJson,"failed_queries":$failedJson,"band_history_n":${history.size},"isolated_n":5,"harness_sort":"$harnessSort","cpus":"$cpus","sf":"$sfDir"}"""
+    val rowsJson = if (!wantRows) "" else
+      ",\"out_rows\":" + rowCounts.map { case (n, c) =>
+        s""""$n":$c""" }.mkString("{", ",", "}")
+    val fullDoc = s"""{"metric":"total","value":$total,"unit":"sec","bench_suspect":$benchSuspect$rowsJson,"band_slow_n":${slowFirst.size},"band_fast_n":$fastFirstN,"band_compared_n":$bandComparedN,"queries":${jmap(merged)},"queries_insuite":${jmap(inSuite)},"queries_isolated":${jmap(isolated.toSeq.sortBy(_._1))},"isolated_retried":$retriedJson,"band_flags":$bandFlagsJson,"band_reforked":$bandReforkedJson,"failed_queries":$failedJson,"band_history_n":${history.size},"isolated_n":5,"harness_sort":"$harnessSort","cpus":"$cpus","sf":"$sfDir"}"""
     // the COMPLETE document goes to a file (r8 verdict: the driver keeps
     // only a 2000-char stdout tail, so the full three-map line can never
     // survive stdout — BENCH_r08.json shipped `"parsed": null` with the

@@ -1270,13 +1270,20 @@ object ConfigCompiler {
   }
 
   /** A junction branch is a SOURCE branch iff its first pipe-producing
-    * element is a source reference (cfg_tree_compile_sequence returns
+    * element is a source ELEMENT (cfg_tree_compile_sequence returns
     * no head for such sequences — cfg-tree.c:1008-1016; whatever
-    * follows the source still hangs off its join pipe). */
+    * follows the source still hangs off its join pipe). An all-source
+    * junction compiles with no head too (cfg-tree.c:1124-1146 leaves
+    * fork_mpx unset), so a branch whose first element is a nested
+    * junction is a source branch iff ALL that junction's channels are
+    * source branches (ADVICE r13: these used to be misclassified as
+    * non-source and the enclosing junction rejected as mixed). */
   private def isSourceBranch(path: Seq[LogElem]): Boolean =
     path.collectFirst {
       case Ref("source", _) => true
-      case _: Ref | _: InlineFilter | _: InlineStmt | _: JunctionElem => false
+      case JunctionElem(chans) =>
+        chans.nonEmpty && chans.forall(c => isSourceBranch(c.path))
+      case _: Ref | _: InlineFilter | _: InlineStmt => false
     }.getOrElse(false)
 
   /** The cfg_tree_compile_sequence / _junction error surface
@@ -1356,7 +1363,13 @@ object ConfigCompiler {
             val srcs = c.path.collect { case Ref("source", n) =>
               sources.getOrElse(n, throw new IllegalArgumentException(
                 s"undeclared source $n")) }
-            walk(srcs.reduce(_.unionByName(_, allowMissingColumns = true)),
+            // a channel may carry NO direct source refs when its head
+            // is a nested all-source junction (ADVICE r13) — seed it
+            // empty and let the recursive walk union the nested
+            // junction's sources in
+            walk(srcs.reduceOption(_.unionByName(_, allowMissingColumns = true))
+              .getOrElse(sources.values
+                .reduce(_.unionByName(_, true)).limit(0)),
               c.path)
           }
           cur = (cur +: joined).reduce(_.unionByName(_, allowMissingColumns = true))

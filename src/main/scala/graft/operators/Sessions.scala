@@ -9,14 +9,16 @@ import org.apache.spark.sql.functions._
   * same semantics via flatMapGroupsWithState (graft.streaming).
   *
   * Scale notes: groupingBy/suppress compile to ONE hash exchange on the
-  * key + ONE (key, ts) sort + a lag/cumulative-sum window assigning
-  * session ordinals + one standard aggregate whose required clustering
-  * rides the window's partitioning (no second exchange) — NOT Spark's
-  * builtin `session_window`, whose partial ObjectHashAggregate combines
-  * nothing pre-merge and falls back to per-task sorts (measured
-  * 37x/decade at sf100p before the rewrite; see groupingBy body).
-  * throttle uses a ranking window: one shuffle + in-partition sort,
-  * bounded state.
+  * key + ONE in-partition (key, ts) sort + a codegen'd Project whose
+  * [[graft.functions.SessionOrdinal]] expression assigns session
+  * ordinals in a streaming O(1)-state prefix scan + one aggregate whose
+  * required clustering rides the exchange (no second shuffle). NOT
+  * Spark's builtin `session_window` (useless pre-exchange partial
+  * ObjectHashAggregate, 37x/decade at sf100p, r13) and NOT a
+  * lag/cumulative-sum Window pass (WindowExec buffers + copies every
+  * row per key group across two window operators — 21-33x last decade,
+  * scale_matrix_r14.jsonl + jstack attribution). throttle uses a
+  * ranking window: one shuffle + in-partition sort, bounded state.
   */
 object Sessions {
 
@@ -30,42 +32,40 @@ object Sessions {
     *    functions map to Spark aggs ($(context-length) → count,
     *    $(context-values $x) → sortedValues below, $(sum $x) → sum).
     *
-    * The session plan is the lag/cumulative-sum window-ordinal form
-    * (see the body comment for why the builtin `session_window` is NOT
-    * used); exposed columns `session_start`/`session_end` keep
-    * session_window's [first-event, last-event + gap) frame.
+    * The session plan is the [[graft.functions.SessionOrdinal]]
+    * prefix-scan form (see the body comment for why neither builtin
+    * route is used); exposed columns `session_start`/`session_end`
+    * keep session_window's [first-event, last-event + gap) frame.
     */
   def groupingBy(df: DataFrame, key: Column, ts: Column, timeoutSeconds: Int,
       aggs: Seq[Column], where: Column = lit(true),
       having: Column = lit(true)): DataFrame = {
-    // NOT the builtin `session_window` aggregation: that plans a
-    // partial ObjectHashAggregate BEFORE the key exchange, where every
-    // row is still its own [ts, ts+gap) window — nothing combines, the
-    // hash map blows past the 128-key sort-based fallback immediately
-    // (raising the threshold instead OOMs on millions of per-task
-    // list buffers), and each task SORTS its whole input on a
-    // struct-window key, with MergingSessions sorting again and the
-    // final aggregate falling back once more. Measured at sf100p
-    // (100M events): ~335 s per task, uniform, zero spill, zero skew —
-    // a 37x decade. Gap sessionization is a per-key prefix scan, so
-    // the minimal plan is: ONE exchange on the key, ONE sort
-    // (key, ts), a window pass assigning session ordinals (a gap
-    // opens where ts - lag(ts) >= gap), and ONE standard aggregate
-    // over (key, ordinal) — whose required clustering is satisfied by
-    // the window's key partitioning (no second exchange) and whose
-    // sort-based fallback rides the already-(key, ts)-sorted data.
+    // Gap sessionization is a per-key prefix scan; both builtin routes
+    // measured superlinear decades on UNIFORM sf100p data:
+    //  - builtin session_window plans a partial ObjectHashAggregate
+    //    BEFORE the key exchange where every row is its own
+    //    [ts, ts+gap) window — nothing combines, the 128-key sort
+    //    fallback hits immediately, struct-window sort keys, and
+    //    MergingSessions sorts twice more (37x/decade, r13 matrix);
+    //  - the lag/cumulative-sum Window form pays WindowExec's
+    //    per-group ExternalAppendOnlyUnsafeRowArray buffering — every
+    //    row UnsafeRow.copy()'d into a buffer per window pass, twice
+    //    (lag + running sum chain into two Window operators) — 33x
+    //    last decade, jstack-attributed (scale_matrix_r14.jsonl).
+    // The minimal plan needs NO buffering: ONE exchange on the key,
+    // ONE in-partition sort (key, ts), a codegen'd Project whose
+    // stateful SessionOrdinal expression assigns ordinals in O(1)
+    // state per row, and ONE aggregate over (key, ordinal) whose
+    // required clustering the key exchange already satisfies.
     // Session frame matches session_window exactly:
     // [min(ts), max(ts) + gap).
-    val us = unix_micros(col("__gts").cast("timestamp"))
-    val w = Window.partitionBy(col("__gkey")).orderBy(col("__gts"))
-    val gapOpen = when(
-      us - lag(us, 1).over(w) >= timeoutSeconds * 1000000L, 1L)
-      .otherwise(0L)
     val sess = df.filter(where).filter(ts.isNotNull)
       .withColumn("__gkey", key).withColumn("__gts", ts)
-      .withColumn("__sess",
-        sum(gapOpen).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
+      .withColumn("__gus", unix_micros(col("__gts").cast("timestamp")))
+      .repartition(col("__gkey"))
+      .sortWithinPartitions(col("__gkey"), col("__gts"))
+      .withColumn("__sess", graft.functions.SessionOrdinal.column(
+        col("__gkey"), col("__gus"), timeoutSeconds * 1000000L))
     sess.withColumn("__gmaxsrc", col("__gts"))
       .groupBy(col("__gkey").as("key"), col("__sess"))
       .agg(aggs.head, (aggs.tail :+
@@ -130,6 +130,16 @@ object Sessions {
     * a grep condition rejected) drop. Deterministic when sortKey is
     * unique per row. */
   def sortedValues(value: Column, sortKey: Column): Column =
+    // collect_list(struct) inside the SessionOrdinal plan is the
+    // measured best-of-five for the list-emitting session aggregates
+    // (r14 A/B at sf100p, cold JVM, grouping_by_session): OHA with its
+    // default 128-key sort fallback 99.6 s; OHA with the fallback
+    // disabled (16M-key map) 319 s GC-bound; SortAggregate +
+    // collect_list 180 s; a declarative array-concat aggregate
+    // (CollectArrayDecl, deleted with its A/B) 402 s; the interim
+    // Window-ordinal plan 416 s. The residual decade on list queries is
+    // the heap materialization of one element per input row -- linear
+    // in the OUTPUT, which itself is linear in input here.
     graft.functions.ListFunctions.list_encode(filter(transform(
       array_sort(collect_list(struct(sortKey.as("k"),
         value.cast("string").as("v")))),
@@ -170,28 +180,27 @@ object Sessions {
     */
   def suppress(df: DataFrame, key: Column, ts: Column, seconds: Int,
       order: Column): DataFrame = {
-    // Same plan as groupingBy (NOT the builtin session_window, whose
-    // useless partial ObjectHashAggregate + per-task struct-key sorts
-    // measured 12.5x/decade at sf100p — scale_matrix_r13.jsonl): ONE
-    // key exchange, ONE (key, ts, order) sort, lag/running-sum session
-    // ordinals, one standard aggregate riding the window's
-    // partitioning. A repeat within `seconds` of its predecessor chains
-    // the window exactly like session_window's [ts, ts+gap) merge.
-    val us = unix_micros(col("__sts").cast("timestamp"))
-    val w = Window.partitionBy(col("__skey"))
-      .orderBy(col("__sts"), col("__sord"))
-    val gapOpen = when(
-      us - lag(us, 1).over(w) >= seconds * 1000000L, 1L).otherwise(0L)
+    // Same plan as groupingBy (see its body comment — neither builtin
+    // session route survives the sf100p decade): one key exchange, one
+    // in-partition (key, ts, order) sort, the SessionOrdinal prefix
+    // scan, one codegen'd HashAggregate. A repeat within `seconds` of
+    // its predecessor chains the window exactly like session_window's
+    // [ts, ts+gap) merge. first(__sord) is the first row of the
+    // session under the explicit (key, ts, order) in-partition sort —
+    // the sort and the aggregate share one whole-stage pipeline, so
+    // the input order is the sorted order (the previous min(struct)
+    // form forced a SortAggregate + a second in-task sort).
     df.filter(ts.isNotNull) // session_window drops null-ts rows; keep that
       .withColumn("__skey", key).withColumn("__sts", ts)
       .withColumn("__sord", order)
-      .withColumn("__sess",
-        sum(gapOpen).over(w.rowsBetween(Window.unboundedPreceding,
-          Window.currentRow)))
+      .withColumn("__sus", unix_micros(col("__sts").cast("timestamp")))
+      .repartition(col("__skey"))
+      .sortWithinPartitions(col("__skey"), col("__sts"), col("__sord"))
+      .withColumn("__sess", graft.functions.SessionOrdinal.column(
+        col("__skey"), col("__sus"), seconds * 1000000L))
       .groupBy(col("__skey").as("suppress_key"), col("__sess"))
       .agg(
-        min(struct(col("__sts").as("ts"), col("__sord").as("o")))
-          .getField("o").as("first_id"),
+        first(col("__sord")).as("first_id"),
         unix_micros(min(col("__sts"))).as("first_ts_us"),
         (count(lit(1)) - 1).as("n_suppressed"))
       .drop("__sess")

@@ -288,11 +288,13 @@ object Template {
         // the msg-generator's `seq`); the n-step fold happens per row.
         val init = compile(args(1), resolve).cast("string")
         val n = resolve("__MSG_SEQ__").cast("long")
-        val stepped = element_at(aggregate(
-          sequence(lit(1L), greatest(n, lit(1L))), array(init),
-          (acc, _) => concat(acc,
-            array(compile(args(0), bindElem(element_at(acc, -1))).cast("string"))),
-          acc => acc), -1)
+        // fold with a SCALAR string accumulator — an array accumulator
+        // holding all n intermediates is O(n) memory per row (O(N^2)
+        // across a sequenced stream) and sequence() caps at Spark's max
+        // array length for large n (ADVICE r13)
+        val stepped = aggregate(
+          sequence(lit(1L), greatest(n, lit(1L))), init,
+          (acc, _) => compile(args(0), bindElem(acc)).cast("string"))
         when(n.isNull || n <= 0, init).otherwise(stepped)
       case Func("iterate", args, _, _) =>
         // The reference form is per-message mutable state (tf-iterate.c

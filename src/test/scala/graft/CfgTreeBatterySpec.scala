@@ -115,6 +115,33 @@ class CfgTreeBatterySpec extends GraftSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 11L, 12L, 13L, 21L, 22L, 23L), ids.toSeq)
   }
 
+  test("a branch HEADED by a nested all-source junction is itself a " +
+      "source branch (ADVICE r13: it used to be misclassified as mixed)") {
+    val s2 = src().withColumn("event_id", col("event_id") + 10)
+    val s3 = src().withColumn("event_id", col("event_id") + 20)
+    val s4 = src().withColumn("event_id", col("event_id") + 30)
+    // outer junction: channel 1 = plain source branch, channel 2 HEADS
+    // with a nested all-source junction (a source element per
+    // cfg-tree.c:1124-1146 — the nested junction compiles headless)
+    val routes = compile("""
+      source s { file("/x"); };
+      source s2 { file("/y"); };
+      source s3 { file("/z"); };
+      source s4 { file("/w"); };
+      destination d { file("/out"); };
+      log { source(s);
+        junction {
+          channel { source(s2); };
+          channel { junction { channel { source(s3); };
+                               channel { source(s4); }; }; };
+        };
+        destination(d); };
+    """, Map("s" -> src(), "s2" -> s2, "s3" -> s3, "s4" -> s4))
+    val ids = routes.head.df.select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 11L, 12L, 13L, 21L, 22L, 23L,
+      31L, 32L, 33L), ids.toSeq)
+  }
+
   test("empty sequence compiles to a do-nothing pipe (cfg-tree.c:1025); " +
       "a destination links T-form — the flow continues past it unchanged " +
       "(cfg-tree.c:1095)") {

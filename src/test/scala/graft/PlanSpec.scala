@@ -631,20 +631,19 @@ class PlanSpec extends GraftSuite {
   }
 
   test("session family (grouping_by/suppress): one key exchange, " +
-      "window-ordinal sessionization, no builtin session_window chain") {
-    // The r13/r14 rewrite off builtin session_window (whose PARTIAL
-    // ObjectHashAggregate below the exchange combines nothing — every
-    // pre-merge row is its own [ts, ts+gap) window — and falls back to
-    // per-task struct-key sorts: 37x/decade at sf100p). The plan must
-    // stay: ONE hashpartitioning exchange on the key (the query's
-    // ORDER BY adds one rangepartitioning exchange, allowed), the
-    // lag/cumulative-sum Window for the session ordinal, and the
-    // aggregate riding the window's partitioning — i.e. NOTHING
-    // aggregate-shaped below the hash exchange. collect_list-carrying
-    // queries still plan an ObjectHashAggregate (TypedImperativeAgg —
-    // no hash-agg support exists for lists), but it must sit ABOVE the
-    // exchange, grouped on the long (key, ordinal) pair, never on a
-    // struct session window.
+      "SessionOrdinal prefix scan, no session_window, no WindowExec") {
+    // The r13/r14 rewrites: builtin session_window planned a useless
+    // PARTIAL ObjectHashAggregate below the exchange (37x/decade at
+    // sf100p, r13), and the interim lag/running-sum Window form still
+    // paid WindowExec's per-group row buffering (21-33x last decade,
+    // jstack-attributed — scale_matrix_r14.jsonl). The plan must stay:
+    // ONE hashpartitioning exchange on the key, ONE in-partition sort,
+    // a codegen'd Project carrying the stateful session_ordinal
+    // expression, and the aggregate riding the exchange — NOTHING
+    // aggregate-shaped below it and NO row-buffering Window operator.
+    // collect_list-carrying queries still plan an ObjectHashAggregate
+    // (TypedImperativeAgg — no hash-agg support exists for lists), but
+    // it must sit ABOVE the exchange on the long (key, ordinal) pair.
     for (name <- Seq("grouping_by_session", "grouping_by_context_funcs",
         "grouping_by_having", "suppress")) {
       val full = plan(name)
@@ -654,13 +653,15 @@ class PlanSpec extends GraftSuite {
       assert(!fin.exists(l => l.contains("MergingSessions") ||
         l.contains("session_window")),
         s"$name still routes through builtin session_window:\n$full")
+      assert(!fin.exists(_.contains("Window [")),
+        s"$name buffers rows in a WindowExec:\n$full")
+      assert(fin.exists(_.contains("session_ordinal")),
+        s"$name: no SessionOrdinal prefix scan in the plan:\n$full")
       val exIdx = fin.indexWhere(_.contains("Exchange hashpartitioning"))
       assert(exIdx >= 0 &&
         !fin.exists(l => l.contains("Exchange hashpartitioning") &&
           fin.indexOf(l) != exIdx),
         s"$name: want exactly 1 hashpartitioning exchange:\n$full")
-      assert(fin.exists(_.contains("Window")),
-        s"$name: no session-ordinal Window:\n$full")
       // tree print: dataflow-later operators are EARLIER lines, so
       // "below the exchange" = line index > exIdx
       val aggBelow = fin.zipWithIndex.filter { case (l, i) =>
@@ -672,11 +673,11 @@ class PlanSpec extends GraftSuite {
           s"$name: ObjectHashAggregate not on the long ordinal keys: $l")
       }
     }
-    // the no-list members of the family never need object hashing at all
+    // the no-list members of the family stay pure codegen HashAggregate
     for (name <- Seq("grouping_by_having", "suppress")) {
       val p = plan(name)
-      assert(!p.contains("ObjectHashAggregate"),
-        s"$name fell back onto ObjectHashAggregate:\n$p")
+      assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
+        s"$name fell off the codegen HashAggregate path:\n$p")
     }
   }
 }
