@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SortedRunAgg
 
 /** Session-scoped stateful operators, batch form (SURVEY §2.4
   * grouping-by, §2.7 suppress/throttle). The streaming forms share the
@@ -12,7 +13,11 @@ import org.apache.spark.sql.functions._
   * key + ONE in-partition (key, ts) sort + a codegen'd Project whose
   * [[graft.functions.SessionOrdinal]] expression assigns session
   * ordinals in a streaming O(1)-state prefix scan + one aggregate whose
-  * required clustering rides the exchange (no second shuffle). NOT
+  * required clustering rides the exchange (no second shuffle). When the
+  * aggregate carries a list (collect_list behind $(context-values)),
+  * it plans as ONE Complete-mode SortAggregate riding the existing
+  * (key, ordinal) order via [[org.apache.spark.sql.graftbridge.SortedRunAgg]]
+  * — no partial aggregate, no ObjectHashAggregate fallback sorts. NOT
   * Spark's builtin `session_window` (useless pre-exchange partial
   * ObjectHashAggregate, 37x/decade at sf100p, r13) and NOT a
   * lag/cumulative-sum Window pass (WindowExec buffers + copies every
@@ -66,11 +71,28 @@ object Sessions {
       .sortWithinPartitions(col("__gkey"), col("__gts"))
       .withColumn("__sess", graft.functions.SessionOrdinal.column(
         col("__gkey"), col("__gus"), timeoutSeconds * 1000000L))
-    sess.withColumn("__gmaxsrc", col("__gts"))
+    val agged = sess.withColumn("__gmaxsrc", col("__gts"))
       .groupBy(col("__gkey").as("key"), col("__sess"))
       .agg(aggs.head, (aggs.tail :+
         min(col("__gts")).as("session_start") :+
         max(col("__gmaxsrc")).as("__gmax")): _*)
+    // List-emitting aggregates ($(context-values) → collect_list) force
+    // ObjectHashAggregate, which plans as a partial+final PAIR above the
+    // exchange — the partial combines nothing (~1 group per 1.7 rows)
+    // and BOTH halves sort-fall-back at 128 keys, re-sorting the
+    // already-sorted stream twice (99.6 s at sf100p, best of five
+    // declarative routes — r14 A/B). (key, ordinal) groups are
+    // consecutive under the existing sort, so the aggregation is one
+    // streaming fold: SortedRunAgg claims the order and plans a single
+    // Complete SortAggregate with no partial, no fallback sorts, one
+    // group's buffer in flight. Fixed-width aggregates stay on the
+    // partial+final codegen HashAggregate (map-side combine is free
+    // there and the fallback tax doesn't exist).
+    val routed =
+      if (SortedRunAgg.hasTypedImperative(agged))
+        SortedRunAgg.reroute(agged, "__gkey", "__sess")
+      else agged
+    routed
       .filter(having)
       .withColumn("session_end",
         expr(s"timestampadd(SECOND, $timeoutSeconds, __gmax)"))
@@ -130,16 +152,16 @@ object Sessions {
     * a grep condition rejected) drop. Deterministic when sortKey is
     * unique per row. */
   def sortedValues(value: Column, sortKey: Column): Column =
-    // collect_list(struct) inside the SessionOrdinal plan is the
-    // measured best-of-five for the list-emitting session aggregates
-    // (r14 A/B at sf100p, cold JVM, grouping_by_session): OHA with its
-    // default 128-key sort fallback 99.6 s; OHA with the fallback
-    // disabled (16M-key map) 319 s GC-bound; SortAggregate +
-    // collect_list 180 s; a declarative array-concat aggregate
-    // (CollectArrayDecl, deleted with its A/B) 402 s; the interim
-    // Window-ordinal plan 416 s. The residual decade on list queries is
-    // the heap materialization of one element per input row -- linear
-    // in the OUTPUT, which itself is linear in input here.
+    // collect_list(struct) rides the sorted-run Complete SortAggregate
+    // (SortedRunAgg — see groupingBy). The five declarative routes it
+    // replaced, A/B'd at sf100p cold-JVM on grouping_by_session: OHA
+    // with its default 128-key sort fallback 99.6 s; OHA with the
+    // fallback disabled (16M-key map) 319 s GC-bound; planner-chosen
+    // SortAggregate (inserts its own re-sort) 180 s; a declarative
+    // array-concat aggregate (CollectArrayDecl, deleted with its A/B)
+    // 402 s; the interim Window-ordinal plan 416 s. The remaining list
+    // cost is the heap materialization of one element per input row --
+    // linear in the OUTPUT, which itself is linear in input here.
     graft.functions.ListFunctions.list_encode(filter(transform(
       array_sort(collect_list(struct(sortKey.as("k"),
         value.cast("string").as("v")))),

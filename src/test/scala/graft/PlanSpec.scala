@@ -673,6 +673,30 @@ class PlanSpec extends GraftSuite {
           s"$name: ObjectHashAggregate not on the long ordinal keys: $l")
       }
     }
+    // List-emitting queries ride the r14 sorted-run route: the
+    // partial+final ObjectHashAggregate pair (both halves sort-falling-
+    // back over the already-sorted stream — 99.6 s at sf100p) is
+    // replaced by ONE Complete-mode SortAggregate over a ClaimOrdered
+    // claim of the existing (key, ordinal) order. Pin: no OHA, no
+    // partial aggregate, exactly one SortAggregate, the claim present,
+    // and no SortExec between the aggregate and the claim (the whole
+    // point is that no new sort is inserted).
+    for (name <- Seq("grouping_by_session", "grouping_by_context_funcs")) {
+      val fin = plan(name).linesIterator
+        .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+      assert(!fin.exists(_.contains("ObjectHashAggregate")),
+        s"$name: ObjectHashAggregate back in the sorted-run plan:\n${fin.mkString("\n")}")
+      assert(!fin.exists(_.contains("partial_")),
+        s"$name: partial aggregate reappeared:\n${fin.mkString("\n")}")
+      assert(fin.count(_.contains("SortAggregate(")) == 1,
+        s"$name: want exactly one Complete SortAggregate:\n${fin.mkString("\n")}")
+      val aggIdx = fin.indexWhere(_.contains("SortAggregate("))
+      val claimIdx = fin.indexWhere(_.contains("ClaimOrdered"))
+      assert(claimIdx > aggIdx,
+        s"$name: no ClaimOrdered under the aggregate:\n${fin.mkString("\n")}")
+      assert(!fin.slice(aggIdx, claimIdx).exists(_.contains("Sort ")),
+        s"$name: a sort crept in between aggregate and claim:\n${fin.mkString("\n")}")
+    }
     // the no-list members of the family stay pure codegen HashAggregate
     for (name <- Seq("grouping_by_having", "suppress")) {
       val p = plan(name)

@@ -43,6 +43,41 @@ class SessionsSpec extends GraftSuite {
     assert(out.toSeq == Seq((1L, 2L), (4L, 0L)))
   }
 
+  test("sorted-run Complete aggregate == window-reference sessions on a " +
+      "randomized multi-partition frame") {
+    // The list-emitting route plans a single Complete SortAggregate over
+    // a ClaimOrdered assertion of the (key, ordinal) order (SortedRunAgg)
+    // — verify the claim holds under real parallelism: many keys spread
+    // over many partitions, duplicate timestamps, sessions of mixed
+    // lengths. Reference built independently with the public Window API.
+    val rnd = new scala.util.Random(14)
+    val rows = (1 to 4000).map { i =>
+      ("key-" + rnd.nextInt(60), ts(rnd.nextInt(5000).toLong), i.toLong)
+    }
+    val in = rows.toDF("k", "t", "id").repartition(13)
+    val out = Sessions.groupingBy(in, col("k"), col("t"), 120,
+      Seq(count(lit(1)).as("n"),
+        Sessions.sortedValues(col("id"), struct(col("t"), col("id"))).as("ids")))
+      .select(col("key"), unix_timestamp(col("session_start")).as("ss"),
+        col("n"), col("ids"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"), col("id"))
+    val ref = in
+      .withColumn("gap", when(col("t").cast("long") -
+        lag(col("t"), 1).over(w).cast("long") >= 120, 1)
+        .otherwise(0))
+      .withColumn("sess", sum(col("gap")).over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .groupBy(col("k"), col("sess"))
+      .agg(unix_timestamp(min(col("t"))).as("ss"), count(lit(1)).as("n"))
+      .select(col("k"), col("ss"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq == ref.toSeq)
+  }
+
   test("throttle caps rows per key per second") {
     val dense = Seq(("a", ts(0), 1L), ("a", ts(0), 2L), ("a", ts(0), 3L),
       ("a", ts(1), 4L), ("b", ts(0), 5L)).toDF("k", "t", "id")
