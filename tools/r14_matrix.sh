@@ -140,6 +140,33 @@ for Q in grouping_by_session grouping_by_context_funcs suppress; do
 done
 fi # PART=sessions2
 
+if [ "$PART" = "sessions3" ]; then
+# --- 1c. list-emitting session queries on the sorted-run Complete agg ------
+# The session_ordinal rows above still carried the partial+final
+# ObjectHashAggregate pair for collect_list queries — both halves
+# sort-fall-back at 128 keys over the already-sorted stream. SortedRunAgg
+# (ClaimOrdered + one Complete SortAggregate riding the existing
+# (key, ordinal) order) removes the partial and both fallback sorts.
+# suppress is NOT re-measured: it carries no list aggregate and its plan
+# is byte-identical to the session_ordinal rows.
+SUP3=",\"supersedes\":\"scale_matrix_r14.jsonl session_ordinal rows\",\"supersedes_reason\":\"the session_ordinal plan still paid a partial+final ObjectHashAggregate pair for collect_list (both halves sort-fallback over the already-sorted stream); replaced by one Complete SortAggregate riding the claimed (key, ordinal) order (SortedRunAgg)\",\"plan\":\"sorted_run_agg\""
+for SF in $(pwd)/scaledata/sf1p $(pwd)/scaledata/sf10p $(pwd)/scaledata/sf100p; do
+  for Q in grouping_by_session grouping_by_context_funcs; do
+    cell_single "$SF" "$Q" 96g "$SUP3"
+  done
+done
+SKEW=$(pwd)/scaledata/sf10p_skew50
+if [ ! -d "$SKEW" ]; then
+  if ! java -cp "$CP" $OPENS -Dspark.ui.enabled=false -Xmx64g graft.SkewGen \
+      "$(pwd)/scaledata/sf10p" "$SKEW" 50 >/tmp/r14_skewgen.log 2>"$ERRLOG"; then
+    echo "{\"what\":\"skewgen\",\"status\":\"failed\",\"reason\":\"$(tail -c 200 "$ERRLOG" | tr -d '"\\' | tr -s '[:cntrl:]' ' ')\"}" >> "$OUT"
+  fi
+fi
+for Q in grouping_by_session grouping_by_context_funcs; do
+  cell_single "$SKEW" "$Q" 96g ",\"layout\":\"skew50-one-key\"$SUP3"
+done
+fi # PART=sessions3
+
 if [ "$PART" = "media" ] || [ "$PART" = "all" ]; then
 # --- 2. pair-LIST contract annotations (r13 verdict #4) --------------------
 # dedup_video_dhash emits one row per candidate PAIR — output cardinality
