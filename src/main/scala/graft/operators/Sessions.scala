@@ -12,12 +12,12 @@ import org.apache.spark.sql.graftbridge.SortedRunAgg
   * Scale notes: groupingBy/suppress compile to ONE hash exchange on the
   * key + ONE in-partition (key, ts) sort + a codegen'd Project whose
   * [[graft.functions.SessionOrdinal]] expression assigns session
-  * ordinals in a streaming O(1)-state prefix scan + one aggregate whose
-  * required clustering rides the exchange (no second shuffle). When the
-  * aggregate carries a list (collect_list behind $(context-values)),
-  * it plans as ONE Complete-mode SortAggregate riding the existing
-  * (key, ordinal) order via [[org.apache.spark.sql.graftbridge.SortedRunAgg]]
-  * — no partial aggregate, no ObjectHashAggregate fallback sorts. NOT
+  * ordinals in a streaming O(1)-state prefix scan + ONE Complete-mode
+  * SortAggregate riding the existing (key, ordinal) order via
+  * [[org.apache.spark.sql.graftbridge.SortedRunAgg]] — no partial
+  * aggregate (it could combine nothing: the ordinal exists only after
+  * the exchange), no ObjectHashAggregate fallback sorts, no hash map at
+  * all. NOT
   * Spark's builtin `session_window` (useless pre-exchange partial
   * ObjectHashAggregate, 37x/decade at sf100p, r13) and NOT a
   * lag/cumulative-sum Window pass (WindowExec buffers + copies every
@@ -76,23 +76,19 @@ object Sessions {
       .agg(aggs.head, (aggs.tail :+
         min(col("__gts")).as("session_start") :+
         max(col("__gmaxsrc")).as("__gmax")): _*)
-    // List-emitting aggregates ($(context-values) → collect_list) force
-    // ObjectHashAggregate, which plans as a partial+final PAIR above the
-    // exchange — the partial combines nothing (~1 group per 1.7 rows)
-    // and BOTH halves sort-fall-back at 128 keys, re-sorting the
-    // already-sorted stream twice (99.6 s at sf100p, best of five
-    // declarative routes — r14 A/B). (key, ordinal) groups are
-    // consecutive under the existing sort, so the aggregation is one
-    // streaming fold: SortedRunAgg claims the order and plans a single
-    // Complete SortAggregate with no partial, no fallback sorts, one
-    // group's buffer in flight. Fixed-width aggregates stay on the
-    // partial+final codegen HashAggregate (map-side combine is free
-    // there and the fallback tax doesn't exist).
-    val routed =
-      if (SortedRunAgg.hasTypedImperative(agged))
-        SortedRunAgg.reroute(agged, "__gkey", "__sess")
-      else agged
-    routed
+    // (key, ordinal) groups are CONSECUTIVE under the plan's one
+    // existing (key, ts) sort, so the aggregation is a streaming fold:
+    // SortedRunAgg claims the order and plans ONE Complete SortAggregate
+    // — no partial aggregate, no fallback sorts, one group's buffer in
+    // flight. Measured at sf100p cold-JVM vs the default planner routes:
+    //  - list aggregates ($(context-values) → collect_list, which forces
+    //    ObjectHashAggregate as a partial+final pair, both halves
+    //    sort-falling-back at 128 keys over the already-sorted stream):
+    //    99.6 s → 24.7 s (grouping_by_session);
+    //  - fixed-width aggregates (partial+final codegen HashAggregate
+    //    whose partial map fills at ~60M groups and combines ~nothing):
+    //    14.4 s → 10.9 s (grouping_by_having), 23.9 → 15.1 (suppress).
+    SortedRunAgg.reroute(agged, "__gkey", "__sess")
       .filter(having)
       .withColumn("session_end",
         expr(s"timestampadd(SECOND, $timeoutSeconds, __gmax)"))
@@ -225,6 +221,10 @@ object Sessions {
         first(col("__sord")).as("first_id"),
         unix_micros(min(col("__sts"))).as("first_ts_us"),
         (count(lit(1)) - 1).as("n_suppressed"))
+      // same sorted-run Complete aggregate as groupingBy (see its body
+      // comment): 23.9 -> 15.1 s at sf100p cold vs partial+final
+      // HashAggregate, 4.0x/decade
+      .transform(a => SortedRunAgg.reroute(a, "__skey", "__sess"))
       .drop("__sess")
   }
 

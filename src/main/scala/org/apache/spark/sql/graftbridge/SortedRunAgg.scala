@@ -4,25 +4,27 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, NamedExpression, SortOrder}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete}
 import org.apache.spark.sql.catalyst.planning.PhysicalAggregation
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, UnaryNode}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.execution.aggregate.SortAggregateExec
 
 /** Complete-mode sorted-run aggregation for session queries
-  * (`graft.operators.Sessions.groupingBy`).
+  * (`graft.operators.Sessions.groupingBy`/`suppress`).
   *
-  * Why: a list-emitting session aggregate (collect_list behind
-  * $(context-values), `groupingby.c:327`) forces Spark onto
-  * ObjectHashAggregate, which the planner always splits into a
-  * partial+final PAIR. Both halves sit above the session key exchange
-  * (the grouping key includes the post-exchange session ordinal), so
-  * the partial combines nothing — with ~one group per 1.7 input rows
-  * each half blows through the 128-key in-memory map immediately and
-  * SORT-FALLS-BACK, re-sorting 100M already-sorted rows twice and
-  * serialize-merging every partial list buffer (measured 99.6 s at
-  * sf100p, the best of five declarative routes — r14 A/B in SURVEY).
+  * Why: every session aggregate groups on (key, session ordinal), and
+  * the ordinal exists only AFTER the key exchange — so the planner's
+  * unconditional partial+final split combines nothing (~one group per
+  * 1.7 input rows) and pays pure overhead. For list aggregates
+  * (collect_list behind $(context-values), `groupingby.c:327`) it is
+  * catastrophic: ObjectHashAggregate's 128-key in-memory map overflows
+  * immediately and BOTH halves sort-fall-back, re-sorting 100M
+  * already-sorted rows twice and serialize-merging every partial list
+  * buffer (99.6 s at sf100p, best of five declarative routes — r14 A/B
+  * in SURVEY; this route: 24.7 s). For fixed-width aggregates the
+  * partial codegen HashAggregate map fills at ~60M groups and spills:
+  * 14.4 → 10.9 s (grouping_by_having), 23.9 → 15.1 s (suppress).
   *
   * The input is ALREADY clustered by the key exchange and sorted
   * (key, ts) in-partition, and the session ordinal is nondecreasing in
@@ -101,20 +103,6 @@ object SortedRunAgg {
       case _ => false
     }
   }
-
-  /** True iff `df`'s root aggregate carries a TypedImperativeAggregate
-    * (collect_list and kin) — the aggregates whose partial+final
-    * ObjectHashAggregate pair pays the fallback-sort tax this route
-    * removes. Fixed-width aggregates stay on codegen HashAggregate. */
-  def hasTypedImperative(df: DataFrame): Boolean =
-    df.queryExecution.analyzed match {
-      case Aggregate(_, aggsExprs, _, _) => aggsExprs.exists(_.exists {
-        case ae: AggregateExpression =>
-          ae.aggregateFunction.isInstanceOf[TypedImperativeAggregate[_]]
-        case _ => false
-      })
-      case _ => false
-    }
 
   /** Reroute `df` (whose analyzed root must be an Aggregate over a plan
     * sorted in-partition so that ascending (`keyCol`, `ordCol`) is its

@@ -673,15 +673,19 @@ class PlanSpec extends GraftSuite {
           s"$name: ObjectHashAggregate not on the long ordinal keys: $l")
       }
     }
-    // List-emitting queries ride the r14 sorted-run route: the
-    // partial+final ObjectHashAggregate pair (both halves sort-falling-
-    // back over the already-sorted stream — 99.6 s at sf100p) is
-    // replaced by ONE Complete-mode SortAggregate over a ClaimOrdered
-    // claim of the existing (key, ordinal) order. Pin: no OHA, no
-    // partial aggregate, exactly one SortAggregate, the claim present,
-    // and no SortExec between the aggregate and the claim (the whole
-    // point is that no new sort is inserted).
-    for (name <- Seq("grouping_by_session", "grouping_by_context_funcs")) {
+    // The whole session family rides the r14 sorted-run route: the
+    // planner's unconditional partial+final split combines nothing
+    // above the exchange (the ordinal exists only after it) — for list
+    // queries both OHA halves sort-fall-back over the already-sorted
+    // stream (99.6 s at sf100p), for fixed-width ones the partial
+    // HashAggregate map fills at ~60M groups (23.9 s suppress). All
+    // four plan as ONE Complete-mode SortAggregate over a ClaimOrdered
+    // claim of the existing (key, ordinal) order (24.7 / 15.1 s). Pin:
+    // no OHA, no partial aggregate, exactly one SortAggregate, the
+    // claim present, and no SortExec between the aggregate and the
+    // claim (the whole point is that no new sort is inserted).
+    for (name <- Seq("grouping_by_session", "grouping_by_context_funcs",
+        "grouping_by_having", "suppress")) {
       val fin = plan(name).linesIterator
         .takeWhile(!_.contains("== Initial Plan ==")).toSeq
       assert(!fin.exists(_.contains("ObjectHashAggregate")),
@@ -696,12 +700,6 @@ class PlanSpec extends GraftSuite {
         s"$name: no ClaimOrdered under the aggregate:\n${fin.mkString("\n")}")
       assert(!fin.slice(aggIdx, claimIdx).exists(_.contains("Sort ")),
         s"$name: a sort crept in between aggregate and claim:\n${fin.mkString("\n")}")
-    }
-    // the no-list members of the family stay pure codegen HashAggregate
-    for (name <- Seq("grouping_by_having", "suppress")) {
-      val p = plan(name)
-      assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"),
-        s"$name fell off the codegen HashAggregate path:\n$p")
     }
   }
 }
