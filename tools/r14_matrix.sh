@@ -167,6 +167,20 @@ for Q in grouping_by_session grouping_by_context_funcs; do
 done
 fi # PART=sessions3
 
+if [ "$PART" = "sessions4" ]; then
+# --- 1d. suppress on the family-wide sorted-run Complete aggregate ---------
+# The sorted_run_agg route (1c) shipped for list queries first; the A/B
+# showed fixed-width session aggregates ALSO lose to the partial+final
+# HashAggregate split (the partial map fills at ~60M groups combining
+# nothing), so the whole family now routes through the Complete
+# SortAggregate. These rows supersede suppress's session_ordinal cells.
+SUP4=",\"supersedes\":\"scale_matrix_r14.jsonl session_ordinal suppress rows\",\"supersedes_reason\":\"fixed-width session aggregates also paid the can-combine-nothing partial (HashAggregate map fill at ~60M groups); the family now plans one Complete SortAggregate over ClaimOrdered\",\"plan\":\"sorted_run_agg\""
+for SF in $(pwd)/scaledata/sf1p $(pwd)/scaledata/sf10p $(pwd)/scaledata/sf100p; do
+  cell_single "$SF" "suppress" 96g "$SUP4"
+done
+cell_single "$(pwd)/scaledata/sf10p_skew50" "suppress" 96g ",\"layout\":\"skew50-one-key\"$SUP4"
+fi # PART=sessions4
+
 if [ "$PART" = "media" ] || [ "$PART" = "all" ]; then
 # --- 2. pair-LIST contract annotations (r13 verdict #4) --------------------
 # dedup_video_dhash emits one row per candidate PAIR — output cardinality
