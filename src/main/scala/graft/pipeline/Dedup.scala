@@ -283,14 +283,16 @@ object Dedup {
   def minhashIncrementalAdmitted(wave: DataFrame, corpus: DataFrame,
       id: Column, text: Column, shingleK: Int = 3, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.7, algo: String = "xxh64",
-      hashBandKeys: Boolean = true): DataFrame = {
+      hashBandKeys: Boolean = true,
+      maxBroadcastWave: Long = 1000000L): DataFrame = {
     val rows = numHashes / bands
     val signedCorpus = signedDocs(corpus, id, text, shingleK, numHashes,
       bands, rows, algo, hashBandKeys)
     minhashIncrementalCore(wave, id, text,
       signedCorpus.select(col("id"), explode(col("bands")).as("band")),
       signedCorpus.select(col("id"), col("shh")),
-      shingleK, numHashes, bands, rows, threshold, algo, hashBandKeys)
+      shingleK, numHashes, bands, rows, threshold, algo, hashBandKeys,
+      maxBroadcastWave)
   }
 
   /** Persist the rolling MinHash band index for
@@ -349,7 +351,8 @@ object Dedup {
       wave: DataFrame, id: Column, text: Column, table: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, algo: String = "xxh64",
-      hashBandKeys: Boolean = true): DataFrame = {
+      hashBandKeys: Boolean = true,
+      maxBroadcastWave: Long = 1000000L): DataFrame = {
     val meta = indexMeta(shingleK, numHashes, bands, algo, hashBandKeys)
     val existing = spark.table(table + "_meta").head.getString(0)
     require(existing == meta,
@@ -359,18 +362,33 @@ object Dedup {
       spark.table(table + "_bands").select(col("id"), col("band")),
       spark.table(table + "_docs"),
       shingleK, numHashes, bands, numHashes / bands, threshold, algo,
-      hashBandKeys)
+      hashBandKeys, maxBroadcastWave)
   }
 
   private def minhashIncrementalCore(wave: DataFrame, id: Column,
       text: Column, corpusBands: DataFrame, corpusDocs: DataFrame,
       shingleK: Int, numHashes: Int, bands: Int, rows: Int,
-      threshold: Double, algo: String, hashBandKeys: Boolean): DataFrame = {
+      threshold: Double, algo: String, hashBandKeys: Boolean,
+      maxBroadcastWave: Long): DataFrame = {
     // the wave is small by contract (one crawl's worth against a 100 TB
     // corpus), so it stays an UNPERSISTED declarative subtree: its few
     // re-evaluations are cheap, the plan remains one Catalyst tree
     // (broadcast/exchange reuse, plan-gateable end to end), and the
-    // corpus-side passes below stay map-only
+    // corpus-side passes below stay map-only.
+    //
+    // The contract is data-dependent, though — a crawl CAN be big — and
+    // force-broadcasting a big wave aborts the whole job on
+    // spark.driver.maxResultSize (found by the sf1000p decade cell:
+    // a 5M-doc wave's postings + shingle sets exceed the 1 GB driver
+    // cap). So the broadcast hints are applied only when the wave is
+    // actually small (one cheap count of the wave subtree, paid on the
+    // small side by definition); a big wave degrades to unhinted joins
+    // — Catalyst plans shuffles, the job completes, and the map-only
+    // index probe returns on the next normal-sized wave. The persisted
+    // index keeps its band bucketing either way, so the big-wave SMJ
+    // shuffles the WAVE side into place, never rewrites the index.
+    val broadcastWave = wave.count() <= maxBroadcastWave
+    def bc(df: DataFrame): DataFrame = if (broadcastWave) broadcast(df) else df
     val w = signedDocs(wave, id, text, shingleK, numHashes, bands, rows,
       algo, hashBandKeys)
     val wBands = w.select(col("id").as("wid"), explode(col("bands")).as("wband"))
@@ -378,15 +396,15 @@ object Dedup {
     // map-only scan+project (column pruning drops everything but the
     // band keys)
     val candCorpus = corpusBands
-      .join(broadcast(wBands), col("band") === col("wband"))
+      .join(bc(wBands), col("band") === col("wband"))
       .select(col("wid"), col("id").as("cid")).distinct()
     // verification: the (tiny) candidate pairs broadcast INTO the
     // doc-hash side — one more map-only pass over the corpus pulls
     // exactly the matched docs' shingle sets, and the wave side rides
     // along as a second broadcast
     val rejectedByCorpus = corpusDocs.as("cd")
-      .join(broadcast(candCorpus), col("cd.id") === col("cid"))
-      .join(broadcast(w.as("wv")), col("wid") === col("wv.id"))
+      .join(bc(candCorpus), col("cd.id") === col("cid"))
+      .join(bc(w.as("wv")), col("wid") === col("wv.id"))
       .filter(jaccardOf(col("cd.shh"), col("wv.shh")) >= threshold)
       .select(col("wid")).distinct()
     // within-wave: banded self-join, reject the larger id of every
@@ -400,7 +418,7 @@ object Dedup {
       .filter(jaccardOf(col("ha.shh"), col("hb.shh")) >= threshold)
       .select(col("id_b").as("wid")).distinct()
     val rejected = rejectedByCorpus.union(rejectedInWave).distinct()
-    wave.join(broadcast(rejected), id === col("wid"), "left_anti")
+    wave.join(bc(rejected), id === col("wid"), "left_anti")
   }
 
   // ---- SimHash -----------------------------------------------------------------

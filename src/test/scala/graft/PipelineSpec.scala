@@ -1300,6 +1300,18 @@ class PipelineSpec extends GraftSuite {
       s"degenerate fixture: ${waveIds.size} wave / ${rejected.size} rejected")
     assert(admitted == waveIds -- rejected,
       s"extra=${admitted -- (waveIds -- rejected)} missing=${(waveIds -- rejected) -- admitted}")
+    // big-wave fallback: a wave over maxBroadcastWave must not be
+    // force-broadcast (a 5M-doc wave aborted on driver.maxResultSize at
+    // the sf1000p decade) — the unhinted join path must admit the SAME
+    // set
+    val admittedBig = Dedup.minhashIncrementalAdmitted(
+        docsT.filter(col("doc_id") % 10 === 0),
+        docsT.filter(col("doc_id") % 10 =!= 0),
+        col("doc_id"), col("text"), shingleK = 3, numHashes = 32,
+        bands = 8, threshold = 0.7, algo = "xxh64", maxBroadcastWave = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admittedBig == admitted,
+      s"fallback diverged: extra=${admittedBig -- admitted} missing=${admitted -- admittedBig}")
   }
 
   test("contamination flags: distinct gram overlap, benchmark broadcast") {
