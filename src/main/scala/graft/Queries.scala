@@ -1256,6 +1256,14 @@ object Queries {
   // session boundary when the inactivity gap is >= timeout (Spark's
   // session_window end is exclusive).
   // ---------------------------------------------------------------------
+  /** Skew-split opt-in for the session family (r15): the scale matrix
+    * sets SPARK_GRAFT_SESSION_SPLIT=<per-task row budget> to run the
+    * SAME query names under the hot-key split route
+    * (Sessions.skewSessionAgg). Unset — the bench and oracle default —
+    * keeps the r14 single-exchange sorted-run plan unchanged. */
+  private def sessionSplit: Option[Long] =
+    sys.env.get("SPARK_GRAFT_SESSION_SPLIT").map(_.trim.toLong)
+
   private val groupingBySession = Q("grouping_by_session",
     (s, d) => {
       val ev = syslogishEvents(s, d)
@@ -1263,7 +1271,8 @@ object Queries {
         Seq(count(lit(1)).as("n"),
           sum(dec(col("value"))).cast("double").as("sum_value"),
           Sessions.sortedValues(col("event_type"),
-            struct(col("ts"), col("event_id"))).as("types")))
+            struct(col("ts"), col("event_id"))).as("types")),
+        splitHotKeysOver = sessionSplit)
         .select(col("key").as("user_id"), unix_micros(col("session_start")).as("start_us"),
           col("n"), col("sum_value"), col("types"))
         .orderBy(col("user_id"), col("start_us"))
@@ -1292,7 +1301,8 @@ object Queries {
         col("ts"), 86400,
         Seq(count(lit(1)).as("n"), min(col("event_id")).as("first_ev"),
           max(col("event_id")).as("last_ev")),
-        where = col("value") > 10, having = col("n") >= 4)
+        where = col("value") > 10, having = col("n") >= 4,
+        splitHotKeysOver = sessionSplit)
         .select(col("key"), col("n"), col("first_ev"), col("last_ev"),
           unix_micros(col("session_start")).as("start_us"))
         .orderBy(col("key"), col("start_us"))
@@ -1327,7 +1337,8 @@ object Queries {
           Sessions.sortedValues(
             when(col("event_type") === "error", col("event_id").cast("string")),
             struct(col("ts"), col("event_id"))).as("grep_errors"),
-          sum(dec(col("value"))).cast("double").as("ctx_sum")))
+          sum(dec(col("value"))).cast("double").as("ctx_sum")),
+        splitHotKeysOver = sessionSplit)
         .select(col("key").as("user_id"), unix_micros(col("session_start")).as("start_us"),
           col("context_length"), col("context_values"), col("grep_errors"), col("ctx_sum"))
         .orderBy(col("user_id"), col("start_us"))
@@ -1354,7 +1365,69 @@ object Queries {
     (s, d) => {
       val ev = syslogishEvents(s, d)
       Sessions.suppress(ev, concat_ws("|", col("user_id"), col("event_type")),
-        col("ts"), 86400, col("event_id"))
+        col("ts"), 86400, col("event_id"), splitHotKeysOver = sessionSplit)
+        .orderBy(col("suppress_key"), col("first_ts_us"))
+    },
+    Some("""WITH x AS (
+        SELECT user_id || '|' || event_type AS suppress_key, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS pts
+        FROM events),
+      sessed AS (
+        SELECT *, SUM(CASE WHEN pts IS NULL
+            OR epoch_ns(ts) - epoch_ns(pts) >= 86400::BIGINT * 1000000000 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY suppress_key ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+        FROM x)
+      SELECT suppress_key, first(event_id ORDER BY ts, event_id) AS first_id,
+        CAST(epoch_ns(min(ts)) // 1000 AS BIGINT) AS first_ts_us,
+        count(*) - 1 AS n_suppressed
+      FROM sessed GROUP BY suppress_key, sess
+      ORDER BY suppress_key, first_ts_us"""))
+
+
+  /** r15 skew-split route under a FORCED tiny budget: at sf0.01 every
+    * user_id splits into several contiguous ts-ranges, so the oracle
+    * hash-compares the full split+stitch pipeline (local ordinals,
+    * cross-boundary merge flags, ordinal re-base, stitch aggregate)
+    * against DuckDB's unsplit window sessionization — splitting is an
+    * execution detail and must be value-invisible. */
+  private val groupingBySkewSplit = Q("grouping_by_skew_split",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+      Sessions.groupingBy(ev, col("user_id"), col("ts"), 21600,
+        Seq(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value"),
+          Sessions.sortedValues(col("event_type"),
+            struct(col("ts"), col("event_id"))).as("types")),
+        splitHotKeysOver = Some(64L))
+        .select(col("key").as("user_id"), unix_micros(col("session_start")).as("start_us"),
+          col("n"), col("sum_value"), col("types"))
+        .orderBy(col("user_id"), col("start_us"))
+    },
+    Some("""WITH x AS (
+        SELECT user_id, ts, event_id, event_type, value,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        FROM events),
+      sessed AS (
+        SELECT *, SUM(CASE WHEN pts IS NULL
+            OR epoch_ns(ts) - epoch_ns(pts) >= 21600::BIGINT * 1000000000 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sess
+        FROM x)
+      SELECT user_id, CAST(epoch_ns(min(ts)) // 1000 AS BIGINT) AS start_us,
+        count(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        string_agg(event_type, ',' ORDER BY ts, event_id) AS types
+      FROM sessed GROUP BY user_id, sess ORDER BY user_id, start_us"""))
+
+  /** suppress() on the same forced-split budget — first_id under the
+    * stitch branch's order-insensitive min_by must equal the claimed
+    * first() of the unsplit run. */
+  private val suppressSkewSplit = Q("suppress_skew_split",
+    (s, d) => {
+      val ev = syslogishEvents(s, d)
+      Sessions.suppress(ev, concat_ws("|", col("user_id"), col("event_type")),
+        col("ts"), 86400, col("event_id"), splitHotKeysOver = Some(32L))
         .orderBy(col("suppress_key"), col("first_ts_us"))
     },
     Some("""WITH x AS (
@@ -4280,6 +4353,7 @@ object Queries {
     parseApache, rewriteGroupset, filterMatchStore,
     configPipeline, configPipelineV2, configPipelineV3, formatJsonQ, formatWelfCef, vpRekey,
     groupingBySession, groupingByHaving, contextFuncs, suppressQ, throttleQ,
+    groupingBySkewSplit, suppressSkewSplit,
     dedupExact, dedupDropped, dedupIncremental, dedupNgramJaccard, dedupMinhash,
     dedupMinhashIncr, dedupSimhash,
     dedupSimhashR3, dedupSimhash128, dedupEmbedding, dedupCc, dedupKeepBest,

@@ -38,9 +38,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * sort, leaving the whole stage codegen'd.
   */
 case class SessionOrdinal(key: Expression, tsMicros: Expression,
-    gapMicros: Long) extends Expression with Nondeterministic {
+    gapMicros: Long, split: Option[Expression] = None)
+    extends Expression with Nondeterministic {
 
-  override def children: Seq[Expression] = Seq(key, tsMicros)
+  override def children: Seq[Expression] = Seq(key, tsMicros) ++ split
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override def stateful: Boolean = true
@@ -50,30 +51,45 @@ case class SessionOrdinal(key: Expression, tsMicros: Expression,
     if (tsMicros.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"session_ordinal ts must be long micros, got ${tsMicros.dataType}")
+    else if (split.exists(_.dataType != LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"session_ordinal split must be long, got ${split.get.dataType}")
     else TypeCheckResult.TypeCheckSuccess
 
   @transient private var prevSet = false
   @transient private var prevNull = false
   @transient private var prevKey: Any = null
   @transient private var prevTs = 0L
+  @transient private var prevSplit = 0L
   @transient private var ord = 0L
 
   override protected def initializeInternal(partitionIndex: Int): Unit = {
-    prevSet = false; prevNull = false; prevKey = null; prevTs = 0L; ord = 0L
+    prevSet = false; prevNull = false; prevKey = null; prevTs = 0L
+    prevSplit = 0L; ord = 0L
   }
 
   override protected def evalInternal(input: InternalRow): Any = {
     val k = key.eval(input)
     val kNull = k == null
     val t = tsMicros.eval(input).asInstanceOf[Long]
+    // skew-split sub-key (Sessions.skewSessionAgg): a hot key's rows
+    // are partitioned into contiguous ts-range splits — a split change
+    // opens a new LOCAL session even when the ts gap is small (the
+    // cross-split stitch re-joins them downstream). Null split = 0.
+    val sp = split.map(_.eval(input)) match {
+      case Some(v) if v != null => v.asInstanceOf[Long]
+      case _ => 0L
+    }
     val newSession = !prevSet || kNull != prevNull ||
-      (!kNull && !k.equals(prevKey)) || t - prevTs >= gapMicros
+      (!kNull && !k.equals(prevKey)) || sp != prevSplit ||
+      t - prevTs >= gapMicros
     if (newSession) ord += 1
     prevSet = true
     prevNull = kNull
     // UnsafeRow-backed strings alias task-reused buffers — copy on hold
     prevKey = k match { case s: UTF8String => s.clone(); case o => o }
     prevTs = t
+    prevSplit = sp
     ord
   }
 
@@ -85,11 +101,23 @@ case class SessionOrdinal(key: Expression, tsMicros: Expression,
     val pSet = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "soPrevSet")
     val pNull = ctx.addMutableState(CodeGenerator.JAVA_BOOLEAN, "soPrevNull")
     val pTs = ctx.addMutableState(CodeGenerator.JAVA_LONG, "soPrevTs")
+    val pSp = ctx.addMutableState(CodeGenerator.JAVA_LONG, "soPrevSplit")
     val ordV = ctx.addMutableState(CodeGenerator.JAVA_LONG, "soOrd")
     ctx.addPartitionInitializationStatement(s"$pSet = false;")
     ctx.addPartitionInitializationStatement(s"$pNull = false;")
     ctx.addPartitionInitializationStatement(s"$pTs = 0L;")
+    ctx.addPartitionInitializationStatement(s"$pSp = 0L;")
     ctx.addPartitionInitializationStatement(s"$ordV = 0L;")
+    val (spCode, spVal) = split match {
+      case Some(sp) =>
+        val spEv = sp.genCode(ctx)
+        val v = ctx.freshName("soSplit")
+        (code"""
+          ${spEv.code}
+          final long $v = ${spEv.isNull} ? 0L : ${spEv.value};
+        """, v)
+      case None => (code"", "0L")
+    }
     val eq = ctx.genEqual(key.dataType, keyEv.value, pKey)
     val store = key.dataType match {
       case _: StringType =>
@@ -99,12 +127,15 @@ case class SessionOrdinal(key: Expression, tsMicros: Expression,
     ev.copy(code = code"""
       ${keyEv.code}
       ${tsEv.code}
+      $spCode
       boolean ${ev.value}_new;
       if (!$pSet) {
         ${ev.value}_new = true;
       } else if (${keyEv.isNull} != $pNull) {
         ${ev.value}_new = true;
       } else if (!${keyEv.isNull} && !($eq)) {
+        ${ev.value}_new = true;
+      } else if ($spVal != $pSp) {
         ${ev.value}_new = true;
       } else {
         ${ev.value}_new = (${tsEv.value} - $pTs) >= ${gapMicros}L;
@@ -114,17 +145,27 @@ case class SessionOrdinal(key: Expression, tsMicros: Expression,
       $pNull = ${keyEv.isNull};
       $store
       $pTs = ${tsEv.value};
+      $pSp = $spVal;
       final long ${ev.value} = $ordV;
     """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): SessionOrdinal =
-    copy(key = newChildren(0), tsMicros = newChildren(1))
+    copy(key = newChildren(0), tsMicros = newChildren(1),
+      split = if (newChildren.length > 2) Some(newChildren(2)) else None)
 }
 
 object SessionOrdinal {
   def column(key: Column, tsMicros: Column, gapMicros: Long): Column =
     ColumnBridge.column(SessionOrdinal(ColumnBridge.expression(key),
       ColumnBridge.expression(tsMicros), gapMicros))
+
+  /** Skew-split form: `split` (long) joins the session key — a split
+    * change opens a new local session regardless of the ts gap. */
+  def column(key: Column, tsMicros: Column, gapMicros: Long,
+      split: Column): Column =
+    ColumnBridge.column(SessionOrdinal(ColumnBridge.expression(key),
+      ColumnBridge.expression(tsMicros), gapMicros,
+      Some(ColumnBridge.expression(split))))
 }

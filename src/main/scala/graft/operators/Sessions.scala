@@ -44,7 +44,30 @@ object Sessions {
     */
   def groupingBy(df: DataFrame, key: Column, ts: Column, timeoutSeconds: Int,
       aggs: Seq[Column], where: Column = lit(true),
-      having: Column = lit(true)): DataFrame = {
+      having: Column = lit(true),
+      splitHotKeysOver: Option[Long] = None): DataFrame = {
+    if (splitHotKeysOver.isDefined) {
+      // Skew-split route (r15): a dominant key otherwise serializes its
+      // whole sort+scan+fold into ONE task (skew50: 57.1 s vs 6.2 s
+      // uniform at sf10p, scale_matrix_r14.jsonl). `aggs` must be
+      // ORDER-INSENSITIVE (count/sum/min/max/sortedValues are — the
+      // stitch branch aggregates under the default planner where input
+      // order is not the sorted order).
+      val base = df.filter(where).filter(ts.isNotNull)
+        .withColumn("__gkey", key).withColumn("__gts", ts)
+        .withColumn("__gus", unix_micros(col("__gts").cast("timestamp")))
+        .withColumn("__gmaxsrc", col("__gts"))
+      val fullAggs = aggs :+
+        min(col("__gts")).as("session_start") :+
+        max(col("__gmaxsrc")).as("__gmax")
+      return skewSessionAgg(base, Seq(col("__gts")),
+          timeoutSeconds * 1000000L, splitHotKeysOver.get,
+          mainAggs = fullAggs, stitchAggs = fullAggs, keyAlias = "key")
+        .filter(having)
+        .withColumn("session_end",
+          expr(s"timestampadd(SECOND, $timeoutSeconds, __gmax)"))
+        .drop("__gmax")
+    }
     // Gap sessionization is a per-key prefix scan; both builtin routes
     // measured superlinear decades on UNIFORM sf100p data:
     //  - builtin session_window plans a partial ObjectHashAggregate
@@ -197,7 +220,27 @@ object Sessions {
     * micro-batches reorder; we define order by (ts, order)).
     */
   def suppress(df: DataFrame, key: Column, ts: Column, seconds: Int,
-      order: Column): DataFrame = {
+      order: Column, splitHotKeysOver: Option[Long] = None): DataFrame = {
+    if (splitHotKeysOver.isDefined) {
+      // Skew-split route — see groupingBy. first() rides the claimed
+      // sort on the main branch; the stitch branch (default planner, no
+      // order guarantee) uses the order-insensitive min_by equivalent.
+      val base = df.filter(ts.isNotNull)
+        .withColumn("__gkey", key).withColumn("__gts", ts)
+        .withColumn("__sord", order)
+        .withColumn("__gus", unix_micros(col("__gts").cast("timestamp")))
+      def shared = Seq(
+        unix_micros(min(col("__gts"))).as("first_ts_us"),
+        (count(lit(1)) - 1).as("n_suppressed"))
+      return skewSessionAgg(base, Seq(col("__gts"), col("__sord")),
+        seconds * 1000000L, splitHotKeysOver.get,
+        mainAggs = first(col("__sord")).as("first_id") +: shared,
+        stitchAggs = min_by(col("__sord"),
+          struct(col("__gts"), col("__sord"))).as("first_id") +: shared,
+        keyAlias = "suppress_key")
+        .select(col("suppress_key"), col("first_id"), col("first_ts_us"),
+          col("n_suppressed"))
+    }
     // Same plan as groupingBy (see its body comment — neither builtin
     // session route survives the sf100p decade): one key exchange, one
     // in-partition (key, ts, order) sort, the SessionOrdinal prefix
@@ -226,6 +269,139 @@ object Sessions {
       // HashAggregate, 4.0x/decade
       .transform(a => SortedRunAgg.reroute(a, "__skey", "__sess"))
       .drop("__sess")
+  }
+
+  /** Skew-split sessionization core (r15 — kills the hot-key straggler
+    * the r14 verdict flagged: one chatty host hash-partitions onto ONE
+    * task and serializes its entire sort+scan+fold; skew50 measured
+    * 9.2x the uniform cell at sf10p).
+    *
+    * Semantics preserved exactly (`groupingby.c:479-487` per-key
+    * process, session frame [min(ts), max(ts)+gap)): splitting is an
+    * execution detail — every oracle-compared output is identical to
+    * the unsplit plan's.
+    *
+    * Plan (one query tree, the repartition exchange written once and
+    * ReusedExchange'd by every branch):
+    *  1. stats pass: per-key (count, min us, max us); keys with count >
+    *     `budget` become HOT with nSplits = ceil(count/budget) (cap
+    *     4096) contiguous ts-ranges of equal width. One extra scan of
+    *     (key, ts) — the price of exact skew detection; cold keys pay
+    *     a broadcast-join probe and nothing else.
+    *  2. ONE exchange on (key, split) — a hot key now spreads over
+    *     nSplits tasks — one in-partition sort (key, split, ts...),
+    *     and the same SessionOrdinal prefix scan with the split joined
+    *     into the session key (a split boundary opens a new LOCAL
+    *     session even under a small ts gap).
+    *  3. per-(key, split) summary of HOT rows only (min/max ordinal,
+    *     first/last us — ≤ totalRows/budget rows by construction),
+    *     then a tiny window per key ordered by split derives: does
+    *     this split's first session merge with the previous present
+    *     split's last (`first_us - prev_last_us < gap`)? and the
+    *     cumulative ordinal re-base (sessions before this split minus
+    *     cross-boundary merges so far). Chained merges (a one-session
+    *     split bridging both neighbours) collapse transitively through
+    *     the running base.
+    *  4. main branch — every session that does NOT merge across a
+    *     boundary, i.e. all cold keys + the interior of every split:
+    *     groupBy(key, split, localOrd) rides the Complete sorted-run
+    *     SortAggregate (SortedRunAgg): HashPartitioning(key, split)
+    *     satisfies the (key, split, ord) clustering, the claimed sort
+    *     matches, no partial aggregate, no new exchange.
+    *  5. stitch branch — ONLY the boundary-merging sessions (≤ 2 per
+    *     (hot key, split)): re-based global session id = ord + offset,
+    *     then a standard partial+final aggregate over (key, gsid) —
+    *     input is session-boundary-sized, not data-sized.
+    *  6. unionByName.
+    *
+    * Worst case: gap so large a hot key is ONE session — every split
+    * chain-merges and the whole key lands in the stitch branch (the
+    * aggregate is output-bound there anyway). `mainAggs`/`stitchAggs`
+    * must be order-insensitive or stitch-adjusted (see suppress).
+    *
+    * `base` must carry __gkey, __gts, __gus (+ any agg inputs);
+    * `sortCols` is the in-partition sort after (key, split).
+    */
+  private def skewSessionAgg(base: DataFrame, sortCols: Seq[Column],
+      gapMicros: Long, budget: Long, mainAggs: Seq[Column],
+      stitchAggs: Seq[Column], keyAlias: String): DataFrame = {
+    require(budget > 0, s"splitHotKeysOver must be positive, got $budget")
+    // 1. hot-key stats. Integer-exact while counts < 2^53 and the
+    // per-key us-range < 2^53 µs (~285 years) — double floor/ceil
+    // arithmetic is exact below that.
+    val stats = base.groupBy(col("__gkey"))
+      .agg(count(lit(1)).as("__hn"), min(col("__gus")).as("__hmin"),
+        max(col("__gus")).as("__hmax"))
+      .filter(col("__hn") > budget)
+      .withColumn("__hns", least(
+        floor((col("__hn") + lit(budget - 1)) / lit(budget)).cast("long"),
+        lit(4096L)))
+      .withColumn("__hw", greatest(
+        ceil((col("__hmax") - col("__hmin") + lit(1)) / col("__hns"))
+          .cast("long"), lit(1L)))
+      .select(col("__gkey").as("__hkey"), col("__hns"),
+        col("__hmin").as("__hlo"), col("__hw"))
+    // 2. split assignment + the one exchange + sort + ordinal scan
+    val tagged = base
+      .join(broadcast(stats), col("__gkey") <=> col("__hkey"), "left")
+      .withColumn("__split", when(col("__hns").isNull, lit(0L))
+        .otherwise(least(
+          floor((col("__gus") - col("__hlo")) / col("__hw")).cast("long"),
+          col("__hns") - 1)))
+      .withColumn("__hot", col("__hns").isNotNull)
+      .drop("__hkey", "__hns", "__hlo", "__hw")
+    val orded = tagged
+      .repartition(col("__gkey"), col("__split"))
+      .sortWithinPartitions(col("__gkey") +: col("__split") +: sortCols: _*)
+      .withColumn("__ord", graft.functions.SessionOrdinal.column(
+        col("__gkey"), col("__gus"), gapMicros, col("__split")))
+    // 3. boundary summary + merge flags + ordinal re-base (hot only).
+    // ≤ ceil(totalRows/budget) rows total (Σ per-hot-key splits), so the
+    // window and the broadcast are bounded by the budget choice.
+    val wk = Window.partitionBy(col("__skkey")).orderBy(col("__sksplit"))
+    val flags = orded.filter(col("__hot"))
+      .groupBy(col("__gkey").as("__skkey"), col("__split").as("__sksplit"))
+      .agg(min(col("__ord")).as("__skmin"), max(col("__ord")).as("__skmax"),
+        min(col("__gus")).as("__skfirst"), max(col("__gus")).as("__sklast"))
+      .withColumn("__sknsess", col("__skmax") - col("__skmin") + 1)
+      .withColumn("__skmp", coalesce(
+        col("__skfirst") - lag(col("__sklast"), 1).over(wk) < gapMicros,
+        lit(false)))
+      .withColumn("__skmn", coalesce(
+        lead(col("__skfirst"), 1).over(wk) - col("__sklast") < gapMicros,
+        lit(false)))
+      .withColumn("__skoff",
+        coalesce(sum(col("__sknsess"))
+          .over(wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) -
+        sum(when(col("__skmp"), lit(1L)).otherwise(lit(0L)))
+          .over(wk.rowsBetween(Window.unboundedPreceding, 0)) -
+        col("__skmin"))
+      .select(col("__skkey"), col("__sksplit"), col("__skmin"),
+        col("__skmax"), col("__skmp"), col("__skmn"), col("__skoff"))
+    val routed = orded.join(broadcast(flags),
+        col("__gkey") <=> col("__skkey") &&
+          col("__split") === col("__sksplit"), "left")
+      .withColumn("__merge", coalesce(
+        (col("__skmp") && col("__ord") === col("__skmin")) ||
+          (col("__skmn") && col("__ord") === col("__skmax")), lit(false)))
+    // 4. main branch: Complete sorted-run over (key, split, ord) —
+    // the (key, split) hash partitioning is a subset of the grouping,
+    // the claimed (key, split, ord) ascending order is the real row
+    // order (ordinals never decrease within a partition), and the
+    // Filter between aggregate and claim is order-preserving.
+    val main = SortedRunAgg.reroute(
+      routed.filter(!col("__merge"))
+        .groupBy(col("__gkey").as(keyAlias), col("__split"), col("__ord"))
+        .agg(mainAggs.head, mainAggs.tail: _*),
+      "__gkey", "__split", "__ord")
+      .drop("__split", "__ord")
+    // 5. stitch branch: boundary-merging sessions only
+    val stitch = routed.filter(col("__merge"))
+      .withColumn("__gsid", col("__ord") + col("__skoff"))
+      .groupBy(col("__gkey").as(keyAlias), col("__gsid"))
+      .agg(stitchAggs.head, stitchAggs.tail: _*)
+      .drop("__gsid")
+    main.unionByName(stitch)
   }
 
   /** throttle(N) (`lib/driver.h:169`, token bucket in `lib/logqueue.c`):

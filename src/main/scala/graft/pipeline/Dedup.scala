@@ -284,7 +284,8 @@ object Dedup {
       id: Column, text: Column, shingleK: Int = 3, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.7, algo: String = "xxh64",
       hashBandKeys: Boolean = true,
-      maxBroadcastWave: Long = 1000000L): DataFrame = {
+      maxBroadcastWave: Long = 1000000L,
+      maxBroadcastCandidates: Long = 8000000L): DataFrame = {
     val rows = numHashes / bands
     val signedCorpus = signedDocs(corpus, id, text, shingleK, numHashes,
       bands, rows, algo, hashBandKeys)
@@ -292,7 +293,7 @@ object Dedup {
       signedCorpus.select(col("id"), explode(col("bands")).as("band")),
       signedCorpus.select(col("id"), col("shh")),
       shingleK, numHashes, bands, rows, threshold, algo, hashBandKeys,
-      maxBroadcastWave)
+      maxBroadcastWave, maxBroadcastCandidates)
   }
 
   /** Persist the rolling MinHash band index for
@@ -352,7 +353,8 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.7, algo: String = "xxh64",
       hashBandKeys: Boolean = true,
-      maxBroadcastWave: Long = 1000000L): DataFrame = {
+      maxBroadcastWave: Long = 1000000L,
+      maxBroadcastCandidates: Long = 8000000L): DataFrame = {
     val meta = indexMeta(shingleK, numHashes, bands, algo, hashBandKeys)
     val existing = spark.table(table + "_meta").head.getString(0)
     require(existing == meta,
@@ -362,14 +364,14 @@ object Dedup {
       spark.table(table + "_bands").select(col("id"), col("band")),
       spark.table(table + "_docs"),
       shingleK, numHashes, bands, numHashes / bands, threshold, algo,
-      hashBandKeys, maxBroadcastWave)
+      hashBandKeys, maxBroadcastWave, maxBroadcastCandidates)
   }
 
   private def minhashIncrementalCore(wave: DataFrame, id: Column,
       text: Column, corpusBands: DataFrame, corpusDocs: DataFrame,
       shingleK: Int, numHashes: Int, bands: Int, rows: Int,
       threshold: Double, algo: String, hashBandKeys: Boolean,
-      maxBroadcastWave: Long): DataFrame = {
+      maxBroadcastWave: Long, maxBroadcastCandidates: Long): DataFrame = {
     // the wave is small by contract (one crawl's worth against a 100 TB
     // corpus), so it stays an UNPERSISTED declarative subtree: its few
     // re-evaluations are cheap, the plan remains one Catalyst tree
@@ -381,13 +383,23 @@ object Dedup {
     // spark.driver.maxResultSize (found by the sf1000p decade cell:
     // a 5M-doc wave's postings + shingle sets exceed the 1 GB driver
     // cap). So the broadcast hints are applied only when the wave is
-    // actually small (one cheap count of the wave subtree, paid on the
-    // small side by definition); a big wave degrades to unhinted joins
-    // — Catalyst plans shuffles, the job completes, and the map-only
-    // index probe returns on the next normal-sized wave. The persisted
-    // index keeps its band bucketing either way, so the big-wave SMJ
-    // shuffles the WAVE side into place, never rewrites the index.
-    val broadcastWave = wave.count() <= maxBroadcastWave
+    // actually small (one BOUNDED probe of the wave subtree, paid on
+    // the small side by definition); a big wave degrades to unhinted
+    // joins — Catalyst plans shuffles, the job completes, and the
+    // map-only index probe returns on the next normal-sized wave. The
+    // persisted index keeps its band bucketing either way, so the
+    // big-wave SMJ shuffles the WAVE side into place, never rewrites
+    // the index.
+    //
+    // NOTE (ADVICE r14): the probe makes this operator EAGER — calling
+    // it runs one Spark job before the returned frame is acted on, and
+    // the wave subtree is evaluated once more than in the
+    // fully-declarative r13 form. The probe is limit(cap+1), not a
+    // full count, so a wave far above the cap pays at most cap+1 rows
+    // of probe work, and the extra evaluation is wave-sized by
+    // construction.
+    val probeLimit = math.min(maxBroadcastWave + 1L, Int.MaxValue.toLong).toInt
+    val broadcastWave = wave.limit(probeLimit).count() <= maxBroadcastWave
     def bc(df: DataFrame): DataFrame = if (broadcastWave) broadcast(df) else df
     val w = signedDocs(wave, id, text, shingleK, numHashes, bands, rows,
       algo, hashBandKeys)
@@ -395,15 +407,34 @@ object Dedup {
     // corpus probe: broadcast the wave postings — the big side stays a
     // map-only scan+project (column pruning drops everything but the
     // band keys)
-    val candCorpus = corpusBands
+    val candRaw = corpusBands
       .join(bc(wBands), col("band") === col("wband"))
       .select(col("wid"), col("id").as("cid")).distinct()
-    // verification: the (tiny) candidate pairs broadcast INTO the
+    // The wave cap bounds only the WAVE-side hinted frames: wBands, w,
+    // and `rejected` (whose rows are wave doc ids, so |rejected| <=
+    // |wave| by construction). candCorpus is NOT wave-bounded — its
+    // cardinality is wave x corpus band COLLISIONS, and a hot band key
+    // (short/empty docs all hashing to one band) can blow the driver
+    // broadcast even under a tiny wave (ADVICE r14). So its broadcast
+    // is gated on its own EXACT count: persist + count materializes
+    // the probe join exactly once — the same corpus-bands pass the
+    // verification join was going to pay, now read back from cache —
+    // and an oversized candidate set degrades to a shuffle join
+    // instead of aborting the driver. The cache stays pinned for the
+    // caller's terminal job (two long columns, disk-spillable,
+    // LRU-evicted afterwards).
+    val (candCorpus, broadcastCand) = if (broadcastWave) {
+      val c = candRaw.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (c, c.count() <= maxBroadcastCandidates)
+    } else (candRaw, false)
+    def bcc(df: DataFrame): DataFrame = if (broadcastCand) broadcast(df) else df
+    // verification: the candidate pairs broadcast INTO the
     // doc-hash side — one more map-only pass over the corpus pulls
     // exactly the matched docs' shingle sets, and the wave side rides
     // along as a second broadcast
     val rejectedByCorpus = corpusDocs.as("cd")
-      .join(bc(candCorpus), col("cd.id") === col("cid"))
+      .join(bcc(candCorpus), col("cd.id") === col("cid"))
       .join(bc(w.as("wv")), col("wid") === col("wv.id"))
       .filter(jaccardOf(col("cd.shh"), col("wv.shh")) >= threshold)
       .select(col("wid")).distinct()

@@ -97,17 +97,31 @@ object SortedRunAgg {
       case _ => Nil
     }
 
+    // Project and Filter both preserve their child's row order and
+    // partitioning, and the optimizer routinely lands them between the
+    // Aggregate and ClaimOrdered: column pruning inserts Projects, and
+    // PushPredicateThroughNonJoin pushes a having/where predicate that
+    // references only grouping keys below the Aggregate (ADVICE r14 —
+    // without the Filter case such a query silently fell back to the
+    // partial+final ObjectHashAggregate route, ~4x on list queries).
+    // Nondeterministic predicates are not pushed through Aggregate by
+    // the optimizer, but guard anyway: claiming order through one would
+    // claim an order the caller never asserted.
     private def claimed(p: LogicalPlan): Boolean = p match {
       case _: ClaimOrdered => true
       case pr: Project => claimed(pr.child)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.deterministic && claimed(f.child)
       case _ => false
     }
   }
 
   /** Reroute `df` (whose analyzed root must be an Aggregate over a plan
-    * sorted in-partition so that ascending (`keyCol`, `ordCol`) is its
-    * real row order) onto the Complete sorted-run aggregate. */
-  def reroute(df: DataFrame, keyCol: String, ordCol: String): DataFrame = {
+    * sorted in-partition so that ascending `orderCols` — typically
+    * (key, ordinal), or (key, split, ordinal) on the skew-split route —
+    * is its real row order) onto the Complete sorted-run aggregate. */
+  def reroute(df: DataFrame, orderCols: String*): DataFrame = {
+    require(orderCols.nonEmpty, "reroute: need at least one order column")
     val spark = df.sparkSession
     registerOnce(spark)
     df.queryExecution.analyzed match {
@@ -116,8 +130,7 @@ object SortedRunAgg {
           .find(_.name == n)
           .getOrElse(throw new IllegalArgumentException(
             s"reroute: no column $n in ${child.output.map(_.name)}"))
-        val order = Seq(SortOrder(attr(keyCol), Ascending),
-          SortOrder(attr(ordCol), Ascending))
+        val order = orderCols.map(c => SortOrder(attr(c), Ascending))
         ColumnBridge.ofRows(spark,
           agg.withNewChildren(Seq(ClaimOrdered(order, child))))
       case other =>

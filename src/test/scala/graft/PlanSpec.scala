@@ -702,4 +702,80 @@ class PlanSpec extends GraftSuite {
         s"$name: a sort crept in between aggregate and claim:\n${fin.mkString("\n")}")
     }
   }
+
+  test("sorted-run route survives a having clause the optimizer pushes " +
+      "below the aggregate (Filter between Aggregate and ClaimOrdered)") {
+    // ADVICE r14: PushPredicateThroughNonJoin pushes a deterministic
+    // predicate referencing only grouping keys below the Aggregate,
+    // landing a Filter above ClaimOrdered — claimed() must recurse
+    // through it or the query silently falls back to the partial+final
+    // ObjectHashAggregate route (~4x on list queries).
+    import spark.implicits._
+    import graft.operators.Sessions
+    val in = (1 to 200).map(i => ("key-" + i % 7,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 40L)),
+      i.toLong)).toDF("k", "t", "id")
+    val df = Sessions.groupingBy(in, col("k"), col("t"), 120,
+      Seq(count(lit(1)).as("n"),
+        Sessions.sortedValues(col("id"), col("id")).as("ids")),
+      // references ONLY the grouping key → pushed below the Aggregate
+      having = col("key") =!= "key-3")
+    df.queryExecution.toRdd.count()
+    val fin = df.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    assert(fin.count(_.contains("SortAggregate(")) == 1,
+      s"having pushdown lost the sorted-run route:\n${fin.mkString("\n")}")
+    assert(!fin.exists(_.contains("ObjectHashAggregate")),
+      s"fell back to ObjectHashAggregate:\n${fin.mkString("\n")}")
+    val aggIdx = fin.indexWhere(_.contains("SortAggregate("))
+    val claimIdx = fin.indexWhere(_.contains("ClaimOrdered"))
+    assert(claimIdx > aggIdx, s"no claim under the aggregate:\n${fin.mkString("\n")}")
+    // and the pushed Filter really is in between (the scenario tested)
+    assert(fin.slice(aggIdx, claimIdx).exists(_.contains("Filter")),
+      s"expected the having Filter between aggregate and claim:\n${fin.mkString("\n")}")
+  }
+
+  test("skew-split session plan: one (key,split) exchange reused by the " +
+      "stitch branch, main branch on the Complete sorted-run aggregate, " +
+      "stitch aggregate only above boundary-sized input") {
+    import spark.implicits._
+    import graft.operators.Sessions
+    val rnd = new scala.util.Random(42)
+    val in = (1 to 4000).map { i =>
+      val k = if (rnd.nextBoolean()) "hot" else "key-" + rnd.nextInt(30)
+      (k, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(rnd.nextInt(3000).toLong)), i.toLong)
+    }.toDF("k", "t", "id")
+    val df = Sessions.groupingBy(in, col("k"), col("t"), 60,
+      Seq(count(lit(1)).as("n"),
+        Sessions.sortedValues(col("id"), struct(col("t"), col("id"))).as("ids")),
+      splitHotKeysOver = Some(300L))
+    df.queryExecution.toRdd.count()
+    val fin = df.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    // main branch: exactly one Complete SortAggregate riding the
+    // 3-column claim, no sort inserted between them
+    assert(fin.count(_.contains("SortAggregate(")) == 1, fin.mkString("\n"))
+    val aggIdx = fin.indexWhere(_.contains("SortAggregate("))
+    val claimIdx = fin.indexWhere(_.contains("ClaimOrdered"))
+    assert(claimIdx > aggIdx && fin(claimIdx).contains("__split") &&
+      fin(claimIdx).contains("__ord"), fin.mkString("\n"))
+    assert(!fin.slice(aggIdx, claimIdx).exists(_.contains("Sort ")),
+      s"sort crept in between aggregate and claim:\n${fin.mkString("\n")}")
+    // the data-sized (key, split) repartition exchange is WRITTEN once:
+    // every other branch reads it as ReusedExchange
+    val keySplitEx = fin.filter(l =>
+      l.contains("Exchange hashpartitioning(__gkey") &&
+        l.contains("__split") && !l.contains("ReusedExchange"))
+    assert(keySplitEx.size <= 2, // full-width + the pruned summary path
+      s"(key,split) exchange written ${keySplitEx.size}x:\n${fin.mkString("\n")}")
+    assert(fin.exists(_.contains("ReusedExchange")), fin.mkString("\n"))
+    // no session_window / WindowExec over DATA-sized input: the only
+    // Window operators run over the per-(hot key, split) summary frame
+    assert(!fin.exists(l => l.contains("session_window") ||
+      l.contains("MergingSessions")), fin.mkString("\n"))
+    // stitch branch exists and exchanges on (key, gsid) — boundary-sized
+    assert(fin.exists(_.contains("Exchange hashpartitioning(__gkey") &&
+      fin.exists(_.contains("__gsid"))), fin.mkString("\n"))
+  }
 }

@@ -60,10 +60,16 @@ class SessionsSpec extends GraftSuite {
         Sessions.sortedValues(col("id"), struct(col("t"), col("id"))).as("ids")))
       .select(col("key"), unix_timestamp(col("session_start")).as("ss"),
         col("n"), col("ids"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(x => (x._1, x._2))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("k")).orderBy(col("t"), col("id"))
+    // the ids list column is the sorted-run route's main beneficiary —
+    // compare its CONTENT too (ADVICE r14: dropping it from the tuple
+    // would let a corrupted list pass), built here with the same
+    // encoding expression but aggregated by the default planner route
+    // over the window-derived session ids
     val ref = in
       .withColumn("gap", when(col("t").cast("long") -
         lag(col("t"), 1).over(w).cast("long") >= 120, 1)
@@ -71,11 +77,82 @@ class SessionsSpec extends GraftSuite {
       .withColumn("sess", sum(col("gap")).over(
         w.rowsBetween(Long.MinValue, 0)))
       .groupBy(col("k"), col("sess"))
-      .agg(unix_timestamp(min(col("t"))).as("ss"), count(lit(1)).as("n"))
-      .select(col("k"), col("ss"), col("n"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .agg(unix_timestamp(min(col("t"))).as("ss"), count(lit(1)).as("n"),
+        Sessions.sortedValues(col("id"), struct(col("t"), col("id"))).as("ids"))
+      .select(col("k"), col("ss"), col("n"), col("ids"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
       .sortBy(x => (x._1, x._2))
     assert(out.toSeq == ref.toSeq)
+  }
+
+  test("skew-split groupingBy == unsplit groupingBy on a randomized " +
+      "skewed frame (lists compared), across budgets") {
+    // r15 hot-key route: one dominant key (~50% of rows) plus a long
+    // tail; tiny budgets force many splits and many cross-boundary
+    // stitches. Output must be IDENTICAL to the unsplit plan —
+    // splitting is an execution detail.
+    val rnd = new scala.util.Random(15)
+    val rows = (1 to 6000).map { i =>
+      val k = if (rnd.nextBoolean()) "hot" else "key-" + rnd.nextInt(40)
+      (k, ts(rnd.nextInt(4000).toLong), i.toLong)
+    }
+    val in = rows.toDF("k", "t", "id").repartition(13)
+    def run(budget: Option[Long]) =
+      Sessions.groupingBy(in, col("k"), col("t"), 60,
+        Seq(count(lit(1)).as("n"),
+          Sessions.sortedValues(col("id"), struct(col("t"), col("id"))).as("ids")),
+        having = col("n") >= 1, splitHotKeysOver = budget)
+        .select(col("key"), unix_timestamp(col("session_start")).as("ss"),
+          unix_timestamp(col("session_end")).as("se"), col("n"), col("ids"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getString(4)))
+        .sortBy(x => (x._1, x._2))
+        .toSeq
+    val ref = run(None)
+    for (budget <- Seq(50L, 400L, 5000L))
+      assert(run(Some(budget)) == ref, s"budget=$budget diverged")
+  }
+
+  test("skew-split: one giant session chain-merging across every split " +
+      "collapses to the unsplit result") {
+    // gap larger than the whole span: the hot key is ONE session, every
+    // split single-session and chain-merged — the transitive re-base
+    // must land every row on one global session id (worst case: the
+    // whole key rides the stitch branch)
+    val rows = (1 to 500).map(i => ("hot", ts(i * 2L), i.toLong)) ++
+      Seq(("cold", ts(0), 9001L), ("cold", ts(100000), 9002L))
+    val in = rows.toDF("k", "t", "id").repartition(7)
+    val out = Sessions.groupingBy(in, col("k"), col("t"), 5000,
+      Seq(count(lit(1)).as("n")), splitHotKeysOver = Some(40L))
+      .select(col("key"), col("n"), unix_timestamp(col("session_start")).as("ss"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._3))
+    assert(out.toSeq == Seq(("cold", 1L, 0L), ("cold", 1L, 100000L),
+      ("hot", 500L, 2L)))
+  }
+
+  test("skew-split suppress == unsplit suppress (first_id under ties)") {
+    val rnd = new scala.util.Random(16)
+    val rows = (1 to 5000).map { i =>
+      val k = if (rnd.nextInt(10) < 6) "hot" else "key-" + rnd.nextInt(25)
+      // duplicate timestamps on purpose: first_id must break ties by id
+      (k, ts(rnd.nextInt(2500).toLong), i.toLong)
+    }
+    val in = rows.toDF("k", "t", "id").repartition(11)
+    def run(budget: Option[Long]) =
+      Sessions.suppress(in, col("k"), col("t"), 30, col("id"),
+        splitHotKeysOver = budget)
+        .select(col("suppress_key"), col("first_id"), col("first_ts_us"),
+          col("n_suppressed"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._3))
+        .toSeq
+    val ref = run(None)
+    for (budget <- Seq(80L, 1000L))
+      assert(run(Some(budget)) == ref, s"budget=$budget diverged")
   }
 
   test("throttle caps rows per key per second") {
