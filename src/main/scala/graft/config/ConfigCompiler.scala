@@ -271,6 +271,23 @@ object ConfigCompiler {
                   monitorMethod = "auto")
               }
           val path = wSpec.map(_.glob).getOrElse(filePath.get)
+          // follow-freq(nonnegative_float) — affile-grammar.ym:178
+          // ties the option to the `nonnegative_float` grammar rule,
+          // so a negative value is a CONFIG-TIME error (the daemon
+          // refuses to start, test_follow_freq_value.py); zero is
+          // legal (poll disabled, affile-source.c:163). Spark's file
+          // source is poll-based with its own trigger cadence, so a
+          // valid value does not change the compiled plan.
+          kvOf(stmt.args, "follow-freq").foreach { f =>
+            val v = try f.toDouble catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"source $name: follow-freq($f) is not a number")
+            }
+            if (v < 0) throw new IllegalArgumentException(
+              s"source $name: follow-freq() takes a nonnegative float, " +
+                s"got $f (affile-grammar.ym nonnegative_float)")
+          }
           // multi-line-mode()/multi-line-prefix() (logproto-regexp-/
           // indented-multiline-server.c); mbox() (scl/mbox/mbox.conf)
           // = file() with multi-line-prefix('^From ') + no-parse
@@ -378,15 +395,22 @@ object ConfigCompiler {
             listeners += name -> l
             src
           } else {
+            // transport(proxied-tcp|proxied-tls): the connection opens
+            // with a mandatory proxy-protocol v1 handshake
+            // (logproto-proxied-text-server.c); the listener validates
+            // it, drops non-proxied clients, and spools each frame
+            // with its connection header attached (U+0001 separator)
+            val proxied = transport == "proxied-tcp" ||
+              transport == "proxied-tls"
             // transport(tls): the tls(cert-file() key-file()) block of
             // afsocket-grammar.ym; same framing over the TLS stream
             val tls =
-              if (transport != "tls") None
+              if (transport != "tls" && transport != "proxied-tls") None
               else {
                 val tlsArgs = stmt.args.collectFirst {
                   case KV("tls", vs) => vs
                 }.getOrElse(throw new IllegalArgumentException(
-                  s"source $name: transport(tls) needs a tls() block"))
+                  s"source $name: transport($transport) needs a tls() block"))
                 val cert = kvOf(tlsArgs, "cert-file").getOrElse(
                   throw new IllegalArgumentException(
                     s"source $name: tls() needs cert-file()"))
@@ -397,20 +421,44 @@ object ConfigCompiler {
               }
             val (l, src) = graft.streaming.TcpSource.listen(spark,
               s"$spoolBase/$name", port, octetCounted = proto == "syslog",
-              maxMsgSize = maxSize, tls = tls)
+              proxyProtocol = proxied, maxMsgSize = maxSize, tls = tls)
             listeners += name -> l
-            src
+            if (proxied) src.withColumn("__pp", lit(true)) else src
           }
       }
       val flags = stmt.args.collectFirst { case KV("flags", vs) => lits(vs) }
         .getOrElse(Nil)
+      // proxied transports: split the spool record back into the
+      // connection's handshake line and the frame; the PROXIED_* aux
+      // values land in the `values` map exactly like the reference
+      // attaches them to every message of the connection
+      // (logproto-proxied-text-server.c:169-186 via ProxyProto.pairs)
+      val (frames, ppVals) =
+        if (lines.columns.contains("__pp")) {
+          val pos = instr(col("value"), "\u0001")
+          val hdr = col("value").substr(lit(1), pos - 1)
+          val body = col("value").substr(pos + 1, length(col("value")))
+          (lines.withColumn("__ppinfo",
+              graft.functions.ProxyProtoHeader(hdr))
+            .withColumn("value", body).drop("__pp"),
+            Some(graft.functions.ProxyProtoHeader.nvPairs(col("__ppinfo"))))
+        } else (lines, None)
       val parsed =
         if (flags.contains("no-parse") || stmt.name == "mbox")
-          lines.select(col("source_file"), col("value").as("message"))
-        else graft.streaming.Sources.parsedSyslog(lines)
+          frames.select(frames.columns.filter(_ == "__ppinfo")
+            .map(col) :+ col("source_file") :+ col("value").as("message"): _*)
+        else if (frames.columns.contains("__ppinfo"))
+          // parsedSyslog projects to (source_file, parse fields) — keep
+          // the connection's proxy info alongside the parsed columns
+          frames.withColumn("p",
+              graft.functions.GraftFunctions.parse_syslog(col("value"), 2024, Nil))
+            .select(col("__ppinfo"), col("source_file"), col("p.*"))
+        else graft.streaming.Sources.parsedSyslog(frames)
       name -> parsed
         .withColumn("tags", array().cast("array<string>"))
-        .withColumn("values", map().cast("map<string,string>"))
+        .withColumn("values",
+          ppVals.getOrElse(map().cast("map<string,string>")))
+        .drop("__ppinfo")
       }
     }
     // use-syslogng-pid(yes) — a GENERIC source option (logsource.c:619):
@@ -685,9 +733,15 @@ object ConfigCompiler {
         // defaults (:754-756); snmp-obj(oid type template) triplets in
         // configuration order, trap-obj() the snmpTrapOID varbind; v3
         // needs net-snmp USM — rejected loudly in the dev sink
-        if (kvOf(s.args, "version").exists(_.equalsIgnoreCase("v3")))
+        // any version other than v2c routes to the reference's v3
+        // branch (afsnmpdest.c:490 strcasecmp else-arm), which needs
+        // net-snmp USM and an engine-id — including typos like
+        // version("FAKE") (test_snmp_destination_wrong_version.py
+        // expects a start failure); the dev sink rejects them all
+        if (kvOf(s.args, "version").exists(!_.equalsIgnoreCase("v2c")))
           throw new IllegalArgumentException(
-            "snmp(): only version(v2c) is supported by the dev sink")
+            "snmp(): only version(v2c) is supported by the dev sink " +
+              "(any other value selects the reference's v3/USM path)")
         val sCfg = graft.streaming.SnmpSink.Config(
           host = kvOf(s.args, "host").getOrElse(
             throw new IllegalArgumentException("snmp() needs host()")),
@@ -703,11 +757,23 @@ object ConfigCompiler {
             (oid, tpe, tpl)
         }
         require(triplets.nonEmpty, "snmp() needs at least one snmp-obj()")
+        // trap-obj() is REQUIRED and must be objectid-typed
+        // (afsnmpdest.c:783-793 "missing trap_obj" / "wrong trap
+        // object type") — a config with only snmp-obj()s refuses to
+        // start (test_snmp_destination_missing_trap_obj.py); the
+        // inverse, trap-obj() alone, is legal and sends the
+        // single-varbind "empty" trap
+        val trapObj = s.args.collectFirst {
+          case KV("trap-obj", Seq(Lit(_), Lit(tpe), Lit(_))) => tpe }
+        require(trapObj.nonEmpty, "snmp(): missing trap_obj")
+        require(trapObj.exists(_.equalsIgnoreCase("objectid")),
+          s"snmp(): wrong trap object type: ${trapObj.get}")
         val df = route.df.withColumn("__objs", array(triplets.map {
           case (oid, tpe, tpl) =>
             struct(lit(oid).as("oid"), lit(tpe).as("tpe"), t(tpl).as("v"))
         }: _*))
-        graft.streaming.SnmpSink.sink(df, sCfg, checkpoint)
+        graft.streaming.SnmpSink.sink(df, sCfg, checkpoint,
+          graft.streaming.SnmpSink.statsFor(route.destination))
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
       case Some(s) if s.name == "amqp" =>
@@ -905,6 +971,29 @@ object ConfigCompiler {
           .option("checkpointLocation", checkpoint)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
+      case Some(s) if s.name == "example-destination" =>
+        // modules/examples/destinations/example_destination/
+        // example_destination_worker.c:29-46: the worker appends
+        // "thread_id=<tid> message=<MSG>\n" per message to filename()
+        // (fopen "a"). The worker thread id maps to the writing
+        // thread's id here — the python battery only greps for the
+        // message part (read_until_logs), the tid is opaque.
+        val path = kvOf(s.args, "filename").orElse(
+          s.args.collectFirst { case Lit(p) => p }).getOrElse(
+          throw new IllegalArgumentException(
+            "example-destination() needs filename()"))
+        route.df.writeStream.foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val fos = new java.io.FileOutputStream(path, true)
+          try b.select("message").toLocalIterator().forEachRemaining { r =>
+            fos.write(("thread_id=" + Thread.currentThread().getId +
+              " message=" + r.getString(0) + "\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+          } finally { fos.getFD.sync(); fos.close() }
+        }
+          .option("checkpointLocation", checkpoint)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
       case Some(s) if s.name == "pseudofile" =>
         // modules/pseudofile/pseudofile.c: per message, open(O_WRONLY
         // |O_NONBLOCK) and write the template-rendered bytes — no
@@ -977,7 +1066,7 @@ object ConfigCompiler {
     "telegram", "discord", "graylog2", "logmatic", "collectd",
     "unix-stream", "network-load-balancer", "graphite", "pseudofile",
     "redis", "stomp", "smtp", "mqtt", "program", "usertty", "pipe",
-    "riemann", "mongodb", "amqp", "snmp", "hdfs")
+    "riemann", "mongodb", "amqp", "snmp", "hdfs", "example-destination")
 
   /** network()/syslog() destinations and the scl composites over them
     * (`loggly()`, `sumologic-syslog()`, `graylog2()`, `logmatic()`,

@@ -30,6 +30,15 @@ object Internal {
     // listener-bus thread — count separately in O(1)
     private val count = new java.util.concurrent.atomic.AtomicInteger(0)
 
+    /** Engine lifecycle notice (mainloop.c:658 "syslog-ng starting
+      * up", mainloop-worker.c:385 "Configuration reload finished",
+      * mainloop.c:460 "syslog-ng shutting down"): the reference's
+      * msg_notice()s are internal() messages; [[Internal.lifecycle]]
+      * routes ours here so an internal() path observes the same
+      * start/reload/stop record stream
+      * (test_internal_acceptance.py). */
+    private[Internal] def notice(message: String): Unit = add(5, message)
+
     private def add(severity: Int, message: String): Unit = {
       buf.addLast(InternalEvent(
         new java.sql.Timestamp(System.currentTimeMillis()),
@@ -60,15 +69,34 @@ object Internal {
       }
   }
 
+  // attached-listener registry so lifecycle notices reach every live
+  // internal() buffer without threading handles through the config
+  // compiler
+  private val attached =
+    java.util.Collections.synchronizedSet(
+      new java.util.HashSet[Listener]())
+
   /** Attach a listener; keep the handle to snapshot or detach. */
   def attach(spark: SparkSession, maxEvents: Int = 10000): Listener = {
     val l = new Listener(maxEvents)
     spark.sparkContext.addSparkListener(l)
+    attached.add(l)
     l
   }
 
-  def detach(spark: SparkSession, l: Listener): Unit =
+  def detach(spark: SparkSession, l: Listener): Unit = {
+    attached.remove(l)
     spark.sparkContext.removeSparkListener(l)
+  }
+
+  /** Post an engine lifecycle notice (severity 5, program "spark") to
+    * every attached internal() buffer — the analog of the reference's
+    * mainloop msg_notice()s, which surface through internal(). */
+  def lifecycle(message: String): Unit = {
+    val arr = attached.synchronized(
+      attached.toArray(new Array[Listener](0)))
+    arr.foreach(_.notice(message))
+  }
 
   /** Current buffered diagnostics as a LogRecord-shaped frame. */
   def snapshot(spark: SparkSession, l: Listener): DataFrame = {

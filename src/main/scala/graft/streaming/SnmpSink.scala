@@ -157,19 +157,49 @@ object SnmpSink {
     } finally sock.close()
   }
 
+  /** The `syslog-ng-ctl query get` / `stats` counter set for a
+    * destination (written/processed/dropped/queued —
+    * test_snmp_destination_reload_statistics.py asserts all four).
+    * Traps are fire-and-forget UDP, so written tracks processed on
+    * send success and nothing queues; a socket failure replays the
+    * micro-batch without having counted it. */
+  final class Stats {
+    val processed = new java.util.concurrent.atomic.AtomicLong(0)
+    val written = new java.util.concurrent.atomic.AtomicLong(0)
+    def dropped: Long = 0L
+    def queued: Long = 0L
+    def asMap: Map[String, Long] = Map("written" -> written.get,
+      "processed" -> processed.get, "dropped" -> dropped,
+      "queued" -> queued)
+  }
+
+  private val statsRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, Stats]()
+
+  /** Per-destination-name counters, surviving config reloads (the
+    * reference keeps stats across reload — the reload-statistics test
+    * expects counters to ACCUMULATE over the second generation). */
+  def statsFor(destination: String): Stats =
+    statsRegistry.computeIfAbsent(destination, _ => new Stats)
+
   /** Row contract: `__objs array<struct<oid:string,tpe:string,v:string>>`
     * (rendered by the config compiler, configuration order). */
-  def writeBatch(df: DataFrame, cfg: Config): Unit =
+  def writeBatch(df: DataFrame, cfg: Config, stats: Option[Stats] = None): Unit = {
+    val n = stats.map(_ => df.count()).getOrElse(0L)
+    stats.foreach(_.processed.addAndGet(n))
     df.select("__objs").foreachPartition { (rows: Iterator[Row]) =>
       sendPartition(cfg, rows.map(_.getSeq[Row](0).map(o =>
         (o.getString(0), o.getString(1), o.getString(2)))))
     }
+    stats.foreach(_.written.addAndGet(n))
+  }
 
-  def sink(ds: Dataset[Row], cfg: Config, checkpoint: String)
+  def sink(ds: Dataset[Row], cfg: Config, checkpoint: String,
+      stats: Stats = null)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     ds.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        writeBatch(batch.toDF(), cfg)
+        writeBatch(batch.toDF(), cfg, Option(stats))
       }
 }

@@ -98,13 +98,33 @@ object TcpSource {
         // proxy-protocol v1: the header is the connection's first
         // NEWLINE-terminated line regardless of the record framing
         // (logproto-proxied-text-server.c consumes it before framing
-        // begins); strip it here, field parsing lives in ProxyProto.
-        // A first line without the PROXY prefix is a regular frame in
-        // newline mode and a protocol violation in octet mode (drop).
+        // begins). The handshake uses the SAME strictness as the
+        // ProxyProto expression; a line that does not parse is a
+        // handshake failure and DROPS the whole connection
+        // (LPS_ERROR, logproto-proxied-text-server.c:193-224 — the
+        // source_drivers/network_source/proxyprotocol battery's
+        // test_pp_with_simple_tcp_connection expects no output at
+        // all for a non-proxied client). On success every frame of
+        // the connection is spooled with its header
+        // attached (frames are newline-framed so neither side can
+        // contain the separator byte), mirroring how the reference
+        // carries the connection's PROXIED_* aux values on each
+        // message — including across a config reload (the header
+        // rides the durable spool record, test_pp_reload.py). The
+        // separator is U+0001 (never in a newline-framed payload).
         if (proxyProtocol) {
           val header = readLine(in)
-          if (header != null && !header.startsWith("PROXY ") && !octetCounted)
-            accept(header)
+          if (header == null ||
+              !graft.functions.ProxyProtoHeader.parse(
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(header)).getBoolean(0))
+            return
+          var frame = readFrame(in)
+          while (frame != null) {
+            accept(header + "\u0001" + frame)
+            frame = readFrame(in)
+          }
+          return
         }
         var frame = readFrame(in)
         while (frame != null) {

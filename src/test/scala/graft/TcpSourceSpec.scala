@@ -48,15 +48,16 @@ class TcpSourceSpec extends GraftSuite {
     } finally listener.stop()
   }
 
-  test("octet-counted framing and proxy-protocol header strip") {
+  test("octet-counted framing with proxy-protocol handshake: header " +
+      "attached to every frame of the connection") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tcp2").toString
     val (listener, lines) = TcpSource.listen(spark, s"$dir/spool",
       octetCounted = true, proxyProtocol = true)
     try {
+      val hdr = "PROXY TCP4 1.2.3.4 5.6.7.8 1042 514"
       val m1 = "<13>1 2024-01-12T00:00:00Z h1 app - - - first"
       val m2 = "<13>1 2024-01-12T00:00:00Z h2 app - - - second with space"
-      val payload = "PROXY TCP4 1.2.3.4 5.6.7.8 1042 514\n" +
-        s"${m1.length} $m1" + s"${m2.length} $m2"
+      val payload = hdr + "\n" + s"${m1.length} $m1" + s"${m2.length} $m2"
       send(listener.boundPort, payload)
       awaitCount(listener, 2)
       listener.stop()
@@ -65,9 +66,12 @@ class TcpSourceSpec extends GraftSuite {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination(60000)
+      // r15: the spool record is <header> U+0001 <frame> — the
+      // connection's PROXIED_* aux data rides every message
+      // (logproto-proxied-text-server.c:169-186), not just the first
       val got = spark.table("tcp_octet").select("value")
         .collect().map(_.getString(0)).sorted.toSeq
-      assert(got == Seq(m1, m2).sorted)
+      assert(got == Seq(s"$hdr\u0001$m1", s"$hdr\u0001$m2").sorted, got)
     } finally listener.stop()
   }
 
