@@ -703,6 +703,30 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("pack queries: every window is explicitly partitioned and runs " +
+      "above an aggregate, never over the corpus") {
+    // r14 verdict #6: the packShards/packSequences prefix windows are
+    // bounded by construction (one row per 2^20-doc bucket) but used an
+    // EMPTY partition spec, spamming WindowExec's all-data-to-one-
+    // partition warning. Now partitionBy(lit(0)): same plan, bound
+    // stated. Pin both properties: (a) no windowspecdefinition whose
+    // FIRST argument is an ordering (= empty partition spec), (b) each
+    // Window sits above an Aggregate (the tiny side table), not the
+    // scan.
+    for (name <- Seq("shard_pack", "text_pack_sequences", "text_pack_bpe")) {
+      val fin = plan(name).linesIterator
+        .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+      val specs = fin.filter(_.contains("windowspecdefinition("))
+      assert(specs.nonEmpty, s"$name: expected windows in the plan")
+      specs.foreach { l =>
+        val firstArg = l.substring(l.indexOf("windowspecdefinition(") + 21)
+          .takeWhile(_ != ',')
+        assert(!firstArg.contains(" ASC") && !firstArg.contains(" DESC"),
+          s"$name: window with EMPTY partition spec: $l")
+      }
+    }
+  }
+
   test("sorted-run route survives a having clause the optimizer pushes " +
       "below the aggregate (Filter between Aggregate and ClaimOrdered)") {
     // ADVICE r14: PushPredicateThroughNonJoin pushes a deterministic
