@@ -1545,11 +1545,18 @@ object Queries {
   private val dedupMinhashIncr = Q("dedup_minhash_incremental",
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // SPARK_GRAFT_MINHASH_WAVE_CAP: scale-matrix knob to force the
+      // admission regime — 0 forces the shuffle fallback at any wave
+      // size, a huge value forces broadcast (the crossover cells);
+      // unset = the production default (broadcast <= 1M-doc waves)
+      val cap = sys.env.get("SPARK_GRAFT_MINHASH_WAVE_CAP")
+        .map(_.trim.toLong).getOrElse(1000000L)
       Dedup.minhashIncrementalAdmitted(
           docs.filter(col("doc_id") % 10 === 0),
           docs.filter(col("doc_id") % 10 =!= 0),
           col("doc_id"), col("text"), shingleK = 3, numHashes = 32,
-          bands = 8, threshold = 0.7, algo = "md5p31", hashBandKeys = false)
+          bands = 8, threshold = 0.7, algo = "md5p31", hashBandKeys = false,
+          maxBroadcastWave = cap)
         .select(col("doc_id")).orderBy(col("doc_id"))
     },
     Some("""WITH toks AS (

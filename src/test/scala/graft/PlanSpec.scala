@@ -450,6 +450,61 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("minhash band index FALLBACK regime (wave over the broadcast " +
+      "cap): index sides still never exchange, the WAVE side shuffles " +
+      "into the bucketed band layout, results identical") {
+    // r14 made wave admission size-aware (a 5M-doc wave force-broadcast
+    // aborts the driver on maxResultSize — sf1000p cell, in-artifact);
+    // r15 pins the degraded plan's shape: with maxBroadcastWave=0 every
+    // hint is dropped, the joins go SMJ, and the persisted index keeps
+    // its bucketing so only the wave side moves (never an index
+    // rewrite/re-sign). The admitted set must match the broadcast
+    // regime exactly — the cap is an execution knob, not semantics.
+    import spark.implicits._
+    val table = "graft_mh_fb_test"
+    try {
+      val corpus = (0 until 60).map(i => (i.toLong,
+        s"alpha bravo charlie delta echo foxtrot golf hotel india " +
+          s"juliet kilo lima token$i")).toDF("id", "text")
+      Dedup.writeMinhashBandIndex(corpus, col("id"), col("text"), table,
+        buckets = 4)
+      val wave = Seq(
+        (1007L, "alpha bravo charlie delta echo foxtrot golf hotel india " +
+          "juliet kilo lima token7"),
+        (1101L, "one two three four five six seven eight nine ten eleven"),
+        (1102L, "one two three four five six seven eight nine ten eleven"),
+        (1200L, "completely different words nothing shared with anything else here")
+      ).toDF("id", "text")
+      def admitted(cap: Long): (Set[Long], String) = {
+        val out = Dedup.minhashIncrementalAgainstIndex(spark, wave,
+          col("id"), col("text"), table, threshold = 0.7,
+          maxBroadcastWave = cap)
+        (out.select("id").collect().map(_.getLong(0)).toSet,
+          out.queryExecution.executedPlan.toString)
+      }
+      val (idsB, _) = admitted(1000000L)
+      val (idsF, pF) = admitted(0L)
+      assert(idsF == idsB && idsF == Set(1101L, 1200L), (idsF, idsB))
+      // degraded regime: sort-merge joins, and STILL no exchange on
+      // either bucketed index side (band/id bucket layouts absorb the
+      // join clustering; the wave side pays the shuffle)
+      assert(pF.contains("SortMergeJoin"), pF)
+      assert(!pF.contains("Exchange hashpartitioning(band"),
+        s"index bands exchanged in fallback:\n$pF")
+      val docScanIdx = pF.linesIterator.toVector
+        .indexWhere(_.contains(s"${table}_docs"))
+      assert(docScanIdx >= 0, pF)
+      // no xxhash/md5-of-shingle recompute above an index scan: the
+      // corpus is never re-signed in either regime
+      assert(!pF.contains("shingle") ||
+        !pF.linesIterator.exists(l => l.contains(table) && l.contains("shingle")), pF)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_bands")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_docs")
+      spark.sql(s"DROP TABLE IF EXISTS ${table}_meta")
+    }
+  }
+
   test("minhash band index: a wave probe reads the index map-only — no " +
       "index-side exchange, no re-signing") {
     import spark.implicits._
