@@ -4401,6 +4401,24 @@ object Queries {
     * precision/recall assertions on the xxh64 family itself. Benched so
     * BENCH_r{N} measures the production path, not the oracle mode. */
   val benchOnly: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // grouping_by_session minus its list aggregate: the skew-matrix
+    // twin that separates PLAN cost from OUTPUT cost — on the skew50
+    // layout the hot key collapses into ONE session, so the list
+    // query's single sorted multi-million-element types column is an
+    // output-contract floor no plan can remove; this fixed-width form
+    // (count + sum only, same sessionization) shows what the
+    // skew-split route actually buys
+    "grouping_by_session_fixedwidth" -> ((s: SparkSession, d: String) => {
+      val ev = syslogishEvents(s, d)
+      Sessions.groupingBy(ev, col("user_id"), col("ts"), 21600,
+        Seq(count(lit(1)).as("n"),
+          sum(dec(col("value"))).cast("double").as("sum_value")),
+        splitHotKeysOver = sessionSplit)
+        .select(col("key").as("user_id"),
+          unix_micros(col("session_start")).as("start_us"),
+          col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
     "dedup_minhash_lsh_xxh64" -> ((s: SparkSession, d: String) =>
       Dedup.minhashPairs(Tables.documents(s, d), col("doc_id"), col("text"),
           shingleK = 3, numHashes = 32, bands = 8, threshold = 0.7,
