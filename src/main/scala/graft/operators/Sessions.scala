@@ -322,10 +322,32 @@ object Sessions {
     * `base` must carry __gkey, __gts, __gus (+ any agg inputs);
     * `sortCols` is the in-partition sort after (key, split).
     */
-  private def skewSessionAgg(base: DataFrame, sortCols: Seq[Column],
+  private def skewSessionAgg(base0: DataFrame, sortCols: Seq[Column],
       gapMicros: Long, budget: Long, mainAggs: Seq[Column],
       stitchAggs: Seq[Column], keyAlias: String): DataFrame = {
     require(budget > 0, s"splitHotKeysOver must be positive, got $budget")
+    // Project the input to EXACTLY the referenced columns before the
+    // exchange. Catalyst prunes each branch independently, and at
+    // sf100p the main and stitch branches settled on DIFFERENT column
+    // sets — canonically unequal subtrees, so the data-sized
+    // (key, split) exchange was written TWICE (1.9 GB + 2.5 GB in the
+    // r15 StageProbe) instead of written once and ReusedExchange'd.
+    // One explicit shared projection makes both branches' exchange
+    // subtrees identical AND minimal (host/program/message never ride
+    // the session shuffle).
+    // (column references are read off ANALYZED probe plans — the
+    // unresolved Column AST nests subtrees in ColumnNode wrappers that
+    // a tree collect does not traverse)
+    val needed = {
+      val allAggs = mainAggs ++ stitchAggs
+      val aggRefs = base0.groupBy().agg(allAggs.head, allAggs.tail: _*)
+        .queryExecution.analyzed.references.map(_.name)
+      val sortRefs = base0.select(sortCols: _*)
+        .queryExecution.analyzed.references.map(_.name)
+      (Seq("__gkey", "__gts", "__gus") ++ aggRefs ++ sortRefs)
+        .toSeq.distinct.filter(base0.columns.contains)
+    }
+    val base = base0.select(needed.map(col): _*)
     // 1. hot-key stats. Integer-exact while counts < 2^53 and the
     // per-key us-range < 2^53 µs (~285 years) — double floor/ceil
     // arithmetic is exact below that.

@@ -846,8 +846,14 @@ class PlanSpec extends GraftSuite {
     val keySplitEx = fin.filter(l =>
       l.contains("Exchange hashpartitioning(__gkey") &&
         l.contains("__split") && !l.contains("ReusedExchange"))
-    assert(keySplitEx.size <= 2, // full-width + the pruned summary path
-      s"(key,split) exchange written ${keySplitEx.size}x:\n${fin.mkString("\n")}")
+    // EXACTLY two: the shared full-width exchange (main + stitch read
+    // it via ReusedExchange) and the pruned summary-path exchange (the
+    // two flags pipelines share it). The r15 StageProbe caught a third:
+    // per-branch pruning divergence broke canonical equality and the
+    // data-sized exchange was written twice — the explicit shared
+    // projection in skewSessionAgg pins it back to one.
+    assert(keySplitEx.size == 2,
+      s"(key,split) exchange written ${keySplitEx.size}x (want 2):\n${fin.mkString("\n")}")
     assert(fin.exists(_.contains("ReusedExchange")), fin.mkString("\n"))
     // no session_window / WindowExec over DATA-sized input: the only
     // Window operators run over the per-(hot key, split) summary frame
