@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   * `exec` additionally RUNS the query first so AQE's final plan (the
   * one with runtime join strategy changes) is printed, not the static
   * estimate.
+  *
+  * SPARK_GRAFT_PLAN_DIR=<dir> [SPARK_GRAFT_PLAN_SUFFIX=_before]:
+  * instead of stdout, write each query's `.explain("formatted")`
+  * output to <dir>/<query><suffix>.txt — the optimization-round
+  * deliverable (plans/r15/). `all` as the query list expands to the
+  * whole registry.
   */
 object Explain {
   def main(args: Array[String]): Unit = {
@@ -21,11 +27,26 @@ object Explain {
     spark.sparkContext.setLogLevel("WARN")
     val registry = SparkEntry.queries ++ Queries.benchOnly.toMap
     val exec = args.length > 2 && args(2) == "exec"
-    for (name <- args(1).split(",")) {
+    val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "_before")
+    val names =
+      if (args(1) == "all") registry.keys.toSeq.sorted
+      else args(1).split(",").toSeq
+    planDir.foreach(d => new java.io.File(d).mkdirs())
+    for (name <- names) {
       val df = registry(name)(spark, args(0))
       if (exec) df.queryExecution.toRdd.count()
-      println(s"===== $name =====")
-      println(df.queryExecution.executedPlan.toString)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      planDir match {
+        case Some(d) =>
+          val w = new java.io.PrintWriter(
+            new java.io.File(d, name + suffix + ".txt"), "UTF-8")
+          try w.println(formatted) finally w.close()
+        case None =>
+          println(s"===== $name =====")
+          println(formatted)
+      }
     }
     spark.stop()
   }

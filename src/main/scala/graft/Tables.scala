@@ -13,7 +13,55 @@ object Tables {
     // nanos-since-epoch LongType behind this legacy flag (runtime-settable).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") normalizeEventTs(df) else df
+    val floored = withScanFloor(spark, sfDir, name, df)
+    if (name == "events") normalizeEventTs(floored) else floored
+  }
+
+  /** Scale-adaptive scan-parallelism floor (optimization guide §2.5
+    * "input skew: one huge unsplittable file → repartition immediately
+    * after the read"): a table whose planned scan yields fewer splits
+    * than the session's cores — the single-small-file, one-row-group
+    * shape every local SF directory has — serializes every pre-shuffle
+    * operator of every consumer onto one task while the other cores
+    * idle. Hash-repartition such scans on the table's first column
+    * (the generated tables' unique key — deterministic under task
+    * retry, unlike a rand-derived key) up to defaultParallelism.
+    *
+    * Scale behavior: the gate reads the PLANNED scan partition count,
+    * so any input big enough to split into >= cores tasks (anything
+    * past a few hundred MB, let alone 100 TB) takes no extra exchange
+    * at all — this is a floor for degenerate inputs, not a tuned
+    * constant. The exchange it does add on tiny inputs moves only
+    * those tiny bytes. Knob: `spark.graft.scanFloor` session conf,
+    * falling back to SPARK_GRAFT_SCAN_FLOOR, falling back to
+    * defaultParallelism; <= 1 disables. PlanSpec's at-scale shape pins
+    * (corpus-never-exchanges etc.) set the conf to 0: they assert the
+    * plan a >= cores-splits input yields, which is exactly what the
+    * gate produces there; the floor exchange itself has its own gate
+    * test.
+    *
+    * The partition expression is xxhash64(first column), NOT the bare
+    * column: HashPartitioning(pk) would SATISFY downstream
+    * aggregate/join requirements keyed on pk, deleting the exchange
+    * that self-joining consumers reuse — measured on dedup_keep_best,
+    * losing that reuse re-ran the whole simhash subtree once per join
+    * side (1.9 s → 3.4 s). A derived expression matches no
+    * requirement, so every original exchange (and its ReusedExchange)
+    * stays put. */
+  private val scanPartsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
+  private def withScanFloor(spark: SparkSession, sfDir: String,
+      name: String, df: DataFrame): DataFrame = {
+    val floor = spark.conf.getOption("spark.graft.scanFloor")
+      .orElse(sys.env.get("SPARK_GRAFT_SCAN_FLOOR")).map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    if (floor <= 1) df
+    else {
+      val scanParts = scanPartsCache.computeIfAbsent(
+        (spark, s"$sfDir/$name"), _ => df.rdd.getNumPartitions)
+      if (scanParts >= floor) df
+      else df.repartition(floor, xxhash64(col(df.columns.head)))
+    }
   }
 
   /** The generated events.ts column has shipped as both TIMESTAMP(NANOS)

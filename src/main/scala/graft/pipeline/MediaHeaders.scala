@@ -280,38 +280,57 @@ object MediaFixtures {
     val minCodeSize = 8
     val clear = 1 << minCodeSize
     val eoi = clear + 1
-    val bits = new java.io.ByteArrayOutputStream
+    // bit stream into a preallocated buffer (every code is <= 12 bits,
+    // codes = clear + w*h pixels + eoi) — the ByteArrayOutputStream +
+    // per-pixel Range-closure original was a measured hot spot of every
+    // video/GIF fixture build (graft.pipeline.MicroMedia, r15)
+    val lzw = new Array[Byte]((width * height + 2) * 12 / 8 + 2)
+    var lzwLen = 0
     var cur = 0L; var nbits = 0; var cw = minCodeSize + 1
     def emit(code: Int): Unit = {
       cur |= code.toLong << nbits; nbits += cw
-      while (nbits >= 8) { bits.write((cur & 0xFF).toInt); cur >>= 8; nbits -= 8 }
+      while (nbits >= 8) {
+        lzw(lzwLen) = (cur & 0xFF).toByte; lzwLen += 1
+        cur >>= 8; nbits -= 8
+      }
     }
     emit(clear)
     var next = eoi + 1
     var first = true
-    for (y <- 0 until height; x <- 0 until width) {
-      emit(pixel(x, y) & 0xFF)
-      // mirror the decoder: every code after the first adds one table
-      // entry; width widens with the table, capped at 12
-      if (first) first = false
-      else if (next < 4096) {
-        next += 1
-        if (next == (1 << cw) && cw < 12) cw += 1
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        emit(pixel(x, y) & 0xFF)
+        // mirror the decoder: every code after the first adds one table
+        // entry; width widens with the table, capped at 12
+        if (first) first = false
+        else if (next < 4096) {
+          next += 1
+          if (next == (1 << cw) && cw < 12) cw += 1
+        }
+        x += 1
       }
+      y += 1
     }
     emit(eoi)
-    if (nbits > 0) bits.write((cur & 0xFF).toInt)
-    val lzw = bits.toByteArray
-    val sub = new java.io.ByteArrayOutputStream
-    sub.write(minCodeSize)
+    if (nbits > 0) { lzw(lzwLen) = (cur & 0xFF).toByte; lzwLen += 1 }
+    // sub-block framing: minCodeSize byte + ceil(len/255) length bytes
+    // + terminator
+    val out = new Array[Byte](imgDesc.length + 1 + lzwLen +
+      (lzwLen + 254) / 255 + 1)
+    System.arraycopy(imgDesc, 0, out, 0, imgDesc.length)
+    var w = imgDesc.length
+    out(w) = minCodeSize.toByte; w += 1
     var off = 0
-    while (off < lzw.length) {
-      val n = math.min(255, lzw.length - off)
-      sub.write(n); sub.write(lzw, off, n)
+    while (off < lzwLen) {
+      val n = math.min(255, lzwLen - off)
+      out(w) = n.toByte; w += 1
+      System.arraycopy(lzw, off, out, w, n); w += n
       off += n
     }
-    sub.write(0) // block terminator
-    imgDesc ++ sub.toByteArray
+    out(w) = 0 // block terminator
+    out
   }
 
   /** Grayscale 8-bit non-interlaced PNG with REAL pixel content:

@@ -206,32 +206,39 @@ object MediaSamples {
     var next = eoi + 1
     var width = minCodeSize + 1
     var prev = -1
-    var bitPos = 0
-    val totalBits = data.length * 8
+    // LSB-first bit reader with a 64-bit accumulator: refill whole
+    // bytes, then mask `width` bits — replaces the original
+    // bit-at-a-time loop (~width dependent shifts per code), the
+    // dominant cost of every GIF/video decode pass (measured via
+    // graft.pipeline.MicroMedia, r15 optimization round).
+    var acc = 0L
+    var accBits = 0
+    var bytePos = 0
     def readCode(): Int = {
-      if (bitPos + width > totalBits) return -1
-      var v = 0; var k = 0
-      while (k < width) {
-        val p = bitPos + k
-        if (((data(p >> 3) >> (p & 7)) & 1) != 0) v |= 1 << k
-        k += 1
+      while (accBits < width) {
+        if (bytePos >= data.length) return -1
+        acc |= (data(bytePos) & 0xFFL) << accBits
+        bytePos += 1
+        accBits += 8
       }
-      bitPos += width
+      val v = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width
+      accBits -= width
       v
     }
-    def firstByteOf(code: Int): Byte = {
-      var c = code
-      while (c >= clear) c = prefix(c)
-      c.toByte
-    }
-    def emitString(code: Int): Boolean = {
+    /** Emit the string for `code`; returns its FIRST byte (0..255), or
+      * -1 on output overrun (= corrupt input). One chain walk serves
+      * both the emit and the table entry's suffix byte — the original
+      * firstByteOf + emitString pair walked the chain twice. */
+    def emitString(code: Int): Int = {
       var sp = 0
       var c = code
       while (c >= clear) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
       stack(sp) = c.toByte; sp += 1
-      if (outLen + sp > maxPixels) return false // overrun = corrupt
+      if (outLen + sp > maxPixels) return -1 // overrun = corrupt
+      val first = c & 0xFF
       while (sp > 0) { sp -= 1; out(outLen) = stack(sp) & 0xFF; outLen += 1 }
-      true
+      first
     }
     var done = false
     while (!done) {
@@ -242,19 +249,25 @@ object MediaSamples {
       } else if (code == eoi) done = true
       else if (prev == -1) {
         if (code >= clear) return null
-        if (!emitString(code)) return null
+        if (emitString(code) < 0) return null
         prev = code
       } else {
         val kwkwk = code == next
         if (code > next || (kwkwk && next >= 4096)) return null
-        val f = firstByteOf(if (kwkwk) prev else code)
-        if (kwkwk) {
-          if (!emitString(prev)) return null
-          if (outLen + 1 > maxPixels) return null
-          out(outLen) = f & 0xFF; outLen += 1
-        } else if (!emitString(code)) return null
+        val f =
+          if (kwkwk) {
+            val fb = emitString(prev)
+            if (fb < 0) return null
+            if (outLen + 1 > maxPixels) return null
+            out(outLen) = fb; outLen += 1
+            fb
+          } else {
+            val fb = emitString(code)
+            if (fb < 0) return null
+            fb
+          }
         if (next < 4096) {
-          prefix(next) = prev; suffix(next) = f; next += 1
+          prefix(next) = prev; suffix(next) = f.toByte; next += 1
           if (next == (1 << width) && width < 12) width += 1
         }
         prev = code

@@ -11,6 +11,43 @@ class PlanSpec extends GraftSuite {
   private def plan(name: String): String =
     Queries.registry(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Run `body` with the scale-adaptive scan floor (Tables.load,
+    * r15 optimization) OFF. The gates wrapped in this pin the plan
+    * shape of an AT-SCALE input — one with >= cores scan splits, where
+    * the floor's gate never fires — so the floor's degenerate-tiny-
+    * input repartition (a local-bench artifact by design) must not
+    * participate. The floor's own behavior is pinned by the
+    * "scan-parallelism floor" gate below. */
+  private def withoutScanFloor[T](body: => T): T = {
+    val prev = spark.conf.getOption("spark.graft.scanFloor")
+    spark.conf.set("spark.graft.scanFloor", "0")
+    try body finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.scanFloor", v)
+      case None => spark.conf.unset("spark.graft.scanFloor")
+    }
+  }
+
+  test("scan-parallelism floor: tiny scans repartition to cores on a " +
+      "derived key, at-scale scans and disabled sessions do not") {
+    // the floor (optimization guide §2.5: one small unsplittable input
+    // file serializes every pre-shuffle operator) must (a) fire on the
+    // single-file local layouts, (b) partition on xxhash64(pk) — NEVER
+    // the bare key, which would satisfy downstream requirements and
+    // delete the exchange self-joining consumers reuse (measured: keep
+    // _best 1.9 s -> 3.4 s), (c) vanish when disabled or when the scan
+    // already has >= floor splits
+    spark.conf.set("spark.graft.scanFloor", "8")
+    try {
+      val p = Tables.documents(spark, sf).queryExecution.executedPlan.toString
+      assert(p.contains("Exchange hashpartitioning(xxhash64(doc_id"), p)
+      assert(p.contains(", 8)"), p)
+    } finally spark.conf.unset("spark.graft.scanFloor")
+    withoutScanFloor {
+      val p = Tables.documents(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+    }
+  }
+
   test("filter pushdown reaches the parquet scan") {
     val p = Tables.customer(spark, sf)
       .filter(col("c_acctbal") > 5000)
@@ -140,17 +177,19 @@ class PlanSpec extends GraftSuite {
     // adaptive plan: one documents scan, with ReusedExchange rows
     // pointing at the REPARTITION_BY_COL exchange.
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
-    val df = Queries.registry("dedup_ngram_jaccard")(spark, sf)
-    df.queryExecution.toRdd.count()
-    val p = df.queryExecution.executedPlan.toString
-    val fin = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
-    assert(fin.head.contains("isFinalPlan=true") ||
-      p.contains("isFinalPlan=true"), p.take(500))
-    val scans = fin.count(l => l.contains("FileScan parquet") &&
-      l.contains("documents.parquet"))
-    assert(scans == 1, s"expected 1 documents scan in final plan, got $scans\n$p")
-    assert(fin.exists(l => l.contains("ReusedExchange") &&
-      l.contains("REPARTITION_BY_COL")), p)
+    withoutScanFloor {
+      val df = Queries.registry("dedup_ngram_jaccard")(spark, sf)
+      df.queryExecution.toRdd.count()
+      val p = df.queryExecution.executedPlan.toString
+      val fin = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
+      assert(fin.head.contains("isFinalPlan=true") ||
+        p.contains("isFinalPlan=true"), p.take(500))
+      val scans = fin.count(l => l.contains("FileScan parquet") &&
+        l.contains("documents.parquet"))
+      assert(scans == 1, s"expected 1 documents scan in final plan, got $scans\n$p")
+      assert(fin.exists(l => l.contains("ReusedExchange") &&
+        l.contains("REPARTITION_BY_COL")), p)
+    }
   }
 
   test("semantic dedup self-join reuses one assignment exchange") {
@@ -177,17 +216,19 @@ class PlanSpec extends GraftSuite {
     // parser: the whole composite is ONE projection chain — a single
     // events scan, no Union, and the only exchange is the query's
     // final ORDER BY.
-    val df = Queries.registry("default_network")(spark, sf)
-    df.queryExecution.toRdd.count()
-    val p = df.queryExecution.executedPlan.toString
-    val fin = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
-    val scans = fin.count(l => l.contains("FileScan parquet") &&
-      l.contains("events.parquet"))
-    assert(scans == 1, s"expected 1 events scan in final plan, got $scans\n$p")
-    assert(!fin.exists(_.contains("Union")), p)
-    val exchanges = fin.count(l => l.trim.startsWith("+- Exchange") ||
-      l.trim.startsWith(":- Exchange") || l.trim.startsWith("Exchange"))
-    assert(exchanges <= 1, s"expected only the ORDER BY exchange, got $exchanges\n$p")
+    withoutScanFloor {
+      val df = Queries.registry("default_network")(spark, sf)
+      df.queryExecution.toRdd.count()
+      val p = df.queryExecution.executedPlan.toString
+      val fin = p.linesIterator.takeWhile(!_.contains("== Initial Plan ==")).toSeq
+      val scans = fin.count(l => l.contains("FileScan parquet") &&
+        l.contains("events.parquet"))
+      assert(scans == 1, s"expected 1 events scan in final plan, got $scans\n$p")
+      assert(!fin.exists(_.contains("Union")), p)
+      val exchanges = fin.count(l => l.trim.startsWith("+- Exchange") ||
+        l.trim.startsWith(":- Exchange") || l.trim.startsWith("Exchange"))
+      assert(exchanges <= 1, s"expected only the ORDER BY exchange, got $exchanges\n$p")
+    }
   }
 
   test("bestPerCluster is two salted max_by aggregates, no window sort") {
@@ -268,33 +309,39 @@ class PlanSpec extends GraftSuite {
     // the codebook is driver-held; encoding must be a projection over
     // the scan — the ONLY exchange in either plan is the oracle's
     // final ORDER BY (embed_pq) / the top-k (ann_pq)
-    val enc = plan("embed_pq")
-    assert(enc.contains("pq_encode"), enc)
-    assert(!enc.contains("SortMergeJoin") && !enc.contains("BroadcastHashJoin"), enc)
-    assert(enc.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1, enc)
-    val ann = plan("ann_pq")
-    assert(ann.contains("TakeOrderedAndProject"), ann) // top-k, no global sort
-    assert(!ann.contains("Exchange hashpartitioning"), ann)
+    withoutScanFloor {
+      val enc = plan("embed_pq")
+      assert(enc.contains("pq_encode"), enc)
+      assert(!enc.contains("SortMergeJoin") && !enc.contains("BroadcastHashJoin"), enc)
+      assert(enc.linesIterator.count(_.trim.startsWith("+- Exchange")) <= 1, enc)
+      val ann = plan("ann_pq")
+      assert(ann.contains("TakeOrderedAndProject"), ann) // top-k, no global sort
+      assert(!ann.contains("Exchange hashpartitioning"), ann)
+    }
   }
 
   test("ivf-pq: broadcast cells join + top-k, no corpus shuffle") {
     // index build = assign + residual-encode over a BROADCAST cells
     // table; search = pushed filter + compiled ADC + TakeOrdered — at
     // 100 TB the corpus must never hash-exchange
-    val p = plan("ann_ivfpq")
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    withoutScanFloor {
+      val p = plan("ann_ivfpq")
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("TakeOrderedAndProject"), p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("Cartesian"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    }
   }
 
   test("semantic decontamination: the decision rides the scan — no join, no shuffle") {
     // the benchmark side is expression-resident (NearestCentroidCos);
     // the only exchange is the oracle harness's final ORDER BY
-    val p = plan("decontaminate_semantic")
-    assert(p.contains("nearest_centroid_cos"), p)
-    assert(!p.contains("Join"), p)
-    assert(!p.contains("Exchange hashpartitioning"), p)
+    withoutScanFloor {
+      val p = plan("decontaminate_semantic")
+      assert(p.contains("nearest_centroid_cos"), p)
+      assert(!p.contains("Join"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    }
   }
 
   test("chunking: one narrow generate pass, no shuffle of the corpus") {
@@ -302,12 +349,14 @@ class PlanSpec extends GraftSuite {
     // only exchange is the oracle harness's ORDER BY (rangepartitioning),
     // which production never runs — at 100 TB chunking must stay a
     // map-only stage over the scan
-    for (q <- Seq("text_chunking", "text_chunking_bpe")) {
-      val p = plan(q)
-      assert(p.contains("Generate explode"), s"$q\n$p")
-      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-        s"$q\n$p")
-      assert(!p.contains("Exchange hashpartitioning"), s"$q\n$p")
+    withoutScanFloor {
+      for (q <- Seq("text_chunking", "text_chunking_bpe")) {
+        val p = plan(q)
+        assert(p.contains("Generate explode"), s"$q\n$p")
+        assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+          s"$q\n$p")
+        assert(!p.contains("Exchange hashpartitioning"), s"$q\n$p")
+      }
     }
   }
 
@@ -357,15 +406,17 @@ class PlanSpec extends GraftSuite {
     // per-context synthetic generation = ONE groupBy(host) shuffle with
     // a partial aggregate below it; a window or cartesian here would be
     // the 100 TB scale-killer
-    val p = plan("patterndb_synthetic")
-    assert(!p.contains("Window"), p)
-    assert(!p.contains("Cartesian"), p)
-    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
-      p.linesIterator.count(_.trim.startsWith(":- Exchange")) +
-      p.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
-    assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate") ||
-      p.contains("SortAggregate"), p)
+    withoutScanFloor {
+      val p = plan("patterndb_synthetic")
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("Cartesian"), p)
+      val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+        p.linesIterator.count(_.trim.startsWith(":- Exchange")) +
+        p.linesIterator.count(_.trim.startsWith("Exchange"))
+      assert(exchanges <= 2, s"too many exchanges ($exchanges):\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("HashAggregate") ||
+        p.contains("SortAggregate"), p)
+    }
   }
 
   test("bucketed seen-index: the incremental-dedup anti-join never shuffles the index") {
@@ -425,28 +476,30 @@ class PlanSpec extends GraftSuite {
     // the disk. The aggregate must stay (vec_id, cand)-skinny, with v
     // joined back afterwards (bit-identical assignments, gated by the
     // tree==flat equality specs).
-    val base = Tables.embeddings(spark, sf)
-      .select(col("vec_id"), col("embedding").as("v"))
-    // expression regime (k <= fineExprMax): the ENTIRE assignment is
-    // one map-only compiled pass — no join, no aggregate, no exchange
-    val expr = graft.pipeline.Similarity.assignClusters(base, 256,
-      flatMax = 1, nProbe = 2, levels = 3)
-    val pe = expr.queryExecution.executedPlan.toString
-    assert(pe.contains("nearest_fine_tree"), pe)
-    assert(!pe.contains("Exchange") && !pe.contains("Aggregate") &&
-      !pe.contains("Join"), s"expression regime not map-only:\n$pe")
-    // distributed-join regime (k past the driver-CSR cap, forced via
-    // fineExprMax = 0) and the two-level path: the argmax aggregate
-    // must stay (vec_id, cand)-skinny
-    val joins = Seq(
-      graft.pipeline.Similarity.assignClusters(base, 256, flatMax = 1,
-        nProbe = 2, levels = 3, fineExprMax = 0),
-      graft.pipeline.Similarity.assignClusters(base, 256, flatMax = 1,
-        nProbe = 2, levels = 2))
-    for (out <- joins) {
-      val p = out.queryExecution.executedPlan.toString
-      assert(p.contains("Aggregate"), p)
-      assert(!p.contains("first(v"), s"vector rides the argmax aggregate:\n$p")
+    withoutScanFloor {
+      val base = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding").as("v"))
+      // expression regime (k <= fineExprMax): the ENTIRE assignment is
+      // one map-only compiled pass — no join, no aggregate, no exchange
+      val expr = graft.pipeline.Similarity.assignClusters(base, 256,
+        flatMax = 1, nProbe = 2, levels = 3)
+      val pe = expr.queryExecution.executedPlan.toString
+      assert(pe.contains("nearest_fine_tree"), pe)
+      assert(!pe.contains("Exchange") && !pe.contains("Aggregate") &&
+        !pe.contains("Join"), s"expression regime not map-only:\n$pe")
+      // distributed-join regime (k past the driver-CSR cap, forced via
+      // fineExprMax = 0) and the two-level path: the argmax aggregate
+      // must stay (vec_id, cand)-skinny
+      val joins = Seq(
+        graft.pipeline.Similarity.assignClusters(base, 256, flatMax = 1,
+          nProbe = 2, levels = 3, fineExprMax = 0),
+        graft.pipeline.Similarity.assignClusters(base, 256, flatMax = 1,
+          nProbe = 2, levels = 2))
+      for (out <- joins) {
+        val p = out.queryExecution.executedPlan.toString
+        assert(p.contains("Aggregate"), p)
+        assert(!p.contains("first(v"), s"vector rides the argmax aggregate:\n$p")
+      }
     }
   }
 
@@ -699,6 +752,7 @@ class PlanSpec extends GraftSuite {
     // collect_list-carrying queries still plan an ObjectHashAggregate
     // (TypedImperativeAgg — no hash-agg support exists for lists), but
     // it must sit ABOVE the exchange on the long (key, ordinal) pair.
+    withoutScanFloor {
     for (name <- Seq("grouping_by_session", "grouping_by_context_funcs",
         "grouping_by_having", "suppress")) {
       val full = plan(name)
@@ -755,6 +809,7 @@ class PlanSpec extends GraftSuite {
         s"$name: no ClaimOrdered under the aggregate:\n${fin.mkString("\n")}")
       assert(!fin.slice(aggIdx, claimIdx).exists(_.contains("Sort ")),
         s"$name: a sort crept in between aggregate and claim:\n${fin.mkString("\n")}")
+    }
     }
   }
 
