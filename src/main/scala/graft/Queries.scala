@@ -4498,5 +4498,13 @@ object Queries {
     *    The production paths are dedup_semantic_prod /
     *    dedup_semantic_keep_prod (k ≈ N/32; 4.0x for 10x at sf1). */
   val benchExcluded: Set[String] = Set("dedup_simhash", "dedup_embedding",
-    "dedup_semantic", "dedup_semantic_keep")
+    "dedup_semantic", "dedup_semantic_keep",
+    // oracle-only skew-split harness forms (r15): they force a 64-row
+    // split budget so EVERY key takes the hot-key split+stitch path —
+    // maximal-overhead correctness exercise for the machinery, not a
+    // production plan. The bench measures the session family's
+    // production shape via grouping_by_session/suppress (and the skew
+    // matrix cells measure the split plan under SPARK_GRAFT_SESSION_SPLIT
+    // with the production budget).
+    "grouping_by_skew_split", "suppress_skew_split")
 }

@@ -401,8 +401,22 @@ object Dedup {
     val probeLimit = math.min(maxBroadcastWave + 1L, Int.MaxValue.toLong).toInt
     val broadcastWave = wave.limit(probeLimit).count() <= maxBroadcastWave
     def bc(df: DataFrame): DataFrame = if (broadcastWave) broadcast(df) else df
-    val w = signedDocs(wave, id, text, shingleK, numHashes, bands, rows,
+    // the wave SIGNATURES feed five consumers below (postings, the
+    // verification broadcast, both within-wave sides, the final
+    // anti-join's reject set) — unpersisted, each re-runs the
+    // shingle+minhash signing (r15 plan audit: the signing pipeline
+    // appeared twice more in the executed plan). In the broadcast
+    // regime the signed wave is wave-bounded by the same cap that
+    // admits the broadcasts, so cache it: one signing pass, five
+    // readers (two long-ish columns + band array, disk-spillable,
+    // LRU-evicted after the caller's terminal job). The shuffle
+    // fallback regime stays fully declarative — an over-cap wave must
+    // not be pinned to the block manager.
+    val w0 = signedDocs(wave, id, text, shingleK, numHashes, bands, rows,
       algo, hashBandKeys)
+    val w = if (broadcastWave)
+      w0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else w0
     val wBands = w.select(col("id").as("wid"), explode(col("bands")).as("wband"))
     // corpus probe: broadcast the wave postings — the big side stays a
     // map-only scan+project (column pruning drops everything but the

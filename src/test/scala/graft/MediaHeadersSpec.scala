@@ -189,6 +189,14 @@ class MediaHeadersSpec extends GraftSuite {
     // but image sized 2 pixels with the same stream must reject
     assert(MediaSamples.decode(
       gifWith(2, 1, 2, Array(0x8C.toByte, 0x0B.toByte))) == null)
+    // stream truncated MID-CODE: [clear, 1] then 2 bits of a third code
+    // — the decoder keeps the decoded prefix (r15 pins the rewritten
+    // 64-bit-accumulator bit reader's end-of-stream behavior: a refill
+    // that cannot reach `width` bits ends the walk, identical to the
+    // old bit-at-a-time reader's bitPos+width > totalBits check)
+    val truncated = MediaSamples.decode(
+      gifWith(3, 1, 2, Array(0x8C.toByte)))
+    assert(truncated != null && truncated.samples.toSeq == Seq(1))
   }
 
   test("spark gif corpus: stats survive the distributed decode") {
