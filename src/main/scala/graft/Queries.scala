@@ -2698,7 +2698,7 @@ object Queries {
     * + a running last() — no range join; the oracle is DuckDB's native
     * ASOF LEFT JOIN on the same nanosecond epochs. */
   private val joinAsof = Q("join_asof",
-    (s, d) => {
+    (s, d) => Tables.noScanFloor(s) {
       val ev = Tables.events(s, d)
       // micros on both sides: DuckDB reads parquet ns-timestamps at µs
       // precision, so the oracle can only see µs epochs

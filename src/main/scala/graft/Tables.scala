@@ -48,6 +48,23 @@ object Tables {
     * side (1.9 s → 3.4 s). A derived expression matches no
     * requirement, so every original exchange (and its ReusedExchange)
     * stays put. */
+  /** Load-scope opt-out from the scan floor, for query shapes whose
+    * ENTIRE pre-exchange work is trivial projection feeding an
+    * immediate data exchange (verified per call site against the
+    * committed plan files): there the floor parallelizes nothing —
+    * the first real exchange already redistributes — and its extra
+    * stage is pure latency (join_asof measured 0.67-0.78 s unfloored
+    * vs 1.08-1.29 s floored across three alternating A/B pairs, r15).
+    * No effect at real scale, where the gate is off anyway. */
+  def noScanFloor[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.getOption("spark.graft.scanFloor")
+    spark.conf.set("spark.graft.scanFloor", "0")
+    try body finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.scanFloor", v)
+      case None => spark.conf.unset("spark.graft.scanFloor")
+    }
+  }
+
   private val scanPartsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
   private def withScanFloor(spark: SparkSession, sfDir: String,
