@@ -23,8 +23,11 @@ object ProbePlanTime {
     for (name <- args(1).split(",")) {
       val fn = registry(name)
       // warm (codegen/JIT) like the bench
+      // NonFatal only: swallowing OOM/interrupts here would mask a dying
+      // JVM and corrupt the timings being attributed (r15 ADVICE)
       for (w <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
-        try fn(spark, w).queryExecution.toRdd.count() catch { case _: Throwable => () }
+        try fn(spark, w).queryExecution.toRdd.count()
+        catch { case scala.util.control.NonFatal(_) => () }
       for (r <- 0 until reps) {
         val t0 = System.nanoTime()
         val df = fn(spark, args(0))

@@ -1256,13 +1256,21 @@ object Queries {
   // session boundary when the inactivity gap is >= timeout (Spark's
   // session_window end is exclusive).
   // ---------------------------------------------------------------------
-  /** Skew-split opt-in for the session family (r15): the scale matrix
-    * sets SPARK_GRAFT_SESSION_SPLIT=<per-task row budget> to run the
-    * SAME query names under the hot-key split route
-    * (Sessions.skewSessionAgg). Unset — the bench and oracle default —
-    * keeps the r14 single-exchange sorted-run plan unchanged. */
-  private def sessionSplit: Option[Long] =
-    sys.env.get("SPARK_GRAFT_SESSION_SPLIT").map(_.trim.toLong)
+  /** Hot-key protection for the session family. DEFAULT ON since r16
+    * (r15 VERDICT item 3: the r14 scale-killer — one dominant key
+    * serializing its whole session sort+fold into one task — was fixed
+    * only when the env knob was set, so a production run with a chatty
+    * host still straggled by default). The default budget is the
+    * r15-matrix-measured production value: 200k rows/task keeps every
+    * split sort bounded while the skew50 cells land within the r14
+    * acceptance bar (grouping_by_session sf100p_skew50 fixed-width twin
+    * 183.7 -> 76.9 s). On healthy data the zero-hot fast path
+    * (Sessions.skewSessionAgg step 1b) returns the EXACT unsplit
+    * sorted-run plan, so the default costs one bounded detection pass
+    * and nothing else. SPARK_GRAFT_SESSION_SPLIT overrides the budget;
+    * 0 or "off" restores the r14 always-unsplit route (and is what the
+    * uniform-layout A/B cells use). */
+  private def sessionSplit: Option[Long] = Sessions.defaultHotKeyBudget
 
   private val groupingBySession = Q("grouping_by_session",
     (s, d) => {

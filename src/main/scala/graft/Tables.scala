@@ -65,8 +65,24 @@ object Tables {
     }
   }
 
-  private val scanPartsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Int]()
+  /** (sessionUUID, path) -> (planned scan splits, on-disk bytes). Keyed
+    * by the session's UUID string, not the session object, so stopped
+    * sessions are not strongly retained (r15 ADVICE); bounded by the
+    * handful of (sf, table) paths a process ever loads. */
+  private val scanMetaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Int, Long)]()
+  /** Width of the floor exchange: unconditional defaultParallelism put 32
+    * near-empty partitions under every consumer at bench SF — the driver's
+    * r15 8-core cell beat its 32-core cell on 40+ queries on identical
+    * code, i.e. the added per-stage scheduling overhead exceeded the
+    * parallelism gain once inputs are tiny (r15 VERDICT item 1). Size the
+    * width by input volume instead: one partition per
+    * `spark.graft.scanFloorBytesPerPart` (conf > SPARK_GRAFT_SCAN_FLOOR_BYTES
+    * env > 96 KiB) of on-disk parquet, capped at the floor (cores). At any
+    * real scale the planned-splits gate disables the whole mechanism, so
+    * the budget only shapes the degenerate-tiny-input regime; 96 KiB was
+    * chosen by same-session alternating A/B over the r15 driver-regressed
+    * basket at 32 AND 8 cores (OPTIMIZATION_r16.md Change 1). */
   private def withScanFloor(spark: SparkSession, sfDir: String,
       name: String, df: DataFrame): DataFrame = {
     val floor = spark.conf.getOption("spark.graft.scanFloor")
@@ -74,10 +90,21 @@ object Tables {
       .getOrElse(spark.sparkContext.defaultParallelism)
     if (floor <= 1) df
     else {
-      val scanParts = scanPartsCache.computeIfAbsent(
-        (spark, s"$sfDir/$name"), _ => df.rdd.getNumPartitions)
-      if (scanParts >= floor) df
-      else df.repartition(floor, xxhash64(col(df.columns.head)))
+      val sessionKey =
+        spark.sparkContext.applicationId + "@" + System.identityHashCode(spark)
+      val (scanParts, bytes) = scanMetaCache.computeIfAbsent(
+        (sessionKey, s"$sfDir/$name"), { case (_, p) =>
+          val path = new org.apache.hadoop.fs.Path(s"$p.parquet")
+          val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+          (df.rdd.getNumPartitions, fs.getContentSummary(path).getLength)
+        })
+      val perPart = spark.conf.getOption("spark.graft.scanFloorBytesPerPart")
+        .orElse(sys.env.get("SPARK_GRAFT_SCAN_FLOOR_BYTES")).map(_.toLong)
+        .getOrElse(96L * 1024)
+      val width = math.min(floor.toLong,
+        math.max(1L, (bytes + perPart - 1) / perPart)).toInt
+      if (scanParts >= width || width <= 1) df
+      else df.repartition(width, xxhash64(col(df.columns.head)))
     }
   }
 

@@ -1938,7 +1938,12 @@ object ConfigCompiler {
             aggTemplate(t, resolve, sortKey).as(name) }
           val out = graft.operators.Sessions.groupingBy(df,
             Template.column(keyT, df.columns.toSeq), col("ts"), timeout,
-            aggs, whereCol)
+            aggs, whereCol,
+            // hot-key protection default-on (r16) — config-compiled
+            // grouping-by is the production surface; see
+            // Sessions.defaultHotKeyBudget (zero-hot data keeps the
+            // exact unsplit plan; streaming frames skip the route)
+            splitHotKeysOver = graft.operators.Sessions.defaultHotKeyBudget)
           havingExpr match {
             case None => out
             case Some(e) => out.filter(filterColTemplated(e,

@@ -94,7 +94,19 @@ object LogPath {
         out.withColumn("__channel", coalesce(col("__channel"), lit(ch.name)))
       else out.withColumn("__channel", lit(ch.name))
     }
-    outs.reduce(_.unionByName(_, allowMissingColumns = true))
+    def union = outs.reduce(_.unionByName(_, allowMissingColumns = true))
+    // DISJOINT delivery (final/fallback structure: every non-fallback
+    // channel but the last is final, at most one fallback) + row-local
+    // channel bodies fuse to ONE scan instead of the K-scan union
+    // (graft.operators.FusedBranches, r15 VERDICT item 3). Channels
+    // with joins/aggregates (or a second fallback) keep the union —
+    // the fusion is plan-only, never semantic.
+    val nonFb = channels.filterNot(_.flags.contains(Fallback))
+    val disjoint = channels.count(_.flags.contains(Fallback)) <= 1 &&
+      nonFb.dropRight(1).forall(_.flags.contains(Final))
+    if (disjoint)
+      graft.operators.FusedBranches.fuseOrUnion(df, outs, union)
+    else union
   }
 
   /** app-parser() (`/root/reference/modules/appmodel/

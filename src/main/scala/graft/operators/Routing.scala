@@ -75,7 +75,16 @@ object Routing {
         case None => branchDf
       }
     }
-    parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    def union = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    // DISJOINT delivery (each row reaches at most one branch) holds when
+    // every non-fallback branch but the last is final and there is at
+    // most one fallback — then row-local bodies fuse into ONE scan
+    // (FusedBranches; r15 VERDICT item 3: the K-branch union re-read the
+    // source K times). Non-disjoint fan-out keeps the union compile.
+    val nonFb = branches.filterNot(_.isFallback)
+    val disjoint = branches.count(_.isFallback) <= 1 &&
+      nonFb.dropRight(1).forall(_.isFinal)
+    if (disjoint) FusedBranches.fuseOrUnion(df, parts, union) else union
   }
 
   /** `if (cond) { then } else { else }` — sugar for a two-branch junction

@@ -27,6 +27,24 @@ import org.apache.spark.sql.graftbridge.SortedRunAgg
   */
 object Sessions {
 
+  /** Production default hot-key budget for the session operators (r16,
+    * r15 VERDICT item 3): 200k rows per split task — the r15 scale
+    * matrix's measured operating point (grouping_by_session
+    * sf100p_skew50 fixed-width twin 183.7 -> 76.9 s; skew50 cells
+    * within the r14 acceptance bar of 2-3x uniform). On healthy data
+    * the zero-hot fast path in [[skewSessionAgg]] returns the EXACT
+    * unsplit plan, so defaulting the protection ON costs one bounded
+    * detection pass and nothing else. SPARK_GRAFT_SESSION_SPLIT
+    * overrides the budget; `0` / `off` restores the always-unsplit
+    * route (the uniform-layout A/B cells use that). Read per call so
+    * harness overrides apply without session restarts. */
+  def defaultHotKeyBudget: Option[Long] =
+    sys.env.get("SPARK_GRAFT_SESSION_SPLIT").map(_.trim) match {
+      case Some(v) if v == "0" || v.equalsIgnoreCase("off") => None
+      case Some(v) => Some(v.toLong)
+      case None => Some(200000L)
+    }
+
   /** grouping-by() (`/root/reference/modules/dbparser/groupingby.c:
     * 35-51,479-487`): sessionize rows per `key` with an inactivity gap
     * of `timeoutSeconds` (`timeout()`), aggregate each session.
@@ -46,7 +64,10 @@ object Sessions {
       aggs: Seq[Column], where: Column = lit(true),
       having: Column = lit(true),
       splitHotKeysOver: Option[Long] = None): DataFrame = {
-    if (splitHotKeysOver.isDefined) {
+    // the skew route's hot-key detection is an eager bounded probe —
+    // meaningless (and unplannable) on a streaming frame, whose session
+    // semantics live in graft.streaming's stateful forms anyway
+    if (splitHotKeysOver.isDefined && !df.isStreaming) {
       // Skew-split route (r15): a dominant key otherwise serializes its
       // whole sort+scan+fold into ONE task (skew50: 57.1 s vs 6.2 s
       // uniform at sf10p, scale_matrix_r14.jsonl). `aggs` must be
@@ -221,7 +242,7 @@ object Sessions {
     */
   def suppress(df: DataFrame, key: Column, ts: Column, seconds: Int,
       order: Column, splitHotKeysOver: Option[Long] = None): DataFrame = {
-    if (splitHotKeysOver.isDefined) {
+    if (splitHotKeysOver.isDefined && !df.isStreaming) {
       // Skew-split route — see groupingBy. first() rides the claimed
       // sort on the main branch; the stitch branch (default planner, no
       // order guarantee) uses the order-insensitive min_by equivalent.

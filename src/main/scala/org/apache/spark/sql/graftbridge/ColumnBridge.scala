@@ -24,6 +24,22 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Number of cached-plan entries pinned in the session's CacheManager.
+    * Test hook for cache hygiene: `Dataset.persist` entries pin the
+    * CacheManager until an explicit unpersist (LRU frees blocks, not
+    * entries), so operators that persist intermediates must not GROW
+    * this across their lifetime (r15 ADVICE / VERDICT item 4). The
+    * backing seq is `private` (not `private[sql]`), hence the one
+    * reflective read; `isEmpty` alone cannot express "no growth" in a
+    * shared test session. */
+  def cachedPlanCount(spark: org.apache.spark.sql.SparkSession): Int = {
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    val m = cm.getClass.getDeclaredMethod("cachedData")
+    m.setAccessible(true)
+    m.invoke(cm).asInstanceOf[scala.collection.immutable.IndexedSeq[_]].size
+  }
+
   /** If `c` is a `map(lit(k1), v1, lit(k2), v2, ...)` construction with
     * ALL-literal string keys, return the (key, value column) pairs —
     * lets formatters precompute per-key verdicts at plan-build time

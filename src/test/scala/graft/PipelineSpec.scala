@@ -1275,12 +1275,21 @@ class PipelineSpec extends GraftSuite {
   test("incremental minhash admission == the pairwise rule composed from minhashPairs") {
     val docsT = Tables.documents(spark, sf)
     def isWave(idv: Long) = idv % 10 == 0
+    val cachedBefore =
+      org.apache.spark.sql.graftbridge.ColumnBridge.cachedPlanCount(spark)
     val admitted = Dedup.minhashIncrementalAdmitted(
         docsT.filter(col("doc_id") % 10 === 0),
         docsT.filter(col("doc_id") % 10 =!= 0),
         col("doc_id"), col("text"), shingleK = 3, numHashes = 32,
         bands = 8, threshold = 0.7, algo = "xxh64")
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cache hygiene (r16): the broadcast regime persists the signed wave
+    // and the candidate set while computing the reject list, and must
+    // release BOTH before returning — a per-wave ingestion loop must not
+    // accumulate CacheManager entries (r15 ADVICE medium)
+    assert(org.apache.spark.sql.graftbridge.ColumnBridge.cachedPlanCount(spark)
+      <= cachedBefore,
+      "minhashIncremental left cached plans pinned after the wave")
     // reference rule from the batch pair list over the union (same
     // signature family => identical band candidates): a wave doc is
     // rejected when paired with a corpus doc or a smaller wave doc

@@ -36,12 +36,32 @@ class PlanSpec extends GraftSuite {
     // delete the exchange self-joining consumers reuse (measured: keep
     // _best 1.9 s -> 3.4 s), (c) vanish when disabled or when the scan
     // already has >= floor splits
+    // (d) r16: the width is sized by input volume (one partition per
+    // scanFloorBytesPerPart of on-disk parquet, capped at the floor),
+    // not unconditionally cores — 32 near-empty partitions per table
+    // load was the r15 driver's 32-core regression (VERDICT item 1)
     spark.conf.set("spark.graft.scanFloor", "8")
+    spark.conf.set("spark.graft.scanFloorBytesPerPart", "1")
     try {
       val p = Tables.documents(spark, sf).queryExecution.executedPlan.toString
       assert(p.contains("Exchange hashpartitioning(xxhash64(doc_id"), p)
       assert(p.contains(", 8)"), p)
-    } finally spark.conf.unset("spark.graft.scanFloor")
+      // a volume budget larger than the file yields width 1 = no exchange
+      spark.conf.set("spark.graft.scanFloorBytesPerPart", s"${1L << 40}")
+      val p1 = Tables.documents(spark, sf).queryExecution.executedPlan.toString
+      assert(!p1.contains("Exchange"), p1)
+      // intermediate budget: width = ceil(bytes / budget), below the cap
+      val bytes = new java.io.File(s"$sf/documents.parquet").length
+      assert(bytes > 4, s"fixture documents.parquet unexpectedly tiny: $bytes")
+      val budget = (bytes + 3) / 4 // -> width 4 (< floor 8)
+      spark.conf.set("spark.graft.scanFloorBytesPerPart", budget.toString)
+      val p4 = Tables.documents(spark, sf).queryExecution.executedPlan.toString
+      assert(p4.contains("Exchange hashpartitioning(xxhash64(doc_id"), p4)
+      assert(p4.contains(", 4)"), p4)
+    } finally {
+      spark.conf.unset("spark.graft.scanFloor")
+      spark.conf.unset("spark.graft.scanFloorBytesPerPart")
+    }
     withoutScanFloor {
       val p = Tables.documents(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("Exchange"), p)
@@ -581,26 +601,78 @@ class PlanSpec extends GraftSuite {
         (1102L, "one two three four five six seven eight nine ten eleven"),
         (1200L, "completely different words nothing shared with anything else here")
       ).toDF("id", "text")
-      val out = Dedup.minhashIncrementalAgainstIndex(spark, wave,
-        col("id"), col("text"), table, threshold = 0.7)
+      // r16: the broadcast regime materializes the reject set eagerly
+      // (localCheckpoint, so the wave/candidate caches release before
+      // return — cache hygiene, r15 ADVICE). The map-only index-read
+      // property therefore lives in the plan EXECUTED DURING the call:
+      // capture it off the listener bus instead of the returned frame.
+      val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit = plans.add(qe.executedPlan.toString)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      val cachedBefore =
+        org.apache.spark.sql.graftbridge.ColumnBridge.cachedPlanCount(spark)
+      val out =
+        try Dedup.minhashIncrementalAgainstIndex(spark, wave,
+          col("id"), col("text"), table, threshold = 0.7)
+        finally {
+          // the listener bus is async — poll for the reject plan (the
+          // localCheckpoint execution, which reads BOTH index tables:
+          // bands via the cached candidate set, docs in the
+          // verification join) before unregistering
+          def rejectPlan(): String = {
+            val it = plans.iterator(); var found: String = null
+            while (it.hasNext && found == null) {
+              val p = it.next()
+              if (p.contains(s"${table}_bands") && p.contains(s"${table}_docs"))
+                found = p
+            }
+            found
+          }
+          val t0 = System.nanoTime()
+          while (rejectPlan() == null) {
+            if ((System.nanoTime() - t0) / 1e9 > 30)
+              sys.error("no reject plan captured in 30 s")
+            Thread.sleep(50)
+          }
+          spark.listenerManager.unregister(listener)
+        }
       val ids = out.select("id").collect().map(_.getLong(0)).toSet
       // 1007 exact-dups corpus, 1009 near-dups corpus, 1102 dups the
       // smaller 1101; 1101 and 1200 are admitted
       assert(ids == Set(1101L, 1200L), ids)
-      val p = out.queryExecution.executedPlan.toString
+      val captured = {
+        val it = plans.iterator(); var found: String = null
+        while (it.hasNext && found == null) {
+          val p = it.next()
+          if (p.contains(s"${table}_bands") && p.contains(s"${table}_docs"))
+            found = p
+        }
+        found
+      }
       // both index tables scan as bucketed parquet with NO Exchange in
       // their subtrees (the probes broadcast), and the corpus text is
       // never re-shingled (no xxhash64-of-shingle on an index scan)
       for (side <- Seq(s"${table}_bands", s"${table}_docs")) {
-        val lines = p.linesIterator.toVector
-        val scanIdx = lines.indexWhere(_.contains(side))
-        assert(scanIdx >= 0, s"$side not scanned:\n$p")
+        assert(captured.contains(side), s"$side not scanned:\n$captured")
       }
-      assert(!p.contains("Exchange hashpartitioning(band"),
-        s"index bands exchanged:\n$p")
-      assert(!p.contains("Exchange hashpartitioning(id#"),
-        s"index docs exchanged:\n$p")
-      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+      assert(!captured.contains("Exchange hashpartitioning(band"),
+        s"index bands exchanged:\n$captured")
+      assert(!captured.contains("Exchange hashpartitioning(id#"),
+        s"index docs exchanged:\n$captured")
+      assert(captured.contains("BroadcastHashJoin") ||
+        captured.contains("BroadcastExchange"), captured)
+      // the returned frame is the anti-join against the MATERIALIZED
+      // reject set — no index subtree left in it, and no NEW cache
+      // entries pinned (the hygiene this restructure buys)
+      assert(org.apache.spark.sql.graftbridge.ColumnBridge.cachedPlanCount(spark)
+        <= cachedBefore, "incremental wave left cached plans pinned")
       // a second wave appends with the same bucket spec and dedups
       // against BOTH generations
       Dedup.writeMinhashBandIndex(out, col("id"), col("text"), table,
@@ -917,5 +989,38 @@ class PlanSpec extends GraftSuite {
     // stitch branch exists and exchanges on (key, gsid) — boundary-sized
     assert(fin.exists(_.contains("Exchange hashpartitioning(__gkey") &&
       fin.exists(_.contains("__gsid"))), fin.mkString("\n"))
+  }
+
+  test("session skew protection default-on: zero-hot data takes the EXACT " +
+      "unsplit sorted-run plan (one key exchange, no split machinery)") {
+    // r16: splitHotKeysOver defaults to the production budget (200k) for
+    // every declared session query. This pins the healthy-data regime:
+    // when no key exceeds the budget, the fast path must return the same
+    // single-key-exchange Complete sorted-run plan the unsplit route
+    // builds — the only cost of the default is the one detection pass.
+    import spark.implicits._
+    import graft.operators.Sessions
+    val in = (1 to 2000).map { i =>
+      ("key-" + (i % 40), java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond((i * 7 % 3000).toLong)), i.toLong)
+    }.toDF("k", "t", "id")
+    def shape(split: Option[Long]): Seq[String] = {
+      val df = Sessions.groupingBy(in, col("k"), col("t"), 60,
+        Seq(count(lit(1)).as("n")), splitHotKeysOver = split)
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.toString.linesIterator
+        .takeWhile(!_.contains("== Initial Plan ==")).toSeq
+    }
+    val fast = shape(Some(200000L))
+    // exact unsplit shape: one Complete SortAggregate over the claim,
+    // one data exchange on the bare key, zero split/stitch artifacts
+    assert(fast.count(_.contains("SortAggregate(")) == 1, fast.mkString("\n"))
+    assert(fast.exists(_.contains("ClaimOrdered")), fast.mkString("\n"))
+    val dataEx = fast.filter(l => l.contains("Exchange hashpartitioning") &&
+      !l.contains("ReusedExchange"))
+    assert(dataEx.size == 1 && dataEx.head.contains("__gkey") &&
+      !dataEx.head.contains("__split"), fast.mkString("\n"))
+    assert(!fast.exists(l => l.contains("__split") || l.contains("__gsid") ||
+      l.contains("__hkey")), fast.mkString("\n"))
   }
 }
