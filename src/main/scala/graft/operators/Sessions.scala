@@ -39,7 +39,7 @@ object Sessions {
     * route (the uniform-layout A/B cells use that). Read per call so
     * harness overrides apply without session restarts. */
   def defaultHotKeyBudget: Option[Long] =
-    sys.env.get("SPARK_GRAFT_SESSION_SPLIT").map(_.trim) match {
+    sys.env.get("SPARK_GRAFT_SESSION_SPLIT").map(_.trim).filter(_.nonEmpty) match {
       case Some(v) if v == "0" || v.equalsIgnoreCase("off") => None
       case Some(v) => Some(v.toLong)
       case None => Some(200000L)
@@ -359,6 +359,30 @@ object Sessions {
     // (column references are read off ANALYZED probe plans — the
     // unresolved Column AST nests subtrees in ColumnNode wrappers that
     // a tree collect does not traverse)
+    // the exact unsplit sorted-run plan over `src` — both fast paths
+    // return it
+    def unsplit(src: DataFrame): DataFrame = {
+      val orded0 = src
+        .repartition(col("__gkey"))
+        .sortWithinPartitions(col("__gkey") +: sortCols: _*)
+        .withColumn("__ord", graft.functions.SessionOrdinal.column(
+          col("__gkey"), col("__gus"), gapMicros))
+      SortedRunAgg.reroute(
+        orded0.groupBy(col("__gkey").as(keyAlias), col("__ord"))
+          .agg(mainAggs.head, mainAggs.tail: _*),
+        "__gkey", "__ord").drop("__ord")
+    }
+    // 1a. probe-free fast path (r16): when a STATIC upper bound on the
+    // input's row count (plan structure + parquet footer metadata — no
+    // job, no scan) is already <= the budget, no key can possibly
+    // exceed it. Return the unsplit plan IMMEDIATELY — before the
+    // shared-projection scaffolding below, whose reference analysis
+    // passes alone measured +0.2-0.5 s per build on the config-compiled
+    // session queries at bench SF. Default-on protection is therefore
+    // literally free below the budget; detection only runs where a hot
+    // key is arithmetically possible (any real scale).
+    if (RowBound.upperBound(base0).exists(_ <= budget))
+      return unsplit(base0)
     val needed = {
       val allAggs = mainAggs ++ stitchAggs
       val aggRefs = base0.groupBy().agg(allAggs.head, allAggs.tail: _*)
@@ -392,17 +416,7 @@ object Sessions {
     // splitHotKeysOver on healthy data costs one detection pass and
     // nothing else. This makes the operator eager when the knob is
     // set — documented at both call sites.
-    if (stats.limit(1).count() == 0L) {
-      val orded0 = base
-        .repartition(col("__gkey"))
-        .sortWithinPartitions(col("__gkey") +: sortCols: _*)
-        .withColumn("__ord", graft.functions.SessionOrdinal.column(
-          col("__gkey"), col("__gus"), gapMicros))
-      return SortedRunAgg.reroute(
-        orded0.groupBy(col("__gkey").as(keyAlias), col("__ord"))
-          .agg(mainAggs.head, mainAggs.tail: _*),
-        "__gkey", "__ord").drop("__ord")
-    }
+    if (stats.limit(1).count() == 0L) return unsplit(base)
     // 2. split assignment + the one exchange + sort + ordinal scan
     val tagged = base
       .join(broadcast(stats), col("__gkey") <=> col("__hkey"), "left")
